@@ -1,0 +1,250 @@
+package graft.log
+
+import graft.model.{LogRecord, Payload, TopicBucket}
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+
+/** Append-only per-bucket message log.
+  *
+  * Semantics mirror the reference's in-memory queue
+  * (`internal/broker/queue/queue.go:32-61` in ripple-mq/ripple-server):
+  * `append` pushes records at the tail, `range(from, until)` reads a slice
+  * by offset with a clamped upper bound
+  * (`pkg/utils/collection/concurrent_list.go:63-73`), and per-bucket order
+  * is total. Unlike the reference the log is durable and bounded only by
+  * storage — the reference keeps everything in RAM forever (TTL TODO at
+  * `internal/broker/consumer/server/core.go:45`), which does not survive a
+  * restart and cannot scale; replication comes from the storage layer
+  * rather than a leader/follower gossip push
+  * (`internal/broker/producer/server/core.go:68-103`).
+  *
+  * Single-writer-per-bucket is assumed, exactly as in the reference, where
+  * the elected leader is the sole appender for its bucket
+  * (`internal/lighthouse/election/election.go:50-79`).
+  */
+trait TopicLog {
+
+  /** Append records; returns the offset of the first appended record.
+    * Records become readable atomically and in order.
+    */
+  def append(tb: TopicBucket, rows: Seq[Payload]): Long
+
+  /** Read offsets `[from, until)`; `until` is clamped to `size` — the
+    * semantics of `Queue.SubArray` (`queue.go:58-61`).
+    */
+  def range(tb: TopicBucket, from: Long, until: Long): Seq[LogRecord]
+
+  /** Current end offset (== number of records ever appended). */
+  def size(tb: TopicBucket): Long
+
+  def buckets(topic: String): Seq[TopicBucket]
+}
+
+/** Pure in-memory log for unit tests and property checks — the closest
+  * analog of the reference's `ConcurrentList`-backed queue
+  * (`pkg/utils/collection/concurrent_list.go:39-73`).
+  */
+final class InMemoryLog extends TopicLog {
+  private val store = mutable.Map.empty[TopicBucket, mutable.ArrayBuffer[LogRecord]]
+
+  private def buf(tb: TopicBucket) = synchronized {
+    store.getOrElseUpdate(tb, mutable.ArrayBuffer.empty)
+  }
+
+  override def append(tb: TopicBucket, rows: Seq[Payload]): Long = synchronized {
+    val b = buf(tb)
+    val start = b.size.toLong
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    rows.zipWithIndex.foreach { case (p, i) =>
+      b += LogRecord(tb.topic, tb.bucket, start + i, p.id, p.data, now)
+    }
+    start
+  }
+
+  override def range(tb: TopicBucket, from: Long, until: Long): Seq[LogRecord] = synchronized {
+    val b = buf(tb)
+    val lo = math.max(0L, from)
+    val hi = math.min(until, b.size.toLong)
+    if (hi <= lo) Seq.empty else b.slice(lo.toInt, hi.toInt).toSeq
+  }
+
+  override def size(tb: TopicBucket): Long = synchronized(buf(tb).size.toLong)
+
+  override def buckets(topic: String): Seq[TopicBucket] = synchronized {
+    store.keys.filter(_.topic == topic).toSeq.sortBy(_.bucket)
+  }
+}
+
+/** Segment file layout + frame codec for the durable log.
+  *
+  * A segment file `seg-<start20>-<count10>.log` holds `count` records
+  * beginning at offset `start`. Frames are length-prefixed, the same wire
+  * discipline as the reference's transport
+  * (`pkg/server/asynctcp/transport.go:114-145` — 4-byte big-endian length
+  * prefix), but with a fixed header instead of GOB (which the reference
+  * itself flags as non-portable, `internal/broker/consumer/server/core.go:14`):
+  *
+  * {{{ [len:int32][id:int32][tsMillis:int64][data:len-12 bytes] }}}
+  *
+  * Segments are immutable once published (write-temp + atomic rename), so a
+  * retried epoch that re-appends the same segment name is a no-op — this is
+  * what makes the streaming sink idempotent/exactly-once, replacing the
+  * reference's ack-counting (`internal/broker/ack/ack.go:68-117`).
+  */
+object SegmentCodec {
+  val SegmentPrefix = "seg-"
+  val SegmentSuffix = ".log"
+
+  def segmentName(start: Long, count: Long): String =
+    f"$SegmentPrefix$start%020d-$count%010d$SegmentSuffix"
+
+  /** (startOffset, count) parsed from a segment file name. */
+  def parse(name: String): Option[(Long, Long)] =
+    if (!name.startsWith(SegmentPrefix) || !name.endsWith(SegmentSuffix)) None
+    else name.stripPrefix(SegmentPrefix).stripSuffix(SegmentSuffix).split('-') match {
+      case Array(s, c) => Some((s.toLong, c.toLong))
+      case _           => None
+    }
+
+  def write(file: Path, rows: Seq[(Payload, Long)]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file.toFile), 1 << 16))
+    try rows.foreach { case (p, tsMillis) =>
+      val d = if (p.data == null) Array.emptyByteArray else p.data
+      out.writeInt(4 + 8 + d.length)
+      out.writeInt(p.id)
+      out.writeLong(tsMillis)
+      out.write(d)
+    } finally out.close()
+  }
+
+  /** Iterate all frames of a segment: (id, tsMillis, data). */
+  def read(file: Path): Iterator[(Int, Long, Array[Byte])] = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file.toFile), 1 << 16))
+    new Iterator[(Int, Long, Array[Byte])] {
+      private var nextLen = readLen()
+      private def readLen(): Int =
+        try in.readInt()
+        catch { case _: java.io.EOFException => in.close(); -1 }
+      override def hasNext: Boolean = nextLen >= 0
+      override def next(): (Int, Long, Array[Byte]) = {
+        val id = in.readInt()
+        val ts = in.readLong()
+        val data = new Array[Byte](nextLen - 12)
+        in.readFully(data)
+        nextLen = readLen()
+        (id, ts, data)
+      }
+    }
+  }
+}
+
+/** Durable file-backed log: one directory per topic/bucket containing
+  * immutable offset-named segment files. Directory layout doubles as the
+  * metadata registry the reference keeps in ZooKeeper
+  * (`/<topic>/<bucket>/...` znode tree, `internal/lighthouse/io/io.go:55-156`).
+  */
+final class FileTopicLog(val root: Path) extends TopicLog {
+  Files.createDirectories(root)
+
+  def bucketDir(tb: TopicBucket): Path = root.resolve(tb.topic).resolve(tb.bucket)
+
+  /** Published segments, sorted by start offset: (path, start, count). */
+  def segments(tb: TopicBucket): Seq[(Path, Long, Long)] = {
+    val dir = bucketDir(tb)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val files = dir.toFile.listFiles()
+      if (files == null) Seq.empty
+      else files.iterator.flatMap { f =>
+        SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
+      }.toSeq.sortBy(_._2)
+    }
+  }
+
+  override def size(tb: TopicBucket): Long = {
+    val segs = segments(tb)
+    if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
+  }
+
+  override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
+    val now = System.currentTimeMillis()
+    appendAt(tb, size(tb), rows.map(p => (p, now)))
+  }
+
+  /** Idempotent positional append: publish a segment starting at `start`.
+    * If that segment already exists (epoch retry), the call is a no-op.
+    * Returns `start`.
+    */
+  def appendAt(tb: TopicBucket, start: Long, rows: Seq[(Payload, Long)]): Long = {
+    if (rows.isEmpty) return start
+    val dir = bucketDir(tb)
+    Files.createDirectories(dir)
+    val target = dir.resolve(SegmentCodec.segmentName(start, rows.size.toLong))
+    if (!Files.exists(target)) {
+      val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      SegmentCodec.write(tmp, rows)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // Concurrent publisher won the rename race — idempotent outcome.
+        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    start
+  }
+
+  override def range(tb: TopicBucket, from: Long, until: Long): Seq[LogRecord] = {
+    val hi = math.min(until, size(tb))
+    val lo = math.max(0L, from)
+    if (hi <= lo) return Seq.empty
+    val out = Seq.newBuilder[LogRecord]
+    segments(tb).foreach { case (path, start, count) =>
+      if (start < hi && start + count > lo) {
+        var off = start
+        val it = SegmentCodec.read(path)
+        while (it.hasNext && off < hi) {
+          val (id, ts, data) = it.next()
+          if (off >= lo) out += LogRecord(tb.topic, tb.bucket, off, id, data, new java.sql.Timestamp(ts))
+          off += 1
+        }
+        // drain remaining iterator to release the stream
+        while (it.hasNext) it.next()
+      }
+    }
+    out.result()
+  }
+
+  override def buckets(topic: String): Seq[TopicBucket] = {
+    val dir = root.resolve(topic)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val files = dir.toFile.listFiles()
+      if (files == null) Seq.empty
+      else files.iterator.filter(_.isDirectory).map(f => TopicBucket(topic, f.getName))
+        .toSeq.sortBy(_.bucket)
+    }
+  }
+
+  def topics(): Seq[String] = {
+    val files = root.toFile.listFiles()
+    if (files == null) Seq.empty
+    else files.iterator.filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  /** Create a topic with `numBuckets` buckets — the control-plane op the
+    * reference exposes as gRPC `CreateBucket`
+    * (`server/exposed/create.go:15-27`). Here it is a pure metadata op:
+    * bucket placement/replication is the storage layer's job, so the
+    * reference's random-with-replacement replica choice
+    * (`internal/broker/broker.go:93-99`) has no equivalent.
+    */
+  def createTopic(topic: String, numBuckets: Int): Seq[TopicBucket] = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    (0 until numBuckets).map { i =>
+      val tb = TopicBucket(topic, f"b$i%04d")
+      Files.createDirectories(bucketDir(tb))
+      tb
+    }
+  }
+}

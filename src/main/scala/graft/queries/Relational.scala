@@ -1,0 +1,517 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** SURVEY §2 Table B — the relational query surface the engine exposes over
+  * topic data, expressed with Spark built-ins (the reference itself has no
+  * relational operators at all; see SURVEY §2). Every query here has a
+  * DuckDB-oracle twin in [[Relational.oracle]] with identical column names
+  * and types.
+  *
+  * Determinism-for-the-oracle conventions:
+  *   - large double sums accumulate in DECIMAL (exact, order-independent)
+  *     and cast to double once at the end — a double sum's low bits depend
+  *     on partial-aggregation order and would hash-mismatch;
+  *   - computed integers are cast to long (DuckDB's year()/length()/count
+  *     are BIGINT while Spark's are int);
+  *   - no raw timestamp outputs (parquet ns vs us precision) — epoch
+  *     millis/seconds instead;
+  *   - every top-k ordering carries a unique-key tie-break.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively; read it as a long and convert with integer division (a
+    * double-typed `/` would lose precision above 2^53 ns). The testdata has
+    * no sub-microsecond components, so the truncation is lossless.
+    */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact order-independent sum of a double expression: accumulate as
+    * DECIMAL(30,6), emit double.
+    */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+  private def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation ----------------------------------------------------
+    "q01_agg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" <= to_timestamp(lit("1998-09-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_filter_project" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .filter($"l_shipdate" >= to_timestamp(lit("1995-01-01")) && $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+    "q03_join_agg_topk" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+    "q04_left_join" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+    }),
+    "q05_semi_join" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val bigOrders = t(s, d, "orders").filter($"o_totalprice" > 150000.0)
+      cust.join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    }),
+    "q06_anti_join" -> ((s, d) => {
+      import s.implicits._
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_nationkey")
+    }),
+    "q07_full_join" -> ((s, d) => {
+      import s.implicits._
+      val nat = t(s, d, "nation")
+      val sup = t(s, d, "supplier")
+      nat.join(sup, $"n_nationkey" === $"s_nationkey", "full_outer")
+        .groupBy($"n_name")
+        .agg(count($"s_suppkey").as("n_suppliers"))
+    }),
+    "q08_theta_join" -> ((s, d) => {
+      import s.implicits._
+      val reg = t(s, d, "region")
+      val nat = t(s, d, "nation")
+      reg.join(nat, $"n_regionkey" =!= $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q09_join_5way" -> ((s, d) => {
+      import s.implicits._
+      val reg = t(s, d, "region").filter($"r_name" =!= "EUROPE")
+      val nat = t(s, d, "nation")
+      val cust = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    // ---- distinct -------------------------------------------------------
+    "q10_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").select($"l_returnflag", $"l_linestatus").distinct()
+    }),
+    "q11_count_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    }),
+    // approx_count_distinct: HLL++ sketch — not DuckDB-reproducible, rows-only check.
+    "q12_approx_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+    }),
+    // ---- grouping sets / rollup / cube ---------------------------------
+    "q13_rollup" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+    }),
+    "q14_cube" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q15_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(1) AS n
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+    // ---- window functions ----------------------------------------------
+    "q16_window_rank" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    }),
+    "q17_window_lag" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+        .select($"o_custkey", $"o_orderkey",
+          datediff(to_date($"o_orderdate"), to_date($"prev_date")).cast("long").as("days_since_prev"))
+    }),
+    "q18_window_frame" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast(DecimalType(30, 6))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"running_spend")
+    }),
+    // ---- sort / limit / top-k ------------------------------------------
+    "q19_sort_limit" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders").orderBy($"o_totalprice".desc, $"o_orderkey").limit(20)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+    // ---- set operations -------------------------------------------------
+    "q20_union" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .union(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+        .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+    }),
+    "q21_intersect" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("long").as("nationkey"))
+        .intersect(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+    }),
+    "q22_except" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "nation").select($"n_nationkey".cast("long").as("nationkey"))
+        .except(t(s, d, "supplier").select($"s_nationkey".cast("long").as("nationkey")))
+    }),
+    // ---- scalar functions ----------------------------------------------
+    "q23_string_fns" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_brand").as("brand_u"),
+          lower($"p_type").as("type_l"),
+          length($"p_name").cast("long").as("name_len"),
+          substring($"p_name", 1, 8).as("name_pre"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          $"p_name".contains("green").cast("long").as("has_green"),
+          trim($"p_name").as("name_trim"))
+    }),
+    "q24_date_fns" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("yr"),
+          month($"o_orderdate").cast("long").as("mo"),
+          dayofmonth($"o_orderdate").cast("long").as("dom"),
+          quarter($"o_orderdate").cast("long").as("qtr"),
+          unix_millis(date_trunc("month", $"o_orderdate")).as("month_start_ms"))
+    }),
+    "q25_math_fns" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select(
+          $"p_partkey",
+          abs($"p_retailprice" - 1000.0).as("abs_diff"),
+          ceil($"p_retailprice").cast("long").as("price_ceil"),
+          floor($"p_retailprice" / 10.0).cast("long").as("price_floor10"),
+          sqrt($"p_retailprice").as("price_sqrt"),
+          ($"p_size" % 7).cast("long").as("size_mod7"))
+    }),
+    "q26_json_fns" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("k_val"),
+          $"event_type")
+        .filter($"k_val" > 50)
+    }),
+    "q27_case_when" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .withColumn("price_band",
+          when($"o_totalprice" < 50000.0, "low")
+            .when($"o_totalprice" < 150000.0, "mid")
+            .otherwise("high"))
+        .groupBy($"price_band", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+    }),
+    // ---- subqueries -----------------------------------------------------
+    "q28_in_subquery" -> ((s, d) => {
+      import s.implicits._
+      val rich = t(s, d, "customer").filter($"c_acctbal" > 5000.0).select($"c_custkey")
+      t(s, d, "orders")
+        .join(rich, $"o_custkey" === $"c_custkey", "left_semi")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    }),
+    "q29_scalar_subquery" -> ((s, d) => {
+      import s.implicits._
+      val ord = t(s, d, "orders")
+      val threshold = ord.agg((max($"o_totalprice") * 0.5).as("thr"))
+      ord.crossJoin(broadcast(threshold))
+        .filter($"o_totalprice" > $"thr")
+        .agg(count(lit(1)).as("n_above"))
+    }),
+    "q30_having" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("qty"))
+        .filter($"n_items" > 50)
+    }),
+    "q31_exists_correlated" -> ((s, d) => {
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter($"l_quantity" > 45.0)
+      t(s, d, "orders")
+        .join(li, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .select($"o_orderkey", $"o_totalprice")
+    }),
+    // ---- as-of join (composed from built-ins: join + window top-1):
+    // for each event, the latest order of the same user at-or-before ts ----
+    "q32_asof_join" -> ((s, d) => {
+      import s.implicits._
+      val ord = t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val ev = events(s, d).select($"user_id", $"ts", $"event_id")
+      val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      ev.join(ord, $"o_custkey" === $"user_id" && $"o_orderdate" <= $"ts")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast is
+        // the identity wall-clock → epoch mapping DuckDB's epoch_ms uses.
+        .select($"event_id", $"o_orderkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"))
+    }),
+    // ---- pivot ----------------------------------------------------------
+    "q33_pivot" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .select($"l_linestatus",
+          coalesce($"A", lit(0L)).as("n_a"),
+          coalesce($"N", lit(0L)).as("n_n"),
+          coalesce($"R", lit(0L)).as("n_r"))
+    }),
+    // ---- time bucketing (batch analog of streaming tumbling window) ----
+    "q34_time_bucket" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(unix_millis(date_trunc("hour", $"ts")).as("hour_ms"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+    }),
+    "q35_dedup_keep_first" -> ((s, d) => {
+      import s.implicits._
+      events(s, d).groupBy($"user_id", $"event_type")
+        .agg(min($"event_id").as("first_event"), count(lit(1)).as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  count(1) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05""".stripMargin,
+    "q03_join_agg_topk" ->
+      s"""SELECT l_orderkey,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q04_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q07_full_join" ->
+      """SELECT n_name, count(s_suppkey) AS n_suppliers
+        |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin,
+    "q08_theta_join" ->
+      """SELECT r_name, count(1) AS n
+        |FROM region JOIN nation ON n_regionkey <> r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "q09_join_5way" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(1) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name <> 'EUROPE'
+         |GROUP BY 1""".stripMargin,
+    "q10_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q11_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(1) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q13_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(1) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q16_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q17_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |                                   ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders""".stripMargin,
+    "q18_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q19_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q20_union" ->
+      """SELECT nationkey, count(1) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        |GROUP BY 1""".stripMargin,
+    "q21_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin,
+    "q22_except" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""".stripMargin,
+    "q23_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_name, 1, 8) AS name_pre,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  CAST(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS BIGINT) AS has_green,
+        |  trim(p_name) AS name_trim
+        |FROM part""".stripMargin,
+    "q24_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms
+        |FROM orders""".stripMargin,
+    "q25_math_fns" ->
+      """SELECT p_partkey,
+        |  abs(p_retailprice - 1000.0) AS abs_diff,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice / 10.0) AS BIGINT) AS price_floor10,
+        |  sqrt(p_retailprice) AS price_sqrt,
+        |  CAST(p_size % 7 AS BIGINT) AS size_mod7
+        |FROM part""".stripMargin,
+    "q26_json_fns" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  event_type
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin,
+    "q27_case_when" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+         |            WHEN o_totalprice < 150000.0 THEN 'mid'
+         |            ELSE 'high' END AS price_band,
+         |  o_orderstatus, count(1) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q28_in_subquery" ->
+      """SELECT o_orderstatus, count(1) AS n FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |GROUP BY 1""".stripMargin,
+    "q29_scalar_subquery" ->
+      """SELECT count(1) AS n_above FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)""".stripMargin,
+    "q30_having" ->
+      s"""SELECT l_suppkey, count(1) AS n_items, ${dsumSql("l_quantity")} AS qty
+         |FROM lineitem GROUP BY 1 HAVING count(1) > 50""".stripMargin,
+    "q31_exists_correlated" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)""".stripMargin,
+    "q32_asof_join" ->
+      """SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS order_ms FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+    "q33_pivot" ->
+      """SELECT l_linestatus,
+        |  count(1) FILTER (WHERE l_returnflag = 'A') AS n_a,
+        |  count(1) FILTER (WHERE l_returnflag = 'N') AS n_n,
+        |  count(1) FILTER (WHERE l_returnflag = 'R') AS n_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q34_time_bucket" ->
+      s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+         |  count(1) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q35_dedup_keep_first" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event, count(1) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.log.{FileTopicLog, InMemoryLog, SegmentCodec, TopicLog}
+import graft.model.{Payload, TopicBucket}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Invariants of the append-only bucket log, derived from the reference's
+  * queue semantics (`internal/broker/queue/queue.go:49-61`,
+  * `pkg/utils/collection/concurrent_list.go:63-73`): range reads are
+  * clamped slices, append order is preserved per bucket, offsets are dense,
+  * and replay from offset k yields exactly the suffix. FIXTURES.md §A lists
+  * these as the property-test contract.
+  */
+class LogSpec extends AnyFunSuite {
+
+  private val tb = TopicBucket("t", "b0")
+  private def payloads(n: Int, tag: Byte = 0): Seq[Payload] =
+    (0 until n).map(i => Payload(i, Array(tag, i.toByte)))
+
+  private def fileLog(): FileTopicLog =
+    new FileTopicLog(Files.createTempDirectory("graftlog"))
+
+  private def logs(): Seq[(String, TopicLog)] =
+    Seq("mem" -> new InMemoryLog, "file" -> fileLog())
+
+  test("append then range == clamped slice (queue.go:58-61 semantics)") {
+    for ((name, log) <- logs()) {
+      val xs = payloads(10)
+      log.append(tb, xs)
+      assert(log.range(tb, 0, 5).map(_.id) == (0 until 5), name)
+      assert(log.range(tb, 7, 100).map(_.id) == (7 until 10), name)
+      assert(log.range(tb, 10, 20).isEmpty, name)
+      assert(log.range(tb, 5, 3).isEmpty, name)
+      assert(log.size(tb) == 10, name)
+    }
+  }
+
+  test("multi-append preserves order and dense offsets") {
+    for ((name, log) <- logs()) {
+      log.append(tb, payloads(3, 1))
+      log.append(tb, payloads(4, 2))
+      val all = log.range(tb, 0, Long.MaxValue)
+      assert(all.map(_.offset) == (0L until 7L), name)
+      assert(all.map(r => r.data(0)) == Seq[Byte](1, 1, 1, 2, 2, 2, 2), name)
+    }
+  }
+
+  test("fan-out: two readers each observe the full log independently") {
+    for ((name, log) <- logs()) {
+      log.append(tb, payloads(6))
+      // Consumers are just offsets; both replay everything (SURVEY §2
+      // delivery-semantics note, core.go:46-64).
+      val c1 = log.range(tb, 0, log.size(tb))
+      val c2 = log.range(tb, 0, log.size(tb))
+      assert(c1.map(_.id) == c2.map(_.id), name)
+      assert(c1.size == 6, name)
+    }
+  }
+
+  test("idempotent positional append (exactly-once epoch retry)") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    val rows = payloads(5).map(p => (p, now))
+    log.appendAt(tb, 0L, rows)
+    log.appendAt(tb, 0L, rows) // retried epoch: no-op
+    assert(log.size(tb) == 5)
+    assert(log.range(tb, 0, 99).size == 5)
+  }
+
+  test("segment name round-trip") {
+    val n = SegmentCodec.segmentName(42L, 7L)
+    assert(SegmentCodec.parse(n).contains((42L, 7L)))
+    assert(SegmentCodec.parse("garbage.log").isEmpty)
+    assert(SegmentCodec.parse("seg-1-2-3.log").isEmpty)
+  }
+
+  test("property: range(i,j) == slice for arbitrary appends (seeded, 200 cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val log = new InMemoryLog
+      var expected = Vector.empty[Int]
+      (1 to rnd.nextInt(4)).foreach { _ =>
+        val n = rnd.nextInt(21)
+        val xs = (0 until n).map(k => Payload(expected.size + k, Array[Byte]()))
+        log.append(TopicBucket("p", "b"), xs)
+        expected = expected ++ xs.map(_.id)
+      }
+      val i = rnd.nextInt(71)
+      val j = rnd.nextInt(71)
+      val got = log.range(TopicBucket("p", "b"), i.toLong, j.toLong).map(_.id)
+      val want = expected.slice(i, math.min(j, expected.size))
+      assert(got == want, s"i=$i j=$j size=${expected.size}")
+    }
+  }
+
+  test("createTopic registers buckets; topics/buckets enumerable") {
+    val log = fileLog()
+    val tbs = log.createTopic("orders", 4)
+    assert(tbs.size == 4)
+    assert(log.buckets("orders").map(_.bucket) == Seq("b0000", "b0001", "b0002", "b0003"))
+    assert(log.topics() == Seq("orders"))
+  }
+}
