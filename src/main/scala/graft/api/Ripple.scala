@@ -1,0 +1,89 @@
+package graft.api
+
+import graft.log.FileTopicLog
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.StructType
+
+import java.nio.file.Paths
+
+/** User-facing facade over the `ripple` connector — what the reference
+  * exposes as its client SDK (`pkg/sdk` producer/consumer + gRPC bootstrap,
+  * `server/exposed/`) becomes a handful of DataFrame one-liners.
+  *
+  * A user of the reference maps over like so:
+  *   - CreateBucket gRPC (`server/exposed/create.go:15-27`)  → [[createTopic]]
+  *   - produce over async TCP (`producer/server/core.go:21-34`) → [[write]]
+  *   - AskQuery consume loop (`consumer/server/core.go:46-64`)  → [[read]] /
+  *     [[readStream]] (+ checkpoint = consumer identity, SURVEY A7)
+  *   - GOB payload decode (`pkg/p2p/encoder/default_encoder.go:13-22`) →
+  *     [[lift]] with an explicit schema (`from_json`)
+  */
+object Ripple {
+
+  /** Control-plane: create a topic with `n` buckets (driver-only metadata
+    * op; zero distributed steps).
+    */
+  def createTopic(root: String, topic: String, numBuckets: Int = 4): Unit =
+    new FileTopicLog(Paths.get(root)).createTopic(topic, numBuckets)
+
+  /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
+    * STRING` and `ts TIMESTAMP` columns.
+    */
+  def write(df: DataFrame, root: String, topic: String, numBuckets: Int = 4): Unit =
+    df.write.format("ripple")
+      .option("path", root).option("topic", topic).option("buckets", numBuckets)
+      .mode("append").save()
+
+  /** Batch scan of the topic envelope (topic, bucket, offset, id, data, ts). */
+  def read(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic).load()
+
+  /** Batch scan of an offset range `[from, until)` applied per bucket —
+    * the reference's replay-from-offset (`core.go:46-64`).
+    */
+  def readRange(spark: SparkSession, root: String, topic: String,
+      from: Long, until: Long): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("startingOffset", from).option("endingOffset", until).load()
+
+  /** Streaming scan; pair with `option("checkpointLocation", …)` on the
+    * writer — the checkpoint directory is the consumer identity (SURVEY A7).
+    */
+  def readStream(spark: SparkSession, root: String, topic: String,
+      maxOffsetsPerTrigger: Long = Long.MaxValue): DataFrame = {
+    val r: DataStreamReader = spark.readStream.format("ripple")
+      .option("path", root).option("topic", topic)
+    (if (maxOffsetsPerTrigger != Long.MaxValue)
+       r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+     else r).load()
+  }
+
+  /** Interpret opaque payloads as JSON columns — the engine's value-add
+    * over the reference's byte blobs (SURVEY §1.3): topics become fully
+    * queryable tables.
+    */
+  def lift(envelope: DataFrame, schema: StructType): DataFrame =
+    envelope.withColumn("v", from_json(col("data").cast("string"), schema))
+      .select(col("topic"), col("bucket"), col("offset"), col("id"), col("ts"), col("v.*"))
+
+  /** Serialize rows into payloads for [[write]]: `data` = JSON of all
+    * columns, `id` = a stable int derived from `idCol`.
+    */
+  def pack(df: DataFrame, idCol: Column): DataFrame =
+    df.select(
+      pmod(hash(idCol), lit(Int.MaxValue)).cast("int").as("id"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"))
+
+  /** Compact a topic into a columnar parquet mirror for analytics-heavy
+    * access — row-framed segments are the transport/ingest format (like a
+    * Kafka log), parquet the scan format; at 100 TB the analytical path
+    * must be vectorized + pushdown-friendly.
+    */
+  def compactToParquet(spark: SparkSession, root: String, topic: String,
+      outDir: String): Unit =
+    read(spark, root, topic)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+}

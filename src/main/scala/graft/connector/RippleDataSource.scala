@@ -1,0 +1,115 @@
+package graft.connector
+
+import graft.log.FileTopicLog
+import graft.model.Schemas
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.Paths
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 provider for the `ripple` topic-log format.
+  *
+  * This is the Spark-native rendering of the reference's whole data plane:
+  * the bootstrap metadata lookup (`server/exposed/produce.go:14-27`,
+  * `consume.go:14-27`) becomes table resolution from options; produce
+  * (`internal/broker/producer/server/core.go:21-34`) becomes the write
+  * side; AskQuery batch reads (`internal/broker/consumer/server/core.go:
+  * 46-64`) become the scan/micro-batch side.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("ripple").option("path", root).option("topic", "t").load()
+  *   df.write.format("ripple").option("path", root).option("topic", "t")
+  *     .mode("append").save()
+  *   spark.readStream.format("ripple")... / df.writeStream.format("ripple")...
+  * }}}
+  *
+  * Options:
+  *   - `path` (required): log root directory
+  *   - `topic` (required): topic name
+  *   - `bucket`: restrict to a single bucket
+  *   - `buckets`: bucket count used when the write auto-creates the topic
+  *     (default 4)
+  *   - `startingOffset`/`endingOffset` (batch read): per-bucket offset
+  *     range, applied to every bucket
+  *   - `maxOffsetsPerTrigger` (streaming read): global per-micro-batch row
+  *     cap, the analog of the reference's `AskQuery.Count` (`core.go:16-19`)
+  */
+class RippleDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ripple"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.envelope
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new RippleTable(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object RippleConf {
+  def apply(options: CaseInsensitiveStringMap): RippleConf = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("ripple: option 'path' is required"))
+    val topic = Option(options.get("topic")).getOrElse(
+      throw new IllegalArgumentException("ripple: option 'topic' is required"))
+    RippleConf(
+      root = path,
+      topic = topic,
+      bucket = Option(options.get("bucket")),
+      numBuckets = options.getInt("buckets", 4),
+      startingOffset = options.getLong("startingOffset", 0L),
+      endingOffset = options.getLong("endingOffset", Long.MaxValue),
+      maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue))
+  }
+}
+
+/** Immutable, serializable connector configuration (ships to executors). */
+case class RippleConf(
+    root: String,
+    topic: String,
+    bucket: Option[String],
+    numBuckets: Int,
+    startingOffset: Long,
+    endingOffset: Long,
+    maxOffsetsPerTrigger: Long) {
+  def log: FileTopicLog = new FileTopicLog(Paths.get(root))
+  def buckets: Seq[graft.model.TopicBucket] = {
+    val all = log.buckets(topic)
+    bucket match {
+      case Some(b) => all.filter(_.bucket == b)
+      case None    => all
+    }
+  }
+}
+
+class RippleTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
+  private val conf = RippleConf(options)
+
+  override def name(): String = s"ripple:${conf.topic}"
+  override def schema(): StructType = Schemas.envelope
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(
+      TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new RippleScanBuilder(RippleConf(opts))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RippleWriteBuilder(RippleConf(info.options()), info.schema())
+}

@@ -1,0 +1,234 @@
+package graft.connector
+
+import graft.log.SegmentCodec
+import graft.model.TopicBucket
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.file.Paths
+
+/** Scan builder with column pruning and offset/bucket predicate pushdown.
+  *
+  * Pushdown is the scan-level optimization the reference lacks entirely
+  * (SURVEY §4 — "no rewrites of any kind"): an `offset >= k` predicate
+  * prunes whole segment files by their name-encoded [start, start+count)
+  * range, the moral equivalent of Kafka's index-based seek, and `bucket =`
+  * prunes bucket directories.
+  */
+class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var prunedSchema: StructType = graft.model.Schemas.envelope
+  private var pushed: Array[Filter] = Array.empty
+
+  // Narrowed scan bounds derived from pushed offset predicates.
+  private var lo: Long = conf.startingOffset
+  private var hi: Long = conf.endingOffset
+  private var bucketEq: Option[String] = conf.bucket
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan("offset", _: Long) => true
+      case GreaterThanOrEqual("offset", _: Long) => true
+      case LessThan("offset", _: Long) => true
+      case LessThanOrEqual("offset", _: Long) => true
+      case EqualTo("offset", _: Long) => true
+      case EqualTo("bucket", _: String) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("offset", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("offset", v: Long) => lo = math.max(lo, v)
+      case LessThan("offset", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("offset", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("offset", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case EqualTo("bucket", v: String) => bucketEq = Some(v)
+      case _ =>
+    }
+    pushed = accepted
+    // Offsets/bucket prune exactly — nothing needs re-evaluation, so only
+    // rejected filters go back to Spark.
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  override def build(): Scan =
+    new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi)
+}
+
+class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})"
+  override def toBatch: Batch = new RippleBatch(conf, schema, lo, hi)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RippleMicroBatchStream(conf, schema)
+}
+
+/** One input partition per live segment slice — at scale, reads of a
+  * bucket parallelize across its segment files while preserving per-bucket
+  * offset order within each partition (ordering across partitions is the
+  * reader's concern, as in any partitioned log).
+  */
+case class RippleInputPartition(
+    root: String, topic: String, bucket: String,
+    segPath: String, segStart: Long, from: Long, until: Long)
+  extends InputPartition
+
+class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
+    extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val log = conf.log
+    conf.buckets.flatMap { tb =>
+      val end = math.min(hi, log.size(tb))
+      log.segments(tb).collect {
+        case (path, start, count) if start < end && start + count > lo =>
+          RippleInputPartition(conf.root, conf.topic, tb.bucket,
+            path.toString, start, math.max(lo, start), math.min(end, start + count))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RippleReaderFactory(schema)
+}
+
+class RippleReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema)
+}
+
+/** Streams frames from one segment slice; the executor-side analog of the
+  * reference's `Queue.SubArray` range read
+  * (`internal/broker/queue/queue.go:58-61`).
+  */
+class RipplePartitionReader(p: RippleInputPartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val it = SegmentCodec.read(Paths.get(p.segPath))
+  private var off = p.segStart
+  private var cur: InternalRow = _
+
+  private val topicU = UTF8String.fromString(p.topic)
+  private val bucketU = UTF8String.fromString(p.bucket)
+  // Precomputed per-field extractors for the pruned schema.
+  private val getters: Array[(Int, Long, Array[Byte]) => Any] =
+    schema.fieldNames.map {
+      case "topic"  => (_: Int, _: Long, _: Array[Byte]) => topicU
+      case "bucket" => (_: Int, _: Long, _: Array[Byte]) => bucketU
+      case "offset" => (_: Int, _: Long, _: Array[Byte]) => java.lang.Long.valueOf(off)
+      case "id"     => (id: Int, _: Long, _: Array[Byte]) => java.lang.Integer.valueOf(id)
+      case "data"   => (_: Int, _: Long, d: Array[Byte]) => d
+      case "ts"     => (_: Int, ts: Long, _: Array[Byte]) => java.lang.Long.valueOf(ts * 1000L) // millis → micros
+      case other    => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  override def next(): Boolean = {
+    while (it.hasNext && off < p.until) {
+      val (id, ts, data) = it.next()
+      if (off >= p.from) {
+        val values = new Array[Any](getters.length)
+        var i = 0
+        while (i < getters.length) { values(i) = getters(i)(id, ts, data); i += 1 }
+        cur = new GenericInternalRow(values)
+        off += 1
+        return true
+      }
+      off += 1
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = while (it.hasNext) it.next() // drains + closes stream
+}
+
+/** Micro-batch source: the Spark-native consume loop. `latestOffset` is the
+  * log end (the reference's `queue.Size()` poll, `core.go:52-56`),
+  * `planInputPartitions(start, end)` the SubArray slice, and the rate cap
+  * `maxOffsetsPerTrigger` the `AskQuery.Count` batch size (`core.go:16-19`).
+  * Offset commit is the checkpoint's job — transactional with the batch,
+  * unlike the reference's async ZK write with its over-advance bug
+  * (`core.go:61-62`).
+  */
+class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def sizes(): Map[String, Long] = {
+    val log = conf.log
+    conf.buckets.map(tb => tb.bucket -> log.size(tb)).toMap
+  }
+
+  override def initialOffset(): Offset =
+    RippleOffset(sizes().map { case (b, _) => b -> conf.startingOffset })
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (conf.maxOffsetsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(conf.maxOffsetsPerTrigger)
+
+  /** Rate-limited end offset: spread the row cap over buckets in bucket
+    * order — `AskQuery.Count` semantics (`core.go:16-19,52`) generalized
+    * to multiple buckets.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val now = sizes()
+    val s = start.asInstanceOf[RippleOffset].ends
+    limit match {
+      case mr: ReadMaxRows =>
+        var remaining = mr.maxRows()
+        val capped = now.toSeq.sortBy(_._1).map { case (b, end) =>
+          val from = s.getOrElse(b, conf.startingOffset)
+          val take = math.max(0L, math.min(end - from, remaining))
+          remaining -= take
+          b -> (from + take)
+        }
+        RippleOffset(capped.toMap)
+      case _ => RippleOffset(now)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = RippleOffset(sizes())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def deserializeOffset(json: String): Offset = RippleOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RippleOffset].ends
+    val e = end.asInstanceOf[RippleOffset].ends
+    val log = conf.log
+    e.toSeq.sortBy(_._1).flatMap { case (bucket, until) =>
+      val from = s.getOrElse(bucket, conf.startingOffset)
+      if (until <= from) Seq.empty
+      else {
+        val tb = TopicBucket(conf.topic, bucket)
+        log.segments(tb).collect {
+          case (path, segStart, count) if segStart < until && segStart + count > from =>
+            RippleInputPartition(conf.root, conf.topic, bucket,
+              path.toString, segStart, math.max(from, segStart),
+              math.min(until, segStart + count))
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RippleReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = () // checkpoint is the commit log
+  override def stop(): Unit = ()
+}

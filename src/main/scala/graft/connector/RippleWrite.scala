@@ -1,0 +1,216 @@
+package graft.connector
+
+import graft.log.{FileTopicLog, SegmentCodec}
+import graft.model.TopicBucket
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructType, TimestampType}
+
+import java.io.DataOutputStream
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+
+/** Write side of the `ripple` connector — the Spark rendering of the
+  * reference's produce path (`internal/broker/producer/server/core.go:21-34`):
+  * executors append frames to staged per-bucket files (the data plane),
+  * and the driver's commit publishes them with assigned offsets (the
+  * control plane). Commit-message aggregation on the driver replaces the
+  * reference's follower-ack counting (`internal/broker/ack/ack.go:68-117`)
+  * — same pattern, but transactional. Durability/replication belongs to
+  * the filesystem, not a gossip push (SURVEY A4).
+  *
+  * Input schema: `id INT` (required), `data BINARY` (required), optional
+  * `bucket STRING` (route explicitly), optional `ts TIMESTAMP`. Without a
+  * bucket column, rows route by `id % numBuckets` — deterministic
+  * placement, unlike the reference's random-with-replacement broker choice
+  * (`internal/broker/broker.go:93-99`).
+  *
+  * Exactly-once for streaming: each epoch's segments are staged under a
+  * name containing the epoch id, and the publish step skips buckets whose
+  * epoch-commit marker already exists, so a replayed epoch is a no-op.
+  */
+class RippleWriteBuilder(conf: RippleConf, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new RippleWrite(conf, schema)
+}
+
+class RippleWrite(conf: RippleConf, schema: StructType) extends Write {
+  override def toBatch: BatchWrite = new RippleBatchWrite(conf, schema)
+  override def toStreaming: StreamingWrite = new RippleStreamingWrite(conf, schema)
+}
+
+/** Which input columns feed the frame fields; resolved once on the driver. */
+case class WriteShape(idIdx: Int, dataIdx: Int, bucketIdx: Int, tsIdx: Int)
+
+object WriteShape {
+  def resolve(schema: StructType): WriteShape = {
+    def idx(name: String, tpe: org.apache.spark.sql.types.DataType): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (i >= 0 && schema(i).dataType != tpe)
+        throw new IllegalArgumentException(
+          s"ripple write: column '$name' must be $tpe, got ${schema(i).dataType}")
+      i
+    }
+    val id = idx("id", IntegerType)
+    val data = idx("data", BinaryType)
+    if (id < 0 || data < 0)
+      throw new IllegalArgumentException(
+        s"ripple write needs 'id INT' and 'data BINARY' columns; got ${schema.simpleString}")
+    WriteShape(id, data, idx("bucket", StringType), idx("ts", TimestampType))
+  }
+}
+
+case class StagedFile(bucket: String, path: String, count: Long)
+case class RippleCommitMessage(staged: Seq[StagedFile]) extends WriterCommitMessage
+
+/** The topic's bucket count is registry metadata (the reference keeps it in
+  * the ZK topic tree, `internal/topic/topic.go:12-25`) — a write against an
+  * existing topic MUST route by the registered bucket count, not by the
+  * writer's `buckets` option, or two writers with different options would
+  * scatter the same key across different bucket layouts. The option only
+  * seeds auto-creation of a missing topic.
+  */
+object EffectiveBuckets {
+  def resolve(conf: RippleConf): RippleConf = {
+    val registered = conf.log.buckets(conf.topic).size
+    if (registered > 0) conf.copy(numBuckets = registered)
+    else {
+      conf.log.createTopic(conf.topic, conf.numBuckets)
+      conf
+    }
+  }
+}
+
+class RippleBatchWrite(conf0: RippleConf, schema: StructType) extends BatchWrite {
+  private val conf = EffectiveBuckets.resolve(conf0)
+  private val shape = WriteShape.resolve(schema)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RippleWriterFactory(conf, shape)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    RipplePublish.publish(conf, messages, epochId = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RipplePublish.abort(messages)
+}
+
+class RippleStreamingWrite(conf0: RippleConf, schema: StructType) extends StreamingWrite {
+  private val conf = EffectiveBuckets.resolve(conf0)
+  private val shape = WriteShape.resolve(schema)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new RippleWriterFactory(conf, shape)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    RipplePublish.publish(conf, messages, epochId = Some(epochId))
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    RipplePublish.abort(messages)
+}
+
+class RippleWriterFactory(conf: RippleConf, shape: WriteShape)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RippleDataWriter(conf, shape, partitionId, taskId)
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new RippleDataWriter(conf, shape, partitionId, taskId)
+}
+
+/** Executor-side writer: one staged frame file per routed bucket. */
+class RippleDataWriter(conf: RippleConf, shape: WriteShape,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+
+  private val stagingDir = Paths.get(conf.root, conf.topic, ".staging")
+  Files.createDirectories(stagingDir)
+
+  private case class Open(path: Path, out: DataOutputStream, var count: Long)
+  private val open = mutable.Map.empty[String, Open]
+
+  private def routeBucket(row: InternalRow): String =
+    if (shape.bucketIdx >= 0 && !row.isNullAt(shape.bucketIdx))
+      row.getUTF8String(shape.bucketIdx).toString
+    else {
+      val id = row.getInt(shape.idIdx)
+      f"b${math.floorMod(id, conf.numBuckets)}%04d"
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val bucket = routeBucket(row)
+    val o = open.getOrElseUpdate(bucket, {
+      val p = stagingDir.resolve(s"stage-$taskId-$partitionId-$bucket-${java.util.UUID.randomUUID()}")
+      Open(p, new DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(p), 1 << 16)), 0L)
+    })
+    val id = row.getInt(shape.idIdx)
+    val data = if (row.isNullAt(shape.dataIdx)) Array.emptyByteArray
+               else row.getBinary(shape.dataIdx)
+    val tsMillis =
+      if (shape.tsIdx >= 0 && !row.isNullAt(shape.tsIdx)) row.getLong(shape.tsIdx) / 1000L
+      else System.currentTimeMillis()
+    o.out.writeInt(4 + 8 + data.length)
+    o.out.writeInt(id)
+    o.out.writeLong(tsMillis)
+    o.out.write(data)
+    o.count += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val staged = open.toSeq.sortBy(_._1).map { case (bucket, o) =>
+      o.out.close()
+      StagedFile(bucket, o.path.toString, o.count)
+    }
+    RippleCommitMessage(staged)
+  }
+
+  override def abort(): Unit = open.values.foreach { o =>
+    try o.out.close() catch { case _: Throwable => () }
+    Files.deleteIfExists(o.path)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Driver-side publish: assign offsets per bucket and atomically rename
+  * staged files into offset-named segments. Pure metadata — no data moves.
+  */
+object RipplePublish {
+
+  def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
+      epochId: Option[Long]): Unit = synchronized {
+    val log = new FileTopicLog(Paths.get(conf.root))
+    // Epoch idempotency marker (streaming replay of a committed epoch).
+    val marker = epochId.map(e =>
+      Paths.get(conf.root, conf.topic, ".commits", s"epoch-$e"))
+    if (marker.exists(Files.exists(_))) { abort(messages); return }
+
+    val staged = messages.collect { case RippleCommitMessage(s) => s }.flatten
+      .filter(_.count > 0)
+      // deterministic publish order: by bucket, then staged path
+      .sortBy(s => (s.bucket, s.path))
+
+    staged.groupBy(_.bucket).toSeq.sortBy(_._1).foreach { case (bucket, files) =>
+      require(!bucket.startsWith(".") && bucket.matches("[A-Za-z0-9._-]+"),
+        s"invalid bucket name '$bucket'")
+      val tb = TopicBucket(conf.topic, bucket)
+      Files.createDirectories(log.bucketDir(tb))
+      var next = log.size(tb)
+      files.foreach { f =>
+        val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(next, f.count))
+        Files.move(Paths.get(f.path), target, StandardCopyOption.ATOMIC_MOVE)
+        next += f.count
+      }
+    }
+    marker.foreach { m =>
+      Files.createDirectories(m.getParent)
+      Files.write(m, Array.emptyByteArray)
+    }
+  }
+
+  def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case RippleCommitMessage(s) => s }.flatten
+      .foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+}

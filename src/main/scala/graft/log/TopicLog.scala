@@ -221,7 +221,9 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     else {
       val files = dir.toFile.listFiles()
       if (files == null) Seq.empty
-      else files.iterator.filter(_.isDirectory).map(f => TopicBucket(topic, f.getName))
+      // dot-dirs (.staging, .commits) are connector workspace, not buckets
+      else files.iterator.filter(f => f.isDirectory && !f.getName.startsWith("."))
+        .map(f => TopicBucket(topic, f.getName))
         .toSeq.sortBy(_.bucket)
     }
   }
@@ -229,7 +231,8 @@ final class FileTopicLog(val root: Path) extends TopicLog {
   def topics(): Seq[String] = {
     val files = root.toFile.listFiles()
     if (files == null) Seq.empty
-    else files.iterator.filter(_.isDirectory).map(_.getName).toSeq.sorted
+    else files.iterator.filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).toSeq.sorted
   }
 
   /** Create a topic with `numBuckets` buckets — the control-plane op the

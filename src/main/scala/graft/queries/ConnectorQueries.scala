@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.api.Ripple
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Correctness-gate queries that exercise the `ripple` connector itself:
+  * rows are produced into a topic (SURVEY A3), consumed back (A8), lifted
+  * from opaque payloads to columns (§1.3), and the result must match a
+  * DuckDB oracle over the ORIGINAL table — proving the log round-trip is
+  * lossless and replay-from-offset is exact (A9, minus the reference's
+  * over-advance bug).
+  */
+object ConnectorQueries {
+
+  private def scratch(): String = {
+    val p = java.nio.file.Paths.get("target", "ripple-scratch",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** events → pack to JSON payloads → topic (8 buckets) → read → lift →
+    * aggregate. Oracle aggregates the original parquet directly.
+    */
+  def roundtripAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "events", numBuckets = 8)
+    Ripple.write(Ripple.pack(ev, col("event_id")), root, "events", numBuckets = 8)
+    val lifted = Ripple.lift(Ripple.read(s, root, "events"), eventSchema)
+    lifted.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Replay-from-offset: events written in event_id order into one bucket
+    * (offset == event_id since ids are dense from 0), then read only
+    * offsets >= 100 — must equal `WHERE event_id >= 100` on the source.
+    * Exercises offset pushdown → segment pruning on the scan.
+    */
+  def replaySuffix(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(1).sortWithinPartitions("event_id")
+    Ripple.createTopic(root, "events1", numBuckets = 1)
+    Ripple.write(Ripple.pack(ev, col("event_id")), root, "events1", numBuckets = 1)
+    Ripple.lift(Ripple.readRange(s, root, "events1", from = 100L, until = Long.MaxValue),
+        eventSchema)
+      .select(col("event_id"), col("event_type"), col("offset"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_topic_roundtrip_agg" -> (roundtripAgg _),
+    "q41_topic_replay_suffix" -> (replaySuffix _))
+
+  val oracle: Map[String, String] = Map(
+    "q40_topic_roundtrip_agg" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q41_topic_replay_suffix" ->
+      """SELECT event_id, event_type, event_id AS offset
+        |FROM events WHERE event_id >= 100""".stripMargin)
+}
