@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.ConnectorQueries.queries
+      graft.queries.ConnectorQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.ConnectorQueries.oracle
+      graft.queries.ConnectorQueries.oracle ++
+      graft.queries.OpsQueries.oracle
 }

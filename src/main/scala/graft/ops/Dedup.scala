@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around Spark's shuffle model (SURVEY §7 step 6):
+  *
+  *   - exact: one hash-shuffle on the fingerprint — the minimal plan;
+  *   - MinHash+LSH: signatures are per-row codegen'd expressions (no
+  *     explode, no shuffle); only the narrow (band, bandHash, docId)
+  *     projection shuffles, and candidate verification touches shingle
+  *     sets for candidate pairs only. At 100 TB the band shuffle is ~
+  *     numBands × docs tiny rows — the standard scalable shape;
+  *   - SimHash: 64-bit signature per row, banded into 4×16-bit chunks for
+  *     hamming-neighbor candidate generation;
+  *   - n-gram Jaccard: the verification predicate, reusable standalone;
+  *   - embedding cosine: random-hyperplane LSH over `array<float>`.
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------
+
+  /** Exact duplicate groups by normalized-content fingerprint: one row per
+    * distinct content, with the kept (minimum) id and the duplicate count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deduplicated view: keep the smallest id per fingerprint. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  /** Universal-hash parameters (a*h + b mod p), deterministic from a seed.
+    * p = 2^31-1 (Mersenne prime) keeps a*h < 2^62 — no long overflow, so
+    * the expressions stay legal under ANSI arithmetic (Spark 4 default).
+    */
+  private val P = 2147483647L // 2^31 - 1
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** MinHash signature (array<long> of length numHashes) over the word
+    * n-gram shingle set — all in one codegen'd per-row expression.
+    */
+  def minhashSignature(text: Column, shingleSize: Int = 3,
+      numHashes: Int = 64, seed: Long = 42L): Column = {
+    val sh = TextAnalysis.shingles(text, shingleSize)
+    val hashed = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    array(hashParams(numHashes, seed).map { case (a, b) =>
+      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** LSH band keys for a signature: numBands hashes of rowsPerBand-sized
+    * signature slices. Two documents share a band key iff that band's
+    * signature rows all collide — the classic S-curve knob.
+    */
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bandHash"))
+    }: _*)
+
+  /** Candidate pairs from MinHash LSH, verified with exact shingle-set
+    * Jaccard >= threshold. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleSize).as("sh"),
+      minhashSignature(col(textCol), shingleSize, numHashes, seed).as("sig"))
+
+    val banded = withSig
+      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bandHash"))
+
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Direct n-gram Jaccard near-dup within cheap blocking groups (same
+    * blockCol value) — the no-sketch baseline, O(pairs-in-block).
+    */
+  def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
+      blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val t = df.select(col(idCol).as("id"), blockCol.as("blk"),
+      TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 64-bit SimHash over the word multiset: bit k of the signature is the
+    * sign of sum over words of (bit k of xxhash64(word) ? +1 : -1).
+    * Near-duplicates differ in few bits (small hamming distance).
+    */
+  def simhash(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    val bitSums = transform(sequence(lit(0), lit(63)), k =>
+      aggregate(ws, lit(0L), (acc, w) =>
+        acc + when(call_function("shiftright", xxhash64(w), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, k) => when(s > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks —
+    * any pair within hamming distance 3 shares at least one chunk
+    * (pigeonhole) — then verify the full distance.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val t = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunked = t.select(col("id"), col("sig"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+        }: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk"), col("ck.key"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding cosine near-dup -------------------------------------
+
+  /** Random-hyperplane LSH near-dup over embeddings: numBands bands of
+    * planesPerBand sign bits each; a pair is a candidate if ANY band's bit
+    * pattern collides (OR over bands lifts recall: for cosine ~0.999 pairs,
+    * P(band collides) ≈ 0.92 per 6-bit band → ≈ 0.994 over 2 bands), then
+    * exact cosine verifies. The band join shuffles only (id, band, key).
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numBands: Int = 2, planesPerBand: Int = 6,
+      threshold: Double = 0.95, seed: Long = 7L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val numPlanes = numBands * planesPerBand
+    val planes = Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val v = col(vecCol).cast("array<double>")
+    def planeBit(p: Int, shift: Int): Column = {
+      val dot = aggregate(
+        zip_with(v, array(planes(p).map(lit).toIndexedSeq: _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), shift)).otherwise(lit(0L))
+    }
+    val bandKeys = array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until planesPerBand).map(i => planeBit(b * planesPerBand + i, i))
+          .reduce((x, y) => x.bitwiseOR(y)).as("key"))
+    }: _*)
+
+    val t = df.select(col(idCol).as("id"), v.as("v"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("v"), col("bk.band"), col("bk.key"))
+    t.as("a").join(t.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`), SURVEY §7
+  * step 6. Two paths:
+  *
+  *   - [[bruteForceTopK]]: exact — broadcast the (small) query set, one
+  *     codegen'd pass over the corpus, per-query top-k. The corpus is never
+  *     shuffled full-width: only (query_id, vec_id, cosine) triples move,
+  *     and at 100 TB that single corpus scan is the floor any exact method
+  *     pays.
+  *   - [[ivfTopK]]: approximate IVF — corpus pre-assigned to nearest of C
+  *     centroids (one pass), queries probe only nProbe partitions →
+  *     touches nProbe/C of the data per query. The coarse quantizer here
+  *     is deterministic (seeded sample as centroids) — a production system
+  *     would k-means iterate, which is just this assignment step looped.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<double> columns — built-in HOFs only,
+    * fully codegen'd.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact top-k neighbors for each query vector (excluding self-matches
+    * by id). Output: (query_id, vec_id, rank) — rank 1..k by descending
+    * cosine, ties broken by ascending vec_id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+  }
+
+  /** Deterministic coarse centroids: the numCentroids smallest ids. */
+  private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(numCentroids)
+      .select(monotonically_increasing_id().as("cid"),
+        col(vecCol).cast("array<double>").as("centroid"))
+
+  /** IVF assignment: each corpus vector → nearest centroid id. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
+    c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cv"), col("cid"), cosine(col("cv"), col("centroid")).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cv"), col("cid"))
+  }
+
+  /** Approximate top-k: probe the nProbe centroids nearest to each query,
+    * search only their partitions.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = centroids(corpus, idCol, vecCol, numCentroids)
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("centroid")).as("d"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY §7 step 6). All hot-path expressions are Spark built-ins /
+  * higher-order functions — fully codegen'd, no UDFs, so they stay inside
+  * WholeStageCodegen and scale linearly over 100 TB of documents with zero
+  * shuffles (every operator here is per-row).
+  */
+object TextAnalysis {
+
+  /** Words of a document: split on whitespace runs after trimming. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword token estimate: words + punctuation marks each count,
+    * long words count ~1 token per 4 chars (the common BPE rule of thumb).
+    */
+  def tokenEstimate(text: Column): Column =
+    aggregate(
+      transform(words(text), w => greatest(lit(1), ceil(length(w) / 4.0))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+
+  private val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Share of stopwords among words — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(StopWords.map(lit): _*)
+    size(filter(words(text), w => array_contains(sw, lower(w)))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Share of punctuation characters in the raw text. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", "")))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Mean word length — degenerate values flag boilerplate/garbage. */
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: penalize extreme length, high
+    * punctuation, low stopword incidence (English-like prose heuristic).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + swScore) / 3.0, 6)
+  }
+
+  /** Canonical-form document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. Identical content modulo spacing/case maps
+    * to one fingerprint — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling (polynomial) content hash over words — order-sensitive,
+    * unlike [[fingerprint]]'s normalization. Horner scheme mod 2^31-1
+    * (values stay < 2^36, legal under ANSI arithmetic).
+    */
+  def rollingHash(text: Column): Column = {
+    val m = lit(2147483647L)
+    aggregate(words(text), lit(0L),
+      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), m), m))
+  }
+
+  /** Word n-gram shingles as space-joined strings (n >= 1). The shingle
+    * set drives MinHash/Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) < n, array_distinct(array(concat_ws(" ", ws))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+  }
+
+  /** Character n-gram profile language ID — tiny per-language marker-word
+    * profiles scored by hit count; deterministic and cheap. A real system
+    * would ship trigram frequency tables; the operator shape (per-row
+    * scoring against broadcast profiles, argmax) is what matters at scale.
+    */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langId(text: Column): Column = {
+    val ws = transform(words(text), lower _)
+    // Score per language; argmax via array_max over struct(score, rank,
+    // lang). Languages sorted descending get ranks 0..n-1, so on a score
+    // tie the max rank — i.e. the lexicographically smallest language —
+    // wins deterministically.
+    val scored = LangMarkers.toSeq.sortBy(_._1)(Ordering[String].reverse)
+      .zipWithIndex.map { case ((lang, markers), rank) =>
+        val m = array(markers.map(lit): _*)
+        struct(size(filter(ws, w => array_contains(m, w))).as("score"),
+          lit(rank).as("rank"), lit(lang).as("lang"))
+      }
+    array_max(array(scored: _*)).getField("lang")
+  }
+}

@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator queries (SURVEY §7 step 6) wired into the
+  * correctness gate. The fixture documents are all-distinct, so dedup
+  * queries union a deterministically perturbed copy (ids shifted by
+  * 1,000,000; last 3 words dropped) — planted near-duplicates both engines
+  * construct identically.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Base ∪ perturbed copy (id + 1,000,000, last 3 words dropped). */
+  private def docsWithPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+    val ws = split(trim(col("text")), "\\s+")
+    val perturbed = docs(s, d).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      col("source"),
+      concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+    base.unionAll(perturbed)
+  }
+
+  private val plantedSql =
+    """SELECT doc_id, source, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, source,
+      |  array_to_string(ws[1:greatest(len(ws)-3, 1)], ' ') AS text
+      |FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+      |      FROM documents)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis --------------------------------------------------
+    "q50_text_stats" -> ((s, d) => {
+      val t = docs(s, d)
+      t.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.tokenEstimate(col("text")).as("n_bpeish"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+    }),
+    "q51_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // rolling hash + langid + quality: engine-specific hashes/heuristics →
+    // rows-only gate; value-checked in OpsSpec instead.
+    "q52_text_scoring" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))),
+    // ---- dedup ----------------------------------------------------------
+    "q53_dedup_exact" -> ((s, d) => {
+      // plant exact dups: two extra verbatim copies of every 10th doc
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val copies = docs(s, d).filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.exactGroups(base.unionAll(copies), "doc_id", "text")
+    }),
+    "q54_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
+        threshold = 0.5)
+        .select(col("id_a"), col("id_b"))), // jaccard value checked in q55
+    "q55_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
+        blockCol = col("source"), threshold = 0.5)),
+    "q56_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
+        maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+    "q57_embedding_neardup" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"), col("embedding"))
+      // perturbed copy: deterministic per-component wobble (cosine ≈ 0.999)
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+      Dedup.embeddingNearDups(
+          base.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+            .unionAll(pert),
+          "vec_id", "embedding", dim = 64, threshold = 0.95)
+        .select(col("id_a"), col("id_b"))
+    }),
+    // ---- similarity search ---------------------------------------------
+    "q58_knn_bruteforce" -> ((s, d) => {
+      val corpus = emb(s, d)
+      Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+    "q59_knn_ivf" -> ((s, d) => {
+      val corpus = emb(s, d)
+      Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
+    }),
+    // ---- multimodal -----------------------------------------------------
+    "q60_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+      media.join(Multimodal.planResize(media, maxSide = 512), Seq("media_id"))
+        .select(col("media_id"), col("kind"),
+          octet_length(col("bytes")).cast("long").as("n_bytes"),
+          col("target_w"), col("target_h"))
+    }),
+    "q61_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    }),
+    "q62_frame_sample" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(docs(s, d))
+        .filter(col("kind") === "video")
+      Multimodal.sampleFrames(media, frameBytes = 32, every = 4)
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+        |       w -> greatest(1, CAST(ceil(length(w)/4.0) AS BIGINT)))) AS BIGINT) AS n_bpeish,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       w -> list_contains(['the','a','an','and','or','of','to','in','is','are',
+        |                           'was','for','on','with','as','by','at','it','this','that'],
+        |                          lower(w)))) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q51_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q53_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(1) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL
+        |      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0)
+        |GROUP BY 1""".stripMargin,
+    "q55_ngram_jaccard" -> s"""
+      |WITH planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted))
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |""".stripMargin,
+    "q58_knn_bruteforce" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    "q60_multimodal_meta" ->
+      """SELECT media_id, kind, n_bytes,
+        |  CAST(ceil(w * s) AS BIGINT) AS target_w,
+        |  CAST(ceil(h * s) AS BIGINT) AS target_h
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    (doc_id % 64) * 16 + 64 AS w,
+        |    (doc_id % 48) * 16 + 64 AS h,
+        |    least(512.0 / greatest((doc_id % 64) * 16 + 64,
+        |                           (doc_id % 48) * 16 + 64), 1.0) AS s
+        |  FROM documents)""".stripMargin,
+    "q62_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS frame_bytes
+        |FROM documents,
+        |  LATERAL (SELECT unnest(range(0,
+        |    CAST(floor(octet_length(encode(text)) / 32) AS BIGINT), 4)) AS frame_idx)
+        |WHERE doc_id % 3 = 2""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level checks for the LLM-pipeline operators on sf0.001, focused
+  * on what the rows-only gate can't see: planted duplicates are FOUND
+  * (recall), sketches are deterministic, ANN tracks brute force.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** base ∪ perturbed (id+1e6, last 3 words dropped) — as in OpsQueries. */
+  private def planted = {
+    val ws = split(trim(col("text")), "\\s+")
+    docs.select(col("doc_id"), col("source"), col("text")).unionAll(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text")))
+  }
+
+  test("minhash LSH finds >=95% of planted near-dups, none below threshold") {
+    val n = docs.count()
+    val pairs = Dedup.minhashNearDups(planted, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = pairs.count { case (a, b, _) => b == a + 1000000L }
+    assert(found >= (n * 0.95).toInt, s"found only $found of $n planted pairs")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
+  test("minhash signature approximates true jaccard") {
+    val sig = Dedup.minhashSignature(col("text"))
+    val withSig = planted.select(col("doc_id"), sig.as("sig"),
+      TextAnalysis.shingles(col("text"), 3).as("sh"))
+    val a = withSig.filter(col("doc_id") === 0).collect().head
+    val b = withSig.filter(col("doc_id") === 1000000L).collect().head
+    val sigA = a.getSeq[Long](1); val sigB = b.getSeq[Long](1)
+    val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / sigA.size
+    val shA = a.getSeq[String](2).toSet; val shB = b.getSeq[String](2).toSet
+    val truth = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(est - truth) < 0.25, s"est=$est truth=$truth")
+  }
+
+  test("simhash: planted near-dups are hamming-close, random pairs are not") {
+    val sigs = planted.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val plantedH = (0L until 50L).map(i => ham(sigs(i), sigs(i + 1000000L)))
+    val randomH = (0L until 49L).map(i => ham(sigs(i), sigs(i + 1)))
+    assert(plantedH.count(_ <= 10) > 40, s"planted hammings: $plantedH")
+    assert(randomH.count(_ > 10) > 40, s"random hammings: $randomH")
+  }
+
+  test("exact dedup keeps one representative per planted copy group") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val copies = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val groups = Dedup.exactGroups(base.unionAll(copies), "doc_id", "text")
+    val dupGroups = groups.filter(col("n_copies") === 2).count()
+    assert(dupGroups == docs.filter(pmod(col("doc_id"), lit(10)) === 0).count())
+    val deduped = Dedup.exactDedup(base.unionAll(copies), "doc_id", "text")
+    assert(deduped.count() == base.count()) // copies removed, originals kept
+    assert(deduped.filter(col("doc_id") >= 2000000L).count() == 0)
+  }
+
+  test("embedding LSH near-dup finds >=95% of planted high-cosine pairs") {
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+    val pairs = Dedup.embeddingNearDups(base.unionAll(pert), "vec_id", "embedding",
+        dim = 64, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = base.count()
+    val found = pairs.count { case (a, b) => b == a + 1000000L }
+    assert(found >= (n * 0.95).toInt, s"found $found of $n planted pairs")
+  }
+
+  test("IVF ANN recall@5 >= 0.6 vs brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(approx.subsetOf(exact.union(approx))) // sanity: shapes line up
+  }
+
+  test("brute-force knn: rank-1 neighbor has the max cosine (spot check)") {
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 1).collect().head
+    val best = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(q.select(col("embedding").as("qv")))
+      .select(col("vec_id"),
+        Similarity.cosine(col("embedding").cast("array<double>"),
+          col("qv").cast("array<double>")).as("c"))
+      .orderBy(col("c").desc).limit(1).collect().head
+    assert(top.getLong(1) == best.getLong(0))
+  }
+
+  test("text analysis values are sane and deterministic") {
+    val r1 = docs.select(TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("l")).collect()
+    val r2 = docs.select(TextAnalysis.tokenCount(col("text")).as("t"),
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("l")).collect()
+    assert(r1.sameElements(r2))
+    assert(r1.forall(r => r.getInt(0) > 0))
+    assert(r1.forall(r => r.getDouble(1) >= 0 && r.getDouble(1) <= 1))
+    assert(r1.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
+  }
+
+  test("multimodal: features deterministic, frame sampling exact") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f.forall(_.features.length == Multimodal.FakeCodec.FeatureDim))
+    // histogram is L1-normalized
+    assert(f.forall(x => math.abs(x.features.sum - 1.0f) < 1e-3))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(docs).limit(10), frameBytes = 16, every = 2)
+    val counts = frames.groupBy("media_id").count().collect()
+    assert(counts.forall(_.getLong(1) > 0))
+  }
+}

@@ -37,8 +37,12 @@ for name in sorted(os.listdir(out_dir)):
     d = os.path.join(out_dir, name)
     if not os.path.isdir(d):
         continue
-    spark_df = pd.concat([pd.read_parquet(f) for f in glob.glob(f"{d}/*.parquet")],
-                         ignore_index=True)
+    parts = glob.glob(f"{d}/*.parquet")
+    if not parts:
+        print(f"{name:28s} NO-OUTPUT (query failed in Verify)")
+        n_fail += 1
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in parts], ignore_index=True)
     if name not in oracle:
         print(f"{name:28s} ROWS-ONLY rows={len(spark_df)}")
         continue
