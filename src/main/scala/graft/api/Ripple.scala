@@ -62,11 +62,14 @@ object Ripple {
 
   /** Interpret opaque payloads as JSON columns — the engine's value-add
     * over the reference's byte blobs (SURVEY §1.3): topics become fully
-    * queryable tables.
+    * queryable tables. Envelope metadata is underscore-prefixed so payload
+    * fields (which may legitimately be named ts/id/offset) never collide.
     */
   def lift(envelope: DataFrame, schema: StructType): DataFrame =
     envelope.withColumn("v", from_json(col("data").cast("string"), schema))
-      .select(col("topic"), col("bucket"), col("offset"), col("id"), col("ts"), col("v.*"))
+      .select(col("topic").as("_topic"), col("bucket").as("_bucket"),
+        col("offset").as("_offset"), col("id").as("_id"), col("ts").as("_ts"),
+        col("v.*"))
 
   /** Serialize rows into payloads for [[write]]: `data` = JSON of all
     * columns, `id` = a stable int derived from `idCol`.

@@ -57,7 +57,7 @@ object ConnectorQueries {
     Ripple.write(Ripple.pack(ev, col("event_id")), root, "events1", numBuckets = 1)
     Ripple.lift(Ripple.readRange(s, root, "events1", from = 100L, until = Long.MaxValue),
         eventSchema)
-      .select(col("event_id"), col("event_type"), col("offset"))
+      .select(col("event_id"), col("event_type"), col("_offset").as("offset"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Event-time streaming semantics over topic streams (SURVEY §2 Table B
+  * streaming rows + §7 step 5). The reference has NO time semantics at all
+  * — `Payload` carries no timestamp and nothing ever windows, drops late
+  * data, or holds keyed state (offsets in ZK are the only state, SURVEY
+  * A9). These operators are the sanctioned gap-fill, expressed as
+  * Structured Streaming built-ins so state management, watermarking and
+  * recovery ride the checkpoint.
+  */
+object TopicStreams {
+
+  /** Lift a ripple envelope stream's JSON payloads into columns —
+    * streaming twin of [[graft.api.Ripple.lift]].
+    */
+  def lift(stream: DataFrame, schema: StructType): DataFrame =
+    stream.withColumn("v", from_json(col("data").cast("string"), schema))
+      .select(col("topic").as("_topic"), col("bucket").as("_bucket"),
+        col("offset").as("_offset"), col("id").as("_id"), col("ts").as("_ts"),
+        col("v.*"))
+
+  /** Tumbling or sliding event-time window aggregation with a watermark
+    * bounding state (late data beyond `lateness` is dropped — the
+    * reference never drops anything because it never reorders by time).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, lateness: String,
+      windowLen: String, slide: Option[String] = None,
+      extraKeys: Seq[Column] = Seq.empty): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowLen, s)
+      case None    => window(col(tsCol), windowLen)
+    }
+    events.withWatermark(tsCol, lateness)
+      .groupBy(win +: extraKeys: _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("n"), col("total"))
+  }
+
+  /** Session windows: activity grouped by gaps > `gap` per key. */
+  def sessionCounts(events: DataFrame, tsCol: String, lateness: String,
+      gap: String, key: Column): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), key.as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("key"), col("n"))
+
+  /** Exactly-once-per-id view of an at-least-once stream: streaming
+    * dropDuplicates with watermark-bounded dedup state. This upgrades the
+    * reference's delivery contract (at-least-once into the log, SURVEY §2
+    * delivery notes) to exactly-once per message id.
+    */
+  def dedupById(events: DataFrame, idCols: Seq[String], tsCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-static join: enrich a topic stream against a dimension table
+    * (broadcast by Catalyst when small — no stream state needed).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(dim, keys)
+
+  /** Stream-stream inner join within a time bound; both sides watermarked
+    * so join state is evictable.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      tsLeft: String, tsRight: String, lateness: String,
+      bound: String): DataFrame =
+    left.withWatermark(tsLeft, lateness)
+      .join(right.withWatermark(tsRight, lateness),
+        expr(s"""$key = r_$key AND $tsRight BETWEEN $tsLeft AND $tsLeft + INTERVAL $bound"""))
+
+  // ---- custom keyed state: per-bucket offset auditing -----------------
+
+  /** Envelope subset for state tracking. */
+  case class OffsetEvent(bucket: String, offset: Long)
+
+  /** Continuity report per bucket: highest offset seen, rows delivered,
+    * gaps detected (offset jumps), duplicates (offset replays).
+    */
+  case class BucketAudit(bucket: String, maxOffset: Long, delivered: Long,
+      gaps: Long, dups: Long)
+
+  /** Keyed custom state via flatMapGroupsWithState: audits per-bucket
+    * offset continuity — the streaming-state rendering of the reference's
+    * consumer-offset bookkeeping (`core.go:46-64`), minus its over-advance
+    * bug (A9): we *detect* gaps instead of creating them.
+    */
+  def auditOffsets(envelope: Dataset[OffsetEvent]): Dataset[BucketAudit] = {
+    import envelope.sparkSession.implicits._
+    envelope.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketAudit, BucketAudit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, rows: Iterator[OffsetEvent], state: GroupState[BucketAudit]) =>
+          val prev = state.getOption.getOrElse(BucketAudit(bucket, -1L, 0L, 0L, 0L))
+          var (maxOff, delivered, gaps, dups) =
+            (prev.maxOffset, prev.delivered, prev.gaps, prev.dups)
+          rows.toSeq.sortBy(_.offset).foreach { r =>
+            if (r.offset <= maxOff) dups += 1
+            else {
+              if (r.offset != maxOff + 1) gaps += 1
+              maxOff = r.offset
+            }
+            delivered += 1
+          }
+          val next = BucketAudit(bucket, maxOff, delivered, gaps, dups)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Consumer-group emulation (SURVEY "what's hard"): the reference gives
+    * every consumer ID an independent cursor over the full log
+    * (`core.go:46-64` — fan-out, not work-sharing). In Spark, a consumer
+    * ID IS a streaming query checkpoint: starting a new query with a fresh
+    * `checkpointLocation` replays the topic from offset zero; resuming an
+    * existing checkpoint continues from the committed cursor. This helper
+    * just names that mapping.
+    */
+  def consumerStream(spark: org.apache.spark.sql.SparkSession, root: String,
+      topic: String, consumerCheckpoint: String,
+      maxPerTrigger: Long = Long.MaxValue): (DataFrame, String) =
+    (graft.api.Ripple.readStream(spark, root, topic, maxPerTrigger), consumerCheckpoint)
+}

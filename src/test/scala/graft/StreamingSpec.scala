@@ -1,0 +1,182 @@
+package graft
+
+import graft.api.Ripple
+import graft.streaming.TopicStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Event-time streaming semantics over topic data (SURVEY Table B
+  * streaming rows): windows, sessions, watermark+dedup, stream-static and
+  * stream-stream joins, custom keyed state, consumer-group emulation.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graftstream").toString
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def runToMemory(df: DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling window with watermark aggregates by event time") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    mem.addData((ts(0), 1L, 1.0), (ts(2), 1L, 2.0), (ts(7), 2L, 3.0),
+      (ts(12), 1L, 4.0), (ts(30), 9L, 0.0)) // last event advances watermark past 10:15
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    runToMemory(
+      TopicStreams.windowedCounts(events, "ts", "5 minutes", "5 minutes"),
+      "win", mode = "append")
+    val rows = spark.table("win").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00.0", 2L)), rows.toString)
+    assert(rows.contains(("2024-01-01 10:05:00.0", 1L)), rows.toString)
+    assert(rows.contains(("2024-01-01 10:10:00.0", 1L)), rows.toString)
+  }
+
+  test("sliding window emits overlapping buckets") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    mem.addData((ts(1), 1L, 1.0), (ts(3), 1L, 1.0), (ts(30), 1L, 1.0))
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    runToMemory(
+      TopicStreams.windowedCounts(events, "ts", "1 minute", "10 minutes",
+        slide = Some("5 minutes")), "slide")
+    val rows = spark.table("slide").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // events at 10:01 and 10:03 fall in [09:55,10:05) and [10:00,10:10)
+    assert(rows("2024-01-01 09:55:00.0") == 2L, rows.toString)
+    assert(rows("2024-01-01 10:00:00.0") == 2L, rows.toString)
+  }
+
+  test("session window merges activity within gap") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    // user 1: bursts at 10:00-10:02 (one session), then 10:20 (new session);
+    // closing event far in the future advances the watermark
+    mem.addData((ts(0), 1L, 1.0), (ts(1), 1L, 1.0), (ts(2), 1L, 1.0),
+      (ts(20), 1L, 1.0), (ts(59), 9L, 1.0))
+    val events = mem.toDF().toDF("ts", "user_id", "value")
+    runToMemory(
+      TopicStreams.sessionCounts(events, "ts", "1 minute", "5 minutes",
+        col("user_id")), "sess")
+    val sessions = spark.table("sess").filter(col("key") === 1L).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
+    assert(sessions.contains(("2024-01-01 10:00:00.0", 3L)), sessions.toString)
+    assert(sessions.contains(("2024-01-01 10:20:00.0", 1L)), sessions.toString)
+  }
+
+  test("dropDuplicatesWithinWatermark upgrades at-least-once to exactly-once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    mem.addData((ts(0), 100L, 1.0), (ts(0, 30), 100L, 1.0), // duplicate id
+      (ts(1), 101L, 2.0))
+    val events = mem.toDF().toDF("ts", "event_id", "value")
+    runToMemory(
+      TopicStreams.dedupById(events, Seq("event_id"), "ts", "10 minutes"),
+      "dedup")
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("stream-static join enriches topic stream against a dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((0L, 1.5), (1L, 2.5), (2L, 3.5))
+    val stream = mem.toDF().toDF("nation_id", "value")
+    val dim = Seq((0L, "KENYA"), (1L, "PERU")).toDF("nation_id", "n_name")
+    runToMemory(TopicStreams.enrich(stream, dim, Seq("nation_id")), "enriched")
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((0L, "KENYA"), (1L, "PERU"))) // id 2 has no dim row
+  }
+
+  test("stream-stream join within time bound") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    clicks.addData((1L, ts(0)), (2L, ts(5)))
+    buys.addData((1L, ts(2)), (2L, ts(40))) // user 2 buys too late
+    val left = clicks.toDF().toDF("user_id", "click_ts")
+    val right = buys.toDF().toDF("r_user_id", "buy_ts")
+    runToMemory(
+      TopicStreams.streamStreamJoin(left, right, "user_id",
+        "click_ts", "buy_ts", "10 minutes", "'10' MINUTE"), "ssj")
+    val got = spark.table("ssj").select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), got.toString)
+  }
+
+  test("flatMapGroupsWithState audits per-bucket offset continuity") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[TopicStreams.OffsetEvent]
+    mem.addData(
+      TopicStreams.OffsetEvent("b0", 0), TopicStreams.OffsetEvent("b0", 1),
+      TopicStreams.OffsetEvent("b0", 1), // dup
+      TopicStreams.OffsetEvent("b0", 3), // gap (2 missing)
+      TopicStreams.OffsetEvent("b1", 0))
+    val audited = TopicStreams.auditOffsets(mem.toDS())
+    val q = audited.writeStream.format("memory").queryName("audit")
+      .outputMode("update").option("checkpointLocation", tmp()).start()
+    try q.processAllAvailable() finally q.stop()
+    val byBucket = spark.table("audit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(byBucket("b0") == ((3L, 4L, 1L, 1L)), byBucket.toString) // max 3, 4 rows, 1 gap, 1 dup
+    assert(byBucket("b1") == ((0L, 1L, 0L, 0L)))
+  }
+
+  test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "cg", numBuckets = 1)
+    val payloads = (0 until 10).map(i => (i, s"m$i".getBytes)).toDF("id", "data")
+    Ripple.write(payloads, root, "cg")
+
+    val ckpt = tmp() // consumer identity
+    Ripple.createTopic(root, "cgout", numBuckets = 1)
+    // consumer = topic→topic pipeline with a durable checkpoint cursor
+    def drain(): Long = {
+      val (stream, cp) = TopicStreams.consumerStream(spark, root, "cg", ckpt)
+      val q = stream.select(col("id"), col("data"))
+        .writeStream.format("ripple")
+        .option("path", root).option("topic", "cgout")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+      Ripple.read(spark, root, "cgout").count()
+    }
+    assert(drain() == 10)               // first run: full replay
+    Ripple.write(payloads, root, "cg")  // 10 more
+    assert(drain() == 20)               // resumed cursor: only the new rows appended
+    // a second consumer (fresh checkpoint) replays the full log independently
+    val (stream2, cp2) = TopicStreams.consumerStream(spark, root, "cg", tmp())
+    val q2 = stream2.writeStream.format("memory").queryName("cg_other")
+      .option("checkpointLocation", cp2).start()
+    try { q2.processAllAvailable(); assert(spark.table("cg_other").count() == 20) }
+    finally q2.stop()
+  }
+}
