@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.bridge
+
+/** Custom Catalyst expressions for the sketch hot paths (SURVEY §4: the
+  * only justified custom Catalyst work besides the connector).
+  *
+  * The declarative versions of these ops (64 `transform`/`aggregate`
+  * higher-order lambdas per row) evaluate one boxed lambda call per
+  * element×hash — measured ~2.4 ms/doc at sf0.1. These expressions do the
+  * same arithmetic in tight primitive JVM loops (~100× less overhead),
+  * with identical results. Inputs are pre-hashed `array<long>` columns so
+  * the xxhash64 stage stays in codegen'd built-ins.
+  */
+
+/** MinHash signature: for each (a,b) pair, min over elements of
+  * (a*h + b) mod p, p = 2^31-1. Input: array<long> of 31-bit hashes.
+  */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = java.lang.Math.floorMod(as(j) * h + bs(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(sig, 0L)
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash from an array<long> of element hashes: bit k of the
+  * result is set iff sum over elements of (±1 by bit k of the hash) > 0.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) sums(k) += 1 else sums(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Exact Jaccard similarity of two string arrays (hash-set based — the
+  * built-in array_intersect + size pair walks both arrays twice through
+  * generic comparators).
+  */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[Any](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val setB = new java.util.HashSet[Any](b.numElements() * 2)
+    i = 0
+    while (i < b.numElements()) { setB.add(b.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val it = setA.iterator()
+    while (it.hasNext) { if (setB.contains(it.next())) inter += 1 }
+    val union = setA.size() + setB.size() - inter
+    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sim"
+}
+
+/** Cosine similarity over two array<double> columns — primitive loop
+  * replacement for the zip_with + aggregate chain.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // Zero-norm → 0.0, not NaN: Spark orders NaN as the LARGEST double, so
+    // a NaN here would rank a zero vector first in every top-k.
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / math.sqrt(na) / math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** Column-level wrappers. */
+object sketches {
+  private def c(e: Expression): Column = bridge.column(e)
+  private def e(col: Column): Expression = bridge.expression(col)
+
+  def minhash_sig(hashes: Column, as: Array[Long], bs: Array[Long]): Column =
+    c(MinHashSig(e(hashes), as, bs))
+  def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
+  def jaccard_sim(a: Column, b: Column): Column = c(JaccardSim(e(a), e(b)))
+  def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+}

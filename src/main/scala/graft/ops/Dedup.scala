@@ -49,15 +49,16 @@ object Dedup {
   }
 
   /** MinHash signature (array<long> of length numHashes) over the word
-    * n-gram shingle set — all in one codegen'd per-row expression.
+    * n-gram shingle set. Shingle hashing stays in built-ins; the k-way min
+    * loop is the custom [[graft.functions.MinHashSig]] expression (the
+    * equivalent 64 HOF lambdas per row were the q54 bench hotspot).
     */
   def minhashSignature(text: Column, shingleSize: Int = 3,
       numHashes: Int = 64, seed: Long = 42L): Column = {
     val sh = TextAnalysis.shingles(text, shingleSize)
     val hashed = transform(sh, s => pmod(xxhash64(s), lit(P)))
-    array(hashParams(numHashes, seed).map { case (a, b) =>
-      array_min(transform(hashed, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
+    val (as, bs) = hashParams(numHashes, seed).unzip
+    graft.functions.sketches.minhash_sig(hashed, as.toArray, bs.toArray)
   }
 
   /** LSH band keys for a signature: numBands hashes of rowsPerBand-sized
@@ -73,39 +74,53 @@ object Dedup {
 
   /** Candidate pairs from MinHash LSH, verified with exact shingle-set
     * Jaccard >= threshold. Output: (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale shape (the part that matters at 100 TB): the band self-join
+    * shuffles ONLY (id, band, bandHash) — never the shingle arrays; the
+    * surviving candidate pairs are deduped FIRST, and shingle sets are
+    * fetched once per side for verification. Shipping payloads through the
+    * band join multiplies them by numBands × collisions and was measured
+    * 50× slower at sf0.1.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleSize).as("sh"),
-      minhashSignature(col(textCol), shingleSize, numHashes, seed).as("sig"))
+    // Materialize shingles + shingle hashes behind a projection boundary,
+    // then compute the signature in one primitive-loop expression.
+    val (as, bs) = hashParams(numHashes, seed).unzip
+    val base = df.select(col(idCol).as("id"),
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("hashed", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+    val sig = graft.functions.sketches.minhash_sig(col("hashed"), as.toArray, bs.toArray)
 
-    val banded = withSig
-      .select(col("id"), col("sh"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bandHash"))
+    val banded = base
+      .withColumn("sig", sig)
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bandHash"))
 
-    val pairs = banded.as("a").join(banded.as("b"),
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bandHash") === col("b.bandHash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    pairs
+    val shingleSets = base.select(col("id"), col("sh"))
+    candidates
+      .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter).cast("double")
-  }
+  /** Exact Jaccard similarity of two (distinct-element) string arrays —
+    * hash-set loop via [[graft.functions.JaccardSim]] (same value as the
+    * array_intersect formulation, ~3× less per-pair overhead).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.sketches.jaccard_sim(a, b)
 
   /** Direct n-gram Jaccard near-dup within cheap blocking groups (same
     * blockCol value) — the no-sketch baseline, O(pairs-in-block).
@@ -127,16 +142,15 @@ object Dedup {
     * sign of sum over words of (bit k of xxhash64(word) ? +1 : -1).
     * Near-duplicates differ in few bits (small hamming distance).
     */
-  def simhash(text: Column): Column = {
-    val ws = TextAnalysis.words(text)
-    val bitSums = transform(sequence(lit(0), lit(63)), k =>
-      aggregate(ws, lit(0L), (acc, w) =>
-        acc + when(call_function("shiftright", xxhash64(w), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, sequence(lit(0), lit(63)),
-        (s, k) => when(s > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.words(text), w => xxhash64(w)))
+
+  /** SimHash from precomputed per-word hashes — single primitive loop via
+    * [[graft.functions.SimHash64]] (64 HOF aggregates per row were the q56
+    * bench hotspot).
+    */
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.sketches.simhash64(hs)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -147,7 +161,9 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val t = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val t = df.select(col(idCol).as("id"),
+        transform(TextAnalysis.words(col(textCol)), w => xxhash64(w)).as("hs"))
+      .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
     val chunked = t.select(col("id"), col("sig"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
@@ -190,14 +206,22 @@ object Dedup {
           .reduce((x, y) => x.bitwiseOR(y)).as("key"))
     }: _*)
 
-    val t = df.select(col(idCol).as("id"), v.as("v"), explode(bandKeys).as("bk"))
-      .select(col("id"), col("v"), col("bk.band"), col("bk.key"))
-    t.as("a").join(t.as("b"),
+    // Narrow band join (id, band, key) → dedupe candidates → fetch vectors
+    // once per side for exact-cosine verification (same scale shape as
+    // minhashNearDups).
+    val banded = df.select(col(idCol).as("id"), explode(bandKeys).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("id"), v.as("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -20,14 +20,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — built-in HOFs only,
-    * fully codegen'd.
+  /** Cosine similarity of two array<double> columns — primitive-loop
+    * [[graft.functions.CosineSim]] expression (identical accumulation
+    * order, hence bitwise-identical values, to the zip_with + aggregate
+    * formulation it replaces).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.sketches.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (excluding self-matches
     * by id). Output: (query_id, vec_id, rank) — rank 1..k by descending
