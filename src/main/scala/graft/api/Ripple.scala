@@ -28,6 +28,23 @@ object Ripple {
   def createTopic(root: String, topic: String, numBuckets: Int = 4): Unit =
     new FileTopicLog(Paths.get(root)).createTopic(topic, numBuckets)
 
+  /** Metadata discovery (SURVEY A12 — the bootstrap plane's
+    * GetProducer/ConsumerConnection lookups become registry listings).
+    */
+  def topics(root: String): Seq[String] =
+    new FileTopicLog(Paths.get(root)).topics()
+
+  def buckets(root: String, topic: String): Seq[String] =
+    new FileTopicLog(Paths.get(root)).buckets(topic).map(_.bucket)
+
+  /** End offset per bucket — the "latest" metadata a consumer polls
+    * (`internal/broker/consumer/server/core.go:52-56`).
+    */
+  def endOffsets(root: String, topic: String): Map[String, Long] = {
+    val log = new FileTopicLog(Paths.get(root))
+    log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
+  }
+
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.
     */

@@ -44,6 +44,28 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("rank"))
   }
 
+  /** Exact top-k via the typed [[graft.functions.TopKAggregator]] UDAF —
+    * map-side bounded buffers mean the shuffle carries O(queries × k)
+    * hits instead of the full queries × corpus score matrix the window
+    * formulation shuffles. Same output contract as [[bruteForceTopK]].
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
+      .as[graft.functions.Scored]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_.query_id)
+      .agg(agg.toColumn.name("hits"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (h, i) => (qid, h.vec_id, (i + 1).toLong) }
+      }
+      .toDF("query_id", "vec_id", "rank")
+  }
+
   /** Deterministic coarse centroids: the numCentroids smallest ids. */
   private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): DataFrame =

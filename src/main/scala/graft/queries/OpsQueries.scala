@@ -97,6 +97,13 @@ object OpsQueries {
       Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
     }),
+    // same contract as q58 through the typed TopKAggregator UDAF —
+    // map-side bounded top-k instead of a full window shuffle
+    "q63_knn_topk_agg" -> ((s, d) => {
+      val corpus = emb(s, d)
+      Similarity.bruteForceTopKAgg(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
     "q59_knn_ivf" -> ((s, d) => {
       val corpus = emb(s, d)
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
@@ -168,6 +175,16 @@ object OpsQueries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
       |""".stripMargin,
+    "q63_knn_topk_agg" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "q58_knn_bruteforce" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

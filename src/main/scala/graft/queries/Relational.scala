@@ -332,6 +332,20 @@ object Relational {
       import s.implicits._
       events(s, d).groupBy($"user_id", $"event_type")
         .agg(min($"event_id").as("first_event"), count(lit(1)).as("n"))
+    }),
+    // batch session windows (gap = 30 min); oracle is the classic
+    // gaps-and-islands SQL. Boundary semantics: Spark sessions are
+    // [start, last+gap), so an event exactly gap after its predecessor
+    // starts a NEW session — the oracle splits on diff >= gap to match.
+    "q36_session_batch" -> ((s, d) => {
+      import s.implicits._
+      events(s, d)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select($"user_id",
+          unix_millis($"session_window.start").as("sess_start_ms"),
+          unix_millis($"session_window.end").as("sess_end_ms"),
+          $"n")
     })
   )
 
@@ -512,6 +526,24 @@ object Relational {
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q35_dedup_keep_first" ->
       """SELECT user_id, event_type, min(event_id) AS first_event, count(1) AS n
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q36_session_batch" ->
+      """SELECT user_id,
+        |  epoch_ms(min(ts)) AS sess_start_ms,
+        |  epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS sess_end_ms,
+        |  count(1) AS n
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL THEN 1
+        |           WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                >= INTERVAL 30 MINUTE THEN 1
+        |           ELSE 0 END AS new_sess
+        |    FROM events))
+        |GROUP BY user_id, grp""".stripMargin
   )
 }

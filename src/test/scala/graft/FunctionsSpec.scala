@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{CosineSim, JaccardSim, SimHash64}
+import graft.ops.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom function surface: SQL registration of the Catalyst expressions,
+  * UDF registration, and the TopKAggregator ≡ window-formulation law.
+  */
+class FunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-functions-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("custom expressions are SQL-callable after registry registration") {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+
+    val row = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       jaccard_sim(array('a','b'), array('b','c')) AS j,
+        |       simhash64(array(1L, 2L, 3L)) AS s""".stripMargin).collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(math.abs(row.getDouble(1) - (1.0 / 3.0)) < 1e-12)
+    assert(row.getLong(2) != 0L)
+  }
+
+  test("classic scala UDF registration works alongside expressions") {
+    spark.udf.register("graft_band", (x: Double) =>
+      if (x < 50000) "low" else if (x < 150000) "mid" else "high")
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("o")
+    val n = spark.sql(
+      "SELECT graft_band(o_totalprice) AS b, count(1) n FROM o GROUP BY 1").count()
+    assert(n >= 2)
+  }
+
+  test("TopKAggregator output equals the window formulation exactly") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 25)
+    val viaWindow = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaWindow == viaAgg)
+    assert(viaWindow.size == 25 * 7)
+  }
+
+  test("topic discovery APIs list topics/buckets/offsets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("disc").toString
+    graft.api.Ripple.createTopic(root, "alpha", 2)
+    graft.api.Ripple.createTopic(root, "beta", 3)
+    graft.api.Ripple.write(
+      Seq((1, "x".getBytes), (2, "y".getBytes)).toDF("id", "data"), root, "alpha")
+    assert(graft.api.Ripple.topics(root) == Seq("alpha", "beta"))
+    assert(graft.api.Ripple.buckets(root, "beta") == Seq("b0000", "b0001", "b0002"))
+    val ends = graft.api.Ripple.endOffsets(root, "alpha")
+    assert(ends.values.sum == 2)
+  }
+
+  test("compaction produces an equivalent parquet mirror") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    graft.api.Ripple.createTopic(root, "t", 2)
+    graft.api.Ripple.write(
+      (0 until 50).map(i => (i, s"m$i".getBytes)).toDF("id", "data"), root, "t")
+    val out = java.nio.file.Files.createTempDirectory("mirror").toString + "/t"
+    graft.api.Ripple.compactToParquet(spark, root, "t", out)
+    val mirror = spark.read.parquet(out)
+    assert(mirror.count() == 50)
+    assert(mirror.select(sum("id")).collect().head.getLong(0) == (0 until 50).sum)
+    // mirror is bucket-partitioned for pruned analytical scans
+    assert(mirror.filter(col("bucket") === "b0000").rdd.getNumPartitions <=
+      mirror.rdd.getNumPartitions)
+  }
+}
