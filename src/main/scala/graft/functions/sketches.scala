@@ -113,6 +113,63 @@ case class JaccardSim(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sim"
 }
 
+/** Jaccard over PRE-SORTED distinct string arrays: a linear merge walk —
+  * no per-pair hash sets, no allocation. Callers sort once per row with
+  * `array_sort` (binary UTF8 order, the same comparator used here); the
+  * value is identical to [[JaccardSim]] on the same sets.
+  */
+case class SortedJaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccardSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_jaccard_sim"
+}
+
+/** Jaccard over PRE-SORTED distinct long arrays (64-bit shingle hashes):
+  * the pairwise-join representation — 8 bytes/shingle instead of a UTF8
+  * string, primitive compares in the merge walk. With 64-bit hashes the
+  * collision probability over millions of shingles is ~2^-40, so counts
+  * match string-set jaccard exactly in practice.
+  */
+case class SortedJaccardLongSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    java.lang.Double.valueOf(if (union == 0) 1.0 else inter.toDouble / union)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccardLongSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_jaccard_long_sim"
+}
+
 /** Cosine similarity over two array<double> columns — primitive loop
   * replacement for the zip_with + aggregate chain.
   */
@@ -150,5 +207,7 @@ object sketches {
     c(MinHashSig(e(hashes), as, bs))
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def jaccard_sim(a: Column, b: Column): Column = c(JaccardSim(e(a), e(b)))
+  def sorted_jaccard_sim(a: Column, b: Column): Column = c(SortedJaccardSim(e(a), e(b)))
+  def sorted_jaccard_long_sim(a: Column, b: Column): Column = c(SortedJaccardLongSim(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
 }

@@ -106,11 +106,13 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = base.select(col("id"), col("sh"))
+    val shingleSets = base.select(col("id"),
+      array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
     candidates
       .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -124,15 +126,27 @@ object Dedup {
 
   /** Direct n-gram Jaccard near-dup within cheap blocking groups (same
     * blockCol value) — the no-sketch baseline, O(pairs-in-block).
+    *
+    * Per-pair work is a merge walk over once-per-row sorted shingle arrays
+    * ([[graft.functions.SortedJaccardSim]]), behind a size-ratio prefilter:
+    * jaccard(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs outside the ratio
+    * can't reach the threshold — no false negatives.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // shingles → sorted 64-bit hashes: the pairwise join then moves 8
+    // bytes/shingle instead of UTF8 strings (join materialization was the
+    // measured bottleneck, not the per-pair walk)
     val t = df.select(col(idCol).as("id"), blockCol.as("blk"),
-      TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+        array_sort(transform(
+          TextAnalysis.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
+      .withColumn("n", size(col("sh")))
     t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          col("a.n") >= col("b.n") * threshold &&
+          col("b.n") >= col("a.n") * threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        graft.functions.sketches.sorted_jaccard_long_sim(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

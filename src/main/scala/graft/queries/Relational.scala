@@ -333,6 +333,17 @@ object Relational {
       events(s, d).groupBy($"user_id", $"event_type")
         .agg(min($"event_id").as("first_event"), count(lit(1)).as("n"))
     }),
+    // range join: equi key + band predicate (Catalyst plans hash join with
+    // a residual range filter; at scale AQE handles the skew)
+    "q37_range_join" -> ((s, d) => {
+      import s.implicits._
+      val part = t(s, d, "part").select($"p_partkey", $"p_brand", $"p_size")
+      t(s, d, "lineitem")
+        .join(part, $"l_partkey" === $"p_partkey" &&
+          $"l_quantity" >= $"p_size" - 5 && $"l_quantity" <= $"p_size" + 5)
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
+    }),
     // batch session windows (gap = 30 min); oracle is the classic
     // gaps-and-islands SQL. Boundary semantics: Spark sessions are
     // [start, last+gap), so an event exactly gap after its predecessor
@@ -527,6 +538,11 @@ object Relational {
     "q35_dedup_keep_first" ->
       """SELECT user_id, event_type, min(event_id) AS first_event, count(1) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q37_range_join" ->
+      s"""SELECT p_brand, count(1) AS n, ${dsumSql("l_extendedprice")} AS total
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+         |GROUP BY 1""".stripMargin,
     "q36_session_batch" ->
       """SELECT user_id,
         |  epoch_ms(min(ts)) AS sess_start_ms,
