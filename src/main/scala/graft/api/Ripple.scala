@@ -45,6 +45,13 @@ object Ripple {
     log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
   }
 
+  /** Retention: drop whole segments below `floorOffset` per bucket
+    * (metadata-only; offsets preserved). The reference never truncates
+    * (`core.go:45` TODO) — OOM is its retention policy.
+    */
+  def truncateBefore(root: String, topic: String, floorOffset: Long): Int =
+    new FileTopicLog(Paths.get(root)).truncateBefore(topic, floorOffset)
+
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.
     */

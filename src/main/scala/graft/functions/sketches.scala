@@ -171,10 +171,12 @@ case class SortedJaccardLongSim(left: Expression, right: Expression)
 }
 
 /** Cosine similarity over two array<double> columns — primitive loop
-  * replacement for the zip_with + aggregate chain.
+  * replacement for the zip_with + aggregate chain. Implements `doGenCode`,
+  * so it fuses into the surrounding WholeStageCodegen stage instead of
+  * paying the CodegenFallback virtual call per row.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -193,6 +195,29 @@ case class CosineSim(left: Expression, right: Expression)
     if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
     else java.lang.Double.valueOf(dot / math.sqrt(na) / math.sqrt(nb))
   }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i);
+         |  double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / java.lang.Math.sqrt($na) / java.lang.Math.sqrt($nb);
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"

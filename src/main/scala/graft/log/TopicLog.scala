@@ -235,6 +235,27 @@ final class FileTopicLog(val root: Path) extends TopicLog {
       .map(_.getName).toSeq.sorted
   }
 
+  /** Retention: delete whole segments entirely below `floorOffset` in every
+    * bucket (offsets are preserved — names carry absolute starts, so reads
+    * from >= floorOffset are unaffected). The reference retains forever
+    * in RAM (TTL TODO at `internal/broker/consumer/server/core.go:45`);
+    * here retention is a pure metadata op. Returns deleted segment count.
+    */
+  def truncateBefore(topic: String, floorOffset: Long): Int = {
+    var deleted = 0
+    buckets(topic).foreach { tb =>
+      val segs = segments(tb)
+      // never delete the newest segment: size() derives from segment names,
+      // so an empty bucket would restart offsets at 0 and break monotonicity
+      segs.dropRight(1).foreach { case (path, start, count) =>
+        if (start + count <= floorOffset) {
+          if (Files.deleteIfExists(path)) deleted += 1
+        }
+      }
+    }
+    deleted
+  }
+
   /** Create a topic with `numBuckets` buckets — the control-plane op the
     * reference exposes as gRPC `CreateBucket`
     * (`server/exposed/create.go:15-27`). Here it is a pure metadata op:

@@ -333,6 +333,13 @@ object Relational {
       events(s, d).groupBy($"user_id", $"event_type")
         .agg(min($"event_id").as("first_event"), count(lit(1)).as("n"))
     }),
+    "q38_right_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_nationkey")
+        .agg(count($"o_orderkey").as("n_orders"), countDistinct($"c_custkey").as("n_custs"))
+    }),
     // range join: equi key + band predicate (Catalyst plans hash join with
     // a residual range filter; at scale AQE handles the skew)
     "q37_range_join" -> ((s, d) => {
@@ -543,6 +550,11 @@ object Relational {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
          |GROUP BY 1""".stripMargin,
+    "q38_right_join" ->
+      """SELECT c_nationkey, count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_custs
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "q36_session_batch" ->
       """SELECT user_id,
         |  epoch_ms(min(ts)) AS sess_start_ms,

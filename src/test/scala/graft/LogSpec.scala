@@ -95,6 +95,26 @@ class LogSpec extends AnyFunSuite {
     }
   }
 
+  test("truncateBefore drops old segments, preserves offsets, keeps newest") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      log.appendAt(tb, i * 5L, payloads(5).map(p => (p, now)))
+    }
+    assert(log.size(tb) == 20)
+    val deleted = log.truncateBefore(tb.topic, 12L)
+    assert(deleted == 2) // segments [0,5) and [5,10); [10,15) straddles → kept
+    assert(log.size(tb) == 20) // end offset unchanged
+    assert(log.range(tb, 0, 100).map(_.offset) == (10L until 20L))
+    // truncating everything still keeps the newest segment
+    log.truncateBefore(tb.topic, 999L)
+    assert(log.size(tb) == 20)
+    assert(log.range(tb, 0, 100).map(_.offset) == (15L until 20L))
+    // appends continue from the preserved end offset
+    log.append(tb, payloads(2))
+    assert(log.range(tb, 20, 100).map(_.offset) == (20L until 22L))
+  }
+
   test("createTopic registers buckets; topics/buckets enumerable") {
     val log = fileLog()
     val tbs = log.createTopic("orders", 4)
