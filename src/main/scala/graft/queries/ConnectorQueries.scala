@@ -60,9 +60,38 @@ object ConnectorQueries {
       .select(col("event_id"), col("event_type"), col("_offset").as("offset"))
   }
 
+  /** File-source surface (SURVEY Table B scan row: parquet/json/csv):
+    * events → JSON/CSV files → read back with explicit schema → aggregate;
+    * the oracle aggregates the original parquet, so the round-trip must be
+    * lossless (doubles survive via shortest-repr text).
+    */
+  private def fileSourceAgg(s: SparkSession, d: String, format: String): DataFrame = {
+    val out = scratch() + s"/events-$format"
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.format(format).option("header", "true").save(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.format(format).option("header", "true").schema(schema).load(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  private val fileSourceOracleSql =
+    """SELECT event_type, count(1) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+      |  max(event_id) AS max_id
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
-    "q41_topic_replay_suffix" -> (replaySuffix _))
+    "q41_topic_replay_suffix" -> (replaySuffix _),
+    "q42_json_source" -> ((s, d) => fileSourceAgg(s, d, "json")),
+    "q43_csv_source" -> ((s, d) => fileSourceAgg(s, d, "csv")))
 
   val oracle: Map[String, String] = Map(
     "q40_topic_roundtrip_agg" ->
@@ -72,5 +101,7 @@ object ConnectorQueries {
         |FROM events GROUP BY 1""".stripMargin,
     "q41_topic_replay_suffix" ->
       """SELECT event_id, event_type, event_id AS offset
-        |FROM events WHERE event_id >= 100""".stripMargin)
+        |FROM events WHERE event_id >= 100""".stripMargin,
+    "q42_json_source" -> fileSourceOracleSql,
+    "q43_csv_source" -> fileSourceOracleSql)
 }

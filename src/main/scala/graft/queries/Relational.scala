@@ -333,6 +333,20 @@ object Relational {
       events(s, d).groupBy($"user_id", $"event_type")
         .agg(min($"event_id").as("first_event"), count(lit(1)).as("n"))
     }),
+    // statistical moments from EXACT decimal sums (stddev/var built-ins
+    // accumulate doubles order-dependently and can't hash-match an oracle;
+    // sum/sumsq in DECIMAL then one double evaluation is deterministic)
+    "q39_stats_moments" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem").groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          dsum($"l_quantity").as("s1"),
+          dsum($"l_quantity" * $"l_quantity").as("s2"))
+        .select($"l_returnflag", $"n",
+          ($"s1" / $"n").as("mean"),
+          (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("var_samp"),
+          sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("stddev_samp"))
+    }),
     "q38_right_join" -> ((s, d) => {
       import s.implicits._
       t(s, d, "orders")
@@ -550,6 +564,16 @@ object Relational {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |  AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
          |GROUP BY 1""".stripMargin,
+    "q39_stats_moments" ->
+      s"""SELECT l_returnflag, n,
+         |  s1 / n AS mean,
+         |  (s2 - s1 * s1 / n) / (n - 1) AS var_samp,
+         |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp
+         |FROM (
+         |  SELECT l_returnflag, count(1) AS n,
+         |    ${dsumSql("l_quantity")} AS s1,
+         |    ${dsumSql("l_quantity * l_quantity")} AS s2
+         |  FROM lineitem GROUP BY 1)""".stripMargin,
     "q38_right_join" ->
       """SELECT c_nationkey, count(o_orderkey) AS n_orders,
         |  count(DISTINCT c_custkey) AS n_custs

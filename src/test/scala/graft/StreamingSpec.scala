@@ -149,6 +149,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(byBucket("b1") == ((0L, 1L, 0L, 0L)))
   }
 
+  test("transformWithState keeps running per-user totals (RocksDB store)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[TopicStreams.UserEvent]
+      mem.addData(TopicStreams.UserEvent(1L, 10.0), TopicStreams.UserEvent(1L, 5.0),
+        TopicStreams.UserEvent(2L, 1.0))
+      val q = TopicStreams.runningTotals(mem.toDS())
+        .writeStream.format("memory").queryName("tws")
+        .outputMode("update").option("checkpointLocation", tmp()).start()
+      try {
+        q.processAllAvailable()
+        mem.addData(TopicStreams.UserEvent(1L, 2.5)) // second batch: state carries over
+        q.processAllAvailable()
+        val latest = spark.table("tws").groupBy("user_id")
+          .agg(max("total").as("t"), max("events").as("n")).collect()
+          .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+        assert(latest(1L) == ((17.5, 3L)), latest.toString)
+        assert(latest(2L) == ((1.0, 1L)), latest.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
