@@ -96,6 +96,17 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
+  /** Deterministic content-hash train/test split: assign by the first hex
+    * digit of md5(key) — portable across engines and stable across runs,
+    * the property an ID- or content-keyed corpus split needs (random()
+    * splits are neither reproducible nor join-stable). digits 0..11 →
+    * "train" (75%), c..f → "test" (25%).
+    */
+  def hashSplit(key: Column): Column =
+    when(substring(md5(key.cast("string")), 1, 1).isin(
+      "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
+      .otherwise("test")
+
   def langId(text: Column): Column = {
     val ws = transform(words(text), lower _)
     // Score per language; argmax via array_max over struct(score, rank,

@@ -109,6 +109,12 @@ object OpsQueries {
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
     }),
+    // deterministic 75/25 content-hash split, stratified counts by source
+    "q64_train_test_split" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -195,6 +201,13 @@ object OpsQueries {
         |  FROM embeddings c JOIN embeddings q
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q64_train_test_split" ->
+      """SELECT source,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |       IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  count(1) AS n, min(doc_id) AS min_id
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q60_multimodal_meta" ->
       """SELECT media_id, kind, n_bytes,
         |  CAST(ceil(w * s) AS BIGINT) AS target_w,
