@@ -199,9 +199,32 @@ object RipplePublish {
       Files.createDirectories(log.bucketDir(tb))
       var next = log.size(tb)
       files.foreach { f =>
-        val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(next, f.count))
-        Files.move(Paths.get(f.path), target, StandardCopyOption.ATOMIC_MOVE)
-        next += f.count
+        var published = false
+        while (!published) {
+          val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(next, f.count))
+          // createLink is atomic AND fails if the target exists — a plain
+          // ATOMIC_MOVE rename would silently REPLACE a segment another
+          // writer published at the same offset (POSIX rename semantics),
+          // losing its data. On conflict, re-read the bucket end and retry
+          // after the winner.
+          try {
+            Files.createLink(target, Paths.get(f.path))
+            Files.deleteIfExists(Paths.get(f.path))
+            published = true
+            next += f.count
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val end = log.size(tb)
+              if (end > next) next = end // another writer advanced; retry after it
+              else {
+                // exact (start,count) twin exists → retried publish of this
+                // very batch; idempotent outcome
+                Files.deleteIfExists(Paths.get(f.path))
+                published = true
+                next += f.count
+              }
+          }
+        }
       }
     }
     marker.foreach { m =>

@@ -150,16 +150,30 @@ final class FileTopicLog(val root: Path) extends TopicLog {
 
   def bucketDir(tb: TopicBucket): Path = root.resolve(tb.topic).resolve(tb.bucket)
 
-  /** Published segments, sorted by start offset: (path, start, count). */
+  /** Published segments, sorted by start offset: (path, start, count).
+    * Gaps are legal (retention); OVERLAPS are not — they mean the
+    * single-writer-per-bucket contract was violated and reads would
+    * double-count, so fail loudly instead.
+    */
   def segments(tb: TopicBucket): Seq[(Path, Long, Long)] = {
     val dir = bucketDir(tb)
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val files = dir.toFile.listFiles()
       if (files == null) Seq.empty
-      else files.iterator.flatMap { f =>
-        SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
-      }.toSeq.sortBy(_._2)
+      else {
+        val segs = files.iterator.flatMap { f =>
+          SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
+        }.toSeq.sortBy(_._2)
+        segs.sliding(2).foreach {
+          case Seq((_, s1, c1), (p2, s2, _)) if s1 + c1 > s2 =>
+            throw new IllegalStateException(
+              s"overlapping segments in ${tb.path}: [$s1,+$c1) overlaps $p2 " +
+                "(single-writer-per-bucket contract violated)")
+          case _ =>
+        }
+        segs
+      }
     }
   }
 

@@ -161,6 +161,36 @@ class ConnectorSpec extends AnyFunSuite {
     assert(lifted.filter(col("name") === "u3").select("score").collect().head.getDouble(0) == 4.5)
   }
 
+  test("concurrent writers: all rows land, offsets stay dense") {
+    val root = tmp()
+    Ripple.createTopic(root, "cw", numBuckets = 2)
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        Ripple.write(samplePayloads(25).coalesce(1), root, "cw"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val back = Ripple.read(spark, root, "cw")
+    assert(back.count() == 100)
+    val per = back.groupBy("bucket")
+      .agg(count("*").as("n"), countDistinct("offset").as("d"), max("offset").as("m"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    per.foreach { case (n, d, m) => assert(n == d && m == n - 1, per.mkString(",")) }
+  }
+
+  test("overlapping segments (contract violation) fail loudly, not silently") {
+    val root = tmp()
+    Ripple.createTopic(root, "ov", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "ov")
+    // forge an overlapping segment: starts inside the existing [0,10)
+    val dir = java.nio.file.Paths.get(root, "ov", "b0000")
+    graft.log.SegmentCodec.write(
+      dir.resolve(graft.log.SegmentCodec.segmentName(5L, 3L)),
+      (0 until 3).map(i => (graft.model.Payload(i, Array[Byte]()), 0L)))
+    val e = intercept[Exception] { Ripple.read(spark, root, "ov").count() }
+    assert(e.getMessage.contains("overlap") ||
+      (e.getCause != null && e.getCause.getMessage.contains("overlap")), e.getMessage)
+  }
+
   test("write rejects schemas without id/data") {
     import spark.implicits._
     val root = tmp()
