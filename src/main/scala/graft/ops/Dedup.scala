@@ -89,9 +89,12 @@ object Dedup {
     // Materialize shingles + shingle hashes behind a projection boundary,
     // then compute the signature in one primitive-loop expression.
     val (as, bs) = hashParams(numHashes, seed).unzip
+    // cached: this subtree (shingling + hashing) feeds the band branch AND
+    // both sides of candidate verification — uncached it re-evaluates 3×
     val base = df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
       .withColumn("hashed", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = graft.functions.sketches.minhash_sig(col("hashed"), as.toArray, bs.toArray)
 
     val banded = base
@@ -127,27 +130,57 @@ object Dedup {
   /** Direct n-gram Jaccard near-dup within cheap blocking groups (same
     * blockCol value) — the no-sketch baseline, O(pairs-in-block).
     *
-    * Per-pair work is a merge walk over once-per-row sorted shingle arrays
-    * ([[graft.functions.SortedJaccardSim]]), behind a size-ratio prefilter:
-    * jaccard(a,b) <= min(|a|,|b|)/max(|a|,|b|), so pairs outside the ratio
-    * can't reach the threshold — no false negatives.
+    * Shape: shuffle ONE narrow (block, id, sorted-hashes) row per document
+    * — ~1 KB each — then run the O(n²) pairwise merge walks block-locally
+    * in `flatMapGroups`. A self-join formulation materializes both shingle
+    * arrays per PAIR (measured ~4 GB at sf0.1); this moves ~8 MB total and
+    * does the same arithmetic CPU-local. Blocks must fit in one task's
+    * memory, which is what blocking keys are for. Size-ratio prefilter:
+    * jaccard <= min(|a|,|b|)/max(|a|,|b|) — no false negatives.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
-    // shingles → sorted 64-bit hashes: the pairwise join then moves 8
-    // bytes/shingle instead of UTF8 strings (join materialization was the
-    // measured bottleneck, not the per-pair walk)
-    val t = df.select(col(idCol).as("id"), blockCol.as("blk"),
+    import df.sparkSession.implicits._
+    val t = df.select(col(idCol).cast("long").as("id"),
+        blockCol.cast("string").as("blk"),
         array_sort(transform(
           TextAnalysis.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
-      .withColumn("n", size(col("sh")))
-    t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
-          col("a.n") >= col("b.n") * threshold &&
-          col("b.n") >= col("a.n") * threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        graft.functions.sketches.sorted_jaccard_long_sim(col("a.sh"), col("b.sh")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .as[(Long, String, Array[Long])]
+    t.groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ds = it.toArray.sortBy(_._1)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ds.length) {
+          var j = i + 1
+          while (j < ds.length) {
+            val a = ds(i)._3; val b = ds(j)._3
+            if (a.length >= b.length * threshold && b.length >= a.length * threshold) {
+              val jac = sortedJaccardLong(a, b)
+              if (jac >= threshold) out += ((ds(i)._1, ds(j)._1, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jaccard")
+  }
+
+  /** Merge-walk jaccard over sorted long arrays — same arithmetic as
+    * [[graft.functions.SortedJaccardLongSim]].
+    */
+  private def sortedJaccardLong(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   // ---- SimHash -------------------------------------------------------
