@@ -85,12 +85,36 @@ object Similarity {
       .select(col("vec_id"), col("cv"), col("cid"))
   }
 
+  /** One Lloyd (k-means) iteration: re-center each cluster on the
+    * element-wise mean of its members. Deterministic given deterministic
+    * assignment; clusters that lose all members drop out (fewer, better
+    * centroids — acceptable for a coarse quantizer).
+    */
+  def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, iterations: Int): DataFrame = {
+    var c = cents
+    for (_ <- 1 to iterations) {
+      val assigned = ivfAssign(corpus, idCol, vecCol, c)
+      c = assigned
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> x.m)").as("centroid"))
+    }
+    c
+  }
+
   /** Approximate top-k: probe the nProbe centroids nearest to each query,
-    * search only their partitions.
+    * search only their partitions. `kmeansIters` Lloyd steps refine the
+    * seeded coarse centroids (the assignment pass IS the k-means inner
+    * loop, so refinement reuses it).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, numCentroids)
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 1): DataFrame = {
+    val cents = kmeansIterate(corpus, idCol, vecCol,
+      centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
     val assigned = ivfAssign(corpus, idCol, vecCol, cents)
 
     val q = queries.select(col(idCol).as("query_id"),

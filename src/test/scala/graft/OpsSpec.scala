@@ -88,16 +88,20 @@ class OpsSpec extends AnyFunSuite {
     assert(found >= (n * 0.95).toInt, s"found $found of $n planted pairs")
   }
 
-  test("IVF ANN recall@5 >= 0.6 vs brute force") {
+  test("IVF ANN recall@5 >= 0.6 vs brute force; k-means step doesn't hurt") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
-        numCentroids = 16, nProbe = 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.6, s"recall=$recall")
-    assert(approx.subsetOf(exact.union(approx))) // sanity: shapes line up
+    def recallAt(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+          numCentroids = 16, nProbe = 4, kmeansIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val r0 = recallAt(0)
+    val r1 = recallAt(1)
+    assert(r1 >= 0.6, s"recall(iter=1)=$r1")
+    assert(r1 >= r0 - 0.1, s"k-means step degraded recall: $r0 -> $r1")
   }
 
   test("brute-force knn: rank-1 neighbor has the max cosine (spot check)") {
