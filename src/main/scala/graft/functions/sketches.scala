@@ -23,11 +23,39 @@ import org.apache.spark.sql.graft.bridge
   * (a*h + b) mod p, p = 2^31-1. Input: array<long> of 31-bit hashes.
   */
 case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P = 2147483647L // 2^31 - 1
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val asRef = ctx.addReferenceObj("as", as, "long[]")
+      val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+      val sig = ctx.freshName("sig")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$asRef.length];
+         |java.util.Arrays.fill($sig, $n == 0 ? 0L : Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $j = 0; $j < $asRef.length; $j++) {
+         |    long $v = java.lang.Math.floorMod($asRef[$j] * $h + $bsRef[$j], ${P}L);
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -56,9 +84,37 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long])
   * result is set iff sum over elements of (±1 by bit k of the hash) > 0.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sums = ctx.freshName("sums")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $sums = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ((($h >>> $k) & 1L) == 1L) $sums[$k]++; else $sums[$k]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($sums[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
