@@ -96,6 +96,20 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
+  /** Overlapping token-window chunks — the standard LLM-corpus chunking op
+    * (window of `chunkTokens` words, stride `chunkTokens - overlap`).
+    * Returns array<struct<chunk_idx int, chunk string>> for `explode`;
+    * per-row expression, no shuffle, scales linearly.
+    */
+  def chunks(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap < chunkTokens, s"overlap $overlap must be < chunk $chunkTokens")
+    val stride = chunkTokens - overlap
+    val ws = words(text)
+    transform(sequence(lit(0), greatest(size(ws) - 1, lit(0)), lit(stride)),
+      s => struct((s / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(ws, s + 1, lit(chunkTokens))).as("chunk")))
+  }
+
   /** Deterministic content-hash train/test split: assign by the first hex
     * digit of md5(key) — portable across engines and stable across runs,
     * the property an ID- or content-keyed corpus split needs (random()

@@ -109,6 +109,22 @@ object OpsQueries {
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
     }),
+    // overlapping token-window chunking (20-word windows, 5-word overlap);
+    // chunk content proven identical via md5
+    "q65_chunking" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), chunkTokens = 20, overlap = 5)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").cast("long").as("chunk_idx"),
+          TextAnalysis.tokenCount(col("c.chunk")).cast("long").as("chunk_tokens"),
+          md5(col("c.chunk")).as("chunk_md5"))),
+    // word-uniqueness / repetition quality signals
+    "q66_repetition_stats" -> ((s, d) => {
+      val ws = split(trim(col("text")), "\\s+")
+      docs(s, d).select(col("doc_id"),
+        (size(array_distinct(ws)).cast("double") / size(ws).cast("double")).as("uniq_ratio"),
+        array_max(transform(ws, w => length(w))).cast("long").as("max_word_len"))
+    }),
     // deterministic 75/25 content-hash split, stratified counts by source
     "q64_train_test_split" -> ((s, d) =>
       docs(s, d)
@@ -201,6 +217,19 @@ object OpsQueries {
         |  FROM embeddings c JOIN embeddings q
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q65_chunking" ->
+      """SELECT doc_id, CAST(s / 15 AS BIGINT) AS chunk_idx,
+        |  CAST(len(ws[s+1 : least(s+20, len(ws))]) AS BIGINT) AS chunk_tokens,
+        |  md5(array_to_string(ws[s+1 : least(s+20, len(ws))], ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |  LATERAL (SELECT unnest(range(0, len(ws), 15)) AS s)""".stripMargin,
+    "q66_repetition_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS uniq_ratio,
+        |  CAST(list_max(list_transform(ws, w -> length(w))) AS BIGINT) AS max_word_len
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents)""".stripMargin,
     "q64_train_test_split" ->
       """SELECT source,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
