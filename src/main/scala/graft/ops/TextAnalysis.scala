@@ -96,6 +96,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
 
+  /** PII patterns kept RE2-compatible (no lookarounds/backrefs) so the
+    * same regexes run in Spark (java.util.regex) and DuckDB (RE2) — and,
+    * more importantly, in any engine a 100 TB pipeline might mix in.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b"
+
+  /** Redact emails/phone-shaped tokens — the standard pre-training scrub.
+    * Pure per-row regexp_replace chain: codegen'd, shuffle-free, linear.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Overlapping token-window chunks — the standard LLM-corpus chunking op
     * (window of `chunkTokens` words, stride `chunkTokens - overlap`).
     * Returns array<struct<chunk_idx int, chunk string>> for `explode`;

@@ -125,6 +125,18 @@ object OpsQueries {
         (size(array_distinct(ws)).cast("double") / size(ws).cast("double")).as("uniq_ratio"),
         array_max(transform(ws, w => length(w))).cast("long").as("max_word_len"))
     }),
+    // PII scrub: plant synthetic emails/phones, redact, prove removal —
+    // redacted content compared by md5 across engines
+    "q67_pii_redaction" -> ((s, d) => {
+      val withPii = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-01"), lpad(pmod(col("doc_id"), lit(100)), 2, "0"),
+          lit("-9999")).as("text"))
+      withPii.select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"),
+        (length(col("text")) - length(TextAnalysis.redactPii(col("text"))))
+          .cast("long").as("len_delta"))
+    }),
     // deterministic 75/25 content-hash split, stratified counts by source
     "q64_train_test_split" -> ((s, d) =>
       docs(s, d)
@@ -217,6 +229,18 @@ object OpsQueries {
         |  FROM embeddings c JOIN embeddings q
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q67_pii_redaction" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b', '<PHONE>', 'g')) AS redacted_md5,
+        |  CAST(length(t) - length(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\b', '<PHONE>', 'g')) AS BIGINT) AS len_delta
+        |FROM (SELECT doc_id,
+        |        concat(text, ' contact user', doc_id, '@example.com or 555-01',
+        |               lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-9999') AS t
+        |      FROM documents)""".stripMargin,
     "q65_chunking" ->
       """SELECT doc_id, CAST(s / 15 AS BIGINT) AS chunk_idx,
         |  CAST(len(ws[s+1 : least(s+20, len(ws))]) AS BIGINT) AS chunk_tokens,
