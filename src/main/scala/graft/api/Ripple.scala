@@ -9,8 +9,9 @@ import org.apache.spark.sql.types.StructType
 import java.nio.file.Paths
 
 /** User-facing facade over the `ripple` connector — what the reference
-  * exposes as its client SDK (`pkg/sdk` producer/consumer + gRPC bootstrap,
-  * `server/exposed/`) becomes a handful of DataFrame one-liners.
+  * exposes as its client surface (the gRPC bootstrap endpoints in
+  * `server/exposed/` plus the producer/consumer servers under
+  * `internal/broker/`) becomes a handful of DataFrame one-liners.
   *
   * A user of the reference maps over like so:
   *   - CreateBucket gRPC (`server/exposed/create.go:15-27`)  → [[createTopic]]

@@ -279,6 +279,159 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** Top-n nearest centroids (by cosine, descending; ties by ascending
+  * centroid id) for one vector — the shuffle-free replacement for the
+  * crossJoin(centroids) + Window argmax plan, which shuffled corpus × C
+  * rows just to take a per-row argmax. Centroids are a driver-side array
+  * (C is small by construction — it's a coarse quantizer), embedded in the
+  * expression like a broadcast. The cosine accumulation order is identical
+  * to [[CosineSim]], so the selected ids match the window formulation
+  * bitwise. `cents` must be sorted by ascending cid for the tie-break.
+  */
+case class TopCentroids(child: Expression, cents: Array[Array[Double]],
+    cids: Array[Long], n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = cents.length
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val p = cents(c)
+      val m = math.min(arr.numElements(), p.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = arr.getDouble(i); val y = p(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+      c += 1
+    }
+    val take = math.min(n, k)
+    val taken = new Array[Boolean](k)
+    val out = new Array[Long](take)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && (best < 0 || cos(j) > cos(best))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(r) = cids(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val cos = ctx.freshName("cos")
+      val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      val take = ctx.freshName("take")
+      s"""
+         |double[] $cos = new double[$centsRef.length];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] p = $centsRef[$c];
+         |  int m = java.lang.Math.min($arr.numElements(), p.length);
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int $i = 0; $i < m; $i++) {
+         |    double x = $arr.getDouble($i); double y = p[$i];
+         |    dot += x * y; na += x * x; nb += y * y;
+         |  }
+         |  $cos[$c] = (na == 0.0 || nb == 0.0)
+         |    ? 0.0 : dot / java.lang.Math.sqrt(na) / java.lang.Math.sqrt(nb);
+         |}
+         |int $take = java.lang.Math.min($n, $centsRef.length);
+         |boolean[] $taken = new boolean[$centsRef.length];
+         |long[] $out = new long[$take];
+         |for (int $r = 0; $r < $take; $r++) {
+         |  int $best = -1;
+         |  for (int $j = 0; $j < $centsRef.length; $j++) {
+         |    if (!$taken[$j] && ($best < 0 || $cos[$j] > $cos[$best])) $best = $j;
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$r] = $cidsRef[$best];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): TopCentroids = copy(child = c)
+  override def prettyName: String = "top_centroids"
+}
+
+/** Random-hyperplane LSH band keys for one embedding: numBands keys, bit i
+  * of band b set iff dot(v, planes[b*planesPerBand + i]) >= 0. Replaces
+  * numPlanes interpreted zip_with + aggregate lambda chains per row (the
+  * same hotspot class MinHashSig/SimHash64 fixed — ~2.4 ms/doc) with one
+  * primitive loop; the dot accumulation order matches the sequential
+  * `aggregate` fold, so the produced keys are identical.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
+    planesPerBand: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val numBands = planes.length / planesPerBand
+    val out = new Array[Long](numBands)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val m = math.min(arr.numElements(), pl.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += arr.getDouble(i) * pl(i); i += 1 }
+      if (dot >= 0) out(p / planesPerBand) |= (1L << (p % planesPerBand))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$planesRef.length / $planesPerBand];
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] pl = $planesRef[$p];
+         |  int m = java.lang.Math.min($arr.numElements(), pl.length);
+         |  double dot = 0.0;
+         |  for (int $i = 0; $i < m; $i++) { dot += $arr.getDouble($i) * pl[$i]; }
+         |  if (dot >= 0) $out[$p / $planesPerBand] |= (1L << ($p % $planesPerBand));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig = copy(child = c)
+  override def prettyName: String = "hyperplane_sig"
+}
+
 /** Column-level wrappers. */
 object sketches {
   private def c(e: Expression): Column = bridge.column(e)
@@ -291,4 +444,8 @@ object sketches {
   def sorted_jaccard_sim(a: Column, b: Column): Column = c(SortedJaccardSim(e(a), e(b)))
   def sorted_jaccard_long_sim(a: Column, b: Column): Column = c(SortedJaccardLongSim(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+  def top_centroids(vec: Column, cents: Array[Array[Double]],
+      cids: Array[Long], n: Int): Column = c(TopCentroids(e(vec), cents, cids, n))
+  def hyperplane_sig(vec: Column, planes: Array[Array[Double]],
+      planesPerBand: Int): Column = c(HyperplaneSig(e(vec), planes, planesPerBand))
 }

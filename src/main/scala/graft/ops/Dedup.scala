@@ -86,16 +86,21 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // Materialize shingles + shingle hashes behind a projection boundary,
-    // then compute the signature in one primitive-loop expression.
     val (as, bs) = hashParams(numHashes, seed).unzip
-    // cached: this subtree (shingling + hashing) feeds the band branch AND
-    // both sides of candidate verification — uncached it re-evaluates 3×
+    // Cached: the shingling subtree feeds the band branch AND both sides of
+    // candidate verification — uncached it re-evaluates 3×. Only the NARROW
+    // (id, xxh: array<long>) projection is cached — the string shingle
+    // arrays never leave the scan stage (they dominated the round-1 cache
+    // footprint and its MEMORY_AND_DISK spill). Both downstream hash
+    // domains derive from xxh: the 31-bit minhash input is pmod(xxh, P)
+    // (identical to pmod(xxhash64(s), P)) and the verification sets are
+    // array_sort(xxh) (identical to the previous sort of xxhash64(s)).
     val base = df.select(col(idCol).as("id"),
-        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("hashed", transform(col("sh"), s => pmod(xxhash64(s), lit(P))))
+        transform(TextAnalysis.shingles(col(textCol), shingleSize),
+          s => xxhash64(s)).as("xxh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = graft.functions.sketches.minhash_sig(col("hashed"), as.toArray, bs.toArray)
+    val hashed = transform(col("xxh"), h => pmod(h, lit(P)))
+    val sig = graft.functions.sketches.minhash_sig(hashed, as.toArray, bs.toArray)
 
     val banded = base
       .withColumn("sig", sig)
@@ -109,15 +114,20 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val shingleSets = base.select(col("id"),
-      array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
-    candidates
+    val shingleSets = base.select(col("id"), array_sort(col("xxh")).as("sh"))
+    val result = candidates
       .join(shingleSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shingleSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Eagerly materialize the (small — near-dup pairs only) result, then
+    // release the cache: round 1 leaked it for the session lifetime, which
+    // squatted on executor memory for every later query in the bench.
+    val out = result.localCheckpoint(eager = true)
+    base.unpersist(blocking = false)
+    out
   }
 
   /** Exact Jaccard similarity of two (distinct-element) string arrays —
@@ -134,34 +144,74 @@ object Dedup {
     * — ~1 KB each — then run the O(n²) pairwise merge walks block-locally
     * in `flatMapGroups`. A self-join formulation materializes both shingle
     * arrays per PAIR (measured ~4 GB at sf0.1); this moves ~8 MB total and
-    * does the same arithmetic CPU-local. Blocks must fit in one task's
-    * memory, which is what blocking keys are for. Size-ratio prefilter:
+    * does the same arithmetic CPU-local. Size-ratio prefilter:
     * jaccard <= min(|a|,|b|)/max(|a|,|b|) — no false negatives.
+    *
+    * Bounded blocks: a block with n > maxBlock docs is hash-split into
+    * m = ceil(n / maxBlock) chunks and the O(n²) pair space becomes
+    * m(m+1)/2 chunk-pair TASKS of ≤ 2·maxBlock docs each — every pair is
+    * covered by exactly one task (the (min,max) chunk pair), so the output
+    * is identical to the single-task triangle. This caps per-task memory
+    * AND parallelizes the quadratic work: an adversarial single-block
+    * corpus becomes m² balanced tasks instead of one straggler that holds
+    * the whole block (the round-1 100 TB risk). Replication cost: each doc
+    * row is shipped to m tasks — linear in the (already narrow) input.
+    * The per-block counts table is one row per block key (bounded by
+    * blocking-key cardinality, small by construction) → broadcast.
     */
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
-      blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+      blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7,
+      maxBlock: Int = 4096): DataFrame = {
     import df.sparkSession.implicits._
     val t = df.select(col(idCol).cast("long").as("id"),
         blockCol.cast("string").as("blk"),
         array_sort(transform(
           TextAnalysis.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
-      .as[(Long, String, Array[Long])]
-    t.groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        val ds = it.toArray.sortBy(_._1)
+    val counts = t.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val chunked = t.join(broadcast(counts), "blk")
+      .select(col("blk"),
+        ceil(col("n").cast("double") / maxBlock).cast("int").as("m"),
+        pmod(xxhash64(col("id")), ceil(col("n").cast("double") / maxBlock).cast("int"))
+          .cast("int").as("c"),
+        col("id"), col("sh"))
+      .as[(String, Int, Int, Long, Array[Long])]
+    // Replicate each doc to every chunk-pair task it participates in:
+    // doc in chunk c → tasks {(min(c,o), max(c,o)) : o < m} — m tasks/doc.
+    chunked.flatMap { case (blk, m, c, id, sh) =>
+        (0 until m).iterator.map { o =>
+          ((blk, math.min(c, o), math.max(c, o)), c, id, sh)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[((String, Int, Int), Int, Long, Array[Long])]) =>
+        val ci = key._2; val cj = key._3
+        val ds = it.toArray
         val out = Seq.newBuilder[(Long, Long, Double)]
-        var i = 0
-        while (i < ds.length) {
-          var j = i + 1
-          while (j < ds.length) {
-            val a = ds(i)._3; val b = ds(j)._3
-            if (a.length >= b.length * threshold && b.length >= a.length * threshold) {
-              val jac = sortedJaccardLong(a, b)
-              if (jac >= threshold) out += ((ds(i)._1, ds(j)._1, jac))
-            }
-            j += 1
+        def emit(a: (Long, Array[Long]), b: (Long, Array[Long])): Unit = {
+          val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+          val x = lo._2; val y = hi._2
+          if (x.length >= y.length * threshold && y.length >= x.length * threshold) {
+            val jac = sortedJaccardLong(x, y)
+            if (jac >= threshold) out += ((lo._1, hi._1, jac))
           }
-          i += 1
+        }
+        if (ci == cj) {
+          val docs = ds.map(d => (d._3, d._4)).sortBy(_._1)
+          var i = 0
+          while (i < docs.length) {
+            var j = i + 1
+            while (j < docs.length) { emit(docs(i), docs(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val as = ds.filter(_._2 == ci).map(d => (d._3, d._4))
+          val bs = ds.filter(_._2 == cj).map(d => (d._3, d._4))
+          var i = 0
+          while (i < as.length) {
+            var j = 0
+            while (j < bs.length) { emit(as(i), bs(j)); j += 1 }
+            i += 1
+          }
         }
         out.result().iterator
       }
@@ -239,25 +289,20 @@ object Dedup {
       threshold: Double = 0.95, seed: Long = 7L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val numPlanes = numBands * planesPerBand
-    val planes = Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
     val v = col(vecCol).cast("array<double>")
-    def planeBit(p: Int, shift: Int): Column = {
-      val dot = aggregate(
-        zip_with(v, array(planes(p).map(lit).toIndexedSeq: _*), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), shift)).otherwise(lit(0L))
-    }
-    val bandKeys = array((0 until numBands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until planesPerBand).map(i => planeBit(b * planesPerBand + i, i))
-          .reduce((x, y) => x.bitwiseOR(y)).as("key"))
-    }: _*)
+    // All numPlanes sign bits in one primitive-loop HyperplaneSig pass
+    // (round 1 evaluated numPlanes interpreted zip_with+aggregate lambda
+    // chains per row — the hotspot class MinHashSig already fixed). The
+    // expression's sequential dot accumulation matches the aggregate fold,
+    // so the band keys are identical.
+    val keys = graft.functions.sketches.hyperplane_sig(v, planes, planesPerBand)
 
     // Narrow band join (id, band, key) → dedupe candidates → fetch vectors
     // once per side for exact-cosine verification (same scale shape as
     // minhashNearDups).
-    val banded = df.select(col(idCol).as("id"), explode(bandKeys).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+    val banded = df.select(col(idCol).as("id"),
+        posexplode(keys).as(Seq("band", "key")))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

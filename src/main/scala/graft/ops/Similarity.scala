@@ -8,15 +8,16 @@ import org.apache.spark.sql.expressions.Window
   * step 6. Two paths:
   *
   *   - [[bruteForceTopK]]: exact — broadcast the (small) query set, one
-  *     codegen'd pass over the corpus, per-query top-k. The corpus is never
-  *     shuffled full-width: only (query_id, vec_id, cosine) triples move,
-  *     and at 100 TB that single corpus scan is the floor any exact method
-  *     pays.
+  *     codegen'd pass over the corpus, per-query top-k through the typed
+  *     [[graft.functions.TopKAggregator]]: map-side bounded buffers mean
+  *     the shuffle carries O(queries × k) hits, not the full
+  *     queries × corpus score matrix. At 100 TB that single corpus scan is
+  *     the floor any exact method pays — and it's the ONLY full pass here.
   *   - [[ivfTopK]]: approximate IVF — corpus pre-assigned to nearest of C
-  *     centroids (one pass), queries probe only nProbe partitions →
-  *     touches nProbe/C of the data per query. The coarse quantizer here
-  *     is deterministic (seeded sample as centroids) — a production system
-  *     would k-means iterate, which is just this assignment step looped.
+  *     centroids (one pass, zero shuffle: the argmax over broadcast
+  *     centroids is a per-row [[graft.functions.TopCentroids]] expression),
+  *     queries probe only nProbe partitions → touches nProbe/C of the data
+  *     per query.
   */
 object Similarity {
 
@@ -31,8 +32,21 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (excluding self-matches
     * by id). Output: (query_id, vec_id, rank) — rank 1..k by descending
     * cosine, ties broken by ascending vec_id for determinism.
+    *
+    * Default implementation is the aggregator path (bounded map-side
+    * buffers); [[bruteForceTopKWindow]] is the window-shuffle twin kept for
+    * cross-checking — it computes the identical answer but shuffles the
+    * full score matrix, which does not survive a 100 TB corpus.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    bruteForceTopKAgg(corpus, queries, idCol, vecCol, k)
+
+  /** Window-formulation twin of [[bruteForceTopK]] — same output contract,
+    * but shuffles every (query_id, vec_id, cosine) triple. Kept as the
+    * oracle/test cross-check for the aggregator path; do not use at scale.
+    */
+  def bruteForceTopKWindow(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
@@ -73,22 +87,41 @@ object Similarity {
       .select(monotonically_increasing_id().as("cid"),
         col(vecCol).cast("array<double>").as("centroid"))
 
-  /** IVF assignment: each corpus vector → nearest centroid id. */
+  /** Collect the (small, by construction — it's a coarse quantizer)
+    * centroid table driver-side, sorted by cid so the expression's
+    * strict-greater argmax tie-breaks on ascending cid exactly like the
+    * `Window.orderBy(d.desc, cid)` formulation it replaced.
+    */
+  private def collectCents(cents: DataFrame): (Array[Array[Double]], Array[Long]) = {
+    val rows = cents
+      .select(col("cid").cast("long"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.map(_._1))
+  }
+
+  /** IVF assignment: each corpus vector → nearest centroid id. Zero
+    * shuffle: one per-row [[graft.functions.TopCentroids]] argmax over the
+    * driver-collected centroids (the previous crossJoin + Window plan
+    * shuffled corpus × C rows — a 1024× corpus blow-up at C=1024).
+    */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
-    c.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cv"), col("cid"), cosine(col("cv"), col("centroid")).as("d"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val (cm, cids) = collectCents(cents)
+    corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid",
+        element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
       .select(col("vec_id"), col("cv"), col("cid"))
   }
 
   /** One Lloyd (k-means) iteration: re-center each cluster on the
     * element-wise mean of its members. Deterministic given deterministic
     * assignment; clusters that lose all members drop out (fewer, better
-    * centroids — acceptable for a coarse quantizer).
+    * centroids — acceptable for a coarse quantizer). The posexplode is
+    * narrow (cid, pos, v) and partial-aggregates map-side, so the shuffle
+    * is partitions × C × dim rows, not corpus × dim.
     */
   def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, iterations: Int): DataFrame = {
@@ -108,26 +141,29 @@ object Similarity {
   /** Approximate top-k: probe the nProbe centroids nearest to each query,
     * search only their partitions. `kmeansIters` Lloyd steps refine the
     * seeded coarse centroids (the assignment pass IS the k-means inner
-    * loop, so refinement reuses it).
+    * loop, so refinement reuses it). Probe selection is the same per-row
+    * [[graft.functions.TopCentroids]] expression with n = nProbe — no
+    * crossJoin, no window.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 1): DataFrame = {
     val cents = kmeansIterate(corpus, idCol, vecCol,
       centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
-    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+    val (cm, cids) = collectCents(cents)
 
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qv"), col("cid"),
-        cosine(col("qv"), col("centroid")).as("d"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val assigned = corpus.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid",
+        element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
+
+    val probes = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.sketches.top_centroids(col("qv"), cm, cids, nProbe)).as("cid"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))

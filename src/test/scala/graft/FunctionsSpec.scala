@@ -50,7 +50,7 @@ class FunctionsSpec extends AnyFunSuite {
   test("TopKAggregator output equals the window formulation exactly") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 25)
-    val viaWindow = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 7)
+    val viaWindow = Similarity.bruteForceTopKWindow(emb, q, "vec_id", "embedding", 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val viaAgg = Similarity.bruteForceTopKAgg(emb, q, "vec_id", "embedding", 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

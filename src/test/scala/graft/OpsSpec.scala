@@ -116,6 +116,66 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getLong(1) == best.getLong(0))
   }
 
+  test("chunked jaccard: adversarial single-block corpus == unchunked result") {
+    // All docs share ONE blocking key — the round-1 straggler/OOM shape.
+    // With maxBlock small enough to force m > 1 chunks, the chunk-pair
+    // tasks must reproduce the single-triangle result exactly.
+    val oneBlock = planted.withColumn("b", lit("all"))
+    def run(maxBlock: Int) =
+      Dedup.ngramJaccardNearDups(oneBlock, "doc_id", "text", col("b"),
+          threshold = 0.5, maxBlock = maxBlock)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unchunked = run(1000000)
+    val chunked = run(50) // sf0.001 has ~hundreds of docs → m >= 4
+    assert(chunked == unchunked, s"chunked=${chunked.size} unchunked=${unchunked.size}")
+    assert(unchunked.nonEmpty)
+  }
+
+  test("IVF assignment: zero-shuffle plan, equals crossJoin+window argmax") {
+    val cents = emb.orderBy(col("vec_id")).limit(8)
+      .select(monotonically_increasing_id().as("cid"),
+        col("embedding").cast("array<double>").as("centroid"))
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    // the assignment plan must be a pure map — no Exchange, no Window
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment plan has a window:\n$plan")
+    // value parity with the round-1 window formulation
+    val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d").desc, col("cid"))
+    val expected = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosine(col("cv"), col("centroid")).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val actual = assigned.select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(actual == expected)
+  }
+
+  test("HyperplaneSig band keys equal the zip_with+aggregate formulation") {
+    val rnd = new scala.util.Random(7L)
+    val planes = Array.fill(12)(Array.fill(64)(rnd.nextGaussian()))
+    val v = col("embedding").cast("array<double>")
+    val viaExpr = emb.select(col("vec_id"),
+        graft.functions.sketches.hyperplane_sig(v, planes, 6).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def planeBit(p: Int, shift: Int) = {
+      val dot = aggregate(
+        zip_with(v, array(planes(p).map(lit).toIndexedSeq: _*), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), shift)).otherwise(lit(0L))
+    }
+    val viaHof = emb.select(col("vec_id"),
+        array((0 until 2).map { b =>
+          (0 until 6).map(i => planeBit(b * 6 + i, i))
+            .reduce((x, y) => x.bitwiseOR(y))
+        }: _*).as("keys"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaHof)
+  }
+
   test("text analysis values are sane and deterministic") {
     val r1 = docs.select(TextAnalysis.tokenCount(col("text")).as("t"),
       TextAnalysis.stopwordRatio(col("text")).as("sw"),
