@@ -53,6 +53,12 @@ object Ripple {
   def truncateBefore(root: String, topic: String, floorOffset: Long): Int =
     new FileTopicLog(Paths.get(root)).truncateBefore(topic, floorOffset)
 
+  /** Time-based retention: drop whole segments older than `maxAgeMillis`
+    * per bucket (by publish mtime; offsets preserved, newest segment kept).
+    */
+  def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long): Int =
+    new FileTopicLog(Paths.get(root)).truncateOlderThan(topic, maxAgeMillis)
+
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.
     */

@@ -69,7 +69,9 @@ object RippleConf {
       numBuckets = options.getInt("buckets", 4),
       startingOffset = options.getLong("startingOffset", 0L),
       endingOffset = options.getLong("endingOffset", Long.MaxValue),
-      maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue))
+      maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue),
+      preferredHosts = Option(options.get("preferredHosts"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
   }
 }
 
@@ -81,7 +83,8 @@ case class RippleConf(
     numBuckets: Int,
     startingOffset: Long,
     endingOffset: Long,
-    maxOffsetsPerTrigger: Long) {
+    maxOffsetsPerTrigger: Long,
+    preferredHosts: Seq[String] = Seq.empty) {
   def log: FileTopicLog = new FileTopicLog(Paths.get(root))
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)
@@ -111,5 +114,5 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
     new RippleScanBuilder(RippleConf(opts))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RippleWriteBuilder(RippleConf(info.options()), info.schema())
+    new RippleWriteBuilder(RippleConf(info.options()), info.schema(), info.queryId())
 }

@@ -83,8 +83,20 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
   */
 case class RippleInputPartition(
     root: String, topic: String, bucket: String,
-    segPath: String, segStart: Long, from: Long, until: Long)
-  extends InputPartition
+    segPath: String, segStart: Long, from: Long, until: Long,
+    hosts: Array[String] = Array.empty)
+  extends InputPartition {
+  /** Locality hint: pin each bucket's reads to a stable host so a bucket's
+    * segments land on the same executor across triggers (page-cache and
+    * state locality) — the role the reference's consumer load-balancer
+    * plays (`internal/broker/consumer/loadbalancer/loadbalancer.go:13-19`).
+    * Hosts come from the `preferredHosts` option; empty → no preference
+    * (Spark schedules freely).
+    */
+  override def preferredLocations(): Array[String] =
+    if (hosts.isEmpty) Array.empty
+    else Array(hosts(math.floorMod(bucket.hashCode, hosts.length)))
+}
 
 class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
     extends Batch {
@@ -96,7 +108,8 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
       log.segments(tb).collect {
         case (path, start, count) if start < end && start + count > lo =>
           RippleInputPartition(conf.root, conf.topic, tb.bucket,
-            path.toString, start, math.max(lo, start), math.min(end, start + count))
+            path.toString, start, math.max(lo, start), math.min(end, start + count),
+            conf.preferredHosts.toArray)
       }
     }.toArray
   }
@@ -152,7 +165,7 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType)
   }
 
   override def get(): InternalRow = cur
-  override def close(): Unit = while (it.hasNext) it.next() // drains + closes stream
+  override def close(): Unit = it.close() // releases the handle WITHOUT decoding the tail
 }
 
 /** Micro-batch source: the Spark-native consume loop. `latestOffset` is the
@@ -178,23 +191,52 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     if (conf.maxOffsetsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(conf.maxOffsetsPerTrigger)
 
-  /** Rate-limited end offset: spread the row cap over buckets in bucket
-    * order — `AskQuery.Count` semantics (`core.go:16-19,52`) generalized
-    * to multiple buckets.
+  /** Rate-limited end offset: the row cap is allocated PROPORTIONALLY to
+    * each bucket's backlog (as the Kafka source does), with every non-empty
+    * bucket guaranteed >= 1 row whenever the cap covers the bucket count —
+    * round 1 spent the cap in bucket-name order, so under a sustained cap
+    * b0000 drained first and high-numbered buckets starved indefinitely.
+    * Deterministic: floors + largest-remainder, ties by bucket name.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val now = sizes()
     val s = start.asInstanceOf[RippleOffset].ends
     limit match {
       case mr: ReadMaxRows =>
-        var remaining = mr.maxRows()
-        val capped = now.toSeq.sortBy(_._1).map { case (b, end) =>
-          val from = s.getOrElse(b, conf.startingOffset)
-          val take = math.max(0L, math.min(end - from, remaining))
-          remaining -= take
-          b -> (from + take)
+        val cap = mr.maxRows()
+        val from = now.map { case (b, _) => b -> s.getOrElse(b, conf.startingOffset) }
+        val backlog = now.map { case (b, end) => b -> math.max(0L, end - from(b)) }
+        val total = backlog.valuesIterator.sum
+        if (total <= cap) RippleOffset(now)
+        else {
+          val nonEmpty = backlog.toSeq.filter(_._2 > 0).sortBy(_._1)
+          val k = nonEmpty.size.toLong
+          val takes = scala.collection.mutable.Map.empty[String, Long]
+          if (cap < k) {
+            // degenerate cap < #buckets: advance the cap largest backlogs
+            nonEmpty.sortBy { case (b, n) => (-n, b) }.take(cap.toInt)
+              .foreach { case (b, _) => takes(b) = 1L }
+          } else {
+            val rest = cap - k
+            val restTotal = total - k
+            // min-1 each, then proportional floors over the remaining backlog
+            nonEmpty.foreach { case (b, n) =>
+              takes(b) = 1L + (if (restTotal == 0) 0L else rest * (n - 1) / restTotal)
+            }
+            var rem = cap - takes.valuesIterator.sum
+            val order = nonEmpty.sortBy { case (b, n) =>
+              (if (restTotal == 0) 0L else -(rest * (n - 1) % restTotal), b)
+            }
+            var progressed = true
+            while (rem > 0 && progressed) {
+              progressed = false
+              order.foreach { case (b, n) =>
+                if (rem > 0 && takes(b) < n) { takes(b) += 1; rem -= 1; progressed = true }
+              }
+            }
+          }
+          RippleOffset(from.map { case (b, f) => b -> (f + takes.getOrElse(b, 0L)) })
         }
-        RippleOffset(capped.toMap)
       case _ => RippleOffset(now)
     }
   }
@@ -220,7 +262,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
           case (path, segStart, count) if segStart < until && segStart + count > from =>
             RippleInputPartition(conf.root, conf.topic, bucket,
               path.toString, segStart, math.max(from, segStart),
-              math.min(until, segStart + count))
+              math.min(until, segStart + count), conf.preferredHosts.toArray)
         }
       }
     }.toArray

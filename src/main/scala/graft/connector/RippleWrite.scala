@@ -31,13 +31,14 @@ import scala.collection.mutable
   * name containing the epoch id, and the publish step skips buckets whose
   * epoch-commit marker already exists, so a replayed epoch is a no-op.
   */
-class RippleWriteBuilder(conf: RippleConf, schema: StructType) extends WriteBuilder {
-  override def build(): Write = new RippleWrite(conf, schema)
+class RippleWriteBuilder(conf: RippleConf, schema: StructType, queryId: String)
+    extends WriteBuilder {
+  override def build(): Write = new RippleWrite(conf, schema, queryId)
 }
 
-class RippleWrite(conf: RippleConf, schema: StructType) extends Write {
+class RippleWrite(conf: RippleConf, schema: StructType, queryId: String) extends Write {
   override def toBatch: BatchWrite = new RippleBatchWrite(conf, schema)
-  override def toStreaming: StreamingWrite = new RippleStreamingWrite(conf, schema)
+  override def toStreaming: StreamingWrite = new RippleStreamingWrite(conf, schema, queryId)
 }
 
 /** Which input columns feed the frame fields; resolved once on the driver. */
@@ -96,7 +97,8 @@ class RippleBatchWrite(conf0: RippleConf, schema: StructType) extends BatchWrite
     RipplePublish.abort(messages)
 }
 
-class RippleStreamingWrite(conf0: RippleConf, schema: StructType) extends StreamingWrite {
+class RippleStreamingWrite(conf0: RippleConf, schema: StructType, queryId: String)
+    extends StreamingWrite {
   private val conf = EffectiveBuckets.resolve(conf0)
   private val shape = WriteShape.resolve(schema)
 
@@ -104,7 +106,7 @@ class RippleStreamingWrite(conf0: RippleConf, schema: StructType) extends Stream
     new RippleWriterFactory(conf, shape)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    RipplePublish.publish(conf, messages, epochId = Some(epochId))
+    RipplePublish.publish(conf, messages, epochId = Some(epochId), queryId = queryId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     RipplePublish.abort(messages)
@@ -179,12 +181,43 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   */
 object RipplePublish {
 
+  /** Byte-identical file contents (size fast-path, then full compare). */
+  private def sameContent(a: Path, b: Path): Boolean =
+    Files.exists(a) && Files.exists(b) &&
+      Files.size(a) == Files.size(b) && Files.mismatch(a, b) == -1L
+
+  /** After linking `mine` at [start, start+count), verify no pre-existing
+    * segment overlaps it. Two drivers that both computed the same `next`
+    * can publish differently-named overlapping segments (the names carry
+    * the count, so createLink alone cannot arbitrate). Resolution is
+    * deterministic and lock-free: of an overlapping pair, the
+    * lexicographically SMALLER segment name wins; the loser unlinks its own
+    * segment and republishes after the winner. Both sides apply the same
+    * rule, so exactly one yields.
+    */
+  private def overlapsLoser(log: FileTopicLog, tb: TopicBucket,
+      mine: Path, start: Long, count: Long): Boolean = {
+    val myName = mine.getFileName.toString
+    val clash = log.segmentsRaw(tb).exists { case (p, s, c) =>
+      val other = p.getFileName.toString
+      other != myName && s < start + count && s + c > start && other < myName
+    }
+    if (clash) Files.deleteIfExists(mine)
+    clash
+  }
+
   def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
-      epochId: Option[Long]): Unit = synchronized {
+      epochId: Option[Long], queryId: String = ""): Unit = synchronized {
     val log = new FileTopicLog(Paths.get(conf.root))
-    // Epoch idempotency marker (streaming replay of a committed epoch).
-    val marker = epochId.map(e =>
-      Paths.get(conf.root, conf.topic, ".commits", s"epoch-$e"))
+    // Epoch idempotency marker (streaming replay of a committed epoch),
+    // keyed by QUERY IDENTITY + epoch: epochs restart at 0 for a query
+    // restarted with a fresh checkpoint, and two concurrent queries writing
+    // the same topic both count from 0 — a marker keyed by epoch alone made
+    // publish() silently drop their batches (round-1 ADVICE, high).
+    val marker = epochId.map { e =>
+      val qdir = if (queryId.isEmpty) "unknown-query" else queryId
+      Paths.get(conf.root, conf.topic, ".commits", qdir, s"epoch-$e")
+    }
     if (marker.exists(Files.exists(_))) { abort(messages); return }
 
     val staged = messages.collect { case RippleCommitMessage(s) => s }.flatten
@@ -197,7 +230,7 @@ object RipplePublish {
         s"invalid bucket name '$bucket'")
       val tb = TopicBucket(conf.topic, bucket)
       Files.createDirectories(log.bucketDir(tb))
-      var next = log.size(tb)
+      var next = log.endOffsetListed(tb)
       files.foreach { f =>
         var published = false
         while (!published) {
@@ -209,23 +242,31 @@ object RipplePublish {
           // after the winner.
           try {
             Files.createLink(target, Paths.get(f.path))
-            Files.deleteIfExists(Paths.get(f.path))
-            published = true
-            next += f.count
+            if (overlapsLoser(log, tb, target, next, f.count)) {
+              next = math.max(log.endOffsetListed(tb), next)
+            } else {
+              Files.deleteIfExists(Paths.get(f.path))
+              published = true
+              next += f.count
+            }
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
-              val end = log.size(tb)
-              if (end > next) next = end // another writer advanced; retry after it
-              else {
-                // exact (start,count) twin exists → retried publish of this
-                // very batch; idempotent outcome
+              // An exact-name twin exists. Only treat it as OUR idempotent
+              // retry if the bytes match — a different writer's same
+              // (start,count) collision must NOT swallow this batch
+              // (round-1 ADVICE, medium).
+              if (sameContent(target, Paths.get(f.path))) {
                 Files.deleteIfExists(Paths.get(f.path))
                 published = true
                 next += f.count
+              } else {
+                val end = log.endOffsetListed(tb)
+                next = if (end > next) end else next + f.count
               }
           }
         }
       }
+      log.refreshManifest(tb)
     }
     marker.foreach { m =>
       Files.createDirectories(m.getParent)

@@ -96,6 +96,7 @@ final class InMemoryLog extends TopicLog {
 object SegmentCodec {
   val SegmentPrefix = "seg-"
   val SegmentSuffix = ".log"
+  val ManifestName = ".manifest"
 
   def segmentName(start: Long, count: Long): String =
     f"$SegmentPrefix$start%020d-$count%010d$SegmentSuffix"
@@ -119,25 +120,33 @@ object SegmentCodec {
     } finally out.close()
   }
 
-  /** Iterate all frames of a segment: (id, tsMillis, data). */
-  def read(file: Path): Iterator[(Int, Long, Array[Byte])] = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file.toFile), 1 << 16))
-    new Iterator[(Int, Long, Array[Byte])] {
-      private var nextLen = readLen()
-      private def readLen(): Int =
-        try in.readInt()
-        catch { case _: java.io.EOFException => in.close(); -1 }
-      override def hasNext: Boolean = nextLen >= 0
-      override def next(): (Int, Long, Array[Byte]) = {
-        val id = in.readInt()
-        val ts = in.readLong()
-        val data = new Array[Byte](nextLen - 12)
-        in.readFully(data)
-        nextLen = readLen()
-        (id, ts, data)
-      }
+  /** Frame iterator with an explicit `close()`: an offset-pruned read that
+    * stops mid-segment releases the file handle WITHOUT decoding the
+    * remaining frames (round 1 drained the iterator to close — O(segment)
+    * wasted I/O per pruned scan).
+    */
+  final class FrameIterator(file: Path)
+      extends Iterator[(Int, Long, Array[Byte])] with AutoCloseable {
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file.toFile), 1 << 16))
+    private var nextLen = readLen()
+    private def readLen(): Int =
+      try in.readInt()
+      catch { case _: java.io.EOFException => in.close(); -1 }
+    override def hasNext: Boolean = nextLen >= 0
+    override def next(): (Int, Long, Array[Byte]) = {
+      val id = in.readInt()
+      val ts = in.readLong()
+      val data = new Array[Byte](nextLen - 12)
+      in.readFully(data)
+      nextLen = readLen()
+      (id, ts, data)
     }
+    override def close(): Unit = { nextLen = -1; try in.close() catch { case _: Throwable => () } }
   }
+
+  /** Iterate all frames of a segment: (id, tsMillis, data). */
+  def read(file: Path): FrameIterator = new FrameIterator(file)
 }
 
 /** Durable file-backed log: one directory per topic/bucket containing
@@ -150,31 +159,95 @@ final class FileTopicLog(val root: Path) extends TopicLog {
 
   def bucketDir(tb: TopicBucket): Path = root.resolve(tb.topic).resolve(tb.bucket)
 
-  /** Published segments, sorted by start offset: (path, start, count).
-    * Gaps are legal (retention); OVERLAPS are not — they mean the
-    * single-writer-per-bucket contract was violated and reads would
-    * double-count, so fail loudly instead.
+  private def manifestPath(tb: TopicBucket): Path =
+    bucketDir(tb).resolve(SegmentCodec.ManifestName)
+
+  private def checkNoOverlap(tb: TopicBucket, segs: Seq[(Path, Long, Long)]): Seq[(Path, Long, Long)] = {
+    segs.sliding(2).foreach {
+      case Seq((_, s1, c1), (p2, s2, _)) if s1 + c1 > s2 =>
+        throw new IllegalStateException(
+          s"overlapping segments in ${tb.path}: [$s1,+$c1) overlaps $p2 " +
+            "(single-writer-per-bucket contract violated)")
+      case _ =>
+    }
+    segs
+  }
+
+  /** AUTHORITATIVE segment view: a directory listing. The write path (offset
+    * assignment) and manifest refresh use this; the read-planning path goes
+    * through [[segments]], which prefers the per-bucket manifest — at 100 TB
+    * a bucket holds millions of segment files and listing it per micro-batch
+    * trigger is the planning bottleneck (the reference keeps this metadata
+    * in its ZK tree, `internal/lighthouse/io/io.go:55-156`, for the same
+    * reason).
     */
-  def segments(tb: TopicBucket): Seq[(Path, Long, Long)] = {
+  def segmentsListed(tb: TopicBucket): Seq[(Path, Long, Long)] =
+    checkNoOverlap(tb, segmentsRaw(tb))
+
+  /** Directory listing WITHOUT the overlap check — for the publish path's
+    * overlap arbitration, which must be able to observe a transient overlap
+    * in order to resolve it (the checked views throw on one).
+    */
+  def segmentsRaw(tb: TopicBucket): Seq[(Path, Long, Long)] = {
     val dir = bucketDir(tb)
     if (!Files.isDirectory(dir)) Seq.empty
     else {
       val files = dir.toFile.listFiles()
       if (files == null) Seq.empty
-      else {
-        val segs = files.iterator.flatMap { f =>
-          SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
-        }.toSeq.sortBy(_._2)
-        segs.sliding(2).foreach {
-          case Seq((_, s1, c1), (p2, s2, _)) if s1 + c1 > s2 =>
-            throw new IllegalStateException(
-              s"overlapping segments in ${tb.path}: [$s1,+$c1) overlaps $p2 " +
-                "(single-writer-per-bucket contract violated)")
-          case _ =>
+      else files.iterator.flatMap { f =>
+        SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
+      }.toSeq.sortBy(_._2)
+    }
+  }
+
+  /** Published segments, sorted by start offset: (path, start, count).
+    * Gaps are legal (retention); OVERLAPS are not — they mean the
+    * single-writer-per-bucket contract was violated and reads would
+    * double-count, so fail loudly instead.
+    *
+    * Reads the bucket manifest when present (one small-file read instead of
+    * a directory listing); every publish/retention path rewrites the
+    * manifest atomically, so a missing or torn manifest only ever falls
+    * back to the authoritative listing.
+    */
+  def segments(tb: TopicBucket): Seq[(Path, Long, Long)] = {
+    val m = manifestPath(tb)
+    if (!Files.exists(m)) segmentsListed(tb)
+    else {
+      val dir = bucketDir(tb)
+      try {
+        val names = Files.readAllLines(m)
+        val segs = new mutable.ArrayBuffer[(Path, Long, Long)](names.size())
+        names.forEach { name =>
+          if (name.nonEmpty) SegmentCodec.parse(name) match {
+            case Some((s, c)) => segs += ((dir.resolve(name), s, c))
+            case None         => // torn/garbage line → distrust the whole file
+              throw new java.io.IOException(s"bad manifest line: $name")
+          }
         }
-        segs
+        checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
+      } catch {
+        case _: java.io.IOException => segmentsListed(tb)
       }
     }
+  }
+
+  /** Atomically rewrite the bucket manifest from the directory listing.
+    * Called after every publish/retention mutation; concurrent refreshes
+    * are safe (each writes a full self-consistent snapshot via tmp +
+    * atomic rename, and a lost update is re-healed by the next mutation).
+    */
+  def refreshManifest(tb: TopicBucket): Unit = {
+    val dir = bucketDir(tb)
+    if (!Files.isDirectory(dir)) return
+    // raw listing: a transient overlap (another writer mid-arbitration) must
+    // not abort THIS writer's refresh; readers still get the checked view.
+    val names = segmentsRaw(tb).map(_._1.getFileName.toString)
+    val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: Throwable => Files.deleteIfExists(tmp) }
   }
 
   override def size(tb: TopicBucket): Long = {
@@ -182,9 +255,18 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
   }
 
+  /** End offset from the authoritative listing — what offset assignment on
+    * the write path must use (a lagging manifest must never cause a writer
+    * to hand out overlapping offsets).
+    */
+  def endOffsetListed(tb: TopicBucket): Long = {
+    val segs = segmentsRaw(tb) // max() needs no overlap check
+    if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
+  }
+
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
-    appendAt(tb, size(tb), rows.map(p => (p, now)))
+    appendAt(tb, endOffsetListed(tb), rows.map(p => (p, now)))
   }
 
   /** Idempotent positional append: publish a segment starting at `start`.
@@ -205,6 +287,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
         case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
       }
     }
+    refreshManifest(tb)
     start
   }
 
@@ -217,13 +300,13 @@ final class FileTopicLog(val root: Path) extends TopicLog {
       if (start < hi && start + count > lo) {
         var off = start
         val it = SegmentCodec.read(path)
-        while (it.hasNext && off < hi) {
-          val (id, ts, data) = it.next()
-          if (off >= lo) out += LogRecord(tb.topic, tb.bucket, off, id, data, new java.sql.Timestamp(ts))
-          off += 1
-        }
-        // drain remaining iterator to release the stream
-        while (it.hasNext) it.next()
+        try {
+          while (it.hasNext && off < hi) {
+            val (id, ts, data) = it.next()
+            if (off >= lo) out += LogRecord(tb.topic, tb.bucket, off, id, data, new java.sql.Timestamp(ts))
+            off += 1
+          }
+        } finally it.close()
       }
     }
     out.result()
@@ -255,14 +338,45 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * in RAM (TTL TODO at `internal/broker/consumer/server/core.go:45`);
     * here retention is a pure metadata op. Returns deleted segment count.
     */
-  def truncateBefore(topic: String, floorOffset: Long): Int = {
+  def truncateBefore(topic: String, floorOffset: Long): Int =
+    truncateWhere(topic) { case (path, start, count) => start + count <= floorOffset }
+
+  /** Time-based retention: delete whole segments older than `maxAgeMillis`
+    * (by segment file mtime — set at publish, so always >= the newest
+    * record's event time) in every bucket. Offsets are preserved exactly as
+    * in [[truncateBefore]]; the reference never implemented its retention
+    * TTL (`internal/broker/consumer/server/core.go:45` TODO). Returns the
+    * deleted segment count.
+    */
+  def truncateOlderThan(topic: String, maxAgeMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
+    val cutoff = nowMillis - maxAgeMillis
+    truncateWhere(topic) { case (path, _, _) =>
+      Files.getLastModifiedTime(path).toMillis < cutoff
+    }
+  }
+
+  /** Shared retention walk: drop segments matching `expired`, never the
+    * newest segment of a bucket (size() derives from segment names, so an
+    * empty bucket would restart offsets at 0 and break monotonicity). The
+    * manifest is rewritten WITHOUT the expired segments before any file is
+    * deleted, so manifest-backed readers never plan a ghost segment.
+    */
+  private def truncateWhere(topic: String)(
+      expired: ((Path, Long, Long)) => Boolean): Int = {
     var deleted = 0
     buckets(topic).foreach { tb =>
-      val segs = segments(tb)
-      // never delete the newest segment: size() derives from segment names,
-      // so an empty bucket would restart offsets at 0 and break monotonicity
-      segs.dropRight(1).foreach { case (path, start, count) =>
-        if (start + count <= floorOffset) {
+      val segs = segmentsListed(tb)
+      val toDelete = segs.dropRight(1).filter(expired)
+      if (toDelete.nonEmpty) {
+        val keep = segs.filterNot(toDelete.contains)
+        val dir = bucketDir(tb)
+        val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, keep.map(_._1.getFileName.toString).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        toDelete.foreach { case (path, _, _) =>
           if (Files.deleteIfExists(path)) deleted += 1
         }
       }

@@ -186,9 +186,103 @@ class ConnectorSpec extends AnyFunSuite {
     graft.log.SegmentCodec.write(
       dir.resolve(graft.log.SegmentCodec.segmentName(5L, 3L)),
       (0 until 3).map(i => (graft.model.Payload(i, Array[Byte]()), 0L)))
+    // surface the forged file in the manifest-backed view (out-of-band
+    // files are otherwise invisible to readers by design)
+    new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+      .refreshManifest(graft.model.TopicBucket("ov", "b0000"))
     val e = intercept[Exception] { Ripple.read(spark, root, "ov").count() }
     assert(e.getMessage.contains("overlap") ||
       (e.getCause != null && e.getCause.getMessage.contains("overlap")), e.getMessage)
+  }
+
+  test("rate cap is allocated proportionally; every non-empty bucket advances") {
+    import graft.connector.{RippleConf, RippleMicroBatchStream, RippleOffset}
+    val root = tmp()
+    Ripple.createTopic(root, "pr", 4)
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    def fill(bucket: String, n: Int): Unit =
+      log.append(graft.model.TopicBucket("pr", bucket),
+        (0 until n).map(i => graft.model.Payload(i, Array[Byte](1))))
+    fill("b0000", 100); fill("b0001", 10); fill("b0002", 1) // b0003 empty
+    val conf = RippleConf(root, "pr", None, 4, 0L, Long.MaxValue, 12L)
+    val stream = new RippleMicroBatchStream(conf, graft.model.Schemas.envelope)
+    val start = RippleOffset(Map("b0000" -> 0L, "b0001" -> 0L, "b0002" -> 0L, "b0003" -> 0L))
+    val end = stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(12L))
+      .asInstanceOf[RippleOffset].ends
+    val adv = end.map { case (b, e) => b -> (e - start.ends(b)) }
+    assert(adv.values.sum == 12, adv.toString)
+    assert(adv("b0000") > adv("b0001"), adv.toString) // proportional to backlog
+    assert(adv("b0001") >= 1 && adv("b0002") >= 1, adv.toString) // no starvation
+    assert(adv("b0003") == 0)
+    // sustained cap drains the whole topic (round 1 starved b0001/b0002)
+    var cur = start
+    var steps = 0
+    while (steps < 50 && {
+      val nxt = stream.latestOffset(cur,
+          org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(12L))
+        .asInstanceOf[RippleOffset]
+      val moved = nxt.ends != cur.ends
+      cur = nxt; moved
+    }) steps += 1
+    assert(cur.ends == Map("b0000" -> 100L, "b0001" -> 10L, "b0002" -> 1L, "b0003" -> 0L))
+  }
+
+  test("exactly-once markers are per-query: a second query's epoch 0 still lands") {
+    import graft.connector.{RippleCommitMessage, RippleConf, RipplePublish, StagedFile}
+    val root = tmp()
+    Ripple.createTopic(root, "qm", 1)
+    val conf = RippleConf(root, "qm", None, 1, 0L, Long.MaxValue, Long.MaxValue)
+    val staging = java.nio.file.Paths.get(root, "qm", ".staging")
+    java.nio.file.Files.createDirectories(staging)
+    def stage(tag: Byte): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val p = staging.resolve(s"stage-${java.util.UUID.randomUUID()}")
+      graft.log.SegmentCodec.write(p,
+        (0 until 5).map(i => (graft.model.Payload(i, Array[Byte](tag)), 0L)))
+      Array(RippleCommitMessage(Seq(StagedFile("b0000", p.toString, 5L))))
+    }
+    val tb = graft.model.TopicBucket("qm", "b0000")
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    RipplePublish.publish(conf, stage(1), Some(0L), "queryA")
+    assert(log.size(tb) == 5)
+    // same epoch id, DIFFERENT query: must publish (round-1 data-loss bug)
+    RipplePublish.publish(conf, stage(2), Some(0L), "queryB")
+    assert(log.size(tb) == 10)
+    // same query + same epoch: idempotent replay, still a no-op
+    RipplePublish.publish(conf, stage(3), Some(0L), "queryA")
+    assert(log.size(tb) == 10)
+  }
+
+  // The same-(start,count) createLink collision itself needs two racing
+  // JVMs (publish is driver-synchronized); tools/race_probe.sh covers that.
+  // In-process we verify the adjacent invariant: a foreign writer's
+  // published segment is never clobbered and our batch lands after it.
+  test("foreign pre-published segment is never clobbered; our batch lands after it") {
+    import graft.connector.{RippleCommitMessage, RippleConf, RipplePublish, StagedFile}
+    val root = tmp()
+    Ripple.createTopic(root, "cc", 1)
+    val conf = RippleConf(root, "cc", None, 1, 0L, Long.MaxValue, Long.MaxValue)
+    val tb = graft.model.TopicBucket("cc", "b0000")
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    // a foreign writer already published [0,5) with content F
+    graft.log.SegmentCodec.write(
+      log.bucketDir(tb).resolve(graft.log.SegmentCodec.segmentName(0L, 5L)),
+      (0 until 5).map(i => (graft.model.Payload(i, Array[Byte](9, 9)), 0L)))
+    // our writer computed the same start before the foreign publish landed
+    val staging = java.nio.file.Paths.get(root, "cc", ".staging")
+    java.nio.file.Files.createDirectories(staging)
+    val p = staging.resolve("stage-x")
+    graft.log.SegmentCodec.write(p,
+      (0 until 5).map(i => (graft.model.Payload(100 + i, Array[Byte](1, 1)), 0L)))
+    RipplePublish.publish(conf,
+      Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        RippleCommitMessage(Seq(StagedFile("b0000", p.toString, 5L)))),
+      epochId = None)
+    // both batches present: foreign [0,5) intact, ours republished at [5,10)
+    assert(log.size(tb) == 10)
+    val rows = log.range(tb, 0, 10)
+    assert(rows.take(5).forall(_.data.sameElements(Array[Byte](9, 9))))
+    assert(rows.drop(5).forall(_.data.sameElements(Array[Byte](1, 1))))
   }
 
   test("write rejects schemas without id/data") {

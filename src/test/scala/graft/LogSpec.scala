@@ -115,6 +115,52 @@ class LogSpec extends AnyFunSuite {
     assert(log.range(tb, 20, 100).map(_.offset) == (20L until 22L))
   }
 
+  test("manifest tracks the directory listing through appends and retention") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 6).foreach { i => log.appendAt(tb, i * 4L, payloads(4).map(p => (p, now))) }
+    // manifest-backed view == authoritative listing
+    assert(log.segments(tb) == log.segmentsListed(tb))
+    assert(java.nio.file.Files.exists(
+      log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName)))
+    log.truncateBefore(tb.topic, 9L)
+    assert(log.segments(tb) == log.segmentsListed(tb))
+    // reads go through the manifest and still see exactly the retained rows
+    assert(log.range(tb, 0, 100).map(_.offset) == (8L until 24L))
+    // a deleted manifest only falls back to the listing
+    java.nio.file.Files.delete(log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName))
+    assert(log.segments(tb) == log.segmentsListed(tb))
+    // a corrupt manifest is distrusted, not half-applied
+    java.nio.file.Files.write(
+      log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName),
+      "garbage-line\n".getBytes)
+    assert(log.segments(tb) == log.segmentsListed(tb))
+  }
+
+  test("truncateOlderThan drops aged segments, replay from retained offset exact") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i => log.appendAt(tb, i * 5L, payloads(5).map(p => (p, now))) }
+    // age the first two segments' files by an hour
+    log.segmentsListed(tb).take(2).foreach { case (p, _, _) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(now - 3600 * 1000L))
+    }
+    val deleted = log.truncateOlderThan(tb.topic, maxAgeMillis = 60 * 1000L, nowMillis = now)
+    assert(deleted == 2)
+    assert(log.size(tb) == 20) // end offset unchanged
+    assert(log.range(tb, 10, 100).map(_.offset) == (10L until 20L))
+    assert(log.range(tb, 10, 100).map(_.id) == payloads(5).map(_.id) ++ payloads(5).map(_.id))
+    // everything aged: newest segment survives regardless
+    log.segmentsListed(tb).foreach { case (p, _, _) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(now - 3600 * 1000L))
+    }
+    log.truncateOlderThan(tb.topic, maxAgeMillis = 60 * 1000L, nowMillis = now)
+    assert(log.size(tb) == 20)
+    assert(log.range(tb, 0, 100).map(_.offset) == (15L until 20L))
+  }
+
   test("createTopic registers buckets; topics/buckets enumerable") {
     val log = fileLog()
     val tbs = log.createTopic("orders", 4)
