@@ -9,8 +9,28 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Catalyst prune all value columns and flatter the
   * numbers. AQE is on (runtime shuffle coalescing + skew handling), shuffle
   * partitions match cores.
+  *
+  * Each query is timed as BEST-OF-2 back-to-back materializations: this
+  * machine's throughput was measured varying ~1.65× run-to-run at identical
+  * load (same commit, fresh JVMs, zero steal: totals 51.6-85.3 s within one
+  * hour, inflation uniform across untouched queries — see DESIGN §7), and
+  * min-of-2 suppresses both that host noise and first-run JIT warmup. The
+  * JSON also carries `calib`: the seconds for a fixed single-thread 200M-step
+  * LCG loop measured in the same JVM, so any run's numbers can be read
+  * against the host speed at the time it ran.
   */
 object Bench {
+
+  /** Fixed CPU-bound loop — a host-speed yardstick, not a Spark benchmark. */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L
+    var i = 0
+    while (i < 200000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // defeat dead-code elimination
+    dt
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,7 +45,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -35,15 +55,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val a = once(name, fn)
+      if (a < 0) return a
+      val b = once(name, fn)
+      if (b < 0) a else math.min(a, b)
+    }
+
     // JIT/session warmup outside the measured window
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
+    val calib = calibrate()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2","calib":$calib,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

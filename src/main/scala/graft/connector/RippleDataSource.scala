@@ -58,8 +58,13 @@ class RippleDataSource extends TableProvider with DataSourceRegister {
 
 object RippleConf {
   def apply(options: CaseInsensitiveStringMap): RippleConf = {
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("ripple: option 'path' is required"))
+    // `root` is an accepted alias for `path` and WINS over it: on
+    // CREATE TABLE ... USING ripple the session catalog rewrites any `path`
+    // OPTION into the table location and injects its own warehouse `path`
+    // into the table properties, so SQL-defined tables declare
+    // OPTIONS (root '...', topic '...') and the injected path must lose.
+    val path = Option(options.get("root")).orElse(Option(options.get("path"))).getOrElse(
+      throw new IllegalArgumentException("ripple: option 'path' (or 'root') is required"))
     val topic = Option(options.get("topic")).getOrElse(
       throw new IllegalArgumentException("ripple: option 'topic' is required"))
     RippleConf(
@@ -99,6 +104,17 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
     with SupportsRead with SupportsWrite {
   private val conf = RippleConf(options)
 
+  /** Catalog reads/writes (`CREATE TABLE ... USING ripple` + SQL) pass the
+    * table's stored properties to [[getTable]] but NOT to the per-scan
+    * options, so scan/write builders must see table-level conf merged with
+    * per-operation options (per-operation wins).
+    */
+  private def merged(opts: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](options)
+    m.putAll(opts)
+    new CaseInsensitiveStringMap(m)
+  }
+
   override def name(): String = s"ripple:${conf.topic}"
   override def schema(): StructType = Schemas.envelope
 
@@ -111,8 +127,8 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new RippleScanBuilder(RippleConf(opts))
+    new RippleScanBuilder(RippleConf(merged(opts)))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RippleWriteBuilder(RippleConf(info.options()), info.schema(), info.queryId())
+    new RippleWriteBuilder(RippleConf(merged(info.options())), info.schema(), info.queryId())
 }

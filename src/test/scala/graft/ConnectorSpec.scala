@@ -285,6 +285,28 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.drop(5).forall(_.data.sameElements(Array[Byte](1, 1))))
   }
 
+  test("SQL catalog surface: CREATE TABLE USING ripple, SELECT + INSERT work") {
+    val root = tmp()
+    Ripple.createTopic(root, "cat", 2)
+    Ripple.write(samplePayloads(20), root, "cat", 2)
+    spark.sql("DROP TABLE IF EXISTS ripple_cat")
+    // `root` (not `path`): the session catalog rewrites a path OPTION into
+    // the table location and injects its own warehouse path
+    spark.sql(s"CREATE TABLE ripple_cat USING ripple OPTIONS (root '$root', topic 'cat')")
+    assert(spark.sql("SELECT count(*) FROM ripple_cat").collect().head.getLong(0) == 20)
+    assert(spark.sql("SELECT sum(id) FROM ripple_cat").collect().head.getLong(0)
+      == (0 until 20).sum)
+    // ACCEPT_ANY_SCHEMA: INSERT takes the query's own (aliased) shape
+    spark.sql("INSERT INTO ripple_cat SELECT 99 AS id, cast('x' AS binary) AS data")
+    assert(spark.sql("SELECT count(*) FROM ripple_cat").collect().head.getLong(0) == 21)
+    assert(spark.sql("SELECT sum(id) FROM ripple_cat").collect().head.getLong(0)
+      == (0 until 20).sum + 99)
+    // offset pushdown still applies through the catalog relation
+    val suffix = spark.sql("SELECT count(*) FROM ripple_cat WHERE offset >= 5")
+    assert(suffix.collect().head.getLong(0) > 0)
+    spark.sql("DROP TABLE ripple_cat")
+  }
+
   test("write rejects schemas without id/data") {
     import spark.implicits._
     val root = tmp()
