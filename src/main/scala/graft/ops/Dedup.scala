@@ -233,6 +233,51 @@ object Dedup {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Connected components over near-dup pairs → (id, cluster), cluster =
+    * the minimum id in the component — the step that turns pairwise
+    * near-dup evidence into actual dedup decisions (keep one doc per
+    * cluster).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * label among itself and its neighbors; converges in O(component
+    * diameter) rounds. The scale properties that matter at 100 TB: no
+    * transitive closure is ever materialized (the classic SQL formulation
+    * is O(component²) rows), each round is one narrow (src, label) join +
+    * one groupBy, and lineage is truncated per round (localCheckpoint) so
+    * plans stay O(1) regardless of rounds. The per-round driver round-trip
+    * is a convergence PROBE (does any label still shrink?), not data
+    * collection. Near-dup components are overwhelmingly tiny (pairs/small
+    * chains), so rounds ≈ 2-3 in practice; maxIter bounds adversarial
+    * chains.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    // materialize the (narrow) edge set ONCE: every round's actions would
+    // otherwise re-run the whole upstream pair-generation pipeline
+    val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val updated = labels.unionAll(neighborMin)
+        .groupBy("id").agg(min(col("label")).as("newLabel"))
+      val joined = labels.withColumnRenamed("label", "oldLabel")
+        .join(updated, "id")
+        .localCheckpoint(true)
+      converged = joined.filter(col("newLabel") < col("oldLabel")).limit(1).count() == 0
+      labels = joined.select(col("id"), col("newLabel").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit k of the signature is the

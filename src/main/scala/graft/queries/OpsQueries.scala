@@ -143,6 +143,43 @@ object OpsQueries {
         .withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))),
+    // near-dup pairs → connected components → (id, cluster=min id):
+    // the decision step of dedup; iterative min-label propagation
+    "q68_dup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardNearDups(docsWithPlantedDups(s, d),
+        "doc_id", "text", blockCol = col("source"), threshold = 0.5)
+      Dedup.dupClusters(pairs)
+    }),
+    // train/test contamination: per test doc, the fraction of its distinct
+    // shingles that appear anywhere in the train split (same hash split as
+    // q64). At real scale the join key would be xxhash64(shingle) — strings
+    // here solely for DuckDB-oracle comparability.
+    "q69_contamination" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("split", TextAnalysis.hashSplit(col("doc_id")))
+      val sh = base.select(col("doc_id"), col("split"),
+        explode(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("sh").as("tsh")).distinct()
+      sh.filter(col("split") === "test")
+        .join(train, col("sh") === col("tsh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("tsh")).as("n_hit"),
+          (count(col("tsh")).cast("double") / count(lit(1)).cast("double"))
+            .as("hit_ratio"))
+    }),
+    // vocabulary building: top-20 tokens per source by frequency
+    // (ties by token) — explode → partial-agg count → per-group top-k
+    "q70_vocab_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n").desc, col("token"))
+      docs(s, d)
+        .select(col("source"),
+          explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+    }),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -209,6 +246,59 @@ object OpsQueries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
       |""".stripMargin,
+    "q68_dup_clusters" -> s"""
+      |WITH RECURSIVE planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS id, least(src, min(dst)) AS cluster
+      |FROM r GROUP BY src
+      |""".stripMargin,
+    "q69_contamination" ->
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+        |         THEN 'train' ELSE 'test' END AS split
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+        |  FROM (SELECT doc_id, split, string_split_regex(trim(text), '\s+') AS ws
+        |        FROM split)),
+        |train AS (SELECT DISTINCT s FROM sh WHERE split = 'train')
+        |SELECT t.doc_id, count(1) AS n_sh, count(train.s) AS n_hit,
+        |  CAST(count(train.s) AS DOUBLE) / count(1) AS hit_ratio
+        |FROM sh t LEFT JOIN train ON t.s = train.s
+        |WHERE t.split = 'test'
+        |GROUP BY t.doc_id""".stripMargin,
+    "q70_vocab_topk" ->
+      """SELECT source, token, n, rank FROM (
+        |  SELECT source, token, n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |                            ORDER BY n DESC, token) AS BIGINT) AS rank
+        |  FROM (SELECT source, token, count(1) AS n
+        |        FROM (SELECT source,
+        |                unnest(string_split_regex(trim(text), '\s+')) AS token
+        |              FROM documents)
+        |        GROUP BY source, token))
+        |WHERE rank <= 20""".stripMargin,
     "q63_knn_topk_agg" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

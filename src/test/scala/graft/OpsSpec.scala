@@ -131,6 +131,23 @@ class OpsSpec extends AnyFunSuite {
     assert(unchunked.nonEmpty)
   }
 
+  test("dupClusters: chains, stars and disjoint pairs resolve to min-id labels") {
+    import spark.implicits._
+    // components: chain 1-2-3-4, star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a longer chain still converges within maxIter (diameter 8)
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val gotChain = graft.ops.Dedup.dupClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain.values.forall(_ == 0L) && gotChain.size == 9)
+  }
+
   test("IVF assignment: zero-shuffle plan, equals crossJoin+window argmax") {
     val cents = emb.orderBy(col("vec_id")).limit(8)
       .select(monotonically_increasing_id().as("cid"),
