@@ -168,6 +168,49 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType)
   override def close(): Unit = it.close() // releases the handle WITHOUT decoding the tail
 }
 
+/** Pure admission-control math for the streaming source's row cap. */
+object RippleAdmission {
+
+  /** Split `cap` rows over buckets proportionally to their backlog:
+    * floors + largest-remainder (ties by bucket name, so the result is
+    * deterministic), with every non-empty bucket taking >= 1 whenever
+    * `cap >= #non-empty` — no bucket starves under a sustained cap. When
+    * `cap < #non-empty` (degenerate), the cap largest backlogs advance.
+    * Invariants (property-tested): takes sum to min(cap, total backlog);
+    * no take exceeds its backlog; empty buckets take 0.
+    */
+  def allocate(backlog: Map[String, Long], cap: Long): Map[String, Long] = {
+    val total = backlog.valuesIterator.sum
+    if (total <= cap) return backlog
+    val nonEmpty = backlog.toSeq.filter(_._2 > 0).sortBy(_._1)
+    val k = nonEmpty.size.toLong
+    val takes = scala.collection.mutable.Map.empty[String, Long]
+    if (cap < k) {
+      nonEmpty.sortBy { case (b, n) => (-n, b) }.take(cap.toInt)
+        .foreach { case (b, _) => takes(b) = 1L }
+    } else {
+      val rest = cap - k
+      val restTotal = total - k
+      // min-1 each, then proportional floors over the remaining backlog
+      nonEmpty.foreach { case (b, n) =>
+        takes(b) = 1L + (if (restTotal == 0) 0L else rest * (n - 1) / restTotal)
+      }
+      var rem = cap - takes.valuesIterator.sum
+      val order = nonEmpty.sortBy { case (b, n) =>
+        (if (restTotal == 0) 0L else -(rest * (n - 1) % restTotal), b)
+      }
+      var progressed = true
+      while (rem > 0 && progressed) {
+        progressed = false
+        order.foreach { case (b, n) =>
+          if (rem > 0 && takes(b) < n) { takes(b) += 1; rem -= 1; progressed = true }
+        }
+      }
+    }
+    takes.toMap
+  }
+}
+
 /** Micro-batch source: the Spark-native consume loop. `latestOffset` is the
   * log end (the reference's `queue.Size()` poll, `core.go:52-56`),
   * `planInputPartitions(start, end)` the SubArray slice, and the rate cap
@@ -196,47 +239,18 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     * bucket guaranteed >= 1 row whenever the cap covers the bucket count —
     * round 1 spent the cap in bucket-name order, so under a sustained cap
     * b0000 drained first and high-numbered buckets starved indefinitely.
-    * Deterministic: floors + largest-remainder, ties by bucket name.
+    * Allocation math lives in [[RippleAdmission.allocate]] (pure,
+    * property-tested).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val now = sizes()
     val s = start.asInstanceOf[RippleOffset].ends
     limit match {
       case mr: ReadMaxRows =>
-        val cap = mr.maxRows()
         val from = now.map { case (b, _) => b -> s.getOrElse(b, conf.startingOffset) }
         val backlog = now.map { case (b, end) => b -> math.max(0L, end - from(b)) }
-        val total = backlog.valuesIterator.sum
-        if (total <= cap) RippleOffset(now)
-        else {
-          val nonEmpty = backlog.toSeq.filter(_._2 > 0).sortBy(_._1)
-          val k = nonEmpty.size.toLong
-          val takes = scala.collection.mutable.Map.empty[String, Long]
-          if (cap < k) {
-            // degenerate cap < #buckets: advance the cap largest backlogs
-            nonEmpty.sortBy { case (b, n) => (-n, b) }.take(cap.toInt)
-              .foreach { case (b, _) => takes(b) = 1L }
-          } else {
-            val rest = cap - k
-            val restTotal = total - k
-            // min-1 each, then proportional floors over the remaining backlog
-            nonEmpty.foreach { case (b, n) =>
-              takes(b) = 1L + (if (restTotal == 0) 0L else rest * (n - 1) / restTotal)
-            }
-            var rem = cap - takes.valuesIterator.sum
-            val order = nonEmpty.sortBy { case (b, n) =>
-              (if (restTotal == 0) 0L else -(rest * (n - 1) % restTotal), b)
-            }
-            var progressed = true
-            while (rem > 0 && progressed) {
-              progressed = false
-              order.foreach { case (b, n) =>
-                if (rem > 0 && takes(b) < n) { takes(b) += 1; rem -= 1; progressed = true }
-              }
-            }
-          }
-          RippleOffset(from.map { case (b, f) => b -> (f + takes.getOrElse(b, 0L)) })
-        }
+        val takes = RippleAdmission.allocate(backlog, mr.maxRows())
+        RippleOffset(from.map { case (b, f) => b -> (f + takes.getOrElse(b, 0L)) })
       case _ => RippleOffset(now)
     }
   }

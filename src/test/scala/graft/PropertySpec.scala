@@ -61,4 +61,28 @@ class PropertySpec extends AnyFunSuite {
         log.size(tb) == all.size.toLong
     }, n = 30)
   }
+
+  private val genBacklog: Gen[Map[String, Long]] =
+    Gen.choose(0, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(0L, 10000L))
+        .map(_.zipWithIndex.map { case (v, i) => f"b$i%04d" -> v }.toMap)
+    }
+
+  test("rate-cap allocation: sums to min(cap,total), bounded, starvation-free") {
+    check(Prop.forAll(genBacklog, Gen.choose(0L, 5000L)) { (backlog, cap) =>
+      val takes = graft.connector.RippleAdmission.allocate(backlog, cap)
+      val total = backlog.values.sum
+      val nonEmpty = backlog.count(_._2 > 0)
+      val sumOk = takes.values.sum == math.min(cap, total)
+      val boundedOk = takes.forall { case (b, t) =>
+        t >= 0 && t <= backlog.getOrElse(b, 0L)
+      }
+      // min-1 fairness whenever the cap covers the non-empty bucket count
+      val fairnessOk = cap < nonEmpty ||
+        backlog.forall { case (b, n) => n == 0 || takes.getOrElse(b, 0L) >= 1 }
+      // determinism: same inputs, same answer
+      val deterministicOk = takes == graft.connector.RippleAdmission.allocate(backlog, cap)
+      sumOk && boundedOk && fairnessOk && deterministicOk
+    }, n = 300)
+  }
 }
