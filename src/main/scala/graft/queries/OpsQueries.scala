@@ -180,6 +180,22 @@ object OpsQueries {
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 20)
     }),
+    // composite quality filter with reason codes (C4-style): per-row only,
+    // zero shuffles; keep_flag emitted as 0/1 bigint for oracle parity
+    "q71_quality_filter" -> ((s, d) => {
+      val ws = split(trim(col("text")), "\\s+")
+      val nTokens = size(ws).cast("long")
+      val uniqRatio = size(array_distinct(ws)).cast("double") / size(ws).cast("double")
+      val maxWord = array_max(transform(ws, w => length(w))).cast("long")
+      val reasons = concat_ws(";",
+        when(nTokens < 10, lit("too_short")),
+        when(uniqRatio < 0.3, lit("low_diversity")),
+        when(maxWord > 30, lit("long_token")))
+      docs(s, d).select(col("doc_id"),
+        nTokens.as("n_tokens"),
+        reasons.as("reasons"),
+        when(reasons === "", 1L).otherwise(0L).as("keep_flag"))
+    }),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -299,6 +315,23 @@ object OpsQueries {
         |              FROM documents)
         |        GROUP BY source, token))
         |WHERE rank <= 20""".stripMargin,
+    "q71_quality_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  concat_ws(';',
+        |    CASE WHEN len(ws) < 10 THEN 'too_short' END,
+        |    CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) < 0.3
+        |         THEN 'low_diversity' END,
+        |    CASE WHEN list_max(list_transform(ws, w -> length(w))) > 30
+        |         THEN 'long_token' END) AS reasons,
+        |  CAST(CASE WHEN concat_ws(';',
+        |    CASE WHEN len(ws) < 10 THEN 'too_short' END,
+        |    CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) < 0.3
+        |         THEN 'low_diversity' END,
+        |    CASE WHEN list_max(list_transform(ws, w -> length(w))) > 30
+        |         THEN 'long_token' END) = '' THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents)""".stripMargin,
     "q63_knn_topk_agg" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
