@@ -87,6 +87,7 @@ object Dedup {
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val (as, bs) = hashParams(numHashes, seed).unzip
+    val in = Spread.toCores(df)
     // Cached: the shingling subtree feeds the band branch AND both sides of
     // candidate verification — uncached it re-evaluates 3×. Only the NARROW
     // (id, xxh: array<long>) projection is cached — the string shingle
@@ -95,7 +96,7 @@ object Dedup {
     // domains derive from xxh: the 31-bit minhash input is pmod(xxh, P)
     // (identical to pmod(xxhash64(s), P)) and the verification sets are
     // array_sort(xxh) (identical to the previous sort of xxhash64(s)).
-    val base = df.select(col(idCol).as("id"),
+    val base = in.select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol), shingleSize),
           s => xxhash64(s)).as("xxh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -163,7 +164,7 @@ object Dedup {
       blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7,
       maxBlock: Int = 4096): DataFrame = {
     import df.sparkSession.implicits._
-    val t = df.select(col(idCol).cast("long").as("id"),
+    val t = Spread.toCores(df).select(col(idCol).cast("long").as("id"),
         blockCol.cast("string").as("blk"),
         array_sort(transform(
           TextAnalysis.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
@@ -303,7 +304,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val t = df.select(col(idCol).as("id"),
+    val t = Spread.toCores(df).select(col(idCol).as("id"),
         transform(TextAnalysis.words(col(textCol)), w => xxhash64(w)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
     val chunked = t.select(col("id"), col("sig"),
@@ -342,18 +343,19 @@ object Dedup {
     // expression's sequential dot accumulation matches the aggregate fold,
     // so the band keys are identical.
     val keys = graft.functions.sketches.hyperplane_sig(v, planes, planesPerBand)
+    val in = Spread.toCores(df)
 
     // Narrow band join (id, band, key) → dedupe candidates → fetch vectors
     // once per side for exact-cosine verification (same scale shape as
     // minhashNearDups).
-    val banded = df.select(col(idCol).as("id"),
+    val banded = in.select(col(idCol).as("id"),
         posexplode(keys).as(Seq("band", "key")))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val vecs = df.select(col(idCol).as("id"), v.as("v"))
+    val vecs = in.select(col(idCol).as("id"), v.as("v"))
     candidates
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

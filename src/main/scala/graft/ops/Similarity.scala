@@ -48,7 +48,8 @@ object Similarity {
     */
   def bruteForceTopKWindow(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
+    val c = Spread.toCores(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
@@ -66,7 +67,8 @@ object Similarity {
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     import corpus.sparkSession.implicits._
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
+    val c = Spread.toCores(corpus)
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
@@ -109,7 +111,7 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
     val (cm, cids) = collectCents(cents)
-    corpus.select(col(idCol).as("vec_id"),
+    Spread.toCores(corpus).select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cid",
         element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
@@ -152,7 +154,7 @@ object Similarity {
       centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
     val (cm, cids) = collectCents(cents)
 
-    val assigned = corpus.select(col(idCol).as("vec_id"),
+    val assigned = Spread.toCores(corpus).select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cid",
         element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object OpsQueries {
 
+  // Spread.toCores: the fixture files are single-row-group parquet (one
+  // scan task), which would serialize every per-row text/vector stage onto
+  // one core; a real corpus has thousands of splits and this no-ops.
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
 
   private def emb(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    graft.ops.Spread.toCores(s.read.parquet(s"$d/embeddings.parquet"))
 
   /** Base ∪ perturbed copy (id + 1,000,000, last 3 words dropped). */
   private def docsWithPlantedDups(s: SparkSession, d: String): DataFrame = {

