@@ -228,6 +228,23 @@ class ConnectorSpec extends AnyFunSuite {
     assert(cur.ends == Map("b0000" -> 100L, "b0001" -> 10L, "b0002" -> 1L, "b0003" -> 0L))
   }
 
+  test("preferredLocations: stable per-bucket host pinning from preferredHosts") {
+    import graft.connector.RippleInputPartition
+    val hosts = Array("exec-a", "exec-b", "exec-c")
+    def part(bucket: String) =
+      RippleInputPartition("/r", "t", bucket, "/r/t/b/seg", 0L, 0L, 10L, hosts)
+    // deterministic and stable: same bucket always lands on the same host
+    assert(part("b0000").preferredLocations().sameElements(part("b0000").preferredLocations()))
+    assert(part("b0000").preferredLocations().length == 1)
+    assert(hosts.contains(part("b0000").preferredLocations().head))
+    // different buckets spread over hosts (at least two distinct targets)
+    val targets = (0 until 8).map(i => part(f"b$i%04d").preferredLocations().head).toSet
+    assert(targets.size >= 2, targets.toString)
+    // no hosts configured -> no preference
+    assert(RippleInputPartition("/r", "t", "b0000", "/r/t/b/seg", 0L, 0L, 10L)
+      .preferredLocations().isEmpty)
+  }
+
   test("exactly-once markers are per-query: a second query's epoch 0 still lands") {
     import graft.connector.{RippleCommitMessage, RippleConf, RipplePublish, StagedFile}
     val root = tmp()
