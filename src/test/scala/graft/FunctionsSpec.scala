@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.{CosineSim, JaccardSim, SimHash64}
 import graft.ops.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -22,20 +21,25 @@ class FunctionsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("custom expressions are SQL-callable after registry registration") {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    // the production registration helper (same builders GraftExtensions
+    // injects via spark.sql.extensions), on an isolated session
+    val s = spark.newSession()
+    graft.GraftFunctions.register(s)
 
-    val row = spark.sql(
+    val row = s.sql(
       """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |       jaccard_sim(array('a','b'), array('b','c')) AS j,
-        |       simhash64(array(1L, 2L, 3L)) AS s""".stripMargin).collect().head
+        |       simhash64(array(1L, 2L, 3L)) AS s,
+        |       sorted_jaccard_long_sim(array(1L, 2L), array(2L, 3L)) AS jl""".stripMargin)
+      .collect().head
     assert(row.getDouble(0) == 1.0)
     assert(math.abs(row.getDouble(1) - (1.0 / 3.0)) < 1e-12)
     assert(row.getLong(2) != 0L)
+    assert(math.abs(row.getDouble(3) - (1.0 / 3.0)) < 1e-12)
+    // registration is session-scoped: the base session is untouched
+    assert(spark.newSession().sessionState.functionRegistry
+      .lookupFunctionBuilder(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")).isEmpty)
   }
 
   test("classic scala UDF registration works alongside expressions") {
