@@ -41,7 +41,15 @@ import scala.jdk.CollectionConverters._
   *   - `startingOffset`/`endingOffset` (batch read): per-bucket offset
   *     range, applied to every bucket
   *   - `maxOffsetsPerTrigger` (streaming read): global per-micro-batch row
-  *     cap, the analog of the reference's `AskQuery.Count` (`core.go:16-19`)
+  *     cap, the analog of the reference's `AskQuery.Count` (`core.go:16-19`);
+  *     allocated proportionally to per-bucket backlog
+  *   - `preferredHosts` (read): comma-separated executor hosts for stable
+  *     per-bucket locality pinning
+  *   - `retentionMs` (write): expire whole segments older than this at each
+  *     publish (offsets preserved; newest segment kept)
+  *   - `root` (alias for `path`, wins over it): use in
+  *     `CREATE TABLE ... USING ripple OPTIONS (root ..., topic ...)` —
+  *     the session catalog rewrites/injects `path` itself
   */
 class RippleDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ripple"
@@ -76,7 +84,8 @@ object RippleConf {
       endingOffset = options.getLong("endingOffset", Long.MaxValue),
       maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue),
       preferredHosts = Option(options.get("preferredHosts"))
-        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
+      retentionMs = options.getLong("retentionMs", Long.MaxValue))
   }
 }
 
@@ -89,7 +98,8 @@ case class RippleConf(
     startingOffset: Long,
     endingOffset: Long,
     maxOffsetsPerTrigger: Long,
-    preferredHosts: Seq[String] = Seq.empty) {
+    preferredHosts: Seq[String] = Seq.empty,
+    retentionMs: Long = Long.MaxValue) {
   def log: FileTopicLog = new FileTopicLog(Paths.get(root))
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)

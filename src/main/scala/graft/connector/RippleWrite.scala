@@ -272,6 +272,11 @@ object RipplePublish {
       Files.createDirectories(m.getParent)
       Files.write(m, Array.emptyByteArray)
     }
+    // Topic retention policy applied at publish time (the natural hook —
+    // retention is a metadata-only op here, see TopicLog.truncateOlderThan;
+    // the reference's TTL was never implemented, core.go:45 TODO).
+    if (conf.retentionMs != Long.MaxValue)
+      log.truncateOlderThan(conf.topic, conf.retentionMs)
   }
 
   def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -324,6 +324,27 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ripple_cat")
   }
 
+  test("retentionMs write option expires aged segments at publish time") {
+    val root = tmp()
+    Ripple.createTopic(root, "ret", 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "ret")
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    val tb = graft.model.TopicBucket("ret", "b0000")
+    // age the existing segment beyond the policy
+    log.segmentsListed(tb).foreach { case (p, _, _) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
+    }
+    samplePayloads(5).coalesce(1).write.format("ripple")
+      .option("path", root).option("topic", "ret")
+      .option("retentionMs", 60_000L)
+      .mode("append").save()
+    // aged [0,10) expired; the fresh [10,15) segment remains, offsets preserved
+    val back = Ripple.read(spark, root, "ret")
+    assert(back.count() == 5)
+    assert(back.agg(min("offset"), max("offset")).collect().head.toSeq == Seq(10L, 14L))
+  }
+
   test("write rejects schemas without id/data") {
     import spark.implicits._
     val root = tmp()
