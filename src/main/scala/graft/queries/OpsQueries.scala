@@ -199,6 +199,26 @@ object OpsQueries {
         reasons.as("reasons"),
         when(reasons === "", 1L).otherwise(0L).as("keep_flag"))
     }),
+    // keyword extraction: per doc the top token by term frequency, with
+    // corpus document-frequency as the rarity tie-break (tf-idf ranking on
+    // integer keys — deterministic across engines, unlike float tf*idf
+    // whose last-ulp ln() differences could flip near-ties)
+    "q72_keywords" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("df").asc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("token").as("keyword"),
+          col("cnt"), col("df"))
+    }),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -318,6 +338,19 @@ object OpsQueries {
         |              FROM documents)
         |        GROUP BY source, token))
         |WHERE rank <= 20""".stripMargin,
+    "q72_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(1) AS cnt FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(1) AS df
+        |          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1)
+        |SELECT doc_id, token AS keyword, cnt, df FROM (
+        |  SELECT tf.doc_id, tf.token, tf.cnt, dfreq.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |                       ORDER BY tf.cnt DESC, dfreq.df ASC, tf.token) AS rn
+        |  FROM tf JOIN dfreq USING (token))
+        |WHERE rn = 1""".stripMargin,
     "q71_quality_filter" ->
       """SELECT doc_id,
         |  CAST(len(ws) AS BIGINT) AS n_tokens,
