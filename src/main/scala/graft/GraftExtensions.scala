@@ -30,23 +30,34 @@ object GraftFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> es.length.toString,
+          "docroot" -> ""))
+      build(es)
+    }
+
   /** (name, info, builder) for every SQL-exposable custom expression. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", info("cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two array<double> (0.0 for zero norms)"),
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+      arity("cosine_sim", 2)(es => CosineSim(es(0), es(1)))),
     ("jaccard_sim", info("jaccard_sim",
       "jaccard_sim(a, b) - exact Jaccard similarity of two string arrays"),
-      (es: Seq[Expression]) => JaccardSim(es(0), es(1))),
+      arity("jaccard_sim", 2)(es => JaccardSim(es(0), es(1)))),
     ("sorted_jaccard_sim", info("sorted_jaccard_sim",
       "sorted_jaccard_sim(a, b) - Jaccard over pre-sorted distinct string arrays"),
-      (es: Seq[Expression]) => SortedJaccardSim(es(0), es(1))),
+      arity("sorted_jaccard_sim", 2)(es => SortedJaccardSim(es(0), es(1)))),
     ("sorted_jaccard_long_sim", info("sorted_jaccard_long_sim",
       "sorted_jaccard_long_sim(a, b) - Jaccard over pre-sorted distinct array<long>"),
-      (es: Seq[Expression]) => SortedJaccardLongSim(es(0), es(1))),
+      arity("sorted_jaccard_long_sim", 2)(es => SortedJaccardLongSim(es(0), es(1)))),
     ("simhash64", info("simhash64",
       "simhash64(hashes) - 64-bit SimHash from an array<long> of element hashes"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      arity("simhash64", 1)(es => SimHash64(es.head))))
 
   /** Register every function into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -191,14 +191,17 @@ object RippleAdmission {
     } else {
       val rest = cap - k
       val restTotal = total - k
-      // min-1 each, then proportional floors over the remaining backlog
-      nonEmpty.foreach { case (b, n) =>
-        takes(b) = 1L + (if (restTotal == 0) 0L else rest * (n - 1) / restTotal)
-      }
+      // min-1 each, then proportional floors over the remaining backlog.
+      // BigInt products: rest × backlog overflows Long at the design point
+      // (cap 1e9 × backlog 1e10 ≈ 1e19 > Long.MaxValue), and a wrapped
+      // negative floor would break the cap invariant.
+      def share(n: Long): Long =
+        if (restTotal == 0) 0L else (BigInt(rest) * (n - 1) / restTotal).toLong
+      def frac(n: Long): BigInt =
+        if (restTotal == 0) BigInt(0) else -(BigInt(rest) * (n - 1) % restTotal)
+      nonEmpty.foreach { case (b, n) => takes(b) = 1L + share(n) }
       var rem = cap - takes.valuesIterator.sum
-      val order = nonEmpty.sortBy { case (b, n) =>
-        (if (restTotal == 0) 0L else -(rest * (n - 1) % restTotal), b)
-      }
+      val order = nonEmpty.sortBy { case (b, n) => (frac(n), b) }
       var progressed = true
       while (rem > 0 && progressed) {
         progressed = false

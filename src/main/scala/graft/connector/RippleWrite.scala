@@ -186,25 +186,6 @@ object RipplePublish {
     Files.exists(a) && Files.exists(b) &&
       Files.size(a) == Files.size(b) && Files.mismatch(a, b) == -1L
 
-  /** After linking `mine` at [start, start+count), verify no pre-existing
-    * segment overlaps it. Two drivers that both computed the same `next`
-    * can publish differently-named overlapping segments (the names carry
-    * the count, so createLink alone cannot arbitrate). Resolution is
-    * deterministic and lock-free: of an overlapping pair, the
-    * lexicographically SMALLER segment name wins; the loser unlinks its own
-    * segment and republishes after the winner. Both sides apply the same
-    * rule, so exactly one yields.
-    */
-  private def overlapsLoser(log: FileTopicLog, tb: TopicBucket,
-      mine: Path, start: Long, count: Long): Boolean = {
-    val myName = mine.getFileName.toString
-    val clash = log.segmentsRaw(tb).exists { case (p, s, c) =>
-      val other = p.getFileName.toString
-      other != myName && s < start + count && s + c > start && other < myName
-    }
-    if (clash) Files.deleteIfExists(mine)
-    clash
-  }
 
   def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
       epochId: Option[Long], queryId: String = ""): Unit = synchronized {
@@ -230,43 +211,32 @@ object RipplePublish {
         s"invalid bucket name '$bucket'")
       val tb = TopicBucket(conf.topic, bucket)
       Files.createDirectories(log.bucketDir(tb))
-      var next = log.endOffsetListed(tb)
-      files.foreach { f =>
-        var published = false
-        while (!published) {
+      log.withBucketLock(tb) {
+        var next = log.endOffsetListed(tb)
+        files.foreach { f =>
           val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(next, f.count))
           // createLink is atomic AND fails if the target exists — a plain
-          // ATOMIC_MOVE rename would silently REPLACE a segment another
-          // writer published at the same offset (POSIX rename semantics),
-          // losing its data. On conflict, re-read the bucket end and retry
-          // after the winner.
+          // ATOMIC_MOVE rename would silently REPLACE an existing segment
+          // (POSIX rename semantics), losing its data. Under the bucket
+          // lock the only way target can exist is a REPLAY of this very
+          // publish (driver retried after a crash between link and marker):
+          // byte-identity makes that a no-op; anything else is a non-lock-
+          // respecting writer and fails loudly rather than guessing.
           try {
             Files.createLink(target, Paths.get(f.path))
-            if (overlapsLoser(log, tb, target, next, f.count)) {
-              next = math.max(log.endOffsetListed(tb), next)
-            } else {
-              Files.deleteIfExists(Paths.get(f.path))
-              published = true
-              next += f.count
-            }
+            Files.deleteIfExists(Paths.get(f.path))
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              // An exact-name twin exists. Only treat it as OUR idempotent
-              // retry if the bytes match — a different writer's same
-              // (start,count) collision must NOT swallow this batch
-              // (round-1 ADVICE, medium).
-              if (sameContent(target, Paths.get(f.path))) {
-                Files.deleteIfExists(Paths.get(f.path))
-                published = true
-                next += f.count
-              } else {
-                val end = log.endOffsetListed(tb)
-                next = if (end > next) end else next + f.count
-              }
+            case e: java.nio.file.FileAlreadyExistsException =>
+              if (sameContent(target, Paths.get(f.path)))
+                Files.deleteIfExists(Paths.get(f.path)) // idempotent replay
+              else throw new IllegalStateException(
+                s"segment $target exists with different content — " +
+                  "a writer is publishing outside the bucket lock", e)
           }
+          next += f.count
         }
+        log.refreshManifest(tb)
       }
-      log.refreshManifest(tb)
     }
     marker.foreach { m =>
       Files.createDirectories(m.getParent)

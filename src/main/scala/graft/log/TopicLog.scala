@@ -227,9 +227,44 @@ final class FileTopicLog(val root: Path) extends TopicLog {
         }
         checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
       } catch {
-        case _: java.io.IOException => segmentsListed(tb)
+        // any read/parse failure (torn write, bit rot, NumberFormatException
+        // from a seg-prefixed-but-garbled name) → authoritative listing;
+        // overlap violations must still propagate
+        case e: IllegalStateException => throw e
+        case scala.util.control.NonFatal(_) => segmentsListed(tb)
       }
     }
+  }
+
+  private val LockStaleMs = 60000L
+
+  /** Exclusive cross-driver mutation lock for one bucket: atomic
+    * create-exclusive of `.lock` in the bucket directory, stolen if the
+    * holder crashed (mtime older than `LockStaleMs`). The filesystem
+    * rendering of the reference's per-bucket single-writer election
+    * (`internal/lighthouse/election/election.go:50-79`, ZK ephemeral
+    * nodes): offset assignment + segment link (publish) and
+    * manifest-rewrite + delete (retention) must each be one critical
+    * section per bucket — a check-after-link arbitration has an unfixable
+    * hole, because a writer that verified-then-returned cannot yield
+    * retroactively when a second writer links an overlapping segment a
+    * moment later.
+    */
+  def withBucketLock[A](tb: TopicBucket)(body: => A): A = {
+    val lock = bucketDir(tb).resolve(".lock")
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            if (System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > LockStaleMs)
+              Files.deleteIfExists(lock) // holder crashed; steal
+          } catch { case _: java.nio.file.NoSuchFileException => () } // released; retry
+          Thread.sleep(5 + scala.util.Random.nextInt(20).toLong)
+      }
+    }
+    try body finally Files.deleteIfExists(lock)
   }
 
   /** Atomically rewrite the bucket manifest from the directory listing.
@@ -266,7 +301,11 @@ final class FileTopicLog(val root: Path) extends TopicLog {
 
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
-    appendAt(tb, endOffsetListed(tb), rows.map(p => (p, now)))
+    // lock: two concurrent appenders must not read the same end offset
+    Files.createDirectories(bucketDir(tb))
+    withBucketLock(tb) {
+      appendAt(tb, endOffsetListed(tb), rows.map(p => (p, now)))
+    }
   }
 
   /** Idempotent positional append: publish a segment starting at `start`.
@@ -365,19 +404,24 @@ final class FileTopicLog(val root: Path) extends TopicLog {
   private def truncateWhere(topic: String)(
       expired: ((Path, Long, Long)) => Boolean): Int = {
     var deleted = 0
+    // Per-bucket lock: serializes with publishes, whose refreshManifest
+    // would otherwise snapshot the directory between our manifest rewrite
+    // and the deletes and reinstate ghost entries.
     buckets(topic).foreach { tb =>
-      val segs = segmentsListed(tb)
-      val toDelete = segs.dropRight(1).filter(expired)
-      if (toDelete.nonEmpty) {
-        val keep = segs.filterNot(toDelete.contains)
-        val dir = bucketDir(tb)
-        val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
-        Files.write(tmp, keep.map(_._1.getFileName.toString).mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        toDelete.foreach { case (path, _, _) =>
-          if (Files.deleteIfExists(path)) deleted += 1
+      withBucketLock(tb) {
+        val segs = segmentsListed(tb)
+        val toDelete = segs.dropRight(1).filter(expired)
+        if (toDelete.nonEmpty) {
+          val keep = segs.filterNot(toDelete.contains)
+          val dir = bucketDir(tb)
+          val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
+          Files.write(tmp, keep.map(_._1.getFileName.toString).mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          toDelete.foreach { case (path, _, _) =>
+            if (Files.deleteIfExists(path)) deleted += 1
+          }
         }
       }
     }

@@ -276,6 +276,12 @@ object Dedup {
       labels = joined.select(col("id"), col("newLabel").as("label"))
       iter += 1
     }
+    // Silently-wrong clusters are worse than a loud stop: labels that are
+    // still shrinking at maxIter would split one component into several and
+    // the caller could not tell.
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIter rounds — a duplicate " +
+        "component has diameter > maxIter; raise maxIter")
     labels.select(col("id"), col("label").as("cluster"))
   }
 

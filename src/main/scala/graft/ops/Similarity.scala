@@ -111,12 +111,20 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
     val (cm, cids) = collectCents(cents)
+    assignWith(corpus, idCol, vecCol, cm, cids)
+  }
+
+  /** Assignment body shared by [[ivfAssign]] and [[ivfTopK]] (which holds
+    * the collected centroids already — collecting twice would recompute
+    * the k-means lineage).
+    */
+  private def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
+      cm: Array[Array[Double]], cids: Array[Long]): DataFrame =
     Spread.toCores(corpus).select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cid",
         element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
       .select(col("vec_id"), col("cv"), col("cid"))
-  }
 
   /** One Lloyd (k-means) iteration: re-center each cluster on the
     * element-wise mean of its members. Deterministic given deterministic
@@ -154,10 +162,7 @@ object Similarity {
       centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
     val (cm, cids) = collectCents(cents)
 
-    val assigned = Spread.toCores(corpus).select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cid",
-        element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
+    val assigned = assignWith(corpus, idCol, vecCol, cm, cids)
 
     val probes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))

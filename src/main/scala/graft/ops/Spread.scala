@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
 
 /** Input-parallelism guard for compute-heavy per-row operators.
   *
@@ -15,11 +16,29 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
 
-  /** Repartition `df` to the session's core count IFF its current plan
-    * yields fewer partitions; otherwise pass through untouched.
+  /** Repartition `df` to the session's core count IFF its plan has no
+    * repartition already AND its leaf scans yield fewer partitions;
+    * otherwise pass through untouched.
+    *
+    * The probe must not execute anything: `df.rdd` under AQE materializes
+    * every upstream shuffle stage just to expose partition counts (a full
+    * hidden pass over the input per probe). Instead: (a) a `Repartition`
+    * node anywhere in the logical plan means parallelism was already
+    * chosen — by this function or the caller — so pass through; (b) leaf
+    * scan parallelism is read off the pre-AQE physical plan, whose leaf
+    * `execute()` only CONSTRUCTS the scan RDD (partition metadata, no
+    * jobs).
     */
   def toCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val alreadyPartitioned = df.queryExecution.logical.collectFirst {
+      case r: Repartition => r
+      case r: RepartitionByExpression => r
+    }.isDefined
+    if (alreadyPartitioned) return df
+    val leafParts = df.queryExecution.sparkPlan.collectLeaves()
+      .map(_.execute().getNumPartitions)
+    if (leafParts.nonEmpty && leafParts.max >= target) df
+    else df.repartition(target)
   }
 }

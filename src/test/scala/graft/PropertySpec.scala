@@ -64,12 +64,15 @@ class PropertySpec extends AnyFunSuite {
 
   private val genBacklog: Gen[Map[String, Long]] =
     Gen.choose(0, 12).flatMap { n =>
-      Gen.listOfN(n, Gen.choose(0L, 10000L))
+      // mix everyday sizes with 100 TB-scale backlogs (1e10+ rows/bucket):
+      // rest × backlog must not overflow Long inside the allocator
+      Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 10000L), Gen.choose(0L, 50_000_000_000L)))
         .map(_.zipWithIndex.map { case (v, i) => f"b$i%04d" -> v }.toMap)
     }
 
   test("rate-cap allocation: sums to min(cap,total), bounded, starvation-free") {
-    check(Prop.forAll(genBacklog, Gen.choose(0L, 5000L)) { (backlog, cap) =>
+    check(Prop.forAll(genBacklog,
+        Gen.oneOf(Gen.choose(0L, 5000L), Gen.choose(0L, 2_000_000_000L))) { (backlog, cap) =>
       val takes = graft.connector.RippleAdmission.allocate(backlog, cap)
       val total = backlog.values.sum
       val nonEmpty = backlog.count(_._2 > 0)
