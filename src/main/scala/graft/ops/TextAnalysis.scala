@@ -136,6 +136,46 @@ object TextAnalysis {
       "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"), "train")
       .otherwise("test")
 
+  /** Greedy sequence packing — the sample-packing step of a training
+    * pipeline: within each pack group, documents are taken in ascending id
+    * order and appended to the current sequence until it would exceed
+    * `maxTokens`, then a new sequence starts (a doc longer than maxTokens
+    * gets a sequence of its own). Output: (group, id, n_tokens, seq_id,
+    * seq_pos), seq_id numbered from 0 within each group.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a group (each
+    * placement depends on the running fill), so the group is the unit of
+    * parallelism — one narrow (group, id, n_tokens) shuffle, then a linear
+    * walk per group in `flatMapGroups`. Callers choose the group key to
+    * bound group size, exactly as with [[Dedup.ngramJaccardNearDups]]
+    * blocking.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokensCol: String, groupCol: Column, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(groupCol.cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp: String, it: Iterator[(String, Long, Long)]) =>
+        val ds = it.toArray.sortBy(_._2)
+        val out = new Array[(String, Long, Long, Long, Long)](ds.length)
+        var bin = 0L; var fill = 0L; var pos = 0L
+        var i = 0
+        while (i < ds.length) {
+          val n = ds(i)._3
+          if (i > 0 && fill + n > maxTokens) { bin += 1; fill = 0L; pos = 0L }
+          fill += n
+          out(i) = (grp, ds(i)._2, n, bin, pos)
+          pos += 1
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("grp", "id", "n_tokens", "seq_id", "seq_pos")
+  }
+
   def langId(text: Column): Column = {
     val ws = transform(words(text), lower _)
     // Score per language; argmax via array_max over struct(score, rank,

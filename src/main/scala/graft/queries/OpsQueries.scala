@@ -219,6 +219,12 @@ object OpsQueries {
         .select(col("doc_id"), col("token").as("keyword"),
           col("cnt"), col("df"))
     }),
+    // sample packing: greedy fixed-budget sequence packing per source
+    // (id order, 256-token budget) — the training-batch assembly step
+    "q73_sequence_packing" -> ((s, d) =>
+      TextAnalysis.packSequences(
+        docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", col("source"), maxTokens = 256)),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -338,6 +344,25 @@ object OpsQueries {
         |              FROM documents)
         |        GROUP BY source, token))
         |WHERE rank <= 20""".stripMargin,
+    "q73_sequence_packing" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT source AS grp, doc_id AS id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(grp, id, n_tokens, rn, seq_id, seq_pos, fill) AS (
+        |  SELECT grp, id, n_tokens, rn,
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.grp, b.id, b.n_tokens, b.rn,
+        |    CASE WHEN p.fill + b.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + b.n_tokens > 256 THEN CAST(0 AS BIGINT)
+        |         ELSE p.seq_pos + 1 END,
+        |    CASE WHEN p.fill + b.n_tokens > 256 THEN b.n_tokens
+        |         ELSE p.fill + b.n_tokens END
+        |  FROM pack p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1)
+        |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
     "q72_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token

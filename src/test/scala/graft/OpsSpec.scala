@@ -197,6 +197,27 @@ class OpsSpec extends AnyFunSuite {
     assert(viaExpr == viaHof)
   }
 
+  test("sequence packing: budget respected, every doc packed once, dense bins") {
+    import spark.implicits._
+    val in = Seq((1L, "g", 100L), (2L, "g", 100L), (3L, "g", 100L),
+      (4L, "g", 999L), (5L, "g", 10L), (6L, "h", 50L))
+      .toDF("id", "grp", "nt")
+    val out = TextAnalysis.packSequences(in, "id", "nt", col("grp"), maxTokens = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 6) // every doc exactly once
+    val g = out.filter(_._1 == "g").sortBy(_._2)
+    // greedy: [1,2] (200), [3] (100+999 would burst -> 3 alone? no: 100 then
+    // 999 bursts), oversized 999 alone, then 10 starts fresh
+    assert(g.map(x => (x._2, x._4, x._5)).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 2L, 0L), (5L, 3L, 0L)))
+    // per-bin fill <= budget unless the bin is a single oversized doc
+    g.groupBy(_._4).foreach { case (_, docs) =>
+      val fill = docs.map(_._3).sum
+      assert(fill <= 256 || docs.length == 1, s"bin over budget: $fill")
+    }
+    assert(out.filter(_._1 == "h").map(x => (x._4, x._5)).toSeq == Seq((0L, 0L)))
+  }
+
   test("text analysis values are sane and deterministic") {
     val r1 = docs.select(TextAnalysis.tokenCount(col("text")).as("t"),
       TextAnalysis.stopwordRatio(col("text")).as("sw"),
