@@ -62,7 +62,13 @@ object WriteShape {
   }
 }
 
-case class StagedFile(bucket: String, path: String, count: Long)
+/** One staged frame file. `partitionId` is the replay-stable identity of
+  * the producing task: a replayed epoch stages new file names (UUIDs), but
+  * the same (bucket, partitionId) carries the same bytes when the batch is
+  * deterministic — which is what lets a crashed publish be completed
+  * idempotently from its intent record.
+  */
+case class StagedFile(bucket: String, path: String, count: Long, partitionId: Int = -1)
 case class RippleCommitMessage(staged: Seq[StagedFile]) extends WriterCommitMessage
 
 /** The topic's bucket count is registry metadata (the reference keeps it in
@@ -163,7 +169,7 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   override def commit(): WriterCommitMessage = {
     val staged = open.toSeq.sortBy(_._1).map { case (bucket, o) =>
       o.out.close()
-      StagedFile(bucket, o.path.toString, o.count)
+      StagedFile(bucket, o.path.toString, o.count, partitionId)
     }
     RippleCommitMessage(staged)
   }
@@ -187,61 +193,136 @@ object RipplePublish {
       Files.size(a) == Files.size(b) && Files.mismatch(a, b) == -1L
 
 
+  /** Hold the locks of every bucket in `tbs` (pre-sorted — all publishers
+    * acquire in bucket order, so no deadlock) around `body`.
+    */
+  private def withLocks[A](log: FileTopicLog, tbs: Seq[TopicBucket])(body: => A): A =
+    tbs match {
+      case Seq() => body
+      case head +: tail => log.withBucketLock(head)(withLocks(log, tail)(body))
+    }
+
+  private def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
+    Files.createDirectories(path.getParent)
+    val tmp = path.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Streaming exactly-once across the crash window between segment link
+    * and epoch marker: offsets are assigned ONCE and recorded in a
+    * write-ahead INTENT file before any link happens. A replayed epoch
+    * whose intent exists re-links the SAME segment names — createLink +
+    * byte-identity make that a no-op — instead of re-assigning fresh
+    * offsets past its own earlier links (which would duplicate the data).
+    * The plan keys on (bucket, partitionId): a replay stages new file
+    * names, but a deterministic batch produces the same bytes per
+    * partition. Protocol per epoch:
+    *
+    *   1. final marker exists            → committed; drop staged, done
+    *   2. acquire all touched bucket locks (sorted order)
+    *   3. intent exists (crashed attempt) → reuse its plan
+    *      else assign offsets from the authoritative listing and write the
+    *      intent atomically BEFORE linking
+    *   4. link every staged file at its planned offset (idempotent)
+    *   5. write final marker, drop intent
+    *
+    * Batch writes (no epoch identity) skip the intent: a crash mid-publish
+    * fails the job visibly, and re-running a failed batch append is
+    * at-least-once by contract, as with any file sink.
+    */
   def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
       epochId: Option[Long], queryId: String = ""): Unit = synchronized {
     val log = new FileTopicLog(Paths.get(conf.root))
-    // Epoch idempotency marker (streaming replay of a committed epoch),
-    // keyed by QUERY IDENTITY + epoch: epochs restart at 0 for a query
-    // restarted with a fresh checkpoint, and two concurrent queries writing
-    // the same topic both count from 0 — a marker keyed by epoch alone made
-    // publish() silently drop their batches (round-1 ADVICE, high).
-    val marker = epochId.map { e =>
-      val qdir = if (queryId.isEmpty) "unknown-query" else queryId
-      Paths.get(conf.root, conf.topic, ".commits", qdir, s"epoch-$e")
+    // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
+    // restart at 0 for a query restarted with a fresh checkpoint, and two
+    // concurrent queries writing the same topic both count from 0 — a
+    // marker keyed by epoch alone made publish() silently drop their
+    // batches (round-1 ADVICE, high).
+    val qdir = if (queryId.isEmpty) "unknown-query" else queryId
+    val commits = Paths.get(conf.root, conf.topic, ".commits", qdir)
+    val marker = epochId.map(e => commits.resolve(s"epoch-$e"))
+    val intent = epochId.map(e => commits.resolve(s"epoch-$e.intent"))
+    if (marker.exists(Files.exists(_))) {
+      abort(messages)
+      intent.foreach(Files.deleteIfExists)
+      return
     }
-    if (marker.exists(Files.exists(_))) { abort(messages); return }
 
     val staged = messages.collect { case RippleCommitMessage(s) => s }.flatten
       .filter(_.count > 0)
-      // deterministic publish order: by bucket, then staged path
-      .sortBy(s => (s.bucket, s.path))
+      // deterministic, replay-stable publish order
+      .sortBy(s => (s.bucket, s.partitionId, s.path))
+    staged.map(_.bucket).distinct.foreach { b =>
+      require(!b.startsWith(".") && b.matches("[A-Za-z0-9._-]+"),
+        s"invalid bucket name '$b'")
+    }
+    val byBucket = staged.groupBy(_.bucket).toSeq.sortBy(_._1)
+    val tbs = byBucket.map { case (b, _) => TopicBucket(conf.topic, b) }
+    tbs.foreach(tb => Files.createDirectories(log.bucketDir(tb)))
 
-    staged.groupBy(_.bucket).toSeq.sortBy(_._1).foreach { case (bucket, files) =>
-      require(!bucket.startsWith(".") && bucket.matches("[A-Za-z0-9._-]+"),
-        s"invalid bucket name '$bucket'")
-      val tb = TopicBucket(conf.topic, bucket)
-      Files.createDirectories(log.bucketDir(tb))
-      log.withBucketLock(tb) {
-        var next = log.endOffsetListed(tb)
+    withLocks(log, tbs) {
+      // (bucket, partitionId) -> (start, count)
+      val plan: Map[(String, Int), (Long, Long)] =
+        intent.filter(Files.exists(_)) match {
+          case Some(i) => // crashed attempt: complete ITS assignment
+            Files.readAllLines(i).toArray(Array.empty[String]).filter(_.nonEmpty)
+              .map { line =>
+                val Array(b, p, s, c) = line.split(' ')
+                (b, p.toInt) -> (s.toLong, c.toLong)
+              }.toMap
+          case None =>
+            val assigned = byBucket.flatMap { case (bucket, files) =>
+              var next = log.endOffsetListed(TopicBucket(conf.topic, bucket))
+              files.map { f =>
+                val entry = (bucket, f.partitionId) -> (next, f.count)
+                next += f.count
+                entry
+              }
+            }.toMap
+            intent.foreach { i =>
+              writeAtomic(i, assigned.toSeq.sortBy(_._1)
+                .map { case ((b, p), (s, c)) => s"$b $p $s $c" }
+                .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            assigned
+        }
+
+      byBucket.foreach { case (bucket, files) =>
+        val tb = TopicBucket(conf.topic, bucket)
         files.foreach { f =>
-          val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(next, f.count))
+          val (start, count) = plan.getOrElse((bucket, f.partitionId),
+            throw new IllegalStateException(
+              s"replayed epoch staged ($bucket, p${f.partitionId}) absent from " +
+                "the recorded intent — the batch is not deterministic"))
+          if (count != f.count) throw new IllegalStateException(
+            s"replayed epoch count mismatch for ($bucket, p${f.partitionId}): " +
+              s"intent $count vs staged ${f.count} — the batch is not deterministic")
+          val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(start, count))
           // createLink is atomic AND fails if the target exists — a plain
           // ATOMIC_MOVE rename would silently REPLACE an existing segment
           // (POSIX rename semantics), losing its data. Under the bucket
-          // lock the only way target can exist is a REPLAY of this very
-          // publish (driver retried after a crash between link and marker):
-          // byte-identity makes that a no-op; anything else is a non-lock-
-          // respecting writer and fails loudly rather than guessing.
+          // lock an existing target is either this epoch's own earlier
+          // (crashed) link — byte-identity proves it, no-op — or a foreign
+          // writer outside the lock protocol: fail loudly.
           try {
             Files.createLink(target, Paths.get(f.path))
             Files.deleteIfExists(Paths.get(f.path))
           } catch {
             case e: java.nio.file.FileAlreadyExistsException =>
               if (sameContent(target, Paths.get(f.path)))
-                Files.deleteIfExists(Paths.get(f.path)) // idempotent replay
+                Files.deleteIfExists(Paths.get(f.path)) // idempotent re-link
               else throw new IllegalStateException(
                 s"segment $target exists with different content — " +
                   "a writer is publishing outside the bucket lock", e)
           }
-          next += f.count
         }
         log.refreshManifest(tb)
       }
     }
-    marker.foreach { m =>
-      Files.createDirectories(m.getParent)
-      Files.write(m, Array.emptyByteArray)
-    }
+    marker.foreach { m => writeAtomic(m, Array.emptyByteArray) }
+    intent.foreach(Files.deleteIfExists)
     // Topic retention policy applied at publish time (the natural hook —
     // retention is a metadata-only op here, see TopicLog.truncateOlderThan;
     // the reference's TTL was never implemented, core.go:45 TODO).

@@ -236,7 +236,13 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     }
   }
 
-  private val LockStaleMs = 60000L
+  /** Crashed-holder takeover threshold. Bucket critical sections are
+    * metadata-only (directory listing + renames); the bound must cover the
+    * slowest listing, not typical cost. A section that somehow outlives
+    * this loses exclusion — the owner-token release below at least keeps a
+    * late finisher from unlocking the NEW holder.
+    */
+  private val LockStaleMs = 300000L
 
   /** Exclusive cross-driver mutation lock for one bucket: atomic
     * create-exclusive of `.lock` in the bucket directory, stolen if the
@@ -249,22 +255,43 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * hole, because a writer that verified-then-returned cannot yield
     * retroactively when a second writer links an overlapping segment a
     * moment later.
+    *
+    * Steal is ATOMIC: the stale lock is renamed to a unique name first, so
+    * of N waiters that all observed staleness exactly one wins the rename;
+    * the losers' decisions die with the NoSuchFileException — a plain
+    * delete-then-create steal lets a slow loser delete the winner's FRESH
+    * lock (check-then-act). Release deletes the lock only if it still
+    * holds our owner token, so a section that outlived LockStaleMs cannot
+    * unlock the usurper.
     */
   def withBucketLock[A](tb: TopicBucket)(body: => A): A = {
-    val lock = bucketDir(tb).resolve(".lock")
+    val dir = bucketDir(tb)
+    val lock = dir.resolve(".lock")
+    val token = java.util.UUID.randomUUID().toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
+      try {
+        Files.write(lock, token, java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           try {
-            if (System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > LockStaleMs)
-              Files.deleteIfExists(lock) // holder crashed; steal
-          } catch { case _: java.nio.file.NoSuchFileException => () } // released; retry
+            if (System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > LockStaleMs) {
+              val claimed = dir.resolve(s".lock-stale-${java.util.UUID.randomUUID()}")
+              Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE) // one winner
+              Files.deleteIfExists(claimed)
+            }
+          } catch { case _: java.nio.file.NoSuchFileException => () } // lost or released
           Thread.sleep(5 + scala.util.Random.nextInt(20).toLong)
       }
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally {
+      try {
+        if (java.util.Arrays.equals(Files.readAllBytes(lock), token))
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Atomically rewrite the bucket manifest from the directory listing.

@@ -16,26 +16,30 @@ import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByEx
   */
 object Spread {
 
-  /** Repartition `df` to the session's core count IFF its plan has no
-    * repartition already AND its leaf scans yield fewer partitions;
+  /** Repartition `df` to the session's core count IFF its parallelism was
+    * not already pinned wide and its leaf scans yield fewer partitions;
     * otherwise pass through untouched.
     *
     * The probe must not execute anything: `df.rdd` under AQE materializes
     * every upstream shuffle stage just to expose partition counts (a full
-    * hidden pass over the input per probe). Instead: (a) a `Repartition`
-    * node anywhere in the logical plan means parallelism was already
-    * chosen — by this function or the caller — so pass through; (b) leaf
+    * hidden pass over the input per probe). Instead: (a) a WIDE-ENOUGH
+    * `Repartition`/`RepartitionByExpression` anywhere in the logical plan
+    * means parallelism was already chosen — by this function or the
+    * caller; a narrow one (`coalesce(1)`, `repartition(2)`) is precisely
+    * the shape the guard must fix and does NOT pin; (b) otherwise, leaf
     * scan parallelism is read off the pre-AQE physical plan, whose leaf
     * `execute()` only CONSTRUCTS the scan RDD (partition metadata, no
-    * jobs).
+    * jobs). (b) can overestimate for frames whose last stage is an
+    * AQE-coalesced shuffle; callers feeding such frames into per-row-heavy
+    * ops pick their own partitioning.
     */
   def toCores(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val alreadyPartitioned = df.queryExecution.logical.collectFirst {
-      case r: Repartition => r
-      case r: RepartitionByExpression => r
+    val pinned = df.queryExecution.logical.collectFirst {
+      case r: Repartition if r.numPartitions >= target => r
+      case r: RepartitionByExpression if r.optNumPartitions.forall(_ >= target) => r
     }.isDefined
-    if (alreadyPartitioned) return df
+    if (pinned) return df
     val leafParts = df.queryExecution.sparkPlan.collectLeaves()
       .map(_.execute().getNumPartitions)
     if (leafParts.nonEmpty && leafParts.max >= target) df

@@ -361,7 +361,8 @@ object OpsQueries {
         |         ELSE p.seq_pos + 1 END,
         |    CASE WHEN p.fill + b.n_tokens > 256 THEN b.n_tokens
         |         ELSE p.fill + b.n_tokens END
-        |  FROM pack p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1)
+        |  FROM pack p JOIN base b
+        |    ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1)
         |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
     "q72_keywords" ->
       """WITH toks AS (

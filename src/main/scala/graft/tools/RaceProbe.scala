@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Cross-JVM publish race probe (driven by `tools/race_probe.sh`).
   *
   * The in-JVM ConnectorSpec cannot exercise the cross-driver publish race:
-  * `RipplePublish.publish` is synchronized per JVM, so the
-  * same-(start,count) createLink collision and the different-count overlap
-  * arbitration only occur between separate driver processes — the
-  * reference resolves the equivalent race with ZooKeeper leader election
+  * `RipplePublish.publish` is synchronized per JVM, so contention for a
+  * bucket's offsets only occurs between separate driver processes — the
+  * reference resolves it with ZooKeeper leader election
   * (`internal/lighthouse/election/election.go:50-79`); we resolve it with
-  * link-atomic publish + content verification + deterministic yield.
+  * the per-bucket create-exclusive publish lock (`withBucketLock`) around
+  * offset assignment + link, with link-atomic createLink + byte-identity
+  * as the replay backstop.
   *
   * Modes:
   *   `write <root> <topic> <n> <tag>` — append n single-partition rows

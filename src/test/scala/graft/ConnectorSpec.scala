@@ -270,6 +270,56 @@ class ConnectorSpec extends AnyFunSuite {
     assert(log.size(tb) == 10)
   }
 
+  test("crash between link and marker: replayed epoch completes, no duplicates") {
+    import graft.connector.{RippleCommitMessage, RippleConf, RipplePublish, StagedFile}
+    val root = tmp()
+    Ripple.createTopic(root, "qr", 1)
+    val conf = RippleConf(root, "qr", None, 1, 0L, Long.MaxValue, Long.MaxValue)
+    val tb = graft.model.TopicBucket("qr", "b0000")
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    val staging = java.nio.file.Paths.get(root, "qr", ".staging")
+    java.nio.file.Files.createDirectories(staging)
+    def stage(rows: Seq[graft.model.Payload]): java.nio.file.Path = {
+      val p = staging.resolve(s"stage-${java.util.UUID.randomUUID()}")
+      graft.log.SegmentCodec.write(p, rows.map(r => (r, 0L)))
+      p
+    }
+    def msg(p: java.nio.file.Path, pid: Int) =
+      Array[org.apache.spark.sql.connector.write.WriterCommitMessage](
+        RippleCommitMessage(Seq(StagedFile("b0000", p.toString, 5L, pid))))
+    val epoch0 = (0 until 5).map(i => graft.model.Payload(i, Array[Byte](0, i.toByte)))
+    RipplePublish.publish(conf, msg(stage(epoch0), 0), Some(0L), "qcrash")
+    assert(log.size(tb) == 5)
+
+    // Simulate epoch 1 crashing AFTER intent + link but BEFORE the marker:
+    val epoch1 = (0 until 5).map(i => graft.model.Payload(100 + i, Array[Byte](1, i.toByte)))
+    val commits = java.nio.file.Paths.get(root, "qr", ".commits", "qcrash")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.write(commits.resolve("epoch-1.intent"), "b0000 0 5 5".getBytes)
+    val crashed = stage(epoch1)
+    java.nio.file.Files.createLink(
+      log.bucketDir(tb).resolve(graft.log.SegmentCodec.segmentName(5L, 5L)), crashed)
+    // the crashed link is on disk (authoritative) but not yet in the
+    // manifest — exactly the state a crash between link and marker leaves
+    assert(log.endOffsetListed(tb) == 10)
+    assert(log.size(tb) == 5)
+
+    // Replay of epoch 1: same bytes per (bucket, partitionId), new file name.
+    RipplePublish.publish(conf, msg(stage(epoch1), 0), Some(1L), "qcrash")
+    assert(log.size(tb) == 10, "replay duplicated the crashed epoch")
+    assert(java.nio.file.Files.exists(commits.resolve("epoch-1")))
+    assert(!java.nio.file.Files.exists(commits.resolve("epoch-1.intent")))
+    val rows = log.range(tb, 0, 100)
+    assert(rows.map(_.id) == (0 until 5) ++ (100 until 105))
+
+    // Crash BEFORE any link (intent only): replay links at planned offsets.
+    val epoch2 = (0 until 5).map(i => graft.model.Payload(200 + i, Array[Byte](2, i.toByte)))
+    java.nio.file.Files.write(commits.resolve("epoch-2.intent"), "b0000 0 10 5".getBytes)
+    RipplePublish.publish(conf, msg(stage(epoch2), 0), Some(2L), "qcrash")
+    assert(log.size(tb) == 15)
+    assert(log.range(tb, 10, 15).map(_.id) == (200 until 205))
+  }
+
   // The same-(start,count) createLink collision itself needs two racing
   // JVMs (publish is driver-synchronized); tools/race_probe.sh covers that.
   // In-process we verify the adjacent invariant: a foreign writer's
