@@ -187,10 +187,14 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   */
 object RipplePublish {
 
-  /** Byte-identical file contents (size fast-path, then full compare). */
+  /** Logical frame identity (ids + payloads, timestamps ignored): frames
+    * stamp wall-clock ts when the input has no ts column, so a replayed
+    * epoch's staged bytes legitimately differ while carrying the same
+    * records — raw Files.mismatch would misread every such replay as a
+    * foreign writer and wedge the query.
+    */
   private def sameContent(a: Path, b: Path): Boolean =
-    Files.exists(a) && Files.exists(b) &&
-      Files.size(a) == Files.size(b) && Files.mismatch(a, b) == -1L
+    SegmentCodec.sameFrames(a, b)
 
 
   /** Hold the locks of every bucket in `tbs` (pre-sorted — all publishers
@@ -262,19 +266,32 @@ object RipplePublish {
     val tbs = byBucket.map { case (b, _) => TopicBucket(conf.topic, b) }
     tbs.foreach(tb => Files.createDirectories(log.bucketDir(tb)))
 
+    val stagedKeys = staged.map(f => (f.bucket, f.partitionId))
+    require(stagedKeys.distinct.size == stagedKeys.size,
+      s"duplicate (bucket, partitionId) in commit messages: $stagedKeys — " +
+        "one staged file per bucket per partition is the writer contract")
+
     withLocks(log, tbs) {
       // (bucket, partitionId) -> (start, count)
       val plan: Map[(String, Int), (Long, Long)] =
         intent.filter(Files.exists(_)) match {
           case Some(i) => // crashed attempt: complete ITS assignment
-            Files.readAllLines(i).toArray(Array.empty[String]).filter(_.nonEmpty)
+            val p = Files.readAllLines(i).toArray(Array.empty[String]).filter(_.nonEmpty)
               .map { line =>
-                val Array(b, p, s, c) = line.split(' ')
-                (b, p.toInt) -> (s.toLong, c.toLong)
+                val Array(b, pid, s, c) = line.split(' ')
+                (b, pid.toInt) -> (s.toLong, c.toLong)
               }.toMap
+            // determinism must hold in BOTH directions: every planned
+            // entry re-staged, every staged entry planned
+            if (p.keySet != stagedKeys.toSet) throw new IllegalStateException(
+              s"replayed epoch staged ${stagedKeys.toSet} but the recorded " +
+                s"intent planned ${p.keySet} — the batch is not deterministic")
+            p
           case None =>
             val assigned = byBucket.flatMap { case (bucket, files) =>
-              var next = log.endOffsetListed(TopicBucket(conf.topic, bucket))
+              val tb = TopicBucket(conf.topic, bucket)
+              var next = log.endOffsetListed(tb)
+              log.touchBucketLock(tb) // listing may be slow at scale
               files.map { f =>
                 val entry = (bucket, f.partitionId) -> (next, f.count)
                 next += f.count
@@ -291,6 +308,26 @@ object RipplePublish {
 
       byBucket.foreach { case (bucket, files) =>
         val tb = TopicBucket(conf.topic, bucket)
+        // An intent's recorded offsets may have been taken while the
+        // crashed query was down (its lock went stale and another writer
+        // published). Exactly-once is then unrecoverable — the only honest
+        // outcome is a loud, diagnosable failure BEFORE linking anything,
+        // not an overlapping segment that bricks the bucket.
+        val existing = log.segmentsRaw(tb)
+        log.touchBucketLock(tb)
+        files.foreach { f =>
+          plan.get((bucket, f.partitionId)).foreach { case (start, count) =>
+            val myName = SegmentCodec.segmentName(start, count)
+            existing.foreach { case (p, s, c) =>
+              if (s < start + count && s + c > start && p.getFileName.toString != myName)
+                throw new IllegalStateException(
+                  s"intent range [$start,+$count) for ($bucket, p${f.partitionId}) " +
+                    s"overlaps existing segment $p — another writer took these " +
+                    "offsets while the epoch was down; exactly-once cannot be " +
+                    "preserved for this epoch")
+            }
+          }
+        }
         files.foreach { f =>
           val (start, count) = plan.getOrElse((bucket, f.partitionId),
             throw new IllegalStateException(

@@ -147,6 +147,27 @@ object SegmentCodec {
 
   /** Iterate all frames of a segment: (id, tsMillis, data). */
   def read(file: Path): FrameIterator = new FrameIterator(file)
+
+  /** Frame-level identity IGNORING timestamps: same (id, data) sequence.
+    * The replay-idempotency check must use this, not raw byte equality —
+    * a writer stamps wall-clock `ts` into frames when the input has no ts
+    * column, so a replayed (byte-wise different) epoch still carries the
+    * same logical records. Frame layout is fixed-width outside `data`, so
+    * equal logical content implies equal file size (cheap prefilter).
+    */
+  def sameFrames(a: Path, b: Path): Boolean = {
+    if (!Files.exists(a) || !Files.exists(b)) return false
+    if (Files.size(a) != Files.size(b)) return false
+    val ia = read(a); val ib = read(b)
+    try {
+      while (ia.hasNext && ib.hasNext) {
+        val (idA, _, dataA) = ia.next()
+        val (idB, _, dataB) = ib.next()
+        if (idA != idB || !java.util.Arrays.equals(dataA, dataB)) return false
+      }
+      !ia.hasNext && !ib.hasNext
+    } finally { ia.close(); ib.close() }
+  }
 }
 
 /** Durable file-backed log: one directory per topic/bucket containing
@@ -261,8 +282,11 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * the losers' decisions die with the NoSuchFileException — a plain
     * delete-then-create steal lets a slow loser delete the winner's FRESH
     * lock (check-then-act). Release deletes the lock only if it still
-    * holds our owner token, so a section that outlived LockStaleMs cannot
-    * unlock the usurper.
+    * holds our owner token, which NARROWS (a filesystem has no
+    * compare-and-delete, so it cannot fully close) the window where a
+    * section that outlived LockStaleMs unlocks its usurper; long holders
+    * should call [[touchBucketLock]] between sub-steps to refresh the
+    * staleness clock.
     */
   def withBucketLock[A](tb: TopicBucket)(body: => A): A = {
     val dir = bucketDir(tb)
@@ -272,7 +296,13 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     var held = false
     while (!held) {
       try {
-        Files.write(lock, token, java.nio.file.StandardOpenOption.CREATE_NEW)
+        Files.createFile(lock) // atomic create-exclusive
+        // token write is a second step: if it fails (disk full, interrupt)
+        // release the just-created lock instead of orphaning an ownerless
+        // one for the whole staleness window. A process death BETWEEN the
+        // two calls still orphans it — the stale steal is the backstop.
+        try Files.write(lock, token)
+        catch { case e: Throwable => Files.deleteIfExists(lock); throw e }
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -293,6 +323,16 @@ final class FileTopicLog(val root: Path) extends TopicLog {
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Heartbeat for a held bucket lock: refresh its staleness clock. Call
+    * between the sub-steps of a long critical section (directory listings
+    * at large segment counts) so a live holder is not mistaken for a
+    * crashed one.
+    */
+  def touchBucketLock(tb: TopicBucket): Unit =
+    try Files.setLastModifiedTime(bucketDir(tb).resolve(".lock"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
 
   /** Atomically rewrite the bucket manifest from the directory listing.
     * Called after every publish/retention mutation; concurrent refreshes
