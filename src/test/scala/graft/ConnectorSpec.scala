@@ -279,9 +279,12 @@ class ConnectorSpec extends AnyFunSuite {
     val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
     val staging = java.nio.file.Paths.get(root, "qr", ".staging")
     java.nio.file.Files.createDirectories(staging)
+    var clock = 0L // each staging pass stamps a different wall clock — the
+    // replay path must match frames on (id, data), never raw bytes
     def stage(rows: Seq[graft.model.Payload]): java.nio.file.Path = {
       val p = staging.resolve(s"stage-${java.util.UUID.randomUUID()}")
-      graft.log.SegmentCodec.write(p, rows.map(r => (r, 0L)))
+      clock += 1000L
+      graft.log.SegmentCodec.write(p, rows.map(r => (r, clock)))
       p
     }
     def msg(p: java.nio.file.Path, pid: Int) =

@@ -161,6 +161,18 @@ class LogSpec extends AnyFunSuite {
     assert(log.range(tb, 0, 100).map(_.offset) == (15L until 20L))
   }
 
+  test("sameFrames: timestamp-insensitive, payload/id-sensitive") {
+    val dir = Files.createTempDirectory("frames")
+    val a = dir.resolve("a"); val b = dir.resolve("b"); val c = dir.resolve("c")
+    val rows = payloads(5)
+    SegmentCodec.write(a, rows.map(r => (r, 1000L)))
+    SegmentCodec.write(b, rows.map(r => (r, 2000L))) // same records, new clock
+    SegmentCodec.write(c, payloads(5, tag = 9).map(r => (r, 1000L)))
+    assert(SegmentCodec.sameFrames(a, b))
+    assert(!SegmentCodec.sameFrames(a, c))
+    assert(!SegmentCodec.sameFrames(a, dir.resolve("missing")))
+  }
+
   test("createTopic registers buckets; topics/buckets enumerable") {
     val log = fileLog()
     val tbs = log.createTopic("orders", 4)
