@@ -22,14 +22,54 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Fixed CPU-bound loop — a host-speed yardstick, not a Spark benchmark. */
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
+  private def lcgLoop(): Long = {
     var x = 0L
     var i = 0
     while (i < 200000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
-    val dt = (System.nanoTime() - t0) / 1e9
-    if (x == 42L) System.err.println("") // defeat dead-code elimination
-    dt
+    x
+  }
+
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    if (lcgLoop() == 42L) System.err.println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Same loop on every core at once — measured host MULTI-core capacity.
+    * The single-thread calib stayed flat (~0.26 s) across runs whose Spark
+    * totals swung 1.5×: co-tenant saturation shows up only under parallel
+    * load, and this is the yardstick that exposes it.
+    */
+  private def calibrateParallel(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { _ =>
+      val t = new Thread(() => { if (lcgLoop() == 42L) System.err.println("") })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Disk yardstick: write+fsync+read 256 MB of scratch (the medium shuffle
+    * files and spills live on). One observed slow run had flat CPU calibs
+    * but an inflated total — storage is the remaining host variable.
+    */
+  private def calibrateIo(): Double = {
+    val t0 = System.nanoTime()
+    val tmp = java.nio.file.Files.createTempFile("graft-calib", ".bin")
+    try {
+      val block = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(block, 0x5a.toByte)
+      val out = new java.io.FileOutputStream(tmp.toFile)
+      try {
+        var i = 0
+        while (i < 256) { out.write(block); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(tmp.toFile)
+      try { while (in.read(block) > 0) () } finally in.close()
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+    (System.nanoTime() - t0) / 1e9
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,13 +105,15 @@ object Bench {
     // JIT/session warmup outside the measured window
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val calib = calibrate()
+    val calibMt = calibrateParallel(cpus.toInt)
+    val calibIo = calibrateIo()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2","calib":$calib,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
