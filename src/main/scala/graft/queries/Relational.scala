@@ -347,6 +347,24 @@ object Relational {
           (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("var_samp"),
           sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("stddev_samp"))
     }),
+    // exact discrete percentiles by integer row selection: the chosen
+    // value is an actual data element (rank ceil(q*n) under a unique total
+    // order), so it hash-matches across engines — interpolated percentile
+    // built-ins accumulate doubles engine-specifically and cannot
+    "q44_percentile_disc" -> ((s, d) => {
+      import s.implicits._
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy($"l_returnflag")
+      val ws = wp.orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+      t(s, d, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice",
+          row_number().over(ws).cast("long").as("rn"),
+          count(lit(1)).over(wp).as("n"))
+        .groupBy($"l_returnflag")
+        .agg(
+          max(when($"rn" === ceil($"n" * 0.5).cast("long"), $"l_extendedprice")).as("p50"),
+          max(when($"rn" === ceil($"n" * 0.9).cast("long"), $"l_extendedprice")).as("p90"),
+          max(when($"rn" === ceil($"n" * 0.99).cast("long"), $"l_extendedprice")).as("p99"))
+    }),
     "q38_right_join" -> ((s, d) => {
       import s.implicits._
       t(s, d, "orders")
@@ -574,6 +592,21 @@ object Relational {
          |    ${dsumSql("l_quantity")} AS s1,
          |    ${dsumSql("l_quantity * l_quantity")} AS s2
          |  FROM lineitem GROUP BY 1)""".stripMargin,
+    "q44_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+        |      THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+        |      THEN l_extendedprice END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+        |      THEN l_extendedprice END) AS p99
+        |FROM (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    count(1) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |GROUP BY 1""".stripMargin,
     "q38_right_join" ->
       """SELECT c_nationkey, count(o_orderkey) AS n_orders,
         |  count(DISTINCT c_custkey) AS n_custs
