@@ -285,6 +285,101 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  // ---- incremental dedup against a historical corpus -----------------
+
+  /** Documents whose (normalized-content) fingerprint does NOT appear in
+    * `historical` — the incremental-ingest face of exact dedup: each new
+    * crawl/batch is admitted only if its content is novel relative to
+    * everything already in the corpus.
+    *
+    * Scale shape: a distributed Bloom filter over the historical
+    * fingerprints ([[graft.functions.BloomBuildAggregator]] — one scan,
+    * OR-merged bitsets, shuffled state independent of row count) is probed
+    * per incoming row inside codegen. Rows the filter rejects are
+    * DEFINITELY novel (no false negatives) and ship straight to the
+    * output; only the colliding slice — fpp × novel + the true duplicates
+    * — pays the exact anti-join, whose probe side is therefore tiny no
+    * matter how large the incoming batch. The join key is the full 128-bit
+    * md5 fingerprint, not the 64-bit bloom hash, so a 64-bit collision
+    * cannot drop a novel document. The result is EXACTLY the anti-join
+    * answer; the bloom only prunes.
+    */
+  def novelAgainst(incoming: DataFrame, historical: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val (numBits, k) = graft.functions.BloomParams.forItems(expectedItems, fpp)
+    val histFp = historical
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuildAggregator(numBits, k), Encoders.scalaLong)
+    val bits = histFp.select(bloomUdaf(xxhash64(col("fp"))).as("bits"))
+      .head().getSeq[Long](0).toArray
+
+    val in = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__may", graft.functions.bloom.might_contain(
+        xxhash64(col("__fp")), bits, k))
+    val definiteNovel = in.filter(!col("__may"))
+    val confirmedNovel = in.filter(col("__may"))
+      .join(histFp.distinct().withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    definiteNovel.unionByName(confirmedNovel).drop("__fp", "__may")
+  }
+
+  // ---- duplicated-span detection -------------------------------------
+
+  /** Per-document duplicated-span statistics: how much of each document is
+    * covered by word n-grams that also occur in OTHER documents — the
+    * "duplicate text fraction" curation signal (documents that are mostly
+    * boilerplate/copies score high even when no whole-document near-dup
+    * fires). Output per doc: n_tokens, n_grams (positional n-gram count),
+    * n_dup_grams (positions whose gram occurs in ≥2 distinct docs),
+    * covered_tokens (distinct token positions under a duplicated gram),
+    * dup_coverage = covered_tokens / n_tokens.
+    *
+    * Scale shape: positional n-grams explode to narrow (doc, pos, gram)
+    * rows; the corpus-wide gram frequency is one hash aggregation with
+    * map-side combine; the join back ships only the duplicated grams.
+    * Covered positions expand each duplicated gram to at most n positions
+    * before a per-doc distinct count — linear in duplicated volume, never
+    * in pair count (contrast the O(pairs) verification of near-dup joins).
+    * At 100 TB the gram key would be xxhash64(gram); string grams are kept
+    * here solely for cross-engine oracle comparability (same trade as
+    * [[graft.queries.OpsQueries]] q69).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val in = Spread.toCores(df)
+    val ws = TextAnalysis.words(col(textCol))
+    val grams = in.select(col(idCol).cast("long").as("id"),
+        size(ws).cast("long").as("n_tokens"),
+        when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n),
+            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    val pos = grams.select(col("id"), col("n_tokens"),
+      posexplode_outer(col("grams")).as(Seq("pos", "gram")))
+    // grams occurring in >= 2 distinct documents
+    val dupGrams = pos.filter(col("gram").isNotNull)
+      .select(col("id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val dupPos = pos.join(dupGrams, Seq("gram"))
+    val perDocDup = dupPos
+      .select(col("id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tokpos"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("pos")).as("n_dup_grams"),
+        countDistinct(col("tokpos")).as("covered_tokens"))
+    grams.select(col("id"), col("n_tokens"),
+        size(col("grams")).cast("long").as("n_grams"))
+      .join(perDocDup, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_coverage"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit k of the signature is the

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * `rand()`-based sampling is neither reproducible across runs nor
+  * join-stable across tables, which disqualifies it for corpus curation
+  * (the same document must land in the same sample in every pipeline
+  * stage and on every engine). These operators decide membership from a
+  * cryptographic hash of a caller-chosen key — the same convention as
+  * [[TextAnalysis.hashSplit]], at 1/65536 granularity.
+  *
+  * Scale shape: membership is a per-row predicate on `md5(seed||key)` —
+  * fully codegen'd, zero shuffles, and pushdown-friendly (a sampled scan
+  * filters at the source). Stratified fractions compile to one chained
+  * CASE, so sampling 10 strata costs the same single pass as one.
+  */
+object Sampling {
+
+  /** 16-bit hash bucket of a key in [0, 65536), uniform for any key
+    * distribution: the first 4 hex digits of md5(seed ++ key). Comparing
+    * the HEX STRING against a 4-digit threshold is identical to comparing
+    * the integer value (fixed-width lowercase hex orders lexicographically
+    * = numerically) — portable to any engine with md5 + substring, without
+    * relying on engine-specific hex→int casts.
+    */
+  def hashBucket(key: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), key.cast("string"))), 1, 4)
+
+  /** The largest bucket value admitted by `fraction`: floor(f·65536)
+    * buckets are kept, i.e. bucket < threshold. Exact at 1/65536
+    * granularity (fraction 0.2 keeps 13107/65536 ≈ 0.19999 of keys).
+    * Fraction 1.0 returns "g" — lexicographically above every 4-digit hex
+    * string ('g' > 'f'), so all rows are kept (the hex encoding of 65536
+    * would be 5 digits and sort BELOW most hashes).
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val buckets = math.floor(fraction * 65536).toLong
+    if (buckets >= 65536L) "g" else f"$buckets%04x"
+  }
+
+  /** Keep a deterministic `fraction` of rows by key hash. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      seed: String = "s0"): DataFrame =
+    df.filter(hashBucket(key, seed) < lit(thresholdHex(fraction)))
+
+  /** Stratified deterministic sample: an independent hash-sample fraction
+    * per stratum value (e.g. down-sample web crawl to 10% while keeping
+    * 100% of curated sources). Unlisted strata get `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+      fractions: Map[String, Double], defaultFraction: Double,
+      seed: String = "s0"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(thresholdHex(defaultFraction))) {
+      case (acc, (value, f)) => when(strata === value, thresholdHex(f)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, seed) < threshold)
+  }
+}

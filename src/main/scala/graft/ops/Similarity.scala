@@ -148,6 +148,35 @@ object Similarity {
     c
   }
 
+  /** Per-vector int8 scalar quantization — the embedding-compression step
+    * an ANN index at 100 TB needs (4× smaller vectors ⇒ 4× more corpus per
+    * executor, and the IVF probe joins ship byte codes instead of floats).
+    * Each vector is min-max quantized independently: code_i =
+    * clamp(floor((x_i − min) · 255 / (max − min)), 255), a constant vector
+    * maps to all-zero codes. Per-row only — codegen'd, zero shuffles.
+    *
+    * Output: (id, mn, mx, codes array<long>). Reconstruction is
+    * mn + code·(mx−mn)/255 (callers fold it into their distance kernels).
+    * Arithmetic is plain IEEE double with no rounding/accumulation, so the
+    * codes are bitwise-reproducible on any engine evaluating the same
+    * expression — the property that lets an offline-quantized index be
+    * probed by a different runtime.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // Projection boundaries: Catalyst does not CSE across HOF lambdas, so
+    // mn/mx must be materialized once, not inlined 2× per element.
+    df.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("codes",
+        when(col("mx") === col("mn"), transform(col("v"), _ => lit(0L)))
+          .otherwise(transform(col("v"),
+            x => least(floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))),
+              lit(255L)))))
+      .select(col("id"), col("mn"), col("mx"), col("codes"))
+  }
+
   /** Approximate top-k: probe the nProbe centroids nearest to each query,
     * search only their partitions. `kmeansIters` Lloyd steps refine the
     * seeded coarse centroids (the assignment pass IS the k-means inner

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -225,6 +225,59 @@ object OpsQueries {
       TextAnalysis.packSequences(
         docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
         "doc_id", "nt", col("source"), maxTokens = 256)),
+    // duplicated-span coverage: fraction of each doc under word 3-grams
+    // that also occur in other documents (the "duplicate text fraction"
+    // curation signal — catches partial/boilerplate duplication that
+    // whole-document near-dup misses)
+    "q74_dup_spans" -> ((s, d) =>
+      Dedup.dupSpanStats(docsWithPlantedDups(s, d), "doc_id", "text", n = 3)),
+    // deterministic stratified sampling: per-source hash-sample fractions
+    // (full src0, half src1, quarter src2, 10% elsewhere) — reproducible
+    // and join-stable, unlike rand()
+    "q75_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(docs(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)),
+    // int8 embedding quantization: per-vector min-max codes — emitted as
+    // integer aggregates (code sum/first/max) plus the double mn/mx scale
+    "q76_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("mn"), col("mx"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          element_at(col("codes"), 1).as("q0"),
+          array_max(col("codes")).as("q_max"))),
+    // incremental dedup: which incoming docs are content-novel vs a
+    // historical corpus — bloom prefilter + exact anti-join confirm;
+    // planted re-id'd copies of every 7th doc must NOT come out novel
+    // unless their content is outside the historical set
+    "q77_bloom_novel" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val hist = base.filter(pmod(col("doc_id"), lit(2)) === 0 ||
+        pmod(col("doc_id"), lit(3)) === 0)
+      val incoming = base.unionAll(
+        base.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.novelAgainst(incoming, hist, "doc_id", "text",
+        expectedItems = 100000L, fpp = 0.01)
+        .select(col("doc_id"))
+    }),
+    // Unicode canonicalization: NFC + accent folding over text planted
+    // with composed (é) vs decomposed (e + U+0301) suffixes — both forms
+    // must md5-converge after NFC, across engines
+    "q78_normalize" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit(" café señor")) // composed
+            .otherwise(lit(" café señor"))) // decomposed
+          .as("t"))
+      val nfc = graft.functions.textnorm.nfc_normalize(col("t"))
+      planted.select(col("doc_id"),
+        md5(nfc).as("nfc_md5"),
+        md5(graft.functions.textnorm.strip_accents(nfc)).as("ascii_md5"),
+        length(nfc).cast("long").as("nfc_len"))
+    }),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -414,6 +467,72 @@ object OpsQueries {
         |  FROM embeddings c JOIN embeddings q
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    "q74_dup_spans" -> s"""
+      |WITH planted AS ($plantedSql),
+      |t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |g AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens,
+      |        CASE WHEN len(ws) >= 3
+      |          THEN list_transform(range(1, len(ws) - 1),
+      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |          ELSE [] END AS grams
+      |      FROM t),
+      |pos AS (SELECT id, i - 1 AS pos, grams[i] AS gram
+      |        FROM g, LATERAL (SELECT unnest(range(1, len(grams) + 1)) AS i)),
+      |dup AS (SELECT gram FROM (SELECT DISTINCT id, gram FROM pos)
+      |        GROUP BY gram HAVING count(1) >= 2),
+      |cov AS (SELECT id, count(DISTINCT pos) AS n_dup_grams,
+      |          count(DISTINCT tokpos) AS covered_tokens
+      |        FROM (SELECT p.id, p.pos, unnest(range(p.pos, p.pos + 3)) AS tokpos
+      |              FROM pos p JOIN dup USING (gram))
+      |        GROUP BY id)
+      |SELECT g.id, g.n_tokens, CAST(len(g.grams) AS BIGINT) AS n_grams,
+      |  coalesce(cov.n_dup_grams, 0) AS n_dup_grams,
+      |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
+      |  CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / g.n_tokens AS dup_coverage
+      |FROM g LEFT JOIN cov ON g.id = cov.id
+      |""".stripMargin,
+    "q75_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |    WHEN 'src2' THEN '4000' ELSE '1999' END""".stripMargin,
+    "q76_quantize_int8" ->
+      """SELECT vec_id, mn, mx,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  codes[1] AS q0,
+        |  CAST(list_max(codes) AS BIGINT) AS q_max
+        |FROM (
+        |  SELECT vec_id, mn, mx,
+        |    CASE WHEN mx = mn THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v,
+        |        x -> least(CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT),
+        |                   CAST(255 AS BIGINT))) END AS codes
+        |  FROM (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+        |        FROM (SELECT vec_id,
+        |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |              FROM embeddings)))""".stripMargin,
+    "q77_bloom_novel" ->
+      """WITH inc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 7 = 0),
+        |hist AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)
+        |SELECT doc_id FROM inc
+        |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  NOT IN (SELECT fp FROM hist)""".stripMargin,
+    "q78_normalize" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(t)) AS nfc_md5,
+        |  md5(strip_accents(nfc_normalize(t))) AS ascii_md5,
+        |  CAST(length(nfc_normalize(t)) AS BIGINT) AS nfc_len
+        |FROM (SELECT doc_id,
+        |        text || CASE WHEN doc_id % 2 = 0
+        |          THEN ' caf' || chr(233) || ' se' || chr(241) || 'or'
+        |          ELSE ' cafe' || chr(769) || ' sen' || chr(771) || 'or' END AS t
+        |      FROM documents)""".stripMargin,
     "q67_pii_redaction" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(t,

@@ -245,4 +245,98 @@ class OpsSpec extends AnyFunSuite {
     val counts = frames.groupBy("media_id").count().collect()
     assert(counts.forall(_.getLong(1) > 0))
   }
+
+  test("hash sampling: deterministic, near-target fraction, stratified edges") {
+    import graft.ops.Sampling
+    val n = docs.count().toDouble
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, col("doc_id"), 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed+key must select the same rows")
+    assert(math.abs(s1.size / n - 0.25) < 0.08, s"fraction off: ${s1.size / n}")
+    // nested property: a 10% sample is a subset of the 25% sample (same
+    // seed) — the hash-threshold design guarantee that lets pipelines
+    // carve progressively smaller deterministic subsets
+    val s3 = Sampling.hashSample(docs, col("doc_id"), 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1), "smaller fraction must nest inside larger")
+    // stratified: fraction 1.0 keeps ALL of the stratum, 0.0 none
+    val strat = Sampling.stratifiedSample(docs, col("source"), col("doc_id"),
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultFraction = 0.5)
+    val bySrc = strat.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src0Total = docs.filter(col("source") === "src0").count()
+    assert(bySrc.getOrElse("src0", 0L) == src0Total, "fraction 1.0 must keep every row")
+    assert(bySrc.getOrElse("src1", 0L) == 0L, "fraction 0.0 must keep none")
+  }
+
+  test("bloom novelAgainst == exact anti join; no false negatives") {
+    val hist = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    // incoming: all docs + re-id'd copies of every 5th doc (same content)
+    val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+    val incoming = docs.unionByName(copies)
+    val got = Dedup.novelAgainst(incoming, hist, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = incoming
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .join(hist.select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "bloom-prefiltered novelty must equal the exact anti join")
+    // no false negatives: every truly-historical content was filtered out
+    assert(!got.exists(id => id % 2 == 0 && id < 5000000L))
+  }
+
+  test("dup span coverage: planted near-full duplicates score high, unique docs zero") {
+    val stats = Dedup.dupSpanStats(planted, "doc_id", "text", n = 3)
+    val byId = stats.collect().map(r => r.getLong(0) ->
+      (r.getLong(3), r.getDouble(5))).toMap
+    // perturbed copies share all but the tail 3-gram positions with their
+    // base doc → base docs should be near-fully covered
+    val baseCov = byId.filter(_._1 < 1000000L).values.map(_._2)
+    assert(baseCov.count(_ > 0.8).toDouble / baseCov.size > 0.9,
+      "base docs with planted near-copies must be mostly covered")
+    // coverage is a ratio in [0, 1]
+    assert(byId.values.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
+  }
+
+  test("int8 quantization: codes in range, reconstruction within one step") {
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(
+      emb.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v")), Seq("id"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      val codes = r.getSeq[Long](3)
+      val v = r.getSeq[Double](4)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val step = (mx - mn) / 255.0
+      codes.zip(v).foreach { case (c, x) =>
+        val recon = mn + c * step
+        assert(math.abs(x - recon) <= step + 1e-12,
+          s"reconstruction out of range: x=$x recon=$recon step=$step")
+      }
+    }
+    // constant vector → all-zero codes, not NaN
+    import spark.implicits._
+    val const = Seq((1L, Array(2.5, 2.5, 2.5))).toDF("vec_id", "embedding")
+    val qc = Similarity.quantizeInt8(const, "vec_id", "embedding").collect().head
+    assert(qc.getSeq[Long](3).forall(_ == 0L))
+  }
+
+  test("unicode normalization: NFC folds composed/decomposed, accents strip") {
+    import spark.implicits._
+    import graft.functions.textnorm._
+    val df = Seq(
+      ("café", "café"),       // é composed vs decomposed
+      ("señor", "señor"),     // ñ
+      ("plain ascii", "plain ascii")
+    ).toDF("a", "b")
+    val out = df.select(
+      (md5(nfc_normalize(col("a"))) === md5(nfc_normalize(col("b")))).as("same"),
+      strip_accents(nfc_normalize(col("a"))).as("folded")).collect()
+    assert(out.forall(_.getBoolean(0)), "NFC must converge composed and decomposed forms")
+    assert(out.map(_.getString(1)).toSeq == Seq("cafe", "senor", "plain ascii"))
+  }
 }
