@@ -432,6 +432,218 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** Product-quantization encode: the vector is split into m contiguous
+  * subvectors; each maps to the id of its nearest (squared-L2) codebook
+  * centroid — ties to the lower id. `codebooks` is [m][ksub][dsub],
+  * flattened row-major per subspace. One primitive loop per row encodes
+  * all m subspaces (8 bytes/vector at m=8 — the compression that lets a
+  * 100 TB embedding corpus sit in executor memory as codes).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var j = 0
+    var base = 0
+    while (j < m) {
+      val cents = codebooks(j)
+      val dsub = cents(0).length
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = arr.getDouble(base + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      base += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val out = ctx.freshName("out")
+      val base = ctx.freshName("base")
+      val j = ctx.freshName("j")
+      val cents = ctx.freshName("cents")
+      val dsub = ctx.freshName("dsub")
+      val bestC = ctx.freshName("bestC")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int[] $out = new int[$cbRef.length];
+         |int $base = 0;
+         |for (int $j = 0; $j < $cbRef.length; $j++) {
+         |  double[][] $cents = $cbRef[$j];
+         |  int $dsub = $cents[0].length;
+         |  int $bestC = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cents.length; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $diff = $arr.getDouble($base + $i) - $cents[$c][$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |  $base += $dsub;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Per-query ADC (asymmetric distance computation) lookup tables: for each
+  * subspace j and centroid c, the squared L2 distance between the query's
+  * j-th subvector and that centroid — flattened to array<double> of
+  * length m·ksub. Computed once per QUERY row; corpus rows then score by
+  * m table lookups instead of a dim-length float loop.
+  */
+case class PqTables(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    var base = 0
+    while (j < m) {
+      val cents = codebooks(j)
+      val dsub = cents(0).length
+      var c = 0
+      while (c < ksub) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val diff = arr.getDouble(base + i) - cent(i)
+          d += diff * diff
+          i += 1
+        }
+        out(j * ksub + c) = d
+        c += 1
+      }
+      base += dsub
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val out = ctx.freshName("out")
+      val ksub = ctx.freshName("ksub")
+      val base = ctx.freshName("base")
+      val j = ctx.freshName("j")
+      val cents = ctx.freshName("cents")
+      val dsub = ctx.freshName("dsub")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val diff = ctx.freshName("diff")
+      s"""
+         |int $ksub = $cbRef[0].length;
+         |double[] $out = new double[$cbRef.length * $ksub];
+         |int $base = 0;
+         |for (int $j = 0; $j < $cbRef.length; $j++) {
+         |  double[][] $cents = $cbRef[$j];
+         |  int $dsub = $cents[0].length;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $diff = $arr.getDouble($base + $i) - $cents[$c][$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    $out[$j * $ksub + $c] = $d;
+         |  }
+         |  $base += $dsub;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): PqTables = copy(child = c)
+  override def prettyName: String = "pq_tables"
+}
+
+/** ADC score: approximate squared L2 distance between a query and a
+  * PQ-encoded corpus vector — Σ_j tables[j·ksub + codes[j]]. m array
+  * lookups per (query, candidate) pair; with m=8 that is 16× less work
+  * than a 64-dim float loop, which is the point of PQ search.
+  */
+case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  /** left = codes array<int>, right = tables array<double>. */
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val tables = r.asInstanceOf[ArrayData]
+    var d = 0.0
+    var j = 0
+    val m = codes.numElements()
+    while (j < m) {
+      d += tables.getDouble(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    java.lang.Double.valueOf(d)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tables) => {
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      s"""
+         |double $d = 0.0;
+         |for (int $j = 0; $j < $codes.numElements(); $j++) {
+         |  $d += $tables.getDouble($j * $ksub + $codes.getInt($j));
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcDist =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_dist"
+}
+
 /** Column-level wrappers. */
 object sketches {
   private def c(e: Expression): Column = bridge.column(e)
@@ -448,4 +660,10 @@ object sketches {
       cids: Array[Long], n: Int): Column = c(TopCentroids(e(vec), cents, cids, n))
   def hyperplane_sig(vec: Column, planes: Array[Array[Double]],
       planesPerBand: Int): Column = c(HyperplaneSig(e(vec), planes, planesPerBand))
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    c(PqEncode(e(vec), codebooks))
+  def pq_tables(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    c(PqTables(e(vec), codebooks))
+  def pq_adc_dist(codes: Column, tables: Column, ksub: Int): Column =
+    c(PqAdcDist(e(codes), e(tables), ksub))
 }

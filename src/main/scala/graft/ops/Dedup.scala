@@ -304,17 +304,31 @@ object Dedup {
     * cannot drop a novel document. The result is EXACTLY the anti-join
     * answer; the bloom only prunes.
     */
+  /** Build the (bitset, k) Bloom filter over `historical`'s content
+    * fingerprints — one distributed scan with OR-merged partial bitsets.
+    * Shared by [[novelAgainst]] and the streaming
+    * [[graft.streaming.TopicStreams.novelDocs]] (which builds the filter
+    * once, batch-side, and probes it per micro-batch row).
+    */
+  def historicalBloom(historical: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double): (Array[Long], Int) = {
+    import org.apache.spark.sql.Encoders
+    val (numBits, k) = graft.functions.BloomParams.forItems(expectedItems, fpp)
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuildAggregator(numBits, k), Encoders.scalaLong)
+    val bits = historical
+      .select(xxhash64(TextAnalysis.fingerprint(col(textCol))).as("h"))
+      .select(bloomUdaf(col("h")).as("bits"))
+      .head().getSeq[Long](0).toArray
+    (bits, k)
+  }
+
   def novelAgainst(incoming: DataFrame, historical: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val (numBits, k) = graft.functions.BloomParams.forItems(expectedItems, fpp)
+    val (bits, k) = historicalBloom(historical, textCol, expectedItems, fpp)
     val histFp = historical
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val bloomUdaf = org.apache.spark.sql.functions.udaf(
-      new graft.functions.BloomBuildAggregator(numBits, k), Encoders.scalaLong)
-    val bits = histFp.select(bloomUdaf(xxhash64(col("fp"))).as("bits"))
-      .head().getSeq[Long](0).toArray
 
     val in = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .withColumn("__may", graft.functions.bloom.might_contain(

@@ -177,6 +177,122 @@ object Similarity {
       .select(col("id"), col("mn"), col("mx"), col("codes"))
   }
 
+  // ---- product quantization ------------------------------------------
+
+  /** L2-normalize an array<double> column (zero vectors pass through
+    * unchanged — consistent with [[graft.functions.CosineSim]]'s zero-norm
+    * → 0 convention). Under unit norm, squared L2 distance is a monotone
+    * transform of cosine (‖a−b‖² = 2 − 2·cosθ), which is what lets the
+    * L2-based PQ machinery rank by cosine.
+    */
+  def l2Normalize(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    when(norm === 0.0, v).otherwise(transform(v, x => x / norm))
+  }
+
+  /** Train PQ codebooks: the vector space is split into m contiguous
+    * subspaces of dim/m components; each subspace gets its own ksub-way
+    * k-means codebook. Returns [m][ksub][dim/m] (driver-side — m·ksub·dim/m
+    * doubles, a few KB: codebooks are broadcast-class metadata, exactly
+    * like IVF centroids).
+    *
+    * Scale shape: training runs on a deterministic [[Sampling]]
+    * hash-sample of the corpus (k-means quality needs thousands of
+    * points per centroid, not the full 100 TB), localCheckpointed so the
+    * m×iters Lloyd passes scan a small materialized set, not the corpus
+    * lineage. Each iteration assigns ALL m subspaces in one pass (one
+    * [[graft.functions.PqEncode]] per row), and re-centering is one
+    * narrow (subspace, code, pos, x) aggregation.
+    */
+  def pqTrainCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val sampled =
+      if (trainFraction >= 1.0) corpus
+      else Sampling.hashSample(corpus, col(vecCol).cast("string"), trainFraction)
+    val train = sampled
+      .select(l2Normalize(col(vecCol).cast("array<double>")).as("v"))
+      .localCheckpoint(true)
+
+    // Seed: the first ksub vectors' subvectors (deterministic).
+    val seedRows = train.limit(ksub).collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.length > 0, "empty training set")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      Array.tabulate(math.min(ksub, seedRows.length)) { c =>
+        seedRows(c).slice(j * dsub, (j + 1) * dsub)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val assigned = train.select(col("v"),
+        graft.functions.sketches.pq_encode(col("v"), cb).as("codes"))
+      // one narrow pass: (subspace, code, component position) → mean
+      val means = assigned
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select((col("pos") / dsub).cast("int").as("j"),
+          element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
+          pmod(col("pos"), lit(dsub)).as("i"), col("x"))
+        .groupBy(col("j"), col("code"), col("i")).agg(avg(col("x")).as("mu"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = Array.tabulate(m) { j =>
+        Array.tabulate(cb(j).length) { c =>
+          Array.tabulate(dsub) { i =>
+            // clusters that lost every member keep their previous centroid
+            means.getOrElse((j, c, i), cb(j)(c)(i))
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int> of length m). At m=8 this
+    * is 8 small ints per vector — the representation a 100 TB ANN index
+    * actually stores and shuffles.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    Spread.toCores(corpus).select(col(idCol).as("vec_id"),
+      graft.functions.sketches.pq_encode(
+        l2Normalize(col(vecCol).cast("array<double>")), codebooks).as("codes"))
+
+  /** Approximate top-k by product quantization + asymmetric distance:
+    * corpus rows are scored by m table lookups against per-query distance
+    * tables ([[graft.functions.PqTables]], computed once per query), and
+    * per-query top-k reduces through the bounded [[graft.functions.TopKAggregator]]
+    * — same O(queries × k) shuffle as the exact path, with the scan doing
+    * ~dim/m of the exact path's arithmetic on ~1/32 of its bytes. Vectors
+    * are L2-normalized so ascending ADC distance ranks like descending
+    * cosine; ties break by ascending vec_id as everywhere else.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val cb = pqTrainCodebooks(corpus, vecCol, dim, m, ksub, iters, trainFraction)
+    val kEff = cb(0).length // < ksub only when the training set was tiny
+    val codes = pqEncode(corpus, idCol, vecCol, cb)
+    val qt = queries.select(col(idCol).as("query_id"),
+      graft.functions.sketches.pq_tables(
+        l2Normalize(col(vecCol).cast("array<double>")), cb).as("tables"))
+    val scored = codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        // negated: TopKAggregator keeps the LARGEST scores
+        (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
+          .as("cos"))
+      .as[graft.functions.Scored]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_.query_id)
+      .agg(agg.toColumn.name("hits"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (h, i) => (qid, h.vec_id, (i + 1).toLong) }
+      }
+      .toDF("query_id", "vec_id", "rank")
+  }
+
   /** Approximate top-k: probe the nProbe centroids nearest to each query,
     * search only their partitions. `kmeansIters` Lloyd steps refine the
     * seeded coarse centroids (the assignment pass IS the k-means inner

@@ -112,6 +112,14 @@ object OpsQueries {
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
     }),
+    // product-quantization ANN: 8-byte codes + per-query ADC tables —
+    // approximate ranks, so rows-only gate; recall vs brute force is
+    // asserted in OpsSpec
+    "q79_knn_pq" -> ((s, d) => {
+      val corpus = emb(s, d)
+      Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16)
+    }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>

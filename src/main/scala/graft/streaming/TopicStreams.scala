@@ -78,6 +78,45 @@ object TopicStreams {
       .join(right.withWatermark(tsRight, lateness),
         expr(s"""$key = r_$key AND $tsRight BETWEEN $tsLeft AND $tsLeft + INTERVAL $bound"""))
 
+  /** Streaming incremental dedup — the streaming face of
+    * [[graft.ops.Dedup.novelAgainst]]: admit a document from the stream
+    * only if its normalized-content fingerprint is (a) not in the static
+    * historical corpus and (b) not already seen earlier in the stream
+    * within the watermark horizon.
+    *
+    * Composition, in plan order:
+    *   1. per-row fingerprint (codegen'd, stateless);
+    *   2. optional Bloom prefilter over the historical fingerprints — at
+    *      100 TB the historical side is far too big to broadcast, so the
+    *      bitset (built once, batch-side, via
+    *      [[graft.ops.Dedup.historicalBloom]]) rejects the novel majority
+    *      per-row with zero stream state, and only bloom-positive rows
+    *      reach the anti-join;
+    *   3. stream-static left_anti join against the (narrow, fingerprint-
+    *      only) historical projection — exactness: bloom false positives
+    *      die here, and rows the bloom already cleared skip the join via
+    *      the union of the two branches;
+    *   4. `dropDuplicatesWithinWatermark` on the fingerprint — intra-stream
+    *      dedup with watermark-bounded state (two crawls of the same page
+    *      minutes apart admit exactly one copy).
+    */
+  def novelDocs(stream: DataFrame, historicalFp: DataFrame, textCol: String,
+      tsCol: String, lateness: String,
+      bloom: Option[(Array[Long], Int)] = None): DataFrame = {
+    val fp = stream
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+    val hist = historicalFp.select(col("fp").as("__fp"))
+    val unseen = bloom match {
+      case Some((bits, k)) =>
+        val may = graft.functions.bloom.might_contain(xxhash64(col("__fp")), bits, k)
+        fp.filter(!may).unionByName(
+          fp.filter(may).join(hist, Seq("__fp"), "left_anti"))
+      case None => fp.join(hist, Seq("__fp"), "left_anti")
+    }
+    unseen.dropDuplicatesWithinWatermark("__fp").drop("__fp")
+  }
+
   // ---- custom keyed state: per-bucket offset auditing -----------------
 
   /** Envelope subset for state tracking. */

@@ -325,6 +325,33 @@ class OpsSpec extends AnyFunSuite {
     assert(qc.getSeq[Long](3).forall(_ == 0L))
   }
 
+  test("PQ ANN: codes valid, recall@20-vs-top5 beats chance, encode deterministic") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrainCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val c1 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1.values.forall(_.forall(c => c >= 0 && c < 16)))
+    // deterministic: re-encoding yields identical codes
+    val c2 = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2)
+    // recall: the exact top-5 neighbors should mostly appear in PQ's top-20
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 20, dim = 64, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@20 over exact top-5 too low: $recall")
+    // hash-sampled training must still produce a working index
+    val pqSampled = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 20, dim = 64, m = 8, ksub = 16, trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSampled = exact.count(pqSampled.contains).toDouble / exact.size
+    assert(recallSampled >= 0.4, s"sampled-training PQ recall too low: $recallSampled")
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._

@@ -113,6 +113,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((0L, "KENYA"), (1L, "PERU"))) // id 2 has no dim row
   }
 
+  test("streaming novelDocs: drops historical content, dedups in-stream, keeps novel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val historical = Seq((1L, "seen before text"), (2L, "also historical")).toDF("id", "text")
+    val histFp = historical.select(
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+    val (bits, k) = graft.ops.Dedup.historicalBloom(historical, "text", 100L, 0.01)
+
+    for ((bloomOpt, name) <- Seq(
+        (None, "novel_plain"),
+        (Some((bits, k)), "novel_bloom"))) {
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      mem.addData(
+        (ts(0), 10L, "Seen   BEFORE text"), // historical modulo case/spacing → dropped
+        (ts(1), 11L, "fresh document one"), // novel → kept
+        (ts(2), 12L, "fresh document one"), // in-stream duplicate → dropped
+        (ts(3), 13L, "fresh document two")) // novel → kept
+      val stream = mem.toDF().toDF("ts", "doc_id", "text")
+      runToMemory(
+        TopicStreams.novelDocs(stream, histFp, "text", "ts", "10 minutes", bloomOpt),
+        name)
+      val kept = spark.table(name).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L, 13L), s"$name kept $kept")
+    }
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
