@@ -21,11 +21,11 @@ import org.apache.spark.sql.graft.bridge
   * the (driver-collected) bitset like a broadcast and tests k positions
   * per row inside codegen.
   *
-  * Sizing: `BloomParams.forItems` gives the textbook m/k. At 1e9 historical
-  * keys and 1% fpp the bitset is ~1.2 GB — fine as one broadcast; beyond
-  * that, shard the corpus by fingerprint prefix and build one filter per
-  * shard (the probe side routes by the same prefix), keeping each bitset
-  * broadcast-sized.
+  * Sizing: `BloomParams.forItems` gives the textbook m/k, refusing past
+  * 2^31 bits (256 MB, ~2e8 items at 1% fpp) rather than silently
+  * degrading the fpp; beyond that, shard the corpus by fingerprint prefix
+  * and build one filter per shard (the probe side routes by the same
+  * prefix), keeping each bitset broadcast-sized.
   *
   * Hash scheme (shared by build and probe — must match bit-for-bit):
   * double hashing pos_i = (h + i·mix(h)) mod m over the caller's xxhash64
@@ -33,12 +33,22 @@ import org.apache.spark.sql.graft.bridge
   */
 object BloomParams {
 
-  /** (numBits rounded up to a multiple of 64, numHashFunctions). */
+  /** (numBits rounded up to a multiple of 64, numHashFunctions). Refuses
+    * rather than silently degrading: past ~2^31 bits (≈1.7e8 items at 1%
+    * fpp per 256 MB of bitset, ~2e9 items at the cap) the realized
+    * false-positive rate would quietly be orders of magnitude worse than
+    * requested and the "tiny colliding slice" contract would collapse into
+    * a near-full anti-join — at that scale, shard the corpus by
+    * fingerprint prefix and build one filter per shard instead.
+    */
   def forItems(expectedItems: Long, fpp: Double): (Int, Int) = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val ln2 = math.log(2.0)
     val m = math.ceil(-expectedItems * math.log(fpp) / (ln2 * ln2)).toLong
-    val mr = math.min(((m + 63) / 64) * 64, Int.MaxValue.toLong - 63).toInt
+    require(m <= Int.MaxValue.toLong - 63,
+      s"bloom filter for $expectedItems items @ fpp=$fpp needs $m bits (> 2^31): " +
+        "shard by fingerprint prefix and build one filter per shard")
+    val mr = (((m + 63) / 64) * 64).toInt
     val k = math.max(1, math.round(mr.toDouble / expectedItems * ln2).toInt)
     (mr, k)
   }

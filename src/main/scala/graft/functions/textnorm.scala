@@ -51,9 +51,10 @@ case class NfcNormalize(child: Expression)
 }
 
 /** Accent folding: canonical decomposition (NFD), then drop combining
-  * marks (Unicode category Mn) — é→e, ç→c, ñ→n. The standard search/dedup
-  * canonicalization (DuckDB ships it as `strip_accents`; the outputs
-  * agree because both implement Unicode canonical decomposition).
+  * marks (Unicode categories Mn, Mc, Me — the full Mark class, matching
+  * utf8proc's STRIPMARK that DuckDB's `strip_accents` is built on) —
+  * é→e, ç→c, ñ→n. Iterates by code point so supplementary-plane marks
+  * are stripped too.
   */
 case class StripAccents(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -74,9 +75,11 @@ case class StripAccents(child: Expression)
       val sb = new java.lang.StringBuilder(nfd.length)
       var j = 0
       while (j < nfd.length) {
-        val c = nfd.charAt(j)
-        if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-        j += 1
+        val cp = nfd.codePointAt(j)
+        val t = Character.getType(cp)
+        if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+        j += Character.charCount(cp)
       }
       UTF8String.fromString(sb.toString)
     }

@@ -330,7 +330,10 @@ object Dedup {
     val histFp = historical
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
 
+    // NULL text ⇒ NULL fingerprint: dropped, matching SQL NOT-IN semantics
+    // (a left_anti NULL key would instead emit the row as "novel" forever).
     val in = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("__fp").isNotNull)
       .withColumn("__may", graft.functions.bloom.might_contain(
         xxhash64(col("__fp")), bits, k))
     val definiteNovel = in.filter(!col("__may"))

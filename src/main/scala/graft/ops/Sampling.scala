@@ -25,9 +25,13 @@ object Sampling {
     * the integer value (fixed-width lowercase hex orders lexicographically
     * = numerically) — portable to any engine with md5 + substring, without
     * relying on engine-specific hex→int casts.
+    *
+    * NULL keys hash as the empty string rather than propagating NULL — a
+    * NULL bucket would fail every threshold comparison and silently drop
+    * the row, breaking the "fraction 1.0 keeps every row" contract.
     */
   def hashBucket(key: Column, seed: String): Column =
-    substring(md5(concat(lit(seed), key.cast("string"))), 1, 4)
+    substring(md5(concat(lit(seed), coalesce(key.cast("string"), lit("")))), 1, 4)
 
   /** The largest bucket value admitted by `fraction`: floor(f·65536)
     * buckets are kept, i.e. bucket < threshold. Exact at 1/65536

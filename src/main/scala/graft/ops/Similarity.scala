@@ -66,15 +66,24 @@ object Similarity {
     */
   def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    import corpus.sparkSession.implicits._
     val c = Spread.toCores(corpus)
       .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
-      .as[graft.functions.Scored]
+    topKRanks(scored, k)
+  }
+
+  /** Shared top-k tail: (query_id, vec_id, cos) rows → (query_id, vec_id,
+    * rank 1..k) through the bounded [[graft.functions.TopKAggregator]] —
+    * descending score, ties by ascending vec_id. One place, so the exact
+    * and approximate paths cannot drift in tie-break or rank contract.
+    */
+  private def topKRanks(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
     val agg = new graft.functions.TopKAggregator(k)
-    scored.groupByKey(_.query_id)
+    scored.as[graft.functions.Scored]
+      .groupByKey(_.query_id)
       .agg(agg.toColumn.name("hits"))
       .flatMap { case (qid, hits) =>
         hits.zipWithIndex.map { case (h, i) => (qid, h.vec_id, (i + 1).toLong) }
@@ -179,15 +188,24 @@ object Similarity {
 
   // ---- product quantization ------------------------------------------
 
-  /** L2-normalize an array<double> column (zero vectors pass through
-    * unchanged — consistent with [[graft.functions.CosineSim]]'s zero-norm
-    * → 0 convention). Under unit norm, squared L2 distance is a monotone
-    * transform of cosine (‖a−b‖² = 2 − 2·cosθ), which is what lets the
-    * L2-based PQ machinery rank by cosine.
+  /** Add an L2-normalized copy of `vecCol` as `out` (zero vectors pass
+    * through unchanged — consistent with [[graft.functions.CosineSim]]'s
+    * zero-norm → 0 convention). Under unit norm, squared L2 distance is a
+    * monotone transform of cosine (‖a−b‖² = 2 − 2·cosθ), which is what
+    * lets the L2-based PQ machinery rank by cosine.
+    *
+    * The norm is materialized behind a projection boundary: Catalyst does
+    * not CSE into HOF lambdas, so inlining `sqrt(aggregate(...))` in the
+    * transform body re-evaluates the O(dim) sum once PER ELEMENT —
+    * O(dim²) per row on the PQ hot path.
     */
-  def l2Normalize(v: Column): Column = {
-    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
-    when(norm === 0.0, v).otherwise(transform(v, x => x / norm))
+  def withUnitVec(df: DataFrame, vecCol: String, out: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("__nrm", sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(out,
+        when(col("__nrm") === 0.0, v)
+          .otherwise(transform(v, x => x / col("__nrm"))))
+      .drop("__nrm")
   }
 
   /** Train PQ codebooks: the vector space is split into m contiguous
@@ -197,27 +215,38 @@ object Similarity {
     * like IVF centroids).
     *
     * Scale shape: training runs on a deterministic [[Sampling]]
-    * hash-sample of the corpus (k-means quality needs thousands of
-    * points per centroid, not the full 100 TB), localCheckpointed so the
-    * m×iters Lloyd passes scan a small materialized set, not the corpus
-    * lineage. Each iteration assigns ALL m subspaces in one pass (one
+    * hash-sample of the corpus keyed by `idCol` (k-means quality needs
+    * thousands of points per centroid, not the full 100 TB — pass
+    * trainFraction ≪ 1 at scale), localCheckpointed so the Lloyd passes
+    * scan a small materialized set, not the corpus lineage. Each
+    * iteration assigns ALL m subspaces in one pass (one
     * [[graft.functions.PqEncode]] per row), and re-centering is one
     * narrow (subspace, code, pos, x) aggregation.
     */
-  def pqTrainCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val sampled =
       if (trainFraction >= 1.0) corpus
-      else Sampling.hashSample(corpus, col(vecCol).cast("string"), trainFraction)
-    val train = sampled
-      .select(l2Normalize(col(vecCol).cast("array<double>")).as("v"))
-      .localCheckpoint(true)
+      else Sampling.hashSample(corpus, col(idCol), trainFraction)
+    // localCheckpoint only an actual sample: it exists so the Lloyd passes
+    // scan a small materialized set — eagerly materializing the FULL corpus
+    // (trainFraction = 1, fine for fixtures, wrong at scale) would defeat
+    // the sampling's purpose, and the un-checkpointed lineage is just a
+    // scan + normalize.
+    val normalized = withUnitVec(sampled.select(col(idCol).as("id"), col(vecCol)),
+        vecCol, "v")
+      .select(col("id"), col("v"))
+    val train = if (trainFraction >= 1.0) normalized
+      else normalized.localCheckpoint(true)
 
-    // Seed: the first ksub vectors' subvectors (deterministic).
-    val seedRows = train.limit(ksub).collect().map(_.getSeq[Double](0).toArray)
+    // Seed: the ksub smallest-id vectors' subvectors — deterministic
+    // regardless of partition layout (a bare limit() takes whatever
+    // partitions happen to be scanned first).
+    val seedRows = train.orderBy(col("id")).limit(ksub)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(seedRows.length > 0, "empty training set")
     var cb: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       Array.tabulate(math.min(ksub, seedRows.length)) { c =>
@@ -255,9 +284,9 @@ object Similarity {
     */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame =
-    Spread.toCores(corpus).select(col(idCol).as("vec_id"),
-      graft.functions.sketches.pq_encode(
-        l2Normalize(col(vecCol).cast("array<double>")), codebooks).as("codes"))
+    withUnitVec(Spread.toCores(corpus), vecCol, "__v")
+      .select(col(idCol).as("vec_id"),
+        graft.functions.sketches.pq_encode(col("__v"), codebooks).as("codes"))
 
   /** Approximate top-k by product quantization + asymmetric distance:
     * corpus rows are scored by m table lookups against per-query distance
@@ -271,26 +300,18 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val cb = pqTrainCodebooks(corpus, vecCol, dim, m, ksub, iters, trainFraction)
+    val cb = pqTrainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, trainFraction)
     val kEff = cb(0).length // < ksub only when the training set was tiny
     val codes = pqEncode(corpus, idCol, vecCol, cb)
-    val qt = queries.select(col(idCol).as("query_id"),
-      graft.functions.sketches.pq_tables(
-        l2Normalize(col(vecCol).cast("array<double>")), cb).as("tables"))
+    val qt = withUnitVec(queries, vecCol, "__v")
+      .select(col(idCol).as("query_id"),
+        graft.functions.sketches.pq_tables(col("__v"), cb).as("tables"))
     val scored = codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         // negated: TopKAggregator keeps the LARGEST scores
         (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
           .as("cos"))
-      .as[graft.functions.Scored]
-    val agg = new graft.functions.TopKAggregator(k)
-    scored.groupByKey(_.query_id)
-      .agg(agg.toColumn.name("hits"))
-      .flatMap { case (qid, hits) =>
-        hits.zipWithIndex.map { case (h, i) => (qid, h.vec_id, (i + 1).toLong) }
-      }
-      .toDF("query_id", "vec_id", "rank")
+    topKRanks(scored, k)
   }
 
   /** Approximate top-k: probe the nProbe centroids nearest to each query,

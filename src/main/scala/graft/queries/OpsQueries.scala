@@ -117,8 +117,12 @@ object OpsQueries {
     // asserted in OpsSpec
     "q79_knn_pq" -> ((s, d) => {
       val corpus = emb(s, d)
+      // trainFraction < 1: codebooks train on the deterministic hash-sample
+      // (the 100 TB shape — the sample is localCheckpointed so Lloyd passes
+      // don't rescan the corpus)
       Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16)
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        trainFraction = 0.25)
     }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5

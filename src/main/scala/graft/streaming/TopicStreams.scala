@@ -103,8 +103,11 @@ object TopicStreams {
   def novelDocs(stream: DataFrame, historicalFp: DataFrame, textCol: String,
       tsCol: String, lateness: String,
       bloom: Option[(Array[Long], Int)] = None): DataFrame = {
+    // NULL text rows are dropped (same contract as Dedup.novelAgainst: a
+    // NULL fingerprint would anti-join as "novel" on every micro-batch).
     val fp = stream
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("__fp").isNotNull)
       .withWatermark(tsCol, lateness)
     val hist = historicalFp.select(col("fp").as("__fp"))
     val unseen = bloom match {

@@ -268,6 +268,20 @@ class OpsSpec extends AnyFunSuite {
     assert(bySrc.getOrElse("src1", 0L) == 0L, "fraction 0.0 must keep none")
   }
 
+  test("sampling keeps null-key rows at fraction 1.0; bloom sizing refuses oversize") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val withNull = Seq((Some(1L), "a"), (None, "b")).toDF("k", "v")
+    assert(Sampling.hashSample(withNull, col("k"), 1.0).count() == 2,
+      "NULL keys must not be silently dropped at fraction 1.0")
+    intercept[IllegalArgumentException] {
+      graft.functions.BloomParams.forItems(2000000000L, 0.01)
+    }
+    // within range: k >= 1 and bits positive multiple of 64
+    val (bits, k) = graft.functions.BloomParams.forItems(1000000L, 0.01)
+    assert(bits > 0 && bits % 64 == 0 && k >= 1)
+  }
+
   test("bloom novelAgainst == exact anti join; no false negatives") {
     val hist = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
     // incoming: all docs + re-id'd copies of every 5th doc (same content)
@@ -327,7 +341,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("PQ ANN: codes valid, recall@20-vs-top5 beats chance, encode deterministic") {
     val queries = emb.filter(col("vec_id") < 10)
-    val cb = Similarity.pqTrainCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
     assert(cb.length == 8 && cb.forall(_.length == 16) && cb.forall(_.forall(_.length == 8)))
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
     val c1 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
