@@ -176,6 +176,37 @@ object TextAnalysis {
       .toDF("grp", "id", "n_tokens", "seq_id", "seq_pos")
   }
 
+  /** Exact frequent tokens via an approximate candidate pass: tokens whose
+    * corpus frequency exceeds n/denom (n = total token positions).
+    *
+    * Two passes: (1) one scan producing the total count AND a Misra–Gries
+    * candidate summary ([[graft.functions.MisraGries]] — bounded k-entry
+    * state per partition, shuffles O(partitions × k) regardless of how
+    * many distinct tokens exist; the full q70-style groupBy shuffles a
+    * partial count for EVERY distinct token, which at web-corpus vocab
+    * sizes is the dominant cost); (2) an exact re-count of only the ≤ k
+    * candidates. MG guarantees every token with freq > n/(k+1) is in the
+    * summary, so with denom ≤ k+1 the final result is EXACT — the sketch
+    * only narrows, never decides.
+    */
+  def heavyTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      denom: Int, k: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(denom > 1 && denom <= k + 1,
+      s"need denom <= k+1 for the MG guarantee (got denom=$denom, k=$k)")
+    val toks = Spread.toCores(df)
+      .select(explode(words(col(textCol))).as("token"))
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val head = toks.select(mg(col("token")).as("cand"),
+      count(lit(1)).as("n")).head()
+    val candidates = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val n = head.getLong(1)
+    // integer-arithmetic threshold: cnt > n/denom ⟺ cnt·denom > n for longs
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * denom > n)
+  }
+
   def langId(text: Column): Column = {
     val ws = transform(words(text), lower _)
     // Score per language; argmax via array_max over struct(score, rank,

@@ -290,6 +290,11 @@ object OpsQueries {
         md5(graft.functions.textnorm.strip_accents(nfc)).as("ascii_md5"),
         length(nfc).cast("long").as("nfc_len"))
     }),
+    // exact frequent tokens (> 1/40 of all token positions) via a
+    // Misra-Gries candidate pass + exact re-count — bounded-state shape
+    // for huge vocabularies, provably exact output
+    "q80_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.heavyTokens(docs(s, d), "text", denom = 40, k = 64)),
     // ---- multimodal -----------------------------------------------------
     "q60_multimodal_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
@@ -535,6 +540,13 @@ object OpsQueries {
         |SELECT doc_id FROM inc
         |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  NOT IN (SELECT fp FROM hist)""".stripMargin,
+    "q80_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(1) AS n FROM toks)
+        |SELECT token, count(1) AS cnt FROM toks GROUP BY token
+        |HAVING count(1) * 40 > (SELECT n FROM tot)""".stripMargin,
     "q78_normalize" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(t)) AS nfc_md5,

@@ -366,6 +366,51 @@ class OpsSpec extends AnyFunSuite {
     assert(recallSampled >= 0.4, s"sampled-training PQ recall too low: $recallSampled")
   }
 
+  test("layout clustering: file key-ranges are disjoint, unsorted files are not") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val data = docs.select(col("doc_id"), col("source"), col("text"))
+    Layout.writeClustered(data, s"$dir/clustered", Seq(col("doc_id")), numFiles = 4)
+    def ranges(p: String) = Layout.fileRanges(spark, p, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val clustered = ranges(s"$dir/clustered")
+    assert(clustered.length == 4)
+    // disjoint: each file's min exceeds the previous file's max
+    clustered.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(loB > hiA, s"overlapping clustered files: $clustered")
+    }
+    // counter-case: hash-shuffled layout makes every file span ~the domain
+    data.repartition(4).write.mode("overwrite").parquet(s"$dir/unsorted")
+    val unsorted = ranges(s"$dir/unsorted")
+    assert(unsorted.sliding(2).exists { case Array((_, hiA), (loB, _)) => loB <= hiA },
+      "expected overlapping ranges in the hash-shuffled layout")
+  }
+
+  test("Misra-Gries: guarantee holds under skew, heavyTokens exact vs groupBy") {
+    import spark.implicits._
+    // synthetic skew: "hot" 500x, "warm" 60x, 300 singletons; k = 10 << vocab
+    val words = (Seq.fill(500)("hot") ++ Seq.fill(60)("warm") ++
+      (1 to 300).map(i => s"rare$i"))
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "t")
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(10), org.apache.spark.sql.Encoders.STRING)
+    val summary = df.repartition(7) // force multi-partition partials + merges
+      .select(mg(col("t"))).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = words.size
+    // every item with true freq > n/(k+1) must be present
+    assert(summary.contains("hot"), s"hot (freq 500 > ${n / 11}) missing: $summary")
+    assert(summary.size <= 10)
+    // exact-recount composition == plain groupBy result (token > n/12)
+    val got = TextAnalysis.heavyTokens(df.withColumnRenamed("t", "text"),
+        "text", denom = 11, k = 11)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val expected = df.groupBy("t").count()
+      .filter(col("count") * 11 > n).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._
