@@ -57,7 +57,13 @@ object GraftFunctions {
       arity("sorted_jaccard_long_sim", 2)(es => SortedJaccardLongSim(es(0), es(1)))),
     ("simhash64", info("simhash64",
       "simhash64(hashes) - 64-bit SimHash from an array<long> of element hashes"),
-      arity("simhash64", 1)(es => SimHash64(es.head))))
+      arity("simhash64", 1)(es => SimHash64(es.head))),
+    ("nfc_normalize", info("nfc_normalize",
+      "nfc_normalize(s) - Unicode canonical composition (NFC) of a string"),
+      arity("nfc_normalize", 1)(es => NfcNormalize(es.head))),
+    ("strip_accents", info("strip_accents",
+      "strip_accents(s) - NFD-decompose and drop combining marks (Mn/Mc/Me)"),
+      arity("strip_accents", 1)(es => StripAccents(es.head))))
 
   /** Register every function into an existing session's registry. */
   def register(spark: SparkSession): Unit =

@@ -63,4 +63,28 @@ object Sampling {
     }
     df.filter(hashBucket(key, seed) < threshold)
   }
+
+  /** Cap rows per group at `maxRows`, keeping a deterministic uniform
+    * subset — the "at most N documents per domain" curation rule that
+    * stops a handful of giant hosts from dominating a crawl. Which rows
+    * survive is decided by hash order (md5 of seed++key, ties by key), so
+    * the kept set is reproducible and independent of scan order — a
+    * `limit()` per group would keep whatever arrived first.
+    *
+    * One shuffle on the group key; groups under the cap pass through
+    * unchanged. Heavily-skewed groups concentrate on single tasks — at
+    * truly pathological skew (one group = the whole corpus) pre-aggregate
+    * with a bounded per-partition top-N first, the same two-phase shape
+    * as [[graft.functions.TopKAggregator]].
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, maxRows: Int,
+      seed: String = "s0"): DataFrame = {
+    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(md5(concat(lit(seed), coalesce(key.cast("string"), lit("")))), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxRows)
+      .drop("__rn")
+  }
 }

@@ -290,6 +290,11 @@ object OpsQueries {
         md5(graft.functions.textnorm.strip_accents(nfc)).as("ascii_md5"),
         length(nfc).cast("long").as("nfc_len"))
     }),
+    // per-source document cap: keep a deterministic 10-doc uniform subset
+    // of every source (the anti-domination rule for skewed crawls)
+    "q81_cap_per_group" -> ((s, d) =>
+      Sampling.capPerGroup(docs(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), maxRows = 10)),
     // exact frequent tokens (> 1/40 of all token positions) via a
     // Misra-Gries candidate pass + exact re-count — bounded-state shape
     // for huge vocabularies, provably exact output
@@ -540,6 +545,13 @@ object OpsQueries {
         |SELECT doc_id FROM inc
         |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  NOT IN (SELECT fp FROM hist)""".stripMargin,
+    "q81_cap_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
     "q80_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token

@@ -268,6 +268,30 @@ class OpsSpec extends AnyFunSuite {
     assert(bySrc.getOrElse("src1", 0L) == 0L, "fraction 0.0 must keep none")
   }
 
+  test("capPerGroup: caps at N, passes small groups through, deterministic") {
+    import graft.ops.Sampling
+    val capped = Sampling.capPerGroup(docs, col("source"), col("doc_id"), maxRows = 10)
+    val perGroup = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ <= 10))
+    // a group smaller than the cap survives intact
+    val small = docs.filter(col("doc_id") < 3) // < 10 docs, various sources
+    val smallCapped = Sampling.capPerGroup(small, col("source"), col("doc_id"), 10)
+    assert(smallCapped.count() == small.count())
+    // deterministic: same kept set on re-evaluation
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("SQL registration exposes nfc_normalize and strip_accents") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT strip_accents(nfc_normalize('café señor')) AS f").collect()
+    assert(r.head.getString(0) == "cafe senor")
+  }
+
   test("sampling keeps null-key rows at fraction 1.0; bloom sizing refuses oversize") {
     import spark.implicits._
     import graft.ops.Sampling
