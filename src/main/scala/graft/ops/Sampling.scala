@@ -31,7 +31,15 @@ object Sampling {
     * the row, breaking the "fraction 1.0 keeps every row" contract.
     */
   def hashBucket(key: Column, seed: String): Column =
-    substring(md5(concat(lit(seed), coalesce(key.cast("string"), lit("")))), 1, 4)
+    substring(keyHash(key, seed), 1, 4)
+
+  /** Full-width deterministic key hash — the single definition of the
+    * seed-concat + null-coalescing convention every sampling decision in
+    * this file derives from ([[hashBucket]] truncates it, [[capPerGroup]]
+    * orders by it).
+    */
+  private def keyHash(key: Column, seed: String): Column =
+    md5(concat(lit(seed), coalesce(key.cast("string"), lit(""))))
 
   /** The largest bucket value admitted by `fraction`: floor(f·65536)
     * buckets are kept, i.e. bucket < threshold. Exact at 1/65536
@@ -71,6 +79,11 @@ object Sampling {
     * the kept set is reproducible and independent of scan order — a
     * `limit()` per group would keep whatever arrived first.
     *
+    * `key` must uniquely identify rows (a document id): rows that tie on
+    * (hash, key) — duplicate or all-NULL keys — have no defined order, and
+    * which of them survive would again depend on scan order, which is the
+    * failure mode this operator exists to remove.
+    *
     * One shuffle on the group key; groups under the cap pass through
     * unchanged. Heavily-skewed groups concentrate on single tasks — at
     * truly pathological skew (one group = the whole corpus) pre-aggregate
@@ -80,11 +93,13 @@ object Sampling {
   def capPerGroup(df: DataFrame, group: Column, key: Column, maxRows: Int,
       seed: String = "s0"): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group)
-      .orderBy(md5(concat(lit(seed), coalesce(key.cast("string"), lit("")))), key)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxRows)
-      .drop("__rn")
+      .orderBy(keyHash(key, seed), key)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= maxRows)
+      .drop(rn)
   }
 }

@@ -193,8 +193,11 @@ object TextAnalysis {
       denom: Int, k: Int = 256): org.apache.spark.sql.DataFrame = {
     require(denom > 1 && denom <= k + 1,
       s"need denom <= k+1 for the MG guarantee (got denom=$denom, k=$k)")
+    // empty/whitespace-only docs split to [""] — drop the empty token so
+    // it neither inflates n nor surfaces as a nonsense "frequent token"
     val toks = Spread.toCores(df)
       .select(explode(words(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
     val mg = org.apache.spark.sql.functions.udaf(
       new graft.functions.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
     val head = toks.select(mg(col("token")).as("cand"),

@@ -554,8 +554,10 @@ object OpsQueries {
         |WHERE rn <= 10""".stripMargin,
     "q80_heavy_hitters" ->
       """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |  FROM documents),
+        |  SELECT token FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE length(token) > 0),
         |tot AS (SELECT count(1) AS n FROM toks)
         |SELECT token, count(1) AS cnt FROM toks GROUP BY token
         |HAVING count(1) * 40 > (SELECT n FROM tot)""".stripMargin,

@@ -433,6 +433,18 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("count") * 11 > n).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSet
     assert(got == expected, s"got $got expected $expected")
+    // NULL tokens are skipped, not crashed on or counted
+    val withNulls = (Seq.fill(30)(Some("x")) ++ Seq.fill(10)(Option.empty[String]))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "t")
+    val s2 = withNulls.repartition(3).select(mg(col("t"))).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("x" -> 30L), s2.toString)
+    // empty/whitespace-only docs contribute no "" token
+    val withBlank = df.withColumnRenamed("t", "text")
+      .unionByName(Seq((9999L, "   "), (10000L, "")).toDF("id", "text"))
+    val hh = TextAnalysis.heavyTokens(withBlank, "text", denom = 11, k = 11)
+      .collect().map(_.getString(0)).toSet
+    assert(!hh.contains(""), s"empty token leaked into $hh")
   }
 
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
