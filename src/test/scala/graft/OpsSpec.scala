@@ -363,6 +363,18 @@ class OpsSpec extends AnyFunSuite {
     assert(qc.getSeq[Long](3).forall(_ == 0L))
   }
 
+  test("PQ encode plan: per-row expressions only, no Exchange before the scan") {
+    val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, trainFraction = 0.5)
+    val plan = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .queryExecution.executedPlan.toString
+    // encoding is scan → project (normalize + pq_encode); the only
+    // permissible Exchange is Spread.toCores' parallelism spread —
+    // no aggregation/window/join may appear
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"PQ encode plan grew non-per-row operators:\n$plan")
+  }
+
   test("PQ ANN: codes valid, recall@20-vs-top5 beats chance, encode deterministic") {
     val queries = emb.filter(col("vec_id") < 10)
     val cb = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)

@@ -200,6 +200,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("end-to-end curation pipeline: topic stream -> novelty -> quality -> clustered parquet") {
+    import spark.implicits._
+    val root = tmp(); val outDir = tmp()
+    Ripple.createTopic(root, "docs", numBuckets = 2)
+
+    // produce: 3 novel quality docs, 1 historical-content doc, 1 in-stream
+    // duplicate, 1 too-short doc
+    val goodText = "a perfectly reasonable document with more than ten whitespace tokens in it"
+    val docs = Seq(
+      (1L, goodText + " one"),
+      (2L, goodText + " two"),
+      (3L, "seen before text that the historical corpus already has"),
+      (4L, goodText + " one"), // duplicate content of doc 1
+      (5L, "too short"),
+      (6L, goodText + " three"))
+      .toDF("doc_id", "text")
+    Ripple.write(Ripple.pack(docs, col("doc_id")), root, "docs", numBuckets = 2)
+
+    val historical = Seq(
+      "seen before text that the historical corpus already has").toDF("text")
+    val histFp = historical.select(
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val stream = Ripple.lift(Ripple.readStream(spark, root, "docs"), schema)
+      .select(col("doc_id"), col("text"), col("_ts").as("ts"))
+    val curated = TopicStreams.novelDocs(stream, histFp, "text", "ts", "10 minutes")
+
+    val q = curated.writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch-side tail: quality gate, per-source cap, clustered layout
+        val quality = batch.filter(
+          size(split(trim(col("text")), "\\s+")) >= 10)
+        val capped = graft.ops.Sampling.capPerGroup(
+          quality, lit("all"), col("doc_id"), maxRows = 100)
+        if (!capped.isEmpty)
+          graft.ops.Layout.writeClustered(capped.select("doc_id", "text"),
+            outDir, Seq(col("doc_id")), numFiles = 2)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // dropped: 3 (historical content), 5 (too short). docs 1 and 4 share a
+    // fingerprint → exactly ONE of them survives the in-stream dedup
+    // (which one is arrival order within the batch). 2 and 6 always kept.
+    assert(out.intersect(Set(1L, 4L)).size == 1, s"dup pair mishandled: $out")
+    assert(Set(2L, 6L).subsetOf(out) && !out.contains(3L) && !out.contains(5L),
+      s"pipeline kept $out")
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
