@@ -374,9 +374,12 @@ object Dedup {
           .otherwise(array().cast("array<string>")).as("grams"))
     val pos = grams.select(col("id"), col("n_tokens"),
       posexplode_outer(col("grams")).as(Seq("pos", "gram")))
-    // grams occurring in >= 2 distinct documents
-    val dupGrams = pos.filter(col("gram").isNotNull)
-      .select(col("id"), col("gram")).distinct()
+    // grams occurring in >= 2 distinct documents. Per-doc dedup happens
+    // BEFORE the explode (array_distinct on the gram array) — exploding
+    // then .distinct() would shuffle every positional gram occurrence a
+    // second time just to collapse per-doc repeats.
+    val dupGrams = grams
+      .select(col("id"), explode(array_distinct(col("grams"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("gram"))
