@@ -48,6 +48,24 @@ object Dedup {
     Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
 
+  /** Pick (numBands, rowsPerBand) for a target jaccard threshold: among
+    * factorizations b·r = numHashes, choose the one whose S-curve midpoint
+    * (1/b)^(1/r) — the similarity at which a pair's candidate probability
+    * crosses 1/2-ish — lands closest to the threshold. Below-threshold
+    * pairs then mostly never collide (band join stays sparse) and
+    * above-threshold pairs almost surely do (recall), which is the knob
+    * that controls the candidate-pair volume the verification join must
+    * absorb at 100 TB.
+    */
+  def lshParams(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1)
+    val choices = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    choices.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** MinHash signature (array<long> of length numHashes) over the word
     * n-gram shingle set. Shingle hashing stays in built-ins; the k-way min
     * loop is the custom [[graft.functions.MinHashSig]] expression (the

@@ -70,6 +70,20 @@ class PropertySpec extends AnyFunSuite {
         .map(_.zipWithIndex.map { case (v, i) => f"b$i%04d" -> v }.toMap)
     }
 
+  test("LSH parameter choice: valid factorization, midpoint tracks threshold") {
+    check(Prop.forAll(Gen.oneOf(32, 64, 128, 256), Gen.choose(0.2, 0.9)) {
+      (numHashes: Int, threshold: Double) =>
+        val (b, r) = graft.ops.Dedup.lshParams(numHashes, threshold)
+        val midpoint = math.pow(1.0 / b, 1.0 / r)
+        // collision probability for a pair AT the midpoint:
+        // 1 - (1 - midpoint^r)^b ≈ 1 - 1/e when b, r > 1
+        val pAtMid = 1.0 - math.pow(1.0 - math.pow(midpoint, r), b)
+        b * r == numHashes &&
+          math.abs(midpoint - threshold) <= 0.25 &&
+          (b == 1 || r == 1 || (pAtMid > 0.5 && pAtMid < 0.75))
+    })
+  }
+
   test("rate-cap allocation: sums to min(cap,total), bounded, starvation-free") {
     check(Prop.forAll(genBacklog,
         Gen.oneOf(Gen.choose(0L, 5000L), Gen.choose(0L, 2_000_000_000L))) { (backlog, cap) =>
