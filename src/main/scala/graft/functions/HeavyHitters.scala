@@ -7,10 +7,10 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Misra–Gries buffer: stored counts are RELATIVE to `offset` (an entry's
   * effective weight is `count - offset`; entries at or below the offset
   * are logically absent and reclaimed lazily). The offset turns MG's
-  * "decrement every counter" step into a single O(1) increment — without
-  * it, every cache miss on a saturated summary rebuilds the whole k-entry
-  * map, O(n·k) churn on exactly the long-tail streams the sketch exists
-  * for.
+  * "decrement every counter" step into an O(1) increment plus an
+  * allocation-free staleness scan — without it, every cache miss on a
+  * saturated summary rebuilds the whole k-entry map, O(n·k) allocation
+  * churn on exactly the long-tail streams the sketch exists for.
   */
 case class MGBuf(counts: Map[String, Long], offset: Long)
 
@@ -44,11 +44,14 @@ class MisraGries(k: Int)
       case None if b.counts.size < k =>
         b.copy(counts = b.counts.updated(t, b.offset + 1))
       case None =>
-        // try reclaiming stale entries first (amortized: a prune that
-        // frees s slots pays for s subsequent O(1) inserts)
-        val live = b.counts.filter { case (_, c) => c > b.offset }
-        if (live.size < k) MGBuf(live.updated(t, b.offset + 1), b.offset)
-        else b.copy(offset = b.offset + 1) // decrement-all in O(1)
+        // reclaim stale entries if any exist (amortized: a prune that
+        // frees s slots pays for s subsequent inserts); the exists probe
+        // is an allocation-free scan, so the common saturated-miss path
+        // costs one scan + one O(1) offset bump — no map rebuild
+        if (b.counts.exists { case (_, c) => c <= b.offset }) {
+          val live = b.counts.filter { case (_, c) => c > b.offset }
+          MGBuf(live.updated(t, b.offset + 1), b.offset)
+        } else b.copy(offset = b.offset + 1) // decrement-all in O(1)
     }
 
   private def effective(b: MGBuf): Map[String, Long] =

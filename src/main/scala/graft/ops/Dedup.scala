@@ -101,9 +101,14 @@ object Dedup {
     * 50× slower at sf0.1.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 0,
       threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
-    val rowsPerBand = numHashes / numBands
+    // numBands = 0 (default): derive the banding from the threshold via
+    // the S-curve rule, so the candidate volume tracks what the caller
+    // actually asked for (a fixed 16-band split of 64 hashes has its
+    // midpoint at 0.5 regardless of threshold).
+    val bands = if (numBands > 0) numBands else lshParams(numHashes, threshold)._1
+    val rowsPerBand = numHashes / bands
     val (as, bs) = hashParams(numHashes, seed).unzip
     val in = Spread.toCores(df)
     // Cached: the shingling subtree feeds the band branch AND both sides of
@@ -123,7 +128,7 @@ object Dedup {
 
     val banded = base
       .withColumn("sig", sig)
-      .select(col("id"), explode(bandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bandHash"))
 
     val candidates = banded.as("a").join(banded.as("b"),
