@@ -1,5 +1,11 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,63 +15,234 @@ import org.apache.spark.sql.functions._
   * sidecar metadata), and the same shape the reference gives every
   * message (`Payload.Data []byte`, `internal/broker/queue/queue.go:15-19`).
   *
-  * The Spark-side plumbing — schema, per-partition batched processing,
-  * deterministic feature shape — is real and tested. The actual codec call
-  * is STUBBED ([[FakeCodec]]): this container has no image/audio
-  * libraries, so decode is a clearly-marked deterministic fake with the
-  * same signature a JNI/FFmpeg/JPEG decoder would have. Swap `FakeCodec`
-  * for a real codec and nothing else changes.
+  * Decode is REAL: [[MediaCodec]] uses the JDK's own codecs —
+  * `javax.imageio.ImageIO` (PNG/JPEG/BMP → pixels) and
+  * `javax.sound.sampled.AudioSystem` (WAV → PCM samples) — so features
+  * derive from decoded pixel/sample data, not byte statistics. "Video" is
+  * a documented length-prefixed container of encoded image frames
+  * ([[MediaCodec.packVideo]]), the shape of an MJPEG/keyframe-index
+  * stream; decoding it is real per-frame image decode.
   */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      features: Array[Float])
+      decode_ok: Boolean, features: Array[Float])
 
-  /** STUB decoder — stands in for the real native decode (JPEG/PNG/PCM/
-    * H.264). Deterministic: 16-bin byte histogram, L1-normalized. A real
-    * implementation would return pixel/sample tensors; everything
-    * downstream (batching, schema, partitioning) is agnostic to that.
+  /** Real JDK-codec decode. All feature vectors are 16-dim and
+    * L1-normalized:
+    *   - image: 16-bin luminance histogram over DECODED pixels (BT.601
+    *     integer luma), normalized by pixel count;
+    *   - audio: 16-bin |amplitude| histogram over DECODED 16-bit PCM
+    *     samples, normalized by sample count;
+    *   - video: image features of the first decoded frame (the keyframe —
+    *     what a thumbnail/embedding pass reads).
+    *
+    * Undecodable bytes return (zeros, ok=false): at 100 TB a corrupt blob
+    * is quarantined by the `decode_ok` flag, it must not fail the stage.
     */
-  object FakeCodec {
+  object MediaCodec {
     val FeatureDim = 16
-    def decodeToFeatures(bytes: Array[Byte]): Array[Float] = {
+    // ImageIO's default decode path spools through a temp-file disk cache;
+    // in-memory streams don't need it and it serializes on /tmp.
+    ImageIO.setUseCache(false)
+
+    private val Zero = new Array[Float](FeatureDim)
+
+    /** BT.601 integer luma (0..255) of one packed RGB pixel. */
+    private def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None // not a format ImageIO recognizes
+      val w = img.getWidth; val h = img.getHeight
+      if (w == 0 || h == 0) return None
       val hist = new Array[Float](FeatureDim)
-      if (bytes == null || bytes.isEmpty) return hist
-      var i = 0
-      while (i < bytes.length) {
-        hist((bytes(i) & 0xFF) >> 4) += 1f
-        i += 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
+          x += 1
+        }
+        y += 1
       }
-      val n = bytes.length.toFloat
+      val n = (w * h).toFloat
       var j = 0
       while (j < FeatureDim) { hist(j) /= n; j += 1 }
-      hist
+      Some(hist)
+    }
+
+    def audioFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return None
+        val raw = in.readAllBytes()
+        val frameSize = fmt.getFrameSize // bytes per frame (all channels)
+        val nFrames = raw.length / frameSize
+        if (nFrames == 0) return None
+        val hist = new Array[Float](FeatureDim)
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < nFrames) {
+          // first channel of each frame
+          val o = i * frameSize
+          val s = if (big) ((raw(o) << 8) | (raw(o + 1) & 0xFF)).toShort
+                  else ((raw(o + 1) << 8) | (raw(o) & 0xFF)).toShort
+          val a = math.min(math.abs(s.toInt), 32767) // |Short.MinValue| clamps
+          hist(a * FeatureDim / 32768) += 1f
+          i += 1
+        }
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= nFrames.toFloat; j += 1 }
+        Some(hist)
+      } finally in.close()
+    }
+
+    // ---- video container: magic + frame count + length-prefixed encoded
+    // frames. Each frame is a REAL encoded image (PNG here); the container
+    // is the fixed part a keyframe index gives you on a packetized codec.
+    private val VideoMagic = 0x47465631 // "GFV1"
+
+    def packVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(VideoMagic)
+      out.writeInt(frames.length)
+      frames.foreach { f => out.writeInt(f.length); out.write(f) }
+      out.flush()
+      bos.toByteArray
+    }
+
+    /** Decode every frame of a packed video to its encoded-image bytes. */
+    def unpackVideo(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
+      if (bytes == null || bytes.length < 8) return None
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      if (in.readInt() != VideoMagic) return None
+      val n = in.readInt()
+      if (n < 0 || n > (bytes.length / 4)) return None
+      val frames = new Array[Array[Byte]](n)
+      var i = 0
+      while (i < n) {
+        val len = in.readInt()
+        if (len < 0 || len > bytes.length) return None
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        frames(i) = buf
+        i += 1
+      }
+      Some(frames)
+    }
+
+    def videoFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+      unpackVideo(bytes).filter(_.nonEmpty).flatMap(f => imageFeatures(f(0)))
+
+    /** Dispatch by declared kind; any decode failure → (zeros, false). */
+    def decodeToFeatures(kind: String, bytes: Array[Byte]): (Array[Float], Boolean) = {
+      if (bytes == null || bytes.isEmpty) return (Zero.clone(), false)
+      try {
+        (kind match {
+          case "image" => imageFeatures(bytes)
+          case "audio" => audioFeatures(bytes)
+          case "video" => videoFeatures(bytes)
+          case _       => None
+        }) match {
+          case Some(f) => (f, true)
+          case None    => (Zero.clone(), false)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => (Zero.clone(), false)
+      }
+    }
+
+    // ---- deterministic encoders for fixture generation ----------------
+
+    /** Render text bytes into a real PNG: pixel (x,y) takes its RGB from
+      * three rolling positions of the text. PNG is lossless, so decoded
+      * pixels equal these exactly — features are reproducible no matter
+      * how the encoder packs the file.
+      */
+    def encodePng(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val n = math.max(seed.length, 1)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          def b(i: Int): Int = if (seed.isEmpty) 0 else seed(i % n) & 0xFF
+          img.setRGB(x, y, (b(p) << 16) | (b(p + 1) << 8) | b(p + 2))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 16-bit mono PCM WAV whose samples derive from the text bytes. */
+    def encodeWav(seed: Array[Byte], nSamples: Int, sampleRate: Float = 8000f): Array[Byte] = {
+      val n = math.max(seed.length, 1)
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = if (seed.isEmpty) 0 else (((seed((i * 7) % n) & 0xFF) - 128) * 256)
+        pcm(2 * i) = (v & 0xFF).toByte          // little-endian
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
     }
   }
 
   /** Feature extraction over a media Dataset: per-partition imperative
-    * loop (`mapPartitions`) because a real decoder amortizes native-lib
-    * init per partition, not per row — the Scala analog of a batched
-    * `mapInPandas` UDF.
+    * loop (`mapPartitions`) because a decoder amortizes init per
+    * partition, not per row — the Scala analog of a batched `mapInPandas`
+    * UDF. The decode itself is the JDK's real PNG/JPEG/WAV codec.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codec: init native decoder once per partition here
       rows.map { r =>
+        val (feats, ok) = MediaCodec.decodeToFeatures(r.kind, r.bytes)
         MediaFeatures(r.media_id, r.kind,
-          if (r.bytes == null) 0L else r.bytes.length.toLong,
-          FakeCodec.decodeToFeatures(r.bytes))
+          if (r.bytes == null) 0L else r.bytes.length.toLong, ok, feats)
       }
     }
   }
 
-  /** Frame sampling for "video" payloads: treat the byte stream as
-    * fixed-size frames, keep every nth — pure offset arithmetic on the
+  /** Explode a packed-video table into one row per REAL decoded frame,
+    * keeping every `every`-th frame — the frame-sampling pass a video
+    * corpus runs before per-frame embedding. Per-partition imperative,
+    * zero shuffle; frames stay encoded (downstream decides when to pay
+    * pixel decode).
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow], every: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodec.unpackVideo(r.bytes).toSeq.flatMap { frames =>
+          frames.indices.by(every).map(i => (r.media_id, i, frames(i)))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Frame sampling for fixed-size-frame payloads: treat the byte stream
+    * as fixed-size frames, keep every nth — pure offset arithmetic on the
     * binary column, no decode needed (the real op on packetized codecs is
-    * keyframe-index slicing, same shape).
+    * keyframe-index slicing, same shape; [[sampleVideoFrames]] is the
+    * container-aware twin).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, every: Int): DataFrame = {
     val nFrames = floor(octet_length(col("bytes")) / frameBytes).cast("int")
@@ -79,8 +256,8 @@ object Multimodal {
   }
 
   /** Metadata-level "resize" planning: compute target dims preserving
-    * aspect ratio (the control-plane half of a resize; the pixel half
-    * lives behind the codec stub).
+    * aspect ratio (the control-plane half of a resize; the pixel half is
+    * a decoded-BufferedImage scale behind [[MediaCodec]]).
     */
   def planResize(media: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(maxSide) / greatest(col("width"), col("height")).cast("double"), lit(1.0))
@@ -89,8 +266,11 @@ object Multimodal {
       ceil(col("height") * scale).cast("long").as("target_h"))
   }
 
-  /** Build a deterministic media table from the documents fixture: text
-    * bytes stand in for encoded media (the fixtures ship no binary blobs).
+  /** Byte-level media table from the documents fixture: text bytes stand
+    * in for the payload. This is the table for the OFFSET-ARITHMETIC ops
+    * (metadata q60, fixed-frame slicing q62), whose DuckDB oracles
+    * reproduce it in SQL; [[encodedMediaFromDocuments]] is the
+    * real-codec twin.
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
@@ -101,4 +281,34 @@ object Multimodal {
       col("text").cast("binary").as("bytes"),
       (pmod(col("doc_id"), lit(64)) * 16 + 64).cast("int").as("width"),
       (pmod(col("doc_id"), lit(48)) * 16 + 64).cast("int").as("height"))
+
+  /** REAL encoded media from the documents fixture: each doc's text
+    * deterministically renders to a genuine PNG (image), WAV (audio), or
+    * packed PNG-frame video — so [[extractFeatures]] exercises the real
+    * JDK decode path end-to-end. Encoding runs in the same
+    * `mapPartitions` shape as decode: per-partition codec reuse, no
+    * shuffle, parallel across the corpus.
+    */
+  def encodedMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val seed = if (text == null) Array.emptyByteArray
+                     else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val w = 16 + (id % 16).toInt
+          val h = 12 + (id % 12).toInt
+          (id % 3) match {
+            case 0 => MediaRow(id, "image", MediaCodec.encodePng(seed, w, h), w, h)
+            case 1 => MediaRow(id, "audio",
+              MediaCodec.encodeWav(seed, nSamples = 256 + (id % 256).toInt), 0, 0)
+            case _ =>
+              val frames = (0 until 3).map(f =>
+                MediaCodec.encodePng(seed.drop(f), 8, 8))
+              MediaRow(id, "video", MediaCodec.packVideo(frames), 8, 8)
+          }
+        }
+      }
+  }
 }

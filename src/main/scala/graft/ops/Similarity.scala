@@ -335,12 +335,12 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(graft.functions.sketches.top_centroids(col("qv"), cm, cids, nProbe)).as("cid"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rank"))
+    // Bounded aggregator, not Window+row_number: the probed score matrix is
+    // queries × (nProbe/C)·corpus rows — a full shuffle of it at 100 TB is
+    // exactly the shape bruteForceTopKWindow exists to warn about.
+    topKRanks(scored, k)
   }
 }

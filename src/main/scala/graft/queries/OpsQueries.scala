@@ -309,11 +309,11 @@ object OpsQueries {
           col("target_w"), col("target_h"))
     }),
     "q61_multimodal_features" -> ((s, d) => {
-      import s.implicits._
-      val media = Multimodal.mediaFromDocuments(docs(s, d))
-        .as[Multimodal.MediaRow]
+      // REAL codec path: text → genuine PNG/WAV/packed-frame bytes →
+      // ImageIO/AudioSystem decode → pixel/sample-derived features.
+      val media = Multimodal.encodedMediaFromDocuments(docs(s, d))
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("decode_ok"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
     "q62_frame_sample" -> ((s, d) => {

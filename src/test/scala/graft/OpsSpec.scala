@@ -161,6 +161,12 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"assignment plan joins:\n$plan")
     assert(plan.split("Exchange").length - 1 <= 1, s"assignment plan shuffles:\n$plan")
+    // the full ivfTopK plan must end in the bounded aggregator, not a
+    // Window over the probed score matrix (the round-2 weak finding)
+    val topkPlan = Similarity.ivfTopK(emb, emb.limit(5), "vec_id", "embedding",
+      k = 3, numCentroids = 8, nProbe = 2, kmeansIters = 0)
+      .queryExecution.executedPlan.toString
+    assert(!topkPlan.contains("Window"), s"ivfTopK still uses a window:\n$topkPlan")
     // value parity with the round-1 window formulation
     val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -233,17 +239,62 @@ class OpsSpec extends AnyFunSuite {
     assert(r1.forall(r => r.getDouble(2) >= 0 && r.getDouble(2) <= 1))
   }
 
-  test("multimodal: features deterministic, frame sampling exact") {
-    import spark.implicits._
-    val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
+  test("multimodal: real decode — all fixture media decodes, features from pixels") {
+    val media = Multimodal.encodedMediaFromDocuments(docs)
     val f = Multimodal.extractFeatures(media).collect()
-    assert(f.forall(_.features.length == Multimodal.FakeCodec.FeatureDim))
-    // histogram is L1-normalized
+    assert(f.nonEmpty)
+    assert(f.forall(_.decode_ok), "every generated PNG/WAV/video must decode")
+    assert(f.forall(_.features.length == Multimodal.MediaCodec.FeatureDim))
+    // histograms over decoded pixels/samples are L1-normalized
     assert(f.forall(x => math.abs(x.features.sum - 1.0f) < 1e-3))
+    // determinism: second run bitwise-identical
+    val f2 = Multimodal.extractFeatures(media).collect()
+    assert(f.sortBy(_.media_id).zip(f2.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs).limit(10), frameBytes = 16, every = 2)
     val counts = frames.groupBy("media_id").count().collect()
     assert(counts.forall(_.getLong(1) > 0))
+  }
+
+  test("multimodal: known-content feature values through the real codecs") {
+    import Multimodal.MediaCodec
+    // Solid red 4x4 PNG: BT.601 luma of (255,0,0) = 76 → bin 76*16/256 = 4.
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xFF0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (imgF, imgOk) = MediaCodec.decodeToFeatures("image", bos.toByteArray)
+    assert(imgOk)
+    assert(imgF(4) == 1.0f, s"expected all mass in luma bin 4, got ${imgF.toSeq}")
+
+    // Constant-amplitude WAV at 16384 (= 0.5 full scale): bin 16384*16/32768 = 8.
+    val pcm = new Array[Byte](200 * 2)
+    for (i <- 0 until 200) { pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x40 } // LE 0x4000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 200L)
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, abos)
+    val (audF, audOk) = MediaCodec.decodeToFeatures("audio", abos.toByteArray)
+    assert(audOk)
+    assert(audF(8) == 1.0f, s"expected all mass in amplitude bin 8, got ${audF.toSeq}")
+
+    // Video = packed frames; features = first frame's image features.
+    val packed = MediaCodec.packVideo(Seq(bos.toByteArray, bos.toByteArray))
+    val (vidF, vidOk) = MediaCodec.decodeToFeatures("video", packed)
+    assert(vidOk)
+    assert(vidF.sameElements(imgF))
+    // real per-frame sampling: every 1st frame of a 2-frame video → 2 rows
+    val vmedia = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", packed, 4, 4)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    assert(Multimodal.sampleVideoFrames(vmedia, every = 1).count() == 2)
+
+    // corrupt bytes are quarantined, not thrown
+    val (badF, badOk) = MediaCodec.decodeToFeatures("image", Array[Byte](1, 2, 3))
+    assert(!badOk && badF.forall(_ == 0f))
   }
 
   test("hash sampling: deterministic, near-target fraction, stratified edges") {
