@@ -346,10 +346,51 @@ object Dedup {
     (bits, k)
   }
 
+  /** Sharded twin of [[historicalBloom]] for corpora past the single-
+    * filter 2^31-bit cap (~2e8 docs at 1% fpp — every real pre-training
+    * corpus): the key space splits by a salted hash
+    * ([[graft.functions.BloomShardOf]]) into `shards` groups, each with
+    * its own correctly-sized bitset, built in ONE distributed aggregation
+    * (groupBy shard, OR-merged partials). The result ships to executors
+    * via `sparkContext.broadcast` — torrent-distributed once, never a
+    * per-stage plan constant. The driver holds shards × bitset transiently
+    * at collect time (23 shards × 256 MB for 5e9 docs — driver-memory
+    * class, same as any large broadcast).
+    */
+  def shardedHistoricalBloom(historical: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double, shards: Int)
+      : (org.apache.spark.broadcast.Broadcast[Array[Array[Long]]], Int) = {
+    import org.apache.spark.sql.Encoders
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val perShard = math.max(1L, (expectedItems + shards - 1) / shards)
+    val (numBits, k) = graft.functions.BloomParams.forItems(perShard, fpp)
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuildAggregator(numBits, k), Encoders.scalaLong)
+    val built = historical
+      .select(xxhash64(TextAnalysis.fingerprint(col(textCol))).as("h"))
+      .withColumn("__shard", graft.functions.bloom.shard_of(col("h"), shards))
+      .groupBy(col("__shard")).agg(bloomUdaf(col("h")).as("bits"))
+      .collect()
+    // shards with no historical rows stay all-zero: every probe is "absent"
+    val arr = Array.fill(shards)(new Array[Long](numBits / 64))
+    built.foreach(r => arr(r.getInt(0)) = r.getSeq[Long](1).toArray)
+    (historical.sparkSession.sparkContext.broadcast(arr), k)
+  }
+
+  /** Auto-shards: one filter while it fits, [[shardedNovelAgainst]] with
+    * the minimum shard count past the 2^31-bit cap — the caller never hits
+    * the sizing refusal.
+    */
   def novelAgainst(incoming: DataFrame, historical: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
-    val (bits, k) = historicalBloom(historical, textCol, expectedItems, fpp)
+      fpp: Double = 0.01): DataFrame =
+    shardedNovelAgainst(incoming, historical, idCol, textCol, expectedItems,
+      fpp, graft.functions.BloomParams.shardsFor(expectedItems, fpp))
+
+  def shardedNovelAgainst(incoming: DataFrame, historical: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long,
+      fpp: Double, shards: Int): DataFrame = {
+    val (bc, k) = shardedHistoricalBloom(historical, textCol, expectedItems, fpp, shards)
     val histFp = historical
       .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
 
@@ -357,8 +398,8 @@ object Dedup {
     // (a left_anti NULL key would instead emit the row as "novel" forever).
     val in = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .filter(col("__fp").isNotNull)
-      .withColumn("__may", graft.functions.bloom.might_contain(
-        xxhash64(col("__fp")), bits, k))
+      .withColumn("__may", graft.functions.bloom.might_contain_sharded(
+        xxhash64(col("__fp")), bc, k))
     val definiteNovel = in.filter(!col("__may"))
     val confirmedNovel = in.filter(col("__may"))
       .join(histFp.distinct().withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Event-time streaming semantics over topic streams (SURVEY §2 Table B
@@ -118,6 +118,147 @@ object TopicStreams {
       case None => fp.join(hist, Seq("__fp"), "left_anti")
     }
     unseen.dropDuplicatesWithinWatermark("__fp").drop("__fp")
+  }
+
+  // ---- streaming MinHash near-dup dedup -------------------------------
+
+  /** One LSH band probe: `band_key` routes the doc to the keyed state
+    * shared by everything that collides in this band; `text` rides only
+    * the band-0 probe so the fan-out shuffles each payload once, not
+    * numBands times (signatures — numHashes longs — do ride every probe:
+    * each band's state verifies against the FULL signature, not just its
+    * slice).
+    */
+  case class NearDupProbe(band_key: Long, doc_id: Long, sig: Array[Long],
+      text: String)
+  case class NearDupVerdict(doc_id: Long, matched: Boolean, text: String)
+  case class AdmittedDoc(doc_id: Long, text: String)
+
+  /** Deterministic band key: splitmix64 fold of the band index and that
+    * band's signature slice — self-consistent between arrivals, which is
+    * all a routing key needs.
+    */
+  private def bandHashOf(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+    var h = graft.functions.BloomParams.mix(0x9E3779B9L + band)
+    var i = band * rowsPerBand
+    val end = i + rowsPerBand
+    while (i < end) { h = graft.functions.BloomParams.mix(h ^ sig(i)); i += 1 }
+    h
+  }
+
+  /** Fraction of equal signature components — the unbiased MinHash
+    * estimator of jaccard similarity, over ALL numHashes components (far
+    * stronger evidence than the rowsPerBand-component collision that
+    * routed the pair here).
+    */
+  private def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a == null || b == null || a.length != b.length || a.length == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Keyed state per band key: the signatures seen in this band, TTL'd so
+    * the horizon (and state size) is bounded at 100 TB stream rates. A new
+    * arrival is a near-dup if ANY stored (or same-batch earlier) signature
+    * estimates jaccard ≥ threshold. Signatures insert optimistically —
+    * even a matched doc's signature is recorded, so later members of the
+    * same near-dup cluster match against whichever arrived first (cluster
+    * semantics: first arrival is the representative; matching a dropped
+    * member still means "same cluster"). `maxPerBand` caps per-key state:
+    * past it, new signatures still VERIFY against the stored ones but are
+    * not added (a band that hot is a near-dup storm already represented).
+    */
+  class NearDupBandProcessor(threshold: Double, maxPerBand: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, NearDupProbe, NearDupVerdict] {
+    @transient private var seen: ListState[(Long, Array[Long])] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[(Long, Array[Long])](
+        "sigs", Encoders.product[(Long, Array[Long])], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[NearDupProbe],
+        timerValues: TimerValues): Iterator[NearDupVerdict] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      seen.get().foreach(stored += _)
+      // eager: state updates must land inside this call, not when the
+      // downstream operator happens to drain a lazy iterator
+      val out = rows.map { r =>
+        val matched = stored.exists { case (id, s) =>
+          id != r.doc_id && estJaccard(s, r.sig) >= threshold
+        }
+        if (stored.length < maxPerBand) {
+          seen.appendValue((r.doc_id, r.sig))
+          stored += ((r.doc_id, r.sig))
+        }
+        NearDupVerdict(r.doc_id, matched, r.text)
+      }.toVector
+      out.iterator
+    }
+  }
+
+  /** Stateless fan-in: a doc is admitted iff NO band matched. Runs keyed
+    * by doc_id over just this micro-batch's verdict rows (all of a doc's
+    * verdicts are produced in the batch that carried the doc).
+    */
+  class NearDupReduceProcessor
+      extends StatefulProcessor[Long, NearDupVerdict, AdmittedDoc] {
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = ()
+
+    override def handleInputRows(key: Long, rows: Iterator[NearDupVerdict],
+        timerValues: TimerValues): Iterator[AdmittedDoc] = {
+      var matched = false
+      var text: String = null
+      rows.foreach { v =>
+        if (v.matched) matched = true
+        if (v.text != null) text = v.text
+      }
+      if (matched) Iterator.empty else Iterator.single(AdmittedDoc(key, text))
+    }
+  }
+
+  /** Streaming MinHash near-dup dedup — the streaming face of
+    * [[graft.ops.Dedup.minhashNearDups]], and the near-dup extension of
+    * [[novelDocs]] (which is exact-fingerprint only): admit a document
+    * only if no earlier document within the TTL horizon estimates jaccard
+    * ≥ threshold against it.
+    *
+    * Shape: per-row signature (the same codegen'd
+    * [[graft.ops.Dedup.minhashSignature]] as batch), band fan-out with
+    * payload on one probe, banded keyed state in `transformWithState`
+    * (band→signature list with TTL), per-doc fan-in. Banding means a doc
+    * only ever compares against state that collided with it in some band —
+    * the S-curve sparsity that makes this viable at stream rate; the
+    * full-signature estimate inside the state does the verifying.
+    */
+  def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleSize: Int = 3, numHashes: Int = 64,
+      seed: Long = 42L, maxPerBand: Int = 128,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    val (bands, rowsPerBand) = graft.ops.Dedup.lshParams(numHashes, threshold)
+    val typed = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"),
+        graft.ops.Dedup.minhashSignature(col(textCol), shingleSize, numHashes, seed)
+          .as("sig"))
+      .as[(Long, String, Array[Long])]
+    val probes = typed.flatMap { case (id, text, sig) =>
+      (0 until bands).iterator.map { b =>
+        NearDupProbe(bandHashOf(sig, b, rowsPerBand), id, sig,
+          if (b == 0) text else null)
+      }
+    }
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    val verdicts = probes.groupByKey(_.band_key)
+      .transformWithState(new NearDupBandProcessor(threshold, maxPerBand, ttl),
+        timeMode, OutputMode.Update())
+    verdicts.groupByKey(_.doc_id)
+      .transformWithState(new NearDupReduceProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   // ---- custom keyed state: per-bucket offset auditing -----------------

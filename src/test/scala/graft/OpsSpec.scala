@@ -374,6 +374,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expected, "bloom-prefiltered novelty must equal the exact anti join")
     // no false negatives: every truly-historical content was filtered out
     assert(!got.exists(id => id % 2 == 0 && id < 5000000L))
+
+    // sharded (4 shards forced, tiny per-shard filters): byte-identical answer
+    val sharded = Dedup.shardedNovelAgainst(incoming, hist, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.05, shards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sharded == expected, "sharded bloom must equal the exact anti join")
+  }
+
+  test("bloom sharding: sizing passes beyond the single-filter cap; routing consistent") {
+    import graft.functions.BloomParams
+    // 5e9 items @1% would need ~48e9 bits — refused unsharded, sized sharded
+    intercept[IllegalArgumentException] { BloomParams.forItems(5000000000L, 0.01) }
+    val shards = BloomParams.shardsFor(5000000000L, 0.01)
+    assert(shards > 1, s"expected multiple shards, got $shards")
+    val perShard = (5000000000L + shards - 1) / shards
+    val (bits, k) = BloomParams.forItems(perShard, fpp = 0.01) // must not throw
+    assert(bits > 0 && k >= 1)
+    // anything a single filter handles stays single-shard
+    assert(BloomParams.shardsFor(1000000L, 0.01) == 1)
+    // codegen'd shard_of column equals the Scala routing the probe uses
+    val hs = spark.range(0, 1000)
+      .select(xxhash64(col("id")).as("h"))
+      .withColumn("s", graft.functions.bloom.shard_of(col("h"), 7))
+      .collect()
+    assert(hs.forall(r => r.getInt(1) == BloomParams.shardOf(r.getLong(0), 7)))
   }
 
   test("dup span coverage: planted near-full duplicates score high, unique docs zero") {

@@ -200,6 +200,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming minhash near-dup drops cross-batch near-duplicates, keeps novel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+      val pert = (1 to 29).map(i => s"tok$i").mkString(" ") + " other" // ~0.8 jaccard vs base
+      val other = (100 to 130).map(i => s"word$i").mkString(" ")
+      val third = (200 to 230).map(i => s"gram$i").mkString(" ")
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((1L, base), (2L, other))
+      val out = TopicStreams.dropNearDups(mem.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.6)
+      val q = out.toDF().writeStream.format("memory").queryName("ndd")
+        .outputMode("update").option("checkpointLocation", tmp()).start()
+      try {
+        q.processAllAvailable()
+        // second micro-batch: 3 is a near-dup of 1 (from batch ONE), 4 is novel
+        mem.addData((3L, pert), (4L, third))
+        q.processAllAvailable()
+        val kept = spark.table("ndd").select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+        // payload survives the band fan-out/fan-in
+        val textOf = spark.table("ndd").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(textOf(1L) == base && textOf(4L) == third, textOf.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("end-to-end curation pipeline: topic stream -> novelty -> quality -> clustered parquet") {
     import spark.implicits._
     val root = tmp(); val outDir = tmp()
