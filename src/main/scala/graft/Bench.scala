@@ -10,11 +10,14 @@ import org.apache.spark.sql.SparkSession
   * numbers. AQE is on (runtime shuffle coalescing + skew handling), shuffle
   * partitions match cores.
   *
-  * Each query is timed as BEST-OF-2 back-to-back materializations: this
-  * machine's throughput was measured varying ~1.65× run-to-run at identical
-  * load (same commit, fresh JVMs, zero steal: totals 51.6-85.3 s within one
-  * hour, inflation uniform across untouched queries — see DESIGN §7), and
-  * min-of-2 suppresses both that host noise and first-run JIT warmup. The
+  * Each query is timed as BEST-OF-2 back-to-back materializations,
+  * escalating to best-of-3 when the two samples disagree by >2× (a storage
+  * stall that hits one sample of a pair would otherwise inflate that
+  * query's reported minimum): this machine's throughput was measured
+  * varying ~1.65× run-to-run at identical load (same commit, fresh JVMs,
+  * zero steal: totals 51.6-85.3 s within one hour, inflation uniform
+  * across untouched queries — see DESIGN §7), and the per-query sample
+  * counts are emitted as `samples`. The
   * JSON also carries `calib`: the seconds for a fixed single-thread 200M-step
   * LCG loop measured in the same JVM, so any run's numbers can be read
   * against the host speed at the time it ran.
@@ -95,11 +98,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Best-of-2, escalating to best-of-3 when the first two samples
+    // disagree by >2×: host storage stalls on this box can inflate a
+    // single materialization >10×, and with only two samples one stall
+    // still inflates the reported minimum whenever it hits the pair's
+    // faster run. Returns (seconds, samplesUsed).
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int) = {
       val a = once(name, fn)
-      if (a < 0) return a
+      if (a < 0) return (a, 1)
       val b = once(name, fn)
-      if (b < 0) a else math.min(a, b)
+      if (b < 0) return (a, 1)
+      val disagree = math.max(a, b) > 2.0 * math.min(a, b)
+      if (!disagree) (math.min(a, b), 2)
+      else {
+        val c = once(name, fn)
+        if (c < 0) (math.min(a, b), 2)
+        else (math.min(math.min(a, b), c), 3)
+      }
     }
 
     // JIT/session warmup outside the measured window
@@ -111,9 +127,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ns = results.map { case (k, (_, n)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -292,10 +292,22 @@ object Dedup {
         .select(sym("src").as("id"), col("label"))
       val updated = labels.unionAll(neighborMin)
         .groupBy("id").agg(min(col("label")).as("newLabel"))
+      // The convergence probe rides the round's one materialization: a
+      // side-effecting projection counts label shrinks into an accumulator
+      // while the eager localCheckpoint evaluates every row — no separate
+      // count() job per round (retries/speculation can only overcount,
+      // and the test is exactly-zero). asNondeterministic keeps Catalyst
+      // from collapsing or re-deriving the projection.
+      val shrinks = labels.sparkSession.sparkContext.longAccumulator("labelShrinks")
+      val countShrink = udf((oldL: Long, newL: Long) => {
+        if (newL < oldL) shrinks.add(1L)
+        newL
+      }).asNondeterministic()
       val joined = labels.withColumnRenamed("label", "oldLabel")
         .join(updated, "id")
+        .withColumn("newLabel", countShrink(col("oldLabel"), col("newLabel")))
         .localCheckpoint(true)
-      converged = joined.filter(col("newLabel") < col("oldLabel")).limit(1).count() == 0
+      converged = shrinks.value == 0L
       labels = joined.select(col("id"), col("newLabel").as("label"))
       iter += 1
     }

@@ -84,22 +84,73 @@ object Sampling {
     * which of them survive would again depend on scan order, which is the
     * failure mode this operator exists to remove.
     *
-    * One shuffle on the group key; groups under the cap pass through
-    * unchanged. Heavily-skewed groups concentrate on single tasks — at
-    * truly pathological skew (one group = the whole corpus) pre-aggregate
-    * with a bounded per-partition top-N first, the same two-phase shape
-    * as [[graft.functions.TopKAggregator]].
+    * Two-phase at pathological skew: a per-partition bounded top-N
+    * pre-pass (the [[graft.functions.TopKAggregator]] shape — per-group
+    * heaps of the maxRows smallest hashes) prunes each input partition to
+    * ≤ groups × maxRows rows BEFORE the group shuffle, so even a
+    * one-group-is-the-whole-corpus input ships partitions × maxRows rows
+    * to the window task, not the corpus. A row outside its partition's
+    * per-group top-N cannot be in the global top-N, so the surviving set
+    * is bit-identical to the plain window's. The pre-pass buffers
+    * groups × maxRows rows per task unspillably, so it engages only for
+    * caps ≤ [[PrePassMaxRows]]; above that the plain window (which
+    * spills) runs alone.
     */
   def capPerGroup(df: DataFrame, group: Column, key: Column, maxRows: Int,
       seed: String = "s0"): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    val pruned = if (maxRows > PrePassMaxRows) df.withColumn(groupAux(df), group)
+                 else prePassTopN(df, group, key, maxRows, seed)
+    val g = pruned.columns.last // the materialized group column
     val rn = Iterator.from(0).map(i => s"__rn$i")
-      .find(n => !df.columns.contains(n)).get
+      .find(n => !pruned.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group)
+      .partitionBy(col(g))
       .orderBy(keyHash(key, seed), key)
-    df.withColumn(rn, row_number().over(w))
+    pruned.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= maxRows)
-      .drop(rn)
+      .drop(rn, g)
+  }
+
+  /** Caps above this skip the pre-pass: its per-task heap memory is
+    * groups × maxRows rows with no spill path.
+    */
+  val PrePassMaxRows = 1024
+
+  private def groupAux(df: DataFrame): String =
+    Iterator.from(0).map(i => s"__grp$i").find(n => !df.columns.contains(n)).get
+
+  /** Per-partition bounded top-N by (hash ascending) within each group.
+    * Group identity uses the extracted JVM value — never coarser than SQL
+    * equality (at worst finer, which only over-keeps; the window phase
+    * stays exact). Hash ties need no key tie-break here: equal md5 means
+    * equal key string for unique keys, and duplicate keys are outside the
+    * operator's contract.
+    */
+  private def prePassTopN(df: DataFrame, group: Column, key: Column,
+      maxRows: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    val g = groupAux(df)
+    val h = Iterator.from(0).map(i => s"__h$i")
+      .find(n => !df.columns.contains(n) && n != g).get
+    val aux = df.withColumn(g, group).withColumn(h, keyHash(key, seed))
+    val schema = aux.schema
+    val gIdx = schema.fieldIndex(g)
+    val hIdx = schema.fieldIndex(h)
+    val maxHashFirst: Ordering[Row] = Ordering.by((r: Row) => r.getString(hIdx))
+    aux.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val q = heaps.getOrElseUpdate(r.get(gIdx),
+          scala.collection.mutable.PriorityQueue.empty[Row](maxHashFirst))
+        if (q.size < maxRows) q.enqueue(r)
+        else if (r.getString(hIdx) < q.head.getString(hIdx)) {
+          q.dequeue(); q.enqueue(r)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .drop(h)
   }
 }

@@ -135,24 +135,74 @@ object Similarity {
         element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
       .select(col("vec_id"), col("cv"), col("cid"))
 
+  /** Per-partition centroid-sum state for one Lloyd re-centering pass:
+    * each task folds its rows into C×dim running sums + C counts, partials
+    * merge up the aggregation tree, so the shuffle carries
+    * partitions × (C×dim + C) values — independent of corpus size (the
+    * posexplode formulation it replaces shipped corpus × dim narrow rows
+    * per iteration).
+    */
+  private class CentroidSumAggregator(cids: Array[Long], dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Array[Double]), (Array[Double], Array[Long]), Array[Array[Double]]] {
+    @transient private lazy val idx: Map[Long, Int] = cids.zipWithIndex.toMap
+
+    override def zero: (Array[Double], Array[Long]) =
+      (new Array[Double](cids.length * dim), new Array[Long](cids.length))
+
+    override def reduce(b: (Array[Double], Array[Long]),
+        row: (Long, Array[Double])): (Array[Double], Array[Long]) = {
+      val i = idx(row._1)
+      var j = 0
+      while (j < dim) { b._1(i * dim + j) += row._2(j); j += 1 }
+      b._2(i) += 1
+      b
+    }
+
+    override def merge(a: (Array[Double], Array[Long]),
+        b: (Array[Double], Array[Long])): (Array[Double], Array[Long]) = {
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      var c = 0
+      while (c < a._2.length) { a._2(c) += b._2(c); c += 1 }
+      a
+    }
+
+    // null marks a cluster that lost every member (dropped by the caller)
+    override def finish(b: (Array[Double], Array[Long])): Array[Array[Double]] =
+      Array.tabulate(cids.length) { i =>
+        if (b._2(i) == 0) null
+        else Array.tabulate(dim)(j => b._1(i * dim + j) / b._2(i))
+      }
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Array[Long])] =
+      org.apache.spark.sql.Encoders.product[(Array[Double], Array[Long])]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Array[Double]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Array[Double]]]()
+  }
+
   /** One Lloyd (k-means) iteration: re-center each cluster on the
-    * element-wise mean of its members. Deterministic given deterministic
-    * assignment; clusters that lose all members drop out (fewer, better
-    * centroids — acceptable for a coarse quantizer). The posexplode is
-    * narrow (cid, pos, v) and partial-aggregates map-side, so the shuffle
-    * is partitions × C × dim rows, not corpus × dim.
+    * element-wise mean of its members via [[CentroidSumAggregator]] — one
+    * narrow aggregation per iteration, no explode, no per-dimension rows.
+    * Clusters that lose all members drop out (fewer, better centroids —
+    * acceptable for a coarse quantizer).
     */
   def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, iterations: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     var c = cents
     for (_ <- 1 to iterations) {
-      val assigned = ivfAssign(corpus, idCol, vecCol, c)
-      c = assigned
-        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> x.m)").as("centroid"))
+      val (cm, cids) = collectCents(c)
+      val dim = cm(0).length
+      val assigned = assignWith(corpus, idCol, vecCol, cm, cids)
+      val agg = new CentroidSumAggregator(cids, dim)
+      val means = assigned.select(col("cid"), col("cv"))
+        .as[(Long, Array[Double])]
+        .select(agg.toColumn)
+        .head()
+      val rows = cids.zip(means).collect { case (cid, m) if m != null => (cid, m.toSeq) }
+      c = rows.toSeq.toDF("cid", "centroid")
     }
     c
   }
@@ -301,17 +351,8 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
       iters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
     val cb = pqTrainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, trainFraction)
-    val kEff = cb(0).length // < ksub only when the training set was tiny
     val codes = pqEncode(corpus, idCol, vecCol, cb)
-    val qt = withUnitVec(queries, vecCol, "__v")
-      .select(col(idCol).as("query_id"),
-        graft.functions.sketches.pq_tables(col("__v"), cb).as("tables"))
-    val scored = codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        // negated: TopKAggregator keeps the LARGEST scores
-        (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
-          .as("cos"))
-    topKRanks(scored, k)
+    pqScoreTopK(codes, queries, idCol, vecCol, cb, k)
   }
 
   /** Approximate top-k: probe the nProbe centroids nearest to each query,
@@ -327,20 +368,134 @@ object Similarity {
     val cents = kmeansIterate(corpus, idCol, vecCol,
       centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
     val (cm, cids) = collectCents(cents)
-
     val assigned = assignWith(corpus, idCol, vecCol, cm, cids)
+    ivfProbeTopK(assigned, queries, idCol, vecCol, k, nProbe, cm, cids)
+  }
 
+  /** Shared IVF probe tail: select nProbe centroids per query, join only
+    * their partitions, reduce through the bounded aggregator (not
+    * Window+row_number — the probed score matrix is queries ×
+    * (nProbe/C)·corpus rows, and a full shuffle of it at 100 TB is exactly
+    * the shape [[bruteForceTopKWindow]] exists to warn about).
+    */
+  private def ivfProbeTopK(assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      cm: Array[Array[Double]], cids: Array[Long]): DataFrame = {
     val probes = queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .select(col("query_id"), col("qv"),
         explode(graft.functions.sketches.top_centroids(col("qv"), cm, cids, nProbe)).as("cid"))
-
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("cv"), col("qv")).as("cos"))
-    // Bounded aggregator, not Window+row_number: the probed score matrix is
-    // queries × (nProbe/C)·corpus rows — a full shuffle of it at 100 TB is
-    // exactly the shape bruteForceTopKWindow exists to warn about.
+    topKRanks(scored, k)
+  }
+
+  // ---- index persistence ---------------------------------------------
+
+  /** A persisted IVF index: the (small) centroid table plus the assigned
+    * corpus, range-clustered on cid so probe-time scans skip every file
+    * whose cid range misses the probed set.
+    */
+  case class IvfIndex(cm: Array[Array[Double]], cids: Array[Long],
+      assigned: DataFrame)
+
+  /** Train + assign once, persist: `<path>/centroids` (cid, centroid) and
+    * `<path>/assigned` (vec_id, cv, cid) written via
+    * [[Layout.writeClustered]] on cid — the one range-exchange that buys
+    * every future probe parquet min/max file skipping. Queries against a
+    * 100 TB corpus pay this ONCE instead of re-training and re-assigning
+    * per call (the round-2 shape).
+    */
+  def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 16, kmeansIters: Int = 1,
+      numFiles: Int = 32): Unit = {
+    val cents = kmeansIterate(corpus, idCol, vecCol,
+      centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
+    val (cm, cids) = collectCents(cents)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Layout.writeClustered(assignWith(corpus, idCol, vecCol, cm, cids),
+      s"$path/assigned", Seq(col("cid")), numFiles)
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val (cm, cids) = collectCents(spark.read.parquet(s"$path/centroids"))
+    IvfIndex(cm, cids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Probe a persisted IVF index. The probed cid set is applied as a scan
+    * FILTER (not just a join key) so the pushed-down predicate meets the
+    * clustered layout's per-file cid ranges and unprobed files are never
+    * read — the collect behind it is the query-side centroid set, bounded
+    * by queries × nProbe.
+    */
+  def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val probedCids = queries
+      .select(explode(graft.functions.sketches.top_centroids(
+        col(vecCol).cast("array<double>"), index.cm, index.cids, nProbe)).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    val assigned = index.assigned.filter(col("cid").isin(probedCids: _*))
+    ivfProbeTopK(assigned, queries, idCol, vecCol, k, nProbe, index.cm, index.cids)
+  }
+
+  /** A persisted PQ index: driver-side codebooks + the encoded corpus. */
+  case class PqIndex(codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Train codebooks + encode once, persist: `<path>/codebooks` as
+    * parquet rows (j, code, centroid) — parquet rather than JSON text so
+    * the doubles round-trip bit-exactly — and `<path>/codes` (vec_id,
+    * codes), the 8-bytes-per-vector representation a 100 TB ANN index
+    * actually stores.
+    */
+  def savePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqTrainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, trainFraction)
+    val rows = for (j <- cb.indices; c <- cb(j).indices)
+      yield (j, c, cb(j)(c).toSeq)
+    rows.toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(corpus, idCol, vecCol, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    val raw = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = raw.keys.map(_._1).max + 1
+    val cb = Array.tabulate(m) { j =>
+      val ks = raw.keys.collect { case (`j`, c) => c }.max + 1
+      Array.tabulate(ks)(c => raw((j, c)))
+    }
+    PqIndex(cb, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Probe a persisted PQ index: per-query ADC tables against the stored
+    * codes — the scan arithmetic and shuffle shape of [[pqTopK]] without
+    * re-training or re-encoding anything.
+    */
+  def pqTopKWithIndex(index: PqIndex, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    pqScoreTopK(index.codes, queries, idCol, vecCol, index.codebooks, k)
+
+  /** Shared PQ scoring tail (codes ⋈ broadcast query tables → bounded
+    * top-k) used by [[pqTopK]] and [[pqTopKWithIndex]].
+    */
+  private def pqScoreTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val kEff = cb(0).length
+    val qt = withUnitVec(queries, vecCol, "__v")
+      .select(col(idCol).as("query_id"),
+        graft.functions.sketches.pq_tables(col("__v"), cb).as("tables"))
+    val scored = codes.join(broadcast(qt), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        // negated: TopKAggregator keeps the LARGEST scores
+        (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
+          .as("cos"))
     topKRanks(scored, k)
   }
 }

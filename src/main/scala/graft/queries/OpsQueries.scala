@@ -18,6 +18,13 @@ object OpsQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
 
+  private def scratch(): String = {
+    val p = java.nio.file.Paths.get("target", "ann-index-scratch",
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def emb(s: SparkSession, d: String): DataFrame =
     graft.ops.Spread.toCores(s.read.parquet(s"$d/embeddings.parquet"))
 
@@ -123,6 +130,26 @@ object OpsQueries {
       Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
         trainFraction = 0.25)
+    }),
+    // persisted-index twins of q59/q79: train+assign/encode ONCE to disk,
+    // reload, probe — the index a 100 TB deployment builds offline instead
+    // of re-training per query. Approximate ranks → rows-only gate;
+    // identity with the in-memory path is asserted in OpsSpec.
+    "q82_knn_ivf_index" -> ((s, d) => {
+      val corpus = emb(s, d)
+      val path = scratch()
+      Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
+        numCentroids = 16, kmeansIters = 1, numFiles = 8)
+      Similarity.ivfTopKWithIndex(Similarity.loadIvfIndex(s, path),
+        corpus.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 4)
+    }),
+    "q83_knn_pq_index" -> ((s, d) => {
+      val corpus = emb(s, d)
+      val path = scratch()
+      Similarity.savePqIndex(corpus, "vec_id", "embedding", path,
+        dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
+      Similarity.pqTopKWithIndex(Similarity.loadPqIndex(s, path),
+        corpus.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5

@@ -146,6 +146,25 @@ class OpsSpec extends AnyFunSuite {
     val gotChain = graft.ops.Dedup.dupClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotChain.values.forall(_ == 0L) && gotChain.size == 9)
+    // one MATERIALIZATION job per round: the convergence probe rides the
+    // round's localCheckpoint (an accumulator), it is not a second
+    // count() job. AQE is disabled for the audit so a checkpoint is
+    // exactly one job (AQE splits one into a job per shuffle stage).
+    // Fixture: star converges in 2 rounds. Breakdown: 2 setup checkpoints
+    // (sym, initial labels) + per round 1 checkpoint + 2 broadcast-
+    // exchange jobs (the round's two small-side broadcasts) = 8; the old
+    // probe-per-round shape measured 10.
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L)).toDF("id_a", "id_b")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup("dupc-jobs", "dupClusters job audit", false)
+    try graft.ops.Dedup.dupClusters(star)
+    finally {
+      spark.sparkContext.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("dupc-jobs").length
+    assert(jobs == 8,
+      s"expected 8 jobs (2 setup + [1 checkpoint + 2 broadcasts]/round × 2 rounds), got $jobs")
   }
 
   test("IVF assignment: zero-shuffle plan, equals crossJoin+window argmax") {
@@ -334,6 +353,71 @@ class OpsSpec extends AnyFunSuite {
     val ids2 = Sampling.capPerGroup(docs, col("source"), col("doc_id"), 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
+  }
+
+  test("ANN index persistence: save/load round-trips, probes identical, scan prunes by cid") {
+    val tmp = java.nio.file.Files.createTempDirectory("annidx").toString
+    val queries = emb.filter(col("vec_id") < 10)
+    // IVF: persisted probe == in-memory probe (same deterministic training)
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", s"$tmp/ivf",
+      numCentroids = 8, kmeansIters = 1, numFiles = 4)
+    val ivfIdx = Similarity.loadIvfIndex(spark, s"$tmp/ivf")
+    val fromIndex = Similarity.ivfTopKWithIndex(ivfIdx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numCentroids = 8, nProbe = 2, kmeansIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex == direct, "persisted IVF probe must equal the in-memory path")
+    // the probed-cid filter reaches the clustered parquet scan as a
+    // pushed-down predicate (file skipping at scale)
+    val planned = Similarity.ivfTopKWithIndex(ivfIdx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters: [In(cid") ||
+      planned.contains("PushedFilters: [IsNotNull(cid), In(cid"),
+      s"cid filter not pushed to the index scan:\n$planned")
+    // PQ: persisted probe == in-memory path
+    Similarity.savePqIndex(emb, "vec_id", "embedding", s"$tmp/pq",
+      dim = 64, m = 8, ksub = 16, trainFraction = 0.5)
+    val pqIdx = Similarity.loadPqIndex(spark, s"$tmp/pq")
+    assert(pqIdx.codebooks.length == 8 && pqIdx.codebooks(0).length == 16)
+    val pqFromIndex = Similarity.pqTopKWithIndex(pqIdx, queries,
+      "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pqDirect = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, m = 8, ksub = 16, trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pqFromIndex == pqDirect, "persisted PQ probe must equal the in-memory path")
+  }
+
+  test("capPerGroup two-phase: adversarial single group == plain window; skew stays off one task") {
+    import graft.ops.Sampling
+    // one group = the whole corpus, spread over many partitions
+    val oneGroup = docs.repartition(16).withColumn("g", lit("all"))
+    val twoPhase = Sampling.capPerGroup(oneGroup, col("g"), col("doc_id"), 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(twoPhase.size == 7)
+    // plain-window formulation (the cap above PrePassMaxRows takes this path)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(md5(concat(lit("s0"), col("doc_id").cast("string"))), col("doc_id"))
+    val plain = oneGroup.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(twoPhase == plain, s"two-phase $twoPhase != window $plain")
+    // the pre-pass is in the plan for small caps and absent above the bound
+    val smallPlan = Sampling.capPerGroup(oneGroup, col("g"), col("doc_id"), 7)
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("MapPartitions"), s"no pre-pass in:\n$smallPlan")
+    val bigPlan = Sampling.capPerGroup(oneGroup, col("g"), col("doc_id"),
+        Sampling.PrePassMaxRows + 1)
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("MapPartitions"), s"pre-pass should be off:\n$bigPlan")
+    // null group keys survive the pre-pass map
+    val withNullG = docs.withColumn("g",
+      when(col("doc_id") % 2 === 0, lit(null).cast("string")).otherwise(lit("x")))
+    val ng = Sampling.capPerGroup(withNullG, col("g"), col("doc_id"), 5)
+    assert(ng.filter(col("g").isNull).count() == 5)
   }
 
   test("SQL registration exposes nfc_normalize and strip_accents") {
