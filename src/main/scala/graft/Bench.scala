@@ -127,10 +127,24 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ns = results.map { case (k, (_, n)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
+
+    // Full fidelity (full query names, ns precision, per-query sample
+    // counts) goes to a FILE; stdout gets a COMPACT line. The harness that
+    // collects bench output keeps only the last 2000 chars of stdout, and
+    // the full per-query map (~4 KB at 78 queries) overflows that, cutting
+    // off the line's start and making it unparseable. Short qNN keys at
+    // millisecond precision keep the whole line ~1.2 KB.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qsFull = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ns = results.map { case (k, (_, n)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qsFull,"samples":$ns,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val qsShort = results.map { case (k, (v, _)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)},"queries":$qsShort,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -69,7 +69,12 @@ object BloomParams {
     */
   def shardsFor(expectedItems: Long, fpp: Double): Int = {
     val cap = Int.MaxValue.toLong - 63
-    val shards = math.max(1L, (bitsNeeded(expectedItems, fpp) + cap - 1) / cap)
+    var shards = math.max(1L, (bitsNeeded(expectedItems, fpp) + cap - 1) / cap)
+    // The build sizes each filter from ceil(items/shards), which can need a
+    // few more bits than totalBits/shards — when the total lands within a
+    // hair of shards×cap the per-shard filter would still trip forItems'
+    // refusal. Bump until the sizing the build actually uses fits.
+    while (bitsNeeded((expectedItems + shards - 1) / shards, fpp) > cap) shards += 1
     require(shards <= Int.MaxValue, "absurd shard count")
     shards.toInt
   }

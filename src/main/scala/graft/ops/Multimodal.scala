@@ -56,25 +56,42 @@ object Multimodal {
       (299 * r + 587 * g + 114 * b) / 1000
     }
 
+    /** Decompression-bomb budget: a corrupt/hostile header can declare
+      * dimensions whose decoded raster is arbitrarily larger than the
+      * compressed bytes. 64M pixels (~256 MB ARGB) is far above any
+      * legitimate corpus thumbnail and still bounded per task.
+      */
+    val MaxPixels: Long = 1L << 26
+
     def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) return None // not a format ImageIO recognizes
-      val w = img.getWidth; val h = img.getHeight
-      if (w == 0 || h == 0) return None
-      val hist = new Array[Float](FeatureDim)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
-          x += 1
-        }
-        y += 1
-      }
-      val n = (w * h).toFloat
-      var j = 0
-      while (j < FeatureDim) { hist(j) /= n; j += 1 }
-      Some(hist)
+      // Peek header-declared dimensions BEFORE paying raster decode, so an
+      // oversized/hostile image is rejected without allocating its pixels.
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None // not a format ImageIO recognizes
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0); val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          val img = reader.read(0)
+          val hist = new Array[Float](FeatureDim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          var j = 0
+          while (j < FeatureDim) { hist(j) /= n; j += 1 }
+          Some(hist)
+        } finally reader.dispose()
+      } finally iis.close()
     }
 
     def audioFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
@@ -119,7 +136,12 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Decode every frame of a packed video to its encoded-image bytes. */
+    /** Decode every frame of a packed video to its encoded-image bytes.
+      * Total: each length prefix is validated against the bytes actually
+      * REMAINING (not the container's total size), so a truncated or
+      * corrupt container returns None instead of throwing EOF mid-read —
+      * the quarantine contract holds without any exception path.
+      */
     def unpackVideo(bytes: Array[Byte]): Option[Array[Array[Byte]]] = {
       if (bytes == null || bytes.length < 8) return None
       val in = new DataInputStream(new ByteArrayInputStream(bytes))
@@ -127,12 +149,14 @@ object Multimodal {
       val n = in.readInt()
       if (n < 0 || n > (bytes.length / 4)) return None
       val frames = new Array[Array[Byte]](n)
+      var remaining = bytes.length - 8
       var i = 0
       while (i < n) {
-        val len = in.readInt()
-        if (len < 0 || len > bytes.length) return None
+        if (remaining < 4) return None
+        val len = in.readInt(); remaining -= 4
+        if (len < 0 || len > remaining) return None
         val buf = new Array[Byte](len)
-        in.readFully(buf)
+        in.readFully(buf); remaining -= len
         frames(i) = buf
         i += 1
       }
@@ -231,9 +255,13 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodec.unpackVideo(r.bytes).toSeq.flatMap { frames =>
-          frames.indices.by(every).map(i => (r.media_id, i, frames(i)))
-        }
+        // unpackVideo is total, but the quarantine contract (a corrupt blob
+        // must not fail the stage) is enforced here too: any throw from a
+        // hostile row yields zero frames, never a stage failure.
+        val frames =
+          try MediaCodec.unpackVideo(r.bytes).getOrElse(Array.empty[Array[Byte]])
+          catch { case scala.util.control.NonFatal(_) => Array.empty[Array[Byte]] }
+        frames.indices.by(every).map(i => (r.media_id, i, frames(i)))
       }
     }.toDF("media_id", "frame_idx", "frame")
   }

@@ -18,9 +18,11 @@ object OpsQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
 
-  private def scratch(): String = {
-    val p = java.nio.file.Paths.get("target", "ann-index-scratch",
-      java.util.UUID.randomUUID().toString)
+  // One fixed path per query (the index writers all use overwrite mode), so
+  // repeated bench samples reuse the directory instead of accumulating a
+  // fresh UUID-named index per materialization.
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "ann-index-scratch", name)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
@@ -137,7 +139,7 @@ object OpsQueries {
     // identity with the in-memory path is asserted in OpsSpec.
     "q82_knn_ivf_index" -> ((s, d) => {
       val corpus = emb(s, d)
-      val path = scratch()
+      val path = scratch("q82_ivf")
       Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
         numCentroids = 16, kmeansIters = 1, numFiles = 8)
       Similarity.ivfTopKWithIndex(Similarity.loadIvfIndex(s, path),
@@ -145,7 +147,7 @@ object OpsQueries {
     }),
     "q83_knn_pq_index" -> ((s, d) => {
       val corpus = emb(s, d)
-      val path = scratch()
+      val path = scratch("q83_pq")
       Similarity.savePqIndex(corpus, "vec_id", "embedding", path,
         dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
       Similarity.pqTopKWithIndex(Similarity.loadPqIndex(s, path),

@@ -163,8 +163,12 @@ class OpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("dupc-jobs").length
-    assert(jobs == 8,
-      s"expected 8 jobs (2 setup + [1 checkpoint + 2 broadcasts]/round × 2 rounds), got $jobs")
+    // Upper bound, not an exact pin: the old probe-per-round shape measured
+    // 10 jobs here, the accumulator-probe shape 8. Asserting <= 8 catches a
+    // regression to a second per-round job without encoding Spark's exact
+    // checkpoint/broadcast job decomposition (which shifts across minors).
+    assert(jobs > 0 && jobs <= 8,
+      s"expected <= 8 jobs (no per-round count() probe; old shape was 10), got $jobs")
   }
 
   test("IVF assignment: zero-shuffle plan, equals crossJoin+window argmax") {
@@ -314,6 +318,52 @@ class OpsSpec extends AnyFunSuite {
     // corrupt bytes are quarantined, not thrown
     val (badF, badOk) = MediaCodec.decodeToFeatures("image", Array[Byte](1, 2, 3))
     assert(!badOk && badF.forall(_ == 0f))
+  }
+
+  test("multimodal: corrupt containers and bomb headers are quarantined, never thrown") {
+    import Multimodal.MediaCodec
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val packed = MediaCodec.packVideo(Seq(png, png))
+
+    // truncated container: frame length field survives, frame bytes don't
+    for (cut <- Seq(1, 5, png.length / 2, png.length + 3)) {
+      val trunc = packed.take(packed.length - cut)
+      assert(MediaCodec.unpackVideo(trunc).isEmpty, s"cut=$cut must be rejected")
+      assert(MediaCodec.decodeToFeatures("video", trunc) ._2 == false)
+    }
+    // lying length prefix: first frame claims more bytes than remain
+    val lying = packed.clone()
+    lying(8) = 0x7F.toByte // frame-0 length int's high byte → ~2 GB claim
+    assert(MediaCodec.unpackVideo(lying).isEmpty)
+    // sampleVideoFrames on a corrupt row emits zero rows, stage survives
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video", packed.take(packed.length - 3), 4, 4),
+      Multimodal.MediaRow(2L, "video", packed, 4, 4))
+    val vmedia = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val sampled = Multimodal.sampleVideoFrames(vmedia, every = 1).collect()
+    assert(sampled.length == 2 && sampled.forall(_.getLong(0) == 2L),
+      "corrupt container contributes zero frames; intact one still decodes")
+
+    // decompression bomb: patch the IHDR to declare 100000×100000 px and
+    // fix its CRC — header parses, but the pixel budget rejects BEFORE the
+    // raster decode allocates 10 GB
+    val bomb = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 100000); putInt(20, 100000) // IHDR width, height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // chunk type (4) + IHDR data (13)
+    putInt(29, crc.getValue.toInt)
+    assert(MediaCodec.imageFeatures(bomb).isEmpty,
+      "oversized declared dimensions must be rejected by the pixel budget")
+    // sanity: the unpatched original still decodes
+    assert(MediaCodec.imageFeatures(png).isDefined)
   }
 
   test("hash sampling: deterministic, near-target fraction, stratified edges") {
@@ -483,6 +533,19 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("s", graft.functions.bloom.shard_of(col("h"), 7))
       .collect()
     assert(hs.forall(r => r.getInt(1) == BloomParams.shardOf(r.getLong(0), 7)))
+    // boundary sweep: the build sizes each filter from ceil(items/shards),
+    // which needs slightly more bits than totalBits/shards — shardsFor must
+    // return a count whose per-shard sizing actually passes forItems, even
+    // when total bits land within a hair of shards×cap
+    val cap = Int.MaxValue.toLong - 63
+    for (fpp <- Seq(0.01, 0.001); mult <- 1L to 4L; delta <- -2L to 2L) {
+      // items that need almost exactly mult×cap bits
+      val itemsAtCap = (cap * math.log(2.0) * math.log(2.0) / -math.log(fpp)).toLong
+      val items = mult * itemsAtCap + delta
+      val s = BloomParams.shardsFor(items, fpp)
+      val per = (items + s - 1) / s
+      BloomParams.forItems(per, fpp) // must not throw for ANY boundary value
+    }
   }
 
   test("dup span coverage: planted near-full duplicates score high, unique docs zero") {
