@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** N-gram language-model quality scoring (the CCNet/KenLM recipe): train
+  * token-bigram statistics on a reference corpus, score every document by
+  * its per-token cross-entropy under the model. Low-perplexity ≈ fluent
+  * prose; high-perplexity ≈ gibberish, boilerplate, wrong language — the
+  * standard quality axis used to bucket pre-training corpora.
+  *
+  * Scale shape: counts are one explode + groupBy over the reference corpus
+  * whose OUTPUT is bounded by observed vocabulary (unigrams) and observed
+  * bigrams — both tiny next to corpus bytes and map-side combined. Scoring
+  * is two equi-joins of the per-doc bigram stream against those count
+  * tables (broadcast when they fit, shuffle otherwise) plus one per-doc
+  * aggregation. Nothing driver-side; both joins are on narrow
+  * (word, word) keys.
+  *
+  * Numerics: each bigram's -ln P is computed per-row (bitwise-deterministic
+  * IEEE ops from integer counts), and the per-doc SUM accumulates in
+  * DECIMAL(30,6) — double-sum low bits depend on partial-aggregation order,
+  * decimal sums don't. The mean divides once at the end, in doubles.
+  */
+object LangModel {
+
+  /** (unigram context counts, bigram counts, vocabularySize) over the
+    * reference corpus. Context counts are over positions 1..n-1 (every
+    * position that HAS a next token), so P(·|w) sums to 1 under add-one
+    * smoothing with the returned V.
+    */
+  case class BigramModel(unigrams: DataFrame, bigrams: DataFrame, vocab: Long)
+
+  /** Adjacent-token pairs of a token array, one row per pair. */
+  private def pairStream(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), ws.as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__p"))
+      .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  def train(corpus: DataFrame, idCol: String, textCol: String): BigramModel = {
+    val pairs = pairStream(corpus, idCol, textCol)
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val unigrams = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = corpus
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    BigramModel(unigrams, bigrams, vocab)
+  }
+
+  /** Per-document mean negative log-likelihood (nats/token-transition)
+    * under add-one smoothing: -(1/(n-1)) Σ ln((c2+1)/(c1+V)). Unseen
+    * contexts score ln(V)/… via c1=0, c2=0 — no infinities. Documents with
+    * fewer than 2 tokens are dropped (no transitions to score).
+    *
+    * Output: (idCol, n_transitions, cross_entropy).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      model: BigramModel): DataFrame = {
+    val pairs = pairStream(docs, idCol, textCol)
+    // no broadcast hint: count tables are usually broadcast-class and AQE
+    // picks that up from runtime stats, but a web-scale bigram table can
+    // outgrow executor memory and must be allowed to shuffle-join
+    val nll = pairs
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.unigrams, Seq("w1"), "left")
+      .select(col(idCol),
+        (-log((coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + model.vocab).cast("double")))
+          .as("nl"))
+    nll.groupBy(idCol)
+      .agg(count(lit(1)).as("n_transitions"),
+        (sum(col("nl").cast(DecimalType(30, 6))).cast("double") /
+          count(lit(1))).as("cross_entropy"))
+  }
+
+  /** Train on `reference`, score `docs` — the end-to-end quality scorer.
+    * Training on the corpus being scored (reference = docs) is the
+    * self-perplexity variant used for outlier detection.
+    */
+  def perplexityScore(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    score(docs, idCol, textCol, train(reference, idCol, textCol))
+}

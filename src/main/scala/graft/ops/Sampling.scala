@@ -72,6 +72,36 @@ object Sampling {
     df.filter(hashBucket(key, seed) < threshold)
   }
 
+  /** Resample a corpus toward a target stratum MIXTURE (domain/source
+    * weights — the "20% books, 1% forums" dial every pre-training data
+    * recipe specifies): stratum `s` keeps `min(1, share_s·total/count_s)`
+    * of its rows, so strata at or under their target share are kept whole
+    * and over-represented strata are hash-downsampled toward it. Strata
+    * absent from `targetShares` are dropped (share 0).
+    *
+    * Up-sampling (duplicating under-represented rows) is deliberately NOT
+    * done — repeating documents is a training-recipe decision (epochs),
+    * not a corpus operation.
+    *
+    * Scale shape: one groupBy-count whose output is bounded by stratum
+    * cardinality (domains, not documents) collected to the driver, then
+    * the same single-pass per-row hash predicate as [[stratifiedSample]] —
+    * membership never shuffles the corpus.
+    */
+  def rebalance(df: DataFrame, strata: Column, key: Column,
+      targetShares: Map[String, Double], seed: String = "s0"): DataFrame = {
+    require(targetShares.values.forall(s => s >= 0.0 && s <= 1.0),
+      "target shares must be in [0,1]")
+    val counts = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val fractions = counts.collect { case (s, cnt) if s != null =>
+      val share = targetShares.getOrElse(s.toString, 0.0)
+      s.toString -> math.min(1.0, share * total / cnt)
+    }
+    stratifiedSample(df, strata, key, fractions, defaultFraction = 0.0, seed)
+  }
+
   /** Cap rows per group at `maxRows`, keeping a deterministic uniform
     * subset — the "at most N documents per domain" curation rule that
     * stops a handful of giant hosts from dominating a crawl. Which rows

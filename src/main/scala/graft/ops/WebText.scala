@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus text extraction and normalization — the stage between a raw
+  * crawl and the document table every other curation operator consumes
+  * (reference analog: payload interpretation of the opaque `Data []byte`
+  * blobs, `internal/broker/queue/queue.go:15-19`, lifted to typed columns
+  * per SURVEY §1.3).
+  *
+  * Scale shape: every operator here is a per-row projection built from
+  * codegen'd string built-ins (`regexp_replace`/`split`/`lower`) — zero
+  * shuffles, pushdown-transparent, and linear in corpus bytes. At 100 TB
+  * these run in the same scan pass as quality filtering; nothing is
+  * collected or broadcast.
+  */
+object WebText {
+
+  /** Extract readable text from an HTML payload:
+    *   1. drop non-content element BODIES (script/style) and comments —
+    *      their text is code, not prose;
+    *   2. strip every remaining tag to a space (so `<p>a</p><p>b</p>`
+    *      keeps a word boundary between a and b);
+    *   3. unescape the HTML entities that survive in running text
+    *      (`&nbsp; &lt; &gt; &quot; &#39;` first, `&amp;` LAST so
+    *      double-escaped text unescapes exactly one level);
+    *   4. collapse whitespace runs and trim.
+    *
+    * Regex subset is deliberately RE2-safe (no lookaround, no
+    * backreferences in patterns) so the same patterns run on any engine.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val unescaped = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Canonicalize a URL for dedup/grouping: two crawls of the same page
+    * under cosmetically different URLs must collapse to one key.
+    *   - drop the fragment (`#…` — client-side only);
+    *   - lowercase scheme+host (path/query stay case-sensitive per RFC);
+    *   - drop default ports (`:80`, `:443`) and a leading `www.`;
+    *   - drop tracking params (`utm_*`), sort the survivors (param order
+    *     is not semantic), drop an empty query and a trailing slash.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // scheme://host[:port] — lowercased; path and query preserved
+    val prefix = lower(regexp_extract(noFrag, "^([^/?]*//[^/?]*)", 1))
+    val rest = regexp_replace(noFrag, "^[^/?]*//[^/?]*", "")
+    val prefixNoPort = regexp_replace(prefix, ":(443|80)$", "")
+    val prefixNoWww = regexp_replace(prefixNoPort, "^(https?://)www\\.", "$1")
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/$", "")
+    val query = regexp_extract(rest, "\\?([^#]*)", 1)
+    // strip utm_* pairs: two passes cover adjacent params (a consumed
+    // separator can't also start the next match in one pass)
+    val q1 = regexp_replace(query, "(^|&)utm_[^&]*", "$1")
+    val q2 = regexp_replace(q1, "(^|&)utm_[^&]*", "$1")
+    val qTrim = regexp_replace(regexp_replace(q2, "&&+", "&"), "^&+|&+$", "")
+    val qSorted = array_join(array_sort(split(qTrim, "&")), "&")
+    concat(prefixNoWww, path,
+      when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted)))
+  }
+
+  /** Keep the FIRST occurrence of each distinct paragraph within a
+    * document, preserving order — the intra-document repetition removal
+    * (boilerplate headers, repeated nav blocks) that runs before
+    * corpus-level dedup. Element i survives iff it is its paragraph's
+    * first position (`array_position` = first 1-based index).
+    */
+  def dedupParagraphs(text: Column): Column = {
+    val paras = split(text, "\n\n")
+    val kept = filter(paras, (p: Column, i: Column) =>
+      array_position(paras, p) === i.cast("long") + 1L)
+    array_join(kept, "\n\n")
+  }
+
+  /** Paragraph count of a text (split on blank-line boundaries). */
+  def paragraphCount(text: Column): Column =
+    size(split(text, "\n\n")).cast("long")
+}

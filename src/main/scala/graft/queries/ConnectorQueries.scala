@@ -91,7 +91,10 @@ object ConnectorQueries {
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
     "q41_topic_replay_suffix" -> (replaySuffix _),
     "q42_json_source" -> ((s, d) => fileSourceAgg(s, d, "json")),
-    "q43_csv_source" -> ((s, d) => fileSourceAgg(s, d, "csv")))
+    "q43_csv_source" -> ((s, d) => fileSourceAgg(s, d, "csv")),
+    // ORC: the columnar alternative to parquet (binary round-trip, no text
+    // re-parse — doubles survive bit-exactly by format, not by repr)
+    "q84_orc_source" -> ((s, d) => fileSourceAgg(s, d, "orc")))
 
   val oracle: Map[String, String] = Map(
     "q40_topic_roundtrip_agg" ->
@@ -103,5 +106,6 @@ object ConnectorQueries {
       """SELECT event_id, event_type, event_id AS offset
         |FROM events WHERE event_id >= 100""".stripMargin,
     "q42_json_source" -> fileSourceOracleSql,
-    "q43_csv_source" -> fileSourceOracleSql)
+    "q43_csv_source" -> fileSourceOracleSql,
+    "q84_orc_source" -> fileSourceOracleSql)
 }

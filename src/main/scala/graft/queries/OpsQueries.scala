@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -351,6 +351,77 @@ object OpsQueries {
       Multimodal.sampleFrames(media, frameBytes = 32, every = 4)
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame")).cast("long").as("frame_bytes"))
+    }),
+    // ---- web-text extraction & corpus shaping ---------------------------
+    // HTML boilerplate extraction: docs wrapped in deterministic HTML both
+    // engines construct identically; script/style/comment bodies, tags, and
+    // escaped entities must all resolve in the extracted text
+    "q85_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>T</title>" +
+          "<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>" +
+          "<style>.a { color: red }</style><!-- boilerplate --></head><body>" +
+          "<div class=\"nav\"><a href=\"/home\">Home</a> | <a href=\"/x\">X</a></div><p>"),
+        col("text"),
+        lit("</p><div class=\"footer\">&lt;footer&gt; &amp; end</div></body></html>"))
+      docs(s, d).select(col("doc_id"), WebText.htmlExtract(html).as("extracted"))
+        .withColumn("n_chars_ext", length(col("extracted")).cast("long"))
+    }),
+    // URL canonicalization: scheme/host case, default port, www, fragment,
+    // utm params and param order must all collapse to one dedup key
+    "q86_url_canonical" -> ((s, d) => {
+      val url = concat(
+        lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM:443/Docs/Page"), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit("/?utm_source=feed&ref="), col("source"),
+        lit("&utm_campaign=c"), pmod(col("doc_id"), lit(5)).cast("string"),
+        lit("&id="), pmod(col("doc_id"), lit(100)).cast("string"),
+        lit("#Sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_canon"))
+      docs(s, d).select(col("doc_id"), WebText.canonicalizeUrl(url).as("url_canon"))
+        .withColumn("n_same_url", count(lit(1)).over(w).cast("long"))
+    }),
+    // intra-document paragraph dedup: planted repeated paragraph (p1 p2 p1
+    // p3) must collapse to first occurrences, order preserved
+    "q87_paragraph_dedup" -> ((s, d) => {
+      // tripled text guarantees >=24 words, so every paragraph slice is
+      // non-empty — DuckDB's concat_ws SKIPS empty strings (Spark keeps
+      // them) and NULLs out-of-range list slices, so empty paragraphs are
+      // not oracle-comparable
+      val ws = split(concat_ws(" ", trim(col("text")), trim(col("text")),
+        trim(col("text"))), "\\s+")
+      val p1 = concat_ws(" ", slice(ws, 1, 8))
+      val p2 = concat_ws(" ", slice(ws, 9, 8))
+      val p3 = concat_ws(" ", slice(ws, 17, 8))
+      val doc = concat_ws("\n\n", p1, p2, p1, p3)
+      docs(s, d).select(col("doc_id"), doc.as("t"))
+        .select(col("doc_id"),
+          WebText.paragraphCount(col("t")).as("n_paras"),
+          WebText.dedupParagraphs(col("t")).as("text_dedup"))
+        .withColumn("n_paras_kept", WebText.paragraphCount(col("text_dedup")))
+    }),
+    // domain-mixture rebalance: over-represented sources hash-downsample
+    // toward their target share, under-represented ones are kept whole
+    "q88_domain_rebalance" -> ((s, d) => {
+      val shares = (0 until 20)
+        .map(i => s"src$i" -> (if (i % 4 == 0) 0.2 else 0.01)).toMap
+      Sampling.rebalance(docs(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), shares)
+    }),
+    // bigram-LM quality scoring (CCNet shape): per-doc cross-entropy under
+    // corpus-trained add-one-smoothed bigram counts
+    "q89_lm_score" -> ((s, d) =>
+      LangModel.perplexityScore(docs(s, d), docs(s, d), "doc_id", "text")),
+    // BPE tokenization: vocab trained on the corpus's word-frequency table
+    // (one distributed pass), documents encoded with a per-partition memo.
+    // Merge learning is engine-internal → rows-only gate; known-corpus
+    // merges and the encode/decode identity are asserted in OpsSpec.
+    "q90_bpe_tokenize" -> ((s, d) => {
+      val t = docs(s, d)
+      val vocab = Bpe.train(t, "text", numMerges = 40)
+      Bpe.encode(t, "doc_id", "text", vocab).toDF()
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          concat_ws("|", col("tokens_head")).as("tokens_head"))
     })
   )
 
@@ -652,6 +723,104 @@ object OpsQueries {
         |FROM documents,
         |  LATERAL (SELECT unnest(range(0,
         |    CAST(floor(octet_length(encode(text)) / 32) AS BIGINT), 4)) AS frame_idx)
-        |WHERE doc_id % 3 = 2""".stripMargin
+        |WHERE doc_id % 3 = 2""".stripMargin,
+    "q85_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>T</title><script type="text/javascript">var x = 1 &amp;&amp; 2;</script><style>.a { color: red }</style><!-- boilerplate --></head><body><div class="nav"><a href="/home">Home</a> | <a href="/x">X</a></div><p>'
+        |  || text ||
+        |  '</p><div class="footer">&lt;footer&gt; &amp; end</div></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, extracted,
+        |  CAST(length(extracted) AS BIGINT) AS n_chars_ext FROM x""".stripMargin,
+    "q86_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Docs/Page' || (doc_id % 100) ||
+        |  '/?utm_source=feed&ref=' || source || '&utm_campaign=c' || (doc_id % 5) ||
+        |  '&id=' || (doc_id % 100) || '#Sec' || (doc_id % 3) AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |s2 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(nf, '^([^/?]*//[^/?]*)', 1)),
+        |    ':(443|80)$', ''), '^(https?://)www\.', '\1') AS pre,
+        |  regexp_replace(nf, '^[^/?]*//[^/?]*', '') AS rest FROM s1),
+        |s3 AS (SELECT doc_id, pre,
+        |  regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') AS path,
+        |  regexp_extract(rest, '\?([^#]*)', 1) AS q FROM s2),
+        |s4 AS (SELECT doc_id, pre, path,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(q, '(^|&)utm_[^&]*', '\1', 'g'),
+        |      '(^|&)utm_[^&]*', '\1', 'g'),
+        |    '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS qc FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  pre || path || CASE WHEN qc = '' THEN ''
+        |    ELSE '?' || array_to_string(list_sort(string_split(qc, '&')), '&') END
+        |  AS url_canon FROM s4)
+        |SELECT doc_id, url_canon,
+        |  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same_url
+        |FROM s5""".stripMargin,
+    "q87_paragraph_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |  string_split_regex(trim(text) || ' ' || trim(text) || ' ' || trim(text),
+        |    '\s+') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, concat_ws(chr(10)||chr(10),
+        |  array_to_string(ws[1:8], ' '), array_to_string(ws[9:16], ' '),
+        |  array_to_string(ws[1:8], ' '), array_to_string(ws[17:24], ' ')) AS t
+        |  FROM base),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(t, chr(10)||chr(10))) AS para,
+        |  generate_subscripts(string_split(t, chr(10)||chr(10)), 1) AS idx FROM d),
+        |k AS (SELECT doc_id, para, idx,
+        |  row_number() OVER (PARTITION BY doc_id, para ORDER BY idx) AS rn,
+        |  count(*) OVER (PARTITION BY doc_id) AS np FROM p)
+        |SELECT doc_id, CAST(max(np) AS BIGINT) AS n_paras,
+        |  string_agg(CASE WHEN rn = 1 THEN para END, chr(10)||chr(10) ORDER BY idx)
+        |    AS text_dedup,
+        |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_paras_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+    "q88_domain_rebalance" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |f AS (SELECT source,
+        |  least(1e0, (CASE WHEN CAST(replace(source, 'src', '') AS INT) % 4 = 0
+        |    THEN 0.2e0 ELSE 0.01e0 END) * total / cnt) AS fr FROM c, t),
+        |th AS (SELECT source,
+        |  CASE WHEN CAST(floor(fr * 65536) AS BIGINT) >= 65536 THEN 'g'
+        |    ELSE printf('%04x', CAST(floor(fr * 65536) AS BIGINT)) END AS thr
+        |  FROM f)
+        |SELECT d.doc_id, d.source FROM documents d JOIN th ON d.source = th.source
+        |WHERE substring(md5('s0' || CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thr""".stripMargin,
+    "q89_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE len(ws) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM toks)),
+        |sc AS (SELECT p.doc_id,
+        |  -ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(u.c1, 0) + v AS DOUBLE)) AS nl
+        |  FROM pairs p LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN uni u USING (w1), voc)
+        |SELECT doc_id, count(*) AS n_transitions,
+        |  CAST(sum(CAST(nl AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS cross_entropy
+        |FROM sc GROUP BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ops.{Bpe, LangModel, Sampling, WebText}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level checks for the web-curation operators (HTML extraction,
+  * URL canonicalization, paragraph dedup, mixture rebalance, LM scoring,
+  * BPE) — known inputs with hand-computed outputs, plus the invariants
+  * the oracle gate can't express (idempotence, encode identity).
+  */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-curation-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def one(s: String, f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(s).toDF("x").select(f(col("x"))).head().getString(0)
+  }
+
+  test("htmlExtract: tags, script/style bodies, comments and entities") {
+    val html = "<html><head><script>var x = '<p>not text</p>';</script>" +
+      "<style>.c{color:red}</style><!-- hidden --></head>" +
+      "<body><h1>Title</h1><p>one &amp; two &lt;three&gt;</p>" +
+      "<div>four&nbsp;five</div></body></html>"
+    assert(one(html, WebText.htmlExtract) == "Title one & two <three> four five")
+    // double-escaped text unescapes exactly one level
+    assert(one("<p>&amp;lt;</p>", WebText.htmlExtract) == "&lt;")
+    // plain text passes through
+    assert(one("no markup here", WebText.htmlExtract) == "no markup here")
+  }
+
+  test("canonicalizeUrl: case, port, www, fragment, utm, param order; idempotent") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/A/b/?z=1&utm_source=x&a=2#frag" ->
+        "https://example.com/A/b?a=2&z=1",
+      "http://Host.com:80/path" -> "http://host.com/path",
+      "https://h.com/p?utm_a=1&utm_b=2&id=3" -> "https://h.com/p?id=3",
+      "https://h.com/p?utm_only=1" -> "https://h.com/p",
+      "https://h.com/" -> "https://h.com",
+      "https://h.com/x?b=2&a=1" -> "https://h.com/x?a=1&b=2")
+    cases.foreach { case (in, want) =>
+      assert(one(in, WebText.canonicalizeUrl) == want, s"for $in")
+      // canonicalization must be a fixpoint
+      val c = one(in, WebText.canonicalizeUrl)
+      assert(one(c, WebText.canonicalizeUrl) == c, s"not idempotent for $in")
+    }
+  }
+
+  test("dedupParagraphs keeps first occurrences in order") {
+    val doc = "alpha one\n\nbeta two\n\nalpha one\n\ngamma\n\nbeta two"
+    assert(one(doc, WebText.dedupParagraphs) == "alpha one\n\nbeta two\n\ngamma")
+    import spark.implicits._
+    val n = Seq(doc).toDF("x")
+      .select(WebText.paragraphCount(col("x"))).head().getLong(0)
+    assert(n == 5L)
+  }
+
+  test("rebalance: over-represented strata downsample to share, rest kept whole") {
+    import spark.implicits._
+    // heavy: 8000 rows, light: 400, tiny: 100 (total 8500)
+    val df = ((0 until 8000).map(i => (i.toLong, "heavy")) ++
+      (8000 until 8400).map(i => (i.toLong, "light")) ++
+      (8400 until 8500).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    val out = Sampling.rebalance(df, col("src"), col("id"),
+      Map("heavy" -> 0.2, "light" -> 0.5))
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // heavy: target 0.2*8500 = 1700 of 8000 → fraction ~0.2125
+    val heavy = out("heavy").toDouble
+    assert(math.abs(heavy - 1700.0) / 1700.0 < 0.1, s"heavy kept $heavy, want ~1700")
+    // light: target 0.5*8500 > 400 → kept whole
+    assert(out("light") == 400L)
+    // tiny: no target share → dropped
+    assert(!out.contains("tiny"))
+    // deterministic: second run identical
+    val again = Sampling.rebalance(df, col("src"), col("id"),
+      Map("heavy" -> 0.2, "light" -> 0.5)).count()
+    assert(again == out.values.sum)
+  }
+
+  test("bigram LM: hand-computed cross-entropy, fluent < shuffled") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val scored = LangModel.perplexityScore(ref, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // pairs: doc1 (a,b)(b,a)(a,b), doc2 (a,b); c2(a,b)=3, c2(b,a)=1;
+    // c1(a)=3, c1(b)=1; V=2.
+    // doc2: -ln((3+1)/(3+2)) = ln(1.25)
+    assert(scored(2L)._1 == 1L)
+    assert(math.abs(scored(2L)._2 - math.log(1.25)) < 1e-6)
+    // doc1: (-2*ln(4/5) - ln(2/3)) / 3
+    val want1 = (-2.0 * math.log(4.0 / 5.0) - math.log(2.0 / 3.0)) / 3.0
+    assert(math.abs(scored(1L)._2 - want1) < 1e-6)
+
+    // corpus-trained model ranks in-distribution text below token salad
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = LangModel.train(corpus, "doc_id", "text")
+    val probe = Seq(
+      (100L, "the fast key order sort table scan merge part window"),
+      (200L, "window the merge part fast scan key table order sort")).toDF("doc_id", "text")
+    val ce = LangModel.score(probe, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ce(100L) < ce(200L),
+      s"fluent ${ce(100L)} should beat shuffled ${ce(200L)}")
+  }
+
+  test("BPE: classic merge sequence, encode identity, memoized DataFrame encode") {
+    import spark.implicits._
+    // Sennrich et al. example: the first merges must be (e,s), (es,t), (est,</w>)
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val corpus = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val vocab = Bpe.train(corpus, "text", numMerges = 10)
+    val m = vocab.merges
+    assert((m(0).left, m(0).right) == ("e", "s"), s"got ${m.take(3)}")
+    assert((m(1).left, m(1).right) == ("es", "t"))
+    assert((m(2).left, m(2).right) == ("est", Bpe.EndOfWord))
+    // encode of an UNSEEN word composes learned merges; concat identity holds
+    val toks = Bpe.encodeWord("lowest", vocab)
+    assert(toks.mkString("").stripSuffix(Bpe.EndOfWord) == "lowest")
+    assert(toks.contains("est" + Bpe.EndOfWord), s"got ${toks.toSeq}")
+    // every token is either in-vocab (a merge product) or a single char/EOW
+    val products = vocab.merges.map(mm => mm.left + mm.right).toSet
+    assert(toks.forall(t => products.contains(t) || t.length == 1 || t == Bpe.EndOfWord))
+
+    // DataFrame encode: token counts consistent with per-word encode
+    val enc = Bpe.encode(corpus, "doc_id", "text", vocab).collect().head
+    val wantTokens = words.map(w => Bpe.encodeWord(w, vocab).length.toLong).sum
+    assert(enc.n_words == words.length.toLong)
+    assert(enc.n_bpe_tokens == wantTokens)
+
+    // determinism across partitionings
+    val corpus4 = Seq.tabulate(8)(i => (i.toLong, words.mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val vocab4 = Bpe.train(corpus4, "text", numMerges = 10)
+    assert(vocab4.merges == vocab.merges)
+  }
+
+  test("BPE: guard refuses an unpruned table past maxTableRows") {
+    import spark.implicits._
+    val corpus = Seq((1L, (0 until 100).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.trainFromCounts(Bpe.wordCounts(corpus, "text"), numMerges = 5,
+        maxTableRows = 50L)
+    }
+  }
+}
