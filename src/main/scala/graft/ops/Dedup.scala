@@ -242,6 +242,99 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
+  /** SemDedup-style semantic near-dup pairs (cluster-then-compare over
+    * embeddings, after Abbas et al. 2023): k-means buckets the corpus into
+    * `numClusters` semantic neighborhoods, and only WITHIN-cluster pairs
+    * pay a cosine comparison — the all-pairs matrix is never formed, and
+    * by design cross-cluster pairs (cosine below the cluster radius) are
+    * not candidates. Complements [[embeddingNearDups]]: hyperplane LSH
+    * recalls near-exact duplicates (cos ≥ ~0.95) with per-row banding,
+    * while cluster blocking reaches the looser "same meaning" band
+    * (0.8–0.95) that LSH banding needs exponentially many tables for.
+    *
+    * Scale shape: assignment is the zero-shuffle per-row argmax of
+    * [[Similarity.ivfAssign]]; within-cluster O(|c|²) work is split into
+    * bounded chunk-pair tasks exactly like [[ngramJaccardNearDups]] (each
+    * task holds ≤ 2·maxBlock unit vectors, every pair covered exactly
+    * once), so a skewed giant cluster parallelizes instead of OOMing one
+    * task. Vectors are L2-normalized ONCE behind a projection boundary;
+    * each pair costs one dot product.
+    */
+  def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int = 64, threshold: Double = 0.9, kmeansIters: Int = 1,
+      nProbe: Int = 2, maxBlock: Int = 4096): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = Similarity.kmeansIterate(emb, idCol, vecCol,
+      Similarity.centroids(emb, idCol, vecCol, numClusters), kmeansIters)
+    // multi-probe (soft) assignment: a pair straddling a cluster boundary
+    // still meets in a shared second-choice cluster — single-assignment
+    // SemDedup misses exactly those; cost is an nProbe× row replication
+    // into the blocking, and duplicate pair emissions collapse below
+    val unit = Similarity.withUnitVec(
+      Similarity.ivfAssignMulti(emb, idCol, vecCol, cents, nProbe), "cv", "uv")
+    val t = unit.select(col("cid").cast("string").as("blk"),
+      col("vec_id").cast("long").as("id"),
+      col("uv").cast("array<double>").as("v"))
+    val counts = t.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    val chunked = t.join(broadcast(counts), "blk")
+      .select(col("blk"),
+        ceil(col("n").cast("double") / maxBlock).cast("int").as("m"),
+        pmod(xxhash64(col("id")), ceil(col("n").cast("double") / maxBlock).cast("int"))
+          .cast("int").as("c"),
+        col("id"), col("v"))
+      .as[(String, Int, Int, Long, Array[Double])]
+    chunked.flatMap { case (blk, m, c, id, v) =>
+        (0 until m).iterator.map { o =>
+          ((blk, math.min(c, o), math.max(c, o)), c, id, v)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[((String, Int, Int), Int, Long, Array[Double])]) =>
+        val ci = key._2; val cj = key._3
+        val ds = it.toArray
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        def emit(a: (Long, Array[Double]), b: (Long, Array[Double])): Unit = {
+          val (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+          val cos = dotUnit(lo._2, hi._2)
+          if (cos >= threshold) out += ((lo._1, hi._1, cos))
+        }
+        if (ci == cj) {
+          val docs = ds.map(d => (d._3, d._4)).sortBy(_._1)
+          var i = 0
+          while (i < docs.length) {
+            var j = i + 1
+            while (j < docs.length) { emit(docs(i), docs(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          val as = ds.filter(_._2 == ci).map(d => (d._3, d._4))
+          val bs = ds.filter(_._2 == cj).map(d => (d._3, d._4))
+          var i = 0
+          while (i < as.length) {
+            var j = 0
+            while (j < bs.length) { emit(as(i), bs(j)); j += 1 }
+            i += 1
+          }
+        }
+        out.result().iterator
+      }
+      .toDF("id_a", "id_b", "cosine")
+      // a pair sharing several probed clusters is emitted once per shared
+      // cluster (identical cosine each time) — collapse to one row
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** Dot product of pre-normalized vectors (= cosine; 0 for mismatched
+    * or zero inputs — never NaN, which Spark orders above every double).
+    */
+  private def dotUnit(a: Array[Double], b: Array[Double]): Double = {
+    if (a.length != b.length || a.length == 0) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Merge-walk jaccard over sorted long arrays — same arithmetic as
     * [[graft.functions.SortedJaccardLongSim]].
     */

@@ -92,7 +92,7 @@ object Similarity {
   }
 
   /** Deterministic coarse centroids: the numCentroids smallest ids. */
-  private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       numCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(numCentroids)
       .select(monotonically_increasing_id().as("cid"),
@@ -121,6 +121,22 @@ object Similarity {
       cents: DataFrame): DataFrame = {
     val (cm, cids) = collectCents(cents)
     assignWith(corpus, idCol, vecCol, cm, cids)
+  }
+
+  /** Multi-probe assignment: each vector → its `nProbe` nearest centroid
+    * ids, one row per (vector, cid). Same zero-shuffle per-row argmax as
+    * [[ivfAssign]]; the explode multiplies rows by nProbe, nothing else.
+    * Soft blocking for cluster-blocked comparisons: a pair split across a
+    * cluster boundary still meets in a shared second-choice cluster.
+    */
+  def ivfAssignMulti(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val (cm, cids) = collectCents(cents)
+    Spread.toCores(corpus).select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cid",
+        explode(graft.functions.sketches.top_centroids(col("cv"), cm, cids, nProbe)))
+      .select(col("vec_id"), col("cv"), col("cid"))
   }
 
   /** Assignment body shared by [[ivfAssign]] and [[ivfTopK]] (which holds

@@ -412,6 +412,21 @@ object OpsQueries {
     // corpus-trained add-one-smoothed bigram counts
     "q89_lm_score" -> ((s, d) =>
       LangModel.perplexityScore(docs(s, d), docs(s, d), "doc_id", "text")),
+    // SemDedup: cluster-blocked cosine near-dup pairs over embeddings with
+    // planted perturbed copies, resolved to keep-one clusters via
+    // dupClusters. Cluster geometry is engine-internal → rows-only gate;
+    // recall + chunk-split identity asserted in OpsSpec.
+    "q91_semantic_dedup" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+      val pairs = Dedup.semanticNearDups(base.unionAll(pert), "vec_id",
+        "embedding", numClusters = 16, threshold = 0.95)
+      Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
+    }),
     // BPE tokenization: vocab trained on the corpus's word-frequency table
     // (one distributed pass), documents encoded with a per-partition memo.
     // Merge learning is engine-internal → rows-only gate; known-corpus

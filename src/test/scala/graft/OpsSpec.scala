@@ -548,6 +548,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup: cluster blocking recalls planted pairs, chunk split is identity") {
+    import org.apache.spark.sql.types.DoubleType
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType)).as("embedding"))
+    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+    val all = base.unionAll(pert)
+    val n = base.count()
+    val pairs = Dedup.semanticNearDups(all, "vec_id", "embedding",
+      numClusters = 16, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // planted copies are cosine ~0.999 → must co-cluster and be found
+    val found = pairs.count { case (a, b, _) => b == a + 1000000L }
+    assert(found >= (n * 0.95).toInt, s"found only $found of $n planted pairs")
+    assert(pairs.forall(_._3 >= 0.95), "no pair below threshold may be emitted")
+    // chunk-pair split must not change the answer: tiny maxBlock forces
+    // multi-chunk tasks; pair set must be identical to the unsplit run
+    val split = Dedup.semanticNearDups(all, "vec_id", "embedding",
+      numClusters = 16, threshold = 0.95, maxBlock = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(split == pairs.map(p => (p._1, p._2)).toSet,
+      "chunked pair coverage must be exact")
+  }
+
   test("dup span coverage: planted near-full duplicates score high, unique docs zero") {
     val stats = Dedup.dupSpanStats(planted, "doc_id", "text", n = 3)
     val byId = stats.collect().map(r => r.getLong(0) ->
