@@ -47,7 +47,7 @@ object Bpe {
     */
   def wordCounts(corpus: DataFrame, textCol: String,
       minCount: Long = 1L): DataFrame =
-    corpus.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+    corpus.select(explode(TextAnalysis.words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
@@ -72,7 +72,7 @@ object Bpe {
     // segmentations: word -> (symbols, count); symbols start as characters
     // + the end-of-word terminal
     var segs: Array[(Array[String], Long)] = rows.map { r =>
-      (r.getString(0).map(_.toString).toArray :+ EndOfWord, r.getLong(1))
+      (codePointSymbols(r.getString(0)), r.getLong(1))
     }
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -121,8 +121,25 @@ object Bpe {
     * the LOWEST-rank applicable merge (the canonical BPE encode order —
     * guarantees encode agrees with how the vocab was trained).
     */
+  /** Initial symbols of a word: one per CODE POINT (not UTF-16 char), so
+    * supplementary-plane characters (emoji, CJK-Ext) never split into
+    * lone surrogates — a lone-surrogate token is invalid Unicode and
+    * breaks the encode-concat identity the moment it hits UTF-8 storage.
+    */
+  private def codePointSymbols(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length) + 1)
+    var i = 0; var j = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      i += Character.charCount(cp); j += 1
+    }
+    out(j) = EndOfWord
+    out
+  }
+
   def encodeWord(word: String, vocab: Vocab): Array[String] = {
-    var syms = word.map(_.toString).toArray :+ EndOfWord
+    var syms = codePointSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

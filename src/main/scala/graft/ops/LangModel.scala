@@ -32,10 +32,11 @@ object LangModel {
     */
   case class BigramModel(unigrams: DataFrame, bigrams: DataFrame, vocab: Long)
 
-  /** Adjacent-token pairs of a token array, one row per pair. */
+  /** Adjacent-token pairs of a token array, one row per pair
+    * (tokenization = [[TextAnalysis.words]], the corpus-wide convention).
+    */
   private def pairStream(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), ws.as("__ws"))
+    df.select(col(idCol), TextAnalysis.words(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 2)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__ws")) - 1),
@@ -44,12 +45,20 @@ object LangModel {
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
   }
 
+  /** Two corpus passes total: one for the bigram aggregation (materialized
+    * — `localCheckpoint` — because both score joins AND the unigram
+    * derivation hang off it; as un-cached lineage one scoring action would
+    * re-scan the reference corpus per branch), one for the vocabulary
+    * count. Context counts need NO pass of their own: c1(w) ≡ Σ_w2
+    * c2(w, w2), a groupBy over the vocab-bounded bigram table.
+    */
   def train(corpus: DataFrame, idCol: String, textCol: String): BigramModel = {
     val pairs = pairStream(corpus, idCol, textCol)
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val unigrams = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val unigrams = bigrams.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = corpus
-      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .select(explode(TextAnalysis.words(col(textCol))).as("w"))
       .agg(countDistinct(col("w"))).head().getLong(0)
     BigramModel(unigrams, bigrams, vocab)
   }

@@ -31,8 +31,10 @@ object WebText {
     * backreferences in patterns) so the same patterns run on any engine.
     */
   def htmlExtract(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    // (?i): legacy pages upper-case tags — a case-sensitive match would
+    // leave '<SCRIPT>' bodies in the "readable text"
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
@@ -56,7 +58,11 @@ object WebText {
     // scheme://host[:port] — lowercased; path and query preserved
     val prefix = lower(regexp_extract(noFrag, "^([^/?]*//[^/?]*)", 1))
     val rest = regexp_replace(noFrag, "^[^/?]*//[^/?]*", "")
-    val prefixNoPort = regexp_replace(prefix, ":(443|80)$", "")
+    // default-port stripping is scheme-conditional: http://host:443 is a
+    // REAL non-default origin and must keep its port
+    val prefixNoPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^:/?]*):443$", "$1"),
+      "^(http://[^:/?]*):80$", "$1")
     val prefixNoWww = regexp_replace(prefixNoPort, "^(https?://)www\\.", "$1")
     val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/$", "")
     val query = regexp_extract(rest, "\\?([^#]*)", 1)

@@ -66,10 +66,15 @@ object ConnectorQueries {
     * lossless (doubles survive via shortest-repr text).
     */
   private def fileSourceAgg(s: SparkSession, d: String, format: String): DataFrame = {
-    val out = scratch() + s"/events-$format"
+    // fixed path + overwrite (not a UUID dir per call): repeated bench
+    // samples reuse the directory instead of accumulating copies. The
+    // topic queries above keep UUID roots — a topic log is append-only by
+    // contract, so "overwrite" doesn't exist for it.
+    val out = java.nio.file.Paths.get("target", "ripple-scratch",
+      s"events-$format").toString
     val ev = Relational.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"))
-    ev.write.format(format).option("header", "true").save(out)
+    ev.write.format(format).option("header", "true").mode("overwrite").save(out)
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("event_type", StringType),

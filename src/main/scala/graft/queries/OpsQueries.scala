@@ -751,8 +751,8 @@ object OpsQueries {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |          '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
@@ -768,9 +768,10 @@ object OpsQueries {
         |  '&id=' || (doc_id % 100) || '#Sec' || (doc_id % 3) AS url FROM documents),
         |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
         |s2 AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
         |    lower(regexp_extract(nf, '^([^/?]*//[^/?]*)', 1)),
-        |    ':(443|80)$', ''), '^(https?://)www\.', '\1') AS pre,
+        |    '^(https://[^:/?]*):443$', '\1'),
+        |    '^(http://[^:/?]*):80$', '\1'), '^(https?://)www\.', '\1') AS pre,
         |  regexp_replace(nf, '^[^/?]*//[^/?]*', '') AS rest FROM s1),
         |s3 AS (SELECT doc_id, pre,
         |  regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') AS path,

@@ -35,6 +35,9 @@ class CurationSpec extends AnyFunSuite {
     assert(one("<p>&amp;lt;</p>", WebText.htmlExtract) == "&lt;")
     // plain text passes through
     assert(one("no markup here", WebText.htmlExtract) == "no markup here")
+    // legacy uppercase tags: script/style BODIES must not leak into text
+    assert(one("<SCRIPT>var leak=1;</SCRIPT><P>ok</P><STYLE>.x{}</STYLE>",
+      WebText.htmlExtract) == "ok")
   }
 
   test("canonicalizeUrl: case, port, www, fragment, utm, param order; idempotent") {
@@ -45,7 +48,11 @@ class CurationSpec extends AnyFunSuite {
       "https://h.com/p?utm_a=1&utm_b=2&id=3" -> "https://h.com/p?id=3",
       "https://h.com/p?utm_only=1" -> "https://h.com/p",
       "https://h.com/" -> "https://h.com",
-      "https://h.com/x?b=2&a=1" -> "https://h.com/x?a=1&b=2")
+      "https://h.com/x?b=2&a=1" -> "https://h.com/x?a=1&b=2",
+      // NON-default ports are distinct origins and must survive
+      "http://h.com:443/x" -> "http://h.com:443/x",
+      "https://h.com:80/x" -> "https://h.com:80/x",
+      "https://h.com:8443/x" -> "https://h.com:8443/x")
     cases.foreach { case (in, want) =>
       assert(one(in, WebText.canonicalizeUrl) == want, s"for $in")
       // canonicalization must be a fixpoint
@@ -141,6 +148,31 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "text").repartition(4)
     val vocab4 = Bpe.train(corpus4, "text", numMerges = 10)
     assert(vocab4.merges == vocab.merges)
+  }
+
+  test("BPE: supplementary-plane characters stay whole code points") {
+    import spark.implicits._
+    val clef = new String(Character.toChars(0x1D11E)) // U+1D11E, 2 UTF-16 chars
+    val word = s"a${clef}b"
+    val corpus = Seq((1L, s"$word $word $word")).toDF("doc_id", "text")
+    val vocab = Bpe.train(corpus, "text", numMerges = 4)
+    // no learned merge side may be a lone surrogate
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    assert(vocab.merges.forall(m => wellFormed(m.left) && wellFormed(m.right)))
+    val toks = Bpe.encodeWord(word, vocab)
+    assert(toks.forall(wellFormed), s"lone surrogate in ${toks.toSeq}")
+    assert(toks.mkString("").stripSuffix(Bpe.EndOfWord) == word)
   }
 
   test("BPE: guard refuses an unpruned table past maxTableRows") {
