@@ -56,6 +56,39 @@ object TextAnalysis {
     round((lenScore + punctScore + swScore) / 3.0, 6)
   }
 
+  // ---- Gopher-style repetition/format signals (Rae et al. 2021) -------
+  // All per-row string arithmetic in the engine-portable subset (counts
+  // via length deltas, line/word predicates via anchored regex) so the
+  // same formulas run under any SQL engine for the oracle gate.
+
+  /** Lines of a document (newline-split; no trailing-empty trimming). */
+  def docLines(text: Column): Column = split(text, "\n")
+
+  /** Share of lines that start with a bullet marker (•, -, *). */
+  def bulletLineRatio(text: Column): Column =
+    size(filter(docLines(text), l => l.rlike("^\\s*[•\\-\\*]"))).cast("double") /
+      greatest(size(docLines(text)), lit(1)).cast("double")
+
+  /** Share of lines that end with an ellipsis ("..." or "…"). */
+  def ellipsisLineRatio(text: Column): Column =
+    size(filter(docLines(text), l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") /
+      greatest(size(docLines(text)), lit(1)).cast("double")
+
+  /** Symbol-to-word ratio: occurrences of '#' plus "..." per word —
+    * high values flag tag soup / truncated scrapes.
+    */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val dots = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    (hashes + dots).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Share of words containing at least one alphabetic character. */
+  def alphaWordRatio(text: Column): Column =
+    size(filter(words(text), w => w.rlike("[a-zA-Z]"))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
   /** Canonical-form document fingerprint: md5 of lowercased,
     * whitespace-collapsed text. Identical content modulo spacing/case maps
     * to one fingerprint — the exact-dedup key.

@@ -412,6 +412,47 @@ object OpsQueries {
     // corpus-trained add-one-smoothed bigram counts
     "q89_lm_score" -> ((s, d) =>
       LangModel.perplexityScore(docs(s, d), docs(s, d), "doc_id", "text")),
+    // Gopher-style format/repetition rules (Rae et al. 2021): docs rebuilt
+    // into 3 lines with planted bullets/ellipses/symbol runs; line- and
+    // word-level ratios plus the combined keep decision, all in the
+    // engine-portable string subset
+    "q92_gopher_rules" -> ((s, d) => {
+      val t3 = concat_ws(" ", trim(col("text")), trim(col("text")), trim(col("text")))
+      val ws = split(t3, "\\s+")
+      val l1 = concat(
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("• ")).otherwise(lit("")),
+        concat_ws(" ", slice(ws, 1, 6)))
+      val l2 = concat(concat_ws(" ", slice(ws, 7, 6)),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("...")).otherwise(lit("")))
+      val l3 = concat(concat_ws(" ", slice(ws, 13, 6)),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" ###")).otherwise(lit("")))
+      val doc = concat_ws("\n", l1, l2, l3)
+      docs(s, d).select(col("doc_id"), doc.as("t"))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("t")).cast("long").as("n_words"),
+          TextAnalysis.bulletLineRatio(col("t")).as("bullet_ratio"),
+          TextAnalysis.ellipsisLineRatio(col("t")).as("ellipsis_ratio"),
+          TextAnalysis.symbolWordRatio(col("t")).as("symbol_ratio"),
+          TextAnalysis.alphaWordRatio(col("t")).as("alpha_ratio"))
+        .withColumn("keep_flag",
+          when(col("bullet_ratio") <= 0.9 && col("ellipsis_ratio") <= 0.3 &&
+            col("symbol_ratio") < 0.1 && col("alpha_ratio") >= 0.8, 1L)
+            .otherwise(0L))
+    }),
+    // deflate-compression repetition signal (the Gopher detector n-gram
+    // ratios miss: long-period and interleaved repeats). zlib arithmetic
+    // is engine-internal → rows-only; value behavior spec-pinned.
+    "q93_compress_ratio" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat_ws(" ", Seq.fill(8)(col("text")): _*))
+          .otherwise(col("text")).as("t"))
+      planted
+        .select(col("doc_id"),
+          graft.functions.compress.deflate_ratio(col("t")).as("deflate_ratio"))
+        .withColumn("repetitive_flag",
+          when(col("deflate_ratio") < 0.25, 1L).otherwise(0L))
+    }),
     // SemDedup: cluster-blocked cosine near-dup pairs over embeddings with
     // planted perturbed copies, resolved to keep-one clusters via
     // dupClusters. Cluster geometry is engine-internal → rows-only gate;
@@ -820,6 +861,39 @@ object OpsQueries {
         |  FROM f)
         |SELECT d.doc_id, d.source FROM documents d JOIN th ON d.source = th.source
         |WHERE substring(md5('s0' || CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thr""".stripMargin,
+    "q92_gopher_rules" ->
+      """WITH base AS (SELECT doc_id,
+        |  string_split_regex(trim(text) || ' ' || trim(text) || ' ' || trim(text),
+        |    '\s+') AS ws FROM documents),
+        |d AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN '• ' ELSE '' END)
+        |    || array_to_string(ws[1:6], ' ') || chr(10)
+        |    || array_to_string(ws[7:12], ' ')
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '...' ELSE '' END) || chr(10)
+        |    || array_to_string(ws[13:18], ' ')
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ' ###' ELSE '' END) AS t
+        |  FROM base),
+        |m AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT) AS n_words,
+        |  CAST(len(list_filter(string_split(t, chr(10)),
+        |      l -> regexp_matches(l, '^\s*[•\-\*]'))) AS DOUBLE)
+        |    / greatest(len(string_split(t, chr(10))), 1) AS bullet_ratio,
+        |  CAST(len(list_filter(string_split(t, chr(10)),
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+        |    / greatest(len(string_split(t, chr(10))), 1) AS ellipsis_ratio,
+        |  CAST((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) / 3 AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(t), '\s+')), 1) AS symbol_ratio,
+        |  CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+        |      w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |    / greatest(len(string_split_regex(trim(t), '\s+')), 1) AS alpha_ratio
+        |  FROM d)
+        |SELECT doc_id, n_words, bullet_ratio, ellipsis_ratio, symbol_ratio,
+        |  alpha_ratio,
+        |  CASE WHEN bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+        |    AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
+        |    THEN 1 ELSE 0 END AS keep_flag
+        |FROM m""".stripMargin,
     "q89_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),

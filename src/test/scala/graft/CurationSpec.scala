@@ -70,6 +70,41 @@ class CurationSpec extends AnyFunSuite {
     assert(n == 5L)
   }
 
+  test("gopher rules: hand-computed line/word ratios") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val doc = "• one two\nthree four...\nfive ### six"
+    val r = Seq(doc).toDF("t").select(
+      TextAnalysis.bulletLineRatio(col("t")),
+      TextAnalysis.ellipsisLineRatio(col("t")),
+      TextAnalysis.symbolWordRatio(col("t")),
+      TextAnalysis.alphaWordRatio(col("t"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3) < 1e-12)
+    // words: [•, one, two, three, four..., five, ###, six] = 8;
+    // symbols: 3 hashes + one '...' = 4 → 0.5; alpha words 6/8
+    assert(r.getDouble(2) == 0.5, s"symbol ratio ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.75, s"alpha ratio ${r.getDouble(3)}")
+  }
+
+  test("deflate ratio: repetition collapses, diverse text doesn't, empty is 1.0") {
+    import spark.implicits._
+    import graft.functions.compress.deflate_ratio
+    def ratioOf(s: String): Double =
+      Seq(s).toDF("t").select(deflate_ratio(col("t"))).head().getDouble(0)
+    val repetitive = Seq.fill(500)("spark data").mkString(" ")
+    val diverse = (0 until 500).map(i => s"w${i * 7919 % 9973}x$i").mkString(" ")
+    assert(ratioOf(repetitive) < 0.05, s"repetitive ${ratioOf(repetitive)}")
+    assert(ratioOf(diverse) > 3 * ratioOf(repetitive))
+    assert(ratioOf("") == 1.0)
+    // deterministic across evaluations (thread-local deflater state reset)
+    assert(ratioOf(diverse) == ratioOf(diverse))
+    // null propagates (no crash in codegen null path)
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(deflate_ratio(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("rebalance: over-represented strata downsample to share, rest kept whole") {
     import spark.implicits._
     // heavy: 8000 rows, light: 400, tiny: 100 (total 8500)
