@@ -210,6 +210,47 @@ class CurationSpec extends AnyFunSuite {
     assert(toks.mkString("").stripSuffix(Bpe.EndOfWord) == word)
   }
 
+  test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // 1. raw crawl: wrap text in HTML, plus exact-dup pages (same content,
+    //    different URL) for every 10th doc
+    val crawl = docs.select(col("doc_id"), col("source"),
+        concat(lit("<html><body><script>track();</script><p>"), col("text"),
+          lit("</p></body></html>")).as("html"))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("source"),
+          concat(lit("<html><body><script>track();</script><p>"), col("text"),
+            lit("</p></body></html>")).as("html")))
+    val n0 = crawl.count()
+    // 2. extract + per-row quality signals in ONE projection pass
+    val extracted = crawl.select(col("doc_id"), col("source"),
+      graft.ops.WebText.htmlExtract(col("html")).as("text"))
+    val quality = extracted.filter(
+      TextAnalysis.tokenCount(col("text")) >= 10 &&
+        TextAnalysis.alphaWordRatio(col("text")) >= 0.8 &&
+        graft.functions.compress.deflate_ratio(col("text")) > 0.1)
+    // 3. exact dedup (keep min doc_id per fingerprint)
+    val deduped = Dedup.exactDedup(quality, "doc_id", "text")
+    val n3 = deduped.count()
+    assert(n3 == docs.count(), "every planted exact dup must collapse")
+    // script body must never survive extraction
+    assert(deduped.filter(col("text").contains("track()")).count() == 0)
+    // 4. rebalance to uniform mixture and cap per source
+    val shares = (0 until 20).map(i => s"src$i" -> 0.05).toMap
+    val balanced = Sampling.rebalance(deduped, col("source"), col("doc_id"), shares)
+    val capped = Sampling.capPerGroup(balanced, col("source"), col("doc_id"), 15)
+    assert(capped.groupBy("source").count().collect().forall(_.getLong(1) <= 15))
+    // 5. pack into training sequences; packing preserves every token
+    val withTok = capped.withColumn("nt", TextAnalysis.tokenCount(col("text")))
+    val packed = TextAnalysis.packSequences(withTok, "doc_id", "nt",
+      col("source"), maxTokens = 256)
+    val tokIn = withTok.agg(sum(col("nt"))).head().getLong(0)
+    val tokOut = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(tokIn == tokOut, s"packing lost tokens: $tokIn != $tokOut")
+    assert(n0 > n3 && n3 >= capped.count(), "pipeline must be monotone shrinking")
+  }
+
   test("BPE: guard refuses an unpruned table past maxTableRows") {
     import spark.implicits._
     val corpus = Seq((1L, (0 until 100).map(i => s"w$i").mkString(" ")))
