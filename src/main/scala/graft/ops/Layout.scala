@@ -31,6 +31,60 @@ object Layout {
       .sortWithinPartitions(clusterCols: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Z-order (Morton) value of up to 4 numeric columns: each column is
+    * affinely quantized to `bits` bits over its observed [min, max], and
+    * the quantized values' bits interleave into one long. Sorting by this
+    * value clusters rows that are close in EVERY dimension, so parquet
+    * min/max skipping works for predicates on ANY subset of the z-columns
+    * — single-column range clustering ([[writeClustered]]) only ever
+    * skips on its leading column.
+    *
+    * `ranges` (per-column observed min/max) comes from one cheap agg the
+    * caller runs once per write ([[writeZOrdered]]); rows outside the
+    * given range clamp to the boundary bucket. The whole z-value is a
+    * per-row expression tree of shifts/ors — codegen'd, zero shuffles.
+    */
+  def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)], bits: Int): Column = {
+    require(cols.nonEmpty && cols.size <= 4, "z-order supports 1-4 columns")
+    require(cols.size == ranges.size, "one (min,max) per column")
+    require(bits >= 1 && bits * cols.size <= 62, s"bits*cols must fit a long")
+    val maxQ = (1L << bits) - 1
+    // quantize each column to [0, 2^bits)
+    val qs = cols.zip(ranges).map { case (c, (mn, mx)) =>
+      val span = if (mx > mn) mx - mn else 1.0
+      least(greatest(
+        floor((c.cast("double") - mn) / span * maxQ).cast("long"), lit(0L)),
+        lit(maxQ))
+    }
+    // interleave: output bit (b*ncols + i) = bit b of column i
+    val ncols = cols.size
+    (0 until bits).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * ncols + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-ordered on `zCols`: one agg pass for per-column ranges,
+    * then range-partition + sort by the interleaved z-value. Buys min/max
+    * skipping for multi-dimensional range predicates — the lakehouse
+    * OPTIMIZE ZORDER operation as a plain write.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[Column],
+      numFiles: Int, bits: Int = 15): Unit = {
+    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast("double")).as(s"mn$i"), max(c.cast("double")).as(s"mx$i"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val ranges = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    val z = zValue(zCols, ranges, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z") // parquet keeps the physical row order of the write
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file (min, max) ranges of `keyCol` for a parquet directory —
     * the observable the clustering exists to narrow. Used by tests to
     * assert disjointness and by operators to estimate skipping potential.

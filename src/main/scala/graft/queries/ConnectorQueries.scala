@@ -99,7 +99,25 @@ object ConnectorQueries {
     "q43_csv_source" -> ((s, d) => fileSourceAgg(s, d, "csv")),
     // ORC: the columnar alternative to parquet (binary round-trip, no text
     // re-parse — doubles survive bit-exactly by format, not by repr)
-    "q84_orc_source" -> ((s, d) => fileSourceAgg(s, d, "orc")))
+    "q84_orc_source" -> ((s, d) => fileSourceAgg(s, d, "orc")),
+    // Z-order layout round-trip: write events z-ordered on (event_id,
+    // user_id), read back through a 2-D range predicate, aggregate — the
+    // result must be layout-independent (oracle scans the original
+    // parquet); the multi-dimensional file-skipping property itself is
+    // asserted in OpsSpec
+    "q94_zorder_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Paths.get("target", "ripple-scratch",
+        "events-zorder").toString
+      val ev = Relational.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.ops.Layout.writeZOrdered(ev, out,
+        Seq(col("event_id"), col("user_id")), numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("event_id") < 500 && col("user_id") < 50)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"))
+    }))
 
   val oracle: Map[String, String] = Map(
     "q40_topic_roundtrip_agg" ->
@@ -112,5 +130,10 @@ object ConnectorQueries {
         |FROM events WHERE event_id >= 100""".stripMargin,
     "q42_json_source" -> fileSourceOracleSql,
     "q43_csv_source" -> fileSourceOracleSql,
-    "q84_orc_source" -> fileSourceOracleSql)
+    "q84_orc_source" -> fileSourceOracleSql,
+    "q94_zorder_roundtrip" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id < 500 AND user_id < 50
+        |GROUP BY 1""".stripMargin)
 }

@@ -573,6 +573,41 @@ class OpsSpec extends AnyFunSuite {
       "chunked pair coverage must be exact")
   }
 
+  test("z-order layout: per-file spans narrow on BOTH dimensions, rows survive") {
+    import graft.ops.Layout
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val zPath = "target/layout-test/zorder"
+    val cPath = "target/layout-test/clustered"
+    Layout.writeZOrdered(li, zPath, Seq(col("l_orderkey"), col("l_partkey")), numFiles = 8)
+    Layout.writeClustered(li, cPath, Seq(col("l_orderkey")), numFiles = 8)
+    // correctness: the z-ordered copy is the same multiset
+    val a = spark.read.parquet(zPath).agg(count(lit(1)), sum(col("l_quantity")),
+      sum(col("l_orderkey")), sum(col("l_partkey"))).head()
+    val b = li.agg(count(lit(1)), sum(col("l_quantity")),
+      sum(col("l_orderkey")), sum(col("l_partkey"))).head()
+    assert(a == b, "z-ordered write must preserve every row")
+
+    def meanSpanFrac(path: String, dim: String): Double = {
+      val global = spark.read.parquet(path)
+        .agg(min(col(dim)).cast("double"), max(col(dim)).cast("double")).head()
+      val span = global.getDouble(1) - global.getDouble(0)
+      val files = Layout.fileRanges(spark, path, dim)
+        .select((col("hi").cast("double") - col("lo").cast("double")) / span)
+        .collect().map(_.getDouble(0))
+      files.sum / files.length
+    }
+    // single-column clustering: dim1 narrow, dim2 ~full-range per file
+    assert(meanSpanFrac(cPath, "l_orderkey") < 0.35)
+    assert(meanSpanFrac(cPath, "l_partkey") > 0.7,
+      "single-col clustering should NOT narrow the second dimension")
+    // z-order: BOTH dims substantially narrowed vs the clustered layout's
+    // second dimension — the multi-dimensional skipping claim
+    assert(meanSpanFrac(zPath, "l_orderkey") < 0.7)
+    assert(meanSpanFrac(zPath, "l_partkey") < 0.7,
+      s"z-order must narrow dim2 (got ${meanSpanFrac(zPath, "l_partkey")})")
+  }
+
   test("dup span coverage: planted near-full duplicates score high, unique docs zero") {
     val stats = Dedup.dupSpanStats(planted, "doc_id", "text", n = 3)
     val byId = stats.collect().map(r => r.getLong(0) ->
