@@ -292,8 +292,6 @@ object Similarity {
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
     val sampled =
       if (trainFraction >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), trainFraction)
@@ -307,6 +305,18 @@ object Similarity {
       .select(col("id"), col("v"))
     val train = if (trainFraction >= 1.0) normalized
       else normalized.localCheckpoint(true)
+    pqTrainLloyd(train, dim, m, ksub, iters)
+  }
+
+  /** Lloyd core shared by [[pqTrainCodebooks]] (unit vectors) and
+    * [[ivfPqTopK]] (IVF residuals): `train` is a prepared (id, v) set —
+    * already sampled/normalized/residualized and small enough to rescan
+    * per iteration.
+    */
+  private def pqTrainLloyd(train: DataFrame, dim: Int, m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
 
     // Seed: the ksub smallest-id vectors' subvectors — deterministic
     // regardless of partition layout (a bare limit() takes whatever
@@ -513,5 +523,186 @@ object Similarity {
         (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
           .as("cos"))
     topKRanks(scored, k)
+  }
+
+  // ---- IVF-PQ (coarse quantizer + residual product quantization) ------
+
+  /** v − centroid(cid): the residual a fused IVF-PQ index encodes instead
+    * of the raw vector (residuals concentrate near 0, so the same ksub
+    * codewords quantize them much more finely than the full space). The
+    * centroid table rides along as a broadcast-class map literal.
+    */
+  private def residual(vCol: Column, cidCol: Column,
+      cm: Array[Array[Double]], cids: Array[Long]): Column = {
+    val centMap = typedLit(cids.zip(cm.map(_.toSeq)).toMap)
+    zip_with(vCol, element_at(centMap, cidCol), (a, b) => a - b)
+  }
+
+  /** Approximate top-k through a fused IVF-PQ index — the architecture a
+    * 100 TB vector corpus actually deploys (coarse cells bound the scan,
+    * 8-byte residual codes bound the bytes):
+    *
+    *   1. corpus vectors are L2-normalized (so L2 ranks like cosine),
+    *      assigned to the nearest of `numCentroids` coarse centroids
+    *      (per-row [[graft.functions.TopCentroids]], zero shuffle);
+    *   2. each vector's RESIDUAL (v − centroid) is PQ-encoded — codebooks
+    *      train on a deterministic hash-sample of residuals;
+    *   3. a query probes its nProbe nearest cells; for each probed cell it
+    *      carries a per-(query, cell) ADC table built from ITS residual
+    *      against that cell, so Σ_j table[codes_j] ≈ ‖q − x‖² exactly
+    *      (‖(q−c) − (x−c)‖² = ‖q−x‖²) — scores are comparable across
+    *      cells with no per-cell correction term;
+    *   4. per-query top-k reduces through the bounded
+    *      [[graft.functions.TopKAggregator]] (O(queries × k) shuffle).
+    *
+    * `refine > 0` re-ranks the top k·refine ADC candidates with exact
+    * cosine against the original vectors (one broadcast-semi-joined corpus
+    * scan over a candidate set of queries × k·refine rows) — the standard
+    * accuracy-recovery tail; 0 skips it.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, numCentroids: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0, kmeansIters: Int = 1,
+      refine: Int = 0): DataFrame = {
+    val (cm, cids, codes, cb) =
+      buildIvfPq(corpus, idCol, vecCol, dim, numCentroids, m, ksub, iters,
+        trainFraction, kmeansIters)
+    val adcTopK = ivfPqProbe(codes, queries, idCol, vecCol, cm, cids, cb,
+      if (refine > 0) k * refine else k, nProbe)
+    if (refine > 0) refineExact(adcTopK, corpus, queries, idCol, vecCol, k)
+    else adcTopK
+  }
+
+  /** Train centroids, assign, residual-encode: the index-build phase shared
+    * by [[ivfPqTopK]] and [[saveIvfPqIndex]]. Returns (centroids, cids,
+    * codes (vec_id, cid, codes), codebooks).
+    */
+  private def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numCentroids: Int, m: Int, ksub: Int, iters: Int,
+      trainFraction: Double, kmeansIters: Int)
+      : (Array[Array[Double]], Array[Long], DataFrame, Array[Array[Array[Double]]]) = {
+    val norm = withUnitVec(Spread.toCores(corpus)
+        .select(col(idCol).as("id"), col(vecCol)), vecCol, "v")
+      .select(col("id"), col("v"))
+    val cents = kmeansIterate(norm, "id", "v",
+      centroids(norm, "id", "v", numCentroids), kmeansIters)
+    val (cm, cids) = collectCents(cents)
+    val assigned = assignWith(norm, "id", "v", cm, cids)
+    val res = assigned.withColumn("r",
+      residual(col("cv"), col("cid"), cm, cids))
+
+    val sampled =
+      if (trainFraction >= 1.0) res
+      else Sampling.hashSample(res, col("vec_id"), trainFraction)
+    val train0 = sampled.select(col("vec_id").as("id"), col("r").as("v"))
+    val train = if (trainFraction >= 1.0) train0 else train0.localCheckpoint(true)
+    val cb = pqTrainLloyd(train, dim, m, ksub, iters)
+
+    val codes = res.select(col("vec_id"), col("cid"),
+      graft.functions.sketches.pq_encode(col("r"), cb).as("codes"))
+    (cm, cids, codes, cb)
+  }
+
+  /** IVF-PQ probe tail: per-(query, probed-cell) residual ADC tables join
+    * the codes of those cells only; ranks reduce through the bounded
+    * aggregator. Shared by the in-memory and persisted-index paths.
+    */
+  private def ivfPqProbe(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cm: Array[Array[Double]], cids: Array[Long],
+      cb: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val kEff = cb(0).length
+    val probes = withUnitVec(queries, vecCol, "__v")
+      .select(col(idCol).as("query_id"), col("__v"))
+      .select(col("query_id"), col("__v"),
+        explode(graft.functions.sketches.top_centroids(col("__v"), cm, cids,
+          nProbe)).as("cid"))
+      .select(col("query_id"), col("cid"),
+        graft.functions.sketches.pq_tables(
+          residual(col("__v"), col("cid"), cm, cids), cb).as("tables"))
+    val scored = codes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (-graft.functions.sketches.pq_adc_dist(col("codes"), col("tables"), kEff))
+          .as("cos"))
+    topKRanks(scored, k)
+  }
+
+  /** Exact re-rank of an approximate candidate list: join the (small,
+    * queries × k·refine) candidates back to the corpus vectors via a
+    * broadcast hash join — one filtered corpus scan, no shuffle of corpus
+    * rows — score exact cosine, keep the true top-k.
+    */
+  private def refineExact(candidates: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c
+      .join(broadcast(candidates.select(col("query_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("cv"), col("qv")).as("cos"))
+    topKRanks(scored, k)
+  }
+
+  /** A persisted IVF-PQ index: coarse centroids + residual codebooks
+    * (driver-side) and the cid-clustered 8-bytes-per-vector codes table.
+    */
+  case class IvfPqIndex(cm: Array[Array[Double]], cids: Array[Long],
+      codebooks: Array[Array[Array[Double]]], codes: DataFrame)
+
+  /** Build once, persist: `<path>/centroids`, `<path>/codebooks` (parquet,
+    * bit-exact doubles), and `<path>/codes` (vec_id, cid, codes) written
+    * via [[Layout.writeClustered]] on cid so probe-time scans skip every
+    * file whose cid range misses the probed set — at 100 TB the index IS
+    * this layout.
+    */
+  def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 1.0, kmeansIters: Int = 1,
+      numFiles: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (cm, cids, codes, cb) =
+      buildIvfPq(corpus, idCol, vecCol, dim, numCentroids, m, ksub, iters,
+        trainFraction, kmeansIters)
+    cids.zip(cm.map(_.toSeq)).toSeq.toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- cb.indices; c <- cb(j).indices) yield (j, c, cb(j)(c).toSeq))
+      .toDF("j", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    Layout.writeClustered(codes, s"$path/codes", Seq(col("cid")), numFiles)
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val (cm, cids) = collectCents(spark.read.parquet(s"$path/centroids"))
+    val raw = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = raw.keys.map(_._1).max + 1
+    val cb = Array.tabulate(m) { j =>
+      val ks = raw.keys.collect { case (`j`, c) => c }.max + 1
+      Array.tabulate(ks)(c => raw((j, c)))
+    }
+    IvfPqIndex(cm, cids, cb, spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Probe a persisted IVF-PQ index. The probed cid set is pushed as a
+    * scan filter (bounded by queries × nProbe) so it meets the clustered
+    * layout's per-file cid ranges and unprobed files are never read.
+    */
+  def ivfPqTopKWithIndex(index: IvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val probedCids = withUnitVec(queries, vecCol, "__v")
+      .select(explode(graft.functions.sketches.top_centroids(col("__v"),
+        index.cm, index.cids, nProbe)).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    val codes = index.codes.filter(col("cid").isin(probedCids: _*))
+    ivfPqProbe(codes, queries, idCol, vecCol, index.cm, index.cids,
+      index.codebooks, k, nProbe)
   }
 }

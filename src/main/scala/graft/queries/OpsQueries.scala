@@ -153,6 +153,16 @@ object OpsQueries {
       Similarity.pqTopKWithIndex(Similarity.loadPqIndex(s, path),
         corpus.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
     }),
+    // fused IVF-PQ: coarse cells bound the scan (nProbe/C of the corpus),
+    // residual 8-byte codes bound the bytes, exact refine recovers rank
+    // quality — the architecture a 100 TB vector index deploys. Approximate
+    // → rows-only gate; recall + index round-trip asserted in OpsSpec.
+    "q95_knn_ivfpq" -> ((s, d) => {
+      val corpus = emb(s, d)
+      Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, numCentroids = 16,
+        nProbe = 4, m = 8, ksub = 16, trainFraction = 0.25, refine = 4)
+    }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>

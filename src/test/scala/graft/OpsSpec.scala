@@ -685,6 +685,48 @@ class OpsSpec extends AnyFunSuite {
     assert(recallSampled >= 0.4, s"sampled-training PQ recall too low: $recallSampled")
   }
 
+  test("IVF-PQ ANN: residual codes recall, refine recovers rank, index round-trips") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ADC-only top-20 should catch most exact top-5 despite probing 4/16 cells
+    val adc = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 20, dim = 64, numCentroids = 16, nProbe = 4, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallAdc = exact.count(adc.contains).toDouble / exact.size
+    assert(recallAdc >= 0.5, s"IVF-PQ ADC recall@20 over exact top-5 too low: $recallAdc")
+    // exact refine of 4k candidates at k=5: recall must not degrade vs ADC@20
+    // (refine re-ranks the same candidate pool with true cosine)
+    val refined = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, numCentroids = 16, nProbe = 4, m = 8, ksub = 16,
+        refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallRefined = exact.count(refined.contains).toDouble / exact.size
+    assert(recallRefined >= 0.5, s"refined IVF-PQ recall@5 too low: $recallRefined")
+    // persisted index: probe equals the in-memory path (same deterministic
+    // training), and the probed-cid filter is pushed to the codes scan
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", s"$tmp/idx",
+      dim = 64, numCentroids = 16, m = 8, ksub = 16, trainFraction = 0.5,
+      numFiles = 4)
+    val idx = Similarity.loadIvfPqIndex(spark, s"$tmp/idx")
+    assert(idx.codebooks.length == 8 && idx.codebooks(0).length == 16)
+    val fromIndex = Similarity.ivfPqTopKWithIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, numCentroids = 16, nProbe = 4, m = 8, ksub = 16,
+      trainFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromIndex == direct, "persisted IVF-PQ probe must equal the in-memory path")
+    val planned = Similarity.ivfPqTopKWithIndex(idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters: [In(cid") ||
+      planned.contains("PushedFilters: [IsNotNull(cid), In(cid"),
+      s"cid filter not pushed to the IVF-PQ codes scan:\n$planned")
+  }
+
   test("layout clustering: file key-ranges are disjoint, unsorted files are not") {
     import graft.ops.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
