@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the document corpus — the lexical counterpart
+  * of [[Similarity]]'s vector search (a curation pipeline needs both: ANN
+  * for embedding-space lookup, BM25 for keyword lookup into the same
+  * corpus, e.g. decontamination probes or targeted corpus audits).
+  *
+  * Scale shape: the corpus is touched by exactly one tokenize + term-count
+  * pass (the shape of an inverted-index build); everything query-side is
+  * broadcast-class. Postings are filtered to the query term set by a
+  * broadcast join BEFORE any scoring or df work, so a 5-term query against
+  * a 100 TB corpus ships only that term slice; per-(query, doc) partial
+  * scores reduce through one keyed aggregation and the final top-k through
+  * the bounded [[graft.functions.TopKAggregator]] (O(queries × k) shuffle,
+  * never a full score-matrix window).
+  */
+object Retrieval {
+
+  /** BM25 top-k: for each query row, the k highest-scoring documents.
+    * Output: (query_id, doc_id, rank 1..k, score) — rank by descending
+    * score, ties by ascending doc_id.
+    *
+    * Scoring is Lucene-shaped BM25: idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * (always positive), term score = idf · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)), query term frequency ignored (standard for short
+    * queries). Per-document scores accumulate as DECIMAL(30,6) — the
+    * engine-portable determinism trick (see q89): double addition is not
+    * associative, so a float sum would depend on partition merge order;
+    * rounding each term score to 6 dp and summing exactly makes the total
+    * independent of both partitioning and engine.
+    *
+    * `N`/`avgdl` are collected driver-side (two scalars). avgdl is exact —
+    * token counts are integers, so their double sum has no rounding — and
+    * therefore reproducible across engines and partitionings too.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
+    val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
+    val nDocs = statsRow.getLong(0).toDouble
+    val avgdl = statsRow.getDouble(1)
+
+    // dl is grouped alongside (doc_id, token) — functionally dependent on
+    // doc_id, so it rides the term-count shuffle for free instead of
+    // costing a corpus-sized doc-length join later
+    val tf = d.select(col("doc_id"), col("dl"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
+      explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
+    val termSet = qterms.select(col("token")).distinct()
+
+    // postings for query terms only — the broadcast filter that keeps the
+    // rest of this function independent of corpus size
+    val matched = tf.join(broadcast(termSet), Seq("token"))
+    // matched is unique per (doc_id, token), so count(1) IS document freq;
+    // the result is bounded by the distinct query term count → broadcast
+    val dfreq = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
+
+    val ts = col("idf") * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val perDoc = matched
+      .join(broadcast(dfreq), Seq("token"))
+      .join(broadcast(qterms), Seq("token"))
+      .select(col("query_id"), col("doc_id"), ts.as("ts"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ts").cast("decimal(30,6)")).as("score_dec"))
+
+    val agg = new graft.functions.TopKAggregator(k)
+    perDoc.select(col("query_id"), col("doc_id").as("vec_id"),
+        col("score_dec").cast("double").as("cos"))
+      .as[graft.functions.Scored]
+      .groupByKey(_.query_id)
+      .agg(agg.toColumn.name("hits"))
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (h, i) =>
+          (qid, h.vec_id, (i + 1).toLong, h.cos)
+        }
+      }
+      .toDF("query_id", "doc_id", "rank", "score")
+  }
+}

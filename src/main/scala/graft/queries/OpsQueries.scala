@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Sampling, Similarity, TextAnalysis, WebText}
+import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -162,6 +162,18 @@ object OpsQueries {
       Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, numCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, trainFraction = 0.25, refine = 4)
+    }),
+    // BM25 full-text retrieval: the lexical face of similarity search —
+    // five fixed keyword queries against the document corpus, scored with
+    // Lucene-shaped BM25, per-doc sums decimal-accumulated so ranks and
+    // scores are engine-exact (the q89 trick)
+    "q96_bm25_topk" -> ((s, d) => {
+      val qdf = s.createDataFrame(Seq(
+        (0L, "spark join merge"), (1L, "window hash scan"),
+        (2L, "customer data line"), (3L, "stream batch dup"),
+        (4L, "filter sort agg slow"))).toDF("qid", "qtext")
+      Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        qdf, "qid", "qtext", k = 10)
     }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
@@ -904,6 +916,40 @@ object OpsQueries {
         |    AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
         |    THEN 1 ELSE 0 END AS keep_flag
         |FROM m""".stripMargin,
+    "q96_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'spark join merge'),
+        |  (CAST(1 AS BIGINT), 'window hash scan'),
+        |  (CAST(2 AS BIGINT), 'customer data line'),
+        |  (CAST(3 AS BIGINT), 'stream batch dup'),
+        |  (CAST(4 AS BIGINT), 'filter sort agg slow')),
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(1) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(1) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(ws) AS token FROM d) GROUP BY 1, 2),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) AS token
+        |       FROM q),
+        |mt AS (SELECT tf.* FROM tf WHERE token IN (SELECT DISTINCT token FROM qt)),
+        |dfreq AS (SELECT token,
+        |            ln(1.0 + ((SELECT n FROM st) - count(1) + 0.5)
+        |                     / (count(1) + 0.5)) AS idf
+        |          FROM mt GROUP BY token),
+        |sc AS (SELECT qt.query_id, mt.doc_id,
+        |         sum(CAST(dfreq.idf * mt.tf * (1.2 + 1)
+        |           / (mt.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))
+        |           AS DECIMAL(30,6))) AS score_dec
+        |       FROM mt JOIN dfreq USING (token) JOIN qt USING (token)
+        |         JOIN dl ON mt.doc_id = dl.doc_id, st
+        |       GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score FROM (
+        |  SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10""".stripMargin,
     "q89_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),

@@ -727,6 +727,47 @@ class OpsSpec extends AnyFunSuite {
       s"cid filter not pushed to the IVF-PQ codes scan:\n$planned")
   }
 
+  test("BM25 retrieval: hand-computed scores, rank order, partition-invariant") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date fig")).toDF("doc_id", "text")
+    val q = Seq((0L, "apple cherry")).toDF("qid", "qtext")
+    val out = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2)
+    // reference BM25 computed longhand (N=3, avgdl=8/3, k1=1.2, b=0.75)
+    val n = 3.0; val avgdl = 8.0 / 3.0; val k1 = 1.2; val b = 0.75
+    def idf(df: Long) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Long) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = Seq(
+      (1L, r6(term(2, 3, 1))),                  // apple tf=2 in doc 1
+      (2L, r6(term(1, 2, 2))),                  // cherry tf=1 in doc 2
+      (3L, r6(term(1, 3, 2))))                  // cherry tf=1 in doc 3
+      .sortBy(-_._2).zipWithIndex
+      .map { case ((id, s), i) => (id, (i + 1).toLong, s) }
+    assert(out.length == 3)
+    out.zip(expected.sortBy(_._2)).foreach { case ((id, rk, s), (eid, erk, es)) =>
+      assert(id == eid && rk == erk, s"rank order: got $out expected $expected")
+      assert(math.abs(s - es) < 1e-9, s"doc $id score $s != $es")
+    }
+    // decimal accumulation ⇒ identical output under any partitioning
+    val repart = Retrieval.bm25TopK(corpus.repartition(7), "doc_id", "text",
+      q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val orig = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(repart == orig, "BM25 output must not depend on partitioning")
+    // a query with no corpus terms returns no rows (not nulls)
+    val miss = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((9L, "zzz qqq")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
+    assert(miss.count() == 0)
+  }
+
   test("layout clustering: file key-ranges are disjoint, unsorted files are not") {
     import graft.ops.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
