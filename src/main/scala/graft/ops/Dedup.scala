@@ -597,7 +597,20 @@ object Dedup {
     val t = Spread.toCores(df).select(col(idCol).as("id"),
         transform(TextAnalysis.words(col(textCol)), w => xxhash64(w)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
-    val chunked = t.select(col("id"), col("sig"),
+    bandedHamming64Pairs(t, maxHamming)
+  }
+
+  /** Hamming-neighbor pairs over ANY (id, sig) 64-bit signature table —
+    * the banding tail shared by text SimHash ([[simhashNearDups]]) and
+    * image perceptual hashes ([[Multimodal.nearDupImages]]). 4×16-bit
+    * chunks: a pair within hamming ≤ 3 differs in ≤ 3 chunks, so at least
+    * one of the 4 matches (pigeonhole) — candidate generation is complete,
+    * and the band join ships (id, chunk, key) rows only.
+    */
+  def bandedHamming64Pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding is only pigeonhole-complete for hamming <= 3, got $maxHamming")
+    val chunked = sigs.select(col("id"), col("sig"),
         explode(array((0 until 4).map { c =>
           struct(lit(c).as("chunk"),
             shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))

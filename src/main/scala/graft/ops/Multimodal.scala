@@ -63,9 +63,12 @@ object Multimodal {
       */
     val MaxPixels: Long = 1L << 26
 
-    def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
-      // Peek header-declared dimensions BEFORE paying raster decode, so an
-      // oversized/hostile image is rejected without allocating its pixels.
+    /** Guarded raster decode: header dimensions are peeked BEFORE paying
+      * the decode, so an oversized/hostile image is rejected without
+      * allocating its pixels.
+      */
+    def decodeImage(bytes: Array[Byte]): Option[BufferedImage] = {
+      if (bytes == null || bytes.isEmpty) return None
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
         val readers = ImageIO.getImageReaders(iis)
@@ -75,24 +78,70 @@ object Multimodal {
           reader.setInput(iis, true, true)
           val w = reader.getWidth(0); val h = reader.getHeight(0)
           if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
-          val img = reader.read(0)
-          val hist = new Array[Float](FeatureDim)
+          Some(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+      decodeImage(bytes).map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        val hist = new Array[Float](FeatureDim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0
+        while (j < FeatureDim) { hist(j) /= n; j += 1 }
+        hist
+      }
+
+    /** 64-bit difference hash (dHash): area-average the decoded luma plane
+      * onto a 9×8 grid, bit r·8+c = 1 iff cell(r,c) < cell(r,c+1). The
+      * standard perceptual fingerprint for image near-dedup — stable under
+      * re-encoding, scaling, and uniform brightness shift (integer luma
+      * shifts exactly, preserving every comparison), unlike any byte-level
+      * hash. Images smaller than the grid have no gradient structure to
+      * compare → None.
+      */
+    def dHash(bytes: Array[Byte]): Option[Long] =
+      decodeImage(bytes).filter(i => i.getWidth >= 9 && i.getHeight >= 8)
+        .map { img =>
+          val gw = 9; val gh = 8
+          val w = img.getWidth; val h = img.getHeight
+          val sums = new Array[Long](gw * gh)
+          val counts = new Array[Long](gw * gh)
           var y = 0
           while (y < h) {
+            val gy = (y.toLong * gh / h).toInt
             var x = 0
             while (x < w) {
-              hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
+              val i = gy * gw + (x.toLong * gw / w).toInt
+              sums(i) += luma(img.getRGB(x, y)); counts(i) += 1
               x += 1
             }
             y += 1
           }
-          val n = (w.toLong * h).toFloat
-          var j = 0
-          while (j < FeatureDim) { hist(j) /= n; j += 1 }
-          Some(hist)
-        } finally reader.dispose()
-      } finally iis.close()
-    }
+          var bits = 0L
+          var r = 0
+          while (r < gh) {
+            var c = 0
+            while (c < gw - 1) {
+              val a = sums(r * gw + c).toDouble / counts(r * gw + c)
+              val b = sums(r * gw + c + 1).toDouble / counts(r * gw + c + 1)
+              if (a < b) bits |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          bits
+        }
 
     def audioFeatures(bytes: Array[Byte]): Option[Array[Float]] = {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
@@ -191,7 +240,13 @@ object Multimodal {
       * pixels equal these exactly — features are reproducible no matter
       * how the encoder packs the file.
       */
-    def encodePng(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    /** `bias` shifts every channel uniformly (clamped at 255) — with ASCII
+      * seeds and small bias there is no clamping, integer luma shifts by
+      * exactly bias (the weights sum to 1000), and the render is a pure
+      * brightness-shifted twin: the planted positive for perceptual-hash
+      * dedup.
+      */
+    def encodePng(seed: Array[Byte], w: Int, h: Int, bias: Int = 0): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val n = math.max(seed.length, 1)
       var y = 0
@@ -199,7 +254,9 @@ object Multimodal {
         var x = 0
         while (x < w) {
           val p = (y * w + x) * 3
-          def b(i: Int): Int = if (seed.isEmpty) 0 else seed(i % n) & 0xFF
+          def b(i: Int): Int =
+            if (seed.isEmpty) math.min(bias, 255)
+            else math.min((seed(i % n) & 0xFF) + bias, 255)
           img.setRGB(x, y, (b(p) << 16) | (b(p + 1) << 8) | b(p + 2))
           x += 1
         }
@@ -244,6 +301,37 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-image perceptual fingerprint: 64-bit [[MediaCodec.dHash]] over
+    * the decoded luma plane, per-partition imperative like every decode
+    * pass. Non-image and undecodable rows surface `decode_ok = false`
+    * (quarantine, never a stage failure).
+    */
+  def imageDHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val h =
+          if (r.kind != "image") None
+          else try MediaCodec.dHash(r.bytes)
+               catch { case scala.util.control.NonFatal(_) => None }
+        (r.media_id, h.getOrElse(0L), h.isDefined)
+      }
+    }.toDF("media_id", "dhash", "decode_ok")
+  }
+
+  /** Perceptual image near-dup pairs (the LAION-style image-dedup pass):
+    * dHash per image, then the same 4×16-bit banded hamming join text
+    * SimHash uses ([[Dedup.bandedHamming64Pairs]]) — candidates ship
+    * (id, chunk, key) rows only, complete for hamming ≤ 3. Output:
+    * (id_a, id_b, hamming). Re-encoded, rescaled, or brightness-shifted
+    * copies collide at hamming ≈ 0; byte-identical dedup never sees them.
+    */
+  def nearDupImages(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHamming64Pairs(
+      imageDHash(media).filter(col("decode_ok"))
+        .select(col("media_id").as("id"), col("dhash").as("sig")),
+      maxHamming)
 
   /** Explode a packed-video table into one row per REAL decoded frame,
     * keeping every `every`-th frame — the frame-sampling pass a video
@@ -317,7 +405,8 @@ object Multimodal {
     * `mapPartitions` shape as decode: per-partition codec reuse, no
     * shuffle, parallel across the corpus.
     */
-  def encodedMediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+  def encodedMediaFromDocuments(docs: DataFrame, bias: Int = 0,
+      idOffset: Long = 0L): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
@@ -328,13 +417,14 @@ object Multimodal {
           val w = 16 + (id % 16).toInt
           val h = 12 + (id % 12).toInt
           (id % 3) match {
-            case 0 => MediaRow(id, "image", MediaCodec.encodePng(seed, w, h), w, h)
-            case 1 => MediaRow(id, "audio",
+            case 0 => MediaRow(id + idOffset, "image",
+              MediaCodec.encodePng(seed, w, h, bias), w, h)
+            case 1 => MediaRow(id + idOffset, "audio",
               MediaCodec.encodeWav(seed, nSamples = 256 + (id % 256).toInt), 0, 0)
             case _ =>
               val frames = (0 until 3).map(f =>
                 MediaCodec.encodePng(seed.drop(f), 8, 8))
-              MediaRow(id, "video", MediaCodec.packVideo(frames), 8, 8)
+              MediaRow(id + idOffset, "video", MediaCodec.packVideo(frames), 8, 8)
           }
         }
       }

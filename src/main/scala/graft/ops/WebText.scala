@@ -76,6 +76,31 @@ object WebText {
       when(qSorted === "", lit("")).otherwise(concat(lit("?"), qSorted)))
   }
 
+  /** Host of a URL: the authority component, lowercased, with userinfo
+    * and port stripped — the key domain-level curation rules match on.
+    */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url, "^[^/?#]*//([^/?#]*)", 1)
+    lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""))
+  }
+
+  /** True iff `host` is a blocked domain or a subdomain of one (label
+    * boundaries only). One hash probe per host label via
+    * [[graft.functions.DomainBlocked]] — per-row cost independent of
+    * blocklist size; the list itself is broadcast-class metadata.
+    */
+  def isBlockedDomain(host: Column, blocklist: Seq[String]): Column =
+    graft.functions.domains.domain_blocked(host, blocklist)
+
+  /** Drop every row whose URL's host falls under a blocked domain — the
+    * crawl-hygiene filter (spam/adult/malware domain lists) that runs in
+    * the same scan pass as the other per-row quality rules: a pure
+    * codegen'd predicate, zero shuffles, pushdown-transparent.
+    */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame, urlCol: Column,
+      blocklist: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(!isBlockedDomain(urlHost(urlCol), blocklist))
+
   /** Keep the FIRST occurrence of each distinct paragraph within a
     * document, preserving order — the intra-document repetition removal
     * (boilerplate headers, repeated nav blocks) that runs before

@@ -367,6 +367,17 @@ object OpsQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("decode_ok"),
           round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
     }),
+    // perceptual image near-dedup: every image doc gets a brightness-
+    // shifted re-render twin (+8 per channel — integer luma shifts exactly,
+    // so dHash is bit-identical); banded hamming join must recover the
+    // planted pairs. Decode geometry is engine-internal → rows-only gate;
+    // recall and invariances asserted in OpsSpec.
+    "q97_image_phash" -> ((s, d) => {
+      val base = Multimodal.encodedMediaFromDocuments(docs(s, d))
+      val shifted = Multimodal.encodedMediaFromDocuments(docs(s, d),
+        bias = 8, idOffset = 1000000L)
+      Multimodal.nearDupImages(base.union(shifted), maxHamming = 3)
+    }),
     "q62_frame_sample" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(docs(s, d))
         .filter(col("kind") === "video")
@@ -421,6 +432,19 @@ object OpsQueries {
           WebText.paragraphCount(col("t")).as("n_paras"),
           WebText.dedupParagraphs(col("t")).as("text_dedup"))
         .withColumn("n_paras_kept", WebText.paragraphCount(col("text_dedup")))
+    }),
+    // domain blocklist: host extraction (case/userinfo/port) + label-
+    // boundary suffix match against a blocked-domain set — example0/3.com
+    // block their www. subdomains, ads.example5.com must NOT block
+    // www.example5.com (subdomain lists don't match sibling hosts)
+    "q98_domain_blocklist" -> ((s, d) => {
+      val url = concat(lit("HTTPS://User@WWW.Example"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM:443/Docs/page?x=1"))
+      val blocklist = Seq("example0.com", "example3.com", "ads.example5.com")
+      docs(s, d).select(col("doc_id"), WebText.urlHost(url).as("host"))
+        .withColumn("blocked_flag",
+          when(WebText.isBlockedDomain(col("host"), blocklist), 1L).otherwise(0L))
     }),
     // domain-mixture rebalance: over-represented sources hash-downsample
     // toward their target share, under-represented ones are kept whole
@@ -871,6 +895,16 @@ object OpsQueries {
         |    AS text_dedup,
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_paras_kept
         |FROM k GROUP BY doc_id""".stripMargin,
+    "q98_domain_blocklist" ->
+      """WITH u AS (SELECT doc_id,
+        |  'www.example' || (doc_id % 7) || '.com' AS host FROM documents)
+        |SELECT doc_id, host,
+        |  CAST(CASE WHEN EXISTS (
+        |    SELECT 1 FROM (VALUES ('example0.com'), ('example3.com'),
+        |                          ('ads.example5.com')) b(d)
+        |    WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS blocked_flag
+        |FROM u""".stripMargin,
     "q88_domain_rebalance" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),

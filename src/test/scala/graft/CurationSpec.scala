@@ -61,6 +61,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domain blocklist: label-boundary suffix semantics, host extraction, filter") {
+    import spark.implicits._
+    val blocklist = Seq("example.com", "ads.tracker.net")
+    val cases = Seq(
+      ("https://example.com/a", true),          // exact domain
+      ("https://www.example.com/a", true),      // subdomain
+      ("https://a.b.example.com/a", true),      // deep subdomain
+      ("https://notexample.com/a", false),      // partial label must NOT match
+      ("https://example.com.evil.org/a", false),// blocked name as INNER label
+      ("https://tracker.net/a", false),         // parent of a blocked subdomain
+      ("https://x.ads.tracker.net/a", true),    // under the blocked subdomain
+      ("HTTP://User:pw@WWW.EXAMPLE.COM:8080/a", true)) // case/userinfo/port
+    val df = cases.zipWithIndex
+      .map { case ((u, b), i) => (i.toLong, u, b) }.toDF("id", "url", "expect")
+    val got = df.select(col("id"), col("expect"),
+        WebText.isBlockedDomain(WebText.urlHost(col("url")), blocklist).as("blocked"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    got.foreach { case (id, expect, blocked) =>
+      assert(blocked == expect, s"case $id: got $blocked, expected $expect")
+    }
+    // the filter keeps exactly the non-blocked rows
+    val kept = WebText.filterBlockedDomains(df, col("url"), blocklist)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expectKept = cases.zipWithIndex.collect { case ((_, false), i) => i.toLong }.toSet
+    assert(kept == expectKept)
+    // null url → null host → row dropped (predicate null-safe, no throw)
+    val withNull = Seq((100L, null: String)).toDF("id", "url")
+    assert(WebText.filterBlockedDomains(withNull, col("url"), blocklist).count() == 0)
+  }
+
   test("dedupParagraphs keeps first occurrences in order") {
     val doc = "alpha one\n\nbeta two\n\nalpha one\n\ngamma\n\nbeta two"
     assert(one(doc, WebText.dedupParagraphs) == "alpha one\n\nbeta two\n\ngamma")

@@ -727,6 +727,40 @@ class OpsSpec extends AnyFunSuite {
       s"cid filter not pushed to the IVF-PQ codes scan:\n$planned")
   }
 
+  test("image dHash: brightness-invariant, corrupt-safe, recovers planted twins") {
+    import graft.ops.Multimodal.MediaCodec
+    // +8/channel shifts integer luma by exactly 8 (weights sum to 1000), so
+    // every grid comparison — and hence the hash — is identical
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val a = MediaCodec.dHash(MediaCodec.encodePng(seed, 24, 16)).get
+    val b = MediaCodec.dHash(MediaCodec.encodePng(seed, 24, 16, bias = 8)).get
+    assert(a == b, f"brightness shift changed dHash: $a%016x -> $b%016x")
+    // a different render is a different hash (hamming far beyond 3)
+    val other = MediaCodec.dHash(MediaCodec.encodePng(
+      "completely different pixel source material here".getBytes("UTF-8"), 24, 16)).get
+    assert(java.lang.Long.bitCount(a ^ other) > 3)
+    // corrupt / empty / sub-grid bytes: None, never a throw
+    assert(MediaCodec.dHash("not a png".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodec.dHash(Array.emptyByteArray).isEmpty)
+    assert(MediaCodec.dHash(MediaCodec.encodePng(seed, 4, 4)).isEmpty)
+    // corpus-level: every planted brightness-twin pair is recovered by the
+    // banded hamming join at distance 0
+    val subset = docs.filter(col("doc_id") < 60)
+    val base = Multimodal.encodedMediaFromDocuments(subset)
+    val shifted = Multimodal.encodedMediaFromDocuments(subset, bias = 8,
+      idOffset = 1000000L)
+    val pairs = Multimodal.nearDupImages(base.union(shifted), maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number]("hamming").longValue))
+    val imageIds = subset.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(imageIds.nonEmpty)
+    imageIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 1000000L && p._3 == 0),
+        s"planted brightness twin for image $id not recovered")
+    }
+  }
+
   test("BM25 retrieval: hand-computed scores, rank order, partition-invariant") {
     import graft.ops.Retrieval
     import spark.implicits._
