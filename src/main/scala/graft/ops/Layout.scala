@@ -85,6 +85,26 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` as a BUCKETED catalog table: rows are hash-partitioned
+    * into `numBuckets` buckets on `bucketCol` at write time, and the
+    * bucketing is recorded in the catalog — so any later equi-join or
+    * aggregation keyed on `bucketCol` between tables bucketed the same way
+    * runs WITHOUT a shuffle on either side (the data is already
+    * co-located by key). At 100 TB this is the difference between paying
+    * the fact-table exchange on every query and paying it once at ingest:
+    * the canonical layout for a fact table joined on the same key all day.
+    *
+    * Buckets are additionally sorted on `bucketCol` so the sort-merge
+    * join's per-bucket sort is already satisfied on disk. `path` makes the
+    * table external (data under your layout root, not the warehouse dir).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Per-file (min, max) ranges of `keyCol` for a parquet directory —
     * the observable the clustering exists to narrow. Used by tests to
     * assert disjointness and by operators to estimate skipping potential.

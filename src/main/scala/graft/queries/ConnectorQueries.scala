@@ -117,6 +117,39 @@ object ConnectorQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"))
+    }),
+    // salted skewed join: the salt spreads each hot l_orderkey over 8
+    // sub-partitions, the dim side replicates 8×, and the output is BY
+    // CONSTRUCTION the plain join — which is exactly what the unsalted
+    // oracle proves
+    "q99_salted_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(30, 6))).cast("double").as("sum_qty"))
+    }),
+    // bucketed co-located join: both sides written hash-bucketed on the
+    // join key (the pay-the-exchange-once-at-ingest layout); the join
+    // itself plans with zero shuffles (asserted in OpsSpec) and must match
+    // the plain-join oracle
+    "q100_bucketed_join" -> ((s, d) => {
+      val root = java.nio.file.Paths.get("target", "ripple-scratch").toString
+      graft.ops.Layout.writeBucketed(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_quantity")),
+        "q100_li", "l_orderkey", numBuckets = 8, Some(s"$root/q100_li"))
+      graft.ops.Layout.writeBucketed(
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus")),
+        "q100_ord", "o_orderkey", numBuckets = 8, Some(s"$root/q100_ord"))
+      s.table("q100_li")
+        .join(s.table("q100_ord"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(30, 6))).cast("double").as("sum_qty"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -135,5 +168,15 @@ object ConnectorQueries {
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 500 AND user_id < 50
+        |GROUP BY 1""".stripMargin,
+    "q99_salted_join" ->
+      """SELECT o_orderstatus, count(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q100_bucketed_join" ->
+      """SELECT o_orderstatus, count(1) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin)
 }

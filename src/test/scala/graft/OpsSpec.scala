@@ -802,6 +802,67 @@ class OpsSpec extends AnyFunSuite {
     assert(miss.count() == 0)
   }
 
+  test("salted join: output equals plain join, hot key spreads, salt in join keys") {
+    import graft.ops.Skew
+    import spark.implicits._
+    // skewed left: 1500 of 2000 rows share key 1
+    val left = spark.range(0, 2000).select(
+      when(col("id") < 1500, 1L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val right = Seq((1L, "hot"), (1700L, "a"), (1800L, "b"), (9999L, "miss"))
+      .toDF("k", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
+    val plainInner = rows(left.join(right, Seq("k")))
+    val saltedInner = rows(Skew.saltedJoin(left, right, Seq("k"), salts = 8))
+    assert(saltedInner == plainInner, "salted inner join diverged from plain join")
+    val plainLeft = rows(left.join(right, Seq("k"), "left"))
+    val saltedLeft = rows(Skew.saltedJoin(left, right, Seq("k"), 8, "left"))
+    assert(saltedLeft == plainLeft, "salted left join diverged from plain join")
+    // the hot key's rows actually land in multiple salt partitions (same
+    // salt expression as the implementation: row-hash mod salts)
+    val spread = left.filter(col("k") === 1)
+      .select(pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(spread > 1, "hot-key rows all landed on one salt")
+    val plan = Skew.saltedJoin(left, right, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"), s"salt not in the join keys:\n$plan")
+  }
+
+  test("bucketed tables: co-located join plans zero exchanges, rows match plain join") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Layout.writeBucketed(li, "t_bucket_li", "l_orderkey", numBuckets = 4,
+      Some(s"$dir/li"))
+    Layout.writeBucketed(ord, "t_bucket_ord", "o_orderkey", numBuckets = 4,
+      Some(s"$dir/ord"))
+    // force the shuffle-join strategy so "no Exchange" is a statement about
+    // bucketing, not about a broadcast hiding the question
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = spark.table("t_bucket_li")
+        .join(spark.table("t_bucket_ord"), col("l_orderkey") === col("o_orderkey"))
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // counter-case: the same join on unbucketed scans DOES exchange
+      val plainPlan = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plainPlan.contains("Exchange"))
+      val a = bucketed.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      val b = li.join(ord, col("l_orderkey") === col("o_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      assert(a == b, "bucketed join rows diverged from plain join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("layout clustering: file key-ranges are disjoint, unsorted files are not") {
     import graft.ops.Layout
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
