@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * for embedding-space lookup, BM25 for keyword lookup into the same
   * corpus, e.g. decontamination probes or targeted corpus audits).
   *
-  * Scale shape: the corpus is touched by exactly one tokenize + term-count
-  * pass (the shape of an inverted-index build); everything query-side is
-  * broadcast-class. Postings are filtered to the query term set by a
-  * broadcast join BEFORE any scoring or df work, so a 5-term query against
-  * a 100 TB corpus ships only that term slice; per-(query, doc) partial
-  * scores reduce through one keyed aggregation and the final top-k through
-  * the bounded [[graft.functions.TopKAggregator]] (O(queries × k) shuffle,
-  * never a full score-matrix window).
+  * Scale shape: the corpus is touched by exactly one tokenize pass, and
+  * tokens are cut to the query term set by a broadcast join BEFORE the
+  * term-count aggregation — so the corpus-side shuffle carries only
+  * query-term postings, not the total token multiset; a 5-term query
+  * against a 100 TB corpus ships only that term slice. Per-(query, doc)
+  * partial scores reduce through one keyed aggregation and the final
+  * top-k through the bounded [[graft.functions.TopKAggregator]]
+  * (O(queries × k) shuffle, never a full score-matrix window).
   */
 object Retrieval {
 
@@ -48,21 +48,20 @@ object Retrieval {
     val nDocs = statsRow.getLong(0).toDouble
     val avgdl = statsRow.getDouble(1)
 
-    // dl is grouped alongside (doc_id, token) — functionally dependent on
-    // doc_id, so it rides the term-count shuffle for free instead of
-    // costing a corpus-sized doc-length join later
-    val tf = d.select(col("doc_id"), col("dl"),
-        explode(split(trim(col("text")), "\\s+")).as("token"))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-
     val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
       explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
     val termSet = qterms.select(col("token")).distinct()
 
-    // postings for query terms only — the broadcast filter that keeps the
-    // rest of this function independent of corpus size
-    val matched = tf.join(broadcast(termSet), Seq("token"))
+    // the broadcast term filter sits BELOW the term-count aggregation, so
+    // the one shuffle in the corpus pass carries only query-term postings
+    // — not the corpus's total token multiset. dl is grouped alongside
+    // (doc_id, token) — functionally dependent on doc_id, so it rides that
+    // shuffle for free instead of costing a corpus-sized doc-length join
+    val matched = d.select(col("doc_id"), col("dl"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .join(broadcast(termSet), Seq("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
     // matched is unique per (doc_id, token), so count(1) IS document freq;
     // the result is bounded by the distinct query term count → broadcast
     val dfreq = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
