@@ -66,7 +66,64 @@ case class DomainBlocked(child: Expression, domains: Array[String])
   override def prettyName: String = "domain_blocked"
 }
 
+/** Content-term blocklist membership: true iff any whitespace-delimited
+  * token of the text, lowercased, is in the blocked-word set — the
+  * C4/Dolma-style "bad words" content filter. Same cost shape as
+  * [[DomainBlocked]]: one hash probe per token, independent of list size,
+  * with the list riding as a broadcast-class reference object. The token
+  * walk runs over the UTF8String's bytes (ASCII-lowercased inline, no
+  * split allocation); a multi-byte token falls back to a String probe.
+  */
+case class TokenBlocked(child: Expression, words: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  private val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, words.length * 2))
+    words.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(TokenBlocked.anyBlocked(
+      input.asInstanceOf[UTF8String].toString, set))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val setRef = ctx.addReferenceObj("wordset", set, "java.util.HashSet")
+      s"${ev.value} = graft.functions.TokenBlocked.anyBlocked($text.toString(), $setRef);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): TokenBlocked = copy(child = c)
+  override def prettyName: String = "token_blocked"
+}
+
+object TokenBlocked {
+  /** Single pass over the text: walk whitespace-delimited tokens, probe
+    * the set with each token lowercased. Shared by eval and codegen.
+    */
+  def anyBlocked(text: String, set: java.util.HashSet[String]): Boolean = {
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > start &&
+          set.contains(text.substring(start, i).toLowerCase(java.util.Locale.ROOT)))
+        return true
+    }
+    false
+  }
+}
+
 object domains {
   def domain_blocked(host: Column, blocklist: Seq[String]): Column =
     bridge.column(DomainBlocked(bridge.expression(host), blocklist.toArray))
+  def token_blocked(text: Column, blocklist: Seq[String]): Column =
+    bridge.column(TokenBlocked(bridge.expression(text), blocklist.toArray))
 }

@@ -101,6 +101,21 @@ object WebText {
       blocklist: Seq[String]): org.apache.spark.sql.DataFrame =
     df.filter(!isBlockedDomain(urlHost(urlCol), blocklist))
 
+  /** True iff any whitespace token of `text`, lowercased, is in the
+    * blocked-term list — the C4/Dolma "bad words" content filter. One
+    * hash probe per token via [[graft.functions.TokenBlocked]]; per-row,
+    * zero shuffles, cost independent of list size.
+    */
+  def hasBlockedTerm(text: Column, blocklist: Seq[String]): Column =
+    graft.functions.domains.token_blocked(text, blocklist)
+
+  /** Drop every row whose text contains a blocked term — runs in the same
+    * scan pass as the other per-row quality rules.
+    */
+  def filterBlockedTerms(df: org.apache.spark.sql.DataFrame, textCol: Column,
+      blocklist: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(!hasBlockedTerm(textCol, blocklist))
+
   /** Keep the FIRST occurrence of each distinct paragraph within a
     * document, preserving order — the intra-document repetition removal
     * (boilerplate headers, repeated nav blocks) that runs before

@@ -446,6 +446,18 @@ object OpsQueries {
         .withColumn("blocked_flag",
           when(WebText.isBlockedDomain(col("host"), blocklist), 1L).otherwise(0L))
     }),
+    // content-term blocklist (C4/Dolma "bad words" filter): tokens planted
+    // case-shifted must match case-insensitively, one hash probe per token
+    "q101_term_blocklist" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" BadWord1")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit(" SpamWord extra")).otherwise(lit("")))
+      docs(s, d).select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          when(WebText.hasBlockedTerm(col("t"),
+            Seq("badword1", "spamword", "neverpresent")), 1L).otherwise(0L)
+            .as("blocked_flag"))
+    }),
     // domain-mixture rebalance: over-represented sources hash-downsample
     // toward their target share, under-represented ones are kept whole
     "q88_domain_rebalance" -> ((s, d) => {
@@ -895,6 +907,16 @@ object OpsQueries {
         |    AS text_dedup,
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_paras_kept
         |FROM k GROUP BY doc_id""".stripMargin,
+    "q101_term_blocklist" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN len(list_filter(
+        |    string_split_regex(lower(trim(t)), '\s+'),
+        |    tok -> list_contains(['badword1','spamword','neverpresent'], tok)))
+        |    > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked_flag
+        |FROM (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 5 = 0 THEN ' BadWord1' ELSE '' END
+        |       || CASE WHEN doc_id % 9 = 0 THEN ' SpamWord extra' ELSE '' END AS t
+        |  FROM documents)""".stripMargin,
     "q98_domain_blocklist" ->
       """WITH u AS (SELECT doc_id,
         |  'www.example' || (doc_id % 7) || '.com' AS host FROM documents)

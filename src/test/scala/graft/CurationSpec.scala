@@ -91,6 +91,30 @@ class CurationSpec extends AnyFunSuite {
     assert(WebText.filterBlockedDomains(withNull, col("url"), blocklist).count() == 0)
   }
 
+  test("term blocklist: whole-token case-insensitive match, filter, null-safe") {
+    import spark.implicits._
+    val blocklist = Seq("spam", "casino")
+    val cases = Seq(
+      (1L, "win big at the CASINO tonight", true),   // case-insensitive
+      (2L, "spam", true),                            // single-token doc
+      (3L, "this text mentions spamming", false),    // substring must NOT match
+      (4L, "  spam  padded  ", true),                // whitespace runs
+      (5L, "perfectly clean text", false),
+      (6L, "", false))
+    val df = cases.toDF("id", "t", "expect")
+    df.select(col("id"), col("expect"),
+        WebText.hasBlockedTerm(col("t"), blocklist).as("got"))
+      .collect().foreach { r =>
+        assert(r.getBoolean(1) == r.getBoolean(2), s"case ${r.getLong(0)}")
+      }
+    val kept = WebText.filterBlockedTerms(df, col("t"), blocklist)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == cases.collect { case (id, _, false) => id }.toSet)
+    // null text: predicate is null → row dropped, no throw
+    assert(WebText.filterBlockedTerms(
+      Seq((9L, null: String)).toDF("id", "t"), col("t"), blocklist).count() == 0)
+  }
+
   test("dedupParagraphs keeps first occurrences in order") {
     val doc = "alpha one\n\nbeta two\n\nalpha one\n\ngamma\n\nbeta two"
     assert(one(doc, WebText.dedupParagraphs) == "alpha one\n\nbeta two\n\ngamma")

@@ -800,6 +800,13 @@ class OpsSpec extends AnyFunSuite {
     val miss = Retrieval.bm25TopK(corpus, "doc_id", "text",
       Seq((9L, "zzz qqq")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
     assert(miss.count() == 0)
+    // plan shape: every join is a broadcast (term set, idf table, query
+    // terms) — the corpus side must never shuffle into a sort-merge join
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"BM25 shuffled a join that must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
   }
 
   test("salted join: output equals plain join, hot key spreads, salt in join keys") {
