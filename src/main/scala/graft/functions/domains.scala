@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * blocklists are a few MB — driver-collected metadata, not data. Past
   * broadcast scale, compose the bloom-prefilter + exact-confirm shape of
   * `Dedup.novelAgainst` instead.
+  *
+  * Contract: the probed host must already be lowercase — `WebText.urlHost`
+  * emits it that way; only the blocklist side is normalized here.
   */
 case class DomainBlocked(child: Expression, domains: Array[String])
     extends UnaryExpression {

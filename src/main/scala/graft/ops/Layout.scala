@@ -26,10 +26,10 @@ object Layout {
     * min/max skipping — the batch rendering of an index build.
     */
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[Column],
-      numFiles: Int): Unit =
+      numFiles: Int, mode: String = "overwrite"): Unit =
     df.repartitionByRange(numFiles, clusterCols: _*)
       .sortWithinPartitions(clusterCols: _*)
-      .write.mode("overwrite").parquet(path)
+      .write.mode(mode).parquet(path)
 
   /** Z-order (Morton) value of up to 4 numeric columns: each column is
     * affinely quantized to `bits` bits over its observed [min, max], and

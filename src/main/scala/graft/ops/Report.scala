@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus reporting — the "dataset card" numbers a curation run publishes
+  * alongside its output: per-source volume, token budget, duplication
+  * rate, and quality pass-rate in one DataFrame.
+  *
+  * Scale shape: one pass, one shuffle. Every signal is computed per-row
+  * inside the scan (token count, fingerprint, quality flag) and reduced by
+  * a single per-source aggregation; the distinct-fingerprint count uses
+  * the aggregation's own map-side partials. All outputs are integers —
+  * exact, engine-portable, and safe to diff between runs (a float mean
+  * would make two identical corpora report "differently" across engines).
+  */
+object Report {
+
+  /** Per-source corpus statistics:
+    * (source, n_docs, total_tokens, max_tokens, n_unique_fp, n_dup_docs,
+    * n_quality_keep).
+    *
+    *   - `n_unique_fp` counts distinct whitespace-normalized content
+    *     fingerprints — `n_docs - n_unique_fp` is the exact-dup overhang;
+    *   - `n_quality_keep` applies the same length/diversity/token-length
+    *     rules as the q71 quality filter, so the report's pass-rate is THE
+    *     pipeline's pass-rate, not a reimplementation that can drift.
+    */
+  def perSource(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
+    val ws = split(trim(textCol), "\\s+")
+    val nTokens = size(ws).cast("long")
+    val uniqRatio = size(array_distinct(ws)).cast("double") / size(ws).cast("double")
+    val maxWord = array_max(transform(ws, w => length(w))).cast("long")
+    val keep = nTokens >= 10 && uniqRatio >= 0.3 && maxWord <= 30
+    docs.select(sourceCol.as("source"),
+        nTokens.as("nt"),
+        TextAnalysis.fingerprint(textCol).as("fp"),
+        when(keep, 1L).otherwise(0L).as("keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        max(col("nt")).as("max_tokens"),
+        countDistinct(col("fp")).as("n_unique_fp"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+        sum(col("keep")).as("n_quality_keep"))
+  }
+}

@@ -46,7 +46,9 @@ object Retrieval {
       .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
     val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
     val nDocs = statsRow.getLong(0).toDouble
-    val avgdl = statsRow.getDouble(1)
+    // empty corpus: no postings can match anyway; 1.0 keeps the (dead)
+    // expression tree free of a null avgdl
+    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
 
     val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
       explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))

@@ -691,6 +691,42 @@ object Similarity {
     IvfPqIndex(cm, cids, cb, spark.read.parquet(s"$path/codes"))
   }
 
+  /** Append a new batch to a persisted IVF index WITHOUT retraining:
+    * assign the batch against the SAVED centroids and append its rows,
+    * clustered on cid, to the assigned table — each appended file covers a
+    * narrow cid range, so probe-time file skipping holds for old and new
+    * files alike. This is the incremental-ingest half of index
+    * maintenance: a 100 TB index absorbs a daily batch without re-touching
+    * the corpus. Re-train (a fresh [[saveIvfIndex]]) only when the corpus
+    * distribution has drifted enough that cell sizes skew.
+    */
+  def appendToIvfIndex(spark: SparkSession, path: String, newDocs: DataFrame,
+      idCol: String, vecCol: String, numFiles: Int = 4): Unit = {
+    val (cm, cids) = collectCents(spark.read.parquet(s"$path/centroids"))
+    Layout.writeClustered(assignWith(newDocs, idCol, vecCol, cm, cids),
+      s"$path/assigned", Seq(col("cid")), numFiles, mode = "append")
+  }
+
+  /** Incremental append for a persisted IVF-PQ index: residual-encode the
+    * batch with the SAVED centroids and codebooks, append cid-clustered
+    * codes. Same maintenance contract as [[appendToIvfIndex]].
+    */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, vecCol: String,
+      numFiles: Int = 4): Unit = {
+    val idx = loadIvfPqIndex(spark, path)
+    val norm = withUnitVec(newDocs.select(col(idCol).as("id"), col(vecCol)),
+        vecCol, "v")
+      .select(col("id"), col("v"))
+    val assigned = assignWith(norm, "id", "v", idx.cm, idx.cids)
+    val codes = assigned
+      .withColumn("r", residual(col("cv"), col("cid"), idx.cm, idx.cids))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.sketches.pq_encode(col("r"), idx.codebooks).as("codes"))
+    Layout.writeClustered(codes, s"$path/codes", Seq(col("cid")), numFiles,
+      mode = "append")
+  }
+
   /** Probe a persisted IVF-PQ index. The probed cid set is pushed as a
     * scan filter (bounded by queries × nProbe) so it meets the clustered
     * layout's per-file cid ranges and unprobed files are never read.

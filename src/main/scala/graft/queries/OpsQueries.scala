@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
+import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -458,6 +458,16 @@ object OpsQueries {
             Seq("badword1", "spamword", "neverpresent")), 1L).otherwise(0L)
             .as("blocked_flag"))
     }),
+    // corpus report (dataset-card numbers): per-source volume, token
+    // budget, exact-dup overhang, quality pass-rate — one pass, one
+    // shuffle, all-integer output (planted dups: every 10th doc copied,
+    // as in q53, so n_dup_docs is nonzero)
+    "q102_corpus_report" -> ((s, d) => {
+      val base = docs(s, d).select(col("source"), col("doc_id"), col("text"))
+      val copies = docs(s, d).filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("source"), (col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Report.perSource(base.unionAll(copies), col("source"), col("text"))
+    }),
     // domain-mixture rebalance: over-represented sources hash-downsample
     // toward their target share, under-represented ones are kept whole
     "q88_domain_rebalance" -> ((s, d) => {
@@ -907,6 +917,30 @@ object OpsQueries {
         |    AS text_dedup,
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_paras_kept
         |FROM k GROUP BY doc_id""".stripMargin,
+    "q102_corpus_report" ->
+      """WITH corpus AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT source, doc_id + 2000000, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |t AS (SELECT source,
+        |        string_split_regex(trim(text), '\s+') AS ws,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM corpus),
+        |m AS (SELECT source, fp,
+        |        CAST(len(ws) AS BIGINT) AS nt,
+        |        CASE WHEN len(ws) >= 10
+        |          AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+        |          AND list_max(list_transform(ws, w -> length(w))) <= 30
+        |          THEN 1 ELSE 0 END AS keep
+        |      FROM t)
+        |SELECT source, count(1) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+        |  max(nt) AS max_tokens,
+        |  count(DISTINCT fp) AS n_unique_fp,
+        |  count(1) - count(DISTINCT fp) AS n_dup_docs,
+        |  CAST(sum(keep) AS BIGINT) AS n_quality_keep
+        |FROM m GROUP BY source""".stripMargin,
     "q101_term_blocklist" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(list_filter(

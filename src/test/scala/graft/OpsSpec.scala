@@ -809,6 +809,45 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("ANN index append: new batch found at rank 1, no retrain, skipping intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("annappend").toString
+    val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    // IVF: build on evens, append odds against the SAVED centroids
+    Similarity.saveIvfIndex(even, "vec_id", "embedding", s"$tmp/ivf",
+      numCentroids = 8, kmeansIters = 1, numFiles = 4)
+    Similarity.appendToIvfIndex(spark, s"$tmp/ivf", odd, "vec_id", "embedding")
+    val ivfIdx = Similarity.loadIvfIndex(spark, s"$tmp/ivf")
+    assert(ivfIdx.assigned.count() == emb.count(), "append lost rows")
+    // a query that IS an appended (odd) vector must find itself at rank 1
+    val probe = odd.limit(3).select((col("vec_id") + 5000000L).as("vec_id"),
+      col("embedding"))
+    val hits = Similarity.ivfTopKWithIndex(ivfIdx, probe,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+      .collect().map(r => (r.getLong(0) - 5000000L, r.getLong(1))).toSet
+    hits.foreach { case (qid, found) =>
+      assert(found == qid, s"appended vector $qid not its own nearest neighbor ($found)")
+    }
+    // file skipping still plans over the mixed old+new file set
+    val planned = Similarity.ivfTopKWithIndex(ivfIdx, probe,
+      "vec_id", "embedding", k = 1, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("In(cid"), s"cid pushdown lost after append:\n$planned")
+    // IVF-PQ: same contract through the residual-code path
+    Similarity.saveIvfPqIndex(even, "vec_id", "embedding", s"$tmp/ivfpq",
+      dim = 64, numCentroids = 8, m = 8, ksub = 16, numFiles = 4)
+    Similarity.appendToIvfPqIndex(spark, s"$tmp/ivfpq", odd, "vec_id", "embedding")
+    val pqIdx = Similarity.loadIvfPqIndex(spark, s"$tmp/ivfpq")
+    assert(pqIdx.codes.count() == emb.count())
+    val pqHits = Similarity.ivfPqTopKWithIndex(pqIdx, probe,
+        "vec_id", "embedding", k = 1, nProbe = 2)
+      .collect().map(r => (r.getLong(0) - 5000000L, r.getLong(1))).toSet
+    // PQ codes are lossy: self-match must at least survive into top-1 for
+    // most probes (identical residual ⇒ identical code ⇒ ADC distance 0)
+    val selfFound = pqHits.count { case (qid, found) => found == qid }
+    assert(selfFound >= 2, s"appended vectors not recovered via PQ codes: $pqHits")
+  }
+
   test("salted join: output equals plain join, hot key spreads, salt in join keys") {
     import graft.ops.Skew
     import spark.implicits._

@@ -284,6 +284,32 @@ class StreamingSpec extends AnyFunSuite {
       s"pipeline kept $out")
   }
 
+  test("streaming crawl hygiene: domain + term blocklists filter a live stream per-row") {
+    import spark.implicits._
+    import graft.ops.WebText
+    val root = tmp()
+    Ripple.createTopic(root, "crawl", numBuckets = 2)
+    val good = "a perfectly reasonable document with more than ten whitespace tokens"
+    val rows = Seq(
+      (1L, good + " one", "https://ok.org/a"),
+      (2L, good + " SpamWord", "https://ok.org/b"),   // blocked term (case-shifted)
+      (3L, good + " three", "https://ads.example.com/x"), // blocked domain
+      (4L, good + " four", "https://fine.net/y"))
+      .toDF("doc_id", "text", "url")
+    Ripple.write(Ripple.pack(rows, col("doc_id")), root, "crawl", numBuckets = 2)
+    val schema = new StructType().add("doc_id", LongType)
+      .add("text", StringType).add("url", StringType)
+    val stream = Ripple.lift(Ripple.readStream(spark, root, "crawl"), schema)
+    // the blocklist expressions are stateless per-row predicates, so they
+    // compose onto a streaming scan exactly like any other filter
+    val filtered = WebText.filterBlockedTerms(
+      WebText.filterBlockedDomains(stream, col("url"), Seq("example.com")),
+      col("text"), Seq("spamword"))
+    runToMemory(filtered.select("doc_id"), "curated_stream")
+    val out = spark.table("curated_stream").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L), s"stream filters kept $out")
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
