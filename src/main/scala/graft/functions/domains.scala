@@ -73,9 +73,10 @@ case class DomainBlocked(child: Expression, domains: Array[String])
   * token of the text, lowercased, is in the blocked-word set — the
   * C4/Dolma-style "bad words" content filter. Same cost shape as
   * [[DomainBlocked]]: one hash probe per token, independent of list size,
-  * with the list riding as a broadcast-class reference object. The token
-  * walk runs over the UTF8String's bytes (ASCII-lowercased inline, no
-  * split allocation); a multi-byte token falls back to a String probe.
+  * with the list riding as a broadcast-class reference object. The walk
+  * is a single char scan of the text with one substring + lowercase per
+  * token probed (no regex, no split array) — short-circuiting on the
+  * first hit.
   */
 case class TokenBlocked(child: Expression, words: Array[String])
     extends UnaryExpression {

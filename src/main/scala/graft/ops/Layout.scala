@@ -76,6 +76,12 @@ object Layout {
       Seq(min(c.cast("double")).as(s"mn$i"), max(c.cast("double")).as(s"mx$i"))
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input / all-null z-column: no ranges to quantize against —
+    // write the (empty or degenerate) data unclustered rather than NPE
+    if (zCols.indices.exists(i => r.isNullAt(2 * i) || r.isNullAt(2 * i + 1))) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val ranges = zCols.indices.map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
     val z = zValue(zCols, ranges, bits)
     df.withColumn("__z", z)

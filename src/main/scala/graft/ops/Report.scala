@@ -26,16 +26,11 @@ object Report {
     *     rules as the q71 quality filter, so the report's pass-rate is THE
     *     pipeline's pass-rate, not a reimplementation that can drift.
     */
-  def perSource(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame = {
-    val ws = split(trim(textCol), "\\s+")
-    val nTokens = size(ws).cast("long")
-    val uniqRatio = size(array_distinct(ws)).cast("double") / size(ws).cast("double")
-    val maxWord = array_max(transform(ws, w => length(w))).cast("long")
-    val keep = nTokens >= 10 && uniqRatio >= 0.3 && maxWord <= 30
+  def perSource(docs: DataFrame, sourceCol: Column, textCol: Column): DataFrame =
     docs.select(sourceCol.as("source"),
-        nTokens.as("nt"),
+        TextAnalysis.tokenCount(textCol).cast("long").as("nt"),
         TextAnalysis.fingerprint(textCol).as("fp"),
-        when(keep, 1L).otherwise(0L).as("keep"))
+        when(TextAnalysis.qualityKeep(textCol), 1L).otherwise(0L).as("keep"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).as("total_tokens"),
@@ -43,5 +38,4 @@ object Report {
         countDistinct(col("fp")).as("n_unique_fp"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
         sum(col("keep")).as("n_quality_keep"))
-  }
 }

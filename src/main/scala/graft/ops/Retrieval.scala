@@ -50,8 +50,11 @@ object Retrieval {
     // expression tree free of a null avgdl
     val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
 
+    // split(trim('')) yields [''] — drop the empty token on both sides so
+    // blank queries return no rows instead of ranking blank documents
     val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
-      explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
+        explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
     val termSet = qterms.select(col("token")).distinct()
 
     // the broadcast term filter sits BELOW the term-count aggregation, so
@@ -61,6 +64,7 @@ object Retrieval {
     // shuffle for free instead of costing a corpus-sized doc-length join
     val matched = d.select(col("doc_id"), col("dl"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
       .join(broadcast(termSet), Seq("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))

@@ -122,15 +122,19 @@ object Sampling {
     * to the window task, not the corpus. A row outside its partition's
     * per-group top-N cannot be in the global top-N, so the surviving set
     * is bit-identical to the plain window's. The pre-pass buffers
-    * groups × maxRows rows per task unspillably, so it engages only for
-    * caps ≤ [[PrePassMaxRows]]; above that the plain window (which
-    * spills) runs alone.
+    * per-group heaps on-heap with no spill path, so it is bounded TWICE:
+    * it engages only for caps ≤ [[PrePassMaxRows]], and within a task it
+    * admits at most `bufferRows` rows — past that (the high-cardinality
+    * regime where nearly every group is under its cap and the pre-pass
+    * prunes nothing anyway) the task emits its buffer and passes the rest
+    * of the partition through un-pruned, degrading gracefully to the
+    * spilling window instead of OOMing.
     */
   def capPerGroup(df: DataFrame, group: Column, key: Column, maxRows: Int,
-      seed: String = "s0"): DataFrame = {
+      seed: String = "s0", bufferRows: Int = PrePassBufferRows): DataFrame = {
     require(maxRows > 0, s"maxRows must be positive, got $maxRows")
     val pruned = if (maxRows > PrePassMaxRows) df.withColumn(groupAux(df), group)
-                 else prePassTopN(df, group, key, maxRows, seed)
+                 else prePassTopN(df, group, key, maxRows, seed, bufferRows)
     val g = pruned.columns.last // the materialized group column
     val rn = Iterator.from(0).map(i => s"__rn$i")
       .find(n => !pruned.columns.contains(n)).get
@@ -147,6 +151,13 @@ object Sampling {
     */
   val PrePassMaxRows = 1024
 
+  /** Per-task admission budget for the pre-pass buffer: past this many
+    * buffered rows the task stops pruning and streams the remainder
+    * through to the (spilling) window — bounded memory at any group
+    * cardinality.
+    */
+  val PrePassBufferRows: Int = 1 << 16
+
   private def groupAux(df: DataFrame): String =
     Iterator.from(0).map(i => s"__grp$i").find(n => !df.columns.contains(n)).get
 
@@ -158,7 +169,7 @@ object Sampling {
     * operator's contract.
     */
   private def prePassTopN(df: DataFrame, group: Column, key: Column,
-      maxRows: Int, seed: String): DataFrame = {
+      maxRows: Int, seed: String, bufferRows: Int): DataFrame = {
     import org.apache.spark.sql.Row
     val g = groupAux(df)
     val h = Iterator.from(0).map(i => s"__h$i")
@@ -171,15 +182,26 @@ object Sampling {
     aux.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
-      it.foreach { r =>
+      // Admission-bounded: stop buffering once bufferRows rows are held
+      // and stream the remainder through un-pruned. Rows evicted BEFORE
+      // the stop are still safe to drop (each was dominated by maxRows
+      // same-group rows in this partition), so the emitted set remains a
+      // superset of the window's survivors.
+      var buffered = 0
+      var over = false
+      while (it.hasNext && !over) {
+        val r = it.next()
         val q = heaps.getOrElseUpdate(r.get(gIdx),
           scala.collection.mutable.PriorityQueue.empty[Row](maxHashFirst))
-        if (q.size < maxRows) q.enqueue(r)
-        else if (r.getString(hIdx) < q.head.getString(hIdx)) {
+        if (q.size < maxRows) {
+          q.enqueue(r)
+          buffered += 1
+          if (buffered >= bufferRows) over = true
+        } else if (r.getString(hIdx) < q.head.getString(hIdx)) {
           q.dequeue(); q.enqueue(r)
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      heaps.valuesIterator.flatMap(_.iterator) ++ it
     }(org.apache.spark.sql.Encoders.row(schema))
       .drop(h)
   }

@@ -46,7 +46,9 @@ object Skew {
       salts: Int, joinType: String = "inner",
       saltOn: Option[Column] = None): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val jt = joinType.toLowerCase.replace("_outer", "")
+    // accept every alias Spark's own parser does: left == left_outer ==
+    // leftouter
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
     require(jt == "inner" || jt == "left",
       s"saltedJoin supports inner/left joins, got $joinType")
     val basis = saltOn.getOrElse(xxhash64(struct(left.columns.map(col): _*)))

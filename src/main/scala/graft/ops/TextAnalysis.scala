@@ -14,6 +14,24 @@ object TextAnalysis {
   /** Words of a document: split on whitespace runs after trimming. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** C4-style quality thresholds — the ONE definition the q71 filter and
+    * the corpus report both build from, so the published pass-rate can
+    * never drift from the pipeline's actual keep decision.
+    */
+  val QualityMinTokens = 10
+  val QualityMinUniqRatio = 0.3
+  val QualityMaxWordLen = 30
+
+  /** The combined keep decision of the quality filter (true = keep). */
+  def qualityKeep(text: Column): Column = {
+    val ws = words(text)
+    val nTokens = size(ws).cast("long")
+    val uniqRatio = size(array_distinct(ws)).cast("double") / size(ws).cast("double")
+    val maxWord = array_max(transform(ws, w => length(w))).cast("long")
+    nTokens >= QualityMinTokens && uniqRatio >= QualityMinUniqRatio &&
+      maxWord <= QualityMaxWordLen
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 

@@ -253,10 +253,11 @@ object OpsQueries {
       val nTokens = size(ws).cast("long")
       val uniqRatio = size(array_distinct(ws)).cast("double") / size(ws).cast("double")
       val maxWord = array_max(transform(ws, w => length(w))).cast("long")
+      // thresholds shared with Report.perSource via TextAnalysis.Quality*
       val reasons = concat_ws(";",
-        when(nTokens < 10, lit("too_short")),
-        when(uniqRatio < 0.3, lit("low_diversity")),
-        when(maxWord > 30, lit("long_token")))
+        when(nTokens < TextAnalysis.QualityMinTokens, lit("too_short")),
+        when(uniqRatio < TextAnalysis.QualityMinUniqRatio, lit("low_diversity")),
+        when(maxWord > TextAnalysis.QualityMaxWordLen, lit("long_token")))
       docs(s, d).select(col("doc_id"),
         nTokens.as("n_tokens"),
         reasons.as("reasons"),

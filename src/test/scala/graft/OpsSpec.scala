@@ -468,6 +468,20 @@ class OpsSpec extends AnyFunSuite {
       when(col("doc_id") % 2 === 0, lit(null).cast("string")).otherwise(lit("x")))
     val ng = Sampling.capPerGroup(withNullG, col("g"), col("doc_id"), 5)
     assert(ng.filter(col("g").isNull).count() == 5)
+    // admission-budget overflow (high group cardinality: every group under
+    // its cap, the pre-pass prunes nothing): a tiny bufferRows forces the
+    // stream-through path mid-partition, and the surviving set must still
+    // equal the unconstrained run's
+    val manyGroups = docs.repartition(4)
+      .withColumn("g", (col("doc_id") % 97).cast("string"))
+    val constrained = Sampling.capPerGroup(manyGroups, col("g"), col("doc_id"),
+        maxRows = 3, bufferRows = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val unconstrained = Sampling.capPerGroup(manyGroups, col("g"), col("doc_id"),
+        maxRows = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(constrained == unconstrained,
+      "budget-overflow path changed the surviving set")
   }
 
   test("SQL registration exposes nfc_normalize and strip_accents") {
