@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists — the link-graph half of web
+  * curation ([[Dedup.dupClusters]] is the other iterative op in the repo:
+  * same per-round materialization discipline). The motivating use is
+  * domain-authority scoring: a crawl's host link graph ranked by PageRank
+  * decides which domains' documents deserve a larger mixture share — the
+  * CommonCrawl-style centrality signal.
+  */
+object Graph {
+
+  /** Damped PageRank over `edges` (src, dst) for the node set `nodes`
+    * (id) — nodes with no in-links keep the teleport base, dangling-node
+    * mass is not redistributed (the standard simplification; ranks then
+    * sum to < 1 in graphs with sinks, which only rescales scores).
+    *
+    * Scale shape: each iteration is ONE join-shuffle keyed on src (ranks ⋈
+    * edges ⋈ out-degrees — co-partitioned on the same key, so AQE plans a
+    * single exchange per side) and ONE aggregation keyed on dst; the rank
+    * table is `localCheckpoint`ed per round exactly like
+    * [[Dedup.dupClusters]], so lineage stays O(1) instead of O(iterations).
+    * Nothing corpus-sized is ever collected or broadcast.
+    *
+    * Determinism: per-edge contributions (rank/out-degree, an IEEE double
+    * op) are cast to DECIMAL(30,12) and summed exactly, so each
+    * iteration's ranks are independent of partition merge order AND
+    * reproducible on any engine evaluating the same arithmetic — the same
+    * trick that makes the BM25 (q96) and LM (q89) floats hash-comparable.
+    *
+    * Output: (id, pr) — `iterations` damped rounds from a uniform 1/N
+    * start.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val ids = nodes.select(col("id").cast("long").as("id"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val n = ids.count().toDouble
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    var pr = ids.select(col("id"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(pr.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), (col("pr") / col("d")).cast("decimal(30,12)").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = ids.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+}

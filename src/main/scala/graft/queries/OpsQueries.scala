@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Dedup, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
+import graft.ops.{Bpe, Dedup, Graph, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -469,6 +469,21 @@ object OpsQueries {
         .select(col("source"), (col("doc_id") + 2000000L).as("doc_id"), col("text"))
       Report.perSource(base.unionAll(copies), col("source"), col("text"))
     }),
+    // PageRank (domain-authority signal) over a deterministic synthetic
+    // link graph: 3 damped iterations, per-edge contributions rounded to
+    // DECIMAL(30,12) before the exact sum — ranks are partition-order- and
+    // engine-independent, so the oracle hash-matches the floats
+    "q103_pagerank" -> ((s, d) => {
+      val t = docs(s, d)
+      val n = t.count()
+      val nodes = t.select(col("doc_id").as("id"))
+      val edges = t.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        .unionAll(t.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % n).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRank(edges, nodes, iterations = 3)
+    }),
     // domain-mixture rebalance: over-represented sources hash-downsample
     // toward their target share, under-represented ones are kept whole
     "q88_domain_rebalance" -> ((s, d) => {
@@ -550,7 +565,44 @@ object OpsQueries {
     })
   )
 
+  /** Chained-CTE PageRank oracle (recursive CTEs can't aggregate in the
+    * recursive term, so the fixed iteration count unrolls): mirrors
+    * [[graft.ops.Graph.pageRank]]'s arithmetic op-for-op — double
+    * division, DECIMAL(30,12) contribution rounding, exact sum, double
+    * damping.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |n AS (SELECT CAST(count(1) AS DOUBLE) AS nn FROM nodes),
+        |e AS (SELECT src, dst FROM (
+        |  SELECT doc_id AS src,
+        |    (doc_id * 7 + 1) % (SELECT count(1) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (doc_id * 13 + 3) % (SELECT count(1) FROM documents)
+        |  FROM documents)
+        | WHERE src <> dst),
+        |outdeg AS (SELECT src, count(1) AS d FROM e GROUP BY 1),
+        |pr0 AS (SELECT id, 1.0 / (SELECT nn FROM n) AS pr FROM nodes)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb ++= s""",
+        |c$i AS (SELECT e.dst, CAST(p.pr / o.d AS DECIMAL(30,12)) AS c
+        |  FROM e JOIN pr${i - 1} p ON e.src = p.id
+        |  JOIN outdeg o ON e.src = o.src),
+        |s$i AS (SELECT dst, sum(c) AS s FROM c$i GROUP BY 1),
+        |pr$i AS (SELECT nodes.id,
+        |  (1 - 0.85) / (SELECT nn FROM n)
+        |    + 0.85 * coalesce(CAST(s AS DOUBLE), 0.0) AS pr
+        |  FROM nodes LEFT JOIN s$i ON nodes.id = s$i.dst)""".stripMargin
+    }
+    sb ++= s"\nSELECT id, pr FROM pr$iters"
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "q103_pagerank" -> pageRankOracleSql(3),
     "q50_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_txt,

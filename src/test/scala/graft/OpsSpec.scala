@@ -862,6 +862,40 @@ class OpsSpec extends AnyFunSuite {
     assert(selfFound >= 2, s"appended vectors not recovered via PQ codes: $pqHits")
   }
 
+  test("pageRank: cycle uniform, star concentrates, partition-invariant") {
+    import graft.ops.Graph
+    import spark.implicits._
+    // 3-cycle: by symmetry every node's rank is identical each iteration
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val cn = Seq(0L, 1L, 2L).toDF("id")
+    val pr = Graph.pageRank(cyc, cn, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.values.toSet.size == 1, s"cycle ranks diverged: $pr")
+    assert(math.abs(pr(0L) - 1.0 / 3) < 1e-6)
+    // star: all leaves point at the center → center outranks leaves, and
+    // the leaves (no in-links) sit exactly on the teleport base
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val sn = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val sp = Graph.pageRank(star, sn, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sp(0L) > sp(1L), s"star center must outrank leaves: $sp")
+    assert(sp(1L) == sp(2L) && sp(2L) == sp(3L))
+    // decimal contribution sums ⇒ identical ranks under any partitioning
+    val n = docs.count()
+    def ranks(part: Int) = {
+      val t = if (part > 0) docs.repartition(part) else docs
+      val nodes = t.select(col("doc_id").as("id"))
+      val edges = t.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 1) % n).as("dst"))
+        .unionAll(t.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 3) % n).as("dst")))
+        .filter(col("src") =!= col("dst"))
+      Graph.pageRank(edges, nodes, iterations = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    }
+    assert(ranks(0) == ranks(7), "ranks must not depend on partitioning")
+  }
+
   test("salted join: output equals plain join, hot key spreads, salt in join keys") {
     import graft.ops.Skew
     import spark.implicits._
