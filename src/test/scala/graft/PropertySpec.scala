@@ -70,6 +70,63 @@ class PropertySpec extends AnyFunSuite {
         .map(_.zipWithIndex.map { case (v, i) => f"b$i%04d" -> v }.toMap)
     }
 
+  test("token blocklist walk == split-based reference on arbitrary word soup") {
+    val vocab = Gen.oneOf("alpha", "beta", "Gamma", "BLOCKED", "blocked",
+      "spam", "x", "list", "spammy", "blockedx")
+    val genText = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, vocab)
+      sep <- Gen.listOfN(math.max(n - 1, 0) + 2, Gen.oneOf(" ", "  ", "\t", "\n"))
+    } yield sep.head + ws.zip(sep.tail).map { case (w, s) => w + s }.mkString
+    val set = new java.util.HashSet[String]()
+    Seq("blocked", "spam").foreach(set.add)
+    check(Prop.forAll(genText) { text =>
+      val naive = text.trim.split("\\s+").filter(_.nonEmpty)
+        .exists(t => set.contains(t.toLowerCase(java.util.Locale.ROOT)))
+      graft.functions.TokenBlocked.anyBlocked(text, set) == naive
+    })
+  }
+
+  test("domain suffix match == naive label-suffix reference on arbitrary hosts") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val blocklist = Array("example.com", "ads.tracker.net", "org")
+    val expr = (h: String) => graft.functions.DomainBlocked(
+      Literal.create(UTF8String.fromString(h),
+        org.apache.spark.sql.types.StringType), blocklist)
+      .eval(null).asInstanceOf[Boolean]
+    val label = Gen.oneOf("example", "com", "ads", "tracker", "net", "org",
+      "www", "x", "notexample", "example.com") // incl. a dotted "label"
+    val genHost = for {
+      n <- Gen.choose(1, 5)
+      ls <- Gen.listOfN(n, label)
+    } yield ls.mkString(".")
+    check(Prop.forAll(genHost) { host =>
+      val suffixes = host +:
+        host.indices.filter(host(_) == '.').map(i => host.substring(i + 1))
+      val naive = suffixes.exists(blocklist.contains)
+      expr(host) == naive
+    })
+  }
+
+  test("image dHash: deterministic and exactly brightness-shift invariant") {
+    import graft.ops.Multimodal.MediaCodec
+    val genSeed = for {
+      n <- Gen.choose(1, 60)
+      bs <- Gen.listOfN(n, Gen.choose(32, 126)) // printable ASCII: +8 never clamps
+    } yield bs.map(_.toByte).toArray
+    val genDims = for {
+      w <- Gen.choose(9, 40)
+      h <- Gen.choose(8, 30)
+    } yield (w, h)
+    check(Prop.forAll(genSeed, genDims) { case (seed, (w, h)) =>
+      val base = MediaCodec.dHash(MediaCodec.encodePng(seed, w, h))
+      val again = MediaCodec.dHash(MediaCodec.encodePng(seed, w, h))
+      val shifted = MediaCodec.dHash(MediaCodec.encodePng(seed, w, h, bias = 8))
+      base.isDefined && base == again && base == shifted
+    }, n = 40)
+  }
+
   test("LSH parameter choice: valid factorization, midpoint tracks threshold") {
     check(Prop.forAll(Gen.oneOf(32, 64, 128, 256), Gen.choose(0.2, 0.9)) {
       (numHashes: Int, threshold: Double) =>
