@@ -111,6 +111,37 @@ object Layout {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Compact a parquet directory in place: read everything, rewrite as
+    * `numFiles` range-clustered files, atomically swap via rename — the
+    * lakehouse OPTIMIZE operation. The maintenance pass that pairs with
+    * incremental appends ([[graft.ops.Similarity.appendToIvfIndex]] and
+    * streaming sinks produce a few small files per batch; hundreds of
+    * appends later the directory is a small-file swarm whose listing and
+    * per-file overhead dominate scans, and whose per-file key ranges
+    * overlap so min/max skipping decays). Compaction restores both: few
+    * right-sized files, disjoint ranges.
+    *
+    * The swap is rename-based (write to `<path>.compact.tmp`, move old out,
+    * move new in) — safe against a concurrent READER only on a filesystem
+    * with atomic directory rename and only between its file listings, which
+    * is the same contract `mode("overwrite")` gives; coordinate writers
+    * externally.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      clusterCols: Seq[Column], numFiles: Int): Unit = {
+    val tmp = path + ".compact.tmp"
+    val old = path + ".compact.old"
+    writeClustered(spark.read.parquet(path), tmp, clusterCols, numFiles)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(old)), s"could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"could not move $tmp into place")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
   /** Per-file (min, max) ranges of `keyCol` for a parquet directory —
     * the observable the clustering exists to narrow. Used by tests to
     * assert disjointness and by operators to estimate skipping potential.

@@ -261,6 +261,78 @@ object TopicStreams {
         OutputMode.Update())
   }
 
+  /** One token observation inside an event-time window. */
+  case class TermObs(win_start: Long, token: String)
+
+  /** One leaderboard row: rank 1..k within its window as of the emitting
+    * micro-batch (Update semantics — later batches re-emit the window's
+    * refreshed top-k; readers keep the latest rows per (win_start, rank)).
+    */
+  case class Trending(win_start: Long, token: String, approx_count: Long,
+      rank: Int)
+
+  /** Per-window Misra–Gries state: at most `capacity` (token, count)
+    * entries regardless of vocabulary size — the bounded-state property
+    * that makes a per-window leaderboard viable on an unbounded token
+    * stream. Below capacity the counts are EXACT; past it they are the
+    * classic MG lower bounds (undercount ≤ dropped/capacity), which
+    * preserves every token with true frequency > n/capacity.
+    */
+  class TrendingProcessor(k: Int, capacity: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, TermObs, Trending] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg", Encoders.STRING,
+        Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[TermObs],
+        timerValues: TimerValues): Iterator[Trending] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      counts.iterator().foreach { case (t, c) => m(t) = c }
+      rows.foreach { r => m(r.token) = m.getOrElse(r.token, 0L) + 1L }
+      // MG compaction: drop the smallest counts from every survivor until
+      // the table fits — each pass subtracts the evicted minimum from all
+      // (the decrement-all step, batched)
+      while (m.size > capacity) {
+        val min = m.valuesIterator.min
+        val dead = m.iterator.filter(_._2 <= min).map(_._1).toList
+        dead.foreach(m -= _)
+        m.keysIterator.toList.foreach(t => m(t) = m(t) - min)
+      }
+      counts.clear()
+      m.foreach { case (t, c) => counts.updateValue(t, c) }
+      m.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex.iterator
+        .map { case ((t, c), i) => Trending(key, t, c, i + 1) }
+    }
+  }
+
+  /** Live per-window trending tokens — the streaming face of the q80
+    * exact heavy hitters: tokens bucket into event-time windows, each
+    * window keeps a bounded Misra–Gries table in `transformWithState`, and
+    * every micro-batch re-emits the touched windows' refreshed top-k
+    * (Update leaderboard semantics). State per window is O(capacity)
+    * whatever the vocabulary; `ttl` retires windows past the horizon so
+    * total state is windows-in-horizon × capacity. MapState requires the
+    * RocksDB state store provider (as all transformWithState ops here).
+    */
+  def trendingTokens(docs: DataFrame, textCol: String, tsCol: String,
+      windowLen: String, k: Int = 10, capacity: Int = 256,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[Trending] = {
+    import docs.sparkSession.implicits._
+    val obs = docs.filter(col(textCol).isNotNull)
+      .select(window(col(tsCol), windowLen).getField("start")
+          .cast("long").as("win_start"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .as[TermObs]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    obs.groupByKey(_.win_start)
+      .transformWithState(new TrendingProcessor(k, capacity, ttl),
+        timeMode, OutputMode.Update())
+  }
+
   // ---- custom keyed state: per-bucket offset auditing -----------------
 
   /** Envelope subset for state tracking. */

@@ -862,6 +862,35 @@ class OpsSpec extends AnyFunSuite {
     assert(selfFound >= 2, s"appended vectors not recovered via PQ codes: $pqHits")
   }
 
+  test("compact: small-file swarm becomes few disjoint files, rows identical") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val data = docs.select(col("doc_id"), col("source"))
+    // simulate an append history: 6 small unordered writes
+    (0 until 6).foreach { i =>
+      data.filter(pmod(col("doc_id"), lit(6)) === i)
+        .repartition(3)
+        .write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val beforeFiles = Layout.fileRanges(spark, dir, "doc_id").count()
+    assert(beforeFiles > 4, s"fixture should be a small-file swarm, got $beforeFiles")
+    Layout.compact(spark, dir, Seq(col("doc_id")), numFiles = 4)
+    val ranges = Layout.fileRanges(spark, dir, "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4, s"expected 4 files after compact: ${ranges.length}")
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(loB > hiA, s"compacted files overlap: ${ranges.toSeq}")
+    }
+    val afterRows = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows, "compaction changed the row set")
+    // no temp/old residue
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("compact")), parent.mkString(","))
+  }
+
   test("pageRank: cycle uniform, star concentrates, partition-invariant") {
     import graft.ops.Graph
     import spark.implicits._

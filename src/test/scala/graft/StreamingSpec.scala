@@ -284,6 +284,42 @@ class StreamingSpec extends AnyFunSuite {
       s"pipeline kept $out")
   }
 
+  test("trending tokens: per-window MG leaderboard refreshes across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val trending = TopicStreams.trendingTokens(docs, "text", "ts",
+      windowLen = "10 minutes", k = 3, capacity = 64)
+    val q = trending.toDF().writeStream.format("memory").queryName("trend")
+      .outputMode("update").option("checkpointLocation", tmp()).start()
+    try {
+      mem.addData((1L, "apple apple banana", ts(1)), (2L, "apple cherry", ts(5)))
+      q.processAllAvailable()
+      mem.addData((3L, "banana banana banana banana", ts(7)),
+        (4L, "zebra zebra", ts(15)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("trend").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    val wins = rows.map(_._1).distinct.sorted
+    assert(wins.length == 2, s"expected two windows: $rows")
+    val (winA, winB) = (wins(0), wins(1))
+    // batch 1 leaderboard for window A: apple 3 at rank 1 (counts exact
+    // below capacity)
+    assert(rows.contains((winA, "apple", 3L, 1)), rows.mkString(","))
+    // batch 2 merges state: banana 1+4=5 overtakes apple 3
+    assert(rows.contains((winA, "banana", 5L, 1)), rows.mkString(","))
+    assert(rows.contains((winA, "apple", 3L, 2)), rows.mkString(","))
+    // the second window ranks independently
+    assert(rows.contains((winB, "zebra", 2L, 1)), rows.mkString(","))
+  }
+
   test("streaming crawl hygiene: domain + term blocklists filter a live stream per-row") {
     import spark.implicits._
     import graft.ops.WebText
