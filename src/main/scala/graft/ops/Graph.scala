@@ -37,9 +37,14 @@ object Graph {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     val ids = nodes.select(col("id").cast("long").as("id"))
+    // materialized ONCE (the dupClusters discipline): every iteration
+    // re-reads the edge set, and without this each localCheckpoint action
+    // would re-execute the caller's whole edge-derivation lineage
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
+        col("dst").cast("long").as("dst"))
+      .localCheckpoint(true)
     val n = ids.count().toDouble
+    require(n > 0, "pageRank needs a non-empty node set (1/N seed)")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     var pr = ids.select(col("id"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to iterations) {

@@ -121,25 +121,34 @@ object Layout {
     * overlap so min/max skipping decays). Compaction restores both: few
     * right-sized files, disjoint ranges.
     *
-    * The swap is rename-based (write to `<path>.compact.tmp`, move old out,
-    * move new in) — safe against a concurrent READER only on a filesystem
-    * with atomic directory rename and only between its file listings, which
-    * is the same contract `mode("overwrite")` gives; coordinate writers
-    * externally.
+    * The swap is rename-based (write to `<path>.compact.tmp` — a SIBLING,
+    * never inside the directory being swapped — move old out, move new
+    * in) and self-healing: a crash between the two renames leaves the
+    * data at `<path>.compact.old`, and the next call (or a failed second
+    * rename) restores it before proceeding. Safe against a concurrent
+    * READER only on a filesystem with atomic directory rename and only
+    * between its file listings — the same contract `mode("overwrite")`
+    * gives; coordinate writers externally.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       clusterCols: Seq[Column], numFiles: Int): Unit = {
-    val tmp = path + ".compact.tmp"
-    val old = path + ".compact.old"
-    writeClustered(spark.read.parquet(path), tmp, clusterCols, numFiles)
-    val fs = new org.apache.hadoop.fs.Path(path)
+    val p = path.replaceAll("/+$", "") // trailing slash would nest tmp INSIDE
+    val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(path),
-      new org.apache.hadoop.fs.Path(old)), s"could not move $path aside")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path)), s"could not move $tmp into place")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val (tmp, old) = (hp(p + ".compact.tmp"), hp(p + ".compact.old"))
+    // self-heal a crash that died between the swap renames
+    if (!fs.exists(hp(p)) && fs.exists(old))
+      require(fs.rename(old, hp(p)), s"could not restore $old to $p")
+    fs.delete(tmp, true) // stale output of a crashed write
+    writeClustered(spark.read.parquet(p), tmp.toString, clusterCols, numFiles)
+    fs.delete(old, true)
+    require(fs.rename(hp(p), old), s"could not move $p aside")
+    if (!fs.rename(tmp, hp(p))) {
+      fs.rename(old, hp(p)) // put the original back before failing
+      throw new IllegalStateException(s"could not move $tmp into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Per-file (min, max) ranges of `keyCol` for a parquet directory —

@@ -320,10 +320,12 @@ object TopicStreams {
       windowLen: String, k: Int = 10, capacity: Int = 256,
       ttl: TTLConfig = TTLConfig.NONE): Dataset[Trending] = {
     import docs.sparkSession.implicits._
-    val obs = docs.filter(col(textCol).isNotNull)
+    // null ts would decode into TermObs's primitive win_start and kill the
+    // query; a row without an event time has no window to trend in
+    val obs = docs.filter(col(textCol).isNotNull && col(tsCol).isNotNull)
       .select(window(col(tsCol), windowLen).getField("start")
           .cast("long").as("win_start"),
-        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+        explode(graft.ops.TextAnalysis.words(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .as[TermObs]
     val timeMode =

@@ -889,6 +889,19 @@ class OpsSpec extends AnyFunSuite {
     // no temp/old residue
     val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(_.contains("compact")), parent.mkString(","))
+    // crash recovery: simulate death between the swap renames (all data
+    // stranded at .compact.old, nothing at path) — the next compact must
+    // restore and complete; trailing slash must not nest tmp inside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".compact.old")))
+    Layout.compact(spark, dir + "/", Seq(col("doc_id")), numFiles = 2)
+    val healed = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(healed == beforeRows, "self-heal lost rows")
+    val parent2 = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent2.exists(_.contains("compact")), parent2.mkString(","))
   }
 
   test("pageRank: cycle uniform, star concentrates, partition-invariant") {

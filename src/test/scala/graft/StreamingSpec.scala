@@ -289,22 +289,21 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[(Long, String, Timestamp)]
-    val docs = mem.toDF().toDF("doc_id", "text", "ts")
-    val trending = TopicStreams.trendingTokens(docs, "text", "ts",
-      windowLen = "10 minutes", k = 3, capacity = 64)
-    val q = trending.toDF().writeStream.format("memory").queryName("trend")
-      .outputMode("update").option("checkpointLocation", tmp()).start()
     try {
-      mem.addData((1L, "apple apple banana", ts(1)), (2L, "apple cherry", ts(5)))
-      q.processAllAvailable()
-      mem.addData((3L, "banana banana banana banana", ts(7)),
-        (4L, "zebra zebra", ts(15)))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      val trending = TopicStreams.trendingTokens(docs, "text", "ts",
+        windowLen = "10 minutes", k = 3, capacity = 64)
+      val q = trending.toDF().writeStream.format("memory").queryName("trend")
+        .outputMode("update").option("checkpointLocation", tmp()).start()
+      try {
+        mem.addData((1L, "apple apple banana", ts(1)), (2L, "apple cherry", ts(5)))
+        q.processAllAvailable()
+        mem.addData((3L, "banana banana banana banana", ts(7)),
+          (4L, "zebra zebra", ts(15)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     val rows = spark.table("trend").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
     val wins = rows.map(_._1).distinct.sorted
