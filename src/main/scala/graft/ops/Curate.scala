@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The standard batch curation pipeline as ONE composition of the
+  * library's own operators, in canonical order — the "switch your
+  * pipeline to this engine" entry point. Every stage is optional and
+  * every stage is exactly the operator a user would reach for manually,
+  * so there is nothing here to drift from the individually-gated ops:
+  *
+  *   1. HTML extraction            ([[WebText.htmlExtract]])
+  *   2. Unicode NFC normalization  ([[graft.functions.NfcNormalize]])
+  *   3. domain blocklist           ([[WebText.filterBlockedDomains]])
+  *   4. content-term blocklist     ([[WebText.filterBlockedTerms]])
+  *   5. quality filter             ([[TextAnalysis.qualityKeep]] — the
+  *      same rule the q71 gate and the report use)
+  *   6. exact dedup, keep-first    ([[Dedup.exactDedup]])
+  *   7. MinHash near-dedup         ([[Dedup.minhashNearDups]] →
+  *      [[Dedup.dupClusters]], keep each cluster's representative)
+  *   8. mixture rebalance          ([[Sampling.rebalance]])
+  *   9. per-source cap             ([[Sampling.capPerGroup]])
+  *
+  * Scale shape is inherited stage by stage: 1–5 are per-row projections
+  * in the scan pass, 6 is one fingerprint shuffle, 7 is the banded-join
+  * near-dup machinery, 8–9 are hash predicates / one bounded window.
+  * [[Report.perSource]] over input and output gives the before/after
+  * dataset card.
+  */
+object Curate {
+
+  /** Stages toggle independently; defaults are the common crawl-curation
+    * recipe with no blocklists and no rebalance.
+    */
+  case class Config(
+      htmlExtract: Boolean = false,
+      normalizeUnicode: Boolean = true,
+      blockedDomains: Seq[String] = Nil,
+      blockedTerms: Seq[String] = Nil,
+      qualityFilter: Boolean = true,
+      exactDedup: Boolean = true,
+      nearDupThreshold: Option[Double] = None,
+      targetShares: Map[String, Double] = Map.empty,
+      capPerSource: Option[Int] = None)
+
+  /** Curated documents plus before/after per-source reports. */
+  case class Result(docs: DataFrame, reportBefore: DataFrame,
+      reportAfter: DataFrame)
+
+  /** Run the configured stages over `docs(idCol, textCol, sourceCol
+    * [, urlCol])`. The text column is REWRITTEN by stages 1–2 (extraction
+    * and normalization feed everything downstream, exactly as in a real
+    * pipeline); all other columns pass through.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, cfg: Config,
+      urlCol: Option[String] = None): Result = {
+    require(cfg.blockedDomains.isEmpty || urlCol.isDefined,
+      "domain blocklist needs urlCol")
+    val reportBefore = Report.perSource(docs, col(sourceCol), col(textCol))
+
+    var t = docs
+    if (cfg.htmlExtract)
+      t = t.withColumn(textCol, WebText.htmlExtract(col(textCol)))
+    if (cfg.normalizeUnicode)
+      t = t.withColumn(textCol, graft.functions.textnorm.nfc_normalize(col(textCol)))
+    for (u <- urlCol if cfg.blockedDomains.nonEmpty)
+      t = WebText.filterBlockedDomains(t, col(u), cfg.blockedDomains)
+    if (cfg.blockedTerms.nonEmpty)
+      t = WebText.filterBlockedTerms(t, col(textCol), cfg.blockedTerms)
+    if (cfg.qualityFilter)
+      t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
+    if (cfg.exactDedup)
+      t = Dedup.exactDedup(t, idCol, textCol)
+    for (thr <- cfg.nearDupThreshold) {
+      val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
+        .select(col("id_a"), col("id_b"))
+      // drop every clustered doc that is not its cluster's representative —
+      // a plain (shuffled) anti join: the drop set is id-only narrow but
+      // can be a large fraction of the corpus, so no broadcast hint
+      val drop = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id"))
+      t = t.join(drop, col(idCol) === col("id"), "left_anti")
+    }
+    if (cfg.targetShares.nonEmpty)
+      t = Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares)
+    for (cap <- cfg.capPerSource)
+      t = Sampling.capPerGroup(t, col(sourceCol), col(idCol), cap)
+
+    Result(t, reportBefore, Report.perSource(t, col(sourceCol), col(textCol)))
+  }
+}

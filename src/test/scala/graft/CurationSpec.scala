@@ -264,6 +264,46 @@ class CurationSpec extends AnyFunSuite {
     assert(toks.mkString("").stripSuffix(Bpe.EndOfWord) == word)
   }
 
+  test("Curate.run: config-driven pipeline drops exactly the right docs") {
+    import spark.implicits._
+    import graft.ops.Curate
+    val good = "a perfectly reasonable document with more than ten whitespace tokens in it"
+    val rows = Seq(
+      // (id, text, source, url, expectKept)
+      (1L, s"<p>$good one</p>", "web", "https://ok.org/1", true),
+      (2L, s"<p>$good one</p>", "web", "https://ok.org/2", false),  // exact dup of 1 (post-extract)
+      (3L, s"<p>$good two SpamWord</p>", "web", "https://ok.org/3", false), // blocked term
+      (4L, s"<p>$good three</p>", "web", "https://ads.bad.com/x", false),   // blocked domain
+      (5L, "<p>too short</p>", "web", "https://ok.org/5", false),           // quality
+      (6L, "<p>chapter four begins with an entirely different narrative " +
+        "about rivers mountains valleys and the people living there</p>",
+        "books", "https://ok.org/6", true),
+      // near-dup of 6 (two words dropped) — minhash threshold 0.5 cluster
+      (7L, "<p>chapter four begins with an entirely different narrative " +
+        "about rivers mountains valleys and the people living</p>",
+        "books", "https://ok.org/7", false))
+      .toDF("doc_id", "text", "source", "url", "expect")
+    val cfg = Curate.Config(
+      htmlExtract = true,
+      blockedDomains = Seq("bad.com"),
+      blockedTerms = Seq("spamword"),
+      nearDupThreshold = Some(0.5))
+    val res = Curate.run(rows, "doc_id", "text", "source", cfg,
+      urlCol = Some("url"))
+    val kept = res.docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = Seq(1L, 6L).toSet
+    assert(kept == expect, s"pipeline kept $kept, expected $expect")
+    // extraction rewrote the text feeding downstream stages
+    assert(!res.docs.select("text").collect().exists(_.getString(0).contains("<p>")))
+    // reports: before covers all sources/rows, after reflects the survivors
+    val before = res.reportBefore.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = res.reportAfter.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(before("web") == 5 && before("books") == 2)
+    assert(after("web") == 1 && after("books") == 1)
+  }
+
   test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {
     import graft.ops.{Dedup, Sampling, TextAnalysis}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
