@@ -118,6 +118,28 @@ object ConnectorQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"))
     }),
+    // compaction round-trip: a 6-append small-file swarm compacts in place
+    // (rename-swapped, range-clustered); the read-back aggregate must be
+    // layout-independent — the oracle scans the original parquet
+    "q104_compact_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Paths.get("target", "ripple-scratch",
+        "events-compact").toString
+      val ev = Relational.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      (0 until 6).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(6)) === i)
+          .write.mode("append").parquet(out)
+      }
+      graft.ops.Layout.compact(s, out, Seq(col("event_id")), numFiles = 4)
+      s.read.parquet(out)
+        .filter(col("event_id") < 800)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"))
+    }),
     // salted skewed join: the salt spreads each hot l_orderkey over 8
     // sub-partitions, the dim side replicates 8×, and the output is BY
     // CONSTRUCTION the plain join — which is exactly what the unsalted
@@ -168,6 +190,11 @@ object ConnectorQueries {
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id < 500 AND user_id < 50
+        |GROUP BY 1""".stripMargin,
+    "q104_compact_roundtrip" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id < 800
         |GROUP BY 1""".stripMargin,
     "q99_salted_join" ->
       """SELECT o_orderstatus, count(1) AS n,
