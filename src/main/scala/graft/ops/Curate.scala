@@ -31,6 +31,13 @@ object Curate {
 
   /** Stages toggle independently; defaults are the common crawl-curation
     * recipe with no blocklists and no rebalance.
+    *
+    * Sharp edges, stated: `nearDupThreshold` requires a NUMERIC id column
+    * (cluster formation runs on long ids — enforced with a loud require,
+    * not a silent ANSI-off cast-to-null). `targetShares` defines the
+    * OUTPUT mixture: sources absent from the map are dropped entirely
+    * (share 0, [[Sampling.rebalance]]'s documented contract) — list every
+    * source you want kept.
     */
   case class Config(
       htmlExtract: Boolean = false,
@@ -57,6 +64,12 @@ object Curate {
       urlCol: Option[String] = None): Result = {
     require(cfg.blockedDomains.isEmpty || urlCol.isDefined,
       "domain blocklist needs urlCol")
+    if (cfg.nearDupThreshold.isDefined) {
+      val idType = docs.schema(idCol).dataType
+      require(Seq("long", "int", "integer", "short", "byte")
+          .contains(idType.typeName),
+        s"near-dedup clusters on long ids; $idCol is ${idType.typeName}")
+    }
     val reportBefore = Report.perSource(docs, col(sourceCol), col(textCol))
 
     var t = docs
@@ -72,16 +85,24 @@ object Curate {
       t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
     if (cfg.exactDedup)
       t = Dedup.exactDedup(t, idCol, textCol)
+    // the stages below (near-dup pair generation, rebalance's share
+    // computation) run EAGER jobs over t's lineage, and the caller will
+    // consume the result at least once more — materialize the per-row
+    // pipeline above exactly once instead of re-running extraction +
+    // filters per eager pass (the dupClusters discipline)
+    if (cfg.nearDupThreshold.isDefined || cfg.targetShares.nonEmpty)
+      t = t.localCheckpoint(true)
     for (thr <- cfg.nearDupThreshold) {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
         .select(col("id_a"), col("id_b"))
       // drop every clustered doc that is not its cluster's representative —
       // a plain (shuffled) anti join: the drop set is id-only narrow but
-      // can be a large fraction of the corpus, so no broadcast hint
+      // can be a large fraction of the corpus, so no broadcast hint. The
+      // join column gets a collision-proof name (idCol = "id" is common).
       val drop = Dedup.dupClusters(pairs)
         .filter(col("id") =!= col("cluster"))
-        .select(col("id"))
-      t = t.join(drop, col(idCol) === col("id"), "left_anti")
+        .select(col("id").as("__graft_dup_id"))
+      t = t.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
     }
     if (cfg.targetShares.nonEmpty)
       t = Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares)

@@ -302,6 +302,18 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(before("web") == 5 && before("books") == 2)
     assert(after("web") == 1 && after("books") == 1)
+    // idCol named "id" must not collide with the near-dup drop join
+    val renamed = rows.withColumnRenamed("doc_id", "id")
+    val keptId = Curate.run(renamed, "id", "text", "source", cfg,
+        urlCol = Some("url"))
+      .docs.select("id").collect().map(_.getLong(0)).toSet
+    assert(keptId == expect)
+    // string ids + near-dedup: loud refusal, not a silent ANSI-off no-op
+    val strIds = rows.withColumn("doc_id", concat(lit("d-"), col("doc_id")))
+    val err = intercept[IllegalArgumentException] {
+      Curate.run(strIds, "doc_id", "text", "source", cfg, urlCol = Some("url"))
+    }
+    assert(err.getMessage.contains("near-dedup"))
   }
 
   test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {
