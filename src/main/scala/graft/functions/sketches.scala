@@ -644,6 +644,74 @@ case class PqAdcDist(left: Expression, right: Expression, ksub: Int)
   override def prettyName: String = "pq_adc_dist"
 }
 
+/** v − centroid(cid): the residual an IVF-PQ index encodes. The centroid
+  * table rides as a reference object (broadcast semantics, like
+  * [[TopCentroids]]) with an O(1) cid→index hash lookup — NOT a
+  * plan-embedded map literal, whose `element_at` is a linear scan over all
+  * C entries per row and whose doubles serialize into every stage's
+  * expression tree (~25 MB at C=4096, dim=768).
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+    cm: Array[Array[Double]], cids: Array[Long]) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // built once on the driver, shipped with the (serializable) expression
+  private val idx: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](cids.length * 2)
+    cids.zipWithIndex.foreach { case (c, i) => m.put(c, i) }
+    m
+  }
+
+  /** left = vec array<double>, right = cid long. */
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val arr = l.asInstanceOf[ArrayData]
+    val ix = idx.get(r.asInstanceOf[Long])
+    if (ix == null)
+      throw new IllegalStateException(s"unknown centroid id $r")
+    val cent = cm(ix)
+    val n = arr.numElements()
+    val m = math.min(n, cent.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < m) { out(i) = arr.getDouble(i) - cent(i); i += 1 }
+    while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, cid) => {
+      val cmRef = ctx.addReferenceObj("cm", cm, "double[][]")
+      val idxRef = ctx.addReferenceObj("cidIdx", idx, "java.util.HashMap")
+      val ix = ctx.freshName("ix")
+      val cent = ctx.freshName("cent")
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+         |Integer $ix = (Integer) $idxRef.get($cid);
+         |if ($ix == null)
+         |  throw new IllegalStateException("unknown centroid id " + $cid);
+         |double[] $cent = $cmRef[$ix.intValue()];
+         |int $n = $arr.numElements();
+         |int $m = java.lang.Math.min($n, $cent.length);
+         |double[] $out = new double[$n];
+         |int $i = 0;
+         |for (; $i < $m; $i++) { $out[$i] = $arr.getDouble($i) - $cent[$i]; }
+         |for (; $i < $n; $i++) { $out[$i] = $arr.getDouble($i); }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CentroidResidual = copy(left = l, right = r)
+  override def prettyName: String = "centroid_residual"
+}
+
 /** Column-level wrappers. */
 object sketches {
   private def c(e: Expression): Column = bridge.column(e)
@@ -666,4 +734,6 @@ object sketches {
     c(PqTables(e(vec), codebooks))
   def pq_adc_dist(codes: Column, tables: Column, ksub: Int): Column =
     c(PqAdcDist(e(codes), e(tables), ksub))
+  def centroid_residual(vec: Column, cid: Column, cm: Array[Array[Double]],
+      cids: Array[Long]): Column = c(CentroidResidual(e(vec), e(cid), cm, cids))
 }

@@ -488,16 +488,24 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
-    val raw = spark.read.parquet(s"$path/codebooks")
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex =
+    PqIndex(loadCodebooks(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Rebuild driver-side codebooks from their parquet rows — shared by the
+    * PQ and IVF-PQ index loaders so the two paths cannot drift.
+    */
+  private def loadCodebooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val raw = spark.read.parquet(path)
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
       .toMap
+    require(raw.nonEmpty, s"no codebook rows at $path")
     val m = raw.keys.map(_._1).max + 1
-    val cb = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       val ks = raw.keys.collect { case (`j`, c) => c }.max + 1
       Array.tabulate(ks)(c => raw((j, c)))
     }
-    PqIndex(cb, spark.read.parquet(s"$path/codes"))
   }
 
   /** Probe a persisted PQ index: per-query ADC tables against the stored
@@ -529,14 +537,15 @@ object Similarity {
 
   /** v − centroid(cid): the residual a fused IVF-PQ index encodes instead
     * of the raw vector (residuals concentrate near 0, so the same ksub
-    * codewords quantize them much more finely than the full space). The
-    * centroid table rides along as a broadcast-class map literal.
+    * codewords quantize them much more finely than the full space).
+    * Codegen'd [[graft.functions.CentroidResidual]]: the centroid table
+    * rides as a reference object with an O(1) cid lookup — a map LITERAL
+    * here would serialize C×dim doubles into every stage's plan and pay a
+    * linear `element_at` scan per row.
     */
   private def residual(vCol: Column, cidCol: Column,
-      cm: Array[Array[Double]], cids: Array[Long]): Column = {
-    val centMap = typedLit(cids.zip(cm.map(_.toSeq)).toMap)
-    zip_with(vCol, element_at(centMap, cidCol), (a, b) => a - b)
-  }
+      cm: Array[Array[Double]], cids: Array[Long]): Column =
+    graft.functions.sketches.centroid_residual(vCol, cidCol, cm, cids)
 
   /** Approximate top-k through a fused IVF-PQ index — the architecture a
     * 100 TB vector corpus actually deploys (coarse cells bound the scan,
@@ -661,7 +670,7 @@ object Similarity {
     * this layout.
     */
   def saveIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, dim: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      path: String, dim: Int, numCentroids: Int = 16,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 1.0, kmeansIters: Int = 1,
       numFiles: Int = 32): Unit = {
@@ -680,15 +689,8 @@ object Similarity {
 
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
     val (cm, cids) = collectCents(spark.read.parquet(s"$path/centroids"))
-    val raw = spark.read.parquet(s"$path/codebooks")
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
-    val m = raw.keys.map(_._1).max + 1
-    val cb = Array.tabulate(m) { j =>
-      val ks = raw.keys.collect { case (`j`, c) => c }.max + 1
-      Array.tabulate(ks)(c => raw((j, c)))
-    }
-    IvfPqIndex(cm, cids, cb, spark.read.parquet(s"$path/codes"))
+    IvfPqIndex(cm, cids, loadCodebooks(spark, s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
   }
 
   /** Append a new batch to a persisted IVF index WITHOUT retraining:
