@@ -124,10 +124,59 @@ object Bench {
     val calibMt = calibrateParallel(cpus.toInt)
     val calibIo = calibrateIo()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(name, fn)
     }
+    // q100's one-time bucketed-table ingest, reported as its own metric so
+    // the q100 number reads as join cost (ingest is forced fresh here; the
+    // q100 samples above reused the session's tables via the marker).
+    val ingestSec = {
+      val t0 = System.nanoTime()
+      try graft.queries.ConnectorQueries.q100Ingest(spark, sfDir, force = true)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q100 ingest failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = (queryResults :+ ("q100i_bucketed_ingest" -> (ingestSec, 1)))
+      .sortBy(_._1)
     val total = results.map(_._2._1).filter(_ >= 0).sum
+
+    // Streaming throughput (produce→consume rows/sec + per-epoch latency)
+    // — the reference's core capability, measured once per bench run (the
+    // topic log is written fresh each time; best-of-N would only re-measure
+    // the page cache). Failure degrades to zeros rather than killing the
+    // batch numbers.
+    val stream = try BenchStream.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream failed: ${e.getMessage}")
+        BenchStream.StreamStats(0L, 0.0, 0.0, 0, 0.0, 0.0)
+      }
+    // "{...}" → "," + inner fields, for splicing into the JSON lines below
+    val streamFields = "," + stream.json.stripPrefix("{")
+
+    // sf1 scale probe (10× corpus, top-expensive queries, single samples):
+    // full per-query block goes to BENCH_FULL.json; stdout carries only the
+    // max ratio (the 2000-char stdout budget can't fit the detail). Opt out
+    // with SPARK_GRAFT_SF1=0. Only meaningful when benching sf0.1.
+    val sf1Block: Option[String] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
+          !sfDir.contains("sf0.1")) None
+      else try Some(graft.tools.ScaleProbe.probe(spark, sfDir, "target/sf1",
+        budgetSec = 420.0))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
+        None
+      }
+    val sf1Full = sf1Block.map(b => s""","sf1":$b""").getOrElse("")
+    val sf1Short = sf1Block.map { b =>
+      // max of the "ratio":X values — the one number that answers "did
+      // anything scale super-linearly?"
+      val ratios = """"ratio":([0-9.\-]+)""".r.findAllMatchIn(b)
+        .map(_.group(1).toDouble).filter(_ > 0).toSeq
+      val mx = if (ratios.nonEmpty) ratios.max else -1.0
+      s""","sf1":{"max_ratio":${math.rint(mx * 100) / 100},"queries":${ratios.length},"detail":"BENCH_FULL.json"}"""
+    }.getOrElse("")
 
     // Full fidelity (full query names, ns precision, per-query sample
     // counts) goes to a FILE; stdout gets a COMPACT line. The harness that
@@ -138,13 +187,13 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qsFull = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ns = results.map { case (k, (_, n)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"queries":$qsFull,"samples":$ns,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo$streamFields$sf1Full,"queries":$qsFull,"samples":$ns,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     val qsShort = results.map { case (k, (v, _)) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)},"queries":$qsShort,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qsShort,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

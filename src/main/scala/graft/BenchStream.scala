@@ -1,0 +1,111 @@
+package graft
+
+import graft.api.Ripple
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** Streaming-throughput bench for the `ripple` connector — the number the
+  * reference exists to produce: rows/sec through produce → replicate →
+  * consume (`internal/broker/producer/server/core.go:21-34` feeds the queue,
+  * `internal/broker/consumer/server/core.go:46-64` streams it back out).
+  * The reference publishes no measured figure, only a capacity envelope
+  * (1,000 messages buffered per connection, `config.toml:21-22`, recorded
+  * in BASELINE.md); this bench records ours so a regression in the
+  * connector's hot path (frame codec, admission control, offset planning)
+  * shows up as a number, not a hunch.
+  *
+  * Shape: the sf events table is JSON-packed and produced through the
+  * batch DSv2 sink (the produce path, exactly-once commit protocol on),
+  * then consumed back through the micro-batch source under a row cap that
+  * forces ~16 epochs — each epoch lifts the payloads to columns and runs a
+  * watermarked tumbling-window aggregation, the canonical streaming
+  * consumer. Reported: produce and consume rows/sec and per-epoch latency
+  * (from the query's own progress telemetry).
+  */
+object BenchStream {
+
+  case class StreamStats(rows: Long, produceSec: Double, consumeSec: Double,
+      epochs: Int, epochMsAvg: Double, epochMsMax: Double) {
+    def produceRowsPerSec: Double = if (produceSec > 0) rows / produceSec else 0
+    def consumeRowsPerSec: Double = if (consumeSec > 0) rows / consumeSec else 0
+    /** End-to-end produce→consume rate — the headline number. */
+    def rowsPerSec: Double =
+      if (produceSec + consumeSec > 0) rows / (produceSec + consumeSec) else 0
+    def json: String =
+      s"""{"stream_rows":$rows,"stream_rows_per_sec":${math.rint(rowsPerSec)},""" +
+        s""""stream_produce_rows_per_sec":${math.rint(produceRowsPerSec)},""" +
+        s""""stream_consume_rows_per_sec":${math.rint(consumeRowsPerSec)},""" +
+        s""""stream_epochs":$epochs,"stream_epoch_ms_avg":${math.rint(epochMsAvg)},""" +
+        s""""stream_epoch_ms_max":${math.rint(epochMsMax)}}"""
+  }
+
+  /** The payload schema the consumer lifts back out of the JSON blobs. */
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  def run(spark: SparkSession, sfDir: String, numBuckets: Int = 8,
+      targetEpochs: Int = 16): StreamStats = {
+    val root = Files.createTempDirectory("graft-bench-stream").toString
+    val topic = "bench"
+    Ripple.createTopic(root, topic, numBuckets)
+
+    // events.ts is parquet TIMESTAMP(NANOS) — same long-read conversion the
+    // relational queries use (testdata has no sub-microsecond components)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val packed = Ripple.pack(src, col("event_id"))
+      .localCheckpoint() // pin upstream prep OUTSIDE the measured window
+    val rows = packed.count()
+
+    val t0 = System.nanoTime()
+    Ripple.write(packed, root, topic, numBuckets)
+    val produceSec = (System.nanoTime() - t0) / 1e9
+
+    val cap = math.max(rows / targetEpochs, 1L)
+    val lifted = Ripple.lift(
+      Ripple.readStream(spark, root, topic, maxOffsetsPerTrigger = cap),
+      eventSchema)
+    val t1 = System.nanoTime()
+    val q = lifted
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .writeStream.format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft-bench-ck").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val consumeSec = (System.nanoTime() - t1) / 1e9
+
+    val eps = q.recentProgress.filter(_.numInputRows > 0)
+    val durs = eps.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
+    StreamStats(rows, produceSec, consumeSec, eps.length,
+      if (durs.nonEmpty) durs.sum / durs.length else 0.0,
+      if (durs.nonEmpty) durs.max else 0.0)
+  }
+
+  /** Standalone entry point: one JSON line, same fields Bench merges in. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-stream")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, sfDir).json)
+    spark.stop()
+  }
+}

@@ -6,7 +6,7 @@ import graft.model.TopicBucket
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,7 +22,8 @@ import java.nio.file.Paths
   * prunes bucket directories.
   */
 class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var prunedSchema: StructType = graft.model.Schemas.envelope
   private var pushed: Array[Filter] = Array.empty
@@ -31,6 +32,16 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
   private var lo: Long = conf.startingOffset
   private var hi: Long = conf.endingOffset
   private var bucketEq: Option[String] = conf.bucket
+  private var limit: Option[Int] = None
+
+  /** LIMIT n over a topic caps the segments PLANNED, not just the rows
+    * returned: planning stops once the accumulated slice rows cover n, so
+    * `LIMIT 10` against a 10^6-segment topic reads one segment instead of
+    * scheduling a full-bucket scan. Partial pushdown (Spark keeps its own
+    * limit operator): the cap bounds work, Spark enforces exact row count.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -63,15 +74,16 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     prunedSchema = requiredSchema
 
   override def build(): Scan =
-    new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi)
+    new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi, limit)
 }
 
-class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
-    extends Scan {
+class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
+    limit: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})"
-  override def toBatch: Batch = new RippleBatch(conf, schema, lo, hi)
+    s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
+      limit.map(l => s" limit=$l").getOrElse("")
+  override def toBatch: Batch = new RippleBatch(conf, schema, lo, hi, limit)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RippleMicroBatchStream(conf, schema)
 }
@@ -98,12 +110,12 @@ case class RippleInputPartition(
     else Array(hosts(math.floorMod(bucket.hashCode, hosts.length)))
 }
 
-class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
-    extends Batch {
+class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
+    limit: Option[Int] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val log = conf.log
-    conf.buckets.flatMap { tb =>
+    val all = conf.buckets.flatMap { tb =>
       val end = math.min(hi, log.size(tb))
       log.segments(tb).collect {
         case (path, start, count) if start < end && start + count > lo =>
@@ -112,6 +124,23 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long)
             conf.preferredHosts.toArray)
       }
     }.toArray
+    limit match {
+      case None => all.toArray[InputPartition]
+      case Some(l) =>
+        // LIMIT is order-free: take slices until they cover l rows, trim
+        // the last one — the rest of the topic is never planned.
+        val out = Array.newBuilder[InputPartition]
+        var need = l.toLong
+        var i = 0
+        while (need > 0 && i < all.length) {
+          val p = all(i)
+          val rows = p.until - p.from
+          out += (if (rows <= need) p else p.copy(until = p.from + need))
+          need -= math.min(rows, need)
+          i += 1
+        }
+        out.result()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -223,12 +252,27 @@ object RippleAdmission {
   * (`core.go:61-62`).
   */
 class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def sizes(): Map[String, Long] = {
     val log = conf.log
     conf.buckets.map(tb => tb.bucket -> log.size(tb)).toMap
   }
+
+  /** Trigger.AvailableNow support: the log end is pinned ONCE at query
+    * start and every subsequent `latestOffset` aims at that frozen target
+    * — so the query drains exactly the rows that existed at start (in
+    * rate-capped micro-batches, unlike Trigger.Once's single giant batch)
+    * and stops, even while producers keep appending. Without this trait
+    * Spark silently degrades AvailableNow to Once and IGNORES the row cap.
+    */
+  @volatile private var availableNowTarget: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(sizes())
+  /** Frozen end under AvailableNow; the live log end otherwise. */
+  private def targetSizes(): Map[String, Long] =
+    availableNowTarget.getOrElse(sizes())
 
   override def initialOffset(): Offset =
     RippleOffset(sizes().map { case (b, _) => b -> conf.startingOffset })
@@ -246,7 +290,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     * property-tested).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val now = sizes()
+    val now = targetSizes()
     val s = start.asInstanceOf[RippleOffset].ends
     limit match {
       case mr: ReadMaxRows =>
@@ -258,7 +302,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     }
   }
 
-  override def reportLatestOffset(): Offset = RippleOffset(sizes())
+  override def reportLatestOffset(): Offset = RippleOffset(targetSizes())
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

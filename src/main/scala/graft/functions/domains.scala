@@ -109,14 +109,23 @@ case class TokenBlocked(child: Expression, words: Array[String])
 object TokenBlocked {
   /** Single pass over the text: walk whitespace-delimited tokens, probe
     * the set with each token lowercased. Shared by eval and codegen.
+    *
+    * Token boundaries are the Java-regex `\s` class (space, \t, \n, \x0B,
+    * \f, \r) — the SAME splitter as `TextAnalysis.words` and the oracle's
+    * `\s+` — NOT `Character.isWhitespace`, whose extra Unicode spaces
+    * (U+2000–U+200A etc.) would make this path's tokens drift from the
+    * pipeline's shared tokenization.
     */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+
   def anyBlocked(text: String, set: java.util.HashSet[String]): Boolean = {
     val n = text.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && isWs(text.charAt(i))) i += 1
       val start = i
-      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      while (i < n && !isWs(text.charAt(i))) i += 1
       if (i > start &&
           set.contains(text.substring(start, i).toLowerCase(java.util.Locale.ROOT)))
         return true

@@ -671,11 +671,14 @@ case class CentroidResidual(left: Expression, right: Expression,
       throw new IllegalStateException(s"unknown centroid id $r")
     val cent = cm(ix)
     val n = arr.numElements()
-    val m = math.min(n, cent.length)
+    // loud like the unknown-cid path: a silent partial subtraction would
+    // produce garbage residuals (and garbage PQ codes) downstream
+    if (n != cent.length)
+      throw new IllegalStateException(
+        s"vector dim $n != centroid dim ${cent.length} for centroid id $r")
     val out = new Array[Double](n)
     var i = 0
-    while (i < m) { out(i) = arr.getDouble(i) - cent(i); i += 1 }
-    while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+    while (i < n) { out(i) = arr.getDouble(i) - cent(i); i += 1 }
     new GenericArrayData(out)
   }
 
@@ -690,7 +693,6 @@ case class CentroidResidual(left: Expression, right: Expression,
       val cent = ctx.freshName("cent")
       val out = ctx.freshName("out")
       val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       s"""
          |Integer $ix = (Integer) $idxRef.get($cid);
@@ -698,11 +700,11 @@ case class CentroidResidual(left: Expression, right: Expression,
          |  throw new IllegalStateException("unknown centroid id " + $cid);
          |double[] $cent = $cmRef[$ix.intValue()];
          |int $n = $arr.numElements();
-         |int $m = java.lang.Math.min($n, $cent.length);
+         |if ($n != $cent.length)
+         |  throw new IllegalStateException(
+         |    "vector dim " + $n + " != centroid dim " + $cent.length);
          |double[] $out = new double[$n];
-         |int $i = 0;
-         |for (; $i < $m; $i++) { $out[$i] = $arr.getDouble($i) - $cent[$i]; }
-         |for (; $i < $n; $i++) { $out[$i] = $arr.getDouble($i); }
+         |for (int $i = 0; $i < $n; $i++) { $out[$i] = $arr.getDouble($i) - $cent[$i]; }
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })

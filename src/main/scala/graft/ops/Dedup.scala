@@ -366,8 +366,14 @@ object Dedup {
     * collection. Near-dup components are overwhelmingly tiny (pairs/small
     * chains), so rounds ≈ 2-3 in practice; maxIter bounds adversarial
     * chains.
+    *
+    * `checkpointEvery`: every Nth round the label table goes to the
+    * RELIABLE checkpoint dir (`setCheckpointDir` required) instead of
+    * executor-local storage — same preemption rationale as
+    * [[Graph.pageRank]]; 0 (default) keeps localCheckpoint-only.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+      checkpointEvery: Int = 0): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
     // materialize the (narrow) edge set ONCE: every round's actions would
@@ -396,10 +402,12 @@ object Dedup {
         if (newL < oldL) shrinks.add(1L)
         newL
       }).asNondeterministic()
-      val joined = labels.withColumnRenamed("label", "oldLabel")
+      val joinedPlan = labels.withColumnRenamed("label", "oldLabel")
         .join(updated, "id")
         .withColumn("newLabel", countShrink(col("oldLabel"), col("newLabel")))
-        .localCheckpoint(true)
+      val joined = if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
+        joinedPlan.checkpoint(true)
+      else joinedPlan.localCheckpoint(true)
       converged = shrinks.value == 0L
       labels = joined.select(col("id"), col("newLabel").as("label"))
       iter += 1

@@ -32,14 +32,25 @@ object Graph {
     *
     * Output: (id, pr) — `iterations` damped rounds from a uniform 1/N
     * start.
+    *
+    * `checkpointEvery`: every Nth round the rank table is written to the
+    * RELIABLE checkpoint dir (`spark.sparkContext.setCheckpointDir` must be
+    * set) instead of executor-local storage. `localCheckpoint` is the fast
+    * default, but its replicas live on executors — on a preemptible 1000-
+    * executor cluster a lost replica makes the lineage-truncated stage
+    * unrecoverable and the job restarts from zero. A reliable checkpoint
+    * every few rounds bounds the re-run to `checkpointEvery` iterations.
+    * 0 (default) keeps the executor-local behavior.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
-    val ids = nodes.select(col("id").cast("long").as("id"))
     // materialized ONCE (the dupClusters discipline): every iteration
-    // re-reads the edge set, and without this each localCheckpoint action
-    // would re-execute the caller's whole edge-derivation lineage
+    // re-reads the edge set and re-joins the node set, and without this
+    // each round's eager checkpoint action would re-execute the caller's
+    // whole edge-/node-derivation lineage
+    val ids = nodes.select(col("id").cast("long").as("id"))
+      .localCheckpoint(true)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .localCheckpoint(true)
@@ -47,17 +58,19 @@ object Graph {
     require(n > 0, "pageRank needs a non-empty node set (1/N seed)")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
     var pr = ids.select(col("id"), lit(1.0 / n).as("pr"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst"), (col("pr") / col("d")).cast("decimal(30,12)").as("c"))
       val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      pr = ids.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      val next = ids.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+      pr = if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        next.checkpoint(true)
+      else next.localCheckpoint(true)
     }
     pr
   }

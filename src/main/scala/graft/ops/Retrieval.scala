@@ -41,9 +41,14 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint (eager) before the stats action: the N/avgdl scalars
+    // and the postings pass below would otherwise EACH re-execute the
+    // caller's lineage (including the toCores repartition) — this pins the
+    // prepared (doc_id, text, dl) frame so the corpus is computed once
     val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
+      .localCheckpoint()
     val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
     val nDocs = statsRow.getLong(0).toDouble
     // empty corpus: no postings can match anyway; 1.0 keeps the (dead)

@@ -81,7 +81,13 @@ object WebText {
     */
   def urlHost(url: Column): Column = {
     val auth = regexp_extract(url, "^[^/?#]*//([^/?#]*)", 1)
-    lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""), ":[0-9]+$", ""))
+    // Scheme-less crawl URLs ("example.com/page") carry the host as the
+    // prefix up to the first /, ? or #. Without this fallback the extracted
+    // host is empty and filterBlockedDomains silently KEEPS the row — a
+    // quiet blocklist bypass in a safety-critical filter.
+    val bare = regexp_extract(url, "^([^/?#]*)", 1)
+    val host = when(auth === "", bare).otherwise(auth)
+    lower(regexp_replace(regexp_replace(host, "^[^@]*@", ""), ":[0-9]+$", ""))
   }
 
   /** True iff `host` is a blocked domain or a subdomain of one (label

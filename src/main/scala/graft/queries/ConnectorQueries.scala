@@ -156,23 +156,43 @@ object ConnectorQueries {
     // bucketed co-located join: both sides written hash-bucketed on the
     // join key (the pay-the-exchange-once-at-ingest layout); the join
     // itself plans with zero shuffles (asserted in OpsSpec) and must match
-    // the plain-join oracle
+    // the plain-join oracle. Ingest is [[q100Ingest]] — separated so the
+    // bench reports layout cost and join cost as TWO numbers (round 4's
+    // 1.89 s was 95% one-time ingest and read as join cost).
     "q100_bucketed_join" -> ((s, d) => {
-      val root = java.nio.file.Paths.get("target", "ripple-scratch").toString
-      graft.ops.Layout.writeBucketed(
-        s.read.parquet(s"$d/lineitem.parquet")
-          .select(col("l_orderkey"), col("l_quantity")),
-        "q100_li", "l_orderkey", numBuckets = 8, Some(s"$root/q100_li"))
-      graft.ops.Layout.writeBucketed(
-        s.read.parquet(s"$d/orders.parquet")
-          .select(col("o_orderkey"), col("o_orderstatus")),
-        "q100_ord", "o_orderkey", numBuckets = 8, Some(s"$root/q100_ord"))
+      q100Ingest(s, d)
       s.table("q100_li")
         .join(s.table("q100_ord"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(30, 6))).cast("double").as("sum_qty"))
     }))
+
+  /** Bucketed-table ingest for q100 — the pay-once layout write. Skipped
+    * when this session already ingested the same sf dir (marker file), so
+    * repeated bench samples of q100 measure the JOIN, not the ingest;
+    * `force` re-runs it for the bench's explicit ingest metric.
+    */
+  def q100Ingest(s: SparkSession, d: String, force: Boolean = false): Unit = {
+    val root = java.nio.file.Paths.get("target", "ripple-scratch")
+    val marker = root.resolve("q100.src")
+    val cur = if (java.nio.file.Files.exists(marker))
+      new String(java.nio.file.Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8) else ""
+    if (!force && cur == d && s.catalog.tableExists("q100_li") &&
+        s.catalog.tableExists("q100_ord")) return
+    graft.ops.Layout.writeBucketed(
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity")),
+      "q100_li", "l_orderkey", numBuckets = 8, Some(s"$root/q100_li"))
+    graft.ops.Layout.writeBucketed(
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      "q100_ord", "o_orderkey", numBuckets = 8, Some(s"$root/q100_ord"))
+    java.nio.file.Files.createDirectories(root)
+    java.nio.file.Files.write(marker,
+      d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   val oracle: Map[String, String] = Map(
     "q40_topic_roundtrip_agg" ->

@@ -103,6 +103,69 @@ object OpsQueries {
           "vec_id", "embedding", dim = 64, threshold = 0.95)
         .select(col("id_a"), col("id_b"))
     }),
+    // ---- planted-recall oracles (the *_planted family) -------------------
+    // q54/q56/q57/q91 are rows-only because their FULL output includes
+    // engine-internal sketch decisions. The planted perturbed copies,
+    // however, are deterministic on BOTH engines — so each sketch gets a
+    // second gate asserting zero planted misses, hash-compared against the
+    // DuckDB-computed expected pair set. A recall regression (banding bug,
+    // hash drift, probe bug) now FAILS the gate instead of passing rows-only.
+    //
+    // MinHash recall gate: every planted pair with exact shingle-Jaccard
+    // >= 0.8 (comfortably above the 0.5 S-curve midpoint of the 16x4
+    // banding, where the deterministic hash family recalls everything)
+    // must be recovered, with the exact-verified jaccard value matching.
+    "q54_planted" -> ((s, d) =>
+      Dedup.minhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
+    // SimHash recall gate over a PORTABLE hash family: md5-derived 60-bit
+    // word hashes (computable in both engines) replace xxhash64, so the
+    // oracle reproduces the signature bit-for-bit and the expected set is
+    // EXACT — 4x16 banding is pigeonhole-complete for hamming <= 3, so
+    // recovered == {planted pairs with hamming <= 3}, no slack needed.
+    "q56_planted" -> ((s, d) => {
+      val hs = transform(graft.ops.TextAnalysis.words(col("text")),
+        w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+      val sigs = docsWithPlantedDups(s, d)
+        .select(col("doc_id").as("id"), hs.as("hs"))
+        .select(col("id"), Dedup.simhashFromHashes(col("hs")).as("sig"))
+      Dedup.bandedHamming64Pairs(sigs, maxHamming = 3)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
+    // Hyperplane-LSH recall gate: every planted wobble pair sits at cosine
+    // ~0.994 >> 0.95, so the expected set is ALL of them; 8 OR-ed bands
+    // (vs the default 2) drive the deterministic miss set to empty.
+    "q57_planted" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+      Dedup.embeddingNearDups(base.unionAll(pert), "vec_id", "embedding",
+          dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
+    // SemDedup recall gate: a planted twin is near-identical to its base,
+    // so both land in the same k-means cell (multi-probe covers boundary
+    // straddle) — the cluster-blocked compare must recover every pair.
+    "q91_planted" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+      Dedup.semanticNearDups(base.unionAll(pert), "vec_id", "embedding",
+          numClusters = 16, threshold = 0.95)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"))
+    }),
     // ---- similarity search ---------------------------------------------
     "q58_knn_bruteforce" -> ((s, d) => {
       val corpus = emb(s, d)
@@ -363,10 +426,18 @@ object OpsQueries {
     "q61_multimodal_features" -> ((s, d) => {
       // REAL codec path: text → genuine PNG/WAV/packed-frame bytes →
       // ImageIO/AudioSystem decode → pixel/sample-derived features.
+      // PNG and WAV are LOSSLESS, so the decoded pixels/samples equal the
+      // deterministic render exactly — the full 16-bin histogram is
+      // therefore predictable from the text bytes alone, and the DuckDB
+      // oracle recomputes ALL 16 bins analytically (same float32
+      // count/total division) without ever touching a codec. A decoder
+      // regression anywhere (header parse, pixel order, sample width,
+      // frame unpack) lands in some bin and hash-mismatches.
       val media = Multimodal.encodedMediaFromDocuments(docs(s, d))
+      val bins = (0 until 16).map(j =>
+        element_at(col("features"), j + 1).cast("double").as(f"f$j%02d"))
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("decode_ok"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .select(Seq(col("media_id"), col("kind"), col("decode_ok")) ++ bins: _*)
     }),
     // perceptual image near-dedup: every image doc gets a brightness-
     // shifted re-render twin (+8 per channel — integer luma shifts exactly,
@@ -601,8 +672,148 @@ object OpsQueries {
     sb.toString
   }
 
+  /** The 16 histogram-bin columns of the q61 oracle: same float32
+    * count/total division the decoder performs, widened to double.
+    */
+  private val featureBinsSql: String = (0 until 16).map { j =>
+    "((count(*) FILTER (WHERE bin = %d))::FLOAT / total::FLOAT)::DOUBLE AS f%02d"
+      .format(j, j)
+  }.mkString(",\n|  ")
+
   val oracle: Map[String, String] = Map(
     "q103_pagerank" -> pageRankOracleSql(3),
+    // ---- planted-recall oracles ----------------------------------------
+    // MinHash: expected = planted pairs whose exact 3-shingle Jaccard
+    // (both engines compute it identically — q55 proves the value) is
+    // >= 0.8; the gate asserts zero misses AND matching jaccard values.
+    "q54_planted" -> """
+      |WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |           FROM documents),
+      |p AS (SELECT doc_id, ws AS wa, ws[1:greatest(len(ws)-3, 1)] AS wb FROM d),
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(wa) - 1, 2)),
+      |      i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) AS sa,
+      |    list_distinct(list_transform(range(1, greatest(len(wb) - 1, 2)),
+      |      i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) AS sb
+      |  FROM p),
+      |j AS (SELECT doc_id,
+      |    len(list_intersect(sa, sb))::DOUBLE /
+      |      (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      |  FROM sh)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, jaccard
+      |FROM j WHERE jaccard >= 0.8""".stripMargin,
+    // SimHash over the portable md5-derived 60-bit hash family: the oracle
+    // rebuilds each signature bit (sum of +/-1 word votes per bit, bit set
+    // iff sum > 0 — Dedup.simhashFromHashes' exact rule; bits 60..63 are
+    // constant on both sides of every pair) and the expected set is EXACT
+    // because 4x16 banding is complete for hamming <= 3.
+    "q56_planted" -> """
+      |WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |           FROM documents),
+      |wrd AS (
+      |  SELECT doc_id, 0 AS side, unnest(ws) AS w FROM d
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS side, unnest(ws[1:greatest(len(ws)-3, 1)]) AS w FROM d),
+      |hh AS (SELECT doc_id, side, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      |       FROM wrd),
+      |bits AS (
+      |  SELECT doc_id, side, j,
+      |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM hh, LATERAL (SELECT unnest(range(0, 60)) AS j) t
+      |  GROUP BY doc_id, side, j),
+      |ham AS (
+      |  SELECT a.doc_id, sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM bits a JOIN bits b ON a.doc_id = b.doc_id AND a.j = b.j
+      |  WHERE a.side = 0 AND b.side = 1
+      |  GROUP BY a.doc_id)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |  CAST(hamming AS INT) AS hamming
+      |FROM ham WHERE hamming <= 3""".stripMargin,
+    // Hyperplane LSH / SemDedup: every planted pair sits at cosine ~0.994
+    // >> 0.95 (verified against the fixtures), so expected = ALL of them.
+    "q57_planted" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    "q91_planted" ->
+      "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    // ---- multimodal decode oracles --------------------------------------
+    // q61: PNG/WAV/packed-frame fixtures are deterministic renders of the
+    // text bytes and the codecs are lossless, so every histogram bin is
+    // analytically predictable: image pixel p's channels are text bytes
+    // (3p, 3p+1, 3p+2) mod n -> BT.601 integer luma -> bin luma//16;
+    // audio sample i is ((byte[(7i) mod n]) - 128)*256 -> bin |.|//2048;
+    // video = image features of the first 8x8 frame.
+    "q61_multimodal_features" -> s"""
+      |WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    CAST(doc_id % 3 AS INT) AS k,
+      |    16 + CAST(doc_id % 16 AS INT) AS w,
+      |    12 + CAST(doc_id % 12 AS INT) AS h
+      |  FROM documents),
+      |img AS (
+      |  SELECT doc_id, 'image' AS kind, w * h AS total,
+      |    ((299 * ord(substr(text, CAST((3*p) % n AS INT) + 1, 1))
+      |      + 587 * ord(substr(text, CAST((3*p+1) % n AS INT) + 1, 1))
+      |      + 114 * ord(substr(text, CAST((3*p+2) % n AS INT) + 1, 1))) // 1000) // 16 AS bin
+      |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) t
+      |  WHERE k = 0),
+      |vid AS (
+      |  SELECT doc_id, 'video' AS kind, 64 AS total,
+      |    ((299 * ord(substr(text, CAST((3*p) % n AS INT) + 1, 1))
+      |      + 587 * ord(substr(text, CAST((3*p+1) % n AS INT) + 1, 1))
+      |      + 114 * ord(substr(text, CAST((3*p+2) % n AS INT) + 1, 1))) // 1000) // 16 AS bin
+      |  FROM d, LATERAL (SELECT unnest(range(0, 64)) AS p) t
+      |  WHERE k = 2),
+      |aud AS (
+      |  SELECT doc_id, 'audio' AS kind, 256 + CAST(doc_id % 256 AS INT) AS total,
+      |    abs(ord(substr(text, CAST((i*7) % n AS INT) + 1, 1)) - 128) // 8 AS bin
+      |  FROM d, LATERAL (SELECT unnest(range(0, 256 + doc_id % 256)) AS i) t
+      |  WHERE k = 1),
+      |b AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+      |SELECT doc_id AS media_id, kind, true AS decode_ok,
+      |  $featureBinsSql
+      |FROM b GROUP BY doc_id, kind, total""".stripMargin,
+    // q97: dHash is 64 comparisons of adjacent 9x8-grid cell means over the
+    // decoded luma plane — all integers until the final mean division, so
+    // the oracle recomputes every signature from the text bytes, takes
+    // hamming over the bit vectors, and reflects base-pair distances onto
+    // the brightness-shifted twins (+8 bias shifts every cell mean by
+    // exactly 8: twin sig == base sig, planted pairs at hamming 0).
+    "q97_image_phash" -> """
+      |WITH d AS (
+      |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    16 + CAST(doc_id % 16 AS INT) AS w,
+      |    12 + CAST(doc_id % 12 AS INT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, w, h, CAST(p % w AS INT) AS x, CAST(p // w AS INT) AS y,
+      |    (299 * ord(substr(text, CAST((3*p) % n AS INT) + 1, 1))
+      |     + 587 * ord(substr(text, CAST((3*p+1) % n AS INT) + 1, 1))
+      |     + 114 * ord(substr(text, CAST((3*p+2) % n AS INT) + 1, 1))) // 1000 AS luma
+      |  FROM d, LATERAL (SELECT unnest(range(0, w * h)) AS p) t),
+      |cells AS (
+      |  SELECT doc_id, (y*8) // h AS gy, (x*9) // w AS gx,
+      |    sum(luma) AS s, count(*) AS c
+      |  FROM px GROUP BY doc_id, (y*8) // h, (x*9) // w),
+      |bits AS (
+      |  SELECT a.doc_id, a.gy * 8 + a.gx AS bitpos,
+      |    CASE WHEN a.s::DOUBLE / a.c < b.s::DOUBLE / b.c THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |ham AS (
+      |  SELECT x.doc_id AS ia, y.doc_id AS ib,
+      |    sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+      |  FROM bits x JOIN bits y ON x.bitpos = y.bitpos AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id),
+      |nd AS (SELECT ia, ib, CAST(hamming AS INT) AS hamming
+      |       FROM ham WHERE hamming <= 3)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS INT) AS hamming
+      |FROM d
+      |UNION ALL SELECT ia, ib, hamming FROM nd
+      |UNION ALL SELECT ia, ib + 1000000, hamming FROM nd
+      |UNION ALL SELECT ib, ia + 1000000, hamming FROM nd
+      |UNION ALL SELECT ia + 1000000, ib + 1000000, hamming FROM nd""".stripMargin,
     "q50_text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_txt,

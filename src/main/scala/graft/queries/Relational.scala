@@ -43,6 +43,50 @@ object Relational {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
   private def dsumSql(e: String): String = s"CAST(SUM(CAST(($e) AS DECIMAL(30,6))) AS DOUBLE)"
 
+  /** As-of join, merged-timeline form: for each `left` row, the latest
+    * `right` row with `rightKey = leftKey` and `rightTime <= leftTime`
+    * (ties on `rightTime` broken by the LARGEST `rightTieBreak`). Left
+    * rows with no match are dropped (inner as-of). Output: left columns
+    * followed by the matched right row's columns.
+    *
+    * Scale shape — why this exists next to the join+window form (q32):
+    * the composed form materializes every (left, earlier-right) pair
+    * before row_number picks one, so a key with n right rows amplifies
+    * the shuffle n× per left row. Here both inputs union into ONE
+    * timeline, shuffle ONCE on the key, sort once per partition, and the
+    * running `last(ignoreNulls)` carries the latest right row forward —
+    * O(|left| + |right|) rows end to end, skew-safe for power keys.
+    * Crossover: the pair form wins only when right rows per key ≈ 1;
+    * at 100 TB assume they aren't.
+    */
+  def asofMerged(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTieBreak: Seq[String]): DataFrame = {
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val tbTypes = rightTieBreak.map(c => right.schema(c).dataType)
+    val tbCols = rightTieBreak.indices.map(i => s"__tb$i")
+    // right rows sort BEFORE left rows at equal time (kind 0 < 1) — the
+    // inclusive `<=` of the as-of contract
+    val rRows = right.select(
+      Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+        lit(0).as("__kind"), lit(null).cast(lType).as("__l"),
+        struct(right.columns.map(col): _*).as("__r")) ++
+        rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
+    val lRows = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__kind"), struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rType).as("__r")) ++
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") }: _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy((Seq(col("__t"), col("__kind")) ++ tbCols.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rRows.unionAll(lRows)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1 && col("__m").isNotNull)
+      .select(col("__l.*"), col("__m.*"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation ----------------------------------------------------
     "q01_agg" -> ((s, d) => {
@@ -139,11 +183,19 @@ object Relational {
         .agg(countDistinct($"o_custkey").as("n_custs"),
           count(lit(1)).as("n_orders"))
     }),
-    // approx_count_distinct: HLL++ sketch — not DuckDB-reproducible, rows-only check.
+    // The HLL estimate itself is engine-internal, but its CONTRACT is not:
+    // |estimate − exact| must sit inside the configured error band. Both
+    // engines emit the exact count plus the band verdict — the oracle says
+    // `true`, so a drifting sketch hash-mismatches. 15% = 3× the default
+    // 5% rsd (≈3σ; the estimator is deterministic, so the gate is stable).
     "q12_approx_distinct" -> ((s, d) => {
       import s.implicits._
       t(s, d, "lineitem").groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"))
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("n_exact"))
+        .select($"l_returnflag", $"n_exact",
+          (abs($"approx_parts" - $"n_exact") <=
+            $"n_exact" * lit(0.15)).as("within_band"))
     }),
     // ---- grouping sets / rollup / cube ---------------------------------
     "q13_rollup" -> ((s, d) => {
@@ -310,6 +362,21 @@ object Relational {
         .select($"event_id", $"o_orderkey",
           unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"))
     }),
+    // ---- as-of, merged-timeline form: same contract as q32, ONE shuffle.
+    // The join+window q32 shape materializes every (event, earlier-order)
+    // pair before taking top-1 — a user with 10^5 orders amplifies the
+    // shuffle 10^5× per event. This form unions both tables into one
+    // timeline, sorts once per user, and carries the latest order forward
+    // with last(ignoreNulls) — O(|events| + |orders|) rows end to end.
+    "q105_asof_merged" -> ((s, d) => {
+      import s.implicits._
+      val ord = t(s, d, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val ev = events(s, d).select($"user_id", $"ts", $"event_id")
+      asofMerged(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+          rightTieBreak = Seq("o_orderkey"))
+        .select($"event_id", $"o_orderkey",
+          unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"))
+    }),
     // ---- pivot ----------------------------------------------------------
     "q33_pivot" -> ((s, d) => {
       import s.implicits._
@@ -459,6 +526,13 @@ object Relational {
     "q11_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(1) AS n_orders
         |FROM orders GROUP BY 1""".stripMargin,
+    // the oracle asserts the sketch CONTRACT: the estimate Spark computed
+    // must sit within the error band of the exact count (which both
+    // engines agree on) — `true` is the expected verdict, not filler
+    "q12_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  true AS within_band
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q13_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(1) AS n, ${dsumSql("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -557,6 +631,16 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)""".stripMargin,
     "q32_asof_join" ->
+      """SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS order_ms FROM (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin,
+    // q105 implements the SAME as-of contract as q32 via the merged
+    // timeline — one oracle, two physical shapes
+    "q105_asof_merged" ->
       """SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS order_ms FROM (
         |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id

@@ -87,6 +87,32 @@ class ConnectorSpec extends AnyFunSuite {
       s"expected 1 surviving segment partition, got ${df.rdd.getNumPartitions}")
   }
 
+  test("limit pushdown plans only the segments that cover the limit") {
+    val root = tmp()
+    Ripple.createTopic(root, "t4l", numBuckets = 1)
+    // 5 segments of 10 rows each
+    (1 to 5).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "t4l", numBuckets = 1))
+
+    val limited = Ripple.read(spark, root, "t4l").limit(7)
+    val scan = limited.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.inputRDDs().head.getNumPartitions == 1,
+      s"LIMIT 7 should plan exactly one segment slice, got " +
+        s"${scan.inputRDDs().head.getNumPartitions}")
+    assert(scan.toString.contains("limit=7"), scan.toString)
+    assert(limited.count() == 7)
+    // limit larger than one segment spans exactly the needed slices
+    val two = Ripple.read(spark, root, "t4l").limit(15)
+    val scan2 = two.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan2.inputRDDs().head.getNumPartitions == 2)
+    assert(two.count() == 15)
+    // un-limited read still plans all 5 segments
+    assert(Ripple.read(spark, root, "t4l").rdd.getNumPartitions == 5)
+  }
+
   test("streaming sink: writeStream into topic is exactly-once per epoch") {
     import spark.implicits._
     val root = tmp()
@@ -126,6 +152,24 @@ class ConnectorSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("s2out").count() == 45)
     } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains in rate-capped epochs, then stops") {
+    val root = tmp()
+    Ripple.createTopic(root, "an", numBuckets = 2)
+    Ripple.write(samplePayloads(40), root, "an", numBuckets = 2)
+    val q = Ripple.readStream(spark, root, "an", maxOffsetsPerTrigger = 10)
+      .writeStream.format("memory").queryName("anout")
+      .option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query did not finish")
+    assert(spark.table("anout").count() == 40)
+    // without SupportsTriggerAvailableNow Spark degrades to Trigger.Once:
+    // ONE epoch, row cap ignored — assert the capped multi-epoch drain
+    val eps = q.recentProgress.filter(_.numInputRows > 0)
+    assert(eps.length >= 4, s"expected >=4 capped epochs, got ${eps.length}")
+    assert(eps.forall(_.numInputRows <= 10),
+      s"epoch exceeded the 10-row cap: ${eps.map(_.numInputRows).mkString(",")}")
   }
 
   test("two streaming queries = two consumer IDs, each replays the full log (A7 fan-out)") {

@@ -938,6 +938,70 @@ class OpsSpec extends AnyFunSuite {
     assert(ranks(0) == ranks(7), "ranks must not depend on partitioning")
   }
 
+  test("reliable checkpointEvery: identical results, survives 10 iterations") {
+    import graft.ops.Graph
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val n = docs.count()
+    val nodes = docs.select(col("doc_id").as("id"))
+    val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 1) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // the reliable-checkpoint path must be a pure durability change: ranks
+    // bit-identical to the localCheckpoint-only run
+    val local = Graph.pageRank(edges, nodes, iterations = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val reliable = Graph.pageRank(edges, nodes, iterations = 10, checkpointEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(local == reliable, "checkpointEvery changed pageRank results")
+    // and checkpoint files were actually written to the reliable dir
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    // dupClusters: same contract through the label-propagation loop
+    val pairs = Dedup.ngramJaccardNearDups(planted, "doc_id", "text",
+      blockCol = col("source"), threshold = 0.5)
+    val plain = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ckpted = Dedup.dupClusters(pairs, checkpointEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == ckpted, "checkpointEvery changed dupClusters results")
+  }
+
+  test("IVF index hygiene: compact after appends restores few files, probes intact") {
+    import graft.ops.Layout
+    val tmp = java.nio.file.Files.createTempDirectory("annhygiene").toString
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    Similarity.saveIvfIndex(base, "vec_id", "embedding", s"$tmp/ivf",
+      numCentroids = 8, kmeansIters = 1, numFiles = 4)
+    // 3 appended batches × 4 files each: the small-file swarm a streaming
+    // ingest accumulates
+    (1 to 3).foreach { r =>
+      Similarity.appendToIvfIndex(spark, s"$tmp/ivf",
+        emb.filter(pmod(col("vec_id"), lit(4)) === r), "vec_id", "embedding")
+    }
+    def dataFiles() = new java.io.File(s"$tmp/ivf/assigned").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = dataFiles()
+    assert(before >= 12, s"fixture should be a small-file swarm, got $before")
+    val probe = emb.limit(3).select((col("vec_id") + 5000000L).as("vec_id"),
+      col("embedding"))
+    def probeHits() = Similarity.ivfTopKWithIndex(
+        Similarity.loadIvfIndex(spark, s"$tmp/ivf"), probe,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hitsBefore = probeHits()
+    // maintenance pass: re-cluster the assigned table by cid
+    Layout.compact(spark, s"$tmp/ivf/assigned", Seq(col("cid")), numFiles = 4)
+    assert(dataFiles() == 4, s"compact left ${dataFiles()} files")
+    assert(probeHits() == hitsBefore, "compaction changed probe results")
+    // cid pushdown still prunes over the compacted layout
+    val planned = Similarity.ivfTopKWithIndex(
+        Similarity.loadIvfIndex(spark, s"$tmp/ivf"), probe,
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("In(cid"), s"cid pushdown lost after compact:\n$planned")
+  }
+
   test("salted join: output equals plain join, hot key spreads, salt in join keys") {
     import graft.ops.Skew
     import spark.implicits._
