@@ -150,10 +150,10 @@ object Bench {
     val stream = try BenchStream.run(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream failed: ${e.getMessage}")
-        BenchStream.StreamStats(0L, 0.0, 0.0, 0, 0.0, 0.0)
+        BenchStream.StreamStats(0L, 0.0, 0.0, 0.0, 0, 0.0, 0.0)
       }
     // "{...}" → "," + inner fields, for splicing into the JSON lines below
-    val streamFields = "," + stream.json.stripPrefix("{")
+    val streamFields = "," + stream.json.stripPrefix("{").stripSuffix("}")
 
     // sf1 scale probe (10× corpus, top-expensive queries, single samples):
     // full per-query block goes to BENCH_FULL.json; stdout carries only the
@@ -191,8 +191,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+    // Short keys must stay UNIQUE: "q54_planted" truncated to "q54" would
+    // shadow q54_dedup_minhash in the JSON map — planted twins keep a "p".
+    def shortKey(k: String): String =
+      k.takeWhile(_ != '_') + (if (k.endsWith("_planted")) "p" else "")
     val qsShort = results.map { case (k, (v, _)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }.mkString("{", ",", "}")
+      "\"" + shortKey(k) + "\":" + r3(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qsShort,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }

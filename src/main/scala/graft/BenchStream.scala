@@ -29,10 +29,16 @@ import java.nio.file.Files
   */
 object BenchStream {
 
+  /** `consumeSec` is the UNCAPPED drain (peak throughput); `cappedSec` the
+    * rate-capped ~16-epoch drain the latency stats come from (small-batch
+    * rates are dominated by Spark's fixed per-epoch cost — state-store
+    * commit + offset log — which is exactly what epoch_ms reports).
+    */
   case class StreamStats(rows: Long, produceSec: Double, consumeSec: Double,
-      epochs: Int, epochMsAvg: Double, epochMsMax: Double) {
+      cappedSec: Double, epochs: Int, epochMsAvg: Double, epochMsMax: Double) {
     def produceRowsPerSec: Double = if (produceSec > 0) rows / produceSec else 0
     def consumeRowsPerSec: Double = if (consumeSec > 0) rows / consumeSec else 0
+    def cappedRowsPerSec: Double = if (cappedSec > 0) rows / cappedSec else 0
     /** End-to-end produce→consume rate — the headline number. */
     def rowsPerSec: Double =
       if (produceSec + consumeSec > 0) rows / (produceSec + consumeSec) else 0
@@ -40,6 +46,7 @@ object BenchStream {
       s"""{"stream_rows":$rows,"stream_rows_per_sec":${math.rint(rowsPerSec)},""" +
         s""""stream_produce_rows_per_sec":${math.rint(produceRowsPerSec)},""" +
         s""""stream_consume_rows_per_sec":${math.rint(consumeRowsPerSec)},""" +
+        s""""stream_capped_rows_per_sec":${math.rint(cappedRowsPerSec)},""" +
         s""""stream_epochs":$epochs,"stream_epoch_ms_avg":${math.rint(epochMsAvg)},""" +
         s""""stream_epoch_ms_max":${math.rint(epochMsMax)}}"""
   }
@@ -69,26 +76,31 @@ object BenchStream {
     Ripple.write(packed, root, topic, numBuckets)
     val produceSec = (System.nanoTime() - t0) / 1e9
 
-    val cap = math.max(rows / targetEpochs, 1L)
-    val lifted = Ripple.lift(
-      Ripple.readStream(spark, root, topic, maxOffsetsPerTrigger = cap),
-      eventSchema)
-    val t1 = System.nanoTime()
-    val q = lifted
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
-      .writeStream.format("noop")
-      .outputMode("update")
-      .option("checkpointLocation", Files.createTempDirectory("graft-bench-ck").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val consumeSec = (System.nanoTime() - t1) / 1e9
+    // One consumer pipeline, run twice from fresh checkpoints (= fresh
+    // consumer IDs, full replay each): rate-capped for the per-epoch
+    // latency profile, uncapped for peak drain throughput.
+    def consume(cap: Long): (Double, Array[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+      val lifted = Ripple.lift(
+        Ripple.readStream(spark, root, topic, maxOffsetsPerTrigger = cap),
+        eventSchema)
+      val t1 = System.nanoTime()
+      val q = lifted
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", Files.createTempDirectory("graft-bench-ck").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ((System.nanoTime() - t1) / 1e9, q.recentProgress.filter(_.numInputRows > 0))
+    }
+    val (cappedSec, eps) = consume(math.max(rows / targetEpochs, 1L))
+    val (consumeSec, _) = consume(Long.MaxValue)
 
-    val eps = q.recentProgress.filter(_.numInputRows > 0)
     val durs = eps.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
-    StreamStats(rows, produceSec, consumeSec, eps.length,
+    StreamStats(rows, produceSec, consumeSec, cappedSec, eps.length,
       if (durs.nonEmpty) durs.sum / durs.length else 0.0,
       if (durs.nonEmpty) durs.max else 0.0)
   }
