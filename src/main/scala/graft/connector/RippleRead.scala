@@ -23,7 +23,7 @@ import java.nio.file.Paths
   */
 class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var prunedSchema: StructType = graft.model.Schemas.envelope
   private var pushed: Array[Filter] = Array.empty
@@ -33,6 +33,28 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
   private var hi: Long = conf.endingOffset
   private var bucketEq: Option[String] = conf.bucket
   private var limit: Option[Int] = None
+  private var countStar: Boolean = false
+
+  /** COUNT(*) over a topic is METADATA: per-bucket offsets are dense by
+    * the log contract (LogSpec; overlapping segments fail loudly), so the
+    * count is Σ_buckets clamp(size, [lo, hi)) — answered from the segment
+    * manifests without opening a single frame. Spark only offers the
+    * aggregation here when every filter was pushed (offset/bucket bounds
+    * are), so the clamped-range arithmetic is exact. Complete pushdown:
+    * the scan emits ONE row.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    countStar = true
+    true
+  }
 
   /** LIMIT n over a topic caps the segments PLANNED, not just the rows
     * returned: planning stops once the accumulated slice rows cover n, so
@@ -74,8 +96,48 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     prunedSchema = requiredSchema
 
   override def build(): Scan =
-    new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi, limit)
+    if (countStar) new RippleCountScan(conf.copy(bucket = bucketEq), lo, hi)
+    else new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi, limit)
 }
+
+/** Metadata-only COUNT(*) scan: one partition, one row, zero frames read. */
+class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def description(): String =
+    s"ripple topic=${conf.topic} metadata-count offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val log = conf.log
+      // Sum per-SEGMENT overlap with [lo, min(hi, size)) — NOT size − lo:
+      // retention/truncateBefore removes head segments, so a bucket's live
+      // rows start at its first surviving segment, exactly what the real
+      // scan would read.
+      val total = conf.buckets.map { tb =>
+        val end = math.min(hi, log.size(tb))
+        log.segments(tb).map { case (_, start, count) =>
+          math.max(0L, math.min(end, start + count) - math.max(lo, start))
+        }.sum
+      }.sum
+      Array(RippleCountPartition(total))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private var emitted = false
+            private val row = new GenericInternalRow(
+              Array[Any](java.lang.Long.valueOf(p.asInstanceOf[RippleCountPartition].total)))
+            override def next(): Boolean = { val r = !emitted; emitted = true; r }
+            override def get(): InternalRow = row
+            override def close(): Unit = ()
+          }
+      }
+  }
+}
+
+case class RippleCountPartition(total: Long) extends InputPartition
 
 class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     limit: Option[Int] = None) extends Scan {

@@ -113,6 +113,37 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.read(spark, root, "t4l").rdd.getNumPartitions == 5)
   }
 
+  test("COUNT(*) is answered from segment metadata without reading frames") {
+    val root = tmp()
+    Ripple.createTopic(root, "cnt", numBuckets = 2)
+    (1 to 2).foreach(_ => Ripple.write(samplePayloads(20), root, "cnt", numBuckets = 2))
+
+    val counted = Ripple.read(spark, root, "cnt").groupBy().count()
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-count"),
+      s"COUNT(*) should plan the metadata scan:\n$plan")
+    assert(counted.collect().head.getLong(0) == 40L)
+
+    // pushed offset bounds clamp the metadata arithmetic per bucket:
+    // each bucket holds [0,20); range [5,15) → 10 rows × 2 buckets
+    val ranged = Ripple.readRange(spark, root, "cnt", from = 5, until = 15)
+      .groupBy().count()
+    assert(ranged.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(ranged.collect().head.getLong(0) == 20L)
+
+    // an offset FILTER is fully pushed, so the count stays metadata-only
+    val filtered = Ripple.read(spark, root, "cnt")
+      .filter(col("offset") >= 12L).groupBy().count()
+    assert(filtered.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(filtered.collect().head.getLong(0) == 16L)
+
+    // a NON-pushable predicate must fall back to the real scan
+    val fallback = Ripple.read(spark, root, "cnt")
+      .filter(col("id") % 2 === 0).groupBy().count()
+    assert(!fallback.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(fallback.collect().head.getLong(0) == 20L)
+  }
+
   test("streaming sink: writeStream into topic is exactly-once per epoch") {
     import spark.implicits._
     val root = tmp()

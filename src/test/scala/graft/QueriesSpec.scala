@@ -36,6 +36,43 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("asofMerged == join+window as-of on adversarial random timelines") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // seeded fixtures with the shapes that break as-of joins: timestamp
+    // TIES (order==event time, duplicate order dates per user), users with
+    // no orders, orders with no events, and power keys (one user holding
+    // ~25% of all orders — the fan-out the merged form exists to survive)
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${1 + day % 28}%02d 00:00:00")
+      val nUsers = 40
+      val orders = (0 until 600).map { i =>
+        val user = if (rnd.nextInt(4) == 0) 7L else rnd.nextInt(nUsers).toLong
+        (i.toLong, user, ts(rnd.nextInt(20))) // duplicate dates per user guaranteed
+      }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+      val events = (0 until 300).map { i =>
+        (rnd.nextInt(nUsers + 5).toLong, ts(rnd.nextInt(22)), i.toLong) // users 40..44 have no orders
+      }.toDF("user_id", "ts", "event_id")
+
+      val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      val reference = events.join(orders,
+          $"o_custkey" === $"user_id" && $"o_orderdate" <= $"ts")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"event_id", $"o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val merged = graft.queries.Relational.asofMerged(
+          events, "user_id", "ts", orders, "o_custkey", "o_orderdate",
+          rightTieBreak = Seq("o_orderkey"))
+        .select($"event_id", $"o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(merged == reference,
+        s"seed=$seed: merged form diverged (only-merged=${(merged -- reference).take(3)}, " +
+          s"only-ref=${(reference -- merged).take(3)})")
+    }
+  }
+
   test("q01 aggregate values are sane") {
     val row = SparkEntry.queries("q01_agg")(spark, sf)
       .filter("l_returnflag = 'A'").collect()
