@@ -184,6 +184,22 @@ object OpsQueries {
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
     }),
+    // ANN self-recovery contract — an EXACT oracle over the approximate
+    // index (the q59 ranks stay rows-only, but this invariant is hash-
+    // checkable): a corpus vector probed through the IVF path must find
+    // ITSELF at rank 1, because its top-1 probe cell IS its assignment
+    // cell (same argmax over the same centroids) and exact-cosine scoring
+    // puts the identical vector first. Exercises train → assign → probe →
+    // score → top-k end to end; a bug anywhere in that chain breaks it.
+    "q106_ann_self" -> ((s, d) => {
+      val corpus = emb(s, d)
+      val probe = corpus.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(corpus, probe, "vec_id", "embedding", k = 1,
+          numCentroids = 16, nProbe = 1)
+        .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
+          col("rank"))
+    }),
     // product-quantization ANN: 8-byte codes + per-query ADC tables —
     // approximate ranks, so rows-only gate; recall vs brute force is
     // asserted in OpsSpec
@@ -734,6 +750,9 @@ object OpsQueries {
     // >> 0.95 (verified against the fixtures), so expected = ALL of them.
     "q57_planted" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    "q106_ann_self" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
     "q91_planted" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     // ---- multimodal decode oracles --------------------------------------
