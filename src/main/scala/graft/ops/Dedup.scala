@@ -536,9 +536,16 @@ object Dedup {
     * Covered positions expand each duplicated gram to at most n positions
     * before a per-doc distinct count — linear in duplicated volume, never
     * in pair count (contrast the O(pairs) verification of near-dup joins).
-    * At 100 TB the gram key would be xxhash64(gram); string grams are kept
-    * here solely for cross-engine oracle comparability (same trade as
-    * [[graft.queries.OpsQueries]] q69).
+    *
+    * Grams travel as xxhash64 keys: the gram string never leaves the scan
+    * stage (the key is internal — it joins frequency back to positions and
+    * is never output), so the shuffle carries 8 bytes per gram instead of
+    * ~n words of text, and the cached projection below stays narrow. The
+    * narrow (id, n_tokens, gh) frame is cached because THREE branches
+    * (positions, frequencies, per-doc totals) read it — uncached, the
+    * string gram construction re-evaluates per branch (the same fix as
+    * [[minhashNearDups]]'s shingle cache; q74 measured 2.6 s → the cache
+    * removes two of three scan-stage evaluations).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
@@ -546,35 +553,53 @@ object Dedup {
     val ws = TextAnalysis.words(col(textCol))
     val grams = in.select(col(idCol).cast("long").as("id"),
         size(ws).cast("long").as("n_tokens"),
-        when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n),
-            i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>")).as("grams"))
+        when(size(ws) >= n, transform(
+            transform(sequence(lit(0), size(ws) - n),
+              i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+            g => xxhash64(g)))
+          .otherwise(array().cast("array<long>")).as("gh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pos = grams.select(col("id"), col("n_tokens"),
-      posexplode_outer(col("grams")).as(Seq("pos", "gram")))
+      posexplode_outer(col("gh")).as(Seq("pos", "gram")))
     // grams occurring in >= 2 distinct documents. Per-doc dedup happens
     // BEFORE the explode (array_distinct on the gram array) — exploding
     // then .distinct() would shuffle every positional gram occurrence a
     // second time just to collapse per-doc repeats.
     val dupGrams = grams
-      .select(col("id"), explode(array_distinct(col("grams"))).as("gram"))
+      .select(col("id"), explode(array_distinct(col("gh"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("gram"))
     val dupPos = pos.join(dupGrams, Seq("gram"))
+    // Positions are UNIQUE per doc (posexplode indices; dupGrams is one
+    // row per gram key), so n_dup_grams is a plain count and the covered-
+    // token union of the [pos, pos+n-1] intervals is a sorted-gap sum:
+    // Σ min(next−cur, n) + n. One plain aggregation — no ×n tokpos
+    // explode, no Expand-doubled double countDistinct shuffle.
     val perDocDup = dupPos
-      .select(col("id"), col("pos"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tokpos"))
       .groupBy(col("id"))
-      .agg(countDistinct(col("pos")).as("n_dup_grams"),
-        countDistinct(col("tokpos")).as("covered_tokens"))
-    grams.select(col("id"), col("n_tokens"),
-        size(col("grams")).cast("long").as("n_grams"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), col("n_dup_grams"),
+        aggregate(
+          zip_with(
+            slice(col("ps"), lit(1), size(col("ps")) - 1),
+            slice(col("ps"), lit(2), size(col("ps")) - 1),
+            (a, b) => least(b - a, lit(n))),
+          lit(n.toLong), (acc, x) => acc + x.cast("long")).as("covered_tokens"))
+    val result = grams.select(col("id"), col("n_tokens"),
+        size(col("gh")).cast("long").as("n_grams"))
       .join(perDocDup, Seq("id"), "left")
       .select(col("id"), col("n_tokens"), col("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           col("n_tokens").cast("double")).as("dup_coverage"))
+    // eagerly materialize the per-doc (small) output, then release the
+    // cache — same lifetime discipline as minhashNearDups
+    val out = result.localCheckpoint(eager = true)
+    grams.unpersist(blocking = false)
+    out
   }
 
   // ---- SimHash -------------------------------------------------------
