@@ -195,9 +195,17 @@ object Bench {
     // shadow q54_dedup_minhash in the JSON map — planted twins keep a "p".
     def shortKey(k: String): String =
       k.takeWhile(_ != '_') + (if (k.endsWith("_planted")) "p" else "")
-    val qsShort = results.map { case (k, (v, _)) =>
-      "\"" + shortKey(k) + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qsShort,"sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    // The harness keeps only the LAST 2000 chars of stdout: a longer line
+    // loses its head and stops parsing as JSON. Degrade per-query precision
+    // (3 → 2 decimals) before that happens; full fidelity is in the file.
+    def shortLine(prec: Double => Double): String = {
+      val qs = results.map { case (k, (v, _)) =>
+        "\"" + shortKey(k) + "\":" + prec(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+    }
+    val line = shortLine(r3)
+    println(if (line.length <= 1950) line
+      else shortLine(v => math.rint(v * 100) / 100))
     spark.stop()
   }
 }
