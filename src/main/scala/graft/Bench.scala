@@ -88,15 +88,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      graft.tools.ScaleProbe.timeNoop(spark, sfDir, name, fn)
 
     // Best-of-2, escalating to best-of-3 when the first two samples
     // disagree by >2×: host storage stalls on this box can inflate a
@@ -132,11 +125,14 @@ object Bench {
     // q100 samples above reused the session's tables via the marker).
     val ingestSec = {
       val t0 = System.nanoTime()
-      try graft.queries.ConnectorQueries.q100Ingest(spark, sfDir, force = true)
-      catch { case e: Throwable =>
+      try {
+        graft.queries.ConnectorQueries.q100Ingest(spark, sfDir, force = true)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] q100 ingest failed: ${e.getMessage}")
+        -1.0 // the same failure sentinel every query uses — a failed
+             // ingest must not read as a fast successful one
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = (queryResults :+ ("q100i_bucketed_ingest" -> (ingestSec, 1)))
       .sortBy(_._1)
@@ -204,8 +200,12 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
     val line = shortLine(r3)
-    println(if (line.length <= 1950) line
-      else shortLine(v => math.rint(v * 100) / 100))
+    val line2 = if (line.length <= 1950) line
+      else shortLine(v => math.rint(v * 100) / 100)
+    // last resort: a line the harness truncates is WORSE than one with no
+    // per-query map (headline metrics survive; detail is in the file)
+    println(if (line2.length <= 1950) line2
+      else s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":"omitted_see_detail","sf":"$sfDir","detail":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

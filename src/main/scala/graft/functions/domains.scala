@@ -110,14 +110,19 @@ object TokenBlocked {
   /** Single pass over the text: walk whitespace-delimited tokens, probe
     * the set with each token lowercased. Shared by eval and codegen.
     *
-    * Token boundaries are the Java-regex `\s` class (space, \t, \n, \x0B,
-    * \f, \r) — the SAME splitter as `TextAnalysis.words` and the oracle's
-    * `\s+` — NOT `Character.isWhitespace`, whose extra Unicode spaces
-    * (U+2000–U+200A etc.) would make this path's tokens drift from the
-    * pipeline's shared tokenization.
+    * Token boundaries are a SUPERSET of the pipeline's `\s+` tokenization:
+    * the Java-regex `\s` class PLUS `Character.isWhitespace` PLUS U+00A0
+    * (no-break space, which isWhitespace excludes). For a blocklist,
+    * splitting on more boundaries only ADDS probe tokens — so this filter
+    * detects at least everything the shared tokenization would, and also
+    * catches the classic evasion of hiding a bad word behind a Unicode
+    * space ("badword next" must still probe "badword"). The extra
+    * boundaries cannot desync the q101 oracle on ASCII fixtures, where
+    * the two boundary sets coincide.
     */
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' ||
+      c == '\r' || c == 160.toChar || Character.isWhitespace(c)
 
   def anyBlocked(text: String, set: java.util.HashSet[String]): Boolean = {
     val n = text.length

@@ -41,6 +41,22 @@ object OpsQueries {
     base.unionAll(perturbed)
   }
 
+  /** base ∪ deterministic wobble twin (vec_id + 1e6, +sin(i)·0.02 per
+    * component → cosine ≈ 0.994): the ONE definition of the planted
+    * embedding fixture. q57/q91, their `_planted` oracles (whose
+    * "expected = ALL pairs" claim rests on that cosine), and the sf1
+    * scale probe all build from here — a wobble tweak in one place moves
+    * every consumer together.
+    */
+  def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
+    base.unionAll(pert)
+  }
+
   private val plantedSql =
     """SELECT doc_id, source, text FROM documents
       |UNION ALL
@@ -90,19 +106,10 @@ object OpsQueries {
       Dedup.simhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
-    "q57_embedding_neardup" -> ((s, d) => {
-      val base = emb(s, d).select(col("vec_id"), col("embedding"))
-      // perturbed copy: deterministic per-component wobble (cosine ≈ 0.999)
-      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        zip_with(col("embedding").cast("array<double>"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
-      Dedup.embeddingNearDups(
-          base.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-            .unionAll(pert),
+    "q57_embedding_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(plantedEmbeddings(s, d),
           "vec_id", "embedding", dim = 64, threshold = 0.95)
-        .select(col("id_a"), col("id_b"))
-    }),
+        .select(col("id_a"), col("id_b"))),
     // ---- planted-recall oracles (the *_planted family) -------------------
     // q54/q56/q57/q91 are rows-only because their FULL output includes
     // engine-internal sketch decisions. The planted perturbed copies,
@@ -115,12 +122,22 @@ object OpsQueries {
     // >= 0.8 (comfortably above the 0.5 S-curve midpoint of the 16x4
     // banding, where the deterministic hash family recalls everything)
     // must be recovered, with the exact-verified jaccard value matching.
-    "q54_planted" -> ((s, d) =>
+    "q54_planted" -> ((s, d) => {
+      // restrict to docs whose TWIN still has >= 3 words (>= 6 before the
+      // 3-word drop): below that, Spark's whole-text fallback shingle and
+      // DuckDB's NULL-padded slice represent degenerate docs differently
+      // (latent on the >= 48-char fixtures; explicit so a fixture change
+      // can't flip the gate)
+      val eligible = docs(s, d)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+        .select(col("doc_id").as("id_a"))
       Dedup.minhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
           threshold = 0.5)
         .filter(col("id_b") === col("id_a") + 1000000L)
         .filter(col("jaccard") >= 0.8)
-        .select(col("id_a"), col("id_b"), col("jaccard"))),
+        .join(eligible, "id_a")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
     // SimHash recall gate over a PORTABLE hash family: md5-derived 60-bit
     // word hashes (computable in both engines) replace xxhash64, so the
     // oracle reproduces the signature bit-for-bit and the expected set is
@@ -139,33 +156,19 @@ object OpsQueries {
     // Hyperplane-LSH recall gate: every planted wobble pair sits at cosine
     // ~0.994 >> 0.95, so the expected set is ALL of them; 8 OR-ed bands
     // (vs the default 2) drive the deterministic miss set to empty.
-    "q57_planted" -> ((s, d) => {
-      val base = emb(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
-      Dedup.embeddingNearDups(base.unionAll(pert), "vec_id", "embedding",
+    "q57_planted" -> ((s, d) =>
+      Dedup.embeddingNearDups(plantedEmbeddings(s, d), "vec_id", "embedding",
           dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
         .filter(col("id_b") === col("id_a") + 1000000L)
-        .select(col("id_a"), col("id_b"))
-    }),
+        .select(col("id_a"), col("id_b"))),
     // SemDedup recall gate: a planted twin is near-identical to its base,
     // so both land in the same k-means cell (multi-probe covers boundary
     // straddle) — the cluster-blocked compare must recover every pair.
-    "q91_planted" -> ((s, d) => {
-      val base = emb(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
-      Dedup.semanticNearDups(base.unionAll(pert), "vec_id", "embedding",
+    "q91_planted" -> ((s, d) =>
+      Dedup.semanticNearDups(plantedEmbeddings(s, d), "vec_id", "embedding",
           numClusters = 16, threshold = 0.95)
         .filter(col("id_b") === col("id_a") + 1000000L)
-        .select(col("id_a"), col("id_b"))
-    }),
+        .select(col("id_a"), col("id_b"))),
     // ---- similarity search ---------------------------------------------
     "q58_knn_bruteforce" -> ((s, d) => {
       val corpus = emb(s, d)
@@ -629,13 +632,7 @@ object OpsQueries {
     // dupClusters. Cluster geometry is engine-internal → rows-only gate;
     // recall + chunk-split identity asserted in OpsSpec.
     "q91_semantic_dedup" -> ((s, d) => {
-      val base = emb(s, d).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
-      val pairs = Dedup.semanticNearDups(base.unionAll(pert), "vec_id",
+      val pairs = Dedup.semanticNearDups(plantedEmbeddings(s, d), "vec_id",
         "embedding", numClusters = 16, threshold = 0.95)
       Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
     }),
@@ -703,8 +700,10 @@ object OpsQueries {
     // (both engines compute it identically — q55 proves the value) is
     // >= 0.8; the gate asserts zero misses AND matching jaccard values.
     "q54_planted" -> """
-      |WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-      |           FROM documents),
+      |WITH d AS (SELECT doc_id, ws
+      |           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |                 FROM documents)
+      |           WHERE len(ws) >= 6),
       |p AS (SELECT doc_id, ws AS wa, ws[1:greatest(len(ws)-3, 1)] AS wb FROM d),
       |sh AS (SELECT doc_id,
       |    list_distinct(list_transform(range(1, greatest(len(wa) - 1, 2)),

@@ -66,18 +66,28 @@ object Relational {
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val tbTypes = rightTieBreak.map(c => right.schema(c).dataType)
     val tbCols = rightTieBreak.indices.map(i => s"__tb$i")
-    // right rows sort BEFORE left rows at equal time (kind 0 < 1) — the
-    // inclusive `<=` of the as-of contract
-    val rRows = right.select(
-      Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
-        lit(0).as("__kind"), lit(null).cast(lType).as("__l"),
-        struct(right.columns.map(col): _*).as("__r")) ++
-        rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
-    val lRows = left.select(
-      Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
-        lit(1).as("__kind"), struct(left.columns.map(col): _*).as("__l"),
-        lit(null).cast(rType).as("__r")) ++
-        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") }: _*)
+    // NULL keys/times can never satisfy `rightKey = leftKey AND rightTime
+    // <= leftTime` (SQL three-valued logic — the join+window form drops
+    // them), but in a merged timeline a null-time right row would sort
+    // FIRST (asc = NULLS FIRST) and be carried forward as a bogus "latest"
+    // match, and null keys from both sides would meet in the null
+    // partition — filter both sides up front instead.
+    // Right rows sort BEFORE left rows at equal time (kind 0 < 1) — the
+    // inclusive `<=` of the as-of contract.
+    val rRows = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+          lit(0).as("__kind"), lit(null).cast(lType).as("__l"),
+          struct(right.columns.map(col): _*).as("__r")) ++
+          rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
+    val lRows = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .select(
+        Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+          lit(1).as("__kind"), struct(left.columns.map(col): _*).as("__l"),
+          lit(null).cast(rType).as("__r")) ++
+          tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") }: _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy((Seq(col("__t"), col("__kind")) ++ tbCols.map(col)).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

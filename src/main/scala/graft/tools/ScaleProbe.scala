@@ -41,22 +41,18 @@ object ScaleProbe {
     *     per cluster by construction, scaled cluster count is the linear
     *     configuration a 10× corpus runs.
     */
-  val probed: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q103_pagerank" -> null, "q32_asof_join" -> null,
-    "q105_asof_merged" -> null, "q74_dup_spans" -> null,
-    "q95_knn_ivfpq" -> null, "q99_salted_join" -> null,
-    "q83_knn_pq_index" -> null, "q85_html_extract" -> null,
-    "q54_dedup_minhash" -> null, "q86_url_canonical" -> null
-  ).map { case (n, _) => n -> graft.SparkEntry.queries(n) } :+
+  def probed(sf1Dir: String): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q103_pagerank", "q32_asof_join", "q105_asof_merged", "q74_dup_spans",
+    "q95_knn_ivfpq", "q99_salted_join", "q83_knn_pq_index",
+    "q85_html_extract", "q54_dedup_minhash", "q86_url_canonical"
+  ).map(n => n -> graft.SparkEntry.queries(n)) :+
     ("q91_semantic_dedup" -> ((s: SparkSession, d: String) => {
-      val base = s.read.parquet(s"$d/embeddings.parquet")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x + sin(i.cast("double")) * 0.02).as("embedding"))
-      val nClusters = if (d.contains("sf1")) 160 else 16
+      // exact-path comparison against the dir the probe generated — NOT a
+      // substring sniff (a path like /data/sf1-exp/sf0.1 must stay small)
+      val nClusters = if (d == sf1Dir) 160 else 16
       graft.ops.Dedup.dupClusters(
-        graft.ops.Dedup.semanticNearDups(base.unionAll(pert), "vec_id",
+        graft.ops.Dedup.semanticNearDups(
+          graft.queries.OpsQueries.plantedEmbeddings(s, d), "vec_id",
           "embedding", numClusters = nClusters, threshold = 0.95)
           .select(col("id_a"), col("id_b")))
     }))
@@ -71,8 +67,13 @@ object ScaleProbe {
     * generation seconds, 0.0 when cached.
     */
   def ensureSf1(spark: SparkSession, src: String, out: String): Double = {
+    // versioned marker: bumping GenVersion invalidates caches produced by
+    // older generation code (v2 fixed the sign-mask parity collapse)
+    val GenVersion = "v2"
     val done = java.nio.file.Paths.get(out, "_SF1_COMPLETE")
-    if (java.nio.file.Files.exists(done)) return 0.0
+    if (java.nio.file.Files.exists(done) &&
+        new String(java.nio.file.Files.readAllBytes(done)) == GenVersion)
+      return 0.0
     val t0 = System.nanoTime()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
 
@@ -86,9 +87,14 @@ object ScaleProbe {
         tagWords(col("text"), k).as("text"))
     }
     replicate("embeddings") { (t, k) =>
+      // the mask must be a HASH of (component, replica) — a linear form
+      // like (i·a + k·b) mod 2 collapses to parity(i+k), making all
+      // same-parity replicas bit-identical copies (cosine 1.0 across
+      // replicas: exactly the near-dup contamination this exists to avoid)
       t.select((col("vec_id") + k * 50000L).as("vec_id"),
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => (x * when(pmod(i * 31 + lit(k * 17), lit(2)) === 0, 1.0f)
+        if (k == 0) col("embedding")
+        else zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x * when(pmod(hash(i, lit(k)), lit(2)) === 0, 1.0f)
             .otherwise(-1.0f)).cast("float")).as("embedding"))
     }
     replicate("lineitem") { (t, k) =>
@@ -115,7 +121,8 @@ object ScaleProbe {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    java.nio.file.Files.write(done, Array.emptyByteArray)
+    java.nio.file.Files.write(done,
+      GenVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -123,26 +130,32 @@ object ScaleProbe {
     * — the probe looks for ORDER-OF-MAGNITUDE nonlinearity, not ±20%).
     * Stops when `budgetSec` is exhausted. Returns the `sf1` JSON block.
     */
+  /** Materialize `fn`'s frame through the noop sink and return seconds,
+    * −1.0 on failure — the ONE timing methodology Bench and this probe
+    * share (a second definition would quietly drift).
+    */
+  def timeNoop(spark: SparkSession, d: String, label: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try fn(spark, d).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $label failed on $d: ${e.getMessage}")
+      return -1.0
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def probe(spark: SparkSession, sf01: String, sf1: String,
       budgetSec: Double): String = {
     val genSec = ensureSf1(spark, sf01, sf1)
     val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
-    def once(fn: (SparkSession, String) => DataFrame, d: String): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, d).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[sf1] failed on $d: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var skipped = 0
-    probed.foreach { case (name, fn) =>
+    probed(sf1).foreach { case (name, fn) =>
       if (System.nanoTime() > deadline) skipped += 1
       else {
-        val a = once(fn, sf01)
-        val b = once(fn, sf1)
+        val a = timeNoop(spark, sf01, name, fn)
+        val b = timeNoop(spark, sf1, name, fn)
         val ratio = if (a > 0 && b > 0) b / a else -1.0
         def r2(v: Double) = math.rint(v * 100) / 100
         entries += s""""${name.takeWhile(_ != '_')}":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(ratio)}}"""

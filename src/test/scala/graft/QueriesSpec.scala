@@ -48,13 +48,23 @@ class QueriesSpec extends AnyFunSuite {
       val rnd = new scala.util.Random(seed)
       def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${1 + day % 28}%02d 00:00:00")
       val nUsers = 40
-      val orders = (0 until 600).map { i =>
+      // NULL keys/times never match under SQL three-valued logic — the
+      // merged form must drop them too (a null right time would otherwise
+      // sort first and be carried forward as a bogus "latest" match)
+      val orders = ((0 until 600).map { i =>
         val user = if (rnd.nextInt(4) == 0) 7L else rnd.nextInt(nUsers).toLong
-        (i.toLong, user, ts(rnd.nextInt(20))) // duplicate dates per user guaranteed
-      }.toDF("o_orderkey", "o_custkey", "o_orderdate")
-      val events = (0 until 300).map { i =>
-        (rnd.nextInt(nUsers + 5).toLong, ts(rnd.nextInt(22)), i.toLong) // users 40..44 have no orders
-      }.toDF("user_id", "ts", "event_id")
+        (Option(i.toLong), Option(user), Option(ts(rnd.nextInt(20))))
+      } ++ Seq(
+        (Option(9990L), Option(7L), Option.empty[java.sql.Timestamp]),
+        (Option(9991L), Option.empty[Long], Option(ts(3)))
+      )).toDF("o_orderkey", "o_custkey", "o_orderdate")
+      val events = ((0 until 300).map { i =>
+        (Option(rnd.nextInt(nUsers + 5).toLong), Option(ts(rnd.nextInt(22))),
+          Option(i.toLong)) // users 40..44 have no orders
+      } ++ Seq(
+        (Option(7L), Option.empty[java.sql.Timestamp], Option(8880L)),
+        (Option.empty[Long], Option(ts(5)), Option(8881L))
+      )).toDF("user_id", "ts", "event_id")
 
       val w = Window.partitionBy($"event_id").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
       val reference = events.join(orders,
