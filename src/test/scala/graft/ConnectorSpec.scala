@@ -203,6 +203,37 @@ class ConnectorSpec extends AnyFunSuite {
       s"epoch exceeded the 10-row cap: ${eps.map(_.numInputRows).mkString(",")}")
   }
 
+  test("AvailableNow pins the drain target: appends after prepare are not consumed") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = tmp()
+    Ripple.createTopic(root, "fz", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "fz", numBuckets = 1)
+    val conf = graft.connector.RippleConf(root, "fz", None, 1, 0L,
+      Long.MaxValue, Long.MaxValue)
+    val stream = new graft.connector.RippleMicroBatchStream(conf,
+      graft.model.Schemas.envelope)
+    stream.prepareForTriggerAvailableNow()
+    // lands AFTER the pin — a correct AvailableNow drain must not see it
+    Ripple.write(samplePayloads(5).coalesce(1), root, "fz", numBuckets = 1)
+    var cur = stream.initialOffset()
+    var steps = 0
+    var progressed = true
+    while (progressed && steps < 10) {
+      val next = stream.latestOffset(cur, ReadLimit.maxRows(3))
+      progressed = next.asInstanceOf[graft.connector.RippleOffset].ends !=
+        cur.asInstanceOf[graft.connector.RippleOffset].ends
+      if (progressed) { cur = next; steps += 1 }
+    }
+    assert(cur.asInstanceOf[graft.connector.RippleOffset].ends == Map("b0000" -> 10L),
+      s"drain target must stay pinned at the 10 pre-pin rows: $cur")
+    assert(steps == 4, s"10 rows at cap 3 = 4 epochs (3+3+3+1), got $steps")
+    // a fresh (un-pinned) stream sees the live end
+    val live = new graft.connector.RippleMicroBatchStream(conf,
+      graft.model.Schemas.envelope)
+    assert(live.reportLatestOffset().asInstanceOf[graft.connector.RippleOffset]
+      .ends == Map("b0000" -> 15L))
+  }
+
   test("two streaming queries = two consumer IDs, each replays the full log (A7 fan-out)") {
     val root = tmp()
     Ripple.createTopic(root, "s3", numBuckets = 1)
