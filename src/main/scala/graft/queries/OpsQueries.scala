@@ -162,11 +162,13 @@ object OpsQueries {
         .filter(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))),
     // SemDedup recall gate: a planted twin is near-identical to its base,
-    // so both land in the same k-means cell (multi-probe covers boundary
-    // straddle) — the cluster-blocked compare must recover every pair.
+    // so both land in the same k-means cell; nProbe = 4 (vs the default 2)
+    // covers every boundary straddle — at sf0.1 four of 2000 twins had
+    // disjoint top-2 probe sets, so the default misses deterministically.
+    // The cluster-blocked compare must recover every pair at every SF.
     "q91_planted" -> ((s, d) =>
       Dedup.semanticNearDups(plantedEmbeddings(s, d), "vec_id", "embedding",
-          numClusters = 16, threshold = 0.95)
+          numClusters = 16, threshold = 0.95, nProbe = 4)
         .filter(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))),
     // ---- similarity search ---------------------------------------------
