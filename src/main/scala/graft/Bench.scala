@@ -193,19 +193,20 @@ object Bench {
       k.takeWhile(_ != '_') + (if (k.endsWith("_planted")) "p" else "")
     // The harness keeps only the LAST 2000 chars of stdout: a longer line
     // loses its head and stops parsing as JSON. Degrade per-query precision
-    // (3 → 2 decimals) before that happens; full fidelity is in the file.
-    def shortLine(prec: Double => Double): String = {
-      val qs = results.map { case (k, (v, _)) =>
-        "\"" + shortKey(k) + "\":" + prec(v) }.mkString("{", ",", "}")
+    // (3 → 2 decimals) before that happens, and as a last resort drop the
+    // per-query map entirely (headline metrics survive; the file has all
+    // detail). ONE template — the fallbacks only swap the queries field.
+    def shortLine(prec: Double => Double, queriesJson: Option[String] = None): String = {
+      val qs = queriesJson.getOrElse(results.map { case (k, (v, _)) =>
+        "\"" + shortKey(k) + "\":" + prec(v) }.mkString("{", ",", "}"))
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
-    val line = shortLine(r3)
-    val line2 = if (line.length <= 1950) line
-      else shortLine(v => math.rint(v * 100) / 100)
-    // last resort: a line the harness truncates is WORSE than one with no
-    // per-query map (headline metrics survive; detail is in the file)
-    println(if (line2.length <= 1950) line2
-      else s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":"omitted_see_detail","sf":"$sfDir","detail":"BENCH_FULL.json"}""")
+    val candidates = Iterator(
+      shortLine(r3),
+      shortLine(v => math.rint(v * 100) / 100),
+      shortLine(r3, Some("\"omitted_see_detail\"")))
+    println(candidates.find(_.length <= 1950).getOrElse(
+      shortLine(r3, Some("\"omitted_see_detail\""))))
     spark.stop()
   }
 }

@@ -110,19 +110,20 @@ object TokenBlocked {
   /** Single pass over the text: walk whitespace-delimited tokens, probe
     * the set with each token lowercased. Shared by eval and codegen.
     *
-    * Token boundaries are a SUPERSET of the pipeline's `\s+` tokenization:
-    * the Java-regex `\s` class PLUS `Character.isWhitespace` PLUS U+00A0
-    * (no-break space, which isWhitespace excludes). For a blocklist,
-    * splitting on more boundaries only ADDS probe tokens — so this filter
-    * detects at least everything the shared tokenization would, and also
-    * catches the classic evasion of hiding a bad word behind a Unicode
-    * space ("badword next" must still probe "badword"). The extra
-    * boundaries cannot desync the q101 oracle on ASCII fixtures, where
-    * the two boundary sets coincide.
+    * Token boundaries: the Java-regex `\s` class (so the ASCII range
+    * behaves EXACTLY like the pipeline's `\s+` tokenization and the q101
+    * oracle -- note `Character.isWhitespace` would NOT: it also accepts
+    * U+001C-U+001F, which `\s` and DuckDB keep inside tokens) PLUS the
+    * Unicode space/line/paragraph separators (`Character.isSpaceChar`:
+    * U+00A0, U+2000-200A, U+2028/29, U+202F, U+3000, ...). For a
+    * blocklist, extra boundaries only ADD probe tokens, closing the
+    * hide-a-bad-word-behind-a-Unicode-space evasion. Documented trade:
+    * a blocklist ENTRY containing such a separator can never match --
+    * entries are single tokens by contract.
     */
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 11.toChar || c == '\f' ||
-      c == '\r' || c == 160.toChar || Character.isWhitespace(c)
+      c == '\r' || Character.isSpaceChar(c)
 
   def anyBlocked(text: String, set: java.util.HashSet[String]): Boolean = {
     val n = text.length

@@ -574,19 +574,41 @@ object Dedup {
     // Positions are UNIQUE per doc (posexplode indices; dupGrams is one
     // row per gram key), so n_dup_grams is a plain count and the covered-
     // token union of the [pos, pos+n-1] intervals is a sorted-gap sum:
-    // Σ min(next−cur, n) + n. One plain aggregation — no ×n tokpos
-    // explode, no Expand-doubled double countDistinct shuffle.
-    val perDocDup = dupPos
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_dup_grams"),
+    // n + Σ min(next−cur, n). No ×n tokpos explode, no Expand-doubled
+    // double countDistinct shuffle — and the aggregation is TWO-level so
+    // per-group state stays bounded: positions bucket by pos div 8192
+    // first (each collect_list holds ≤ 8192 ints), then the per-doc merge
+    // sees one summary row per bucket (a 100M-token boilerplate document
+    // is ~12k bucket rows, never one giant position array). Buckets
+    // partition the sorted order, so the global gap sum = within-bucket
+    // sums + cross-boundary gaps min(nextBucket.min − bucket.max, n).
+    val gapSum = (ps: Column) => aggregate(
+      zip_with(
+        slice(ps, lit(1), size(ps) - 1),
+        slice(ps, lit(2), size(ps) - 1),
+        (a, b) => least(b - a, lit(n))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val buckets = dupPos
+      .groupBy(col("id"), expr("pos div 8192").as("b"))
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("minp"),
+        max(col("pos")).as("maxp"),
         sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), col("b"), col("cnt"), col("minp"), col("maxp"),
+        gapSum(col("ps")).as("inner"))
+    val perDocDup = buckets
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_dup_grams"),
+        sort_array(collect_list(struct(col("b"), col("minp"), col("maxp"),
+          col("inner")))).as("bs"))
       .select(col("id"), col("n_dup_grams"),
-        aggregate(
-          zip_with(
-            slice(col("ps"), lit(1), size(col("ps")) - 1),
-            slice(col("ps"), lit(2), size(col("ps")) - 1),
-            (a, b) => least(b - a, lit(n))),
-          lit(n.toLong), (acc, x) => acc + x.cast("long")).as("covered_tokens"))
+        (aggregate(col("bs"), lit(n.toLong),
+            (acc, x) => acc + x.getField("inner").cast("long")) +
+          aggregate(
+            zip_with(
+              slice(col("bs"), lit(1), size(col("bs")) - 1),
+              slice(col("bs"), lit(2), size(col("bs")) - 1),
+              (u, v) => least(v.getField("minp") - u.getField("maxp"), lit(n))),
+            lit(0L), (acc, x) => acc + x.cast("long"))).as("covered_tokens"))
     val result = grams.select(col("id"), col("n_tokens"),
         size(col("gh")).cast("long").as("n_grams"))
       .join(perDocDup, Seq("id"), "left")

@@ -129,7 +129,7 @@ object OpsQueries {
       // (latent on the >= 48-char fixtures; explicit so a fixture change
       // can't flip the gate)
       val eligible = docs(s, d)
-        .filter(size(split(trim(col("text")), "\\s+")) >= 6)
+        .filter(TextAnalysis.tokenCount(col("text")) >= 6)
         .select(col("doc_id").as("id_a"))
       Dedup.minhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
           threshold = 0.5)

@@ -71,18 +71,22 @@ object Relational {
     // them), but in a merged timeline a null-time right row would sort
     // FIRST (asc = NULLS FIRST) and be carried forward as a bogus "latest"
     // match, and null keys from both sides would meet in the null
-    // partition — filter both sides up front instead.
+    // partition — filter both sides up front. The filter runs on the CAST
+    // time (the actual sort key): a string time that fails the timestamp
+    // cast is null in the ordering even though the raw column isn't.
     // Right rows sort BEFORE left rows at equal time (kind 0 < 1) — the
     // inclusive `<=` of the as-of contract.
     val rRows = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .filter(col(rightKey).isNotNull &&
+        col(rightTime).cast("timestamp").isNotNull)
       .select(
         Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
           lit(0).as("__kind"), lit(null).cast(lType).as("__l"),
           struct(right.columns.map(col): _*).as("__r")) ++
           rightTieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
     val lRows = left
-      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .filter(col(leftKey).isNotNull &&
+        col(leftTime).cast("timestamp").isNotNull)
       .select(
         Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
           lit(1).as("__kind"), struct(left.columns.map(col): _*).as("__l"),
