@@ -540,7 +540,16 @@ object Dedup {
     * Grams travel as xxhash64 keys: the gram string never leaves the scan
     * stage (the key is internal — it joins frequency back to positions and
     * is never output), so the shuffle carries 8 bytes per gram instead of
-    * ~n words of text, and the cached projection below stays narrow. The
+    * ~n words of text, and the cached projection below stays narrow.
+    * COLLISION CONTRACT: two distinct grams colliding on 64 bits would be
+    * (mis)counted as one gram; at 100 TB (~10^12 distinct grams) the
+    * birthday expectation is ~10^4 collided pairs out of 10^12 — a
+    * duplicate-coverage signal perturbation of ~10^-8, far below the
+    * thresholds any curation rule applies to `dup_coverage`. The q74
+    * oracle compares string grams, so its agreement with this keyed
+    * pipeline is probabilistic with the same negligible bound (no
+    * collision fits in any test corpus: ~10^5 grams → p < 10^-9).
+    * The
     * narrow (id, n_tokens, gh) frame is cached because THREE branches
     * (positions, frequencies, per-doc totals) read it — uncached, the
     * string gram construction re-evaluates per branch (the same fix as
@@ -577,24 +586,33 @@ object Dedup {
     // n + Σ min(next−cur, n). No ×n tokpos explode, no Expand-doubled
     // double countDistinct shuffle — and the aggregation is TWO-level so
     // per-group state stays bounded: positions bucket by pos div 8192
-    // first (each collect_list holds ≤ 8192 ints), then the per-doc merge
-    // sees one summary row per bucket (a 100M-token boilerplate document
-    // is ~12k bucket rows, never one giant position array). Buckets
-    // partition the sorted order, so the global gap sum = within-bucket
-    // sums + cross-boundary gaps min(nextBucket.min − bucket.max, n).
-    val gapSum = (ps: Column) => aggregate(
-      zip_with(
-        slice(ps, lit(1), size(ps) - 1),
-        slice(ps, lit(2), size(ps) - 1),
-        (a, b) => least(b - a, lit(n))),
-      lit(0L), (acc, x) => acc + x.cast("long"))
+    // first, then the per-doc merge sees one summary row per bucket (a
+    // 100M-token boilerplate document is ~12k bucket rows, never one
+    // giant position array). Buckets partition the sorted order, so the
+    // global gap sum = within-bucket sums + cross-boundary gaps
+    // min(nextBucket.min − bucket.max, n).
+    //
+    // The within-bucket gap sum is a streaming `lag` window, NOT a
+    // collect_list+sort_array: the window's Tungsten sort is external
+    // (spills, never holds a position array on the heap), its output
+    // keeps the (id, b) hash-partitioning so the groupBy below needs no
+    // second Exchange, and per-row state is one previous position. (The
+    // round-5 collect_list form paid two array builds + in-memory sorts
+    // and doubled q74's bench time; this is the round-6 fused rework.)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"), col("b")).orderBy(col("pos"))
     val buckets = dupPos
-      .groupBy(col("id"), expr("pos div 8192").as("b"))
+      .withColumn("b", expr("pos div 8192"))
+      .withColumn("prev", lag(col("pos"), 1).over(wb))
+      .groupBy(col("id"), col("b"))
       .agg(count(lit(1)).as("cnt"), min(col("pos")).as("minp"),
         max(col("pos")).as("maxp"),
-        sort_array(collect_list(col("pos"))).as("ps"))
-      .select(col("id"), col("b"), col("cnt"), col("minp"), col("maxp"),
-        gapSum(col("ps")).as("inner"))
+        // NB: Spark `least` SKIPS nulls (least(null, n) = n), so the
+        // first row of each bucket needs the explicit isNotNull guard or
+        // it would contribute a phantom gap of n.
+        coalesce(sum(when(col("prev").isNotNull,
+            least(col("pos") - col("prev"), lit(n)))), lit(0L))
+          .cast("long").as("inner"))
     val perDocDup = buckets
       .groupBy(col("id"))
       .agg(sum(col("cnt")).as("n_dup_grams"),
