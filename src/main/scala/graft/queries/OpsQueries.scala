@@ -57,6 +57,23 @@ object OpsQueries {
     base.unionAll(pert)
   }
 
+  /** Portable PQ codebook for q107: entry (j, c, i) = the first 60 bits
+    * of md5("pq<j>_<c>_<i>") mapped to [-1, 1). MessageDigest here, Spark
+    * `md5`, and DuckDB `md5` all produce the same lowercase-hex digest;
+    * long→double conversion and the exact power-of-two scale (2^59) are
+    * IEEE-identical in both engines, so the oracle rebuilds these exact
+    * doubles in SQL. m=8 subspaces × ksub=16 centroids × dsub=8 dims
+    * matches the q79/q83/q95 configuration.
+    */
+  lazy val portablePqCodebooks: Array[Array[Array[Double]]] =
+    Array.tabulate(8, 16, 8) { (j, c, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pq${j}_${c}_$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) /
+        576460752303423488.0 - 1.0 // 2^59
+    }
+
   private val plantedSql =
     """SELECT doc_id, source, text FROM documents
       |UNION ALL
@@ -247,6 +264,39 @@ object OpsQueries {
         "vec_id", "embedding", k = 5, dim = 64, numCentroids = 16,
         nProbe = 4, m = 8, ksub = 16, trainFraction = 0.25, refine = 4)
     }),
+    // IVF-PQ self-recovery contract — the q106 invariant driven through
+    // the FUSED index: a corpus vector probed through IVF-PQ must find
+    // itself at rank 1, because its top-1 probe cell is its assignment
+    // cell, its residual ADC self-distance is the (small) quantization
+    // error, and the exact-cosine refine pass puts the identical vector
+    // first whenever ADC keeps it among the k·refine candidates. refine=8
+    // gives the ADC stage 8 candidate slots for a k=1 answer — margin
+    // verified empirically at sf0.001/0.01/0.1 (deterministic pipeline:
+    // green locally = green at the gate). Exercises coarse train → assign
+    // → residual PQ train → encode → probe → ADC → refine end to end.
+    "q95_planted" -> ((s, d) => {
+      val corpus = emb(s, d)
+      val probe = corpus.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfPqTopK(corpus, probe, "vec_id", "embedding", k = 1,
+          dim = 64, numCentroids = 16, nProbe = 1, m = 8, ksub = 16,
+          trainFraction = 0.25, refine = 8)
+        .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
+          col("rank"))
+    }),
+    // PQ encode against the PORTABLE md5-seeded codebook: every 4-bit code
+    // is recomputed independently by DuckDB (argmin over 16 centroids per
+    // subspace, same left-fold double arithmetic), so the encode kernel —
+    // the byte layout a 100 TB PQ index stores — is gated cell-by-cell,
+    // not via recall. Same trick as q56's portable hash family: seed the
+    // sketch from md5 both engines compute identically, then the whole
+    // pipeline replays in SQL.
+    "q107_pq_codes" -> ((s, d) =>
+      Similarity.pqEncode(emb(s, d), "vec_id", "embedding",
+          portablePqCodebooks)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          col("code").cast("long").as("code"))),
     // BM25 full-text retrieval: the lexical face of similarity search —
     // five fixed keyword queries against the document corpus, scored with
     // Lucene-shaped BM25, per-doc sums decimal-accumulated so ranks and
@@ -754,6 +804,41 @@ object OpsQueries {
     "q106_ann_self" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q95_planted" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // q107: replay the PQ encode exactly — unit-normalize (left-fold
+    // sum-of-squares, same order as Spark's aggregate()), rebuild each
+    // md5-seeded centroid component, accumulate the per-subspace squared
+    // distance as the same left fold over i, argmin with ties to the
+    // smallest code (PqEncode's strict `<`).
+    "q107_pq_codes" -> """
+      |WITH u AS (
+      |  SELECT vec_id,
+      |    CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS u
+      |  FROM (
+      |    SELECT vec_id, e,
+      |      sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+      |    FROM (SELECT vec_id,
+      |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |          FROM embeddings))),
+      |dist AS (
+      |  SELECT u.vec_id, g.j, g.c,
+      |    list_reduce(list_transform(range(1, 9), i ->
+      |      (u.u[CAST(g.j * 8 + i AS INT)]
+      |        - (('0x' || substr(md5('pq' || g.j || '_' || g.c || '_' || (i - 1)), 1, 15))::BIGINT
+      |           / 576460752303423488.0 - 1.0)) *
+      |      (u.u[CAST(g.j * 8 + i AS INT)]
+      |        - (('0x' || substr(md5('pq' || g.j || '_' || g.c || '_' || (i - 1)), 1, 15))::BIGINT
+      |           / 576460752303423488.0 - 1.0))),
+      |      (a, b) -> a + b) AS d
+      |  FROM u, (SELECT j, c FROM range(0, 8) t1(j), range(0, 16) t2(c)) g),
+      |best AS (
+      |  SELECT vec_id, j, c,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+      |  FROM dist)
+      |SELECT vec_id, j, c AS code FROM best WHERE rn = 1
+      |""".stripMargin,
     "q91_planted" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     // ---- multimodal decode oracles --------------------------------------

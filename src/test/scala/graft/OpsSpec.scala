@@ -635,6 +635,38 @@ class OpsSpec extends AnyFunSuite {
     assert(byId.values.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
   }
 
+  test("portable PQ codebook: driver-side md5 matches Spark's md5 expression") {
+    // q107's oracle assumes MessageDigest("MD5") + %02x formatting equals
+    // the md5() both engines expose; cross-check against Spark's for a
+    // sample of (j, c, i) cells, including the exact [-1,1) mapping.
+    import spark.implicits._
+    val cells = for (j <- Seq(0, 7); c <- Seq(0, 15); i <- Seq(0, 7))
+      yield (j, c, i)
+    val viaSpark = cells.toDF("j", "c", "i")
+      .select(col("j"), col("c"), col("i"),
+        (conv(substring(md5(concat(lit("pq"), col("j"), lit("_"), col("c"),
+            lit("_"), col("i"))), 1, 15), 16, 10).cast("long") /
+          lit(576460752303423488.0) - 1.0).as("w"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    cells.foreach { case (j, c, i) =>
+      assert(graft.queries.OpsQueries.portablePqCodebooks(j)(c)(i) == viaSpark((j, c, i)),
+        s"codebook cell ($j,$c,$i) differs from Spark md5")
+    }
+  }
+
+  test("IVF-PQ self-recovery: every probed corpus vector finds itself at rank 1") {
+    val corpus = emb
+    val probe = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val got = Similarity.ivfPqTopK(corpus, probe, "vec_id", "embedding",
+        k = 1, dim = 64, numCentroids = 16, nProbe = 1, m = 8, ksub = 16,
+        trainFraction = 0.25, refine = 8)
+      .collect().map(r => r.getLong(0) - 5000000L -> r.getLong(1)).toMap
+    assert(got.size == 20 && got.forall { case (q, v) => q == v },
+      s"self-recovery failed for ${got.filter { case (q, v) => q != v }}")
+  }
+
   test("int8 quantization: codes in range, reconstruction within one step") {
     val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
     val joined = q.join(
