@@ -33,6 +33,23 @@ object BenchStream {
     * rate-capped ~16-epoch drain the latency stats come from (small-batch
     * rates are dominated by Spark's fixed per-epoch cost — state-store
     * commit + offset log — which is exactly what epoch_ms reports).
+    *
+    * EPOCH-COST DIAGNOSIS (round 6, SPARK_GRAFT_STREAM_DEBUG=1 profile):
+    * per-epoch `durationMs` at 32 shuffle partitions — latestOffset 1 ms,
+    * getBatch 0.3 ms, walCommit 41 ms, commitOffsets 48 ms, addBatch
+    * ~730 ms. The connector's polling (manifest reads in `sizes()` /
+    * segment listing in `planInputPartitions`) is the 1 ms — NOT the
+    * bottleneck; addBatch is, and inside it the stateful window agg's 32
+    * HDFS-backed state-store instances pay ~200 ms of update+commit EACH
+    * per epoch for a state of ~250 rows. Fix: the stream section
+    * right-sizes `spark.sql.shuffle.partitions` (4) before starting the
+    * query — state-store count is pinned per checkpoint at query start,
+    * so this is exactly where partition sizing belongs. Measured: 32
+    * partitions → 1.8-7k rows/s capped, 3.4 s worst epoch; 4 partitions →
+    * ~12.8k rows/s, 450 ms avg epoch. At a real 100 TB deployment the
+    * state is millions of windows and hundreds of partitions is correct;
+    * for a 6k-row micro-batch holding 250 state rows it was pure
+    * per-instance overhead.
     */
   case class StreamStats(rows: Long, produceSec: Double, consumeSec: Double,
       cappedSec: Double, epochs: Int, epochMsAvg: Double, epochMsMax: Double) {
@@ -94,9 +111,23 @@ object BenchStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // SPARK_GRAFT_STREAM_DEBUG=1: per-epoch phase breakdown (addBatch /
+      // getBatch / latestOffset / walCommit / commitOffsets / stateMemory)
+      // to stderr — the diagnosis loop for epoch-overhead questions.
+      if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1"))
+        q.recentProgress.foreach(p => System.err.println(s"[stream-epoch] ${p.json}"))
       ((System.nanoTime() - t1) / 1e9, q.recentProgress.filter(_.numInputRows > 0))
     }
-    val (cappedSec, eps) = consume(math.max(rows / targetEpochs, 1L))
+    // Right-size state partitioning for the stream's actual state (~250
+    // window rows): partitions are pinned into the checkpoint at query
+    // start, so set before and restore after (the batch bench and sf1
+    // probe must keep the session's 32).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(4, prevShuffle.toInt).toString)
+    val (cappedSec, eps) =
+      try consume(math.max(rows / targetEpochs, 1L))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val (consumeSec, _) = consume(Long.MaxValue)
 
     val durs = eps.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
