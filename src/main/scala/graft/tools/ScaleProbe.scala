@@ -44,8 +44,22 @@ object ScaleProbe {
   def probed(sf1Dir: String): Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q103_pagerank", "q32_asof_join", "q105_asof_merged", "q74_dup_spans",
     "q95_knn_ivfpq", "q99_salted_join", "q83_knn_pq_index",
-    "q85_html_extract", "q54_dedup_minhash", "q86_url_canonical"
+    "q85_html_extract", "q54_dedup_minhash", "q86_url_canonical",
+    "q96_bm25_topk", "q89_lm_score", "q102_corpus_report"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
+    // q68's operator under test is the iterative connected-components
+    // clustering; the gate feeds it blocked ngram-Jaccard pairs (quadratic
+    // per block BY DESIGN, for oracle exactness — the documented reason
+    // the probe excludes that generator). At scale the pair feed is
+    // MinHash banding, so the probe drives dupClusters through it — the
+    // deployment shape, same pattern as q91's scaled-cluster override.
+    ("q68_dup_clusters" -> ((s: SparkSession, d: String) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.ops.Dedup.dupClusters(
+        graft.ops.Dedup.minhashNearDups(graft.ops.Spread.toCores(docs),
+          "doc_id", "text", threshold = 0.5)
+          .select(col("id_a"), col("id_b")))
+    })) :+
     ("q91_semantic_dedup" -> ((s: SparkSession, d: String) => {
       // exact-path comparison against the dir the probe generated — NOT a
       // substring sniff (a path like /data/sf1-exp/sf0.1 must stay small)
@@ -76,6 +90,25 @@ object ScaleProbe {
       return 0.0
     val t0 = System.nanoTime()
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+
+    // Per-replica ID offsets assume base keys stay below the stride — a
+    // larger source dir would otherwise produce silent cross-replica ID
+    // collisions (and vec_id beyond 1e6 − (K−1)·stride would collide with
+    // the +1e6 planted-twin space), corrupting exactly the
+    // contamination-free property the dedup timings depend on. Fail loud.
+    def assertStride(table: String, idCol: String, stride: Long,
+        cap: Long = Long.MaxValue): Unit = {
+      val mx = spark.read.parquet(s"$src/$table.parquet")
+        .agg(max(col(idCol))).collect()(0).getLong(0)
+      require(mx < stride && mx + (K - 1) * stride < cap,
+        s"sf1 generation unsafe: max($table.$idCol) = $mx vs stride $stride" +
+          (if (cap != Long.MaxValue) s" / planted-twin cap $cap" else ""))
+    }
+    assertStride("documents", "doc_id", 100000L, cap = 1000000L)
+    assertStride("embeddings", "vec_id", 50000L, cap = 1000000L)
+    assertStride("orders", "o_orderkey", 10000000L)
+    assertStride("orders", "o_custkey", 100000L)
+    assertStride("lineitem", "l_orderkey", 10000000L)
 
     def replicate(table: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -109,6 +142,8 @@ object ScaleProbe {
       // table keeps the long — Relational.events' `ts div 1000` handles
       // either representation under the same session conf)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      assertStride("events", "event_id", 10000000L)
+      assertStride("events", "user_id", 100000L)
       val base = spark.read.parquet(s"$src/events.parquet")
       (0 until K).map { k =>
         base.withColumn("event_id", col("event_id") + k * 10000000L)

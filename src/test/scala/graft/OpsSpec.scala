@@ -635,6 +635,20 @@ class OpsSpec extends AnyFunSuite {
     assert(byId.values.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
   }
 
+  test("sf1 generation: stride guard passes on valid fixtures and produces 10x tables") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sf1-test").toString
+    val genSec = graft.tools.ScaleProbe.ensureSf1(spark, sf, out)
+    assert(genSec > 0.0, "fresh dir must generate, not hit the cache")
+    val baseDocs = docs.count()
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == baseDocs * 10)
+    // cross-replica contamination guard: doc_ids unique after offsetting
+    val ids = spark.read.parquet(s"$out/documents.parquet")
+      .select(col("doc_id")).distinct().count()
+    assert(ids == baseDocs * 10, "replica ID offsets must not collide")
+    // second call hits the versioned cache
+    assert(graft.tools.ScaleProbe.ensureSf1(spark, sf, out) == 0.0)
+  }
+
   test("portable PQ codebook: driver-side md5 matches Spark's md5 expression") {
     // q107's oracle assumes MessageDigest("MD5") + %02x formatting equals
     // the md5() both engines expose; cross-check against Spark's for a
