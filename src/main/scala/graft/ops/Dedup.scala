@@ -107,6 +107,19 @@ object Dedup {
     // the S-curve rule, so the candidate volume tracks what the caller
     // actually asked for (a fixed 16-band split of 64 hashes has its
     // midpoint at 0.5 regardless of threshold).
+    //
+    // COST OF THE DEFAULT (round-6 decision record): threshold-faithful
+    // banding is kept. Measured at sf0.1, threshold 0.7 (derived 8×8
+    // banding) and threshold 0.5 (derived 16×4, identical to the old
+    // fixed-16 default) run in the same time (1.69 s vs 1.72 s) — the
+    // round-5 bench delta attributed to this default was host variance
+    // plus the q54 gate's own threshold move (0.7 → 0.5 keeps more
+    // verified pairs). At high thresholds the derived banding picks
+    // FEWER, longer bands, which SHRINKS the candidate join; the knob to
+    // document is recall, not cost: recall at similarity s is
+    // 1 − (1 − s^r)^b, so the default's recall near the threshold follows
+    // the S-curve midpoint — callers wanting higher recall below the
+    // midpoint pass numBands explicitly (e.g. 16) and pay candidates.
     val bands = if (numBands > 0) numBands else lshParams(numHashes, threshold)._1
     val rowsPerBand = numHashes / bands
     val (as, bs) = hashParams(numHashes, seed).unzip

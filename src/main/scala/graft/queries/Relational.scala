@@ -62,6 +62,26 @@ object Relational {
   def asofMerged(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightTieBreak: Seq[String]): DataFrame = {
+    val (rRows, lRows, tbCols) = asofRows(left, leftKey, leftTime,
+      right, rightKey, rightTime, rightTieBreak)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy((Seq(col("__t"), col("__kind")) ++ tbCols.map(col)).map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rRows.unionAll(lRows)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1 && col("__m").isNotNull)
+      .select(col("__l.*"), col("__m.*"))
+  }
+
+  /** Shared merged-timeline row prep: right rows as (key, time, kind=0,
+    * null, payload, tieBreaks…), left rows as (key, time, kind=1, payload,
+    * null, null-tieBreaks…) — the null/cast rationale is in the comments
+    * inside.
+    */
+  private def asofRows(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTieBreak: Seq[String]): (DataFrame, DataFrame, Seq[String]) = {
+    requireAsofSafe(left, right)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val tbTypes = rightTieBreak.map(c => right.schema(c).dataType)
@@ -92,11 +112,72 @@ object Relational {
           lit(1).as("__kind"), struct(left.columns.map(col): _*).as("__l"),
           lit(null).cast(rType).as("__r")) ++
           tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") }: _*)
-    val w = Window.partitionBy(col("__k"))
+    (rRows, lRows, tbCols)
+  }
+
+  /** Guard for the merged as-of forms: the internal scratch names must not
+    * collide with input columns (a left `__k` would be silently shadowed),
+    * and the output flattens BOTH sides, so shared left/right names would
+    * produce ambiguous duplicate columns — rename before calling.
+    */
+  private def requireAsofSafe(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = Set("__k", "__t", "__kind", "__l", "__r", "__m", "__b",
+      "__cin")
+    val clash = (left.columns ++ right.columns).distinct
+      .filter(c => reserved.contains(c) || c.startsWith("__tb"))
+    require(clash.isEmpty,
+      s"asofMerged reserves internal column names; rename: ${clash.mkString(", ")}")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      "asofMerged flattens both sides into one row; shared column names " +
+        s"would be ambiguous duplicates — rename on one side: ${dup.mkString(", ")}")
+  }
+
+  /** [[asofMerged]] with a time-bucketed two-pass plan for PATHOLOGICAL
+    * hot keys: `asofMerged` puts each key's whole timeline in ONE window
+    * partition, so a single key holding 10^8 rows serializes in one task.
+    * Here rows split into tumbling `bucketInterval` buckets and the window
+    * partitions by (key, bucket) — the hot key becomes #buckets parallel
+    * tasks. The as-of carry across bucket boundaries is recovered from a
+    * per-(key, bucket) summary table (the latest right row per bucket,
+    * `max` over the (time, tieBreak…) struct = the sort order's last),
+    * run through a tiny per-key running-`last` window (one row per
+    * occupied bucket) and joined back on (key, bucket) — where the
+    * preceding shuffle already co-located the rows.
+    *
+    * Same contract and output as [[asofMerged]]; strictly more plan (one
+    * extra aggregation + small join), so reach for it when a key's
+    * per-interval row count is bounded but its total isn't. The interval
+    * is data-dependent: pick one holding per-task rows ≲ 10^6.
+    */
+  def asofMergedBucketed(left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTieBreak: Seq[String], bucketInterval: String): DataFrame = {
+    val (rRows, lRows, tbCols) = asofRows(left, leftKey, leftTime,
+      right, rightKey, rightTime, rightTieBreak)
+    val base = rRows.unionAll(lRows)
+      .withColumn("__b", window(col("__t"), bucketInterval).getField("start"))
+    // latest right row per occupied (key, bucket): max over the struct
+    // whose leading fields are the within-bucket sort key
+    val lastPerBucket = base.filter(col("__kind") === 0)
+      .groupBy(col("__k"), col("__b"))
+      .agg(max(struct((Seq(col("__t")) ++ tbCols.map(col) :+ col("__r")): _*))
+        .as("__mx"))
+    // carry = latest right in any EARLIER bucket, spread across every
+    // occupied bucket (left-only buckets included via the spine)
+    val spine = base.select(col("__k"), col("__b")).distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = spine.join(lastPerBucket, Seq("__k", "__b"), "left")
+      .withColumn("__cin",
+        last(col("__mx"), ignoreNulls = true).over(wCarry).getField("__r"))
+      .select(col("__k"), col("__b"), col("__cin"))
+    val wIn = Window.partitionBy(col("__k"), col("__b"))
       .orderBy((Seq(col("__t"), col("__kind")) ++ tbCols.map(col)).map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rRows.unionAll(lRows)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    base.join(carried, Seq("__k", "__b"))
+      .withColumn("__m",
+        coalesce(last(col("__r"), ignoreNulls = true).over(wIn), col("__cin")))
       .filter(col("__kind") === 1 && col("__m").isNotNull)
       .select(col("__l.*"), col("__m.*"))
   }

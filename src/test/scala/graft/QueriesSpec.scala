@@ -83,6 +83,70 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("asofMergedBucketed == asofMerged, and a hot key spreads over >1 window partition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ONE power key holding every row — the shape that serializes
+    // asofMerged into a single task — spanning 50 hours so hourly
+    // bucketing must split it, with right rows sparse (some buckets hold
+    // none: the carry must cross empty-right buckets correctly)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min.toLong))
+    val rnd = new scala.util.Random(11)
+    val orders = (0 until 200).map { i =>
+      (i.toLong, 7L, ts(rnd.nextInt(3000)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val events = (0 until 5000).map { i =>
+      (7L, ts(rnd.nextInt(3000)), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+
+    val plain = graft.queries.Relational.asofMerged(
+        events, "user_id", "ts", orders, "o_custkey", "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"))
+      .select($"event_id", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = graft.queries.Relational.asofMergedBucketed(
+        events, "user_id", "ts", orders, "o_custkey", "o_orderdate",
+        rightTieBreak = Seq("o_orderkey"), bucketInterval = "1 hour")
+    val got = bucketed.select($"event_id", $"o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == plain,
+      s"bucketed diverged (only-bucketed=${(got -- plain).take(3)}, " +
+        s"only-plain=${(plain -- got).take(3)})")
+    // the hot key's rows really occupy many (key, bucket) partitions …
+    val nBuckets = events.select(window($"ts", "1 hour").getField("start"))
+      .distinct().count()
+    assert(nBuckets > 10, s"fixture spans only $nBuckets buckets")
+    // … and the main window physically partitions by BOTH key and bucket
+    // (the hot key = nBuckets parallel tasks, not one)
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(planStr.contains("windowspecdefinition(__k#") ||
+      planStr.contains("partitionspec"), "expected a Window in the plan")
+    assert("windowspecdefinition\\(__k#\\d+L?, __b#\\d+".r
+        .findFirstIn(planStr).isDefined,
+      "inner as-of window must partition by (__k, __b)")
+  }
+
+  test("asofMerged rejects reserved and overlapping column names") {
+    import spark.implicits._
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x"))
+      .toDF("k", "t", "payload")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L))
+      .toDF("k2", "t2", "tb")
+    // reserved internal name on either side
+    val badL = l.withColumnRenamed("payload", "__kind")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.queries.Relational.asofMerged(badL, "k", "t", r, "k2", "t2", Seq("tb"))
+    }
+    assert(e1.getMessage.contains("__kind"))
+    // shared left/right name would flatten into duplicate output columns
+    val badR = r.withColumnRenamed("tb", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.queries.Relational.asofMerged(l, "k", "t", badR, "k2", "t2", Seq("payload"))
+    }
+    assert(e2.getMessage.contains("payload"))
+  }
+
   test("q01 aggregate values are sane") {
     val row = SparkEntry.queries("q01_agg")(spark, sf)
       .filter("l_returnflag = 'A'").collect()
