@@ -211,8 +211,15 @@ object Bench {
       shortLine(r3),
       shortLine(v => math.rint(v * 100) / 100),
       shortLine(r3, Some("\"omitted_see_detail\"")))
-    println(candidates.find(_.length <= 1950).getOrElse(
-      shortLine(r3, Some("\"omitted_see_detail\""))))
+    val line = candidates.find(_.length <= 1950).getOrElse(
+      shortLine(r3, Some("\"omitted_see_detail\"")))
+    // The same line also lands in a FILE: stdout passes through sbt (whose
+    // [success] epilogue still trails the run even with the raw
+    // outputStrategy), so a tail-parser has to scan backwards for the
+    // first parseable line — BENCH_LINE.json is the scan-free copy.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LINE.json"),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

@@ -115,7 +115,9 @@ object TokenBlocked {
     * oracle -- note `Character.isWhitespace` would NOT: it also accepts
     * U+001C-U+001F, which `\s` and DuckDB keep inside tokens) PLUS the
     * Unicode space/line/paragraph separators (`Character.isSpaceChar`:
-    * U+00A0, U+2000-200A, U+2028/29, U+202F, U+3000, ...). For a
+    * U+00A0, U+2000-200A, U+2028/29, U+202F, U+3000, ... = the Z*
+    * categories, which the q101 oracle mirrors as RE2 `[\s\p{Z}]+` so
+    * both engines tokenize identically even on exotic fixtures). For a
     * blocklist, extra boundaries only ADD probe tokens, closing the
     * hide-a-bad-word-behind-a-Unicode-space evasion. Documented trade:
     * a blocklist ENTRY containing such a separator can never match --

@@ -1310,10 +1310,14 @@ object OpsQueries {
         |  count(1) - count(DISTINCT fp) AS n_dup_docs,
         |  CAST(sum(keep) AS BIGINT) AS n_quality_keep
         |FROM m GROUP BY source""".stripMargin,
+    // tokenizer parity with TokenBlocked.isWs: \s PLUS the Unicode
+    // space/line/paragraph separators (Character.isSpaceChar = \p{Z}) —
+    // without \p{Z} a fixture doc hiding a blocked term behind U+00A0 or
+    // U+2000-200A would flag in Spark but not here
     "q101_term_blocklist" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN len(list_filter(
-        |    string_split_regex(lower(trim(t)), '\s+'),
+        |    string_split_regex(lower(trim(t)), '[\s\p{Z}]+'),
         |    tok -> list_contains(['badword1','spamword','neverpresent'], tok)))
         |    > 0 THEN 1 ELSE 0 END AS BIGINT) AS blocked_flag
         |FROM (SELECT doc_id,

@@ -76,12 +76,18 @@ class PropertySpec extends AnyFunSuite {
     val genText = for {
       n <- Gen.choose(0, 12)
       ws <- Gen.listOfN(n, vocab)
-      sep <- Gen.listOfN(math.max(n - 1, 0) + 2, Gen.oneOf(" ", "  ", "\t", "\n"))
+      // separators include the Unicode Z* class TokenBlocked.isWs accepts
+      // (NBSP, en-space, line/para separators, ideographic space) — the
+      // q101 oracle mirrors them as RE2 [\s\p{Z}]+
+      sep <- Gen.listOfN(math.max(n - 1, 0) + 2, Gen.oneOf(" ", "  ", "\t",
+        "\n", "\u00a0", "\u2003", "\u2028", "\u2029", "\u3000"))
     } yield sep.head + ws.zip(sep.tail).map { case (w, s) => w + s }.mkString
     val set = new java.util.HashSet[String]()
     Seq("blocked", "spam").foreach(set.add)
     check(Prop.forAll(genText) { text =>
-      val naive = text.trim.split("\\s+").filter(_.nonEmpty)
+      // independent reference: the regex engine's \s + \p{javaSpaceChar}
+      // (== Character.isSpaceChar) vs TokenBlocked's hand-rolled walk
+      val naive = text.split("[\\s\\p{javaSpaceChar}]+").filter(_.nonEmpty)
         .exists(t => set.contains(t.toLowerCase(java.util.Locale.ROOT)))
       graft.functions.TokenBlocked.anyBlocked(text, set) == naive
     })
