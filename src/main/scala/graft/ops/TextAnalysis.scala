@@ -118,10 +118,11 @@ object TextAnalysis {
     * unlike [[fingerprint]]'s normalization. Horner scheme mod 2^31-1
     * (values stay < 2^36, legal under ANSI arithmetic).
     */
-  def rollingHash(text: Column): Column = {
+  def rollingHash(text: Column,
+      wordHash: Column => Column = w => xxhash64(w)): Column = {
     val m = lit(2147483647L)
     aggregate(words(text), lit(0L),
-      (acc, w) => pmod(acc * lit(31L) + pmod(xxhash64(w), m), m))
+      (acc, w) => pmod(acc * lit(31L) + pmod(wordHash(w), m), m))
   }
 
   /** Word n-gram shingles as space-joined strings (n >= 1). The shingle

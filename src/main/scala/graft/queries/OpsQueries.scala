@@ -97,13 +97,18 @@ object OpsQueries {
     "q51_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
-    // rolling hash + langid + quality: engine-specific hashes/heuristics →
-    // rows-only gate; value-checked in OpsSpec instead.
+    // rolling hash + langid + quality — a FULL oracle since round 6: the
+    // quality and langId formulas are engine-portable arithmetic, and the
+    // gate's rolling hash runs over the portable md5 60-bit word family
+    // (the q56 trick; the production default stays xxhash64), so DuckDB
+    // replays every output column exactly.
     "q52_text_scoring" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.rollingHash(col("text")).as("rhash"))),
+        TextAnalysis.rollingHash(col("text"),
+          w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+          .as("rhash"))),
     // ---- dedup ----------------------------------------------------------
     "q53_dedup_exact" -> ((s, d) => {
       // plant exact dups: two extra verbatim copies of every 10th doc
@@ -679,6 +684,25 @@ object OpsQueries {
         .withColumn("repetitive_flag",
           when(col("deflate_ratio") < 0.25, 1L).otherwise(0L))
     }),
+    // q93's contract twin (the q12 trick: approximation → oracle-checkable
+    // booleans): zlib byte counts stay engine-internal, but deflate MUST
+    // squeeze an 8×-repeated document below the 0.25 flag threshold
+    // (32 KB window ≫ fixture texts; measured 0.06-0.13) and MUST NOT
+    // squeeze prose that far (measured 0.40-0.91) — so the flag equals
+    // planted-ness and the ratio sits in (0, 1.05], both exactly
+    // predictable by the oracle.
+    "q108_deflate_contract" -> ((s, d) => {
+      val planted = docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat_ws(" ", Seq.fill(8)(col("text")): _*))
+          .otherwise(col("text")).as("t"))
+      planted
+        .select(col("doc_id"),
+          graft.functions.compress.deflate_ratio(col("t")).as("r"))
+        .select(col("doc_id"),
+          when(col("r") < 0.25, 1L).otherwise(0L).as("repetitive_flag"),
+          (col("r") > 0.0 && col("r") <= 1.05).as("ratio_in_band"))
+    }),
     // SemDedup: cluster-blocked cosine near-dup pairs over embeddings with
     // planted perturbed copies, resolved to keep-one clusters via
     // dupClusters. Cluster geometry is engine-internal → rows-only gate;
@@ -807,6 +831,12 @@ object OpsQueries {
     "q95_planted" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q108_deflate_contract" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS repetitive_flag,
+        |  true AS ratio_in_band
+        |FROM documents""".stripMargin,
     // q107: replay the PQ encode exactly — unit-normalize (left-fold
     // sum-of-squares, same order as Spark's aggregate()), rebuild each
     // md5-seeded centroid component, accumulate the per-subspace squared
@@ -937,6 +967,46 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // q52: replay quality (len/punct/stopword scores), langId (marker-hit
+    // argmax, ties to the lexicographically smallest language) and the
+    // portable-family rolling hash (Horner mod 2^31-1 over md5 60-bit word
+    // hashes; list_prepend(0) supplies Spark aggregate()'s zero seed).
+    "q52_text_scoring" -> """
+      |WITH t AS (SELECT doc_id, text,
+      |             string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |q AS (SELECT doc_id,
+      |    least(len(ws) / 64.0, 1.0) AS len_score,
+      |    1.0 - least((CAST(length(text) -
+      |        length(regexp_replace(text, '[.,!?;:''"()\[\]{}-]', '', 'g'))
+      |        AS DOUBLE) / greatest(length(text), 1)) * 5.0, 1.0) AS punct_score,
+      |    least((CAST(len(list_filter(ws,
+      |        w -> list_contains(['the','a','an','and','or','of','to','in','is',
+      |                            'are','was','for','on','with','as','by','at',
+      |                            'it','this','that'], lower(w)))) AS DOUBLE)
+      |      / greatest(len(ws), 1)) * 4.0, 1.0) AS sw_score
+      |  FROM t),
+      |sc AS (
+      |  SELECT t.doc_id, m.lang,
+      |    len(list_filter(list_transform(t.ws, w -> lower(w)),
+      |        w -> list_contains(m.markers, w))) AS score
+      |  FROM t, (VALUES ('en', ['the','and','of','to','is']),
+      |                  ('es', ['el','la','de','que','y']),
+      |                  ('fr', ['le','la','et','les','des']),
+      |                  ('de', ['der','die','und','das','ist']),
+      |                  ('zh', ['de5','shi4','le5','zai4','he2'])) AS m(lang, markers)),
+      |l AS (SELECT doc_id, lang FROM (
+      |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang ASC) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |r AS (SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT, list_transform(ws,
+      |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647)),
+      |      (a, b) -> (a * 31 + b) % 2147483647) AS rhash FROM t)
+      |SELECT q.doc_id,
+      |  round((len_score + punct_score + sw_score) / 3.0, 6) AS quality,
+      |  l.lang AS lang_pred, r.rhash
+      |FROM q JOIN l USING (doc_id) JOIN r USING (doc_id)
+      |""".stripMargin,
     "q53_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(1) AS n_copies
