@@ -197,4 +197,44 @@ object Bpe {
         }
       }
   }
+
+  case class EncodedContract(id: Long, n_words: Long, roundtrip_ok: Boolean,
+      bounds_ok: Boolean)
+
+  /** Oracle-checkable BPE encode invariants (the q12 contract trick for
+    * the one operator whose learned state is inherently engine-internal):
+    * per document, (a) decode∘encode is the identity — every word's
+    * tokens concatenate back to the word (plus the [[EndOfWord]] marker
+    * the symbolizer appends); (b) the token count is bounded by n_words
+    * below (≥1 token per word) and the total symbol count above
+    * (code points + one EOW per word — merges only ever shrink).
+    * n_words itself is exact and recomputed by the oracle, pinning the
+    * word-splitting convention.
+    */
+  def encodeContract(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Vocab): Dataset[EncodedContract] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        rows.map { case (id, text) =>
+          val words =
+            if (text == null) Array.empty[String]
+            else text.trim.split("\\s+").filter(_.nonEmpty)
+          var nTok = 0L
+          var nCp = 0L
+          var roundtrip = true
+          words.foreach { w =>
+            val toks = memo.getOrElseUpdate(w, encodeWord(w, vocab))
+            nTok += toks.length
+            nCp += w.codePointCount(0, w.length).toLong + 1L // + EOW
+            if (toks.mkString != w + EndOfWord) roundtrip = false
+          }
+          EncodedContract(id, words.length.toLong, roundtrip,
+            nTok >= words.length && nTok <= math.max(nCp, words.length))
+        }
+      }
+  }
 }

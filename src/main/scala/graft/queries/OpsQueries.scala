@@ -722,6 +722,17 @@ object OpsQueries {
       Bpe.encode(t, "doc_id", "text", vocab).toDF()
         .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"),
           concat_ws("|", col("tokens_head")).as("tokens_head"))
+    }),
+    // q90's contract twin: learned merges stay engine-internal, but the
+    // encode must round-trip every word and respect the token-count
+    // bounds, and n_words pins the word-splitting convention — all
+    // exactly predictable by the oracle (see [[Bpe.encodeContract]]).
+    "q109_bpe_contract" -> ((s, d) => {
+      val t = docs(s, d)
+      val vocab = Bpe.train(t, "text", numMerges = 40)
+      Bpe.encodeContract(t, "doc_id", "text", vocab).toDF()
+        .select(col("id").as("doc_id"), col("n_words"), col("roundtrip_ok"),
+          col("bounds_ok"))
     })
   )
 
@@ -836,6 +847,12 @@ object OpsQueries {
         |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
         |    AS repetitive_flag,
         |  true AS ratio_in_band
+        |FROM documents""".stripMargin,
+    "q109_bpe_contract" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> w != '')) AS BIGINT) AS n_words,
+        |  true AS roundtrip_ok, true AS bounds_ok
         |FROM documents""".stripMargin,
     // q107: replay the PQ encode exactly — unit-normalize (left-fold
     // sum-of-squares, same order as Spark's aggregate()), rebuild each
