@@ -570,7 +570,16 @@ object Dedup {
     * removes two of three scan-stage evaluations).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3): DataFrame =
+    dupSpanStatsImpl(df, idCol, textCol, n, checkpoint = true)
+
+  /** [[dupSpanStats]] with the final eager localCheckpoint optional:
+    * `checkpoint = false` keeps the full lazy plan (and leaves the shingle
+    * cache registered) so plan-shape tests can inspect the physical tree
+    * the checkpoint otherwise truncates to a LogicalRDD scan.
+    */
+  private[graft] def dupSpanStatsImpl(df: DataFrame, idCol: String,
+      textCol: String, n: Int, checkpoint: Boolean): DataFrame = {
     val in = Spread.toCores(df)
     val ws = TextAnalysis.words(col(textCol))
     val grams = in.select(col(idCol).cast("long").as("id"),
@@ -650,9 +659,12 @@ object Dedup {
           col("n_tokens").cast("double")).as("dup_coverage"))
     // eagerly materialize the per-doc (small) output, then release the
     // cache — same lifetime discipline as minhashNearDups
-    val out = result.localCheckpoint(eager = true)
-    grams.unpersist(blocking = false)
-    out
+    if (!checkpoint) result
+    else {
+      val out = result.localCheckpoint(eager = true)
+      grams.unpersist(blocking = false)
+      out
+    }
   }
 
   // ---- SimHash -------------------------------------------------------

@@ -622,6 +622,37 @@ class OpsSpec extends AnyFunSuite {
       s"z-order must narrow dim2 (got ${meanSpanFrac(zPath, "l_partkey")})")
   }
 
+  test("dup span coverage plan: bucket groupBy reuses the window's partitioning") {
+    // The round-6 rework's claim: the lag() window shuffles dupPos once on
+    // (id, bucket) and the bucket-level HashAggregate consumes the window
+    // output WITHOUT a second Exchange. Walk the physical tree: from each
+    // aggregate, descend; if a Window lies below it, no shuffle may sit on
+    // the path (AQE keeps the property — assert on the pre-AQE sparkPlan
+    // for a deterministic tree).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    val stats = Dedup.dupSpanStatsImpl(planted, "doc_id", "text", n = 3,
+      checkpoint = false)
+    val plan = stats.queryExecution.sparkPlan
+    def pathToWindow(p: SparkPlan, sawExchange: Boolean): Option[Boolean] =
+      p match {
+        case _: WindowExec => Some(sawExchange)
+        case e: ShuffleExchangeLike =>
+          e.children.flatMap(pathToWindow(_, sawExchange = true)).headOption
+        case other =>
+          other.children.flatMap(pathToWindow(_, sawExchange)).headOption
+      }
+    val aggsOverWindow = plan.collect {
+      case a: BaseAggregateExec => pathToWindow(a, sawExchange = false)
+    }.flatten
+    assert(aggsOverWindow.nonEmpty, "expected an aggregate above the span window")
+    assert(aggsOverWindow.contains(false),
+      "no aggregate consumes the window's (id, bucket) partitioning directly " +
+        "— the fused-shuffle property regressed")
+  }
+
   test("dup span coverage: planted near-full duplicates score high, unique docs zero") {
     val stats = Dedup.dupSpanStats(planted, "doc_id", "text", n = 3)
     val byId = stats.collect().map(r => r.getLong(0) ->
