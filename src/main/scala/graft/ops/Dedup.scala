@@ -43,7 +43,9 @@ object Dedup {
     * the expressions stay legal under ANSI arithmetic (Spark 4 default).
     */
   private val P = 2147483647L // 2^31 - 1
-  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+  // private[graft]: the q54 exact oracle embeds the same (a, b) literals in
+  // its generated DuckDB SQL so both engines run the identical permutations.
+  private[graft] def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
   }
@@ -83,10 +85,11 @@ object Dedup {
     * signature slices. Two documents share a band key iff that band's
     * signature rows all collide — the classic S-curve knob.
     */
-  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+  def bandKeys(sig: Column, numBands: Int, rowsPerBand: Int,
+      hash64: Column => Column = xxhash64(_)): Column =
     array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
+        hash64(concat_ws(",",
           slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("bandHash"))
     }: _*)
 
@@ -99,10 +102,18 @@ object Dedup {
     * fetched once per side for verification. Shipping payloads through the
     * band join multiplies them by numBands × collisions and was measured
     * 50× slower at sf0.1.
+    *
+    * `hash64` is the shingle/band hash family: `xxhash64` (default —
+    * cheapest) for production, [[TextAnalysis.portableHash60]] for the q54
+    * exact cross-engine gate, where DuckDB replays the identical
+    * signatures, band keys and verification sets (shared collision
+    * behavior included — both engines hash the same strings with the same
+    * function, so a collision adds the same candidate on both sides).
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 0,
-      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.7, seed: Long = 42L,
+      hash64: Column => Column = xxhash64(_)): DataFrame = {
     // numBands = 0 (default): derive the banding from the threshold via
     // the S-curve rule, so the candidate volume tracks what the caller
     // actually asked for (a fixed 16-band split of 64 hashes has its
@@ -129,19 +140,19 @@ object Dedup {
     // (id, xxh: array<long>) projection is cached — the string shingle
     // arrays never leave the scan stage (they dominated the round-1 cache
     // footprint and its MEMORY_AND_DISK spill). Both downstream hash
-    // domains derive from xxh: the 31-bit minhash input is pmod(xxh, P)
-    // (identical to pmod(xxhash64(s), P)) and the verification sets are
-    // array_sort(xxh) (identical to the previous sort of xxhash64(s)).
+    // domains derive from xxh = hash64(shingle): the 31-bit minhash input
+    // is pmod(xxh, P) and the verification sets are array_sort(xxh).
     val base = in.select(col(idCol).as("id"),
         transform(TextAnalysis.shingles(col(textCol), shingleSize),
-          s => xxhash64(s)).as("xxh"))
+          s => hash64(s)).as("xxh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = transform(col("xxh"), h => pmod(h, lit(P)))
     val sig = graft.functions.sketches.minhash_sig(hashed, as.toArray, bs.toArray)
 
     val banded = base
       .withColumn("sig", sig)
-      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand, hash64)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bandHash"))
 
     val candidates = banded.as("a").join(banded.as("b"),
@@ -550,18 +561,20 @@ object Dedup {
     * before a per-doc distinct count — linear in duplicated volume, never
     * in pair count (contrast the O(pairs) verification of near-dup joins).
     *
-    * Grams travel as xxhash64 keys: the gram string never leaves the scan
-    * stage (the key is internal — it joins frequency back to positions and
-    * is never output), so the shuffle carries 8 bytes per gram instead of
-    * ~n words of text, and the cached projection below stays narrow.
+    * Grams travel as 64-bit `gramHash` keys (default `xxhash64`): the
+    * gram string never leaves the scan stage (the key is internal — it
+    * joins frequency back to positions and is never output), so the
+    * shuffle carries 8 bytes per gram instead of ~n words of text, and
+    * the cached projection below stays narrow.
     * COLLISION CONTRACT: two distinct grams colliding on 64 bits would be
     * (mis)counted as one gram; at 100 TB (~10^12 distinct grams) the
     * birthday expectation is ~10^4 collided pairs out of 10^12 — a
     * duplicate-coverage signal perturbation of ~10^-8, far below the
-    * thresholds any curation rule applies to `dup_coverage`. The q74
-    * oracle compares string grams, so its agreement with this keyed
-    * pipeline is probabilistic with the same negligible bound (no
-    * collision fits in any test corpus: ~10^5 grams → p < 10^-9).
+    * thresholds any curation rule applies to `dup_coverage`. The q74 gate
+    * runs this with [[TextAnalysis.portableHash60]] and the DuckDB oracle
+    * computes the SAME keys from the same gram strings, so the two engines
+    * share collision behavior exactly — the gate is deterministic, not
+    * probabilistic, while production keeps the cheaper xxhash64.
     * The
     * narrow (id, n_tokens, gh) frame is cached because THREE branches
     * (positions, frequencies, per-doc totals) read it — uncached, the
@@ -570,8 +583,9 @@ object Dedup {
     * removes two of three scan-stage evaluations).
     */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
-    dupSpanStatsImpl(df, idCol, textCol, n, checkpoint = true)
+      n: Int = 3,
+      gramHash: Column => Column = xxhash64(_)): DataFrame =
+    dupSpanStatsImpl(df, idCol, textCol, n, checkpoint = true, gramHash)
 
   /** [[dupSpanStats]] with the final eager localCheckpoint optional:
     * `checkpoint = false` keeps the full lazy plan (and leaves the shingle
@@ -579,7 +593,8 @@ object Dedup {
     * the checkpoint otherwise truncates to a LogicalRDD scan.
     */
   private[graft] def dupSpanStatsImpl(df: DataFrame, idCol: String,
-      textCol: String, n: Int, checkpoint: Boolean): DataFrame = {
+      textCol: String, n: Int, checkpoint: Boolean,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
     val in = Spread.toCores(df)
     val ws = TextAnalysis.words(col(textCol))
     val grams = in.select(col(idCol).cast("long").as("id"),
@@ -587,7 +602,7 @@ object Dedup {
         when(size(ws) >= n, transform(
             transform(sequence(lit(0), size(ws) - n),
               i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
-            g => xxhash64(g)))
+            g => gramHash(g)))
           .otherwise(array().cast("array<long>")).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pos = grams.select(col("id"), col("n_tokens"),
@@ -689,11 +704,19 @@ object Dedup {
   /** SimHash near-dups: band the 64-bit signature into 4×16-bit chunks —
     * any pair within hamming distance 3 shares at least one chunk
     * (pigeonhole) — then verify the full distance.
+    *
+    * `wordHash` is the per-word hash family: `xxhash64` (default) for
+    * production, [[TextAnalysis.portableHash60]] for the q56 exact gate —
+    * DuckDB then rebuilds every signature bit-for-bit (bits 60..63 vote
+    * all-negative on both engines, so they are 0 on both sides of every
+    * pair) and, banding being pigeonhole-complete for hamming <= 3, the
+    * oracle's all-pairs hamming filter is EXACTLY this function's output.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      wordHash: Column => Column = xxhash64(_)): DataFrame = {
     val t = Spread.toCores(df).select(col(idCol).as("id"),
-        transform(TextAnalysis.words(col(textCol)), w => xxhash64(w)).as("hs"))
+        transform(TextAnalysis.words(col(textCol)), w => wordHash(w)).as("hs"))
       .select(col("id"), simhashFromHashes(col("hs")).as("sig"))
     bandedHamming64Pairs(t, maxHamming)
   }

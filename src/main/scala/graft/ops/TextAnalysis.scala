@@ -14,6 +14,19 @@ object TextAnalysis {
   /** Words of a document: split on whitespace runs after trimming. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Portable 60-bit string hash: the first 15 hex digits of md5, read as
+    * an integer. Spark (`conv(substring(md5(s),1,15),16,10)`), DuckDB
+    * (`('0x'||substr(md5(s),1,15))::BIGINT`) and any engine with md5
+    * compute the identical non-negative long, so sketch pipelines built on
+    * it (SimHash bit votes, MinHash permutations, rolling hashes, gram
+    * keys) replay bit-for-bit in plain SQL — the hash family the exact
+    * cross-engine gates run on. Production defaults stay `xxhash64`
+    * (one hash vs md5+hex-parse per element); the gates' md5 cost is paid
+    * only where cross-engine exactness is the point.
+    */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** C4-style quality thresholds — the ONE definition the q71 filter and
     * the corpus report both build from, so the published pass-rate can
     * never drift from the pipeline's actual keep decision.

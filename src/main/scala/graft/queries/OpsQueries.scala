@@ -117,28 +117,40 @@ object OpsQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
       Dedup.exactGroups(base.unionAll(copies), "doc_id", "text")
     }),
+    // FULL oracle since round 6: run over the portable md5 hash family
+    // (production default stays xxhash64) — DuckDB rebuilds the identical
+    // 64-permutation signatures (the (a,b) literals are embedded in the
+    // generated SQL), band keys and verification sets, so the entire
+    // LSH pipeline output is hash-compared, not just planted recall.
     "q54_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
-        threshold = 0.5)
+        threshold = 0.5, hash64 = TextAnalysis.portableHash60)
         .select(col("id_a"), col("id_b"))), // jaccard value checked in q55
     "q55_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         blockCol = col("source"), threshold = 0.5)),
+    // FULL oracle since round 6 (same portable-family move as q54): the
+    // oracle packs the 60 replayed signature bits into a BIGINT and
+    // filters ALL pairs by bit_count(xor) <= 3 — exactly this output,
+    // because 4x16 banding is pigeonhole-complete for hamming <= 3.
     "q56_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, wordHash = TextAnalysis.portableHash60)
         .select(col("id_a"), col("id_b"), col("hamming"))),
     "q57_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDups(plantedEmbeddings(s, d),
           "vec_id", "embedding", dim = 64, threshold = 0.95)
         .select(col("id_a"), col("id_b"))),
     // ---- planted-recall oracles (the *_planted family) -------------------
-    // q54/q56/q57/q91 are rows-only because their FULL output includes
-    // engine-internal sketch decisions. The planted perturbed copies,
-    // however, are deterministic on BOTH engines — so each sketch gets a
-    // second gate asserting zero planted misses, hash-compared against the
+    // q57/q91 are rows-only because their FULL output depends on float
+    // cosine internals. The planted perturbed copies, however, are
+    // deterministic on BOTH engines — so each sketch gets a second gate
+    // asserting zero planted misses, hash-compared against the
     // DuckDB-computed expected pair set. A recall regression (banding bug,
     // hash drift, probe bug) now FAILS the gate instead of passing rows-only.
+    // (q54/q56 graduated to FULL oracles in round 6 via the portable hash
+    // family; q54_planted below still gates the PRODUCTION xxhash64
+    // family's recall, which the portable-family gate doesn't exercise.)
     //
     // MinHash recall gate: every planted pair with exact shingle-Jaccard
     // >= 0.8 (comfortably above the 0.5 S-curve midpoint of the 16x4
@@ -431,9 +443,13 @@ object OpsQueries {
     // duplicated-span coverage: fraction of each doc under word 3-grams
     // that also occur in other documents (the "duplicate text fraction"
     // curation signal — catches partial/boilerplate duplication that
-    // whole-document near-dup misses)
+    // whole-document near-dup misses). The gate keys grams with the
+    // portable md5 family and the oracle joins on the SAME keys, so both
+    // engines share 64-bit collision behavior exactly (production default
+    // stays xxhash64).
     "q74_dup_spans" -> ((s, d) =>
-      Dedup.dupSpanStats(docsWithPlantedDups(s, d), "doc_id", "text", n = 3)),
+      Dedup.dupSpanStats(docsWithPlantedDups(s, d), "doc_id", "text", n = 3,
+        gramHash = TextAnalysis.portableHash60)),
     // deterministic stratified sampling: per-source hash-sample fractions
     // (full src0, half src1, quarter src2, 10% elsewhere) — reproducible
     // and join-stable, unlike rand()
@@ -780,8 +796,80 @@ object OpsQueries {
       .format(j, j)
   }.mkString(",\n|  ")
 
+  /** q54 exact oracle: replay the ENTIRE MinHash-LSH pipeline in DuckDB
+    * over the portable md5 hash family — shingle 60-bit hashes, the same
+    * 64 (a·h+b) mod 2^31−1 permutations ([[graft.ops.Dedup.hashParams]]'
+    * literals are embedded below, so both engines run identical
+    * signatures), md5-keyed 16×4 band keys, band-collision candidates,
+    * and the exact hashed-shingle-set Jaccard ≥ 0.5 verification. Every
+    * hash is of the same string with the same function on both engines,
+    * so even 64-bit collisions produce the same candidate on both sides.
+    */
+  private def minhashOracleSql: String = {
+    val perms = graft.ops.Dedup.hashParams(64, 42L).zipWithIndex
+      .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""
+      |WITH planted AS ($plantedSql),
+      |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN list_distinct([array_to_string(ws, ' ')])
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh
+      |  FROM w),
+      |hs AS (SELECT doc_id,
+      |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      |  FROM sh),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+      |perm AS (SELECT * FROM (VALUES $perms) t(j, a, b)),
+      |sig AS (SELECT doc_id, j,
+      |    min((a * (h % 2147483647) + b) % 2147483647) AS v
+      |  FROM e CROSS JOIN perm GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, band,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS key
+      |  FROM (SELECT doc_id, j // 4 AS band,
+      |          string_agg(v::VARCHAR, ',' ORDER BY j) AS s
+      |        FROM sig GROUP BY doc_id, band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |v AS (SELECT c.id_a, c.id_b,
+      |    len(list_intersect(x.hs, y.hs)) AS i,
+      |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
+      |  FROM cand c JOIN hs x ON c.id_a = x.doc_id
+      |              JOIN hs y ON c.id_b = y.doc_id)
+      |SELECT id_a, id_b FROM v WHERE i::DOUBLE / u >= 0.5
+      |""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q103_pagerank" -> pageRankOracleSql(3),
+    "q54_dedup_minhash" -> minhashOracleSql,
+    // SimHash full oracle: rebuild every doc's 60 signature bits from the
+    // portable word hashes (q56_planted's machinery), pack them into a
+    // BIGINT (bits 60..63 are 0 on both engines — every word votes −1
+    // there), and keep ALL pairs at bit_count(xor) <= 3: pigeonhole-
+    // complete banding means that set IS simhashNearDups' output.
+    "q56_dedup_simhash" -> s"""
+      |WITH planted AS ($plantedSql),
+      |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |hh AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+      |       FROM (SELECT doc_id, unnest(ws) AS w FROM w)),
+      |bits AS (SELECT doc_id, j,
+      |    CASE WHEN sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM hh, LATERAL (SELECT unnest(range(0, 60)) AS j) t
+      |  GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |    CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS sig
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |""".stripMargin,
     // ---- planted-recall oracles ----------------------------------------
     // MinHash: expected = planted pairs whose exact 3-shingle Jaccard
     // (both engines compute it identically — q55 proves the value) is
@@ -1169,14 +1257,20 @@ object OpsQueries {
         |  FROM embeddings c JOIN embeddings q
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 5""".stripMargin,
+    // Grams join as the SAME portable md5 60-bit keys the gate's
+    // dupSpanStats run computes (ADVICE round 5: string-gram comparison
+    // left the gate probabilistic vs the keyed pipeline — hashing the
+    // identical strings with the identical function on both engines makes
+    // collision behavior shared, i.e. the gate is deterministic again).
     "q74_dup_spans" -> s"""
       |WITH planted AS ($plantedSql),
       |t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
       |      FROM planted),
       |g AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens,
       |        CASE WHEN len(ws) >= 3
-      |          THEN list_transform(range(1, len(ws) - 1),
-      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |          THEN list_transform(list_transform(range(1, len(ws) - 1),
+      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+      |                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)
       |          ELSE [] END AS grams
       |      FROM t),
       |pos AS (SELECT id, i - 1 AS pos, grams[i] AS gram
