@@ -139,13 +139,40 @@ class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
 
 case class RippleCountPartition(total: Long) extends InputPartition
 
+/** Batch/stream scan over a topic. Implements [[SupportsRuntimeFiltering]]
+  * on `bucket`: when the scan sits under a join whose key is the bucket
+  * column, Spark's dynamic partition pruning ships the build side's bucket
+  * values here at EXECUTION time and whole bucket directories drop out of
+  * `planInputPartitions` — the DSv2 analog of Hive-partition DPP, and the
+  * difference between reading one bucket and reading a 10^4-bucket topic
+  * when a dimension join selects one routing key at 100 TB. The narrowed
+  * set lives on the scan instance because `BatchScanExec` materializes the
+  * [[Batch]] first and calls `filter` later; the batch re-reads it at plan
+  * time. Ignoring an un-handled runtime filter is safe: the join above
+  * still applies the predicate row-wise.
+  */
 class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
-    limit: Option[Int] = None) extends Scan {
+    limit: Option[Int] = None) extends Scan with SupportsRuntimeFiltering {
+
+  @volatile private[graft] var runtimeBuckets: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("bucket"))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val sets = filters.collect {
+      case In("bucket", vs) => vs.iterator.filter(_ != null).map(_.toString).toSet
+      case EqualTo("bucket", v) if v != null => Set(v.toString)
+    }
+    if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
+  }
+
   override def readSchema(): StructType = schema
   override def description(): String =
     s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
       limit.map(l => s" limit=$l").getOrElse("")
-  override def toBatch: Batch = new RippleBatch(conf, schema, lo, hi, limit)
+  override def toBatch: Batch =
+    new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RippleMicroBatchStream(conf, schema)
 }
@@ -173,11 +200,18 @@ case class RippleInputPartition(
 }
 
 class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
-    limit: Option[Int] = None) extends Batch {
+    limit: Option[Int] = None,
+    runtimeBuckets: () => Option[Set[String]] = () => None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val log = conf.log
-    val all = conf.buckets.flatMap { tb =>
+    // Runtime (DPP) bucket narrowing — read at plan time, not construction
+    // time: the filter arrives after the batch exists.
+    val live = runtimeBuckets() match {
+      case Some(keep) => conf.buckets.filter(tb => keep.contains(tb.bucket))
+      case None => conf.buckets
+    }
+    val all = live.flatMap { tb =>
       val end = math.min(hi, log.size(tb))
       log.segments(tb).collect {
         case (path, start, count) if start < end && start + count > lo =>

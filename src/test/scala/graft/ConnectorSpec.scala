@@ -144,6 +144,78 @@ class ConnectorSpec extends AnyFunSuite {
     assert(fallback.collect().head.getLong(0) == 20L)
   }
 
+  test("runtime filtering narrows planned buckets (DPP unit contract)") {
+    val root = tmp()
+    Ripple.createTopic(root, "rf1", numBuckets = 4)
+    Ripple.write(samplePayloads(40), root, "rf1", numBuckets = 4)
+
+    val conf = graft.connector.RippleConf(root, "rf1", None, 4, 0L,
+      Long.MaxValue, Long.MaxValue)
+    val scan = new graft.connector.RippleScanBuilder(conf).build()
+      .asInstanceOf[graft.connector.RippleScan]
+    // BatchScanExec order: the Batch exists BEFORE the runtime filter lands
+    def bucketsOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.map(_.asInstanceOf[graft.connector.RippleInputPartition].bucket).toSet
+    val batch = scan.toBatch
+    val before = batch.planInputPartitions()
+    assert(bucketsOf(before) == Set("b0000", "b0001", "b0002", "b0003"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("bucket", Array("b0001", "b0003"))))
+    val pruned = batch.planInputPartitions()
+    assert(bucketsOf(pruned) == Set("b0001", "b0003"),
+      s"expected only the filtered buckets, got ${bucketsOf(pruned)}")
+    assert(pruned.length < before.length)
+    // a runtime filter the scan can't use is ignored, not dropped rows
+    val scan2 = new graft.connector.RippleScanBuilder(conf).build()
+      .asInstanceOf[graft.connector.RippleScan]
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(1, 2))))
+    assert(scan2.toBatch.planInputPartitions().length == before.length)
+  }
+
+  test("join on bucket triggers dynamic pruning end-to-end") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "rf2", numBuckets = 4)
+    Ripple.write(samplePayloads(40), root, "rf2", numBuckets = 4)
+
+    // the PartitionPruning rule only injects a DPP subquery when the build
+    // side carries a SELECTIVE predicate — and a filter over a local
+    // relation constant-folds away before the rule runs, so the dim must
+    // be file-backed for the Filter node to survive into optimization
+    val dimPath = tmp() + "/dim.parquet"
+    Seq(("b0002", "keep"), ("b0009", "drop")).toDF("bucket", "tag")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val joined = Ripple.read(spark, root, "rf2")
+      .join(dim, "bucket")
+      .select(col("bucket"), col("id"), col("tag"))
+    val rows = joined.collect()
+    // id % 4 == 2 routes to b0002: ids 2, 6, ..., 38
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(1)).sorted.toSeq == (2 until 40 by 4))
+    // AQE wraps pipeline fragments in QueryStageExec LEAVES — recurse into
+    // their stage plans to reach the BatchScanExec
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.connector.RippleScan] = {
+      val here = p match {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match { case s: graft.connector.RippleScan => Seq(s); case _ => Nil }
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(scansIn)
+    }
+    val scans = scansIn(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty,
+      s"no ripple scan in the executed plan:\n${joined.queryExecution.executedPlan}")
+    assert(scans.exists(_.runtimeBuckets == Some(Set("b0002"))),
+      s"runtime filter not delivered: ${scans.map(_.runtimeBuckets)}\n" +
+        s"OPTIMIZED:\n${joined.queryExecution.optimizedPlan}\n" +
+        s"EXECUTED:\n${joined.queryExecution.executedPlan}")
+  }
+
   test("streaming sink: writeStream into topic is exactly-once per epoch") {
     import spark.implicits._
     val root = tmp()
