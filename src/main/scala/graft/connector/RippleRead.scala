@@ -152,12 +152,59 @@ case class RippleCountPartition(total: Long) extends InputPartition
   * still applies the predicate row-wise.
   */
 class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
-    limit: Option[Int] = None) extends Scan with SupportsRuntimeFiltering {
+    limit: Option[Int] = None) extends Scan with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   @volatile private[graft] var runtimeBuckets: Option[Set[String]] = None
 
+  /** Exact statistics from segment manifests — zero frames read. Without
+    * this, a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue), so a 1 KB topic joined against a 100 TB fact table
+    * could NEVER be auto-broadcast and every topic join would sort-merge.
+    * Rows are the clamped [lo, hi) overlap per segment (the same
+    * arithmetic the metadata COUNT(*) scan runs); bytes are the segment
+    * file sizes prorated by that overlap, capped by a pushed LIMIT. The
+    * numbers reflect pushdown, like a file source's post-pruning stats.
+    */
+  override def estimateStatistics(): Statistics = memoizedStats
+
+  // One listing pass per scan instance: optimizer rules can recompute
+  // stats on plan copies, and the walk is O(segments).
+  private lazy val memoizedStats: Statistics = {
+    val log = conf.log
+    var rows = 0L
+    var bytes = 0L
+    conf.buckets.foreach { tb =>
+      val end = math.min(hi, log.size(tb))
+      log.segments(tb).foreach { case (path, start, count) =>
+        val overlap = math.max(0L, math.min(end, start + count) - math.max(lo, start))
+        if (overlap > 0 && count > 0) {
+          rows += overlap
+          val fileBytes =
+            try java.nio.file.Files.size(path) catch { case _: Exception => 0L }
+          bytes += fileBytes * overlap / count
+        }
+      }
+    }
+    val cappedRows = limit.map(l => math.min(l.toLong, rows)).getOrElse(rows)
+    val cappedBytes =
+      if (rows == 0) 0L else (bytes.toDouble * cappedRows / rows).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(cappedBytes, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(cappedRows)
+    }
+  }
+
+  // Only advertise `bucket` when it survived column pruning: Spark's
+  // PartitionPruning rule resolves filterAttributes against the scan's
+  // OUTPUT and throws (killing the whole query, join key notwithstanding)
+  // on a reference the pruned schema no longer carries.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("bucket"))
+    if (schema.fieldNames.contains("bucket"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("bucket"))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val sets = filters.collect {

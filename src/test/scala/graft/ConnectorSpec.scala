@@ -177,7 +177,13 @@ class ConnectorSpec extends AnyFunSuite {
     import spark.implicits._
     val root = tmp()
     Ripple.createTopic(root, "rf2", numBuckets = 4)
-    Ripple.write(samplePayloads(40), root, "rf2", numBuckets = 4)
+    // the topic side must exceed autoBroadcastJoinThreshold (10 MB): now
+    // that the scan reports manifest stats, a tiny topic would itself
+    // become the broadcast side and reuse-only DPP would degrade to a
+    // no-op (at production scale the fact side is never broadcastable)
+    val fat = (0 until 4000).map(i => (i, Array.fill(4096)('x'.toByte)))
+      .toDF("id", "data")
+    Ripple.write(fat, root, "rf2", numBuckets = 4)
 
     // the PartitionPruning rule only injects a DPP subquery when the build
     // side carries a SELECTIVE predicate — and a filter over a local
@@ -191,9 +197,9 @@ class ConnectorSpec extends AnyFunSuite {
       .join(dim, "bucket")
       .select(col("bucket"), col("id"), col("tag"))
     val rows = joined.collect()
-    // id % 4 == 2 routes to b0002: ids 2, 6, ..., 38
-    assert(rows.length == 10)
-    assert(rows.map(_.getInt(1)).sorted.toSeq == (2 until 40 by 4))
+    // id % 4 == 2 routes to b0002: ids 2, 6, ..., 3998
+    assert(rows.length == 1000)
+    assert(rows.map(_.getInt(1)).sorted.toSeq == (2 until 4000 by 4))
     // AQE wraps pipeline fragments in QueryStageExec LEAVES — recurse into
     // their stage plans to reach the BatchScanExec
     def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[graft.connector.RippleScan] = {
@@ -214,6 +220,45 @@ class ConnectorSpec extends AnyFunSuite {
       s"runtime filter not delivered: ${scans.map(_.runtimeBuckets)}\n" +
         s"OPTIMIZED:\n${joined.queryExecution.optimizedPlan}\n" +
         s"EXECUTED:\n${joined.queryExecution.executedPlan}")
+  }
+
+  test("manifest-backed statistics make small topics broadcastable") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "st1", numBuckets = 2)
+    Ripple.write(samplePayloads(50), root, "st1", numBuckets = 2)
+
+    val conf = graft.connector.RippleConf(root, "st1", None, 2, 0L,
+      Long.MaxValue, Long.MaxValue)
+    val scan = new graft.connector.RippleScanBuilder(conf).build()
+      .asInstanceOf[graft.connector.RippleScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows.getAsLong == 50)
+    assert(st.sizeInBytes.getAsLong > 0)
+
+    // stats reflect pushed offset bounds: [10, 20) per bucket × 2 buckets
+    val nb = new graft.connector.RippleScanBuilder(conf)
+    nb.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("offset", 10L),
+      org.apache.spark.sql.sources.LessThan("offset", 20L)))
+    val narrowed = nb.build().asInstanceOf[graft.connector.RippleScan]
+    assert(narrowed.estimateStatistics().numRows.getAsLong == 20)
+    assert(narrowed.estimateStatistics().sizeInBytes.getAsLong <
+      st.sizeInBytes.getAsLong)
+
+    // the INITIAL physical plan (pre-AQE, i.e. pure stats-driven join
+    // selection) must broadcast the tiny topic side — without reported
+    // stats a DSv2 relation weighs Long.MaxValue and can never broadcast
+    val big = spark.range(0, 10000).select(col("id").cast("int").as("id"))
+    val joined = big.join(Ripple.read(spark, root, "st1").select("id", "offset"), "id")
+    val initial = joined.queryExecution.sparkPlan
+    val bcastSides = initial.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        b.buildSide.toString
+    }
+    assert(bcastSides.nonEmpty, s"expected a broadcast join:\n$initial")
+    assert(initial.toString.contains("ripple"), initial.toString)
+    assert(joined.count() == 50)
   }
 
   test("streaming sink: writeStream into topic is exactly-once per epoch") {
