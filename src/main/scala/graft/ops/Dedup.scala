@@ -178,6 +178,64 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate pairs ACROSS two corpora — the train-vs-eval
+    * DECONTAMINATION join ("drop every training document that is a
+    * near-duplicate of some benchmark document"), the near-dup complement
+    * of the exact shingle hit-rate check (q69). Same MinHash machinery as
+    * [[minhashNearDups]]: both sides are signed with the SAME permutation
+    * family, candidates come from the narrow cross-side band join (id,
+    * band, bandHash — never shingle arrays), pairs are deduped first, and
+    * shingle sets are fetched once per side for the exact Jaccard >=
+    * threshold verify. IDs live in SEPARATE id spaces (no `<` ordering):
+    * output is (left_id, right_id, jaccard).
+    *
+    * Scale shape: identical to the self-join case — at 100 TB train × 1 GB
+    * eval the band join's right side is tiny, so the exchange ships the
+    * eval bands to the train bands' partitioning and the verify join's
+    * eval side broadcasts; no all-pairs stage anywhere.
+    */
+  def minhashNearDupsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 0,
+      threshold: Double = 0.7, seed: Long = 42L,
+      hash64: Column => Column = xxhash64(_)): DataFrame = {
+    val bands = if (numBands > 0) numBands else lshParams(numHashes, threshold)._1
+    val rowsPerBand = numHashes / bands
+    val (as, bs) = hashParams(numHashes, seed).unzip
+    def prep(df: DataFrame): DataFrame =
+      Spread.toCores(df).select(col(idCol).as("id"),
+          transform(TextAnalysis.shingles(col(textCol), shingleSize),
+            s => hash64(s)).as("xxh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lBase = prep(left)
+    val rBase = prep(right)
+    def bandsOf(base: DataFrame): DataFrame = {
+      val sig = graft.functions.sketches.minhash_sig(
+        transform(col("xxh"), h => pmod(h, lit(P))), as.toArray, bs.toArray)
+      base.withColumn("sig", sig)
+        .select(col("id"),
+          explode(bandKeys(col("sig"), bands, rowsPerBand, hash64)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bandHash"))
+    }
+    val candidates = bandsOf(lBase).as("a").join(bandsOf(rBase).as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .dropDuplicates("left_id", "right_id")
+    val lSets = lBase.select(col("id").as("left_id"), array_sort(col("xxh")).as("sh_a"))
+    val rSets = rBase.select(col("id").as("right_id"), array_sort(col("xxh")).as("sh_b"))
+    val result = candidates
+      .join(lSets, "left_id")
+      .join(rSets, "right_id")
+      .withColumn("jaccard",
+        graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+    val out = result.localCheckpoint(eager = true)
+    lBase.unpersist(blocking = false)
+    rBase.unpersist(blocking = false)
+    out
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) string arrays —
     * hash-set loop via [[graft.functions.JaccardSim]] (same value as the
     * array_intersect formulation, ~3× less per-pair overhead).

@@ -129,6 +129,20 @@ object OpsQueries {
     "q55_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         blockCol = col("source"), threshold = 0.5)),
+    // cross-corpus decontamination: near-dup pairs BETWEEN a training
+    // corpus and a partially-contaminated benchmark corpus (every 3rd doc,
+    // last 3 words dropped) — the near-dup complement of q69's exact
+    // shingle hit-rate. FULL oracle over the portable family; jaccard
+    // values included (shared hashes → value-exact cross-engine).
+    "q110_cross_neardup" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val ws = split(trim(col("text")), "\\s+")
+      val bench = docs(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+      Dedup.minhashNearDupsAcross(base, bench, "doc_id", "text",
+        threshold = 0.5, hash64 = TextAnalysis.portableHash60)
+    }),
     // FULL oracle since round 6 (same portable-family move as q54): the
     // oracle packs the 60 replayed signature bits into a BIGINT and
     // filters ALL pairs by bit_count(xor) <= 3 — exactly this output,
@@ -805,10 +819,17 @@ object OpsQueries {
     * hash is of the same string with the same function on both engines,
     * so even 64-bit collisions produce the same candidate on both sides.
     */
-  private def minhashOracleSql: String = {
-    val perms = graft.ops.Dedup.hashParams(64, 42L).zipWithIndex
+  /** The 64 (a, b) permutation literals shared by every MinHash oracle —
+    * the exact output of `Dedup.hashParams(64, 42L)`, so DuckDB runs the
+    * same universal-hash family the `MinHashSig` expression runs.
+    */
+  private lazy val permValues: String =
+    graft.ops.Dedup.hashParams(64, 42L).zipWithIndex
       .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
+
+  private def minhashOracleSql: String = {
+    val perms = permValues
     s"""
       |WITH planted AS ($plantedSql),
       |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -843,9 +864,56 @@ object OpsQueries {
       |""".stripMargin
   }
 
+  /** q110 exact oracle: the cross-corpus decontamination join replayed in
+    * DuckDB — left = all documents, right = every 3rd document with its
+    * last 3 words dropped (a partially-contaminated "benchmark" corpus),
+    * both sides signed with the shared [[permValues]] family, candidates
+    * from the cross-side band join, exact hashed-shingle Jaccard >= 0.5.
+    */
+  private def crossMinhashOracleSql: String = {
+    def hsCte(name: String, src: String) = s"""
+      |$name AS (SELECT doc_id, list_transform(
+      |    CASE WHEN len(ws) < 3 THEN list_distinct([array_to_string(ws, ' ')])
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END,
+      |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      |  FROM $src)""".stripMargin
+    def bkCte(name: String, hsRel: String) = s"""
+      |${name}_sig AS (SELECT doc_id, j,
+      |    min((a * (h % 2147483647) + b) % 2147483647) AS v
+      |  FROM (SELECT doc_id, unnest(hs) AS h FROM $hsRel) CROSS JOIN perm
+      |  GROUP BY doc_id, j),
+      |$name AS (SELECT doc_id, band,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS key
+      |  FROM (SELECT doc_id, j // 4 AS band,
+      |          string_agg(v::VARCHAR, ',' ORDER BY j) AS s
+      |        FROM ${name}_sig GROUP BY doc_id, band))""".stripMargin
+    s"""
+      |WITH lw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |            FROM documents),
+      |rw AS (SELECT doc_id, ws[1:greatest(len(ws)-3, 1)] AS ws
+      |       FROM lw WHERE doc_id % 3 = 0),
+      |${hsCte("lsh", "lw")},
+      |${hsCte("rsh", "rw")},
+      |perm AS (SELECT * FROM (VALUES $permValues) t(j, a, b)),
+      |${bkCte("lbk", "lsh")},
+      |${bkCte("rbk", "rsh")},
+      |cand AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+      |  FROM lbk a JOIN rbk b ON a.band = b.band AND a.key = b.key),
+      |v AS (SELECT c.left_id, c.right_id,
+      |    len(list_intersect(x.hs, y.hs)) AS i,
+      |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
+      |  FROM cand c JOIN lsh x ON c.left_id = x.doc_id
+      |              JOIN rsh y ON c.right_id = y.doc_id)
+      |SELECT left_id, right_id, i::DOUBLE / u AS jaccard
+      |FROM v WHERE i::DOUBLE / u >= 0.5
+      |""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
+    "q110_cross_neardup" -> crossMinhashOracleSql,
     // SimHash full oracle: rebuild every doc's 60 signature bits from the
     // portable word hashes (q56_planted's machinery), pack them into a
     // BIGINT (bits 60..63 are 0 on both engines — every word votes −1

@@ -40,6 +40,23 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("cross-corpus minhash decontamination recovers planted contamination") {
+    val n = docs.count()
+    val ws = split(trim(col("text")), "\\s+")
+    // "benchmark" corpus: every doc, last 3 words dropped, SAME id space —
+    // ids must not be compared across sides (no a<b ordering applies)
+    val bench = docs.select(col("doc_id"),
+      concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+    val pairs = Dedup.minhashNearDupsAcross(
+        docs.select(col("doc_id"), col("text")), bench, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val contaminated = pairs.count { case (l, r, _) => l == r }
+    assert(contaminated >= (n * 0.95).toInt,
+      s"recovered only $contaminated of $n planted contaminations")
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
   test("minhash signature approximates true jaccard") {
     val sig = Dedup.minhashSignature(col("text"))
     val withSig = planted.select(col("doc_id"), sig.as("sig"),
