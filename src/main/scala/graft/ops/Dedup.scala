@@ -845,4 +845,39 @@ object Dedup {
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Embedding near-dup pairs ACROSS two corpora — SEMANTIC
+    * decontamination ("drop training documents whose embedding is
+    * near-identical to a benchmark document's"), the vector-space
+    * complement of [[minhashNearDupsAcross]]. Both sides are signed with
+    * the SAME hyperplane family (seed-deterministic), candidates come
+    * from the cross-side band join, exact cosine verifies. IDs live in
+    * separate spaces; output (left_id, right_id, cosine). At train × eval
+    * scale the eval side's bands and vectors broadcast.
+    */
+  def embeddingNearDupsAcross(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String,
+      dim: Int, numBands: Int = 2, planesPerBand: Int = 6,
+      threshold: Double = 0.95, seed: Long = 7L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val numPlanes = numBands * planesPerBand
+    val planes = Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val v = col(vecCol).cast("array<double>")
+    val keys = graft.functions.sketches.hyperplane_sig(v, planes, planesPerBand)
+    def bandsOf(df: DataFrame): DataFrame =
+      Spread.toCores(df).select(col(idCol).as("id"),
+        posexplode(keys).as(Seq("band", "key")))
+    val candidates = bandsOf(left).as("a").join(bandsOf(right).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .dropDuplicates("left_id", "right_id")
+    val lVecs = Spread.toCores(left).select(col(idCol).as("left_id"), v.as("v_a"))
+    val rVecs = Spread.toCores(right).select(col(idCol).as("right_id"), v.as("v_b"))
+    candidates
+      .join(lVecs, "left_id")
+      .join(rVecs, "right_id")
+      .select(col("left_id"), col("right_id"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

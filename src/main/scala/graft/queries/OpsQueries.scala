@@ -209,6 +209,22 @@ object OpsQueries {
           dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
         .filter(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))),
+    // Cross-corpus SEMANTIC decontamination recall gate: right side = the
+    // canonical wobble twins mapped back into their own id space (cosine
+    // ~0.994 >> 0.95), 8 OR-ed bands as in q57_planted → the deterministic
+    // expected set is ALL (vec_id, vec_id) pairs; restricting to the
+    // planted shape keeps the gate exact (cross base-to-base matches are
+    // engine-internal float decisions, same rationale as q57).
+    "q111_cross_semantic" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val bench = plantedEmbeddings(s, d).filter(col("vec_id") >= 1000000L)
+        .select((col("vec_id") - 1000000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupsAcross(base, bench, "vec_id", "embedding",
+          dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
+        .filter(col("left_id") === col("right_id"))
+        .select(col("left_id"), col("right_id"))
+    }),
     // SemDedup recall gate: a planted twin is near-identical to its base,
     // so both land in the same k-means cell; nProbe = 4 (vs the default 2)
     // covers every boundary straddle — at sf0.1 four of 2000 twins had
@@ -992,6 +1008,8 @@ object OpsQueries {
     // >> 0.95 (verified against the fixtures), so expected = ALL of them.
     "q57_planted" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    "q111_cross_semantic" ->
+      "SELECT vec_id AS left_id, vec_id AS right_id FROM embeddings",
     "q106_ann_self" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,

@@ -57,6 +57,20 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.5))
   }
 
+  test("cross-corpus embedding near-dup keeps both directions (separate id spaces)") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val out = Dedup.embeddingNearDupsAcross(base, base, "vec_id", "embedding",
+        dim = 64, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    // every vector matches itself across sides at cosine 1
+    assert((0L until n).forall(i => out.contains((i, i))))
+    // no a<b ordering applies across corpora: matches appear in BOTH
+    // directions or not at all
+    val offDiag = out.filter { case (l, r) => l != r }
+    assert(offDiag.forall { case (l, r) => offDiag.contains((r, l)) })
+  }
+
   test("minhash signature approximates true jaccard") {
     val sig = Dedup.minhashSignature(col("text"))
     val withSig = planted.select(col("doc_id"), sig.as("sig"),
