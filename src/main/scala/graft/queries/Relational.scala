@@ -527,6 +527,29 @@ object Relational {
           max(when($"rn" === ceil($"n" * 0.9).cast("long"), $"l_extendedprice")).as("p90"),
           max(when($"rn" === ceil($"n" * 0.99).cast("long"), $"l_extendedprice")).as("p99"))
     }),
+    // approx percentile under its rank-error CONTRACT (the q12 pattern for
+    // sketches whose internals are engine-specific): `approx_percentile`
+    // with accuracy A guarantees the returned element's rank is within
+    // eps = 1/A of the target rank. The gate re-ranks the approximate
+    // answer against the exact column — cnt(<= ap) must reach (p - eps)·n
+    // and cnt(< ap) must not pass (p + eps)·n (the two-sided form is
+    // tie-safe). The sketch value itself never crosses engines; its
+    // CONTRACT does, as a boolean the oracle asserts true.
+    "q112_approx_percentile" -> ((s, d) => {
+      import s.implicits._
+      val eps = 1.0 / 1000
+      val li = t(s, d, "lineitem").select($"l_returnflag", $"l_extendedprice")
+      val ap = li.groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("ap"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"l_extendedprice" <= $"ap", 1L).otherwise(0L)).as("le"),
+          sum(when($"l_extendedprice" < $"ap", 1L).otherwise(0L)).as("lt"))
+        .select($"l_returnflag", $"n",
+          ($"le" >= ($"n" * (0.5 - eps) - 1) &&
+            $"lt" <= ($"n" * (0.5 + eps) + 1)).as("within_band"))
+    }),
     "q38_right_join" -> ((s, d) => {
       import s.implicits._
       t(s, d, "orders")
@@ -786,6 +809,9 @@ object Relational {
         |    count(1) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem)
         |GROUP BY 1""".stripMargin,
+    "q112_approx_percentile" ->
+      """SELECT l_returnflag, count(1) AS n, true AS within_band
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q38_right_join" ->
       """SELECT c_nationkey, count(o_orderkey) AS n_orders,
         |  count(DISTINCT c_custkey) AS n_custs
