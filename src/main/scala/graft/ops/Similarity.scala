@@ -144,12 +144,13 @@ object Similarity {
     * the k-means lineage).
     */
   private def assignWith(corpus: DataFrame, idCol: String, vecCol: String,
-      cm: Array[Array[Double]], cids: Array[Long]): DataFrame =
-    Spread.toCores(corpus).select(col(idCol).as("vec_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+      cm: Array[Array[Double]], cids: Array[Long],
+      metaCols: Seq[String] = Nil): DataFrame =
+    Spread.toCores(corpus).select(col(idCol).as("vec_id") +:
+        col(vecCol).cast("array<double>").as("cv") +: metaCols.map(col): _*)
       .withColumn("cid",
         element_at(graft.functions.sketches.top_centroids(col("cv"), cm, cids, 1), 1))
-      .select(col("vec_id"), col("cv"), col("cid"))
+      .select(col("vec_id") +: col("cv") +: col("cid") +: metaCols.map(col): _*)
 
   /** Per-partition centroid-sum state for one Lloyd re-centering pass:
     * each task folds its rows into C×dim running sums + C counts, partials
@@ -435,12 +436,12 @@ object Similarity {
     */
   def saveIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, numCentroids: Int = 16, kmeansIters: Int = 1,
-      numFiles: Int = 32): Unit = {
+      numFiles: Int = 32, metaCols: Seq[String] = Nil): Unit = {
     val cents = kmeansIterate(corpus, idCol, vecCol,
       centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
     val (cm, cids) = collectCents(cents)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    Layout.writeClustered(assignWith(corpus, idCol, vecCol, cm, cids),
+    Layout.writeClustered(assignWith(corpus, idCol, vecCol, cm, cids, metaCols),
       s"$path/assigned", Seq(col("cid")), numFiles)
   }
 
@@ -456,12 +457,30 @@ object Similarity {
     * by queries × nProbe.
     */
   def ivfTopKWithIndex(index: IvfIndex, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int = 4): DataFrame =
+    ivfTopKWithIndexWhere(index, queries, idCol, vecCol, k, lit(true), nProbe)
+
+  /** FILTERED vector search over a persisted index: top-k restricted to
+    * the metadata predicate, the "search only docs with source = X /
+    * date > Y" shape every production vector store needs. `pred`
+    * evaluates over metadata columns carried into the assigned table at
+    * build time (`saveIvfIndex(metaCols = ...)`) and is applied BEFORE
+    * the probe join, so (a) the result is the exact IVF top-k OF the
+    * filtered subset — post-filtering a k-list can under-fill or miss
+    * qualifying neighbors entirely when the unfiltered top-k is dominated
+    * by excluded rows — and (b) the predicate reaches the parquet scan
+    * alongside the probed-cid filter (plain pushable columns, no join).
+    * Centroids stay those of the full corpus: no retraining per filter.
+    */
+  def ivfTopKWithIndexWhere(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, pred: Column,
+      nProbe: Int = 4): DataFrame = {
     val probedCids = queries
       .select(explode(graft.functions.sketches.top_centroids(
         col(vecCol).cast("array<double>"), index.cm, index.cids, nProbe)).as("cid"))
       .distinct().collect().map(_.getLong(0))
-    val assigned = index.assigned.filter(col("cid").isin(probedCids: _*))
+    val assigned = index.assigned.filter(pred)
+      .filter(col("cid").isin(probedCids: _*))
     ivfProbeTopK(assigned, queries, idCol, vecCol, k, nProbe, index.cm, index.cids)
   }
 

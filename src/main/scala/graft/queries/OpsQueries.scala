@@ -269,6 +269,27 @@ object OpsQueries {
         .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
           col("rank"))
     }),
+    // FILTERED vector search self-exclusion gate: corpus = base ∪ wobble
+    // twins, twins labeled 9, index built with `label` carried as
+    // metadata, probe restricted to label = 9. Each base vector's nearest
+    // label-9 neighbor is its own twin (cosine ≈ 0.994 vs near-orthogonal
+    // strangers — the q57_planted separation argument), while its
+    // UNfiltered nearest is its identical base copy at cosine 1.0: a
+    // broken or post-applied filter flips the answer, so the oracle
+    // genuinely gates the filtering. nProbe = 4 covers assignment
+    // boundary straddles (the q91_planted finding).
+    "q113_filtered_ann" -> ((s, d) => {
+      val corpus = plantedEmbeddings(s, d).withColumn("label",
+        when(col("vec_id") >= 1000000L, lit(9)).otherwise(lit(0)))
+      val path = scratch("q113_ivf_meta")
+      Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
+        numCentroids = 16, kmeansIters = 1, numFiles = 8,
+        metaCols = Seq("label"))
+      Similarity.ivfTopKWithIndexWhere(Similarity.loadIvfIndex(s, path),
+          plantedEmbeddings(s, d).filter(col("vec_id") < 1000000L),
+          "vec_id", "embedding", k = 1, pred = col("label") === 9,
+          nProbe = 4)
+    }),
     // product-quantization ANN: 8-byte codes + per-query ADC tables —
     // approximate ranks, so rows-only gate; recall vs brute force is
     // asserted in OpsSpec
@@ -1013,6 +1034,10 @@ object OpsQueries {
     "q106_ann_self" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q113_filtered_ann" ->
+      """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id,
+        |  CAST(1 AS BIGINT) AS rank
+        |FROM embeddings""".stripMargin,
     "q95_planted" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,

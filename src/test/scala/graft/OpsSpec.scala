@@ -436,6 +436,46 @@ class OpsSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("filtered ANN: predicate restricts the candidate set, pushes to the scan, no retraining") {
+    val tmp = java.nio.file.Files.createTempDirectory("annfilter").toString
+    // the fixture's real metadata column rides into the assigned table
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", s"$tmp/ivf",
+      numCentroids = 8, kmeansIters = 1, numFiles = 4, metaCols = Seq("label"))
+    val idx = Similarity.loadIvfIndex(spark, s"$tmp/ivf")
+    val target = emb.filter(col("label") === 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // probe with shifted ids so the self-exclusion guard never fires
+    val probe = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val hits = Similarity.ivfTopKWithIndexWhere(idx, probe,
+      "vec_id", "embedding", k = 5, pred = col("label") === 2, nProbe = 3)
+    val rows = hits.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, v, _) => target.contains(v) },
+      "filtered search returned a vector outside the predicate subset")
+    // a label-2 probe finds ITSELF at rank 1 inside the filtered subset
+    val selfProbe = emb.filter(col("label") === 2 && col("vec_id") < 100)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val self = Similarity.ivfTopKWithIndexWhere(idx, selfProbe,
+        "vec_id", "embedding", k = 1, pred = col("label") === 2, nProbe = 3)
+      .collect().map(r => (r.getLong(0) - 5000000L, r.getLong(1)))
+    assert(self.nonEmpty && self.forall { case (q, v) => q == v })
+    // the metadata predicate reaches the parquet scan beside the cid set
+    val planned = Similarity.ivfTopKWithIndexWhere(idx, probe,
+        "vec_id", "embedding", k = 5, pred = col("label") === 2, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("EqualTo(label,2)"),
+      s"label predicate not pushed to the index scan:\n$planned")
+    // lit(true) degenerates to the unfiltered probe (delegation identity)
+    val unf = Similarity.ivfTopKWithIndex(idx, probe,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val where = Similarity.ivfTopKWithIndexWhere(idx, probe,
+      "vec_id", "embedding", k = 5, pred = lit(true), nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(unf == where)
+  }
+
   test("ANN index persistence: save/load round-trips, probes identical, scan prunes by cid") {
     val tmp = java.nio.file.Files.createTempDirectory("annidx").toString
     val queries = emb.filter(col("vec_id") < 10)
