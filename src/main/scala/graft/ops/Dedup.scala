@@ -880,4 +880,63 @@ object Dedup {
         Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ---- cross-document line dedup -------------------------------------
+
+  /** Cross-document line-level dedup — the C4/MassiveText boilerplate
+    * pass: drop every line that occurs in at least `minDocs` DISTINCT
+    * documents (cookie banners, nav menus, license footers repeat across
+    * a crawl; prose doesn't), keeping surviving lines in original order.
+    * Complements [[graft.ops.WebText.dedupParagraphs]], which is
+    * intra-document only: a line repeated twice WITHIN one document but
+    * found nowhere else has a distinct-document count of 1 and is kept
+    * both times — intra-doc repetition is q87's job, not this pass's.
+    *
+    * Output: one row per input document —
+    * (idCol, n_lines, n_kept, text_kept), with `text_kept = ""` when
+    * every line was boilerplate.
+    *
+    * Scale shape: lines shuffle once as narrow (doc, 64-bit key) pairs
+    * for the distinct-document count (two-phase partial agg); the join
+    * back attaches only keys that crossed the threshold — that side is
+    * the boilerplate VOCABULARY (distinct offending lines), orders of
+    * magnitude smaller than the corpus, so AQE picks a broadcast join at
+    * runtime without us forcing one. Reassembly is one per-document
+    * aggregation whose state is bounded by document size. Nothing is
+    * collected on the driver.
+    *
+    * `lineKey` defaults to the cheap engine-internal `xxhash64`; the gate
+    * (q114) passes [[TextAnalysis.portableHash60]] so DuckDB replays the
+    * identical key family and hash collisions — astronomically rare but
+    * semantics-bearing (a collision merges two lines' counts) — are
+    * SHARED rather than divergent across engines.
+    */
+  def dedupLinesAcross(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n",
+      lineKey: Column => Column = xxhash64(_)): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = Spread.toCores(docs).select(col(idCol).as("__did"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__k", lineKey(col("__line")))
+    // distinct (doc, key) before counting: a line pasted 40× in ONE doc
+    // is intra-doc repetition, not cross-corpus boilerplate
+    val boilerplate = lines.select(col("__did"), col("__k")).distinct()
+      .groupBy("__k").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__k"), lit(true).as("__drop"))
+    val kept = lines.join(boilerplate, Seq("__k"), "left")
+      .filter(col("__drop").isNull)
+    val totals = lines.groupBy("__did")
+      .agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy("__did").agg(
+      count(lit(1)).as("__nk"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__line")))),
+        _.getField("__line")), sep).as("__tk"))
+    totals.join(keptAgg, Seq("__did"), "left")
+      .select(col("__did").as(idCol), col("n_lines"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("__tk"), lit("")).as("text_kept"))
+  }
 }

@@ -629,6 +629,29 @@ object OpsQueries {
       docs(s, d).select(col("doc_id"), WebText.canonicalizeUrl(url).as("url_canon"))
         .withColumn("n_same_url", count(lit(1)).over(w).cast("long"))
     }),
+    // cross-document line dedup (C4/MassiveText boilerplate pass): lines
+    // in >= 2 distinct docs drop, everything else survives in order. The
+    // fixture plants, per doc: a 3-way-shared NOTICE line and a 250-way-
+    // shared G line (always dropped), a doc-unique U line REPEATED TWICE
+    // (distinct-doc count 1 → kept both times: cross-doc only), and a
+    // K line shared by doc_id%1000 (kept at sf0.001 where each class has
+    // one doc, dropped at sf0.01+ — the threshold is genuinely exercised
+    // against corpus size). Keys use the portable md5-60 family so DuckDB
+    // replays the identical hash → collisions shared, gate deterministic.
+    "q114_line_dedup" -> ((s, d) => {
+      val ws = split(concat_ws(" ", trim(col("text")), trim(col("text")),
+        trim(col("text"))), "\\s+")
+      val uniq = concat(lit("U"), col("doc_id").cast("string"), lit(" "),
+        concat_ws(" ", slice(ws, 1, 6)))
+      val doc = concat_ws("\n",
+        concat(lit("NOTICE "), (col("doc_id") % 3).cast("string")),
+        uniq, uniq,
+        concat(lit("G"), (col("doc_id") % 250).cast("string")),
+        concat(lit("K"), (col("doc_id") % 1000).cast("string")))
+      Dedup.dedupLinesAcross(
+        docs(s, d).select(col("doc_id"), doc.as("t")), "doc_id", "t",
+        minDocs = 2, lineKey = TextAnalysis.portableHash60)
+    }),
     // intra-document paragraph dedup: planted repeated paragraph (p1 p2 p1
     // p3) must collapse to first occurrences, order preserved
     "q87_paragraph_dedup" -> ((s, d) => {
@@ -1558,6 +1581,33 @@ object OpsQueries {
         |SELECT doc_id, url_canon,
         |  CAST(count(*) OVER (PARTITION BY url_canon) AS BIGINT) AS n_same_url
         |FROM s5""".stripMargin,
+    "q114_line_dedup" ->
+      """WITH base AS (SELECT doc_id,
+        |  string_split_regex(trim(text) || ' ' || trim(text) || ' ' || trim(text),
+        |    '\s+') AS ws
+        |  FROM documents),
+        |d AS (SELECT doc_id, concat_ws(chr(10),
+        |    'NOTICE ' || (doc_id % 3),
+        |    'U' || doc_id || ' ' || array_to_string(ws[1:6], ' '),
+        |    'U' || doc_id || ' ' || array_to_string(ws[1:6], ' '),
+        |    'G' || (doc_id % 250),
+        |    'K' || (doc_id % 1000)) AS t FROM base),
+        |l AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |  generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM d),
+        |k AS (SELECT doc_id, line, pos,
+        |  ('0x' || substr(md5(line), 1, 15))::BIGINT AS h FROM l),
+        |b AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |  FROM k GROUP BY h) WHERE nd >= 2),
+        |kept AS (SELECT doc_id, line, pos FROM k
+        |  WHERE h NOT IN (SELECT h FROM b)),
+        |t AS (SELECT doc_id, count(*) AS n_lines FROM k GROUP BY doc_id),
+        |g AS (SELECT doc_id, count(*) AS nk,
+        |  string_agg(line, chr(10) ORDER BY pos) AS tk
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+        |  CAST(coalesce(g.nk, 0) AS BIGINT) AS n_kept,
+        |  coalesce(g.tk, '') AS text_kept
+        |FROM t LEFT JOIN g ON t.doc_id = g.doc_id""".stripMargin,
     "q87_paragraph_dedup" ->
       """WITH base AS (SELECT doc_id,
         |  string_split_regex(trim(text) || ' ' || trim(text) || ' ' || trim(text),

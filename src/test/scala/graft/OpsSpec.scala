@@ -476,6 +476,40 @@ class OpsSpec extends AnyFunSuite {
     assert(unf == where)
   }
 
+  test("cross-doc line dedup: boilerplate drops, intra-doc repeats survive, order kept") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "COOKIE\nalpha one\nalpha one\nbody of doc one"),
+      (2L, "COOKIE\nbody of doc two\nFOOTER"),
+      (3L, "FOOTER\nbody of doc three\nCOOKIE"),
+      (4L, "COOKIE\nFOOTER") // every line boilerplate -> empty survivor
+    ).toDF("id", "t")
+    val out = Dedup.dedupLinesAcross(fixture, "id", "t", minDocs = 2)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // COOKIE spans docs 1-4 and FOOTER docs 2-4 — both cross the >=2
+    // threshold; "alpha one" repeats twice WITHIN doc 1 only -> kept twice
+    assert(out(1L) == ((4L, 3L, "alpha one\nalpha one\nbody of doc one")))
+    assert(out(2L) == ((3L, 1L, "body of doc two")))
+    assert(out(3L) == ((3L, 1L, "body of doc three")))
+    assert(out(4L) == ((2L, 0L, "")))
+    // threshold boundary: at minDocs=4, COOKIE (4 docs, == threshold)
+    // still drops but FOOTER (3 docs, below it) now survives
+    val loose = Dedup.dedupLinesAcross(fixture, "id", "t", minDocs = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(loose(2L) == "body of doc two\nFOOTER")
+    assert(loose(3L) == "FOOTER\nbody of doc three")
+    assert(loose(4L) == "FOOTER")
+    // portable-hash gate family and production xxhash64 family agree
+    val portable = Dedup.dedupLinesAcross(fixture, "id", "t", minDocs = 2,
+        lineKey = TextAnalysis.portableHash60)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(portable == out.map { case (k, v) => (k, v._3) })
+    intercept[IllegalArgumentException] {
+      Dedup.dedupLinesAcross(fixture, "id", "t", minDocs = 1)
+    }
+  }
+
   test("ANN index persistence: save/load round-trips, probes identical, scan prunes by cid") {
     val tmp = java.nio.file.Files.createTempDirectory("annidx").toString
     val queries = emb.filter(col("vec_id") < 10)
