@@ -881,6 +881,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- quality-aware cluster resolution ------------------------------
+
+  /** Quality-aware duplicate-cluster resolution: given the corpus and a
+    * near-dup pair list, label every document with its connected-component
+    * cluster (via [[dupClusters]]; documents in no pair are their own
+    * singleton cluster) and keep the HIGHEST-`scoreCol` member of each
+    * cluster, ties broken by minimum id. Production pipelines keep the
+    * longest / highest-quality copy of a duplicate group, not the
+    * minimum-id one — a truncated mirror of a page must lose to the full
+    * original regardless of which crawled first.
+    *
+    * Output: (idCol, cluster, score, keep) for EVERY input document —
+    * callers filter `keep` to materialize survivors, or join the full
+    * labeling back for provenance reporting.
+    *
+    * Scale shape: one corpus-wide join against the (small — only docs
+    * that appear in a pair) cluster labeling, then ONE shuffle by cluster
+    * for the per-cluster `row_number`. Singletons ride the same window
+    * with cluster = own id: their partitions are single rows, so the
+    * window adds no skew, and the corpus is scanned exactly once —
+    * splitting singletons out would cost a second join against the
+    * label set instead. Per-cluster state is bounded by dup-group size.
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: Column, maxIter: Int = 20,
+      checkpointEvery: Int = 0): DataFrame = {
+    val clusters = dupClusters(pairs, maxIter, checkpointEvery)
+    val scored = docs.select(col(idCol).cast("long").as("id"),
+      scoreCol.as("score"))
+    val labeled = scored.join(clusters, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"),
+        col("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("id").asc)
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("cluster"), col("score"), col("keep"))
+  }
+
   // ---- cross-document line dedup -------------------------------------
 
   /** Cross-document line-level dedup — the C4/MassiveText boilerplate

@@ -418,6 +418,20 @@ object OpsQueries {
         "doc_id", "text", blockCol = col("source"), threshold = 0.5)
       Dedup.dupClusters(pairs)
     }),
+    // quality-aware cluster resolution over the same pair feed as q68:
+    // keep the highest-word-count member of each dup cluster (ties -> min
+    // id), singletons keep themselves. The planted dups are TRUNCATED
+    // copies, so keep-longest must select every base doc over its planted
+    // twin — min-id resolution would pass trivially here, but the oracle
+    // window re-ranks by (score DESC, id ASC), so a wrong score column,
+    // a lost singleton, or a two-keep cluster all hash-mismatch.
+    "q115_keep_best" -> ((s, d) => {
+      val planted = docsWithPlantedDups(s, d)
+      val pairs = Dedup.ngramJaccardNearDups(planted,
+        "doc_id", "text", blockCol = col("source"), threshold = 0.5)
+      Dedup.keepBestPerCluster(planted, pairs, "doc_id",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+    }),
     // train/test contamination: per test doc, the fraction of its distinct
     // shingles that appear anywhere in the train split (same hash split as
     // q64). At real scale the join key would be xxhash64(shingle) — strings
@@ -1290,6 +1304,40 @@ object OpsQueries {
       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
       |SELECT src AS id, least(src, min(dst)) AS cluster
       |FROM r GROUP BY src
+      |""".stripMargin,
+    "q115_keep_best" -> s"""
+      |WITH RECURSIVE planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |       FROM r GROUP BY src),
+      |scored AS (
+      |  SELECT doc_id AS id,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS score
+      |  FROM planted),
+      |lab AS (
+      |  SELECT s.id, coalesce(cl.cluster, s.id) AS cluster, s.score
+      |  FROM scored s LEFT JOIN cl ON s.id = cl.id)
+      |SELECT id AS doc_id, CAST(cluster AS BIGINT) AS cluster, score,
+      |  (row_number() OVER (PARTITION BY cluster
+      |     ORDER BY score DESC, id ASC) = 1) AS keep
+      |FROM lab
       |""".stripMargin,
     "q69_contamination" ->
       """WITH split AS (

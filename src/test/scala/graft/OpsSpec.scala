@@ -476,6 +476,26 @@ class OpsSpec extends AnyFunSuite {
     assert(unf == where)
   }
 
+  test("keepBestPerCluster: highest score wins, ties break to min id, singletons kept") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), // chain 1-2-3: doc 2 scores best
+      (4L, 7L), (5L, 7L),              // pair with tied scores -> min id 4
+      (6L, 1L)                         // singleton
+    ).toDF("id", "s")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(corpus, pairs, "id", col("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      4L -> ((4L, true)), 5L -> ((4L, false)),
+      6L -> ((6L, true))))
+    // exactly one keeper per cluster, every input id labeled
+    val keeps = out.values.groupBy(_._1).map { case (c, vs) =>
+      (c, vs.count(_._2)) }
+    assert(keeps.values.forall(_ == 1))
+  }
+
   test("cross-doc line dedup: boilerplate drops, intra-doc repeats survive, order kept") {
     import spark.implicits._
     val fixture = Seq(
