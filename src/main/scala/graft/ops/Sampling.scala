@@ -146,6 +146,68 @@ object Sampling {
       .drop(rn, g)
   }
 
+  /** Token-budget corpus mixing — the "data recipe" step that composes a
+    * training mix: per stratum (source/domain/language), take documents
+    * in deterministic hash order until the stratum's TOKEN budget is
+    * reached. A document is kept iff the running token total BEFORE it is
+    * still under budget, so each budget is overshot by at most one
+    * document and any positive budget yields at least one. Strata absent
+    * from `budgets` (or budgeted 0) contribute nothing and are filtered
+    * BEFORE any shuffle. Hash order (same `md5(seed++key)` convention as
+    * every sampler here) makes the selected set reproducible,
+    * scan-order-independent, and a SUPERSET-stable function of the
+    * budget: raising one stratum's budget only ever adds documents.
+    *
+    * Output: the input columns plus `cum_before` (tokens admitted to the
+    * stratum ahead of this row — the audit trail for "why was this doc
+    * in/out").
+    *
+    * Scale shape: a naive `Window.partitionBy(stratum)` running sum puts
+    * a whole stratum (possibly most of the corpus — "web" in a real mix)
+    * in ONE task. Instead the prefix sum is two-level: rows split into
+    * 256 hash-prefix buckets per stratum (prefix order = full-hash order,
+    * fixed-width hex), per-bucket token totals (strata × 256 tiny rows)
+    * get cumulative offsets on a second small window, and each
+    * (stratum, bucket) computes its local running sum + offset in
+    * parallel — max per-task rows ≈ stratum/256, one wide shuffle total,
+    * bit-identical to the single-window form.
+    */
+  def tokenBudgetMix(df: DataFrame, strata: Column, key: Column,
+      tokens: Column, budgets: Map[String, Long],
+      seed: String = "s0"): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    val reserved = Seq("__s", "__h", "__b", "__t", "__bt", "__off",
+      "__s2", "__b2", "cum_before")
+    require(!df.columns.exists(reserved.contains),
+      s"input must not contain reserved columns ${reserved.mkString(", ")}")
+    val budgetExpr = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(strata === lit(s), lit(b)).otherwise(acc) }
+    val aux = df
+      .withColumn("__s", strata)
+      .withColumn("__h", keyHash(key, seed))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+      .withColumn("__t", tokens.cast("long"))
+      .filter(budgetExpr > 0L)
+    val wBuckets = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = aux.groupBy(col("__s"), col("__b"))
+      .agg(sum(col("__t")).as("__bt"))
+      .withColumn("__off", sum(col("__bt")).over(wBuckets) - col("__bt"))
+      .select(col("__s").as("__s2"), col("__b").as("__b2"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"), col("__b")).orderBy(col("__h"), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    aux.join(broadcast(offsets),
+        col("__s") === col("__s2") && col("__b") === col("__b2"))
+      .withColumn("cum_before",
+        col("__off") + sum(col("__t")).over(wIn) - col("__t"))
+      .filter(col("cum_before") < budgetExpr)
+      .select(df.columns.map(col) :+ col("cum_before"): _*)
+  }
+
   /** Caps above this skip the pre-pass: its per-task heap memory is
     * groups × maxRows rows with no spill path.
     */

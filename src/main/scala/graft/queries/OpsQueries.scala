@@ -432,6 +432,20 @@ object OpsQueries {
       Dedup.keepBestPerCluster(planted, pairs, "doc_id",
         size(split(trim(col("text")), "\\s+")).cast("long"))
     }),
+    // token-budget corpus mixing: even sources get a 600-token budget,
+    // odd a 150-token one, src16+ none at all — docs admitted in md5 hash
+    // order until each stratum's budget fills (overshoot <= 1 doc). The
+    // oracle replays the identical hash order with a single running-sum
+    // window; the operator's two-level bucketed prefix sum must be
+    // bit-identical to it at every scale.
+    "q116_token_budget_mix" -> ((s, d) => {
+      val budgets = (0 until 16)
+        .map(i => s"src$i" -> (if (i % 2 == 0) 600L else 150L)).toMap
+      Sampling.tokenBudgetMix(
+        docs(s, d).select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok")),
+        col("source"), col("doc_id"), col("n_tok"), budgets)
+    }),
     // train/test contamination: per test doc, the fraction of its distinct
     // shingles that appear anywhere in the train split (same hash split as
     // q64). At real scale the join key would be xxhash64(shingle) — strings
@@ -1339,6 +1353,28 @@ object OpsQueries {
       |     ORDER BY score DESC, id ASC) = 1) AS keep
       |FROM lab
       |""".stripMargin,
+    "q116_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+        |    md5('s0' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, CASE
+        |    WHEN source IN ('src0','src2','src4','src6','src8','src10',
+        |                    'src12','src14') THEN 600
+        |    WHEN source IN ('src1','src3','src5','src7','src9','src11',
+        |                    'src13','src15') THEN 150
+        |    ELSE 0 END AS budget
+        |  FROM t),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM b WHERE budget > 0)
+        |SELECT doc_id, source, n_tok, cum_before
+        |FROM c WHERE cum_before < budget""".stripMargin,
     "q69_contamination" ->
       """WITH split AS (
         |  SELECT doc_id, text,

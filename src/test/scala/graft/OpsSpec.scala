@@ -476,6 +476,45 @@ class OpsSpec extends AnyFunSuite {
     assert(unf == where)
   }
 
+  test("tokenBudgetMix: hash-order admission, overshoot <= 1 doc, bucketed == naive window") {
+    import graft.ops.Sampling
+    val corpus = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+    val budgets = Map("src0" -> 300L, "src1" -> 100000L, "src2" -> 1L)
+    val out = Sampling.tokenBudgetMix(corpus, col("source"), col("doc_id"),
+        col("n_tok"), budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // strata without a budget contribute nothing
+    assert(out.map(_._2).toSet == Set("src0", "src1", "src2"))
+    // oversized budget admits the whole stratum
+    assert(out.count(_._2 == "src1") == corpus.filter(col("source") === "src1").count())
+    // a 1-token budget admits exactly the first doc in hash order
+    assert(out.count(_._2 == "src2") == 1)
+    // src0: every kept doc was admitted under budget, and the kept set
+    // SATURATES it (tokens kept + next doc would cross 300)
+    val src0 = out.filter(_._2 == "src0")
+    assert(src0.forall(_._4 < 300L))
+    assert(src0.map(_._3).sum >= 300L, "budget not saturated")
+    // the scalable two-level prefix sum is bit-identical to the naive
+    // one-task-per-stratum window it replaces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit("s0"), col("doc_id").cast("string"))), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val budgetExpr = when(col("source") === "src0", 300L)
+      .when(col("source") === "src1", 100000L)
+      .when(col("source") === "src2", 1L).otherwise(0L)
+    val naive = corpus
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(budgetExpr > 0L && col("cum_before") < budgetExpr)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == naive.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetMix(corpus.withColumn("__h", lit(1)), col("source"),
+        col("doc_id"), col("n_tok"), budgets)
+    }
+  }
+
   test("keepBestPerCluster: highest score wins, ties break to min id, singletons kept") {
     import spark.implicits._
     val corpus = Seq(
