@@ -253,6 +253,49 @@ object Similarity {
       .select(col("id"), col("mn"), col("mx"), col("codes"))
   }
 
+  /** Chunk→document embedding pooling: element-wise mean of each group's
+    * vectors, L2-normalized by default — the stage that turns chunk-level
+    * embeddings into one vector per document before semantic dedup or ANN
+    * indexing (long documents are embedded in overlapping windows; every
+    * similarity operator downstream wants a single unit vector per doc).
+    *
+    * Per-dimension sums accumulate in DECIMAL(30,12) (the
+    * [[graft.ops.Graph.pageRank]] convention): float addition is
+    * order-dependent, so a double sum would vary with partitioning and
+    * engine; decimal sums are exact, making the pooled vector
+    * bit-identical on any engine at any parallelism — what lets the q117
+    * oracle replay it. The explode ships narrow (group, dim, value)
+    * triples — dim × rows small rows, two shuffles; an array-summing
+    * Aggregator would halve that but reintroduce float-order
+    * nondeterminism. The norm folds over the SAME decimal-exact means, so
+    * normalization preserves cross-engine identity.
+    *
+    * Output: (groupCol, n_chunks, embedding array<double>).
+    */
+  def meanPoolEmbeddings(chunks: DataFrame, groupCol: String, vecCol: String,
+      normalize: Boolean = true): DataFrame = {
+    val expl = Spread.toCores(chunks).select(col(groupCol).as("__g"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+    val mean = expl.groupBy(col("__g"), col("__i"))
+      .agg((sum(col("__x").cast("decimal(30,12)")).cast("double") /
+        count(lit(1))).as("__m"), count(lit(1)).as("__n"))
+    val assembled = mean.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n_chunks"),
+        transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+          _.getField("__m")).as("__v"))
+    val out =
+      if (!normalize) assembled.withColumn("embedding", col("__v"))
+      else assembled
+        .withColumn("__nrm", sqrt(aggregate(col("__v"),
+          lit(0).cast("decimal(30,12)"),
+          (acc, e) => (acc + (e * e).cast("decimal(30,12)"))
+            .cast("decimal(30,12)")).cast("double")))
+        .withColumn("embedding",
+          when(col("__nrm") === 0.0, col("__v"))
+            .otherwise(transform(col("__v"), _ / col("__nrm"))))
+    out.select(col("__g").as(groupCol), col("n_chunks"), col("embedding"))
+  }
+
   // ---- product quantization ------------------------------------------
 
   /** Add an L2-normalized copy of `vecCol` as `out` (zero vectors pass

@@ -290,6 +290,20 @@ object OpsQueries {
           "vec_id", "embedding", k = 1, pred = col("label") === 9,
           nProbe = 4)
     }),
+    // chunk->doc embedding pooling: vec_id % 100 groups play chunk sets;
+    // element-wise DECIMAL-exact mean then L2 normalization, exploded to
+    // (group, dim, value) scalars for the hash compare. The oracle
+    // recomputes every coordinate from the raw floats — a wrong mean,
+    // norm, or dimension ordering shifts every output row.
+    "q117_mean_pool" -> ((s, d) => {
+      val chunks = emb(s, d)
+        .select((col("vec_id") % 100).as("g"), col("embedding"))
+      Similarity.meanPoolEmbeddings(chunks, "g", "embedding")
+        .select(col("g").as("group_id"), col("n_chunks"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("group_id"), col("n_chunks"),
+          col("dim").cast("long").as("dim"), col("v"))
+    }),
     // product-quantization ANN: 8-byte codes + per-query ADC tables —
     // approximate ranks, so rows-only gate; recall vs brute force is
     // asserted in OpsSpec
@@ -1089,6 +1103,22 @@ object OpsQueries {
       """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id,
         |  CAST(1 AS BIGINT) AS rank
         |FROM embeddings""".stripMargin,
+    "q117_mean_pool" ->
+      """WITH c AS (
+        |  SELECT vec_id % 100 AS g,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT g, i, sum(CAST(x AS DECIMAL(30,12)))::DOUBLE / count(*) AS v,
+        |    count(*) AS n
+        |  FROM c GROUP BY g, i),
+        |nr AS (
+        |  SELECT g, sqrt(sum(CAST(v * v AS DECIMAL(30,12)))::DOUBLE) AS nrm
+        |  FROM m GROUP BY g)
+        |SELECT m.g AS group_id, CAST(m.n AS BIGINT) AS n_chunks,
+        |  CAST(m.i AS BIGINT) AS dim, m.v / nr.nrm AS v
+        |FROM m JOIN nr ON m.g = nr.g""".stripMargin,
     "q95_planted" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,

@@ -476,6 +476,36 @@ class OpsSpec extends AnyFunSuite {
     assert(unf == where)
   }
 
+  test("meanPoolEmbeddings: hand-computed means, unit norm, zero-vector safety") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(0.0f, 0.0f)) // zero group: normalization must not NaN
+    ).toDF("g", "embedding")
+    val out = Similarity.meanPoolEmbeddings(chunks, "g", "embedding")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2)))).toMap
+    val inv = 1.0 / math.sqrt(2.0)
+    assert(out(1L)._1 == 2L)
+    assert(out(1L)._2.zip(Seq(inv, inv)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(2L)._2.zip(Seq(0.6, 0.8)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(3L)._2 == Seq(0.0, 0.0))
+    // normalize=false returns the raw mean
+    val raw = Similarity.meanPoolEmbeddings(chunks, "g", "embedding",
+        normalize = false)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2))).toMap
+    assert(raw(1L) == Seq(0.5, 0.5) && raw(2L) == Seq(3.0, 4.0))
+    // real corpus: every pooled vector is unit-length, dim preserved
+    val pooled = Similarity.meanPoolEmbeddings(
+      emb.select((col("vec_id") % 50).as("g"), col("embedding")),
+      "g", "embedding").collect()
+    assert(pooled.length == 50)
+    assert(pooled.forall { r =>
+      val v = r.getSeq[Double](2)
+      v.length == 64 && math.abs(v.map(x => x * x).sum - 1.0) < 1e-9
+    })
+  }
+
   test("tokenBudgetMix: hash-order admission, overshoot <= 1 doc, bucketed == naive window") {
     import graft.ops.Sampling
     val corpus = docs.select(col("doc_id"), col("source"),
