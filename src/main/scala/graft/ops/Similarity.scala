@@ -270,6 +270,12 @@ object Similarity {
     * nondeterminism. The norm folds over the SAME decimal-exact means, so
     * normalization preserves cross-engine identity.
     *
+    * Assumes every vector in a group has the same dimension (the chunker
+    * emits fixed-dim embeddings): with ragged inputs, each dimension
+    * averages over only the vectors that reach it, and `n_chunks` reports
+    * the max contributor count. NULL embeddings contribute nothing
+    * (posexplode of NULL emits no rows).
+    *
     * Output: (groupCol, n_chunks, embedding array<double>).
     */
   def meanPoolEmbeddings(chunks: DataFrame, groupCol: String, vecCol: String,

@@ -45,8 +45,20 @@ object ScaleProbe {
     "q103_pagerank", "q32_asof_join", "q105_asof_merged", "q74_dup_spans",
     "q95_knn_ivfpq", "q99_salted_join", "q83_knn_pq_index",
     "q85_html_extract", "q54_dedup_minhash", "q86_url_canonical",
-    "q96_bm25_topk", "q89_lm_score", "q102_corpus_report"
+    "q96_bm25_topk", "q89_lm_score", "q102_corpus_report",
+    "q114_line_dedup", "q116_token_budget_mix"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
+    // q115's gate feeds blocked ngram-Jaccard pairs (quadratic per block
+    // by design — q68's documented exclusion); the probe drives the
+    // keep-best resolution through the MinHash pair feed, its scale shape.
+    ("q115_keep_best" -> ((s: SparkSession, d: String) => {
+      val docs = s.read.parquet(s"$d/documents.parquet")
+      graft.ops.Dedup.keepBestPerCluster(graft.ops.Spread.toCores(docs),
+        graft.ops.Dedup.minhashNearDups(graft.ops.Spread.toCores(docs),
+          "doc_id", "text", threshold = 0.5)
+          .select(col("id_a"), col("id_b")),
+        "doc_id", size(split(trim(col("text")), "\\s+")).cast("long"))
+    })) :+
     // q68's operator under test is the iterative connected-components
     // clustering; the gate feeds it blocked ngram-Jaccard pairs (quadratic
     // per block BY DESIGN, for oracle exactness — the documented reason
