@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over the document corpus — the lexical counterpart
@@ -100,5 +101,46 @@ object Retrieval {
         }
       }
       .toDF("query_id", "doc_id", "rank", "score")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a lexical and a dense
+    * ranked list — the standard RAG / decontamination-probe combiner
+    * (Cormack et al., SIGIR'09: score = Σ 1/(K + rank), K = 60). Each
+    * input is (query_id, doc_id, rank) — typically [[bm25TopK]] and
+    * [[graft.ops.Similarity.bruteForceTopK]] / `ivfTopK` output. A doc
+    * present in only one list contributes only that list's term.
+    *
+    * Determinism across engines: the fused score is a sum of EXACTLY two
+    * IEEE doubles, each `1.0 / (K + rank)` — correctly-rounded division of
+    * identical inputs, and a two-term add has no association order to vary
+    * with partitioning. Final ranks tie-break by ascending doc_id, so the
+    * whole output is hash-comparable (unlike a float sum over N partials).
+    *
+    * Scale shape: inputs are top-k lists, so each carries O(queries × k)
+    * rows; the full-outer join and the per-query window both run on that
+    * bounded candidate pool (≤ 2k rows per query), never on the corpus.
+    * One shuffle on (query_id, doc_id), one on query_id.
+    *
+    * Output: (query_id, doc_id, lex_rank, vec_rank, rrf_score,
+    * fused_rank 1..k); lex_rank/vec_rank are null when the doc is absent
+    * from that list.
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    val l = lex.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("lex_rank"))
+    val v = dense.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("vec_rank"))
+    val score =
+      coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", score)
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .filter(col("fused_rank") <= k)
   }
 }

@@ -391,6 +391,25 @@ object OpsQueries {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         qdf, "qid", "qtext", k = 10)
     }),
+    // hybrid retrieval: RRF fusion of the BM25 list (q96's five queries)
+    // with the dense cosine list (the same ids' embeddings) — the RAG
+    // combiner. Fully oracle-checked: both input rankings already hash-
+    // match DuckDB (q96/q58 machinery), and the fused score is a two-term
+    // double sum, so ranks, null sides, and scores all replay exactly.
+    "q118_hybrid_rrf" -> ((s, d) => {
+      val qdf = s.createDataFrame(Seq(
+        (0L, "spark join merge"), (1L, "window hash scan"),
+        (2L, "customer data line"), (3L, "stream batch dup"),
+        (4L, "filter sort agg slow"))).toDF("qid", "qtext")
+      val lex = Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+          qdf, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val corpus = emb(s, d)
+      val dense = Similarity.bruteForceTopK(corpus,
+          corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, dense, k = 10)
+    }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>
@@ -1869,6 +1888,66 @@ object OpsQueries {
         |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
         |  FROM sc)
         |WHERE rank <= 10""".stripMargin,
+    // BM25 block is q96's verbatim (same 5 queries, k=10); dense block is
+    // q58's cosine ranking restricted to vec_id < 5; the fuse mirrors
+    // Retrieval.rrfFuse: 1.0/(60+rank) per present side, two-term double
+    // sum, ties by doc_id. 1.0 is cast to DOUBLE — DuckDB's bare 1.0 is
+    // DECIMAL and decimal division would diverge from Spark's double.
+    "q118_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'spark join merge'),
+        |  (CAST(1 AS BIGINT), 'window hash scan'),
+        |  (CAST(2 AS BIGINT), 'customer data line'),
+        |  (CAST(3 AS BIGINT), 'stream batch dup'),
+        |  (CAST(4 AS BIGINT), 'filter sort agg slow')),
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |      FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM d),
+        |st AS (SELECT CAST(count(1) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(1) AS DOUBLE) AS tf
+        |       FROM (SELECT doc_id, unnest(ws) AS token FROM d) GROUP BY 1, 2),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) AS token
+        |       FROM q),
+        |mt AS (SELECT tf.* FROM tf WHERE token IN (SELECT DISTINCT token FROM qt)),
+        |dfreq AS (SELECT token,
+        |            ln(1.0 + ((SELECT n FROM st) - count(1) + 0.5)
+        |                     / (count(1) + 0.5)) AS idf
+        |          FROM mt GROUP BY token),
+        |sc AS (SELECT qt.query_id, mt.doc_id,
+        |         sum(CAST(dfreq.idf * mt.tf * (1.2 + 1)
+        |           / (mt.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))
+        |           AS DECIMAL(30,6))) AS score_dec
+        |       FROM mt JOIN dfreq USING (token) JOIN qt USING (token)
+        |         JOIN dl ON mt.doc_id = dl.doc_id, st
+        |       GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc) WHERE rank <= 10),
+        |den AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT eq.vec_id AS query_id, ec.vec_id AS doc_id,
+        |    CAST(row_number() OVER (PARTITION BY eq.vec_id
+        |      ORDER BY list_cosine_similarity(ec.embedding, eq.embedding) DESC,
+        |               ec.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings ec JOIN embeddings eq
+        |    ON eq.vec_id < 5 AND ec.vec_id <> eq.vec_id)
+        |  WHERE rank <= 10),
+        |f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |        coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |        l.rank AS lex_rank, v.rank AS vec_rank,
+        |        coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0.0)
+        |          + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank), 0.0)
+        |          AS rrf_score
+        |      FROM lex l FULL JOIN den v
+        |        ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        |SELECT query_id, doc_id, lex_rank, vec_rank, rrf_score, fused_rank
+        |FROM (SELECT f.*,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+        |      FROM f)
+        |WHERE fused_rank <= 10""".stripMargin,
     "q89_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),

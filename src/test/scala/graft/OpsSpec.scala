@@ -1094,6 +1094,43 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("RRF fusion: hand-computed scores, single-side docs, doc_id tie-break, k cap") {
+    import graft.ops.Retrieval
+    import spark.implicits._
+    // lexical list: docs 10,11,12 at ranks 1,2,3; dense list: 11,13 at 1,2.
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val den = Seq((0L, 11L, 1L), (0L, 13L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, den, k = 10)
+      .collect().map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._5)
+    def s(ranks: Long*) = ranks.map(r => 1.0 / (60 + r)).sum
+    // doc 11 in both lists wins; 10,12,13 single-side; 12 vs 13: rank-3 lex
+    // (1/63) beats rank-2 dense... no: 1/62 > 1/63, so 13 before 12.
+    val expected = Seq(
+      (11L, Some(2L), Some(1L), s(2) + s(1) - 0.0, 1L),
+      (10L, Some(1L), None, s(1), 2L),
+      (13L, None, Some(2L), s(2), 3L),
+      (12L, Some(3L), None, s(3), 4L))
+    assert(out.length == 4, s"got ${out.toSeq}")
+    out.zip(expected).foreach { case ((id, lr, vr, sc, fr), (eid, elr, evr, esc, efr)) =>
+      assert(id == eid && lr == elr && vr == evr && fr == efr,
+        s"got ${out.toSeq}, expected $expected")
+      assert(math.abs(sc - esc) < 1e-15, s"doc $id score $sc != $esc")
+    }
+    // exact ties (same doc sets, same ranks in each list) break by doc_id asc
+    val lex2 = Seq((1L, 20L, 1L), (1L, 21L, 1L)).toDF("query_id", "doc_id", "rank")
+    val den2 = spark.emptyDataFrame.select(lit(0L).as("query_id"),
+      lit(0L).as("doc_id"), lit(0L).as("rank")).limit(0)
+    val tied = Retrieval.rrfFuse(lex2, den2, k = 10)
+      .orderBy("fused_rank").collect().map(_.getLong(1)).toSeq
+    assert(tied == Seq(20L, 21L), s"tie-break by doc_id: $tied")
+    // k cap: k=1 keeps only the fused winner per query
+    assert(Retrieval.rrfFuse(lex, den, k = 1).count() == 1)
+  }
+
   test("ANN index append: new batch found at rank 1, no retrain, skipping intact") {
     val tmp = java.nio.file.Files.createTempDirectory("annappend").toString
     val even = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
