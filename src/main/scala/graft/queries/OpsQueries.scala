@@ -410,6 +410,37 @@ object OpsQueries {
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
       Retrieval.rrfFuse(lex, dense, k = 10)
     }),
+    // edit-distance fuzzy-dup self-join at ed<=2 over 40-char prefixes;
+    // every 5th doc gets a planted one-deletion twin (+1e6). PassJoin
+    // blocking has recall exactly 1, so the FULL output (organic pairs
+    // included) hash-compares against DuckDB's all-pairs levenshtein.
+    "q119_edit_distance" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        substring(trim(col("text")), 1, 40).as("nm"))
+      val planted = base.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("p", (col("doc_id") % 20 + 3).cast("int"))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(expr("substring(nm, 1, p - 1)"),
+            expr("substring(nm, p + 1)")).as("nm"))
+      Dedup.editDistanceNearDups(base.unionByName(planted), "doc_id", "nm",
+        k = 2)
+    }),
+    // cross-table fuzzy linkage at ed<=1: "benchmark" strings (every 7th
+    // doc's 30-char prefix with one substituted char, +2e6) matched back
+    // to the corpus — the typo-tolerant decontamination / record-linkage
+    // shape. Full oracle: all-pairs DuckDB levenshtein.
+    "q120_edit_linkage" -> ((s, d) => {
+      val corpus = docs(s, d).select(col("doc_id"),
+        substring(trim(col("text")), 1, 30).as("nm"))
+      val bench = corpus.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("p", (col("doc_id") % 10 + 4).cast("int"))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(expr("substring(nm, 1, p - 1)"), lit("z"),
+            expr("substring(nm, p + 1)")).as("nm"))
+      Dedup.editDistanceJoin(corpus, bench, "doc_id", "nm", k = 1)
+        .select(col("id_l").as("corpus_id"), col("id_r").as("bench_id"),
+          col("dist"))
+    }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>
@@ -1948,6 +1979,36 @@ object OpsQueries {
         |          ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
         |      FROM f)
         |WHERE fused_rank <= 10""".stripMargin,
+    // all-pairs levenshtein with the |length diff| <= k prefilter; the
+    // planted block mirrors the Spark-side deletion splice exactly
+    // (p = doc_id % 20 + 3 computed BEFORE the id shift). Spark's blocked
+    // PassJoin has recall 1, so the sets are identical, not just the
+    // planted subset.
+    "q119_edit_distance" ->
+      """WITH base AS (SELECT doc_id, substr(trim(text), 1, 40) AS nm
+        |              FROM documents),
+        |pl AS (SELECT doc_id + 1000000 AS doc_id,
+        |         substr(nm, 1, p - 1) || substr(nm, p + 1) AS nm
+        |       FROM (SELECT doc_id, nm, CAST(doc_id % 20 + 3 AS INT) AS p
+        |             FROM base WHERE doc_id % 5 = 0)),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM pl)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.nm) - length(b.nm)) <= 2
+        |WHERE levenshtein(a.nm, b.nm) <= 2""".stripMargin,
+    "q120_edit_linkage" ->
+      """WITH corpus AS (SELECT doc_id, substr(trim(text), 1, 30) AS nm
+        |                FROM documents),
+        |bench AS (SELECT doc_id + 2000000 AS doc_id,
+        |            substr(nm, 1, p - 1) || 'z' || substr(nm, p + 1) AS nm
+        |          FROM (SELECT doc_id, nm, CAST(doc_id % 10 + 4 AS INT) AS p
+        |                FROM corpus WHERE doc_id % 7 = 0))
+        |SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+        |       CAST(levenshtein(c.nm, b.nm) AS BIGINT) AS dist
+        |FROM corpus c JOIN bench b
+        |  ON abs(length(c.nm) - length(b.nm)) <= 1
+        |WHERE levenshtein(c.nm, b.nm) <= 1""".stripMargin,
     "q89_lm_score" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents),

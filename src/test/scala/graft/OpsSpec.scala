@@ -1094,6 +1094,68 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("edit-distance join: hand fixture incl. short-string residue; exact distances") {
+    import spark.implicits._
+    // aaaa~aaab d1; kitten~sitting d3 (excluded at k=2); abc~abcd d1;
+    // ab~xy d2 (both short, len<=k); ab~abcd d2 (short vs mid-length)
+    val rows = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "kitten"),
+      (4L, "sitting"), (5L, "abc"), (6L, "abcd"), (7L, "ab"), (8L, "xy"))
+      .toDF("id", "s")
+    val got = Dedup.editDistanceNearDups(rows, "id", "s", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // full hand-checked enumeration; aaab~ab is the subtle one (2 dels)
+    val expected = Set((1L, 2L, 1L), (2L, 7L, 2L), (5L, 6L, 1L),
+      (5L, 7L, 1L), (6L, 7L, 2L), (7L, 8L, 2L))
+    assert(got == expected, s"got $got")
+  }
+
+  test("edit-distance join equals brute force on real prefixes (recall = 1)") {
+    import spark.implicits._
+    // 36-char prefixes of sf0.001 docs + one-deletion twins — same shape
+    // as the q119 gate; compare the blocked join to the all-pairs join.
+    val base = docs.select(col("doc_id"),
+      substring(trim(col("text")), 1, 36).as("nm"))
+    val twins = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .withColumn("p", (col("doc_id") % 15 + 2).cast("int"))
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(expr("substring(nm, 1, p - 1)"),
+          expr("substring(nm, p + 1)")).as("nm"))
+    val t = base.unionByName(twins).cache()
+    val blocked = Dedup.editDistanceNearDups(t, "doc_id", "nm", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = t.select(col("doc_id").as("id_a"), col("nm").as("na"))
+    val b = t.select(col("doc_id").as("id_b"), col("nm").as("nb"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    t.unpersist(blocking = false)
+    assert(blocked == brute,
+      s"missed=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture produced no pairs — twins not planted?")
+    // every planted twin must appear (it is at distance exactly 1)
+    val plantedIds = twins.select("doc_id").as[Long].collect().toSet
+    val foundTwins = blocked.collect {
+      case (lo, hi, _) if hi == lo + 1000000L => hi
+    }.toSet
+    assert(plantedIds.subsetOf(foundTwins),
+      s"planted twins missed: ${(plantedIds -- foundTwins).take(5)}")
+  }
+
+  test("edit-distance cross join: linkage finds each perturbed benchmark row") {
+    import spark.implicits._
+    val corpus = Seq((1L, "hello world"), (2L, "goodbye moon"),
+      (3L, "hello word")).toDF("id", "s")
+    val bench = Seq((100L, "hello worlds"), (200L, "goodby moon"))
+      .toDF("id", "s")
+    val got = Dedup.editDistanceJoin(corpus, bench, "id", "s", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hello world ~ hello worlds d1; goodbye moon ~ goodby moon d1;
+    // hello word ~ hello worlds d2 excluded at k=1
+    assert(got == Set((1L, 100L, 1L), (2L, 200L, 1L)), s"got $got")
+  }
+
   test("RRF fusion: hand-computed scores, single-side docs, doc_id tie-break, k cap") {
     import graft.ops.Retrieval
     import spark.implicits._
