@@ -125,23 +125,36 @@ object Bench {
       .map { case (name, fn) =>
         name -> run(name, fn)
       }
-    // q100's one-time bucketed-table ingest, reported as its own metric so
-    // the q100 number reads as join cost (ingest is forced fresh here; the
-    // q100 samples above reused the session's tables via the marker).
-    val ingestSec = if (!only.forall(_.contains("q100i_bucketed_ingest"))) -1.0
-    else {
-      val t0 = System.nanoTime()
-      try {
-        graft.queries.ConnectorQueries.q100Ingest(spark, sfDir, force = true)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] q100 ingest failed: ${e.getMessage}")
-        -1.0 // the same failure sentinel every query uses — a failed
-             // ingest must not read as a fast successful one
+    // One-time ingest/build costs, each reported as its own `qNNNi` metric
+    // so the matching query number reads as pure query cost (builds are
+    // forced fresh here; the query samples above reused the session's
+    // artifacts via their markers): q100's bucketed tables, and the
+    // persisted ANN indexes of q82/q83/q113 — a 100 TB deployment builds
+    // those offline, so their k-means + clustered writes are ingest, not
+    // probe (round-6 verdict #3).
+    val ingestFns: Seq[(String, () => Unit)] = Seq(
+      "q100i_bucketed_ingest" -> (() =>
+        graft.queries.ConnectorQueries.q100Ingest(spark, sfDir, force = true)),
+      "q82i_ivf_build" -> (() =>
+        { graft.queries.OpsQueries.q82Index(spark, sfDir, force = true); () }),
+      "q83i_pq_build" -> (() =>
+        { graft.queries.OpsQueries.q83Index(spark, sfDir, force = true); () }),
+      "q113i_ivf_meta_build" -> (() =>
+        { graft.queries.OpsQueries.q113Index(spark, sfDir, force = true); () }))
+    val ingestResults = ingestFns.map { case (name, fn) =>
+      val sec = if (!only.forall(_.contains(name))) -1.0
+      else {
+        val t0 = System.nanoTime()
+        try { fn(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // the same failure sentinel every query uses — a failed
+               // ingest must not read as a fast successful one
+        }
       }
+      name -> (sec, 1)
     }
-    val results = (queryResults :+ ("q100i_bucketed_ingest" -> (ingestSec, 1)))
-      .sortBy(_._1)
+    val results = (queryResults ++ ingestResults).sortBy(_._1)
     val total = results.map(_._2._1).filter(_ >= 0).sum
 
     // Streaming throughput (produce→consume rows/sec + per-epoch latency)
@@ -173,11 +186,15 @@ object Bench {
     val sf1Full = sf1Block.map(b => s""","sf1":$b""").getOrElse("")
     val sf1Short = sf1Block.map { b =>
       // max of the "ratio":X values — the one number that answers "did
-      // anything scale super-linearly?"
-      val ratios = """"ratio":([0-9.\-]+)""".r.findAllMatchIn(b)
-        .map(_.group(1).toDouble).filter(_ > 0).toSeq
-      val mx = if (ratios.nonEmpty) ratios.max else -1.0
-      s""","sf1":{"max_ratio":${math.rint(mx * 100) / 100},"queries":${ratios.length},"detail":"BENCH_FULL.json"}"""
+      // anything scale super-linearly?" — PLUS which query it was (the
+      // round-6 lesson: a bare max_ratio whose owner was lost with the
+      // overwritten detail file is unactionable).
+      val entryRe =
+        """"(q[0-9]+[a-z]*)":\{"sf01":[0-9.\-]+,"sf1":[0-9.\-]+,"ratio":([0-9.\-]+)\}""".r
+      val pairs = entryRe.findAllMatchIn(b)
+        .map(m => (m.group(1), m.group(2).toDouble)).filter(_._2 > 0).toSeq
+      val (mq, mx) = if (pairs.nonEmpty) pairs.maxBy(_._2) else ("", -1.0)
+      s""","sf1":{"max_ratio":${math.rint(mx * 100) / 100},"max_q":"$mq","queries":${pairs.length},"detail":"BENCH_HISTORY.jsonl"}"""
     }.getOrElse("")
 
     // Full fidelity (full query names, ns precision, per-query sample
@@ -192,6 +209,16 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo$streamFields$sf1Full,"queries":$qsFull,"samples":$ns,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // BENCH_FULL.json is gitignored and clobbered by every run — round 6
+    // lost the identity of its 4.21× sf1 scaler that way. The same full
+    // line therefore also APPENDS to a committed history file, stamped so
+    // rounds are attributable after the fact.
+    val stamp = java.time.Instant.now().toString
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (s"""{"at":"$stamp",""" + full.stripPrefix("{") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
 
     // Short keys must stay UNIQUE: "q54_planted" truncated to "q54" would
     // shadow q54_dedup_minhash in the JSON map — planted twins keep a "p".

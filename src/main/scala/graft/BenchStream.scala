@@ -80,11 +80,9 @@ object BenchStream {
     val topic = "bench"
     Ripple.createTopic(root, topic, numBuckets)
 
-    // events.ts is parquet TIMESTAMP(NANOS) — same long-read conversion the
-    // relational queries use (testdata has no sub-microsecond components)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts type drifts across testdata drops (nanos-as-long vs
+    // timestamp[us]) — use the shared schema-dispatching reader
+    val src = graft.queries.Relational.events(spark, sfDir)
     val packed = Ripple.pack(src, col("event_id"))
       .localCheckpoint() // pin upstream prep OUTSIDE the measured window
     val rows = packed.count()

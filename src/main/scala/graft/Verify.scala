@@ -24,7 +24,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A broken query must show up RED in the correctness artifact, not
+        // vanish from it: leave a _FAILED sentinel where the parquet would
+        // be, so the driver's read errors and records `err` for this key
+        // instead of silently dropping it (round-6 lesson).
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val d = Paths.get(s"$outDir/$name")
+        org.apache.commons.io.FileUtils.deleteQuietly(d.toFile)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_FAILED"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -584,6 +584,22 @@ object Similarity {
       vecCol: String, k: Int): DataFrame =
     pqScoreTopK(index.codes, queries, idCol, vecCol, index.codebooks, k)
 
+  /** PQ index probe + exact re-rank: ADC narrows to k·refine candidates
+    * from the stored codes, then [[refineExact]] rescores that (small)
+    * candidate list against the ORIGINAL vectors — the standard two-tier
+    * deployment where 8-byte codes live in the index and full vectors are
+    * fetched from primary storage only for the shortlist. One broadcast
+    * join of queries × k·refine ids against the corpus scan; no corpus
+    * shuffle.
+    */
+  def pqTopKWithIndexRefine(index: PqIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      refine: Int): DataFrame = {
+    val adc = pqScoreTopK(index.codes, queries, idCol, vecCol,
+      index.codebooks, k * refine)
+    refineExact(adc, corpus, queries, idCol, vecCol, k)
+  }
+
   /** Shared PQ scoring tail (codes ⋈ broadcast query tables → bounded
     * top-k) used by [[pqTopK]] and [[pqTopKWithIndex]].
     */

@@ -18,13 +18,60 @@ object OpsQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
 
-  // One fixed path per query (the index writers all use overwrite mode), so
-  // repeated bench samples reuse the directory instead of accumulating a
-  // fresh UUID-named index per materialization.
-  private def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get("target", "ann-index-scratch", name)
+  // One fixed path per (query, sf dir) — keyed by sf so a dev loop that
+  // switches scale factors can't probe a stale index built from other data.
+  private def scratch(name: String, d: String): String = {
+    val slug = d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val p = java.nio.file.Paths.get("target", "ann-index-scratch", slug, name)
     java.nio.file.Files.createDirectories(p)
     p.toString
+  }
+
+  /** Build-if-absent gate for the persisted ANN indexes. A 100 TB
+    * deployment builds these OFFLINE; rebuilding inside every timed query
+    * sample overstates probe cost ~10× (round-6 verdict). The marker file
+    * makes the build run at most once per scratch dir; Bench forces a
+    * fresh build once per run and reports it as a separate `qNNNi` ingest
+    * metric (the q100i pattern), so the query number reads as probe-only.
+    */
+  private def ensureBuilt(path: String, force: Boolean)(build: => Unit): String = {
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT")
+    if (force || !java.nio.file.Files.exists(marker)) {
+      build
+      java.nio.file.Files.writeString(marker, "built\n")
+    }
+    path
+  }
+
+  /** q82's offline artifact: plain IVF index over the embeddings table. */
+  private[graft] def q82Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q82_ivf", d)
+    ensureBuilt(path, force) {
+      Similarity.saveIvfIndex(emb(s, d), "vec_id", "embedding", path,
+        numCentroids = 16, kmeansIters = 1, numFiles = 8)
+    }
+  }
+
+  /** q83's offline artifact: PQ codes + codebooks over the embeddings. */
+  private[graft] def q83Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q83_pq", d)
+    ensureBuilt(path, force) {
+      Similarity.savePqIndex(emb(s, d), "vec_id", "embedding", path,
+        dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
+    }
+  }
+
+  /** q113's offline artifact: IVF index over the planted corpus with
+    * `label` carried as filterable metadata. */
+  private[graft] def q113Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q113_ivf_meta", d)
+    ensureBuilt(path, force) {
+      val corpus = plantedEmbeddings(s, d).withColumn("label",
+        when(col("vec_id") >= 1000000L, lit(9)).otherwise(lit(0)))
+      Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
+        numCentroids = 16, kmeansIters = 1, numFiles = 8,
+        metaCols = Seq("label"))
+    }
   }
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -279,12 +326,7 @@ object OpsQueries {
     // genuinely gates the filtering. nProbe = 4 covers assignment
     // boundary straddles (the q91_planted finding).
     "q113_filtered_ann" -> ((s, d) => {
-      val corpus = plantedEmbeddings(s, d).withColumn("label",
-        when(col("vec_id") >= 1000000L, lit(9)).otherwise(lit(0)))
-      val path = scratch("q113_ivf_meta")
-      Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
-        numCentroids = 16, kmeansIters = 1, numFiles = 8,
-        metaCols = Seq("label"))
+      val path = q113Index(s, d) // offline build (once); timed part = probe
       Similarity.ivfTopKWithIndexWhere(Similarity.loadIvfIndex(s, path),
           plantedEmbeddings(s, d).filter(col("vec_id") < 1000000L),
           "vec_id", "embedding", k = 1, pred = col("label") === 9,
@@ -318,23 +360,35 @@ object OpsQueries {
     }),
     // persisted-index twins of q59/q79: train+assign/encode ONCE to disk,
     // reload, probe — the index a 100 TB deployment builds offline instead
-    // of re-training per query. Approximate ranks → rows-only gate;
-    // identity with the in-memory path is asserted in OpsSpec.
+    // of re-training per query. Round 7 made both FULLY oracle'd by
+    // driving the q106 self-recovery contract through the SAVED index
+    // (save → load → probe → find self at rank 1 is hash-exact: the
+    // probe's top-1 cell IS its assignment cell and exact cosine puts the
+    // identical vector first); the richer top-5 ranks stay asserted
+    // against the in-memory path in OpsSpec.
     "q82_knn_ivf_index" -> ((s, d) => {
-      val corpus = emb(s, d)
-      val path = scratch("q82_ivf")
-      Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,
-        numCentroids = 16, kmeansIters = 1, numFiles = 8)
-      Similarity.ivfTopKWithIndex(Similarity.loadIvfIndex(s, path),
-        corpus.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, nProbe = 4)
+      val path = q82Index(s, d) // offline build (once); timed part = probe
+      val probe = emb(s, d).filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopKWithIndex(Similarity.loadIvfIndex(s, path), probe,
+          "vec_id", "embedding", k = 1, nProbe = 1)
+        .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
+          col("rank"))
     }),
+    // PQ self-recovery needs the exact-refine tail: ADC alone ties
+    // whenever another vector shares the probe's 8-byte codes (self's ADC
+    // distance is the GLOBAL minimum — per-subspace argmin — so it can
+    // only tie, never lose, but a smaller-id code-collision would out-rank
+    // it). refine=8 rescores the ADC top-8 with exact cosine, where the
+    // identical vector is strictly first.
     "q83_knn_pq_index" -> ((s, d) => {
-      val corpus = emb(s, d)
-      val path = scratch("q83_pq")
-      Similarity.savePqIndex(corpus, "vec_id", "embedding", path,
-        dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
-      Similarity.pqTopKWithIndex(Similarity.loadPqIndex(s, path),
-        corpus.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val path = q83Index(s, d) // offline build (once); timed part = probe
+      val probe = emb(s, d).filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.pqTopKWithIndexRefine(Similarity.loadPqIndex(s, path),
+          emb(s, d), probe, "vec_id", "embedding", k = 1, refine = 8)
+        .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
+          col("rank"))
     }),
     // fused IVF-PQ: coarse cells bound the scan (nProbe/C of the corpus),
     // residual 8-byte codes bound the bytes, exact refine recovers rank
@@ -1147,6 +1201,15 @@ object OpsQueries {
     "q111_cross_semantic" ->
       "SELECT vec_id AS left_id, vec_id AS right_id FROM embeddings",
     "q106_ann_self" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // q82/q83: the q106 self-recovery contract driven through the SAVED
+    // indexes (save → load → probe) — hash-exact, so the persisted-index
+    // paths are fully oracle'd, not rows-only.
+    "q82_knn_ivf_index" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q83_knn_pq_index" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
     "q113_filtered_ann" ->

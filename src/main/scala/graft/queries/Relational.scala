@@ -26,15 +26,30 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read it as a long and convert with integer division (a
-    * double-typed `/` would lose precision above 2^53 ns). The testdata has
-    * no sub-microsecond components, so the truncation is lossless.
+  /** `events.ts` has drifted across testdata generations — parquet
+    * TIMESTAMP(NANOS) in some drops, plain `timestamp[us]` in others — so
+    * dispatch on the read schema instead of assuming either:
+    *   - TIMESTAMP(NANOS): Spark 4 refuses to read it natively; under
+    *     `nanosAsLong` it surfaces as LongType, which we convert with
+    *     integer division (a double-typed `/` would lose precision above
+    *     2^53 ns; the testdata has no sub-microsecond components, so the
+    *     truncation is lossless);
+    *   - `timestamp[us]` (isAdjustedToUTC=false → TIMESTAMP_NTZ): cast once
+    *     to session-TZ TimestampType — the session TZ is pinned to UTC, so
+    *     the wall-clock instants match the DuckDB oracle exactly.
+    * Setting `nanosAsLong` is harmless for non-NANOS files (it only changes
+    * how NANOS columns decode), so it stays on unconditionally.
     */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (or future drift): one lossless cast, UTC session
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact order-independent sum of a double expression: accumulate as
