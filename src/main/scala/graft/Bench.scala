@@ -140,7 +140,9 @@ object Bench {
       "q83i_pq_build" -> (() =>
         { graft.queries.OpsQueries.q83Index(spark, sfDir, force = true); () }),
       "q113i_ivf_meta_build" -> (() =>
-        { graft.queries.OpsQueries.q113Index(spark, sfDir, force = true); () }))
+        { graft.queries.OpsQueries.q113Index(spark, sfDir, force = true); () }),
+      "q123i_ivfpq_build" -> (() =>
+        { graft.queries.OpsQueries.q123Index(spark, sfDir, force = true); () }))
     val ingestResults = ingestFns.map { case (name, fn) =>
       val sec = if (!only.forall(_.contains(name))) -1.0
       else {

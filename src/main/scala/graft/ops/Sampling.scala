@@ -267,4 +267,60 @@ object Sampling {
     }(org.apache.spark.sql.Encoders.row(schema))
       .drop(h)
   }
+
+  /** DSIR-shaped importance weighting for domain mixing (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS'23): score every document by how much its hashed-unigram
+    * mass looks like a TARGET domain vs the general SOURCE pool, using
+    * n-gram counts estimated from the corpus itself.
+    *
+    * Token features hash into `buckets` (default 2^16) — the DSIR trick
+    * that bounds the vocabulary: the count table is `buckets` rows no
+    * matter how big the corpus, so it broadcasts. Classic DSIR scores
+    * log p̂_target(g) − log p̂_source(g); floating logs don't replay
+    * across engines, so the discriminant here is the cross-multiplied
+    * integer form of the same comparison:
+    *
+    *   score(d) = Σ_tokens (cnt_t(b)·N_s − cnt_s(b)·N_t)
+    *
+    * (> 0 ⟺ the doc's average token is relatively more frequent in the
+    * target sample — the p̂_t(b) > p̂_s(b) test with both sides scaled by
+    * N_t·N_s). All-LONG per-token terms, DECIMAL(38,0) accumulation
+    * (exact, order-independent; long sums would overflow near
+    * N_t·N_s ≈ 4·10^18 — a few hundred GB of text), one final cast.
+    *
+    * Two corpus passes by design: pass 1 map-side-combines to the
+    * `buckets`-row count table (tiny shuffle); pass 2 rescans to join
+    * tokens against the BROADCAST table and aggregates per doc (one
+    * doc-key shuffle). Persisting the exploded token stream to skip the
+    * rescan would write ~corpus-size scratch — rescanning is the cheaper
+    * 100 TB shape for a projection this narrow.
+    *
+    * Output: (id, n_toks, score double, keep = score > 0) for every doc
+    * with ≥ 1 token.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 65536,
+      wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Spread.toCores(df)
+      .select(col(idCol), isTarget.as("__tgt"),
+        explode(filter(TextAnalysis.words(col(textCol)),
+          w => length(w) > 0)).as("__w"))
+      .select(col(idCol), col("__tgt"),
+        pmod(wordHash(col("__w")), lit(buckets.toLong)).as("__b"))
+    val counts = toks.groupBy(col("__b")).agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cs"))
+    val Seq(nt, ns) = counts.agg(sum(col("__ct")), sum(col("__cs")))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long])
+    val term = (col("__ct").cast(DecimalType(38, 0)) * lit(ns) -
+      col("__cs").cast(DecimalType(38, 0)) * lit(nt))
+    toks.join(broadcast(counts), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(term).as("__score"))
+      .select(col(idCol), col("n_toks"),
+        col("__score").cast("double").as("score"))
+      .withColumn("keep", col("score") > 0d)
+  }
 }

@@ -827,4 +827,19 @@ object Similarity {
     ivfPqProbe(codes, queries, idCol, vecCol, index.cm, index.cids,
       index.codebooks, k, nProbe)
   }
+
+  /** Saved-IVF-PQ probe + exact re-rank — [[ivfPqTopK]]'s `refine` tail
+    * for the PERSISTED index: residual ADC narrows to k·refine candidates
+    * from the stored codes (probed cells only, file-skipped via the
+    * clustered layout), then [[refineExact]] rescores the shortlist
+    * against the original vectors fetched from primary storage. The
+    * two-tier read pattern of a deployed 100 TB vector index.
+    */
+  def ivfPqTopKWithIndexRefine(index: IvfPqIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    val adc = ivfPqTopKWithIndex(index, queries, idCol, vecCol,
+      k * refine, nProbe)
+    refineExact(adc, corpus, queries, idCol, vecCol, k)
+  }
 }

@@ -45,6 +45,48 @@ object TextAnalysis {
       maxWord <= QualityMaxWordLen
   }
 
+  /** Model-based quality filtering, fasttext/CCNet-shaped: hashed n-gram
+    * features (unigram + bigram bag, repeats kept — mean pooling weights
+    * frequency), a weight-vector lookup per feature, per-doc mean logit.
+    * Scored entirely PER ROW (`transform` + `aggregate` inside the row:
+    * zero shuffle, zero join, stays in whole-stage codegen) — the exact
+    * plumbing a learned linear classifier needs at 100 TB, where the
+    * model rides to executors as plan constants instead of a join side.
+    *
+    * The weight function here is a deterministic md5-derived stand-in
+    * (this environment ships no trained model — the multimodal-stub
+    * precedent): bucket = portable-md5(feature) mod `buckets`, weight =
+    * portable-md5("qw:" + bucket) mod 2000001 − 1e6, i.e. a fixed
+    * pseudo-random vector in [−1e6, 1e6] scaled-int units. Swapping in
+    * real fasttext weights replaces ONE function; the pipeline shape —
+    * and this gate on it — is unchanged. Integer weight sums keep the
+    * gate engine-exact: LONG accumulation, a single double division for
+    * the logit, so DuckDB replays every score bit-for-bit.
+    *
+    * Output: (id, n_feats, logit, keep = logit > 0).
+    */
+  def qualityClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
+    val ws = filter(words(col(textCol)), w => length(w) > 0)
+    val bigrams = when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
+    val feats = concat(ws, bigrams)
+    def weight(f: Column): Column =
+      portableHash60(concat(lit("qw:"),
+        (portableHash60(f) % buckets).cast("string"))) % 2000001L - 1000000L
+    val score = aggregate(transform(feats, weight _), lit(0L), (acc, w) => acc + w)
+    // greatest(n,1): a featureless doc scores logit 0 / keep false instead
+    // of a divide-by-zero null (mirrored in the oracle SQL)
+    Spread.toCores(df).select(
+      col(idCol),
+      size(feats).cast("long").as("n_feats"),
+      (score.cast("double") /
+        (greatest(size(feats).cast("long"), lit(1L)) * 1000000L)
+          .cast("double")).as("logit"))
+      .withColumn("keep", col("logit") > 0d)
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 

@@ -61,6 +61,16 @@ object OpsQueries {
     }
   }
 
+  /** q123's offline artifact: fused IVF-PQ index over the embeddings. */
+  private[graft] def q123Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q123_ivfpq", d)
+    ensureBuilt(path, force) {
+      Similarity.saveIvfPqIndex(emb(s, d), "vec_id", "embedding", path,
+        dim = 64, numCentroids = 16, m = 8, ksub = 16,
+        trainFraction = 0.25, numFiles = 8)
+    }
+  }
+
   /** q113's offline artifact: IVF index over the planted corpus with
     * `label` carried as filterable metadata. */
   private[graft] def q113Index(s: SparkSession, d: String, force: Boolean = false): String = {
@@ -375,6 +385,21 @@ object OpsQueries {
         .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
           col("rank"))
     }),
+    // the q95_planted contract through the PERSISTED fused index: save →
+    // load → probe → exact-refine must recover self at rank 1 (top-1
+    // probe cell = assignment cell; residual ADC self-distance is the
+    // global minimum over code combinations; the refine pass's exact
+    // cosine puts the identical vector strictly first).
+    "q123_ivfpq_index_self" -> ((s, d) => {
+      val path = q123Index(s, d) // offline build (once); timed part = probe
+      val probe = emb(s, d).filter(col("vec_id") < 50)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      Similarity.ivfPqTopKWithIndexRefine(Similarity.loadIvfPqIndex(s, path),
+          emb(s, d), probe, "vec_id", "embedding", k = 1, nProbe = 1,
+          refine = 8)
+        .select((col("query_id") - 5000000L).as("query_id"), col("vec_id"),
+          col("rank"))
+    }),
     // PQ self-recovery needs the exact-refine tail: ADC alone ties
     // whenever another vector shares the probe's 8-byte codes (self's ADC
     // distance is the GLOBAL minimum — per-subspace argmin — so it can
@@ -495,6 +520,21 @@ object OpsQueries {
         .select(col("id_l").as("corpus_id"), col("id_r").as("bench_id"),
           col("dist"))
     }),
+    // model-based quality filtering (fasttext/CCNet shape): hashed
+    // unigram+bigram features · md5-derived stand-in weight vector,
+    // mean-pooled per-doc logit — scored per row in whole-stage codegen,
+    // zero shuffle. Integer weight sums → the oracle replays every logit
+    // bit-for-bit.
+    "q121_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassify(docs(s, d), "doc_id", "text")),
+    // DSIR-shaped importance weighting: hashed-unigram count contrast
+    // between a target domain slice (src0-2) and the rest of the pool,
+    // cross-multiplied integer discriminant (no floating logs), DECIMAL
+    // accumulation — count table bounded at 2^16 rows → broadcast.
+    "q122_dsir_weights" -> ((s, d) =>
+      Sampling.importanceWeights(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"),
+        wordHash = TextAnalysis.portableHash60)),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>
@@ -1212,6 +1252,53 @@ object OpsQueries {
     "q83_knn_pq_index" ->
       """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "q123_ivfpq_index_self" ->
+      """SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    // q121: replay the hashed linear classifier exactly — same filtered
+    // unigram+bigram bag, same md5 bucket → md5 weight chain, LONG sum,
+    // one double division.
+    "q121_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w != '') AS ws
+        |  FROM documents),
+        |fe AS (
+        |  SELECT doc_id,
+        |    ws || list_transform(range(1, len(ws)),
+        |            i -> ws[i] || ' ' || ws[i+1]) AS fs
+        |  FROM f),
+        |sc AS (
+        |  SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        |    CAST(COALESCE(list_sum(list_transform(fs, g ->
+        |        ('0x' || substr(md5('qw:' ||
+        |            ((('0x' || substr(md5(g), 1, 15))::BIGINT) % 4096)::VARCHAR),
+        |          1, 15))::BIGINT % 2000001 - 1000000)), 0) AS DOUBLE)
+        |      / CAST(greatest(len(fs), 1) * 1000000 AS DOUBLE) AS logit
+        |  FROM fe)
+        |SELECT doc_id, n_feats, logit, logit > 0 AS keep FROM sc""".stripMargin,
+    // q122: replay the DSIR count contrast — same portable-md5 16-bit
+    // buckets, HUGEINT-exact cross-multiplied discriminant, cast once.
+    "q122_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(w), 1, 15))::BIGINT) % 65536 AS b,
+        |    source IN ('src0', 'src1', 'src2') AS tgt
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |            w -> w != '')) AS w
+        |        FROM documents)),
+        |cnt AS (
+        |  SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+        |         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+        |  FROM toks GROUP BY b),
+        |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM cnt)
+        |SELECT doc_id, CAST(count(1) AS BIGINT) AS n_toks,
+        |  CAST(sum(ct * ns - cs * nt) AS DOUBLE) AS score,
+        |  CAST(sum(ct * ns - cs * nt) AS DOUBLE) > 0 AS keep
+        |FROM toks JOIN cnt USING (b) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "q113_filtered_ann" ->
       """SELECT vec_id AS query_id, vec_id + 1000000 AS vec_id,
         |  CAST(1 AS BIGINT) AS rank

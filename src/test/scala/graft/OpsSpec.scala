@@ -1490,6 +1490,76 @@ class OpsSpec extends AnyFunSuite {
     assert(!hh.contains(""), s"empty token leaked into $hh")
   }
 
+  test("quality classifier: hand-computed logit, plan stays per-row, keep = logit>0") {
+    import spark.implicits._
+    // one-word doc: feats = [w]; logit = weight(bucket(w)) / 1e6 —
+    // recompute the md5 chain by hand and compare exactly
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def w(f: String): Long = h60("qw:" + (h60(f) % 4096)) % 2000001L - 1000000L
+    val df = Seq((1L, "alpha"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassify(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val e1 = w("alpha") / 1e6
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2 - e1) < 1e-12, out(1L).toString)
+    // two words: unigrams alpha, beta + bigram "alpha beta" → 3 feats
+    val e2 = (w("alpha") + w("beta") + w("alpha beta")).toDouble / (3 * 1e6)
+    assert(out(2L)._1 == 3L && math.abs(out(2L)._2 - e2) < 1e-12, out(2L).toString)
+    assert(out.values.forall { case (_, l, k) => k == (l > 0) })
+    // per-row scoring: no key-based shuffle in the plan (the one allowed
+    // Exchange is Spread.toCores' round-robin input spreading)
+    val plan = TextAnalysis.qualityClassify(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
+      s"classifier plan shuffles on a key:\n$plan")
+  }
+
+  test("DSIR importance weights: target-only token scores positive, balanced zero") {
+    import spark.implicits._
+    // 'aa' appears only in target docs, 'bb' only in source docs, 'cc' in
+    // both equally. With N_t = N_s the discriminant sign is readable off
+    // the counts: doc of aa's > 0, doc of bb's < 0, all-cc doc = 0.
+    val df = Seq(
+      (1L, "aa aa cc", true), (2L, "aa cc cc", true),
+      (3L, "bb bb cc", false), (4L, "bb cc cc", false),
+      (5L, "cc cc cc", false)).toDF("doc_id", "text", "tgt")
+    val out = graft.ops.Sampling.importanceWeights(df, "doc_id", "text",
+        col("tgt"), wordHash = TextAnalysis.portableHash60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.size == 5)
+    assert(out(1L)._2 > 0 && out(1L)._3, out(1L).toString) // aa-heavy → target-like
+    assert(out(3L)._2 < 0 && !out(3L)._3, out(3L).toString) // bb-heavy → source-like
+    // all-cc doc, exact discriminant: N_t=6, N_s=9, cnt_t(cc)=3,
+    // cnt_s(cc)=6 → per-token term 3*9 - 6*6 = -9, three tokens → -27
+    assert(out(5L)._2 == 3.0 * (3 * 9 - 6 * 6), out(5L).toString)
+    assert(out(1L)._1 == 3L) // n_toks counts occurrences
+  }
+
+  test("saved IVF-PQ refine probe matches the in-memory refined path") {
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 7000000L).as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    Similarity.saveIvfPqIndex(corpus, "vec_id", "embedding", dir,
+      dim = 64, numCentroids = 8, m = 8, ksub = 16, numFiles = 4)
+    val viaIndex = Similarity.ivfPqTopKWithIndexRefine(
+        Similarity.loadIvfPqIndex(spark, dir), corpus, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inMemory = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 3, dim = 64, numCentroids = 8, nProbe = 2, m = 8, ksub = 16,
+        refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == inMemory,
+      s"index path diverges: ${viaIndex.diff(inMemory)} vs ${inMemory.diff(viaIndex)}")
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._
