@@ -142,7 +142,9 @@ object Bench {
       "q113i_ivf_meta_build" -> (() =>
         { graft.queries.OpsQueries.q113Index(spark, sfDir, force = true); () }),
       "q123i_ivfpq_build" -> (() =>
-        { graft.queries.OpsQueries.q123Index(spark, sfDir, force = true); () }))
+        { graft.queries.OpsQueries.q123Index(spark, sfDir, force = true); () }),
+      "q124i_bm25_build" -> (() =>
+        { graft.queries.OpsQueries.q124Index(spark, sfDir, force = true); () }))
     val ingestResults = ingestFns.map { case (name, fn) =>
       val sec = if (!only.forall(_.contains(name))) -1.0
       else {

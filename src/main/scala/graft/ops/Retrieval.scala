@@ -74,8 +74,20 @@ object Retrieval {
       .join(broadcast(termSet), Seq("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    // matched is unique per (doc_id, token), so count(1) IS document freq;
-    // the result is bounded by the distinct query term count → broadcast
+    scoreMatched(matched, qterms, nDocs, avgdl, k, k1, b)
+  }
+
+  /** Shared BM25 scoring tail over query-term postings (doc_id, dl,
+    * token, tf) — used by the live [[bm25TopK]] pass and the persisted
+    * [[bm25TopKWithIndex]] probe, so the two paths cannot drift. df is
+    * derived from the postings themselves (one row per (doc, token) ⇒
+    * count = document frequency), bounded by the query term set →
+    * broadcast.
+    */
+  private def scoreMatched(matched: DataFrame, qterms: DataFrame,
+      nDocs: Double, avgdl: Double, k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
     val dfreq = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5)))
@@ -101,6 +113,71 @@ object Retrieval {
         }
       }
       .toDF("query_id", "doc_id", "rank", "score")
+  }
+
+  // ---- persisted inverted index ---------------------------------------
+
+  /** A persisted BM25 inverted index: the postings table plus the two
+    * corpus scalars every probe needs.
+    */
+  case class Bm25Index(nDocs: Long, avgdl: Double, postings: DataFrame)
+
+  /** Tokenize + count ONCE, persist — the retrieval analog of
+    * [[Similarity.saveIvfIndex]]: `<path>/postings` holds one row per
+    * (token, doc_id) with tf and the doc length DENORMALIZED into the
+    * posting (Lucene's norms-in-posting shape — probes never join a
+    * corpus-sized doc-length table), written via [[Layout.writeClustered]]
+    * RANGE-CLUSTERED ON TOKEN so a probe's `token IN (...)` predicate
+    * meets per-file min/max term ranges and skips every file whose terms
+    * can't match — the inverted-index seek, expressed as parquet file
+    * skipping. `<path>/stats` carries (n_docs, avgdl). A 100 TB corpus
+    * pays the tokenize+count pass once here instead of per query batch.
+    */
+  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
+      .localCheckpoint()
+    val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
+    val postings = d.select(col("doc_id"), col("dl"),
+        explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    Layout.writeClustered(postings, s"$path/postings", Seq(col("token")),
+      numFiles)
+    Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
+    val s = spark.read.parquet(s"$path/stats").head()
+    Bm25Index(s.getLong(0), s.getDouble(1),
+      spark.read.parquet(s"$path/postings"))
+  }
+
+  /** Probe a persisted inverted index: collect the (bounded-by-query-set)
+    * distinct terms, push `token IN (terms)` INTO the postings scan — the
+    * predicate meets the token-clustered layout's per-file ranges, so
+    * unmatched files are never read — and run the exact [[bm25TopK]]
+    * scoring tail over the slice. Identical output to the live pass by
+    * construction (same tf/df/dl values, same DECIMAL accumulation).
+    */
+  def bm25TopKWithIndex(index: Bm25Index, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
+      .filter(col("token") =!= "")
+    val terms = qterms.select(col("token")).distinct()
+      .collect().map(_.getString(0))
+    val matched = index.postings.filter(col("token").isin(terms: _*))
+    scoreMatched(matched, qterms, index.nDocs.toDouble, index.avgdl, k, k1, b)
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of a lexical and a dense

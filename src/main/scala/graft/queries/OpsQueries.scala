@@ -61,6 +61,16 @@ object OpsQueries {
     }
   }
 
+  /** q124's offline artifact: BM25 inverted index (token-clustered
+    * postings + corpus stats) over the documents table. */
+  private[graft] def q124Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q124_bm25", d)
+    ensureBuilt(path, force) {
+      Retrieval.saveBm25Index(docs(s, d), "doc_id", "text", path,
+        numFiles = 8)
+    }
+  }
+
   /** q123's offline artifact: fused IVF-PQ index over the embeddings. */
   private[graft] def q123Index(s: SparkSession, d: String, force: Boolean = false): String = {
     val path = scratch("q123_ivfpq", d)
@@ -468,6 +478,19 @@ object OpsQueries {
         (2L, "customer data line"), (3L, "stream batch dup"),
         (4L, "filter sort agg slow"))).toDF("qid", "qtext")
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        qdf, "qid", "qtext", k = 10)
+    }),
+    // q96 through the PERSISTED inverted index: tokenize+count once to a
+    // token-clustered postings table, probe with `token IN (...)` pushed
+    // to the scan (file skipping = the inverted-index seek). Identical
+    // scoring tail to the live pass ⇒ reuses q96's oracle verbatim.
+    "q124_bm25_index" -> ((s, d) => {
+      val path = q124Index(s, d) // offline build (once); timed part = probe
+      val qdf = s.createDataFrame(Seq(
+        (0L, "spark join merge"), (1L, "window hash scan"),
+        (2L, "customer data line"), (3L, "stream batch dup"),
+        (4L, "filter sort agg slow"))).toDF("qid", "qtext")
+      Retrieval.bm25TopKWithIndex(Retrieval.loadBm25Index(s, path),
         qdf, "qid", "qtext", k = 10)
     }),
     // hybrid retrieval: RRF fusion of the BM25 list (q96's five queries)
@@ -1073,6 +1096,46 @@ object OpsQueries {
     graft.ops.Dedup.hashParams(64, 42L).zipWithIndex
       .map { case ((a, b), j) => s"($j, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
+
+  /** Lucene-shaped BM25 replay over the five fixed queries — shared by
+    * q96 (live pass) and q124 (persisted inverted index): the index probe
+    * is score-identical to the live pass by construction, so one oracle
+    * gates both.
+    */
+  private val bm25OracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+      |  (CAST(0 AS BIGINT), 'spark join merge'),
+      |  (CAST(1 AS BIGINT), 'window hash scan'),
+      |  (CAST(2 AS BIGINT), 'customer data line'),
+      |  (CAST(3 AS BIGINT), 'stream batch dup'),
+      |  (CAST(4 AS BIGINT), 'filter sort agg slow')),
+      |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |      FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM d),
+      |st AS (SELECT CAST(count(1) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, token, CAST(count(1) AS DOUBLE) AS tf
+      |       FROM (SELECT doc_id, unnest(ws) AS token FROM d) GROUP BY 1, 2),
+      |qt AS (SELECT query_id,
+      |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) AS token
+      |       FROM q),
+      |mt AS (SELECT tf.* FROM tf WHERE token IN (SELECT DISTINCT token FROM qt)),
+      |dfreq AS (SELECT token,
+      |            ln(1.0 + ((SELECT n FROM st) - count(1) + 0.5)
+      |                     / (count(1) + 0.5)) AS idf
+      |          FROM mt GROUP BY token),
+      |sc AS (SELECT qt.query_id, mt.doc_id,
+      |         sum(CAST(dfreq.idf * mt.tf * (1.2 + 1)
+      |           / (mt.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))
+      |           AS DECIMAL(30,6))) AS score_dec
+      |       FROM mt JOIN dfreq USING (token) JOIN qt USING (token)
+      |         JOIN dl ON mt.doc_id = dl.doc_id, st
+      |       GROUP BY 1, 2)
+      |SELECT query_id, doc_id, rank, score FROM (
+      |  SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc)
+      |WHERE rank <= 10""".stripMargin
 
   private def minhashOracleSql: String = {
     val perms = permValues
@@ -2035,40 +2098,10 @@ object OpsQueries {
         |    AND symbol_ratio < 0.1 AND alpha_ratio >= 0.8
         |    THEN 1 ELSE 0 END AS keep_flag
         |FROM m""".stripMargin,
-    "q96_bm25_topk" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |  (CAST(0 AS BIGINT), 'spark join merge'),
-        |  (CAST(1 AS BIGINT), 'window hash scan'),
-        |  (CAST(2 AS BIGINT), 'customer data line'),
-        |  (CAST(3 AS BIGINT), 'stream batch dup'),
-        |  (CAST(4 AS BIGINT), 'filter sort agg slow')),
-        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-        |      FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM d),
-        |st AS (SELECT CAST(count(1) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, token, CAST(count(1) AS DOUBLE) AS tf
-        |       FROM (SELECT doc_id, unnest(ws) AS token FROM d) GROUP BY 1, 2),
-        |qt AS (SELECT query_id,
-        |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) AS token
-        |       FROM q),
-        |mt AS (SELECT tf.* FROM tf WHERE token IN (SELECT DISTINCT token FROM qt)),
-        |dfreq AS (SELECT token,
-        |            ln(1.0 + ((SELECT n FROM st) - count(1) + 0.5)
-        |                     / (count(1) + 0.5)) AS idf
-        |          FROM mt GROUP BY token),
-        |sc AS (SELECT qt.query_id, mt.doc_id,
-        |         sum(CAST(dfreq.idf * mt.tf * (1.2 + 1)
-        |           / (mt.tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / st.avgdl))
-        |           AS DECIMAL(30,6))) AS score_dec
-        |       FROM mt JOIN dfreq USING (token) JOIN qt USING (token)
-        |         JOIN dl ON mt.doc_id = dl.doc_id, st
-        |       GROUP BY 1, 2)
-        |SELECT query_id, doc_id, rank, score FROM (
-        |  SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
-        |  FROM sc)
-        |WHERE rank <= 10""".stripMargin,
+    "q96_bm25_topk" -> bm25OracleSql,
+    // the persisted-index probe is score-identical to the live pass by
+    // construction (same tf/df/dl, same DECIMAL sum) — same oracle.
+    "q124_bm25_index" -> bm25OracleSql,
     // BM25 block is q96's verbatim (same 5 queries, k=10); dense block is
     // q58's cosine ranking restricted to vec_id < 5; the fuse mirrors
     // Retrieval.rrfFuse: 1.0/(60+rank) per present side, two-term double

@@ -1560,6 +1560,30 @@ class OpsSpec extends AnyFunSuite {
       s"index path diverges: ${viaIndex.diff(inMemory)} vs ${inMemory.diff(viaIndex)}")
   }
 
+  test("saved BM25 inverted index matches the live pass; term filter reaches the scan") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val qdf = Seq((0L, "spark join merge"), (1L, "customer data line"))
+      .toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-idx").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", dir, numFiles = 4)
+    val viaIndex = Retrieval.bm25TopKWithIndex(
+      Retrieval.loadBm25Index(spark, dir), qdf, "qid", "qtext", k = 10)
+    val live = Retrieval.bm25TopK(docs, "doc_id", "text",
+      qdf, "qid", "qtext", k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+    assert(rows(viaIndex) == rows(live),
+      s"index probe diverges from live pass")
+    // the probe's token IN (...) must be PUSHED to the postings scan —
+    // that pushdown meeting the token-clustered layout is the
+    // inverted-index seek
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      s"term filter not pushed to postings scan:\n${plan.take(2000)}")
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._
