@@ -180,6 +180,59 @@ object Retrieval {
     scoreMatched(matched, qterms, index.nDocs.toDouble, index.avgdl, k, k1, b)
   }
 
+  /** Binary-relevance ranking evaluation — the QA harness a retrieval
+    * pipeline runs after every index or scorer change: recall@k, MRR and
+    * nDCG@k of a ranked list against a relevance set.
+    *
+    * Inputs: `ranked` (query_id, doc_id, rank) — [[bm25TopK]] /
+    * [[rrfFuse]] / ANN output — and `relevant` (query_id, doc_id), the
+    * ground-truth pairs. Queries with no relevant docs drop out (every
+    * metric would be 0/0).
+    *
+    * Determinism across engines (the q96 playbook): each DCG term
+    * 1/(ln(rank+1)/ln(2)) is cast to DECIMAL(20,6) before summing —
+    * bounded terms, exact order-independent accumulation — and IDCG
+    * reuses the same term table over ideal ranks 1..min(|rel|, k), so
+    * nDCG is a ratio of two decimals cast to double once. recall and MRR
+    * are single integer divisions.
+    *
+    * Scale shape: `ranked` is already a top-k list (O(queries × k));
+    * `relevant` joins it on (query_id, doc_id) — two bounded shuffles,
+    * nothing corpus-sized.
+    */
+  def evalBinaryRetrieval(ranked: DataFrame, relevant: DataFrame,
+      k: Int): DataFrame = {
+    val dcgTerm = (r: org.apache.spark.sql.Column) =>
+      (lit(1.0) / (log(r + lit(1.0)) / log(lit(2.0)))).cast("decimal(20,6)")
+    val rel = relevant.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"))
+    val base = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val ideal = rel
+      .withColumn("irank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("doc_id"))))
+      .filter(col("irank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(dcgTerm(col("irank").cast("double"))).as("idcg_dec"))
+    val hits = ranked.filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"), min(col("rank")).as("first_rank"),
+        sum(dcgTerm(col("rank").cast("double"))).as("dcg_dec"))
+    base.join(ideal, Seq("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("first_rank").cast("double"), lit(0.0))
+          .as("mrr"),
+        coalesce(col("dcg_dec").cast("double") /
+          col("idcg_dec").cast("double"), lit(0.0)).as("ndcg"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of a lexical and a dense
     * ranked list — the standard RAG / decontamination-probe combiner
     * (Cormack et al., SIGIR'09: score = Σ 1/(K + rank), K = 60). Each

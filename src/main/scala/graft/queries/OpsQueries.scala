@@ -493,6 +493,31 @@ object OpsQueries {
       Retrieval.bm25TopKWithIndex(Retrieval.loadBm25Index(s, path),
         qdf, "qid", "qtext", k = 10)
     }),
+    // IR evaluation harness: recall@10 / MRR / nDCG@10 of the q96 BM25
+    // ranking against deterministic boolean-AND relevance (doc is
+    // relevant iff it contains EVERY distinct query term) — the QA gate a
+    // retrieval pipeline runs after any index or scorer change. DCG terms
+    // go through the DECIMAL(20,6) cast (the q96 ln playbook) so both
+    // engines sum identical decimals.
+    "q125_ir_eval" -> ((s, d) => {
+      val qdf = s.createDataFrame(Seq(
+        (0L, "spark join merge"), (1L, "window hash scan"),
+        (2L, "customer data line"), (3L, "stream batch dup"),
+        (4L, "filter sort agg slow"))).toDF("qid", "qtext")
+      val ranked = Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        qdf, "qid", "qtext", k = 10)
+      val qterms = qdf.select(col("qid").cast("long").as("query_id"),
+        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("token"))
+      val nterms = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
+      val docToks = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+      val relevant = docToks.join(broadcast(qterms), Seq("token"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("m"))
+        .join(broadcast(nterms), Seq("query_id"))
+        .filter(col("m") === col("n_terms"))
+        .select(col("query_id"), col("doc_id"))
+      Retrieval.evalBinaryRetrieval(ranked, relevant, k = 10)
+    }),
     // hybrid retrieval: RRF fusion of the BM25 list (q96's five queries)
     // with the dense cosine list (the same ids' embeddings) — the RAG
     // combiner. Fully oracle-checked: both input rankings already hash-
@@ -2102,6 +2127,55 @@ object OpsQueries {
     // the persisted-index probe is score-identical to the live pass by
     // construction (same tf/df/dl, same DECIMAL sum) — same oracle.
     "q124_bm25_index" -> bm25OracleSql,
+    // q125: rank with the q96 replay (nested WITH), derive boolean-AND
+    // relevance, then replay the metric arithmetic — DCG terms through the
+    // same DECIMAL(20,6) cast, divisions in DOUBLE (bare 1.0 would be
+    // DECIMAL in DuckDB — the q118 lesson).
+    "q125_ir_eval" ->
+      s"""WITH ranked AS (
+        |$bm25OracleSql
+        |),
+        |q(query_id, qtext) AS (VALUES
+        |  (CAST(0 AS BIGINT), 'spark join merge'),
+        |  (CAST(1 AS BIGINT), 'window hash scan'),
+        |  (CAST(2 AS BIGINT), 'customer data line'),
+        |  (CAST(3 AS BIGINT), 'stream batch dup'),
+        |  (CAST(4 AS BIGINT), 'filter sort agg slow')),
+        |qt AS (SELECT query_id,
+        |         unnest(list_distinct(string_split_regex(trim(qtext), '\\s+'))) AS token
+        |       FROM q),
+        |nt AS (SELECT query_id, count(1) AS n_terms FROM qt GROUP BY 1),
+        |dt AS (SELECT doc_id,
+        |         unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS token
+        |       FROM documents),
+        |relm AS (SELECT qt.query_id, dt.doc_id, count(1) AS m
+        |         FROM dt JOIN qt USING (token) GROUP BY 1, 2),
+        |rel AS (SELECT query_id, doc_id
+        |        FROM relm JOIN nt USING (query_id) WHERE m = n_terms),
+        |base AS (SELECT query_id, count(1) AS n_rel FROM rel GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |    sum(CAST(CAST(1.0 AS DOUBLE) / (ln(irank + 1.0) / ln(2.0))
+        |        AS DECIMAL(20,6))) AS idcg
+        |  FROM (SELECT query_id, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY doc_id) AS irank FROM rel)
+        |  WHERE irank <= 10 GROUP BY 1),
+        |hits AS (
+        |  SELECT r.query_id, count(1) AS n_hit, min(r.rank) AS first_rank,
+        |    sum(CAST(CAST(1.0 AS DOUBLE) / (ln(r.rank + 1.0) / ln(2.0))
+        |        AS DECIMAL(20,6))) AS dcg
+        |  FROM ranked r JOIN rel USING (query_id, doc_id)
+        |  WHERE r.rank <= 10 GROUP BY 1)
+        |SELECT b.query_id, b.n_rel,
+        |  COALESCE(h.n_hit, 0) AS n_hit,
+        |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(b.n_rel AS DOUBLE)
+        |    AS recall,
+        |  COALESCE(CAST(1.0 AS DOUBLE) / CAST(h.first_rank AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) AS mrr,
+        |  COALESCE(CAST(h.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE),
+        |    CAST(0.0 AS DOUBLE)) AS ndcg
+        |FROM base b JOIN ideal i USING (query_id)
+        |  LEFT JOIN hits h USING (query_id)""".stripMargin,
     // BM25 block is q96's verbatim (same 5 queries, k=10); dense block is
     // q58's cosine ranking restricted to vec_id < 5; the fuse mirrors
     // Retrieval.rrfFuse: 1.0/(60+rank) per present side, two-term double

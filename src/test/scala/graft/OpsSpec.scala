@@ -1584,6 +1584,31 @@ class OpsSpec extends AnyFunSuite {
       s"term filter not pushed to postings scan:\n${plan.take(2000)}")
   }
 
+  test("IR eval: hand-computed recall/MRR/nDCG, zero-hit query, no-relevant drops") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val ranked = Seq(
+      (0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),   // q0: hit at rank 2
+      (1L, 1L, 1L), (1L, 2L, 2L),                 // q1: no hits
+      (2L, 7L, 1L))                               // q2 has NO relevant docs
+      .toDF("query_id", "doc_id", "rank")
+    val relevant = Seq((0L, 2L), (0L, 9L), (1L, 9L))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.evalBinaryRetrieval(ranked, relevant, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out.keySet == Set(0L, 1L)) // q2 dropped: no relevant docs
+    def term(i: Int): BigDecimal =
+      BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val ndcg0 = term(2).toDouble / (term(1) + term(2)).toDouble
+    val (nRel0, nHit0, rec0, mrr0, n0) = out(0L)
+    assert(nRel0 == 2L && nHit0 == 1L && rec0 == 0.5 && mrr0 == 0.5)
+    assert(math.abs(n0 - ndcg0) < 1e-9, s"ndcg $n0 != $ndcg0")
+    assert(out(1L) == ((1L, 0L, 0.0, 0.0, 0.0)), out(1L).toString)
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._
