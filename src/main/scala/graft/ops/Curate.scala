@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
   *   4. content-term blocklist     ([[WebText.filterBlockedTerms]])
   *   5. quality filter             ([[TextAnalysis.qualityKeep]] — the
   *      same rule the q71 gate and the report use)
+  *   5b. model-based quality       ([[TextAnalysis.classifierLogit]] —
+  *      the q121 hashed linear classifier as a per-row predicate)
   *   6. exact dedup, keep-first    ([[Dedup.exactDedup]])
   *   7. MinHash near-dedup         ([[Dedup.minhashNearDups]] →
   *      [[Dedup.dupClusters]], keep each cluster's representative)
-  *   8. mixture rebalance          ([[Sampling.rebalance]])
+  *   8. DSIR selection             ([[Sampling.importanceWeights]] —
+  *      keep target-domain-like docs, the q122 discriminant)
+  *   8b. mixture rebalance         ([[Sampling.rebalance]])
   *   9. per-source cap             ([[Sampling.capPerGroup]])
   *
-  * Scale shape is inherited stage by stage: 1–5 are per-row projections
+  * Scale shape is inherited stage by stage: 1–5b are per-row projections
   * in the scan pass, 6 is one fingerprint shuffle, 7 is the banded-join
-  * near-dup machinery, 8–9 are hash predicates / one bounded window.
+  * near-dup machinery, 8 is two narrow passes + an id semi-join, 8b–9
+  * are hash predicates / one bounded window.
   * [[Report.perSource]] over input and output gives the before/after
   * dataset card.
   */
@@ -45,8 +50,11 @@ object Curate {
       blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
       qualityFilter: Boolean = true,
+      classifierFilter: Boolean = false,
+      classifierMinLogit: Double = 0.0,
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,
+      dsirTargetSources: Seq[String] = Nil,
       targetShares: Map[String, Double] = Map.empty,
       capPerSource: Option[Int] = None)
 
@@ -83,14 +91,20 @@ object Curate {
       t = WebText.filterBlockedTerms(t, col(textCol), cfg.blockedTerms)
     if (cfg.qualityFilter)
       t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
+    // model-based quality: the q121 classifier logit as a per-row filter
+    // predicate — same scan pass as the heuristic rule, no join
+    if (cfg.classifierFilter)
+      t = t.filter(TextAnalysis.classifierLogit(col(textCol)) >
+        cfg.classifierMinLogit)
     if (cfg.exactDedup)
       t = Dedup.exactDedup(t, idCol, textCol)
-    // the stages below (near-dup pair generation, rebalance's share
-    // computation) run EAGER jobs over t's lineage, and the caller will
-    // consume the result at least once more — materialize the per-row
-    // pipeline above exactly once instead of re-running extraction +
-    // filters per eager pass (the dupClusters discipline)
-    if (cfg.nearDupThreshold.isDefined || cfg.targetShares.nonEmpty)
+    // the stages below (near-dup pair generation, DSIR's corpus counts,
+    // rebalance's share computation) run EAGER jobs over t's lineage, and
+    // the caller will consume the result at least once more — materialize
+    // the per-row pipeline above exactly once instead of re-running
+    // extraction + filters per eager pass (the dupClusters discipline)
+    if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
+        cfg.targetShares.nonEmpty)
       t = t.localCheckpoint(true)
     for (thr <- cfg.nearDupThreshold) {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
@@ -103,6 +117,15 @@ object Curate {
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("__graft_dup_id"))
       t = t.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
+    }
+    // DSIR selection: keep docs whose hashed-unigram mass is target-like
+    // (q122's integer discriminant > 0) — a narrow id semi-join against
+    // the per-doc scores, count table bounded at 2^16 rows
+    if (cfg.dsirTargetSources.nonEmpty) {
+      val keepIds = Sampling.importanceWeights(t, idCol, textCol,
+          col(sourceCol).isin(cfg.dsirTargetSources: _*))
+        .filter(col("keep")).select(col(idCol).as("__graft_dsir_id"))
+      t = t.join(keepIds, col(idCol) === col("__graft_dsir_id"), "left_semi")
     }
     if (cfg.targetShares.nonEmpty)
       t = Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares)

@@ -65,25 +65,38 @@ object TextAnalysis {
     *
     * Output: (id, n_feats, logit, keep = logit > 0).
     */
-  def qualityClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
-    val ws = filter(words(col(textCol)), w => length(w) > 0)
+  /** The classifier's hashed feature bag: filtered unigrams + bigrams. */
+  private def classifierFeats(text: Column): Column = {
+    val ws = filter(words(text), w => length(w) > 0)
     val bigrams = when(size(ws) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ws) - 2),
         i => concat_ws(" ", slice(ws, i + 1, lit(2)))))
-    val feats = concat(ws, bigrams)
+    concat(ws, bigrams)
+  }
+
+  /** The per-row classifier logit as a plain Column — usable directly as
+    * a filter predicate (`classifierLogit(text) > 0`) with no join, e.g.
+    * as [[Curate]]'s model-based quality stage or in a streaming select
+    * (per-row expressions work unchanged under Structured Streaming).
+    */
+  def classifierLogit(text: Column, buckets: Int = 4096): Column = {
+    val feats = classifierFeats(text)
     def weight(f: Column): Column =
       portableHash60(concat(lit("qw:"),
         (portableHash60(f) % buckets).cast("string"))) % 2000001L - 1000000L
     val score = aggregate(transform(feats, weight _), lit(0L), (acc, w) => acc + w)
-    // greatest(n,1): a featureless doc scores logit 0 / keep false instead
-    // of a divide-by-zero null (mirrored in the oracle SQL)
+    // greatest(n,1): a featureless doc scores logit 0 instead of a
+    // divide-by-zero null (mirrored in the oracle SQL)
+    score.cast("double") /
+      (greatest(size(feats).cast("long"), lit(1L)) * 1000000L).cast("double")
+  }
+
+  def qualityClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
     Spread.toCores(df).select(
       col(idCol),
-      size(feats).cast("long").as("n_feats"),
-      (score.cast("double") /
-        (greatest(size(feats).cast("long"), lit(1L)) * 1000000L)
-          .cast("double")).as("logit"))
+      size(classifierFeats(col(textCol))).cast("long").as("n_feats"),
+      classifierLogit(col(textCol), buckets).as("logit"))
       .withColumn("keep", col("logit") > 0d)
   }
 

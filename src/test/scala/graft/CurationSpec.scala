@@ -316,6 +316,32 @@ class CurationSpec extends AnyFunSuite {
     assert(err.getMessage.contains("near-dedup"))
   }
 
+  test("Curate.run: classifier filter and DSIR selection stages compose") {
+    import spark.implicits._
+    import graft.ops.{Curate, Sampling, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    // classifier stage keeps EXACTLY the logit > 0 docs (same predicate
+    // as q121's keep column), everything else off
+    val cfgC = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, classifierFilter = true)
+    val keptC = Curate.run(docs, "doc_id", "text", "source", cfgC)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectC = TextAnalysis.qualityClassify(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptC == expectC && keptC.nonEmpty && keptC.size < docs.count())
+    // DSIR stage keeps exactly the score > 0 docs for the same target set
+    val tgt = Seq("src0", "src1", "src2")
+    val cfgD = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, dsirTargetSources = tgt)
+    val keptD = Curate.run(docs, "doc_id", "text", "source", cfgD)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectD = Sampling.importanceWeights(docs, "doc_id", "text",
+        col("source").isin(tgt: _*), wordHash = w => xxhash64(w))
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptD == expectD && keptD.nonEmpty && keptD.size < docs.count())
+  }
+
   test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {
     import graft.ops.{Dedup, Sampling, TextAnalysis}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
