@@ -139,6 +139,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming model-based quality filter: classifier logit matches batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the q121 classifier is a pure per-row expression, so the SAME
+    // predicate curates a live stream unchanged — the batch/stream
+    // unification the engine promises for scan-pass stages
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "zig zag zug"),
+      (3L, "one two three four five six"), (4L, "lorem ipsum dolor sit"))
+    val batch = docs.toDF("doc_id", "text")
+    val expect = graft.ops.TextAnalysis.qualityClassify(batch, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val filtered = mem.toDF().toDF("doc_id", "text")
+      .filter(graft.ops.TextAnalysis.classifierLogit(col("text")) > 0d)
+    runToMemory(filtered, "stream_quality")
+    val got = spark.table("stream_quality").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"stream kept $got, batch kept $expect")
+    assert(got.nonEmpty && got.size < docs.size,
+      s"fixture should split: kept $got of ${docs.map(_._1).toSet}")
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
