@@ -740,6 +740,68 @@ object Dedup {
     }
   }
 
+  /** Duplicated-span EXCISION — the removal mode of [[dupSpanStats]]
+    * (which only measures): rewrite every document with each token
+    * covered by a cross-document duplicated n-gram REMOVED, the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL'22) substring-removal pass at word-gram
+    * granularity.
+    *
+    * Same candidate machinery as the stats op: positional n-grams, keys
+    * hashed per doc, grams in ≥ `minDocs` DISTINCT docs are duplicated;
+    * a duplicated gram at position p covers tokens [p, p+n−1]. Covered
+    * positions collect per doc (the covered set is ≤ n·dup-starts and
+    * already interval-merged by the distinct) and the rewrite is one
+    * per-row array filter over the tokenized text — `array_contains`
+    * per token, fine while per-doc token counts stay document-sized;
+    * a 100M-token pathological doc would want the sorted-gap walk
+    * instead.
+    *
+    * Output: (id, n_tokens, n_removed, clean_text) — every input doc
+    * appears, clean_text = "" when everything was duplicated.
+    */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    val in = Spread.toCores(df)
+    val toks = in.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.words(col(textCol)).as("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def grams = toks.select(col("id"),
+      when(size(col("__ws")) >= n, transform(
+          transform(sequence(lit(0), size(col("__ws")) - n),
+            i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))),
+          g => gramHash(g)))
+        .otherwise(array().cast("array<long>")).as("gh"))
+    val dupGrams = grams
+      .select(col("id"), explode(array_distinct(col("gh"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("gram"))
+    val covered = grams
+      .select(col("id"), posexplode(col("gh")).as(Seq("pos", "gram")))
+      .join(dupGrams, Seq("gram"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("tokpos"))
+      .distinct()
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tokpos"))).as("cov"))
+    val cov = coalesce(col("cov"), array().cast("array<int>"))
+    val keptToks = filter(
+      transform(sequence(lit(0), size(col("__ws")) - 1),
+        i => struct(i.as("p"), element_at(col("__ws"), i + 1).as("w"))),
+      s => !array_contains(cov, s.getField("p")))
+    val result = toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_removed"),
+        concat_ws(" ", transform(keptToks, s => s.getField("w")))
+          .as("clean_text"))
+    val out = result.localCheckpoint(eager = true)
+    toks.unpersist(blocking = false)
+    out
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 64-bit SimHash over the word multiset: bit k of the signature is the

@@ -732,6 +732,16 @@ object OpsQueries {
     // portable md5 family and the oracle joins on the SAME keys, so both
     // engines share 64-bit collision behavior exactly (production default
     // stays xxhash64).
+    // duplicated-span EXCISION (q74's removal mode): rewrite each planted
+    // doc with every token covered by a cross-doc duplicated 3-gram
+    // removed; gate compares md5 of the rewritten text — a one-token
+    // drift anywhere flips the hash. Portable gram keys (the q74 family)
+    // so collision behavior is shared with the oracle.
+    "q126_excise_spans" -> ((s, d) =>
+      Dedup.exciseDupSpans(docsWithPlantedDups(s, d), "doc_id", "text",
+          gramHash = TextAnalysis.portableHash60)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))),
     "q74_dup_spans" -> ((s, d) =>
       Dedup.dupSpanStats(docsWithPlantedDups(s, d), "doc_id", "text", n = 3,
         gramHash = TextAnalysis.portableHash60)),
@@ -1823,6 +1833,37 @@ object OpsQueries {
       |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
       |  CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE) / g.n_tokens AS dup_coverage
       |FROM g LEFT JOIN cov ON g.id = cov.id
+      |""".stripMargin,
+    // q126: q74's gram/dup machinery + position anti-join + ordered
+    // string_agg rebuild — token-exact replay of the excision.
+    "q126_excise_spans" -> s"""
+      |WITH planted AS ($plantedSql),
+      |t AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |g AS (SELECT id, CASE WHEN len(ws) >= 3
+      |          THEN list_transform(list_transform(range(1, len(ws) - 1),
+      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+      |                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)
+      |          ELSE [] END AS grams
+      |      FROM t),
+      |pos AS (SELECT id, i - 1 AS pos, grams[i] AS gram
+      |        FROM g, LATERAL (SELECT unnest(range(1, len(grams) + 1)) AS i)),
+      |dup AS (SELECT gram FROM (SELECT DISTINCT id, gram FROM pos)
+      |        GROUP BY gram HAVING count(1) >= 2),
+      |cov AS (SELECT DISTINCT id, tokpos
+      |        FROM (SELECT p.id, unnest(range(p.pos, p.pos + 3)) AS tokpos
+      |              FROM pos p JOIN dup USING (gram))),
+      |tok AS (SELECT id, i - 1 AS pos, ws[i] AS w
+      |        FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+      |keep AS (SELECT tok.id, tok.pos, tok.w FROM tok
+      |         ANTI JOIN cov ON tok.id = cov.id AND tok.pos = cov.tokpos),
+      |clean AS (SELECT id, coalesce(string_agg(w, ' ' ORDER BY pos), '') AS ct
+      |          FROM keep GROUP BY id),
+      |ncov AS (SELECT id, count(1) AS n_removed FROM cov GROUP BY id)
+      |SELECT t.id AS doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(ncov.n_removed, 0) AS BIGINT) AS n_removed,
+      |  md5(coalesce(clean.ct, '')) AS clean_md5
+      |FROM t LEFT JOIN ncov USING (id) LEFT JOIN clean ON t.id = clean.id
       |""".stripMargin,
     "q75_stratified_sample" ->
       """SELECT doc_id, source FROM documents

@@ -1609,6 +1609,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((1L, 0L, 0.0, 0.0, 0.0)), out(1L).toString)
   }
 
+  test("span excision: shared 3-gram cut, unique doc untouched, full-dup doc empties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x y z w q"),        // shares "x y z" with 2 → tokens 0-2 cut
+      (2L, "x y z a b"),        // same → "a b" survives
+      (3L, "totally unique words here"), // no dup grams → unchanged
+      (4L, "x y z"), (5L, "x y z"))      // fully duplicated → ""
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseDupSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((5L, 3L, "w q")), out(1L).toString)
+    assert(out(2L) == ((5L, 3L, "a b")), out(2L).toString)
+    assert(out(3L) == ((4L, 0L, "totally unique words here")), out(3L).toString)
+    assert(out(4L) == ((3L, 3L, "")) && out(5L) == ((3L, 3L, "")))
+    // stats agreement: n_removed equals dupSpanStats covered_tokens
+    val stats = Dedup.dupSpanStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out.forall { case (id, (_, rm, _)) => stats(id) == rm },
+      s"excision/coverage disagree: $out vs $stats")
+  }
+
   test("unicode normalization: NFC folds composed/decomposed, accents strip") {
     import spark.implicits._
     import graft.functions.textnorm._
