@@ -46,7 +46,14 @@ object ScaleProbe {
     "q95_knn_ivfpq", "q99_salted_join", "q83_knn_pq_index",
     "q85_html_extract", "q54_dedup_minhash", "q86_url_canonical",
     "q96_bm25_topk", "q89_lm_score", "q102_corpus_report",
-    "q114_line_dedup", "q116_token_budget_mix"
+    "q114_line_dedup", "q116_token_budget_mix",
+    // round-7 additions: span excision (scan-shaped, should stay linear),
+    // DSIR (two corpus passes + bounded count table), the per-row
+    // classifier (pure scan pass — its ratio is the calibration floor).
+    // q124's persisted-index probe is deliberately NOT probed: the first
+    // sf1 run would time the index BUILD into the ratio; q96 already
+    // probes the scoring scale shape.
+    "q126_excise_spans", "q122_dsir_weights", "q121_quality_classifier"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // q115's gate feeds blocked ngram-Jaccard pairs (quadratic per block
     // by design — q68's documented exclusion); the probe drives the
