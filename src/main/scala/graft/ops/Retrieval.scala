@@ -133,32 +133,73 @@ object Retrieval {
     * skipping. `<path>/stats` carries (n_docs, avgdl). A 100 TB corpus
     * pays the tokenize+count pass once here instead of per query batch.
     */
-  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
-      path: String, numFiles: Int = 32): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** One batch's (postings, n_docs, sum_dl) triple — build and append
+    * both produce exactly this.
+    */
+  private def bm25BatchParts(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, Long, Long) = {
     val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
       .localCheckpoint()
-    val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
+    val statsRow = d.agg(count(lit(1)),
+      sum(col("dl").cast("long"))).head()
     val nDocs = statsRow.getLong(0)
-    val avgdl = if (statsRow.isNullAt(1)) 1.0 else statsRow.getDouble(1)
+    val sumDl = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     val postings = d.select(col("doc_id"), col("dl"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    (postings, nDocs, sumDl)
+  }
+
+  private def writeBm25Stats(spark: SparkSession, path: String,
+      nDocs: Long, sumDl: Long): Unit = {
+    import spark.implicits._
+    Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 32): Unit = {
+    val (postings, nDocs, sumDl) = bm25BatchParts(docs, idCol, textCol)
     Layout.writeClustered(postings, s"$path/postings", Seq(col("token")),
       numFiles)
-    Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
-      .write.mode("overwrite").parquet(s"$path/stats")
+    writeBm25Stats(docs.sparkSession, path, nDocs, sumDl)
+  }
+
+  /** Append a document batch WITHOUT rebuilding — the retrieval analog of
+    * [[Similarity.appendToIvfIndex]]: tokenize+count only the batch,
+    * append its token-clustered postings files, bump the stats by integer
+    * addition. The appended index is BIT-IDENTICAL to a full rebuild over
+    * old ∪ new: stats store `(n_docs, sum_dl)` — exact integer sums, so
+    * the load-time `avgdl = sum_dl / n_docs` cannot drift the way an
+    * incrementally re-averaged double would — and tf/df/dl always come
+    * from the postings themselves. Batch files cover only the batch's
+    * term ranges, so probe-time file skipping keeps working (a few more
+    * files per term until the next [[Layout.compact]]).
+    *
+    * Caller contract (same as the ANN appends): batch ids must be new —
+    * re-appending an existing doc_id would double-count its df.
+    */
+  def appendToBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String, numFiles: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val s = spark.read.parquet(s"$path/stats").head()
+    val (postings, nDocs, sumDl) = bm25BatchParts(newDocs, idCol, textCol)
+    Layout.writeClustered(postings, s"$path/postings", Seq(col("token")),
+      numFiles, mode = "append")
+    writeBm25Stats(spark, path, s.getLong(0) + nDocs, s.getLong(1) + sumDl)
   }
 
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
     val s = spark.read.parquet(s"$path/stats").head()
-    Bm25Index(s.getLong(0), s.getDouble(1),
-      spark.read.parquet(s"$path/postings"))
+    // avgdl derived at load time from the exact integer sums; empty
+    // corpus → 1.0 keeps the scoring expression free of a null
+    val avgdl = if (s.getLong(0) == 0L) 1.0
+      else s.getLong(1).toDouble / s.getLong(0).toDouble
+    Bm25Index(s.getLong(0), avgdl, spark.read.parquet(s"$path/postings"))
   }
 
   /** Probe a persisted inverted index: collect the (bounded-by-query-set)

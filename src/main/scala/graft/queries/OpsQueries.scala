@@ -64,7 +64,9 @@ object OpsQueries {
   /** q124's offline artifact: BM25 inverted index (token-clustered
     * postings + corpus stats) over the documents table. */
   private[graft] def q124Index(s: SparkSession, d: String, force: Boolean = false): String = {
-    val path = scratch("q124_bm25", d)
+    // "s2" = stats schema v2 (n_docs, sum_dl): a scratch dir built by the
+    // earlier (n_docs, avgdl) writer must not satisfy the marker
+    val path = scratch("q124_bm25_s2", d)
     ensureBuilt(path, force) {
       Retrieval.saveBm25Index(docs(s, d), "doc_id", "text", path,
         numFiles = 8)

@@ -1584,6 +1584,30 @@ class OpsSpec extends AnyFunSuite {
       s"term filter not pushed to postings scan:\n${plan.take(2000)}")
   }
 
+  test("BM25 index append is bit-identical to a full rebuild") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val qdf = Seq((0L, "spark join merge"), (1L, "customer data line"))
+      .toDF("qid", "qtext")
+    val full = java.nio.file.Files.createTempDirectory("bm25-full").toString
+    val incr = java.nio.file.Files.createTempDirectory("bm25-incr").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", full, numFiles = 4)
+    Retrieval.saveBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", incr, numFiles = 4)
+    Retrieval.appendToBm25Index(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", incr, numFiles = 4)
+    def probe(p: String) = Retrieval.bm25TopKWithIndex(
+        Retrieval.loadBm25Index(spark, p), qdf, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet // raw doubles — bit-identity, no rounding
+    assert(probe(incr) == probe(full),
+      "appended index diverges from full rebuild")
+    // stats bumped exactly
+    val fi = Retrieval.loadBm25Index(spark, full)
+    val ii = Retrieval.loadBm25Index(spark, incr)
+    assert(fi.nDocs == ii.nDocs && fi.avgdl == ii.avgdl)
+  }
+
   test("IR eval: hand-computed recall/MRR/nDCG, zero-hit query, no-relevant drops") {
     import spark.implicits._
     import graft.ops.Retrieval
