@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   *   2. Unicode NFC normalization  ([[graft.functions.NfcNormalize]])
   *   3. domain blocklist           ([[WebText.filterBlockedDomains]])
   *   4. content-term blocklist     ([[WebText.filterBlockedTerms]])
+  *   4b. language filter           ([[TextAnalysis.langId]] ∈ allowed set)
   *   5. quality filter             ([[TextAnalysis.qualityKeep]] — the
   *      same rule the q71 gate and the report use)
   *   5b. model-based quality       ([[TextAnalysis.classifierLogit]] —
@@ -23,6 +24,7 @@ import org.apache.spark.sql.functions._
   *   8. DSIR selection             ([[Sampling.importanceWeights]] —
   *      keep target-domain-like docs, the q122 discriminant)
   *   8b. mixture rebalance         ([[Sampling.rebalance]])
+  *   8c. token-budget mix          ([[Sampling.tokenBudgetMix]])
   *   9. per-source cap             ([[Sampling.capPerGroup]])
   *
   * Scale shape is inherited stage by stage: 1–5b are per-row projections
@@ -49,6 +51,7 @@ object Curate {
       normalizeUnicode: Boolean = true,
       blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
+      allowedLangs: Seq[String] = Nil,
       qualityFilter: Boolean = true,
       classifierFilter: Boolean = false,
       classifierMinLogit: Double = 0.0,
@@ -56,6 +59,7 @@ object Curate {
       nearDupThreshold: Option[Double] = None,
       dsirTargetSources: Seq[String] = Nil,
       targetShares: Map[String, Double] = Map.empty,
+      tokenBudgets: Map[String, Long] = Map.empty,
       capPerSource: Option[Int] = None)
 
   /** Curated documents plus before/after per-source reports. */
@@ -89,6 +93,12 @@ object Curate {
       t = WebText.filterBlockedDomains(t, col(u), cfg.blockedDomains)
     if (cfg.blockedTerms.nonEmpty)
       t = WebText.filterBlockedTerms(t, col(textCol), cfg.blockedTerms)
+    // language filter runs FIRST among the content filters (the CCNet
+    // order: everything downstream is language-conditional) — per-row
+    // marker-profile argmax, same scan pass
+    if (cfg.allowedLangs.nonEmpty)
+      t = t.filter(TextAnalysis.langId(col(textCol))
+        .isin(cfg.allowedLangs: _*))
     if (cfg.qualityFilter)
       t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
     // model-based quality: the q121 classifier logit as a per-row filter
@@ -129,6 +139,13 @@ object Curate {
     }
     if (cfg.targetShares.nonEmpty)
       t = Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares)
+    // token-budget mixing: the data-recipe alternative to share-based
+    // rebalance — fill each source's token budget in deterministic hash
+    // order (q116 machinery; sources absent from the map are dropped,
+    // the tokenBudgetMix contract)
+    if (cfg.tokenBudgets.nonEmpty)
+      t = Sampling.tokenBudgetMix(t, col(sourceCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long"), cfg.tokenBudgets)
     for (cap <- cfg.capPerSource)
       t = Sampling.capPerGroup(t, col(sourceCol), col(idCol), cap)
 

@@ -340,6 +340,33 @@ class CurationSpec extends AnyFunSuite {
         col("source").isin(tgt: _*), wordHash = w => xxhash64(w))
       .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptD == expectD && keptD.nonEmpty && keptD.size < docs.count())
+    // language filter keeps exactly the argmax-en docs
+    val cfgL = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, allowedLangs = Seq("en"))
+    val keptL = Curate.run(docs, "doc_id", "text", "source", cfgL)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectL = docs.filter(TextAnalysis.langId(col("text")) === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptL == expectL && keptL.nonEmpty)
+    // token budgets: each source's kept token total stays within
+    // budget + one overshoot doc (the tokenBudgetMix contract)
+    val budgets = Map("src0" -> 300L, "src1" -> 150L)
+    val cfgT = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, tokenBudgets = budgets)
+    val outT = Curate.run(docs, "doc_id", "text", "source", cfgT).docs
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(outT.keySet == budgets.keySet, s"unbudgeted sources leaked: $outT")
+    for ((src, total) <- outT) {
+      val maxDoc = docs.filter(col("source") === src)
+        .select(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .collect().map(_.getLong(0)).max
+      assert(total <= budgets(src) + maxDoc,
+        s"$src filled $total > budget ${budgets(src)} + overshoot $maxDoc")
+      assert(total > 0, s"$src kept nothing")
+    }
   }
 
   test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {
