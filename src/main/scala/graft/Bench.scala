@@ -216,13 +216,17 @@ object Bench {
     // BENCH_FULL.json is gitignored and clobbered by every run — round 6
     // lost the identity of its 4.21× sf1 scaler that way. The same full
     // line therefore also APPENDS to a committed history file, stamped so
-    // rounds are attributable after the fact.
-    val stamp = java.time.Instant.now().toString
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
-      (s"""{"at":"$stamp",""" + full.stripPrefix("{") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // rounds are attributable after the fact. Restricted dev-loop runs
+    // (SPARK_GRAFT_ONLY) are excluded: their partial totals would read as
+    // anomalously fast full rounds in the committed record.
+    if (only.isEmpty) {
+      val stamp = java.time.Instant.now().toString
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (s"""{"at":"$stamp",""" + full.stripPrefix("{") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
 
     // Short keys must stay UNIQUE: "q54_planted" truncated to "q54" would
     // shadow q54_dedup_minhash in the JSON map — planted twins keep a "p".

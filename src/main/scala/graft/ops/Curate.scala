@@ -114,7 +114,7 @@ object Curate {
     // the per-row pipeline above exactly once instead of re-running
     // extraction + filters per eager pass (the dupClusters discipline)
     if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
-        cfg.targetShares.nonEmpty)
+        cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty)
       t = t.localCheckpoint(true)
     for (thr <- cfg.nearDupThreshold) {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
@@ -145,7 +145,8 @@ object Curate {
     // the tokenBudgetMix contract)
     if (cfg.tokenBudgets.nonEmpty)
       t = Sampling.tokenBudgetMix(t, col(sourceCol), col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long"), cfg.tokenBudgets)
+          TextAnalysis.tokenCount(col(textCol)).cast("long"), cfg.tokenBudgets)
+        .drop("cum_before") // mix bookkeeping must not leak into the corpus
     for (cap <- cfg.capPerSource)
       t = Sampling.capPerGroup(t, col(sourceCol), col(idCol), cap)
 

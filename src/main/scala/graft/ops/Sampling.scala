@@ -313,7 +313,14 @@ object Sampling {
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
       sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cs"))
     val Seq(nt, ns) = counts.agg(sum(col("__ct")), sum(col("__cs")))
-      .collect()(0).toSeq.map(v => v.asInstanceOf[Long])
+      .collect()(0).toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
+    // degenerate splits score every doc exactly 0 → keep=false for ALL
+    // rows — a silent full-corpus drop (e.g. a typo'd target-source name
+    // in Curate). Refuse loudly instead.
+    require(nt > 0, "importanceWeights: target side has no tokens " +
+      "(isTarget matched nothing) — every score would be 0 and every doc dropped")
+    require(ns > 0, "importanceWeights: source side has no tokens " +
+      "(isTarget matched everything) — every score would be 0 and every doc dropped")
     val term = (col("__ct").cast(DecimalType(38, 0)) * lit(ns) -
       col("__cs").cast(DecimalType(38, 0)) * lit(nt))
     toks.join(broadcast(counts), Seq("__b"))

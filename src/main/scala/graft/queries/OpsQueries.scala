@@ -33,12 +33,25 @@ object OpsQueries {
     * makes the build run at most once per scratch dir; Bench forces a
     * fresh build once per run and reports it as a separate `qNNNi` ingest
     * metric (the q100i pattern), so the query number reads as probe-only.
+    *
+    * The marker RECORDS A FINGERPRINT of the source sf dir (file names +
+    * sizes + mtimes): regenerated testdata under the same path — the
+    * round-6 events drift, but for parquet contents — must invalidate the
+    * cached index, or every probe would silently search stale data (same
+    * hazard the sf1 cache guards with its versioned _SF1_COMPLETE).
     */
-  private def ensureBuilt(path: String, force: Boolean)(build: => Unit): String = {
+  private def ensureBuilt(path: String, d: String, force: Boolean)(build: => Unit): String = {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT")
-    if (force || !java.nio.file.Files.exists(marker)) {
+    val dir = new java.io.File(d)
+    val fp = Option(dir.listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      java.nio.file.Files.readString(marker) != fp
+    if (force || stale) {
       build
-      java.nio.file.Files.writeString(marker, "built\n")
+      java.nio.file.Files.writeString(marker, fp)
     }
     path
   }
@@ -46,7 +59,7 @@ object OpsQueries {
   /** q82's offline artifact: plain IVF index over the embeddings table. */
   private[graft] def q82Index(s: SparkSession, d: String, force: Boolean = false): String = {
     val path = scratch("q82_ivf", d)
-    ensureBuilt(path, force) {
+    ensureBuilt(path, d, force) {
       Similarity.saveIvfIndex(emb(s, d), "vec_id", "embedding", path,
         numCentroids = 16, kmeansIters = 1, numFiles = 8)
     }
@@ -55,7 +68,7 @@ object OpsQueries {
   /** q83's offline artifact: PQ codes + codebooks over the embeddings. */
   private[graft] def q83Index(s: SparkSession, d: String, force: Boolean = false): String = {
     val path = scratch("q83_pq", d)
-    ensureBuilt(path, force) {
+    ensureBuilt(path, d, force) {
       Similarity.savePqIndex(emb(s, d), "vec_id", "embedding", path,
         dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
     }
@@ -67,7 +80,7 @@ object OpsQueries {
     // "s2" = stats schema v2 (n_docs, sum_dl): a scratch dir built by the
     // earlier (n_docs, avgdl) writer must not satisfy the marker
     val path = scratch("q124_bm25_s2", d)
-    ensureBuilt(path, force) {
+    ensureBuilt(path, d, force) {
       Retrieval.saveBm25Index(docs(s, d), "doc_id", "text", path,
         numFiles = 8)
     }
@@ -76,7 +89,7 @@ object OpsQueries {
   /** q123's offline artifact: fused IVF-PQ index over the embeddings. */
   private[graft] def q123Index(s: SparkSession, d: String, force: Boolean = false): String = {
     val path = scratch("q123_ivfpq", d)
-    ensureBuilt(path, force) {
+    ensureBuilt(path, d, force) {
       Similarity.saveIvfPqIndex(emb(s, d), "vec_id", "embedding", path,
         dim = 64, numCentroids = 16, m = 8, ksub = 16,
         trainFraction = 0.25, numFiles = 8)
@@ -87,7 +100,7 @@ object OpsQueries {
     * `label` carried as filterable metadata. */
   private[graft] def q113Index(s: SparkSession, d: String, force: Boolean = false): String = {
     val path = scratch("q113_ivf_meta", d)
-    ensureBuilt(path, force) {
+    ensureBuilt(path, d, force) {
       val corpus = plantedEmbeddings(s, d).withColumn("label",
         when(col("vec_id") >= 1000000L, lit(9)).otherwise(lit(0)))
       Similarity.saveIvfIndex(corpus, "vec_id", "embedding", path,

@@ -202,6 +202,13 @@ object ScaleProbe {
   def probe(spark: SparkSession, sf01: String, sf1: String,
       budgetSec: Double): String = {
     val genSec = ensureSf1(spark, sf01, sf1)
+    // q83 probes through its PERSISTED index: make sure BOTH sides' index
+    // builds happen OUTSIDE the timed window (the sf0.1 side is usually
+    // marker-built by the bench pass, the fresh sf1 scratch never is —
+    // without this the first run times PQ training into the sf1 ratio,
+    // the exact flaw that keeps q124 out of the probe list).
+    graft.queries.OpsQueries.q83Index(spark, sf01)
+    graft.queries.OpsQueries.q83Index(spark, sf1)
     val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var skipped = 0

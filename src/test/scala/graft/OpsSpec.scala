@@ -1538,6 +1538,15 @@ class OpsSpec extends AnyFunSuite {
     // cnt_s(cc)=6 → per-token term 3*9 - 6*6 = -9, three tokens → -27
     assert(out(5L)._2 == 3.0 * (3 * 9 - 6 * 6), out(5L).toString)
     assert(out(1L)._1 == 3L) // n_toks counts occurrences
+    // degenerate splits (no target / all target) would score everything 0
+    // and silently drop the whole corpus — must refuse loudly
+    for (pred <- Seq(lit(false), lit(true))) {
+      val err = intercept[IllegalArgumentException] {
+        graft.ops.Sampling.importanceWeights(df, "doc_id", "text", pred)
+          .collect()
+      }
+      assert(err.getMessage.contains("importanceWeights"), err.getMessage)
+    }
   }
 
   test("saved IVF-PQ refine probe matches the in-memory refined path") {
