@@ -93,6 +93,38 @@ object Relational {
     * null, null-tieBreaks…) — the null/cast rationale is in the comments
     * inside.
     */
+  /** Time-series resample + forward fill: per key, a regular time grid
+    * from `date_trunc(truncUnit, min(t))` to `max(t)` at `step`, each
+    * grid point carrying the latest observation at or before it — the
+    * gap-filling/downsampling pass every event-series consumer needs
+    * (dashboards, feature snapshots, training-time joins).
+    *
+    * Built by COMPOSITION: grid generation (per-key `sequence` explode)
+    * feeds [[asofMerged]], so the fill inherits the merged-timeline
+    * shape — ONE shuffle on the key, O(|grid| + |events|) rows, no
+    * per-grid-point range probe. Observations collapse to one row per
+    * (key, t) first (max(value) — a deterministic tie rule both engines
+    * share), so the as-of match is unambiguous on duplicate timestamps.
+    * Grid points before a key's first observation drop (inner as-of),
+    * mirroring engines' native ASOF JOIN semantics.
+    *
+    * Output: (key, grid ts, value).
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, step: String = "1 day",
+      truncUnit: String = "day"): DataFrame = {
+    val obs = events.groupBy(col(keyCol).as("__rk"), col(tsCol).as("__rt"))
+      .agg(max(col(valCol)).as("__val"))
+    val spans = events.groupBy(col(keyCol))
+      .agg(date_trunc(truncUnit, min(col(tsCol))).as("__t0"),
+        max(col(tsCol)).as("__t1"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__t0"), col("__t1"),
+        expr(s"interval $step"))).as("__gts"))
+    asofMerged(grid, keyCol, "__gts", obs, "__rk", "__rt", Seq.empty)
+      .select(col(keyCol), col("__gts").as("grid_ts"), col("__val").as("value"))
+  }
+
   private def asofRows(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightTieBreak: Seq[String]): (DataFrame, DataFrame, Seq[String]) = {
@@ -487,6 +519,17 @@ object Relational {
         .select($"event_id", $"o_orderkey",
           unix_millis($"o_orderdate".cast("timestamp")).as("order_ms"))
     }),
+    // ---- resample + forward fill: grid generation composed with the
+    // merged-timeline as-of — the gap-filling pass an event series needs.
+    // Values pass through unmodified (no float arithmetic) → exact oracle
+    // against DuckDB's native ASOF JOIN.
+    "q127_resample_ffill" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).filter($"user_id" < 200)
+        .select($"user_id", $"ts", $"value")
+      Relational.resampleFfill(ev, "user_id", "ts", "value")
+        .select($"user_id", unix_millis($"grid_ts").as("grid_ms"), $"value")
+    }),
     // ---- pivot ----------------------------------------------------------
     "q33_pivot" -> ((s, d) => {
       import s.implicits._
@@ -773,6 +816,17 @@ object Relational {
         |WHERE rn = 1""".stripMargin,
     // q105 implements the SAME as-of contract as q32 via the merged
     // timeline — one oracle, two physical shapes
+    // q127: native ASOF JOIN replays the composed grid+ffill exactly —
+    // same per-(key, ts) max-collapse, same trunc'd inclusive grid.
+    "q127_resample_ffill" ->
+      """WITH e AS (SELECT user_id, ts, value FROM events WHERE user_id < 200),
+        |o AS (SELECT user_id, ts, max(value) AS value FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS gts
+        |      FROM s)
+        |SELECT g.user_id, epoch_ms(g.gts) AS grid_ms, o.value
+        |FROM g ASOF JOIN o ON g.user_id = o.user_id AND g.gts >= o.ts""".stripMargin,
     "q105_asof_merged" ->
       """SELECT event_id, o_orderkey, epoch_ms(o_orderdate) AS order_ms FROM (
         |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,

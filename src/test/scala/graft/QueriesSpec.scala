@@ -153,4 +153,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(row.nonEmpty)
     assert(row.head.getAs[Double]("sum_qty") > 0.0)
   }
+
+  test("resampleFfill: hand fixture — grid bounds, forward fill, dup-ts collapse") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 06:00:00"), 10.0),
+      (1L, ts("2024-01-03 12:00:00"), 30.0),
+      (1L, ts("2024-01-03 12:00:00"), 25.0), // dup ts → max collapses to 30.0
+      (2L, ts("2024-02-10 00:00:00"), 7.0))
+      .toDF("k", "t", "v")
+    val out = graft.queries.Relational.resampleFfill(ev, "k", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      .toSet
+    val expect = Set(
+      // key 1: grid 01-01 00:00 .. 01-03 12:00 daily; 01-01 00:00 precedes
+      // the first obs → dropped (inner as-of)
+      (1L, "2024-01-02 00:00:00.0", 10.0),
+      (1L, "2024-01-03 00:00:00.0", 10.0),
+      // key 2: single obs exactly on its trunc'd grid start
+      (2L, "2024-02-10 00:00:00.0", 7.0))
+    assert(out == expect, s"got $out")
+  }
 }
