@@ -125,6 +125,48 @@ object Relational {
       .select(col(keyCol), col("__gts").as("grid_ts"), col("__val").as("value"))
   }
 
+  /** Interval-overlap join: rows of `left` and `right` with equal keys
+    * whose CLOSED time intervals intersect (`lStart <= rEnd AND rStart <=
+    * lEnd`) — sessions × promo windows, validity ranges × observations.
+    *
+    * Scale shape: the naive formulation is a theta-join (every same-key
+    * pair compared — quadratic per key, and Spark plans it as BNLJ when
+    * the only equi-key is low-cardinality). Here each interval EXPLODES
+    * into the coarse time buckets it covers, the join runs as a plain
+    * equi-join on (key, bucket) — shuffle-partitionable, AQE-skew-
+    * splittable — and the exact predicate filters the candidates; a
+    * `dropDuplicates` collapses pairs that met in several buckets. Cost
+    * is O(intervals × span/bucket) exploded rows, the standard
+    * time-bucketing trade: pick `bucketSeconds` near the typical
+    * interval length.
+    *
+    * Buckets are computed ARITHMETICALLY (epoch-second floor-div, plain
+    * longs) rather than with `window()` — Catalyst refuses a second
+    * time-window expression in a tree that already contains one (e.g.
+    * sessions built with `session_window` feeding this join), and a long
+    * equi-key is cheaper to shuffle than a struct anyway.
+    *
+    * Left/right column names must be disjoint (enforced) — both sides'
+    * columns flatten into the output.
+    */
+  def intervalOverlapJoin(left: DataFrame, lKey: String, lStart: String,
+      lEnd: String, right: DataFrame, rKey: String, rStart: String,
+      rEnd: String, bucketSeconds: Long = 86400L): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both carry: $overlap")
+    def bucketIdx(c: Column): Column =
+      floor(unix_seconds(c).cast("double") / bucketSeconds).cast("long")
+    def bucketed(df: DataFrame, s: String, e: String, b: String) =
+      df.withColumn(b, explode(sequence(bucketIdx(col(s)), bucketIdx(col(e)))))
+    val lb = bucketed(left, lStart, lEnd, "__lb")
+    val rb = bucketed(right, rStart, rEnd, "__rb")
+    lb.join(rb, col(lKey) === col(rKey) && col("__lb") === col("__rb"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("__lb", "__rb")
+      .dropDuplicates(left.columns ++ right.columns)
+  }
+
   private def asofRows(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       rightTieBreak: Seq[String]): (DataFrame, DataFrame, Seq[String]) = {
@@ -530,6 +572,23 @@ object Relational {
       Relational.resampleFfill(ev, "user_id", "ts", "value")
         .select($"user_id", unix_millis($"grid_ts").as("grid_ms"), $"value")
     }),
+    // ---- interval overlap join: sessions × per-type activity spans —
+    // the bucketed equi-join shape (explode to day buckets, exact filter,
+    // dedup) vs the oracle's direct inequality join.
+    "q128_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = events(s, d).filter($"user_id" < 200)
+      val sess = ev.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_ev"))
+        .select($"user_id", $"session_window.start".as("s_start"),
+          $"session_window.end".as("s_end"), $"n_ev")
+      val spans = ev.groupBy($"user_id".as("sp_user"), $"event_type")
+        .agg(min($"ts").as("sp_start"), max($"ts").as("sp_end"))
+      Relational.intervalOverlapJoin(sess, "user_id", "s_start", "s_end",
+          spans, "sp_user", "sp_start", "sp_end")
+        .select($"user_id", unix_millis($"s_start").as("sess_ms"),
+          $"event_type", $"n_ev")
+    }),
     // ---- pivot ----------------------------------------------------------
     "q33_pivot" -> ((s, d) => {
       import s.implicits._
@@ -816,6 +875,33 @@ object Relational {
         |WHERE rn = 1""".stripMargin,
     // q105 implements the SAME as-of contract as q32 via the merged
     // timeline — one oracle, two physical shapes
+    // q128: the oracle joins the SAME sessions (q36's gaps-and-islands
+    // replay) and spans with a direct inequality predicate — the bucketed
+    // equi-join must produce the identical pair set.
+    "q128_interval_join" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 200),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS s_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS s_end, count(1) AS n_ev
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS grp
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  IS NULL THEN 1
+        |             WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                  >= INTERVAL 30 MINUTE THEN 1
+        |             ELSE 0 END AS new_sess
+        |      FROM e))
+        |  GROUP BY user_id, grp),
+        |span AS (SELECT user_id AS sp_user, event_type,
+        |           min(ts) AS sp_start, max(ts) AS sp_end
+        |         FROM e GROUP BY 1, 2)
+        |SELECT s.user_id, epoch_ms(s.s_start) AS sess_ms, sp.event_type, s.n_ev
+        |FROM sess s JOIN span sp ON s.user_id = sp.sp_user
+        |  AND s.s_start <= sp.sp_end AND sp.sp_start <= s.s_end""".stripMargin,
     // q127: native ASOF JOIN replays the composed grid+ffill exactly —
     // same per-(key, ts) max-collapse, same trunc'd inclusive grid.
     "q127_resample_ffill" ->

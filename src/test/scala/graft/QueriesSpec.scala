@@ -154,6 +154,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(row.head.getAs[Double]("sum_qty") > 0.0)
   }
 
+  test("intervalOverlapJoin: hand fixture equals brute-force theta join") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // intervals spanning multiple day buckets (dedup path), touching
+    // endpoints (closed-interval semantics), and disjoint pairs
+    val l = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), "a"),
+      (1L, ts("2024-01-10 00:00:00"), ts("2024-01-10 06:00:00"), "b"),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00"), "c"))
+      .toDF("k", "ls", "le", "lp")
+    val r = Seq(
+      (1L, ts("2024-01-02 12:00:00"), ts("2024-01-05 00:00:00"), "X"), // overlaps a
+      (1L, ts("2024-01-10 06:00:00"), ts("2024-01-11 00:00:00"), "Y"), // touches b
+      (1L, ts("2024-01-20 00:00:00"), ts("2024-01-21 00:00:00"), "Z"), // disjoint
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00"), "W")) // inside c
+      .toDF("k2", "rs", "re", "rp")
+    val got = graft.queries.Relational.intervalOverlapJoin(
+        l, "k", "ls", "le", r, "k2", "rs", "re")
+      .select("lp", "rp").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val brute = l.join(r, $"k" === $"k2" && $"ls" <= $"re" && $"rs" <= $"le")
+      .select("lp", "rp").collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got == Set(("a", "X"), ("b", "Y"), ("c", "W")), got.toString)
+    assert(got == brute)
+    // disjoint-name guard fires loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.queries.Relational.intervalOverlapJoin(
+        l, "k", "ls", "le", r.withColumnRenamed("rp", "lp"), "k2", "rs", "re")
+    }
+    assert(err.getMessage.contains("lp"))
+  }
+
   test("resampleFfill: hand fixture — grid bounds, forward fill, dup-ts collapse") {
     import spark.implicits._
     import java.sql.Timestamp
