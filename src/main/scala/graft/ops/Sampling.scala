@@ -268,6 +268,50 @@ object Sampling {
       .drop(h)
   }
 
+  /** Temperature-scaled mixture sampling at α = 0.5 — the multilingual
+    * mixing recipe (XLM-R / mT5 shape): the OUTPUT mixture is
+    * proportional to n_s^α, flattening the size distribution so head
+    * strata stop drowning the tail. With α = 0.5 each stratum keeps the
+    * fraction f_s = √(n_min / n_s): the smallest stratum passes whole
+    * and kept counts come out ∝ √n_s (a stratum 100× larger than the
+    * minimum keeps only 10× the rows).
+    *
+    * Exactness across engines: the keep decision uses INTEGER arithmetic
+    * only. t_s = round(√n_s · 10^6) is computed once from the (bounded,
+    * driver-collected) stratum counts; a row survives iff
+    * `bucket16 · t_s < 65536 · t_min` — f_s = t_min/t_s applied as a
+    * cross-multiplied comparison, no division, no float threshold. IEEE
+    * sqrt is correctly rounded and identical in every engine, and
+    * round() ties can't bite (√n · 10^6 is never exactly half-integral
+    * for non-square n; squares round exactly). Deterministic hash
+    * membership (same [[hashBucket]] convention as every sampler here)
+    * keeps the decision join-stable and reproducible.
+    *
+    * Scale shape: one bounded count aggregation, then a single-pass
+    * codegen'd predicate — zero shuffles on the data path, same as
+    * [[stratifiedSample]].
+    */
+  def temperatureMix(df: DataFrame, strata: Column, key: Column,
+      seed: String = "s0"): DataFrame = {
+    val counts = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMix: empty input")
+    val ts = counts.map { case (s, n) =>
+      (s, math.round(math.sqrt(n.toDouble) * 1e6)) }
+    val tMin = ts.map(_._2).min
+    // integer scale per stratum via chained CASE (one pass, like
+    // stratifiedSample); bucket16 read as an integer for the
+    // cross-multiplied compare. The otherwise-branch sentinel (1e13,
+    // = t_s of a 10^14-row stratum; 65535 · 1e13 stays far under
+    // Long.Max) can only fire for strata values absent from the counts
+    // — impossible for an unmodified df — and drops such rows.
+    val tCol = ts.foldLeft(lit(10000000000000L)) { case (acc, (value, t)) =>
+      when(strata === value, lit(t)).otherwise(acc)
+    }
+    val bucket16 = conv(hashBucket(key, seed), 16, 10).cast("long")
+    df.filter(bucket16 * tCol < lit(65536L) * tMin)
+  }
+
   /** DSIR-shaped importance weighting for domain mixing (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS'23): score every document by how much its hashed-unigram

@@ -583,6 +583,19 @@ object OpsQueries {
         .select(col("id_l").as("corpus_id"), col("id_r").as("bench_id"),
           col("dist"))
     }),
+    // temperature-scaled mixture (α=0.5, XLM-R/mT5 recipe) over a
+    // synthesized skewed stratum split (the fixture's sources are
+    // uniform, which would degenerate to keep-all): output mixture
+    // ∝ √n_s, decided by an integer cross-multiplied hash predicate
+    // the oracle replays exactly.
+    "q129_temperature_mix" -> ((s, d) => {
+      val grp = when(pmod(col("doc_id"), lit(10)) < 5, "big")
+        .when(pmod(col("doc_id"), lit(10)) < 8, "mid")
+        .otherwise("small")
+      Sampling.temperatureMix(
+        docs(s, d).select(col("doc_id"), grp.as("grp")),
+        col("grp"), col("doc_id"))
+    }),
     // model-based quality filtering (fasttext/CCNet shape): hashed
     // unigram+bigram features · md5-derived stand-in weight vector,
     // mean-pooled per-doc logit — scored per row in whole-stage codegen,
@@ -1880,6 +1893,22 @@ object OpsQueries {
       |  md5(coalesce(clean.ct, '')) AS clean_md5
       |FROM t LEFT JOIN ncov USING (id) LEFT JOIN clean ON t.id = clean.id
       |""".stripMargin,
+    // q129: replay the integer threshold chain — same md5 bucket, same
+    // round(sqrt(n)·1e6) scaled ints, same cross-multiplied compare.
+    "q129_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |         WHEN doc_id % 10 < 8 THEN 'mid'
+        |         ELSE 'small' END AS grp
+        |  FROM documents),
+        |c AS (SELECT grp, CAST(round(sqrt(count(1)) * 1000000) AS BIGINT) AS t
+        |      FROM d GROUP BY 1),
+        |m AS (SELECT min(t) AS tmin FROM c)
+        |SELECT doc_id, grp
+        |FROM d JOIN c USING (grp) CROSS JOIN m
+        |WHERE ('0x' || substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      * t < 65536 * tmin""".stripMargin,
     "q75_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE substring(md5('s0' || CAST(doc_id AS VARCHAR)), 1, 4) <

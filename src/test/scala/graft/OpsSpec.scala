@@ -1617,6 +1617,30 @@ class OpsSpec extends AnyFunSuite {
     assert(fi.nDocs == ii.nDocs && fi.avgdl == ii.avgdl)
   }
 
+  test("temperature mix: smallest stratum whole, kept counts track sqrt law") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // strata of 6400 / 1600 / 100 rows: sqrt law keeps ~ f = sqrt(100/n)
+    val df = ((1 to 6400).map(i => (i.toLong, "big")) ++
+      (1 to 1600).map(i => (10000L + i, "mid")) ++
+      (1 to 100).map(i => (20000L + i, "tiny")))
+      .toDF("id", "grp")
+    val kept = Sampling.temperatureMix(df, col("grp"), col("id"))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("tiny") == 100L, s"smallest stratum must pass whole: $kept")
+    // expected kept: big 6400*sqrt(100/6400)=800, mid 1600*(1/4)=400;
+    // hash granularity gives binomial-ish wobble — allow 15%
+    assert(math.abs(kept("big") - 800.0) < 120, kept.toString)
+    assert(math.abs(kept("mid") - 400.0) < 60, kept.toString)
+    // deterministic: same input → identical kept set
+    val a = Sampling.temperatureMix(df, col("grp"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(7), col("grp"), col("id"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("IR eval: hand-computed recall/MRR/nDCG, zero-hit query, no-relevant drops") {
     import spark.implicits._
     import graft.ops.Retrieval
