@@ -1615,6 +1615,15 @@ class OpsSpec extends AnyFunSuite {
     val fi = Retrieval.loadBm25Index(spark, full)
     val ii = Retrieval.loadBm25Index(spark, incr)
     assert(fi.nDocs == ii.nDocs && fi.avgdl == ii.avgdl)
+    // maintenance: compacting the append-grown postings dir back to few
+    // token-clustered files must not change a single probe row
+    val before = probe(incr)
+    graft.ops.Layout.compact(spark, s"$incr/postings",
+      Seq(col("token")), numFiles = 2)
+    val postFiles = new java.io.File(s"$incr/postings")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(postFiles <= 2, s"compact left $postFiles files")
+    assert(probe(incr) == before, "compaction changed probe results")
   }
 
   test("temperature mix: smallest stratum whole, kept counts track sqrt law") {
