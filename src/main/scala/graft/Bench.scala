@@ -144,7 +144,9 @@ object Bench {
       "q123i_ivfpq_build" -> (() =>
         { graft.queries.OpsQueries.q123Index(spark, sfDir, force = true); () }),
       "q124i_bm25_build" -> (() =>
-        { graft.queries.OpsQueries.q124Index(spark, sfDir, force = true); () }))
+        { graft.queries.OpsQueries.q124Index(spark, sfDir, force = true); () }),
+      "q130i_minhash_build" -> (() =>
+        { graft.queries.OpsQueries.q130Index(spark, sfDir, force = true); () }))
     val ingestResults = ingestFns.map { case (name, fn) =>
       val sec = if (!only.forall(_.contains(name))) -1.0
       else {

@@ -194,29 +194,150 @@ object Dedup {
     * eval bands to the train bands' partitioning and the verify join's
     * eval side broadcasts; no all-pairs stage anywhere.
     */
+  // ---- persisted LSH index (incremental near-dup) ---------------------
+
+  /** A persisted MinHash-LSH index: band keys + sorted shingle-hash sets
+    * of the historical corpus, plus the sketch parameters a probe must
+    * reuse. The incremental-crawl shape: yesterday's corpus is indexed
+    * ONCE; each new batch probes band keys (bounded batch side →
+    * broadcast) and verifies exact Jaccard against only the matched
+    * historical rows — never re-sketching 100 TB of history per batch.
+    * `hash64` is a function and cannot persist; the caller supplies the
+    * SAME family at probe time (the stored `params` row carries the rest
+    * and is enforced on load... the hash family mismatch shows up as
+    * zero recall, which the q54_planted-style recall tests catch).
+    */
+  case class MinhashIndex(shingleSize: Int, numHashes: Int, numBands: Int,
+      seed: Long, bands: DataFrame, shingles: DataFrame)
+
+  /** Sketch once, persist: `<path>/bands` (id, band, bandHash) range-
+    * clustered on (band, bandHash) — probe keys meet per-file key ranges
+    * and skip unmatched files — `<path>/shingles` (id, sh) for the exact
+    * verify, `<path>/params` for the sketch geometry.
+    */
+  def saveMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 64,
+      numBands: Int = 0, threshold: Double = 0.7, seed: Long = 42L,
+      hash64: Column => Column = xxhash64(_), numFiles: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bands = if (numBands > 0) numBands else lshParams(numHashes, threshold)._1
+    val base = shinglePrep(corpus, idCol, textCol, shingleSize, hash64)
+    Layout.writeClustered(
+      bandRows(base, numHashes, bands, seed, hash64),
+      s"$path/bands", Seq(col("band"), col("bandHash")), numFiles)
+    base.select(col("id"), array_sort(col("xxh")).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((shingleSize, numHashes, bands, seed))
+      .toDF("shingle_size", "num_hashes", "num_bands", "seed")
+      .write.mode("overwrite").parquet(s"$path/params")
+    base.unpersist(blocking = false)
+  }
+
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    MinhashIndex(p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"))
+  }
+
+  /** Sketch ONLY the new batch, probe the stored bands, verify exact
+    * Jaccard against the matched historical shingle sets. Output:
+    * (left_id = historical, right_id = batch, jaccard) — identical to
+    * [[minhashNearDupsAcross]](history, batch) by construction (same
+    * signatures, same band keys, same verify), so the two paths share
+    * oracles.
+    */
+  def minhashNearDupsIndexed(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      hash64: Column => Column = xxhash64(_)): DataFrame = {
+    val rBase = shinglePrep(batch, idCol, textCol, index.shingleSize, hash64)
+    val rBands = bandRows(rBase, index.numHashes, index.numBands,
+      index.seed, hash64)
+    val candidates = index.bands.as("a")
+      .join(broadcast(rBands).as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .dropDuplicates("left_id", "right_id")
+    val result = candidates
+      .join(index.shingles.select(col("id").as("left_id"), col("sh").as("sh_a")),
+        "left_id")
+      .join(rBase.select(col("id").as("right_id"), array_sort(col("xxh")).as("sh_b")),
+        "right_id")
+      .withColumn("jaccard",
+        graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+    val out = result.localCheckpoint(eager = true)
+    rBase.unpersist(blocking = false)
+    out
+  }
+
+  /** Append a (new-id) batch's bands + shingles to the index — the daily
+    * ingest step; sketch geometry comes from the stored params so the
+    * appended rows are indistinguishable from a full rebuild's.
+    */
+  def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, hash64: Column => Column = xxhash64(_),
+      numFiles: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val idx = loadMinhashIndex(spark, path)
+    val base = shinglePrep(batch, idCol, textCol, idx.shingleSize, hash64)
+    Layout.writeClustered(
+      bandRows(base, idx.numHashes, idx.numBands, idx.seed, hash64),
+      s"$path/bands", Seq(col("band"), col("bandHash")), numFiles,
+      mode = "append")
+    base.select(col("id"), array_sort(col("xxh")).as("sh"))
+      .write.mode("append").parquet(s"$path/shingles")
+    base.unpersist(blocking = false)
+  }
+
+  /** Batch rows with NO verified near-dup in the index: the keep-set of
+    * incremental near-dup dedup (the fuzzy complement of the exact
+    * [[novelAgainst]]).
+    */
+  def novelAgainstMinhashIndex(index: MinhashIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      hash64: Column => Column = xxhash64(_)): DataFrame = {
+    val dups = minhashNearDupsIndexed(index, batch, idCol, textCol,
+      threshold, hash64).select(col("right_id").as("__dup_id"))
+    batch.join(dups, col(idCol) === col("__dup_id"), "left_anti")
+  }
+
+  /** Shared shingle-hash prep: (id, xxh array<long>), persisted — every
+    * index/across path builds from exactly this.
+    */
+  private def shinglePrep(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, hash64: Column => Column): DataFrame =
+    Spread.toCores(df).select(col(idCol).as("id"),
+        transform(TextAnalysis.shingles(col(textCol), shingleSize),
+          s => hash64(s)).as("xxh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Shared band-key rows: (id, band, bandHash) from a prepped frame. */
+  private def bandRows(base: DataFrame, numHashes: Int, bands: Int,
+      seed: Long, hash64: Column => Column): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val (as, bs) = hashParams(numHashes, seed).unzip
+    val sig = graft.functions.sketches.minhash_sig(
+      transform(col("xxh"), h => pmod(h, lit(P))), as.toArray, bs.toArray)
+    base.withColumn("sig", sig)
+      .select(col("id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand, hash64)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bandHash"))
+  }
+
   def minhashNearDupsAcross(left: DataFrame, right: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 0,
       threshold: Double = 0.7, seed: Long = 42L,
       hash64: Column => Column = xxhash64(_)): DataFrame = {
     val bands = if (numBands > 0) numBands else lshParams(numHashes, threshold)._1
-    val rowsPerBand = numHashes / bands
-    val (as, bs) = hashParams(numHashes, seed).unzip
-    def prep(df: DataFrame): DataFrame =
-      Spread.toCores(df).select(col(idCol).as("id"),
-          transform(TextAnalysis.shingles(col(textCol), shingleSize),
-            s => hash64(s)).as("xxh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lBase = prep(left)
-    val rBase = prep(right)
-    def bandsOf(base: DataFrame): DataFrame = {
-      val sig = graft.functions.sketches.minhash_sig(
-        transform(col("xxh"), h => pmod(h, lit(P))), as.toArray, bs.toArray)
-      base.withColumn("sig", sig)
-        .select(col("id"),
-          explode(bandKeys(col("sig"), bands, rowsPerBand, hash64)).as("bk"))
-        .select(col("id"), col("bk.band"), col("bk.bandHash"))
-    }
+    val lBase = shinglePrep(left, idCol, textCol, shingleSize, hash64)
+    val rBase = shinglePrep(right, idCol, textCol, shingleSize, hash64)
+    def bandsOf(base: DataFrame): DataFrame =
+      bandRows(base, numHashes, bands, seed, hash64)
     val candidates = bandsOf(lBase).as("a").join(bandsOf(rBase).as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"))

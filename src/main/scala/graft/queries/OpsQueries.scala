@@ -74,6 +74,17 @@ object OpsQueries {
     }
   }
 
+  /** q130's offline artifact: MinHash-LSH index (band keys + shingle
+    * sets, portable family) over the documents table. */
+  private[graft] def q130Index(s: SparkSession, d: String, force: Boolean = false): String = {
+    val path = scratch("q130_minhash", d)
+    ensureBuilt(path, d, force) {
+      Dedup.saveMinhashIndex(docs(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", path, threshold = 0.5,
+        hash64 = TextAnalysis.portableHash60, numFiles = 8)
+    }
+  }
+
   /** q124's offline artifact: BM25 inverted index (token-clustered
     * postings + corpus stats) over the documents table. */
   private[graft] def q124Index(s: SparkSession, d: String, force: Boolean = false): String = {
@@ -224,6 +235,21 @@ object OpsQueries {
           concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
       Dedup.minhashNearDupsAcross(base, bench, "doc_id", "text",
         threshold = 0.5, hash64 = TextAnalysis.portableHash60)
+    }),
+    // q110 driven through the PERSISTED LSH index: history sketched once
+    // to disk (band keys clustered for file skipping + shingle sets),
+    // batch sketched fresh and probed — identical pairs by construction,
+    // so it reuses q110's oracle verbatim. The incremental-crawl shape:
+    // a new batch probes yesterday's index instead of re-sketching it.
+    "q130_minhash_index" -> ((s, d) => {
+      val path = q130Index(s, d) // offline build (once); timed part = probe
+      val ws = split(trim(col("text")), "\\s+")
+      val bench = docs(s, d).filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+      Dedup.minhashNearDupsIndexed(Dedup.loadMinhashIndex(s, path), bench,
+        "doc_id", "text", threshold = 0.5,
+        hash64 = TextAnalysis.portableHash60)
     }),
     // FULL oracle since round 6 (same portable-family move as q54): the
     // oracle packs the 60 replayed signature bits into a BIGINT and
@@ -1286,6 +1312,9 @@ object OpsQueries {
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
     "q110_cross_neardup" -> crossMinhashOracleSql,
+    // the saved-index probe is pair-identical to the live cross pass by
+    // construction — same oracle (the q124/q96 move).
+    "q130_minhash_index" -> crossMinhashOracleSql,
     // SimHash full oracle: rebuild every doc's 60 signature bits from the
     // portable word hashes (q56_planted's machinery), pack them into a
     // BIGINT (bits 60..63 are 0 on both engines — every word votes −1

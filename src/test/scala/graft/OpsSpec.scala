@@ -1569,6 +1569,45 @@ class OpsSpec extends AnyFunSuite {
       s"index path diverges: ${viaIndex.diff(inMemory)} vs ${inMemory.diff(viaIndex)}")
   }
 
+  test("saved MinHash-LSH index: probe equals live cross pass, append equals rebuild") {
+    import spark.implicits._
+    val hist = docs.select(col("doc_id"), col("text"))
+    val ws = split(trim(col("text")), "\\s+")
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(ws, lit(1), greatest(size(ws) - 3, lit(1)))).as("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("mh-idx").toString
+    Dedup.saveMinhashIndex(hist, "doc_id", "text", dir, threshold = 0.5,
+      numFiles = 4)
+    val idx = Dedup.loadMinhashIndex(spark, dir)
+    val viaIndex = pairs(Dedup.minhashNearDupsIndexed(idx, batch,
+      "doc_id", "text", threshold = 0.5))
+    val live = pairs(Dedup.minhashNearDupsAcross(hist, batch,
+      "doc_id", "text", threshold = 0.5))
+    assert(viaIndex == live && viaIndex.nonEmpty,
+      s"index probe diverges (${viaIndex.size} vs ${live.size})")
+    // append path: half the history saved, other half appended — probe
+    // must match the full-save index exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("mh-idx2").toString
+    Dedup.saveMinhashIndex(hist.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir2, threshold = 0.5, numFiles = 4)
+    Dedup.appendToMinhashIndex(hist.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", dir2)
+    val viaAppend = pairs(Dedup.minhashNearDupsIndexed(
+      Dedup.loadMinhashIndex(spark, dir2), batch, "doc_id", "text",
+      threshold = 0.5))
+    assert(viaAppend == live, "appended index diverges from full save")
+    // novel complement: kept batch ids = batch minus verified dups
+    val novel = Dedup.novelAgainstMinhashIndex(idx, batch, "doc_id", "text",
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupIds = live.map(_._2)
+    val all = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == all -- dupIds, "novel set is not the exact complement")
+  }
+
   test("saved BM25 inverted index matches the live pass; term filter reaches the scan") {
     import spark.implicits._
     import graft.ops.Retrieval
