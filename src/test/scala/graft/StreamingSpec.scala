@@ -162,6 +162,43 @@ class StreamingSpec extends AnyFunSuite {
       s"fixture should split: kept $got of ${docs.map(_._1).toSet}")
   }
 
+  test("streaming near-dup vs persisted LSH index via foreachBatch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the historical corpus is indexed ONCE on disk; each micro-batch
+    // probes it with the full batch API through foreachBatch — the
+    // idiomatic Spark shape for per-batch index probes (band-key
+    // stream-static equi-joins can't express "drop doc if ANY band
+    // verifies" without a per-doc aggregate, which append mode forbids)
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen quality liquor jugs today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh-stream-idx").toString
+    graft.ops.Dedup.saveMinhashIndex(hist, "doc_id", "text", dir,
+      threshold = 0.5, numFiles = 2)
+    val idx = graft.ops.Dedup.loadMinhashIndex(spark, dir)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // near-dup of 1
+      (11L, "a completely different sentence about databases and rivers"),
+      (12L, "pack my box with five dozen quality liquor jugs"))// near-dup of 2
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        kept ++= graft.ops.Dedup.novelAgainstMinhashIndex(idx, batch,
+            "doc_id", "text", threshold = 0.5)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(kept.toSet == Set(11L), s"kept $kept, expected only the novel doc")
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
