@@ -251,12 +251,22 @@ object Dedup {
     */
   def minhashNearDupsIndexed(index: MinhashIndex, batch: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      hash64: Column => Column = xxhash64(_)): DataFrame = {
+      hash64: Column => Column = xxhash64(_),
+      maxBroadcastBandRows: Long = 4000000L): DataFrame = {
     val rBase = shinglePrep(batch, idCol, textCol, index.shingleSize, hash64)
     val rBands = bandRows(rBase, index.numHashes, index.numBands,
       index.seed, hash64)
+    // The "batch is the small side" assumption is measured, not assumed:
+    // rBase is persisted anyway, so counting it is free, and the band-row
+    // count is exactly batchRows × numBands. Under the cap (default 4M
+    // band rows ≈ low hundreds of MB serialized) the probe broadcasts;
+    // over it — a "batch" that is really a corpus — fall back to a
+    // shuffle hash join on the same keys rather than OOM the driver.
+    val bandRowCount = rBase.count() * index.numBands
+    val probe = if (bandRowCount <= maxBroadcastBandRows) broadcast(rBands)
+                else rBands
     val candidates = index.bands.as("a")
-      .join(broadcast(rBands).as("b"),
+      .join(probe.as("b"),
         col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash"))
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .dropDuplicates("left_id", "right_id")
@@ -277,6 +287,13 @@ object Dedup {
   /** Append a (new-id) batch's bands + shingles to the index — the daily
     * ingest step; sketch geometry comes from the stored params so the
     * appended rows are indistinguishable from a full rebuild's.
+    *
+    * Crash semantics (single writer): shingles are appended FIRST, bands
+    * second. Discovery goes through bands — a shingle row whose id has no
+    * band rows is never consulted — so a crash between the two writes
+    * leaves orphan shingles (the batch simply looks un-appended and can
+    * NOT half-match), never band keys whose exact-verify side is missing
+    * (which would silently drop verified pairs).
     */
   def appendToMinhashIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, hash64: Column => Column = xxhash64(_),
@@ -284,12 +301,12 @@ object Dedup {
     val spark = batch.sparkSession
     val idx = loadMinhashIndex(spark, path)
     val base = shinglePrep(batch, idCol, textCol, idx.shingleSize, hash64)
+    base.select(col("id"), array_sort(col("xxh")).as("sh"))
+      .write.mode("append").parquet(s"$path/shingles")
     Layout.writeClustered(
       bandRows(base, idx.numHashes, idx.numBands, idx.seed, hash64),
       s"$path/bands", Seq(col("band"), col("bandHash")), numFiles,
       mode = "append")
-    base.select(col("id"), array_sort(col("xxh")).as("sh"))
-      .write.mode("append").parquet(s"$path/shingles")
     base.unpersist(blocking = false)
   }
 

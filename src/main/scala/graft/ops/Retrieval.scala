@@ -154,11 +154,44 @@ object Retrieval {
     (postings, nDocs, sumDl)
   }
 
+  /** Stats swap is staged-then-rename so the live `stats` dir is never
+    * half-written: the new row lands in `stats__staged`, then one
+    * directory rename (atomic on local/HDFS) replaces `stats`. A crash
+    * mid-swap leaves `stats__staged` behind; [[loadBm25Index]] finishes
+    * the rename on next load. A crash BETWEEN the postings append and
+    * this swap leaves stats stale by exactly the interrupted batch —
+    * single-writer semantics, recoverable exactly via
+    * [[repairBm25Stats]] (postings are the source of truth; the stats
+    * pair is derivable).
+    */
   private def writeBm25Stats(spark: SparkSession, path: String,
       nDocs: Long, sumDl: Long): Unit = {
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val staged = new Path(s"$path/stats__staged")
+    val live = new Path(s"$path/stats")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((nDocs, sumDl)).toDF("n_docs", "sum_dl")
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(staged.toString)
+    if (fs.exists(live)) fs.delete(live, true)
+    require(fs.rename(staged, live),
+      s"writeBm25Stats: rename $staged -> $live failed")
+  }
+
+  /** Recompute the exact (n_docs, sum_dl) pair from the postings — dl is
+    * denormalized into every posting, so one distinct over (doc_id, dl)
+    * replays the integer sums bit-for-bit — and swap the stats in. The
+    * recovery documented on [[writeBm25Stats]] for a crash between a
+    * postings append and its stats bump.
+    */
+  def repairBm25Stats(spark: SparkSession, path: String): (Long, Long) = {
+    val docs = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("dl")).distinct()
+    val r = docs.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val nDocs = r.getLong(0)
+    val sumDl = if (r.isNullAt(1)) 0L else r.getLong(1)
+    writeBm25Stats(spark, path, nDocs, sumDl)
+    (nDocs, sumDl)
   }
 
   def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
@@ -194,6 +227,14 @@ object Retrieval {
   }
 
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
+    // finish an interrupted stats swap (crash after delete, before rename)
+    locally {
+      import org.apache.hadoop.fs.Path
+      val staged = new Path(s"$path/stats__staged")
+      val live = new Path(s"$path/stats")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(live) && fs.exists(staged)) fs.rename(staged, live)
+    }
     val s = spark.read.parquet(s"$path/stats").head()
     // avgdl derived at load time from the exact integer sums; empty
     // corpus → 1.0 keeps the scoring expression free of a null

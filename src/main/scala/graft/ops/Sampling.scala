@@ -301,12 +301,15 @@ object Sampling {
     val tMin = ts.map(_._2).min
     // integer scale per stratum via chained CASE (one pass, like
     // stratifiedSample); bucket16 read as an integer for the
-    // cross-multiplied compare. The otherwise-branch sentinel (1e13,
-    // = t_s of a 10^14-row stratum; 65535 · 1e13 stays far under
-    // Long.Max) can only fire for strata values absent from the counts
-    // — impossible for an unmodified df — and drops such rows.
+    // cross-multiplied compare. Null-safe equality (<=>) so a NULL
+    // stratum — which groupBy counts as its own group — matches its own
+    // t_s instead of falling through every branch. With that, the
+    // otherwise-branch sentinel (1e13, = t_s of a 10^14-row stratum;
+    // 65535 · 1e13 stays far under Long.Max) can only fire for strata
+    // values absent from the counts — impossible for an unmodified df —
+    // and drops such rows.
     val tCol = ts.foldLeft(lit(10000000000000L)) { case (acc, (value, t)) =>
-      when(strata === value, lit(t)).otherwise(acc)
+      when(strata <=> value, lit(t)).otherwise(acc)
     }
     val bucket16 = conv(hashBucket(key, seed), 16, 10).cast("long")
     df.filter(bucket16 * tCol < lit(65536L) * tMin)

@@ -42,11 +42,24 @@ object OpsQueries {
     */
   private def ensureBuilt(path: String, d: String, force: Boolean)(build: => Unit): String = {
     val marker = java.nio.file.Paths.get(path, "_GRAFT_BUILT")
-    val dir = new java.io.File(d)
-    val fp = Option(dir.listFiles()).getOrElse(Array.empty)
-      .sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("\n")
+    // RECURSIVE walk: a table that is a directory (Spark multi-file
+    // parquet) can have its part files rewritten in place without the
+    // parent entry's size/mtime changing — fingerprint every file under
+    // the sf dir, relative path + size + mtime, sorted for stability.
+    val root = java.nio.file.Paths.get(d)
+    val fp = {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            val f = p.toFile
+            s"${root.relativize(p)}:${f.length}:${f.lastModified}"
+          }
+          .toArray.sorted.mkString("\n")
+      } finally walk.close()
+    }
     val stale = !java.nio.file.Files.exists(marker) ||
       java.nio.file.Files.readString(marker) != fp
     if (force || stale) {

@@ -157,14 +157,23 @@ object Relational {
       s"left/right column names must be disjoint, both carry: $overlap")
     def bucketIdx(c: Column): Column =
       floor(unix_seconds(c).cast("double") / bucketSeconds).cast("long")
-    def bucketed(df: DataFrame, s: String, e: String, b: String) =
-      df.withColumn(b, explode(sequence(bucketIdx(col(s)), bucketIdx(col(e)))))
-    val lb = bucketed(left, lStart, lEnd, "__lb")
-    val rb = bucketed(right, rStart, rEnd, "__rb")
+    // Multi-bucket matches collapse on synthetic per-side ROW ids, not on
+    // value columns: a theta-join keeps the multiplicity of duplicate
+    // input rows, and deduping on values would silently merge them. The
+    // ids are assigned BEFORE the explode, so the same input pair meeting
+    // in several buckets carries the same (lid, rid) and collapses to one
+    // output row, while two identical-valued input rows carry distinct
+    // ids and both survive.
+    def bucketed(df: DataFrame, s: String, e: String, b: String,
+        idc: String) =
+      df.withColumn(idc, monotonically_increasing_id())
+        .withColumn(b, explode(sequence(bucketIdx(col(s)), bucketIdx(col(e)))))
+    val lb = bucketed(left, lStart, lEnd, "__lb", "__lid")
+    val rb = bucketed(right, rStart, rEnd, "__rb", "__rid")
     lb.join(rb, col(lKey) === col(rKey) && col("__lb") === col("__rb"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .drop("__lb", "__rb")
-      .dropDuplicates(left.columns ++ right.columns)
+      .dropDuplicates("__lid", "__rid")
+      .drop("__lb", "__rb", "__lid", "__rid")
   }
 
   private def asofRows(left: DataFrame, leftKey: String, leftTime: String,

@@ -1689,6 +1689,51 @@ class OpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperature mix: NULL stratum is counted and kept, not silently dropped") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // NULL is the smallest stratum (100 rows vs 6400) → sqrt law says it
+    // passes WHOLE. Before the null-safe fix, NULL rows set tMin but then
+    // fell through every === branch to the sentinel and were dropped.
+    val df = ((1 to 6400).map(i => (i.toLong, Some("big"))) ++
+      (1 to 100).map(i => (20000L + i, Option.empty[String])))
+      .toDF("id", "grp")
+    val kept = Sampling.temperatureMix(df, col("grp"), col("id"))
+      .groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(kept.getOrElse(None, 0L) == 100L,
+      s"NULL stratum must pass whole (it is the smallest): $kept")
+    assert(math.abs(kept.getOrElse(Some("big"), 0L) - 800.0) < 120,
+      kept.toString)
+  }
+
+  test("bm25 index: interrupted stats swap recovers on load; repair rebuilds exact stats") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val dir = java.nio.file.Files.createTempDirectory("bm25-repair").toString
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma epsilon")).toDF("doc_id", "text")
+    Retrieval.saveBm25Index(docs, "doc_id", "text", dir, numFiles = 2)
+    val good = Retrieval.loadBm25Index(spark, dir)
+    // crash simulation 1: swap interrupted after delete, before rename —
+    // stats live only in stats__staged; load must finish the rename
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats"),
+      new org.apache.hadoop.fs.Path(s"$dir/stats__staged"))
+    val recovered = Retrieval.loadBm25Index(spark, dir)
+    assert(recovered.nDocs == good.nDocs && recovered.avgdl == good.avgdl)
+    // crash simulation 2: postings appended, stats bump lost — stats are
+    // stale; repair recomputes the exact pair from the postings
+    Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val (nDocs, sumDl) = Retrieval.repairBm25Stats(spark, dir)
+    assert(nDocs == good.nDocs, s"repair nDocs $nDocs != ${good.nDocs}")
+    val repaired = Retrieval.loadBm25Index(spark, dir)
+    assert(repaired.nDocs == good.nDocs && repaired.avgdl == good.avgdl,
+      s"repaired ($nDocs, $sumDl) should replay the original stats")
+  }
+
   test("IR eval: hand-computed recall/MRR/nDCG, zero-hit query, no-relevant drops") {
     import spark.implicits._
     import graft.ops.Retrieval

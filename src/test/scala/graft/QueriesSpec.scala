@@ -184,6 +184,15 @@ class QueriesSpec extends AnyFunSuite {
         l, "k", "ls", "le", r.withColumnRenamed("rp", "lp"), "k2", "rs", "re")
     }
     assert(err.getMessage.contains("lp"))
+    // theta-join multiplicity: duplicating an input row must duplicate its
+    // output pairs (dedup collapses multi-BUCKET matches only, via
+    // synthetic row ids — not genuinely duplicate input rows)
+    val got2 = graft.queries.Relational.intervalOverlapJoin(
+        l.union(l.filter($"lp" === "a")), "k", "ls", "le", r, "k2", "rs", "re")
+      .select("lp", "rp").collect().map(x => (x.getString(0), x.getString(1)))
+    assert(got2.count(_ == ("a", "X")) == 2,
+      s"duplicate left row must yield two (a,X) pairs: ${got2.toSeq}")
+    assert(got2.length == 4, got2.toSeq.toString)
   }
 
   test("resampleFfill: hand fixture — grid bounds, forward fill, dup-ts collapse") {
