@@ -710,15 +710,162 @@ object Dedup {
     (historical.sparkSession.sparkContext.broadcast(arr), k)
   }
 
-  /** Auto-shards: one filter while it fits, [[shardedNovelAgainst]] with
-    * the minimum shard count past the 2^31-bit cap — the caller never hits
-    * the sizing refusal.
+  /** Auto-shards and auto-routes by TOTAL filter size: one broadcast
+    * filter while it fits, [[shardedNovelAgainst]] (driver-collected,
+    * torrent-broadcast) while shards × bits stays under
+    * `maxBroadcastTotalBits`, and past that — where "sharding" no longer
+    * saves the driver or the executors from holding the whole filter
+    * (10^11 items at 1% fpp ≈ 120 GB of bits on EVERY node) — the
+    * partitioned probe ([[partitionedNovelAgainst]], bitsets stay in
+    * storage, each task touches one shard) when a scratch dir is given,
+    * else the plain exact anti-join ([[exactNovelAgainst]], the same
+    * answer the bloom paths confirm against, one fingerprint shuffle, no
+    * resident filter at all). Default threshold 2^34 total bits (2 GiB of
+    * bitset — comfortable broadcast class); the tested envelope (q77,
+    * defaults) sits far under it and is unchanged.
     */
   def novelAgainst(incoming: DataFrame, historical: DataFrame,
       idCol: String, textCol: String, expectedItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame =
-    shardedNovelAgainst(incoming, historical, idCol, textCol, expectedItems,
-      fpp, graft.functions.BloomParams.shardsFor(expectedItems, fpp))
+      fpp: Double = 0.01, maxBroadcastTotalBits: Long = 1L << 34,
+      scratchDir: Option[String] = None): DataFrame = {
+    val shards = graft.functions.BloomParams.shardsFor(expectedItems, fpp)
+    val perShard = math.max(1L, (expectedItems + shards - 1) / shards)
+    val totalBits =
+      graft.functions.BloomParams.forItems(perShard, fpp)._1.toLong * shards
+    if (totalBits <= maxBroadcastTotalBits)
+      shardedNovelAgainst(incoming, historical, idCol, textCol, expectedItems,
+        fpp, shards)
+    else scratchDir match {
+      case Some(d) => partitionedNovelAgainst(incoming, historical, idCol,
+        textCol, expectedItems, fpp, shards, d)
+      case None => exactNovelAgainst(incoming, historical, idCol, textCol)
+    }
+  }
+
+  /** The no-filter fallback: exact anti-join on the full 128-bit content
+    * fingerprint. Identical answer to every bloom path (the bloom only
+    * prunes), one shuffle on the fingerprint, zero resident state — the
+    * always-correct floor the sized paths optimize over.
+    */
+  def exactNovelAgainst(incoming: DataFrame, historical: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val histFp = historical
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("__fp").isNotNull)
+      .join(histFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** Build the per-shard bitsets DISTRIBUTED and leave them in storage —
+    * each aggregation output row writes its own `shard_NNNNN.bits` file
+    * (header: numBits, k; body: the raw longs) from the executor, so no
+    * single JVM ever holds more than one shard. Returns (numBits, k).
+    */
+  def savePartitionedBloom(historical: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double, shards: Int, dir: String): (Int, Int) = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.hadoop.fs.Path
+    val spark = historical.sparkSession
+    val perShard = math.max(1L, (expectedItems + shards - 1) / shards)
+    val (numBits, k) = graft.functions.BloomParams.forItems(perShard, fpp)
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomBuildAggregator(numBits, k), Encoders.scalaLong)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    fs.mkdirs(root)
+    val conf = org.apache.spark.sql.graft.bridge.serHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    historical
+      .select(xxhash64(TextAnalysis.fingerprint(col(textCol))).as("h"))
+      .withColumn("__shard", graft.functions.bloom.shard_of(col("h"), shards))
+      .groupBy(col("__shard")).agg(bloomUdaf(col("h")).as("bits"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val fsx = new Path(dir).getFileSystem(conf.value)
+        rows.foreach { r =>
+          val s = r.getInt(0)
+          val bits = r.getSeq[Long](1)
+          val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            fsx.create(new Path(dir, f"shard_$s%05d.bits"), true), 1 << 16))
+          try {
+            out.writeLong(numBits.toLong); out.writeLong(k.toLong)
+            bits.foreach(out.writeLong)
+          } finally out.close()
+        }
+      }
+    (numBits, k)
+  }
+
+  private def loadShardBits(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      shard: Int, numBits: Int): Array[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir, f"shard_$shard%05d.bits")
+    // a shard with no historical rows wrote no file: all-zero bitset,
+    // every probe answers "definitely absent"
+    if (!fs.exists(p)) return new Array[Long](numBits / 64)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p), 1 << 16))
+    try {
+      val nb = in.readLong(); val kk = in.readLong()
+      require(nb == numBits.toLong,
+        s"shard $shard bitset has $nb bits, expected $numBits (stale dir?) " +
+          s"k=$kk")
+      val bits = new Array[Long](numBits / 64)
+      var i = 0
+      while (i < bits.length) { bits(i) = in.readLong(); i += 1 }
+      bits
+    } finally in.close()
+  }
+
+  /** The past-broadcast-scale escape hatch: bitsets stay in storage
+    * ([[savePartitionedBloom]]); probes hash-PARTITION to their shard
+    * (`repartition(shards, __shard)`) and each task lazily loads only the
+    * shard bitsets its partition actually contains — expected one, never
+    * more than a few under partition-hash collisions — so per-executor
+    * filter residency is O(one shard) instead of O(all shards). The tail
+    * is the same exact-confirm anti-join as [[shardedNovelAgainst]]:
+    * identical output by construction.
+    */
+  def partitionedNovelAgainst(incoming: DataFrame, historical: DataFrame,
+      idCol: String, textCol: String, expectedItems: Long, fpp: Double,
+      shards: Int, dir: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = incoming.sparkSession
+    val (numBits, k) =
+      savePartitionedBloom(historical, textCol, expectedItems, fpp, shards, dir)
+    val histFp = historical
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val in = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("__fp").isNotNull)
+      .withColumn("__h", xxhash64(col("__fp")))
+      .withColumn("__shard", graft.functions.bloom.shard_of(col("__h"), shards))
+    val schema = in.schema.add("__may", org.apache.spark.sql.types.BooleanType)
+    val shardIdx = in.schema.fieldIndex("__shard")
+    val hIdx = in.schema.fieldIndex("__h")
+    val conf = org.apache.spark.sql.graft.bridge.serHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val probed = in.repartition(shards, col("__shard"))
+      .mapPartitions { rows =>
+        val cache = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        rows.map { r =>
+          val s = r.getInt(shardIdx)
+          val bits = cache.getOrElseUpdate(s, {
+            if (fs == null)
+              fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+            loadShardBits(fs, dir, s, numBits)
+          })
+          val may = graft.functions.BloomParams.testBits(
+            bits, numBits, k, r.getLong(hIdx))
+          Row.fromSeq(r.toSeq :+ may)
+        }
+      }(Encoders.row(schema))
+    val definiteNovel = probed.filter(!col("__may"))
+    val confirmedNovel = probed.filter(col("__may"))
+      .join(histFp.distinct().withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    definiteNovel.unionByName(confirmedNovel)
+      .drop("__fp", "__h", "__shard", "__may")
+  }
 
   def shardedNovelAgainst(incoming: DataFrame, historical: DataFrame,
       idCol: String, textCol: String, expectedItems: Long,

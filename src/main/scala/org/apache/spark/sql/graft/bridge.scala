@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Serializable Hadoop Configuration for executor-side filesystem access
+    * (Spark's own `SerializableConfiguration` is `private[spark]`; this is
+    * the same wrapper, reachable from graft code through the bridge).
+    */
+  def serHadoopConf(conf: org.apache.hadoop.conf.Configuration): SerHadoopConf =
+    new SerHadoopConf(new org.apache.spark.util.SerializableConfiguration(conf))
+}
+
+class SerHadoopConf private[graft](
+    private val inner: org.apache.spark.util.SerializableConfiguration)
+    extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = inner.value
 }

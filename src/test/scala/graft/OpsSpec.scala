@@ -722,6 +722,30 @@ class OpsSpec extends AnyFunSuite {
         expectedItems = 1000L, fpp = 0.05, shards = 4)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sharded == expected, "sharded bloom must equal the exact anti join")
+
+    // past-broadcast escape hatches produce the identical keep set:
+    // (a) partitioned probe — bitsets in storage, tasks load one shard each
+    val dir = java.nio.file.Files.createTempDirectory("bloom-part").toString
+    val partitioned = Dedup.partitionedNovelAgainst(incoming, hist, "doc_id",
+        "text", expectedItems = 1000L, fpp = 0.05, shards = 4, dir = dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(partitioned == expected,
+      "partitioned-probe bloom must equal the exact anti join")
+    // (b) exact fallback (no filter at all)
+    val exact = Dedup.exactNovelAgainst(incoming, hist, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == expected)
+    // (c) auto-routing: a 1-bit broadcast budget forces the escape hatch;
+    // with a scratch dir the answer is unchanged
+    val routed = Dedup.novelAgainst(incoming, hist, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.05, maxBroadcastTotalBits = 1L,
+        scratchDir = Some(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(routed == expected)
+    val routedExact = Dedup.novelAgainst(incoming, hist, "doc_id", "text",
+        expectedItems = 1000L, fpp = 0.05, maxBroadcastTotalBits = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(routedExact == expected)
   }
 
   test("bloom sharding: sizing passes beyond the single-filter cap; routing consistent") {
