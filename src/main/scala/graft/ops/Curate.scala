@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -115,7 +116,7 @@ object Curate {
     // extraction + filters per eager pass (the dupClusters discipline)
     if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
         cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty)
-      t = t.localCheckpoint(true)
+      t = t.materialized(true)
     for (thr <- cfg.nearDupThreshold) {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
         .select(col("id_a"), col("id_b"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -173,7 +174,7 @@ object Dedup {
     // Eagerly materialize the (small — near-dup pairs only) result, then
     // release the cache: round 1 leaked it for the session lifetime, which
     // squatted on executor memory for every later query in the bench.
-    val out = result.localCheckpoint(eager = true)
+    val out = result.materialized(eager = true)
     base.unpersist(blocking = false)
     out
   }
@@ -279,7 +280,7 @@ object Dedup {
         graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
-    val out = result.localCheckpoint(eager = true)
+    val out = result.materialized(eager = true)
     rBase.unpersist(blocking = false)
     out
   }
@@ -368,7 +369,7 @@ object Dedup {
         graft.functions.sketches.sorted_jaccard_long_sim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
-    val out = result.localCheckpoint(eager = true)
+    val out = result.materialized(eager = true)
     lBase.unpersist(blocking = false)
     rBase.unpersist(blocking = false)
     out
@@ -600,10 +601,10 @@ object Dedup {
     // otherwise re-run the whole upstream pair-generation pipeline
     val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .materialized(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .materialized(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -627,7 +628,7 @@ object Dedup {
         .withColumn("newLabel", countShrink(col("oldLabel"), col("newLabel")))
       val joined = if (checkpointEvery > 0 && (iter + 1) % checkpointEvery == 0)
         joinedPlan.checkpoint(true)
-      else joinedPlan.localCheckpoint(true)
+      else joinedPlan.materialized(true)
       converged = shrinks.value == 0L
       labels = joined.select(col("id"), col("newLabel").as("label"))
       iter += 1
@@ -1019,7 +1020,7 @@ object Dedup {
     // cache — same lifetime discipline as minhashNearDups
     if (!checkpoint) result
     else {
-      val out = result.localCheckpoint(eager = true)
+      val out = result.materialized(eager = true)
       grams.unpersist(blocking = false)
       out
     }
@@ -1082,7 +1083,7 @@ object Dedup {
         size(cov).cast("long").as("n_removed"),
         concat_ws(" ", transform(keptToks, s => s.getField("w")))
           .as("clean_text"))
-    val out = result.localCheckpoint(eager = true)
+    val out = result.materialized(eager = true)
     toks.unpersist(blocking = false)
     out
   }
@@ -1378,7 +1379,7 @@ object Dedup {
       idCol: String, strCol: String, k: Int): DataFrame = {
     val l = edPrep(left, idCol, strCol, k).cache()
     val r = edPrep(right, idCol, strCol, k).cache()
-    val out = edJoinCore(l, r, k).localCheckpoint(eager = true)
+    val out = edJoinCore(l, r, k).materialized(eager = true)
     l.unpersist(blocking = false)
     r.unpersist(blocking = false)
     out
@@ -1397,7 +1398,7 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"), col("dist"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .materialized(eager = true)
     base.unpersist(blocking = false)
     out
   }

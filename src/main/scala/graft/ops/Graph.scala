@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -50,10 +51,10 @@ object Graph {
     // each round's eager checkpoint action would re-execute the caller's
     // whole edge-/node-derivation lineage
     val ids = nodes.select(col("id").cast("long").as("id"))
-      .localCheckpoint(true)
+      .materialized(true)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .materialized(true)
     val n = ids.count().toDouble
     require(n > 0, "pageRank needs a non-empty node set (1/N seed)")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -70,7 +71,7 @@ object Graph {
             lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
       pr = if (checkpointEvery > 0 && i % checkpointEvery == 0)
         next.checkpoint(true)
-      else next.localCheckpoint(true)
+      else next.materialized(true)
     }
     pr
   }

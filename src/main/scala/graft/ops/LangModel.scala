@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -55,7 +56,7 @@ object LangModel {
   def train(corpus: DataFrame, idCol: String, textCol: String): BigramModel = {
     val pairs = pairStream(corpus, idCol, textCol)
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
+      .materialized()
     val unigrams = bigrams.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = corpus
       .select(explode(TextAnalysis.words(col(textCol))).as("w"))

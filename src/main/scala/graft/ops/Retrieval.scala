@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,7 +50,7 @@ object Retrieval {
     val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
-      .localCheckpoint()
+      .materialized()
     val statsRow = d.agg(count(lit(1)), avg(col("dl"))).head()
     val nDocs = statsRow.getLong(0).toDouble
     // empty corpus: no postings can match anyway; 1.0 keeps the (dead)
@@ -141,7 +142,7 @@ object Retrieval {
     val d = Spread.toCores(docs).select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .withColumn("dl", TextAnalysis.tokenCount(col("text")).cast("double"))
-      .localCheckpoint()
+      .materialized()
     val statsRow = d.agg(count(lit(1)),
       sum(col("dl").cast("long"))).head()
     val nDocs = statsRow.getLong(0)

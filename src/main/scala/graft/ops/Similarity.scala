@@ -1,5 +1,6 @@
 package graft.ops
 
+import Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -354,7 +355,7 @@ object Similarity {
         vecCol, "v")
       .select(col("id"), col("v"))
     val train = if (trainFraction >= 1.0) normalized
-      else normalized.localCheckpoint(true)
+      else normalized.materialized(true)
     pqTrainLloyd(train, dim, m, ksub, iters)
   }
 
@@ -689,7 +690,7 @@ object Similarity {
       if (trainFraction >= 1.0) res
       else Sampling.hashSample(res, col("vec_id"), trainFraction)
     val train0 = sampled.select(col("vec_id").as("id"), col("r").as("v"))
-    val train = if (trainFraction >= 1.0) train0 else train0.localCheckpoint(true)
+    val train = if (trainFraction >= 1.0) train0 else train0.materialized(true)
     val cb = pqTrainLloyd(train, dim, m, ksub, iters)
 
     val codes = res.select(col("vec_id"), col("cid"),

@@ -1819,4 +1819,34 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(0)), "NFC must converge composed and decomposed forms")
     assert(out.map(_.getString(1)).toSeq == Seq("cafe", "senor", "plain ascii"))
   }
+
+  test("materialize modes (local/reliable/persist) yield identical operator results") {
+    import graft.ops.Materialize
+    def run(): Set[(Long, Long)] =
+      Dedup.minhashNearDups(planted, "doc_id", "text", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val conf = spark.conf
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt").toString
+    try {
+      val local = run() // default mode
+      conf.set(Materialize.ModeKey, "reliable")
+      // no checkpoint dir set anywhere -> must THROW, not silently degrade
+      // (guarded: another suite in this JVM may have set one on the shared context)
+      val hadDir = spark.sparkContext.getCheckpointDir.isDefined
+      if (!hadDir) assertThrows[IllegalStateException] { run() }
+      conf.set(Materialize.DirKey, ckpt)
+      val reliable = run()
+      // reliable blocks must actually be on the durable dir, not executor-local
+      if (!hadDir)
+        assert(java.nio.file.Files.list(java.nio.file.Paths.get(ckpt)).count() > 0,
+          "reliable mode wrote nothing to the checkpoint dir")
+      conf.set(Materialize.ModeKey, "persist")
+      val persisted = run()
+      assert(reliable == local && persisted == local,
+        "materialize mode changed operator output")
+    } finally {
+      conf.set(Materialize.ModeKey, "local")
+      conf.unset(Materialize.DirKey)
+    }
+  }
 }
