@@ -46,6 +46,23 @@ object Ripple {
     log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
   }
 
+  /** Every registered consumer's committed cursor for `topic` (consumerId
+    * -> bucket -> committed end offset) — the reference's per-consumer
+    * offset state (`internal/broker/consumer/server/core.go:46-64,77-85`)
+    * as an introspection surface. Pair with [[endOffsets]] for lag:
+    * `endOffsets(...)(b) - consumerOffsets(...)(id)(b)`.
+    */
+  def consumerOffsets(root: String, topic: String): Map[String, Map[String, Long]] =
+    graft.connector.ConsumerOffsets.all(root, topic)
+
+  /** The managed checkpoint directory for a named consumer — pass as the
+    * query's `checkpointLocation` so the consumer's committed offsets are
+    * exactly-once AND visible via [[consumerOffsets]]. See
+    * [[graft.connector.ConsumerOffsets]] for the namespace contract.
+    */
+  def consumerCheckpoint(root: String, topic: String, consumerId: String): String =
+    graft.connector.ConsumerOffsets.checkpoint(root, topic, consumerId)
+
   /** Retention: drop whole segments below `floorOffset` per bucket
     * (metadata-only; offsets preserved). The reference never truncates
     * (`core.go:45` TODO) — OOM is its retention policy.
@@ -83,12 +100,16 @@ object Ripple {
     * writer — the checkpoint directory is the consumer identity (SURVEY A7).
     */
   def readStream(spark: SparkSession, root: String, topic: String,
-      maxOffsetsPerTrigger: Long = Long.MaxValue): DataFrame = {
-    val r: DataStreamReader = spark.readStream.format("ripple")
+      maxOffsetsPerTrigger: Long = Long.MaxValue,
+      consumerId: Option[String] = None): DataFrame = {
+    var r: DataStreamReader = spark.readStream.format("ripple")
       .option("path", root).option("topic", topic)
-    (if (maxOffsetsPerTrigger != Long.MaxValue)
-       r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-     else r).load()
+    if (maxOffsetsPerTrigger != Long.MaxValue)
+      r = r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    // named consumer: fresh checkpoints resume from the broker-side cursor
+    // instead of offset zero (reference core.go:46-64; see ConsumerOffsets)
+    consumerId.foreach(id => r = r.option("consumerId", id))
+    r.load()
   }
 
   /** Interpret opaque payloads as JSON columns — the engine's value-add

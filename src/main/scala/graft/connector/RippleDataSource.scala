@@ -85,7 +85,8 @@ object RippleConf {
       maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue),
       preferredHosts = Option(options.get("preferredHosts"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
-      retentionMs = options.getLong("retentionMs", Long.MaxValue))
+      retentionMs = options.getLong("retentionMs", Long.MaxValue),
+      consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId))
   }
 }
 
@@ -99,7 +100,8 @@ case class RippleConf(
     endingOffset: Long,
     maxOffsetsPerTrigger: Long,
     preferredHosts: Seq[String] = Seq.empty,
-    retentionMs: Long = Long.MaxValue) {
+    retentionMs: Long = Long.MaxValue,
+    consumerId: Option[String] = None) {
   def log: FileTopicLog = new FileTopicLog(Paths.get(root))
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)

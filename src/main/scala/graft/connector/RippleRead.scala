@@ -417,8 +417,19 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
   private def targetSizes(): Map[String, Long] =
     availableNowTarget.getOrElse(sizes())
 
-  override def initialOffset(): Offset =
-    RippleOffset(sizes().map { case (b, _) => b -> conf.startingOffset })
+  /** Start offset for a FRESH checkpoint: `startingOffset` per bucket — or,
+    * when a `consumerId` names a managed cursor that has committed before,
+    * that cursor (per-bucket; buckets it has never seen fall back to
+    * `startingOffset`). A RESUMED checkpoint never calls this — the
+    * checkpoint wins, see [[ConsumerOffsets]].
+    */
+  override def initialOffset(): Offset = {
+    val cursor = conf.consumerId
+      .flatMap(id => ConsumerOffsets.load(conf.root, conf.topic, id))
+      .getOrElse(Map.empty[String, Long])
+    RippleOffset(sizes().map { case (b, _) =>
+      b -> cursor.getOrElse(b, conf.startingOffset) })
+  }
 
   override def getDefaultReadLimit: ReadLimit =
     if (conf.maxOffsetsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
@@ -475,6 +486,14 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
   override def createReaderFactory(): PartitionReaderFactory =
     new RippleReaderFactory(schema)
 
-  override def commit(end: Offset): Unit = () // checkpoint is the commit log
+  /** The checkpoint is the PRIMARY commit log; a configured `consumerId`
+    * additionally records the committed end as a broker-side cursor (always
+    * behind-or-equal the checkpoint — at-least-once on fresh-checkpoint
+    * resume, never over-advanced; see [[ConsumerOffsets]]).
+    */
+  override def commit(end: Offset): Unit = conf.consumerId.foreach { id =>
+    ConsumerOffsets.commit(conf.root, conf.topic, id,
+      end.asInstanceOf[RippleOffset].ends)
+  }
   override def stop(): Unit = ()
 }

@@ -631,4 +631,42 @@ class ConnectorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("id") || e.getCause != null)
   }
+
+  test("consumer groups: two consumerIds fan out independently, offsets visible, fresh-checkpoint resume") {
+    val root = tmp()
+    Ripple.createTopic(root, "cg", numBuckets = 2)
+    Ripple.write(samplePayloads(40), root, "cg", numBuckets = 2)
+
+    def drain(consumerId: String, sink: String, ckpt: String): Long = {
+      val q = Ripple.readStream(spark, root, "cg", consumerId = Some(consumerId))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000), s"$consumerId drain did not finish")
+      spark.table(sink).count()
+    }
+    def managed(id: String) = Ripple.consumerCheckpoint(root, "cg", id)
+
+    // fan-out, not work-sharing: each consumer id replays the FULL log
+    assert(drain("alpha", "cg_a1", managed("alpha")) == 40)
+    assert(drain("beta", "cg_b1", managed("beta")) == 40)
+
+    // introspection: both consumers visible and at the log end
+    val ends = Ripple.endOffsets(root, "cg")
+    val committed = Ripple.consumerOffsets(root, "cg")
+    assert(committed.keySet == Set("alpha", "beta"))
+    assert(committed("alpha") == ends && committed("beta") == ends)
+
+    // FRESH checkpoint + SAME consumerId resumes from the broker-side
+    // position: only post-commit rows are delivered, not a zero replay
+    Ripple.write(samplePayloads(15), root, "cg", numBuckets = 2)
+    assert(drain("alpha", "cg_a2", tmp()) == 15)
+    // ...while a NEW consumer id still replays everything
+    assert(drain("gamma", "cg_c1", tmp()) == 55)
+
+    // invalid ids are rejected before touching the filesystem
+    intercept[IllegalArgumentException] {
+      graft.connector.ConsumerOffsets.requireValidId("../evil")
+    }
+  }
 }
