@@ -35,10 +35,7 @@ object Bpe {
     */
   case class Merge(rank: Int, left: String, right: String)
 
-  case class Vocab(merges: Seq[Merge]) {
-    @transient lazy val ranks: Map[(String, String), Int] =
-      merges.map(m => (m.left, m.right) -> m.rank).toMap
-  }
+  case class Vocab(merges: Seq[Merge])
 
   /** Distributed word-frequency table: the ONLY corpus-sized pass.
     * `minCount` prunes hapax noise (typos, ids) before merge learning —
@@ -117,10 +114,6 @@ object Bpe {
     out.toArray
   }
 
-  /** Encode one word: start from characters + terminal, repeatedly apply
-    * the LOWEST-rank applicable merge (the canonical BPE encode order —
-    * guarantees encode agrees with how the vocab was trained).
-    */
   /** Initial symbols of a word: one per CODE POINT (not UTF-16 char), so
     * supplementary-plane characters (emoji, CJK-Ext) never split into
     * lone surrogates — a lone-surrogate token is invalid Unicode and
@@ -138,26 +131,25 @@ object Bpe {
     out
   }
 
+  /** Encode one word: start from characters + terminal, then REPLAY the
+    * merge table in rank order, each merge applied with the same greedy
+    * left-to-right pass the trainer used ([[applyMerge]]). For any word in
+    * the training corpus this reproduces its final training segmentation
+    * symbol-for-symbol (encode literally re-runs training on the word),
+    * which is what makes the tokenizer a FULL cross-engine oracle: the
+    * q90 gate's DuckDB SQL replays the same deterministic
+    * (count DESC, pair ASC) merge learning and the same greedy
+    * application round by round, and must match bit-for-bit. (The
+    * alternative lowest-rank-first application order used by some
+    * runtime tokenizers agrees on training-corpus words and differs only
+    * on out-of-vocabulary symbol collisions.)
+    */
   def encodeWord(word: String, vocab: Vocab): Array[String] = {
     var syms = codePointSymbols(word)
-    var continue = syms.length > 1
-    while (continue) {
-      var bestRank = Int.MaxValue
-      var bestIdx = -1
-      var i = 0
-      while (i < syms.length - 1) {
-        vocab.ranks.get((syms(i), syms(i + 1))) match {
-          case Some(r) if r < bestRank => bestRank = r; bestIdx = i
-          case _ =>
-        }
-        i += 1
-      }
-      if (bestIdx < 0) continue = false
-      else {
-        val merged = syms(bestIdx) + syms(bestIdx + 1)
-        syms = (syms.take(bestIdx) :+ merged) ++ syms.drop(bestIdx + 2)
-        if (syms.length < 2) continue = false
-      }
+    val it = vocab.merges.iterator
+    while (it.hasNext && syms.length > 1) {
+      val m = it.next()
+      syms = applyMerge(syms, (m.left, m.right))
     }
     syms
   }

@@ -1115,8 +1115,10 @@ object OpsQueries {
     }),
     // BPE tokenization: vocab trained on the corpus's word-frequency table
     // (one distributed pass), documents encoded with a per-partition memo.
-    // Merge learning is engine-internal → rows-only gate; known-corpus
-    // merges and the encode/decode identity are asserted in OpsSpec.
+    // FULL oracle: training is a total order ((count DESC, pair ASC)
+    // selection + greedy left-to-right application) and encode replays the
+    // merge table in rank order, so DuckDB re-learns the vocab and
+    // re-tokenizes every document bit-for-bit (see [[bpeOracleSql]]).
     "q90_bpe_tokenize" -> ((s, d) => {
       val t = docs(s, d)
       val vocab = Bpe.train(t, "text", numMerges = 40)
@@ -1321,7 +1323,87 @@ object OpsQueries {
       |""".stripMargin
   }
 
+  /** Full BPE tokenization replay (q90): DuckDB re-learns the merge table
+    * and re-encodes every document, and must agree with [[Bpe]]
+    * bit-for-bit. The trainer is replayable because its two decision
+    * points are total orders: merge selection is (count DESC, left ASC,
+    * right ASC) — no hash-iteration or partitioning dependence — and
+    * merge application is a greedy left-to-right pass with consumed-pair
+    * skipping. Encoding replays the merge table in rank order, so a
+    * training-corpus word's encoding IS its final training segmentation —
+    * the oracle therefore needs no separate encode pass, just a join
+    * against the replayed `seg{n}` table.
+    *
+    * Round k of the chained CTE (recursive CTEs can't re-aggregate, the
+    * [[pageRankOracleSql]] pattern): `p{k}` counts adjacent pairs over
+    * the previous segmentations, `b{k}` picks the best pair under the
+    * total order, `f{k}`..`h{k}` mark which occurrences a greedy
+    * left-to-right pass would merge — a run of CONSECUTIVE matching
+    * positions only merges its odd-ranked members, because each merge
+    * consumes its right neighbor (gaps-and-islands on position minus
+    * match rank) — and `seg{k}` rebuilds the symbol lists. `seg` CTEs are
+    * MATERIALIZED: each is referenced twice, and DuckDB's default
+    * inlining would re-derive the whole chain per reference (2^n blowup).
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val header =
+      """WITH wpos AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws)+1)) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+        |        FROM documents)),
+        |seg0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |         list_append(string_split_regex(word, ''), '</w>') AS s
+        |  FROM wpos GROUP BY word)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      val p = k - 1
+      s"""p$k AS (
+         |  SELECT s[i] AS l, s[i+1] AS r, sum(cnt) AS c
+         |  FROM (SELECT word, cnt, s, unnest(range(1, len(s))) AS i FROM seg$p)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |f$k AS (
+         |  SELECT u.word, u.cnt, u.i, u.sym,
+         |         lead(u.sym) OVER (PARTITION BY u.word ORDER BY u.i) AS nxt,
+         |         CASE WHEN b.l IS NOT NULL AND u.sym = b.l
+         |               AND lead(u.sym) OVER (PARTITION BY u.word ORDER BY u.i) = b.r
+         |              THEN 1 ELSE 0 END AS mt
+         |  FROM (SELECT word, cnt, unnest(s) AS sym,
+         |               unnest(range(1, len(s)+1)) AS i FROM seg$p) u
+         |  LEFT JOIN b$k b ON TRUE),
+         |g$k AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i) AS grp
+         |        FROM f$k),
+         |h$k AS (SELECT *, CASE WHEN mt = 1
+         |           AND ROW_NUMBER() OVER (PARTITION BY word, mt, grp ORDER BY i) % 2 = 1
+         |          THEN 1 ELSE 0 END AS mrg FROM g$k),
+         |seg$k AS MATERIALIZED (
+         |  SELECT word, any_value(cnt) AS cnt,
+         |         list(CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END ORDER BY i) AS s
+         |  FROM (SELECT *, coalesce(lag(mrg) OVER (PARTITION BY word ORDER BY i), 0) AS consumed
+         |        FROM h$k)
+         |  WHERE consumed = 0
+         |  GROUP BY word)""".stripMargin
+    }
+    val footer =
+      s"""agg AS (
+         |  SELECT w.doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(len(e.s)) AS BIGINT) AS n_bpe_tokens,
+         |         array_to_string(list_slice(flatten(list(e.s ORDER BY w.pos)), 1, 5), '|')
+         |           AS tokens_head
+         |  FROM wpos w JOIN seg$numMerges e USING (word)
+         |  GROUP BY w.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(a.n_words, 0) AS n_words,
+         |       coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+         |       coalesce(a.tokens_head, '') AS tokens_head
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    (header +: rounds :+ footer).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q90_bpe_tokenize" -> bpeOracleSql(40),
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
     "q110_cross_neardup" -> crossMinhashOracleSql,
