@@ -10,17 +10,22 @@ import org.apache.spark.sql.SparkSession
   * numbers. AQE is on (runtime shuffle coalescing + skew handling), shuffle
   * partitions match cores.
   *
-  * Each query is timed as BEST-OF-2 back-to-back materializations,
-  * escalating to best-of-3 when the two samples disagree by >2× (a storage
-  * stall that hits one sample of a pair would otherwise inflate that
-  * query's reported minimum): this machine's throughput was measured
-  * varying ~1.65× run-to-run at identical load (same commit, fresh JVMs,
-  * zero steal: totals 51.6-85.3 s within one hour, inflation uniform
-  * across untouched queries — see DESIGN §7), and the per-query sample
-  * counts are emitted as `samples`. The
-  * JSON also carries `calib`: the seconds for a fixed single-thread 200M-step
-  * LCG loop measured in the same JVM, so any run's numbers can be read
-  * against the host speed at the time it ran.
+  * Each query is timed as the MEDIAN of 3 back-to-back materializations
+  * (round-7 lesson: the committed artifact was a host-noise outlier run —
+  * min-of-2 lets a stall that hits the faster sample of a pair inflate the
+  * reported number, and this machine's storage throughput swings ~1.65×
+  * run-to-run at identical load; see DESIGN §7). Two defenses on top of
+  * the median: (a) if the median still lands >3× the query's own committed
+  * history (BENCH_HISTORY.jsonl median) while the CPU/IO calibs are flat —
+  * i.e. the code didn't change speed, the host did — two more samples are
+  * taken and the median recomputed over all 5; (b) the emitted JSON
+  * carries `dispersion` (median over queries of per-query relative spread
+  * (max-min)/median) and a per-query `spread` map in the full artifact, so
+  * a noisy run is VISIBLE in the committed record instead of silently
+  * overstating cost. The JSON also carries `calib`/`calib_mt`/`calib_io`:
+  * fixed single-thread / all-cores LCG loops and a 256 MB disk round-trip
+  * measured in the same JVM, so any run's numbers can be read against the
+  * host speed at the time it ran.
   */
 object Bench {
 
@@ -91,31 +96,50 @@ object Bench {
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       graft.tools.ScaleProbe.timeNoop(spark, sfDir, name, fn)
 
-    // Best-of-2, escalating to best-of-3 when the first two samples
-    // disagree by >2×: host storage stalls on this box can inflate a
-    // single materialization >10×, and with only two samples one stall
-    // still inflates the reported minimum whenever it hits the pair's
-    // faster run. Returns (seconds, samplesUsed).
-    def run(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int) = {
-      val a = once(name, fn)
-      if (a < 0) return (a, 1)
-      val b = once(name, fn)
-      if (b < 0) return (a, 1)
-      val disagree = math.max(a, b) > 2.0 * math.min(a, b)
-      if (!disagree) (math.min(a, b), 2)
-      else {
-        val c = once(name, fn)
-        if (c < 0) (math.min(a, b), 2)
-        else (math.min(math.min(a, b), c), 3)
-      }
-    }
-
     // JIT/session warmup outside the measured window
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     val calib = calibrate()
     val calibMt = calibrateParallel(cpus.toInt)
     val calibIo = calibrateIo()
+
+    // Per-query committed history (median of past full runs) + historical
+    // calib_io median: the yardsticks for the >3×-outlier re-run below.
+    val history = BenchHistory.load("BENCH_HISTORY.jsonl")
+    // "calibs are flat" = this run's host looks like the history's host:
+    // CPU calib within 1.3× of its history median AND disk round-trip
+    // within 2× (storage is the variable that actually swings on this box;
+    // a slow disk calib means the whole run is slow for host reasons and
+    // re-running won't help).
+    val calibsFlat = history.calibMedian.forall(h => calib <= h * 1.3) &&
+      history.calibIoMedian.forall(h => calibIo <= h * 2.0)
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    // Median-of-3; if the median is >3× this query's committed-history
+    // median while the calibs say the host is healthy, the samples — not
+    // the code — are suspect: take 2 more and re-median over all 5.
+    // Returns (seconds, samplesUsed, relativeSpread).
+    def run(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int, Double) = {
+      var samples = List(once(name, fn))
+      if (samples.head < 0) return (samples.head, 1, 0.0)
+      (1 to 2).foreach { _ => samples = once(name, fn) :: samples }
+      if (samples.exists(_ < 0)) return (samples.filter(_ >= 0).min, samples.size, 0.0)
+      var m = median(samples)
+      val suspect = calibsFlat &&
+        history.queryMedian(name).exists(h => h > 0 && m > 3.0 * h)
+      if (suspect) {
+        System.err.println(s"[bench] $name median $m >3x history; re-sampling")
+        (1 to 2).foreach { _ => samples = once(name, fn) :: samples }
+        samples = samples.filter(_ >= 0)
+        m = median(samples)
+      }
+      val spread = if (m > 0) (samples.max - samples.min) / m else 0.0
+      (m, samples.size, spread)
+    }
 
     // Dev loop: SPARK_GRAFT_ONLY=q74_dup_spans,q54_dedup_minhash restricts
     // the run to a comma-separated subset. The driver never sets it.
@@ -158,10 +182,20 @@ object Bench {
                // ingest must not read as a fast successful one
         }
       }
-      name -> (sec, 1)
+      name -> (sec, 1, 0.0)
     }
     val results = (queryResults ++ ingestResults).sortBy(_._1)
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    // Headline noise indicator: median over measured queries of each
+    // query's relative spread (max-min)/median across its samples. A quiet
+    // run sits well under 0.5; a storage-stall run shows up here instead
+    // of silently inflating per-query numbers.
+    val dispersion = {
+      val spreads = queryResults.map(_._2._3).filter(_ > 0).sorted
+      if (spreads.isEmpty) 0.0
+      else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
+      else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2
+    }
 
     // Streaming throughput (produce→consume rows/sec + per-epoch latency)
     // — the reference's core capability, measured once per bench run (the
@@ -184,7 +218,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.contains("sf0.1")) None
       else try Some(graft.tools.ScaleProbe.probe(spark, sfDir, "target/sf1",
-        budgetSec = 420.0))
+        budgetSec = 600.0)) // widened with the round-8 probe list (26 queries)
       catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
         None
@@ -203,6 +237,38 @@ object Bench {
       s""","sf1":{"max_ratio":${math.rint(mx * 100) / 100},"max_q":"$mq","queries":${pairs.length},"detail":"BENCH_HISTORY.jsonl"}"""
     }.getOrElse("")
 
+    // One-number pipeline bench (round-7 verdict stretch): the user-facing
+    // "curate a crawl" cost — Curate.run end-to-end over the sf1 corpus
+    // (10× documents), separate from the per-op micro-benches. Stage
+    // attribution comes from the pipeline's own eager milestones; the
+    // remaining lazy tail is the final materialization window. Skipped
+    // when the sf1 corpus wasn't generated (probe opted out).
+    val curateFields: String =
+      if (sf1Block.isEmpty) ""
+      else try {
+        val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+        val docs = spark.read.parquet("target/sf1/documents.parquet")
+        val rowsIn = docs.count()
+        val t0 = System.nanoTime()
+        val result = graft.ops.Curate.run(docs, "doc_id", "text", "source",
+          graft.ops.Curate.Config(
+            normalizeUnicode = true, qualityFilter = true,
+            classifierFilter = true, exactDedup = true,
+            nearDupThreshold = Some(0.5),
+            dsirTargetSources = Seq("src0", "src1", "src2")),
+          phases = Some(phases))
+        val rowsOut = result.docs.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val eager = phases.map(_._2).sum
+        val stages = (phases :+ ("final_materialize" -> (sec - eager)))
+          .map { case (n, s) => "\"" + n + "\":" + (math.rint(s * 100) / 100) }
+          .mkString("{", ",", "}")
+        s""","curate_sf1":{"sec":${math.rint(sec * 100) / 100},"rows_in":$rowsIn,"rows_out":$rowsOut,"stages":$stages}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] curate_sf1 failed: ${e.getMessage}")
+        ""
+      }
+
     // Full fidelity (full query names, ns precision, per-query sample
     // counts) goes to a FILE; stdout gets a COMPACT line. The harness that
     // collects bench output keeps only the last 2000 chars of stdout, and
@@ -210,9 +276,11 @@ object Bench {
     // off the line's start and making it unparseable. Short qNN keys at
     // millisecond precision keep the whole line ~1.2 KB.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qsFull = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ns = results.map { case (k, (_, n)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2_escalate_3","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo$streamFields$sf1Full,"queries":$qsFull,"samples":$ns,"sf":"$sfDir"}"""
+    val qsFull = results.map { case (k, (v, _, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ns = results.map { case (k, (_, n, _)) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, (_, _, sp)) => "\"" + k + "\":" + r3(sp) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"median_of_3_escalate_5","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"dispersion":${r3(dispersion)}$streamFields$sf1Full$curateFields,"queries":$qsFull,"samples":$ns,"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // BENCH_FULL.json is gitignored and clobbered by every run — round 6
@@ -240,9 +308,9 @@ object Bench {
     // per-query map entirely (headline metrics survive; the file has all
     // detail). ONE template — the fallbacks only swap the queries field.
     def shortLine(prec: Double => Double, queriesJson: Option[String] = None): String = {
-      val qs = queriesJson.getOrElse(results.map { case (k, (v, _)) =>
+      val qs = queriesJson.getOrElse(results.map { case (k, (v, _, _)) =>
         "\"" + shortKey(k) + "\":" + prec(v) }.mkString("{", ",", "}"))
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"min_of_2_escalate_3","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)}$streamFields$sf1Short,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median_of_3_escalate_5","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)},"dispersion":${r3(dispersion)}$streamFields$sf1Short$curateFields,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
     val candidates = Iterator(
       shortLine(r3),

@@ -74,7 +74,21 @@ object Curate {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, cfg: Config,
-      urlCol: Option[String] = None): Result = {
+      urlCol: Option[String] = None,
+      phases: Option[scala.collection.mutable.ListBuffer[(String, Double)]] =
+        None): Result = {
+    // Wall-clock attribution for the pipeline bench: stages are lazy, so
+    // only the EAGER milestones (the filters materialize, near-dup's pair
+    // jobs, DSIR/rebalance count collections) accrue time here; whatever
+    // remains lazy lands in the caller's final materialization window.
+    def phase[A](name: String)(f: => A): A = phases match {
+      case None => f
+      case Some(buf) =>
+        val t0 = System.nanoTime()
+        val out = f
+        buf += name -> (System.nanoTime() - t0) / 1e9
+        out
+    }
     require(cfg.blockedDomains.isEmpty || urlCol.isDefined,
       "domain blocklist needs urlCol")
     if (cfg.nearDupThreshold.isDefined) {
@@ -116,8 +130,8 @@ object Curate {
     // extraction + filters per eager pass (the dupClusters discipline)
     if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
         cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty)
-      t = t.materialized(true)
-    for (thr <- cfg.nearDupThreshold) {
+      t = phase("scan_filters")(t.materialized(true))
+    for (thr <- cfg.nearDupThreshold) phase("near_dup") {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
         .select(col("id_a"), col("id_b"))
       // drop every clustered doc that is not its cluster's representative —
@@ -132,14 +146,15 @@ object Curate {
     // DSIR selection: keep docs whose hashed-unigram mass is target-like
     // (q122's integer discriminant > 0) — a narrow id semi-join against
     // the per-doc scores, count table bounded at 2^16 rows
-    if (cfg.dsirTargetSources.nonEmpty) {
+    if (cfg.dsirTargetSources.nonEmpty) phase("dsir") {
       val keepIds = Sampling.importanceWeights(t, idCol, textCol,
           col(sourceCol).isin(cfg.dsirTargetSources: _*))
         .filter(col("keep")).select(col(idCol).as("__graft_dsir_id"))
       t = t.join(keepIds, col(idCol) === col("__graft_dsir_id"), "left_semi")
     }
     if (cfg.targetShares.nonEmpty)
-      t = Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares)
+      t = phase("rebalance")(
+        Sampling.rebalance(t, col(sourceCol), col(idCol), cfg.targetShares))
     // token-budget mixing: the data-recipe alternative to share-based
     // rebalance — fill each source's token budget in deterministic hash
     // order (q116 machinery; sources absent from the map are dropped,

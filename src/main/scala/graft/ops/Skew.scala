@@ -41,20 +41,42 @@ object Skew {
     *
     * `joinType`: inner or left/left_outer (right/full would need the salt
     * on the preserved side to be exhaustive, which replication breaks).
+    *
+    * ADAPTIVE (round-8 measurement, DESIGN §14): when the right side fits
+    * Spark's broadcast threshold the plain join is returned untouched — a
+    * broadcast join has no shuffle partitions, so there is no hot
+    * partition for salting to split, and every salted variant measured
+    * strictly worse (broadcast-of-exploded 15.1 s / shuffle_hash 37.8 s
+    * vs 2.5 s plain at sf1). Salting engages only in its real regime —
+    * right side too big to broadcast — and then PINS the shuffle-hash
+    * strategy: each replicated right row ships to exactly its
+    * (key, salt) partition (bytes scale linearly, measured 17→171 MB at
+    * 1×→10×), whereas letting Catalyst broadcast the exploded side
+    * rebuilds the salts× table on the driver and every executor.
+    * `forceSalt` pins the salted path regardless of size — for tests and
+    * for histograms the caller knows better than the stats.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner",
-      saltOn: Option[Column] = None): DataFrame = {
+      saltOn: Option[Column] = None, forceSalt: Boolean = false): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
     // accept every alias Spark's own parser does: left == left_outer ==
     // leftouter
     val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
     require(jt == "inner" || jt == "left",
       s"saltedJoin supports inner/left joins, got $joinType")
+    val broadcastable = !forceSalt && {
+      // Spark accepts raw bytes or <n>b/kb/mb/gb strings for the threshold
+      val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+      threshold > 0 &&
+        right.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    }
+    if (broadcastable) return left.join(right, keys, joinType)
     val basis = saltOn.getOrElse(xxhash64(struct(left.columns.map(col): _*)))
     val l = left.withColumn(SaltCol, pmod(basis, lit(salts.toLong)).cast("int"))
     val r = right.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+    l.join(r.hint("shuffle_hash"), keys :+ SaltCol, joinType).drop(SaltCol)
   }
 }

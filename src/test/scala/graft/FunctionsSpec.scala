@@ -90,4 +90,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mirror.filter(col("bucket") === "b0000").rdd.getNumPartitions <=
       mirror.rdd.getNumPartitions)
   }
+
+  test("BenchHistory parses per-query medians and calibs from history lines") {
+    val f = java.nio.file.Files.createTempFile("bench-history", ".jsonl")
+    val lines = Seq(
+      """{"at":"t1","metric":"total","value":10,"calib":0.25,"calib_io":0.8,"queries":{"q01_agg":1.0,"q54_dedup_minhash":2.0},"sf":"x"}""",
+      """{"at":"t2","metric":"total","value":11,"calib":0.27,"calib_io":1.1,"queries":{"q01_agg":3.0,"q54_dedup_minhash":2.5,"q99_salted":-1.0},"sf":"x"}""",
+      """{"at":"t3","metric":"total","value":12,"calib":0.26,"calib_io":0.9,"queries":{"q01_agg":2.0}}""")
+    java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
+    val h = BenchHistory.load(f.toString)
+    assert(h.queryMedian("q01_agg").contains(2.0))
+    assert(h.queryMedian("q54_dedup_minhash").contains(2.25))
+    assert(h.queryMedian("q99_salted").isEmpty) // -1 failure sentinel excluded
+    assert(h.queryMedian("q_missing").isEmpty)
+    assert(h.calibMedian.contains(0.26) && h.calibIoMedian.contains(0.9))
+    // a missing file yields an empty, never-throwing history
+    val none = BenchHistory.load("/nonexistent/bench.jsonl")
+    assert(none.queryMedian("q01_agg").isEmpty && none.calibMedian.isEmpty)
+  }
 }

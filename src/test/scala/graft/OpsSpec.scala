@@ -1407,10 +1407,12 @@ class OpsSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).sorted.toSeq
     val plainInner = rows(left.join(right, Seq("k")))
-    val saltedInner = rows(Skew.saltedJoin(left, right, Seq("k"), salts = 8))
+    val saltedInner = rows(Skew.saltedJoin(left, right, Seq("k"), salts = 8,
+      forceSalt = true))
     assert(saltedInner == plainInner, "salted inner join diverged from plain join")
     val plainLeft = rows(left.join(right, Seq("k"), "left"))
-    val saltedLeft = rows(Skew.saltedJoin(left, right, Seq("k"), 8, "left"))
+    val saltedLeft = rows(Skew.saltedJoin(left, right, Seq("k"), 8, "left",
+      forceSalt = true))
     assert(saltedLeft == plainLeft, "salted left join diverged from plain join")
     // the hot key's rows actually land in multiple salt partitions (same
     // salt expression as the implementation: row-hash mod salts)
@@ -1418,9 +1420,20 @@ class OpsSpec extends AnyFunSuite {
       .select(pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)).cast("int").as("s"))
       .distinct().count()
     assert(spread > 1, "hot-key rows all landed on one salt")
-    val plan = Skew.saltedJoin(left, right, Seq("k"), 8)
+    val plan = Skew.saltedJoin(left, right, Seq("k"), 8, forceSalt = true)
       .queryExecution.executedPlan.toString
     assert(plan.contains("__graft_salt"), s"salt not in the join keys:\n$plan")
+    // the salted path must join in the SHUFFLE regime: broadcasting the
+    // replicated side rebuilds the salts× table on the driver and every
+    // executor (measured round 8: 15.1 s vs 1.7 s at sf1, DESIGN §14)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted join must not broadcast the replicated side:\n$plan")
+    // ADAPTIVE bypass: a broadcast-able right side means no hot shuffle
+    // partition exists to split — the operator returns the plain join
+    val adaptive = Skew.saltedJoin(left, right, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(!adaptive.contains("__graft_salt"),
+      s"tiny right side should bypass salting entirely:\n$adaptive")
   }
 
   test("bucketed tables: co-located join plans zero exchanges, rows match plain join") {
