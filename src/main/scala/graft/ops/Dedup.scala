@@ -404,6 +404,66 @@ object Dedup {
     * The per-block counts table is one row per block key (bounded by
     * blocking-key cardinality, small by construction) → broadcast.
     */
+  /** Exact n-gram eval decontamination — the GPT-3/PaLM recipe (GPT-3
+    * paper appendix C: a benchmark example is "dirty" when any of its
+    * 13-grams collides with the training corpus): for every eval document,
+    * how many of its DISTINCT word n-grams occur anywhere in `train`.
+    * Returns one row per eval doc: (eval_id, n_grams, n_matched,
+    * contaminated = n_matched > 0). Eval docs with fewer than `n` words
+    * have zero grams and report clean — callers wanting the short-doc
+    * edge handled differently (e.g. whole-doc hash) compose with
+    * [[exactDups]].
+    *
+    * Scale shape (train = the 100 TB side, eval = a benchmark suite,
+    * bounded by construction): the eval gram set is collected ONCE and
+    * broadcast; the train pass explodes per-doc-distinct grams, drops
+    * everything outside the broadcast set AT THE SCAN (survivors are at
+    * most |eval gram set| keys), and only those survivors pay a distinct
+    * shuffle. The train corpus is never shuffled and never joined wide —
+    * one scan, one tiny aggregation. The per-eval-doc counts then join
+    * the (≤ eval-sized) matched-gram table back, also broadcast.
+    *
+    * `gramHash` defaults to `xxhash64`; the q131 gate passes
+    * [[TextAnalysis.portableHash60]] so DuckDB replays every gram key
+    * bit-for-bit (64-bit collisions are ~n²/2⁶⁴ — irrelevant for
+    * flagging, and the ORACLE uses the same keys so the gate is exact
+    * regardless).
+    */
+  def gramContamination(train: DataFrame, trainId: String, trainText: String,
+      eval: DataFrame, evalId: String, evalText: String,
+      n: Int = 13,
+      gramHash: Column => Column = xxhash64(_)): DataFrame = {
+    def gramsOf(df: DataFrame, id: String, text: String, out: String) = {
+      val ws = TextAnalysis.words(col(text))
+      df.select(col(id).cast("long").as(out),
+        when(size(ws) >= n, array_distinct(transform(
+            transform(sequence(lit(0), size(ws) - n),
+              i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+            g => gramHash(g))))
+          .otherwise(array().cast("array<long>")).as("gh"))
+    }
+    val ev = gramsOf(eval, evalId, evalText, "eval_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalGramSet = ev.select(explode(col("gh")).as("gram")).distinct()
+    // grams present in BOTH corpora: broadcast-filter the train scan down
+    // to eval-set hits first, distinct only the survivors
+    val matched = gramsOf(Spread.toCores(train), trainId, trainText, "tid")
+      .select(explode(col("gh")).as("gram"))
+      .join(broadcast(evalGramSet), Seq("gram"), "left_semi")
+      .distinct()
+    val counts = ev.select(col("eval_id"), explode(col("gh")).as("gram"))
+      .join(broadcast(matched), Seq("gram"), "left_semi")
+      .groupBy(col("eval_id")).agg(count(lit(1)).as("n_matched"))
+    val out = ev.select(col("eval_id"), size(col("gh")).cast("long").as("n_grams"))
+      .join(counts, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+      .materialized(eager = true)
+    ev.unpersist(blocking = false)
+    out
+  }
+
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7,
       maxBlock: Int = 4096): DataFrame = {

@@ -249,6 +249,26 @@ object OpsQueries {
       Dedup.minhashNearDupsAcross(base, bench, "doc_id", "text",
         threshold = 0.5, hash64 = TextAnalysis.portableHash60)
     }),
+    // Exact 13-gram eval decontamination (GPT-3 appendix C shape): eval
+    // suite = full copies (dirty), head-slices with tagged tails
+    // (partially dirty — only grams inside the untouched prefix match),
+    // and fully tagged docs (clean). Portable gram hashes → the oracle
+    // replays every gram key and count bit-for-bit.
+    "q131_gram_decontam" -> ((s, d) => {
+      val t = docs(s, d)
+      val ws = split(trim(col("text")), "\\s+")
+      val evalDf = t.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+        .unionAll(t.filter(pmod(col("doc_id"), lit(5)) === 1)
+          .select((col("doc_id") + 2000000L).as("eval_id"),
+            concat_ws(" ", concat(slice(ws, 1, 15),
+              transform(slice(ws, 16, 5), w => concat(w, lit("qq"))))).as("text")))
+        .unionAll(t.filter(pmod(col("doc_id"), lit(5)) === 2)
+          .select((col("doc_id") + 3000000L).as("eval_id"),
+            concat_ws(" ", transform(ws, w => concat(w, lit("qq")))).as("text")))
+      Dedup.gramContamination(t, "doc_id", "text", evalDf, "eval_id", "text",
+        n = 13, gramHash = TextAnalysis.portableHash60)
+    }),
     // q110 driven through the PERSISTED LSH index: history sketched once
     // to disk (band keys clustered for file skipping + shingle sets),
     // batch sketched fresh and probed — identical pairs by construction,
@@ -558,8 +578,14 @@ object OpsQueries {
         (0L, "spark join merge"), (1L, "window hash scan"),
         (2L, "customer data line"), (3L, "stream batch dup"),
         (4L, "filter sort agg slow"))).toDF("qid", "qtext")
-      val ranked = Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
-        qdf, "qid", "qtext", k = 10)
+      // rank through the PERSISTED index probe (score-identical to the
+      // live bm25TopK by construction — shared scoring tail, q124's
+      // append/compact identity gates) instead of re-scoring the corpus:
+      // an evaluation harness at 100 TB probes the index it is grading,
+      // it does not re-tokenize the corpus per metric run. The relevance
+      // pass below still scans the corpus once — that part IS the gate.
+      val ranked = Retrieval.bm25TopKWithIndex(
+        Retrieval.loadBm25Index(s, q124Index(s, d)), qdf, "qid", "qtext", k = 10)
       val qterms = qdf.select(col("qid").cast("long").as("query_id"),
         explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("token"))
       val nterms = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("n_terms"))
@@ -1403,6 +1429,43 @@ object OpsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q131: replay the 13-gram decontamination exactly — same eval-suite
+    // construction (full / head-slice+tagged-tail / fully tagged), same
+    // portable gram keys, distinct-gram counting on both sides.
+    "q131_gram_decontam" ->
+      """WITH tw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), w -> w != '') AS ws
+        |  FROM documents),
+        |ev AS (
+        |  SELECT doc_id AS eval_id, ws FROM tw WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, ws[1:15] || list_transform(ws[16:20], w -> w || 'qq')
+        |  FROM tw WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, list_transform(ws, w -> w || 'qq')
+        |  FROM tw WHERE doc_id % 5 = 2),
+        |eg AS MATERIALIZED (
+        |  SELECT eval_id,
+        |    CASE WHEN len(ws) >= 13 THEN list_distinct(list_transform(
+        |      range(1, len(ws) - 11),
+        |      i -> ('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15))::BIGINT))
+        |    ELSE [] END AS gh
+        |  FROM ev),
+        |tg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(CASE WHEN len(ws) >= 13 THEN list_transform(
+        |      range(1, len(ws) - 11),
+        |      i -> ('0x' || substr(md5(array_to_string(ws[i:i+12], ' ')), 1, 15))::BIGINT)
+        |    ELSE [] END) AS gram FROM tw)),
+        |m AS (
+        |  SELECT x.eval_id, count(*) AS cnt
+        |  FROM (SELECT eval_id, unnest(gh) AS gram FROM eg) x
+        |  JOIN tg USING (gram) GROUP BY x.eval_id)
+        |SELECT e.eval_id, CAST(len(e.gh) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_matched,
+        |  coalesce(m.cnt, 0) > 0 AS contaminated
+        |FROM eg e LEFT JOIN m USING (eval_id)""".stripMargin,
     "q90_bpe_tokenize" -> bpeOracleSql(40),
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,

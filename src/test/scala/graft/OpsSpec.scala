@@ -1833,6 +1833,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("cafe", "senor", "plain ascii"))
   }
 
+  test("gram decontamination: full copies dirty, prefix-grams partial, rewrites clean, short docs clean") {
+    import spark.implicits._
+    val mk = (i: Int, words: Seq[String]) => (i.toLong, words.mkString(" "))
+    val base = (1 to 30).map(j => s"w$j") // 30-word train doc
+    val train = Seq(mk(1, base), mk(2, (1 to 20).map(j => s"v$j"))).toDF("doc_id", "text")
+    val eval = Seq(
+      mk(10, base),                                         // exact copy: all 18 grams dirty
+      mk(11, base.take(15) ++ Seq("zz1", "zz2", "zz3", "zz4", "zz5")),
+      //  ^ 20 words, 8 grams; only the 3 fully inside the prefix match
+      mk(12, (1 to 30).map(j => s"u$j")),                   // disjoint vocab: clean
+      mk(13, base.take(12))                                 // 12 words < n: zero grams
+    ).toDF("eval_id", "text")
+    val out = graft.ops.Dedup.gramContamination(train, "doc_id", "text",
+        eval, "eval_id", "text", n = 13)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(10L) == ((18L, 18L, true)), s"exact copy: ${out(10L)}")
+    assert(out(11L) == ((8L, 3L, true)), s"prefix overlap: ${out(11L)}")
+    assert(out(12L) == ((18L, 0L, false)), s"disjoint vocab: ${out(12L)}")
+    assert(out(13L) == ((0L, 0L, false)), s"short doc: ${out(13L)}")
+  }
+
   test("materialize modes (local/reliable/persist) yield identical operator results") {
     import graft.ops.Materialize
     def run(): Set[(Long, Long)] =
