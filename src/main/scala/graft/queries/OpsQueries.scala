@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Dedup, Graph, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
+import graft.ops.{Bpe, Dedup, Embeddings, Graph, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,17 @@ object OpsQueries {
       Dedup.minhashNearDupsAcross(base, bench, "doc_id", "text",
         threshold = 0.5, hash64 = TextAnalysis.portableHash60)
     }),
+    // Exact distributed covariance of the embedding matrix — the
+    // corpus-sized half of PCA/whitening (the d×d eigensolve is driver-
+    // side by design, [[graft.ops.Embeddings]]). Portable mode: each
+    // component floor-quantized to 1e-6 (bit-deterministic in every
+    // engine), integer sums in DECIMAL(38,0), one fixed-shape double
+    // expression at the end — replay is exact by construction.
+    "q132_embedding_cov" -> ((s, d) =>
+      Embeddings.embeddingCovariance(emb(s, d), "embedding",
+          quantizeStep = Some(1e-6))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("n"), col("cov"))),
     // Exact 13-gram eval decontamination (GPT-3 appendix C shape): eval
     // suite = full copies (dirty), head-slices with tagged tails
     // (partially dirty — only grams inside the untouched prefix match),
@@ -1429,6 +1440,29 @@ object OpsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // q132: replay the quantized covariance exactly — floor(x·1e6 + 0.5)
+    // per component (identical doubles in, identical longs out), integer
+    // sums in DECIMAL(38,0), the same double expression shape on top.
+    "q132_embedding_cov" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT unnest(range(0, len(v))) AS i, unnest(v) AS x FROM e),
+        |sx AS (
+        |  SELECT i, sum(CAST(x AS DECIMAL(38,0))) AS sx, count(*) AS n
+        |  FROM ex GROUP BY i),
+        |pairs AS (
+        |  SELECT i, unnest(range(i, len(v))) AS j, v
+        |  FROM (SELECT v, unnest(range(0, len(v))) AS i FROM e)),
+        |sxy AS (
+        |  SELECT i, j, sum(CAST(v[i+1] * v[j+1] AS DECIMAL(38,0))) AS sxy
+        |  FROM pairs GROUP BY i, j)
+        |SELECT s.i, s.j, x1.n AS n,
+        |  ((CAST(s.sxy AS DOUBLE)
+        |     - CAST(x1.sx AS DOUBLE) * CAST(x2.sx AS DOUBLE) / CAST(x1.n AS DOUBLE))
+        |    / (CAST(x1.n AS DOUBLE) - 1.0)) / 1000000000000.0 AS cov
+        |FROM sxy s JOIN sx x1 ON s.i = x1.i JOIN sx x2 ON s.j = x2.i""".stripMargin,
     // q131: replay the 13-gram decontamination exactly — same eval-suite
     // construction (full / head-slice+tagged-tail / fully tagged), same
     // portable gram keys, distinct-gram counting on both sides.

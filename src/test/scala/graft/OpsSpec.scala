@@ -1833,6 +1833,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getString(1)).toSeq == Seq("cafe", "senor", "plain ascii"))
   }
 
+  test("covariance + PCA: exact symmetric stats, orthonormal variance-ordered basis, projection variance = eigenvalue") {
+    import graft.ops.Embeddings
+    val e = emb
+    val n = e.count().toDouble
+    // quantized (gate) and double (production) covariance agree to the
+    // quantization error bound
+    val covQ = Embeddings.embeddingCovariance(e, "embedding", Some(1e-6))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val covD = Embeddings.embeddingCovariance(e, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(covQ.size == 64 * 65 / 2)
+    assert((0 until 64).forall(i => covQ((i, i)) > 0), "variances must be positive")
+    assert(covQ.forall { case (k, v) => math.abs(v - covD(k)) < 1e-5 })
+
+    val basis = Embeddings.pcaFit(e, "embedding", k = 8)
+    assert(basis.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-12),
+      "eigenvalues must be descending")
+    assert(basis.eigenvalues.forall(_ >= -1e-12), "covariance eigenvalues are nonnegative")
+    // orthonormal basis
+    for (a <- 0 until 8; b <- a until 8) {
+      val dot = basis.components(a).zip(basis.components(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9,
+        s"components $a,$b not orthonormal: $dot")
+    }
+    // sample variance along component c equals eigenvalue c (same data)
+    val proj = Embeddings.pcaProject(e, "embedding", basis)
+      .select(col("pca")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until 8).foreach { c =>
+      val vals = proj.map(_(c))
+      val mean = vals.sum / n
+      assert(math.abs(mean) < 1e-9, s"projections are mean-centered, got $mean")
+      val variance = vals.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+      assert(math.abs(variance - basis.eigenvalues(c)) <=
+        1e-6 * math.max(1.0, basis.eigenvalues(c)),
+        s"component $c variance $variance != eigenvalue ${basis.eigenvalues(c)}")
+    }
+  }
+
   test("gram decontamination: full copies dirty, prefix-grams partial, rewrites clean, short docs clean") {
     import spark.implicits._
     val mk = (i: Int, words: Seq[String]) => (i.toLong, words.mkString(" "))
@@ -1853,6 +1891,37 @@ class OpsSpec extends AnyFunSuite {
     assert(out(11L) == ((8L, 3L, true)), s"prefix overlap: ${out(11L)}")
     assert(out(12L) == ((18L, 0L, false)), s"disjoint vocab: ${out(12L)}")
     assert(out(13L) == ((0L, 0L, false)), s"short doc: ${out(13L)}")
+  }
+
+  test("gram decontamination containment property + plan shape (train side broadcast-filtered)") {
+    import spark.implicits._
+    // containment: ANY contiguous >=13-word slice of a train doc is fully
+    // matched — its grams are a subset of the train doc's grams
+    val words = (1 to 40).map(j => s"t$j")
+    val train = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val slices = (0 to 20 by 5).map { off =>
+      (100L + off, words.slice(off, off + 15).mkString(" "))
+    }.toDF("eval_id", "text")
+    val out = graft.ops.Dedup.gramContamination(train, "doc_id", "text",
+      slices, "eval_id", "text", n = 13).collect()
+    assert(out.forall(r => r.getLong(1) == 3L && r.getLong(2) == 3L && r.getBoolean(3)),
+      s"every 15-word slice has exactly 3 grams, all matched: ${out.mkString(";")}")
+    // plan shape: the train-side gram filter is a BROADCAST semi join —
+    // the (100 TB) train side must never be shuffled for the membership
+    // probe. The checkpointed result hides its plan, so inspect the
+    // shape the operator builds internally via a mirror construction.
+    val ws = graft.ops.TextAnalysis.words(col("text"))
+    def gh(df: org.apache.spark.sql.DataFrame) = df.select(
+      when(size(ws) >= 13, array_distinct(transform(
+        transform(sequence(lit(0), size(ws) - 13),
+          i => concat_ws(" ", slice(ws, i + 1, lit(13)))), g => xxhash64(g))))
+        .otherwise(array().cast("array<long>")).as("gh"))
+    val probe = gh(train).select(explode(col("gh")).as("gram"))
+      .join(broadcast(gh(slices).select(explode(col("gh")).as("gram")).distinct()),
+        Seq("gram"), "left_semi")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"train-side membership probe must be a broadcast semi join:\n$plan")
   }
 
   test("materialize modes (local/reliable/persist) yield identical operator results") {
