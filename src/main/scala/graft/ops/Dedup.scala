@@ -543,10 +543,12 @@ object Dedup {
     */
   def semanticNearDups(emb: DataFrame, idCol: String, vecCol: String,
       numClusters: Int = 64, threshold: Double = 0.9, kmeansIters: Int = 1,
-      nProbe: Int = 2, maxBlock: Int = 4096): DataFrame = {
+      nProbe: Int = 2, maxBlock: Int = 4096,
+      meanQuantizeInv: Option[Double] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val cents = Similarity.kmeansIterate(emb, idCol, vecCol,
-      Similarity.centroids(emb, idCol, vecCol, numClusters), kmeansIters)
+      Similarity.centroids(emb, idCol, vecCol, numClusters), kmeansIters,
+      meanQuantizeInv)
     // multi-probe (soft) assignment: a pair straddling a cluster boundary
     // still meets in a shared second-choice cluster — single-assignment
     // SemDedup misses exactly those; cost is an nProbe× row replication
@@ -1220,12 +1222,25 @@ object Dedup {
     * P(band collides) ≈ 0.92 per 6-bit band → ≈ 0.994 over 2 bands), then
     * exact cosine verifies. The band join shuffles only (id, band, key).
     */
+  /** `planeOverride`: None (production) draws Gaussian hyperplanes from
+    * `seed` (Java PRNG — not replayable outside the JVM); Some(planes)
+    * pins the family, which is how the q57 gate runs the md5-seeded
+    * portable planes a SQL oracle can rebuild (the q107 codebook move).
+    * Uniform-cube directions are not rotation-invariant like Gaussians,
+    * but LSH only PROPOSES candidates here — the exact cosine verify
+    * decides membership either way, so recall shifts slightly and
+    * precision not at all.
+    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, numBands: Int = 2, planesPerBand: Int = 6,
-      threshold: Double = 0.95, seed: Long = 7L): DataFrame = {
+      threshold: Double = 0.95, seed: Long = 7L,
+      planeOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val numPlanes = numBands * planesPerBand
-    val planes = Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val planes = planeOverride.getOrElse(
+      Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian())))
+    require(planes.length == numPlanes && planes.forall(_.length == dim),
+      s"planeOverride must be $numPlanes x $dim")
     val v = col(vecCol).cast("array<double>")
     // All numPlanes sign bits in one primitive-loop HyperplaneSig pass
     // (round 1 evaluated numPlanes interpreted zip_with+aggregate lambda

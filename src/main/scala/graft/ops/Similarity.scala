@@ -160,7 +160,17 @@ object Similarity {
     * posexplode formulation it replaces shipped corpus × dim narrow rows
     * per iteration).
     */
-  private class CentroidSumAggregator(cids: Array[Long], dim: Int)
+  /** `quantizeInv`: None accumulates raw doubles (production — fast,
+    * partition-order-dependent in the last bits, like every distributed
+    * float mean). Some(inv) accumulates floor(x·inv + 0.5) — whole
+    * numbers, exact in doubles below 2^53, so the sums are
+    * order-independent and the means replay bit-for-bit in SQL
+    * (mean = (sum / inv) / n, one fixed shape). The q59 gate runs
+    * inv = 1e9; bound: corpus_rows × inv × |x| must stay under 2^53 per
+    * cell — a GATE mode, not the 100 TB path.
+    */
+  private class CentroidSumAggregator(cids: Array[Long], dim: Int,
+      quantizeInv: Option[Double] = None)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Array[Double]), (Array[Double], Array[Long]), Array[Array[Double]]] {
     @transient private lazy val idx: Map[Long, Int] = cids.zipWithIndex.toMap
@@ -172,7 +182,14 @@ object Similarity {
         row: (Long, Array[Double])): (Array[Double], Array[Long]) = {
       val i = idx(row._1)
       var j = 0
-      while (j < dim) { b._1(i * dim + j) += row._2(j); j += 1 }
+      quantizeInv match {
+        case Some(inv) =>
+          while (j < dim) {
+            b._1(i * dim + j) += math.floor(row._2(j) * inv + 0.5); j += 1
+          }
+        case None =>
+          while (j < dim) { b._1(i * dim + j) += row._2(j); j += 1 }
+      }
       b._2(i) += 1
       b
     }
@@ -190,7 +207,12 @@ object Similarity {
     override def finish(b: (Array[Double], Array[Long])): Array[Array[Double]] =
       Array.tabulate(cids.length) { i =>
         if (b._2(i) == 0) null
-        else Array.tabulate(dim)(j => b._1(i * dim + j) / b._2(i))
+        else quantizeInv match {
+          case Some(inv) =>
+            Array.tabulate(dim)(j => b._1(i * dim + j) / inv / b._2(i))
+          case None =>
+            Array.tabulate(dim)(j => b._1(i * dim + j) / b._2(i))
+        }
       }
 
     override def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Array[Long])] =
@@ -206,7 +228,8 @@ object Similarity {
     * acceptable for a coarse quantizer).
     */
   def kmeansIterate(corpus: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, iterations: Int): DataFrame = {
+      cents: DataFrame, iterations: Int,
+      meanQuantizeInv: Option[Double] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     var c = cents
@@ -214,7 +237,7 @@ object Similarity {
       val (cm, cids) = collectCents(c)
       val dim = cm(0).length
       val assigned = assignWith(corpus, idCol, vecCol, cm, cids)
-      val agg = new CentroidSumAggregator(cids, dim)
+      val agg = new CentroidSumAggregator(cids, dim, meanQuantizeInv)
       val means = assigned.select(col("cid"), col("cv"))
         .as[(Long, Array[Double])]
         .select(agg.toColumn)
@@ -342,7 +365,8 @@ object Similarity {
     */
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+      trainFraction: Double = 1.0,
+      meanQuantizeInv: Option[Double] = None): Array[Array[Array[Double]]] = {
     val sampled =
       if (trainFraction >= 1.0) corpus
       else Sampling.hashSample(corpus, col(idCol), trainFraction)
@@ -356,7 +380,7 @@ object Similarity {
       .select(col("id"), col("v"))
     val train = if (trainFraction >= 1.0) normalized
       else normalized.materialized(true)
-    pqTrainLloyd(train, dim, m, ksub, iters)
+    pqTrainLloyd(train, dim, m, ksub, iters, meanQuantizeInv)
   }
 
   /** Lloyd core shared by [[pqTrainCodebooks]] (unit vectors) and
@@ -364,8 +388,13 @@ object Similarity {
     * already sampled/normalized/residualized and small enough to rescan
     * per iteration.
     */
+  /** `meanQuantizeInv`: same portable-replay switch as
+    * [[CentroidSumAggregator]] — Some(inv) re-centers on floor(x·inv+0.5)
+    * integer sums (order-independent, SQL-replayable); None keeps the
+    * production double `avg`.
+    */
   private def pqTrainLloyd(train: DataFrame, dim: Int, m: Int, ksub: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
+      iters: Int, meanQuantizeInv: Option[Double] = None): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
 
@@ -389,7 +418,12 @@ object Similarity {
         .select((col("pos") / dsub).cast("int").as("j"),
           element_at(col("codes"), (col("pos") / dsub).cast("int") + 1).as("code"),
           pmod(col("pos"), lit(dsub)).as("i"), col("x"))
-        .groupBy(col("j"), col("code"), col("i")).agg(avg(col("x")).as("mu"))
+        .groupBy(col("j"), col("code"), col("i"))
+        .agg((meanQuantizeInv match {
+          case Some(inv) =>
+            sum(floor(col("x") * inv + lit(0.5))) / inv / count(lit(1))
+          case None => avg(col("x"))
+        }).as("mu"))
         .collect()
         .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
         .toMap
@@ -426,8 +460,10 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
-      iters: Int = 2, trainFraction: Double = 1.0): DataFrame = {
-    val cb = pqTrainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters, trainFraction)
+      iters: Int = 2, trainFraction: Double = 1.0,
+      meanQuantizeInv: Option[Double] = None): DataFrame = {
+    val cb = pqTrainCodebooks(corpus, idCol, vecCol, dim, m, ksub, iters,
+      trainFraction, meanQuantizeInv)
     val codes = pqEncode(corpus, idCol, vecCol, cb)
     pqScoreTopK(codes, queries, idCol, vecCol, cb, k)
   }
@@ -441,9 +477,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
-      kmeansIters: Int = 1): DataFrame = {
+      kmeansIters: Int = 1, meanQuantizeInv: Option[Double] = None): DataFrame = {
     val cents = kmeansIterate(corpus, idCol, vecCol,
-      centroids(corpus, idCol, vecCol, numCentroids), kmeansIters)
+      centroids(corpus, idCol, vecCol, numCentroids), kmeansIters, meanQuantizeInv)
     val (cm, cids) = collectCents(cents)
     val assigned = assignWith(corpus, idCol, vecCol, cm, cids)
     ivfProbeTopK(assigned, queries, idCol, vecCol, k, nProbe, cm, cids)
@@ -658,10 +694,10 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, numCentroids: Int = 16,
       nProbe: Int = 4, m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 1.0, kmeansIters: Int = 1,
-      refine: Int = 0): DataFrame = {
+      refine: Int = 0, meanQuantizeInv: Option[Double] = None): DataFrame = {
     val (cm, cids, codes, cb) =
       buildIvfPq(corpus, idCol, vecCol, dim, numCentroids, m, ksub, iters,
-        trainFraction, kmeansIters)
+        trainFraction, kmeansIters, meanQuantizeInv)
     val adcTopK = ivfPqProbe(codes, queries, idCol, vecCol, cm, cids, cb,
       if (refine > 0) k * refine else k, nProbe)
     if (refine > 0) refineExact(adcTopK, corpus, queries, idCol, vecCol, k)
@@ -674,13 +710,14 @@ object Similarity {
     */
   private def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, numCentroids: Int, m: Int, ksub: Int, iters: Int,
-      trainFraction: Double, kmeansIters: Int)
+      trainFraction: Double, kmeansIters: Int,
+      meanQuantizeInv: Option[Double] = None)
       : (Array[Array[Double]], Array[Long], DataFrame, Array[Array[Array[Double]]]) = {
     val norm = withUnitVec(Spread.toCores(corpus)
         .select(col(idCol).as("id"), col(vecCol)), vecCol, "v")
       .select(col("id"), col("v"))
     val cents = kmeansIterate(norm, "id", "v",
-      centroids(norm, "id", "v", numCentroids), kmeansIters)
+      centroids(norm, "id", "v", numCentroids), kmeansIters, meanQuantizeInv)
     val (cm, cids) = collectCents(cents)
     val assigned = assignWith(norm, "id", "v", cm, cids)
     val res = assigned.withColumn("r",
@@ -691,7 +728,7 @@ object Similarity {
       else Sampling.hashSample(res, col("vec_id"), trainFraction)
     val train0 = sampled.select(col("vec_id").as("id"), col("r").as("v"))
     val train = if (trainFraction >= 1.0) train0 else train0.materialized(true)
-    val cb = pqTrainLloyd(train, dim, m, ksub, iters)
+    val cb = pqTrainLloyd(train, dim, m, ksub, iters, meanQuantizeInv)
 
     val codes = res.select(col("vec_id"), col("cid"),
       graft.functions.sketches.pq_encode(col("r"), cb).as("codes"))

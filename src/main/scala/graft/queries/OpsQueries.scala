@@ -180,6 +180,30 @@ object OpsQueries {
         576460752303423488.0 - 1.0 // 2^59
     }
 
+  private def md5Unit(s: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) /
+      576460752303423488.0 - 1.0 // 2^59, uniform [-1, 1)
+  }
+
+  /** Portable hyperplane family for q57 (the [[portablePqCodebooks]] move
+    * applied to LSH): plane (p, i) = md5("hp<p>_<i>") mapped to [-1, 1).
+    * 2 bands × 6 planes × 64 dims matches [[graft.ops.Dedup.embeddingNearDups]]'s
+    * default geometry.
+    */
+  lazy val portableHyperplanes: Array[Array[Double]] =
+    Array.tabulate(12, 64) { (p, i) => md5Unit(s"hp${p}_$i") }
+
+  /** Portable planted-perturbation vector for q57: component i shifts by
+    * md5("pt<i>")-derived uniform × 0.02 — the sin(i)·0.02 planting of
+    * [[plantedEmbeddings]] rebuilt on a primitive both engines evaluate
+    * bit-identically (libm `sin` is NOT guaranteed identical across
+    * engines; md5 + IEEE arithmetic is).
+    */
+  lazy val portableDeltas: Array[Double] =
+    Array.tabulate(64)(i => md5Unit(s"pt$i") * 0.02)
+
   private val plantedSql =
     """SELECT doc_id, source, text FROM documents
       |UNION ALL
@@ -303,10 +327,23 @@ object OpsQueries {
       Dedup.simhashNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         maxHamming = 3, wordHash = TextAnalysis.portableHash60)
         .select(col("id_a"), col("id_b"), col("hamming"))),
-    "q57_embedding_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDups(plantedEmbeddings(s, d),
-          "vec_id", "embedding", dim = 64, threshold = 0.95)
-        .select(col("id_a"), col("id_b"))),
+    // FULL oracle since round 8: md5-seeded portable hyperplanes
+    // (planeOverride) + md5-derived planted perturbation make every band
+    // key and every cosine a value DuckDB rebuilds exactly — sig dots,
+    // norms and pair dots replay as the same left folds the codegen'd
+    // kernels run (the q107 discipline). The production Gaussian-plane
+    // path keeps its recall gate in q57_planted.
+    "q57_embedding_neardup" -> ((s, d) => {
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), typedlit(portableDeltas.toSeq),
+          (x, dd) => x + dd).as("embedding"))
+      Dedup.embeddingNearDups(base.unionAll(pert),
+          "vec_id", "embedding", dim = 64, threshold = 0.95,
+          planeOverride = Some(portableHyperplanes))
+        .select(col("id_a"), col("id_b"))
+    }),
     // ---- planted-recall oracles (the *_planted family) -------------------
     // q57/q91 are rows-only because their FULL output depends on float
     // cosine internals. The planted perturbed copies, however, are
@@ -400,10 +437,17 @@ object OpsQueries {
       Similarity.bruteForceTopKAgg(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
     }),
+    // FULL oracle since round 8: with quantized Lloyd means (1e-9 —
+    // order-independent integer sums, one fixed mean shape) every number
+    // in the IVF pipeline is SQL-replayable: seed centroids are the 16
+    // smallest ids, assignment/probe argmaxes order by (cosine DESC, cid
+    // ASC) — TopCentroids' strict-> selection over cid-sorted arrays —
+    // and cosines are the same left folds the q57 oracle replays.
     "q59_knn_ivf" -> ((s, d) => {
       val corpus = emb(s, d)
       Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4)
+        "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 4,
+        meanQuantizeInv = Some(1e9))
     }),
     // ANN self-recovery contract — an EXACT oracle over the approximate
     // index (the q59 ranks stay rows-only, but this invariant is hash-
@@ -454,6 +498,11 @@ object OpsQueries {
     // product-quantization ANN: 8-byte codes + per-query ADC tables —
     // approximate ranks, so rows-only gate; recall vs brute force is
     // asserted in OpsSpec
+    // FULL oracle since round 8: the md5 hash-sample, quantized Lloyd
+    // re-centering (floor(x*1e9+0.5) sums), PqEncode's strict-< argmin,
+    // PqTables' squared-distance folds and the j-ordered ADC sum are all
+    // SQL-replayable value-for-value; DuckDB re-trains both iterations
+    // and re-ranks every query.
     "q79_knn_pq" -> ((s, d) => {
       val corpus = emb(s, d)
       // trainFraction < 1: codebooks train on the deterministic hash-sample
@@ -461,7 +510,7 @@ object OpsQueries {
       // don't rescan the corpus)
       Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
-        trainFraction = 0.25)
+        trainFraction = 0.25, meanQuantizeInv = Some(1e9))
     }),
     // persisted-index twins of q59/q79: train+assign/encode ONCE to disk,
     // reload, probe — the index a 100 TB deployment builds offline instead
@@ -514,11 +563,16 @@ object OpsQueries {
     // residual 8-byte codes bound the bytes, exact refine recovers rank
     // quality — the architecture a 100 TB vector index deploys. Approximate
     // → rows-only gate; recall + index round-trip asserted in OpsSpec.
+    // FULL oracle since round 8 (completes the ANN family): coarse
+    // k-means on unit vectors, residual encode, two PQ Lloyd rounds and
+    // the ADC probe all replay with the q59/q79 portable machinery; the
+    // exact-cosine refine tail replays as the q57-style folds.
     "q95_knn_ivfpq" -> ((s, d) => {
       val corpus = emb(s, d)
       Similarity.ivfPqTopK(corpus, corpus.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, numCentroids = 16,
-        nProbe = 4, m = 8, ksub = 16, trainFraction = 0.25, refine = 4)
+        nProbe = 4, m = 8, ksub = 16, trainFraction = 0.25, refine = 4,
+        meanQuantizeInv = Some(1e9))
     }),
     // IVF-PQ self-recovery contract — the q106 invariant driven through
     // the FUSED index: a corpus vector probed through IVF-PQ must find
@@ -1145,9 +1199,21 @@ object OpsQueries {
     // planted perturbed copies, resolved to keep-one clusters via
     // dupClusters. Cluster geometry is engine-internal → rows-only gate;
     // recall + chunk-split identity asserted in OpsSpec.
+    // FULL oracle since round 8 (was rows-only): portable planted
+    // perturbation (md5 deltas, not libm sin) + quantized Lloyd means
+    // make every cluster assignment, unit vector and pair cosine a value
+    // DuckDB rebuilds exactly; the cluster closure replays through the
+    // q68 recursive-CTE pattern. q91_planted keeps gating the PRODUCTION
+    // path (sin planting, double means, nProbe=4 recall).
     "q91_semantic_dedup" -> ((s, d) => {
-      val pairs = Dedup.semanticNearDups(plantedEmbeddings(s, d), "vec_id",
-        "embedding", numClusters = 16, threshold = 0.95)
+      val base = emb(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        zip_with(col("embedding"), typedlit(portableDeltas.toSeq),
+          (x, dd) => x + dd).as("embedding"))
+      val pairs = Dedup.semanticNearDups(base.unionAll(pert), "vec_id",
+        "embedding", numClusters = 16, threshold = 0.95,
+        meanQuantizeInv = Some(1e9))
       Dedup.dupClusters(pairs.select(col("id_a"), col("id_b")))
     }),
     // BPE tokenization: vocab trained on the corpus's word-frequency table
@@ -1463,6 +1529,446 @@ object OpsQueries {
         |     - CAST(x1.sx AS DOUBLE) * CAST(x2.sx AS DOUBLE) / CAST(x1.n AS DOUBLE))
         |    / (CAST(x1.n AS DOUBLE) - 1.0)) / 1000000000000.0 AS cov
         |FROM sxy s JOIN sx x1 ON s.i = x1.i JOIN sx x2 ON s.j = x2.i""".stripMargin,
+    // q95: full fused IVF-PQ replay — coarse quantized k-means on unit
+    // vectors, residual subtraction, two quantized PQ Lloyd rounds on
+    // the sampled residuals, per-(query, probed-cell) residual ADC
+    // tables with a j-ordered fold, ADC top-20, exact-cosine refine to
+    // top-5 on the raw vectors. Validated against an independent kernel
+    // mirror before wiring (50/50 rows).
+    "q95_knn_ivfpq" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |un AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / sqrt(nn)) END AS u
+        |  FROM (SELECT vec_id, v,
+        |          list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |            (a, b) -> a + b) AS nn
+        |        FROM e)),
+        |nrm AS MATERIALIZED ( -- norms of the UNIT vectors (for coarse cosine)
+        |  SELECT vec_id, u,
+        |    list_reduce(list_transform(range(1, len(u) + 1), i -> u[i] * u[i]),
+        |      (a, b) -> a + b) AS nn
+        |  FROM un),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, u AS cv, nn AS cn FROM nrm ORDER BY vec_id LIMIT 16),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, u, cid FROM (
+        |    SELECT n.vec_id, n.u, c.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (CASE WHEN n.nn = 0 OR c.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(n.u) + 1), i -> n.u[i] * c.cv[i]),
+        |                (x, y) -> x + y) / sqrt(n.nn) / sqrt(c.cn) END) DESC, c.cid ASC) AS rn
+        |    FROM nrm n, c0 c) WHERE rn = 1),
+        |m1 AS MATERIALIZED ( -- one quantized Lloyd round for the coarse centroids
+        |  SELECT cid, list(mm ORDER BY i) AS cv FROM (
+        |    SELECT a.cid, t.i,
+        |      CAST(sum(CAST(floor(a.u[t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |    FROM a0 a, range(1, 65) t(i)
+        |    GROUP BY a.cid, t.i)
+        |  GROUP BY cid),
+        |m1n AS MATERIALIZED (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+        |      (x, y) -> x + y) AS cn
+        |  FROM m1),
+        |a1 AS MATERIALIZED ( -- final assignment of unit vectors to refined centroids
+        |  SELECT vec_id, u, cid FROM (
+        |    SELECT n.vec_id, n.u, m.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (CASE WHEN n.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(n.u) + 1), i -> n.u[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(n.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM nrm n, m1n m) WHERE rn = 1),
+        |res AS MATERIALIZED ( -- residual = unit vector - assigned centroid
+        |  SELECT a.vec_id, a.cid,
+        |    list_transform(range(1, len(a.u) + 1), i -> a.u[i] - m.cv[i]) AS r
+        |  FROM a1 a JOIN m1 m ON a.cid = m.cid),
+        |rtrain AS MATERIALIZED (
+        |  SELECT vec_id AS id, r AS u FROM res
+        |  WHERE substr(md5('s0' || CAST(vec_id AS VARCHAR)), 1, 4) < '4000'),
+        |seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, u
+        |  FROM (SELECT id, u FROM rtrain ORDER BY id LIMIT 16)),
+        |cb0 AS MATERIALIZED (
+        |  SELECT j.j, s.c, list(s.u[j.j * 8 + i.i] ORDER BY i.i) AS wl
+        |  FROM seeds s, range(0, 8) j(j), range(1, 9) i(i)
+        |  GROUP BY j.j, s.c),
+        |enc0 AS MATERIALIZED (
+        |  SELECT id, j, c AS code FROM (
+        |    SELECT tr.id, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY tr.id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (tr.u[cb.j * 8 + i] - cb.wl[i]) * (tr.u[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM rtrain tr, cb0 cb) WHERE rn = 1),
+        |mu0 AS MATERIALIZED (
+        |  SELECT e.j, e.code AS c, t.i,
+        |    CAST(sum(CAST(floor(tr.u[e.j * 8 + t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |  FROM enc0 e JOIN rtrain tr ON e.id = tr.id, range(1, 9) t(i)
+        |  GROUP BY e.j, e.code, t.i),
+        |cb1 AS MATERIALIZED (
+        |  SELECT j, c, list(coalesce(mm, w) ORDER BY i) AS wl FROM (
+        |    SELECT g.j, g.c, g.i, g.w, m.mm
+        |    FROM (SELECT p.j, p.c, t.i, p.wl[t.i] AS w
+        |          FROM cb0 p, range(1, 9) t(i)) g
+        |    LEFT JOIN mu0 m ON m.j = g.j AND m.c = g.c AND m.i = g.i)
+        |  GROUP BY j, c),
+        |enc1 AS MATERIALIZED (
+        |  SELECT id, j, c AS code FROM (
+        |    SELECT tr.id, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY tr.id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (tr.u[cb.j * 8 + i] - cb.wl[i]) * (tr.u[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM rtrain tr, cb1 cb) WHERE rn = 1),
+        |mu1 AS MATERIALIZED (
+        |  SELECT e.j, e.code AS c, t.i,
+        |    CAST(sum(CAST(floor(tr.u[e.j * 8 + t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |  FROM enc1 e JOIN rtrain tr ON e.id = tr.id, range(1, 9) t(i)
+        |  GROUP BY e.j, e.code, t.i),
+        |cb2 AS MATERIALIZED (
+        |  SELECT j, c, list(coalesce(mm, w) ORDER BY i) AS wl FROM (
+        |    SELECT g.j, g.c, g.i, g.w, m.mm
+        |    FROM (SELECT p.j, p.c, t.i, p.wl[t.i] AS w
+        |          FROM cb1 p, range(1, 9) t(i)) g
+        |    LEFT JOIN mu1 m ON m.j = g.j AND m.c = g.c AND m.i = g.i)
+        |  GROUP BY j, c),
+        |codes AS MATERIALIZED ( -- residual-encode ALL corpus rows with cb2
+        |  SELECT vec_id, cid, j, c AS code FROM (
+        |    SELECT rs.vec_id, rs.cid, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY rs.vec_id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (rs.r[cb.j * 8 + i] - cb.wl[i]) * (rs.r[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM res rs, cb2 cb) WHERE rn = 1),
+        |probes AS MATERIALIZED ( -- top-4 cells per query (unit query vs refined cents)
+        |  SELECT query_id, qu, cid FROM (
+        |    SELECT n.vec_id AS query_id, n.u AS qu, m.cid,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        (CASE WHEN n.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(n.u) + 1), i -> n.u[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(n.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM nrm n, m1n m WHERE n.vec_id < 10) WHERE rn <= 4),
+        |tables AS MATERIALIZED ( -- residual ADC tables per (query, probed cell)
+        |  SELECT p.query_id, p.cid, cb.j, cb.c,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> ((p.qu[cb.j * 8 + i] - m.cv[cb.j * 8 + i]) - cb.wl[i])
+        |         * ((p.qu[cb.j * 8 + i] - m.cv[cb.j * 8 + i]) - cb.wl[i])),
+        |      (a, b) -> a + b) AS d
+        |  FROM probes p JOIN m1 m ON p.cid = m.cid, cb2 cb),
+        |adc AS MATERIALIZED (
+        |  SELECT t.query_id, c.vec_id,
+        |    list_reduce(list(t.d ORDER BY t.j), (a, b) -> a + b) AS dist
+        |  FROM codes c JOIN tables t ON t.cid = c.cid AND t.j = c.j AND t.c = c.code
+        |  WHERE c.vec_id <> t.query_id
+        |  GROUP BY t.query_id, c.vec_id),
+        |cand AS MATERIALIZED ( -- ADC top k*refine = 20
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist ASC, vec_id ASC) AS rn
+        |    FROM adc) WHERE rn <= 20)
+        |SELECT query_id, vec_id, rank FROM ( -- exact-cosine refine on RAW vectors
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY
+        |      (CASE WHEN nx.nn = 0 OR nq.nn = 0 THEN 0.0
+        |       ELSE list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * q.v[i]),
+        |              (a, b) -> a + b) / sqrt(nx.nn) / sqrt(nq.nn) END) DESC,
+        |      c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM cand c
+        |  JOIN e x ON c.vec_id = x.vec_id JOIN e q ON c.query_id = q.vec_id
+        |  JOIN (SELECT vec_id, list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |          (a, b) -> a + b) AS nn FROM e) nx ON c.vec_id = nx.vec_id
+        |  JOIN (SELECT vec_id, list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |          (a, b) -> a + b) AS nn FROM e) nq ON c.query_id = nq.vec_id)
+        |WHERE rank <= 5""".stripMargin,
+    // q79: full PQ replay — md5 hash-sample, seed subvectors from the
+    // 16 smallest sampled ids, TWO quantized Lloyd rounds (argmin with
+    // strict-< ties to the smallest code; floor(x*1e9+0.5) integer
+    // mean sums; empty codes carry the previous centroid), corpus
+    // encode, per-query squared-distance tables, j-ordered ADC fold,
+    // rank by (dist ASC, vec_id ASC). Validated against an independent
+    // kernel mirror before wiring (50/50 rows).
+    "q79_knn_pq" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |un AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / sqrt(nn)) END AS u
+        |  FROM (SELECT vec_id, v,
+        |          list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |            (a, b) -> a + b) AS nn
+        |        FROM e)),
+        |train AS MATERIALIZED (
+        |  SELECT vec_id AS id, u FROM un
+        |  WHERE substr(md5('s0' || CAST(vec_id AS VARCHAR)), 1, 4) < '4000'),
+        |seeds AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, u
+        |  FROM (SELECT id, u FROM train ORDER BY id LIMIT 16)),
+        |cb0 AS MATERIALIZED (
+        |  SELECT j.j, s.c, list(s.u[j.j * 8 + i.i] ORDER BY i.i) AS wl
+        |  FROM seeds s, range(0, 8) j(j), range(1, 9) i(i)
+        |  GROUP BY j.j, s.c),
+        |enc0 AS MATERIALIZED (
+        |  SELECT id, j, c AS code FROM (
+        |    SELECT tr.id, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY tr.id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (tr.u[cb.j * 8 + i] - cb.wl[i]) * (tr.u[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM train tr, cb0 cb) WHERE rn = 1),
+        |mu0 AS MATERIALIZED (
+        |  SELECT e.j, e.code AS c, t.i,
+        |    CAST(sum(CAST(floor(tr.u[e.j * 8 + t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |  FROM enc0 e JOIN train tr ON e.id = tr.id, range(1, 9) t(i)
+        |  GROUP BY e.j, e.code, t.i),
+        |cb1 AS MATERIALIZED (
+        |  SELECT j, c, list(coalesce(mm, w) ORDER BY i) AS wl FROM (
+        |    SELECT g.j, g.c, g.i, g.w, m.mm
+        |    FROM (SELECT p.j, p.c, t.i, p.wl[t.i] AS w
+        |          FROM cb0 p, range(1, 9) t(i)) g
+        |    LEFT JOIN mu0 m ON m.j = g.j AND m.c = g.c AND m.i = g.i)
+        |  GROUP BY j, c),
+        |enc1 AS MATERIALIZED (
+        |  SELECT id, j, c AS code FROM (
+        |    SELECT tr.id, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY tr.id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (tr.u[cb.j * 8 + i] - cb.wl[i]) * (tr.u[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM train tr, cb1 cb) WHERE rn = 1),
+        |mu1 AS MATERIALIZED (
+        |  SELECT e.j, e.code AS c, t.i,
+        |    CAST(sum(CAST(floor(tr.u[e.j * 8 + t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |  FROM enc1 e JOIN train tr ON e.id = tr.id, range(1, 9) t(i)
+        |  GROUP BY e.j, e.code, t.i),
+        |cb2 AS MATERIALIZED (
+        |  SELECT j, c, list(coalesce(mm, w) ORDER BY i) AS wl FROM (
+        |    SELECT g.j, g.c, g.i, g.w, m.mm
+        |    FROM (SELECT p.j, p.c, t.i, p.wl[t.i] AS w
+        |          FROM cb1 p, range(1, 9) t(i)) g
+        |    LEFT JOIN mu1 m ON m.j = g.j AND m.c = g.c AND m.i = g.i)
+        |  GROUP BY j, c),
+        |codes AS MATERIALIZED ( -- encode ALL corpus vectors with cb2
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT un.vec_id, cb.j, cb.c,
+        |      row_number() OVER (PARTITION BY un.vec_id, cb.j ORDER BY
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (un.u[cb.j * 8 + i] - cb.wl[i]) * (un.u[cb.j * 8 + i] - cb.wl[i])),
+        |          (a, b) -> a + b) ASC, cb.c ASC) AS rn
+        |    FROM un, cb2 cb) WHERE rn = 1),
+        |tables AS MATERIALIZED ( -- per-query squared-distance tables
+        |  SELECT q.vec_id AS query_id, cb.j, cb.c,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> (q.u[cb.j * 8 + i] - cb.wl[i]) * (q.u[cb.j * 8 + i] - cb.wl[i])),
+        |      (a, b) -> a + b) AS d
+        |  FROM un q, cb2 cb WHERE q.vec_id < 10),
+        |adc AS ( -- j-ordered fold of table lookups (matches PqAdcDist)
+        |  SELECT t.query_id, c.vec_id,
+        |    list_reduce(list(t.d ORDER BY t.j), (a, b) -> a + b) AS dist
+        |  FROM codes c JOIN tables t ON t.j = c.j AND t.c = c.code
+        |  WHERE c.vec_id <> t.query_id
+        |  GROUP BY t.query_id, c.vec_id)
+        |SELECT query_id, vec_id, rank FROM (
+        |  SELECT query_id, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin,
+    // q91: full SemDedup replay (portable planting + quantized Lloyd
+    // means): seed/assign/probe argmaxes as (cosine DESC, cid ASC),
+    // unit vectors and pair dots as the same left folds the kernels
+    // run, cluster closure via the q68 recursive-CTE pattern.
+    // Validated against an independent kernel mirror (1000/1000 rows).
+    "q91_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pl AS MATERIALIZED (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(range(1, len(v) + 1), i -> v[i] +
+        |      (('0x' || substr(md5('pt' || (i - 1)), 1, 15))::BIGINT
+        |         / 576460752303423488.0 - 1.0) * 0.02)
+        |  FROM base),
+        |e AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |      (x, y) -> x + y) AS nn
+        |  FROM pl),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM e ORDER BY vec_id LIMIT 16),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR c.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(c.cn) END) DESC, c.cid ASC) AS rn
+        |    FROM e, c0 c) WHERE rn = 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT cid, list(mm ORDER BY i) AS cv FROM (
+        |    SELECT a.cid, t.i,
+        |      CAST(sum(CAST(floor(a.v[t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |    FROM a0 a, range(1, 65) t(i)
+        |    GROUP BY a.cid, t.i)
+        |  GROUP BY cid),
+        |m1n AS MATERIALIZED (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+        |      (x, y) -> x + y) AS cn
+        |  FROM m1),
+        |a2 AS MATERIALIZED ( -- multi-probe top-2 soft assignment
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, m.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM e, m1n m) WHERE rn <= 2),
+        |u AS MATERIALIZED ( -- unit vectors (zero-norm passes through)
+        |  SELECT vec_id,
+        |    CASE WHEN nn = 0 THEN v ELSE list_transform(v, x -> x / sqrt(nn)) END AS uv
+        |  FROM e),
+        |prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM prs p
+        |  JOIN u x ON p.id_a = x.vec_id JOIN u y ON p.id_b = y.vec_id
+        |  WHERE list_reduce(list_transform(range(1, len(x.uv) + 1), i -> x.uv[i] * y.uv[i]),
+        |          (a, b) -> a + b) >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS id, least(src, min(dst)) AS cluster
+        |FROM r GROUP BY src""".stripMargin,
+    // q59: full IVF replay — seed centroids are the 16 smallest ids,
+    // quantized Lloyd means (floor(x*1e9+0.5) integer sums, mean =
+    // sum/1e9/n), assignment/probe argmaxes as (cosine DESC, cid ASC),
+    // final ranks as (cosine DESC, vec_id ASC); all cosines are the
+    // same left folds the codegen kernels run. Validated against an
+    // independent kernel mirror before wiring (50/50 rows).
+    "q59_knn_ivf" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (x, y) -> x + y) AS nn
+        |  FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM e ORDER BY vec_id LIMIT 16),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR c.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(c.cn) END) DESC, c.cid ASC) AS rn
+        |    FROM e, c0 c) WHERE rn = 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT cid, list(mm ORDER BY i) AS cv FROM (
+        |    SELECT a.cid, t.i,
+        |      CAST(sum(CAST(floor(a.v[t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |    FROM a0 a, range(1, 65) t(i)
+        |    GROUP BY a.cid, t.i)
+        |  GROUP BY cid),
+        |m1n AS MATERIALIZED (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+        |      (x, y) -> x + y) AS cn
+        |  FROM m1),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, v, nn, cid FROM (
+        |    SELECT e.vec_id, e.v, e.nn, m.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM e, m1n m) WHERE rn = 1),
+        |probes AS MATERIALIZED (
+        |  SELECT query_id, qv, qn, cid FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS qv, q.nn AS qn, m.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        (CASE WHEN q.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(q.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM e q, m1n m WHERE q.vec_id < 10) WHERE rn <= 4)
+        |SELECT query_id, vec_id, rank FROM (
+        |  SELECT p.query_id, a.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id ORDER BY
+        |      (CASE WHEN a.nn = 0 OR p.qn = 0 THEN 0.0
+        |       ELSE list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * p.qv[i]),
+        |              (x, y) -> x + y) / sqrt(a.nn) / sqrt(p.qn) END) DESC, a.vec_id ASC)
+        |      AS BIGINT) AS rank
+        |  FROM probes p JOIN a1 a ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        |WHERE rank <= 5""".stripMargin,
+    // q57: replay the hyperplane-LSH near-dup pass value-for-value — the
+    // planted perturbation and every plane weight rebuild from md5, the
+    // sig dots / norms / pair dots replay as the same left folds the
+    // codegen'd kernels run, and the 0.95 threshold compares identical
+    // doubles. Validated against an independent kernel mirror before
+    // wiring (488/488 pairs).
+    "q57_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pl AS MATERIALIZED (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |    list_transform(range(1, len(v) + 1), i -> v[i] +
+        |      (('0x' || substr(md5('pt' || (i - 1)), 1, 15))::BIGINT
+        |         / 576460752303423488.0 - 1.0) * 0.02)
+        |  FROM base),
+        |pvec AS MATERIALIZED (
+        |  SELECT p, list(w ORDER BY i) AS pw FROM (
+        |    SELECT p.range AS p, i.range AS i,
+        |      ('0x' || substr(md5('hp' || p.range || '_' || i.range), 1, 15))::BIGINT
+        |        / 576460752303423488.0 - 1.0 AS w
+        |    FROM range(0, 12) p, range(0, 64) i)
+        |  GROUP BY p),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * pw[i]),
+        |      (a, b) -> a + b) AS dot
+        |  FROM pl, pvec),
+        |keys AS MATERIALIZED (
+        |  SELECT vec_id, p // 6 AS band,
+        |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 6) ELSE 0 END) AS key
+        |  FROM dots GROUP BY vec_id, p // 6),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM keys a JOIN keys b
+        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        |norms AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]),
+        |      (a, b) -> a + b) AS nn
+        |  FROM pl)
+        |SELECT id_a, id_b FROM (
+        |  SELECT c.id_a, c.id_b,
+        |    list_reduce(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i]),
+        |      (a, b) -> a + b) AS dot, nx.nn AS na, ny.nn AS nb
+        |  FROM cand c
+        |  JOIN pl x ON c.id_a = x.vec_id JOIN pl y ON c.id_b = y.vec_id
+        |  JOIN norms nx ON c.id_a = nx.vec_id JOIN norms ny ON c.id_b = ny.vec_id)
+        |WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |       ELSE dot / sqrt(na) / sqrt(nb) END) >= 0.95""".stripMargin,
     // q131: replay the 13-gram decontamination exactly — same eval-suite
     // construction (full / head-slice+tagged-tail / fully tagged), same
     // portable gram keys, distinct-gram counting on both sides.
