@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-matrix statistics and linear compression: exact distributed
@@ -161,6 +162,69 @@ object Embeddings {
       v(i)(q) = s * vip + c * viq
       i += 1
     }
+  }
+
+  /** Prototype-based cluster pruning — the "D4" data-selection step
+    * (Tirumala et al. 2023: SemDedup's near-dup removal followed by
+    * pruning the most PROTOTYPICAL points of each k-means cluster; the
+    * points nearest their centroid are the ones the cluster already
+    * represents, so dropping them costs the least information per token).
+    * [[graft.ops.Dedup.semanticNearDups]] is the near-dup half; this is
+    * the prototype half.
+    *
+    * Mechanics: seed centroids = the `numClusters` smallest ids
+    * (deterministic, same convention as the IVF family), `kmeansIters`
+    * Lloyd re-centerings, hard-assign every vector to its nearest centroid
+    * (cosine argmax — zero shuffle, the per-row
+    * [[graft.functions.TopCentroids]] expression over the driver-collected
+    * table), then per cluster rank members by cosine-to-centroid
+    * DESCENDING (ties → ascending id) and mark the top
+    * floor(dropFrac · cluster_size) as pruned.
+    *
+    * Scale shape: training/assignment are the IVF build everyone already
+    * pays (bounded driver state: numClusters × dim). The ranking is ONE
+    * shuffle keyed by cluster id; per-task state is one cluster, so skew is
+    * bounded by cluster imbalance — at 100 TB pick numClusters so
+    * corpus/numClusters rows fit a task (D4 runs ~10⁴-10⁵ clusters at that
+    * point), exactly the knob the IVF index already scales by. No
+    * all-pairs anything: cost is corpus × dim per iteration + one window.
+    *
+    * `meanQuantizeInv`: the [[graft.ops.Similarity.kmeansIterate]]
+    * portable-replay switch — Some(inv) makes the Lloyd means (and hence
+    * every assignment, rank and keep decision) bit-replayable in another
+    * engine; None is the production double path.
+    *
+    * Output: (id, cluster, proto_rank, cluster_size, kept) — one row per
+    * input vector; `kept = proto_rank > floor(dropFrac · cluster_size)`.
+    * `cluster` is the MIN member id (the [[graft.ops.Dedup.dupClusters]]
+    * naming convention) — internal centroid indexes are positional and
+    * engine-specific, the min-member key is stable and replayable.
+    */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, dropFrac: Double, kmeansIters: Int = 1,
+      meanQuantizeInv: Option[Double] = None): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac=$dropFrac must be in [0, 1)")
+    val cents = Similarity.kmeansIterate(emb, idCol, vecCol,
+      Similarity.centroids(emb, idCol, vecCol, numClusters),
+      kmeansIters, meanQuantizeInv)
+    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, cents)
+    val scored = assigned
+      .join(broadcast(cents.select(col("cid"),
+        col("centroid").cast("array<double>").as("centroid"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        Similarity.cosine(col("cv"), col("centroid")).as("proto_cos"))
+    val byProto = Window.partitionBy(col("cid"))
+      .orderBy(col("proto_cos").desc, col("vec_id"))
+    val byCluster = Window.partitionBy(col("cid"))
+    scored
+      .withColumn("proto_rank", row_number().over(byProto).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("cluster", min(col("vec_id")).over(byCluster))
+      .select(col("vec_id").as("id"), col("cluster"), col("proto_rank"),
+        col("cluster_size"),
+        (col("proto_rank") > floor(lit(dropFrac) * col("cluster_size")))
+          .as("kept"))
   }
 
   /** Project `vecCol` onto a fitted basis: out = components · (x − mean).

@@ -97,4 +97,53 @@ object LangModel {
   def perplexityScore(docs: DataFrame, reference: DataFrame, idCol: String,
       textCol: String): DataFrame =
     score(docs, idCol, textCol, train(reference, idCol, textCol))
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): within each
+    * stratum (CCNet: language; here any column — source, domain), rank
+    * documents by LM cross-entropy ascending and cut the ranking into
+    * `numBuckets` equal-depth buckets. Bucket 0 ("head") is the most
+    * fluent third of each stratum — the slice pre-training recipes keep
+    * first; "tail" is reviewed or dropped. Equal-DEPTH, not equal-score:
+    * the recipe's contract is "a third of each language", robust to the
+    * per-stratum score distribution.
+    *
+    * Cut arithmetic is explicit — bucket = min(B−1,
+    * floor((rank−1)·B / count)) over a total (cross_entropy, id) order —
+    * rather than `ntile`, whose remainder-distribution convention varies
+    * by engine; this shape replays bit-for-bit anywhere (exact integer
+    * products < 2⁵³, correctly-rounded IEEE division, floor).
+    *
+    * Scale shape: scoring is [[perplexityScore]] (vocab-bounded count
+    * joins); the ranking is ONE shuffle keyed by stratum. Per-stratum
+    * ranking serializes a stratum onto one task — languages are few and
+    * fat, so at 100 TB swap the exact rank for a two-level prefix sum
+    * (the [[graft.ops.Sampling.tokenBudgetMix]] bucketed pattern) or cut
+    * on approx quantiles of the score instead; the equal-depth contract
+    * is the same.
+    *
+    * Output: (idCol, stratumCol, n_transitions, cross_entropy, bucket,
+    * band) — band ∈ head/middle/tail for numBuckets = 3, "b<i>"
+    * otherwise. Documents with < 2 tokens have no score and are absent,
+    * as in [[score]].
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, numBuckets: Int = 3): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val scored = perplexityScore(docs, docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
+    val byPpl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("cross_entropy").asc, col(idCol).asc)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    val labels = if (numBuckets == 3) Seq("head", "middle", "tail")
+      else (0 until numBuckets).map(i => s"b$i")
+    scored
+      .withColumn("__rn", row_number().over(byPpl).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(n))
+      .withColumn("bucket", least(lit(numBuckets.toLong - 1),
+        floor((col("__rn") - 1L) * numBuckets / col("__cnt"))))
+      .withColumn("band", element_at(typedlit(labels), (col("bucket") + 1).cast("int")))
+      .select(col(idCol), col(stratumCol), col("n_transitions"),
+        col("cross_entropy"), col("bucket"), col("band"))
+  }
 }

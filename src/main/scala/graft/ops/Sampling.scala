@@ -377,4 +377,38 @@ object Sampling {
         col("__score").cast("double").as("score"))
       .withColumn("keep", col("score") > 0d)
   }
+
+  /** Leakage-free train/test split: near-duplicate CLUSTERS are the
+    * atomic split unit, so a document and its near-copies can never land
+    * on opposite sides of the split — the failure mode that silently
+    * inflates eval scores when a per-document hash split meets a
+    * deduplicated-but-not-perfectly corpus (Lee et al. ACL'22 measure
+    * this leakage directly).
+    *
+    * `pairs` is any (id_a, id_b) near-dup pair set — MinHash, SimHash,
+    * embedding LSH ([[graft.ops.Dedup]]); the caller picks the sketch and
+    * threshold, this op owns the atomicity. Pairs close to clusters via
+    * [[graft.ops.Dedup.dupClusters]] (iterative min-label CC), every doc
+    * gets `cluster` = its component's min id (singletons: itself), and
+    * the split decision hashes the CLUSTER id through
+    * [[TextAnalysis.hashSplit]] — 12/16 train, 4/16 test, deterministic
+    * and engine-replayable.
+    *
+    * Scale shape: CC runs over the PAIR set (dup-bounded, tiny next to
+    * the corpus); the corpus-sized work is one left join against that
+    * cluster table (AQE broadcasts it when it fits) plus a per-row hash
+    * predicate. No corpus shuffle.
+    *
+    * Output: (idCol, cluster, split) — one row per input doc.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
+    val cl = Dedup.dupClusters(pairs, maxIter, checkpointEvery)
+      .select(col("id").as(idCol), col("cluster"))
+    docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol).cast("long")).as("cluster"))
+      .withColumn("split", TextAnalysis.hashSplit(col("cluster")))
+  }
 }

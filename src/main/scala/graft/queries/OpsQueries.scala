@@ -284,6 +284,30 @@ object OpsQueries {
           quantizeStep = Some(1e-6))
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           col("n"), col("cov"))),
+    // D4 prototype pruning (Tirumala et al. 2023): k-means the embedding
+    // space, drop the floor(25%) most-prototypical members of each
+    // cluster (nearest their centroid = least marginal information).
+    // Portable mode (quantized Lloyd means, q59's machinery) → every
+    // assignment, rank and keep decision replays bit-for-bit in SQL.
+    "q133_prototype_prune" -> ((s, d) =>
+      Embeddings.prototypePrune(emb(s, d), "vec_id", "embedding",
+        numClusters = 16, dropFrac = 0.25, kmeansIters = 1,
+        meanQuantizeInv = Some(1e9))),
+    // CCNet head/middle/tail split (Wenzek et al. 2020): per-source
+    // equal-depth thirds of the q89 LM cross-entropy ranking, explicit
+    // floor-cut arithmetic instead of engine-convention ntile. The
+    // decimal-accumulated score replays exactly, so the full banding does.
+    "q134_ppl_buckets" -> ((s, d) =>
+      LangModel.perplexityBuckets(docs(s, d), "doc_id", "text", "source")),
+    // Leakage-free split: q68's near-dup clusters become the atomic split
+    // unit — every planted near-dup pair must land on ONE side of the
+    // train/test cut (hash of the cluster id, not the doc id).
+    "q135_leakfree_split" -> ((s, d) => {
+      val t = docsWithPlantedDups(s, d)
+      val pairs = Dedup.ngramJaccardNearDups(t, "doc_id", "text",
+        blockCol = col("source"), threshold = 0.5)
+      Sampling.leakFreeSplit(t, "doc_id", pairs)
+    }),
     // Exact 13-gram eval decontamination (GPT-3 appendix C shape): eval
     // suite = full copies (dirty), head-slices with tagged tails
     // (partially dirty — only grams inside the untouched prefix match),
@@ -1529,6 +1553,95 @@ object OpsQueries {
         |     - CAST(x1.sx AS DOUBLE) * CAST(x2.sx AS DOUBLE) / CAST(x1.n AS DOUBLE))
         |    / (CAST(x1.n AS DOUBLE) - 1.0)) / 1000000000000.0 AS cov
         |FROM sxy s JOIN sx x1 ON s.i = x1.i JOIN sx x2 ON s.j = x2.i""".stripMargin,
+    // q133: full D4 prototype-prune replay — q59's quantized-Lloyd prefix
+    // (seed = 16 smallest ids, one re-centering with floor(x·1e9 + 0.5)
+    // integer sums, (cosine DESC, cid ASC) assignment argmax), then the
+    // per-cluster (cosine-to-centroid DESC, vec_id ASC) ranking and the
+    // floor(0.25·size) keep cut.
+    "q133_prototype_prune" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+        |      (x, y) -> x + y) AS nn
+        |  FROM embeddings),
+        |c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM e ORDER BY vec_id LIMIT 16),
+        |a0 AS MATERIALIZED (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR c.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(c.cn) END) DESC, c.cid ASC) AS rn
+        |    FROM e, c0 c) WHERE rn = 1),
+        |m1 AS MATERIALIZED (
+        |  SELECT cid, list(mm ORDER BY i) AS cv FROM (
+        |    SELECT a.cid, t.i,
+        |      CAST(sum(CAST(floor(a.v[t.i] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mm
+        |    FROM a0 a, range(1, 65) t(i)
+        |    GROUP BY a.cid, t.i)
+        |  GROUP BY cid),
+        |m1n AS MATERIALIZED (
+        |  SELECT cid, cv,
+        |    list_reduce(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]),
+        |      (x, y) -> x + y) AS cn
+        |  FROM m1),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, cid, pc FROM (
+        |    SELECT e.vec_id, m.cid,
+        |      (CASE WHEN e.nn = 0 OR m.cn = 0 THEN 0.0
+        |       ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * m.cv[i]),
+        |              (x, y) -> x + y) / sqrt(e.nn) / sqrt(m.cn) END) AS pc,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        (CASE WHEN e.nn = 0 OR m.cn = 0 THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * m.cv[i]),
+        |                (x, y) -> x + y) / sqrt(e.nn) / sqrt(m.cn) END) DESC, m.cid ASC) AS rn
+        |    FROM e, m1n m) WHERE rn = 1),
+        |r AS (
+        |  SELECT vec_id,
+        |    min(vec_id) OVER (PARTITION BY cid) AS cluster,
+        |    row_number() OVER (PARTITION BY cid ORDER BY pc DESC, vec_id ASC) AS proto_rank,
+        |    count(*) OVER (PARTITION BY cid) AS cluster_size
+        |  FROM a1)
+        |SELECT vec_id AS id, cluster, proto_rank, cluster_size,
+        |  (proto_rank > floor(0.25 * cluster_size)) AS kept
+        |FROM r""".stripMargin,
+    // q134: q89's scoring replayed verbatim, then the per-source
+    // (cross_entropy ASC, doc_id ASC) ranking and the explicit
+    // min(2, floor((rn−1)·3/cnt)) equal-depth cut — exact integer
+    // products, correctly-rounded IEEE division, floor: identical in
+    // both engines (ntile's remainder convention is not relied on).
+    "q134_ppl_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE len(ws) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM toks)),
+        |sc AS (SELECT p.doc_id,
+        |  -ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(u.c1, 0) + v AS DOUBLE)) AS nl
+        |  FROM pairs p LEFT JOIN big b USING (w1, w2)
+        |  LEFT JOIN uni u USING (w1), voc),
+        |ce AS (SELECT doc_id, count(*) AS n_transitions,
+        |  CAST(sum(CAST(nl AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS cross_entropy
+        |  FROM sc GROUP BY doc_id),
+        |j AS (SELECT c.doc_id, d.source, c.n_transitions, c.cross_entropy
+        |  FROM ce c JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, source, n_transitions, cross_entropy,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cross_entropy ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM j)
+        |SELECT doc_id, source, n_transitions, cross_entropy,
+        |  CAST(least(2, floor((rn - 1) * 3 / cnt)) AS BIGINT) AS bucket,
+        |  CASE CAST(least(2, floor((rn - 1) * 3 / cnt)) AS BIGINT)
+        |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS band
+        |FROM r""".stripMargin,
     // q95: full fused IVF-PQ replay — coarse quantized k-means on unit
     // vectors, residual subtraction, two quantized PQ Lloyd rounds on
     // the sampled residuals, per-(query, probed-cell) residual ADC
@@ -2401,6 +2514,40 @@ object OpsQueries {
       |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src)
       |SELECT src AS id, least(src, min(dst)) AS cluster
       |FROM r GROUP BY src
+      |""".stripMargin,
+    // q135: q68's cluster closure, then every doc (singletons included)
+    // split by md5 of its CLUSTER id — the hashSplit convention (first
+    // hex digit 0-b → train) replayed on the cluster key.
+    "q135_leakfree_split" -> s"""
+      |WITH RECURSIVE planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |       FROM r GROUP BY src),
+      |lab AS (
+      |  SELECT p.doc_id, CAST(coalesce(cl.cluster, p.doc_id) AS BIGINT) AS cluster
+      |  FROM planted p LEFT JOIN cl ON p.doc_id = cl.id)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN substring(md5(CAST(cluster AS VARCHAR)), 1, 1) IN
+      |    ('0','1','2','3','4','5','6','7','8','9','a','b')
+      |  THEN 'train' ELSE 'test' END AS split
+      |FROM lab
       |""".stripMargin,
     "q115_keep_best" -> s"""
       |WITH RECURSIVE planted AS ($plantedSql),

@@ -1871,6 +1871,111 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prototype prune: per-cluster floor cut, exact rank order in the single-cluster case") {
+    import spark.implicits._
+    import graft.ops.Embeddings
+    // invariants on the real corpus: every vector classified once, each
+    // cluster drops exactly floor(0.25 * size) members, dropped = the
+    // lowest proto_ranks
+    val out = Embeddings.prototypePrune(emb, "vec_id", "embedding",
+      numClusters = 8, dropFrac = 0.25, meanQuantizeInv = Some(1e9))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == emb.count(), "one row per input vector")
+    assert(rows.map(_._1).distinct.length == rows.length, "ids unique")
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val size = members.head._4
+      assert(members.length == size, s"cluster $cl count != cluster_size")
+      assert(members.map(_._3).sorted.toSeq == (1L to size).toSeq,
+        s"cluster $cl ranks must be 1..$size")
+      val cut = math.floor(0.25 * size).toLong
+      members.foreach { case (_, _, rank, _, kept) =>
+        assert(kept == (rank > cut), s"cluster $cl rank $rank kept=$kept cut=$cut")
+      }
+      assert(members.count(!_._5) == cut)
+    }
+    // dropFrac = 0 keeps everything
+    val all = Embeddings.prototypePrune(emb, "vec_id", "embedding",
+      numClusters = 8, dropFrac = 0.0, meanQuantizeInv = Some(1e9))
+    assert(all.filter(!col("kept")).count() == 0)
+
+    // single cluster, hand-checkable geometry: 2-d unit vectors at known
+    // angles; after one Lloyd pass the centroid is their mean, and
+    // proto_rank must order by cosine-to-mean descending
+    val angles = Seq(0.0, 0.1, 0.2, 0.4, 1.2)
+    val vecs = angles.zipWithIndex.map { case (a, i) =>
+      (i.toLong, Seq(math.cos(a), math.sin(a))) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val mean = Array(vecs.map(_._2(0)).sum / 5, vecs.map(_._2(1)).sum / 5)
+    def cos(v: Seq[Double]) = {
+      val dot = v(0) * mean(0) + v(1) * mean(1)
+      dot / math.sqrt(v(0) * v(0) + v(1) * v(1)) /
+        math.sqrt(mean(0) * mean(0) + mean(1) * mean(1))
+    }
+    val expected = vecs.sortBy(v => (-cos(v._2), v._1)).map(_._1)
+    val got = Embeddings.prototypePrune(df, "vec_id", "embedding",
+        numClusters = 1, dropFrac = 0.4)
+      .orderBy(col("proto_rank")).collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"rank order $got != cosine-to-mean order $expected")
+  }
+
+  test("perplexity buckets: equal-depth per-source thirds, bucket monotone in score") {
+    import graft.ops.LangModel
+    val out = LangModel.perplexityBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5)))
+    val scored = LangModel.perplexityScore(docs, docs, "doc_id", "text").count()
+    assert(out.length == scored, "every scored doc is banded exactly once")
+    out.groupBy(_._2).foreach { case (src, members) =>
+      val n = members.length
+      // equal depth: each bucket within 1 of n/3
+      val sizes = members.groupBy(_._5).view.mapValues(_.length).toMap
+      (0L to 2L).foreach { b =>
+        val s = sizes.getOrElse(b, 0)
+        assert(math.abs(s - n / 3.0) <= 1.0, s"$src bucket $b size $s of $n")
+      }
+      // monotone: sorting by (score, id) never decreases the bucket
+      val inOrder = members.sortBy(m => (m._4, m._1)).map(_._5)
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b },
+        s"$src buckets must be monotone in cross-entropy")
+      members.foreach { m =>
+        val want = m._5 match { case 0 => "head" case 1 => "middle" case _ => "tail" }
+        assert(m._6 == want, s"band label ${m._6} != $want for bucket ${m._5}")
+      }
+    }
+    // numBuckets = 1 → everything lands in bucket 0 labeled b0
+    val one = LangModel.perplexityBuckets(docs, "doc_id", "text", "source", 1)
+      .select(col("bucket"), col("band")).distinct().collect()
+    assert(one.length == 1 && one(0).getLong(0) == 0L && one(0).getString(1) == "b0")
+  }
+
+  test("leak-free split: near-dup pairs never straddle the cut, singletons follow their own hash") {
+    import graft.ops.Sampling
+    val pairs = Dedup.ngramJaccardNearDups(planted, "doc_id", "text",
+      blockCol = col("source"), threshold = 0.5)
+    val out = Sampling.leakFreeSplit(planted, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == planted.count(), "one row per doc")
+    // atomicity: every near-dup pair shares cluster AND split
+    pairs.select(col("id_a"), col("id_b")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(out(a) == out(b), s"pair ($a,$b) straddles: ${out(a)} vs ${out(b)}")
+    }
+    // both sides populated, and a singleton's split is its own id's hash
+    assert(out.values.map(_._2).toSet == Set("train", "test"))
+    val singles = out.collect { case (id, (cl, sp)) if cl == id => id -> sp }
+    val own = docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.parallelize(
+          singles.toSeq.map(s => org.apache.spark.sql.Row(s._1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      .withColumn("split", TextAnalysis.hashSplit(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    singles.foreach { case (id, sp) =>
+      assert(own(id) == sp, s"singleton $id split $sp != hashSplit ${own(id)}") }
+  }
+
   test("gram decontamination: full copies dirty, prefix-grams partial, rewrites clean, short docs clean") {
     import spark.implicits._
     val mk = (i: Int, words: Seq[String]) => (i.toLong, words.mkString(" "))
