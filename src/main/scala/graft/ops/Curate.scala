@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *   5b. model-based quality       ([[TextAnalysis.classifierLogit]] —
   *      the q121 hashed linear classifier as a per-row predicate)
   *   6. exact dedup, keep-first    ([[Dedup.exactDedup]])
+  *   6b. perplexity-band filter    ([[LangModel.perplexityBuckets]] —
+  *      CCNet's per-source head/middle/tail cut, keep listed bands)
   *   7. MinHash near-dedup         ([[Dedup.minhashNearDups]] →
   *      [[Dedup.dupClusters]], keep each cluster's representative)
   *   8. DSIR selection             ([[Sampling.importanceWeights]] —
@@ -56,6 +58,7 @@ object Curate {
       qualityFilter: Boolean = true,
       classifierFilter: Boolean = false,
       classifierMinLogit: Double = 0.0,
+      perplexityBands: Seq[String] = Nil,
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,
       dsirTargetSources: Seq[String] = Nil,
@@ -129,8 +132,22 @@ object Curate {
     // the per-row pipeline above exactly once instead of re-running
     // extraction + filters per eager pass (the dupClusters discipline)
     if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
-        cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty)
+        cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty ||
+        cfg.perplexityBands.nonEmpty)
       t = phase("scan_filters")(t.materialized(true))
+    // CCNet's LM stage: per-source equal-depth perplexity bands over the
+    // SURVIVING corpus (train = score = t, the self-perplexity recipe),
+    // keep only the configured bands ("head", "middle" is the classic
+    // cut). Runs after dedup-independent filters and the materialize
+    // gate — scoring is two passes over t's lineage. Documents too short
+    // to score (< 2 tokens) have no band and are dropped; the default
+    // quality filter already removes them earlier.
+    if (cfg.perplexityBands.nonEmpty) phase("ppl_band") {
+      val keep = LangModel.perplexityBuckets(t, idCol, textCol, sourceCol)
+        .filter(col("band").isin(cfg.perplexityBands: _*))
+        .select(col(idCol).as("__graft_ppl_id"))
+      t = t.join(keep, col(idCol) === col("__graft_ppl_id"), "left_semi")
+    }
     for (thr <- cfg.nearDupThreshold) phase("near_dup") {
       val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
         .select(col("id_a"), col("id_b"))

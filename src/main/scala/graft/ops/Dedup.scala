@@ -235,6 +235,27 @@ object Dedup {
     base.unpersist(blocking = false)
   }
 
+  /** Delete documents from a persisted MinHash-LSH index — the removal
+    * half of the incremental-crawl lifecycle (the complement of
+    * [[appendToMinhashIndex]]; a taken-down historical doc must stop
+    * matching future batches). Both tables rewrite through the atomic
+    * [[Layout.rewriteClustered]] swap, band keys keeping their
+    * (band, bandHash) clustering so probe-side file skipping is
+    * preserved; `params` (the sketch geometry) is untouched. The deleted
+    * index is row-identical to one built without the ids — the
+    * append ≡ rebuild property, mirrored. Unknown ids are no-ops.
+    */
+  def deleteFromMinhashIndex(ids: DataFrame, idCol: String, path: String,
+      numFiles: Int = 32): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).as("id")).distinct().materialized()
+    Layout.rewriteClustered(spark, s"$path/bands",
+      Seq(col("band"), col("bandHash")), numFiles)(
+      _.join(del, Seq("id"), "left_anti"))
+    Layout.rewriteClustered(spark, s"$path/shingles", Seq(col("id")), 8)(
+      _.join(del, Seq("id"), "left_anti"))
+  }
+
   def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): MinhashIndex = {
     val p = spark.read.parquet(s"$path/params").head()
@@ -461,6 +482,84 @@ object Dedup {
         (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
       .materialized(eager = true)
     ev.unpersist(blocking = false)
+    out
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    * word `k`-gram, slide a window of `w` consecutive gram hashes, keep
+    * the MINIMUM of each window, dedupe. Guarantee: any shared token run
+    * of length ≥ k + w − 1 contributes at least one SHARED fingerprint —
+    * the local-substring detection MinHash (a whole-document sketch)
+    * can't give, at w× fewer fingerprints than full shingling.
+    *
+    * Entirely per-row (one codegen'd pass: gram hashes, window minima,
+    * dedupe — no shuffle until the caller joins on fingerprints). Docs
+    * with fewer grams than `w` keep their single overall-min gram hash;
+    * docs shorter than `k` words emit nothing.
+    *
+    * `hash64`: production = xxhash64; gates pass
+    * [[TextAnalysis.portableHash60]] so every fingerprint replays in SQL.
+    * Output: (idCol, fp) — exploded, distinct per doc.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4,
+      hash64: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
+    val ws = TextAnalysis.words(col(textCol))
+    val gh = when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => hash64(concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    val fps = when(size(col("__gh")) >= w,
+        array_distinct(transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
+          j => array_min(slice(col("__gh"), j, lit(w))))))
+      .when(size(col("__gh")) >= 1, array(array_min(col("__gh"))))
+      .otherwise(array().cast("array<long>"))
+    Spread.toCores(df)
+      .select(col(idCol), gh.as("__gh"))
+      .select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Fingerprint-sharing near-dup candidates over [[winnowFingerprints]]:
+    * pairs of documents sharing ≥ `minShared` winnowed fingerprints —
+    * partial-overlap detection (quotes, shared sections, plagiarism),
+    * the use the algorithm was built for.
+    *
+    * Scale shape: the join key is the fingerprint, so pair space is
+    * Σ_fp df(fp)² — bounded by dropping fingerprints in more than
+    * `maxDf` documents (boilerplate phrases; the exact analogue of
+    * [[dedupLinesAcross]]'s vocabulary cut and a standard MOSS option).
+    * Never all-pairs: a fingerprint shared by every document is dropped,
+    * not joined. Output: (id_a, id_b, shared).
+    */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Int = 2, maxDf: Int = 256,
+      hash64: Column => Column = c => xxhash64(c)): DataFrame = {
+    // Cached (the minhashNearDups `base` pattern): the fingerprint scan
+    // feeds the df count AND both sides of the pair join — uncached, the
+    // gram-hash pass re-runs up to 4× per action (measured 2.2× the whole
+    // op's cost at sf1 with the md5 gate family). Only the narrow
+    // (id, fp) longs are cached; gram strings never leave the scan.
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, hash64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fingerprints in [2, maxDf] docs: singletons can't form a pair,
+    // ultra-common ones would explode the pair space quadratically
+    val joinable = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("fp"))
+    val pruned = fps.join(joinable, Seq("fp"))
+    val l = pruned.select(col("fp"), col(idCol).as("id_a"))
+    val r = pruned.select(col("fp"), col(idCol).as("id_b"))
+    val result = l.join(r, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    // eager-materialize the (near-dup-bounded) pairs, release the cache
+    val out = result.materialized(eager = true)
+    fps.unpersist(blocking = false)
     out
   }
 

@@ -131,7 +131,20 @@ object Layout {
     * gives; coordinate writers externally.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      clusterCols: Seq[Column], numFiles: Int): Unit = {
+      clusterCols: Seq[Column], numFiles: Int): Unit =
+    rewriteClustered(spark, path, clusterCols, numFiles)(identity)
+
+  /** In-place clustered rewrite of a parquet directory through `transform`
+    * (compact = identity; index DELETE = an anti-join filter), with the
+    * staged-then-rename swap so the live directory is never half-written:
+    * write to `<p>.compact.tmp`, move the original to `<p>.compact.old`,
+    * rename tmp into place, drop old. A crash between the swap renames
+    * self-heals on the next call (old is restored before rewriting).
+    * Single-writer semantics, like every maintenance pass here.
+    */
+  def rewriteClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+      clusterCols: Seq[Column], numFiles: Int)(
+      transform: DataFrame => DataFrame): Unit = {
     val p = path.replaceAll("/+$", "") // trailing slash would nest tmp INSIDE
     val fs = new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -141,7 +154,8 @@ object Layout {
     if (!fs.exists(hp(p)) && fs.exists(old))
       require(fs.rename(old, hp(p)), s"could not restore $old to $p")
     fs.delete(tmp, true) // stale output of a crashed write
-    writeClustered(spark.read.parquet(p), tmp.toString, clusterCols, numFiles)
+    writeClustered(transform(spark.read.parquet(p)), tmp.toString,
+      clusterCols, numFiles)
     fs.delete(old, true)
     require(fs.rename(hp(p), old), s"could not move $p aside")
     if (!fs.rename(tmp, hp(p))) {

@@ -38,4 +38,31 @@ object Report {
         countDistinct(col("fp")).as("n_unique_fp"),
         (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
         sum(col("keep")).as("n_quality_keep"))
+
+  /** Snapshot delta between two corpus versions — the dataset-versioning
+    * diff a recurring crawl publishes with each release ("what changed
+    * since v1"): every id is classified `added` (new), `removed` (gone),
+    * `changed` (same id, different content) or `same`. Content identity
+    * is md5 of the RAW text — whitespace-normalization is a curation
+    * decision, a diff must not paper over it.
+    *
+    * Scale shape: ids + 128-bit digests only (text never leaves the scan
+    * stage), one full-outer equi-join on the id — at 100 TB per side
+    * this is the minimal shuffle any exact diff pays; both sides prune
+    * to (id, hash) at the scan.
+    *
+    * Output: (idCol, status). Roll up with a groupBy("status") count for
+    * the release-note headline.
+    */
+  def corpusDiff(before: DataFrame, after: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val a = before.select(col(idCol), md5(col(textCol)).as("__ha"))
+    val b = after.select(col(idCol), md5(col(textCol)).as("__hb"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "same")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -227,6 +227,40 @@ object Retrieval {
     writeBm25Stats(spark, path, s.getLong(0) + nDocs, s.getLong(1) + sumDl)
   }
 
+  /** Delete documents from a persisted index WITHOUT rebuilding — the
+    * removal half of the index lifecycle (takedowns, right-to-be-forgotten
+    * batches, retention cuts; the complement of [[appendToBm25Index]]).
+    * The deleted index is BIT-IDENTICAL to a rebuild over corpus ∖ ids:
+    * postings are rewritten through the same token-clustered writer (file
+    * skipping preserved — no tombstones to merge at probe time), and the
+    * stats decrement by the deleted docs' exact integer (count, Σdl),
+    * recovered from the postings themselves (dl is denormalized into
+    * every posting — no side lookup).
+    *
+    * Crash semantics match append's: the postings swap is atomic
+    * ([[Layout.rewriteClustered]]); a crash between the swap and the
+    * stats write leaves stats stale by exactly this delete, recoverable
+    * via [[repairBm25Stats]]. Single writer, like all maintenance passes.
+    * Ids absent from the index are no-ops (delete is idempotent).
+    */
+  def deleteFromBm25Index(ids: DataFrame, idCol: String, path: String,
+      numFiles: Int = 32): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .materialized()
+    // stats delta BEFORE the rewrite (the rows are about to disappear)
+    val r = spark.read.parquet(s"$path/postings")
+      .join(del, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+    val nDel = r.getLong(0)
+    val dlDel = if (r.isNullAt(1)) 0L else r.getLong(1)
+    Layout.rewriteClustered(spark, s"$path/postings", Seq(col("token")),
+      numFiles)(_.join(del, Seq("doc_id"), "left_anti"))
+    val s = spark.read.parquet(s"$path/stats").head()
+    writeBm25Stats(spark, path, s.getLong(0) - nDel, s.getLong(1) - dlDel)
+  }
+
   def loadBm25Index(spark: SparkSession, path: String): Bm25Index = {
     // finish an interrupted stats swap (crash after delete, before rename)
     locally {

@@ -831,6 +831,45 @@ object Similarity {
       s"$path/assigned", Seq(col("cid")), numFiles, mode = "append")
   }
 
+  /** Delete vectors from a persisted IVF index WITHOUT retraining — the
+    * removal half of the maintenance contract (takedowns, retention cuts;
+    * the complement of [[appendToIvfIndex]]). The assigned table is
+    * rewritten cid-clustered through the atomic
+    * [[Layout.rewriteClustered]] swap — no tombstones for probes to
+    * merge, file skipping preserved. Centroids are untouched, exactly as
+    * append leaves them: a delete changes which vectors exist, not the
+    * coarse geometry (re-train = rebuild, a different operation). Probing
+    * after delete equals probing the original index with the deleted rows
+    * filtered out. Unknown ids are no-ops (idempotent).
+    */
+  def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String,
+      numFiles: Int = 32): Unit = {
+    val del = ids.select(col(idCol).as("vec_id")).distinct()
+    Layout.rewriteClustered(ids.sparkSession, s"$path/assigned",
+      Seq(col("cid")), numFiles)(_.join(del, Seq("vec_id"), "left_anti"))
+  }
+
+  /** [[deleteFromIvfIndex]] for a plain PQ index: codes rewritten without
+    * the deleted ids; codebooks untouched (trained geometry, like
+    * centroids).
+    */
+  def deleteFromPqIndex(ids: DataFrame, idCol: String, path: String,
+      numFiles: Int = 8): Unit = {
+    val del = ids.select(col(idCol).as("vec_id")).distinct()
+    Layout.rewriteClustered(ids.sparkSession, s"$path/codes",
+      Seq(col("vec_id")), numFiles)(_.join(del, Seq("vec_id"), "left_anti"))
+  }
+
+  /** [[deleteFromIvfIndex]] for the fused IVF-PQ index: cid-clustered
+    * codes rewritten; centroids and codebooks untouched.
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, path: String,
+      numFiles: Int = 32): Unit = {
+    val del = ids.select(col(idCol).as("vec_id")).distinct()
+    Layout.rewriteClustered(ids.sparkSession, s"$path/codes",
+      Seq(col("cid")), numFiles)(_.join(del, Seq("vec_id"), "left_anti"))
+  }
+
   /** Incremental append for a persisted IVF-PQ index: residual-encode the
     * batch with the SAVED centroids and codebooks, append cid-clustered
     * codes. Same maintenance contract as [[appendToIvfIndex]].

@@ -308,6 +308,26 @@ object OpsQueries {
         blockCol = col("source"), threshold = 0.5)
       Sampling.leakFreeSplit(t, "doc_id", pairs)
     }),
+    // Winnowing (MOSS) fingerprint near-dups: planted prefix-sharing
+    // copies must surface as fingerprint-sharing pairs; the portable
+    // hash family replays every gram hash, window min and df cut in SQL.
+    "q136_winnow_neardup" -> ((s, d) =>
+      Dedup.winnowNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
+        k = 4, w = 4, minShared = 2, maxDf = 256,
+        hash64 = TextAnalysis.portableHash60)),
+    // Corpus snapshot diff (dataset versioning): v2 drops every 7th doc,
+    // rewrites every 5th survivor, adds copies of every 3rd under new
+    // ids — each id must classify added/removed/changed/same exactly.
+    "q137_corpus_diff" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("text"))
+      val after = t.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionAll(t.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      Report.corpusDiff(t, after, "doc_id", "text")
+    }),
     // Exact 13-gram eval decontamination (GPT-3 appendix C shape): eval
     // suite = full copies (dirty), head-slices with tagged tails
     // (partially dirty — only grams inside the untouched prefix match),
@@ -2549,6 +2569,50 @@ object OpsQueries {
       |  THEN 'train' ELSE 'test' END AS split
       |FROM lab
       |""".stripMargin,
+    // q136: winnowing replay — 4-gram md5-60 hashes, window-of-4 minima
+    // deduped per doc, fingerprints in [2, 256] docs joinable, pairs
+    // sharing >= 2. Short-doc edges mirror the operator: >=1 gram but
+    // < w grams keeps the single overall min; < k words emits nothing.
+    "q136_winnow_neardup" -> s"""
+      |WITH planted AS ($plantedSql),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(ws) >= 4 THEN
+      |      list_transform(range(1, len(ws) - 2),
+      |        i -> ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT)
+      |    ELSE CAST([] AS BIGINT[]) END AS gh
+      |  FROM t),
+      |f AS (SELECT doc_id,
+      |    CASE WHEN len(gh) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(gh) - 2),
+      |        j -> list_min(gh[j:j+3])))
+      |    WHEN len(gh) >= 1 THEN [list_min(gh)]
+      |    ELSE CAST([] AS BIGINT[]) END AS fps
+      |  FROM g),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |jf AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 256),
+      |ej AS (SELECT e.doc_id, e.fp FROM e JOIN jf USING (fp))
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |FROM ej a JOIN ej b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |""".stripMargin,
+    // q137: the same v2 construction, statuses from md5 over a full outer
+    // join — identical UTF-8 bytes hash identically in both engines.
+    "q137_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |after AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, md5(text) AS hb FROM after)
+        |SELECT doc_id,
+        |  CASE WHEN ha IS NULL THEN 'added'
+        |       WHEN hb IS NULL THEN 'removed'
+        |       WHEN ha = hb THEN 'same' ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b USING (doc_id)""".stripMargin,
     "q115_keep_best" -> s"""
       |WITH RECURSIVE planted AS ($plantedSql),
       |sh AS (

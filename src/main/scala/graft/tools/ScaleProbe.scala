@@ -57,8 +57,47 @@ object ScaleProbe {
     // pre-build q83 always had — without that the first sf1 run would
     // time the index BUILD into the ratio.
     "q110_cross_neardup", "q123_ivfpq_index_self", "q124_bm25_index",
-    "q125_ir_eval", "q130_minhash_index"
+    "q125_ir_eval", "q130_minhash_index",
+    // later round-8 additions ≥1 s at sf0.1: hybrid retrieval fusion,
+    // the CCNet perplexity banding (q89's scaling plus two windows), and
+    // winnowing near-dups (fp-keyed join, df-cut bounded — probed as-is)
+    "q118_hybrid_rrf", "q134_ppl_buckets", "q136_winnow_neardup"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
+    // q131's gate uses 3/5 of the corpus as the eval suite (oracle
+    // richness); scaled 10× that would time an eval side no deployment
+    // has — a decontamination run holds the EVAL SUITE CONSTANT while the
+    // train side grows. Replica 0 (doc_id < 100000) IS the base corpus,
+    // so the probe's eval set is identical at both scales and the ratio
+    // measures the train-scan path — the 100 TB-side claim under test.
+    ("q131_gram_decontam" -> ((s: SparkSession, d: String) => {
+      val t = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
+      val evalDf = t
+        .filter(col("doc_id") < 100000L && pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      graft.ops.Dedup.gramContamination(t, "doc_id", "text",
+        evalDf, "eval_id", "text",
+        n = 13, gramHash = graft.ops.TextAnalysis.portableHash60)
+    })) :+
+    // q133 probes with numClusters scaled 10× (constant CLUSTER SIZE —
+    // the q91 regime override): D4 deployments grow the cluster count
+    // with the corpus, and the per-cluster ranking window is exactly the
+    // stage whose task size that knob bounds.
+    ("q133_prototype_prune" -> ((s: SparkSession, d: String) => {
+      val nClusters = if (d == sf1Dir) 160 else 16
+      graft.ops.Embeddings.prototypePrune(
+        graft.ops.Spread.toCores(s.read.parquet(s"$d/embeddings.parquet")),
+        "vec_id", "embedding", numClusters = nClusters, dropFrac = 0.25,
+        meanQuantizeInv = Some(1e9))
+    })) :+
+    // q135's gate feeds blocked ngram-Jaccard pairs (quadratic per block
+    // by design — q68's documented exclusion); the probe drives the split
+    // through the MinHash pair feed, its scale shape.
+    ("q135_leakfree_split" -> ((s: SparkSession, d: String) => {
+      val docs = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
+      graft.ops.Sampling.leakFreeSplit(docs, "doc_id",
+        graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5).select(col("id_a"), col("id_b")))
+    })) :+
     // q99 probes with forceSalt at BOTH scales (the q91-style regime
     // override): the adaptive operator takes the plain-broadcast path at
     // sf0.1 and the salted-shuffle path at sf1 (the dim crosses the 10 MB

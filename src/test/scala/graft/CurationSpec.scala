@@ -367,6 +367,17 @@ class CurationSpec extends AnyFunSuite {
         s"$src filled $total > budget ${budgets(src)} + overshoot $maxDoc")
       assert(total > 0, s"$src kept nothing")
     }
+    // perplexity-band stage keeps EXACTLY the head+middle docs of the
+    // same banding computed directly (the CCNet cut)
+    val cfgP = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, perplexityBands = Seq("head", "middle"))
+    val keptP = Curate.run(docs, "doc_id", "text", "source", cfgP)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectP = graft.ops.LangModel
+      .perplexityBuckets(docs, "doc_id", "text", "source")
+      .filter(col("band").isin("head", "middle"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptP == expectP && keptP.nonEmpty && keptP.size < docs.count())
   }
 
   test("end-to-end batch curation: extract -> quality -> dedup -> rebalance -> pack") {

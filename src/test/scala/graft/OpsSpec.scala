@@ -1702,6 +1702,81 @@ class OpsSpec extends AnyFunSuite {
     assert(probe(incr) == before, "compaction changed probe results")
   }
 
+  test("index delete is identical to a rebuild without the ids (BM25 / MinHash / IVF)") {
+    import spark.implicits._
+    import graft.ops.{Retrieval, Similarity}
+    val qdf = Seq((0L, "spark join merge"), (1L, "customer data line"))
+      .toDF("qid", "qtext")
+    val delIds = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val keep = docs.filter(col("doc_id") % 3 =!= 0)
+    def tmp(n: String) = java.nio.file.Files.createTempDirectory(n).toString
+
+    // BM25: deleted index bit-identical to a rebuild over corpus \ ids
+    val (bmDel, bmRef) = (tmp("bm-del"), tmp("bm-ref"))
+    Retrieval.saveBm25Index(docs, "doc_id", "text", bmDel, numFiles = 4)
+    Retrieval.deleteFromBm25Index(delIds, "doc_id", bmDel, numFiles = 2)
+    Retrieval.saveBm25Index(keep, "doc_id", "text", bmRef, numFiles = 4)
+    def probe(p: String) = Retrieval.bm25TopKWithIndex(
+        Retrieval.loadBm25Index(spark, p), qdf, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet // raw doubles — bit-identity
+    assert(probe(bmDel) == probe(bmRef), "deleted index diverges from rebuild")
+    val (di, ri) = (Retrieval.loadBm25Index(spark, bmDel),
+      Retrieval.loadBm25Index(spark, bmRef))
+    assert(di.nDocs == ri.nDocs && di.avgdl == ri.avgdl,
+      s"stats drifted: ${di.nDocs}/${di.avgdl} vs ${ri.nDocs}/${ri.avgdl}")
+    // idempotent: re-deleting the same (now absent) ids changes nothing
+    Retrieval.deleteFromBm25Index(delIds, "doc_id", bmDel, numFiles = 2)
+    assert(probe(bmDel) == probe(bmRef), "re-delete must be a no-op")
+
+    // MinHash: row-identity of bands AND shingles vs rebuild
+    val (mhDel, mhRef) = (tmp("mh-del"), tmp("mh-ref"))
+    Dedup.saveMinhashIndex(docs, "doc_id", "text", mhDel,
+      threshold = 0.5, numFiles = 4)
+    Dedup.deleteFromMinhashIndex(delIds, "doc_id", mhDel, numFiles = 2)
+    Dedup.saveMinhashIndex(keep, "doc_id", "text", mhRef,
+      threshold = 0.5, numFiles = 4)
+    def rowsOf(p: String) = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rowsOf(s"$mhDel/bands") == rowsOf(s"$mhRef/bands"),
+      "band rows diverge from rebuild")
+    assert(rowsOf(s"$mhDel/shingles") == rowsOf(s"$mhRef/shingles"),
+      "shingle rows diverge from rebuild")
+
+    // IVF: deleted ids never surface, kept probes still self-recover
+    val ivf = tmp("ivf-del")
+    Similarity.saveIvfIndex(emb, "vec_id", "embedding", ivf,
+      numCentroids = 16, kmeansIters = 1, numFiles = 4)
+    val delV = emb.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    Similarity.deleteFromIvfIndex(delV, "vec_id", ivf)
+    // probes carry offset ids (the q82 convention — results exclude the
+    // probe's own id, so an un-offset self probe would never match)
+    val probes = emb.filter(col("vec_id") < 12)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val res = Similarity.ivfTopKWithIndex(Similarity.loadIvfIndex(spark, ivf),
+        probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0) - 5000000L, r.getLong(1), r.getLong(2)))
+    assert(res.forall(_._2 % 3 != 0), "deleted ids surfaced in probe results")
+    val self = res.filter(r => r._3 == 1L && r._1 % 3 != 0)
+    assert(self.nonEmpty && self.forall(r => r._2 == r._1),
+      "kept vectors must still self-recover at rank 1")
+
+    // PQ / IVF-PQ: codes tables drop exactly the deleted rows
+    val (pq, fused) = (tmp("pq-del"), tmp("ivfpq-del"))
+    Similarity.savePqIndex(emb, "vec_id", "embedding", pq,
+      dim = 64, m = 8, ksub = 16, trainFraction = 0.25)
+    Similarity.deleteFromPqIndex(delV, "vec_id", pq)
+    Similarity.saveIvfPqIndex(emb, "vec_id", "embedding", fused,
+      dim = 64, numCentroids = 16, m = 8, ksub = 16,
+      trainFraction = 0.25, numFiles = 4)
+    Similarity.deleteFromIvfPqIndex(delV, "vec_id", fused)
+    val nKeep = emb.count() - delV.count()
+    for (p <- Seq(s"$pq/codes", s"$fused/codes")) {
+      val codes = spark.read.parquet(p)
+      assert(codes.filter(col("vec_id") % 3 === 0).count() == 0, s"$p kept deleted ids")
+      assert(codes.count() == nKeep, s"$p row count off")
+    }
+  }
+
   test("temperature mix: smallest stratum whole, kept counts track sqrt law") {
     import spark.implicits._
     import graft.ops.Sampling
@@ -1974,6 +2049,47 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     singles.foreach { case (id, sp) =>
       assert(own(id) == sp, s"singleton $id split $sp != hashSplit ${own(id)}") }
+  }
+
+  test("winnowing: shared k+w-1 run guarantees a shared fingerprint, df cut prunes boilerplate") {
+    import spark.implicits._
+    // the winnowing guarantee: any shared token run of k+w-1 = 7 words
+    // yields at least one shared fingerprint, whatever surrounds it
+    val run = (1 to 7).map(i => s"r$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma delta $run epsilon zeta"),
+      (2L, s"one two three four five $run six seven"),
+      (3L, "totally different words with no overlap at all present")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowNearDups(df, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"shared run must fingerprint-match: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"no-overlap doc paired: $got")
+    // planted prefix-copies on the real corpus are recovered
+    val n = docs.count()
+    val found = Dedup.winnowNearDups(planted, "doc_id", "text").collect()
+      .count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(found >= (n * 0.95).toInt, s"found only $found of $n planted twins")
+    // boilerplate: a fingerprint in > maxDf docs joins NOTHING
+    val boiler = (1 to 300).map(i =>
+      (i.toLong, "common boiler plate line repeated all over the corpus"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowNearDups(boiler, "doc_id", "text", minShared = 1).count() == 0,
+      "over-df fingerprints must be cut, not joined")
+    // sub-k documents emit no fingerprints; sub-w gram lists keep one
+    val short = Seq((9L, "a b c"), (10L, "a b c d")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(short, "doc_id", "text")
+      .collect().map(r => r.getLong(0))
+    assert(!fps.contains(9L) && fps.count(_ == 10L) == 1)
+  }
+
+  test("corpus diff: added/removed/changed/same classification") {
+    import spark.implicits._
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val m = graft.ops.Report.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "same", 2L -> "changed", 3L -> "removed", 4L -> "added"), m.toString)
   }
 
   test("gram decontamination: full copies dirty, prefix-grams partial, rewrites clean, short docs clean") {
