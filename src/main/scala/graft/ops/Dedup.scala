@@ -485,6 +485,115 @@ object Dedup {
     out
   }
 
+  /** Duplicate-aware soft dedup: instead of DROPPING near-duplicates,
+    * keep every copy and down-weight it by its cluster's size — weight
+    * = 1 / |cluster| makes each duplicated item contribute one unit of
+    * training mass in total, wherever its copies live. The sampling-
+    * friendly alternative to keep-one dedup when copies carry signal
+    * (popularity, cross-source confirmation) that hard dropping throws
+    * away.
+    *
+    * `pairs` is any (id_a, id_b) near-dup pair set, as in
+    * [[graft.ops.Sampling.leakFreeSplit]]; clusters close via
+    * [[dupClusters]] (pair-bounded CC), singletons weigh 1. The
+    * corpus-sized work is one broadcast-class left join plus a per-row
+    * division. Output: (idCol, cluster, cluster_size, weight) — the
+    * division is one correctly-rounded IEEE op from an integer, so the
+    * weights replay bit-for-bit in any engine.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
+    val cl = dupClusters(pairs, maxIter, checkpointEvery)
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("__cs"))
+    val labeled = cl.join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), col("cluster"), col("__cs"))
+    docs.select(col(idCol))
+      .join(labeled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster"), col(idCol).cast("long")).as("cluster"),
+        coalesce(col("__cs"), lit(1L)).as("cluster_size"))
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+  }
+
+  /** Content-defined chunking at word granularity (the FastCDC/LBFS
+    * boundary idea mapped to text): a word is a BOUNDARY when
+    * hash(word) mod `modulus` == 0 (expected chunk length = modulus
+    * words); a boundary word CLOSES its chunk. Because boundaries depend
+    * only on content, an insertion or deletion re-cuts only its
+    * neighborhood — every chunk outside it keeps its identity, which is
+    * what makes chunk-hash dedup robust to edits where fixed-width
+    * splits resynchronize nowhere.
+    *
+    * Entirely per-row: one higher-order `aggregate` folds the word array
+    * into chunks inside the scan (array-append cost is quadratic in DOC
+    * length at the copy level — fine for documents; chunk a book corpus
+    * with the explode+window formulation instead). Output: (idCol,
+    * chunk_idx, n_words, chunk_hash) — hash of the space-joined chunk,
+    * `hash64`-parametric like every sketch here (gates pass
+    * [[TextAnalysis.portableHash60]]).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16,
+      hash64: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(modulus >= 1, s"modulus=$modulus must be >= 1")
+    val ws = TextAnalysis.words(col(textCol))
+    def emptyChunks = array().cast("array<array<string>>")
+    def emptyCur = array().cast("array<string>")
+    val folded = aggregate(
+      ws,
+      struct(emptyChunks.as("done"), emptyCur.as("cur")),
+      (acc, w) => when(pmod(hash64(w), lit(modulus.toLong)) === 0,
+          struct(
+            concat(acc.getField("done"),
+              array(concat(acc.getField("cur"), array(w)))).as("done"),
+            emptyCur.as("cur")))
+        .otherwise(struct(
+          acc.getField("done").as("done"),
+          concat(acc.getField("cur"), array(w)).as("cur"))),
+      acc => when(size(acc.getField("cur")) > 0,
+          concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done")))
+    Spread.toCores(df)
+      .select(col(idCol), posexplode(folded).as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_words"),
+        hash64(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  /** Cross-document shared-chunk statistics over [[cdcChunks]] — the
+    * chunk-level dedup signal (which parts of each document exist
+    * elsewhere in the corpus, at edit-resilient boundaries): per doc,
+    * total chunks/words and how many sit in chunks whose hash occurs in
+    * ≥ `minDocs` DISTINCT documents.
+    *
+    * Scale shape = [[dedupLinesAcross]]: the distinct-doc count runs over
+    * narrow (hash, id) longs, the join-back side is the shared-chunk
+    * vocabulary (duplication-bounded → AQE broadcast when small).
+    * Output: (idCol, n_chunks, n_words, n_shared_chunks, shared_words).
+    */
+  def cdcSharedChunkStats(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16, minDocs: Int = 2,
+      hash64: Column => Column = c => xxhash64(c)): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, modulus, hash64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = chunks.select(col("chunk_hash"), col(idCol))
+      .distinct()
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("chunk_hash"))
+    val out = chunks
+      .join(shared.withColumn("__shared", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("__shared").isNotNull, 1L).otherwise(0L)).as("n_shared_chunks"),
+        sum(when(col("__shared").isNotNull, col("n_words")).otherwise(0L))
+          .as("shared_words"))
+      .materialized(eager = true)
+    chunks.unpersist(blocking = false)
+    out
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
     * word `k`-gram, slide a window of `w` consecutive gram hashes, keep

@@ -315,6 +315,21 @@ object OpsQueries {
       Dedup.winnowNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         k = 4, w = 4, minShared = 2, maxDf = 256,
         hash64 = TextAnalysis.portableHash60)),
+    // Soft dedup: q68's clusters as 1/|cluster| training weights — every
+    // copy kept, each duplicated item contributing one unit in total.
+    "q139_soft_dedup" -> ((s, d) => {
+      val t = docsWithPlantedDups(s, d)
+      val pairs = Dedup.ngramJaccardNearDups(t, "doc_id", "text",
+        blockCol = col("source"), threshold = 0.5)
+      Dedup.softDedupWeights(t, "doc_id", pairs)
+    }),
+    // Content-defined chunking (FastCDC at word granularity) + cross-doc
+    // shared-chunk stats: planted prefix-copies share every chunk not
+    // touching the trimmed tail; the portable hash family replays each
+    // boundary decision, chunk hash and distinct-doc count in SQL.
+    "q138_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcSharedChunkStats(docsWithPlantedDups(s, d), "doc_id", "text",
+        modulus = 16, minDocs = 2, hash64 = TextAnalysis.portableHash60)),
     // Corpus snapshot diff (dataset versioning): v2 drops every 7th doc,
     // rewrites every 5th survivor, adds copies of every 3rd under new
     // ids — each id must classify added/removed/changed/same exactly.
@@ -2596,6 +2611,72 @@ object OpsQueries {
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |FROM ej a JOIN ej b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 2
+      |""".stripMargin,
+    // q139: q68's closure + per-cluster counts + one IEEE division.
+    "q139_soft_dedup" -> s"""
+      |WITH RECURSIVE planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |       FROM r GROUP BY src),
+      |cs AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY cluster),
+      |lab AS (
+      |  SELECT p.doc_id, CAST(coalesce(cl.cluster, p.doc_id) AS BIGINT) AS cluster,
+      |    CAST(coalesce(cs.csz, 1) AS BIGINT) AS cluster_size
+      |  FROM planted p LEFT JOIN cl ON p.doc_id = cl.id
+      |  LEFT JOIN cs ON cl.cluster = cs.cluster)
+      |SELECT doc_id, cluster, cluster_size,
+      |  CAST(1 AS DOUBLE) / CAST(cluster_size AS DOUBLE) AS weight
+      |FROM lab
+      |""".stripMargin,
+    // q138: CDC replay — per-word boundary bit (md5-60 mod 16), chunk id
+    // = boundaries strictly before (a boundary word closes its chunk),
+    // chunk hash over the pos-ordered join, shared = hash in >= 2docs.
+    "q138_cdc_chunks" -> s"""
+      |WITH planted AS ($plantedSql),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |      FROM planted),
+      |w AS (SELECT doc_id, i AS pos, ws[i] AS w
+      |      FROM t, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+      |b AS (SELECT doc_id, pos, w,
+      |    CASE WHEN ('0x' || substr(md5(w), 1, 15))::BIGINT % 16 = 0
+      |      THEN 1 ELSE 0 END AS isb
+      |  FROM w),
+      |c AS (SELECT doc_id, pos, w,
+      |    coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+      |  FROM b),
+      |ch AS (SELECT doc_id, cid, CAST(count(*) AS BIGINT) AS n_words,
+      |    ('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 15))::BIGINT
+      |      AS chunk_hash
+      |  FROM c GROUP BY doc_id, cid),
+      |sh AS (SELECT chunk_hash FROM (
+      |    SELECT chunk_hash, count(DISTINCT doc_id) AS nd
+      |    FROM ch GROUP BY 1) WHERE nd >= 2)
+      |SELECT ch.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(ch.n_words) AS BIGINT) AS n_words,
+      |  CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_shared_chunks,
+      |  CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN ch.n_words ELSE 0 END)
+      |    AS BIGINT) AS shared_words
+      |FROM ch LEFT JOIN sh s ON ch.chunk_hash = s.chunk_hash
+      |GROUP BY ch.doc_id
       |""".stripMargin,
     // q137: the same v2 construction, statuses from md5 over a full outer
     // join — identical UTF-8 bytes hash identically in both engines.

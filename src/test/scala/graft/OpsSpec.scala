@@ -2083,6 +2083,99 @@ class OpsSpec extends AnyFunSuite {
     assert(!fps.contains(9L) && fps.count(_ == 10L) == 1)
   }
 
+  test("winnowing guarantee holds on 200 random planted-run pairs") {
+    import spark.implicits._
+    // any two docs sharing a contiguous run of >= k+w-1 tokens MUST share
+    // a fingerprint, whatever random context surrounds the run — the
+    // paper's guarantee, checked over 200 random cases in one Spark pass
+    val rnd = new scala.util.Random(42)
+    def ws(n: Int, tag: String) = Seq.fill(n)(tag + rnd.nextInt(5000))
+    val rows = (0 until 200).flatMap { i =>
+      val run = ws(7 + rnd.nextInt(10), s"s${i}x")
+      val a = ws(rnd.nextInt(30), s"a${i}x") ++ run ++ ws(rnd.nextInt(30), s"c${i}x")
+      val b = ws(rnd.nextInt(30), s"b${i}x") ++ run ++ ws(rnd.nextInt(30), s"d${i}x")
+      Seq((2L * i, a.mkString(" ")), (2L * i + 1, b.mkString(" ")))
+    }
+    val pairs = Dedup.winnowNearDups(rows.toDF("doc_id", "text"),
+        "doc_id", "text", minShared = 1, maxDf = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 200).foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)), s"planted pair $i missed") }
+  }
+
+  test("CDC chunking: reconstruction, modulus-1 degenerates to words, edit locality") {
+    import spark.implicits._
+    // modulus 1: every word is a boundary → one 1-word chunk per word
+    val one = Dedup.cdcChunks(Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", modulus = 1).collect()
+    assert(one.length == 5 && one.forall(_.getLong(2) == 1L))
+    // chunks partition the document: per doc, word counts sum to the
+    // token count and chunk indexes are dense 0..n-1
+    val rec = Dedup.cdcChunks(docs, "doc_id", "text", modulus = 8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nc"), sum(col("n_words")).as("nw"),
+        max(col("chunk_idx")).as("mx"))
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("tok")), "doc_id")
+      .collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      assert(r.getLong(2) == r.getLong(4), s"chunk words != tokens: $r")
+      assert(r.getLong(3) == r.getLong(1) - 1, s"chunk_idx not dense: $r")
+    }
+    // edit locality: replacing ONE word changes at most 2 chunk hashes
+    val base = (1 to 60).map(i => s"w$i")
+    val edited = base.updated(30, "EDITED")
+    val pair = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(pair, "doc_id", "text", modulus = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(3)).toSet }
+    val sharedChunks = (byDoc(1L) intersect byDoc(2L)).size
+    assert(sharedChunks >= byDoc(1L).size - 2,
+      s"edit touched more than its neighborhood: ${byDoc(1L).size} vs $sharedChunks shared")
+    // planted twins share chunks corpus-wide; modulus 8 (finer chunks)
+    // because a doc short enough to be ONE chunk shares nothing with a
+    // tail-trimmed twin — by design, its only chunk was edited
+    val stats = Dedup.cdcSharedChunkStats(planted, "doc_id", "text",
+        modulus = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val n = docs.count()
+    assert(stats.count(_._2 > 0) >= (1.5 * n).toInt,
+      s"planted twins must share chunks: ${stats.count(_._2 > 0)} of ${2 * n}")
+  }
+
+  test("soft dedup: cluster mass sums to one, singletons weigh 1, weights join-stable with clusters") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // planted pairs EVERY doc with its twin — add one genuine loner so
+    // the singleton path is exercised too
+    val corpus = planted.unionByName(
+      Seq((999999L, "srcX", "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"))
+        .toDF("doc_id", "source", "text"))
+    val pairs = Dedup.ngramJaccardNearDups(corpus, "doc_id", "text",
+      blockCol = col("source"), threshold = 0.5)
+    val out = Dedup.softDedupWeights(corpus, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == corpus.count())
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      val cs = members.head._3
+      assert(members.length == cs, s"cluster $cl count != cluster_size")
+      assert(members.forall(_._4 == 1.0 / cs))
+      // total training mass of a duplicated item = 1
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-9)
+    }
+    val loner = out.find(_._1 == 999999L).get
+    assert(loner._3 == 1L && loner._4 == 1.0 && loner._2 == 999999L,
+      s"loner must be its own weight-1 cluster: $loner")
+    assert(out.exists(_._3 > 1L), "fixture must contain clusters")
+    // same clusters as the hard split uses — the two dedup modes agree
+    // on STRUCTURE, differing only in drop-vs-weight
+    val splitClusters = Sampling.leakFreeSplit(corpus, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.forall { case (id, cl, _, _) => splitClusters(id) == cl })
+  }
+
   test("corpus diff: added/removed/changed/same classification") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
