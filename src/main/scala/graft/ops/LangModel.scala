@@ -98,6 +98,29 @@ object LangModel {
       textCol: String): DataFrame =
     score(docs, idCol, textCol, train(reference, idCol, textCol))
 
+  /** Top-k continuations per context word — the corpus-derived
+    * suggestion/autocomplete table (and the inspection surface for the
+    * bigram model [[score]] runs on: "what does the corpus think follows
+    * w?"). Pure integer ranking: count DESC, then word ASC — total
+    * order, no floats anywhere, replays on any engine.
+    *
+    * Scale shape: the count table is vocabulary-bounded (map-side
+    * combined, tiny next to corpus bytes); the rank is one window over
+    * per-context groups whose size is the context's distinct-follower
+    * count — bounded by vocabulary, not corpus. Output:
+    * (w1, w2, c2, rank ≤ k).
+    */
+  def topContinuations(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val counts = pairStream(Spread.toCores(corpus), idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("c2").desc, col("w2").asc)
+    counts.withColumn("rank", row_number().over(byCount).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** CCNet's head/middle/tail split (Wenzek et al. 2020): within each
     * stratum (CCNet: language; here any column — source, domain), rank
     * documents by LM cross-entropy ascending and cut the ranking into

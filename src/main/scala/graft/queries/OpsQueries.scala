@@ -315,6 +315,10 @@ object OpsQueries {
       Dedup.winnowNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         k = 4, w = 4, minShared = 2, maxDf = 256,
         hash64 = TextAnalysis.portableHash60)),
+    // Bigram top-k continuations (the LM suggestion table): pure integer
+    // (count DESC, word ASC) ranking — every row replays exactly.
+    "q140_continuations" -> ((s, d) =>
+      LangModel.topContinuations(docs(s, d), "doc_id", "text", k = 3)),
     // Soft dedup: q68's clusters as 1/|cluster| training weights — every
     // copy kept, each duplicated item contributing one unit in total.
     "q139_soft_dedup" -> ((s, d) => {
@@ -2612,6 +2616,19 @@ object OpsQueries {
       |FROM ej a JOIN ej b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |""".stripMargin,
+    // q140: q89's pair stream, counts, integer-ranked per context.
+    "q140_continuations" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  WHERE len(ws) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2)
+        |SELECT w1, w2, c2, rank FROM (
+        |  SELECT w1, w2, c2,
+        |    row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2 ASC) AS rank
+        |  FROM big)
+        |WHERE rank <= 3""".stripMargin,
     // q139: q68's closure + per-cluster counts + one IEEE division.
     "q139_soft_dedup" -> s"""
       |WITH RECURSIVE planted AS ($plantedSql),

@@ -61,7 +61,9 @@ object ScaleProbe {
     // later round-8 additions ≥1 s at sf0.1: hybrid retrieval fusion,
     // the CCNet perplexity banding (q89's scaling plus two windows), and
     // winnowing near-dups (fp-keyed join, df-cut bounded — probed as-is)
-    "q118_hybrid_rrf", "q134_ppl_buckets", "q136_winnow_neardup"
+    "q118_hybrid_rrf", "q134_ppl_buckets", "q136_winnow_neardup",
+    // CDC chunking: per-row fold + the line-dedup-shaped stats shuffle
+    "q138_cdc_chunks"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // q131's gate uses 3/5 of the corpus as the eval suite (oracle
     // richness); scaled 10× that would time an eval side no deployment
@@ -95,6 +97,13 @@ object ScaleProbe {
     ("q135_leakfree_split" -> ((s: SparkSession, d: String) => {
       val docs = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
       graft.ops.Sampling.leakFreeSplit(docs, "doc_id",
+        graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5).select(col("id_a"), col("id_b")))
+    })) :+
+    // q139: same regime override as q135 — weights through MinHash pairs.
+    ("q139_soft_dedup" -> ((s: SparkSession, d: String) => {
+      val docs = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
+      graft.ops.Dedup.softDedupWeights(docs, "doc_id",
         graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
           threshold = 0.5).select(col("id_a"), col("id_b")))
     })) :+

@@ -264,6 +264,25 @@ class CurationSpec extends AnyFunSuite {
     assert(toks.mkString("").stripSuffix(Bpe.EndOfWord) == word)
   }
 
+  test("top continuations: hand-computed counts, count-then-word ordering, k cut") {
+    import spark.implicits._
+    import graft.ops.LangModel
+    val df = Seq((1L, "a b a c a b"), (2L, "z a")).toDF("doc_id", "text")
+    val got = LangModel.topContinuations(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // pairs: a→b ×2, b→a ×1, a→c ×1, c→a ×1, z→a ×1
+    assert(got == Set(
+      ("a", "b", 2L, 1L), ("a", "c", 1L, 2L),
+      ("b", "a", 1L, 1L), ("c", "a", 1L, 1L), ("z", "a", 1L, 1L)), got.toString)
+    // tie-break: equal counts order by word ascending
+    val tie = LangModel.topContinuations(
+        Seq((1L, "x m x n x m x n")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .filter(col("w1") === "x")
+      .orderBy(col("rank")).collect().map(_.getString(1)).toSeq
+    assert(tie == Seq("m", "n"), tie.toString)
+  }
+
   test("Curate.run: config-driven pipeline drops exactly the right docs") {
     import spark.implicits._
     import graft.ops.Curate
