@@ -378,6 +378,47 @@ object Sampling {
       .withColumn("keep", col("score") > 0d)
   }
 
+  /** Contrastive training-triple mining: (anchor, positive, negative)
+    * rows for embedding-model training — positives are near-duplicate
+    * pairs (any [[graft.ops.Dedup]] sketch, both directions), negatives
+    * are drawn DETERMINISTICALLY from a hash-ordered ring over the corpus
+    * ids: every id gets a rank by md5(seed‖id), and an anchor's negative
+    * is its ring successor (successor² when the successor happens to be
+    * the positive). A hash ring beats rand() negatives for the same
+    * reason every sampler here does: the triple set is reproducible on
+    * any engine and any partitioning, and the ring guarantees negative ∉
+    * {anchor, positive} for any corpus of ≥ 3 docs without rejection
+    * loops.
+    *
+    * Scale note: the ring rank is a GLOBAL row_number (one total order
+    * over ids — fine into the billions of ids as a one-off; at extreme
+    * scale replace with a range-partitioned rank, the contract is just
+    * "a deterministic permutation"). Pair-side work is two broadcast-
+    * class joins against the (id, rank) table.
+    *
+    * Output: (anchor, positive, negative).
+    */
+  def contrastiveTriples(docs: DataFrame, idCol: String, pairs: DataFrame,
+      seed: String = "ng0"): DataFrame = {
+    val ids = docs.select(col(idCol).as("__id")).distinct()
+    val n = ids.count()
+    require(n >= 3, s"contrastiveTriples needs >= 3 docs, got $n")
+    val byHash = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(concat(lit(seed), col("__id").cast("string"))), col("__id"))
+    val ring = ids.withColumn("__r", row_number().over(byHash).cast("long"))
+    val pos = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
+      .unionAll(pairs.select(col("id_b").as("anchor"), col("id_a").as("positive")))
+    pos
+      .join(ring.select(col("__id").as("anchor"), col("__r").as("__ra")), Seq("anchor"))
+      .withColumn("__r1", pmod(col("__ra"), lit(n)) + 1L)
+      .withColumn("__r2", pmod(pmod(col("__ra"), lit(n)) + 1L, lit(n)) + 1L)
+      .join(ring.select(col("__r").as("__r1"), col("__id").as("__nb1")), Seq("__r1"))
+      .join(ring.select(col("__r").as("__r2"), col("__id").as("__nb2")), Seq("__r2"))
+      .select(col("anchor"), col("positive"),
+        when(col("__nb1") =!= col("positive"), col("__nb1"))
+          .otherwise(col("__nb2")).as("negative"))
+  }
+
   /** Leakage-free train/test split: near-duplicate CLUSTERS are the
     * atomic split unit, so a document and its near-copies can never land
     * on opposite sides of the split — the failure mode that silently

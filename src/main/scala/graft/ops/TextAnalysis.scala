@@ -330,6 +330,66 @@ object TextAnalysis {
       .filter(col("cnt") * denom > n)
   }
 
+  /** Deterministic span-corruption example generation (the T5/UL2 denoising
+    * objective's data step, word-granular): each word is masked when
+    * hash(seed:id:pos) mod `denom` == 0 (expected mask rate 1/denom);
+    * CONSECUTIVE masked words merge into one span; the corrupted input
+    * replaces each span with `<extra_id_k>` (k = span ordinal within the
+    * doc) and the target lists each sentinel followed by the words it hid
+    * — exactly the seq2seq pair a denoising trainer consumes.
+    *
+    * Deterministic by construction (no RNG state): the same (seed, id)
+    * always yields the same example, so the corpus regenerates
+    * identically on any engine, any partitioning, any day — the property
+    * that makes training data auditable. Independent per-word masking
+    * gives geometric span lengths (mean denom/(denom−1) ≈ 1 at the
+    * default); span-length shaping belongs in the hash predicate, not in
+    * sequential RNG.
+    *
+    * Per-row: one flags pass + one higher-order fold, zero shuffle.
+    * `hash64` parametric as everywhere ([[portableHash60]] for the gate).
+    * Output: (idCol, n_words, n_masked, n_spans, corrupted, target).
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      denom: Int = 7, seed: String = "sc0",
+      hash64: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(denom >= 2, s"denom=$denom must be >= 2")
+    val ws = words(col(textCol))
+    val flagged = transform(
+      sequence(lit(0), size(ws) - 1),
+      i => struct(element_at(ws, i + 1).as("w"),
+        (pmod(hash64(concat_ws(":", lit(seed), col(idCol), i)),
+          lit(denom.toLong)) === 0).as("m")))
+    def emptyS = array().cast("array<string>")
+    val folded = aggregate(
+      flagged,
+      struct(emptyS.as("corr"), emptyS.as("tgt"),
+        lit(0).as("k"), lit(false).as("prev")),
+      (acc, t) => {
+        val sentinel = concat(lit("<extra_id_"), acc.getField("k"), lit(">"))
+        when(t.getField("m") && !acc.getField("prev"),
+          struct(concat(acc.getField("corr"), array(sentinel)).as("corr"),
+            concat(acc.getField("tgt"), array(sentinel, t.getField("w"))).as("tgt"),
+            (acc.getField("k") + 1).as("k"), lit(true).as("prev")))
+        .when(t.getField("m"),
+          struct(acc.getField("corr").as("corr"),
+            concat(acc.getField("tgt"), array(t.getField("w"))).as("tgt"),
+            acc.getField("k").as("k"), lit(true).as("prev")))
+        .otherwise(
+          struct(concat(acc.getField("corr"), array(t.getField("w"))).as("corr"),
+            acc.getField("tgt").as("tgt"),
+            acc.getField("k").as("k"), lit(false).as("prev")))
+      })
+    Spread.toCores(df)
+      .select(col(idCol), size(ws).cast("long").as("n_words"),
+        size(filter(flagged, t => t.getField("m"))).cast("long").as("n_masked"),
+        folded.as("__f"))
+      .select(col(idCol), col("n_words"), col("n_masked"),
+        col("__f").getField("k").cast("long").as("n_spans"),
+        concat_ws(" ", col("__f").getField("corr")).as("corrupted"),
+        concat_ws(" ", col("__f").getField("tgt")).as("target"))
+  }
+
   def langId(text: Column): Column = {
     val ws = transform(words(text), lower _)
     // Score per language; argmax via array_max over struct(score, rank,

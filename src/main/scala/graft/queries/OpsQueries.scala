@@ -315,6 +315,21 @@ object OpsQueries {
       Dedup.winnowNearDups(docsWithPlantedDups(s, d), "doc_id", "text",
         k = 4, w = 4, minShared = 2, maxDf = 256,
         hash64 = TextAnalysis.portableHash60)),
+    // Contrastive triples: planted near-dup pairs as positives, ring
+    // negatives — anchor/positive/negative all replayed exactly.
+    "q142_contrastive" -> ((s, d) => {
+      val t = docsWithPlantedDups(s, d)
+      val pairs = Dedup.ngramJaccardNearDups(t, "doc_id", "text",
+        blockCol = col("source"), threshold = 0.5)
+      Sampling.contrastiveTriples(t, "doc_id", pairs)
+    }),
+    // T5-style span corruption (denoising training-example generation):
+    // deterministic word masking, runs merged to sentinel spans; the
+    // portable hash replays every mask bit, sentinel index and both
+    // output strings exactly.
+    "q141_span_corrupt" -> ((s, d) =>
+      TextAnalysis.spanCorrupt(docs(s, d), "doc_id", "text",
+        denom = 7, hash64 = TextAnalysis.portableHash60)),
     // Bigram top-k continuations (the LM suggestion table): pure integer
     // (count DESC, word ASC) ranking — every row replays exactly.
     "q140_continuations" -> ((s, d) =>
@@ -2616,6 +2631,76 @@ object OpsQueries {
       |FROM ej a JOIN ej b ON a.fp = b.fp AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |""".stripMargin,
+    // q142: q68's pair CTE bidirectional + the md5 ring (successor, or
+    // successor-squared when the successor IS the positive).
+    "q142_contrastive" -> s"""
+      |WITH planted AS ($plantedSql),
+      |sh AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |    list_distinct(list_transform(range(1, greatest(len(ws) - 1, 2)),
+      |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      |        FROM planted)),
+      |pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |pos AS (SELECT id_a AS anchor, id_b AS positive FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs),
+      |ring AS (SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY md5('ng0' || CAST(doc_id AS VARCHAR)),
+      |      doc_id) AS r
+      |  FROM planted),
+      |nn AS (SELECT count(*) AS n FROM ring),
+      |wr AS (SELECT p.anchor, p.positive, r.r AS ra
+      |  FROM pos p JOIN ring r ON p.anchor = r.id)
+      |SELECT wr.anchor, wr.positive,
+      |  CASE WHEN s1.id <> wr.positive THEN s1.id ELSE s2.id END AS negative
+      |FROM wr CROSS JOIN nn
+      |JOIN ring s1 ON (wr.ra % nn.n) + 1 = s1.r
+      |JOIN ring s2 ON ((wr.ra % nn.n + 1) % nn.n) + 1 = s2.r
+      |""".stripMargin,
+    // q141: mask bit per (seed:id:pos), spans via lag/cumsum windows,
+    // corrupted/target rebuilt with ordered string_agg.
+    "q141_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w, len(ws) AS nw
+        |      FROM toks, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+        |f AS (SELECT doc_id, pos, w, nw,
+        |    (('0x' || substr(md5('sc0:' || CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(pos AS VARCHAR)), 1, 15))::BIGINT % 7 = 0) AS m
+        |  FROM w),
+        |g AS (SELECT *, CASE WHEN m AND NOT
+        |      coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+        |    THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |h AS (SELECT *, sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS kc
+        |  FROM g),
+        |ctoks AS (SELECT doc_id, pos,
+        |    CASE WHEN NOT m THEN w
+        |         WHEN st = 1 THEN '<extra_id_' || CAST(kc - 1 AS VARCHAR) || '>'
+        |         ELSE NULL END AS tok
+        |  FROM h),
+        |ttoks AS (SELECT doc_id, pos,
+        |    CASE WHEN st = 1
+        |      THEN '<extra_id_' || CAST(kc - 1 AS VARCHAR) || '>' || ' ' || w
+        |      ELSE w END AS tok
+        |  FROM h WHERE m),
+        |agg AS (SELECT doc_id, CAST(max(nw) AS BIGINT) AS n_words,
+        |    CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_masked,
+        |    CAST(coalesce(max(kc), 0) AS BIGINT) AS n_spans
+        |  FROM h GROUP BY doc_id),
+        |c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS corrupted
+        |  FROM ctoks WHERE tok IS NOT NULL GROUP BY doc_id),
+        |tt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS target
+        |  FROM ttoks GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_words, a.n_masked, a.n_spans,
+        |  coalesce(c.corrupted, '') AS corrupted,
+        |  coalesce(tt.target, '') AS target
+        |FROM agg a LEFT JOIN c USING (doc_id) LEFT JOIN tt USING (doc_id)
+        |""".stripMargin,
     // q140: q89's pair stream, counts, integer-ranked per context.
     "q140_continuations" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws

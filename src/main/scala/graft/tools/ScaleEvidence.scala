@@ -116,6 +116,18 @@ object ScaleEvidence {
     results("q121_split") =
       s"""{"t_sf01":${math.rint(t1 * 1000) / 1000},"t_sf1":${math.rint(t10 * 1000) / 1000},"fixed_sec":${math.rint(fixed * 1000) / 1000},"var_sec_per_1m_rows":${math.rint(varPerMRows * 1000) / 1000},"rows_sf01":$n1}"""
 
+    // q141 fixed/variable split — the same amortization-floor check for
+    // the span-corruption fold (a pure scan op like q121; its probe
+    // ratio reads high for the same fixed-floor reason)
+    val q141 = graft.SparkEntry.queries("q141_span_corrupt")
+    val nd1 = spark.read.parquet(s"$sf01/documents.parquet").count()
+    val (s1, _, _) = med3(measure(spark, "q141_sf01")(q141(spark, sf01)))
+    val (s10, _, _) = med3(measure(spark, "q141_sf1")(q141(spark, sf1)))
+    val fixed141 = math.max(0.0, (10 * s1 - s10) / 9)
+    val var141 = (s10 - s1) / (9.0 * nd1) * 1e6
+    results("q141_split") =
+      s"""{"t_sf01":${math.rint(s1 * 1000) / 1000},"t_sf1":${math.rint(s10 * 1000) / 1000},"fixed_sec":${math.rint(fixed141 * 1000) / 1000},"var_sec_per_1m_rows":${math.rint(var141 * 1000) / 1000},"rows_sf01":$nd1}"""
+
     println(results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     spark.stop()
   }

@@ -63,7 +63,9 @@ object ScaleProbe {
     // winnowing near-dups (fp-keyed join, df-cut bounded — probed as-is)
     "q118_hybrid_rrf", "q134_ppl_buckets", "q136_winnow_neardup",
     // CDC chunking: per-row fold + the line-dedup-shaped stats shuffle
-    "q138_cdc_chunks"
+    "q138_cdc_chunks",
+    // span corruption: pure per-row fold — should ride the scan
+    "q141_span_corrupt"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // q131's gate uses 3/5 of the corpus as the eval suite (oracle
     // richness); scaled 10× that would time an eval side no deployment
@@ -104,6 +106,13 @@ object ScaleProbe {
     ("q139_soft_dedup" -> ((s: SparkSession, d: String) => {
       val docs = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
       graft.ops.Dedup.softDedupWeights(docs, "doc_id",
+        graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5).select(col("id_a"), col("id_b")))
+    })) :+
+    // q142: same regime override — triples through MinHash positives.
+    ("q142_contrastive" -> ((s: SparkSession, d: String) => {
+      val docs = graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
+      graft.ops.Sampling.contrastiveTriples(docs, "doc_id",
         graft.ops.Dedup.minhashNearDups(docs, "doc_id", "text",
           threshold = 0.5).select(col("id_a"), col("id_b")))
     })) :+

@@ -2176,6 +2176,69 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall { case (id, cl, _, _) => splitClusters(id) == cl })
   }
 
+  test("span corruption: reconstruction inverts the corruption, counts consistent, deterministic") {
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val originals = docs.select(col("doc_id"), trim(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == originals.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, (nw, nm, ns, corrupted, target)) =>
+      assert(ns <= nm, s"doc $id: more spans than masked words")
+      // parse target: sentinel -> the words it hides
+      val ttoks = target.split(" ").filter(_.nonEmpty)
+      val spans = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      ttoks.foreach {
+        case s if sentinel.matches(s) => cur = s; spans(cur) = Vector()
+        case w => spans(cur) = spans(cur) :+ w
+      }
+      assert(spans.size == ns, s"doc $id: target has ${spans.size} spans, expected $ns")
+      // splice the spans back in: must equal the original text
+      val rebuilt = corrupted.split(" ").filter(_.nonEmpty).flatMap {
+        case s if sentinel.matches(s) => spans(s)
+        case w => Seq(w)
+      }.mkString(" ")
+      val orig = originals(id).split("\\s+").mkString(" ")
+      assert(rebuilt == orig, s"doc $id: reconstruction diverges")
+      // corrupted length bookkeeping
+      val nCorr = corrupted.split(" ").count(_.nonEmpty)
+      assert(nCorr == nw - nm + ns, s"doc $id: corrupted token count off")
+    }
+    assert(out.values.exists(_._2 > 0), "fixture must mask something")
+    assert(out.values.exists(v => v._2 > v._3), "fixture must contain a multi-word span")
+    // determinism: identical second run
+    val again = TextAnalysis.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(again == out)
+  }
+
+  test("contrastive triples: both directions, negative disjoint, deterministic") {
+    import graft.ops.Sampling
+    val pairs = Dedup.ngramJaccardNearDups(planted, "doc_id", "text",
+      blockCol = col("source"), threshold = 0.5)
+    val nPairs = pairs.count()
+    val out = Sampling.contrastiveTriples(planted, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2 * nPairs, "every pair anchors in both directions")
+    out.foreach { case (a, p, n) =>
+      assert(n != a && n != p, s"negative $n collides with anchor/positive ($a, $p)")
+    }
+    // positives really are the pair set, both ways
+    val posSet = pairs.select(col("id_a"), col("id_b")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == posSet)
+    // deterministic: same triples on a second run
+    val again = Sampling.contrastiveTriples(planted, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // an anchor with DIFFERENT positives can keep the same ring negative;
+    // the same (anchor, positive) always maps to ONE negative
+    assert(out.groupBy(t => (t._1, t._2)).forall(_._2.map(_._3).distinct.length == 1))
+  }
+
   test("corpus diff: added/removed/changed/same classification") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
