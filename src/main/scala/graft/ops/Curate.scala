@@ -102,28 +102,7 @@ object Curate {
     }
     val reportBefore = Report.perSource(docs, col(sourceCol), col(textCol))
 
-    var t = docs
-    if (cfg.htmlExtract)
-      t = t.withColumn(textCol, WebText.htmlExtract(col(textCol)))
-    if (cfg.normalizeUnicode)
-      t = t.withColumn(textCol, graft.functions.textnorm.nfc_normalize(col(textCol)))
-    for (u <- urlCol if cfg.blockedDomains.nonEmpty)
-      t = WebText.filterBlockedDomains(t, col(u), cfg.blockedDomains)
-    if (cfg.blockedTerms.nonEmpty)
-      t = WebText.filterBlockedTerms(t, col(textCol), cfg.blockedTerms)
-    // language filter runs FIRST among the content filters (the CCNet
-    // order: everything downstream is language-conditional) — per-row
-    // marker-profile argmax, same scan pass
-    if (cfg.allowedLangs.nonEmpty)
-      t = t.filter(TextAnalysis.langId(col(textCol))
-        .isin(cfg.allowedLangs: _*))
-    if (cfg.qualityFilter)
-      t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
-    // model-based quality: the q121 classifier logit as a per-row filter
-    // predicate — same scan pass as the heuristic rule, no join
-    if (cfg.classifierFilter)
-      t = t.filter(TextAnalysis.classifierLogit(col(textCol)) >
-        cfg.classifierMinLogit)
+    var t = rowStages(docs, textCol, cfg, urlCol)
     if (cfg.exactDedup)
       t = Dedup.exactDedup(t, idCol, textCol)
     // the stages below (near-dup pair generation, DSIR's corpus counts,
@@ -184,5 +163,72 @@ object Curate {
       t = Sampling.capPerGroup(t, col(sourceCol), col(idCol), cap)
 
     Result(t, reportBefore, Report.perSource(t, col(sourceCol), col(textCol)))
+  }
+
+  /** The per-row stage chain (1–5b) — ONE definition shared by [[run]]
+    * and [[runStream]], so batch and streaming curation cannot drift.
+    * Every stage is a stateless projection/predicate, which is exactly
+    * why the same chain composes onto an unbounded stream unchanged.
+    */
+  def rowStages(docs: DataFrame, textCol: String, cfg: Config,
+      urlCol: Option[String] = None): DataFrame = {
+    require(cfg.blockedDomains.isEmpty || urlCol.isDefined,
+      "domain blocklist needs urlCol")
+    var t = docs
+    if (cfg.htmlExtract)
+      t = t.withColumn(textCol, WebText.htmlExtract(col(textCol)))
+    if (cfg.normalizeUnicode)
+      t = t.withColumn(textCol, graft.functions.textnorm.nfc_normalize(col(textCol)))
+    for (u <- urlCol if cfg.blockedDomains.nonEmpty)
+      t = WebText.filterBlockedDomains(t, col(u), cfg.blockedDomains)
+    if (cfg.blockedTerms.nonEmpty)
+      t = WebText.filterBlockedTerms(t, col(textCol), cfg.blockedTerms)
+    // language filter runs FIRST among the content filters (the CCNet
+    // order: everything downstream is language-conditional) — per-row
+    // marker-profile argmax, same scan pass
+    if (cfg.allowedLangs.nonEmpty)
+      t = t.filter(TextAnalysis.langId(col(textCol))
+        .isin(cfg.allowedLangs: _*))
+    if (cfg.qualityFilter)
+      t = t.filter(TextAnalysis.qualityKeep(col(textCol)))
+    // model-based quality: the q121 classifier logit as a per-row filter
+    // predicate — same scan pass as the heuristic rule, no join
+    if (cfg.classifierFilter)
+      t = t.filter(TextAnalysis.classifierLogit(col(textCol)) >
+        cfg.classifierMinLogit)
+    t
+  }
+
+  /** Streaming curation — the live-crawl half of the pipeline: the SAME
+    * per-row stages as [[run]] (shared [[rowStages]] chain) over an
+    * unbounded stream, plus watermark-bounded exact dedup on the content
+    * fingerprint (`dropDuplicatesWithinWatermark` — state holds only the
+    * watermark window, so it survives an unbounded crawl). Corpus-wide
+    * stages that need the WHOLE distribution (near-dup clustering, DSIR,
+    * rebalance, budgets) stay batch by nature — run them on the landed
+    * output, or probe a persisted LSH index per batch
+    * ([[graft.ops.Dedup.novelAgainstMinhashIndex]] via foreachBatch) for
+    * the incremental near-dup shape.
+    *
+    * Config knobs beyond the row stages are IGNORED here by design —
+    * loudly, not silently: passing one is a require failure, so a batch
+    * config doesn't quietly under-curate a stream.
+    */
+  def runStream(stream: DataFrame, textCol: String, cfg: Config,
+      tsCol: String, lateness: String,
+      urlCol: Option[String] = None): DataFrame = {
+    require(cfg.nearDupThreshold.isEmpty && cfg.dsirTargetSources.isEmpty &&
+      cfg.targetShares.isEmpty && cfg.tokenBudgets.isEmpty &&
+      cfg.capPerSource.isEmpty && cfg.perplexityBands.isEmpty,
+      "runStream handles the per-row stages + exact dedup; corpus-wide " +
+        "stages (near-dup, DSIR, rebalance, budgets, caps, perplexity " +
+        "bands) are batch passes — run them on the landed output")
+    val t = rowStages(stream, textCol, cfg, urlCol)
+    if (cfg.exactDedup)
+      t.withColumn("__graft_fp", TextAnalysis.fingerprint(col(textCol)))
+        .withWatermark(tsCol, lateness)
+        .dropDuplicatesWithinWatermark("__graft_fp")
+        .drop("__graft_fp")
+    else t
   }
 }

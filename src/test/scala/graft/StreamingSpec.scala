@@ -405,6 +405,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(1L, 4L), s"stream filters kept $out")
   }
 
+  test("streaming curation: shared row stages match batch, in-watermark dup dropped, corpus stages refused") {
+    import spark.implicits._
+    import graft.ops.Curate
+    implicit val ctx = spark.sqlContext
+    val good = "a perfectly reasonable document with more than ten distinct whitespace tokens"
+    val cfg = Curate.Config(normalizeUnicode = false,
+      blockedTerms = Seq("spamword"), qualityFilter = true)
+    val rows = Seq(
+      (ts(0), 1L, good + " one"),
+      (ts(0, 30), 2L, good + " SpamWord"),      // blocked term
+      (ts(1), 3L, "too short"),                 // quality filter
+      (ts(1, 30), 4L, good + " one"),           // exact dup of 1 (in watermark)
+      (ts(2), 5L, good + " five"))
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Curate.runStream(stream, "text", cfg, "ts", "10 minutes")
+    runToMemory(out.select("doc_id"), "curated_live")
+    val got = spark.table("curated_live").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L), s"stream curation kept $got")
+    // the row-stage chain is literally the batch one: same survivors
+    // (before dedup) on the same data
+    val batch = Curate.rowStages(rows.toDF("ts", "doc_id", "text"), "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch == Set(1L, 4L, 5L), s"batch row stages kept $batch")
+    // a corpus-wide stage in the config must refuse loudly, not silently
+    // under-curate the stream
+    val bad = cfg.copy(nearDupThreshold = Some(0.7))
+    val e = intercept[IllegalArgumentException] {
+      Curate.runStream(stream, "text", bad, "ts", "10 minutes")
+    }
+    assert(e.getMessage.contains("batch passes"))
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
