@@ -330,6 +330,64 @@ object TextAnalysis {
       .filter(col("cnt") * denom > n)
   }
 
+  /** Best-fit-decreasing sequence packing — the bin-packing upgrade of
+    * [[packSequences]]'s in-order greedy: sort the group's documents by
+    * token count DESCENDING, place each into the FULLEST open sequence it
+    * still fits (ties → lowest sequence id), open a new one only when
+    * none fits. BFD's classic guarantee (≤ 11/9·OPT + 4 bins) means fewer
+    * padded slots per batch than first-fit-in-id-order — padding is pure
+    * wasted compute at training time, so utilization is the metric this
+    * exists to raise. Deterministic: (tokens DESC, id ASC) placement
+    * order, best-fit ties by lowest bin id.
+    *
+    * Same unit of parallelism as [[packSequences]]: one narrow
+    * (group, id, n_tokens) shuffle, a per-group in-memory walk (packing
+    * is inherently sequential within a group — callers size groups
+    * accordingly). The fullest-fitting-bin lookup is a linear scan per
+    * doc — O(docs × bins) per group; a TreeMap drops it to O(docs log
+    * bins) when a group has many thousands of open bins.
+    *
+    * Docs longer than `maxTokens` get a sequence of their own (same
+    * contract as greedy). Output: (grp, id, n_tokens, seq_id, seq_pos) —
+    * seq_id in CREATION order, seq_pos in placement order within it.
+    */
+  def packSequencesBFD(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokensCol: String, groupCol: Column, maxTokens: Int): org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(groupCol.cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp: String, it: Iterator[(String, Long, Long)]) =>
+        val ds = it.toArray.sortBy(t => (-t._3, t._2))
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = new Array[(String, Long, Long, Long, Long)](ds.length)
+        var i = 0
+        while (i < ds.length) {
+          val n = ds(i)._3
+          // fullest bin that still fits; ties → lowest id; none → new bin
+          var best = -1
+          var bestFill = -1L
+          var b = 0
+          while (b < fills.length) {
+            if (fills(b) + n <= maxTokens && fills(b) > bestFill) {
+              best = b; bestFill = fills(b)
+            }
+            b += 1
+          }
+          if (best < 0) { fills += 0L; counts += 0L; best = fills.length - 1 }
+          out(i) = (grp, ds(i)._2, n, best.toLong, counts(best))
+          fills(best) += n
+          counts(best) += 1
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("grp", "id", "n_tokens", "seq_id", "seq_pos")
+  }
+
   /** Deterministic span-corruption example generation (the T5/UL2 denoising
     * objective's data step, word-granular): each word is masked when
     * hash(seed:id:pos) mod `denom` == 0 (expected mask rate 1/denom);

@@ -2239,6 +2239,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(t => (t._1, t._2)).forall(_._2.map(_._3).distinct.length == 1))
   }
 
+  test("BFD packing: capacity respected, beats greedy on a crafted case, fewer-or-equal bins on the corpus") {
+    import spark.implicits._
+    // crafted: greedy in id order needs 3 bins, BFD packs into 2
+    val crafted = Seq((1L, 6L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L))
+      .toDF("id", "nt").withColumn("g", lit("g"))
+    def bins(df: org.apache.spark.sql.DataFrame) =
+      df.select("seq_id").distinct().count()
+    val bfd = TextAnalysis.packSequencesBFD(crafted, "id", "nt", col("g"), 10)
+    val greedy = TextAnalysis.packSequences(crafted, "id", "nt", col("g"), 10)
+    assert(bins(greedy) == 3 && bins(bfd) == 2,
+      s"crafted case: greedy ${bins(greedy)}, bfd ${bins(bfd)}")
+    // shared invariants on the real corpus
+    val docsNt = docs.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("nt"),
+      col("source"))
+    val maxTok = 200
+    val packed = TextAnalysis.packSequencesBFD(docsNt, "doc_id", "nt",
+      col("source"), maxTok)
+    val rows = packed.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == docsNt.count(), "every doc placed exactly once")
+    rows.groupBy(t => (t._1, t._4)).foreach { case ((g, sq), members) =>
+      val tot = members.map(_._3).sum
+      assert(tot <= maxTok || members.length == 1,
+        s"sequence ($g,$sq) holds $tot > $maxTok tokens")
+      assert(members.map(_._5).sorted.toSeq == (0L until members.length).toSeq,
+        s"sequence ($g,$sq) positions not dense")
+    }
+    // packing quality: never more sequences than greedy, per group
+    val gBins = TextAnalysis.packSequences(docsNt, "doc_id", "nt",
+        col("source"), maxTok)
+      .groupBy("grp").agg(countDistinct(col("seq_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bBins = packed.groupBy("grp").agg(countDistinct(col("seq_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bBins.forall { case (g, n) => n <= gBins(g) },
+      s"BFD must never need more bins: $bBins vs $gBins")
+  }
+
   test("corpus diff: added/removed/changed/same classification") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
