@@ -2278,6 +2278,38 @@ class OpsSpec extends AnyFunSuite {
       s"BFD must never need more bins: $bBins vs $gBins")
   }
 
+  test("BFD packing invariants hold on 100 random groups in one pass") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cap = 64
+    val rows = (0 until 100).flatMap { g =>
+      (0 until (5 + rnd.nextInt(40))).map { i =>
+        (s"g$g", g * 1000L + i, 1L + rnd.nextInt(cap)) // sizes 1..cap
+      }
+    }
+    val packed = TextAnalysis.packSequencesBFD(
+      rows.toDF("g", "id", "nt"), "id", "nt", col("g"), cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(packed.length == rows.length, "every row placed exactly once")
+    assert(packed.map(_._2).distinct.length == rows.length)
+    packed.groupBy(t => (t._1, t._4)).foreach { case ((g, sq), m) =>
+      assert(m.map(_._3).sum <= cap, s"($g,$sq) over capacity")
+      assert(m.map(_._5).sorted.toSeq == (0L until m.length).toSeq,
+        s"($g,$sq) positions not dense")
+    }
+    // waste bounds: bins >= ceil(volume/cap), and the classic best-fit
+    // theorem — at most ONE bin of the final packing is <= half full, so
+    // volume > (bins-1) * cap/2
+    packed.groupBy(_._1).foreach { case (g, m) =>
+      val vol = m.map(_._3).sum
+      val bins = m.map(_._4).distinct.length
+      assert(bins >= math.ceil(vol.toDouble / cap).toInt, s"$g impossible packing")
+      assert(vol * 2 > (bins - 1).toLong * cap,
+        s"$g: $bins bins for volume $vol — more than one half-empty bin")
+    }
+  }
+
   test("corpus diff: added/removed/changed/same classification") {
     import spark.implicits._
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
