@@ -1,12 +1,10 @@
 package graft.api
 
-import graft.log.FileTopicLog
+import graft.log.{FileTopicLog, LogFs}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamReader
 import org.apache.spark.sql.types.StructType
-
-import java.nio.file.Paths
 
 /** User-facing facade over the `ripple` connector — what the reference
   * exposes as its client surface (the gRPC bootstrap endpoints in
@@ -27,22 +25,22 @@ object Ripple {
     * op; zero distributed steps).
     */
   def createTopic(root: String, topic: String, numBuckets: Int = 4): Unit =
-    new FileTopicLog(Paths.get(root)).createTopic(topic, numBuckets)
+    new FileTopicLog(root, LogFs.activeHadoopConf).createTopic(topic, numBuckets)
 
   /** Metadata discovery (SURVEY A12 — the bootstrap plane's
     * GetProducer/ConsumerConnection lookups become registry listings).
     */
   def topics(root: String): Seq[String] =
-    new FileTopicLog(Paths.get(root)).topics()
+    new FileTopicLog(root, LogFs.activeHadoopConf).topics()
 
   def buckets(root: String, topic: String): Seq[String] =
-    new FileTopicLog(Paths.get(root)).buckets(topic).map(_.bucket)
+    new FileTopicLog(root, LogFs.activeHadoopConf).buckets(topic).map(_.bucket)
 
   /** End offset per bucket — the "latest" metadata a consumer polls
     * (`internal/broker/consumer/server/core.go:52-56`).
     */
   def endOffsets(root: String, topic: String): Map[String, Long] = {
-    val log = new FileTopicLog(Paths.get(root))
+    val log = new FileTopicLog(root, LogFs.activeHadoopConf)
     log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
   }
 
@@ -68,13 +66,13 @@ object Ripple {
     * (`core.go:45` TODO) — OOM is its retention policy.
     */
   def truncateBefore(root: String, topic: String, floorOffset: Long): Int =
-    new FileTopicLog(Paths.get(root)).truncateBefore(topic, floorOffset)
+    new FileTopicLog(root, LogFs.activeHadoopConf).truncateBefore(topic, floorOffset)
 
   /** Time-based retention: drop whole segments older than `maxAgeMillis`
     * per bucket (by publish mtime; offsets preserved, newest segment kept).
     */
   def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long): Int =
-    new FileTopicLog(Paths.get(root)).truncateOlderThan(topic, maxAgeMillis)
+    new FileTopicLog(root, LogFs.activeHadoopConf).truncateOlderThan(topic, maxAgeMillis)
 
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.

@@ -1,7 +1,8 @@
 package graft.connector
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import graft.log.LogFs
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Broker-side per-consumer offset surface — the reference's consumer
   * state (`internal/broker/consumer/server/core.go:46-64,77-85`: every
@@ -32,6 +33,13 @@ import scala.jdk.CollectionConverters._
   * place"). Resuming the SAME checkpoint ignores all of this — the
   * checkpoint wins, exactly-once within a query lineage.
   *
+  * All paths go through the Hadoop FileSystem API ([[graft.log.LogFs]]),
+  * addressed from the same `root` URI as the log itself. The cursor swap
+  * uses tmp + rename; on HDFS the replace is delete-then-rename, whose
+  * transient missing-cursor window is safe — [[load]] treats a missing
+  * cursor as "no secondary record" and falls back to the checkpoint's
+  * committed ends, which are behind-or-equal by construction.
+  *
   * Dot-dirs are invisible to the bucket registry
   * ([[graft.log.TopicLog]]), so the namespace cannot collide with data
   * buckets.
@@ -49,20 +57,35 @@ object ConsumerOffsets {
     id
   }
 
-  private def consumersDir(root: String, topic: String): Path =
-    Paths.get(root).resolve(topic).resolve(".consumers")
+  private def fsFor(root: String): FileSystem =
+    LogFs.get(new HPath(root), LogFs.activeHadoopConf)
 
-  private def consumerDir(root: String, topic: String, id: String): Path =
-    consumersDir(root, topic).resolve(requireValidId(id))
+  private def consumersDir(root: String, topic: String): HPath =
+    new HPath(new HPath(root, topic), ".consumers")
+
+  private def consumerDir(root: String, topic: String, id: String): HPath =
+    new HPath(consumersDir(root, topic), requireValidId(id))
+
+  private def readUtf8(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   /** The managed checkpoint directory for `id` (created on demand). Pass as
     * the query's `checkpointLocation` to make this consumer's progress
     * exactly-once AND visible through [[all]]/[[load]].
     */
   def checkpoint(root: String, topic: String, id: String): String = {
-    val d = consumerDir(root, topic, id).resolve("ckpt")
-    Files.createDirectories(d)
-    d.toString
+    val d = new HPath(consumerDir(root, topic, id), "ckpt")
+    val fs = fsFor(root)
+    fs.mkdirs(d)
+    fs.makeQualified(d).toString
   }
 
   /** Atomically record `ends` as `id`'s secondary cursor. Single-writer per
@@ -70,12 +93,21 @@ object ConsumerOffsets {
     * checkpoint already imposes on the query.
     */
   def commit(root: String, topic: String, id: String, ends: Map[String, Long]): Unit = {
-    val target = consumerDir(root, topic, id).resolve("cursor.json")
-    Files.createDirectories(target.getParent)
-    val tmp = target.resolveSibling(".cursor.json.tmp")
-    Files.write(tmp, RippleOffset(ends).json().getBytes("UTF-8"))
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    val fs = fsFor(root)
+    val dir = consumerDir(root, topic, id)
+    fs.mkdirs(dir)
+    val target = new HPath(dir, "cursor.json")
+    val tmp = new HPath(dir, ".cursor.json.tmp")
+    val out = fs.create(tmp, true)
+    try { out.write(RippleOffset(ends).json().getBytes("UTF-8")); out.close() }
+    catch { case e: Throwable => try fs.delete(tmp, false) catch { case _: Throwable => () }; throw e }
+    if (!fs.rename(tmp, target)) { // HDFS refuses replace: delete + retry
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"cursor swap $tmp -> $target failed")
+      }
+    }
   }
 
   /** `id`'s committed position: per-bucket max of the managed checkpoint's
@@ -83,13 +115,14 @@ object ConsumerOffsets {
     * has never committed either.
     */
   def load(root: String, topic: String, id: String): Option[Map[String, Long]] = {
+    val fs = fsFor(root)
     val d = consumerDir(root, topic, id)
     val cursor = {
-      val f = d.resolve("cursor.json")
-      if (!Files.isRegularFile(f)) None
-      else Some(RippleOffset.fromJson(new String(Files.readAllBytes(f), "UTF-8")).ends)
+      val f = new HPath(d, "cursor.json")
+      try Some(RippleOffset.fromJson(readUtf8(fs, f)).ends)
+      catch { case _: java.io.FileNotFoundException => None }
     }
-    val ckpt = checkpointEnds(d.resolve("ckpt"))
+    val ckpt = checkpointEnds(fs, new HPath(d, "ckpt"))
     (cursor, ckpt) match {
       case (None, None) => None
       case (a, b) =>
@@ -104,12 +137,15 @@ object ConsumerOffsets {
     * surface the reference exposes through its consumer server state.
     */
   def all(root: String, topic: String): Map[String, Map[String, Long]] = {
+    val fs = fsFor(root)
     val d = consumersDir(root, topic)
-    if (!Files.isDirectory(d)) Map.empty
-    else Files.list(d).iterator().asScala
-      .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-      .flatMap { p =>
-        val id = p.getFileName.toString
+    val listed =
+      try fs.listStatus(d)
+      catch { case _: java.io.FileNotFoundException => return Map.empty }
+    listed.iterator
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val id = st.getPath.getName
         load(root, topic, id).map(id -> _)
       }.toMap
   }
@@ -119,20 +155,21 @@ object ConsumerOffsets {
     * in `commits/`, looked up in `offsets/<batch>` (v1 format: version
     * line, OffsetSeqMetadata line, then one serialized offset per source).
     */
-  private def checkpointEnds(ckpt: Path): Option[Map[String, Long]] = {
-    val commits = ckpt.resolve("commits")
-    if (!Files.isDirectory(commits)) return None
-    val latest = Files.list(commits).iterator().asScala
-      .map(_.getFileName.toString).filter(n => n.nonEmpty && n.forall(_.isDigit))
+  private def checkpointEnds(fs: FileSystem, ckpt: HPath): Option[Map[String, Long]] = {
+    val commits = new HPath(ckpt, "commits")
+    val listed =
+      try fs.listStatus(commits)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val latest = listed.iterator
+      .map(_.getPath.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
       .map(_.toLong).maxOption
     latest.flatMap { b =>
-      val off = ckpt.resolve("offsets").resolve(b.toString)
-      if (!Files.isRegularFile(off)) None
-      else {
-        val lines = Files.readAllLines(off).asScala
-        // drop "v1" + metadata; a single-source query leaves one offset line
-        lines.drop(2).headOption.map(l => RippleOffset.fromJson(l).ends)
-      }
+      val off = new HPath(new HPath(ckpt, "offsets"), b.toString)
+      val lines =
+        try readUtf8(fs, off).split('\n').toSeq
+        catch { case _: java.io.FileNotFoundException => return None }
+      // drop "v1" + metadata; a single-source query leaves one offset line
+      lines.drop(2).headOption.map(l => RippleOffset.fromJson(l).ends)
     }
   }
 }

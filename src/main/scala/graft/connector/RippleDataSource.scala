@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.log.FileTopicLog
+import graft.log.{FileTopicLog, LogFs, SerializableHadoopConf}
 import graft.model.Schemas
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -11,7 +11,6 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import java.nio.file.Paths
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
@@ -90,7 +89,11 @@ object RippleConf {
   }
 }
 
-/** Immutable, serializable connector configuration (ships to executors). */
+/** Immutable, serializable connector configuration (ships to executors).
+  * `hconf` carries the driver's Hadoop configuration so every side —
+  * planning, executor readers/writers, driver publish — resolves `root`
+  * against the same filesystem ([[graft.log.LogFs]]).
+  */
 case class RippleConf(
     root: String,
     topic: String,
@@ -101,8 +104,9 @@ case class RippleConf(
     maxOffsetsPerTrigger: Long,
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
-    consumerId: Option[String] = None) {
-  def log: FileTopicLog = new FileTopicLog(Paths.get(root))
+    consumerId: Option[String] = None,
+    hconf: SerializableHadoopConf = LogFs.activeSerializable) {
+  def log: FileTopicLog = new FileTopicLog(root, hconf.value)
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)
     bucket match {

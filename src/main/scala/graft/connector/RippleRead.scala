@@ -1,7 +1,9 @@
 package graft.connector
 
-import graft.log.SegmentCodec
+import graft.log.{LogFs, SegmentCodec, SerializableHadoopConf}
 import graft.model.TopicBucket
+
+import org.apache.hadoop.fs.{Path => HPath}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -10,8 +12,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.unsafe.types.UTF8String
-
-import java.nio.file.Paths
 
 /** Scan builder with column pruning and offset/bucket predicate pushdown.
   *
@@ -180,8 +180,7 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
         val overlap = math.max(0L, math.min(end, start + count) - math.max(lo, start))
         if (overlap > 0 && count > 0) {
           rows += overlap
-          val fileBytes =
-            try java.nio.file.Files.size(path) catch { case _: Exception => 0L }
+          val fileBytes = log.fileLen(path)
           bytes += fileBytes * overlap / count
         }
       }
@@ -287,22 +286,30 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RippleReaderFactory(schema)
+    new RippleReaderFactory(schema, conf.hconf)
 }
 
-class RippleReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Ships the driver's Hadoop configuration to executor-side readers so the
+  * segment paths resolve against the same filesystem (`hdfs://`, `file:/`)
+  * the planner listed them from.
+  */
+class RippleReaderFactory(schema: StructType, hconf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema)
+    new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema, hconf)
 }
 
 /** Streams frames from one segment slice; the executor-side analog of the
   * reference's `Queue.SubArray` range read
   * (`internal/broker/queue/queue.go:58-61`).
   */
-class RipplePartitionReader(p: RippleInputPartition, schema: StructType)
-    extends PartitionReader[InternalRow] {
+class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
+    hconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
-  private val it = SegmentCodec.read(Paths.get(p.segPath))
+  private val it = {
+    val seg = new HPath(p.segPath)
+    SegmentCodec.read(LogFs.get(seg, hconf.value), seg)
+  }
   private var off = p.segStart
   private var cur: InternalRow = _
 
@@ -484,7 +491,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RippleReaderFactory(schema)
+    new RippleReaderFactory(schema, conf.hconf)
 
   /** The checkpoint is the PRIMARY commit log; a configured `consumerId`
     * additionally records the committed end as a broker-side cursor (always

@@ -1,15 +1,15 @@
 package graft.connector
 
-import graft.log.{FileTopicLog, SegmentCodec}
+import graft.log.{FileTopicLog, LogFs, SegmentCodec}
 import graft.model.TopicBucket
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, StringType, StructType, TimestampType}
 
 import java.io.DataOutputStream
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.mutable
 
 /** Write side of the `ripple` connector — the Spark rendering of the
@@ -19,7 +19,9 @@ import scala.collection.mutable
   * control plane). Commit-message aggregation on the driver replaces the
   * reference's follower-ack counting (`internal/broker/ack/ack.go:68-117`)
   * — same pattern, but transactional. Durability/replication belongs to
-  * the filesystem, not a gossip push (SURVEY A4).
+  * the filesystem, not a gossip push (SURVEY A4). All paths go through the
+  * Hadoop FileSystem API ([[graft.log.LogFs]]), so staging and publish work
+  * against the same `hdfs://`/`file:/` root on every executor.
   *
   * Input schema: `id INT` (required), `data BINARY` (required), optional
   * `bucket STRING` (route explicitly), optional `ts TIMESTAMP`. Without a
@@ -100,7 +102,7 @@ class RippleBatchWrite(conf0: RippleConf, schema: StructType) extends BatchWrite
     RipplePublish.publish(conf, messages, epochId = None)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    RipplePublish.abort(messages)
+    RipplePublish.abort(conf, messages)
 }
 
 class RippleStreamingWrite(conf0: RippleConf, schema: StructType, queryId: String)
@@ -115,7 +117,7 @@ class RippleStreamingWrite(conf0: RippleConf, schema: StructType, queryId: Strin
     RipplePublish.publish(conf, messages, epochId = Some(epochId), queryId = queryId)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    RipplePublish.abort(messages)
+    RipplePublish.abort(conf, messages)
 }
 
 class RippleWriterFactory(conf: RippleConf, shape: WriteShape)
@@ -132,10 +134,12 @@ class RippleWriterFactory(conf: RippleConf, shape: WriteShape)
 class RippleDataWriter(conf: RippleConf, shape: WriteShape,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val stagingDir = Paths.get(conf.root, conf.topic, ".staging")
-  Files.createDirectories(stagingDir)
+  private val stagingDir: HPath =
+    new HPath(new HPath(new HPath(conf.root), conf.topic), ".staging")
+  private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value)
+  fs.mkdirs(stagingDir)
 
-  private case class Open(path: Path, out: DataOutputStream, var count: Long)
+  private case class Open(path: HPath, out: DataOutputStream, var count: Long)
   private val open = mutable.Map.empty[String, Open]
 
   private def routeBucket(row: InternalRow): String =
@@ -149,9 +153,10 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   override def write(row: InternalRow): Unit = {
     val bucket = routeBucket(row)
     val o = open.getOrElseUpdate(bucket, {
-      val p = stagingDir.resolve(s"stage-$taskId-$partitionId-$bucket-${java.util.UUID.randomUUID()}")
+      val p = new HPath(stagingDir,
+        s"stage-$taskId-$partitionId-$bucket-${java.util.UUID.randomUUID()}")
       Open(p, new DataOutputStream(new java.io.BufferedOutputStream(
-        Files.newOutputStream(p), 1 << 16)), 0L)
+        fs.create(p, true), 1 << 16)), 0L)
     })
     val id = row.getInt(shape.idIdx)
     val data = if (row.isNullAt(shape.dataIdx)) Array.emptyByteArray
@@ -176,26 +181,28 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
 
   override def abort(): Unit = open.values.foreach { o =>
     try o.out.close() catch { case _: Throwable => () }
-    Files.deleteIfExists(o.path)
+    try fs.delete(o.path, false) catch { case _: Throwable => () }
   }
 
   override def close(): Unit = ()
 }
 
 /** Driver-side publish: assign offsets per bucket and atomically rename
-  * staged files into offset-named segments. Pure metadata — no data moves.
+  * staged files into offset-named segments. Pure metadata — no data moves
+  * (a rename within one Hadoop filesystem relinks, it does not copy; the
+  * object-store schemes where rename IS a copy are refused at log
+  * construction, see [[graft.log.FileTopicLog]]).
   */
 object RipplePublish {
 
   /** Logical frame identity (ids + payloads, timestamps ignored): frames
     * stamp wall-clock ts when the input has no ts column, so a replayed
     * epoch's staged bytes legitimately differ while carrying the same
-    * records — raw Files.mismatch would misread every such replay as a
+    * records — raw byte comparison would misread every such replay as a
     * foreign writer and wedge the query.
     */
-  private def sameContent(a: Path, b: Path): Boolean =
-    SegmentCodec.sameFrames(a, b)
-
+  private def sameContent(fs: FileSystem, a: HPath, b: HPath): Boolean =
+    SegmentCodec.sameFrames(fs, a, b)
 
   /** Hold the locks of every bucket in `tbs` (pre-sorted — all publishers
     * acquire in bucket order, so no deadlock) around `body`.
@@ -206,30 +213,23 @@ object RipplePublish {
       case head +: tail => log.withBucketLock(head)(withLocks(log, tail)(body))
     }
 
-  private def writeAtomic(path: Path, bytes: Array[Byte]): Unit = {
-    Files.createDirectories(path.getParent)
-    val tmp = path.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, bytes)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Streaming exactly-once across the crash window between segment link
+  /** Streaming exactly-once across the crash window between segment rename
     * and epoch marker: offsets are assigned ONCE and recorded in a
-    * write-ahead INTENT file before any link happens. A replayed epoch
-    * whose intent exists re-links the SAME segment names — createLink +
-    * byte-identity make that a no-op — instead of re-assigning fresh
-    * offsets past its own earlier links (which would duplicate the data).
-    * The plan keys on (bucket, partitionId): a replay stages new file
-    * names, but a deterministic batch produces the same bytes per
-    * partition. Protocol per epoch:
+    * write-ahead INTENT file before any segment lands. A replayed epoch
+    * whose intent exists re-publishes at the SAME offsets — the
+    * exists-check + frame-identity make that a no-op — instead of
+    * re-assigning fresh offsets past its own earlier segments (which would
+    * duplicate the data). The plan keys on (bucket, partitionId): a replay
+    * stages new file names, but a deterministic batch produces the same
+    * bytes per partition. Protocol per epoch:
     *
     *   1. final marker exists            → committed; drop staged, done
     *   2. acquire all touched bucket locks (sorted order)
     *   3. intent exists (crashed attempt) → reuse its plan
     *      else assign offsets from the authoritative listing and write the
-    *      intent atomically BEFORE linking
-    *   4. link every staged file at its planned offset (idempotent)
+    *      intent atomically BEFORE any segment rename
+    *   4. rename every staged file to its planned offset name (idempotent:
+    *      an existing same-name segment is frame-compared, not replaced)
     *   5. write final marker, drop intent
     *
     * Batch writes (no epoch identity) skip the intent: a crash mid-publish
@@ -238,19 +238,20 @@ object RipplePublish {
     */
   def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
       epochId: Option[Long], queryId: String = ""): Unit = synchronized {
-    val log = new FileTopicLog(Paths.get(conf.root))
+    val log = conf.log
+    val fs = log.fs
     // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
     // restart at 0 for a query restarted with a fresh checkpoint, and two
     // concurrent queries writing the same topic both count from 0 — a
     // marker keyed by epoch alone made publish() silently drop their
     // batches (round-1 ADVICE, high).
     val qdir = if (queryId.isEmpty) "unknown-query" else queryId
-    val commits = Paths.get(conf.root, conf.topic, ".commits", qdir)
-    val marker = epochId.map(e => commits.resolve(s"epoch-$e"))
-    val intent = epochId.map(e => commits.resolve(s"epoch-$e.intent"))
-    if (marker.exists(Files.exists(_))) {
-      abort(messages)
-      intent.foreach(Files.deleteIfExists)
+    val commits = new HPath(new HPath(new HPath(log.root, conf.topic), ".commits"), qdir)
+    val marker = epochId.map(e => new HPath(commits, s"epoch-$e"))
+    val intent = epochId.map(e => new HPath(commits, s"epoch-$e.intent"))
+    if (marker.exists(fs.exists(_))) {
+      abort(conf, messages)
+      intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
       return
     }
 
@@ -264,7 +265,7 @@ object RipplePublish {
     }
     val byBucket = staged.groupBy(_.bucket).toSeq.sortBy(_._1)
     val tbs = byBucket.map { case (b, _) => TopicBucket(conf.topic, b) }
-    tbs.foreach(tb => Files.createDirectories(log.bucketDir(tb)))
+    tbs.foreach(tb => fs.mkdirs(log.bucketDir(tb)))
 
     val stagedKeys = staged.map(f => (f.bucket, f.partitionId))
     require(stagedKeys.distinct.size == stagedKeys.size,
@@ -274,9 +275,9 @@ object RipplePublish {
     withLocks(log, tbs) {
       // (bucket, partitionId) -> (start, count)
       val plan: Map[(String, Int), (Long, Long)] =
-        intent.filter(Files.exists(_)) match {
+        intent.filter(fs.exists(_)) match {
           case Some(i) => // crashed attempt: complete ITS assignment
-            val p = Files.readAllLines(i).toArray(Array.empty[String]).filter(_.nonEmpty)
+            val p = log.readFileUtf8(i).split('\n').filter(_.nonEmpty)
               .map { line =>
                 val Array(b, pid, s, c) = line.split(' ')
                 (b, pid.toInt) -> (s.toLong, c.toLong)
@@ -299,7 +300,7 @@ object RipplePublish {
               }
             }.toMap
             intent.foreach { i =>
-              writeAtomic(i, assigned.toSeq.sortBy(_._1)
+              log.writeFileAtomic(i, assigned.toSeq.sortBy(_._1)
                 .map { case ((b, p), (s, c)) => s"$b $p $s $c" }
                 .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
             }
@@ -311,7 +312,7 @@ object RipplePublish {
         // An intent's recorded offsets may have been taken while the
         // crashed query was down (its lock went stale and another writer
         // published). Exactly-once is then unrecoverable — the only honest
-        // outcome is a loud, diagnosable failure BEFORE linking anything,
+        // outcome is a loud, diagnosable failure BEFORE publishing anything,
         // not an overlapping segment that bricks the bucket.
         val existing = log.segmentsRaw(tb)
         log.touchBucketLock(tb)
@@ -319,7 +320,7 @@ object RipplePublish {
           plan.get((bucket, f.partitionId)).foreach { case (start, count) =>
             val myName = SegmentCodec.segmentName(start, count)
             existing.foreach { case (p, s, c) =>
-              if (s < start + count && s + c > start && p.getFileName.toString != myName)
+              if (s < start + count && s + c > start && p.getName != myName)
                 throw new IllegalStateException(
                   s"intent range [$start,+$count) for ($bucket, p${f.partitionId}) " +
                     s"overlaps existing segment $p — another writer took these " +
@@ -336,30 +337,37 @@ object RipplePublish {
           if (count != f.count) throw new IllegalStateException(
             s"replayed epoch count mismatch for ($bucket, p${f.partitionId}): " +
               s"intent $count vs staged ${f.count} — the batch is not deterministic")
-          val target = log.bucketDir(tb).resolve(SegmentCodec.segmentName(start, count))
-          // createLink is atomic AND fails if the target exists — a plain
-          // ATOMIC_MOVE rename would silently REPLACE an existing segment
-          // (POSIX rename semantics), losing its data. Under the bucket
-          // lock an existing target is either this epoch's own earlier
-          // (crashed) link — byte-identity proves it, no-op — or a foreign
-          // writer outside the lock protocol: fail loudly.
-          try {
-            Files.createLink(target, Paths.get(f.path))
-            Files.deleteIfExists(Paths.get(f.path))
-          } catch {
-            case e: java.nio.file.FileAlreadyExistsException =>
-              if (sameContent(target, Paths.get(f.path)))
-                Files.deleteIfExists(Paths.get(f.path)) // idempotent re-link
-              else throw new IllegalStateException(
-                s"segment $target exists with different content — " +
-                  "a writer is publishing outside the bucket lock", e)
+          val target = new HPath(log.bucketDir(tb), SegmentCodec.segmentName(start, count))
+          val stagedPath = new HPath(f.path)
+          // Exists-check + no-replace rename under the bucket lock. An
+          // existing target is either this epoch's own earlier (crashed)
+          // publish — frame identity proves it, no-op — or a foreign
+          // writer outside the lock protocol: fail loudly. Per-FS note:
+          // HDFS rename additionally refuses an existing target (atomic
+          // foreign-writer defense even outside the lock); POSIX rename
+          // would replace, so there the defense is the exists-check — the
+          // residual check-to-rename window only matters for writers
+          // already violating the lock protocol.
+          if (fs.exists(target)) {
+            if (sameContent(fs, target, stagedPath))
+              fs.delete(stagedPath, false) // idempotent re-publish
+            else throw new IllegalStateException(
+              s"segment $target exists with different content — " +
+                "a writer is publishing outside the bucket lock")
+          } else if (!fs.rename(stagedPath, target)) {
+            // HDFS-style refusal: target appeared between check and rename
+            if (fs.exists(target) && sameContent(fs, target, stagedPath))
+              fs.delete(stagedPath, false)
+            else throw new IllegalStateException(
+              s"rename $stagedPath -> $target failed — " +
+                "a writer is publishing outside the bucket lock")
           }
         }
         log.refreshManifest(tb)
       }
     }
-    marker.foreach { m => writeAtomic(m, Array.emptyByteArray) }
-    intent.foreach(Files.deleteIfExists)
+    marker.foreach { m => log.writeFileAtomic(m, Array.emptyByteArray) }
+    intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
     // Topic retention policy applied at publish time (the natural hook —
     // retention is a metadata-only op here, see TopicLog.truncateOlderThan;
     // the reference's TTL was never implemented, core.go:45 TODO).
@@ -367,7 +375,9 @@ object RipplePublish {
       log.truncateOlderThan(conf.topic, conf.retentionMs)
   }
 
-  def abort(messages: Array[WriterCommitMessage]): Unit =
+  def abort(conf: RippleConf, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = conf.log.fs
     messages.collect { case RippleCommitMessage(s) => s }.flatten
-      .foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+      .foreach(f => try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
+  }
 }

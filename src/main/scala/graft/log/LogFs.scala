@@ -1,0 +1,85 @@
+package graft.log
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+import scala.collection.concurrent.TrieMap
+
+/** Java-serializable wrapper for a Hadoop [[Configuration]] — the standard
+  * Hadoop pattern (`Configuration` implements `Writable`, not
+  * `Serializable`) that lets connector conf objects carry the cluster's
+  * filesystem configuration from the driver to executor-side readers and
+  * writers.
+  */
+final class SerializableHadoopConf(@transient private var conf: Configuration)
+    extends Serializable {
+  def value: Configuration = {
+    if (conf == null) conf = new Configuration() // defensive: post-deser default
+    conf
+  }
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** Filesystem access for the topic-log storage plane.
+  *
+  * Every path the log touches (segments, manifests, locks, staging,
+  * commit markers, consumer cursors) goes through
+  * `org.apache.hadoop.fs.FileSystem`, so the log `root` may be any Hadoop
+  * filesystem URI — `file:/...` (or a bare POSIX path), `hdfs://nn/...`,
+  * or an object store the deployment has a connector for. This is what
+  * makes the "the filesystem IS the bootstrap server" multi-tenant mapping
+  * of the reference's gRPC bootstrap plane
+  * (`proto/bootstrap_service.proto:7-11`, `server/exposed/create.go:15-27`
+  * in ripple-mq/ripple-server) actually runnable off a shared cluster
+  * filesystem instead of only a shared POSIX mount.
+  *
+  * Instances are created with `FileSystem.newInstance` (NOT the global
+  * Hadoop FS cache) so that disabling checksums for the log's own I/O —
+  * segment frames carry length-prefixed records and publishes are
+  * whole-file atomic renames, so the local-FS `.crc` side files would only
+  * double the metadata ops — cannot leak into Spark's shared `FileSystem`
+  * instances. One instance per (scheme, authority) for the JVM's lifetime,
+  * mirroring Hadoop's own cache discipline.
+  */
+object LogFs {
+  private val cache = TrieMap.empty[String, FileSystem]
+
+  /** The active session's Hadoop configuration (driver side), or a vanilla
+    * one when no session exists (bare tools/tests).
+    */
+  def activeHadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  def activeSerializable: SerializableHadoopConf =
+    new SerializableHadoopConf(activeHadoopConf)
+
+  /** Resolve `p`'s filesystem with log-plane settings (private instance,
+    * checksums off). Cached per (scheme, authority) for the JVM lifetime.
+    */
+  def get(p: HPath, conf: Configuration): FileSystem = {
+    val uri = p.toUri
+    val defaultUri = FileSystem.getDefaultUri(conf)
+    val scheme = Option(uri.getScheme).getOrElse(defaultUri.getScheme)
+    val auth = Option(uri.getAuthority)
+      .orElse(if (uri.getScheme == null) Option(defaultUri.getAuthority) else None)
+      .getOrElse("")
+    cache.getOrElseUpdate(s"$scheme://$auth", {
+      val fs = FileSystem.newInstance(
+        if (uri.getScheme == null) defaultUri else uri, conf)
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+      fs
+    })
+  }
+}

@@ -2,8 +2,10 @@ package graft.log
 
 import graft.model.{LogRecord, Payload, TopicBucket}
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, InputStream, OutputStream}
 import scala.collection.mutable
 
 /** Append-only per-bucket message log.
@@ -92,6 +94,10 @@ final class InMemoryLog extends TopicLog {
   * retried epoch that re-appends the same segment name is a no-op — this is
   * what makes the streaming sink idempotent/exactly-once, replacing the
   * reference's ack-counting (`internal/broker/ack/ack.go:68-117`).
+  *
+  * All I/O is stream-based so segments read/write identically through
+  * `org.apache.hadoop.fs.FileSystem` (the storage plane, [[LogFs]]) and
+  * plain `java.nio` (unit tests).
   */
 object SegmentCodec {
   val SegmentPrefix = "seg-"
@@ -109,8 +115,9 @@ object SegmentCodec {
       case _           => None
     }
 
-  def write(file: Path, rows: Seq[(Payload, Long)]): Unit = {
-    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(file.toFile), 1 << 16))
+  /** Frame-encode `rows` onto `out` (closed by the caller's wrapper). */
+  def writeFrames(raw: OutputStream, rows: Seq[(Payload, Long)]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
     try rows.foreach { case (p, tsMillis) =>
       val d = if (p.data == null) Array.emptyByteArray else p.data
       out.writeInt(4 + 8 + d.length)
@@ -120,15 +127,20 @@ object SegmentCodec {
     } finally out.close()
   }
 
+  def write(file: java.nio.file.Path, rows: Seq[(Payload, Long)]): Unit =
+    writeFrames(java.nio.file.Files.newOutputStream(file), rows)
+
+  def write(fs: FileSystem, file: HPath, rows: Seq[(Payload, Long)]): Unit =
+    writeFrames(fs.create(file, true), rows)
+
   /** Frame iterator with an explicit `close()`: an offset-pruned read that
-    * stops mid-segment releases the file handle WITHOUT decoding the
-    * remaining frames (round 1 drained the iterator to close — O(segment)
-    * wasted I/O per pruned scan).
+    * stops mid-segment releases the stream WITHOUT decoding the remaining
+    * frames (round 1 drained the iterator to close — O(segment) wasted I/O
+    * per pruned scan).
     */
-  final class FrameIterator(file: Path)
+  final class FrameIterator(raw: InputStream)
       extends Iterator[(Int, Long, Array[Byte])] with AutoCloseable {
-    private val in = new DataInputStream(
-      new BufferedInputStream(new FileInputStream(file.toFile), 1 << 16))
+    private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
     private var nextLen = readLen()
     private def readLen(): Int =
       try in.readInt()
@@ -146,7 +158,11 @@ object SegmentCodec {
   }
 
   /** Iterate all frames of a segment: (id, tsMillis, data). */
-  def read(file: Path): FrameIterator = new FrameIterator(file)
+  def read(file: java.nio.file.Path): FrameIterator =
+    new FrameIterator(java.nio.file.Files.newInputStream(file))
+
+  def read(fs: FileSystem, file: HPath): FrameIterator =
+    new FrameIterator(fs.open(file))
 
   /** Frame-level identity IGNORING timestamps: same (id, data) sequence.
     * The replay-idempotency check must use this, not raw byte equality —
@@ -155,10 +171,22 @@ object SegmentCodec {
     * same logical records. Frame layout is fixed-width outside `data`, so
     * equal logical content implies equal file size (cheap prefilter).
     */
-  def sameFrames(a: Path, b: Path): Boolean = {
+  def sameFrames(a: java.nio.file.Path, b: java.nio.file.Path): Boolean = {
+    import java.nio.file.Files
     if (!Files.exists(a) || !Files.exists(b)) return false
     if (Files.size(a) != Files.size(b)) return false
-    val ia = read(a); val ib = read(b)
+    sameFrameStreams(read(a), read(b))
+  }
+
+  def sameFrames(fs: FileSystem, a: HPath, b: HPath): Boolean = {
+    val (la, lb) =
+      try (fs.getFileStatus(a).getLen, fs.getFileStatus(b).getLen)
+      catch { case _: java.io.FileNotFoundException => return false }
+    if (la != lb) return false
+    sameFrameStreams(read(fs, a), read(fs, b))
+  }
+
+  private def sameFrameStreams(ia: FrameIterator, ib: FrameIterator): Boolean =
     try {
       while (ia.hasNext && ib.hasNext) {
         val (idA, _, dataA) = ia.next()
@@ -167,23 +195,132 @@ object SegmentCodec {
       }
       !ia.hasNext && !ib.hasNext
     } finally { ia.close(); ib.close() }
-  }
 }
 
 /** Durable file-backed log: one directory per topic/bucket containing
   * immutable offset-named segment files. Directory layout doubles as the
   * metadata registry the reference keeps in ZooKeeper
   * (`/<topic>/<bucket>/...` znode tree, `internal/lighthouse/io/io.go:55-156`).
+  *
+  * The `root` is a Hadoop filesystem URI (`file:/...`, `hdfs://nn/...`,
+  * a bare POSIX path resolving against `fs.defaultFS`, …) — every metadata
+  * and data operation goes through [[LogFs]], so a 1000-executor cluster
+  * addresses one shared log over HDFS exactly as `local[32]` addresses a
+  * temp directory. Per-filesystem semantics the protocol depends on:
+  *
+  *   - '''Atomic single-file rename''' — segment publish, manifest swap,
+  *     intent/marker writes. Real filesystems (local POSIX, HDFS) have it.
+  *     Object stores that implement rename as copy+delete (S3A, GCS, …)
+  *     do NOT: construction fails loudly for those schemes
+  *     (`graft.log.nonAtomicRenameSchemes`, override with
+  *     `graft.log.allowNonAtomicRename=true` after reviewing the caveats —
+  *     on such stores a crash mid-publish can leave a torn segment visible
+  *     and the `.lock` protocol degrades to advisory).
+  *   - '''Create-exclusive''' (the bucket `.lock`) — atomic on local
+  *     (`O_EXCL` via `java.nio`, used whenever the scheme is `file`) and on
+  *     HDFS (namenode-serialized create). Object stores lack it; covered by
+  *     the same loud construction guard.
+  *   - '''Rename-onto-existing''' — HDFS `rename` FAILS when the target
+  *     exists, POSIX rename REPLACES it. The protocol never relies on
+  *     either: publishes check-then-rename under the bucket lock, and
+  *     replace-semantics writes (manifest, cursor, marker) go through
+  *     [[renameOverwrite]], whose transient missing-target window is safe
+  *     at every call site (a missing manifest/cursor only falls back to the
+  *     authoritative listing / an earlier lower bound).
   */
-final class FileTopicLog(val root: Path) extends TopicLog {
-  Files.createDirectories(root)
+final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog {
 
-  def bucketDir(tb: TopicBucket): Path = root.resolve(tb.topic).resolve(tb.bucket)
+  /** Local-path constructor (tests, single-node tools). */
+  def this(root: java.nio.file.Path) = this(root.toString, new Configuration())
 
-  private def manifestPath(tb: TopicBucket): Path =
-    bucketDir(tb).resolve(SegmentCodec.ManifestName)
+  private val scheme: String = {
+    val u = new HPath(rootUri).toUri
+    Option(u.getScheme).getOrElse(FileSystem.getDefaultUri(hadoopConf).getScheme)
+  }
 
-  private def checkNoOverlap(tb: TopicBucket, segs: Seq[(Path, Long, Long)]): Seq[(Path, Long, Long)] = {
+  // Loud guard, BEFORE any filesystem instantiation: the publish protocol
+  // (atomic rename + create-exclusive lock) is unsound on rename-as-copy
+  // object stores. Degrading silently would turn exactly-once into
+  // maybe-torn; the operator must opt in explicitly.
+  locally {
+    val nonAtomic = hadoopConf.getTrimmedStrings(
+      "graft.log.nonAtomicRenameSchemes", "s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+    if (nonAtomic.contains(scheme) &&
+        !hadoopConf.getBoolean("graft.log.allowNonAtomicRename", false))
+      throw new IllegalArgumentException(
+        s"ripple log root scheme '$scheme' lacks atomic rename / exclusive " +
+          "create; the segment publish protocol would be torn-write-unsafe " +
+          "and the bucket lock advisory. Use a real filesystem (HDFS, posix) " +
+          "or set graft.log.allowNonAtomicRename=true to accept the risk " +
+          "(review FileTopicLog scaladoc for the exact degradations).")
+  }
+
+  val fs: FileSystem = LogFs.get(new HPath(rootUri), hadoopConf)
+  val root: HPath = fs.makeQualified(new HPath(rootUri))
+  private val isLocal = scheme == "file"
+  fs.mkdirs(root)
+
+  private def toNio(p: HPath): java.nio.file.Path = java.nio.file.Paths.get(p.toUri)
+
+  def bucketDir(tb: TopicBucket): HPath = new HPath(new HPath(root, tb.topic), tb.bucket)
+
+  private def manifestPath(tb: TopicBucket): HPath =
+    new HPath(bucketDir(tb), SegmentCodec.ManifestName)
+
+  def fileLen(p: HPath): Long =
+    try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
+
+  /** tmp + rename with replace semantics on every filesystem: POSIX rename
+    * replaces natively; HDFS rename refuses an existing target, so the
+    * target is deleted first — a transient not-there window each call site
+    * explicitly tolerates (see class scaladoc).
+    */
+  private def renameOverwrite(src: HPath, dst: HPath): Unit =
+    if (!fs.rename(src, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(src, dst)) {
+        fs.delete(src, false)
+        throw new java.io.IOException(s"rename $src -> $dst failed twice")
+      }
+    }
+
+  private[graft] def writeFileAtomic(path: HPath, bytes: Array[Byte]): Unit = {
+    val parent = path.getParent
+    fs.mkdirs(parent)
+    val tmp = new HPath(parent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try { out.write(bytes); out.close() }
+    catch { case e: Throwable => try fs.delete(tmp, false) catch { case _: Throwable => () }; throw e }
+    try renameOverwrite(tmp, path)
+    catch { case e: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw e
+    }
+  }
+
+  private[graft] def readFileUtf8(path: HPath): String =
+    new String(readFileBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+
+  private def readFileBytes(path: HPath): Array[Byte] = {
+    val in = fs.open(path)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  private def readLines(path: HPath): Seq[String] =
+    new String(readFileBytes(path), java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').toSeq
+
+  private def listStatus(dir: HPath): Array[FileStatus] =
+    try fs.listStatus(dir)
+    catch { case _: java.io.FileNotFoundException => Array.empty }
+
+  private def checkNoOverlap(tb: TopicBucket, segs: Seq[(HPath, Long, Long)]): Seq[(HPath, Long, Long)] = {
     segs.sliding(2).foreach {
       case Seq((_, s1, c1), (p2, s2, _)) if s1 + c1 > s2 =>
         throw new IllegalStateException(
@@ -202,24 +339,20 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * in its ZK tree, `internal/lighthouse/io/io.go:55-156`, for the same
     * reason).
     */
-  def segmentsListed(tb: TopicBucket): Seq[(Path, Long, Long)] =
+  def segmentsListed(tb: TopicBucket): Seq[(HPath, Long, Long)] =
     checkNoOverlap(tb, segmentsRaw(tb))
 
   /** Directory listing WITHOUT the overlap check — for the publish path's
     * overlap arbitration, which must be able to observe a transient overlap
     * in order to resolve it (the checked views throw on one).
     */
-  def segmentsRaw(tb: TopicBucket): Seq[(Path, Long, Long)] = {
-    val dir = bucketDir(tb)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val files = dir.toFile.listFiles()
-      if (files == null) Seq.empty
-      else files.iterator.flatMap { f =>
-        SegmentCodec.parse(f.getName).map { case (s, c) => (f.toPath, s, c) }
-      }.toSeq.sortBy(_._2)
-    }
-  }
+  def segmentsRaw(tb: TopicBucket): Seq[(HPath, Long, Long)] =
+    segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c) }
+
+  private def segmentStatusRaw(tb: TopicBucket): Seq[(FileStatus, Long, Long)] =
+    listStatus(bucketDir(tb)).iterator.flatMap { st =>
+      SegmentCodec.parse(st.getPath.getName).map { case (s, c) => (st, s, c) }
+    }.toSeq.sortBy(_._2)
 
   /** Published segments, sorted by start offset: (path, start, count).
     * Gaps are legal (retention); OVERLAPS are not — they mean the
@@ -231,29 +364,26 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * manifest atomically, so a missing or torn manifest only ever falls
     * back to the authoritative listing.
     */
-  def segments(tb: TopicBucket): Seq[(Path, Long, Long)] = {
+  def segments(tb: TopicBucket): Seq[(HPath, Long, Long)] = {
     val m = manifestPath(tb)
-    if (!Files.exists(m)) segmentsListed(tb)
-    else {
-      val dir = bucketDir(tb)
-      try {
-        val names = Files.readAllLines(m)
-        val segs = new mutable.ArrayBuffer[(Path, Long, Long)](names.size())
-        names.forEach { name =>
-          if (name.nonEmpty) SegmentCodec.parse(name) match {
-            case Some((s, c)) => segs += ((dir.resolve(name), s, c))
-            case None         => // torn/garbage line → distrust the whole file
-              throw new java.io.IOException(s"bad manifest line: $name")
-          }
+    val dir = bucketDir(tb)
+    try {
+      val names = readLines(m)
+      val segs = new mutable.ArrayBuffer[(HPath, Long, Long)](names.size)
+      names.foreach { name =>
+        if (name.nonEmpty) SegmentCodec.parse(name) match {
+          case Some((s, c)) => segs += ((new HPath(dir, name), s, c))
+          case None         => // torn/garbage line → distrust the whole file
+            throw new java.io.IOException(s"bad manifest line: $name")
         }
-        checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
-      } catch {
-        // any read/parse failure (torn write, bit rot, NumberFormatException
-        // from a seg-prefixed-but-garbled name) → authoritative listing;
-        // overlap violations must still propagate
-        case e: IllegalStateException => throw e
-        case scala.util.control.NonFatal(_) => segmentsListed(tb)
       }
+      checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
+    } catch {
+      // any read/parse failure (missing manifest, torn write, bit rot,
+      // NumberFormatException from a seg-prefixed-but-garbled name) →
+      // authoritative listing; overlap violations must still propagate
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(_) => segmentsListed(tb)
     }
   }
 
@@ -265,21 +395,47 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     */
   private val LockStaleMs = 300000L
 
+  /** Atomically create the lock file carrying `token`, failing if it
+    * exists. Local filesystems go through `java.nio` `Files.createFile`
+    * (true `O_EXCL` — Hadoop's `RawLocalFileSystem.create(overwrite=false)`
+    * is check-then-act, which would let two same-host drivers both take the
+    * lock); HDFS relies on the namenode-serialized exclusive create.
+    */
+  private def createLockExclusive(lock: HPath, token: Array[Byte]): Unit =
+    if (isLocal) {
+      val nioLock = toNio(lock)
+      java.nio.file.Files.createFile(nioLock) // atomic create-exclusive
+      // token write is a second step: if it fails (disk full, interrupt)
+      // release the just-created lock instead of orphaning an ownerless
+      // one for the whole staleness window. A process death BETWEEN the
+      // two calls still orphans it — the stale steal is the backstop.
+      try java.nio.file.Files.write(nioLock, token)
+      catch { case e: Throwable => java.nio.file.Files.deleteIfExists(nioLock); throw e }
+    } else {
+      val out = fs.create(lock, false)
+      try { out.write(token); out.close() }
+      catch { case e: Throwable =>
+        try { out.close() } catch { case _: Throwable => () }
+        try fs.delete(lock, false) catch { case _: Throwable => () }
+        throw e
+      }
+    }
+
   /** Exclusive cross-driver mutation lock for one bucket: atomic
     * create-exclusive of `.lock` in the bucket directory, stolen if the
     * holder crashed (mtime older than `LockStaleMs`). The filesystem
     * rendering of the reference's per-bucket single-writer election
     * (`internal/lighthouse/election/election.go:50-79`, ZK ephemeral
-    * nodes): offset assignment + segment link (publish) and
+    * nodes): offset assignment + segment rename (publish) and
     * manifest-rewrite + delete (retention) must each be one critical
-    * section per bucket — a check-after-link arbitration has an unfixable
-    * hole, because a writer that verified-then-returned cannot yield
-    * retroactively when a second writer links an overlapping segment a
-    * moment later.
+    * section per bucket — a check-after-publish arbitration has an
+    * unfixable hole, because a writer that verified-then-returned cannot
+    * yield retroactively when a second writer publishes an overlapping
+    * segment a moment later.
     *
     * Steal is ATOMIC: the stale lock is renamed to a unique name first, so
     * of N waiters that all observed staleness exactly one wins the rename;
-    * the losers' decisions die with the NoSuchFileException — a plain
+    * the losers' decisions die with the failed rename — a plain
     * delete-then-create steal lets a slow loser delete the winner's FRESH
     * lock (check-then-act). Release deletes the lock only if it still
     * holds our owner token, which NARROWS (a filesystem has no
@@ -290,36 +446,31 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     */
   def withBucketLock[A](tb: TopicBucket)(body: => A): A = {
     val dir = bucketDir(tb)
-    val lock = dir.resolve(".lock")
+    val lock = new HPath(dir, ".lock")
     val token = java.util.UUID.randomUUID().toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8)
     var held = false
     while (!held) {
       try {
-        Files.createFile(lock) // atomic create-exclusive
-        // token write is a second step: if it fails (disk full, interrupt)
-        // release the just-created lock instead of orphaning an ownerless
-        // one for the whole staleness window. A process death BETWEEN the
-        // two calls still orphans it — the stale steal is the backstop.
-        try Files.write(lock, token)
-        catch { case e: Throwable => Files.deleteIfExists(lock); throw e }
+        createLockExclusive(lock, token)
         held = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           try {
-            if (System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis > LockStaleMs) {
-              val claimed = dir.resolve(s".lock-stale-${java.util.UUID.randomUUID()}")
-              Files.move(lock, claimed, StandardCopyOption.ATOMIC_MOVE) // one winner
-              Files.deleteIfExists(claimed)
+            if (System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > LockStaleMs) {
+              val claimed = new HPath(dir, s".lock-stale-${java.util.UUID.randomUUID()}")
+              if (fs.rename(lock, claimed)) // one winner
+                fs.delete(claimed, false)
             }
-          } catch { case _: java.nio.file.NoSuchFileException => () } // lost or released
+          } catch { case _: java.io.FileNotFoundException => () } // lost or released
           Thread.sleep(5 + scala.util.Random.nextInt(20).toLong)
       }
     }
     try body finally {
       try {
-        if (java.util.Arrays.equals(Files.readAllBytes(lock), token))
-          Files.deleteIfExists(lock)
+        if (java.util.Arrays.equals(readFileBytes(lock), token))
+          fs.delete(lock, false)
       } catch { case _: java.io.IOException => () }
     }
   }
@@ -330,8 +481,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * crashed one.
     */
   def touchBucketLock(tb: TopicBucket): Unit =
-    try Files.setLastModifiedTime(bucketDir(tb).resolve(".lock"),
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    try fs.setTimes(new HPath(bucketDir(tb), ".lock"), System.currentTimeMillis(), -1L)
     catch { case _: java.io.IOException => () }
 
   /** Atomically rewrite the bucket manifest from the directory listing.
@@ -340,17 +490,19 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * atomic rename, and a lost update is re-healed by the next mutation).
     */
   def refreshManifest(tb: TopicBucket): Unit = {
-    val dir = bucketDir(tb)
-    if (!Files.isDirectory(dir)) return
+    if (!dirExists(bucketDir(tb))) return
     // raw listing: a transient overlap (another writer mid-arbitration) must
     // not abort THIS writer's refresh; readers still get the checked view.
-    val names = segmentsRaw(tb).map(_._1.getFileName.toString)
-    val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    catch { case _: Throwable => Files.deleteIfExists(tmp) }
+    val names = segmentsRaw(tb).map(_._1.getName)
+    // best-effort: a lost refresh is re-healed by the next mutation, and
+    // readers fall back to the authoritative listing on a missing manifest
+    try writeFileAtomic(manifestPath(tb),
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  private def dirExists(p: HPath): Boolean =
+    try fs.getFileStatus(p).isDirectory catch { case _: java.io.FileNotFoundException => false }
 
   override def size(tb: TopicBucket): Long = {
     val segs = segments(tb)
@@ -369,7 +521,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
     // lock: two concurrent appenders must not read the same end offset
-    Files.createDirectories(bucketDir(tb))
+    fs.mkdirs(bucketDir(tb))
     withBucketLock(tb) {
       appendAt(tb, endOffsetListed(tb), rows.map(p => (p, now)))
     }
@@ -382,16 +534,16 @@ final class FileTopicLog(val root: Path) extends TopicLog {
   def appendAt(tb: TopicBucket, start: Long, rows: Seq[(Payload, Long)]): Long = {
     if (rows.isEmpty) return start
     val dir = bucketDir(tb)
-    Files.createDirectories(dir)
-    val target = dir.resolve(SegmentCodec.segmentName(start, rows.size.toLong))
-    if (!Files.exists(target)) {
-      val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
-      SegmentCodec.write(tmp, rows)
-      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // Concurrent publisher won the rename race — idempotent outcome.
-        case _: java.nio.file.FileAlreadyExistsException => Files.deleteIfExists(tmp)
-      }
+    fs.mkdirs(dir)
+    val target = new HPath(dir, SegmentCodec.segmentName(start, rows.size.toLong))
+    if (!fs.exists(target)) {
+      val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
+      SegmentCodec.write(fs, tmp, rows)
+      // no-replace rename: HDFS refuses an existing target (false), POSIX
+      // would replace — but the exists-check above runs under the caller's
+      // bucket lock, and a same-name segment carries the same records by
+      // the idempotent-append contract, so either outcome is the no-op.
+      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // concurrent winner
     }
     refreshManifest(tb)
     start
@@ -405,7 +557,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     segments(tb).foreach { case (path, start, count) =>
       if (start < hi && start + count > lo) {
         var off = start
-        val it = SegmentCodec.read(path)
+        val it = SegmentCodec.read(fs, path)
         try {
           while (it.hasNext && off < hi) {
             val (id, ts, data) = it.next()
@@ -418,25 +570,17 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     out.result()
   }
 
-  override def buckets(topic: String): Seq[TopicBucket] = {
-    val dir = root.resolve(topic)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val files = dir.toFile.listFiles()
-      if (files == null) Seq.empty
+  override def buckets(topic: String): Seq[TopicBucket] =
+    listStatus(new HPath(root, topic)).iterator
       // dot-dirs (.staging, .commits) are connector workspace, not buckets
-      else files.iterator.filter(f => f.isDirectory && !f.getName.startsWith("."))
-        .map(f => TopicBucket(topic, f.getName))
-        .toSeq.sortBy(_.bucket)
-    }
-  }
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(st => TopicBucket(topic, st.getPath.getName))
+      .toSeq.sortBy(_.bucket)
 
-  def topics(): Seq[String] = {
-    val files = root.toFile.listFiles()
-    if (files == null) Seq.empty
-    else files.iterator.filter(f => f.isDirectory && !f.getName.startsWith("."))
-      .map(_.getName).toSeq.sorted
-  }
+  def topics(): Seq[String] =
+    listStatus(root).iterator
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSeq.sorted
 
   /** Retention: delete whole segments entirely below `floorOffset` in every
     * bucket (offsets are preserved — names carry absolute starts, so reads
@@ -445,7 +589,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * here retention is a pure metadata op. Returns deleted segment count.
     */
   def truncateBefore(topic: String, floorOffset: Long): Int =
-    truncateWhere(topic) { case (path, start, count) => start + count <= floorOffset }
+    truncateWhere(topic) { case (_, start, count) => start + count <= floorOffset }
 
   /** Time-based retention: delete whole segments older than `maxAgeMillis`
     * (by segment file mtime — set at publish, so always >= the newest
@@ -457,9 +601,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
   def truncateOlderThan(topic: String, maxAgeMillis: Long,
       nowMillis: Long = System.currentTimeMillis()): Int = {
     val cutoff = nowMillis - maxAgeMillis
-    truncateWhere(topic) { case (path, _, _) =>
-      Files.getLastModifiedTime(path).toMillis < cutoff
-    }
+    truncateWhere(topic) { case (st, _, _) => st.getModificationTime < cutoff }
   }
 
   /** Shared retention walk: drop segments matching `expired`, never the
@@ -469,25 +611,22 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     * deleted, so manifest-backed readers never plan a ghost segment.
     */
   private def truncateWhere(topic: String)(
-      expired: ((Path, Long, Long)) => Boolean): Int = {
+      expired: ((FileStatus, Long, Long)) => Boolean): Int = {
     var deleted = 0
     // Per-bucket lock: serializes with publishes, whose refreshManifest
     // would otherwise snapshot the directory between our manifest rewrite
     // and the deletes and reinstate ghost entries.
     buckets(topic).foreach { tb =>
       withBucketLock(tb) {
-        val segs = segmentsListed(tb)
+        val segs = segmentStatusRaw(tb)
+        checkNoOverlap(tb, segs.map { case (st, s, c) => (st.getPath, s, c) })
         val toDelete = segs.dropRight(1).filter(expired)
         if (toDelete.nonEmpty) {
           val keep = segs.filterNot(toDelete.contains)
-          val dir = bucketDir(tb)
-          val tmp = dir.resolve(s".manifest-tmp-${java.util.UUID.randomUUID()}")
-          Files.write(tmp, keep.map(_._1.getFileName.toString).mkString("\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          Files.move(tmp, manifestPath(tb), StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          toDelete.foreach { case (path, _, _) =>
-            if (Files.deleteIfExists(path)) deleted += 1
+          writeFileAtomic(manifestPath(tb), keep.map(_._1.getPath.getName)
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          toDelete.foreach { case (st, _, _) =>
+            if (fs.delete(st.getPath, false)) deleted += 1
           }
         }
       }
@@ -506,7 +645,7 @@ final class FileTopicLog(val root: Path) extends TopicLog {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     (0 until numBuckets).map { i =>
       val tb = TopicBucket(topic, f"b$i%04d")
-      Files.createDirectories(bucketDir(tb))
+      fs.mkdirs(bucketDir(tb))
       tb
     }
   }

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * reference resolves it with ZooKeeper leader election
   * (`internal/lighthouse/election/election.go:50-79`); we resolve it with
   * the per-bucket create-exclusive publish lock (`withBucketLock`) around
-  * offset assignment + link, with link-atomic createLink + byte-identity
-  * as the replay backstop.
+  * offset assignment + segment rename, with the exists-check +
+  * frame-identity compare as the replay backstop.
   *
   * Modes:
   *   `write <root> <topic> <n> <tag>` — append n single-partition rows

@@ -400,6 +400,53 @@ class ConnectorSpec extends AnyFunSuite {
     per.foreach { case (n, d, m) => assert(n == d && m == n - 1, per.mkString(",")) }
   }
 
+  // storage-plane paths are Hadoop paths; tests poke them via java.nio
+  private def nio(p: org.apache.hadoop.fs.Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri)
+
+  private def hp(parent: org.apache.hadoop.fs.Path, name: String): java.nio.file.Path =
+    nio(new org.apache.hadoop.fs.Path(parent, name))
+
+  test("root may be a file: URI — the storage plane is Hadoop-FS addressed") {
+    // Same protocol, explicitly URI-addressed: what a cluster deployment
+    // does with hdfs://nn/ripple, exercised here over file:/ (TestCase for
+    // VERDICT r8 finding #1 — the plane must not require a POSIX path).
+    val root = "file:" + tmp()
+    Ripple.createTopic(root, "uri", numBuckets = 2)
+    Ripple.write(samplePayloads(40), root, "uri", numBuckets = 2)
+    val back = Ripple.read(spark, root, "uri")
+    assert(back.count() == 40)
+    assert(back.agg(sum("id")).collect().head.getLong(0) == (0 until 40).sum.toLong)
+    // offset pushdown and metadata discovery unaffected by URI addressing
+    assert(back.where(col("offset") >= 5).count() == 30)
+    assert(Ripple.topics(root) == Seq("uri"))
+    assert(Ripple.endOffsets(root, "uri") == Map("b0000" -> 20L, "b0001" -> 20L))
+    // append again via the URI root: offsets continue, no relayout
+    Ripple.write(samplePayloads(10), root, "uri", numBuckets = 2)
+    assert(Ripple.read(spark, root, "uri").count() == 50)
+  }
+
+  test("non-atomic-rename scheme is refused loudly; explicit override works") {
+    // Stretch rig (VERDICT r8 task #8): a filesystem that renames by
+    // copy+delete (S3-style) breaks the publish protocol's atomicity; the
+    // log must refuse it at construction, not degrade silently.
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.natest.impl", classOf[NonAtomicTestFs].getName)
+    conf.set("graft.log.nonAtomicRenameSchemes", "natest")
+    val dir = tmp()
+    val e = intercept[IllegalArgumentException] {
+      new graft.log.FileTopicLog("natest:" + dir, conf)
+    }
+    assert(e.getMessage.contains("atomic rename"), e.getMessage)
+    // the operator's explicit opt-in is honored, and the log still works
+    // (the simulated store is really local disk, so semantics hold here)
+    conf.setBoolean("graft.log.allowNonAtomicRename", true)
+    val log = new graft.log.FileTopicLog("natest:" + dir, conf)
+    val tb = graft.model.TopicBucket("nat", "b0000")
+    log.append(tb, (0 until 3).map(i => graft.model.Payload(i, Array[Byte](i.toByte))))
+    assert(log.range(tb, 0, 10).map(_.id) == (0 until 3))
+  }
+
   test("overlapping segments (contract violation) fail loudly, not silently") {
     val root = tmp()
     Ripple.createTopic(root, "ov", numBuckets = 1)
@@ -523,8 +570,8 @@ class ConnectorSpec extends AnyFunSuite {
     java.nio.file.Files.createDirectories(commits)
     java.nio.file.Files.write(commits.resolve("epoch-1.intent"), "b0000 0 5 5".getBytes)
     val crashed = stage(epoch1)
-    java.nio.file.Files.createLink(
-      log.bucketDir(tb).resolve(graft.log.SegmentCodec.segmentName(5L, 5L)), crashed)
+    java.nio.file.Files.copy(crashed,
+      hp(log.bucketDir(tb), graft.log.SegmentCodec.segmentName(5L, 5L)))
     // the crashed link is on disk (authoritative) but not yet in the
     // manifest — exactly the state a crash between link and marker leaves
     assert(log.endOffsetListed(tb) == 10)
@@ -559,7 +606,7 @@ class ConnectorSpec extends AnyFunSuite {
     val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
     // a foreign writer already published [0,5) with content F
     graft.log.SegmentCodec.write(
-      log.bucketDir(tb).resolve(graft.log.SegmentCodec.segmentName(0L, 5L)),
+      hp(log.bucketDir(tb), graft.log.SegmentCodec.segmentName(0L, 5L)),
       (0 until 5).map(i => (graft.model.Payload(i, Array[Byte](9, 9)), 0L)))
     // our writer computed the same start before the foreign publish landed
     val staging = java.nio.file.Paths.get(root, "cc", ".staging")
@@ -608,7 +655,7 @@ class ConnectorSpec extends AnyFunSuite {
     val tb = graft.model.TopicBucket("ret", "b0000")
     // age the existing segment beyond the policy
     log.segmentsListed(tb).foreach { case (p, _, _) =>
-      java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.Files.setLastModifiedTime(nio(p),
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600_000L))
     }
     samplePayloads(5).coalesce(1).write.format("ripple")

@@ -22,6 +22,10 @@ class LogSpec extends AnyFunSuite {
   private def fileLog(): FileTopicLog =
     new FileTopicLog(Files.createTempDirectory("graftlog"))
 
+  // storage-plane paths are Hadoop paths; tests poke them via java.nio
+  private def nio(p: org.apache.hadoop.fs.Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri)
+
   private def logs(): Seq[(String, TopicLog)] =
     Seq("mem" -> new InMemoryLog, "file" -> fileLog())
 
@@ -121,18 +125,19 @@ class LogSpec extends AnyFunSuite {
     (0 until 6).foreach { i => log.appendAt(tb, i * 4L, payloads(4).map(p => (p, now))) }
     // manifest-backed view == authoritative listing
     assert(log.segments(tb) == log.segmentsListed(tb))
-    assert(java.nio.file.Files.exists(
-      log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName)))
+    assert(java.nio.file.Files.exists(nio(new org.apache.hadoop.fs.Path(
+      log.bucketDir(tb), graft.log.SegmentCodec.ManifestName))))
     log.truncateBefore(tb.topic, 9L)
     assert(log.segments(tb) == log.segmentsListed(tb))
     // reads go through the manifest and still see exactly the retained rows
     assert(log.range(tb, 0, 100).map(_.offset) == (8L until 24L))
     // a deleted manifest only falls back to the listing
-    java.nio.file.Files.delete(log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName))
+    java.nio.file.Files.delete(nio(new org.apache.hadoop.fs.Path(
+      log.bucketDir(tb), graft.log.SegmentCodec.ManifestName)))
     assert(log.segments(tb) == log.segmentsListed(tb))
     // a corrupt manifest is distrusted, not half-applied
     java.nio.file.Files.write(
-      log.bucketDir(tb).resolve(graft.log.SegmentCodec.ManifestName),
+      nio(new org.apache.hadoop.fs.Path(log.bucketDir(tb), graft.log.SegmentCodec.ManifestName)),
       "garbage-line\n".getBytes)
     assert(log.segments(tb) == log.segmentsListed(tb))
   }
@@ -143,7 +148,7 @@ class LogSpec extends AnyFunSuite {
     (0 until 4).foreach { i => log.appendAt(tb, i * 5L, payloads(5).map(p => (p, now))) }
     // age the first two segments' files by an hour
     log.segmentsListed(tb).take(2).foreach { case (p, _, _) =>
-      java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.Files.setLastModifiedTime(nio(p),
         java.nio.file.attribute.FileTime.fromMillis(now - 3600 * 1000L))
     }
     val deleted = log.truncateOlderThan(tb.topic, maxAgeMillis = 60 * 1000L, nowMillis = now)
@@ -153,7 +158,7 @@ class LogSpec extends AnyFunSuite {
     assert(log.range(tb, 10, 100).map(_.id) == payloads(5).map(_.id) ++ payloads(5).map(_.id))
     // everything aged: newest segment survives regardless
     log.segmentsListed(tb).foreach { case (p, _, _) =>
-      java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.Files.setLastModifiedTime(nio(p),
         java.nio.file.attribute.FileTime.fromMillis(now - 3600 * 1000L))
     }
     log.truncateOlderThan(tb.topic, maxAgeMillis = 60 * 1000L, nowMillis = now)
