@@ -137,12 +137,21 @@ object LangModel {
     * products < 2⁵³, correctly-rounded IEEE division, floor).
     *
     * Scale shape: scoring is [[perplexityScore]] (vocab-bounded count
-    * joins); the ranking is ONE shuffle keyed by stratum. Per-stratum
-    * ranking serializes a stratum onto one task — languages are few and
-    * fat, so at 100 TB swap the exact rank for a two-level prefix sum
-    * (the [[graft.ops.Sampling.tokenBudgetMix]] bucketed pattern) or cut
-    * on approx quantiles of the score instead; the equal-depth contract
-    * is the same.
+    * joins). The per-stratum rank does NOT put a stratum on one task
+    * (languages are few and fat — "web" is most of a real mix): it is a
+    * two-level prefix sum in the [[graft.ops.Sampling.tokenBudgetMix]]
+    * shape, with the range dimension cut on `percentile_approx` scores
+    * because the sort key here is a measured double, not a uniform hash.
+    * Each stratum's scores split into `rankBuckets` score ranges (bucket
+    * assignment depends ONLY on the score, so equal scores can never
+    * straddle a boundary), per-(stratum, range) counts (strata ×
+    * rankBuckets tiny rows) turn into offsets, and every range ranks its
+    * own rows in parallel: global rank = offset + local row_number, a
+    * BIT-IDENTICAL total (cross_entropy, id) order to a single
+    * per-stratum window (OpsSpec proves the identity), with max per-task
+    * rows ≈ stratum/rankBuckets. Quantile-estimate error skews range
+    * SIZES (load balance), never the rank — correctness does not depend
+    * on sketch quality.
     *
     * Output: (idCol, stratumCol, n_transitions, cross_entropy, bucket,
     * band) — band ∈ head/middle/tail for numBuckets = 3, "b<i>"
@@ -150,19 +159,35 @@ object LangModel {
     * as in [[score]].
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, numBuckets: Int = 3): DataFrame = {
+      stratumCol: String, numBuckets: Int = 3, rankBuckets: Int = 64): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    require(rankBuckets >= 2, s"rankBuckets=$rankBuckets must be >= 2")
+    import org.apache.spark.sql.expressions.Window
     val scored = perplexityScore(docs, docs, idCol, textCol)
       .join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
-    val byPpl = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
+    // interior quantiles of the per-stratum score → range-bucket bounds
+    val probs = (1 until rankBuckets).map(_.toDouble / rankBuckets)
+    val bounds = scored.groupBy(col(stratumCol))
+      .agg(percentile_approx(col("cross_entropy"), typedlit(probs), lit(10000))
+        .as("__qs"))
+    val ranged = scored.join(broadcast(bounds), Seq(stratumCol))
+      .withColumn("__rb", aggregate(col("__qs"), lit(0),
+        (acc, q) => acc + when(col("cross_entropy") > q, 1).otherwise(0)))
+      .drop("__qs")
+    // strata × rankBuckets rows: per-range counts → in-stratum offsets
+    val wOff = Window.partitionBy(col(stratumCol)).orderBy(col("__rb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = ranged.groupBy(col(stratumCol), col("__rb"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(wOff) - col("__c"))
+      .withColumn("__cnt", sum(col("__c")).over(Window.partitionBy(col(stratumCol))))
+      .drop("__c")
+    val byPplInRange = Window.partitionBy(col(stratumCol), col("__rb"))
       .orderBy(col("cross_entropy").asc, col(idCol).asc)
-    val n = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
     val labels = if (numBuckets == 3) Seq("head", "middle", "tail")
       else (0 until numBuckets).map(i => s"b$i")
-    scored
-      .withColumn("__rn", row_number().over(byPpl).cast("long"))
-      .withColumn("__cnt", count(lit(1)).over(n))
+    ranged.join(broadcast(offs), Seq(stratumCol, "__rb"))
+      .withColumn("__rn", col("__off") + row_number().over(byPplInRange).cast("long"))
       .withColumn("bucket", least(lit(numBuckets.toLong - 1),
         floor((col("__rn") - 1L) * numBuckets / col("__cnt"))))
       .withColumn("band", element_at(typedlit(labels), (col("bucket") + 1).cast("int")))

@@ -390,22 +390,48 @@ object Sampling {
     * {anchor, positive} for any corpus of ≥ 3 docs without rejection
     * loops.
     *
-    * Scale note: the ring rank is a GLOBAL row_number (one total order
-    * over ids — fine into the billions of ids as a one-off; at extreme
-    * scale replace with a range-partitioned rank, the contract is just
-    * "a deterministic permutation"). Pair-side work is two broadcast-
-    * class joins against the (id, rank) table.
+    * False-negative caveat (documented, by design): the ring only
+    * excludes the anchor and the CHOSEN positive. When a dup cluster has
+    * ≥ 3 members, the successor can itself be another near-duplicate of
+    * the anchor (a different member of the same cluster, or one of the
+    * anchor's other positives) — a hard false negative for contrastive
+    * training. Corpora where multi-member clusters matter should excise
+    * clusters first ([[graft.ops.Dedup.dupClusters]] + keep-one) or
+    * post-filter triples whose negative shares the anchor's cluster;
+    * skipping same-cluster ids inside the ring itself would make the
+    * negative a function of unbounded cluster geometry rather than a
+    * fixed-depth successor, and is deliberately not done here.
+    *
+    * Scale shape: the ring rank is a TOTAL order over ids by (md5, id),
+    * assigned via the same two-level 256-bucket prefix sum as
+    * [[tokenBudgetMix]] — per-bucket hash-prefix counts (≤ 256 rows,
+    * driver-side by construction) turn into bucket offsets, and each
+    * bucket ranks its own rows in parallel; max per-task rows ≈ n/256,
+    * identical order to a global row_number (the bucket key is a prefix
+    * of the sort key) with no single-task global window. Pair-side work
+    * is two broadcast-class joins against the (id, rank) table.
     *
     * Output: (anchor, positive, negative).
     */
   def contrastiveTriples(docs: DataFrame, idCol: String, pairs: DataFrame,
       seed: String = "ng0"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val ids = docs.select(col(idCol).as("__id")).distinct()
-    val n = ids.count()
+      .withColumn("__h", md5(concat(lit(seed), col("__id").cast("string"))))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // ≤ 256 rows by construction (two hex chars): bucket counts → offsets
+    val counts = ids.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
     require(n >= 3, s"contrastiveTriples needs >= 3 docs, got $n")
-    val byHash = org.apache.spark.sql.expressions.Window
-      .orderBy(md5(concat(lit(seed), col("__id").cast("string"))), col("__id"))
-    val ring = ids.withColumn("__r", row_number().over(byHash).cast("long"))
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
+    val byHashInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
+    val ring = ids.join(broadcast(offsets.toSeq.toDF("__b", "__off")), Seq("__b"))
+      .withColumn("__r", col("__off") + row_number().over(byHashInBucket).cast("long"))
+      .select(col("__id"), col("__r"))
     val pos = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
       .unionAll(pairs.select(col("id_b").as("anchor"), col("id_a").as("positive")))
     pos

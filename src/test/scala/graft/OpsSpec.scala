@@ -2239,6 +2239,65 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(t => (t._1, t._2)).forall(_._2.map(_._3).distinct.length == 1))
   }
 
+  test("contrastive ring: bucketed prefix-sum rank == single global window") {
+    import graft.ops.{Dedup, Sampling}
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.ngramJaccardNearDups(planted, "doc_id", "text",
+      blockCol = col("source"), threshold = 0.5)
+    val out = Sampling.contrastiveTriples(planted, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // naive replica: ONE global unpartitioned window (the pre-r9 shape the
+    // bucketed rank must reproduce exactly)
+    val ids = planted.select(col("doc_id").as("__id")).distinct()
+    val n = ids.count()
+    val byHash = Window.orderBy(
+      md5(concat(lit("ng0"), col("__id").cast("string"))), col("__id"))
+    val ring = ids.withColumn("__r", row_number().over(byHash).cast("long"))
+    val pos = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
+      .unionAll(pairs.select(col("id_b").as("anchor"), col("id_a").as("positive")))
+    val naive = pos
+      .join(ring.select(col("__id").as("anchor"), col("__r").as("__ra")), Seq("anchor"))
+      .withColumn("__r1", pmod(col("__ra"), lit(n)) + 1L)
+      .withColumn("__r2", pmod(pmod(col("__ra"), lit(n)) + 1L, lit(n)) + 1L)
+      .join(ring.select(col("__r").as("__r1"), col("__id").as("__nb1")), Seq("__r1"))
+      .join(ring.select(col("__r").as("__r2"), col("__id").as("__nb2")), Seq("__r2"))
+      .select(col("anchor"), col("positive"),
+        when(col("__nb1") =!= col("positive"), col("__nb1"))
+          .otherwise(col("__nb2")).as("negative"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(out == naive, "bucketed ring rank must equal the global-window ring")
+  }
+
+  test("perplexity buckets: bucketed prefix-sum rank == single per-stratum window") {
+    import graft.ops.LangModel
+    import org.apache.spark.sql.expressions.Window
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getString(5))).sortBy(t => (t._2, t._1)).toSeq
+    val out = canon(LangModel.perplexityBuckets(docs, "doc_id", "text", "source").collect())
+    // a skewed range count must not change results (ranges only balance work)
+    val out7 = canon(LangModel.perplexityBuckets(
+      docs, "doc_id", "text", "source", 3, 7).collect())
+    // naive replica: per-stratum global window (the pre-r9 shape)
+    val scored = LangModel.perplexityScore(docs, docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val byPpl = Window.partitionBy(col("source"))
+      .orderBy(col("cross_entropy").asc, col("doc_id").asc)
+    val nW = Window.partitionBy(col("source"))
+    val naive = canon(scored
+      .withColumn("__rn", row_number().over(byPpl).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(nW))
+      .withColumn("bucket", least(lit(2L),
+        floor((col("__rn") - 1L) * 3 / col("__cnt"))))
+      .withColumn("band", element_at(typedlit(Seq("head", "middle", "tail")),
+        (col("bucket") + 1).cast("int")))
+      .select(col("doc_id"), col("source"), col("n_transitions"),
+        col("cross_entropy"), col("bucket"), col("band"))
+      .collect())
+    assert(out == naive, "bucketed per-stratum rank must equal the window form")
+    assert(out7 == naive, "rank identity must hold for any rankBuckets")
+  }
+
   test("BFD packing: capacity respected, beats greedy on a crafted case, fewer-or-equal bins on the corpus") {
     import spark.implicits._
     // crafted: greedy in id order needs 3 bins, BFD packs into 2
