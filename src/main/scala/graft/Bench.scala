@@ -62,7 +62,7 @@ object Bench {
     * files and spills live on). One observed slow run had flat CPU calibs
     * but an inflated total — storage is the remaining host variable.
     */
-  private def calibrateIo(): Double = {
+  private[graft] def calibrateIo(): Double = {
     val t0 = System.nanoTime()
     val tmp = java.nio.file.Files.createTempFile("graft-calib", ".bin")
     try {
@@ -218,7 +218,9 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0" ||
           !sfDir.contains("sf0.1")) None
       else try Some(graft.tools.ScaleProbe.probe(spark, sfDir, "target/sf1",
-        budgetSec = 600.0)) // widened with the round-8 probe list (26 queries)
+        // widened with the round-8 probe list (26 queries) + round-9
+        // headroom for history-outlier escalations (median-of-3 cells)
+        budgetSec = 800.0))
       catch { case e: Throwable =>
         System.err.println(s"[bench] sf1 probe failed: ${e.getMessage}")
         None
@@ -229,8 +231,9 @@ object Bench {
       // anything scale super-linearly?" — PLUS which query it was (the
       // round-6 lesson: a bare max_ratio whose owner was lost with the
       // overwritten detail file is unactionable).
+      // no closing-brace anchor: entries carry trailing fields (n, hist)
       val entryRe =
-        """"(q[0-9]+[a-z]*)":\{"sf01":[0-9.\-]+,"sf1":[0-9.\-]+,"ratio":([0-9.\-]+)\}""".r
+        """"(q[0-9]+[a-z]*)":\{"sf01":[0-9.\-]+,"sf1":[0-9.\-]+,"ratio":([0-9.\-]+)""".r
       val pairs = entryRe.findAllMatchIn(b)
         .map(m => (m.group(1), m.group(2).toDouble)).filter(_._2 > 0).toSeq
       val (mq, mx) = if (pairs.nonEmpty) pairs.maxBy(_._2) else ("", -1.0)

@@ -8,6 +8,7 @@ package graft
   */
 final case class BenchHistory(
     perQuery: Map[String, Seq[Double]],
+    sf1PerQuery: Map[String, Seq[Double]],
     calibs: Seq[Double],
     calibIos: Seq[Double]) {
 
@@ -22,21 +23,35 @@ final case class BenchHistory(
 
   def queryMedian(name: String): Option[Double] =
     perQuery.get(name).flatMap(v => med(v.filter(_ >= 0)))
+  /** Median committed sf1-probe seconds for a SHORT query key ("q74"). */
+  def sf1Median(shortName: String): Option[Double] =
+    sf1PerQuery.get(shortName).flatMap(v => med(v.filter(_ >= 0)))
   def calibMedian: Option[Double] = med(calibs)
   def calibIoMedian: Option[Double] = med(calibIos)
 }
 
 object BenchHistory {
-  private val QueriesRe = """"queries":\{([^}]*)\}""".r
+  // The MAIN per-query map is the flat {"name":num,...} one. A history line
+  // carries a SECOND, earlier "queries" key inside its "sf1" block whose
+  // values are nested objects — [^}]* style matching latched onto that one
+  // and silently emptied the per-query history whenever an sf1 block was
+  // present (found in round 9); this regex only matches the flat shape.
+  private val QueriesRe = """"queries":\{((?:"[^"]+":-?[0-9.eE+]+,?)+)\}""".r
+  // sf1-probe entries are the nested {"sf01":..,"sf1":..,"ratio":..} shape;
+  // no closing-brace anchor, so later-appended fields (n, hist) still parse.
+  private val Sf1EntryRe =
+    """"(q[0-9]+[a-z]*)":\{"sf01":(-?[0-9.eE+]+),"sf1":(-?[0-9.eE+]+),"ratio":(-?[0-9.eE+]+)""".r
   private val EntryRe = """"([^"]+)":(-?[0-9.eE+-]+)""".r
   private val CalibRe = """"calib":(-?[0-9.eE+]+)""".r
   private val CalibIoRe = """"calib_io":(-?[0-9.eE+]+)""".r
 
   def load(path: String): BenchHistory = {
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.isRegularFile(p)) return BenchHistory(Map.empty, Nil, Nil)
+    if (!java.nio.file.Files.isRegularFile(p))
+      return BenchHistory(Map.empty, Map.empty, Nil, Nil)
     val lines = java.nio.file.Files.readAllLines(p)
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    val sf1PerQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibs = List.newBuilder[Double]
     val calibIos = List.newBuilder[Double]
     lines.forEach { line =>
@@ -46,9 +61,14 @@ object BenchHistory {
           if (v >= 0) perQuery.updateWith(e.group(1))(o => Some(v :: o.getOrElse(Nil)))
         }
       }
+      Sf1EntryRe.findAllMatchIn(line).foreach { e =>
+        val v = try e.group(3).toDouble catch { case _: NumberFormatException => -1.0 }
+        if (v >= 0) sf1PerQuery.updateWith(e.group(1))(o => Some(v :: o.getOrElse(Nil)))
+      }
       CalibRe.findFirstMatchIn(line).foreach(m => calibs += m.group(1).toDouble)
       CalibIoRe.findFirstMatchIn(line).foreach(m => calibIos += m.group(1).toDouble)
     }
-    BenchHistory(perQuery.view.mapValues(_.toSeq).toMap, calibs.result(), calibIos.result())
+    BenchHistory(perQuery.view.mapValues(_.toSeq).toMap,
+      sf1PerQuery.view.mapValues(_.toSeq).toMap, calibs.result(), calibIos.result())
   }
 }

@@ -260,10 +260,6 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Time each probed query once at sf0.1 and once at sf1 (single samples
-    * — the probe looks for ORDER-OF-MAGNITUDE nonlinearity, not ±20%).
-    * Stops when `budgetSec` is exhausted. Returns the `sf1` JSON block.
-    */
   /** Materialize `fn`'s frame through the noop sink and return seconds,
     * −1.0 on failure — the ONE timing methodology Bench and this probe
     * share (a second definition would quietly drift).
@@ -279,6 +275,19 @@ object ScaleProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Time each probed query at sf0.1 and sf1. Baseline is ONE sample per
+    * scale (the probe looks for ORDER-OF-MAGNITUDE nonlinearity, not
+    * ±20%), with the SAME outlier defense the sf0.1 bench cells carry
+    * (round-8 verdict #4 — the committed q136 8.0× was a host-noise
+    * single sample): when the sf1 sample lands >2× this query's own
+    * committed sf1 history median (BENCH_HISTORY.jsonl), BOTH scales
+    * escalate to median-of-3, and the entry records the sample count
+    * (`n`) plus the history median (`hist`) so a still-high committed
+    * ratio carries its own attribution. The block also records the disk
+    * calib measured right before the probe (`calib_io` + `offband` vs
+    * history) — a probe run on a degraded host says so in the artifact.
+    * Stops when `budgetSec` is exhausted. Returns the `sf1` JSON block.
+    */
   def probe(spark: SparkSession, sf01: String, sf1: String,
       budgetSec: Double): String = {
     val genSec = ensureSf1(spark, sf01, sf1)
@@ -293,20 +302,43 @@ object ScaleProbe {
       graft.queries.OpsQueries.q124Index(spark, d)
       graft.queries.OpsQueries.q130Index(spark, d)
     }
+    val history = graft.BenchHistory.load("BENCH_HISTORY.jsonl")
+    val calibIo = graft.Bench.calibrateIo()
+    val ioOffband = history.calibIoMedian.exists(h => calibIo > 2.0 * h)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var skipped = 0
     probed(sf1).foreach { case (name, fn) =>
       if (System.nanoTime() > deadline) skipped += 1
       else {
-        val a = timeNoop(spark, sf01, name, fn)
-        val b = timeNoop(spark, sf1, name, fn)
+        val short = name.takeWhile(_ != '_')
+        var as = List(timeNoop(spark, sf01, name, fn))
+        var bs = List(timeNoop(spark, sf1, name, fn))
+        val hist = history.sf1Median(short)
+        val suspect = bs.head > 0 && hist.exists(h => h > 0 && bs.head > 2.0 * h)
+        if (suspect) {
+          System.err.println(s"[bench] sf1 $name ${bs.head} >2x history " +
+            s"${hist.get}; escalating to median-of-3")
+          (1 to 2).foreach { _ =>
+            as ::= timeNoop(spark, sf01, name, fn)
+            bs ::= timeNoop(spark, sf1, name, fn)
+          }
+        }
+        val aOk = as.filter(_ >= 0); val bOk = bs.filter(_ >= 0)
+        val a = if (aOk.isEmpty) -1.0 else median(aOk)
+        val b = if (bOk.isEmpty) -1.0 else median(bOk)
         val ratio = if (a > 0 && b > 0) b / a else -1.0
         def r2(v: Double) = math.rint(v * 100) / 100
-        entries += s""""${name.takeWhile(_ != '_')}":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(ratio)}}"""
+        val histField = hist.map(h => s""","hist":${r2(h)}""").getOrElse("")
+        entries += s""""$short":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(ratio)},"n":${bOk.size}$histField}"""
       }
     }
     s"""{"gen_sec":${math.rint(genSec)},"scale":$K,"skipped_on_budget":$skipped,""" +
+      s""""calib_io":${math.rint(calibIo * 1000) / 1000},"calib_io_offband":$ioOffband,""" +
       s""""queries":{${entries.mkString(",")}}}"""
   }
 }
