@@ -961,6 +961,14 @@ object OpsQueries {
       TextAnalysis.packSequences(
         docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
         "doc_id", "nt", col("source"), maxTokens = 256)),
+    // best-fit-decreasing packing (q73's bin-packing upgrade): the oracle
+    // replays the FULL BFD walk in DuckDB — a recursive CTE whose state
+    // carries the open-bin fill/count LISTS, placing docs in (tokens DESC,
+    // id ASC) order into the fullest feasible bin (ties → lowest id)
+    "q143_sequence_packing_bfd" -> ((s, d) =>
+      TextAnalysis.packSequencesBFD(
+        docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", col("source"), maxTokens = 256)),
     // duplicated-span coverage: fraction of each doc under word 3-grams
     // that also occur in other documents (the "duplicate text fraction"
     // curation signal — catches partial/boilerplate duplication that
@@ -2901,6 +2909,40 @@ object OpsQueries {
         |         ELSE p.fill + b.n_tokens END
         |  FROM pack p JOIN base b
         |    ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1)
+        |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
+    "q143_sequence_packing_bfd" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT grp, id, n_tokens,
+        |    row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, id) AS rn
+        |  FROM (SELECT source AS grp, doc_id AS id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents) z),
+        |pack(grp, rn, id, n_tokens, seq_id, seq_pos, fills, counts) AS (
+        |  SELECT grp, rn, id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    [n_tokens], [CAST(1 AS BIGINT)]
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT grp, rn, id, n_tokens,
+        |    CASE WHEN best IS NULL THEN CAST(len(fills) AS BIGINT) ELSE best - 1 END,
+        |    CASE WHEN best IS NULL THEN CAST(0 AS BIGINT)
+        |         ELSE counts[CAST(best AS INT)] END,
+        |    CASE WHEN best IS NULL THEN list_append(fills, n_tokens)
+        |         ELSE list_transform(range(1, CAST(len(fills) AS BIGINT) + 1),
+        |                i -> CASE WHEN i = best THEN fills[i] + n_tokens
+        |                     ELSE fills[i] END) END,
+        |    CASE WHEN best IS NULL THEN list_append(counts, CAST(1 AS BIGINT))
+        |         ELSE list_transform(range(1, CAST(len(fills) AS BIGINT) + 1),
+        |                i -> CASE WHEN i = best THEN counts[i] + 1
+        |                     ELSE counts[i] END) END
+        |  FROM (
+        |    SELECT t0.*, CASE WHEN len(idxs) = 0 THEN NULL
+        |      ELSE list_sort(list_transform(idxs, i -> [-fills[i], i]))[1][2] END AS best
+        |    FROM (
+        |      SELECT b.grp, b.rn, b.id, b.n_tokens, p.fills, p.counts,
+        |        list_filter(range(1, CAST(len(p.fills) AS BIGINT) + 1),
+        |          i -> p.fills[i] + b.n_tokens <= 256) AS idxs
+        |      FROM pack p JOIN base b
+        |        ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1) t0) t1)
         |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
     "q72_keywords" ->
       """WITH toks AS (
