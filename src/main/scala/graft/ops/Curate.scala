@@ -201,34 +201,66 @@ object Curate {
 
   /** Streaming curation — the live-crawl half of the pipeline: the SAME
     * per-row stages as [[run]] (shared [[rowStages]] chain) over an
-    * unbounded stream, plus watermark-bounded exact dedup on the content
-    * fingerprint (`dropDuplicatesWithinWatermark` — state holds only the
-    * watermark window, so it survives an unbounded crawl). Corpus-wide
-    * stages that need the WHOLE distribution (near-dup clustering, DSIR,
-    * rebalance, budgets) stay batch by nature — run them on the landed
-    * output, or probe a persisted LSH index per batch
-    * ([[graft.ops.Dedup.novelAgainstMinhashIndex]] via foreachBatch) for
-    * the incremental near-dup shape.
+    * unbounded stream, plus per-stream dedup:
     *
-    * Config knobs beyond the row stages are IGNORED here by design —
-    * loudly, not silently: passing one is a require failure, so a batch
-    * config doesn't quietly under-curate a stream.
+    *   - `exactDedup` → watermark-bounded exact dedup on the content
+    *     fingerprint (`dropDuplicatesWithinWatermark` — state holds only
+    *     the watermark window, so it survives an unbounded crawl);
+    *   - `nearDupThreshold` + `idCol` → streaming MinHash near-dedup
+    *     ([[graft.streaming.TopicStreams.dropNearDups]], the
+    *     transformWithState banded-LSH processor): admits a document the
+    *     first time its content neighborhood appears, across micro-batch
+    *     boundaries, with per-band bounded state. The two dedup modes are
+    *     EXCLUSIVE here (identical text hashes to an identical signature,
+    *     so near-dup subsumes exact at every threshold — and chaining a
+    *     second stateful operator would buy nothing for its cost). The
+    *     near-dup output NARROWS to (idCol, textCol): the band fan-in
+    *     carries the payload text, not arbitrary columns — rejoin other
+    *     columns on idCol downstream if needed.
+    *
+    * Representative choice differs from batch BY DESIGN (stated, so no
+    * one expects representative-level parity): a replayed corpus keeps
+    * the FIRST-ARRIVED copy per fingerprint/neighborhood here (the only
+    * prefix-consistent choice an unbounded stream can make), while batch
+    * [[Dedup.exactDedup]]/[[Dedup.dupClusters]] keep the LOWEST ID. The
+    * kept-set SIZES agree; which copy represents a duplicate group need
+    * not.
+    *
+    * Corpus-wide stages that need the WHOLE distribution (near-dup
+    * CLUSTERING, DSIR, rebalance, budgets) stay batch by nature — run
+    * them on the landed output, or probe a persisted LSH index per batch
+    * ([[graft.ops.Dedup.novelAgainstMinhashIndex]] via foreachBatch) for
+    * the index-backed incremental shape. Passing one is a require
+    * failure — loudly, not silently: a batch config must not quietly
+    * under-curate a stream.
     */
   def runStream(stream: DataFrame, textCol: String, cfg: Config,
       tsCol: String, lateness: String,
-      urlCol: Option[String] = None): DataFrame = {
-    require(cfg.nearDupThreshold.isEmpty && cfg.dsirTargetSources.isEmpty &&
+      urlCol: Option[String] = None,
+      idCol: Option[String] = None): DataFrame = {
+    require(cfg.dsirTargetSources.isEmpty &&
       cfg.targetShares.isEmpty && cfg.tokenBudgets.isEmpty &&
       cfg.capPerSource.isEmpty && cfg.perplexityBands.isEmpty,
-      "runStream handles the per-row stages + exact dedup; corpus-wide " +
-        "stages (near-dup, DSIR, rebalance, budgets, caps, perplexity " +
+      "runStream handles the per-row stages + dedup; corpus-wide " +
+        "stages (DSIR, rebalance, budgets, caps, perplexity " +
         "bands) are batch passes — run them on the landed output")
+    require(cfg.nearDupThreshold.isEmpty || idCol.isDefined,
+      "streaming near-dedup needs idCol (a long-castable id column) — " +
+        "without one, near-dup stays a batch pass on the landed output")
+    require(cfg.nearDupThreshold.isEmpty || !cfg.exactDedup,
+      "streaming near-dedup subsumes exact dedup (identical text => " +
+        "identical signature); enable one, not both")
     val t = rowStages(stream, textCol, cfg, urlCol)
-    if (cfg.exactDedup)
-      t.withColumn("__graft_fp", TextAnalysis.fingerprint(col(textCol)))
-        .withWatermark(tsCol, lateness)
-        .dropDuplicatesWithinWatermark("__graft_fp")
-        .drop("__graft_fp")
-    else t
+    (cfg.nearDupThreshold, idCol) match {
+      case (Some(thr), Some(id)) =>
+        graft.streaming.TopicStreams.dropNearDups(t, id, textCol, threshold = thr)
+          .toDF(id, textCol)
+      case _ if cfg.exactDedup =>
+        t.withColumn("__graft_fp", TextAnalysis.fingerprint(col(textCol)))
+          .withWatermark(tsCol, lateness)
+          .dropDuplicatesWithinWatermark("__graft_fp")
+          .drop("__graft_fp")
+      case _ => t
+    }
   }
 }

@@ -241,9 +241,13 @@ object Dedup {
     * matching future batches). Both tables rewrite through the atomic
     * [[Layout.rewriteClustered]] swap, band keys keeping their
     * (band, bandHash) clustering so probe-side file skipping is
-    * preserved; `params` (the sketch geometry) is untouched. The deleted
-    * index is row-identical to one built without the ids — the
-    * append ≡ rebuild property, mirrored. Unknown ids are no-ops.
+    * preserved; `params` (the sketch geometry) is untouched. `numFiles`
+    * sizes BOTH rewrites — the shingles table is ~numBands× smaller per
+    * row group than bands, so it takes a proportionally smaller file
+    * count (floor numFiles/4, min 4) rather than a surprising hardcoded
+    * one. The deleted index is row-identical to one built without the
+    * ids — the append ≡ rebuild property, mirrored. Unknown ids are
+    * no-ops.
     */
   def deleteFromMinhashIndex(ids: DataFrame, idCol: String, path: String,
       numFiles: Int = 32): Unit = {
@@ -252,7 +256,8 @@ object Dedup {
     Layout.rewriteClustered(spark, s"$path/bands",
       Seq(col("band"), col("bandHash")), numFiles)(
       _.join(del, Seq("id"), "left_anti"))
-    Layout.rewriteClustered(spark, s"$path/shingles", Seq(col("id")), 8)(
+    Layout.rewriteClustered(spark, s"$path/shingles", Seq(col("id")),
+      math.max(4, numFiles / 4))(
       _.join(del, Seq("id"), "left_anti"))
   }
 
@@ -495,7 +500,12 @@ object Dedup {
     *
     * `pairs` is any (id_a, id_b) near-dup pair set, as in
     * [[graft.ops.Sampling.leakFreeSplit]]; clusters close via
-    * [[dupClusters]] (pair-bounded CC), singletons weigh 1. The
+    * [[dupClusters]] (pair-bounded CC), singletons weigh 1. Pairs mined
+    * from a SUPERSET of `docs` (pre-filter mining, a shared pair store)
+    * are fine: cluster sizes count only members PRESENT in `docs` — an
+    * absent member must not dilute the survivors' weights, or the
+    * "each duplicated item contributes one unit of mass" invariant would
+    * silently break (per-cluster mass would sum below 1). The
     * corpus-sized work is one broadcast-class left join plus a per-row
     * division. Output: (idCol, cluster, cluster_size, weight) — the
     * division is one correctly-rounded IEEE op from an integer, so the
@@ -504,6 +514,7 @@ object Dedup {
   def softDedupWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 20, checkpointEvery: Int = 0): DataFrame = {
     val cl = dupClusters(pairs, maxIter, checkpointEvery)
+      .join(docs.select(col(idCol).cast("long").as("id")), Seq("id"), "left_semi")
     val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("__cs"))
     val labeled = cl.join(sizes, Seq("cluster"))
       .select(col("id").as(idCol), col("cluster"), col("__cs"))

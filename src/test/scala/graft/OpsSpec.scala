@@ -2174,6 +2174,23 @@ class OpsSpec extends AnyFunSuite {
     val splitClusters = Sampling.leakFreeSplit(corpus, "doc_id", pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.forall { case (id, cl, _, _) => splitClusters(id) == cl })
+    // pairs mined from a SUPERSET of docs (pre-filter mining): absent
+    // members must not dilute the survivors — cluster_size counts only
+    // present docs, so per-cluster mass still sums to 1
+    val half = corpus.filter(col("doc_id") < 1000000L) // drop every twin
+    val halfOut = Dedup.softDedupWeights(half, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(halfOut.length == half.count())
+    // sizes count PRESENT members only: each cluster's surviving mass
+    // still sums to 1 (absent twins would have halved every weight), and
+    // a doc whose only near-dup was its twin is back to weight 1
+    halfOut.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.length == members.head._3, s"cluster $cl size ≠ present count")
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-9,
+        s"cluster $cl mass ${members.map(_._4).sum} ≠ 1 under superset pairs")
+    }
+    assert(halfOut.exists { case (_, _, cs, w) => cs == 1L && w == 1.0 },
+      "fixture must contain a doc whose only pair partner was its twin")
   }
 
   test("span corruption: reconstruction inverts the corruption, counts consistent, deterministic") {

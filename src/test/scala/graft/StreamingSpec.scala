@@ -432,11 +432,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == Set(1L, 4L, 5L), s"batch row stages kept $batch")
     // a corpus-wide stage in the config must refuse loudly, not silently
     // under-curate the stream
-    val bad = cfg.copy(nearDupThreshold = Some(0.7))
+    val bad = cfg.copy(dsirTargetSources = Seq("src0"))
     val e = intercept[IllegalArgumentException] {
       Curate.runStream(stream, "text", bad, "ts", "10 minutes")
     }
     assert(e.getMessage.contains("batch passes"))
+    // near-dup IS streamable (transformWithState stage) — but only with an
+    // id column, and not stacked on exact dedup (which it subsumes)
+    val nd = cfg.copy(nearDupThreshold = Some(0.7), exactDedup = false)
+    val e2 = intercept[IllegalArgumentException] {
+      Curate.runStream(stream, "text", nd, "ts", "10 minutes")
+    }
+    assert(e2.getMessage.contains("idCol"))
+    val e3 = intercept[IllegalArgumentException] {
+      Curate.runStream(stream, "text", nd.copy(exactDedup = true),
+        "ts", "10 minutes", idCol = Some("doc_id"))
+    }
+    assert(e3.getMessage.contains("subsumes"))
+  }
+
+  test("streaming curation: opt-in near-dup stage drops cross-batch near-dups via runStream") {
+    import spark.implicits._
+    import graft.ops.Curate
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val good = "a perfectly reasonable document with more than ten distinct whitespace tokens"
+      val base = good + " " + (1 to 20).map(i => s"tok$i").mkString(" ")
+      val pert = good + " " + (1 to 19).map(i => s"tok$i").mkString(" ") + " other"
+      val third = good + " " + (100 to 120).map(i => s"word$i").mkString(" ")
+      val cfg = Curate.Config(normalizeUnicode = false, qualityFilter = true,
+        exactDedup = false, nearDupThreshold = Some(0.6))
+      val mem = MemoryStream[(Timestamp, Long, String)]
+      mem.addData((ts(0), 1L, base), (ts(0, 30), 2L, "too short"))
+      val out = Curate.runStream(mem.toDF().toDF("ts", "doc_id", "text"),
+        "text", cfg, "ts", "10 minutes", idCol = Some("doc_id"))
+      assert(out.columns.toSeq == Seq("doc_id", "text")) // documented narrowing
+      val q = out.writeStream.format("memory").queryName("curated_nd")
+        .outputMode("update").option("checkpointLocation", tmp()).start()
+      try {
+        q.processAllAvailable()
+        // batch 2: 3 is a near-dup of 1 (admitted in batch ONE), 4 is novel
+        mem.addData((ts(1), 3L, pert), (ts(1, 30), 4L, third))
+        q.processAllAvailable()
+        val kept = spark.table("curated_nd").select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+        assert(kept == Set(1L, 4L), s"runStream near-dup kept $kept")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
