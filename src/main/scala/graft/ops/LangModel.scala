@@ -153,18 +153,63 @@ object LangModel {
     * SIZES (load balance), never the rank — correctness does not depend
     * on sketch quality.
     *
+    * The rank is ADAPTIVE on a measured two-tier gate (the q99
+    * salted-join discipline): the bucketed form's extra passes (pin +
+    * quantile bounds + per-range counts) cost ~1 s of fixed small-job
+    * overhead at sf0.1 — pure waste when every stratum already fits one
+    * task comfortably. Tier 1 is `docs.count()` (cheap — parquet answers
+    * from footers): the corpus total bounds every stratum, so under
+    * `exactWindowMaxRows` the ORIGINAL unpinned single-window plan runs
+    * with zero added jobs. Past it, the scored table is pinned once,
+    * strata counted on the checkpoint, and only a stratum actually over
+    * the bound flips the rank to the bucketed prefix sum. Both forms
+    * produce the identical output by the OpsSpec identity, so the gate
+    * can never change results — only the plan.
+    *
     * Output: (idCol, stratumCol, n_transitions, cross_entropy, bucket,
     * band) — band ∈ head/middle/tail for numBuckets = 3, "b<i>"
     * otherwise. Documents with < 2 tokens have no score and are absent,
     * as in [[score]].
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, numBuckets: Int = 3, rankBuckets: Int = 64): DataFrame = {
+      stratumCol: String, numBuckets: Int = 3, rankBuckets: Int = 64,
+      exactWindowMaxRows: Long = 4L << 20): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
     require(rankBuckets >= 2, s"rankBuckets=$rankBuckets must be >= 2")
     import org.apache.spark.sql.expressions.Window
-    val scored = perplexityScore(docs, docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
+    def mkScored(pin: Boolean): DataFrame = {
+      val s = perplexityScore(docs, docs, idCol, textCol)
+        .join(docs.select(col(idCol), col(stratumCol)), Seq(idCol))
+      // pinned on the multi-pass path only: the bucketed rank (and the
+      // stratum-count gate) read the scored table up to three times — as
+      // raw lineage each pass would re-run the whole bigram-scoring
+      // subtree; the single-pass window path skips the pin entirely
+      if (pin) s.materialized() else s
+    }
+    val labels = if (numBuckets == 3) Seq("head", "middle", "tail")
+      else (0 until numBuckets).map(i => s"b$i")
+    def finish(ranked: DataFrame): DataFrame = ranked
+      .withColumn("bucket", least(lit(numBuckets.toLong - 1),
+        floor((col("__rn") - 1L) * numBuckets / col("__cnt"))))
+      .withColumn("band", element_at(typedlit(labels), (col("bucket") + 1).cast("int")))
+      .select(col(idCol), col(stratumCol), col("n_transitions"),
+        col("cross_entropy"), col("bucket"), col("band"))
+    def windowRank(scored: DataFrame): DataFrame = {
+      val byPpl = Window.partitionBy(col(stratumCol))
+        .orderBy(col("cross_entropy").asc, col(idCol).asc)
+      finish(scored
+        .withColumn("__rn", row_number().over(byPpl).cast("long"))
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(stratumCol)))))
+    }
+    // tier 1: the corpus total bounds every stratum — a cheap count keeps
+    // the small-scale plan exactly what it was (unpinned, one window)
+    if (docs.count() <= exactWindowMaxRows) return windowRank(mkScored(pin = false))
+    val scored = mkScored(pin = true)
+    // tier 2: strata counted on the checkpoint — only an actually-fat
+    // stratum pays for the bucketed machinery
+    val maxStratum = Option(scored.groupBy(col(stratumCol)).count()
+      .agg(max("count")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    if (maxStratum <= exactWindowMaxRows) return windowRank(scored)
     // interior quantiles of the per-stratum score → range-bucket bounds
     val probs = (1 until rankBuckets).map(_.toDouble / rankBuckets)
     val bounds = scored.groupBy(col(stratumCol))
@@ -184,14 +229,7 @@ object LangModel {
       .drop("__c")
     val byPplInRange = Window.partitionBy(col(stratumCol), col("__rb"))
       .orderBy(col("cross_entropy").asc, col(idCol).asc)
-    val labels = if (numBuckets == 3) Seq("head", "middle", "tail")
-      else (0 until numBuckets).map(i => s"b$i")
-    ranged.join(broadcast(offs), Seq(stratumCol, "__rb"))
-      .withColumn("__rn", col("__off") + row_number().over(byPplInRange).cast("long"))
-      .withColumn("bucket", least(lit(numBuckets.toLong - 1),
-        floor((col("__rn") - 1L) * numBuckets / col("__cnt"))))
-      .withColumn("band", element_at(typedlit(labels), (col("bucket") + 1).cast("int")))
-      .select(col(idCol), col(stratumCol), col("n_transitions"),
-        col("cross_entropy"), col("bucket"), col("band"))
+    finish(ranged.join(broadcast(offs), Seq(stratumCol, "__rb"))
+      .withColumn("__rn", col("__off") + row_number().over(byPplInRange).cast("long")))
   }
 }

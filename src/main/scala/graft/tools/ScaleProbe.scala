@@ -58,10 +58,10 @@ object ScaleProbe {
     // time the index BUILD into the ratio.
     "q110_cross_neardup", "q123_ivfpq_index_self", "q124_bm25_index",
     "q125_ir_eval", "q130_minhash_index",
-    // later round-8 additions ≥1 s at sf0.1: hybrid retrieval fusion,
-    // the CCNet perplexity banding (q89's scaling plus two windows), and
-    // winnowing near-dups (fp-keyed join, df-cut bounded — probed as-is)
-    "q118_hybrid_rrf", "q134_ppl_buckets", "q136_winnow_neardup",
+    // later round-8 additions ≥1 s at sf0.1: hybrid retrieval fusion and
+    // winnowing near-dups (fp-keyed join, df-cut bounded — probed as-is);
+    // q134 moved to a regime override below (bucketed rank forced)
+    "q118_hybrid_rrf", "q136_winnow_neardup",
     // CDC chunking: per-row fold + the line-dedup-shaped stats shuffle
     "q138_cdc_chunks",
     // span corruption: pure per-row fold — should ride the scan
@@ -158,6 +158,15 @@ object ScaleProbe {
         graft.ops.Dedup.minhashNearDups(graft.ops.Spread.toCores(docs),
           "doc_id", "text", threshold = 0.5)
           .select(col("id_a"), col("id_b")))
+    })) :+
+    // q134 probes with the BUCKETED rank FORCED (exactWindowMaxRows = 0 —
+    // the q91-style regime override): the adaptive gate would route both
+    // probe scales to the single-window form, and the ratio must exercise
+    // the 100 TB path's scale machinery, not the small-corpus shortcut.
+    ("q134_ppl_buckets" -> ((s: SparkSession, d: String) => {
+      graft.ops.LangModel.perplexityBuckets(
+        graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet")),
+        "doc_id", "text", "source", exactWindowMaxRows = 0L)
     })) :+
     ("q91_semantic_dedup" -> ((s: SparkSession, d: String) => {
       // exact-path comparison against the dir the probe generated — NOT a

@@ -2291,10 +2291,17 @@ class OpsSpec extends AnyFunSuite {
     def canon(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getLong(4), r.getString(5))).sortBy(t => (t._2, t._1)).toSeq
-    val out = canon(LangModel.perplexityBuckets(docs, "doc_id", "text", "source").collect())
+    // exactWindowMaxRows = 0 FORCES the bucketed path (the adaptive gate
+    // would route this test-sized corpus to the window form and make the
+    // identity vacuous)
+    val out = canon(LangModel.perplexityBuckets(
+      docs, "doc_id", "text", "source", 3, 64, 0L).collect())
     // a skewed range count must not change results (ranges only balance work)
     val out7 = canon(LangModel.perplexityBuckets(
-      docs, "doc_id", "text", "source", 3, 7).collect())
+      docs, "doc_id", "text", "source", 3, 7, 0L).collect())
+    // the gate's default (window path at this scale) must agree too
+    val outGated = canon(LangModel.perplexityBuckets(
+      docs, "doc_id", "text", "source").collect())
     // naive replica: per-stratum global window (the pre-r9 shape)
     val scored = LangModel.perplexityScore(docs, docs, "doc_id", "text")
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -2313,6 +2320,7 @@ class OpsSpec extends AnyFunSuite {
       .collect())
     assert(out == naive, "bucketed per-stratum rank must equal the window form")
     assert(out7 == naive, "rank identity must hold for any rankBuckets")
+    assert(outGated == naive, "the adaptive gate must never change results")
   }
 
   test("BFD packing: capacity respected, beats greedy on a crafted case, fewer-or-equal bins on the corpus") {
