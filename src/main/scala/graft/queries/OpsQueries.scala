@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Bpe, Dedup, Embeddings, Graph, LangModel, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
+import graft.ops.{Bpe, Dedup, Embeddings, Graph, LangModel, Learn, Multimodal, Report, Retrieval, Sampling, Similarity, TextAnalysis, WebText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -817,6 +817,14 @@ object OpsQueries {
     // accumulation — count table bounded at 2^16 rows → broadcast.
     "q122_dsir_weights" -> ((s, d) =>
       Sampling.importanceWeights(docs(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1", "src2"),
+        wordHash = TextAnalysis.portableHash60)),
+    // in-engine classifier TRAINING (batch perceptron over hashed
+    // unigrams, weak source labels — q122's framing upgraded from a fixed
+    // discriminant to a learned margin): integer-exact updates, so the
+    // oracle replays all 3 epochs verbatim
+    "q144_perceptron_quality" -> ((s, d) =>
+      Learn.perceptronClassify(docs(s, d), "doc_id", "text",
         col("source").isin("src0", "src1", "src2"),
         wordHash = TextAnalysis.portableHash60)),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
@@ -2308,6 +2316,48 @@ object OpsQueries {
         |SELECT doc_id, n_feats, logit, logit > 0 AS keep FROM sc""".stripMargin,
     // q122: replay the DSIR count contrast — same portable-md5 16-bit
     // buckets, HUGEINT-exact cross-multiplied discriminant, cast once.
+    "q144_perceptron_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, y, b, CAST(count(1) AS BIGINT) AS c
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE -1 END AS y,
+        |          (('0x' || substr(md5(w), 1, 15))::BIGINT) % 65536 AS b
+        |        FROM (SELECT doc_id, source,
+        |                unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                  w -> w != '')) AS w
+        |              FROM documents))
+        |  GROUP BY doc_id, y, b),
+        |w1 AS ( -- epoch 1: w0 = 0 => every doc misclassified
+        |  SELECT b, sum(y * c) AS w FROM toks GROUP BY b),
+        |m1 AS (
+        |  SELECT t.doc_id, t.y, sum(w1.w * t.c) AS m
+        |  FROM toks t JOIN w1 USING (b) GROUP BY t.doc_id, t.y),
+        |d2 AS (
+        |  SELECT b, sum(y * c) AS d FROM toks
+        |  WHERE doc_id IN (SELECT doc_id FROM m1 WHERE y * m <= 0)
+        |  GROUP BY b),
+        |w2 AS (
+        |  SELECT coalesce(w1.b, d2.b) AS b,
+        |         coalesce(w1.w, 0) + coalesce(d2.d, 0) AS w
+        |  FROM w1 FULL OUTER JOIN d2 ON w1.b = d2.b),
+        |m2 AS (
+        |  SELECT t.doc_id, t.y, sum(w2.w * t.c) AS m
+        |  FROM toks t JOIN w2 USING (b) GROUP BY t.doc_id, t.y),
+        |d3 AS (
+        |  SELECT b, sum(y * c) AS d FROM toks
+        |  WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * m <= 0)
+        |  GROUP BY b),
+        |w3 AS (
+        |  SELECT coalesce(w2.b, d3.b) AS b,
+        |         coalesce(w2.w, 0) + coalesce(d3.d, 0) AS w
+        |  FROM w2 FULL OUTER JOIN d3 ON w2.b = d3.b),
+        |m3 AS (
+        |  SELECT t.doc_id, t.y, sum(w3.w * t.c) AS m
+        |  FROM toks t JOIN w3 USING (b) GROUP BY t.doc_id, t.y)
+        |SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(m AS BIGINT) AS margin,
+        |  CAST(CASE WHEN m > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted,
+        |  (CASE WHEN m > 0 THEN 1 ELSE -1 END) = y AS correct
+        |FROM m3""".stripMargin,
     "q122_dsir_weights" ->
       """WITH toks AS (
         |  SELECT doc_id,
