@@ -388,6 +388,54 @@ object TextAnalysis {
       .toDF("grp", "id", "n_tokens", "seq_id", "seq_pos")
   }
 
+  /** LPT (longest-processing-time) shard balancing — the epoch-sharding
+    * counterpart of [[packSequencesBFD]]: instead of opening as many
+    * capacity-bounded bins as the data needs, assign every document to
+    * one of a FIXED `numShards` shards minimizing token skew (makespan):
+    * docs in (tokens DESC, id ASC) order each go to the currently
+    * LIGHTEST shard (ties → lowest shard id). LPT's classic bound
+    * (≤ 4/3 − 1/3m of the optimal makespan) keeps data-parallel epoch
+    * shards token-balanced, so no trainer rank idles on a short shard.
+    * Deterministic: a pure function of (tokens, id) — the same corpus
+    * shards identically on any engine, any partitioning, any day.
+    *
+    * Same unit of parallelism as the packers: one narrow
+    * (group, id, n_tokens) shuffle, a per-group in-memory walk with
+    * O(numShards) state. Output: (grp, id, n_tokens, shard, shard_pos) —
+    * shard ∈ [0, numShards), shard_pos in placement order.
+    */
+  def shardBalanceLPT(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokensCol: String, groupCol: Column, numShards: Int): org.apache.spark.sql.DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    import df.sparkSession.implicits._
+    df.select(groupCol.cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp: String, it: Iterator[(String, Long, Long)]) =>
+        val ds = it.toArray.sortBy(t => (-t._3, t._2))
+        val fills = new Array[Long](numShards)
+        val counts = new Array[Long](numShards)
+        val out = new Array[(String, Long, Long, Long, Long)](ds.length)
+        var i = 0
+        while (i < ds.length) {
+          var best = 0
+          var b = 1
+          while (b < numShards) { // lightest shard, ties -> lowest id
+            if (fills(b) < fills(best)) best = b
+            b += 1
+          }
+          out(i) = (grp, ds(i)._2, ds(i)._3, best.toLong, counts(best))
+          fills(best) += ds(i)._3
+          counts(best) += 1
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("grp", "id", "n_tokens", "shard", "shard_pos")
+  }
+
   /** Deterministic span-corruption example generation (the T5/UL2 denoising
     * objective's data step, word-granular): each word is masked when
     * hash(seed:id:pos) mod `denom` == 0 (expected mask rate 1/denom);

@@ -969,6 +969,12 @@ object OpsQueries {
       TextAnalysis.packSequences(
         docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
         "doc_id", "nt", col("source"), maxTokens = 256)),
+    // LPT epoch sharding: 8 fixed shards per source, token-balanced —
+    // the oracle replays the greedy lightest-shard walk (list-state CTE)
+    "q145_shard_balance" -> ((s, d) =>
+      TextAnalysis.shardBalanceLPT(
+        docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", col("source"), numShards = 8)),
     // best-fit-decreasing packing (q73's bin-packing upgrade): the oracle
     // replays the FULL BFD walk in DuckDB — a recursive CTE whose state
     // carries the open-bin fill/count LISTS, placing docs in (tokens DESC,
@@ -2960,6 +2966,34 @@ object OpsQueries {
         |  FROM pack p JOIN base b
         |    ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1)
         |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
+    "q145_shard_balance" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT grp, id, n_tokens,
+        |    row_number() OVER (PARTITION BY grp ORDER BY n_tokens DESC, id) AS rn
+        |  FROM (SELECT source AS grp, doc_id AS id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |        FROM documents) z),
+        |lpt(grp, rn, id, n_tokens, shard, shard_pos, fills, counts) AS (
+        |  SELECT grp, rn, id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    list_transform(range(1, 9), i -> CASE WHEN i = 1 THEN n_tokens
+        |      ELSE CAST(0 AS BIGINT) END),
+        |    list_transform(range(1, 9), i -> CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END)
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT grp, rn, id, n_tokens,
+        |    best - 1,
+        |    counts[CAST(best AS INT)],
+        |    list_transform(range(1, 9), i -> CASE WHEN i = best
+        |      THEN fills[i] + n_tokens ELSE fills[i] END),
+        |    list_transform(range(1, 9), i -> CASE WHEN i = best
+        |      THEN counts[i] + 1 ELSE counts[i] END)
+        |  FROM (
+        |    SELECT b.grp, b.rn, b.id, b.n_tokens, p.fills, p.counts,
+        |      list_sort(list_transform(range(1, 9), i -> [p.fills[i], i]))[1][2] AS best
+        |    FROM lpt p JOIN base b
+        |      ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1) t)
+        |SELECT grp, id, n_tokens, shard, shard_pos FROM lpt""".stripMargin,
     "q143_sequence_packing_bfd" ->
       """WITH RECURSIVE base AS (
         |  SELECT grp, id, n_tokens,

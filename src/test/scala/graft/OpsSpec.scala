@@ -2256,6 +2256,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.groupBy(t => (t._1, t._2)).forall(_._2.map(_._3).distinct.length == 1))
   }
 
+  test("LPT shard balance: complete, balanced within max-doc, beats round-robin skew") {
+    import spark.implicits._
+    val df = docs.withColumn("nt", graft.ops.TextAnalysis.tokenCount(col("text")))
+    val out = TextAnalysis.shardBalanceLPT(df, "doc_id", "nt", col("source"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == docs.count())
+    out.groupBy(_._1).foreach { case (g, members) =>
+      val fills = members.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      assert(fills.keySet.forall(s => s >= 0 && s < 8), s"$g shard ids")
+      // LPT invariant: when every shard is non-empty, max-min fill is
+      // bounded by the largest doc (the last doc placed on the max shard
+      // went there while it was the LIGHTEST)
+      if (fills.size == 8) {
+        val spread = fills.values.max - fills.values.min
+        val maxDoc = members.map(_._3).max
+        assert(spread <= maxDoc, s"$g spread $spread > max doc $maxDoc")
+      }
+      // shard_pos dense per shard
+      members.groupBy(_._4).foreach { case (sh, ms) =>
+        assert(ms.map(_._5).sorted.toSeq == (0L until ms.length), s"$g/$sh pos")
+      }
+      // skew no worse than deterministic round-robin in id order
+      val rr = members.sortBy(_._2).zipWithIndex
+        .groupBy(_._2 % 8).view.mapValues(_.map(_._1._3).sum)
+      def skew(m: Iterable[Long]) = m.max - m.min
+      assert(skew(fills.values) <= skew(rr.values.toSeq),
+        s"$g LPT skew must not exceed round-robin")
+    }
+    // deterministic under repartition
+    val again = TextAnalysis.shardBalanceLPT(df.repartition(7), "doc_id", "nt",
+        col("source"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("perceptron: separable data converges, partition-invariant, cross-corpus apply") {
     import spark.implicits._
     import graft.ops.Learn
