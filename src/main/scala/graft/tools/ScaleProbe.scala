@@ -64,6 +64,10 @@ object ScaleProbe {
     "q118_hybrid_rrf", "q136_winnow_neardup",
     // CDC chunking: per-row fold + the line-dedup-shaped stats shuffle
     "q138_cdc_chunks",
+    // round-9: perceptron training — per-epoch broadcast + two narrow
+    // aggregations over the pinned feature stream; the iterative shape
+    // whose scale risk (a corpus-sized per-epoch rescan) the pin removes
+    "q144_perceptron_quality",
     // span corruption: pure per-row fold — should ride the scan
     "q141_span_corrupt"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
