@@ -25,22 +25,22 @@ object Ripple {
     * op; zero distributed steps).
     */
   def createTopic(root: String, topic: String, numBuckets: Int = 4): Unit =
-    new FileTopicLog(root, LogFs.activeHadoopConf).createTopic(topic, numBuckets)
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).createTopic(topic, numBuckets)
 
   /** Metadata discovery (SURVEY A12 — the bootstrap plane's
     * GetProducer/ConsumerConnection lookups become registry listings).
     */
   def topics(root: String): Seq[String] =
-    new FileTopicLog(root, LogFs.activeHadoopConf).topics()
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).topics()
 
   def buckets(root: String, topic: String): Seq[String] =
-    new FileTopicLog(root, LogFs.activeHadoopConf).buckets(topic).map(_.bucket)
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).buckets(topic).map(_.bucket)
 
   /** End offset per bucket — the "latest" metadata a consumer polls
     * (`internal/broker/consumer/server/core.go:52-56`).
     */
   def endOffsets(root: String, topic: String): Map[String, Long] = {
-    val log = new FileTopicLog(root, LogFs.activeHadoopConf)
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
     log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
   }
 
@@ -66,13 +66,13 @@ object Ripple {
     * (`core.go:45` TODO) — OOM is its retention policy.
     */
   def truncateBefore(root: String, topic: String, floorOffset: Long): Int =
-    new FileTopicLog(root, LogFs.activeHadoopConf).truncateBefore(topic, floorOffset)
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).truncateBefore(topic, floorOffset)
 
   /** Time-based retention: drop whole segments older than `maxAgeMillis`
     * per bucket (by publish mtime; offsets preserved, newest segment kept).
     */
   def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long): Int =
-    new FileTopicLog(root, LogFs.activeHadoopConf).truncateOlderThan(topic, maxAgeMillis)
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).truncateOlderThan(topic, maxAgeMillis)
 
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.

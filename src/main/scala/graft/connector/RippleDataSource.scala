@@ -105,8 +105,9 @@ case class RippleConf(
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
     consumerId: Option[String] = None,
-    hconf: SerializableHadoopConf = LogFs.activeSerializable) {
-  def log: FileTopicLog = new FileTopicLog(root, hconf.value)
+    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
+      LogFs.activeBroadcast) {
+  def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)
     bucket match {

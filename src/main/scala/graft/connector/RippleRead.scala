@@ -293,7 +293,8 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   * segment paths resolve against the same filesystem (`hdfs://`, `file:/`)
   * the planner listed them from.
   */
-class RippleReaderFactory(schema: StructType, hconf: SerializableHadoopConf)
+class RippleReaderFactory(schema: StructType,
+    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema, hconf)
@@ -304,11 +305,12 @@ class RippleReaderFactory(schema: StructType, hconf: SerializableHadoopConf)
   * (`internal/broker/queue/queue.go:58-61`).
   */
 class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
-    hconf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReader[InternalRow] {
 
   private val it = {
     val seg = new HPath(p.segPath)
-    SegmentCodec.read(LogFs.get(seg, hconf.value), seg)
+    SegmentCodec.read(LogFs.get(seg, hconf.value.value), seg)
   }
   private var off = p.segStart
   private var cur: InternalRow = _

@@ -136,7 +136,7 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
 
   private val stagingDir: HPath =
     new HPath(new HPath(new HPath(conf.root), conf.topic), ".staging")
-  private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value)
+  private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value.value)
   fs.mkdirs(stagingDir)
 
   private case class Open(path: HPath, out: DataOutputStream, var count: Long)

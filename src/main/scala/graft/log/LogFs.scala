@@ -64,6 +64,30 @@ object LogFs {
   def activeSerializable: SerializableHadoopConf =
     new SerializableHadoopConf(activeHadoopConf)
 
+  /** One BROADCAST of the active session's Hadoop configuration, cached
+    * per application: a `SerializableHadoopConf` embedded directly in a
+    * task closure re-parses the full property set (`readFields`, ~ms) on
+    * EVERY task deserialization — measurable against the streaming
+    * connector's per-epoch budget — while a broadcast value materializes
+    * once per executor and is a handle afterwards (the same reason Spark
+    * ships its own hadoopConf broadcast to file-source readers).
+    */
+  @volatile private var cachedBc: (String, org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = _
+  def activeBroadcast: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val cur = cachedBc
+    if (cur != null && cur._1 == sc.applicationId && !sc.isStopped) cur._2
+    else synchronized {
+      val again = cachedBc
+      if (again != null && again._1 == sc.applicationId && !sc.isStopped) again._2
+      else {
+        val b = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+        cachedBc = (sc.applicationId, b)
+        b
+      }
+    }
+  }
+
   /** Resolve `p`'s filesystem with log-plane settings (private instance,
     * checksums off). Cached per (scheme, authority) for the JVM lifetime.
     */
