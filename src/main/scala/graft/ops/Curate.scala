@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *      [[Dedup.dupClusters]], keep each cluster's representative)
   *   8. DSIR selection             ([[Sampling.importanceWeights]] —
   *      keep target-domain-like docs, the q122 discriminant)
+  *   8a. trained-classifier select ([[Learn.perceptronClassify]] —
+  *      train the hashed-unigram quality model on THIS corpus from weak
+  *      source labels, keep predicted-positive docs; degenerate models
+  *      refuse loudly)
   *   8b. mixture rebalance         ([[Sampling.rebalance]])
   *   8c. token-budget mix          ([[Sampling.tokenBudgetMix]])
   *   9. per-source cap             ([[Sampling.capPerGroup]])
@@ -58,6 +62,8 @@ object Curate {
       qualityFilter: Boolean = true,
       classifierFilter: Boolean = false,
       classifierMinLogit: Double = 0.0,
+      trainedClassifierSources: Seq[String] = Nil,
+      trainedClassifierEpochs: Int = 3,
       perplexityBands: Seq[String] = Nil,
       exactDedup: Boolean = true,
       nearDupThreshold: Option[Double] = None,
@@ -112,7 +118,7 @@ object Curate {
     // extraction + filters per eager pass (the dupClusters discipline)
     if (cfg.nearDupThreshold.isDefined || cfg.dsirTargetSources.nonEmpty ||
         cfg.targetShares.nonEmpty || cfg.tokenBudgets.nonEmpty ||
-        cfg.perplexityBands.nonEmpty)
+        cfg.perplexityBands.nonEmpty || cfg.trainedClassifierSources.nonEmpty)
       t = phase("scan_filters")(t.materialized(true))
     // CCNet's LM stage: per-source equal-depth perplexity bands over the
     // SURVIVING corpus (train = score = t, the self-perplexity recipe),
@@ -147,6 +153,28 @@ object Curate {
           col(sourceCol).isin(cfg.dsirTargetSources: _*))
         .filter(col("keep")).select(col(idCol).as("__graft_dsir_id"))
       t = t.join(keepIds, col(idCol) === col("__graft_dsir_id"), "left_semi")
+    }
+    // TRAINED model-based selection: learn the quality model on THIS
+    // corpus from weak source labels ([[Learn.perceptronClassify]] — the
+    // in-engine upgrade of the fixed-weight classifierFilter and the
+    // learned sibling of DSIR above), keep docs the model predicts
+    // target-like. Runs after dedup (training on duplicated copies
+    // over-weights their vocabulary) and refuses a degenerate model
+    // loudly: weak labels with no textual signal collapse the perceptron
+    // to one class, and a silent full-corpus drop (or a no-op filter that
+    // LOOKS like curation) must not masquerade as selection.
+    if (cfg.trainedClassifierSources.nonEmpty) phase("trained_classifier") {
+      val scored = Learn.perceptronClassify(t, idCol, textCol,
+        col(sourceCol).isin(cfg.trainedClassifierSources: _*),
+        epochs = cfg.trainedClassifierEpochs).materialized()
+      val nPos = scored.filter(col("predicted") === 1L).count()
+      require(nPos > 0 && nPos < scored.count(),
+        "trained classifier predicted a single class — the weak source " +
+          "labels carry no learnable textual signal on this corpus; " +
+          "use the heuristic classifierFilter or DSIR instead")
+      val keepIds = scored.filter(col("predicted") === 1L)
+        .select(col(idCol).as("__graft_tc_id"))
+      t = t.join(keepIds, col(idCol) === col("__graft_tc_id"), "left_semi")
     }
     if (cfg.targetShares.nonEmpty)
       t = phase("rebalance")(
@@ -240,10 +268,11 @@ object Curate {
       idCol: Option[String] = None): DataFrame = {
     require(cfg.dsirTargetSources.isEmpty &&
       cfg.targetShares.isEmpty && cfg.tokenBudgets.isEmpty &&
-      cfg.capPerSource.isEmpty && cfg.perplexityBands.isEmpty,
+      cfg.capPerSource.isEmpty && cfg.perplexityBands.isEmpty &&
+      cfg.trainedClassifierSources.isEmpty,
       "runStream handles the per-row stages + dedup; corpus-wide " +
-        "stages (DSIR, rebalance, budgets, caps, perplexity " +
-        "bands) are batch passes — run them on the landed output")
+        "stages (DSIR, rebalance, budgets, caps, perplexity bands, " +
+        "trained classifier) are batch passes — run them on the landed output")
     require(cfg.nearDupThreshold.isEmpty || idCol.isDefined,
       "streaming near-dedup needs idCol (a long-castable id column) — " +
         "without one, near-dup stays a batch pass on the landed output")

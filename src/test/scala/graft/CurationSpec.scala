@@ -335,6 +335,41 @@ class CurationSpec extends AnyFunSuite {
     assert(err.getMessage.contains("near-dedup"))
   }
 
+  test("Curate.run: trained-classifier stage keeps learned positives, refuses collapse") {
+    import spark.implicits._
+    import graft.ops.{Curate, Learn}
+    // separable corpus: target sources speak "good*", the rest "bad*"
+    val docs = (0 until 60).map { i =>
+      val src = if (i % 3 == 0) "tgt" else s"oth${i % 2}"
+      val words = if (src == "tgt") s"good$i goodcommon shared tok$i extra$i"
+                  else s"bad$i badcommon shared tok$i extra$i"
+      (i.toLong, src, words + " pad1 pad2 pad3 pad4 pad5 pad6")
+    }.toDF("doc_id", "source", "text")
+    val cfg = Curate.Config(qualityFilter = false, exactDedup = false,
+      normalizeUnicode = false, trainedClassifierSources = Seq("tgt"),
+      trainedClassifierEpochs = 5)
+    val kept = Curate.run(docs, "doc_id", "text", "source", cfg)
+      .docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the stage keeps exactly the docs the trained model predicts positive
+    val expect = Learn.perceptronClassify(docs, "doc_id", "text",
+        col("source") === "tgt", epochs = 5)
+      .filter(col("predicted") === 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expect && kept.nonEmpty && kept.size < docs.count(),
+      s"kept ${kept.size} of ${docs.count()}")
+    // on this separable fixture the learned positives ARE the target docs
+    assert(kept == (0 until 60 by 3).map(_.toLong).toSet)
+    // unlearnable labels collapse the model to one class -> loud refusal,
+    // never a silent full-corpus drop (or a silent keep-everything no-op)
+    val flat = (0 until 30).map(i =>
+      (i.toLong, if (i < 10) "tgt" else "oth", "same words every time"))
+      .toDF("doc_id", "source", "text")
+    val e = intercept[IllegalArgumentException] {
+      Curate.run(flat, "doc_id", "text", "source", cfg).docs.count()
+    }
+    assert(e.getMessage.contains("single class"), e.getMessage)
+  }
+
   test("Curate.run: classifier filter and DSIR selection stages compose") {
     import spark.implicits._
     import graft.ops.{Curate, Sampling, TextAnalysis}
