@@ -415,23 +415,9 @@ object Sampling {
     */
   def contrastiveTriples(docs: DataFrame, idCol: String, pairs: DataFrame,
       seed: String = "ng0"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ids = docs.select(col(idCol).as("__id")).distinct()
-      .withColumn("__h", md5(concat(lit(seed), col("__id").cast("string"))))
-      .withColumn("__b", substring(col("__h"), 1, 2))
-    // ≤ 256 rows by construction (two hex chars): bucket counts → offsets
-    val counts = ids.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val n = counts.map(_._2).sum
+    val (ring, n) = bucketedHashRank(
+      docs.select(col(idCol).as("__id")).distinct(), seed)
     require(n >= 3, s"contrastiveTriples needs >= 3 docs, got $n")
-    var acc = 0L
-    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
-    val byHashInBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
-    val ring = ids.join(broadcast(offsets.toSeq.toDF("__b", "__off")), Seq("__b"))
-      .withColumn("__r", col("__off") + row_number().over(byHashInBucket).cast("long"))
-      .select(col("__id"), col("__r"))
     val pos = pairs.select(col("id_a").as("anchor"), col("id_b").as("positive"))
       .unionAll(pairs.select(col("id_b").as("anchor"), col("id_a").as("positive")))
     pos
@@ -443,6 +429,56 @@ object Sampling {
       .select(col("anchor"), col("positive"),
         when(col("__nb1") =!= col("positive"), col("__nb1"))
           .otherwise(col("__nb2")).as("negative"))
+  }
+
+  /** The two-level 256-bucket prefix-sum hash rank shared by
+    * [[contrastiveTriples]] and [[epochOrder]]: ranks the `__id` column
+    * of `ids` 1..n by the TOTAL (md5(seed‖id), id) order without any
+    * global single-task window — rows bucket by the 2-hex-char hash
+    * prefix (prefix order = full-hash order), the ≤ 256 per-bucket
+    * counts collect driver-side (bounded by construction) and turn into
+    * offsets, and each bucket ranks its own rows in parallel (max
+    * per-task rows ≈ n/256). Returns ((__id, __r), n).
+    */
+  private def bucketedHashRank(ids: DataFrame, seed: String): (DataFrame, Long) = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val hashed = ids
+      .withColumn("__h", md5(concat(lit(seed), col("__id").cast("string"))))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val counts = hashed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (b, c) => val o = (b, acc); acc += c; o }
+    val byHashInBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col("__id"))
+    val ranked = hashed
+      .join(broadcast(offsets.toSeq.toDF("__b", "__off")), Seq("__b"))
+      .withColumn("__r", col("__off") + row_number().over(byHashInBucket).cast("long"))
+      .select(col("__id"), col("__r"))
+    (ranked, n)
+  }
+
+  /** Deterministic per-epoch training order: every document gets its
+    * position 1..n in a pseudorandom permutation keyed by (seed, epoch) —
+    * what a reproducible training dataloader consumes instead of an
+    * engine-/partitioning-dependent `rand()` shuffle. Same (seed, epoch)
+    * ⇒ the identical order on any engine, any day (auditable runs,
+    * resumable mid-epoch by position); different epochs ⇒ independent
+    * md5 orders, the "reshuffle each epoch" contract. Composes with
+    * [[graft.ops.TextAnalysis.shardBalanceLPT]] (shard first, order
+    * within shard) for data-parallel loaders.
+    *
+    * Scale shape: the [[bucketedHashRank]] two-level prefix sum — no
+    * global window, max per-task rows ≈ n/256, one narrow shuffle.
+    * Output: (idCol, position).
+    */
+  def epochOrder(docs: DataFrame, idCol: String, seed: String,
+      epoch: Int): DataFrame = {
+    val (ranked, _) = bucketedHashRank(
+      docs.select(col(idCol).as("__id")).distinct(), s"$seed:$epoch:")
+    ranked.select(col("__id").as(idCol), col("__r").as("position"))
   }
 
   /** Leakage-free train/test split: near-duplicate CLUSTERS are the

@@ -971,6 +971,10 @@ object OpsQueries {
         "doc_id", "nt", col("source"), maxTokens = 256)),
     // LPT epoch sharding: 8 fixed shards per source, token-balanced —
     // the oracle replays the greedy lightest-shard walk (list-state CTE)
+    // reproducible per-epoch training order (the dataloader's shuffle,
+    // engine-replayable): position 1..n by md5(seed:epoch:id)
+    "q146_epoch_order" -> ((s, d) =>
+      Sampling.epochOrder(docs(s, d), "doc_id", "ep", epoch = 1)),
     "q145_shard_balance" -> ((s, d) =>
       TextAnalysis.shardBalanceLPT(
         docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
@@ -2966,6 +2970,12 @@ object OpsQueries {
         |  FROM pack p JOIN base b
         |    ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1)
         |SELECT grp, id, n_tokens, seq_id, seq_pos FROM pack""".stripMargin,
+    "q146_epoch_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep:1:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |    AS position
+        |FROM documents""".stripMargin,
     "q145_shard_balance" ->
       """WITH RECURSIVE base AS (
         |  SELECT grp, id, n_tokens,

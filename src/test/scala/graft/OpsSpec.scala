@@ -2293,6 +2293,29 @@ class OpsSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("epochOrder: bijective positions, epoch-keyed, equals the global-window order") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val e1 = Sampling.epochOrder(docs, "doc_id", "s", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(e1.size == n && e1.values.toSeq.sorted == (1L to n))
+    // identical on re-run; different epoch = a different permutation
+    val again = Sampling.epochOrder(docs, "doc_id", "s", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == e1)
+    val e2 = Sampling.epochOrder(docs, "doc_id", "s", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e2 != e1 && e2.values.toSeq.sorted == (1L to n))
+    // bucketed rank == one global unpartitioned window
+    val naive = docs.select(col("doc_id"))
+      .withColumn("p", row_number().over(
+        Window.orderBy(md5(concat(lit("s:1:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == naive)
+  }
+
   test("perceptron: separable data converges, partition-invariant, cross-corpus apply") {
     import spark.implicits._
     import graft.ops.Learn
