@@ -44,6 +44,18 @@ object Ripple {
     log.buckets(topic).map(tb => tb.bucket -> log.size(tb)).toMap
   }
 
+  /** Earliest RETAINED offset per bucket — the retention truncation floor.
+    * Pair with [[consumerOffsets]] for loss accounting: a consumer whose
+    * committed cursor is below this floor has lost
+    * `earliestOffsets(...)(b) - cursor(b)` records to retention and will
+    * fail its next resume unless it opts into `allowDataLoss` (see the
+    * connector's data-loss guard, [[graft.connector.RippleDataLoss]]).
+    */
+  def earliestOffsets(root: String, topic: String): Map[String, Long] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.buckets(topic).map(tb => tb.bucket -> log.firstOffset(tb)).toMap
+  }
+
   /** Every registered consumer's committed cursor for `topic` (consumerId
     * -> bucket -> committed end offset) — the reference's per-consumer
     * offset state (`internal/broker/consumer/server/core.go:46-64,77-85`)

@@ -38,7 +38,14 @@ import scala.jdk.CollectionConverters._
   *   - `buckets`: bucket count used when the write auto-creates the topic
   *     (default 4)
   *   - `startingOffset`/`endingOffset` (batch read): per-bucket offset
-  *     range, applied to every bucket
+  *     range, applied to every bucket. An EXPLICIT `startingOffset` below a
+  *     bucket's retention floor fails loudly (see `allowDataLoss`); when
+  *     absent, reads start at the earliest RETAINED offset
+  *   - `allowDataLoss` (read, default false): when a requested or resumed
+  *     offset lies below a bucket's first surviving segment (retention
+  *     truncated past it), `false` fails the query with the truncation
+  *     floor in the message; `true` logs the lost range and skips to the
+  *     floor — the `failOnDataLoss` analog of the Kafka source
   *   - `maxOffsetsPerTrigger` (streaming read): global per-micro-batch row
   *     cap, the analog of the reference's `AskQuery.Count` (`core.go:16-19`);
   *     allocated proportionally to per-bucket backlog
@@ -85,7 +92,14 @@ object RippleConf {
       preferredHosts = Option(options.get("preferredHosts"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       retentionMs = options.getLong("retentionMs", Long.MaxValue),
-      consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId))
+      consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
+      // An EXPLICIT startingOffset is a positional read request — reading
+      // past a retention floor it names is data loss and fails loudly; the
+      // absent default means "earliest retained" (Kafka's `earliest`), which
+      // can never lose data. The distinction must be captured here because
+      // both arrive at the scan as the same Long.
+      startingOffsetSet = options.containsKey("startingOffset"),
+      allowDataLoss = options.getBoolean("allowDataLoss", false))
   }
 }
 
@@ -105,6 +119,8 @@ case class RippleConf(
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
     consumerId: Option[String] = None,
+    startingOffsetSet: Boolean = false,
+    allowDataLoss: Boolean = false,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
       LogFs.activeBroadcast) {
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

@@ -100,6 +100,36 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     else new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi, limit)
 }
 
+/** Read-side data-loss guard — the `failOnDataLoss` analog of the Kafka
+  * source, and the read-side twin of the reference's offset over-advance bug
+  * (`internal/broker/consumer/server/core.go:61-62`) this connector refused
+  * to replicate on the commit side: a resume/replay offset below a bucket's
+  * first surviving segment means retention truncated rows the reader was
+  * promised, and skipping them silently turns exactly-once into
+  * sometimes-lossy. Default: FAIL with the truncation floor in the message.
+  * `allowDataLoss=true`: log the lost range and proceed from the floor.
+  */
+object RippleDataLoss {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Validate a requested read position `from` against the bucket's
+    * truncation `floor`; returns the effective (possibly advanced) position.
+    */
+  def check(conf: RippleConf, bucket: String, from: Long, floor: Long): Long =
+    if (from >= floor) from
+    else if (conf.allowDataLoss) {
+      log.warn(s"ripple: skipping lost offsets [$from, $floor) of topic " +
+        s"'${conf.topic}' bucket '$bucket' (retention truncated past the " +
+        "requested position; allowDataLoss=true)")
+      floor
+    } else throw new IllegalStateException(
+      s"ripple: offsets [$from, $floor) of topic '${conf.topic}' bucket " +
+        s"'$bucket' were removed by retention (earliest retained offset is " +
+        s"$floor). Reading would silently lose ${floor - from} records. " +
+        "Restart from a fresh checkpoint / drop the stale startingOffset, " +
+        "or set option allowDataLoss=true to skip the lost range and log it.")
+}
+
 /** Metadata-only COUNT(*) scan: one partition, one row, zero frames read. */
 class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
   override def readSchema(): StructType = StructType(Seq(
@@ -115,9 +145,17 @@ class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
       // rows start at its first surviving segment, exactly what the real
       // scan would read.
       val total = conf.buckets.map { tb =>
-        val end = math.min(hi, log.size(tb))
-        log.segments(tb).map { case (_, start, count) =>
-          math.max(0L, math.min(end, start + count) - math.max(lo, start))
+        val segs = log.segments(tb)
+        val end = math.min(hi,
+          if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max)
+        // An EXPLICIT startingOffset below the retention floor would silently
+        // under-count — same guard as the row scan (absent → earliest).
+        val floor = segs.headOption.map(_._2).getOrElse(0L)
+        val from =
+          if (conf.startingOffsetSet) RippleDataLoss.check(conf, tb.bucket, lo, floor)
+          else lo
+        segs.map { case (_, start, count) =>
+          math.max(0L, math.min(end, start + count) - math.max(from, start))
         }.sum
       }.sum
       Array(RippleCountPartition(total))
@@ -258,11 +296,20 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       case None => conf.buckets
     }
     val all = live.flatMap { tb =>
-      val end = math.min(hi, log.size(tb))
-      log.segments(tb).collect {
-        case (path, start, count) if start < end && start + count > lo =>
+      val segs = log.segments(tb)
+      val end = math.min(hi,
+        if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max)
+      // Data-loss guard: an EXPLICIT startingOffset below the retention
+      // floor is a positional read of truncated rows — fail (or skip+log
+      // under allowDataLoss). The absent default means "earliest retained".
+      val floor = segs.headOption.map(_._2).getOrElse(0L)
+      val from =
+        if (conf.startingOffsetSet) RippleDataLoss.check(conf, tb.bucket, lo, floor)
+        else lo
+      segs.collect {
+        case (path, start, count) if start < end && start + count > from =>
           RippleInputPartition(conf.root, conf.topic, tb.bucket,
-            path.toString, start, math.max(lo, start), math.min(end, start + count),
+            path.toString, start, math.max(from, start), math.min(end, start + count),
             conf.preferredHosts.toArray)
       }
     }.toArray
@@ -431,13 +478,27 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     * that cursor (per-bucket; buckets it has never seen fall back to
     * `startingOffset`). A RESUMED checkpoint never calls this — the
     * checkpoint wins, see [[ConsumerOffsets]].
+    *
+    * An ABSENT `startingOffset` means "earliest retained": the fresh start
+    * clamps to each bucket's truncation floor, so a retained-then-truncated
+    * topic starts cleanly instead of tripping the data-loss guard on rows
+    * nobody asked for. An explicit value (or a loaded cursor) is kept as-is
+    * — if it lies below the floor, [[planInputPartitions]] fails loudly
+    * (that IS lost data).
     */
   override def initialOffset(): Offset = {
     val cursor = conf.consumerId
       .flatMap(id => ConsumerOffsets.load(conf.root, conf.topic, id))
       .getOrElse(Map.empty[String, Long])
+    val log = conf.log
     RippleOffset(sizes().map { case (b, _) =>
-      b -> cursor.getOrElse(b, conf.startingOffset) })
+      val start = cursor.get(b) match {
+        case Some(c) => c
+        case None if conf.startingOffsetSet => conf.startingOffset
+        case None => math.max(conf.startingOffset,
+          log.firstOffset(TopicBucket(conf.topic, b)))
+      }
+      b -> start })
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -478,11 +539,18 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     val e = end.asInstanceOf[RippleOffset].ends
     val log = conf.log
     e.toSeq.sortBy(_._1).flatMap { case (bucket, until) =>
-      val from = s.getOrElse(bucket, conf.startingOffset)
-      if (until <= from) Seq.empty
+      val from0 = s.getOrElse(bucket, conf.startingOffset)
+      if (until <= from0) Seq.empty
       else {
         val tb = TopicBucket(conf.topic, bucket)
-        log.segments(tb).collect {
+        val segs = log.segments(tb)
+        // Data-loss guard: a resumed checkpoint offset (or managed cursor,
+        // or explicit startingOffset) below the bucket's first surviving
+        // segment means retention truncated committed-but-unread rows.
+        // Fail loudly by default; allowDataLoss=true skips to the floor.
+        val floor = segs.headOption.map(_._2).getOrElse(0L)
+        val from = RippleDataLoss.check(conf, bucket, from0, floor)
+        segs.collect {
           case (path, segStart, count) if segStart < until && segStart + count > from =>
             RippleInputPartition(conf.root, conf.topic, bucket,
               path.toString, segStart, math.max(from, segStart),

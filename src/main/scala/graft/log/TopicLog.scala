@@ -525,6 +525,16 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
   }
 
+  /** Earliest RETAINED offset: the start of the first surviving segment
+    * (retention deletes whole head segments, so everything below this is
+    * gone), 0 for a never-written bucket. The read-side truncation floor the
+    * connector's data-loss guard compares resume offsets against — the
+    * analog of Kafka's per-partition `earliest`, which the reference cannot
+    * express at all (it retains forever in RAM, `core.go:45` TODO).
+    */
+  def firstOffset(tb: TopicBucket): Long =
+    segments(tb).headOption.map(_._2).getOrElse(0L)
+
   /** End offset from the authoritative listing — what offset assignment on
     * the write path must use (a lagging manifest must never cause a writer
     * to hand out overlapping offsets).

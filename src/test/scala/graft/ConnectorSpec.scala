@@ -716,4 +716,93 @@ class ConnectorSpec extends AnyFunSuite {
       graft.connector.ConsumerOffsets.requireValidId("../evil")
     }
   }
+
+  test("batch data-loss guard: explicit startingOffset below the retention floor fails; allowDataLoss skips; absent = earliest") {
+    val root = tmp()
+    Ripple.createTopic(root, "dl", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dl") // seg [0,10)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dl") // seg [10,20)
+    assert(Ripple.truncateBefore(root, "dl", 10) == 1)       // [0,10) gone
+    assert(Ripple.earliestOffsets(root, "dl") == Map("b0000" -> 10L))
+
+    // absent startingOffset = "earliest retained": reads the survivors
+    assert(Ripple.read(spark, root, "dl").count() == 10)
+
+    // explicit startingOffset below the floor = positional read of lost rows
+    val e = intercept[Exception] {
+      Ripple.readRange(spark, root, "dl", from = 0, until = Long.MaxValue).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("retention") && msg.contains("10"),
+      s"error must name the truncation floor: $msg")
+
+    // allowDataLoss=true: skip the lost range, read from the floor
+    val skipped = spark.read.format("ripple")
+      .option("path", root).option("topic", "dl")
+      .option("startingOffset", 0L).option("allowDataLoss", true).load()
+    assert(skipped.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+      == (10L until 20L))
+
+    // an explicit start AT/ABOVE the floor is not loss
+    assert(Ripple.readRange(spark, root, "dl", from = 10, until = 15).count() == 5)
+  }
+
+  test("streaming data-loss guard: resume below the truncation floor fails by default, proceeds with allowDataLoss") {
+    val root = tmp()
+    Ripple.createTopic(root, "dls", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dls") // seg [0,10)
+    val ckpt = tmp()
+    val out = tmp() // file sink: supports checkpoint RECOVERY (memory doesn't)
+
+    def start(allow: Boolean) = {
+      var r = spark.readStream.format("ripple")
+        .option("path", root).option("topic", "dls")
+      if (allow) r = r.option("allowDataLoss", true)
+      r.load().select("offset").writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    val q1 = start(allow = false)
+    assert(q1.awaitTermination(60000))
+    assert(spark.read.parquet(out).count() == 10) // committed through 10
+
+    // two more segments; retention truncates PAST the committed offset
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dls") // seg [10,20)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dls") // seg [20,30)
+    assert(Ripple.truncateBefore(root, "dls", 20) == 2)
+    assert(Ripple.earliestOffsets(root, "dls") == Map("b0000" -> 20L))
+
+    // default: the resume FAILS loudly with the floor in the message
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = start(allow = false)
+      q.awaitTermination(60000)
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(msg.contains("retention") && msg.contains("20"),
+      s"resume failure must name the truncation floor: $msg")
+
+    // allowDataLoss: resume skips [10,20) and drains the survivors
+    val q2 = start(allow = true)
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(out).select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq == ((0L until 10L) ++ (20L until 30L)))
+  }
+
+  test("fresh stream on a truncated topic starts at the floor (no guard trip)") {
+    val root = tmp()
+    Ripple.createTopic(root, "dlf", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dlf")
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dlf")
+    Ripple.truncateBefore(root, "dlf", 10)
+
+    val q = Ripple.readStream(spark, root, "dlf")
+      .writeStream.format("memory").queryName("dlf_out")
+      .option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    assert(spark.table("dlf_out").select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq == (10L until 20L))
+  }
 }
