@@ -36,14 +36,21 @@ object BenchHistory {
   // values are nested objects — [^}]* style matching latched onto that one
   // and silently emptied the per-query history whenever an sf1 block was
   // present (found in round 9); this regex only matches the flat shape.
-  private val QueriesRe = """"queries":\{((?:"[^"]+":-?[0-9.eE+]+,?)+)\}""".r
+  // Full signed-exponent number pattern everywhere: a character-class like
+  // [0-9.eE+] cannot match a NEGATIVE exponent (1.2E-4 — which
+  // Double.toString emits for any value < 1e-3), and one such value used
+  // to silently empty the whole flat-queries group for that line — the
+  // same silent-empty failure mode the round-9 regex fix addressed.
+  private val Num = """-?[0-9.]+(?:[eE][+-]?[0-9]+)?"""
+  private val QueriesRe = ("\"queries\":\\{((?:\"[^\"]+\":" + Num + ",?)+)\\}").r
   // sf1-probe entries are the nested {"sf01":..,"sf1":..,"ratio":..} shape;
   // no closing-brace anchor, so later-appended fields (n, hist) still parse.
   private val Sf1EntryRe =
-    """"(q[0-9]+[a-z]*)":\{"sf01":(-?[0-9.eE+]+),"sf1":(-?[0-9.eE+]+),"ratio":(-?[0-9.eE+]+)""".r
-  private val EntryRe = """"([^"]+)":(-?[0-9.eE+-]+)""".r
-  private val CalibRe = """"calib":(-?[0-9.eE+]+)""".r
-  private val CalibIoRe = """"calib_io":(-?[0-9.eE+]+)""".r
+    ("\"(q[0-9]+[a-z]*)\":\\{\"sf01\":(" + Num + "),\"sf1\":(" + Num +
+      "),\"ratio\":(" + Num + ")").r
+  private val EntryRe = ("\"([^\"]+)\":(" + Num + ")").r
+  private val CalibRe = ("\"calib\":(" + Num + ")").r
+  private val CalibIoRe = ("\"calib_io\":(" + Num + ")").r
 
   def load(path: String): BenchHistory = {
     val p = java.nio.file.Paths.get(path)

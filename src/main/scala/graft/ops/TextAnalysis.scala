@@ -266,9 +266,10 @@ object TextAnalysis {
     * Scale shape: packing is inherently sequential WITHIN a group (each
     * placement depends on the running fill), so the group is the unit of
     * parallelism — one narrow (group, id, n_tokens) shuffle, then a linear
-    * walk per group in `flatMapGroups`. Callers choose the group key to
-    * bound group size, exactly as with [[Dedup.ngramJaccardNearDups]]
-    * blocking.
+    * walk per group in `flatMapGroups`. The walk buffers the WHOLE group
+    * (the `toArray` is O(group) memory on one task, not O(1)): callers
+    * choose the group key to bound group size, exactly as with
+    * [[Dedup.ngramJaccardNearDups]] blocking.
     */
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
       tokensCol: String, groupCol: Column, maxTokens: Int): org.apache.spark.sql.DataFrame = {
@@ -341,11 +342,12 @@ object TextAnalysis {
     * order, best-fit ties by lowest bin id.
     *
     * Same unit of parallelism as [[packSequences]]: one narrow
-    * (group, id, n_tokens) shuffle, a per-group in-memory walk (packing
-    * is inherently sequential within a group — callers size groups
-    * accordingly). The fullest-fitting-bin lookup is a linear scan per
-    * doc — O(docs × bins) per group; a TreeMap drops it to O(docs log
-    * bins) when a group has many thousands of open bins.
+    * (group, id, n_tokens) shuffle, a per-group in-memory walk whose
+    * buffer is O(group) on one task (packing is inherently sequential
+    * within a group — callers size groups accordingly). The
+    * fullest-fitting-bin lookup is a linear scan per doc — O(docs × bins)
+    * per group; a TreeMap drops it to O(docs log bins) when a group has
+    * many thousands of open bins.
     *
     * Docs longer than `maxTokens` get a sequence of their own (same
     * contract as greedy). Output: (grp, id, n_tokens, seq_id, seq_pos) —
@@ -399,10 +401,18 @@ object TextAnalysis {
     * Deterministic: a pure function of (tokens, id) — the same corpus
     * shards identically on any engine, any partitioning, any day.
     *
-    * Same unit of parallelism as the packers: one narrow
-    * (group, id, n_tokens) shuffle, a per-group in-memory walk with
-    * O(numShards) state. Output: (grp, id, n_tokens, shard, shard_pos) —
-    * shard ∈ [0, numShards), shard_pos in placement order.
+    * Same shuffle shape as the packers — one narrow (group, id, n_tokens)
+    * shuffle, a per-group in-memory walk — but the walk BUFFERS THE WHOLE
+    * GROUP on one task (the fills/counts arrays are O(numShards); the
+    * `toArray` placement buffer is O(group)). Unlike the packers, where
+    * the caller's pack-group key naturally bounds group size, epoch shard
+    * balancing is usually meaningful only over the WHOLE corpus (a
+    * constant `groupCol`) — at 10^9 docs that is one task sorting 10^9
+    * tuples. THIS EXACT MODE IS FOR BOUNDED GROUPS ONLY; for corpus-scale
+    * sharding use [[shardBalanceLPTHierarchical]], which degrades the
+    * makespan bound gracefully instead of the cluster. Output:
+    * (grp, id, n_tokens, shard, shard_pos) — shard ∈ [0, numShards),
+    * shard_pos in placement order.
     */
   def shardBalanceLPT(df: org.apache.spark.sql.DataFrame, idCol: String,
       tokensCol: String, groupCol: Column, numShards: Int): org.apache.spark.sql.DataFrame = {
@@ -434,6 +444,119 @@ object TextAnalysis {
         out.iterator
       }
       .toDF("grp", "id", "n_tokens", "shard", "shard_pos")
+  }
+
+  /** Corpus-scale LPT shard balancing — the hierarchical mode that makes
+    * [[shardBalanceLPT]]'s natural use (one global group over 10^9 docs)
+    * scale-safe. Two levels:
+    *
+    *   1. '''Sub-group LPT''': docs hash (xxhash64(id) mod `subGroups`)
+    *      into G sub-groups; each sub-group runs the exact LPT walk to
+    *      `numShards` LOCAL shards. Per-task buffer drops from O(corpus)
+    *      to O(corpus/G) — G is the parallelism/memory dial.
+    *   2. '''Shard-of-shards merge''': the G × numShards local shards
+    *      become super-items (weight = Σ tokens); per group, a driver-side
+    *      LPT over those (bounded: G·numShards rows BY CONSTRUCTION,
+    *      guarded) assigns each super-item to a final shard, in
+    *      (weight DESC, sub ASC, local shard ASC) order. A broadcast map
+    *      joins the assignment back — no second wide shuffle.
+    *
+    * Makespan degrades gracefully and DETERMINISTICALLY: the merge is LPT
+    * over super-items, so final spread (max − min shard tokens) is bounded
+    * by the LARGEST SUPER-ITEM weight (≈ corpus/(G·numShards) when docs
+    * are small relative to sub-groups) rather than exact LPT's
+    * largest-document bound — with G ≥ numShards the loss is a few
+    * percent, verified by the OpsSpec bound test. Deterministic: a pure
+    * function of (id, tokens, G, numShards) — same corpus, same shards,
+    * any partitioning, any day. `shard_pos` stays dense placement order
+    * within each final shard: local placement order offset by the counts
+    * of super-items merged before (computed at merge time, zero extra
+    * shuffle).
+    *
+    * `subGroups = 1` is exactly [[shardBalanceLPT]] (identity-tested).
+    * `subHash` maps the id column to the long the sub-group assignment
+    * mods — `xxhash64` by default (one hash per row); the oracle gate
+    * passes [[portableHash60]] so the whole two-level construction
+    * replays bit-for-bit in DuckDB SQL.
+    */
+  def shardBalanceLPTHierarchical(df: org.apache.spark.sql.DataFrame,
+      idCol: String, tokensCol: String, groupCol: Column, numShards: Int,
+      subGroups: Int = 256,
+      subHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    require(subGroups >= 1, s"subGroups=$subGroups must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // Stage 1: exact LPT within each (grp, sub) — the per-task buffer is
+    // the sub-group, O(corpus/G).
+    val local = df.select(groupCol.cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("sub", pmod(subHash(col("id")), lit(subGroups.toLong)))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._4))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val ds = it.toArray.sortBy(t => (-t._3, t._2))
+        val fills = new Array[Long](numShards)
+        val counts = new Array[Long](numShards)
+        val out = new Array[(String, Long, Long, Long, Long, Long)](ds.length)
+        var i = 0
+        while (i < ds.length) {
+          var best = 0
+          var b = 1
+          while (b < numShards) {
+            if (fills(b) < fills(best)) best = b
+            b += 1
+          }
+          out(i) = (key._1, key._2, ds(i)._2, ds(i)._3, best.toLong, counts(best))
+          fills(best) += ds(i)._3
+          counts(best) += 1
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("grp", "sub", "id", "n_tokens", "lshard", "lpos")
+
+    // Stage 2: super-item weights — one narrow agg to <= groups·G·numShards
+    // rows, collected to the driver (bounded BY CONSTRUCTION; guarded).
+    val superItems = local.groupBy("grp", "sub", "lshard")
+      .agg(sum("n_tokens").as("w"), count(lit(1)).as("c"))
+      .collect()
+    require(superItems.length <= (4 << 20),
+      s"shard-of-shards merge has ${superItems.length} super-items; " +
+        "lower subGroups (bounded driver state is the contract here)")
+
+    // Per group: LPT the super-items onto the final shards, tracking each
+    // final shard's running doc count so shard_pos can stay dense
+    // placement order after the merge.
+    val merged = superItems
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+      .iterator.flatMap { case (_, items) =>
+        val fills = new Array[Long](numShards)
+        val counts = new Array[Long](numShards)
+        items.sortBy { case (_, sub, lshard, w, _) => (-w, sub, lshard) }
+          .map { case (grp, sub, lshard, w, c) =>
+            var best = 0
+            var b = 1
+            while (b < numShards) {
+              if (fills(b) < fills(best)) best = b
+              b += 1
+            }
+            val base = counts(best)
+            fills(best) += w
+            counts(best) += c
+            (grp, sub, lshard, best.toLong, base)
+          }
+      }.toSeq
+
+    val mergeMap = spark.createDataset(merged)
+      .toDF("grp", "sub", "lshard", "shard", "pos_base")
+
+    local.join(broadcast(mergeMap), Seq("grp", "sub", "lshard"))
+      .select(col("grp"), col("id"), col("n_tokens"), col("shard"),
+        (col("pos_base") + col("lpos")).as("shard_pos"))
   }
 
   /** Deterministic span-corruption example generation (the T5/UL2 denoising

@@ -979,6 +979,16 @@ object OpsQueries {
       TextAnalysis.shardBalanceLPT(
         docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
         "doc_id", "nt", col("source"), numShards = 8)),
+    // hierarchical LPT (q145's corpus-scale mode): sub-group LPT then a
+    // shard-of-shards merge — the oracle replays BOTH levels (two
+    // list-state CTE walks chained through the super-item aggregation).
+    // Portable md5 sub-group hash so DuckDB buckets identically
+    // (production default stays xxhash64).
+    "q148_shard_balance_hier" -> ((s, d) =>
+      TextAnalysis.shardBalanceLPTHierarchical(
+        docs(s, d).withColumn("nt", TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", col("source"), numShards = 4, subGroups = 4,
+        subHash = c => TextAnalysis.portableHash60(c.cast("string")))),
     // best-fit-decreasing packing (q73's bin-packing upgrade): the oracle
     // replays the FULL BFD walk in DuckDB — a recursive CTE whose state
     // carries the open-bin fill/count LISTS, placing docs in (tokens DESC,
@@ -3004,6 +3014,71 @@ object OpsQueries {
         |    FROM lpt p JOIN base b
         |      ON b.grp IS NOT DISTINCT FROM p.grp AND b.rn = p.rn + 1) t)
         |SELECT grp, id, n_tokens, shard, shard_pos FROM lpt""".stripMargin,
+    "q148_shard_balance_hier" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT grp, sub, id, n_tokens,
+        |    row_number() OVER (PARTITION BY grp, sub
+        |                       ORDER BY n_tokens DESC, id) AS rn
+        |  FROM (SELECT source AS grp,
+        |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |            AS BIGINT) % 4 AS sub,
+        |          doc_id AS id,
+        |          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |            AS n_tokens
+        |        FROM documents) z),
+        |lpt(grp, sub, rn, id, n_tokens, lshard, lpos, fills, counts) AS (
+        |  SELECT grp, sub, rn, id, n_tokens, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = 1 THEN n_tokens
+        |      ELSE CAST(0 AS BIGINT) END),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END)
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT grp, sub, rn, id, n_tokens,
+        |    best - 1,
+        |    counts[CAST(best AS INT)],
+        |    list_transform(range(1, 5), i -> CASE WHEN i = best
+        |      THEN fills[i] + n_tokens ELSE fills[i] END),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = best
+        |      THEN counts[i] + 1 ELSE counts[i] END)
+        |  FROM (
+        |    SELECT b.grp, b.sub, b.rn, b.id, b.n_tokens, p.fills, p.counts,
+        |      list_sort(list_transform(range(1, 5), i -> [p.fills[i], i]))[1][2] AS best
+        |    FROM lpt p JOIN base b
+        |      ON b.grp IS NOT DISTINCT FROM p.grp AND b.sub = p.sub
+        |        AND b.rn = p.rn + 1) t),
+        |super_items AS (
+        |  SELECT grp, sub, lshard, CAST(sum(n_tokens) AS BIGINT) AS w,
+        |    CAST(count(1) AS BIGINT) AS c
+        |  FROM lpt GROUP BY 1, 2, 3),
+        |sbase AS (
+        |  SELECT grp, sub, lshard, w, c,
+        |    row_number() OVER (PARTITION BY grp ORDER BY w DESC, sub, lshard) AS srn
+        |  FROM super_items),
+        |merged(grp, srn, sub, lshard, shard, pos_base, fills, counts) AS (
+        |  SELECT grp, srn, sub, lshard, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = 1 THEN w
+        |      ELSE CAST(0 AS BIGINT) END),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = 1 THEN c
+        |      ELSE CAST(0 AS BIGINT) END)
+        |  FROM sbase WHERE srn = 1
+        |  UNION ALL
+        |  SELECT grp, srn, sub, lshard,
+        |    best - 1,
+        |    counts[CAST(best AS INT)],
+        |    list_transform(range(1, 5), i -> CASE WHEN i = best
+        |      THEN fills[i] + w ELSE fills[i] END),
+        |    list_transform(range(1, 5), i -> CASE WHEN i = best
+        |      THEN counts[i] + c ELSE counts[i] END)
+        |  FROM (
+        |    SELECT b.grp, b.srn, b.sub, b.lshard, b.w, b.c, p.fills, p.counts,
+        |      list_sort(list_transform(range(1, 5), i -> [p.fills[i], i]))[1][2] AS best
+        |    FROM merged p JOIN sbase b
+        |      ON b.grp IS NOT DISTINCT FROM p.grp AND b.srn = p.srn + 1) t)
+        |SELECT l.grp, l.id, l.n_tokens, m.shard, m.pos_base + l.lpos AS shard_pos
+        |FROM lpt l JOIN merged m
+        |  ON l.grp IS NOT DISTINCT FROM m.grp AND l.sub = m.sub
+        |    AND l.lshard = m.lshard""".stripMargin,
     "q143_sequence_packing_bfd" ->
       """WITH RECURSIVE base AS (
         |  SELECT grp, id, n_tokens,

@@ -71,6 +71,17 @@ object ScaleProbe {
     // span corruption: pure per-row fold — should ride the scan
     "q141_span_corrupt"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
+    // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
+    // global group (exact LPT's scale-killer), production xxhash64
+    // sub-hash, G=256 — vs the q148 gate's per-source/portable-md5 regime.
+    // The cell watches the two-level walk's own scale: sub-group tasks
+    // grow 10× while the driver merge stays G·numShards BY CONSTRUCTION.
+    ("q148_shard_balance_hier" -> ((s: SparkSession, d: String) => {
+      graft.ops.TextAnalysis.shardBalanceLPTHierarchical(
+        graft.ops.Spread.toCores(s.read.parquet(s"$d/documents.parquet"))
+          .withColumn("nt", graft.ops.TextAnalysis.tokenCount(col("text"))),
+        "doc_id", "nt", lit("all"), numShards = 8, subGroups = 256)
+    })) :+
     // q131's gate uses 3/5 of the corpus as the eval suite (oracle
     // richness); scaled 10× that would time an eval side no deployment
     // has — a decontamination run holds the EVAL SUITE CONSTANT while the
@@ -317,7 +328,10 @@ object ScaleProbe {
     }
     val history = graft.BenchHistory.load("BENCH_HISTORY.jsonl")
     val calibIo = graft.Bench.calibrateIo()
-    val ioOffband = history.calibIoMedian.exists(h => calibIo > 2.0 * h)
+    // 1.5×, not 2×: round 9's degraded-disk probe measured calib_io 1.273
+    // vs history 0.77-0.99 (≈1.4×) and stayed "in band" while three cells
+    // ran 3-6× hot — the flag exists to mark exactly that run.
+    val ioOffband = history.calibIoMedian.exists(h => calibIo > 1.5 * h)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -332,10 +346,18 @@ object ScaleProbe {
         var as = List(timeNoop(spark, sf01, name, fn))
         var bs = List(timeNoop(spark, sf1, name, fn))
         val hist = history.sf1Median(short)
-        val suspect = bs.head > 0 && hist.exists(h => h > 0 && bs.head > 2.0 * h)
+        // SYMMETRIC escalation (round-9 verdict #2): EITHER scale landing
+        // >2× its own committed history re-samples BOTH — round 9's q54
+        // committed a meaningless n=1 inverted ratio (0.89) off a 5×-hot
+        // sf0.1 BASE cell the sf1-only trigger couldn't see.
+        val hist01 = history.queryMedian(name)
+        val suspect =
+          (bs.head > 0 && hist.exists(h => h > 0 && bs.head > 2.0 * h)) ||
+          (as.head > 0 && hist01.exists(h => h > 0 && as.head > 2.0 * h))
         if (suspect) {
-          System.err.println(s"[bench] sf1 $name ${bs.head} >2x history " +
-            s"${hist.get}; escalating to median-of-3")
+          System.err.println(s"[bench] $name sf0.1 ${as.head} / sf1 ${bs.head} " +
+            s">2x history (sf0.1 ${hist01.getOrElse(-1.0)} / sf1 " +
+            s"${hist.getOrElse(-1.0)}); escalating to median-of-3")
           (1 to 2).foreach { _ =>
             as ::= timeNoop(spark, sf01, name, fn)
             bs ::= timeNoop(spark, sf1, name, fn)
@@ -346,8 +368,17 @@ object ScaleProbe {
         val b = if (bOk.isEmpty) -1.0 else median(bOk)
         val ratio = if (a > 0 && b > 0) b / a else -1.0
         def r2(v: Double) = math.rint(v * 100) / 100
-        val histField = hist.map(h => s""","hist":${r2(h)}""").getOrElse("")
-        entries += s""""$short":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(ratio)},"n":${bOk.size}$histField}"""
+        val histField = hist.map(h => s""","hist":${r2(h)}""").getOrElse("") +
+          hist01.map(h => s""","hist01":${r2(h)}""").getOrElse("")
+        // a cell whose COMMITTED median is still >2× its history carries
+        // the marker — a degraded-host probe says so per-cell, not just in
+        // the run-level calib (round-9 verdict #4: q85 confirmed at n=3,
+        // 6× history, flag stayed false)
+        val offCell =
+          (b > 0 && hist.exists(h => h > 0 && b > 2.0 * h)) ||
+          (a > 0 && hist01.exists(h => h > 0 && a > 2.0 * h))
+        val offField = if (offCell) ""","offband_cell":true""" else ""
+        entries += s""""$short":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(ratio)},"n":${bOk.size}$histField$offField}"""
       }
     }
     s"""{"gen_sec":${math.rint(genSec)},"scale":$K,"skipped_on_budget":$skipped,""" +

@@ -99,18 +99,22 @@ class FunctionsSpec extends AnyFunSuite {
     val lines = Seq(
       """{"at":"t1","metric":"total","value":10,"calib":0.25,"calib_io":0.8,"queries":{"q01_agg":1.0,"q54_dedup_minhash":2.0},"sf":"x"}""",
       """{"at":"t2","metric":"total","value":11,"calib":0.27,"calib_io":1.1,"sf1":{"gen_sec":0.0,"scale":10,"skipped_on_budget":0,"queries":{"q74":{"sf01":2.25,"sf1":12.99,"ratio":5.77},"q54":{"sf01":2.0,"sf1":7.5,"ratio":3.75,"n":3,"hist":6.6}}},"queries":{"q01_agg":3.0,"q54_dedup_minhash":2.5,"q99_salted":-1.0},"sf":"x"}""",
-      """{"at":"t3","metric":"total","value":12,"calib":0.26,"calib_io":0.9,"sf1":{"gen_sec":1.0,"scale":10,"skipped_on_budget":0,"queries":{"q74":{"sf01":2.3,"sf1":6.6,"ratio":2.87}}},"queries":{"q01_agg":2.0}}""")
+      """{"at":"t3","metric":"total","value":12,"calib":0.26,"calib_io":0.9,"sf1":{"gen_sec":1.0,"scale":10,"skipped_on_budget":0,"queries":{"q74":{"sf01":2.3,"sf1":6.6,"ratio":2.87}}},"queries":{"q01_agg":2.0}}""",
+      // a sub-millisecond cell: Double.toString emits a NEGATIVE exponent
+      // (4.9E-4) — one such value must not empty the whole line's history
+      """{"at":"t4","metric":"total","value":13,"calib":0.26,"calib_io":0.9,"sf1":{"gen_sec":0.0,"scale":10,"skipped_on_budget":0,"queries":{"q74":{"sf01":4.9E-4,"sf1":6.6,"ratio":2.87}}},"queries":{"q01_agg":2.0,"q02_fast":4.9E-4}}""")
     java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes("UTF-8"))
     val h = BenchHistory.load(f.toString)
     assert(h.queryMedian("q01_agg").contains(2.0))
     assert(h.queryMedian("q54_dedup_minhash").contains(2.25))
+    assert(h.queryMedian("q02_fast").contains(4.9e-4))
     assert(h.queryMedian("q99_salted").isEmpty) // -1 failure sentinel excluded
     assert(h.queryMedian("q_missing").isEmpty)
     // sf1 nested keys never leak into the main history...
     assert(h.queryMedian("sf01").isEmpty && h.queryMedian("ratio").isEmpty)
     // ...and the sf1 block feeds its own short-key medians (with or
     // without the escalation fields appended after "ratio")
-    assert(h.sf1Median("q74").contains((12.99 + 6.6) / 2))
+    assert(h.sf1Median("q74").contains(6.6)) // [12.99, 6.6, 6.6]
     assert(h.sf1Median("q54").contains(7.5))
     assert(h.sf1Median("q95").isEmpty)
     assert(h.calibMedian.contains(0.26) && h.calibIoMedian.contains(0.9))

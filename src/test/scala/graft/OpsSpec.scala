@@ -2293,6 +2293,64 @@ class OpsSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == out.sorted.toSeq)
   }
 
+  test("hierarchical LPT: complete + dense, merge-bounded spread, G=1 ≡ exact partition") {
+    import spark.implicits._
+    val nShards = 8
+    val g = 16
+    val df = docs.withColumn("nt", graft.ops.TextAnalysis.tokenCount(col("text")))
+    val n = docs.count()
+
+    // the scale-path shape: ONE global group (exact LPT's scale-killer)
+    val out = TextAnalysis.shardBalanceLPTHierarchical(
+        df, "doc_id", "nt", lit("all"), nShards, subGroups = g)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == n, "every doc assigned exactly once")
+    assert(out.map(_._2).distinct.length == n.toInt)
+    assert(out.forall(t => t._4 >= 0 && t._4 < nShards), "shard ids in range")
+    out.groupBy(_._4).foreach { case (sh, ms) =>
+      assert(ms.map(_._5).sorted.toSeq == (0L until ms.length),
+        s"shard $sh positions dense placement order")
+    }
+
+    // merge-level LPT invariant: final spread is bounded by the largest
+    // super-item. A (sub, shard) cell is a union of >=1 whole super-items,
+    // so max cell weight >= max super-item weight — a computable upper
+    // bound witness without reaching into the internals.
+    val fills = out.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+    if (fills.size == nShards) {
+      val spread = fills.values.max - fills.values.min
+      // recompute each doc's sub-group exactly as the impl does
+      val cells = df.select(col("doc_id").cast("long").as("id"), col("nt").cast("long").as("w"))
+        .withColumn("sub", pmod(xxhash64(col("id")), lit(g.toLong)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val shardOf = out.map(t => t._2 -> t._4).toMap
+      val maxCell = cells.groupBy(c => (c._3, shardOf(c._1)))
+        .values.map(_.map(_._2).sum).max
+      assert(spread <= maxCell,
+        s"hierarchical spread $spread exceeds the max (sub,shard) cell $maxCell")
+    }
+
+    // deterministic under repartition
+    val again = TextAnalysis.shardBalanceLPTHierarchical(
+        df.repartition(7), "doc_id", "nt", lit("all"), nShards, subGroups = g)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+
+    // subGroups=1 degenerates to the exact walk: same PARTITION of docs
+    // into shards (shard ids may be relabeled by the weight-ranked merge)
+    val exact = TextAnalysis.shardBalanceLPT(df, "doc_id", "nt", col("source"), nShards)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val hier1 = TextAnalysis.shardBalanceLPTHierarchical(
+        df, "doc_id", "nt", col("source"), nShards, subGroups = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    def partition(rows: Array[(String, Long, Long)]): Set[Set[Long]] =
+      rows.groupBy(t => (t._1, t._3)).values.map(_.map(_._2).toSet).toSet
+    assert(partition(hier1) == partition(exact),
+      "G=1 must induce the exact LPT partition (up to shard relabeling)")
+  }
+
   test("epochOrder: bijective positions, epoch-keyed, equals the global-window order") {
     import graft.ops.Sampling
     import org.apache.spark.sql.expressions.Window
