@@ -339,27 +339,29 @@ object RipplePublish {
               s"intent $count vs staged ${f.count} — the batch is not deterministic")
           val target = new HPath(log.bucketDir(tb), SegmentCodec.segmentName(start, count))
           val stagedPath = new HPath(f.path)
-          // Exists-check + no-replace rename under the bucket lock. An
-          // existing target is either this epoch's own earlier (crashed)
-          // publish — frame identity proves it, no-op — or a foreign
-          // writer outside the lock protocol: fail loudly. Per-FS note:
-          // HDFS rename additionally refuses an existing target (atomic
-          // foreign-writer defense even outside the lock); POSIX rename
-          // would replace, so there the defense is the exists-check — the
-          // residual check-to-rename window only matters for writers
-          // already violating the lock protocol.
+          // Exists-check + ATOMIC no-replace publish under the bucket
+          // lock. An existing target is either this epoch's own earlier
+          // (crashed) publish — frame identity proves it, no-op — or a
+          // foreign writer outside the lock protocol: fail loudly. The
+          // publish itself refuses an existing target on EVERY scheme
+          // (local: fail-if-exists hard link; HDFS: namenode-serialized
+          // rename refusal — TopicLog.publishNoReplace), so even the
+          // two-live-holders corner the stale-steal protocol admits (a
+          // holder stalled past LockStaleMs resuming after its lock was
+          // stolen) surfaces as a loud refusal, never a silent overwrite
+          // of the other holder's committed segment.
           if (fs.exists(target)) {
             if (sameContent(fs, target, stagedPath))
               fs.delete(stagedPath, false) // idempotent re-publish
             else throw new IllegalStateException(
               s"segment $target exists with different content — " +
                 "a writer is publishing outside the bucket lock")
-          } else if (!fs.rename(stagedPath, target)) {
-            // HDFS-style refusal: target appeared between check and rename
+          } else if (!log.publishNoReplace(stagedPath, target)) {
+            // no-replace refusal: target appeared between check and publish
             if (fs.exists(target) && sameContent(fs, target, stagedPath))
               fs.delete(stagedPath, false)
             else throw new IllegalStateException(
-              s"rename $stagedPath -> $target failed — " +
+              s"publish $stagedPath -> $target refused — " +
                 "a writer is publishing outside the bucket lock")
           }
         }

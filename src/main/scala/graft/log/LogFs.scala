@@ -88,8 +88,35 @@ object LogFs {
     }
   }
 
+  // First-conf-wins detection: the cache ignores the Configuration on later
+  // calls, so a SECOND session in one JVM with different settings for the
+  // same scheme/authority silently shares the first instance. Fingerprint
+  // every distinct Configuration OBJECT once (weak identity memo — the
+  // same broadcast conf arrives at every executor task) and warn loudly the
+  // first time a materially different conf hits a cached key.
+  private val cacheFp = TrieMap.empty[String, Int]
+  private val warnedKeys = TrieMap.empty[String, Unit]
+  private val fpMemo = new java.util.WeakHashMap[Configuration, Integer]()
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def fingerprint(conf: Configuration): Int = {
+    val memo = fpMemo.synchronized(fpMemo.get(conf))
+    if (memo != null) return memo.intValue()
+    var h = 0
+    val it = conf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      h ^= (e.getKey.hashCode * 31) ^ e.getValue.hashCode
+    }
+    fpMemo.synchronized(fpMemo.put(conf, Integer.valueOf(h)))
+    h
+  }
+
   /** Resolve `p`'s filesystem with log-plane settings (private instance,
-    * checksums off). Cached per (scheme, authority) for the JVM lifetime.
+    * checksums off). Cached per (scheme, authority) for the JVM lifetime —
+    * first configuration wins; a later call with a materially different
+    * Configuration logs a one-shot warning naming the key (it cannot be
+    * honored without breaking the one-instance discipline).
     */
   def get(p: HPath, conf: Configuration): FileSystem = {
     val uri = p.toUri
@@ -98,12 +125,26 @@ object LogFs {
     val auth = Option(uri.getAuthority)
       .orElse(if (uri.getScheme == null) Option(defaultUri.getAuthority) else None)
       .getOrElse("")
-    cache.getOrElseUpdate(s"$scheme://$auth", {
-      val fs = FileSystem.newInstance(
-        if (uri.getScheme == null) defaultUri else uri, conf)
-      fs.setWriteChecksum(false)
-      fs.setVerifyChecksum(false)
-      fs
-    })
+    val key = s"$scheme://$auth"
+    val cached = cache.get(key)
+    cached match {
+      case Some(fs) =>
+        if (cacheFp.get(key).exists(_ != fingerprint(conf)) &&
+            warnedKeys.putIfAbsent(key, ()).isEmpty)
+          log.warn(s"LogFs: filesystem for $key was initialized with a " +
+            "different Hadoop configuration; the FIRST configuration wins " +
+            "for the JVM lifetime (per-root conf changes — credentials, " +
+            "timeouts — in a later session are ignored)")
+        fs
+      case None =>
+        cache.getOrElseUpdate(key, {
+          cacheFp.put(key, fingerprint(conf))
+          val fs = FileSystem.newInstance(
+            if (uri.getScheme == null) defaultUri else uri, conf)
+          fs.setWriteChecksum(false)
+          fs.setVerifyChecksum(false)
+          fs
+        })
+    }
   }
 }

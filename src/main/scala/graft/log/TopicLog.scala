@@ -221,12 +221,14 @@ object SegmentCodec {
   *     HDFS (namenode-serialized create). Object stores lack it; covered by
   *     the same loud construction guard.
   *   - '''Rename-onto-existing''' — HDFS `rename` FAILS when the target
-  *     exists, POSIX rename REPLACES it. The protocol never relies on
-  *     either: publishes check-then-rename under the bucket lock, and
-  *     replace-semantics writes (manifest, cursor, marker) go through
-  *     [[renameOverwrite]], whose transient missing-target window is safe
-  *     at every call site (a missing manifest/cursor only falls back to the
-  *     authoritative listing / an earlier lower bound).
+  *     exists, POSIX rename REPLACES it. Segment publishes therefore go
+  *     through [[FileTopicLog.publishNoReplace]], which is atomic
+  *     fail-if-exists on BOTH (local: `java.nio` hard link; HDFS: the
+  *     rename refusal itself) — never check-then-act. Replace-semantics
+  *     writes (manifest, cursor, marker) go through [[renameOverwrite]],
+  *     whose transient missing-target window is safe at every call site
+  *     (a missing manifest/cursor only falls back to the authoritative
+  *     listing / an earlier lower bound).
   */
 object FileTopicLog {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, FileTopicLog]
@@ -259,8 +261,12 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
   // object stores. Degrading silently would turn exactly-once into
   // maybe-torn; the operator must opt in explicitly.
   locally {
+    // Azure included: wasb/wasbs rename is not atomic, and abfs/abfss is
+    // only atomic on hierarchical-namespace accounts — operators on HNS
+    // ABFS opt back in via the override below.
     val nonAtomic = hadoopConf.getTrimmedStrings(
-      "graft.log.nonAtomicRenameSchemes", "s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+      "graft.log.nonAtomicRenameSchemes", "s3", "s3a", "s3n", "gs", "oss",
+      "cos", "swift", "wasb", "wasbs", "abfs", "abfss")
     if (nonAtomic.contains(scheme) &&
         !hadoopConf.getBoolean("graft.log.allowNonAtomicRename", false))
       throw new IllegalArgumentException(
@@ -565,15 +571,46 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     if (!fs.exists(target)) {
       val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
       SegmentCodec.write(fs, tmp, rows)
-      // no-replace rename: HDFS refuses an existing target (false), POSIX
-      // would replace — but the exists-check above runs under the caller's
-      // bucket lock, and a same-name segment carries the same records by
-      // the idempotent-append contract, so either outcome is the no-op.
-      if (!fs.rename(tmp, target)) fs.delete(tmp, false) // concurrent winner
+      // no-replace publish on EVERY scheme (see publishNoReplace); a
+      // refusal means a concurrent winner holds the name, and a same-name
+      // segment carries the same records by the idempotent-append
+      // contract, so dropping our staged copy is the no-op.
+      if (!publishNoReplace(tmp, target)) fs.delete(tmp, false)
     }
     refreshManifest(tb)
     start
   }
+
+  /** Publish `staged` at `target` with ATOMIC NO-REPLACE semantics on every
+    * filesystem. Local goes through `java.nio` `Files.createLink` — an
+    * atomic fail-if-exists hard link (POSIX `rename` REPLACES an existing
+    * target, which would let the one unavoidable two-live-holders corner of
+    * the stale-steal lock protocol — a holder stalled past LockStaleMs
+    * resuming after its lock was stolen — silently overwrite the new
+    * holder's already-committed segment; the link instead refuses, and the
+    * caller fails loudly or no-ops on frame identity). HDFS relies on
+    * rename's namenode-serialized refusal of an existing target. Mirrors
+    * the local/nio split of [[createLockExclusive]].
+    *
+    * Returns false when the target already exists (or appeared
+    * concurrently) — the CALLER decides, via frame identity, whether that
+    * is an idempotent re-publish or a foreign writer.
+    */
+  def publishNoReplace(staged: HPath, target: HPath): Boolean =
+    if (isLocal) {
+      // qualify first: connector-staged paths arrive as bare strings
+      val s = toNio(fs.makeQualified(staged))
+      val t = toNio(fs.makeQualified(target))
+      try {
+        java.nio.file.Files.createLink(t, s)
+        // staged copy is now redundant; a failed cleanup must not fail the
+        // already-atomic publish (dot-prefixed leftovers are invisible to
+        // segment listing)
+        try java.nio.file.Files.deleteIfExists(s)
+        catch { case _: java.io.IOException => () }
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else fs.rename(staged, target)
 
   override def range(tb: TopicBucket, from: Long, until: Long): Seq[LogRecord] = {
     val hi = math.min(until, size(tb))

@@ -73,6 +73,37 @@ class LogSpec extends AnyFunSuite {
     assert(log.range(tb, 0, 99).size == 5)
   }
 
+  test("publishNoReplace is atomic fail-if-exists: an existing segment is NEVER overwritten") {
+    // the two-live-holders corner: a stalled holder resumes after its lock
+    // was stolen and re-publishes the same offsets the new holder already
+    // committed — on POSIX a plain rename would silently REPLACE the
+    // committed segment; the hard-link publish must refuse instead
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(3, tag = 1).map(p => (p, now)))
+    val target = log.segmentsListed(tb).head._1
+    val before = Files.readAllBytes(nio(target)).toSeq
+
+    // a "resumed holder" staging DIFFERENT content for the same name
+    val staged = new org.apache.hadoop.fs.Path(log.bucketDir(tb), ".tmp-usurped")
+    SegmentCodec.write(log.fs, staged, payloads(3, tag = 9).map(p => (p, now)))
+    assert(!log.publishNoReplace(staged, target), "existing target must refuse")
+    assert(Files.readAllBytes(nio(target)).toSeq == before,
+      "committed segment bytes must be untouched")
+    assert(Files.exists(nio(staged)), "refused publish leaves the staged copy")
+    Files.delete(nio(staged))
+
+    // and a successful publish really removes the staged file (no leak)
+    val tgt2 = new org.apache.hadoop.fs.Path(log.bucketDir(tb),
+      SegmentCodec.segmentName(3L, 2L))
+    val staged2 = new org.apache.hadoop.fs.Path(log.bucketDir(tb), ".tmp-fresh")
+    SegmentCodec.write(log.fs, staged2, payloads(2, tag = 2).map(p => (p, now)))
+    assert(log.publishNoReplace(staged2, tgt2))
+    assert(!Files.exists(nio(staged2)) && Files.exists(nio(tgt2)))
+    log.refreshManifest(tb)
+    assert(log.size(tb) == 5)
+  }
+
   test("segment name round-trip") {
     val n = SegmentCodec.segmentName(42L, 7L)
     assert(SegmentCodec.parse(n).contains((42L, 7L)))
