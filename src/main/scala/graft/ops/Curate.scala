@@ -70,7 +70,13 @@ object Curate {
       dsirTargetSources: Seq[String] = Nil,
       targetShares: Map[String, Double] = Map.empty,
       tokenBudgets: Map[String, Long] = Map.empty,
-      capPerSource: Option[Int] = None)
+      capPerSource: Option[Int] = None,
+      // token/shingle hash shared by the near-dup, DSIR and
+      // trained-classifier stages — production default xxhash64; the q147
+      // end-to-end gate passes [[TextAnalysis.portableHash60]] so the
+      // WHOLE composed pipeline replays bit-for-bit in DuckDB
+      wordHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => org.apache.spark.sql.functions.xxhash64(c))
 
   /** Curated documents plus before/after per-source reports. */
   case class Result(docs: DataFrame, reportBefore: DataFrame,
@@ -134,7 +140,8 @@ object Curate {
       t = t.join(keep, col(idCol) === col("__graft_ppl_id"), "left_semi")
     }
     for (thr <- cfg.nearDupThreshold) phase("near_dup") {
-      val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr)
+      val pairs = Dedup.minhashNearDups(t, idCol, textCol, threshold = thr,
+          hash64 = cfg.wordHash)
         .select(col("id_a"), col("id_b"))
       // drop every clustered doc that is not its cluster's representative —
       // a plain (shuffled) anti join: the drop set is id-only narrow but
@@ -150,7 +157,8 @@ object Curate {
     // the per-doc scores, count table bounded at 2^16 rows
     if (cfg.dsirTargetSources.nonEmpty) phase("dsir") {
       val keepIds = Sampling.importanceWeights(t, idCol, textCol,
-          col(sourceCol).isin(cfg.dsirTargetSources: _*))
+          col(sourceCol).isin(cfg.dsirTargetSources: _*),
+          wordHash = cfg.wordHash)
         .filter(col("keep")).select(col(idCol).as("__graft_dsir_id"))
       t = t.join(keepIds, col(idCol) === col("__graft_dsir_id"), "left_semi")
     }
@@ -166,7 +174,8 @@ object Curate {
     if (cfg.trainedClassifierSources.nonEmpty) phase("trained_classifier") {
       val scored = Learn.perceptronClassify(t, idCol, textCol,
         col(sourceCol).isin(cfg.trainedClassifierSources: _*),
-        epochs = cfg.trainedClassifierEpochs).materialized()
+        epochs = cfg.trainedClassifierEpochs,
+        wordHash = cfg.wordHash).materialized()
       val nPos = scored.filter(col("predicted") === 1L).count()
       require(nPos > 0 && nPos < scored.count(),
         "trained classifier predicted a single class — the weak source " +

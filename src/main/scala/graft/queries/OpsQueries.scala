@@ -827,6 +827,32 @@ object OpsQueries {
       Learn.perceptronClassify(docs(s, d), "doc_id", "text",
         col("source").isin("src0", "src1", "src2"),
         wordHash = TextAnalysis.portableHash60)),
+    // the COMPOSED curation pipeline (Curate.run), end-to-end: quality
+    // filter → exact dedup keep-first → MinHash near-dup keep-reps →
+    // DSIR selection → per-source cap, all over the portable md5 hash
+    // family so the single DuckDB oracle replays the whole chain (each
+    // stage's input is the previous stage's OUTPUT — composition is what
+    // this gates; every stage is also gated alone: q71/q53/q54+q68/
+    // q122/q81). Deliberate exclusions, stated: normalizeUnicode=false
+    // (NFC is identity on the ASCII fixture and DuckDB has no NFC
+    // builtin); the trained-classifier stage REFUSES on this corpus by
+    // design (weak source labels carry no learnable textual signal in
+    // the synthetic text — the perceptron collapses to one class, and
+    // CurationSpec pins exactly that loud refusal), so learned selection
+    // is represented by DSIR here and the perceptron stays gated via
+    // q144 + its own spec.
+    "q147_curate_pipeline" -> ((s, d) => {
+      val cfg = graft.ops.Curate.Config(
+        normalizeUnicode = false,
+        qualityFilter = true,
+        exactDedup = true,
+        nearDupThreshold = Some(0.5),
+        dsirTargetSources = Seq("src0", "src1", "src2"),
+        capPerSource = Some(15),
+        wordHash = c => TextAnalysis.portableHash60(c))
+      graft.ops.Curate.run(docs(s, d), "doc_id", "text", "source", cfg).docs
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+    }),
     // overlapping token-window chunking (20-word windows, 5-word overlap);
     // chunk content proven identical via md5
     "q65_chunking" -> ((s, d) =>
@@ -1491,6 +1517,98 @@ object OpsQueries {
       |  FROM cand c JOIN hs x ON c.id_a = x.doc_id
       |              JOIN hs y ON c.id_b = y.doc_id)
       |SELECT id_a, id_b FROM v WHERE i::DOUBLE / u >= 0.5
+      |""".stripMargin
+  }
+
+  /** q147 exact oracle: the COMPOSED Curate.run pipeline replayed as one
+    * DuckDB query — each stage's CTE consumes the previous stage's output,
+    * which is precisely what the per-stage gates cannot check. Stage
+    * replicas mirror their stand-alone oracles: quality = q71's keep rule;
+    * exact dedup = keep-first on the canonical md5 fingerprint
+    * (regexp_replace needs the 'g' flag — DuckDB replaces first-match by
+    * default); near-dup = q54's full MinHash machinery (shared
+    * [[permValues]]) + q68's closure, keep cluster representatives;
+    * DSIR = q122's integer discriminant > 0; cap = q81's hash-order
+    * row_number.
+    */
+  private def curateOracleSql: String = {
+    val perms = permValues
+    s"""
+      |WITH RECURSIVE
+      |q AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      string_split_regex(trim(text), '\\s+') AS ws
+      |    FROM documents)
+      |  WHERE len(ws) >= 10
+      |    AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.3
+      |    AND list_max(list_transform(ws, w -> length(w))) <= 30),
+      |ded AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text,
+      |      row_number() OVER (
+      |        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      |        ORDER BY doc_id) AS rn
+      |    FROM q)
+      |  WHERE rn = 1),
+      |w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM ded),
+      |sh AS (SELECT doc_id,
+      |    CASE WHEN len(ws) < 3 THEN list_distinct([array_to_string(ws, ' ')])
+      |      ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+      |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sh
+      |  FROM w),
+      |hs AS (SELECT doc_id,
+      |    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      |  FROM sh),
+      |e AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+      |perm AS (SELECT * FROM (VALUES $perms) t(j, a, b)),
+      |sig AS (SELECT doc_id, j,
+      |    min((a * (h % 2147483647) + b) % 2147483647) AS v
+      |  FROM e CROSS JOIN perm GROUP BY doc_id, j),
+      |bk AS (SELECT doc_id, band,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS key
+      |  FROM (SELECT doc_id, j // 4 AS band,
+      |          string_agg(v::VARCHAR, ',' ORDER BY j) AS s
+      |        FROM sig GROUP BY doc_id, band)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |pairs AS (SELECT id_a, id_b FROM (
+      |    SELECT c.id_a, c.id_b,
+      |      len(list_intersect(x.hs, y.hs)) AS i,
+      |      len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS u
+      |    FROM cand c JOIN hs x ON c.id_a = x.doc_id
+      |                JOIN hs y ON c.id_b = y.doc_id) v
+      |  WHERE i::DOUBLE / u >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |r(src, dst) AS (SELECT src, dst FROM edges
+      |  UNION SELECT r.src, e2.dst FROM r JOIN edges e2 ON r.dst = e2.src),
+      |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster
+      |       FROM r GROUP BY src),
+      |nd AS (SELECT d.doc_id, d.source, d.text FROM ded d
+      |  WHERE d.doc_id NOT IN (SELECT id FROM cl WHERE id != cluster)),
+      |toks AS (SELECT doc_id,
+      |    (('0x' || substr(md5(wd), 1, 15))::BIGINT) % 65536 AS b,
+      |    source IN ('src0', 'src1', 'src2') AS tgt
+      |  FROM (SELECT doc_id, source,
+      |          unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+      |            wd -> wd != '')) AS wd
+      |        FROM nd)),
+      |cnt AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+      |       sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS cs
+      |  FROM toks GROUP BY b),
+      |tot AS (SELECT sum(ct) AS nt, sum(cs) AS ns FROM cnt),
+      |keepids AS (SELECT doc_id FROM toks JOIN cnt USING (b) CROSS JOIN tot
+      |  GROUP BY doc_id HAVING sum(ct * ns - cs * nt) > 0),
+      |sel AS (SELECT nd.doc_id, nd.source, nd.text
+      |        FROM nd JOIN keepids USING (doc_id))
+      |SELECT doc_id, source, md5(text) AS text_md5 FROM (
+      |  SELECT doc_id, source, text,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('s0' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM sel)
+      |WHERE rn <= 15
       |""".stripMargin
   }
 
@@ -2212,6 +2330,7 @@ object OpsQueries {
     "q90_bpe_tokenize" -> bpeOracleSql(40),
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
+    "q147_curate_pipeline" -> curateOracleSql,
     "q110_cross_neardup" -> crossMinhashOracleSql,
     // the saved-index probe is pair-identical to the live cross pass by
     // construction — same oracle (the q124/q96 move).
