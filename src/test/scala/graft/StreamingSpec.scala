@@ -199,6 +199,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.toSet == Set(11L), s"kept $kept, expected only the novel doc")
   }
 
+  test("streaming index maintenance: restart-safe append ≡ rebuild (MinHash + BM25)") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    import org.apache.spark.sql.streaming.Trigger
+    def corpus(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map(i => (i.toLong,
+        s"unique$i words alpha$i beta$i gamma$i shared tokens appear here"))
+        .toDF("doc_id", "text")
+
+    val mhDir = tmp(); val bmDir = tmp()
+    graft.ops.Dedup.saveMinhashIndex(corpus(0, 10), "doc_id", "text", mhDir,
+      threshold = 0.5, numFiles = 2)
+    graft.ops.Retrieval.saveBm25Index(corpus(0, 10), "doc_id", "text", bmDir,
+      numFiles = 2)
+
+    // the crawl stream: a ripple topic (checkpoint-resumable source, so the
+    // restart is REAL recovery, not a fresh MemoryStream)
+    val root = tmp(); val ckpt = tmp()
+    Ripple.createTopic(root, "crawl", numBuckets = 1)
+    def produce(lo: Int, hi: Int): Unit =
+      Ripple.write(corpus(lo, hi).select(col("doc_id").cast("int").as("id"),
+        col("text").cast("binary").as("data")).coalesce(1), root, "crawl", 1)
+
+    val mhSink = IndexMaintenance.minhashAppendSink(mhDir, "doc_id", "text",
+      numFiles = 2)
+    val bmSink = IndexMaintenance.bm25AppendSink(bmDir, "doc_id", "text",
+      numFiles = 2)
+    def drain(): Unit = {
+      val q = Ripple.readStream(spark, root, "crawl", maxOffsetsPerTrigger = 4)
+        .select(col("id").cast("long").as("doc_id"),
+          col("data").cast("string").as("text"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, e: Long) => mhSink(b, e); bmSink(b, e); () }
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "drain did not finish")
+    }
+    produce(10, 20); drain()          // multi-epoch (rate cap 4): epochs 0..
+    produce(20, 25); drain()          // RESTART from the same checkpoint
+
+    def mhRows(dir: String) = {
+      val i = graft.ops.Dedup.loadMinhashIndex(spark, dir)
+      (i.bands.select("id", "band", "bandHash").collect()
+         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq,
+       i.shingles.select("id", "sh").collect()
+         .map(r => (r.getLong(0), r.getSeq[Long](1).mkString(","))).sorted.toSeq)
+    }
+    def bmRows(dir: String) = {
+      val i = graft.ops.Retrieval.loadBm25Index(spark, dir)
+      // name-ordered projection: the delete path's clustered rewrite may
+      // lay columns out in a different physical order (reads are by name)
+      val cols = i.postings.columns.sorted.map(col).toIndexedSeq
+      (i.nDocs, i.avgdl,
+       i.postings.select(cols: _*).collect()
+         .map(_.toSeq.mkString("|")).sorted.toSeq)
+    }
+
+    // append ≡ rebuild, both families
+    val mhRef = tmp(); val bmRef = tmp()
+    graft.ops.Dedup.saveMinhashIndex(corpus(0, 25), "doc_id", "text", mhRef,
+      threshold = 0.5, numFiles = 2)
+    graft.ops.Retrieval.saveBm25Index(corpus(0, 25), "doc_id", "text", bmRef,
+      numFiles = 2)
+    assert(mhRows(mhDir) == mhRows(mhRef), "MinHash append ≠ rebuild")
+    assert(bmRows(bmDir) == bmRows(bmRef), "BM25 append ≠ rebuild")
+
+    // a replayed COMMITTED epoch is a no-op (the exactly-once marker)
+    val replay = corpus(10, 14)
+    mhSink(replay, 0L); bmSink(replay, 0L)
+    assert(mhRows(mhDir) == mhRows(mhRef) && bmRows(bmDir) == bmRows(bmRef),
+      "replaying a committed epoch must not change the indexes")
+
+    // a CRASHED attempt (intent marker live, rows partially/fully written,
+    // no commit) heals to exactly-once on replay — never double-appends
+    val crashed = corpus(30, 34)
+    val nextEpoch = 1000L
+    def plantIntent(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir, "_epoch_intent")
+      java.nio.file.Files.write(p, nextEpoch.toString.getBytes("UTF-8"))
+    }
+    // worst case: the crash landed AFTER the full append (marker missing)
+    graft.ops.Dedup.appendToMinhashIndex(crashed, "doc_id", "text", mhDir,
+      numFiles = 2)
+    graft.ops.Retrieval.appendToBm25Index(crashed, "doc_id", "text", bmDir,
+      numFiles = 2)
+    plantIntent(mhDir); plantIntent(bmDir)
+    mhSink(crashed, nextEpoch); bmSink(crashed, nextEpoch)
+    val mhRef2 = tmp(); val bmRef2 = tmp()
+    val full = corpus(0, 25).unionAll(crashed)
+    graft.ops.Dedup.saveMinhashIndex(full, "doc_id", "text", mhRef2,
+      threshold = 0.5, numFiles = 2)
+    graft.ops.Retrieval.saveBm25Index(full, "doc_id", "text", bmRef2,
+      numFiles = 2)
+    assert(mhRows(mhDir) == mhRows(mhRef2),
+      "healed MinHash epoch must equal the rebuild (no double-append)")
+    assert(bmRows(bmDir) == bmRows(bmRef2),
+      "healed BM25 epoch must equal the rebuild (no double-append)")
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
