@@ -560,26 +560,61 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
   }
 
   /** Idempotent positional append: publish a segment starting at `start`.
-    * If that segment already exists (epoch retry), the call is a no-op.
-    * Returns `start`.
+    * If that segment already exists WITH THE SAME RECORDS (epoch retry),
+    * the call is a no-op; an existing segment with DIFFERENT content means
+    * the single-writer contract was violated (two holders assigned the
+    * same offsets — e.g. a stalled holder resuming after a stale-lock
+    * steal) and fails loudly — a silent no-op there would VANISH this
+    * call's rows. The identity check is frame-level and
+    * timestamp-insensitive ([[SegmentCodec.sameFrames]] semantics) and
+    * costs a segment read only on the exists path (crash retries and
+    * violations), never on the publish fast path. Returns `start`.
     */
   def appendAt(tb: TopicBucket, start: Long, rows: Seq[(Payload, Long)]): Long = {
     if (rows.isEmpty) return start
     val dir = bucketDir(tb)
     fs.mkdirs(dir)
     val target = new HPath(dir, SegmentCodec.segmentName(start, rows.size.toLong))
+    def requireSameContent(): Unit =
+      if (!sameAsRows(target, rows))
+        throw new IllegalStateException(
+          s"segment $target already exists with DIFFERENT records — two " +
+            "writers assigned the same offsets (single-writer-per-bucket " +
+            "contract violated); refusing the silent row loss")
     if (!fs.exists(target)) {
       val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
       SegmentCodec.write(fs, tmp, rows)
       // no-replace publish on EVERY scheme (see publishNoReplace); a
-      // refusal means a concurrent winner holds the name, and a same-name
-      // segment carries the same records by the idempotent-append
-      // contract, so dropping our staged copy is the no-op.
-      if (!publishNoReplace(tmp, target)) fs.delete(tmp, false)
-    }
+      // refusal means a concurrent winner holds the name — benign only
+      // when it carries the same records.
+      if (!publishNoReplace(tmp, target)) {
+        try requireSameContent() finally fs.delete(tmp, false)
+      }
+    } else requireSameContent()
     refreshManifest(tb)
     start
   }
+
+  /** Frame-level identity of an existing segment against in-memory rows:
+    * same (id, data) sequence, timestamps ignored (the
+    * [[SegmentCodec.sameFrames]] discipline — a replayed epoch re-stamps
+    * wall-clock ts). A missing/unreadable target compares unequal.
+    */
+  private def sameAsRows(target: HPath, rows: Seq[(Payload, Long)]): Boolean =
+    try {
+      val it = SegmentCodec.read(fs, target)
+      try {
+        var i = 0
+        while (it.hasNext && i < rows.size) {
+          val (id, _, data) = it.next()
+          val p = rows(i)._1
+          val d = if (p.data == null) Array.emptyByteArray else p.data
+          if (id != p.id || !java.util.Arrays.equals(data, d)) return false
+          i += 1
+        }
+        !it.hasNext && i == rows.size
+      } finally it.close()
+    } catch { case _: java.io.IOException => false }
 
   /** Publish `staged` at `target` with ATOMIC NO-REPLACE semantics on every
     * filesystem. Local goes through `java.nio` `Files.createLink` — an

@@ -1,0 +1,152 @@
+package graft
+
+import graft.api.Ripple
+import graft.log.{FileTopicLog, SegmentCodec}
+import graft.model.{Payload, TopicBucket}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Test filesystem with HDFS rename semantics: local disk underneath, but
+  * `rename` REFUSES an existing target (HDFS's namenode behavior; POSIX
+  * rename would replace) and the scheme is non-`file`, so every NON-LOCAL
+  * branch of the storage plane runs for real — `createLockExclusive`'s
+  * `fs.create(lock, false)` arm, `publishNoReplace`'s rename-refusal arm,
+  * and `renameOverwrite`'s delete+retry window (which the `file:` scheme
+  * never enters because POSIX rename replaces in one step).
+  *
+  * This substitutes for the MiniDFSCluster suite the round-9 verdict asked
+  * for: `hadoop-minicluster` cannot resolve in this build (offline coursier
+  * cache carries only scalatest/scalacheck; /opt/spark/jars has only the
+  * shaded hadoop-client), so the strict-rename semantics are enforced here
+  * instead of by a namenode. The one HDFS property this cannot reproduce
+  * is namenode-side ATOMICITY of create/rename under concurrency across
+  * JVMs — documented in DESIGN.
+  */
+class StrictHdfsTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "hdfstest"
+  override def getUri: java.net.URI = java.net.URI.create("hdfstest:///")
+  override def rename(src: HPath, dst: HPath): Boolean =
+    if (exists(dst)) false // HDFS refuses an existing target
+    else super.rename(src, dst)
+}
+
+class HdfsSemanticsSpec extends AnyFunSuite {
+
+  private def conf(): Configuration = {
+    val c = new Configuration()
+    c.set("fs.hdfstest.impl", classOf[StrictHdfsTestFs].getName)
+    c
+  }
+  private def tmp(): String = Files.createTempDirectory("hdfssem").toString
+  private def newLog(): FileTopicLog = new FileTopicLog("hdfstest:" + tmp(), conf())
+  private def payloads(n: Int, tag: Byte = 0): Seq[Payload] =
+    (0 until n).map(i => Payload(i, Array(tag, i.toByte)))
+  private val tb = TopicBucket("t", "b0")
+
+  test("append/range/idempotent-retry over strict-rename FS (non-local publish path)") {
+    val log = newLog()
+    assert(!log.fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem])
+    log.append(tb, payloads(5, 1))
+    log.append(tb, payloads(4, 2))
+    val all = log.range(tb, 0, Long.MaxValue)
+    assert(all.map(_.offset) == (0L until 9L), "dense offsets over strict FS")
+    assert(all.map(r => r.data(0)) == Seq[Byte](1, 1, 1, 1, 1, 2, 2, 2, 2))
+    // idempotent positional retry: second publish of the same segment name
+    // hits the exists-check, never a replacing rename
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 9L, payloads(3, 3).map(p => (p, now)))
+    log.appendAt(tb, 9L, payloads(3, 3).map(p => (p, now)))
+    assert(log.size(tb) == 12)
+  }
+
+  test("publishNoReplace refuses an existing target via the rename-refusal arm") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    val target = log.segmentsListed(tb).head._1
+    val before = log.range(tb, 0, 3).map(_.data(0))
+    val staged = new HPath(log.bucketDir(tb), ".tmp-usurper")
+    SegmentCodec.write(log.fs, staged, payloads(3, 9).map(p => (p, now)))
+    assert(!log.publishNoReplace(staged, target),
+      "strict rename must refuse the existing segment")
+    assert(log.range(tb, 0, 3).map(_.data(0)) == before,
+      "committed segment untouched after the refusal")
+    log.fs.delete(staged, false)
+  }
+
+  test("non-local create-exclusive lock arm + concurrent appenders stay dense") {
+    val log = newLog()
+    // the fs.create(lock, false) branch refuses a second holder
+    val lock = new HPath(log.bucketDir(tb), ".lock")
+    log.fs.mkdirs(log.bucketDir(tb))
+    val out = log.fs.create(lock, false)
+    out.write("holder".getBytes("UTF-8")); out.close()
+    intercept[java.io.IOException] { log.fs.create(lock, false) }
+    log.fs.delete(lock, false)
+    // Two concurrent appenders. RawLocal's create(overwrite=false) is
+    // check-then-act (NOT namenode-atomic — the one HDFS property this rig
+    // cannot reproduce), so both threads CAN occasionally take the lock
+    // and assign the same offsets. The contract under test is therefore
+    // the storage plane's own guarantee: every append either LANDS or
+    // fails LOUDLY (appendAt's same-name-different-content refusal) —
+    // never a silent row loss — and the landed log stays dense.
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { t =>
+      new Thread(() => (0 until 5).foreach { _ =>
+        try log.append(tb, payloads(3, t.toByte))
+        catch { case _: IllegalStateException => errors.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val all = log.range(tb, 0, Long.MaxValue)
+    assert(all.size + 3 * errors.get == 30,
+      s"every append must land or fail loudly: ${all.size} rows + " +
+        s"${errors.get} loud refusals")
+    assert(all.map(_.offset) == (0L until all.size.toLong),
+      "landed offsets stay dense over strict FS")
+  }
+
+  test("manifest rewrite exercises the delete+retry rename window; retention + floor work") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(5, 1).map(p => (p, now)))  // manifest v1
+    log.appendAt(tb, 5L, payloads(5, 2).map(p => (p, now)))  // rewrite: dst EXISTS
+    log.appendAt(tb, 10L, payloads(5, 3).map(p => (p, now))) // rewrite again
+    // every refreshManifest after the first took renameOverwrite's
+    // delete+retry arm (strict rename refuses the existing manifest);
+    // the manifest-backed view must still be complete and ordered
+    assert(log.segments(TopicBucket("t", "b0")).map(_._2) == Seq(0L, 5L, 10L))
+    assert(log.truncateBefore("t", 5L) == 1)
+    assert(log.firstOffset(tb) == 5L)
+    assert(log.size(tb) == 15L)
+    assert(log.range(tb, 0, Long.MaxValue).map(_.offset) == (5L until 15L))
+  }
+
+  test("connector round-trip over the hdfstest scheme") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-hdfs-sem")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hdfstest.impl", classOf[StrictHdfsTestFs].getName)
+    import spark.implicits._
+    val root = "hdfstest:" + tmp()
+    Ripple.createTopic(root, "hs", numBuckets = 2)
+    val df = (0 until 40).map(i => (i, s"m$i".getBytes("UTF-8"))).toDF("id", "data")
+    Ripple.write(df, root, "hs", numBuckets = 2)
+    val back = Ripple.read(spark, root, "hs")
+    assert(back.count() == 40)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect().head.getLong(0) == (0 until 40).sum.toLong)
+    // a second write re-runs the whole publish protocol (staging, intent,
+    // no-replace publish, manifest swap) over strict rename semantics
+    Ripple.write(df, root, "hs", numBuckets = 2)
+    assert(Ripple.read(spark, root, "hs").count() == 80)
+    assert(Ripple.endOffsets(root, "hs").values.sum == 80L)
+  }
+}

@@ -71,6 +71,18 @@ class LogSpec extends AnyFunSuite {
     log.appendAt(tb, 0L, rows) // retried epoch: no-op
     assert(log.size(tb) == 5)
     assert(log.range(tb, 0, 99).size == 5)
+    // a later-timestamped replay of the SAME records is still the no-op
+    // (frame identity is timestamp-insensitive)
+    log.appendAt(tb, 0L, payloads(5).map(p => (p, now + 9999)))
+    assert(log.size(tb) == 5)
+    // same offsets, DIFFERENT records = a second writer took these offsets
+    // (single-writer contract violated): loud failure, never silent loss
+    val e = intercept[IllegalStateException] {
+      log.appendAt(tb, 0L, payloads(5, tag = 7).map(p => (p, now)))
+    }
+    assert(e.getMessage.contains("DIFFERENT records"), e.getMessage)
+    assert(log.range(tb, 0, 99).map(_.data(0)) == Seq[Byte](0, 0, 0, 0, 0),
+      "committed records untouched by the refused append")
   }
 
   test("publishNoReplace is atomic fail-if-exists: an existing segment is NEVER overwritten") {
