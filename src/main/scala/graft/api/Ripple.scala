@@ -76,9 +76,51 @@ object Ripple {
   /** Retention: drop whole segments below `floorOffset` per bucket
     * (metadata-only; offsets preserved). The reference never truncates
     * (`core.go:45` TODO) — OOM is its retention policy.
+    *
+    * `protectConsumers = true` clamps the floor PER BUCKET to the minimum
+    * committed cursor of the registered consumers ([[consumerOffsets]]):
+    * retention then never deletes rows a live consumer has committed past
+    * but not yet read — the prevention twin of the read-side data-loss
+    * guard ([[graft.connector.RippleDataLoss]], which fails the consumer
+    * loudly AFTER the rows are gone). Only committed cursors constrain:
+    * a consumer that has never committed a bucket does not pin it (the
+    * Kafka convention — an idle registered group must not block
+    * retention forever).
     */
-  def truncateBefore(root: String, topic: String, floorOffset: Long): Int =
-    FileTopicLog.cached(root, LogFs.activeHadoopConf).truncateBefore(topic, floorOffset)
+  def truncateBefore(root: String, topic: String, floorOffset: Long,
+      protectConsumers: Boolean = false): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    if (!protectConsumers) return log.truncateBefore(topic, floorOffset)
+    val cursors = graft.connector.ConsumerOffsets.all(root, topic)
+    val floors = log.buckets(topic).map { tb =>
+      val minCur = cursors.valuesIterator.flatMap(_.get(tb.bucket)).minOption
+      tb.bucket -> minCur.fold(floorOffset)(c => math.min(floorOffset, c))
+    }.toMap
+    log.truncateBefore(topic, floors)
+  }
+
+  /** One row per (consumer, bucket): committed cursor, log end, retention
+    * floor — with `lag` (rows committed-but-unread ahead) and
+    * `lostToRetention` (rows retention already truncated past this
+    * consumer's cursor; > 0 means the consumer's next resume will trip
+    * the data-loss guard unless it opts into `allowDataLoss`).
+    */
+  case class ConsumerPosition(committed: Long, end: Long, floor: Long) {
+    def lag: Long = end - committed
+    def lostToRetention: Long = math.max(0L, floor - committed)
+  }
+
+  def consumerStatus(root: String, topic: String)
+      : Map[String, Map[String, ConsumerPosition]] = {
+    val ends = endOffsets(root, topic)
+    val floors = earliestOffsets(root, topic)
+    consumerOffsets(root, topic).map { case (id, byBucket) =>
+      id -> byBucket.map { case (b, committed) =>
+        b -> ConsumerPosition(committed,
+          ends.getOrElse(b, committed), floors.getOrElse(b, 0L))
+      }
+    }
+  }
 
   /** Time-based retention: drop whole segments older than `maxAgeMillis`
     * per bucket (by publish mtime; offsets preserved, newest segment kept).

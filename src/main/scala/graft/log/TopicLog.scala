@@ -687,7 +687,18 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * here retention is a pure metadata op. Returns deleted segment count.
     */
   def truncateBefore(topic: String, floorOffset: Long): Int =
-    truncateWhere(topic) { case (_, start, count) => start + count <= floorOffset }
+    truncateWhere(topic)((_, seg) => seg match {
+      case (_, start, count) => start + count <= floorOffset })
+
+  /** Per-bucket retention floors (bucket name → floor); buckets absent
+    * from the map are untouched. The consumer-protecting facade
+    * ([[graft.api.Ripple.truncateBefore]]) computes its clamped floors
+    * per bucket, which a single global floor cannot express.
+    */
+  def truncateBefore(topic: String, floors: Map[String, Long]): Int =
+    truncateWhere(topic)((tb, seg) => seg match {
+      case (_, start, count) =>
+        floors.get(tb.bucket).exists(f => start + count <= f) })
 
   /** Time-based retention: delete whole segments older than `maxAgeMillis`
     * (by segment file mtime — set at publish, so always >= the newest
@@ -699,7 +710,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
   def truncateOlderThan(topic: String, maxAgeMillis: Long,
       nowMillis: Long = System.currentTimeMillis()): Int = {
     val cutoff = nowMillis - maxAgeMillis
-    truncateWhere(topic) { case (st, _, _) => st.getModificationTime < cutoff }
+    truncateWhere(topic)((_, seg) => seg._1.getModificationTime < cutoff)
   }
 
   /** Shared retention walk: drop segments matching `expired`, never the
@@ -709,7 +720,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * deleted, so manifest-backed readers never plan a ghost segment.
     */
   private def truncateWhere(topic: String)(
-      expired: ((FileStatus, Long, Long)) => Boolean): Int = {
+      expired: (TopicBucket, (FileStatus, Long, Long)) => Boolean): Int = {
     var deleted = 0
     // Per-bucket lock: serializes with publishes, whose refreshManifest
     // would otherwise snapshot the directory between our manifest rewrite
@@ -718,7 +729,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
       withBucketLock(tb) {
         val segs = segmentStatusRaw(tb)
         checkNoOverlap(tb, segs.map { case (st, s, c) => (st.getPath, s, c) })
-        val toDelete = segs.dropRight(1).filter(expired)
+        val toDelete = segs.dropRight(1).filter(expired(tb, _))
         if (toDelete.nonEmpty) {
           val keep = segs.filterNot(toDelete.contains)
           writeFileAtomic(manifestPath(tb), keep.map(_._1.getPath.getName)

@@ -790,6 +790,50 @@ class ConnectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == ((0L until 10L) ++ (20L until 30L)))
   }
 
+  test("consumer-protecting retention: truncateBefore refuses to cross the minimum live cursor") {
+    val root = tmp()
+    Ripple.createTopic(root, "cp", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "cp") // seg [0,10)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "cp") // seg [10,20)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "cp") // seg [20,30)
+
+    // two registered consumers; the slower one has committed through 12
+    graft.connector.ConsumerOffsets.commit(root, "cp", "slow", Map("b0000" -> 12L))
+    graft.connector.ConsumerOffsets.commit(root, "cp", "fast", Map("b0000" -> 25L))
+
+    // protected: the requested floor 30 clamps to min cursor 12 → only the
+    // fully-consumed [0,10) segment is deletable
+    assert(Ripple.truncateBefore(root, "cp", 30L, protectConsumers = true) == 1)
+    assert(Ripple.earliestOffsets(root, "cp") == Map("b0000" -> 10L))
+
+    // status surface: lag vs floor, nothing lost yet
+    val st = Ripple.consumerStatus(root, "cp")
+    assert(st("slow")("b0000") == Ripple.ConsumerPosition(12L, 30L, 10L))
+    assert(st("slow")("b0000").lag == 18L && st("slow")("b0000").lostToRetention == 0L)
+    assert(st("fast")("b0000").lag == 5L)
+
+    // unprotected retention crosses the cursor; the loss becomes VISIBLE
+    // in the status (and the slow consumer's next resume would trip the
+    // data-loss guard)
+    assert(Ripple.truncateBefore(root, "cp", 30L) == 1) // [10,20) now gone
+    assert(Ripple.earliestOffsets(root, "cp") == Map("b0000" -> 20L))
+    val st2 = Ripple.consumerStatus(root, "cp")
+    assert(st2("slow")("b0000").lostToRetention == 8L,
+      "offsets [12,20) were truncated past the slow cursor")
+    assert(st2("fast")("b0000").lostToRetention == 0L)
+
+    // protection is per BUCKET: a consumer that never committed a bucket
+    // does not pin it
+    Ripple.createTopic(root, "cp2", numBuckets = 2)
+    Ripple.write(samplePayloads(20), root, "cp2", numBuckets = 2) // 10 per bucket
+    Ripple.write(samplePayloads(20), root, "cp2", numBuckets = 2)
+    graft.connector.ConsumerOffsets.commit(root, "cp2", "half", Map("b0000" -> 3L))
+    Ripple.truncateBefore(root, "cp2", 20L, protectConsumers = true)
+    val floors = Ripple.earliestOffsets(root, "cp2")
+    assert(floors("b0000") <= 3L, s"b0000 pinned by the cursor: $floors")
+    assert(floors("b0001") >= 10L, s"b0001 unpinned: $floors")
+  }
+
   test("fresh stream on a truncated topic starts at the floor (no guard trip)") {
     val root = tmp()
     Ripple.createTopic(root, "dlf", numBuckets = 1)
