@@ -36,6 +36,19 @@ import org.apache.spark.sql.functions._
   * Both markers live INSIDE the index directory: the index is
   * self-describing about its maintenance position, and a separate batch
   * writer cannot accidentally share the epoch sequence.
+  *
+  * SHARP EDGE, stated: epoch ids are per-QUERY (foreachBatch batchIds
+  * restart at 0 under a NEW checkpoint), and the markers cannot
+  * distinguish "replay of my committed epoch" from "fresh query
+  * re-reading the same source". The maintaining stream must therefore
+  * keep ONE checkpoint for the index's lifetime — after an intentional
+  * checkpoint reset, delete `_last_epoch`/`_epoch_intent` (and accept
+  * that the new query must not re-deliver already-appended ids, e.g. by
+  * resuming the source from the broker-side consumer cursor). A fresh
+  * checkpoint WITHOUT the reset silently no-ops until the new query's
+  * epoch counter passes the old one — the failure mode is skipped
+  * appends, never duplicates, matching the append contract (batch ids
+  * must be new) this helper inherits.
   */
 object IndexMaintenance {
 

@@ -32,6 +32,11 @@ object ScaleProbe {
     * deliberate exclusions, plus one deliberate scaling override:
     *   - q100 excluded: its cost is the one-time bucketed INGEST (now
     *     reported separately as q100i_bucketed_ingest);
+    *   - q147 excluded (round 10, same pattern): the composed curation
+    *     pipeline's 10× cell is the bench's `curate_sf1` block, which is
+    *     RICHER than a probe ratio (per-stage wall-clock at sf1 every
+    *     round); probing it here would time the identical composition
+    *     twice;
     *   - q68 excluded: its ngram-Jaccard pair generation blocks by
     *     `source` (20 groups) BY DESIGN for oracle-exactness — per-block
     *     pair space is quadratic in corpus size, which is the documented
