@@ -88,6 +88,42 @@ object IndexMaintenance {
         Retrieval.repairBm25Stats(batch.sparkSession, path)
       })
 
+  /** The crawl-ADMISSION composition — the deployment shape streaming
+    * index maintenance exists for: per micro-batch, keep only the
+    * documents with NO verified near-dup in the persisted index
+    * ([[Dedup.novelAgainstMinhashIndex]]), append EXACTLY the kept ones to
+    * the index (so later batches dedup against them), and hand the kept
+    * batch to `sink` — all under the same exactly-once epoch guard. A
+    * crashed epoch heals correctly BY CONSTRUCTION: the scrub deletes the
+    * whole batch's ids (novel-subset appends are removed, unknown ids
+    * no-op), so the replay recomputes the SAME novel set against the same
+    * pre-batch index state.
+    *
+    * Contracts, stated: `sink` re-runs when a crashed epoch replays —
+    * give it an idempotent-per-epoch target (a parquet epoch partition
+    * overwrite, or the ripple sink through its own writeStream, whose
+    * epoch markers already no-op replays; a blind batch append is NOT
+    * idempotent). Intra-batch near-dups are both admitted (the index is
+    * probed as it stood BEFORE the batch); drop them first via the
+    * stream's own near-dup stage ([[TopicStreams.dropNearDups]]) when a
+    * single micro-batch can carry near-copies.
+    */
+  def minhashAdmitSink(path: String, idCol: String, textCol: String,
+      threshold: Double, sink: (DataFrame, Long) => Unit,
+      hash64: Column => Column = xxhash64(_), numFiles: Int = 8)
+      : (DataFrame, Long) => Unit = (batch, epochId) =>
+    applyEpoch(batch, path, epochId)(
+      append = {
+        val idx = Dedup.loadMinhashIndex(batch.sparkSession, path)
+        val novel = Dedup.novelAgainstMinhashIndex(idx, batch, idCol,
+          textCol, threshold, hash64)
+        Dedup.appendToMinhashIndex(novel, idCol, textCol, path, hash64,
+          numFiles)
+        sink(novel, epochId)
+      },
+      scrub = Dedup.deleteFromMinhashIndex(batch.select(col(idCol)), idCol,
+        path))
+
   /** The exactly-once epoch wrapper (package-visible for direct testing).
     * Runs `scrub` only when `epochId` matches a live intent marker — the
     * one ambiguous epoch after a crash — then `append`, then commits the

@@ -297,6 +297,73 @@ class StreamingSpec extends AnyFunSuite {
       "healed BM25 epoch must equal the rebuild (no double-append)")
   }
 
+  test("crawl admission sink: novel-only index growth, cross-epoch dedup, crash heal") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    val dir = tmp()
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen quality liquor jugs today"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.saveMinhashIndex(hist, "doc_id", "text", dir,
+      threshold = 0.5, numFiles = 2)
+
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (epoch, id)
+    val admit = IndexMaintenance.minhashAdmitSink(dir, "doc_id", "text",
+      threshold = 0.5,
+      sink = (df, ep) => kept ++= df.select("doc_id").collect()
+        .map(r => ep -> r.getLong(0)),
+      numFiles = 2)
+
+    // epoch 0: one near-dup of history (dropped), one novel (admitted)
+    admit(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a completely different sentence about databases and rivers flowing"))
+      .toDF("doc_id", "text"), 0L)
+    // epoch 1: a near-dup of the EPOCH-0 ADMITTED doc (dropped — the index
+    // grew), plus a novel doc
+    admit(Seq(
+      (20L, "a completely different sentence about databases and rivers"),
+      (21L, "seven wandering musicians crossed the silent valley before dawn"))
+      .toDF("doc_id", "text"), 1L)
+    assert(kept.toList == List(0L -> 11L, 1L -> 21L),
+      s"admitted $kept: near-dups of history AND of admitted docs must drop")
+
+    // committed-epoch replay: no-op (no re-admission, no index growth)
+    val bandsBefore = spark.read.parquet(s"$dir/bands").count()
+    admit(Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), 0L)
+    assert(kept.size == 2 && spark.read.parquet(s"$dir/bands").count() == bandsBefore)
+
+    // crashed epoch 2 (novel rows fully appended, intent live, no commit):
+    // the heal scrubs and replays — admitted ONCE, sink sees it ONCE more
+    val batchC = Seq(
+      (30L, "entirely fresh content about mountains glaciers and morning light"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.appendToMinhashIndex(batchC, "doc_id", "text", dir,
+      numFiles = 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_epoch_intent"),
+      "2".getBytes("UTF-8"))
+    admit(batchC, 2L)
+    assert(kept.toList == List(0L -> 11L, 1L -> 21L, 2L -> 30L))
+
+    // the admitted index ≡ a rebuild over history + admitted docs only
+    val ref = tmp()
+    graft.ops.Dedup.saveMinhashIndex(hist.unionAll(Seq(
+      (11L, "a completely different sentence about databases and rivers flowing"),
+      (21L, "seven wandering musicians crossed the silent valley before dawn"),
+      (30L, "entirely fresh content about mountains glaciers and morning light"))
+      .toDF("doc_id", "text")), "doc_id", "text", ref,
+      threshold = 0.5, numFiles = 2)
+    def rows(p: String) = {
+      val df = spark.read.parquet(p)
+      val cols = df.columns.sorted.map(col).toIndexedSeq
+      df.select(cols: _*).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    assert(rows(s"$dir/bands") == rows(s"$ref/bands"), "bands ≡ rebuild")
+    assert(rows(s"$dir/shingles") == rows(s"$ref/shingles"), "shingles ≡ rebuild")
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
