@@ -128,6 +128,22 @@ object ScaleEvidence {
     results("q141_split") =
       s"""{"t_sf01":${math.rint(s1 * 1000) / 1000},"t_sf1":${math.rint(s10 * 1000) / 1000},"fixed_sec":${math.rint(fixed141 * 1000) / 1000},"var_sec_per_1m_rows":${math.rint(var141 * 1000) / 1000},"rows_sf01":$nd1}"""
 
+    // q54 pair-volume attribution (round 10): the banded-LSH near-dup's
+    // sf1 ratio (~3.8-4.1× at 10× data — already sublinear) should be
+    // shuffle VOLUME, not pair explosion: the contamination-free corpus
+    // replication keeps verified-pair counts growing LINEARLY with the
+    // corpus (per-replica structure identical, cross-replica vocab
+    // disjoint). Measured: seconds + shuffle bytes + output pairs at both
+    // scales — pairs ≈ 10×, bytes ≈ 10×, time ≈ 4× = linear work on more
+    // parallel slack, no quadratic term.
+    val q54 = graft.SparkEntry.queries("q54_dedup_minhash")
+    for ((d, tag) <- Seq((sf01, "sf01"), (sf1, "sf1"))) {
+      val (sec, w, r) = med3(measure(spark, s"q54_$tag")(q54(spark, d)))
+      val pairs = q54(spark, d).count()
+      results(s"q54_$tag") =
+        s"""{"sec":${math.rint(sec * 100) / 100},"pairs":$pairs,"shuffle_write_mb":${w / 1000000},"shuffle_read_mb":${r / 1000000}}"""
+    }
+
     println(results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     spark.stop()
   }
