@@ -37,6 +37,13 @@ object ScaleProbe {
     *     RICHER than a probe ratio (per-stage wall-clock at sf1 every
     *     round); probing it here would time the identical composition
     *     twice;
+    *   - the `*i` ingest/build cells (q82i/q83i/q100i/q113i/q123i/q124i/
+    *     q130i) and q104's compaction are one-time WRITE passes — the
+    *     q100 exclusion generalized: their cost is write throughput, and
+    *     the PROBE side of every persisted index is what scales reads;
+    *   - q55 excluded like q68's generator: blocked ngram-Jaccard is
+    *     quadratic per block BY DESIGN (oracle exactness); its scale
+    *     path is the MinHash feed, probed via q54;
     *   - q68 excluded: its ngram-Jaccard pair generation blocks by
     *     `source` (20 groups) BY DESIGN for oracle-exactness — per-block
     *     pair space is quadratic in corpus size, which is the documented
@@ -74,7 +81,17 @@ object ScaleProbe {
     // whose scale risk (a corpus-sized per-epoch rescan) the pin removes
     "q144_perceptron_quality",
     // span corruption: pure per-row fold — should ride the scan
-    "q141_span_corrupt"
+    "q141_span_corrupt",
+    // round-10 additions (every non-excluded query ≥1 s at sf0.1):
+    // the 5-way relational join (Catalyst's bread and butter — the cell
+    // watches join-order/broadcast decisions hold at 10× fact data),
+    // cross-corpus semantic decontamination (the embedding-family sweep
+    // was otherwise unprobed end-to-end), and image dHash near-dup.
+    // q97's EXPECTED ratio is ≈ the row ratio (measured 8.6× at 10×,
+    // steady-state): the decode expression is pure per-row CPU, so time
+    // rides rows; the cell exists to watch the banded hamming JOIN,
+    // whose superlinearity would push the ratio ABOVE the row ratio.
+    "q09_join_5way", "q111_cross_semantic", "q97_image_phash"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64
