@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. HTML extraction            ([[WebText.htmlExtract]])
   *   2. Unicode NFC normalization  ([[graft.functions.NfcNormalize]])
+  *   2b. PII masking               ([[WebText.maskPii]] — emails/phones/
+  *      IPs become typed placeholder tokens before anything downstream
+  *      sees the text)
   *   3. domain blocklist           ([[WebText.filterBlockedDomains]])
   *   4. content-term blocklist     ([[WebText.filterBlockedTerms]])
   *   4b. language filter           ([[TextAnalysis.langId]] ∈ allowed set)
@@ -56,6 +59,7 @@ object Curate {
   case class Config(
       htmlExtract: Boolean = false,
       normalizeUnicode: Boolean = true,
+      maskPiiKinds: Seq[String] = Nil,
       blockedDomains: Seq[String] = Nil,
       blockedTerms: Seq[String] = Nil,
       allowedLangs: Seq[String] = Nil,
@@ -216,6 +220,11 @@ object Curate {
       t = t.withColumn(textCol, WebText.htmlExtract(col(textCol)))
     if (cfg.normalizeUnicode)
       t = t.withColumn(textCol, graft.functions.textnorm.nfc_normalize(col(textCol)))
+    // PII scrub directly after extraction/normalization (the Dolma/
+    // RefinedWeb position): everything downstream — n-grams, dedup
+    // signatures, the published corpus — sees masked text only
+    if (cfg.maskPiiKinds.nonEmpty)
+      t = t.withColumn(textCol, WebText.maskPii(col(textCol), cfg.maskPiiKinds))
     for (u <- urlCol if cfg.blockedDomains.nonEmpty)
       t = WebText.filterBlockedDomains(t, col(u), cfg.blockedDomains)
     if (cfg.blockedTerms.nonEmpty)

@@ -138,4 +138,50 @@ object WebText {
   /** Paragraph count of a text (split on blank-line boundaries). */
   def paragraphCount(text: Column): Column =
     size(split(text, "\n\n")).cast("long")
+
+  /** PII patterns for [[maskPii]]/[[piiCount]]: (kind, regex, replacement).
+    * The regexes live in the Java-regex ∩ RE2 shared subset (no
+    * lookaround, no backreferences — the file's standing discipline), so
+    * the q149 oracle replays masking and counting verbatim in DuckDB.
+    * Deliberately CONSERVATIVE (the curation convention: mask what is
+    * unambiguously PII-shaped, don't chase recall with fragile patterns):
+    * emails need a word-char local part and an alphabetic TLD; phones
+    * need an international `+` prefix (unprefixed digit runs are years,
+    * ids, quantities far more often than phone numbers); IPs are dotted
+    * quads with word boundaries. Masking order is the list order — email
+    * first, so an address's digits are never half-eaten by the phone or
+    * IP pass.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\+\\d[\\d\\- ]{7,}\\d", "[PHONE]"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  private def piiPattern(kind: String): String =
+    PiiPatterns.find(_._1 == kind).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown PII kind '$kind'; known: ${PiiPatterns.map(_._1).mkString(", ")}"))
+
+  /** Replace PII occurrences with typed placeholder tokens — the
+    * RefinedWeb/Dolma-style scrub that runs between extraction and
+    * everything downstream (a near-dup or n-gram pass over unmasked
+    * emails would happily treat them as high-signal rare tokens). Pure
+    * per-row `regexp_replace` chain: codegen'd, zero shuffles, linear in
+    * corpus bytes — rides the same scan pass as the quality rules.
+    */
+  def maskPii(text: Column,
+      kinds: Seq[String] = PiiPatterns.map(_._1)): Column = {
+    kinds.foreach(piiPattern) // validate every kind loudly up front
+    // canonical PiiPatterns order regardless of how the caller lists
+    // kinds — masking order is part of the operator's contract
+    PiiPatterns.filter(p => kinds.contains(p._1)).foldLeft(text) {
+      case (c, (_, re, tok)) => regexp_replace(c, re, tok)
+    }
+  }
+
+  /** Number of matches of one PII kind in `text` (counted on the UNMASKED
+    * text — the dataset-card statistic published next to the scrub).
+    */
+  def piiCount(text: Column, kind: String): Column =
+    size(regexp_extract_all(text, lit(piiPattern(kind)), lit(0))).cast("long")
 }

@@ -841,6 +841,27 @@ object OpsQueries {
     // CurationSpec pins exactly that loud refusal), so learned selection
     // is represented by DSIR here and the perceptron stays gated via
     // q144 + its own spec.
+    // PII masking (the RefinedWeb/Dolma scrub): emails/phones/IPs planted
+    // into every 7th doc, masked to typed tokens; the gate hashes the
+    // masked text AND counts each kind pre-mask — regexes live in the
+    // Java-regex ∩ RE2 subset so DuckDB replays masking and counting
+    // verbatim.
+    "q149_pii_mask" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com call +1 555-0"),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit(" host 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7 end")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+        md5(WebText.maskPii(col("text"))).as("masked_md5"),
+        WebText.piiCount(col("text"), "email").as("n_email"),
+        WebText.piiCount(col("text"), "phone").as("n_phone"),
+        WebText.piiCount(col("text"), "ip").as("n_ip"))
+    }),
     "q147_curate_pipeline" -> ((s, d) => {
       val cfg = graft.ops.Curate.Config(
         normalizeUnicode = false,
@@ -2331,6 +2352,29 @@ object OpsQueries {
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
     "q147_curate_pipeline" -> curateOracleSql,
+    "q149_pii_mask" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text
+        |      || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com call +1 555-0'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |      || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+\d[\d\- ]{7,}\d', '[PHONE]', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g')) AS masked_md5,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\+\d[\d\- ]{7,}\d')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip
+        |FROM planted""".stripMargin,
     "q110_cross_neardup" -> crossMinhashOracleSql,
     // the saved-index probe is pair-identical to the live cross pass by
     // construction — same oracle (the q124/q96 move).

@@ -115,6 +115,43 @@ class CurationSpec extends AnyFunSuite {
       Seq((9L, null: String)).toDF("id", "t"), col("t"), blocklist).count() == 0)
   }
 
+  test("maskPii: emails/phones/IPs become typed tokens; counts, kinds, order") {
+    import spark.implicits._
+    val s = "write to jane.doe+spam@sub.example.co.uk or call +44 20-7946-0958, " +
+      "server at 192.168.1.254 and 10.0.0.7; year 2024 and v1.2 stay; " +
+      "second address bob@ex.org"
+    assert(one(s, c => WebText.maskPii(c)) ==
+      "write to [EMAIL] or call [PHONE], server at [IP] and [IP]; " +
+        "year 2024 and v1.2 stay; second address [EMAIL]")
+    // counts on the unmasked text, per kind
+    def cnt(kind: String) = Seq(s).toDF("x")
+      .select(WebText.piiCount(col("x"), kind)).head().getLong(0)
+    assert(cnt("email") == 2 && cnt("phone") == 1 && cnt("ip") == 2)
+    // kind subsetting: only the requested kinds mask (canonical order)
+    assert(one(s, c => WebText.maskPii(c, Seq("ip"))).contains("jane.doe+spam@"))
+    assert(one(s, c => WebText.maskPii(c, Seq("ip"))).contains("[IP]"))
+    // non-PII digit runs survive: years, versions, unprefixed numbers
+    val clean = "in 2023 version 3.11 shipped 1500 units at 99.9 percent"
+    assert(one(clean, c => WebText.maskPii(c)) == clean)
+    // unprefixed phone-shaped runs are NOT masked (conservative contract)
+    assert(one("call 555-7946-0958 now", c => WebText.maskPii(c)) ==
+      "call 555-7946-0958 now")
+    // unknown kind: loud
+    intercept[IllegalArgumentException] {
+      WebText.maskPii(col("x"), Seq("ssn"))
+    }
+
+    // the Curate stage rewrites text before downstream stages see it
+    import graft.ops.Curate
+    val docs = Seq((1L, "reach admin@corp.example for access", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Curate.run(docs, "doc_id", "text", "source",
+      Curate.Config(normalizeUnicode = false, qualityFilter = false,
+        exactDedup = false, maskPiiKinds = Seq("email"))).docs
+    assert(out.select("text").head().getString(0) ==
+      "reach [EMAIL] for access")
+  }
+
   test("dedupParagraphs keeps first occurrences in order") {
     val doc = "alpha one\n\nbeta two\n\nalpha one\n\ngamma\n\nbeta two"
     assert(one(doc, WebText.dedupParagraphs) == "alpha one\n\nbeta two\n\ngamma")
