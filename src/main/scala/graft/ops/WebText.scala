@@ -122,6 +122,25 @@ object WebText {
       blocklist: Seq[String]): org.apache.spark.sql.DataFrame =
     df.filter(!hasBlockedTerm(textCol, blocklist))
 
+  /** Fraction of whitespace tokens that are on the blocklist
+    * (case-insensitive whole-token match) — the SCORE form of the binary
+    * [[hasBlockedTerm]] filter: C4 dropped pages on any hit, Dolma-style
+    * pipelines publish the fraction as a tagger and let the mix decide
+    * the threshold. Empty/whitespace-only text scores 0. Built entirely
+    * from codegen'd array HOFs (`filter` + `lower` + `IN`), so the
+    * whole-token semantics replay verbatim in the q150 oracle —
+    * tokenization is the pipeline's standard `\s+` split, NOT
+    * [[hasBlockedTerm]]'s extended Unicode-separator walk (the filter
+    * hunts evasion; the score describes the corpus).
+    */
+  def blockedTermScore(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blockedTermScore needs a non-empty blocklist")
+    val lc = blocklist.map(_.toLowerCase(java.util.Locale.ROOT))
+    val ws = filter(split(trim(text), "\\s+"), w => length(w) > 0)
+    val flagged = size(filter(ws, w => lower(w).isInCollection(lc)))
+    flagged.cast("double") / greatest(size(ws), lit(1)).cast("double")
+  }
+
   /** Keep the FIRST occurrence of each distinct paragraph within a
     * document, preserving order — the intra-document repetition removal
     * (boilerplate headers, repeated nav blocks) that runs before

@@ -841,6 +841,23 @@ object OpsQueries {
     // CurationSpec pins exactly that loud refusal), so learned selection
     // is represented by DSIR here and the perceptron stays gated via
     // q144 + its own spec.
+    // blocked-term score (the Dolma-style tagger form of q101's binary
+    // filter): flagged-token fraction per doc, terms planted into every
+    // 5th doc; integer numerator/denominator → the double divides
+    // identically in both engines
+    "q150_blocked_term_score" -> ((s, d) => {
+      val planted = docs(s, d).withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" BadWordA neutral badwordb")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+        WebText.blockedTermScore(col("text"),
+          Seq("badworda", "badwordb", "neverseen")).as("score"),
+        // empty-filtered count — the score's own denominator, so the two
+        // output columns can never disagree about what a token is
+        size(filter(TextAnalysis.words(col("text")),
+          w => length(w) > 0)).cast("long").as("n_tokens"))
+    }),
     // PII masking (the RefinedWeb/Dolma scrub): emails/phones/IPs planted
     // into every 7th doc, masked to typed tokens; the gate hashes the
     // masked text AND counts each kind pre-mask — regexes live in the
@@ -2352,6 +2369,23 @@ object OpsQueries {
     "q103_pagerank" -> pageRankOracleSql(3),
     "q54_dedup_minhash" -> minhashOracleSql,
     "q147_curate_pipeline" -> curateOracleSql,
+    "q150_blocked_term_score" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' BadWordA neutral badwordb' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> length(w) > 0) AS ws
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ws,
+        |      w -> lower(w) IN ('badworda', 'badwordb', 'neverseen')))
+        |    AS DOUBLE) / greatest(len(ws), 1) AS score,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens
+        |FROM toks""".stripMargin,
     "q149_pii_mask" ->
       """WITH planted AS (
         |  SELECT doc_id,

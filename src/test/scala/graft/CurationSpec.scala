@@ -115,6 +115,26 @@ class CurationSpec extends AnyFunSuite {
       Seq((9L, null: String)).toDF("id", "t"), col("t"), blocklist).count() == 0)
   }
 
+  test("blockedTermScore: hand-computed fractions, case-insensitive whole tokens, empty text") {
+    import spark.implicits._
+    def score(s: String, terms: Seq[String]): Double =
+      Seq(s).toDF("x").select(WebText.blockedTermScore(col("x"), terms))
+        .head().getDouble(0)
+    // 2 flagged of 8 tokens; case-insensitive; whole tokens only
+    assert(score("the BAD word and badly phrased bad prose",
+      Seq("bad")) == 2.0 / 8)
+    // substring containment is NOT a hit (badly != bad)
+    assert(score("badly behaving text", Seq("bad")) == 0.0)
+    // multiple terms accumulate; repeated hits each count
+    assert(score("x y x z", Seq("x", "z")) == 3.0 / 4)
+    // empty / whitespace-only text scores 0 (not NaN)
+    assert(score("", Seq("bad")) == 0.0)
+    assert(score("   ", Seq("bad")) == 0.0)
+    intercept[IllegalArgumentException] {
+      WebText.blockedTermScore(col("x"), Nil)
+    }
+  }
+
   test("maskPii: emails/phones/IPs become typed tokens; counts, kinds, order") {
     import spark.implicits._
     val s = "write to jane.doe+spam@sub.example.co.uk or call +44 20-7946-0958, " +
