@@ -834,6 +834,36 @@ class ConnectorSpec extends AnyFunSuite {
     assert(floors("b0001") >= 10L, s"b0001 unpinned: $floors")
   }
 
+  test("rate-capped resume under allowDataLoss drains all survivors past the floor") {
+    // the lost range inflates the backlog the admission control allocates
+    // from, so the first post-truncation epochs can land entirely inside
+    // the lost range (planned empty) — they must still ADVANCE the
+    // checkpoint until it crosses the floor and the survivors drain
+    val root = tmp()
+    Ripple.createTopic(root, "dlc", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dlc") // [0,10)
+    val ckpt = tmp()
+    val out = tmp()
+    def start() = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "dlc")
+      .option("maxOffsetsPerTrigger", 4).option("allowDataLoss", true)
+      .load().select("offset").writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    assert(q1.awaitTermination(60000))
+    assert(spark.read.parquet(out).count() == 10) // committed through 10
+
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dlc") // [10,20)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "dlc") // [20,30)
+    Ripple.truncateBefore(root, "dlc", 20) // [10,20) lost; committed=10 < 20
+    val q2 = start()
+    assert(q2.awaitTermination(60000))
+    assert(spark.read.parquet(out).select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq == ((0L until 10L) ++ (20L until 30L)),
+      "every surviving row past the floor must arrive despite the rate cap")
+  }
+
   test("fresh stream on a truncated topic starts at the floor (no guard trip)") {
     val root = tmp()
     Ripple.createTopic(root, "dlf", numBuckets = 1)
