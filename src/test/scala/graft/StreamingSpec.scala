@@ -590,6 +590,15 @@ class StreamingSpec extends AnyFunSuite {
     runToMemory(out.select("doc_id"), "curated_live")
     val got = spark.table("curated_live").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 5L), s"stream curation kept $got")
+    // PII masking is a row stage, so it streams for free through the same
+    // shared chain — the landed text is already scrubbed
+    val mem2 = MemoryStream[(Timestamp, Long, String)]
+    mem2.addData((ts(0), 1L, good + " reach admin@example.org today"))
+    val masked = Curate.runStream(mem2.toDF().toDF("ts", "doc_id", "text"),
+      "text", cfg.copy(maskPiiKinds = Seq("email")), "ts", "10 minutes")
+    runToMemory(masked.select("text"), "curated_pii")
+    assert(spark.table("curated_pii").head().getString(0)
+      .endsWith("reach [EMAIL] today"))
     // the row-stage chain is literally the batch one: same survivors
     // (before dedup) on the same data
     val batch = Curate.rowStages(rows.toDF("ts", "doc_id", "text"), "text", cfg)
