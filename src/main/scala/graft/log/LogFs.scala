@@ -126,25 +126,39 @@ object LogFs {
       .orElse(if (uri.getScheme == null) Option(defaultUri.getAuthority) else None)
       .getOrElse("")
     val key = s"$scheme://$auth"
-    val cached = cache.get(key)
-    cached match {
+
+    def warnIfDifferent(): Unit =
+      if (cacheFp.get(key).exists(_ != fingerprint(conf)) &&
+          warnedKeys.putIfAbsent(key, ()).isEmpty)
+        log.warn(s"LogFs: filesystem for $key was initialized with a " +
+          "different Hadoop configuration; the FIRST configuration wins " +
+          "for the JVM lifetime (per-root conf changes — credentials, " +
+          "timeouts — in a later session are ignored)")
+
+    cache.get(key) match {
       case Some(fs) =>
-        if (cacheFp.get(key).exists(_ != fingerprint(conf)) &&
-            warnedKeys.putIfAbsent(key, ()).isEmpty)
-          log.warn(s"LogFs: filesystem for $key was initialized with a " +
-            "different Hadoop configuration; the FIRST configuration wins " +
-            "for the JVM lifetime (per-root conf changes — credentials, " +
-            "timeouts — in a later session are ignored)")
+        warnIfDifferent()
         fs
       case None =>
-        cache.getOrElseUpdate(key, {
-          cacheFp.put(key, fingerprint(conf))
-          val fs = FileSystem.newInstance(
-            if (uri.getScheme == null) defaultUri else uri, conf)
-          fs.setWriteChecksum(false)
-          fs.setVerifyChecksum(false)
-          fs
-        })
+        // Build OUTSIDE the map insert so the race loser can close its
+        // instance (getOrElseUpdate may run racing thunks and leak the
+        // losers), and so only the thread whose instance actually won the
+        // cache records the fingerprint — a loser must never overwrite the
+        // winner's baseline or later warnings compare against the wrong
+        // configuration.
+        val fs = FileSystem.newInstance(
+          if (uri.getScheme == null) defaultUri else uri, conf)
+        fs.setWriteChecksum(false)
+        fs.setVerifyChecksum(false)
+        cache.putIfAbsent(key, fs) match {
+          case None =>
+            cacheFp.put(key, fingerprint(conf))
+            fs
+          case Some(winner) =>
+            try fs.close() catch { case _: java.io.IOException => () }
+            warnIfDifferent()
+            winner
+        }
     }
   }
 }

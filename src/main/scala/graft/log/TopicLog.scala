@@ -630,13 +630,27 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * Returns false when the target already exists (or appeared
     * concurrently) — the CALLER decides, via frame identity, whether that
     * is an idempotent re-publish or a foreign writer.
+    *
+    * Portability: local mounts WITHOUT hard-link support (FAT/exFAT, some
+    * network/container mounts) fall back to exists-check + rename — the
+    * pre-hard-link protocol, whose check-then-act window is covered by the
+    * bucket lock everywhere except the stale-steal two-holders corner (see
+    * above). The fallback decision is sticky per log instance (the mount
+    * doesn't change under us) so the failed-link probe costs once.
     */
+  @volatile private var localLinksUnsupported = false
   def publishNoReplace(staged: HPath, target: HPath): Boolean =
     if (isLocal) {
       // qualify first: connector-staged paths arrive as bare strings
       val s = toNio(fs.makeQualified(staged))
       val t = toNio(fs.makeQualified(target))
-      try {
+      def renameFallback(): Boolean =
+        if (java.nio.file.Files.exists(t)) false
+        else
+          try { java.nio.file.Files.move(s, t); true } // no REPLACE_EXISTING
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      if (localLinksUnsupported) renameFallback()
+      else try {
         java.nio.file.Files.createLink(t, s)
         // staged copy is now redundant; a failed cleanup must not fail the
         // already-atomic publish (dot-prefixed leftovers are invisible to
@@ -644,8 +658,19 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
         try java.nio.file.Files.deleteIfExists(s)
         catch { case _: java.io.IOException => () }
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          localLinksUnsupported = true
+          log.warn("hard links unsupported on this local mount; segment " +
+            "publish degrades to exists-check + rename (the stale-steal " +
+            "two-live-holders corner loses its atomic refusal — see " +
+            "publishNoReplace scaladoc)")
+          renameFallback()
+      }
     } else fs.rename(staged, target)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   override def range(tb: TopicBucket, from: Long, until: Long): Seq[LogRecord] = {
     val hi = math.min(until, size(tb))

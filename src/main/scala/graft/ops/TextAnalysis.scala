@@ -482,9 +482,12 @@ object TextAnalysis {
   def shardBalanceLPTHierarchical(df: org.apache.spark.sql.DataFrame,
       idCol: String, tokensCol: String, groupCol: Column, numShards: Int,
       subGroups: Int = 256,
-      subHash: Column => Column = xxhash64(_)): org.apache.spark.sql.DataFrame = {
+      subHash: Column => Column = xxhash64(_),
+      maxSuperItems: Int = 1 << 18): org.apache.spark.sql.DataFrame = {
     require(numShards >= 1, s"numShards=$numShards must be >= 1")
     require(subGroups >= 1, s"subGroups=$subGroups must be >= 1")
+    require(maxSuperItems >= 1 && maxSuperItems < Int.MaxValue,
+      s"maxSuperItems=$maxSuperItems must be in [1, Int.MaxValue)")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -520,12 +523,20 @@ object TextAnalysis {
 
     // Stage 2: super-item weights — one narrow agg to <= groups·G·numShards
     // rows, collected to the driver (bounded BY CONSTRUCTION; guarded).
+    // limit(max+1) bounds what can ever land on the driver — the guard
+    // fires on maxSuperItems+1 rows, BEFORE memory pressure, not after a
+    // multi-GB collect. 2^18 rows is a few tens of MB of driver state;
+    // anything bigger means subGroups (or the group count) is mis-sized
+    // for this merge. When under the cap, limit returns every row.
     val superItems = local.groupBy("grp", "sub", "lshard")
       .agg(sum("n_tokens").as("w"), count(lit(1)).as("c"))
+      .limit(maxSuperItems + 1)
       .collect()
-    require(superItems.length <= (4 << 20),
-      s"shard-of-shards merge has ${superItems.length} super-items; " +
-        "lower subGroups (bounded driver state is the contract here)")
+    require(superItems.length <= maxSuperItems,
+      s"shard-of-shards merge has ${superItems.length} super-items " +
+        s"(> maxSuperItems=$maxSuperItems); lower subGroups — bounded " +
+        "driver state is the contract here — or raise maxSuperItems " +
+        "explicitly if the driver heap is provisioned for it")
 
     // Per group: LPT the super-items onto the final shards, tracking each
     // final shard's running doc count so shard_pos can stay dense
@@ -552,9 +563,14 @@ object TextAnalysis {
       }.toSeq
 
     val mergeMap = spark.createDataset(merged)
-      .toDF("grp", "sub", "lshard", "shard", "pos_base")
+      .toDF("m_grp", "m_sub", "m_lshard", "shard", "pos_base")
 
-    local.join(broadcast(mergeMap), Seq("grp", "sub", "lshard"))
+    // Null-safe on grp: groupByKey and the driver merge both treat a NULL
+    // group as a real group, so the map-back must too (<=> matches
+    // NULL==NULL; plain equi-join would silently drop those rows).
+    local.join(broadcast(mergeMap),
+        col("grp") <=> col("m_grp") && col("sub") === col("m_sub") &&
+          col("lshard") === col("m_lshard"))
       .select(col("grp"), col("id"), col("n_tokens"), col("shard"),
         (col("pos_base") + col("lpos")).as("shard_pos"))
   }

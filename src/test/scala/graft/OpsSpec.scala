@@ -2351,6 +2351,37 @@ class OpsSpec extends AnyFunSuite {
       "G=1 must induce the exact LPT partition (up to shard relabeling)")
   }
 
+  test("hierarchical LPT: NULL group rows are assigned (null-safe map-back), guard fires early") {
+    import spark.implicits._
+    // a NULL group is a real group to groupByKey and to the exact walk;
+    // the hierarchical map-back join must not silently drop it
+    val df = Seq(
+      (1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, null.asInstanceOf[String]),
+      (4L, 40L, null.asInstanceOf[String]), (5L, 50L, "b"), (6L, 60L, null.asInstanceOf[String])
+    ).toDF("doc_id", "nt", "src")
+    val out = TextAnalysis.shardBalanceLPTHierarchical(
+        df, "doc_id", "nt", col("src"), 2, subGroups = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+    assert(out.length == 6, "every doc assigned exactly once, NULL group included")
+    assert(out.count(_._1.isEmpty) == 3, "all three NULL-group docs survive")
+    // NULL-group docs partition across shards like any other group
+    assert(out.filter(_._1.isEmpty).forall(t => t._3 >= 0 && t._3 < 2))
+    // matches the exact walk's treatment of NULL (same partition of ids)
+    val exact = TextAnalysis.shardBalanceLPT(df, "doc_id", "nt", col("src"), 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+    assert(exact.filter(_._1.isEmpty).map(_._2).toSet ==
+      out.filter(_._1.isEmpty).map(_._2).toSet)
+
+    // driver-state guard fires BEFORE a large collect: 6 groups-ish worth
+    // of super-items against a cap of 1
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.shardBalanceLPTHierarchical(
+        df, "doc_id", "nt", col("src"), 2, subGroups = 4, maxSuperItems = 1)
+    }
+    assert(e.getMessage.contains("maxSuperItems"))
+    assert(e.getMessage.contains("subGroups"))
+  }
+
   test("epochOrder: bijective positions, epoch-keyed, equals the global-window order") {
     import graft.ops.Sampling
     import org.apache.spark.sql.expressions.Window
