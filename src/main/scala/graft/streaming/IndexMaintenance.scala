@@ -37,18 +37,24 @@ import org.apache.spark.sql.functions._
   * self-describing about its maintenance position, and a separate batch
   * writer cannot accidentally share the epoch sequence.
   *
-  * SHARP EDGE, stated: epoch ids are per-QUERY (foreachBatch batchIds
-  * restart at 0 under a NEW checkpoint), and the markers cannot
-  * distinguish "replay of my committed epoch" from "fresh query
-  * re-reading the same source". The maintaining stream must therefore
-  * keep ONE checkpoint for the index's lifetime — after an intentional
-  * checkpoint reset, delete `_last_epoch`/`_epoch_intent` (and accept
-  * that the new query must not re-deliver already-appended ids, e.g. by
-  * resuming the source from the broker-side consumer cursor). A fresh
-  * checkpoint WITHOUT the reset silently no-ops until the new query's
-  * epoch counter passes the old one — the failure mode is skipped
-  * appends, never duplicates, matching the append contract (batch ids
-  * must be new) this helper inherits.
+  * EPOCH-SEQUENCE IDENTITY: epoch ids are per-QUERY (foreachBatch
+  * batchIds restart at 0 under a NEW checkpoint), so both markers carry
+  * the maintaining query's ID next to the epoch. The streaming queryId is
+  * the right identity — it lives in the checkpoint, so it is STABLE
+  * across same-checkpoint restarts (whose replay of the one uncommitted
+  * epoch must stay a silent no-op) and FRESH under a new checkpoint
+  * (whose restarted epoch counter must NOT silently no-op). The runId
+  * would false-alarm every legitimate restart. An epoch <= `_last_epoch`
+  * arriving from a DIFFERENT query therefore FAILS LOUDLY — a fresh
+  * checkpoint pointed at a maintained index without clearing the markers
+  * would otherwise silently skip every append until the new counter
+  * passed the old one. For the intentional case (new maintaining query
+  * over an index whose delivered position is handled out-of-band, e.g.
+  * the broker-side consumer cursor), call [[resetEpochMarkers]] first.
+  * Markers written by pre-ID versions of this helper (no query ID line)
+  * and epochs applied OUTSIDE a streaming query (manual heals, batch
+  * backfills through the same sink function) keep the legacy silent
+  * no-op — neither side can prove a foreign sequence there.
   */
 object IndexMaintenance {
 
@@ -103,19 +109,37 @@ object IndexMaintenance {
     * give it an idempotent-per-epoch target (a parquet epoch partition
     * overwrite, or the ripple sink through its own writeStream, whose
     * epoch markers already no-op replays; a blind batch append is NOT
-    * idempotent). Intra-batch near-dups are both admitted (the index is
-    * probed as it stood BEFORE the batch); drop them first via the
-    * stream's own near-dup stage ([[TopicStreams.dropNearDups]]) when a
-    * single micro-batch can carry near-copies.
+    * idempotent). Intra-batch near-dups: the index is probed as it stood
+    * BEFORE the batch, so near-copies arriving in the SAME micro-batch
+    * would both be admitted — `dropIntraBatchNearDups = true` closes that
+    * by keeping one representative per within-batch near-dup cluster
+    * (same banded pair generation as the batch pipeline, pair-bounded to
+    * the micro-batch) before the index probe. Representative choice is
+    * [[Dedup.dupClusters]]'s canonical minimum, so the admitted set is
+    * deterministic under replay. Off by default: a stream that already
+    * dedups upstream ([[TopicStreams.dropNearDups]]) shouldn't pay the
+    * per-batch pair stage twice.
     */
   def minhashAdmitSink(path: String, idCol: String, textCol: String,
       threshold: Double, sink: (DataFrame, Long) => Unit,
-      hash64: Column => Column = xxhash64(_), numFiles: Int = 8)
+      hash64: Column => Column = xxhash64(_), numFiles: Int = 8,
+      dropIntraBatchNearDups: Boolean = false)
       : (DataFrame, Long) => Unit = (batch, epochId) =>
     applyEpoch(batch, path, epochId)(
       append = {
+        val base =
+          if (!dropIntraBatchNearDups) batch
+          else {
+            val pairs = Dedup.minhashNearDups(batch, idCol, textCol,
+                threshold = threshold, hash64 = hash64)
+              .select(col("id_a"), col("id_b"))
+            val drop = Dedup.dupClusters(pairs)
+              .filter(col("id") =!= col("cluster"))
+              .select(col("id").as("__graft_dup_id"))
+            batch.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
+          }
         val idx = Dedup.loadMinhashIndex(batch.sparkSession, path)
-        val novel = Dedup.novelAgainstMinhashIndex(idx, batch, idCol,
+        val novel = Dedup.novelAgainstMinhashIndex(idx, base, idCol,
           textCol, threshold, hash64)
         Dedup.appendToMinhashIndex(novel, idCol, textCol, path, hash64,
           numFiles)
@@ -124,10 +148,29 @@ object IndexMaintenance {
       scrub = Dedup.deleteFromMinhashIndex(batch.select(col(idCol)), idCol,
         path))
 
+  /** Delete the epoch markers at `path` — the explicit reset for handing
+    * an index to a NEW maintaining query (fresh checkpoint). Only correct
+    * when the new query's source position is arranged to re-deliver none
+    * of the already-appended ids (e.g. resuming from the broker-side
+    * consumer cursor); the loud epoch-sequence mismatch in [[applyEpoch]]
+    * points here precisely so that arrangement is a conscious step, not a
+    * default.
+    */
+  def resetEpochMarkers(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.delete(new HPath(dir, "_last_epoch"), false)
+    catch { case _: java.io.IOException => () }
+    try fs.delete(new HPath(dir, "_epoch_intent"), false)
+    catch { case _: java.io.IOException => () }
+  }
+
   /** The exactly-once epoch wrapper (package-visible for direct testing).
     * Runs `scrub` only when `epochId` matches a live intent marker — the
     * one ambiguous epoch after a crash — then `append`, then commits the
-    * epoch.
+    * epoch. Markers carry the maintaining streaming queryId (see class
+    * doc); a committed-range epoch from a FOREIGN query fails loudly.
     */
   private[graft] def applyEpoch(batch: DataFrame, path: String,
       epochId: Long)(append: => Unit, scrub: => Unit): Unit = {
@@ -136,8 +179,15 @@ object IndexMaintenance {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lastP = new HPath(dir, "_last_epoch")
     val intentP = new HPath(dir, "_epoch_intent")
+    // The streaming queryId: set as a thread-local property on the stream
+    // execution thread foreachBatch functions run on; absent (None) for
+    // direct batch-side calls (manual heals, tests), which keep the
+    // legacy can't-prove-foreign no-op semantics.
+    val owner: Option[String] =
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
 
-    def readLong(p: HPath): Option[Long] =
+    // marker format: "<epoch>\n<queryId>"; pre-ID markers are one line
+    def readMarker(p: HPath): Option[(Long, Option[String])] =
       try {
         val in = fs.open(p)
         try {
@@ -145,15 +195,18 @@ object IndexMaintenance {
           val chunk = new Array[Byte](256)
           var n = in.read(chunk)
           while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-          Some(new String(buf.toByteArray,
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+          val lines = new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8).trim.split('\n')
+          Some((lines(0).trim.toLong,
+            lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)))
         } finally in.close()
       } catch { case _: java.io.IOException | _: NumberFormatException => None }
 
     def writeAtomic(p: HPath, v: Long): Unit = {
       val tmp = new HPath(dir, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+      val body = v.toString + owner.fold("")("\n" + _)
       val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!fs.rename(tmp, p)) { // replace semantics on HDFS-style refusal
         fs.delete(p, false)
@@ -164,9 +217,25 @@ object IndexMaintenance {
       }
     }
 
-    val last = readLong(lastP).getOrElse(-1L)
-    if (epochId <= last) return // committed epoch replayed: no-op
-    if (readLong(intentP).contains(epochId)) scrub // crashed attempt: heal
+    val (last, lastOwner) = readMarker(lastP).getOrElse((-1L, None))
+    if (epochId <= last) {
+      // Only a same-query replay may no-op silently. A KNOWN foreign query
+      // in the committed range means a fresh checkpoint was pointed at a
+      // maintained index: silently skipping its appends until the new
+      // counter passes `last` is exactly the data loss this engine fails
+      // loudly on everywhere else.
+      for (o <- owner; lo <- lastOwner; if o != lo)
+        throw new IllegalStateException(
+          s"index at $path: epoch $epochId from streaming query $o is " +
+            s"inside the committed range of query $lo (_last_epoch=$last). " +
+            "A new maintaining query (fresh checkpoint) restarts its epoch " +
+            "counter, so continuing would SILENTLY SKIP appends. Either " +
+            "resume the original checkpoint, or — after arranging that the " +
+            "new query re-delivers none of the already-appended ids — call " +
+            "IndexMaintenance.resetEpochMarkers(path) and restart.")
+      return // committed epoch replayed by its own query: no-op
+    }
+    if (readMarker(intentP).exists(_._1 == epochId)) scrub // crashed attempt: heal
     writeAtomic(intentP, epochId)
     append
     writeAtomic(lastP, epochId)

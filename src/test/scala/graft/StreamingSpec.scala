@@ -364,6 +364,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(s"$dir/shingles") == rows(s"$ref/shingles"), "shingles ≡ rebuild")
   }
 
+  test("admission sink: intra-batch near-pair admits exactly one with dropIntraBatchNearDups") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    val dir = tmp()
+    graft.ops.Dedup.saveMinhashIndex(
+      Seq((1L, "pack my box with five dozen quality liquor jugs today"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, threshold = 0.5, numFiles = 2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val admit = IndexMaintenance.minhashAdmitSink(dir, "doc_id", "text",
+      threshold = 0.5,
+      sink = (df, _) => kept ++= df.select("doc_id").collect().map(_.getLong(0)),
+      numFiles = 2, dropIntraBatchNearDups = true)
+    // one batch carrying a planted near-pair (10 ~ 11) plus a distinct doc
+    admit(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "seven wandering musicians crossed the silent valley before dawn"))
+      .toDF("doc_id", "text"), 0L)
+    assert(kept.sorted.toList == List(10L, 12L),
+      s"admitted $kept: the near-pair must admit exactly its representative")
+    // the representative now guards LATER epochs too
+    admit(Seq((20L, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text"), 1L)
+    assert(kept.sorted.toList == List(10L, 12L), s"admitted $kept")
+  }
+
+  test("index maintenance: foreign-query epoch in committed range fails loudly; reset helper heals") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    implicit val ctx = spark.sqlContext
+    val dir = tmp()
+    graft.ops.Dedup.saveMinhashIndex(
+      (0 until 4).map(i => (i.toLong, s"unique$i alpha$i beta$i gamma$i"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, threshold = 0.5, numFiles = 2)
+    val sink = IndexMaintenance.minhashAppendSink(dir, "doc_id", "text",
+      numFiles = 2)
+
+    def maintain(ckpt: String, rows: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(rows: _*)
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, e: Long) => sink(b, e); () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // query 1 (checkpoint A) commits epoch 0 and stamps its queryId
+    maintain(tmp(), Seq((10L, "unique10 alpha10 beta10 gamma10")))
+    val lastMarker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_last_epoch")), "UTF-8")
+    assert(lastMarker.linesIterator.size == 2,
+      s"marker must carry the queryId, got: $lastMarker")
+
+    // query 2 (FRESH checkpoint) restarts its epoch counter at 0 — inside
+    // query 1's committed range — and must FAIL LOUDLY, not silently skip
+    val e = intercept[Exception] {
+      maintain(tmp(), Seq((11L, "unique11 alpha11 beta11 gamma11")))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("resetEpochMarkers")),
+      s"expected the epoch-sequence mismatch error, got: ${messages(e)}")
+    // the refused append really was refused
+    val idsAfterRefusal = spark.read.parquet(s"$dir/shingles")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!idsAfterRefusal.contains(11L))
+
+    // the documented hand-over: reset markers, then a new query maintains
+    IndexMaintenance.resetEpochMarkers(spark, dir)
+    maintain(tmp(), Seq((12L, "unique12 alpha12 beta12 gamma12")))
+    val ref = tmp()
+    graft.ops.Dedup.saveMinhashIndex(
+      ((0 until 4).map(i => (i.toLong, s"unique$i alpha$i beta$i gamma$i")) ++
+        Seq((10L, "unique10 alpha10 beta10 gamma10"),
+            (12L, "unique12 alpha12 beta12 gamma12")))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", ref, threshold = 0.5, numFiles = 2)
+    def rows(p: String) = {
+      val df = spark.read.parquet(p)
+      val cols = df.columns.sorted.map(col).toIndexedSeq
+      df.select(cols: _*).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    assert(rows(s"$dir/bands") == rows(s"$ref/bands"),
+      "post-reset maintenance must equal the rebuild")
+    assert(rows(s"$dir/shingles") == rows(s"$ref/shingles"))
+  }
+
   test("stream-stream join within time bound") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
