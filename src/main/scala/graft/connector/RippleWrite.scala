@@ -187,22 +187,14 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   override def close(): Unit = ()
 }
 
-/** Driver-side publish: assign offsets per bucket and atomically rename
-  * staged files into offset-named segments. Pure metadata — no data moves
-  * (a rename within one Hadoop filesystem relinks, it does not copy; the
-  * object-store schemes where rename IS a copy are refused at log
-  * construction, see [[graft.log.FileTopicLog]]).
+/** Driver-side publish: assign offsets per bucket and publish staged files
+  * as offset-ranged segments. Pure metadata on rename-capable filesystems
+  * (a rename within one Hadoop filesystem relinks, it does not copy);
+  * object-store roots publish through the sequenced put-if-absent commit
+  * log instead (manifest mode, [[graft.log.CommitLog]]) — both behind
+  * [[graft.log.FileTopicLog.publishStaged]].
   */
 object RipplePublish {
-
-  /** Logical frame identity (ids + payloads, timestamps ignored): frames
-    * stamp wall-clock ts when the input has no ts column, so a replayed
-    * epoch's staged bytes legitimately differ while carrying the same
-    * records — raw byte comparison would misread every such replay as a
-    * foreign writer and wedge the query.
-    */
-  private def sameContent(fs: FileSystem, a: HPath, b: HPath): Boolean =
-    SegmentCodec.sameFrames(fs, a, b)
 
   /** Hold the locks of every bucket in `tbs` (pre-sorted — all publishers
     * acquire in bucket order, so no deadlock) around `body`.
@@ -337,33 +329,16 @@ object RipplePublish {
           if (count != f.count) throw new IllegalStateException(
             s"replayed epoch count mismatch for ($bucket, p${f.partitionId}): " +
               s"intent $count vs staged ${f.count} — the batch is not deterministic")
-          val target = new HPath(log.bucketDir(tb), SegmentCodec.segmentName(start, count))
-          val stagedPath = new HPath(f.path)
-          // Exists-check + ATOMIC no-replace publish under the bucket
-          // lock. An existing target is either this epoch's own earlier
-          // (crashed) publish — frame identity proves it, no-op — or a
-          // foreign writer outside the lock protocol: fail loudly. The
-          // publish itself refuses an existing target on EVERY scheme
-          // (local: fail-if-exists hard link; HDFS: namenode-serialized
-          // rename refusal — TopicLog.publishNoReplace), so even the
-          // two-live-holders corner the stale-steal protocol admits (a
-          // holder stalled past LockStaleMs resuming after its lock was
-          // stolen) surfaces as a loud refusal, never a silent overwrite
-          // of the other holder's committed segment.
-          if (fs.exists(target)) {
-            if (sameContent(fs, target, stagedPath))
-              fs.delete(stagedPath, false) // idempotent re-publish
-            else throw new IllegalStateException(
-              s"segment $target exists with different content — " +
-                "a writer is publishing outside the bucket lock")
-          } else if (!log.publishNoReplace(stagedPath, target)) {
-            // no-replace refusal: target appeared between check and publish
-            if (fs.exists(target) && sameContent(fs, target, stagedPath))
-              fs.delete(stagedPath, false)
-            else throw new IllegalStateException(
-              s"publish $stagedPath -> $target refused — " +
-                "a writer is publishing outside the bucket lock")
-          }
+          // Mode-dispatched publish (TopicLog.publishStaged): rename mode
+          // does exists-check + atomic no-replace under the bucket lock —
+          // an existing same-offset segment is frame-compared (idempotent
+          // epoch replay no-ops, a foreign writer fails loudly), and even
+          // the two-live-holders corner of the stale-steal lock protocol
+          // surfaces as a loud refusal, never a silent overwrite. Manifest
+          // mode (object stores) gets the same replay/foreign semantics
+          // from the sequenced put-if-absent commit log instead of file
+          // names, with no dependence on rename atomicity or the lock.
+          log.publishStaged(tb, start, count, new HPath(f.path))
         }
         log.refreshManifest(tb)
       }

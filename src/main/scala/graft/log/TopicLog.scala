@@ -209,26 +209,33 @@ object SegmentCodec {
   * temp directory. Per-filesystem semantics the protocol depends on:
   *
   *   - '''Atomic single-file rename''' — segment publish, manifest swap,
-  *     intent/marker writes. Real filesystems (local POSIX, HDFS) have it.
-  *     Object stores that implement rename as copy+delete (S3A, GCS, …)
-  *     do NOT: construction fails loudly for those schemes
-  *     (`graft.log.nonAtomicRenameSchemes`, override with
-  *     `graft.log.allowNonAtomicRename=true` after reviewing the caveats —
-  *     on such stores a crash mid-publish can leave a torn segment visible
-  *     and the `.lock` protocol degrades to advisory).
-  *   - '''Create-exclusive''' (the bucket `.lock`) — atomic on local
-  *     (`O_EXCL` via `java.nio`, used whenever the scheme is `file`) and on
-  *     HDFS (namenode-serialized create). Object stores lack it; covered by
-  *     the same loud construction guard.
+  *     intent/marker writes in RENAME mode. Real filesystems (local POSIX,
+  *     HDFS) have it. Object stores that implement rename as copy+delete
+  *     (S3A, GCS, …) do NOT — those schemes automatically run MANIFEST
+  *     mode instead (see `manifestCommitMode`): data files land under
+  *     unique names (an object PUT is atomic-visible at close, never torn)
+  *     and become live only via a sequenced put-if-absent commit in the
+  *     bucket's [[CommitLog]] — the public Delta/Iceberg commit pattern —
+  *     so nothing there depends on rename atomicity.
+  *   - '''Create-exclusive''' (the bucket `.lock`; every manifest-mode
+  *     commit) — atomic on local (`O_EXCL` via `java.nio`, used whenever
+  *     the scheme is `file`), on HDFS (namenode-serialized create), and on
+  *     modern object stores (S3 conditional PUT `If-None-Match`, GCS
+  *     generation preconditions, ABFS conditional create — all surfaced
+  *     through `FileSystem.create(path, overwrite = false)`, refusing at
+  *     create or at close). Manifest mode rests exclusion on the COMMIT
+  *     create-exclusive, so the `.lock` there is only a contention
+  *     throttle.
   *   - '''Rename-onto-existing''' — HDFS `rename` FAILS when the target
-  *     exists, POSIX rename REPLACES it. Segment publishes therefore go
-  *     through [[FileTopicLog.publishNoReplace]], which is atomic
-  *     fail-if-exists on BOTH (local: `java.nio` hard link; HDFS: the
-  *     rename refusal itself) — never check-then-act. Replace-semantics
+  *     exists, POSIX rename REPLACES it. Rename-mode segment publishes
+  *     therefore go through [[FileTopicLog.publishNoReplace]], which is
+  *     atomic fail-if-exists on BOTH (local: `java.nio` hard link; HDFS:
+  *     the rename refusal itself) — never check-then-act. Replace-semantics
   *     writes (manifest, cursor, marker) go through [[renameOverwrite]],
   *     whose transient missing-target window is safe at every call site
   *     (a missing manifest/cursor only falls back to the authoritative
-  *     listing / an earlier lower bound).
+  *     listing / an earlier lower bound); manifest mode writes them as
+  *     direct overwriting PUTs, which are already atomic-visible.
   */
 object FileTopicLog {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, FileTopicLog]
@@ -256,26 +263,32 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     Option(u.getScheme).getOrElse(FileSystem.getDefaultUri(hadoopConf).getScheme)
   }
 
-  // Loud guard, BEFORE any filesystem instantiation: the publish protocol
-  // (atomic rename + create-exclusive lock) is unsound on rename-as-copy
-  // object stores. Degrading silently would turn exactly-once into
-  // maybe-torn; the operator must opt in explicitly.
-  locally {
-    // Azure included: wasb/wasbs rename is not atomic, and abfs/abfss is
-    // only atomic on hierarchical-namespace accounts — operators on HNS
-    // ABFS opt back in via the override below.
-    val nonAtomic = hadoopConf.getTrimmedStrings(
-      "graft.log.nonAtomicRenameSchemes", "s3", "s3a", "s3n", "gs", "oss",
-      "cos", "swift", "wasb", "wasbs", "abfs", "abfss")
-    if (nonAtomic.contains(scheme) &&
-        !hadoopConf.getBoolean("graft.log.allowNonAtomicRename", false))
-      throw new IllegalArgumentException(
-        s"ripple log root scheme '$scheme' lacks atomic rename / exclusive " +
-          "create; the segment publish protocol would be torn-write-unsafe " +
-          "and the bucket lock advisory. Use a real filesystem (HDFS, posix) " +
-          "or set graft.log.allowNonAtomicRename=true to accept the risk " +
-          "(review FileTopicLog scaladoc for the exact degradations).")
-  }
+  /** Commit-protocol selection. Filesystems with atomic single-file rename
+    * (local POSIX, HDFS) publish segments by rename under the bucket lock
+    * ("rename" mode — the historical protocol below). Object stores that
+    * rename by copy+delete (S3A, GCS, OSS, Azure blob drivers) instead run
+    * "manifest" mode: data files land under unique names (atomic-visible
+    * at close — an object PUT never appears torn) and become live only via
+    * a sequenced put-if-absent commit in the bucket's [[CommitLog]], so no
+    * step ever depends on rename atomicity or on lock soundness. Override
+    * auto-detection with `graft.log.commitProtocol` = `rename` | `manifest`
+    * (forcing `rename` onto an object store re-accepts the torn-write risk
+    * the removed `graft.log.allowNonAtomicRename` flag used to label).
+    */
+  val manifestCommitMode: Boolean =
+    hadoopConf.get("graft.log.commitProtocol", "auto") match {
+      case "manifest" => true
+      case "rename"   => false
+      case "auto" =>
+        // Azure included: wasb/wasbs rename is not atomic, and abfs/abfss
+        // only on hierarchical-namespace accounts — HNS operators who want
+        // rename mode set graft.log.commitProtocol=rename explicitly.
+        hadoopConf.getTrimmedStrings(
+          "graft.log.nonAtomicRenameSchemes", "s3", "s3a", "s3n", "gs", "oss",
+          "cos", "swift", "wasb", "wasbs", "abfs", "abfss").contains(scheme)
+      case other => throw new IllegalArgumentException(
+        s"graft.log.commitProtocol must be auto|rename|manifest, got '$other'")
+    }
 
   val fs: FileSystem = LogFs.get(new HPath(rootUri), hadoopConf)
   val root: HPath = fs.makeQualified(new HPath(rootUri))
@@ -288,6 +301,24 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
 
   private def manifestPath(tb: TopicBucket): HPath =
     new HPath(bucketDir(tb), SegmentCodec.ManifestName)
+
+  /** Manifest mode: the bucket's sequenced commit log (authoritative
+    * segment view). Instances are stateless beyond config; cached to avoid
+    * re-allocating per planning call.
+    */
+  private val commitLogs = scala.collection.concurrent.TrieMap.empty[TopicBucket, CommitLog]
+  private val ckInterval = hadoopConf.getInt("graft.log.commitCheckpointInterval", 64)
+  private[graft] def commitLog(tb: TopicBucket): CommitLog =
+    commitLogs.getOrElseUpdate(tb,
+      new CommitLog(fs, new HPath(bucketDir(tb), ".commitlog"), ckInterval))
+
+  /** Unique data-file name for a manifest-mode segment: self-describing for
+    * operators, but NOT `seg-`-parsable — uncommitted files must stay
+    * invisible to any listing-based view (a misconfigured rename-mode
+    * reader on the same root would otherwise double-count).
+    */
+  private def uniqueDataName(start: Long, count: Long): String =
+    f"data-$start%020d-$count%010d-${java.util.UUID.randomUUID().toString.take(8)}.log"
 
   def fileLen(p: HPath): Long =
     try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
@@ -309,6 +340,15 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
   private[graft] def writeFileAtomic(path: HPath, bytes: Array[Byte]): Unit = {
     val parent = path.getParent
     fs.mkdirs(parent)
+    if (manifestCommitMode) {
+      // object-store PUT is atomic-visible at close (never torn), so a
+      // direct overwrite IS the atomic replace — tmp+rename would add a
+      // copy+delete and a non-atomic window
+      val out = fs.create(path, true)
+      try { out.write(bytes); out.close() }
+      catch { case e: Throwable => try out.close() catch { case _: Throwable => () }; throw e }
+      return
+    }
     val tmp = new HPath(parent, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try { out.write(bytes); out.close() }
@@ -364,12 +404,18 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
   def segmentsListed(tb: TopicBucket): Seq[(HPath, Long, Long)] =
     checkNoOverlap(tb, segmentsRaw(tb))
 
-  /** Directory listing WITHOUT the overlap check — for the publish path's
-    * overlap arbitration, which must be able to observe a transient overlap
-    * in order to resolve it (the checked views throw on one).
+  /** Authoritative segment view WITHOUT the overlap check — for the publish
+    * path's overlap arbitration, which must be able to observe a transient
+    * overlap in order to resolve it (the checked views throw on one).
+    * Rename mode: a directory listing. Manifest mode: the committed state
+    * (the listing would see uncommitted data files, which are by definition
+    * not part of the log).
     */
   def segmentsRaw(tb: TopicBucket): Seq[(HPath, Long, Long)] =
-    segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c) }
+    if (manifestCommitMode) {
+      val dir = bucketDir(tb)
+      commitLog(tb).read().segs.map(s => (new HPath(dir, s.name), s.start, s.count))
+    } else segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c) }
 
   private def segmentStatusRaw(tb: TopicBucket): Seq[(FileStatus, Long, Long)] =
     listStatus(bucketDir(tb)).iterator.flatMap { st =>
@@ -387,6 +433,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * back to the authoritative listing.
     */
   def segments(tb: TopicBucket): Seq[(HPath, Long, Long)] = {
+    if (manifestCommitMode) return segmentsListed(tb) // commit log IS the manifest
     val m = manifestPath(tb)
     val dir = bucketDir(tb)
     try {
@@ -436,10 +483,17 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     } else {
       val out = fs.create(lock, false)
       try { out.write(token); out.close() }
-      catch { case e: Throwable =>
-        try { out.close() } catch { case _: Throwable => () }
-        try fs.delete(lock, false) catch { case _: Throwable => () }
-        throw e
+      catch {
+        // conditional-PUT stores surface the exclusivity refusal at CLOSE,
+        // not create — that loss must NOT delete the winner's lock
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          try { out.close() } catch { case _: Throwable => () }
+          throw e
+        case e: Throwable =>
+          try { out.close() } catch { case _: Throwable => () }
+          try fs.delete(lock, false) catch { case _: Throwable => () }
+          throw e
       }
     }
 
@@ -512,6 +566,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * atomic rename, and a lost update is re-healed by the next mutation).
     */
   def refreshManifest(tb: TopicBucket): Unit = {
+    if (manifestCommitMode) return // the commit log is authoritative; no snapshot file
     if (!dirExists(bucketDir(tb))) return
     // raw listing: a transient overlap (another writer mid-arbitration) must
     // not abort THIS writer's refresh; readers still get the checked view.
@@ -552,10 +607,33 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
 
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
-    // lock: two concurrent appenders must not read the same end offset
+    val stamped = rows.map(p => (p, now))
     fs.mkdirs(bucketDir(tb))
-    withBucketLock(tb) {
-      appendAt(tb, endOffsetListed(tb), rows.map(p => (p, now)))
+    if (manifestCommitMode) {
+      // tail append by optimistic commit: losing the put-if-absent race
+      // just means re-reading the new end offset and retrying — no lock
+      // needed (and none trusted: object-store locks are advisory)
+      if (rows.isEmpty) return commitLog(tb).read().endOffset
+      val cl = commitLog(tb)
+      var attempt = 0
+      while (true) {
+        val st = cl.read()
+        val start = st.endOffset
+        val data = new HPath(bucketDir(tb), uniqueDataName(start, rows.size.toLong))
+        SegmentCodec.write(fs, data, stamped)
+        if (cl.tryCommit(st, Seq(SegMeta(data.getName, start, rows.size.toLong)), Set.empty).isDefined)
+          return start
+        try fs.delete(data, false) catch { case _: java.io.IOException => () }
+        attempt += 1
+        if (attempt > 200) throw new java.io.IOException(
+          s"append to ${tb.path} lost the commit race $attempt times — " +
+            "pathological contention; shard the topic or batch the writes")
+        Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+      }
+      throw new IllegalStateException("unreachable")
+    } else withBucketLock(tb) {
+      // lock: two concurrent appenders must not read the same end offset
+      appendAt(tb, endOffsetListed(tb), stamped)
     }
   }
 
@@ -574,6 +652,12 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     if (rows.isEmpty) return start
     val dir = bucketDir(tb)
     fs.mkdirs(dir)
+    if (manifestCommitMode) {
+      manifestPublish(tb, start, rows.size.toLong)(
+        materialize = q => SegmentCodec.write(fs, q, rows))(
+        sameAs = committed => sameAsRows(committed, rows))
+      return start
+    }
     val target = new HPath(dir, SegmentCodec.segmentName(start, rows.size.toLong))
     def requireSameContent(): Unit =
       if (!sameAsRows(target, rows))
@@ -616,6 +700,125 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
       } finally it.close()
     } catch { case _: java.io.IOException => false }
 
+  /** Manifest-mode positional publish: make a segment covering
+    * `[start, start+count)` live via a sequenced put-if-absent commit.
+    * `materialize(p)` must produce the frame file at the unique path `p`
+    * (direct write or a move of a staged file — the path is invisible to
+    * readers until committed, so neither needs atomicity); `sameAs(c)`
+    * frame-compares the candidate content against an already-committed
+    * segment file `c`. Returns true when OUR file became the segment,
+    * false when a committed twin already carried the same records (epoch
+    * replay — the materialized file, if any, is cleaned up). Same-range
+    * different-content and overlap violations fail loudly, exactly as the
+    * rename protocol's `appendAt`.
+    */
+  private def manifestPublish(tb: TopicBucket, start: Long, count: Long)(
+      materialize: HPath => Unit)(sameAs: HPath => Boolean): Boolean = {
+    val cl = commitLog(tb)
+    val dir = bucketDir(tb)
+    var data: Option[HPath] = None
+    def dropData(): Unit =
+      data.foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => () })
+    var attempt = 0
+    while (true) {
+      val st = cl.read()
+      st.at(start, count) match {
+        case Some(seg) =>
+          val committed = new HPath(dir, seg.name)
+          if (!sameAs(committed)) {
+            dropData()
+            throw new IllegalStateException(
+              s"segment [$start,+$count) in ${tb.path} is committed with " +
+                "DIFFERENT records — two writers assigned the same offsets " +
+                "(single-writer contract violated); refusing the silent row loss")
+          }
+          dropData() // replayed epoch: the committed twin wins
+          return false
+        case None =>
+          st.overlapping(start, count).foreach { seg =>
+            dropData()
+            throw new IllegalStateException(
+              s"range [$start,+$count) for ${tb.path} overlaps committed " +
+                s"segment ${seg.name} [${seg.start},+${seg.count}) — another " +
+                "writer took these offsets; refusing the overlap")
+          }
+          val p = data.getOrElse {
+            val q = new HPath(dir, uniqueDataName(start, count))
+            materialize(q)
+            data = Some(q)
+            q
+          }
+          if (cl.tryCommit(st, Seq(SegMeta(p.getName, start, count)), Set.empty).isDefined)
+            return true
+          attempt += 1
+          if (attempt > 200) {
+            dropData()
+            throw new java.io.IOException(
+              s"publish [$start,+$count) to ${tb.path} lost the commit race " +
+                s"$attempt times — pathological contention")
+          }
+          Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish a staged frame file as the segment `[start, start+count)` of
+    * `tb` — the connector's driver-side commit step, mode-dispatched:
+    *
+    *   - '''rename mode''': exists-check + atomic no-replace publish under
+    *     the caller-held bucket lock (the historical protocol: an existing
+    *     same-name segment is frame-compared — idempotent epoch replay is a
+    *     no-op, a foreign writer fails loudly).
+    *   - '''manifest mode''': the staged file is moved (copy-rename is fine;
+    *     the unique name is invisible until committed) into the bucket and
+    *     made live by a put-if-absent [[CommitLog]] commit; replay identity
+    *     and foreign-writer refusal come from the committed state instead
+    *     of file names.
+    *
+    * The staged file is always consumed: linked/renamed into the log,
+    * or deleted when a committed twin already carries the records.
+    */
+  def publishStaged(tb: TopicBucket, start: Long, count: Long, staged: HPath): Unit = {
+    if (manifestCommitMode) {
+      var src = staged
+      var moved = false
+      val used = manifestPublish(tb, start, count)(
+        materialize = q => {
+          if (!fs.rename(src, q))
+            throw new java.io.IOException(s"stage move $src -> $q failed")
+          src = q; moved = true
+        })(
+        sameAs = committed => SegmentCodec.sameFrames(fs, committed, src))
+      if (!used && !moved) // never materialized: original staged file remains
+        try fs.delete(staged, false) catch { case _: java.io.IOException => () }
+      return
+    }
+    val target = new HPath(bucketDir(tb), SegmentCodec.segmentName(start, count))
+    // Exists-check + ATOMIC no-replace publish under the bucket lock. An
+    // existing target is either this epoch's own earlier (crashed) publish
+    // — frame identity proves it, no-op — or a foreign writer outside the
+    // lock protocol: fail loudly. The publish itself refuses an existing
+    // target on EVERY rename-mode scheme (local: fail-if-exists hard link;
+    // HDFS: namenode-serialized rename refusal), so even the
+    // two-live-holders corner the stale-steal lock protocol admits
+    // surfaces as a loud refusal, never a silent overwrite.
+    if (fs.exists(target)) {
+      if (SegmentCodec.sameFrames(fs, target, staged))
+        fs.delete(staged, false) // idempotent re-publish
+      else throw new IllegalStateException(
+        s"segment $target exists with different content — " +
+          "a writer is publishing outside the bucket lock")
+    } else if (!publishNoReplace(staged, target)) {
+      // no-replace refusal: target appeared between check and publish
+      if (fs.exists(target) && SegmentCodec.sameFrames(fs, target, staged))
+        fs.delete(staged, false)
+      else throw new IllegalStateException(
+        s"publish $staged -> $target refused — " +
+          "a writer is publishing outside the bucket lock")
+    }
+  }
+
   /** Publish `staged` at `target` with ATOMIC NO-REPLACE semantics on every
     * filesystem. Local goes through `java.nio` `Files.createLink` — an
     * atomic fail-if-exists hard link (POSIX `rename` REPLACES an existing
@@ -639,6 +842,24 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     * doesn't change under us) so the failed-link probe costs once.
     */
   @volatile private var localLinksUnsupported = false
+
+  /** Does this failure mean "the mount cannot hard-link" (FAT/exFAT/CIFS)?
+    * The JDK surfaces that as `UnsupportedOperationException` only when the
+    * PROVIDER lacks links; a POSIX provider over a link-less mount throws
+    * `FileSystemException` with the errno text (EPERM / EOPNOTSUPP /
+    * ENOTSUP) instead — both must trip the sticky rename fallback, or the
+    * documented target mounts would fail every publish forever.
+    */
+  private def linkUnsupported(e: Throwable): Boolean = e match {
+    case _: UnsupportedOperationException => true
+    case fse: java.nio.file.FileSystemException =>
+      val reason = (Option(fse.getReason) ++ Option(fse.getMessage))
+        .mkString(" ").toLowerCase(java.util.Locale.ROOT)
+      reason.contains("not permitted") || reason.contains("not supported") ||
+        reason.contains("unsupported") || reason.contains("eperm") ||
+        reason.contains("eopnotsupp") || reason.contains("enotsup")
+    case _ => false
+  }
   def publishNoReplace(staged: HPath, target: HPath): Boolean =
     if (isLocal) {
       // qualify first: connector-staged paths arrive as bare strings
@@ -660,9 +881,11 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
+        case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException)
+            if linkUnsupported(e) =>
           localLinksUnsupported = true
-          log.warn("hard links unsupported on this local mount; segment " +
+          log.warn("hard links unsupported on this local mount " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}); segment " +
             "publish degrades to exists-check + rename (the stale-steal " +
             "two-live-holders corner loses its atomic refusal — see " +
             "publishNoReplace scaladoc)")
@@ -746,6 +969,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     */
   private def truncateWhere(topic: String)(
       expired: (TopicBucket, (FileStatus, Long, Long)) => Boolean): Int = {
+    if (manifestCommitMode) return truncateWhereManifest(topic)(expired)
     var deleted = 0
     // Per-bucket lock: serializes with publishes, whose refreshManifest
     // would otherwise snapshot the directory between our manifest rewrite
@@ -761,6 +985,55 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
             .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
           toDelete.foreach { case (st, _, _) =>
             if (fs.delete(st.getPath, false)) deleted += 1
+          }
+        }
+      }
+    }
+    deleted
+  }
+
+  /** Manifest-mode retention: commit the removal (put-if-absent sequenced,
+    * so it can never race a publish into a lost update), THEN delete the
+    * data files — readers resolve the committed state first and never plan
+    * a ghost segment. No lock is needed or trusted; a lost commit race
+    * (concurrent publish advanced the version) re-reads and retries.
+    */
+  private def truncateWhereManifest(topic: String)(
+      expired: (TopicBucket, (FileStatus, Long, Long)) => Boolean): Int = {
+    var deleted = 0
+    buckets(topic).foreach { tb =>
+      val cl = commitLog(tb)
+      val dir = bucketDir(tb)
+      var done = false
+      var attempt = 0
+      while (!done) {
+        val st = cl.read()
+        if (st.segs.isEmpty) done = true
+        else {
+          try {
+            val withStatus = st.segs.map { s =>
+              (s, (fs.getFileStatus(new HPath(dir, s.name)), s.start, s.count))
+            }
+            // never the newest segment: an emptied bucket would restart
+            // offsets at 0 and break monotonicity (same rule as rename mode)
+            val toDelete = withStatus.dropRight(1).filter { case (_, view) => expired(tb, view) }
+            if (toDelete.isEmpty) done = true
+            else if (cl.tryCommit(st, Seq.empty, toDelete.map(_._1.name).toSet).isDefined) {
+              toDelete.foreach { case (s, _) =>
+                if (try fs.delete(new HPath(dir, s.name), false)
+                    catch { case _: java.io.IOException => false }) deleted += 1
+              }
+              done = true
+            }
+          } catch {
+            // committed file vanished mid-walk: stale state vs a concurrent
+            // retention commit — re-read and re-decide
+            case _: java.io.FileNotFoundException => ()
+          }
+          if (!done) {
+            attempt += 1
+            if (attempt > 50) throw new java.io.IOException(
+              s"retention on ${tb.path} lost the commit race $attempt times")
           }
         }
       }

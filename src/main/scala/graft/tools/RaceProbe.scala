@@ -25,6 +25,13 @@ object RaceProbe {
       .appName(s"race-probe-${args.mkString("-").take(40)}")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // object-store mode (`tools/race_probe.sh ostest`): roots under the
+      // ostest: scheme run the manifest commit protocol against the
+      // S3-semantics rig (graft.ObjectStoreTestFs, on the test classpath);
+      // inert for plain local roots
+      .config("spark.hadoop.fs.ostest.impl", "graft.ObjectStoreTestFs")
+      .config("spark.hadoop.graft.log.nonAtomicRenameSchemes",
+        "s3,s3a,s3n,gs,oss,cos,swift,wasb,wasbs,abfs,abfss,ostest")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

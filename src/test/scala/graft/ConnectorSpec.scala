@@ -426,25 +426,62 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.read(spark, root, "uri").count() == 50)
   }
 
-  test("non-atomic-rename scheme is refused loudly; explicit override works") {
-    // Stretch rig (VERDICT r8 task #8): a filesystem that renames by
-    // copy+delete (S3-style) breaks the publish protocol's atomicity; the
-    // log must refuse it at construction, not degrade silently.
+  test("non-atomic-rename scheme auto-selects manifest mode and just works") {
+    // r8 refused these schemes outright; since r12 they run the sequenced
+    // put-if-absent commit protocol instead (VERDICT r11 task #1) — the
+    // rename-based protocol remains available only as an explicit override.
     val conf = new org.apache.hadoop.conf.Configuration()
     conf.set("fs.natest.impl", classOf[NonAtomicTestFs].getName)
     conf.set("graft.log.nonAtomicRenameSchemes", "natest")
     val dir = tmp()
-    val e = intercept[IllegalArgumentException] {
-      new graft.log.FileTopicLog("natest:" + dir, conf)
-    }
-    assert(e.getMessage.contains("atomic rename"), e.getMessage)
-    // the operator's explicit opt-in is honored, and the log still works
-    // (the simulated store is really local disk, so semantics hold here)
-    conf.setBoolean("graft.log.allowNonAtomicRename", true)
     val log = new graft.log.FileTopicLog("natest:" + dir, conf)
+    assert(log.manifestCommitMode, "listed scheme must get the commit protocol")
     val tb = graft.model.TopicBucket("nat", "b0000")
     log.append(tb, (0 until 3).map(i => graft.model.Payload(i, Array[Byte](i.toByte))))
     assert(log.range(tb, 0, 10).map(_.id) == (0 until 3))
+    // the operator can still force rename mode explicitly (their risk)
+    conf.set("graft.log.commitProtocol", "rename")
+    assert(!new graft.log.FileTopicLog("natest:" + tmp(), conf).manifestCommitMode)
+  }
+
+  test("connector round-trip + epoch-replay exactly-once over the object-store rig") {
+    // the full DSv2 write/read path on a store with no atomic rename and
+    // PUT-visibility-at-close (ObjectStoreTestFs): publish goes through the
+    // manifest commit protocol end to end
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.log.nonAtomicRenameSchemes", "s3,s3a,gs,abfs,ostest")
+    val root = "ostest:" + tmp()
+    Ripple.createTopic(root, "os", numBuckets = 2)
+    Ripple.write(samplePayloads(40), root, "os", numBuckets = 2)
+    val back = Ripple.read(spark, root, "os")
+    assert(back.count() == 40)
+    assert(back.groupBy("bucket").count().collect().map(_.getLong(1)).toSeq == Seq(20L, 20L))
+    // offset pushdown still plans from the committed state
+    assert(back.where(col("offset") >= 10).count() == 20)
+    // append again: offsets continue across commits
+    Ripple.write(samplePayloads(10), root, "os", numBuckets = 2)
+    assert(Ripple.read(spark, root, "os").count() == 50)
+    assert(Ripple.endOffsets(root, "os") == Map("b0000" -> 25L, "b0001" -> 25L))
+    // epoch replay: re-publishing the same epoch must be a no-op (the
+    // streaming sink's exactly-once contract, here via the commit log)
+    import graft.connector.{RippleConf, RipplePublish, RippleCommitMessage, StagedFile}
+    val conf = RippleConf(root, "os", None, 2, 0L, Long.MaxValue, Long.MaxValue)
+    val log = conf.log
+    val fs = log.fs
+    def stageEpoch(): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val p = new org.apache.hadoop.fs.Path(root + "/os/.staging/ep-" + java.util.UUID.randomUUID())
+      graft.log.SegmentCodec.write(fs, p,
+        (0 until 5).map(i => (graft.model.Payload(i, Array[Byte](i.toByte)), 1000L + i)))
+      Array(RippleCommitMessage(Seq(StagedFile("b0000", p.toString, 5L, 0))))
+    }
+    RipplePublish.publish(conf, stageEpoch(), epochId = Some(7L), queryId = "q-os")
+    val afterFirst = Ripple.read(spark, root, "os").count()
+    RipplePublish.publish(conf, stageEpoch(), epochId = Some(7L), queryId = "q-os") // replay
+    assert(Ripple.read(spark, root, "os").count() == afterFirst,
+      "replayed epoch must not duplicate rows")
+    assert(afterFirst == 55)
   }
 
   test("overlapping segments (contract violation) fail loudly, not silently") {

@@ -1,0 +1,199 @@
+package graft
+
+import graft.log.{CommitLog, FileTopicLog, SegMeta, SegmentCodec}
+import graft.model.{Payload, TopicBucket}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The LogSpec contract suite re-run over [[ObjectStoreTestFs]] (no atomic
+  * rename, PUT-visibility at close, conditional-PUT create-exclusive):
+  * certifies the manifest-commit protocol that replaces the refused
+  * `allowNonAtomicRename` override — publish, replay idempotency,
+  * foreign-writer refusal, retention, checkpoint GC, and optimistic
+  * concurrency all without ever relying on a rename being atomic.
+  */
+class ObjectStoreSpec extends AnyFunSuite {
+
+  private def conf(extra: (String, String)*): Configuration = {
+    val c = new Configuration()
+    c.set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)
+    // register the rig's scheme alongside the real object stores so the
+    // auto mode detection picks the manifest commit protocol for it
+    c.set("graft.log.nonAtomicRenameSchemes", "s3,s3a,gs,abfs,ostest")
+    extra.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private def tmp(): String = Files.createTempDirectory("ostore").toString
+  private def newLog(extra: (String, String)*): FileTopicLog =
+    new FileTopicLog("ostest:" + tmp(), conf(extra: _*))
+  private def payloads(n: Int, tag: Byte = 0): Seq[Payload] =
+    (0 until n).map(i => Payload(i, Array(tag, i.toByte)))
+  private val tb = TopicBucket("t", "b0")
+
+  test("object-store scheme auto-selects manifest mode; rename mode must be forced") {
+    val dir = tmp()
+    assert(new FileTopicLog("ostest:" + dir, conf()).manifestCommitMode)
+    assert(!new FileTopicLog("ostest:" + dir,
+      conf("graft.log.commitProtocol" -> "rename")).manifestCommitMode)
+    val e = intercept[IllegalArgumentException] {
+      new FileTopicLog("ostest:" + dir, conf("graft.log.commitProtocol" -> "bogus"))
+    }
+    assert(e.getMessage.contains("commitProtocol"))
+  }
+
+  test("append/range over the store: dense offsets, data invisible until committed") {
+    val log = newLog()
+    log.append(tb, payloads(5, 1))
+    log.append(tb, payloads(4, 2))
+    val all = log.range(tb, 0, Long.MaxValue)
+    assert(all.map(_.offset) == (0L until 9L))
+    assert(all.map(_.data(0)) == Seq[Byte](1, 1, 1, 1, 1, 2, 2, 2, 2))
+    // an uncommitted data file (crashed writer) is invisible to every view
+    val orphan = new HPath(log.bucketDir(tb), "data-garbage-orphan.log")
+    SegmentCodec.write(log.fs, orphan, payloads(3, 9).map(p => (p, 0L)))
+    assert(log.size(tb) == 9)
+    assert(log.range(tb, 0, Long.MaxValue).size == 9)
+  }
+
+  test("appendAt replay is a no-op; same offsets with different records fail loudly") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    // replay: same range, same records (fresh timestamps) — no-op
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now + 999)))
+    assert(log.size(tb) == 3)
+    assert(log.segments(tb).size == 1, "replay must not add a segment")
+    // same range, different records — the single-writer violation
+    val e = intercept[IllegalStateException] {
+      log.appendAt(tb, 0L, payloads(3, 7).map(p => (p, now)))
+    }
+    assert(e.getMessage.contains("DIFFERENT"))
+    // overlapping range — loud refusal
+    val e2 = intercept[IllegalStateException] {
+      log.appendAt(tb, 1L, payloads(5, 7).map(p => (p, now)))
+    }
+    assert(e2.getMessage.contains("overlap"))
+    assert(log.range(tb, 0, 3).map(_.data(0)) == Seq[Byte](1, 1, 1),
+      "committed records untouched by the refused writers")
+  }
+
+  test("publishStaged: replay consumes the staged file; foreign content fails loudly") {
+    val log = newLog()
+    val fs = log.fs
+    val now = System.currentTimeMillis()
+    def stage(tag: Byte): HPath = {
+      val p = new HPath(log.bucketDir(tb), s".staged-${java.util.UUID.randomUUID()}")
+      SegmentCodec.write(fs, p, payloads(4, tag).map(q => (q, now)))
+      p
+    }
+    val s1 = stage(1)
+    log.publishStaged(tb, 0L, 4L, s1)
+    assert(!fs.exists(s1), "staged file consumed by the publish")
+    assert(log.size(tb) == 4)
+    // epoch replay: same offsets, same records — consumed, no new segment
+    val s2 = stage(1)
+    log.publishStaged(tb, 0L, 4L, s2)
+    assert(!fs.exists(s2))
+    assert(log.segments(tb).size == 1)
+    // foreign writer: same offsets, different records
+    val s3 = stage(9)
+    val e = intercept[IllegalStateException] { log.publishStaged(tb, 0L, 4L, s3) }
+    assert(e.getMessage.contains("DIFFERENT"))
+    assert(log.range(tb, 0, 4).map(_.data(0)) == Seq[Byte](1, 1, 1, 1))
+  }
+
+  test("retention: offsets preserved, floor advances, newest segment survives") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(5, 1).map(p => (p, now)))
+    log.appendAt(tb, 5L, payloads(5, 2).map(p => (p, now)))
+    log.appendAt(tb, 10L, payloads(5, 3).map(p => (p, now)))
+    assert(log.truncateBefore("t", 10L) == 2)
+    assert(log.firstOffset(tb) == 10L)
+    assert(log.size(tb) == 15L)
+    val rest = log.range(tb, 0, Long.MaxValue)
+    assert(rest.map(_.offset) == (10L until 15L), "surviving offsets absolute")
+    // time-based: everything is "old", but the newest segment must survive
+    assert(log.truncateOlderThan("t", 0L, now + 1000000L) == 0)
+    assert(log.size(tb) == 15L)
+    // deleted data files are really gone from the store
+    val files = log.fs.listStatus(log.bucketDir(tb))
+      .map(_.getPath.getName).filter(_.startsWith("data-"))
+    assert(files.length == 1, s"expected 1 surviving data file, got ${files.toSeq}")
+  }
+
+  test("commit-log checkpoints bound the version directory; state survives GC") {
+    val log = newLog("graft.log.commitCheckpointInterval" -> "4")
+    val now = System.currentTimeMillis()
+    (0 until 20).foreach { i =>
+      log.appendAt(tb, i.toLong, Seq((Payload(i, Array(i.toByte)), now)))
+    }
+    assert(log.size(tb) == 20)
+    assert(log.range(tb, 0, Long.MaxValue).map(_.id) == (0 until 20))
+    val versions = log.fs.listStatus(new HPath(log.bucketDir(tb), ".commitlog"))
+      .map(_.getPath.getName).sorted
+    // 20 commits at interval 4: GC keeps ~one interval behind the newest
+    // checkpoint, so the listing stays O(interval), not O(commits)
+    assert(versions.length <= 12,
+      s"commit dir must stay bounded after GC, got ${versions.length}: ${versions.toSeq}")
+    assert(versions.exists(_.startsWith("k-")), "checkpoints present")
+    // a FRESH log instance (new reader) resolves the same state post-GC
+    val log2 = new FileTopicLog("ostest:" + log.root.toUri.getPath, conf())
+    assert(log2.size(tb) == 20)
+  }
+
+  test("optimistic concurrency: two uncoordinated appenders lose no rows") {
+    val root = tmp()
+    val a = new FileTopicLog("ostest:" + root, conf())
+    val b = new FileTopicLog("ostest:" + root, conf())
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = Seq((a, 1), (b, 2)).map { case (l, t) =>
+      new Thread(() => (0 until 10).foreach { _ =>
+        try l.append(tb, payloads(3, t.toByte))
+        catch { case _: Throwable => errors.incrementAndGet() }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.get == 0, "manifest-mode append retries, it must not fail")
+    val all = a.range(tb, 0, Long.MaxValue)
+    assert(all.size == 60, s"every row lands exactly once, got ${all.size}")
+    assert(all.map(_.offset) == (0L until 60L), "offsets dense")
+    assert(all.count(_.data(0) == 1) == 30 && all.count(_.data(0) == 2) == 30)
+  }
+
+  test("CommitLog resurrection guard: a stale writer's GC'd version never silently vanishes") {
+    val root = tmp()
+    val log = newLog("graft.log.commitCheckpointInterval" -> "4")
+    val fs = log.fs
+    val dir = new HPath(new HPath(new HPath(log.root, "t"), "b0"), ".commitlog")
+    val cl = new CommitLog(fs, dir, checkpointInterval = 4)
+    // stale writer reads at version -1 …
+    val stale = cl.read()
+    // … then 12 commits + checkpoints land meanwhile (GC floor passes v=0)
+    var st = cl.read()
+    (0 until 12).foreach { i =>
+      st = cl.tryCommit(st, Seq(SegMeta(s"data-x$i", i.toLong, 1L)), Set.empty).get
+    }
+    // the stale writer now tries to commit version 0 — create-exclusive
+    // would WIN (c-0 was GC'd); the guard must detect and refuse
+    assert(cl.tryCommit(stale, Seq(SegMeta("data-stale", 99L, 1L)), Set.empty).isEmpty,
+      "resurrected version must be refused, not silently ignored by readers")
+    val now = cl.read()
+    assert(now.segs.size == 12 && !now.segs.exists(_.name == "data-stale"))
+  }
+
+  test("the bucket lock still functions as a throttle (conditional-PUT create-exclusive)") {
+    val log = newLog()
+    log.fs.mkdirs(log.bucketDir(tb))
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val t1 = new Thread(() => log.withBucketLock(tb) { order.add(1); Thread.sleep(150); order.add(2) })
+    t1.start(); Thread.sleep(50)
+    log.withBucketLock(tb) { order.add(3) }
+    t1.join()
+    assert(order.toArray.toSeq == Seq(1, 2, 3), "second holder waited for release")
+  }
+}
