@@ -923,6 +923,45 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** [[dupClusters]] for ARBITRARY id types (string, UUID, binary, …):
+    * the same min-label propagation, but labels keep the id column's own
+    * type and ordering instead of a long cast — a non-numeric id under
+    * the long-cast path becomes a NULL edge and silently clusters
+    * nothing, which for the streaming admission sink means near-dups get
+    * ADMITTED while the flag claims they are dropped. Intended for
+    * micro-batch-scale pair sets (the admission path): the convergence
+    * probe is a per-round `limit(1).count()` existence check — fine at
+    * that scale — instead of the accumulator ride-along the long-id path
+    * uses to stay count-free at corpus scale.
+    */
+  def dupClustersAny(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .materialized(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .materialized(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val updated = labels.unionAll(neighborMin)
+        .groupBy("id").agg(min(col("label")).as("newLabel"))
+      val joined = labels.withColumnRenamed("label", "oldLabel")
+        .join(updated, "id")
+        .materialized(true)
+      converged = joined.filter(col("newLabel") < col("oldLabel")).limit(1).count() == 0L
+      labels = joined.select(col("id"), col("newLabel").as("label"))
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersAny did not converge within $maxIter rounds — a duplicate " +
+        "component has diameter > maxIter; raise maxIter")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   // ---- incremental dedup against a historical corpus -----------------
 
   /** Documents whose (normalized-content) fingerprint does NOT appear in

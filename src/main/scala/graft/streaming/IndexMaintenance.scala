@@ -127,18 +127,28 @@ object IndexMaintenance {
       : (DataFrame, Long) => Unit = (batch, epochId) =>
     applyEpoch(batch, path, epochId)(
       append = {
+        val idx = Dedup.loadMinhashIndex(batch.sparkSession, path)
         val base =
           if (!dropIntraBatchNearDups) batch
           else {
+            // the intra-batch pass and the index probe must share ONE
+            // similarity definition: take the sketch geometry from the
+            // index's persisted params, not library defaults — an index
+            // saved with non-default shingle/hash/band settings would
+            // otherwise drop by one definition and admit by another
             val pairs = Dedup.minhashNearDups(batch, idCol, textCol,
-                threshold = threshold, hash64 = hash64)
+                shingleSize = idx.shingleSize, numHashes = idx.numHashes,
+                numBands = idx.numBands, threshold = threshold,
+                seed = idx.seed, hash64 = hash64)
               .select(col("id_a"), col("id_b"))
-            val drop = Dedup.dupClusters(pairs)
+            // dupClustersAny: ids keep their own type — the long-cast path
+            // would NULL out string/UUID ids and silently admit both halves
+            // of every near-pair
+            val drop = Dedup.dupClustersAny(pairs)
               .filter(col("id") =!= col("cluster"))
               .select(col("id").as("__graft_dup_id"))
             batch.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
           }
-        val idx = Dedup.loadMinhashIndex(batch.sparkSession, path)
         val novel = Dedup.novelAgainstMinhashIndex(idx, base, idCol,
           textCol, threshold, hash64)
         Dedup.appendToMinhashIndex(novel, idCol, textCol, path, hash64,
@@ -204,7 +214,12 @@ object IndexMaintenance {
 
     def writeAtomic(p: HPath, v: Long): Unit = {
       val tmp = new HPath(dir, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
-      val body = v.toString + owner.fold("")("\n" + _)
+      // an ownerless (batch-side) caller must not ERASE the recorded
+      // owner: read the current owner through, or one manual backfill
+      // that advances _last_epoch would silently disable the loud
+      // foreign-query check for every subsequent fresh-checkpoint query
+      val effOwner = owner.orElse(readMarker(p).flatMap(_._2))
+      val body = v.toString + effOwner.fold("")("\n" + _)
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
@@ -235,7 +250,25 @@ object IndexMaintenance {
             "IndexMaintenance.resetEpochMarkers(path) and restart.")
       return // committed epoch replayed by its own query: no-op
     }
-    if (readMarker(intentP).exists(_._1 == epochId)) scrub // crashed attempt: heal
+    readMarker(intentP).foreach { case (intentEpoch, intentOwner) =>
+      if (intentEpoch == epochId) {
+        // The scrub deletes this batch's ids from the index — only safe
+        // when the intent really is OUR crashed attempt. A leftover intent
+        // from a DIFFERENT query (it crashed before its first commit, so
+        // the committed-range check above cannot catch it) colliding with
+        // our epoch number would scrub ids that legitimately exist in the
+        // index; same rationale, same loud failure.
+        for (o <- owner; io <- intentOwner; if o != io)
+          throw new IllegalStateException(
+            s"index at $path: live _epoch_intent for epoch $epochId belongs " +
+              s"to streaming query $io, but query $o is maintaining the " +
+              "index. Scrubbing another query's crashed attempt would " +
+              "delete ids this batch never wrote. Heal or abandon the old " +
+              "query's attempt first (resetEpochMarkers after arranging " +
+              "re-delivery), then restart.")
+        scrub // crashed attempt: heal
+      }
+    }
     writeAtomic(intentP, epochId)
     append
     writeAtomic(lastP, epochId)

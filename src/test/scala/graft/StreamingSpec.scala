@@ -391,6 +391,140 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.sorted.toList == List(10L, 12L), s"admitted $kept")
   }
 
+  test("admission sink: representative itself near-dup to the INDEX drops the whole cluster") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    val dir = tmp()
+    // the index already holds the content the whole batch cluster orbits
+    graft.ops.Dedup.saveMinhashIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, threshold = 0.5, numFiles = 2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val admit = IndexMaintenance.minhashAdmitSink(dir, "doc_id", "text",
+      threshold = 0.5,
+      sink = (df, _) => kept ++= df.select("doc_id").collect().map(_.getLong(0)),
+      numFiles = 2, dropIntraBatchNearDups = true)
+    // an intra-batch near-pair (10 ~ 11) whose REPRESENTATIVE (10, the
+    // canonical minimum) is itself a near-dup of the indexed doc: the
+    // intra-batch stage keeps only 10, then the index probe must drop it
+    // too — the planted cluster admits ZERO, and a distinct doc rides along
+    admit(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "seven wandering musicians crossed the silent valley before dawn"))
+      .toDF("doc_id", "text"), 0L)
+    assert(kept.sorted.toList == List(12L),
+      s"admitted $kept: the whole near-dup cluster must drop when its " +
+        "representative is near-dup to the index")
+  }
+
+  test("admission sink: string ids cluster on their own type (no long-cast null-out)") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    val dir = tmp()
+    // non-default sketch geometry: the intra-batch pass must take its
+    // params from the index, sharing one similarity definition
+    graft.ops.Dedup.saveMinhashIndex(
+      Seq(("seed-doc", "pack my box with five dozen quality liquor jugs today"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, shingleSize = 2, numHashes = 32,
+      threshold = 0.5, seed = 7L, numFiles = 2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val admit = IndexMaintenance.minhashAdmitSink(dir, "doc_id", "text",
+      threshold = 0.5,
+      sink = (df, _) => kept ++= df.select("doc_id").collect().map(_.getString(0)),
+      numFiles = 2, dropIntraBatchNearDups = true)
+    // UUID-ish ids are NOT long-castable: the long-cast cluster path would
+    // null every edge and silently admit both halves of the near-pair
+    admit(Seq(
+      ("b-doc", "the quick brown fox jumps over the lazy dog"),
+      ("a-doc", "the quick brown fox jumps over the lazy dog tonight"),
+      ("c-doc", "seven wandering musicians crossed the silent valley before dawn"))
+      .toDF("doc_id", "text"), 0L)
+    assert(kept.sorted.toList == List("a-doc", "c-doc"),
+      s"admitted $kept: exactly the canonical-min representative and the " +
+        "distinct doc — a silent both-admitted means ids were long-cast")
+  }
+
+  test("index maintenance: a foreign query's leftover intent refuses the scrub loudly") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    implicit val ctx = spark.sqlContext
+    val dir = tmp()
+    graft.ops.Dedup.saveMinhashIndex(
+      Seq((1L, "unique1 alpha1 beta1 gamma1")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, threshold = 0.5, numFiles = 2)
+    // a prior query crashed BEFORE its first commit: intent for epoch 0
+    // with its queryId, no _last_epoch — the committed-range check cannot
+    // see it, so the scrub-owner check must
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_epoch_intent"),
+      "0\ndead-query-uuid".getBytes("UTF-8"))
+    val sink = IndexMaintenance.minhashAppendSink(dir, "doc_id", "text",
+      numFiles = 2)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((10L, "unique10 alpha10 beta10 gamma10"))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) => sink(b, e); () }
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    try q.stop() catch { case _: Throwable => () }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("_epoch_intent") && m.contains("dead-query-uuid")),
+      s"expected the foreign-intent refusal, got: ${messages(e)}")
+    // nothing appended, nothing scrubbed: the seed doc is intact
+    val ids = spark.read.parquet(s"$dir/shingles")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L), s"index must be untouched, got $ids")
+  }
+
+  test("index maintenance: an ownerless marker advance preserves the recorded owner") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    implicit val ctx = spark.sqlContext
+    val dir = tmp()
+    graft.ops.Dedup.saveMinhashIndex(
+      Seq((1L, "unique1 alpha1 beta1 gamma1")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, threshold = 0.5, numFiles = 2)
+    val sink = IndexMaintenance.minhashAppendSink(dir, "doc_id", "text",
+      numFiles = 2)
+    def maintain(ckpt: String, rows: Seq[(Long, String)]): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(rows: _*)
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, e: Long) => sink(b, e); () }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // streaming query commits epoch 0 and stamps its queryId
+    maintain(tmp(), Seq((10L, "unique10 alpha10 beta10 gamma10")))
+    val ownerLine = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_last_epoch")), "UTF-8")
+      .linesIterator.toList.lift(1)
+    assert(ownerLine.exists(_.nonEmpty), "queryId stamped by the stream")
+    // a manual batch-side backfill (owner None) advances the epoch: the
+    // recorded owner must be READ THROUGH, not erased — else this one
+    // backfill disables the foreign-query protection
+    sink(Seq((11L, "unique11 alpha11 beta11 gamma11")).toDF("doc_id", "text"), 5L)
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_last_epoch")), "UTF-8")
+      .linesIterator.toList
+    assert(after.headOption.contains("5"), s"epoch advanced: $after")
+    assert(after.lift(1) == ownerLine,
+      s"owner must survive the ownerless advance: before=$ownerLine after=${after.lift(1)}")
+    // and the protection still fires for a fresh-checkpoint query
+    val e = intercept[Exception] {
+      maintain(tmp(), Seq((12L, "unique12 alpha12 beta12 gamma12")))
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("resetEpochMarkers")),
+      s"foreign-query check must still fire: ${messages(e)}")
+  }
+
   test("index maintenance: foreign-query epoch in committed range fails loudly; reset helper heals") {
     import spark.implicits._
     import graft.streaming.IndexMaintenance
