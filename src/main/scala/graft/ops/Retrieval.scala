@@ -278,22 +278,41 @@ object Retrieval {
     Bm25Index(s.getLong(0), avgdl, spark.read.parquet(s"$path/postings"))
   }
 
-  /** Probe a persisted inverted index: collect the (bounded-by-query-set)
-    * distinct terms, push `token IN (terms)` INTO the postings scan — the
-    * predicate meets the token-clustered layout's per-file ranges, so
-    * unmatched files are never read — and run the exact [[bm25TopK]]
-    * scoring tail over the slice. Identical output to the live pass by
-    * construction (same tf/df/dl values, same DECIMAL accumulation).
+  /** Probe a persisted inverted index with the query batch's distinct
+    * terms, then run the exact [[bm25TopK]] scoring tail over the matched
+    * slice. Identical output to the live pass by construction (same
+    * tf/df/dl values, same DECIMAL accumulation).
+    *
+    * Two probe shapes, picked by the DISTINCT-term count (measured with a
+    * `limit`-bounded collect, so the driver never materializes an unbounded
+    * term set):
+    *
+    *   - '''Interactive batches''' (≤ `maxLiteralTerms` distinct terms):
+    *     push `token IN (literals)` INTO the postings scan — the literal
+    *     predicate meets the token-clustered layout's per-file ranges, so
+    *     unmatched files are never read.
+    *   - '''Offline eval batches''' (a 10^4..10^6-query sweep): literal
+    *     lists past ~10^4 values blow up plan size and defeat the
+    *     range-based file skipping anyway, so the terms STAY DISTRIBUTED:
+    *     a broadcast LEFT SEMI join of the distinct-terms frame against
+    *     the postings (distinct tokens are vocabulary-bounded — Heaps'
+    *     law, not query-count-bounded — so the broadcast stays small even
+    *     for huge batches). Dynamic partition/file pruning can still
+    *     narrow the scan from the broadcast side; nothing is driver-sized.
     */
   def bm25TopKWithIndex(index: Bm25Index, queries: DataFrame,
       qIdCol: String, qTextCol: String, k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, maxLiteralTerms: Int = 1024): DataFrame = {
     val qterms = queries.select(col(qIdCol).cast("long").as("query_id"),
         explode(array_distinct(split(trim(col(qTextCol)), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
-    val terms = qterms.select(col("token")).distinct()
-      .collect().map(_.getString(0))
-    val matched = index.postings.filter(col("token").isin(terms: _*))
+    val termsDf = qterms.select(col("token")).distinct()
+    val bounded = termsDf.limit(maxLiteralTerms + 1).collect()
+    val matched =
+      if (bounded.length <= maxLiteralTerms)
+        index.postings.filter(col("token").isin(bounded.map(_.getString(0)).toSeq: _*))
+      else
+        index.postings.join(broadcast(termsDf), Seq("token"), "left_semi")
     scoreMatched(matched, qterms, index.nDocs.toDouble, index.avgdl, k, k1, b)
   }
 

@@ -1669,6 +1669,36 @@ class OpsSpec extends AnyFunSuite {
       s"term filter not pushed to postings scan:\n${plan.take(2000)}")
   }
 
+  test("BM25 probe above the literal-term cap: semi-join plan, no literal IN, same scores") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    // offline-eval shape (VERDICT r11 task #4): past the literal cap the
+    // distinct terms must stay distributed — a broadcast semi-join against
+    // the postings — because a 10^4+-literal IN list blows up the plan and
+    // defeats range-based file skipping
+    val qdf = Seq((0L, "spark join merge"), (1L, "customer data line"))
+      .toDF("qid", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-semi").toString
+    Retrieval.saveBm25Index(docs, "doc_id", "text", dir, numFiles = 4)
+    val idx = Retrieval.loadBm25Index(spark, dir)
+    val live = Retrieval.bm25TopK(docs, "doc_id", "text", qdf, "qid", "qtext", k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+    val big = Retrieval.bm25TopKWithIndex(idx, qdf, "qid", "qtext",
+      k = 10, maxLiteralTerms = 2) // 6 distinct terms > 2 → large path
+    assert(rows(big) == rows(live), "large-path probe diverges from live pass")
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("In(token"),
+      s"large path must not plan a literal IN over the postings:\n${plan.take(2000)}")
+    assert(plan.contains("LeftSemi"),
+      s"large path must semi-join the terms frame:\n${plan.take(2000)}")
+    // and the interactive path is unchanged by the new parameter
+    val small = Retrieval.bm25TopKWithIndex(idx, qdf, "qid", "qtext", k = 10)
+    assert(rows(small) == rows(live))
+    assert(small.queryExecution.executedPlan.toString.contains("PushedFilters: [In(token"))
+  }
+
   test("BM25 index append is bit-identical to a full rebuild") {
     import spark.implicits._
     import graft.ops.Retrieval
