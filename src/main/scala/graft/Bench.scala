@@ -227,6 +227,13 @@ object Bench {
       }
     val sf1Full = sf1Block.map(b => s""","sf1":$b""").getOrElse("")
     val sf1Short = sf1Block.map { b =>
+      if (b.contains("\"skipped_for_disk\":true")) {
+        // the probe refused to commit offband cells — surface that verdict,
+        // not an empty-looking block
+        val io = """"calib_io":([0-9.]+)""".r.findFirstMatchIn(b)
+          .map(_.group(1)).getOrElse("-1")
+        s""","sf1":{"skipped_for_disk":true,"calib_io":$io}"""
+      } else {
       // max of the "ratio":X values — the one number that answers "did
       // anything scale super-linearly?" — PLUS which query it was (the
       // round-6 lesson: a bare max_ratio whose owner was lost with the
@@ -238,6 +245,7 @@ object Bench {
         .map(m => (m.group(1), m.group(2).toDouble)).filter(_._2 > 0).toSeq
       val (mq, mx) = if (pairs.nonEmpty) pairs.maxBy(_._2) else ("", -1.0)
       s""","sf1":{"max_ratio":${math.rint(mx * 100) / 100},"max_q":"$mq","queries":${pairs.length},"detail":"BENCH_HISTORY.jsonl"}"""
+      }
     }.getOrElse("")
 
     // One-number pipeline bench (round-7 verdict stretch): the user-facing
@@ -247,7 +255,7 @@ object Bench {
     // remaining lazy tail is the final materialization window. Skipped
     // when the sf1 corpus wasn't generated (probe opted out).
     val curateFields: String =
-      if (sf1Block.isEmpty) ""
+      if (sf1Block.forall(_.contains("\"skipped_for_disk\":true"))) "" // no block, or no corpus probed
       else try {
         val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
         val docs = spark.read.parquet("target/sf1/documents.parquet")

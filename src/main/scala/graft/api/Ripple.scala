@@ -183,6 +183,20 @@ object Ripple {
       pmod(hash(idCol), lit(Int.MaxValue)).cast("int").as("id"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"))
 
+  /** In-place, offset-preserving segment compaction: merge runs of
+    * adjacent tiny segments (a streaming sink publishes one per epoch per
+    * bucket) into files of up to `targetBytes`, without touching offsets,
+    * the retention floor, or consumer cursors — reads before and after are
+    * identical, and planning stops paying one input partition per tiny
+    * file. See [[graft.log.FileTopicLog.compactSegments]] for the
+    * crash-safe publish protocol in both commit modes. Returns the number
+    * of segments merged away.
+    */
+  def compactSegments(root: String, topic: String,
+      targetBytes: Long = 128L << 20): Int =
+    FileTopicLog.cached(root, LogFs.activeHadoopConf)
+      .compactSegments(topic, targetBytes)
+
   /** Compact a topic into a columnar parquet mirror for analytics-heavy
     * access — row-framed segments are the transport/ingest format (like a
     * Kafka log), parquet the scan format; at 100 TB the analytical path

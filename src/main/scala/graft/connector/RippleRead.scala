@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.log.{LogFs, SegmentCodec, SerializableHadoopConf}
+import graft.log.{FileTopicLog, LogFs, SegmentCodec, SerializableHadoopConf}
 import graft.model.TopicBucket
 
 import org.apache.hadoop.fs.{Path => HPath}
@@ -355,11 +355,31 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends PartitionReader[InternalRow] {
 
-  private val it = {
+  /** Open the planned segment file; when it VANISHED between planning and
+    * this task (in-place compaction replaced it — [[graft.log.FileTopicLog
+    * .compactSegments]]), re-resolve by OFFSET RANGE against the current
+    * segment view: compaction preserves offsets, so exactly one live
+    * segment covers `[from, until)` (merges are contiguous supersets). A
+    * range no live segment covers means retention truncated it mid-query —
+    * that stays a loud failure, same as planning after the truncate.
+    */
+  private val (it, itStart) = {
     val seg = new HPath(p.segPath)
-    SegmentCodec.read(LogFs.get(seg, hconf.value.value), seg)
+    try (SegmentCodec.read(LogFs.get(seg, hconf.value.value), seg), p.segStart)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        val log = FileTopicLog.cached(p.root, hconf.value.value)
+        log.segments(TopicBucket(p.topic, p.bucket))
+          .find { case (_, s, c) => s <= p.from && s + c >= p.until } match {
+          case Some((path2, s2, _)) => (SegmentCodec.read(log.fs, path2), s2)
+          case None => throw new java.io.FileNotFoundException(
+            s"planned segment ${p.segPath} is gone and offsets " +
+              s"[${p.from},${p.until}) of ${p.topic}/${p.bucket} are no longer " +
+              "covered — retention truncated them after this query planned")
+        }
+    }
   }
-  private var off = p.segStart
+  private var off = itStart
   private var cur: InternalRow = _
 
   private val topicU = UTF8String.fromString(p.topic)

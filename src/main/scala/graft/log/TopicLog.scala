@@ -1041,6 +1041,177 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     deleted
   }
 
+  /** Offset-preserving in-place segment compaction: merge runs of ADJACENT
+    * (offset-contiguous) segments into single files of up to `targetBytes`,
+    * leaving offsets, the retention floor, and consumer cursors untouched —
+    * the cure for streaming-sink segment proliferation (one segment per
+    * epoch per bucket ≈ 10^4 tiny files/bucket/hour at high trigger rates,
+    * which keeps PLANNING cheap via the manifest but proliferates one
+    * input partition per tiny segment). Returns the number of segments
+    * merged away.
+    *
+    * Frames are length-prefixed with no file header/footer, so a merged
+    * segment is the plain byte concatenation of its members — the merge
+    * streams bytes, never decoding frames or holding a segment in memory.
+    *
+    * Protocol per bucket:
+    *   - '''rename mode''' (under the bucket lock): heal any crashed prior
+    *     compaction (a segment fully covered by a larger one is a
+    *     pre-merge member — drop it from the manifest, then delete);
+    *     stage each merged file, publish it no-replace (an existing
+    *     same-name target from a crashed attempt is byte-identical by
+    *     construction), rewrite the manifest atomically WITHOUT the
+    *     members, then delete the member files. Readers plan from the
+    *     manifest, so they see either the old set or the new set, never a
+    *     mix; the listing's transient overlap is confined to the window
+    *     before the manifest swap and healed on the next pass.
+    *   - '''manifest mode''': write merged data files under unique names
+    *     (invisible until committed), then ONE put-if-absent commit swaps
+    *     members for merged atomically; member files are deleted after
+    *     the commit. A lost commit race retries on fresh state.
+    *
+    * A reader that planned input partitions against the OLD segment files
+    * re-resolves by OFFSET RANGE when the planned file is gone
+    * ([[graft.connector.RipplePartitionReader]]) — offsets are the stable
+    * identity; file names are not.
+    */
+  def compactSegments(topic: String, targetBytes: Long = 128L << 20,
+      minSegments: Int = 2): Int = {
+    require(minSegments >= 2, "minSegments < 2 would rewrite single segments")
+    var merged = 0
+    buckets(topic).foreach { tb =>
+      merged += (if (manifestCommitMode) compactBucketManifest(tb, targetBytes, minSegments)
+                 else compactBucketRename(tb, targetBytes, minSegments))
+    }
+    merged
+  }
+
+  /** Contiguous runs of at least `minSegments` segments whose combined
+    * bytes fit `targetBytes`. Input must be start-sorted and overlap-free.
+    */
+  private def compactionGroups(segs: Seq[(HPath, Long, Long, Long)],
+      targetBytes: Long, minSegments: Int): Seq[Seq[(HPath, Long, Long, Long)]] = {
+    val groups = Seq.newBuilder[Seq[(HPath, Long, Long, Long)]]
+    var cur = List.empty[(HPath, Long, Long, Long)] // reversed
+    var curBytes = 0L
+    def flush(): Unit = {
+      if (cur.size >= minSegments) groups += cur.reverse
+      cur = Nil; curBytes = 0L
+    }
+    segs.foreach { case seg @ (_, start, _, len) =>
+      cur match {
+        case (_, pStart, pCount, _) :: _
+            if pStart + pCount == start && curBytes + len <= targetBytes =>
+          cur ::= seg; curBytes += len
+        case _ =>
+          flush()
+          if (len < targetBytes) { cur = List(seg); curBytes = len }
+      }
+    }
+    flush()
+    groups.result()
+  }
+
+  /** Stream-concatenate `members` (in offset order) into `out`. */
+  private def concatSegments(members: Seq[HPath], out: HPath): Unit = {
+    val o = fs.create(out, true)
+    try members.foreach { m =>
+      val in = fs.open(m)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, o, 1 << 16, false)
+      finally in.close()
+    } finally o.close()
+  }
+
+  private def compactBucketRename(tb: TopicBucket, targetBytes: Long,
+      minSegments: Int): Int = withBucketLock(tb) {
+    val dir = bucketDir(tb)
+    var raw = segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c, st.getLen) }
+    // Heal a crashed prior compaction: a segment whose range sits fully
+    // inside a LARGER one is a pre-merge member (only compaction creates
+    // covering segments — publishes refuse overlaps); byte identity over
+    // the shared range holds by construction. Manifest first, then delete.
+    val covered = raw.filter { case (_, s, c, _) =>
+      raw.exists { case (_, s2, c2, _) => c2 > c && s2 <= s && s2 + c2 >= s + c }
+    }
+    var healed = 0
+    if (covered.nonEmpty) {
+      val keep = raw.filterNot(covered.contains)
+      writeFileAtomic(manifestPath(tb), keep.map(_._1.getName)
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      covered.foreach { case (p, _, _, _) =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => () } }
+      raw = keep
+      healed = covered.size
+    }
+    checkNoOverlap(tb, raw.map { case (p, s, c, _) => (p, s, c) })
+    val groups = compactionGroups(raw, targetBytes, minSegments)
+    if (groups.isEmpty) return healed
+    val replaced = groups.flatMap { g =>
+      val start = g.head._2
+      val count = g.map(_._3).sum
+      val target = new HPath(dir, SegmentCodec.segmentName(start, count))
+      val staged = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
+      concatSegments(g.map(_._1), staged)
+      touchBucketLock(tb) // concat may be slow at targetBytes scale
+      if (!publishNoReplace(staged, target)) {
+        // a crashed attempt already published this exact merge: verify
+        if (!SegmentCodec.sameFrames(fs, target, staged))
+          throw new IllegalStateException(
+            s"compaction target $target exists with foreign content")
+        fs.delete(staged, false)
+      }
+      g.map(seg => (seg._1, target))
+    }
+    // atomic manifest swap: members out, merged in — the commit point
+    val memberPaths = replaced.map(_._1).toSet
+    val names = (raw.map(_._1).filterNot(memberPaths.contains) ++
+      replaced.map(_._2).distinct).map(_.getName).sorted
+    writeFileAtomic(manifestPath(tb),
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    memberPaths.foreach { p =>
+      try fs.delete(p, false) catch { case _: java.io.IOException => () } }
+    memberPaths.size + healed
+  }
+
+  private def compactBucketManifest(tb: TopicBucket, targetBytes: Long,
+      minSegments: Int): Int = {
+    val dir = bucketDir(tb)
+    val cl = commitLog(tb)
+    var attempt = 0
+    while (true) {
+      val st = cl.read()
+      val segs = st.segs.map { s =>
+        val p = new HPath(dir, s.name)
+        (p, s.start, s.count, try fs.getFileStatus(p).getLen
+          catch { case _: java.io.FileNotFoundException => return 0 }) // racing retention: skip this pass
+      }
+      val groups = compactionGroups(segs, targetBytes, minSegments)
+      if (groups.isEmpty) return 0
+      val adds = groups.map { g =>
+        val start = g.head._2
+        val count = g.map(_._3).sum
+        val data = new HPath(dir, uniqueDataName(start, count))
+        concatSegments(g.map(_._1), data)
+        SegMeta(data.getName, start, count)
+      }
+      val removes = groups.flatten.map(_._1.getName).toSet
+      if (cl.tryCommit(st, adds, removes).isDefined) {
+        removes.foreach { n =>
+          try fs.delete(new HPath(dir, n), false)
+          catch { case _: java.io.IOException => () } }
+        return removes.size
+      }
+      adds.foreach { a =>
+        try fs.delete(new HPath(dir, a.name), false)
+        catch { case _: java.io.IOException => () } }
+      attempt += 1
+      if (attempt > 20) throw new java.io.IOException(
+        s"compaction on ${tb.path} lost the commit race $attempt times")
+      Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+    }
+    0
+  }
+
   /** Create a topic with `numBuckets` buckets — the control-plane op the
     * reference exposes as gRPC `CreateBucket`
     * (`server/exposed/create.go:15-27`). Here it is a pure metadata op:

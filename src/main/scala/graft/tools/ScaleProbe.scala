@@ -336,6 +336,26 @@ object ScaleProbe {
     */
   def probe(spark: SparkSession, sf01: String, sf1: String,
       budgetSec: Double): String = {
+    // Disk-noise gate (round-11 verdict #3: two consecutive rounds
+    // committed probe blocks from a degraded disk, making every n=1 cell
+    // noise): measure the disk calib BEFORE paying for corpus generation,
+    // wait out a transient stall, and if the disk stays offband SKIP the
+    // whole block and say so — a marked absence beats committed noise.
+    locally {
+      val h = graft.BenchHistory.load("BENCH_HISTORY.jsonl").calibIoMedian
+      var pre = graft.Bench.calibrateIo()
+      var tries = 0
+      while (h.exists(m => pre > 1.5 * m) && tries < 3) {
+        System.err.println(s"[bench] sf1 probe: disk calib $pre offband " +
+          s"(history ${h.get}); waiting 30s (${tries + 1}/3)")
+        Thread.sleep(30000)
+        pre = graft.Bench.calibrateIo()
+        tries += 1
+      }
+      if (h.exists(m => pre > 1.5 * m))
+        return s"""{"gen_sec":0,"scale":$K,"skipped_for_disk":true,""" +
+          s""""calib_io":${math.rint(pre * 1000) / 1000},"calib_io_offband":true,"queries":{}}"""
+    }
     val genSec = ensureSf1(spark, sf01, sf1)
     // Persisted-index probes (q83/q123/q124/q130) time the PROBE path:
     // make sure BOTH sides' index builds happen OUTSIDE the timed window
@@ -354,6 +374,12 @@ object ScaleProbe {
     // vs history 0.77-0.99 (≈1.4×) and stayed "in band" while three cells
     // ran 3-6× hot — the flag exists to mark exactly that run.
     val ioOffband = history.calibIoMedian.exists(h => calibIo > 1.5 * h)
+    // same gate after generation: a disk that degraded DURING the corpus
+    // gen/index builds would stamp every cell; the gen is cached on disk,
+    // so the next in-band run probes without re-paying it
+    if (ioOffband)
+      return s"""{"gen_sec":${math.rint(genSec)},"scale":$K,"skipped_for_disk":true,""" +
+        s""""calib_io":${math.rint(calibIo * 1000) / 1000},"calib_io_offband":true,"queries":{}}"""
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2

@@ -484,6 +484,39 @@ class ConnectorSpec extends AnyFunSuite {
     assert(afterFirst == 55)
   }
 
+  test("a reader planned before compaction re-resolves its offsets afterwards") {
+    // planning hands tasks segment PATHS; in-place compaction deletes the
+    // planned files — the partition reader must fall back to resolving its
+    // OFFSET RANGE against the current segment view (offsets are the
+    // stable identity), so in-flight queries survive a concurrent compact
+    val root = tmp()
+    Ripple.createTopic(root, "cp", numBuckets = 1)
+    (0 until 4).foreach(_ => Ripple.write(samplePayloads(5).coalesce(1), root, "cp"))
+    val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+    val tb = graft.model.TopicBucket("cp", "b0000")
+    val plannedSegs = log.segments(tb) // the pre-compaction plan's view
+    assert(plannedSegs.size == 4)
+    assert(Ripple.compactSegments(root, "cp") == 4)
+    // replay the stale plan: partitions carrying the DELETED paths
+    val hb = graft.log.LogFs.activeBroadcast
+    val rows = plannedSegs.flatMap { case (path, start, count) =>
+      val p = graft.connector.RippleInputPartition(root, "cp", "b0000",
+        path.toString, start, start, start + count)
+      val r = new graft.connector.RipplePartitionReader(p,
+        graft.model.Schemas.envelope, hb)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+      try while (r.next()) {
+        val row = r.get()
+        out += ((row.getLong(2), row.getInt(3))) // (offset, id)
+      } finally r.close()
+      out
+    }
+    assert(rows.map(_._1) == (0L until 20L), s"stale plan must replay fully: $rows")
+    assert(rows.map(_._2) == List.tabulate(20)(i => i % 5))
+    // a range retention actually removed stays a loud failure
+    assert(log.truncateBefore("cp", 20L) == 0, "single merged segment is newest — kept")
+  }
+
   test("overlapping segments (contract violation) fail loudly, not silently") {
     val root = tmp()
     Ripple.createTopic(root, "ov", numBuckets = 1)

@@ -228,4 +228,65 @@ class LogSpec extends AnyFunSuite {
     assert(log.buckets("orders").map(_.bucket) == Seq("b0000", "b0001", "b0002", "b0003"))
     assert(log.topics() == Seq("orders"))
   }
+
+  test("compactSegments: read ≡ identity, offsets/floor/size unchanged, groups bounded") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    // 10 tiny epoch-shaped segments (3 rows each)
+    (0 until 10).foreach { e =>
+      log.appendAt(tb, e * 3L, payloads(3, e.toByte).map(p => (p, now)))
+    }
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    assert(log.segments(tb).size == 10)
+    // target sized for ~5 tiny segments per merged file → two groups
+    val segBytes = log.fileLen(log.segments(tb).head._1)
+    val merged = log.compactSegments("t", targetBytes = segBytes * 5)
+    assert(merged == 10, s"all 10 tiny segments merge away, got $merged")
+    val segsAfter = log.segments(tb)
+    assert(segsAfter.size == 2, s"two bounded groups, got ${segsAfter.map(_._1.getName)}")
+    assert(segsAfter.map(s => (s._2, s._3)) == Seq((0L, 15L), (15L, 15L)))
+    assert(log.size(tb) == 30 && log.firstOffset(tb) == 0L)
+    val after = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    assert(after == before, "compaction must be invisible to reads")
+    // idempotent: nothing left to merge
+    assert(log.compactSegments("t", targetBytes = segBytes * 5) == 0)
+  }
+
+  test("compactSegments respects retention gaps and the contiguity rule") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 6).foreach { e =>
+      log.appendAt(tb, e * 2L, payloads(2, e.toByte).map(p => (p, now)))
+    }
+    assert(log.truncateBefore("t", 4L) == 2) // head gone: floor now 4
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id))
+    assert(log.compactSegments("t") == 4)
+    assert(log.segments(tb).map(s => (s._2, s._3)) == Seq((4L, 8L)),
+      "merge starts at the retained floor, never bridges into the gap")
+    assert(log.firstOffset(tb) == 4L, "floor preserved")
+    assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id)) == before)
+  }
+
+  test("compactSegments heals a crashed prior attempt (merged published, manifest not swapped)") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { e =>
+      log.appendAt(tb, e * 2L, payloads(2, e.toByte).map(p => (p, now)))
+    }
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    // simulate the crash window: the merged segment file exists (byte
+    // concat of all four members) but the manifest still lists the members
+    val members = log.segments(tb).map(_._1)
+    val mergedPath = new org.apache.hadoop.fs.Path(log.bucketDir(tb),
+      SegmentCodec.segmentName(0L, 8L))
+    val out = java.nio.file.Files.newOutputStream(nio(mergedPath))
+    members.foreach(m => out.write(java.nio.file.Files.readAllBytes(nio(m))))
+    out.close()
+    // manifest-backed readers are unaffected by the orphan
+    assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq)) == before)
+    // the next compaction pass heals: members dropped, merged file live
+    assert(log.compactSegments("t") == 4)
+    assert(log.segments(tb).map(s => (s._2, s._3)) == Seq((0L, 8L)))
+    assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq)) == before)
+  }
 }

@@ -146,6 +146,26 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(log2.size(tb) == 20)
   }
 
+  test("compaction in manifest mode: one commit swaps members for merged; read ≡ identity") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    (0 until 8).foreach { e =>
+      log.appendAt(tb, e * 2L, payloads(2, e.toByte).map(p => (p, now)))
+    }
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    assert(log.segments(tb).size == 8)
+    assert(log.compactSegments("t") == 8)
+    assert(log.segments(tb).map(s => (s._2, s._3)) == Seq((0L, 16L)))
+    assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq)) == before,
+      "compaction must be invisible to reads")
+    assert(log.firstOffset(tb) == 0L && log.size(tb) == 16L)
+    // exactly one live data file remains on the store
+    val files = log.fs.listStatus(log.bucketDir(tb))
+      .map(_.getPath.getName).filter(_.startsWith("data-"))
+    assert(files.length == 1, s"members deleted after the commit: ${files.toSeq}")
+    assert(log.compactSegments("t") == 0, "idempotent")
+  }
+
   test("optimistic concurrency: two uncoordinated appenders lose no rows") {
     val root = tmp()
     val a = new FileTopicLog("ostest:" + root, conf())
