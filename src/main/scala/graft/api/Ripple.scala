@@ -27,6 +27,25 @@ object Ripple {
   def createTopic(root: String, topic: String, numBuckets: Int = 4): Unit =
     FileTopicLog.cached(root, LogFs.activeHadoopConf).createTopic(topic, numBuckets)
 
+  /** Create a topic AND register its payload schema (the lift schema lives
+    * in topic metadata — [[graft.connector.TopicSchemas]]): [[lift]] then
+    * needs no schema argument and `CREATE TABLE ... USING ripple OPTIONS
+    * (..., lift 'true')` exposes the typed payload columns directly.
+    * Registering a different schema on an existing typed topic fails
+    * loudly (drift policy).
+    */
+  def createTopic(root: String, topic: String, numBuckets: Int,
+      payloadSchema: StructType): Unit = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.createTopic(topic, numBuckets)
+    graft.connector.TopicSchemas.register(log, topic, payloadSchema)
+  }
+
+  /** The registered payload schema of a typed topic, if any. */
+  def topicSchema(root: String, topic: String): Option[StructType] =
+    graft.connector.TopicSchemas.get(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic)
+
   /** Metadata discovery (SURVEY A12 — the bootstrap plane's
     * GetProducer/ConsumerConnection lookups become registry listings).
     */
@@ -174,6 +193,36 @@ object Ripple {
       .select(col("topic").as("_topic"), col("bucket").as("_bucket"),
         col("offset").as("_offset"), col("id").as("_id"), col("ts").as("_ts"),
         col("v.*"))
+
+  /** [[lift]] from the topic's REGISTERED schema — no schema argument
+    * (loud when the topic has none). Works on batch and streaming
+    * envelopes alike; the registry read is a driver-side metadata op.
+    */
+  def lift(envelope: DataFrame, root: String, topic: String): DataFrame =
+    lift(envelope, graft.connector.TopicSchemas.require(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic))
+
+  /** Typed batch scan of a schema-registered topic: underscore envelope
+    * metadata + payload columns, parsed executor-side in the connector
+    * (option `lift`) — equivalent to `lift(read(...), root, topic)` but
+    * with offset/bucket pushdown intact on the `_offset`/`_bucket` names.
+    */
+  def readLifted(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("lift", "true").load()
+
+  /** Pack + write `df` AND register/validate its schema as the topic's
+    * payload schema: the write-time half of the registry. A frame whose
+    * schema DIFFERS from the registered one is refused loudly BEFORE any
+    * row is staged — schema drift on a shared topic must be a migration,
+    * not an accident.
+    */
+  def writePacked(df: DataFrame, root: String, topic: String, idCol: Column,
+      numBuckets: Int = 4): Unit = {
+    graft.connector.TopicSchemas.register(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, df.schema)
+    write(pack(df, idCol), root, topic, numBuckets)
+  }
 
   /** Serialize rows into payloads for [[write]]: `data` = JSON of all
     * columns, `id` = a stable int derived from `idCol`.

@@ -53,6 +53,10 @@ import scala.jdk.CollectionConverters._
   *     per-bucket locality pinning
   *   - `retentionMs` (write): expire whole segments older than this at each
   *     publish (offsets preserved; newest segment kept)
+  *   - `lift` (read, default false): expose the topic's REGISTERED payload
+  *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
+  *     envelope metadata + payload fields), parsed executor-side; loud
+  *     when the topic has no registered schema
   *   - `root` (alias for `path`, wins over it): use in
   *     `CREATE TABLE ... USING ripple OPTIONS (root ..., topic ...)` —
   *     the session catalog rewrites/injects `path` itself
@@ -99,7 +103,8 @@ object RippleConf {
       // can never lose data. The distinction must be captured here because
       // both arrive at the scan as the same Long.
       startingOffsetSet = options.containsKey("startingOffset"),
-      allowDataLoss = options.getBoolean("allowDataLoss", false))
+      allowDataLoss = options.getBoolean("allowDataLoss", false),
+      lift = options.getBoolean("lift", false))
   }
 }
 
@@ -121,9 +126,12 @@ case class RippleConf(
     consumerId: Option[String] = None,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,
+    lift: Boolean = false,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
       LogFs.activeBroadcast) {
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)
+  /** The registered payload schema (lifted reads); loud when absent. */
+  def payloadSchema: StructType = TopicSchemas.require(log, topic)
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = log.buckets(topic)
     bucket match {
@@ -149,7 +157,15 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
   }
 
   override def name(): String = s"ripple:${conf.topic}"
-  override def schema(): StructType = Schemas.envelope
+  /** Envelope by default; with option `lift 'true'` the table exposes the
+    * REGISTERED payload columns directly (underscore-prefixed envelope
+    * metadata + typed payload fields, [[TopicSchemas]]) — the catalog face
+    * of the schema registry: `CREATE TABLE ... USING ripple OPTIONS (root
+    * ..., topic ..., lift 'true')` is a fully typed table with no
+    * caller-supplied schema.
+    */
+  override def schema(): StructType =
+    if (conf.lift) Schemas.lifted(conf.payloadSchema) else Schemas.envelope
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(

@@ -25,7 +25,9 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
-  private var prunedSchema: StructType = graft.model.Schemas.envelope
+  private var prunedSchema: StructType =
+    if (conf.lift) graft.model.Schemas.lifted(conf.payloadSchema)
+    else graft.model.Schemas.envelope
   private var pushed: Array[Filter] = Array.empty
 
   // Narrowed scan bounds derived from pushed offset predicates.
@@ -66,22 +68,25 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // lifted tables carry the metadata columns under underscore names
+    val offCol = if (conf.lift) "_offset" else "offset"
+    val bktCol = if (conf.lift) "_bucket" else "bucket"
     val (accepted, rejected) = filters.partition {
-      case GreaterThan("offset", _: Long) => true
-      case GreaterThanOrEqual("offset", _: Long) => true
-      case LessThan("offset", _: Long) => true
-      case LessThanOrEqual("offset", _: Long) => true
-      case EqualTo("offset", _: Long) => true
-      case EqualTo("bucket", _: String) => true
+      case GreaterThan(`offCol`, _: Long) => true
+      case GreaterThanOrEqual(`offCol`, _: Long) => true
+      case LessThan(`offCol`, _: Long) => true
+      case LessThanOrEqual(`offCol`, _: Long) => true
+      case EqualTo(`offCol`, _: Long) => true
+      case EqualTo(`bktCol`, _: String) => true
       case _ => false
     }
     accepted.foreach {
-      case GreaterThan("offset", v: Long) => lo = math.max(lo, v + 1)
-      case GreaterThanOrEqual("offset", v: Long) => lo = math.max(lo, v)
-      case LessThan("offset", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("offset", v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo("offset", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case EqualTo("bucket", v: String) => bucketEq = Some(v)
+      case GreaterThan(`offCol`, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(`offCol`, v: Long) => lo = math.max(lo, v)
+      case LessThan(`offCol`, v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(`offCol`, v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo(`offCol`, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case EqualTo(`bktCol`, v: String) => bucketEq = Some(v)
       case _ =>
     }
     pushed = accepted
@@ -333,18 +338,20 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RippleReaderFactory(schema, conf.hconf)
+    new RippleReaderFactory(schema, conf.hconf, conf.lift)
 }
 
 /** Ships the driver's Hadoop configuration to executor-side readers so the
   * segment paths resolve against the same filesystem (`hdfs://`, `file:/`)
-  * the planner listed them from.
+  * the planner listed them from. `lift` switches readers to the typed
+  * payload view (underscore metadata + parsed JSON payload columns).
   */
 class RippleReaderFactory(schema: StructType,
-    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    lift: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema, hconf)
+    new RipplePartitionReader(partition.asInstanceOf[RippleInputPartition], schema, hconf, lift)
 }
 
 /** Streams frames from one segment slice; the executor-side analog of the
@@ -352,7 +359,8 @@ class RippleReaderFactory(schema: StructType,
   * (`internal/broker/queue/queue.go:58-61`).
   */
 class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
-    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    lift: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   /** Open the planned segment file; when it VANISHED between planning and
@@ -384,25 +392,86 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
 
   private val topicU = UTF8String.fromString(p.topic)
   private val bucketU = UTF8String.fromString(p.bucket)
-  // Precomputed per-field extractors for the pruned schema.
-  private val getters: Array[(Int, Long, Array[Byte]) => Any] =
-    schema.fieldNames.map {
-      case "topic"  => (_: Int, _: Long, _: Array[Byte]) => topicU
-      case "bucket" => (_: Int, _: Long, _: Array[Byte]) => bucketU
-      case "offset" => (_: Int, _: Long, _: Array[Byte]) => java.lang.Long.valueOf(off)
-      case "id"     => (id: Int, _: Long, _: Array[Byte]) => java.lang.Integer.valueOf(id)
-      case "data"   => (_: Int, _: Long, d: Array[Byte]) => d
-      case "ts"     => (_: Int, ts: Long, _: Array[Byte]) => java.lang.Long.valueOf(ts * 1000L) // millis → micros
-      case other    => throw new IllegalArgumentException(s"unknown column $other")
+
+  /** Lifted payload parsing (schema-registry reads): the pruned schema's
+    * non-underscore fields, parsed from each frame's JSON payload with
+    * Catalyst's own [[org.apache.spark.sql.catalyst.json.JacksonParser]]
+    * (the `from_json` engine — same type coercions, executor-side, no
+    * driver round-trip). Pruning works through Jackson: a 2-field read of
+    * a 50-field payload tokenizes but never materializes the other 48.
+    * Malformed payloads yield all-null payload columns (PERMISSIVE), not a
+    * poisoned partition — blobs written by pre-registry producers stay
+    * readable as nulls next to their envelope metadata.
+    */
+  private val liftedFieldNames = Set("_topic", "_bucket", "_offset", "_id", "_ts")
+  private val payloadParse: Option[(org.apache.spark.sql.catalyst.json.JacksonParser, Map[String, Int], Int)] =
+    if (!lift) None else {
+      val payloadFields = schema.fields.filter(f => !liftedFieldNames.contains(f.name))
+      if (payloadFields.isEmpty) None
+      else {
+        val ps = StructType(payloadFields.toIndexedSeq)
+        val parser = new org.apache.spark.sql.catalyst.json.JacksonParser(
+          ps, new org.apache.spark.sql.catalyst.json.JSONOptions(
+            Map.empty[String, String], "UTC", ""),
+          false, Seq.empty)
+        Some((parser, ps.fieldNames.zipWithIndex.toMap, ps.length))
+      }
+    }
+
+  private def parsePayload(data: Array[Byte]): InternalRow =
+    payloadParse match {
+      case None => null
+      case Some((parser, _, n)) =>
+        if (data == null || data.isEmpty) new GenericInternalRow(n)
+        else try {
+          parser.parse[UTF8String](UTF8String.fromBytes(data),
+              org.apache.spark.sql.catalyst.json.CreateJacksonParser.utf8String,
+              identity[UTF8String])
+            .headOption.getOrElse(new GenericInternalRow(n))
+        } catch {
+          case _: org.apache.spark.sql.catalyst.util.BadRecordException =>
+            new GenericInternalRow(n) // PERMISSIVE: malformed → nulls
+        }
+    }
+
+  // Precomputed per-field extractors for the pruned schema. Envelope mode
+  // uses the bare names; lifted mode the underscore names, with every other
+  // field positional into the parsed payload row.
+  private val getters: Array[(Int, Long, Array[Byte], InternalRow) => Any] =
+    schema.fields.map { f =>
+      (f.name, lift) match {
+        case ("topic", false) | ("_topic", true) =>
+          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => topicU
+        case ("bucket", false) | ("_bucket", true) =>
+          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => bucketU
+        case ("offset", false) | ("_offset", true) =>
+          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Long.valueOf(off)
+        case ("id", false) | ("_id", true) =>
+          (id: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Integer.valueOf(id)
+        case ("data", false) =>
+          (_: Int, _: Long, d: Array[Byte], _: InternalRow) => d
+        case ("ts", false) | ("_ts", true) =>
+          (_: Int, ts: Long, _: Array[Byte], _: InternalRow) =>
+            java.lang.Long.valueOf(ts * 1000L) // millis → micros
+        case (other, true) =>
+          val idx = payloadParse.map(_._2).getOrElse(Map.empty).getOrElse(other,
+            throw new IllegalArgumentException(s"unknown lifted column $other"))
+          val dt = f.dataType
+          (_: Int, _: Long, _: Array[Byte], pr: InternalRow) =>
+            if (pr == null || pr.isNullAt(idx)) null else pr.get(idx, dt)
+        case (other, false) =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }
     }
 
   override def next(): Boolean = {
     while (it.hasNext && off < p.until) {
       val (id, ts, data) = it.next()
       if (off >= p.from) {
+        val pr = if (payloadParse.isDefined) parsePayload(data) else null
         val values = new Array[Any](getters.length)
         var i = 0
-        while (i < getters.length) { values(i) = getters(i)(id, ts, data); i += 1 }
+        while (i < getters.length) { values(i) = getters(i)(id, ts, data, pr); i += 1 }
         cur = new GenericInternalRow(values)
         off += 1
         return true
@@ -581,7 +650,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RippleReaderFactory(schema, conf.hconf)
+    new RippleReaderFactory(schema, conf.hconf, conf.lift)
 
   /** The checkpoint is the PRIMARY commit log; a configured `consumerId`
     * additionally records the committed end as a broker-side cursor (always

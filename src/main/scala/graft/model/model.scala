@@ -57,4 +57,17 @@ object Schemas {
     StructField("id", IntegerType, nullable = false),
     StructField("data", BinaryType, nullable = true)
   ))
+
+  /** Lifted topic schema: underscore-prefixed envelope metadata followed by
+    * the registered payload fields — payload fields may legitimately be
+    * named ts/id/offset, so the metadata prefix prevents collisions (the
+    * same convention [[graft.api.Ripple.lift]] has always produced).
+    */
+  def lifted(payload: StructType): StructType = StructType(Seq(
+    StructField("_topic", StringType, nullable = false),
+    StructField("_bucket", StringType, nullable = false),
+    StructField("_offset", LongType, nullable = false),
+    StructField("_id", IntegerType, nullable = false),
+    StructField("_ts", TimestampType, nullable = true)
+  ) ++ payload.fields)
 }

@@ -717,6 +717,66 @@ class ConnectorSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ripple_cat")
   }
 
+  test("schema registry: typed topic lifts with no caller schema, batch + SQL catalog + stream") {
+    import spark.implicits._
+    val root = tmp()
+    val events = Seq(
+      (1L, "click", 2.5), (2L, "view", 1.0), (3L, "click", 4.0))
+      .toDF("event_id", "kind", "value")
+    // writePacked registers the frame's schema as topic metadata
+    Ripple.writePacked(events, root, "typed", col("event_id"), numBuckets = 2)
+    assert(Ripple.topicSchema(root, "typed").map(_.fieldNames.toSeq)
+      .contains(Seq("event_id", "kind", "value")))
+    // lift with NO schema argument (registry-backed)
+    val lifted = Ripple.lift(Ripple.read(spark, root, "typed"), root, "typed")
+    assert(lifted.select("event_id", "kind", "value").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "click", 2.5), (2L, "view", 1.0), (3L, "click", 4.0)))
+    // connector-native lifted scan: typed columns straight from the source
+    val native = Ripple.readLifted(spark, root, "typed")
+    assert(native.schema.fieldNames.toSeq ==
+      Seq("_topic", "_bucket", "_offset", "_id", "_ts", "event_id", "kind", "value"))
+    assert(native.select("kind", "value").collect().map(r =>
+      (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("click", 2.5), ("view", 1.0), ("click", 4.0)))
+    // offset pushdown survives under the underscore name
+    val plan = native.where(col("_offset") >= 0).queryExecution.executedPlan.toString
+    assert(plan.contains("_offset"), plan.take(500))
+    // SQL catalog: CREATE TABLE ... lift 'true' — typed columns, no schema
+    spark.sql("DROP TABLE IF EXISTS ripple_typed")
+    spark.sql(s"CREATE TABLE ripple_typed USING ripple " +
+      s"OPTIONS (root '$root', topic 'typed', lift 'true')")
+    val viaSql = spark.sql(
+      "SELECT kind, sum(value) AS total FROM ripple_typed GROUP BY kind ORDER BY kind")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaSql == Seq(("click", 6.5), ("view", 1.0)), viaSql.toString)
+    spark.sql("DROP TABLE ripple_typed")
+    // streaming read lifts through the same connector path
+    val sq = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "typed").option("lift", "true").load()
+      .writeStream.format("memory").queryName("typed_stream")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      sq.processAllAvailable()
+      assert(spark.table("typed_stream").select("event_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally sq.stop()
+    // drift refusal: a frame with a different shape is refused LOUDLY
+    val drifted = Seq((9L, "late", 1.0, "extra")).toDF("event_id", "kind", "value", "note")
+    val e = intercept[IllegalStateException] {
+      Ripple.writePacked(drifted, root, "typed", col("event_id"))
+    }
+    assert(e.getMessage.contains("drift") || e.getMessage.contains("registered"), e.getMessage)
+    assert(Ripple.read(spark, root, "typed").count() == 3, "refused before staging")
+    // an unregistered topic refuses a registry lift loudly
+    Ripple.createTopic(root, "blob", 1)
+    Ripple.write(samplePayloads(2), root, "blob", 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Ripple.readLifted(spark, root, "blob").collect()
+    }
+    assert(e2.getMessage.contains("no registered payload schema"), e2.getMessage)
+  }
+
   test("retentionMs write option expires aged segments at publish time") {
     val root = tmp()
     Ripple.createTopic(root, "ret", 1)
