@@ -390,6 +390,14 @@ object ScaleProbe {
     probed(sf1).foreach { case (name, fn) =>
       if (System.nanoTime() > deadline) skipped += 1
       else {
+        // Heap hygiene before each (mostly n=1) cell: the CacheProbe
+        // experiment (round 12) measured q74-sf1 at 74.6 s with 67.4 s of
+        // GC under 60% live-heap ballast vs 5.7 s clean — allocation-heavy
+        // cells are GC-BOUND under the old-gen occupancy a long bench JVM
+        // accumulates, which is exactly the committed 2-3×-of-history
+        // excursion shape (in-band disk, n=3-persistent within a run,
+        // gone across runs). A pre-cell collection levels the field.
+        System.gc()
         val short = name.takeWhile(_ != '_')
         var as = List(timeNoop(spark, sf01, name, fn))
         var bs = List(timeNoop(spark, sf1, name, fn))
