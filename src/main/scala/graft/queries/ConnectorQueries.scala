@@ -92,9 +92,53 @@ object ConnectorQueries {
       |  max(event_id) AS max_id
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Schema-registry surface (round 12): events written via `writePacked`
+    * (registers the payload schema in topic metadata), read back through
+    * the connector's LIFTED scan (option `lift` — payload parsed
+    * executor-side from the REGISTERED schema, no caller schema anywhere),
+    * aggregated. Oracle aggregates the original parquet.
+    */
+  def liftedTopicAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.writePacked(ev, root, "typed", col("event_id"), numBuckets = 8)
+    Ripple.readLifted(s, root, "typed")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  /** In-place segment compaction is invisible to queries (round 12):
+    * events land as MANY tiny segments (eight chunked appends — the
+    * streaming-sink shape), `compactSegments` merges them in place, and
+    * the post-compaction read must equal the oracle over the original
+    * parquet — offsets preserved, no row lost or duplicated.
+    */
+  def compactInPlaceAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cpt", numBuckets = 1)
+    (0 until 8).foreach { i =>
+      val chunk = ev.filter(pmod(col("event_id"), lit(8)) === i)
+      Ripple.write(Ripple.pack(chunk, col("event_id")).coalesce(1),
+        root, "cpt", numBuckets = 1)
+    }
+    Ripple.compactSegments(root, "cpt")
+    Ripple.lift(Ripple.read(s, root, "cpt"), eventSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
     "q41_topic_replay_suffix" -> (replaySuffix _),
+    "q151_lifted_topic" -> (liftedTopicAgg _),
+    "q152_compact_inplace" -> (compactInPlaceAgg _),
     "q42_json_source" -> ((s, d) => fileSourceAgg(s, d, "json")),
     "q43_csv_source" -> ((s, d) => fileSourceAgg(s, d, "csv")),
     // ORC: the columnar alternative to parquet (binary round-trip, no text
@@ -196,6 +240,16 @@ object ConnectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q40_topic_roundtrip_agg" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q151_lifted_topic" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+    "q152_compact_inplace" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
