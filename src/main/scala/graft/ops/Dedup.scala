@@ -461,12 +461,17 @@ object Dedup {
       gramHash: Column => Column = xxhash64(_)): DataFrame = {
     def gramsOf(df: DataFrame, id: String, text: String, out: String) = {
       val ws = TextAnalysis.words(col(text))
-      df.select(col(id).cast("long").as(out),
-        when(size(ws) >= n, array_distinct(transform(
-            transform(sequence(lit(0), size(ws) - n),
-              i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
-            g => gramHash(g))))
-          .otherwise(array().cast("array<long>")).as("gh"))
+      // fused gram hashing (GC-bound declaratively — DESIGN §14.7);
+      // array_distinct stays outside either way
+      val gh = TextAnalysis.fusedGramHashes(ws, n, gramHash, shortDocWhole = false)
+        .map(g => array_distinct(g))
+        .getOrElse(
+          when(size(ws) >= n, array_distinct(transform(
+              transform(sequence(lit(0), size(ws) - n),
+                i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
+              g => gramHash(g))))
+            .otherwise(array().cast("array<long>")))
+      df.select(col(id).cast("long").as(out), gh.as("gh"))
     }
     val ev = gramsOf(eval, evalId, evalText, "eval_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -627,10 +632,11 @@ object Dedup {
       hash64: Column => Column = c => xxhash64(c)): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
     val ws = TextAnalysis.words(col(textCol))
-    val gh = when(size(ws) >= k,
-        transform(sequence(lit(0), size(ws) - k),
-          i => hash64(concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<long>"))
+    val gh = TextAnalysis.fusedGramHashes(ws, k, hash64, shortDocWhole = false)
+      .getOrElse(when(size(ws) >= k,
+          transform(sequence(lit(0), size(ws) - k),
+            i => hash64(concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
+        .otherwise(array().cast("array<long>")))
     val fps = when(size(col("__gh")) >= w,
         array_distinct(transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
           j => array_min(slice(col("__gh"), j, lit(w))))))
@@ -1261,13 +1267,18 @@ object Dedup {
       gramHash: Column => Column = xxhash64(_)): DataFrame = {
     val in = Spread.toCores(df)
     val ws = TextAnalysis.words(col(textCol))
-    val grams = in.select(col(idCol).cast("long").as("id"),
-        size(ws).cast("long").as("n_tokens"),
+    // fused single-pass gram hashing for the known families (GC-bound
+    // otherwise — DESIGN §14.7); unknown families keep the declarative form
+    val ghCol = TextAnalysis.fusedGramHashes(ws, n, gramHash, shortDocWhole = false)
+      .getOrElse(
         when(size(ws) >= n, transform(
             transform(sequence(lit(0), size(ws) - n),
               i => concat_ws(" ", slice(ws, i + 1, lit(n)))),
             g => gramHash(g)))
-          .otherwise(array().cast("array<long>")).as("gh"))
+          .otherwise(array().cast("array<long>")))
+    val grams = in.select(col(idCol).cast("long").as("id"),
+        size(ws).cast("long").as("n_tokens"),
+        ghCol.as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pos = grams.select(col("id"), col("n_tokens"),
       posexplode_outer(col("gh")).as(Seq("pos", "gram")))
@@ -1374,11 +1385,13 @@ object Dedup {
         TextAnalysis.words(col(textCol)).as("__ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def grams = toks.select(col("id"),
-      when(size(col("__ws")) >= n, transform(
-          transform(sequence(lit(0), size(col("__ws")) - n),
-            i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))),
-          g => gramHash(g)))
-        .otherwise(array().cast("array<long>")).as("gh"))
+      TextAnalysis.fusedGramHashes(col("__ws"), n, gramHash, shortDocWhole = false)
+        .getOrElse(
+          when(size(col("__ws")) >= n, transform(
+              transform(sequence(lit(0), size(col("__ws")) - n),
+                i => concat_ws(" ", slice(col("__ws"), i + 1, lit(n)))),
+              g => gramHash(g)))
+            .otherwise(array().cast("array<long>"))).as("gh"))
     val dupGrams = grams
       .select(col("id"), explode(array_distinct(col("gh"))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("ndocs"))

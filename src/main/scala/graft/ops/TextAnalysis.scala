@@ -27,6 +27,32 @@ object TextAnalysis {
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** The fused positional-gram-hash column ([[graft.functions.GramHashes]])
+    * when the caller's hash family is one of the two known ones, None
+    * otherwise (the caller keeps its declarative `transform` chain). The
+    * family is detected STRUCTURALLY: apply it to a literal probe and
+    * compare expression trees — a caller-supplied custom family can never
+    * be silently mis-fused. Fusion matters because the declarative chain's
+    * per-gram allocations (slice + concat_ws + md5-hex + conv strings)
+    * make the gram ops the suite's most GC-sensitive cells (DESIGN §14.7,
+    * measured 13× under heap ballast).
+    */
+  private[graft] def fusedGramHashes(ws: Column, n: Int,
+      gramHash: Column => Column, shortDocWhole: Boolean): Option[Column] = {
+    // Column.toString renders the applied tree ("xxhash64('probe')") —
+    // stable and argument-discriminating (a custom seed renders its extra
+    // literal). Catalyst semanticEquals can't be used here: the classic
+    // Column API wraps lazy UNRESOLVED nodes whose per-construction Origin
+    // defeats structural equality.
+    val probe = lit("graft-gram-probe")
+    val applied = gramHash(probe).toString
+    if (applied == xxhash64(probe).toString)
+      Some(graft.functions.textgrams.gram_hashes(ws, n, portable = false, shortDocWhole))
+    else if (applied == portableHash60(probe).toString)
+      Some(graft.functions.textgrams.gram_hashes(ws, n, portable = true, shortDocWhole))
+    else None
+  }
+
   /** C4-style quality thresholds — the ONE definition the q71 filter and
     * the corpus report both build from, so the published pass-rate can
     * never drift from the pipeline's actual keep decision.

@@ -122,4 +122,52 @@ class FunctionsSpec extends AnyFunSuite {
     val none = BenchHistory.load("/nonexistent/bench.jsonl")
     assert(none.queryMedian("q01_agg").isEmpty && none.calibMedian.isEmpty)
   }
+
+  test("GramHashes ≡ the declarative transform chain, both families, randomized") {
+    import spark.implicits._
+    import graft.functions.textgrams.gram_hashes
+    import graft.ops.TextAnalysis
+    // randomized texts incl. unicode, repeats, punctuation, single-token
+    // and sub-n docs (the shortDocWhole branches), plus the empty string
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "γράμμα", "préfix", "x", "longer-token",
+      "alpha", "句子", "q!", "7", "__", "ümlaut")
+    val texts = (0 until 300).map { _ =>
+      val t = rnd.nextInt(40)
+      (0 until t).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "one" :+ "one two"
+    val df = texts.toDF("text").withColumn("ws", split(trim(col("text")), "\\s+"))
+    for (n <- Seq(2, 3, 13); portable <- Seq(false, true)) {
+      val family: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) TextAnalysis.portableHash60 else xxhash64(_)
+      val declarativePos =
+        when(size(col("ws")) >= n, transform(
+            transform(sequence(lit(0), size(col("ws")) - n),
+              i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))),
+            g => family(g)))
+          .otherwise(array().cast("array<long>"))
+      val declarativeWhole =
+        when(size(col("ws")) < n, array(family(concat_ws(" ", col("ws")))))
+          .otherwise(transform(
+            transform(sequence(lit(0), size(col("ws")) - n),
+              i => concat_ws(" ", slice(col("ws"), i + 1, lit(n)))),
+            g => family(g)))
+      val diff = df.select(
+          gram_hashes(col("ws"), n, portable, shortDocWhole = false).as("fused"),
+          declarativePos.as("decl"),
+          gram_hashes(col("ws"), n, portable, shortDocWhole = true).as("fusedW"),
+          declarativeWhole.as("declW"))
+        .filter(col("fused") =!= col("decl") || col("fusedW") =!= col("declW"))
+      assert(diff.count() == 0,
+        s"n=$n portable=$portable: fused gram hashes diverge:\n" +
+          diff.limit(3).collect().mkString("\n"))
+    }
+    // the detection helper fuses exactly the two known families
+    assert(TextAnalysis.fusedGramHashes(col("ws"), 3, xxhash64(_), false).isDefined)
+    assert(TextAnalysis.fusedGramHashes(col("ws"), 3,
+      TextAnalysis.portableHash60, false).isDefined)
+    assert(TextAnalysis.fusedGramHashes(col("ws"), 3,
+      c => xxhash64(c, lit(7)), false).isEmpty,
+      "a custom-seed family must NOT silently fuse")
+  }
 }
