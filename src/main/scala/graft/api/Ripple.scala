@@ -46,6 +46,16 @@ object Ripple {
     graft.connector.TopicSchemas.get(
       FileTopicLog.cached(root, LogFs.activeHadoopConf), topic)
 
+  /** Additive schema evolution for a typed topic: the registered fields
+    * must be an exact prefix and the appended fields nullable, so every
+    * already-written payload lifts with NULLs in the new columns — no
+    * rewrite. Any other change is refused loudly
+    * ([[graft.connector.TopicSchemas.evolve]]).
+    */
+  def evolveTopicSchema(root: String, topic: String, schema: StructType): Unit =
+    graft.connector.TopicSchemas.evolve(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, schema)
+
   /** Metadata discovery (SURVEY A12 — the bootstrap plane's
     * GetProducer/ConsumerConnection lookups become registry listings).
     */
@@ -231,6 +241,14 @@ object Ripple {
     df.select(
       pmod(hash(idCol), lit(Int.MaxValue)).cast("int").as("id"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"))
+
+  /** Storage hygiene: delete crash-orphaned invisible files (uncommitted
+    * manifest-mode data files, staging leftovers, superseded epoch
+    * markers) older than `graceMs`. Committed data is never touched —
+    * see [[graft.log.FileTopicLog.vacuum]]. Returns files deleted.
+    */
+  def vacuum(root: String, topic: String, graceMs: Long = 3600000L): Int =
+    FileTopicLog.cached(root, LogFs.activeHadoopConf).vacuum(topic, graceMs)
 
   /** In-place, offset-preserving segment compaction: merge runs of
     * adjacent tiny segments (a streaming sink publishes one per epoch per

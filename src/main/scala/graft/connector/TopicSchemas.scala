@@ -41,13 +41,24 @@ object TopicSchemas {
         "Ripple.writePacked (which registers the frame's schema), or pass " +
         "an explicit schema to Ripple.lift."))
 
-  /** Register `schema` for `topic`; idempotent for the same schema,
-    * LOUD on drift (see class doc). Field ORDER is part of the contract —
-    * lifted column order is user-visible.
+  /** A frame schema SATISFIES the registered one when names, types, and
+    * order match and the frame is at most as nullable per field — data
+    * stricter than the contract is fine; data that may carry nulls where
+    * the contract promises none is not.
+    */
+  private def satisfies(registered: StructType, incoming: StructType): Boolean =
+    registered.length == incoming.length &&
+      registered.fields.zip(incoming.fields).forall { case (r, i) =>
+        r.name == i.name && r.dataType == i.dataType && (r.nullable || !i.nullable)
+      }
+
+  /** Register `schema` for `topic`; idempotent for a schema that satisfies
+    * the registered one, LOUD on drift (see class doc). Field ORDER is
+    * part of the contract — lifted column order is user-visible.
     */
   def register(log: FileTopicLog, topic: String, schema: StructType): Unit =
     get(log, topic) match {
-      case Some(existing) if existing != schema =>
+      case Some(existing) if !satisfies(existing, schema) =>
         throw new IllegalStateException(
           s"topic '$topic' already has a registered payload schema\n  " +
             s"registered: ${existing.simpleString}\n  incoming:   " +
@@ -65,4 +76,33 @@ object TopicSchemas {
   def dropSchema(log: FileTopicLog, topic: String): Unit =
     try log.fs.delete(path(log, topic), false)
     catch { case _: java.io.IOException => () }
+
+  /** ADDITIVE evolution — the one compatible schema change: the registered
+    * fields must be an exact PREFIX of the new schema (names, types,
+    * nullability), and every appended field must be nullable, so every
+    * already-written payload lifts under the new schema with NULLs in the
+    * new columns (the JSON parser's missing-field behavior — no rewrite,
+    * no versioning). Anything else (rename, retype, reorder, drop,
+    * non-nullable add) stays a loud refusal: those changes make old blobs
+    * unreadable or silently wrong.
+    */
+  def evolve(log: FileTopicLog, topic: String, schema: StructType): Unit = {
+    val existing = require(log, topic)
+    if (existing == schema) return
+    // prefix: same names/types in order, nullability never NARROWED
+    val prefixOk = schema.fields.length >= existing.fields.length &&
+      existing.fields.zip(schema.fields).forall { case (e, p) =>
+        e.name == p.name && e.dataType == p.dataType && (p.nullable || !e.nullable)
+      }
+    val addedNullable = schema.fields.drop(existing.fields.length).forall(_.nullable)
+    if (!prefixOk || !addedNullable)
+      throw new IllegalStateException(
+        s"topic '$topic': schema evolution must be ADDITIVE — registered " +
+          s"fields an exact prefix, appended fields nullable.\n  registered: " +
+          s"${existing.simpleString}\n  proposed:   ${schema.simpleString}\n" +
+          "Old payloads could not lift under this change; migrate to a new " +
+          "topic instead.")
+    log.writeFileAtomic(path(log, topic),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

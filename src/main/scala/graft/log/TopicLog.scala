@@ -1221,6 +1221,65 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     0
   }
 
+  /** Storage-hygiene sweep (the VACUUM analog of the public Delta/Iceberg
+    * pattern): delete files a crash left UNREFERENCED — invisible to
+    * readers by protocol, but occupying storage forever at 10^4
+    * epochs/bucket/hour scale. Swept, per bucket, when older than
+    * `graceMs` (default 1 h — an in-flight writer's file is always
+    * younger; it commits or fails within its publish attempt):
+    *
+    *   - manifest mode: `data-*` files absent from the committed state
+    *     (crashed appends/compactions stage under unique names that only
+    *     a commit makes live);
+    *   - both modes: `.tmp-*` / `.staged-*` staging leftovers in bucket
+    *     dirs and the topic's `.staging/` workspace;
+    *   - the epoch-marker namespace: non-newest `epoch-N` markers per
+    *     query dir (only the newest can still no-op a replay — older
+    *     epochs are behind every checkpoint); live `*.intent` files are
+    *     KEPT (deleting one would break a crashed epoch's heal).
+    *
+    * Never touches committed segments, manifests, commit logs, locks, or
+    * consumer cursors. Returns the number of files deleted.
+    */
+  def vacuum(topic: String, graceMs: Long = 3600000L,
+      nowMillis: Long = System.currentTimeMillis()): Int = {
+    val cutoff = nowMillis - graceMs
+    var deleted = 0
+    def rm(p: HPath): Unit =
+      if (try fs.delete(p, false) catch { case _: java.io.IOException => false })
+        deleted += 1
+    buckets(topic).foreach { tb =>
+      val live = segments(tb).map(_._1.getName).toSet
+      listStatus(bucketDir(tb)).foreach { st =>
+        val name = st.getPath.getName
+        val orphanData = manifestCommitMode && st.isFile &&
+          name.startsWith("data-") && !live.contains(name)
+        val staging = st.isFile &&
+          (name.startsWith(".tmp-") || name.startsWith(".staged-"))
+        if ((orphanData || staging) && st.getModificationTime < cutoff)
+          rm(st.getPath)
+      }
+    }
+    val topicDir = new HPath(root, topic)
+    listStatus(new HPath(topicDir, ".staging")).foreach { st =>
+      if (st.isFile && st.getModificationTime < cutoff) rm(st.getPath)
+    }
+    listStatus(new HPath(topicDir, ".commits")).filter(_.isDirectory).foreach { qdir =>
+      val markers = listStatus(qdir.getPath).filter { st =>
+        st.isFile && st.getPath.getName.matches("epoch-\\d+")
+      }
+      if (markers.nonEmpty) {
+        val newest = markers.maxBy(st =>
+          st.getPath.getName.stripPrefix("epoch-").toLong).getPath.getName
+        markers.foreach { st =>
+          if (st.getPath.getName != newest && st.getModificationTime < cutoff)
+            rm(st.getPath)
+        }
+      }
+    }
+    deleted
+  }
+
   /** Create a topic with `numBuckets` buckets — the control-plane op the
     * reference exposes as gRPC `CreateBucket`
     * (`server/exposed/create.go:15-27`). Here it is a pure metadata op:

@@ -777,6 +777,73 @@ class ConnectorSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no registered payload schema"), e2.getMessage)
   }
 
+  test("additive schema evolution: old blobs lift with NULL new columns; non-additive refused") {
+    import spark.implicits._
+    val root = tmp()
+    val v1 = Seq((1L, "click"), (2L, "view")).toDF("event_id", "kind")
+    Ripple.writePacked(v1, root, "evo", col("event_id"))
+    // additive: +1 nullable column — accepted, no rewrite
+    val widened = org.apache.spark.sql.types.StructType(
+      v1.schema.fields :+ org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true))
+    Ripple.evolveTopicSchema(root, "evo", widened)
+    val v2 = Seq((3L, "click", 0.9)).toDF("event_id", "kind", "score")
+    Ripple.writePacked(v2, root, "evo", col("event_id"))
+    val lifted = Ripple.readLifted(spark, root, "evo")
+      .select("event_id", "kind", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(lifted == Set((1L, "click", None), (2L, "view", None),
+      (3L, "click", Some(0.9))),
+      s"old rows lift with NULL score, new ones typed: $lifted")
+    // rename/retype/reorder stays loudly refused
+    val renamed = Seq((9L, "x")).toDF("event_id", "kindx")
+    intercept[IllegalStateException] {
+      Ripple.evolveTopicSchema(root, "evo", renamed.schema)
+    }
+    // non-nullable addition refused too
+    val hardAdd = org.apache.spark.sql.types.StructType(
+      widened.fields :+ org.apache.spark.sql.types.StructField("must",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    intercept[IllegalStateException] {
+      Ripple.evolveTopicSchema(root, "evo", hardAdd)
+    }
+  }
+
+  test("streaming sink over the object-store rig: exactly-once epochs end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.log.nonAtomicRenameSchemes", "s3,s3a,gs,abfs,ostest")
+    val root = "ostest:" + tmp()
+    Ripple.createTopic(root, "osstream", numBuckets = 2)
+    val mem = MemoryStream[Int]
+    mem.addData(1 to 25: _*)
+    val ckpt = tmp()
+    def drain(): Unit = {
+      val q = mem.toDF().selectExpr("value AS id", "CAST(CAST(value AS STRING) AS BINARY) AS data")
+        .writeStream.format("ripple")
+        .option("path", root).option("topic", "osstream")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(Ripple.read(spark, root, "osstream").count() == 25)
+    // restart on the SAME checkpoint: committed epochs replay as no-ops
+    drain()
+    assert(Ripple.read(spark, root, "osstream").count() == 25,
+      "checkpoint restart must not duplicate epochs on the object store")
+    mem.addData(26 to 30: _*)
+    drain()
+    val back = Ripple.read(spark, root, "osstream")
+    assert(back.count() == 30)
+    assert(back.select("id").collect().map(_.getInt(0)).sorted.toSeq == (1 to 30))
+  }
+
   test("retentionMs write option expires aged segments at publish time") {
     val root = tmp()
     Ripple.createTopic(root, "ret", 1)

@@ -267,6 +267,30 @@ class LogSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum sweeps staging leftovers and superseded epoch markers, keeps the newest + intents") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    val fs = log.fs
+    val topicDir = new org.apache.hadoop.fs.Path(log.root, "t")
+    def touch(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.mkdirs(p.getParent); val o = fs.create(p, true); o.close()
+    }
+    // crashed-publish leftovers + epoch-marker namespace of two queries
+    touch(new org.apache.hadoop.fs.Path(log.bucketDir(tb), ".tmp-crashed"))
+    touch(new org.apache.hadoop.fs.Path(topicDir, ".staging/stage-1-2-b0-dead"))
+    val q = new org.apache.hadoop.fs.Path(topicDir, ".commits/query-1")
+    Seq("epoch-1", "epoch-2", "epoch-9", "epoch-5.intent").foreach(m =>
+      touch(new org.apache.hadoop.fs.Path(q, m)))
+    val swept = log.vacuum("t", graceMs = 0L, nowMillis = now + 60000)
+    // .tmp + staging + epoch-1 + epoch-2 (epoch-9 is newest; intent kept)
+    assert(swept == 4, s"swept $swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(q, "epoch-9")), "newest marker kept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(q, "epoch-5.intent")), "intent kept")
+    assert(log.range(tb, 0, 3).map(_.data(0)) == Seq[Byte](1, 1, 1), "segments untouched")
+    assert(log.segments(tb).size == 1)
+  }
+
   test("compactSegments: read ≡ identity, offsets/floor/size unchanged, groups bounded") {
     val log = fileLog()
     val now = System.currentTimeMillis()

@@ -166,6 +166,26 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(log.compactSegments("t") == 0, "idempotent")
   }
 
+  test("vacuum removes crash-orphaned data files, never committed ones") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    log.appendAt(tb, 3L, payloads(3, 2).map(p => (p, now)))
+    // a crashed writer's uncommitted data file (invisible, but on disk)
+    val orphan = new HPath(log.bucketDir(tb), "data-00000000000000000006-0000000003-deadbeef.log")
+    SegmentCodec.write(log.fs, orphan, payloads(3, 9).map(p => (p, now)))
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id))
+    // inside the grace window: kept (could be an in-flight publish)
+    assert(log.vacuum("t", graceMs = 3600000L) == 0)
+    assert(log.fs.exists(orphan))
+    // past the grace window: swept
+    assert(log.vacuum("t", graceMs = 0L, nowMillis = now + 10000) == 1)
+    assert(!log.fs.exists(orphan), "orphan gone")
+    assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id)) == before,
+      "committed data untouched")
+    assert(log.segments(tb).size == 2)
+  }
+
   test("optimistic concurrency: two uncoordinated appenders lose no rows") {
     val root = tmp()
     val a = new FileTopicLog("ostest:" + root, conf())
