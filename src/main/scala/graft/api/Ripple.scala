@@ -177,6 +177,28 @@ object Ripple {
     spark.read.format("ripple").option("path", root).option("topic", topic)
       .option("startingOffset", from).option("endingOffset", until).load()
 
+  /** Capture a snapshot token: each bucket's committed offset range
+    * `[floor, end)` in one metadata pass. Pair with [[readSnapshot]] — a
+    * later read of the token sees exactly this state (appends invisible,
+    * compaction transparent, retention past a pinned floor loud), which
+    * makes "the corpus this model trained on" one storable string. See
+    * [[graft.connector.TopicSnapshot]] for the contract.
+    */
+  def snapshot(root: String, topic: String): String = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    graft.connector.TopicSnapshot.encode(topic,
+      log.buckets(topic).map(tb =>
+        tb.bucket -> (log.firstOffset(tb), log.size(tb))).toMap)
+  }
+
+  /** Batch scan pinned to a [[snapshot]] token (connector option
+    * `snapshot`).
+    */
+  def readSnapshot(spark: SparkSession, root: String, topic: String,
+      token: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("snapshot", token).load()
+
   /** Streaming scan; pair with `option("checkpointLocation", …)` on the
     * writer — the checkpoint directory is the consumer identity (SURVEY A7).
     */

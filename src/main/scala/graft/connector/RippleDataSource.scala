@@ -57,6 +57,13 @@ import scala.jdk.CollectionConverters._
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
   *     when the topic has no registered schema
+  *   - `snapshot` (batch read): a [[TopicSnapshot]] token pinning each
+  *     bucket to the offset range committed at capture time
+  *     ([[graft.api.Ripple.snapshot]]). Appends after the capture are
+  *     invisible; compaction is transparent (offsets preserved); retention
+  *     past a pinned floor fails loudly (honors `allowDataLoss`); a pinned
+  *     bucket missing from the log, or a log that ends BELOW a pinned end,
+  *     fails loudly. Batch only — a streaming query pins via its checkpoint
   *   - `root` (alias for `path`, wins over it): use in
   *     `CREATE TABLE ... USING ripple OPTIONS (root ..., topic ...)` —
   *     the session catalog rewrites/injects `path` itself
@@ -104,7 +111,14 @@ object RippleConf {
       // both arrive at the scan as the same Long.
       startingOffsetSet = options.containsKey("startingOffset"),
       allowDataLoss = options.getBoolean("allowDataLoss", false),
-      lift = options.getBoolean("lift", false))
+      lift = options.getBoolean("lift", false),
+      snapshot = Option(options.get("snapshot")).map { tok =>
+        val (snapTopic, ranges) = TopicSnapshot.decode(tok)
+        if (snapTopic != topic) throw new IllegalArgumentException(
+          s"ripple: snapshot token was captured from topic '$snapTopic', " +
+            s"not '$topic' — a pin must not silently read a different topic")
+        ranges
+      })
   }
 }
 
@@ -127,6 +141,7 @@ case class RippleConf(
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,
     lift: Boolean = false,
+    snapshot: Option[Map[String, (Long, Long)]] = None,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
       LogFs.activeBroadcast) {
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

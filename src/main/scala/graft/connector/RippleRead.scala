@@ -47,7 +47,12 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+    // Snapshot reads decline the metadata count: the count scan's uniform
+    // [lo, hi) clamp doesn't know per-bucket pins, and a metadata answer
+    // would also skip the snapshot's loud floor/end validation. The normal
+    // scan (which validates) answers COUNT(*) correctly, just not for free.
+    conf.snapshot.isEmpty &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 
@@ -218,9 +223,18 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     var rows = 0L
     var bytes = 0L
     conf.buckets.foreach { tb =>
-      val end = math.min(hi, log.size(tb))
+      // A pinned bucket clamps to its snapshot range; a bucket absent from
+      // the token (created after capture) contributes nothing.
+      val (blo, bhi) = conf.snapshot match {
+        case None    => (lo, hi)
+        case Some(m) => m.get(tb.bucket) match {
+          case Some((s, e)) => (math.max(lo, s), math.min(hi, e))
+          case None         => (0L, 0L)
+        }
+      }
+      val end = math.min(bhi, log.size(tb))
       log.segments(tb).foreach { case (path, start, count) =>
-        val overlap = math.max(0L, math.min(end, start + count) - math.max(lo, start))
+        val overlap = math.max(0L, math.min(end, start + count) - math.max(blo, start))
         if (overlap > 0 && count > 0) {
           rows += overlap
           val fileBytes = log.fileLen(path)
@@ -262,8 +276,13 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       limit.map(l => s" limit=$l").getOrElse("")
   override def toBatch: Batch =
     new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets)
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    if (conf.snapshot.isDefined) throw new UnsupportedOperationException(
+      "ripple: option 'snapshot' pins a BATCH read; a streaming query pins " +
+        "its position through the checkpoint — drop the option or read with " +
+        "spark.read")
     new RippleMicroBatchStream(conf, schema)
+  }
 }
 
 /** One input partition per live segment slice — at scale, reads of a
@@ -300,22 +319,55 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       case Some(keep) => conf.buckets.filter(tb => keep.contains(tb.bucket))
       case None => conf.buckets
     }
+    // Snapshot pin: a bucket the token names but the log no longer has
+    // means the pinned corpus is partly GONE — fail loudly (checked against
+    // the un-narrowed disk listing so bucket pruning/DPP can't mask it).
+    conf.snapshot.foreach { m =>
+      val disk = log.buckets(conf.topic).map(_.bucket).toSet
+      val gone = m.keysIterator.filterNot(disk.contains).toSeq.sorted
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"ripple: snapshot of topic '${conf.topic}' pins bucket(s) " +
+          s"${gone.mkString(", ")} that no longer exist in the log — the " +
+          "pinned corpus cannot be reproduced")
+    }
     val all = live.flatMap { tb =>
-      val segs = log.segments(tb)
-      val end = math.min(hi,
-        if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max)
-      // Data-loss guard: an EXPLICIT startingOffset below the retention
-      // floor is a positional read of truncated rows — fail (or skip+log
-      // under allowDataLoss). The absent default means "earliest retained".
-      val floor = segs.headOption.map(_._2).getOrElse(0L)
-      val from =
-        if (conf.startingOffsetSet) RippleDataLoss.check(conf, tb.bucket, lo, floor)
-        else lo
-      segs.collect {
-        case (path, start, count) if start < end && start + count > from =>
-          RippleInputPartition(conf.root, conf.topic, tb.bucket,
-            path.toString, start, math.max(from, start), math.min(end, start + count),
-            conf.preferredHosts.toArray)
+      // A pinned bucket reads its captured [floor, end) intersected with
+      // any pushed offset bounds; a bucket absent from the token (created
+      // after capture) is invisible to the pin.
+      val range = conf.snapshot match {
+        case None    => Some((lo, hi))
+        case Some(m) => m.get(tb.bucket).map { case (s, e) =>
+          (math.max(lo, s), math.min(hi, e)) }
+      }
+      range.toSeq.flatMap { case (blo, bhi) =>
+        val segs = log.segments(tb)
+        val logEnd = if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
+        // The log is append-only, so a pinned end above the CURRENT end
+        // means segments were deleted outside retention — never skip it.
+        conf.snapshot.flatMap(_.get(tb.bucket)).foreach { case (_, sHi) =>
+          if (logEnd < sHi) throw new IllegalStateException(
+            s"ripple: snapshot pinned topic '${conf.topic}' bucket " +
+              s"'${tb.bucket}' through offset $sHi but the log now ends at " +
+              s"$logEnd — segments were deleted outside the append-only " +
+              "contract; the pinned corpus cannot be reproduced")
+        }
+        val end = math.min(bhi, logEnd)
+        // Data-loss guard: an EXPLICIT startingOffset below the retention
+        // floor is a positional read of truncated rows — fail (or skip+log
+        // under allowDataLoss). The absent default means "earliest
+        // retained". A snapshot floor is always positional: retention past
+        // it means pinned rows are gone.
+        val floor = segs.headOption.map(_._2).getOrElse(0L)
+        val from =
+          if (conf.startingOffsetSet || conf.snapshot.isDefined)
+            RippleDataLoss.check(conf, tb.bucket, blo, floor)
+          else blo
+        segs.collect {
+          case (path, start, count) if start < end && start + count > from =>
+            RippleInputPartition(conf.root, conf.topic, tb.bucket,
+              path.toString, start, math.max(from, start), math.min(end, start + count),
+              conf.preferredHosts.toArray)
+        }
       }
     }.toArray
     limit match {

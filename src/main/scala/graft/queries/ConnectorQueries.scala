@@ -134,7 +134,32 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Snapshot pinning (round 12): write the first 600 events, capture a
+    * snapshot token, then append the rest AND compact the log in place —
+    * the pinned read must still see exactly the pre-capture corpus (appends
+    * invisible, compaction transparent). Oracle: `event_id < 600` on the
+    * source parquet.
+    */
+  def snapshotPinAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "snap", numBuckets = 4)
+    Ripple.write(Ripple.pack(ev.filter(col("event_id") < 600), col("event_id")),
+      root, "snap", numBuckets = 4)
+    val token = Ripple.snapshot(root, "snap")
+    Ripple.write(Ripple.pack(ev.filter(col("event_id") >= 600), col("event_id")),
+      root, "snap", numBuckets = 4)
+    Ripple.compactSegments(root, "snap")
+    Ripple.lift(Ripple.readSnapshot(s, root, "snap", token), eventSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_snapshot_pin" -> (snapshotPinAgg _),
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
     "q41_topic_replay_suffix" -> (replaySuffix _),
     "q151_lifted_topic" -> (liftedTopicAgg _),
@@ -239,6 +264,11 @@ object ConnectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q153_snapshot_pin" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id < 600 GROUP BY 1""".stripMargin,
     "q40_topic_roundtrip_agg" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

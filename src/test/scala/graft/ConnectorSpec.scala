@@ -1113,4 +1113,103 @@ class ConnectorSpec extends AnyFunSuite {
     assert(spark.table("dlf_out").select("offset").collect()
       .map(_.getLong(0)).sorted.toSeq == (10L until 20L))
   }
+
+  test("snapshot pin: appends after capture are invisible; compaction transparent; COUNT(*) exact") {
+    val root = tmp()
+    Ripple.createTopic(root, "sn", numBuckets = 3)
+    Ripple.write(samplePayloads(60), root, "sn", numBuckets = 3)
+    val before = Ripple.read(spark, root, "sn")
+      .select("bucket", "offset", "id").collect().map(_.toString).sorted.toSeq
+    val token = Ripple.snapshot(root, "sn")
+
+    Ripple.write(samplePayloads(40), root, "sn", numBuckets = 3) // post-capture
+    Ripple.compactSegments(root, "sn") // offsets preserved by contract
+
+    val pinned = Ripple.readSnapshot(spark, root, "sn", token)
+    assert(pinned.select("bucket", "offset", "id").collect()
+      .map(_.toString).sorted.toSeq == before,
+      "pinned read must reproduce the captured corpus exactly")
+    // COUNT(*) declines the metadata shortcut under a pin but stays exact
+    assert(pinned.count() == 60)
+    // the pin composes with pushed offset bounds (intersection)
+    assert(pinned.filter(col("offset") >= 10).count() ==
+      before.count(_ => true) - 3 * 10)
+  }
+
+  test("snapshot pin: retention past a pinned floor fails loudly; allowDataLoss proceeds from the floor") {
+    val root = tmp()
+    Ripple.createTopic(root, "snr", numBuckets = 1)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "snr") // seg [0,10)
+    Ripple.write(samplePayloads(10).coalesce(1), root, "snr") // seg [10,20)
+    val token = Ripple.snapshot(root, "snr") // pins [0, 20)
+    assert(Ripple.truncateBefore(root, "snr", 10) == 1) // [0,10) gone
+
+    val e = intercept[Exception] {
+      Ripple.readSnapshot(spark, root, "snr", token).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("retention"),
+      s"error must say retention truncated the pinned rows: $msg")
+
+    val skipped = spark.read.format("ripple")
+      .option("path", root).option("topic", "snr")
+      .option("snapshot", token).option("allowDataLoss", true).load()
+    assert(skipped.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+      == (10L until 20L))
+  }
+
+  test("snapshot token is refused on the wrong topic, malformed input, streaming, and a vanished bucket") {
+    val root = tmp()
+    Ripple.createTopic(root, "sna", numBuckets = 1)
+    Ripple.write(samplePayloads(5).coalesce(1), root, "sna")
+    Ripple.createTopic(root, "snb", numBuckets = 1)
+    val token = Ripple.snapshot(root, "sna")
+
+    val wrongTopic = intercept[IllegalArgumentException] {
+      Ripple.readSnapshot(spark, root, "snb", token).count()
+    }
+    assert(wrongTopic.getMessage.contains("sna"))
+
+    intercept[IllegalArgumentException] {
+      Ripple.readSnapshot(spark, root, "sna", "{\"v\":7}").count()
+    }
+
+    val streaming = intercept[Exception] {
+      spark.readStream.format("ripple")
+        .option("path", root).option("topic", "sna").option("snapshot", token)
+        .load().writeStream.format("memory").queryName("sn_refuse")
+        .option("checkpointLocation", tmp())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    val smsg = Option(streaming.getMessage).getOrElse("") +
+      Option(streaming.getCause).map(_.getMessage).getOrElse("")
+    assert(smsg.contains("snapshot"), s"streaming must refuse the pin: $smsg")
+
+    // a pinned bucket that no longer exists on disk fails, never shrinks
+    val forged = token.replace("\"b0000\"", "\"b9999\"")
+    val gone = intercept[Exception] {
+      Ripple.readSnapshot(spark, root, "sna", forged).count()
+    }
+    val gmsg = Option(gone.getMessage).getOrElse("") +
+      Option(gone.getCause).map(_.getMessage).getOrElse("")
+    assert(gmsg.contains("b9999"), s"must name the vanished bucket: $gmsg")
+  }
+
+  test("snapshot pin works over the object-store rig (manifest commit mode)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.log.nonAtomicRenameSchemes", "s3,s3a,gs,abfs,ostest")
+    val root = "ostest:" + tmp()
+    Ripple.createTopic(root, "snos", numBuckets = 2)
+    Ripple.write(samplePayloads(20), root, "snos", numBuckets = 2)
+    val token = Ripple.snapshot(root, "snos")
+    Ripple.write(samplePayloads(20), root, "snos", numBuckets = 2)
+    Ripple.compactSegments(root, "snos")
+    val pinned = Ripple.readSnapshot(spark, root, "snos", token)
+    assert(pinned.count() == 20)
+    assert(pinned.select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == (0 until 20))
+  }
 }
