@@ -1,15 +1,17 @@
 package graft.streaming
 
-import graft.ops.{Dedup, Retrieval}
+import graft.ops.{Dedup, Retrieval, Similarity}
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Streaming maintenance of the persisted retrieval/near-dup indexes: keep
-  * a MinHash-LSH index ([[Dedup.saveMinhashIndex]] lifecycle) and a BM25
-  * index ([[Retrieval.saveBm25Index]] lifecycle) current from a crawl
-  * stream via `foreachBatch`, with the same epoch-marker exactly-once
+  * a MinHash-LSH index ([[Dedup.saveMinhashIndex]] lifecycle), a BM25
+  * index ([[Retrieval.saveBm25Index]] lifecycle) and the ANN indexes
+  * ([[Similarity.saveIvfIndex]]/[[Similarity.saveIvfPqIndex]] lifecycles)
+  * current from a crawl stream via `foreachBatch`, with the same
+  * epoch-marker exactly-once
   * discipline the ripple connector's sink uses
   * ([[graft.connector.RipplePublish]]): a replayed epoch must be a no-op,
   * and a crashed mid-append epoch must heal to exactly-once on replay —
@@ -93,6 +95,35 @@ object IndexMaintenance {
         Retrieval.deleteFromBm25Index(batch.select(col(idCol)), idCol, path)
         Retrieval.repairBm25Stats(batch.sparkSession, path)
       })
+
+  /** foreachBatch function appending each micro-batch of embeddings to a
+    * persisted IVF index at `path` (exactly-once; see class doc). Vectors
+    * are assigned to the SAVED centroids — an append changes which vectors
+    * exist, not the trained geometry, the same contract as the batch
+    * [[Similarity.appendToIvfIndex]]; the maintained index therefore
+    * equals the batch-append path, NOT a from-scratch retrain. Scrub is
+    * delete-by-id (tombstone-free clustered rewrite), so a crashed epoch
+    * heals wherever it died.
+    */
+  def ivfAppendSink(path: String, idCol: String, vecCol: String,
+      numFiles: Int = 4): (DataFrame, Long) => Unit = (batch, epochId) =>
+    applyEpoch(batch, path, epochId)(
+      append = Similarity.appendToIvfIndex(batch.sparkSession, path, batch,
+        idCol, vecCol, numFiles),
+      scrub = Similarity.deleteFromIvfIndex(batch.select(col(idCol)), idCol,
+        path))
+
+  /** [[ivfAppendSink]] for the fused IVF-PQ index: each batch is
+    * residual-encoded with the saved centroids AND codebooks
+    * ([[Similarity.appendToIvfPqIndex]]).
+    */
+  def ivfPqAppendSink(path: String, idCol: String, vecCol: String,
+      numFiles: Int = 4): (DataFrame, Long) => Unit = (batch, epochId) =>
+    applyEpoch(batch, path, epochId)(
+      append = Similarity.appendToIvfPqIndex(batch.sparkSession, path,
+        batch, idCol, vecCol, numFiles),
+      scrub = Similarity.deleteFromIvfPqIndex(batch.select(col(idCol)),
+        idCol, path))
 
   /** The crawl-ADMISSION composition — the deployment shape streaming
     * index maintenance exists for: per micro-batch, keep only the

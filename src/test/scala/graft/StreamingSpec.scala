@@ -297,6 +297,92 @@ class StreamingSpec extends AnyFunSuite {
       "healed BM25 epoch must equal the rebuild (no double-append)")
   }
 
+  test("streaming ANN index maintenance: epochs ≡ batch appends, replay no-op, crash heal (IVF + IVF-PQ)") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    import graft.ops.Similarity
+    def vecs(lo: Int, hi: Int): DataFrame =
+      (lo until hi).map { i =>
+        val r = new scala.util.Random(i)
+        (i.toLong, Array.fill(8)(r.nextDouble()))
+      }.toDF("vec_id", "embedding")
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+      java.nio.file.Files.walk(s).forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    def assignedRows(dir: String) =
+      Similarity.loadIvfIndex(spark, dir).assigned
+        .select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def codeRows(dir: String) =
+      spark.read.parquet(s"$dir/codes")
+        .select("vec_id", "cid", "codes").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Int](2).mkString(","))).sorted.toSeq
+
+    // same trained geometry on both sides: save once, copy the directory
+    val ivfA = tmp() + "/ivf"; val ivfB = tmp() + "/ivfref"
+    val pqA = tmp() + "/ivfpq"; val pqB = tmp() + "/ivfpqref"
+    Similarity.saveIvfIndex(vecs(0, 40), "vec_id", "embedding", ivfA,
+      numCentroids = 4, kmeansIters = 1, numFiles = 2)
+    Similarity.saveIvfPqIndex(vecs(0, 40), "vec_id", "embedding", pqA,
+      dim = 8, numCentroids = 4, m = 4, ksub = 8, numFiles = 2)
+    copyDir(ivfA, ivfB); copyDir(pqA, pqB)
+
+    val ivfSink = IndexMaintenance.ivfAppendSink(ivfA, "vec_id", "embedding",
+      numFiles = 2)
+    val pqSink = IndexMaintenance.ivfPqAppendSink(pqA, "vec_id", "embedding",
+      numFiles = 2)
+    // two epochs through the sinks ≡ the same batches through the batch
+    // append path (saved centroids/codebooks — NOT a retrain)
+    Seq((vecs(40, 50), 0L), (vecs(50, 55), 1L)).foreach { case (b, e) =>
+      ivfSink(b, e); pqSink(b, e)
+      Similarity.appendToIvfIndex(spark, ivfB, b, "vec_id", "embedding",
+        numFiles = 2)
+      Similarity.appendToIvfPqIndex(spark, pqB, b, "vec_id", "embedding",
+        numFiles = 2)
+    }
+    assert(assignedRows(ivfA) == assignedRows(ivfB), "IVF epochs ≠ batch appends")
+    assert(codeRows(pqA) == codeRows(pqB), "IVF-PQ epochs ≠ batch appends")
+
+    // a replayed COMMITTED epoch is a no-op
+    ivfSink(vecs(40, 50), 0L); pqSink(vecs(40, 50), 0L)
+    assert(assignedRows(ivfA) == assignedRows(ivfB), "IVF replay double-appended")
+    assert(codeRows(pqA) == codeRows(pqB), "IVF-PQ replay double-appended")
+
+    // crash heal, worst case: the full append landed but no commit marker —
+    // the healed epoch must scrub (delete-by-id) then append exactly once
+    val crashed = vecs(60, 64)
+    Similarity.appendToIvfIndex(spark, ivfA, crashed, "vec_id", "embedding",
+      numFiles = 2)
+    Similarity.appendToIvfPqIndex(spark, pqA, crashed, "vec_id", "embedding",
+      numFiles = 2)
+    Seq(ivfA, pqA).foreach { d =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(d, "_epoch_intent"),
+        "1000".getBytes("UTF-8"))
+    }
+    ivfSink(crashed, 1000L); pqSink(crashed, 1000L)
+    Similarity.appendToIvfIndex(spark, ivfB, crashed, "vec_id", "embedding",
+      numFiles = 2)
+    Similarity.appendToIvfPqIndex(spark, pqB, crashed, "vec_id", "embedding",
+      numFiles = 2)
+    assert(assignedRows(ivfA) == assignedRows(ivfB),
+      "healed IVF epoch must equal one batch append (no double rows)")
+    assert(codeRows(pqA) == codeRows(pqB),
+      "healed IVF-PQ epoch must equal one batch append (no double rows)")
+    // the maintained index still probes: an appended vector is its own NN
+    val idx = Similarity.loadIvfIndex(spark, ivfA)
+    val probe = vecs(60, 61).select((col("vec_id") + 9000L).as("vec_id"),
+      col("embedding"))
+    val hit = Similarity.ivfTopKWithIndex(idx, probe, "vec_id", "embedding",
+      k = 1, nProbe = 2).collect().head
+    assert(hit.getLong(1) == 60L, s"appended vector not its own NN: $hit")
+  }
+
   test("crawl admission sink: novel-only index growth, cross-epoch dedup, crash heal") {
     import spark.implicits._
     import graft.streaming.IndexMaintenance
