@@ -177,6 +177,36 @@ object Ripple {
     spark.read.format("ripple").option("path", root).option("topic", topic)
       .option("startingOffset", from).option("endingOffset", until).load()
 
+  /** Batch scan of a record-TIMESTAMP range `[fromTsMillis, untilTsMillis)`
+    * resolved per bucket by seek (Kafka's `offsetsForTimes`; connector
+    * options `startingTimestamp`/`endingTimestamp`) — "everything since
+    * yesterday 06:00" without knowing a single offset. A timestamp
+    * predating retention reads from the earliest retained record; one past
+    * the end reads nothing. Out-of-order stamps resolve by the running-max
+    * rule ([[graft.log.FileTopicLog.offsetForTimestamp]]): records BELOW
+    * the seek offset all have `ts < fromTsMillis`, records at or above it
+    * may individually be older (late data) — filter on `ts` afterwards
+    * when exact bounds matter on a disordered topic.
+    */
+  def readTimestamp(spark: SparkSession, root: String, topic: String,
+      fromTsMillis: Long, untilTsMillis: Long = Long.MaxValue): DataFrame = {
+    var r = spark.read.format("ripple").option("path", root)
+      .option("topic", topic).option("startingTimestamp", fromTsMillis)
+    if (untilTsMillis != Long.MaxValue)
+      r = r.option("endingTimestamp", untilTsMillis)
+    r.load()
+  }
+
+  /** Per-bucket earliest offset with record `ts >= tsMillis` — the
+    * metadata half of [[readTimestamp]], for lag tooling and manual seeks.
+    */
+  def offsetsForTimestamp(root: String, topic: String,
+      tsMillis: Long): Map[String, Long] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.buckets(topic).map(tb =>
+      tb.bucket -> log.offsetForTimestamp(tb, tsMillis)).toMap
+  }
+
   /** Capture a snapshot token: each bucket's committed offset range
     * `[floor, end)` in one metadata pass. Pair with [[readSnapshot]] — a
     * later read of the token sees exactly this state (appends invisible,
@@ -263,6 +293,16 @@ object Ripple {
     df.select(
       pmod(hash(idCol), lit(Int.MaxValue)).cast("int").as("id"),
       to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"))
+
+  /** [[pack]] carrying an explicit record timestamp: `tsCol` becomes the
+    * frame `ts` the log's timestamp seek ([[readTimestamp]]) resolves
+    * against — without it the writer stamps wall-clock time at append.
+    */
+  def pack(df: DataFrame, idCol: Column, tsCol: Column): DataFrame =
+    df.select(
+      pmod(hash(idCol), lit(Int.MaxValue)).cast("int").as("id"),
+      to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("data"),
+      tsCol.cast("timestamp").as("ts"))
 
   /** Storage hygiene: delete crash-orphaned invisible files (uncommitted
     * manifest-mode data files, staging leftovers, superseded epoch

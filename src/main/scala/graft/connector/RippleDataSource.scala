@@ -41,6 +41,16 @@ import scala.jdk.CollectionConverters._
   *     range, applied to every bucket. An EXPLICIT `startingOffset` below a
   *     bucket's retention floor fails loudly (see `allowDataLoss`); when
   *     absent, reads start at the earliest RETAINED offset
+  *   - `startingTimestamp`/`endingTimestamp` (read, epoch millis): resolve
+  *     each bucket's offset range by record timestamp — Kafka's
+  *     `offsetsForTimes` seek ([[graft.log.FileTopicLog.offsetForTimestamp]]:
+  *     earliest offset with `ts >= t`, correct for out-of-order stamps via
+  *     the running-max argument, O(one boundary segment) via the `.tsidx`
+  *     cache). `startingTimestamp` also seeds a FRESH streaming checkpoint
+  *     (a managed `consumerId` cursor and a resumed checkpoint still win);
+  *     `endingTimestamp` is batch-only. Exclusive with `startingOffset`
+  *     and `snapshot` — two fixed starts have no defensible winner. A
+  *     timestamp predating retention means "earliest retained"
   *   - `allowDataLoss` (read, default false): when a requested or resumed
   *     offset lies below a bucket's first surviving segment (retention
   *     truncated past it), `false` fails the query with the truncation
@@ -118,7 +128,14 @@ object RippleConf {
           s"ripple: snapshot token was captured from topic '$snapTopic', " +
             s"not '$topic' — a pin must not silently read a different topic")
         ranges
-      })
+      },
+      startingTimestamp =
+        if (options.containsKey("startingTimestamp"))
+          Some(options.getLong("startingTimestamp", 0L)) else None,
+      endingTimestamp =
+        if (options.containsKey("endingTimestamp"))
+          Some(options.getLong("endingTimestamp", 0L)) else None)
+      .validated
   }
 }
 
@@ -142,8 +159,32 @@ case class RippleConf(
     allowDataLoss: Boolean = false,
     lift: Boolean = false,
     snapshot: Option[Map[String, (Long, Long)]] = None,
+    startingTimestamp: Option[Long] = None,
+    endingTimestamp: Option[Long] = None,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
       LogFs.activeBroadcast) {
+  /** Option-combination checks that need the fully-built conf. Timestamp
+    * seek and positional/pinned reads both fix the start of the read — a
+    * query naming two different starts has no defensible winner, so the
+    * combinations are refused instead of silently prioritized (same
+    * posture as snapshot + streaming).
+    */
+  private[connector] def validated: RippleConf = {
+    if (startingTimestamp.isDefined && startingOffsetSet)
+      throw new IllegalArgumentException(
+        "ripple: options 'startingTimestamp' and 'startingOffset' both fix " +
+          "the read start — set one")
+    if ((startingTimestamp.isDefined || endingTimestamp.isDefined) &&
+        snapshot.isDefined)
+      throw new IllegalArgumentException(
+        "ripple: a 'snapshot' pin already fixes each bucket's offset " +
+          "range; timestamp options cannot combine with it")
+    for (s <- startingTimestamp; e <- endingTimestamp)
+      if (e <= s) throw new IllegalArgumentException(
+        s"ripple: endingTimestamp ($e) must be greater than " +
+          s"startingTimestamp ($s)")
+    this
+  }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)
   /** The registered payload schema (lifted reads); loud when absent. */
   def payloadSchema: StructType = TopicSchemas.require(log, topic)

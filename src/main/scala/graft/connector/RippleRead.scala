@@ -51,7 +51,10 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     // [lo, hi) clamp doesn't know per-bucket pins, and a metadata answer
     // would also skip the snapshot's loud floor/end validation. The normal
     // scan (which validates) answers COUNT(*) correctly, just not for free.
+    // Timestamp-seek reads decline it for the same reason: the count
+    // scan's uniform [lo, hi) clamp doesn't know per-bucket seek offsets.
     conf.snapshot.isEmpty &&
+      conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty &&
       agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.head
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
@@ -205,6 +208,30 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
 
   @volatile private[graft] var runtimeBuckets: Option[Set[String]] = None
 
+  /** Per-bucket offset bounds resolved from `startingTimestamp` /
+    * `endingTimestamp` — memoized on the scan instance so statistics and
+    * planning share one resolution (the first seek may backfill the
+    * `.tsidx` cache; repeats are metadata reads). A bucket that appears
+    * after resolution (concurrent create) resolves on demand.
+    */
+  private lazy val tsSeekBounds: Map[String, (Long, Long)] =
+    if (conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty) Map.empty
+    else {
+      val log = conf.log
+      conf.buckets.map(tb => tb.bucket -> resolveTs(log, tb)).toMap
+    }
+
+  private def resolveTs(log: graft.log.FileTopicLog,
+      tb: graft.model.TopicBucket): (Long, Long) = (
+    conf.startingTimestamp.map(t => log.offsetForTimestamp(tb, t)).getOrElse(0L),
+    conf.endingTimestamp.map(t => log.offsetForTimestamp(tb, t))
+      .getOrElse(Long.MaxValue))
+
+  private[graft] def tsRange(tb: graft.model.TopicBucket): (Long, Long) =
+    if (conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty)
+      (0L, Long.MaxValue)
+    else tsSeekBounds.getOrElse(tb.bucket, resolveTs(conf.log, tb))
+
   /** Exact statistics from segment manifests — zero frames read. Without
     * this, a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
     * (Long.MaxValue), so a 1 KB topic joined against a 100 TB fact table
@@ -224,9 +251,13 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     var bytes = 0L
     conf.buckets.foreach { tb =>
       // A pinned bucket clamps to its snapshot range; a bucket absent from
-      // the token (created after capture) contributes nothing.
+      // the token (created after capture) contributes nothing. A
+      // timestamp-seek read clamps to the resolved per-bucket seek range
+      // (exclusive with snapshot by conf validation).
       val (blo, bhi) = conf.snapshot match {
-        case None    => (lo, hi)
+        case None    =>
+          val (tlo, thi) = tsRange(tb)
+          (math.max(lo, tlo), math.min(hi, thi))
         case Some(m) => m.get(tb.bucket) match {
           case Some((s, e)) => (math.max(lo, s), math.min(hi, e))
           case None         => (0L, 0L)
@@ -275,12 +306,15 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
       limit.map(l => s" limit=$l").getOrElse("")
   override def toBatch: Batch =
-    new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets)
+    new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets, tsRange)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (conf.snapshot.isDefined) throw new UnsupportedOperationException(
       "ripple: option 'snapshot' pins a BATCH read; a streaming query pins " +
         "its position through the checkpoint — drop the option or read with " +
         "spark.read")
+    if (conf.endingTimestamp.isDefined) throw new UnsupportedOperationException(
+      "ripple: option 'endingTimestamp' bounds a BATCH read; a streaming " +
+        "query is unbounded — drop the option or read with spark.read")
     new RippleMicroBatchStream(conf, schema)
   }
 }
@@ -309,7 +343,9 @@ case class RippleInputPartition(
 
 class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     limit: Option[Int] = None,
-    runtimeBuckets: () => Option[Set[String]] = () => None) extends Batch {
+    runtimeBuckets: () => Option[Set[String]] = () => None,
+    tsRange: graft.model.TopicBucket => (Long, Long) =
+      _ => (0L, Long.MaxValue)) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val log = conf.log
@@ -333,9 +369,13 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     val all = live.flatMap { tb =>
       // A pinned bucket reads its captured [floor, end) intersected with
       // any pushed offset bounds; a bucket absent from the token (created
-      // after capture) is invisible to the pin.
+      // after capture) is invisible to the pin. A timestamp-seek read
+      // intersects with the resolved per-bucket seek range instead
+      // (exclusive with snapshot by conf validation).
       val range = conf.snapshot match {
-        case None    => Some((lo, hi))
+        case None    =>
+          val (tlo, thi) = tsRange(tb)
+          Some((math.max(lo, tlo), math.min(hi, thi)))
         case Some(m) => m.get(tb.bucket).map { case (s, e) =>
           (math.max(lo, s), math.min(hi, e)) }
       }
@@ -636,6 +676,12 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
       val start = cursor.get(b) match {
         case Some(c) => c
         case None if conf.startingOffsetSet => conf.startingOffset
+        // `startingTimestamp` seeds the fresh start by seek (Kafka's
+        // startingOffsetsByTimestamp); a cursor above already won, and a
+        // resumed checkpoint never reaches initialOffset at all.
+        case None if conf.startingTimestamp.isDefined =>
+          log.offsetForTimestamp(TopicBucket(conf.topic, b),
+            conf.startingTimestamp.get)
         case None => math.max(conf.startingOffset,
           log.firstOffset(TopicBucket(conf.topic, b)))
       }

@@ -607,6 +607,117 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
   }
 
+  // --- timestamp seek ------------------------------------------------------
+
+  private def tsIndexPath(tb: TopicBucket): HPath =
+    new HPath(bucketDir(tb), ".tsidx")
+
+  /** `.tsidx` cache: one `<segmentName> <maxTsMillis>` line per segment.
+    * Pure read-repair cache — correctness never depends on it (a missing,
+    * stale, or torn file only costs a bounded frame re-scan), so it is
+    * written best-effort with overwrite semantics and parsed tolerantly.
+    * Keyed by segment NAME: retention deletes and in-place compaction both
+    * produce new names, so stale entries simply stop matching and are
+    * dropped at the next rewrite.
+    */
+  private def readTsIndex(tb: TopicBucket): Map[String, Long] =
+    try readLines(tsIndexPath(tb)).iterator.flatMap { ln =>
+      ln.split(' ') match {
+        case Array(name, ts) =>
+          try Some(name -> ts.toLong)
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+    catch { case _: java.io.IOException => Map.empty }
+
+  /** Max frame timestamp of one segment, skipping payload bytes (frames
+    * must be walked — the format has no footer — but the data bytes are
+    * never materialized).
+    */
+  private def segMaxTs(path: HPath): Long = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path), 1 << 16))
+    try {
+      var mx = Long.MinValue
+      var len = try in.readInt() catch { case _: java.io.EOFException => -1 }
+      while (len >= 0) {
+        in.readInt() // id
+        val ts = in.readLong()
+        if (ts > mx) mx = ts
+        var toSkip = (len - 12).toLong
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s > 0) toSkip -= s
+          else { in.readByte(); toSkip -= 1 }
+        }
+        len = try in.readInt() catch { case _: java.io.EOFException => -1 }
+      }
+      mx
+    } finally in.close()
+  }
+
+  /** Earliest offset whose record timestamp is `>= tsMillis` — the analog
+    * of Kafka's `offsetsForTimes` seek, which the reference cannot express
+    * (its replay cursor is offset-only, `core.go:46-64`). Returns the
+    * bucket END offset when no record qualifies, and never resolves below
+    * the retention floor (only surviving segments are searched), so a
+    * timestamp predating retention means "earliest retained" — the same
+    * contract as Kafka's `earliest` resolution.
+    *
+    * Correct for OUT-OF-ORDER record timestamps: the search runs over the
+    * running max of per-segment max timestamps, which is monotone by
+    * construction — the first offset where the running max reaches
+    * `tsMillis` IS the first record with `ts >= tsMillis`, whatever the
+    * ordering (Kafka's time-index argument). Cost at scale: per-segment
+    * max-ts values come from the `.tsidx` read-repair cache, so a seek
+    * over a 10^4-segment bucket reads one small cache file plus the frames
+    * of the ONE boundary segment (plus a one-time backfill scan of
+    * segments the cache has not seen — amortized O(new segments)).
+    */
+  def offsetForTimestamp(tb: TopicBucket, tsMillis: Long): Long = {
+    val segs = segments(tb)
+    if (segs.isEmpty) return 0L
+    val cached = readTsIndex(tb)
+    var repaired = Map.empty[String, Long]
+    def maxTsOf(p: HPath): Long = cached.get(p.getName) match {
+      case Some(m) => m
+      case None =>
+        val m = segMaxTs(p)
+        repaired += (p.getName -> m)
+        m
+    }
+    var answer = -1L
+    val it = segs.iterator
+    while (answer < 0 && it.hasNext) {
+      val (p, start, _) = it.next()
+      // Running max so far is < tsMillis (or we'd have answered), so the
+      // first qualifying segment is simply the first with maxTs >= target,
+      // and the first qualifying FRAME in it is the global first.
+      if (maxTsOf(p) >= tsMillis) {
+        val fit = SegmentCodec.read(fs, p)
+        try {
+          var i = 0L
+          while (answer < 0 && fit.hasNext) {
+            val (_, ts, _) = fit.next()
+            if (ts >= tsMillis) answer = start + i
+            i += 1
+          }
+        } finally fit.close()
+      }
+    }
+    if (repaired.nonEmpty) {
+      val names = segs.map(_._1.getName).toSet
+      val all = cached.filter { case (n, _) => names.contains(n) } ++ repaired
+      try writeFileAtomic(tsIndexPath(tb),
+        all.toSeq.sorted.map { case (n, m) => s"$n $m" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () } // cache only
+    }
+    if (answer >= 0) answer
+    else segs.map { case (_, s, c) => s + c }.max
+  }
+
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
     val stamped = rows.map(p => (p, now))

@@ -158,7 +158,38 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Timestamp seek (round 12 — Kafka `offsetsForTimes` parity): events
+    * are written ts-ORDERED into one bucket, so per-bucket offsets are
+    * ts-monotone and the seek read IS the `ts >= T` set — no belt filter
+    * anywhere, a wrong seek in either direction hash-fails. T is the
+    * millisecond-FLOORED ts of event 600: frame timestamps floor micros
+    * to millis, and for an integral-millis T, `floor_ms(ts) >= T ⇔
+    * ts >= T`, so the engine's frame compare and the oracle's
+    * full-precision compare select the same rows.
+    */
+  def tsSeekAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    Ripple.createTopic(root, "tseek", numBuckets = 1)
+    Ripple.write(
+      Ripple.pack(ev.repartition(1).sortWithinPartitions("ts", "event_id"),
+        col("event_id"), col("ts")),
+      root, "tseek", numBuckets = 1)
+    val t = ev.filter(col("event_id") === 600)
+      .select(col("ts")).collect().head.getTimestamp(0).getTime
+    val schema = StructType(eventSchema.fields.toSeq :+
+      StructField("ts", TimestampType))
+    Ripple.lift(Ripple.readTimestamp(s, root, "tseek", t), schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_ts_seek" -> (tsSeekAgg _),
     "q153_snapshot_pin" -> (snapshotPinAgg _),
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
     "q41_topic_replay_suffix" -> (replaySuffix _),
@@ -264,6 +295,14 @@ object ConnectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q154_ts_seek" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= (SELECT date_trunc('milliseconds', ts) FROM events
+        |             WHERE event_id = 600)
+        |GROUP BY 1""".stripMargin,
     "q153_snapshot_pin" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

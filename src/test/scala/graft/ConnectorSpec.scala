@@ -1212,4 +1212,71 @@ class ConnectorSpec extends AnyFunSuite {
     assert(pinned.select("id").collect().map(_.getInt(0)).sorted.toSeq
       == (0 until 20))
   }
+
+  test("timestamp seek: batch [from,until) per bucket, streaming fresh start, refusals") {
+    import spark.implicits._
+    val root = tmp()
+    // id i → ts = 1000·i ms, routed i % 2; one ts-sorted input partition so
+    // each bucket's offsets are ts-monotone and every expectation is exact
+    val df = (0 until 40).map(i =>
+        (i, s"m$i".getBytes("UTF-8"), new java.sql.Timestamp(1000L * i)))
+      .toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+    Ripple.createTopic(root, "tsk", numBuckets = 2)
+    Ripple.write(df, root, "tsk", numBuckets = 2)
+
+    // metadata seek: first per-bucket offset with ts >= 20 s (b0000 holds
+    // even ids: offset j ↔ ts 2000·j; b0001 odd: ts (2j+1)·1000)
+    assert(Ripple.offsetsForTimestamp(root, "tsk", 20000L)
+      == Map("b0000" -> 10L, "b0001" -> 10L))
+
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Int] =
+      d.select("id").as[Int].collect().sorted.toSeq
+    // [from, until): exactly the records with ts in [20 s, 30 s)
+    assert(ids(Ripple.readTimestamp(spark, root, "tsk", 20000L, 30000L))
+      == (20 until 30))
+    assert(ids(Ripple.readTimestamp(spark, root, "tsk", 35000L)) == (35 until 40))
+    // COUNT(*) declines the metadata shortcut under a seek (a metadata
+    // answer would ignore the resolved per-bucket ranges → 40)
+    assert(Ripple.readTimestamp(spark, root, "tsk", 20000L, 30000L).count() == 10L)
+    assert(Ripple.readTimestamp(spark, root, "tsk", 10_000_000L).count() == 0L)
+    assert(Ripple.readTimestamp(spark, root, "tsk", 0L).count() == 40L)
+
+    // a fresh streaming checkpoint seeds from the seek
+    val q = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "tsk").option("startingTimestamp", 30000L)
+      .load().writeStream.format("memory").queryName("ts_seek_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("ts_seek_out")) == (30 until 40))
+    } finally q.stop()
+
+    // refusals: two fixed starts; a pin plus a seek; a bounded stream
+    intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root).option("topic", "tsk")
+        .option("startingTimestamp", 0L).option("startingOffset", 0L)
+        .load().count()
+    }
+    val token = Ripple.snapshot(root, "tsk")
+    intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root).option("topic", "tsk")
+        .option("startingTimestamp", 0L).option("snapshot", token)
+        .load().count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root).option("topic", "tsk")
+        .option("startingTimestamp", 5L).option("endingTimestamp", 5L)
+        .load().count()
+    }
+    val streaming = intercept[Exception] {
+      spark.readStream.format("ripple").option("path", root)
+        .option("topic", "tsk").option("endingTimestamp", 30000L)
+        .load().writeStream.format("memory").queryName("ts_refuse")
+        .option("checkpointLocation", tmp())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination(60000)
+    }
+    val smsg = Option(streaming.getMessage).getOrElse("") +
+      Option(streaming.getCause).map(_.getMessage).getOrElse("")
+    assert(smsg.contains("endingTimestamp"), s"stream must refuse the bound: $smsg")
+  }
 }

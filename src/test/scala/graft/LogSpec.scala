@@ -351,4 +351,52 @@ class LogSpec extends AnyFunSuite {
     assert(log.segments(tb).map(s => (s._2, s._3)) == Seq((0L, 8L)))
     assert(log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq)) == before)
   }
+
+  test("offsetForTimestamp: boundaries, out-of-order stamps, .tsidx repair, compaction, retention") {
+    val dir = Files.createTempDirectory("tsseek")
+    val log = new FileTopicLog(dir)
+    def rows(tag: Byte, tss: Seq[Long], base: Int) =
+      tss.zipWithIndex.map { case (t, i) => (Payload(base + i, Array(tag)), t) }
+    // seg0 ts [10,20,30]; seg1 [40,25,50] (25 is LATE data); seg2 [60,70]
+    log.appendAt(tb, 0L, rows(1, Seq(10L, 20L, 30L), 0))
+    log.appendAt(tb, 3L, rows(2, Seq(40L, 25L, 50L), 3))
+    log.appendAt(tb, 6L, rows(3, Seq(60L, 70L), 6))
+
+    def seeks(): Seq[Long] =
+      Seq(Long.MinValue, 10L, 11L, 30L, 31L, 25L, 45L, 70L, 71L)
+        .map(log.offsetForTimestamp(tb, _))
+    // 25 → offset 2 (ts 30 is the FIRST record >= 25; the late ts-25 frame
+    // at offset 4 sits behind it, as Kafka's running-max time index gives);
+    // 45 → offset 5 (seg1's late frame skipped: 40,25 < 45, 50 >= 45);
+    // 71 → 8 = end (nothing qualifies)
+    val expect = Seq(0L, 0L, 1L, 2L, 3L, 2L, 5L, 7L, 8L)
+    assert(seeks() == expect)
+
+    // first seek wrote the per-bucket cache; corrupting it must not change
+    // any answer (tolerant parse + frame re-scan + rewrite)
+    val idx = dir.resolve("t").resolve("b0").resolve(".tsidx")
+    assert(Files.exists(idx), ".tsidx cache written by seek")
+    Files.write(idx, "garbage\nseg-junk notanumber\n".getBytes("UTF-8"))
+    assert(seeks() == expect, "corrupt cache must self-heal")
+    assert(new String(Files.readAllBytes(idx), "UTF-8").contains("seg-"),
+      "cache rewritten after repair")
+
+    // in-place compaction renames segments; stale cache entries stop
+    // matching and the seek recomputes against the merged file
+    assert(log.compactSegments("t") == 3)
+    assert(seeks() == expect, "seek invariant under compaction")
+
+    // retention: a timestamp predating every retained record resolves to
+    // the floor (earliest retained), never below it
+    val log2 = new FileTopicLog(Files.createTempDirectory("tsseek2"))
+    log2.appendAt(tb, 0L, rows(1, Seq(10L, 20L), 0))
+    log2.appendAt(tb, 2L, rows(2, Seq(30L, 40L), 2))
+    log2.truncateBefore("t", 2L)
+    assert(log2.offsetForTimestamp(tb, Long.MinValue) == 2L)
+    assert(log2.offsetForTimestamp(tb, 35L) == 3L)
+
+    // empty bucket
+    val log3 = new FileTopicLog(Files.createTempDirectory("tsseek3"))
+    assert(log3.offsetForTimestamp(TopicBucket("t", "b9"), 0L) == 0L)
+  }
 }
