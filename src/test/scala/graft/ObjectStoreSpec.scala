@@ -236,4 +236,26 @@ class ObjectStoreSpec extends AnyFunSuite {
     t1.join()
     assert(order.toArray.toSeq == Seq(1, 2, 3), "second holder waited for release")
   }
+
+  test("timestamp seek over the store: exact offsets, .tsidx via direct PUT, compaction-safe") {
+    val log = newLog()
+    def rows(tag: Byte, tss: Seq[Long], base: Int) =
+      tss.zipWithIndex.map { case (t, i) =>
+        (Payload(base + i, Array(tag)), t) }
+    log.appendAt(tb, 0L, rows(1, Seq(10L, 20L, 30L), 0))
+    log.appendAt(tb, 3L, rows(2, Seq(40L, 25L, 50L), 3))
+    def seeks(): Seq[Long] =
+      Seq(Long.MinValue, 25L, 31L, 45L, 51L).map(log.offsetForTimestamp(tb, _))
+    val expect = Seq(0L, 2L, 3L, 5L, 6L)
+    assert(seeks() == expect)
+    // the cache write is a direct overwrite PUT in manifest mode (no
+    // rename on the store); a second reader instance sees it and agrees
+    val log2 = new FileTopicLog("ostest:" + log.root.toUri.getPath, conf())
+    assert(Seq(Long.MinValue, 25L, 31L, 45L, 51L)
+      .map(log2.offsetForTimestamp(tb, _)) == expect)
+    // manifest-mode compaction renames nothing but re-keys the segment
+    // list; stale cache entries stop matching and the seek recomputes
+    assert(log.compactSegments("t") == 2)
+    assert(seeks() == expect, "seek invariant under manifest-mode compaction")
+  }
 }
