@@ -169,6 +169,25 @@ object Ripple {
   def read(spark: SparkSession, root: String, topic: String): DataFrame =
     spark.read.format("ripple").option("path", root).option("topic", topic).load()
 
+  /** Batch scan of SEVERAL topics as one frame (Kafka `subscribe` parity;
+    * the envelope's `topic` column disambiguates). Works for streaming
+    * too: pass the same comma-joined list as the `topic` option of
+    * `readStream` — under a multi-topic subscription the checkpoint keys
+    * offsets by `topic/bucket`.
+    */
+  def readTopics(spark: SparkSession, root: String,
+      topics: Seq[String]): DataFrame =
+    read(spark, root, topics.mkString(","))
+
+  /** Batch scan of every topic matching `pattern` (Java regex; Kafka
+    * `subscribePattern` parity). The subscription resolves ONCE at plan
+    * time; a pattern matching nothing fails loudly.
+    */
+  def readPattern(spark: SparkSession, root: String,
+      pattern: String): DataFrame =
+    spark.read.format("ripple").option("path", root)
+      .option("topicPattern", pattern).load()
+
   /** Batch scan of an offset range `[from, until)` applied per bucket —
     * the reference's replay-from-offset (`core.go:46-64`).
     */

@@ -33,7 +33,15 @@ import scala.jdk.CollectionConverters._
   *
   * Options:
   *   - `path` (required): log root directory
-  *   - `topic` (required): topic name
+  *   - `topic` (required unless `topicPattern`): topic name, or a
+  *     comma-separated list (Kafka `subscribe`) — reads union the topics,
+  *     the envelope's `topic` column disambiguates, and streaming offset
+  *     keys become `topic/bucket` (single-topic checkpoints keep bare
+  *     bucket keys). Writes and snapshots stay single-topic; a lifted
+  *     multi-topic read requires all registered schemas equal
+  *   - `topicPattern` (exclusive with `topic`): Java regex resolved
+  *     against the log's topics once at plan/start time (Kafka
+  *     `subscribePattern`); matching nothing fails loudly
   *   - `bucket`: restrict to a single bucket
   *   - `buckets`: bucket count used when the write auto-creates the topic
   *     (default 4)
@@ -100,11 +108,38 @@ object RippleConf {
     // OPTIONS (root '...', topic '...') and the injected path must lose.
     val path = Option(options.get("root")).orElse(Option(options.get("path"))).getOrElse(
       throw new IllegalArgumentException("ripple: option 'path' (or 'root') is required"))
-    val topic = Option(options.get("topic")).getOrElse(
-      throw new IllegalArgumentException("ripple: option 'topic' is required"))
+    val topicOpt = Option(options.get("topic"))
+    val patternOpt = Option(options.get("topicPattern"))
+    if (topicOpt.isDefined && patternOpt.isDefined)
+      throw new IllegalArgumentException(
+        "ripple: options 'topic' and 'topicPattern' are exclusive — name " +
+          "the subscription one way")
+    if (topicOpt.isEmpty && patternOpt.isEmpty)
+      throw new IllegalArgumentException(
+        "ripple: option 'topic' (or 'topicPattern') is required")
+    // `topic` accepts a comma-separated list (Kafka `subscribe`);
+    // `topicPattern` a Java regex resolved against the log's topics ONCE,
+    // here at conf build (Kafka `subscribePattern`: the subscription is
+    // fixed at query start; topics created later need a restart).
+    val topics: Seq[String] = topicOpt match {
+      case Some(t) =>
+        val ts = t.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (ts.isEmpty) throw new IllegalArgumentException(
+          "ripple: option 'topic' names no topics")
+        ts.distinct
+      case None =>
+        val re = patternOpt.get.r
+        val ts = FileTopicLog.cached(path, LogFs.activeHadoopConf)
+          .topics().filter(t => re.pattern.matcher(t).matches()).sorted
+        if (ts.isEmpty) throw new IllegalArgumentException(
+          s"ripple: topicPattern '${patternOpt.get}' matches no topic in " +
+            s"'$path' — an empty subscription reads nothing, loudly")
+        ts
+    }
     RippleConf(
       root = path,
-      topic = topic,
+      topic = topics.mkString(","),
+      topics = topics,
       bucket = Option(options.get("bucket")),
       numBuckets = options.getInt("buckets", 4),
       startingOffset = options.getLong("startingOffset", 0L),
@@ -124,9 +159,10 @@ object RippleConf {
       lift = options.getBoolean("lift", false),
       snapshot = Option(options.get("snapshot")).map { tok =>
         val (snapTopic, ranges) = TopicSnapshot.decode(tok)
-        if (snapTopic != topic) throw new IllegalArgumentException(
+        if (snapTopic != topics.head) throw new IllegalArgumentException(
           s"ripple: snapshot token was captured from topic '$snapTopic', " +
-            s"not '$topic' — a pin must not silently read a different topic")
+            s"not '${topics.head}' — a pin must not silently read a " +
+            "different topic")
         ranges
       },
       startingTimestamp =
@@ -161,8 +197,31 @@ case class RippleConf(
     snapshot: Option[Map[String, (Long, Long)]] = None,
     startingTimestamp: Option[Long] = None,
     endingTimestamp: Option[Long] = None,
+    topics: Seq[String] = Seq.empty,
     hconf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
       LogFs.activeBroadcast) {
+  /** The subscription (>= 1 topic); `topic` alone means a single-topic
+    * read, the overwhelmingly common case and the wire-stable one (its
+    * streaming offset keys stay bare bucket names, so existing
+    * checkpoints keep resuming).
+    */
+  def topicList: Seq[String] = if (topics.nonEmpty) topics else Seq(topic)
+  def multiTopic: Boolean = topicList.size > 1
+  /** Streaming offset key for a bucket: bare bucket name single-topic
+    * (checkpoint compatibility), `topic/bucket` under a multi-topic
+    * subscription (bucket names collide across topics by construction).
+    */
+  def streamKey(tb: graft.model.TopicBucket): String =
+    if (multiTopic) s"${tb.topic}/${tb.bucket}" else tb.bucket
+  def keyBucket(key: String): graft.model.TopicBucket =
+    if (multiTopic) {
+      val i = key.indexOf('/')
+      if (i < 0) throw new IllegalStateException(
+        s"ripple: offset key '$key' lacks the topic/bucket form a " +
+          "multi-topic subscription writes — the checkpoint was written " +
+          "by a single-topic query; keep the original subscription")
+      graft.model.TopicBucket(key.substring(0, i), key.substring(i + 1))
+    } else graft.model.TopicBucket(topicList.head, key)
   /** Option-combination checks that need the fully-built conf. Timestamp
     * seek and positional/pinned reads both fix the start of the read — a
     * query naming two different starts has no defensible winner, so the
@@ -183,13 +242,28 @@ case class RippleConf(
       if (e <= s) throw new IllegalArgumentException(
         s"ripple: endingTimestamp ($e) must be greater than " +
           s"startingTimestamp ($s)")
+    if (multiTopic && snapshot.isDefined)
+      throw new IllegalArgumentException(
+        "ripple: a snapshot token pins ONE topic — capture and read each " +
+          "topic's pin separately instead of a multi-topic subscription")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)
-  /** The registered payload schema (lifted reads); loud when absent. */
-  def payloadSchema: StructType = TopicSchemas.require(log, topic)
+  /** The registered payload schema (lifted reads); loud when absent. A
+    * multi-topic lifted read requires every subscribed topic to carry the
+    * SAME registered schema — silently unioning divergent shapes would
+    * null-pad whichever side is missing columns.
+    */
+  def payloadSchema: StructType = {
+    val ss = topicList.map(t => t -> TopicSchemas.require(log, t))
+    val distinct = ss.map(_._2).distinct
+    if (distinct.size > 1) throw new IllegalArgumentException(
+      s"ripple: lifted multi-topic read needs ONE registered schema; " +
+        ss.map { case (t, s) => s"$t: ${s.simpleString}" }.mkString("; "))
+    distinct.head
+  }
   def buckets: Seq[graft.model.TopicBucket] = {
-    val all = log.buckets(topic)
+    val all = topicList.flatMap(t => log.buckets(t))
     bucket match {
       case Some(b) => all.filter(_.bucket == b)
       case None    => all

@@ -128,15 +128,16 @@ object RippleDataLoss {
   /** Validate a requested read position `from` against the bucket's
     * truncation `floor`; returns the effective (possibly advanced) position.
     */
-  def check(conf: RippleConf, bucket: String, from: Long, floor: Long): Long =
+  def check(conf: RippleConf, topic: String, bucket: String, from: Long,
+      floor: Long): Long =
     if (from >= floor) from
     else if (conf.allowDataLoss) {
       log.warn(s"ripple: skipping lost offsets [$from, $floor) of topic " +
-        s"'${conf.topic}' bucket '$bucket' (retention truncated past the " +
+        s"'$topic' bucket '$bucket' (retention truncated past the " +
         "requested position; allowDataLoss=true)")
       floor
     } else throw new IllegalStateException(
-      s"ripple: offsets [$from, $floor) of topic '${conf.topic}' bucket " +
+      s"ripple: offsets [$from, $floor) of topic '$topic' bucket " +
         s"'$bucket' were removed by retention (earliest retained offset is " +
         s"$floor). Reading would silently lose ${floor - from} records. " +
         "Restart from a fresh checkpoint / drop the stale startingOffset, " +
@@ -165,7 +166,8 @@ class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
         // under-count — same guard as the row scan (absent → earliest).
         val floor = segs.headOption.map(_._2).getOrElse(0L)
         val from =
-          if (conf.startingOffsetSet) RippleDataLoss.check(conf, tb.bucket, lo, floor)
+          if (conf.startingOffsetSet)
+            RippleDataLoss.check(conf, tb.topic, tb.bucket, lo, floor)
           else lo
         segs.map { case (_, start, count) =>
           math.max(0L, math.min(end, start + count) - math.max(from, start))
@@ -214,11 +216,11 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     * `.tsidx` cache; repeats are metadata reads). A bucket that appears
     * after resolution (concurrent create) resolves on demand.
     */
-  private lazy val tsSeekBounds: Map[String, (Long, Long)] =
+  private lazy val tsSeekBounds: Map[graft.model.TopicBucket, (Long, Long)] =
     if (conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty) Map.empty
     else {
       val log = conf.log
-      conf.buckets.map(tb => tb.bucket -> resolveTs(log, tb)).toMap
+      conf.buckets.map(tb => tb -> resolveTs(log, tb)).toMap
     }
 
   private def resolveTs(log: graft.log.FileTopicLog,
@@ -230,7 +232,7 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   private[graft] def tsRange(tb: graft.model.TopicBucket): (Long, Long) =
     if (conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty)
       (0L, Long.MaxValue)
-    else tsSeekBounds.getOrElse(tb.bucket, resolveTs(conf.log, tb))
+    else tsSeekBounds.getOrElse(tb, resolveTs(conf.log, tb))
 
   /** Exact statistics from segment manifests — zero frames read. Without
     * this, a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
@@ -400,11 +402,11 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
         val floor = segs.headOption.map(_._2).getOrElse(0L)
         val from =
           if (conf.startingOffsetSet || conf.snapshot.isDefined)
-            RippleDataLoss.check(conf, tb.bucket, blo, floor)
+            RippleDataLoss.check(conf, tb.topic, tb.bucket, blo, floor)
           else blo
         segs.collect {
           case (path, start, count) if start < end && start + count > from =>
-            RippleInputPartition(conf.root, conf.topic, tb.bucket,
+            RippleInputPartition(conf.root, tb.topic, tb.bucket,
               path.toString, start, math.max(from, start), math.min(end, start + count),
               conf.preferredHosts.toArray)
         }
@@ -635,9 +637,13 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  /** Per-subscription end offsets keyed by [[RippleConf.streamKey]] —
+    * bare bucket names single-topic (checkpoint-stable), `topic/bucket`
+    * under a multi-topic subscription.
+    */
   private def sizes(): Map[String, Long] = {
     val log = conf.log
-    conf.buckets.map(tb => tb.bucket -> log.size(tb)).toMap
+    conf.buckets.map(tb => conf.streamKey(tb) -> log.size(tb)).toMap
   }
 
   /** Trigger.AvailableNow support: the log end is pinned ONCE at query
@@ -668,9 +674,17 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     * (that IS lost data).
     */
   override def initialOffset(): Offset = {
-    val cursor = conf.consumerId
-      .flatMap(id => ConsumerOffsets.load(conf.root, conf.topic, id))
-      .getOrElse(Map.empty[String, Long])
+    // Managed cursors live per topic; under a multi-topic subscription
+    // each topic's cursor loads independently and lands under its
+    // qualified key.
+    val cursor: Map[String, Long] = conf.consumerId.map { id =>
+      conf.topicList.flatMap { t =>
+        ConsumerOffsets.load(conf.root, t, id)
+          .getOrElse(Map.empty[String, Long])
+          .map { case (b, o) =>
+            conf.streamKey(TopicBucket(t, b)) -> o }
+      }.toMap
+    }.getOrElse(Map.empty)
     val log = conf.log
     RippleOffset(sizes().map { case (b, _) =>
       val start = cursor.get(b) match {
@@ -680,10 +694,10 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
         // startingOffsetsByTimestamp); a cursor above already won, and a
         // resumed checkpoint never reaches initialOffset at all.
         case None if conf.startingTimestamp.isDefined =>
-          log.offsetForTimestamp(TopicBucket(conf.topic, b),
+          log.offsetForTimestamp(conf.keyBucket(b),
             conf.startingTimestamp.get)
         case None => math.max(conf.startingOffset,
-          log.firstOffset(TopicBucket(conf.topic, b)))
+          log.firstOffset(conf.keyBucket(b)))
       }
       b -> start })
   }
@@ -729,17 +743,17 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
       val from0 = s.getOrElse(bucket, conf.startingOffset)
       if (until <= from0) Seq.empty
       else {
-        val tb = TopicBucket(conf.topic, bucket)
+        val tb = conf.keyBucket(bucket)
         val segs = log.segments(tb)
         // Data-loss guard: a resumed checkpoint offset (or managed cursor,
         // or explicit startingOffset) below the bucket's first surviving
         // segment means retention truncated committed-but-unread rows.
         // Fail loudly by default; allowDataLoss=true skips to the floor.
         val floor = segs.headOption.map(_._2).getOrElse(0L)
-        val from = RippleDataLoss.check(conf, bucket, from0, floor)
+        val from = RippleDataLoss.check(conf, tb.topic, tb.bucket, from0, floor)
         segs.collect {
           case (path, segStart, count) if segStart < until && segStart + count > from =>
-            RippleInputPartition(conf.root, conf.topic, bucket,
+            RippleInputPartition(conf.root, tb.topic, tb.bucket,
               path.toString, segStart, math.max(from, segStart),
               math.min(until, segStart + count), conf.preferredHosts.toArray)
         }
@@ -756,8 +770,14 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
     * resume, never over-advanced; see [[ConsumerOffsets]]).
     */
   override def commit(end: Offset): Unit = conf.consumerId.foreach { id =>
-    ConsumerOffsets.commit(conf.root, conf.topic, id,
-      end.asInstanceOf[RippleOffset].ends)
+    val ends = end.asInstanceOf[RippleOffset].ends
+    if (!conf.multiTopic)
+      ConsumerOffsets.commit(conf.root, conf.topicList.head, id, ends)
+    else ends.toSeq.map { case (k, o) => (conf.keyBucket(k), o) }
+      .groupBy(_._1.topic).foreach { case (t, xs) =>
+        ConsumerOffsets.commit(conf.root, t, id,
+          xs.map { case (tb, o) => tb.bucket -> o }.toMap)
+      }
   }
   override def stop(): Unit = ()
 }

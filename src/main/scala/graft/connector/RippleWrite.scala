@@ -81,7 +81,13 @@ case class RippleCommitMessage(staged: Seq[StagedFile]) extends WriterCommitMess
   * seeds auto-creation of a missing topic.
   */
 object EffectiveBuckets {
+  private def requireSingleTopic(conf: RippleConf): Unit =
+    if (conf.multiTopic) throw new IllegalArgumentException(
+      s"ripple write: a write targets ONE topic, got " +
+        s"'${conf.topicList.mkString(",")}' — multi-topic subscriptions " +
+        "are a READ surface")
   def resolve(conf: RippleConf): RippleConf = {
+    requireSingleTopic(conf)
     val registered = conf.log.buckets(conf.topic).size
     if (registered > 0) conf.copy(numBuckets = registered)
     else {

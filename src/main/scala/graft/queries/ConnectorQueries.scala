@@ -188,7 +188,30 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Multi-topic subscribe (round 12, Kafka `subscribe` parity): events
+    * split by event_id parity across TWO topics (schemas registered by
+    * `writePacked`, equal by construction), read back as ONE lifted frame
+    * through the comma subscription — the union must reproduce the whole
+    * corpus exactly, so a topic lost, double-read, or cross-wired by the
+    * colliding bucket names hash-fails against the unfiltered oracle.
+    */
+  def multiTopicAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.writePacked(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      root, "evena", col("event_id"), numBuckets = 4)
+    Ripple.writePacked(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+      root, "evodd", col("event_id"), numBuckets = 4)
+    Ripple.readLifted(s, root, "evena,evodd")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_multi_topic" -> (multiTopicAgg _),
     "q154_ts_seek" -> (tsSeekAgg _),
     "q153_snapshot_pin" -> (snapshotPinAgg _),
     "q40_topic_roundtrip_agg" -> (roundtripAgg _),
@@ -295,6 +318,11 @@ object ConnectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q155_multi_topic" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
     "q154_ts_seek" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -1279,4 +1279,93 @@ class ConnectorSpec extends AnyFunSuite {
       Option(streaming.getCause).map(_.getMessage).getOrElse("")
     assert(smsg.contains("endingTimestamp"), s"stream must refuse the bound: $smsg")
   }
+
+  test("multi-topic subscribe: batch union, pattern, qualified streaming offsets, per-topic cursors, refusals") {
+    import spark.implicits._
+    val root = tmp()
+    // colliding bucket names by construction (both topics have b0000/b0001)
+    Ripple.createTopic(root, "mtA", numBuckets = 2)
+    Ripple.createTopic(root, "mtB", numBuckets = 2)
+    Ripple.write(samplePayloads(10), root, "mtA", numBuckets = 2)
+    Ripple.write(samplePayloads(6).withColumn("id", col("id") + 100),
+      root, "mtB", numBuckets = 2)
+
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Int] =
+      d.select("id").as[Int].collect().sorted.toSeq
+    val both = Ripple.readTopics(spark, root, Seq("mtA", "mtB"))
+    assert(ids(both) == ((0 until 10) ++ (100 until 106)))
+    // topic column disambiguates the colliding bucket names
+    assert(both.groupBy("topic").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("mtA" -> 10L, "mtB" -> 6L))
+    // metadata COUNT(*) sums across the subscription
+    assert(both.count() == 16)
+    // pattern subscribe resolves against the log; no match is loud
+    assert(ids(Ripple.readPattern(spark, root, "mt[AB]")) ==
+      ((0 until 10) ++ (100 until 106)))
+    intercept[IllegalArgumentException] {
+      Ripple.readPattern(spark, root, "nosuch.*").count()
+    }
+
+    // streaming: two epochs; qualified topic/bucket offset keys mean an
+    // append to ONE topic surfaces alone, and a consumerId lands one
+    // cursor per topic
+    val q = Ripple.readStream(spark, root, "mtA,mtB",
+        consumerId = Some("mtgrp"))
+      .writeStream.format("memory").queryName("mt_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(ids(spark.table("mt_out")) == ((0 until 10) ++ (100 until 106)))
+      Ripple.write(samplePayloads(3).withColumn("id", col("id") + 200),
+        root, "mtB", numBuckets = 2)
+      q.processAllAvailable()
+      assert(ids(spark.table("mt_out"))
+        == ((0 until 10) ++ (100 until 106) ++ (200 until 203)))
+      // cursors trail by one epoch (committed as the NEXT batch runs);
+      // a third epoch flushes the second's commit
+      Ripple.write(samplePayloads(1).withColumn("id", col("id") + 250),
+        root, "mtA", numBuckets = 2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val curA = Ripple.consumerOffsets(root, "mtA")("mtgrp").values.sum
+    val curB = Ripple.consumerOffsets(root, "mtB")("mtgrp").values.sum
+    assert(curA == 10L, s"mtA cursor (epoch-3 commit still pending): $curA")
+    assert(curB == 9L, s"mtB cursor: $curB")
+
+    // timestamp seek composes: per-(topic, bucket) resolution
+    val tdf = (0 until 8).map(i =>
+        (i + 300, s"t$i".getBytes("UTF-8"), new java.sql.Timestamp(1000L * i)))
+      .toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+    Ripple.createTopic(root, "mtC", numBuckets = 1)
+    Ripple.createTopic(root, "mtD", numBuckets = 1)
+    Ripple.write(tdf, root, "mtC", numBuckets = 1)
+    Ripple.write(tdf.withColumn("id", col("id") + 100), root, "mtD",
+      numBuckets = 1)
+    assert(ids(Ripple.readTimestamp(spark, root, "mtC,mtD", 5000L))
+      == Seq(305, 306, 307, 405, 406, 407))
+
+    // refusals: writes target one topic; a snapshot pins one topic
+    intercept[IllegalArgumentException] {
+      Ripple.write(samplePayloads(1), root, "mtA,mtB", numBuckets = 2)
+    }
+    val token = Ripple.snapshot(root, "mtA")
+    intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root)
+        .option("topic", "mtA,mtB").option("snapshot", token).load().count()
+    }
+    // lifted multi-topic read demands ONE registered schema
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, StringType}
+    graft.connector.TopicSchemas.register(
+      graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf),
+      "mtA", StructType(Seq(StructField("a", LongType))))
+    graft.connector.TopicSchemas.register(
+      graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf),
+      "mtB", StructType(Seq(StructField("b", StringType))))
+    val mismatch = intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root)
+        .option("topic", "mtA,mtB").option("lift", true).load().count()
+    }
+    assert(mismatch.getMessage.contains("ONE registered schema"))
+  }
 }
