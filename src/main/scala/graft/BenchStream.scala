@@ -156,9 +156,24 @@ object BenchStream {
       val p = new org.apache.hadoop.fs.Path(log.bucketDir(tb),
         graft.log.SegmentCodec.segmentName(i.toLong * rowsPer, rowsPer.toLong))
       graft.log.SegmentCodec.write(log.fs, p,
-        (0 until rowsPer).map(j => (graft.model.Payload(j, Array[Byte](1)), now)))
+        // one distinct ts per segment so the seek cell below has a real
+        // 2000-step time axis (compaction/scan cells ignore ts)
+        (0 until rowsPer).map(j => (graft.model.Payload(j, Array[Byte](1)), now + i)))
     }
     log.refreshManifest(tb)
+    // Timestamp-seek cell (round 12): COLD pays the one-time .tsidx
+    // backfill (a frame pass over all 2000 tiny segments); WARM reads the
+    // cache and walks ONE boundary segment — the amortization claim of
+    // DESIGN §14.7, measured.
+    val seekTarget = now + nSegs / 2
+    def seekSec(): Double = {
+      val t = System.nanoTime()
+      val o = log.offsetForTimestamp(tb, seekTarget)
+      require(o == (nSegs / 2).toLong * rowsPer, s"seek returned $o")
+      (System.nanoTime() - t) / 1e9
+    }
+    val seekCold = seekSec()
+    val seekWarm = seekSec()
     def scanSec(): Double = {
       val t = System.nanoTime()
       // a real frame scan (max forces per-partition reads; bare count()
@@ -177,7 +192,8 @@ object BenchStream {
     val after = scanSec()
     s""","compact_segs_before":$nSegs,"compact_segs_after":$segsAfter,""" +
       s""""compact_merged":$merged,"compact_sec":${r3(compactSec)},""" +
-      s""""compact_scan_before_sec":${r3(before)},"compact_scan_after_sec":${r3(after)}"""
+      s""""compact_scan_before_sec":${r3(before)},"compact_scan_after_sec":${r3(after)},""" +
+      s""""seek_segs":$nSegs,"seek_cold_sec":${r3(seekCold)},"seek_warm_sec":${r3(seekWarm)}"""
   } catch { case e: Throwable =>
     System.err.println(s"[bench] compact cell failed: ${e.getMessage}")
     ""

@@ -1400,6 +1400,17 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     */
   def createTopic(topic: String, numBuckets: Int): Seq[TopicBucket] = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    // Kafka's legal-name alphabet. A comma would collide with the
+    // connector's multi-topic subscription syntax, '/' with its
+    // qualified streaming offset keys, and a leading '.' with the
+    // topic-level metadata dirs (.staging/.commits) — refuse at create
+    // (the write path auto-creates through here) instead of failing
+    // strangely at read time.
+    require(topic.nonEmpty && !topic.startsWith(".") &&
+      topic.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
+      s"illegal topic name '$topic': use [A-Za-z0-9._-]+ without a " +
+        "leading dot")
     (0 until numBuckets).map { i =>
       val tb = TopicBucket(topic, f"b$i%04d")
       fs.mkdirs(bucketDir(tb))

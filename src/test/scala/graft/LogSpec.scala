@@ -399,4 +399,11 @@ class LogSpec extends AnyFunSuite {
     val log3 = new FileTopicLog(Files.createTempDirectory("tsseek3"))
     assert(log3.offsetForTimestamp(TopicBucket("t", "b9"), 0L) == 0L)
   }
+
+  test("createTopic refuses names that collide with subscription syntax or metadata dirs") {
+    val log = fileLog()
+    log.createTopic("ok.name_1-x", 1) // the full legal alphabet
+    for (bad <- Seq("a,b", "a/b", ".hidden", "", "sp ace", "unicodé"))
+      intercept[IllegalArgumentException] { log.createTopic(bad, 1) }
+  }
 }
