@@ -35,36 +35,74 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
   private var hi: Long = conf.endingOffset
   private var bucketEq: Option[String] = conf.bucket
   private var limit: Option[Int] = None
-  private var countStar: Boolean = false
+  private var metaAggs: Option[Seq[MetaAgg]] = None
+  // Conservative floor-millis bounds from pushed ts predicates (segment
+  // pruning only — the predicates are ALSO returned for re-evaluation).
+  private var tsPredLo: Option[Long] = None
+  private var tsPredHi: Option[Long] = None
 
-  /** COUNT(*) over a topic is METADATA: per-bucket offsets are dense by
-    * the log contract (LogSpec; overlapping segments fail loudly), so the
-    * count is Σ_buckets clamp(size, [lo, hi)) — answered from the segment
-    * manifests without opening a single frame. Spark only offers the
-    * aggregation here when every filter was pushed (offset/bucket bounds
-    * are), so the clamped-range arithmetic is exact. Complete pushdown:
-    * the scan emits ONE row.
+  private def offCol = if (conf.lift) "_offset" else "offset"
+  private def tsCol = if (conf.lift) "_ts" else "ts"
+
+  /** COUNT(*) / MIN/MAX(offset) / MIN/MAX(ts) over a topic are METADATA:
+    * per-bucket offsets are dense by the log contract (LogSpec;
+    * overlapping segments fail loudly), so count and offset extrema are
+    * clamped-range arithmetic over the segment manifests, and ts extrema
+    * come from the `.tsidx` per-segment stats ([[graft.log.FileTopicLog
+    * .tsStats]]) — no frames opened beyond the one-time stats backfill.
+    * Spark only offers the aggregation here when every filter was FULLY
+    * pushed (offset/bucket bounds are; ts predicates are not — they are
+    * re-evaluated, so their presence declines this path). The ts extrema
+    * additionally require an UNCUT offset range: segment stats describe
+    * whole segments, and retention only ever removes whole segments, so
+    * (lo, hi) = (0, ∞) makes them exact. Complete pushdown: the scan
+    * emits ONE row.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    // Snapshot reads decline the metadata count: the count scan's uniform
-    // [lo, hi) clamp doesn't know per-bucket pins, and a metadata answer
-    // would also skip the snapshot's loud floor/end validation. The normal
-    // scan (which validates) answers COUNT(*) correctly, just not for free.
-    // Timestamp-seek reads decline it for the same reason: the count
-    // scan's uniform [lo, hi) clamp doesn't know per-bucket seek offsets.
-    conf.snapshot.isEmpty &&
-      conf.startingTimestamp.isEmpty && conf.endingTimestamp.isEmpty &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    parseMetaAggs(agg).isDefined
+
+  private def parseMetaAggs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Seq[MetaAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Min, Max}
+    // Snapshot reads decline metadata answers: the uniform [lo, hi) clamp
+    // doesn't know per-bucket pins, and a metadata answer would skip the
+    // snapshot's loud floor/end validation. Timestamp-seek options decline
+    // for the same per-bucket-range reason.
+    if (conf.snapshot.isDefined || conf.startingTimestamp.isDefined ||
+        conf.endingTimestamp.isDefined) return None
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      return None
+    def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          Some(nr.fieldNames.mkString("."))
+        case _ => None
+      }
+    val uncut = lo == 0L && hi == Long.MaxValue && !conf.startingOffsetSet
+    val parsed = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(MetaAgg.Count)
+      case m: Min => name(m.column) match {
+        case Some(c) if c == offCol => Some(MetaAgg.MinOff)
+        case Some(c) if c == tsCol && uncut => Some(MetaAgg.MinTs)
+        case _ => None
+      }
+      case m: Max => name(m.column) match {
+        case Some(c) if c == offCol => Some(MetaAgg.MaxOff)
+        case Some(c) if c == tsCol && uncut => Some(MetaAgg.MaxTs)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
+  }
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (!supportCompletePushDown(agg)) return false
-    countStar = true
-    true
-  }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    parseMetaAggs(agg) match {
+      case Some(as) => metaAggs = Some(as); true
+      case None => false
+    }
 
   /** LIMIT n over a topic caps the segments PLANNED, not just the rows
     * returned: planning stops once the accumulated slice rows cover n, so
@@ -75,32 +113,82 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Floor-to-millis of a pushed timestamp literal plus whether the
+    * literal is EXACTLY integral millis (frames store millis; floored
+    * thresholds keep every pruning comparison CONSERVATIVE, and the
+    * integral flag lets strict bounds tighten by one where that is still
+    * exact — the predicate is re-evaluated row-wise anyway).
+    */
+  private def tsMillisOf(v: Any): Option[(Long, Boolean)] = v match {
+    case t: java.sql.Timestamp =>
+      Some((t.getTime, t.getNanos % 1000000 == 0))
+    case i: java.time.Instant =>
+      val micros = java.lang.Math.addExact(
+        java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+      Some((java.lang.Math.floorDiv(micros, 1000L),
+        java.lang.Math.floorMod(micros, 1000L) == 0L))
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // lifted tables carry the metadata columns under underscore names
-    val offCol = if (conf.lift) "_offset" else "offset"
+    val offC = offCol
+    val tsC = tsCol
     val bktCol = if (conf.lift) "_bucket" else "bucket"
-    val (accepted, rejected) = filters.partition {
-      case GreaterThan(`offCol`, _: Long) => true
-      case GreaterThanOrEqual(`offCol`, _: Long) => true
-      case LessThan(`offCol`, _: Long) => true
-      case LessThanOrEqual(`offCol`, _: Long) => true
-      case EqualTo(`offCol`, _: Long) => true
-      case EqualTo(`bktCol`, _: String) => true
+    def isTsPred(f: Filter): Boolean = f match {
+      case GreaterThan(`tsC`, v) => tsMillisOf(v).isDefined
+      case GreaterThanOrEqual(`tsC`, v) => tsMillisOf(v).isDefined
+      case LessThan(`tsC`, v) => tsMillisOf(v).isDefined
+      case LessThanOrEqual(`tsC`, v) => tsMillisOf(v).isDefined
+      case EqualTo(`tsC`, v) => tsMillisOf(v).isDefined
       case _ => false
     }
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan(`offC`, _: Long) => true
+      case GreaterThanOrEqual(`offC`, _: Long) => true
+      case LessThan(`offC`, _: Long) => true
+      case LessThanOrEqual(`offC`, _: Long) => true
+      case EqualTo(`offC`, _: Long) => true
+      case EqualTo(`bktCol`, _: String) => true
+      case f => isTsPred(f)
+    }
+    def tightenLo(ms: Long): Unit =
+      tsPredLo = Some(tsPredLo.fold(ms)(math.max(_, ms)))
+    def tightenHi(ms: Long): Unit =
+      tsPredHi = Some(tsPredHi.fold(ms)(math.min(_, ms)))
     accepted.foreach {
-      case GreaterThan(`offCol`, v: Long) => lo = math.max(lo, v + 1)
-      case GreaterThanOrEqual(`offCol`, v: Long) => lo = math.max(lo, v)
-      case LessThan(`offCol`, v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual(`offCol`, v: Long) => hi = math.min(hi, v + 1)
-      case EqualTo(`offCol`, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan(`offC`, v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual(`offC`, v: Long) => lo = math.max(lo, v)
+      case LessThan(`offC`, v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual(`offC`, v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo(`offC`, v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
       case EqualTo(`bktCol`, v: String) => bucketEq = Some(v)
+      // ts predicates prune SEGMENTS by their `.tsidx` (min, max) stats —
+      // the parquet-footer trick for the topic log. Floored-millis bounds
+      // are conservative in every case (`>`/`>=` keep any segment whose
+      // max reaches the floor; `<`/`<=` keep any whose min doesn't exceed
+      // it), and exactness comes from Spark re-applying the predicate.
+      case GreaterThan(`tsC`, v) =>
+        val (ms, integral) = tsMillisOf(v).get
+        // rows with ts > X have ts_ms >= X+1 when X is integral millis
+        tightenLo(if (integral) ms + 1 else ms)
+      case GreaterThanOrEqual(`tsC`, v) => tightenLo(tsMillisOf(v).get._1)
+      case LessThan(`tsC`, v) =>
+        val (ms, integral) = tsMillisOf(v).get
+        // rows with ts < X have ts_ms <= X-1 when X is integral millis
+        tightenHi(if (integral) ms - 1 else ms)
+      case LessThanOrEqual(`tsC`, v) => tightenHi(tsMillisOf(v).get._1)
+      case EqualTo(`tsC`, v) =>
+        val (ms, _) = tsMillisOf(v).get
+        tightenLo(ms); tightenHi(ms)
       case _ =>
     }
     pushed = accepted
-    // Offsets/bucket prune exactly — nothing needs re-evaluation, so only
-    // rejected filters go back to Spark.
-    rejected
+    // Offsets/bucket prune exactly — nothing needs re-evaluation. The ts
+    // predicates prune only whole segments, so they go BACK to Spark for
+    // row-wise evaluation (partial pushdown, like file-source stats).
+    rejected ++ accepted.filter(isTsPred)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -109,8 +197,20 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     prunedSchema = requiredSchema
 
   override def build(): Scan =
-    if (countStar) new RippleCountScan(conf.copy(bucket = bucketEq), lo, hi)
-    else new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi, limit)
+    if (metaAggs.isDefined)
+      new RippleMetaAggScan(conf.copy(bucket = bucketEq), lo, hi, metaAggs.get)
+    else new RippleScan(conf.copy(bucket = bucketEq), prunedSchema, lo, hi,
+      limit, tsPredLo, tsPredHi)
+}
+
+/** Metadata aggregates the scan can answer whole (complete pushdown). */
+sealed trait MetaAgg
+object MetaAgg {
+  case object Count extends MetaAgg
+  case object MinOff extends MetaAgg
+  case object MaxOff extends MetaAgg
+  case object MinTs extends MetaAgg
+  case object MaxTs extends MetaAgg
 }
 
 /** Read-side data-loss guard — the `failOnDataLoss` analog of the Kafka
@@ -144,36 +244,81 @@ object RippleDataLoss {
         "or set option allowDataLoss=true to skip the lost range and log it.")
 }
 
-/** Metadata-only COUNT(*) scan: one partition, one row, zero frames read. */
-class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("count(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+/** Metadata-only aggregate scan — COUNT(*) / MIN/MAX(offset) /
+  * MIN/MAX(ts): one partition, one row, zero frames read (beyond the
+  * one-time `.tsidx` stats backfill for the ts extrema). All values are
+  * computed on the DRIVER at plan time from segment manifests and stats;
+  * the single emitted row just carries them.
+  */
+class RippleMetaAggScan(conf: RippleConf, lo: Long, hi: Long,
+    aggs: Seq[MetaAgg]) extends Scan {
+  import org.apache.spark.sql.types.{StructField, LongType, TimestampType}
+  override def readSchema(): StructType = StructType(aggs.map {
+    case MetaAgg.Count  => StructField("count(*)", LongType, nullable = false)
+    case MetaAgg.MinOff => StructField("min(offset)", LongType)
+    case MetaAgg.MaxOff => StructField("max(offset)", LongType)
+    case MetaAgg.MinTs  => StructField("min(ts)", TimestampType)
+    case MetaAgg.MaxTs  => StructField("max(ts)", TimestampType)
+  })
   override def description(): String =
-    s"ripple topic=${conf.topic} metadata-count offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})"
+    s"ripple topic=${conf.topic} metadata-agg [${aggs.mkString(",")}] " +
+      s"offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})"
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val log = conf.log
-      // Sum per-SEGMENT overlap with [lo, min(hi, size)) — NOT size − lo:
-      // retention/truncateBefore removes head segments, so a bucket's live
-      // rows start at its first surviving segment, exactly what the real
-      // scan would read.
-      val total = conf.buckets.map { tb =>
+      var total = 0L
+      var minOff = Long.MaxValue
+      var maxOff = Long.MinValue
+      var minTs = Long.MaxValue
+      var maxTs = Long.MinValue
+      val needTs = aggs.contains(MetaAgg.MinTs) || aggs.contains(MetaAgg.MaxTs)
+      conf.buckets.foreach { tb =>
         val segs = log.segments(tb)
-        val end = math.min(hi,
-          if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max)
-        // An EXPLICIT startingOffset below the retention floor would silently
-        // under-count — same guard as the row scan (absent → earliest).
+        val logEnd =
+          if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
+        val end = math.min(hi, logEnd)
+        // An EXPLICIT startingOffset below the retention floor would
+        // silently under-count — same guard as the row scan (absent →
+        // earliest). Sum per-SEGMENT overlap with [from, end) — NOT
+        // size − lo: retention removes head segments, so live rows start
+        // at the first surviving one, exactly what a real scan reads.
         val floor = segs.headOption.map(_._2).getOrElse(0L)
         val from =
           if (conf.startingOffsetSet)
             RippleDataLoss.check(conf, tb.topic, tb.bucket, lo, floor)
           else lo
-        segs.map { case (_, start, count) =>
+        val rows = segs.map { case (_, start, count) =>
           math.max(0L, math.min(end, start + count) - math.max(from, start))
         }.sum
-      }.sum
-      Array(RippleCountPartition(total))
+        total += rows
+        if (rows > 0) {
+          // offsets are dense per bucket from the floor, so the extrema
+          // of the clamped window are exact arithmetic
+          minOff = math.min(minOff, math.max(from, floor))
+          maxOff = math.max(maxOff, end - 1)
+        }
+        if (needTs && segs.nonEmpty) {
+          // the builder only offers ts extrema on an UNCUT range, so
+          // every live segment contributes whole — per-segment stats
+          // are exact
+          log.tsStats(tb, segs).valuesIterator.foreach { case (mn, mx) =>
+            if (mn < minTs) minTs = mn
+            if (mx > maxTs) maxTs = mx
+          }
+        }
+      }
+      val values: Array[Any] = aggs.map {
+        case MetaAgg.Count  => java.lang.Long.valueOf(total): Any
+        case MetaAgg.MinOff =>
+          if (total == 0) null else java.lang.Long.valueOf(minOff)
+        case MetaAgg.MaxOff =>
+          if (total == 0) null else java.lang.Long.valueOf(maxOff)
+        case MetaAgg.MinTs  =>
+          if (total == 0) null else java.lang.Long.valueOf(minTs * 1000L)
+        case MetaAgg.MaxTs  =>
+          if (total == 0) null else java.lang.Long.valueOf(maxTs * 1000L)
+      }.toArray
+      Array(RippleMetaAggPartition(values))
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
@@ -181,7 +326,7 @@ class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
           new PartitionReader[InternalRow] {
             private var emitted = false
             private val row = new GenericInternalRow(
-              Array[Any](java.lang.Long.valueOf(p.asInstanceOf[RippleCountPartition].total)))
+              p.asInstanceOf[RippleMetaAggPartition].values)
             override def next(): Boolean = { val r = !emitted; emitted = true; r }
             override def get(): InternalRow = row
             override def close(): Unit = ()
@@ -190,7 +335,7 @@ class RippleCountScan(conf: RippleConf, lo: Long, hi: Long) extends Scan {
   }
 }
 
-case class RippleCountPartition(total: Long) extends InputPartition
+case class RippleMetaAggPartition(values: Array[Any]) extends InputPartition
 
 /** Batch/stream scan over a topic. Implements [[SupportsRuntimeFiltering]]
   * on `bucket`: when the scan sits under a join whose key is the bucket
@@ -205,7 +350,9 @@ case class RippleCountPartition(total: Long) extends InputPartition
   * still applies the predicate row-wise.
   */
 class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
-    limit: Option[Int] = None) extends Scan with SupportsRuntimeFiltering
+    limit: Option[Int] = None,
+    tsPredLo: Option[Long] = None,
+    tsPredHi: Option[Long] = None) extends Scan with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
   @volatile private[graft] var runtimeBuckets: Option[Set[String]] = None
@@ -308,7 +455,8 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
       limit.map(l => s" limit=$l").getOrElse("")
   override def toBatch: Batch =
-    new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets, tsRange)
+    new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets, tsRange,
+      tsPredLo, tsPredHi)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (conf.snapshot.isDefined) throw new UnsupportedOperationException(
       "ripple: option 'snapshot' pins a BATCH read; a streaming query pins " +
@@ -317,8 +465,31 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     if (conf.endingTimestamp.isDefined) throw new UnsupportedOperationException(
       "ripple: option 'endingTimestamp' bounds a BATCH read; a streaming " +
         "query is unbounded — drop the option or read with spark.read")
-    new RippleMicroBatchStream(conf, schema)
+    new RippleMicroBatchStream(conf, schema, tsPredLo, tsPredHi)
   }
+}
+
+/** Segment pruning by `.tsidx` (min, max) stats against pushed timestamp
+  * predicate bounds — the parquet-footer trick for the topic log. Bounds
+  * are floored millis (conservative) and Spark re-evaluates the predicate
+  * row-wise, so a kept-but-useless segment costs I/O, never correctness;
+  * a segment is dropped only when its whole ts range misses the
+  * predicate. Stats come from the read-repair cache, so the steady-state
+  * cost is one small-file read per bucket.
+  */
+object RippleTsPrune {
+  def apply(log: graft.log.FileTopicLog, tb: graft.model.TopicBucket,
+      segs: Seq[(org.apache.hadoop.fs.Path, Long, Long)],
+      tsLo: Option[Long], tsHi: Option[Long]): Seq[(org.apache.hadoop.fs.Path, Long, Long)] =
+    if (tsLo.isEmpty && tsHi.isEmpty) segs
+    else {
+      val stats = log.tsStats(tb, segs)
+      segs.filter { case (p, _, _) =>
+        stats.get(p.getName).forall { case (mn, mx) =>
+          tsLo.forall(l => mx >= l) && tsHi.forall(h => mn <= h)
+        }
+      }
+    }
 }
 
 /** One input partition per live segment slice — at scale, reads of a
@@ -347,7 +518,9 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     limit: Option[Int] = None,
     runtimeBuckets: () => Option[Set[String]] = () => None,
     tsRange: graft.model.TopicBucket => (Long, Long) =
-      _ => (0L, Long.MaxValue)) extends Batch {
+      _ => (0L, Long.MaxValue),
+    tsPredLo: Option[Long] = None,
+    tsPredHi: Option[Long] = None) extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
     val log = conf.log
@@ -404,7 +577,10 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
           if (conf.startingOffsetSet || conf.snapshot.isDefined)
             RippleDataLoss.check(conf, tb.topic, tb.bucket, blo, floor)
           else blo
-        segs.collect {
+        // ts-stat segment pruning runs LAST, on the raw listing: floor,
+        // logEnd and the snapshot validation above must see every
+        // surviving segment, pruned or not.
+        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).collect {
           case (path, start, count) if start < end && start + count > from =>
             RippleInputPartition(conf.root, tb.topic, tb.bucket,
               path.toString, start, math.max(from, start), math.min(end, start + count),
@@ -633,7 +809,8 @@ object RippleAdmission {
   * unlike the reference's async ZK write with its over-advance bug
   * (`core.go:61-62`).
   */
-class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
+class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
+    tsPredLo: Option[Long] = None, tsPredHi: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -751,7 +928,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType)
         // Fail loudly by default; allowDataLoss=true skips to the floor.
         val floor = segs.headOption.map(_._2).getOrElse(0L)
         val from = RippleDataLoss.check(conf, tb.topic, tb.bucket, from0, floor)
-        segs.collect {
+        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).collect {
           case (path, segStart, count) if segStart < until && segStart + count > from =>
             RippleInputPartition(conf.root, tb.topic, tb.bucket,
               path.toString, segStart, math.max(from, segStart),

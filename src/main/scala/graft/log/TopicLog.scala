@@ -612,38 +612,41 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
   private def tsIndexPath(tb: TopicBucket): HPath =
     new HPath(bucketDir(tb), ".tsidx")
 
-  /** `.tsidx` cache: one `<segmentName> <maxTsMillis>` line per segment.
-    * Pure read-repair cache — correctness never depends on it (a missing,
-    * stale, or torn file only costs a bounded frame re-scan), so it is
-    * written best-effort with overwrite semantics and parsed tolerantly.
-    * Keyed by segment NAME: retention deletes and in-place compaction both
-    * produce new names, so stale entries simply stop matching and are
-    * dropped at the next rewrite.
+  /** `.tsidx` cache: one `<segmentName> <minTsMillis> <maxTsMillis>` line
+    * per segment. Pure read-repair cache — correctness never depends on it
+    * (a missing, stale, or torn file only costs a bounded frame re-scan),
+    * so it is written best-effort with overwrite semantics and parsed
+    * tolerantly (malformed lines are recomputed). Keyed by segment NAME:
+    * retention deletes and in-place compaction both produce new names, so
+    * stale entries simply stop matching and are dropped at the next
+    * rewrite.
     */
-  private def readTsIndex(tb: TopicBucket): Map[String, Long] =
+  private def readTsIndex(tb: TopicBucket): Map[String, (Long, Long)] =
     try readLines(tsIndexPath(tb)).iterator.flatMap { ln =>
       ln.split(' ') match {
-        case Array(name, ts) =>
-          try Some(name -> ts.toLong)
+        case Array(name, mn, mx) =>
+          try Some(name -> (mn.toLong, mx.toLong))
           catch { case _: NumberFormatException => None }
         case _ => None
       }
     }.toMap
     catch { case _: java.io.IOException => Map.empty }
 
-  /** Max frame timestamp of one segment, skipping payload bytes (frames
-    * must be walked — the format has no footer — but the data bytes are
-    * never materialized).
+  /** (min, max) frame timestamp of one segment, skipping payload bytes
+    * (frames must be walked — the format has no footer — but the data
+    * bytes are never materialized).
     */
-  private def segMaxTs(path: HPath): Long = {
+  private def segTsRange(path: HPath): (Long, Long) = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(path), 1 << 16))
     try {
+      var mn = Long.MaxValue
       var mx = Long.MinValue
       var len = try in.readInt() catch { case _: java.io.EOFException => -1 }
       while (len >= 0) {
         in.readInt() // id
         val ts = in.readLong()
+        if (ts < mn) mn = ts
         if (ts > mx) mx = ts
         var toSkip = (len - 12).toLong
         while (toSkip > 0) {
@@ -653,8 +656,40 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         }
         len = try in.readInt() catch { case _: java.io.EOFException => -1 }
       }
-      mx
+      (mn, mx)
     } finally in.close()
+  }
+
+  /** Per-segment (minTsMillis, maxTsMillis) for `segs`, served from the
+    * `.tsidx` read-repair cache — the topic-log analog of parquet footer
+    * stats. Segments the cache has not seen are frame-scanned once and
+    * the cache rewritten (amortized O(new segments)); consumers are the
+    * timestamp seek, the connector's ts-predicate segment pruning, and
+    * the metadata MIN/MAX(ts) aggregate pushdown.
+    */
+  def tsStats(tb: TopicBucket,
+      segs: Seq[(HPath, Long, Long)]): Map[String, (Long, Long)] = {
+    if (segs.isEmpty) return Map.empty
+    val cached = readTsIndex(tb)
+    var repaired = Map.empty[String, (Long, Long)]
+    val out = segs.map { case (p, _, _) =>
+      val n = p.getName
+      n -> cached.getOrElse(n, {
+        val r = segTsRange(p)
+        repaired += (n -> r)
+        r
+      })
+    }.toMap
+    if (repaired.nonEmpty) {
+      val names = segs.map(_._1.getName).toSet
+      val all = cached.filter { case (n, _) => names.contains(n) } ++ repaired
+      try writeFileAtomic(tsIndexPath(tb),
+        all.toSeq.sortBy(_._1)
+          .map { case (n, (mn, mx)) => s"$n $mn $mx" }.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () } // cache only
+    }
+    out
   }
 
   /** Earliest offset whose record timestamp is `>= tsMillis` — the analog
@@ -678,15 +713,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
   def offsetForTimestamp(tb: TopicBucket, tsMillis: Long): Long = {
     val segs = segments(tb)
     if (segs.isEmpty) return 0L
-    val cached = readTsIndex(tb)
-    var repaired = Map.empty[String, Long]
-    def maxTsOf(p: HPath): Long = cached.get(p.getName) match {
-      case Some(m) => m
-      case None =>
-        val m = segMaxTs(p)
-        repaired += (p.getName -> m)
-        m
-    }
+    val stats = tsStats(tb, segs)
     var answer = -1L
     val it = segs.iterator
     while (answer < 0 && it.hasNext) {
@@ -694,7 +721,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       // Running max so far is < tsMillis (or we'd have answered), so the
       // first qualifying segment is simply the first with maxTs >= target,
       // and the first qualifying FRAME in it is the global first.
-      if (maxTsOf(p) >= tsMillis) {
+      if (stats(p.getName)._2 >= tsMillis) {
         val fit = SegmentCodec.read(fs, p)
         try {
           var i = 0L
@@ -705,14 +732,6 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
           }
         } finally fit.close()
       }
-    }
-    if (repaired.nonEmpty) {
-      val names = segs.map(_._1.getName).toSet
-      val all = cached.filter { case (n, _) => names.contains(n) } ++ repaired
-      try writeFileAtomic(tsIndexPath(tb),
-        all.toSeq.sorted.map { case (n, m) => s"$n $m" }.mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case scala.util.control.NonFatal(_) => () } // cache only
     }
     if (answer >= 0) answer
     else segs.map { case (_, s, c) => s + c }.max

@@ -210,7 +210,62 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** ts-predicate segment pruning (round 12): events packed with their
+    * timestamps into 4 buckets in NATURAL (unordered) per-bucket ts
+    * order, filtered by `_ts >= T` on the lifted read. The pushed
+    * predicate prunes whole segments by `.tsidx` stats AND is re-applied
+    * row-wise by Spark, so the result is exactly `WHERE ts >= T`
+    * regardless of ordering; T is millisecond-integral (event 700's
+    * floored ts) so frame-millis ≡ full-precision compare.
+    */
+  def tsPruneAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    Ripple.createTopic(root, "tspr", numBuckets = 4)
+    Ripple.write(Ripple.pack(ev, col("event_id"), col("ts")),
+      root, "tspr", numBuckets = 4)
+    val t = ev.filter(col("event_id") === 700)
+      .select(col("ts")).collect().head.getTimestamp(0)
+    val schema = StructType(eventSchema.fields.toSeq :+
+      StructField("ts", TimestampType))
+    Ripple.lift(Ripple.read(s, root, "tspr"), schema)
+      .filter(col("_ts") >= lit(new java.sql.Timestamp(t.getTime)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Metadata MIN/MAX aggregate pushdown (round 12): count + offset and
+    * timestamp extrema answered from segment manifests and `.tsidx`
+    * stats, zero frames read (the ConnectorSpec asserts the plan; this
+    * gate asserts the VALUES). Offsets equal event_ids by the q41
+    * construction (dense ids, one bucket, id order); ts extrema are
+    * frame millis, so the oracle floors to milliseconds before taking
+    * epoch values.
+    */
+  def metaAggQuery(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+      .repartition(1).sortWithinPartitions("event_id")
+    Ripple.createTopic(root, "magg", numBuckets = 1)
+    Ripple.write(Ripple.pack(ev, col("event_id"), col("ts")),
+      root, "magg", numBuckets = 1)
+    Ripple.read(s, root, "magg").agg(
+      count(lit(1)).as("n"),
+      min(col("offset")).as("min_off"),
+      max(col("offset")).as("max_off"),
+      unix_millis(min(col("ts"))).as("min_ts_ms"),
+      unix_millis(max(col("ts"))).as("max_ts_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_ts_prune" -> (tsPruneAgg _),
+    "q157_meta_agg" -> (metaAggQuery _),
     "q155_multi_topic" -> (multiTopicAgg _),
     "q154_ts_seek" -> (tsSeekAgg _),
     "q153_snapshot_pin" -> (snapshotPinAgg _),
@@ -318,6 +373,20 @@ object ConnectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q156_ts_prune" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= (SELECT date_trunc('milliseconds', ts) FROM events
+        |             WHERE event_id = 700)
+        |GROUP BY 1""".stripMargin,
+    "q157_meta_agg" ->
+      """SELECT count(1) AS n,
+        |  min(event_id) AS min_off, max(event_id) AS max_off,
+        |  epoch_ms(date_trunc('milliseconds', min(ts))) AS min_ts_ms,
+        |  epoch_ms(date_trunc('milliseconds', max(ts))) AS max_ts_ms
+        |FROM events""".stripMargin,
     "q155_multi_topic" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

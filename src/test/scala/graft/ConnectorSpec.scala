@@ -120,7 +120,7 @@ class ConnectorSpec extends AnyFunSuite {
 
     val counted = Ripple.read(spark, root, "cnt").groupBy().count()
     val plan = counted.queryExecution.executedPlan.toString
-    assert(plan.contains("metadata-count"),
+    assert(plan.contains("metadata-agg"),
       s"COUNT(*) should plan the metadata scan:\n$plan")
     assert(counted.collect().head.getLong(0) == 40L)
 
@@ -128,19 +128,19 @@ class ConnectorSpec extends AnyFunSuite {
     // each bucket holds [0,20); range [5,15) → 10 rows × 2 buckets
     val ranged = Ripple.readRange(spark, root, "cnt", from = 5, until = 15)
       .groupBy().count()
-    assert(ranged.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(ranged.queryExecution.executedPlan.toString.contains("metadata-agg"))
     assert(ranged.collect().head.getLong(0) == 20L)
 
     // an offset FILTER is fully pushed, so the count stays metadata-only
     val filtered = Ripple.read(spark, root, "cnt")
       .filter(col("offset") >= 12L).groupBy().count()
-    assert(filtered.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("metadata-agg"))
     assert(filtered.collect().head.getLong(0) == 16L)
 
     // a NON-pushable predicate must fall back to the real scan
     val fallback = Ripple.read(spark, root, "cnt")
       .filter(col("id") % 2 === 0).groupBy().count()
-    assert(!fallback.queryExecution.executedPlan.toString.contains("metadata-count"))
+    assert(!fallback.queryExecution.executedPlan.toString.contains("metadata-agg"))
     assert(fallback.collect().head.getLong(0) == 20L)
   }
 
@@ -1367,5 +1367,68 @@ class ConnectorSpec extends AnyFunSuite {
         .option("topic", "mtA,mtB").option("lift", true).load().count()
     }
     assert(mismatch.getMessage.contains("ONE registered schema"))
+  }
+
+  test("ts-predicate segment pruning + metadata MIN/MAX aggregate pushdown") {
+    import spark.implicits._
+    val root = tmp()
+    // four writes = four segments per bucket, each spanning a disjoint
+    // 10 s window; a single b0000 bucket keeps the arithmetic exact
+    Ripple.createTopic(root, "tp", numBuckets = 1)
+    (0 until 4).foreach { w =>
+      val df = (0 until 10).map { j =>
+        val i = w * 10 + j
+        (i, s"x$i".getBytes("UTF-8"), new java.sql.Timestamp(10000L * w + 100L * j))
+      }.toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+      Ripple.write(df, root, "tp", numBuckets = 1)
+    }
+    val env = Ripple.read(spark, root, "tp")
+    assert(env.rdd.getNumPartitions == 4, "four segments planned unpruned")
+
+    // ts >= 20s: the first two segments' stats miss the predicate — the
+    // scan must plan HALF the partitions, and the (re-applied) predicate
+    // keeps the result exact
+    val late = env.filter(col("ts") >= lit(new java.sql.Timestamp(20000L)))
+    assert(late.rdd.getNumPartitions == 2, "stats must prune 2 of 4 segments")
+    assert(late.select("id").as[Int].collect().sorted.toSeq == (20 until 40))
+    // both-sided window prunes to one segment
+    val mid = env.filter(col("ts") >= lit(new java.sql.Timestamp(10000L)) &&
+      col("ts") < lit(new java.sql.Timestamp(20000L)))
+    assert(mid.rdd.getNumPartitions == 1, "window must prune to 1 segment")
+    assert(mid.select("id").as[Int].collect().sorted.toSeq == (10 until 20))
+    // pruning composes with the lifted (_ts) column names
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType}
+    val lifted = Ripple.lift(env, StructType(Seq(StructField("id", IntegerType))))
+      .filter(col("_ts") >= lit(new java.sql.Timestamp(30000L)))
+    assert(lifted.rdd.getNumPartitions == 1)
+    assert(lifted.select(col("_id")).as[Int].collect().length == 10)
+
+    // metadata aggregates: one row, zero frame partitions, plan-visible
+    val agg = env.agg(
+      count(lit(1)).as("n"),
+      min(col("offset")).as("min_off"), max(col("offset")).as("max_off"),
+      unix_millis(min(col("ts"))).as("min_ts"),
+      unix_millis(max(col("ts"))).as("max_ts"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-agg"),
+      "aggregate must ride the metadata scan")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((40L, 0L, 39L, 0L, 30900L)))
+    // offset extrema stay metadata under offset bounds (dense offsets);
+    // ts extrema then DECLINE (segment stats can't describe a cut range)
+    val bounded = env.filter(col("offset") >= 5L)
+      .agg(count(lit(1)), min(col("offset")), max(col("offset")))
+    assert(bounded.queryExecution.executedPlan.toString.contains("metadata-agg"))
+    assert(bounded.collect().head.toSeq == Seq(35L, 5L, 39L))
+    val boundedTs = env.filter(col("offset") >= 5L)
+      .agg(min(col("ts")).as("mn"))
+    assert(!boundedTs.queryExecution.executedPlan.toString.contains("metadata-agg"),
+      "cut range must fall back to the frame scan for ts extrema")
+    assert(unix_millis(lit(boundedTs.collect().head.getTimestamp(0))) != null)
+    // empty topic: count 0, extrema NULL
+    Ripple.createTopic(root, "tpe", numBuckets = 1)
+    val er = Ripple.read(spark, root, "tpe")
+      .agg(count(lit(1)), min(col("offset")), max(col("ts"))).collect().head
+    assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2))
   }
 }
