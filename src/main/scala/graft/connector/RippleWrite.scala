@@ -70,7 +70,9 @@ object WriteShape {
   * deterministic — which is what lets a crashed publish be completed
   * idempotently from its intent record.
   */
-case class StagedFile(bucket: String, path: String, count: Long, partitionId: Int = -1)
+case class StagedFile(bucket: String, path: String, count: Long,
+  partitionId: Int = -1,
+  minTs: Long = Long.MaxValue, maxTs: Long = Long.MinValue)
 case class RippleCommitMessage(staged: Seq[StagedFile]) extends WriterCommitMessage
 
 /** The topic's bucket count is registry metadata (the reference keeps it in
@@ -145,7 +147,8 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value.value)
   fs.mkdirs(stagingDir)
 
-  private case class Open(path: HPath, out: DataOutputStream, var count: Long)
+  private case class Open(path: HPath, out: DataOutputStream, var count: Long,
+    var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
   private val open = mutable.Map.empty[String, Open]
 
   private def routeBucket(row: InternalRow): String =
@@ -170,6 +173,8 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
     val tsMillis =
       if (shape.tsIdx >= 0 && !row.isNullAt(shape.tsIdx)) row.getLong(shape.tsIdx) / 1000L
       else System.currentTimeMillis()
+    if (tsMillis < o.minTs) o.minTs = tsMillis
+    if (tsMillis > o.maxTs) o.maxTs = tsMillis
     o.out.writeInt(4 + 8 + data.length)
     o.out.writeInt(id)
     o.out.writeLong(tsMillis)
@@ -180,7 +185,8 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   override def commit(): WriterCommitMessage = {
     val staged = open.toSeq.sortBy(_._1).map { case (bucket, o) =>
       o.out.close()
-      StagedFile(bucket, o.path.toString, o.count, partitionId)
+      StagedFile(bucket, o.path.toString, o.count, partitionId,
+        o.minTs, o.maxTs)
     }
     RippleCommitMessage(staged)
   }
@@ -327,6 +333,7 @@ object RipplePublish {
             }
           }
         }
+        val tsEntries = Map.newBuilder[String, (Long, Long)]
         files.foreach { f =>
           val (start, count) = plan.getOrElse((bucket, f.partitionId),
             throw new IllegalStateException(
@@ -344,8 +351,15 @@ object RipplePublish {
           // mode (object stores) gets the same replay/foreign semantics
           // from the sequenced put-if-absent commit log instead of file
           // names, with no dependence on rename atomicity or the lock.
-          log.publishStaged(tb, start, count, new HPath(f.path))
+          val published = log.publishStaged(tb, start, count, new HPath(f.path))
+          // publish-time ts stats (the writer tracked min/max while
+          // framing): the read side's `.tsidx` never pays a backfill
+          // scan for connector-written segments. Older/replayed commit
+          // messages without stats (sentinel bounds) are skipped.
+          if (f.minTs <= f.maxTs)
+            published.foreach(n => tsEntries += (n -> (f.minTs, f.maxTs)))
         }
+        log.recordTsStats(tb, tsEntries.result())
         log.refreshManifest(tb)
       }
     }

@@ -660,6 +660,24 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     } finally in.close()
   }
 
+  /** Record publish-time (min, max) frame-ts stats for freshly published
+    * segments, sparing readers the one-time backfill frame scan — the
+    * writer already has every timestamp in hand, so this is free. Same
+    * cache discipline as [[tsStats]]' rewrite: best-effort read-modify-
+    * write with overwrite semantics (a lost race or failed write only
+    * re-opens the read-repair path); stale names are pruned by the next
+    * [[tsStats]] rewrite, not here.
+    */
+  def recordTsStats(tb: TopicBucket, entries: Map[String, (Long, Long)]): Unit = {
+    if (entries.isEmpty) return
+    val merged = readTsIndex(tb) ++ entries
+    try writeFileAtomic(tsIndexPath(tb),
+      merged.toSeq.sortBy(_._1)
+        .map { case (n, (mn, mx)) => s"$n $mn $mx" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () } // cache only
+  }
+
   /** Per-segment (minTsMillis, maxTsMillis) for `segs`, served from the
     * `.tsidx` read-repair cache — the topic-log analog of parquet footer
     * stats. Segments the cache has not seen are frame-scanned once and
@@ -753,8 +771,10 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         val start = st.endOffset
         val data = new HPath(bucketDir(tb), uniqueDataName(start, rows.size.toLong))
         SegmentCodec.write(fs, data, stamped)
-        if (cl.tryCommit(st, Seq(SegMeta(data.getName, start, rows.size.toLong)), Set.empty).isDefined)
+        if (cl.tryCommit(st, Seq(SegMeta(data.getName, start, rows.size.toLong)), Set.empty).isDefined) {
+          recordTsStats(tb, Map(data.getName -> (now, now)))
           return start
+        }
         try fs.delete(data, false) catch { case _: java.io.IOException => () }
         attempt += 1
         if (attempt > 200) throw new java.io.IOException(
@@ -784,10 +804,18 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     if (rows.isEmpty) return start
     val dir = bucketDir(tb)
     fs.mkdirs(dir)
+    // publish-time ts stats: the rows are in hand, so the read side never
+    // pays the .tsidx backfill scan for this segment
+    def stamp(name: String): Unit =
+      recordTsStats(tb, Map(name -> (rows.iterator.map(_._2).min,
+        rows.iterator.map(_._2).max)))
     if (manifestCommitMode) {
-      manifestPublish(tb, start, rows.size.toLong)(
-        materialize = q => SegmentCodec.write(fs, q, rows))(
+      var published: Option[String] = None
+      val used = manifestPublish(tb, start, rows.size.toLong)(
+        materialize = q => {
+          SegmentCodec.write(fs, q, rows); published = Some(q.getName) })(
         sameAs = committed => sameAsRows(committed, rows))
+      if (used) published.foreach(stamp)
       return start
     }
     val target = new HPath(dir, SegmentCodec.segmentName(start, rows.size.toLong))
@@ -805,7 +833,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       // when it carries the same records.
       if (!publishNoReplace(tmp, target)) {
         try requireSameContent() finally fs.delete(tmp, false)
-      }
+      } else stamp(target.getName)
     } else requireSameContent()
     refreshManifest(tb)
     start
@@ -911,20 +939,22 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * The staged file is always consumed: linked/renamed into the log,
     * or deleted when a committed twin already carries the records.
     */
-  def publishStaged(tb: TopicBucket, start: Long, count: Long, staged: HPath): Unit = {
+  def publishStaged(tb: TopicBucket, start: Long, count: Long,
+      staged: HPath): Option[String] = {
     if (manifestCommitMode) {
       var src = staged
       var moved = false
+      var published: Option[String] = None
       val used = manifestPublish(tb, start, count)(
         materialize = q => {
           if (!fs.rename(src, q))
             throw new java.io.IOException(s"stage move $src -> $q failed")
-          src = q; moved = true
+          src = q; moved = true; published = Some(q.getName)
         })(
         sameAs = committed => SegmentCodec.sameFrames(fs, committed, src))
       if (!used && !moved) // never materialized: original staged file remains
         try fs.delete(staged, false) catch { case _: java.io.IOException => () }
-      return
+      return if (used) published else None
     }
     val target = new HPath(bucketDir(tb), SegmentCodec.segmentName(start, count))
     // Exists-check + ATOMIC no-replace publish under the bucket lock. An
@@ -949,6 +979,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         s"publish $staged -> $target refused — " +
           "a writer is publishing outside the bucket lock")
     }
+    Some(target.getName)
   }
 
   /** Publish `staged` at `target` with ATOMIC NO-REPLACE semantics on every

@@ -1382,6 +1382,18 @@ class ConnectorSpec extends AnyFunSuite {
       }.toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
       Ripple.write(df, root, "tp", numBuckets = 1)
     }
+    // publish-time stamping: BEFORE any read runs, the connector writes
+    // above must already have left a populated .tsidx (writer-tracked
+    // min/max) — this proves the publish path, not read-repair
+    val idx = java.nio.file.Paths.get(root, "tp", "b0000", ".tsidx")
+    assert(java.nio.file.Files.exists(idx), ".tsidx stamped at publish")
+    val stamped = new String(java.nio.file.Files.readAllBytes(idx), "UTF-8")
+      .split('\n').filter(_.nonEmpty)
+    assert(stamped.length == 4 && stamped.forall(_.split(' ').length == 3),
+      s"4 stamped segments with (min,max): ${stamped.toSeq}")
+    assert(stamped.exists(_.endsWith(" 0 900")) &&
+      stamped.exists(_.endsWith(" 30000 30900")), stamped.toSeq.toString)
+
     val env = Ripple.read(spark, root, "tp")
     assert(env.rdd.getNumPartitions == 4, "four segments planned unpruned")
 

@@ -372,10 +372,12 @@ class LogSpec extends AnyFunSuite {
     val expect = Seq(0L, 0L, 1L, 2L, 3L, 2L, 5L, 7L, 8L)
     assert(seeks() == expect)
 
-    // first seek wrote the per-bucket cache; corrupting it must not change
-    // any answer (tolerant parse + frame re-scan + rewrite)
+    // appendAt stamped the per-bucket cache at publish (and the seeks
+    // above TRUSTED it — wrong stamped values would have failed them);
+    // corrupting it must not change any answer (tolerant parse + frame
+    // re-scan + rewrite)
     val idx = dir.resolve("t").resolve("b0").resolve(".tsidx")
-    assert(Files.exists(idx), ".tsidx cache written by seek")
+    assert(Files.exists(idx), ".tsidx cache stamped at publish")
     Files.write(idx, "garbage\nseg-junk notanumber\n".getBytes("UTF-8"))
     assert(seeks() == expect, "corrupt cache must self-heal")
     assert(new String(Files.readAllBytes(idx), "UTF-8").contains("seg-"),
