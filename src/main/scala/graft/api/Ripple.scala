@@ -226,6 +226,21 @@ object Ripple {
       tb.bucket -> log.offsetForTimestamp(tb, tsMillis)).toMap
   }
 
+  /** Per-bucket newest record timestamp (max over segment ts stats, so
+    * out-of-order stamps are handled; never-written buckets omitted) —
+    * the freshness half of lag tooling: `now − latestTimestamps(...)` is
+    * each bucket's write-side staleness in TIME units, the complement of
+    * [[consumerStatus]]'s offset lag.
+    */
+  def latestTimestamps(root: String, topic: String): Map[String, Long] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.buckets(topic).flatMap { tb =>
+      val segs = log.segments(tb)
+      if (segs.isEmpty) None
+      else Some(tb.bucket -> log.tsStats(tb, segs).valuesIterator.map(_._2).max)
+    }.toMap
+  }
+
   /** Capture a snapshot token: each bucket's committed offset range
     * `[floor, end)` in one metadata pass. Pair with [[readSnapshot]] — a
     * later read of the token sees exactly this state (appends invisible,

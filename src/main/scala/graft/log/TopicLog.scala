@@ -1338,9 +1338,29 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       replaced.map(_._2).distinct).map(_.getName).sorted
     writeFileAtomic(manifestPath(tb),
       names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    carryTsStats(tb, groups.map(g =>
+      g.map(_._1.getName) ->
+        SegmentCodec.segmentName(g.head._2, g.map(_._3).sum)))
     memberPaths.foreach { p =>
       try fs.delete(p, false) catch { case _: java.io.IOException => () } }
     memberPaths.size + healed
+  }
+
+  /** Carry `.tsidx` stats across a compaction: a merged segment's (min,
+    * max) is the combine of its members' — but only when EVERY member had
+    * a cached entry (a partial combine would understate the range);
+    * otherwise the merged file falls back to read-repair.
+    */
+  private def carryTsStats(tb: TopicBucket,
+      groups: Seq[(Seq[String], String)]): Unit = {
+    val cached = readTsIndex(tb)
+    val entries = groups.flatMap { case (members, merged) =>
+      val stats = members.flatMap(cached.get)
+      if (stats.nonEmpty && stats.size == members.size)
+        Some(merged -> (stats.map(_._1).min, stats.map(_._2).max))
+      else None
+    }.toMap
+    recordTsStats(tb, entries)
   }
 
   private def compactBucketManifest(tb: TopicBucket, targetBytes: Long,
@@ -1366,6 +1386,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       }
       val removes = groups.flatten.map(_._1.getName).toSet
       if (cl.tryCommit(st, adds, removes).isDefined) {
+        carryTsStats(tb, groups.zip(adds).map { case (g, a) =>
+          g.map(_._1.getName) -> a.name })
         removes.foreach { n =>
           try fs.delete(new HPath(dir, n), false)
           catch { case _: java.io.IOException => () } }

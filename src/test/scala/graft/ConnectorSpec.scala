@@ -1228,6 +1228,9 @@ class ConnectorSpec extends AnyFunSuite {
     // even ids: offset j ↔ ts 2000·j; b0001 odd: ts (2j+1)·1000)
     assert(Ripple.offsetsForTimestamp(root, "tsk", 20000L)
       == Map("b0000" -> 10L, "b0001" -> 10L))
+    // freshness: newest record ts per bucket (even max 38 s, odd 39 s)
+    assert(Ripple.latestTimestamps(root, "tsk")
+      == Map("b0000" -> 38000L, "b0001" -> 39000L))
 
     def ids(d: org.apache.spark.sql.DataFrame): Seq[Int] =
       d.select("id").as[Int].collect().sorted.toSeq

@@ -383,9 +383,12 @@ class LogSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(idx), "UTF-8").contains("seg-"),
       "cache rewritten after repair")
 
-    // in-place compaction renames segments; stale cache entries stop
-    // matching and the seek recomputes against the merged file
+    // in-place compaction carries the stats: the merged segment's entry
+    // is the combine of its members' — no re-scan needed
     assert(log.compactSegments("t") == 3)
+    val carried = new String(Files.readAllBytes(idx), "UTF-8")
+    assert(carried.contains(
+      s"${SegmentCodec.segmentName(0L, 8L)} 10 70"), carried)
     assert(seeks() == expect, "seek invariant under compaction")
 
     // retention: a timestamp predating every retained record resolves to
