@@ -67,6 +67,14 @@ import scala.jdk.CollectionConverters._
   *   - `maxOffsetsPerTrigger` (streaming read): global per-micro-batch row
   *     cap, the analog of the reference's `AskQuery.Count` (`core.go:16-19`);
   *     allocated proportionally to per-bucket backlog
+  *   - `minOffsetsPerTrigger`/`maxTriggerDelayMs` (streaming read): hold a
+  *     trigger until the backlog reaches the minimum or the delay (default
+  *     15 min) expires — fewer, fuller micro-batches under trickle input
+  *     (Kafka source semantics; ignored under Trigger.AvailableNow)
+  *   - `startingPosition` (streaming read): `latest` tails NEW records
+  *     from query start (fresh checkpoints only — resume goes through the
+  *     checkpoint; batch reads refuse it), `earliest` names the default;
+  *     exclusive with `startingOffset`/`startingTimestamp`
   *   - `preferredHosts` (read): comma-separated executor hosts for stable
   *     per-bucket locality pinning
   *   - `retentionMs` (write): expire whole segments older than this at each
@@ -145,6 +153,13 @@ object RippleConf {
       startingOffset = options.getLong("startingOffset", 0L),
       endingOffset = options.getLong("endingOffset", Long.MaxValue),
       maxOffsetsPerTrigger = options.getLong("maxOffsetsPerTrigger", Long.MaxValue),
+      minOffsetsPerTrigger = options.getLong("minOffsetsPerTrigger", 0L),
+      maxTriggerDelayMs = options.getLong("maxTriggerDelayMs", 15L * 60 * 1000),
+      startingPosition = Option(options.get("startingPosition")).map {
+        case p @ ("earliest" | "latest") => p
+        case other => throw new IllegalArgumentException(
+          s"ripple: startingPosition must be 'earliest' or 'latest', got '$other'")
+      },
       preferredHosts = Option(options.get("preferredHosts"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       retentionMs = options.getLong("retentionMs", Long.MaxValue),
@@ -188,6 +203,9 @@ case class RippleConf(
     startingOffset: Long,
     endingOffset: Long,
     maxOffsetsPerTrigger: Long,
+    minOffsetsPerTrigger: Long = 0L,
+    maxTriggerDelayMs: Long = 15L * 60 * 1000,
+    startingPosition: Option[String] = None,
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
     consumerId: Option[String] = None,
@@ -246,6 +264,15 @@ case class RippleConf(
       throw new IllegalArgumentException(
         "ripple: a snapshot token pins ONE topic — capture and read each " +
           "topic's pin separately instead of a multi-topic subscription")
+    if (startingPosition.isDefined &&
+        (startingOffsetSet || startingTimestamp.isDefined))
+      throw new IllegalArgumentException(
+        "ripple: 'startingPosition' and an explicit " +
+          "startingOffset/startingTimestamp both fix the read start — " +
+          "set one")
+    if (minOffsetsPerTrigger < 0 || maxTriggerDelayMs <= 0)
+      throw new IllegalArgumentException(
+        "ripple: minOffsetsPerTrigger must be >= 0 and maxTriggerDelayMs > 0")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

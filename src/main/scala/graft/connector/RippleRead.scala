@@ -71,6 +71,9 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     // for the same per-bucket-range reason.
     if (conf.snapshot.isDefined || conf.startingTimestamp.isDefined ||
         conf.endingTimestamp.isDefined) return None
+    // 'latest' must reach RippleScan.toBatch's loud batch refusal, not a
+    // metadata answer that ignores the position
+    if (conf.startingPosition.contains("latest")) return None
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
       return None
     def name(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
@@ -454,9 +457,15 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   override def description(): String =
     s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
       limit.map(l => s" limit=$l").getOrElse("")
-  override def toBatch: Batch =
+  override def toBatch: Batch = {
+    if (conf.startingPosition.contains("latest"))
+      throw new UnsupportedOperationException(
+        "ripple: startingPosition 'latest' tails NEW records — a batch " +
+          "read of it is empty by definition; use spark.readStream, or " +
+          "drop the option ('earliest' is the batch default)")
     new RippleBatch(conf, schema, lo, hi, limit, () => runtimeBuckets, tsRange,
       tsPredLo, tsPredHi)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     if (conf.snapshot.isDefined) throw new UnsupportedOperationException(
       "ripple: option 'snapshot' pins a BATCH read; a streaming query pins " +
@@ -873,15 +882,37 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
         case None if conf.startingTimestamp.isDefined =>
           log.offsetForTimestamp(conf.keyBucket(b),
             conf.startingTimestamp.get)
+        // 'latest': tail from the CURRENT end — the backlog is invisible
+        // (Kafka's streaming startingOffsets=latest); resume still goes
+        // through the checkpoint, never back through here.
+        case None if conf.startingPosition.contains("latest") =>
+          log.size(conf.keyBucket(b))
         case None => math.max(conf.startingOffset,
           log.firstOffset(conf.keyBucket(b)))
       }
       b -> start })
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (conf.maxOffsetsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxRows(conf.maxOffsetsPerTrigger)
+  override def getDefaultReadLimit: ReadLimit = {
+    val parts = Seq(
+      if (conf.minOffsetsPerTrigger > 0)
+        Some(ReadLimit.minRows(conf.minOffsetsPerTrigger,
+          conf.maxTriggerDelayMs)) else None,
+      if (conf.maxOffsetsPerTrigger != Long.MaxValue)
+        Some(ReadLimit.maxRows(conf.maxOffsetsPerTrigger)) else None).flatten
+    parts match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  // For minOffsetsPerTrigger: when the last emitted batch fired (delay
+  // clock for maxTriggerDelayMs). Kafka-source semantics: hold the
+  // trigger while backlog < min, release on the delay expiring — and
+  // ignore the minimum entirely under Trigger.AvailableNow (a drain must
+  // finish, not wait for rows that will never come).
+  @volatile private var lastTriggerMs: Long = System.currentTimeMillis()
 
   /** Rate-limited end offset: the row cap is allocated PROPORTIONALLY to
     * each bucket's backlog (as the Kafka source does), with every non-empty
@@ -894,13 +925,34 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val now = targetSizes()
     val s = start.asInstanceOf[RippleOffset].ends
-    limit match {
-      case mr: ReadMaxRows =>
-        val from = now.map { case (b, _) => b -> s.getOrElse(b, conf.startingOffset) }
-        val backlog = now.map { case (b, end) => b -> math.max(0L, end - from(b)) }
+    val from = now.map { case (b, _) => b -> s.getOrElse(b, conf.startingOffset) }
+    val backlog = now.map { case (b, end) => b -> math.max(0L, end - from(b)) }
+    // flatten a composite limit into its min/max parts
+    val parts: Seq[ReadLimit] = limit match {
+      case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+        c.getReadLimits.toSeq
+      case one => Seq(one)
+    }
+    val minPart = parts.collectFirst {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMinRows => m }
+    val maxPart = parts.collectFirst { case m: ReadMaxRows => m }
+    // Hold the trigger while the backlog is under the minimum and the
+    // delay clock has not expired — but never under AvailableNow (the
+    // frozen drain target must be reached regardless of batch sizes).
+    val nowMs = System.currentTimeMillis()
+    minPart match {
+      case Some(m) if availableNowTarget.isEmpty &&
+          backlog.valuesIterator.sum < m.minRows &&
+          nowMs - lastTriggerMs < m.maxTriggerDelayMs =>
+        return RippleOffset(from) // no batch this trigger
+      case _ =>
+    }
+    lastTriggerMs = nowMs
+    maxPart match {
+      case Some(mr) =>
         val takes = RippleAdmission.allocate(backlog, mr.maxRows())
         RippleOffset(from.map { case (b, f) => b -> (f + takes.getOrElse(b, 0L)) })
-      case _ => RippleOffset(now)
+      case None => RippleOffset(now)
     }
   }
 

@@ -1446,4 +1446,80 @@ class ConnectorSpec extends AnyFunSuite {
       .agg(count(lit(1)), min(col("offset")), max(col("ts"))).collect().head
     assert(er.getLong(0) == 0L && er.isNullAt(1) && er.isNullAt(2))
   }
+
+  test("startingPosition=latest tails new records; minOffsetsPerTrigger holds small batches") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "tail", numBuckets = 2)
+    Ripple.write(samplePayloads(20), root, "tail", numBuckets = 2) // backlog
+    def ids(t: String): Seq[Int] =
+      spark.table(t).select("id").as[Int].collect().sorted.toSeq
+
+    // latest: the 20-row backlog is invisible; appends after start arrive
+    val q = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "tail").option("startingPosition", "latest")
+      .load().writeStream.format("memory").queryName("tail_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(ids("tail_out").isEmpty, "backlog must be invisible under latest")
+      Ripple.write(samplePayloads(5).withColumn("id", col("id") + 100),
+        root, "tail", numBuckets = 2)
+      q.processAllAvailable()
+      assert(ids("tail_out") == (100 until 105))
+    } finally q.stop()
+    // batch read of 'latest' is refused; bad value refused
+    intercept[Exception] {
+      spark.read.format("ripple").option("path", root).option("topic", "tail")
+        .option("startingPosition", "latest").load().count()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("ripple").option("path", root).option("topic", "tail")
+        .option("startingPosition", "middle").load().count()
+    }
+
+    // minOffsetsPerTrigger: a 3-row trickle is held (no batch) while the
+    // delay clock runs; crossing the minimum releases it
+    Ripple.createTopic(root, "mint", numBuckets = 1)
+    val q2 = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "mint").option("minOffsetsPerTrigger", 10)
+      .option("maxTriggerDelayMs", 600000)
+      .load().writeStream.format("memory").queryName("mint_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      Ripple.write(samplePayloads(3).coalesce(1), root, "mint", numBuckets = 1)
+      q2.processAllAvailable()
+      assert(ids("mint_out").isEmpty, "3 < 10 must hold the trigger")
+      Ripple.write(samplePayloads(9).withColumn("id", col("id") + 50)
+        .coalesce(1), root, "mint", numBuckets = 1)
+      q2.processAllAvailable()
+      assert(ids("mint_out").size == 12, "12 >= 10 must release the batch")
+    } finally q2.stop()
+    // the delay expiring releases a below-minimum batch
+    Ripple.createTopic(root, "mind", numBuckets = 1)
+    Ripple.write(samplePayloads(2).coalesce(1), root, "mind", numBuckets = 1)
+    val q3 = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "mind").option("minOffsetsPerTrigger", 10)
+      .option("maxTriggerDelayMs", 1)
+      .load().writeStream.format("memory").queryName("mind_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      Thread.sleep(50)
+      q3.processAllAvailable()
+      assert(ids("mind_out").size == 2, "expired delay must release 2 < 10")
+    } finally q3.stop()
+    // AvailableNow ignores the minimum: the drain completes
+    Ripple.createTopic(root, "mina", numBuckets = 1)
+    Ripple.write(samplePayloads(4).coalesce(1), root, "mina", numBuckets = 1)
+    val q4 = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "mina").option("minOffsetsPerTrigger", 100)
+      .option("maxTriggerDelayMs", 600000)
+      .load().writeStream.format("memory").queryName("mina_out")
+      .option("checkpointLocation", tmp())
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      assert(q4.awaitTermination(60000), "AvailableNow drain must finish")
+      assert(ids("mina_out").size == 4, "drain must ignore the minimum")
+    } finally q4.stop()
+  }
 }
