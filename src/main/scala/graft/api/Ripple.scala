@@ -134,19 +134,33 @@ object Ripple {
     * consumer's cursor; > 0 means the consumer's next resume will trip
     * the data-loss guard unless it opts into `allowDataLoss`).
     */
-  case class ConsumerPosition(committed: Long, end: Long, floor: Long) {
+  case class ConsumerPosition(committed: Long, end: Long, floor: Long,
+      unreadTs: Option[Long] = None) {
     def lag: Long = end - committed
     def lostToRetention: Long = math.max(0L, floor - committed)
+    /** Consumer TIME lag: `now − ts(first unconsumed record)` (Kafka's
+      * definition) — how far behind the wall the consumer is READING,
+      * where [[lag]] only says how many records. None when caught up or
+      * the position is unreadable (below the floor).
+      */
+    def timeLagMs(nowMs: Long = System.currentTimeMillis()): Option[Long] =
+      unreadTs.map(t => math.max(0L, nowMs - t))
   }
 
   def consumerStatus(root: String, topic: String)
       : Map[String, Map[String, ConsumerPosition]] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
     val ends = endOffsets(root, topic)
     val floors = earliestOffsets(root, topic)
     consumerOffsets(root, topic).map { case (id, byBucket) =>
       id -> byBucket.map { case (b, committed) =>
-        b -> ConsumerPosition(committed,
-          ends.getOrElse(b, committed), floors.getOrElse(b, 0L))
+        val end = ends.getOrElse(b, committed)
+        val floor = floors.getOrElse(b, 0L)
+        val unread =
+          if (committed < end && committed >= floor)
+            log.timestampAt(graft.model.TopicBucket(topic, b), committed)
+          else None
+        b -> ConsumerPosition(committed, end, floor, unread)
       }
     }
   }

@@ -755,6 +755,24 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     else segs.map { case (_, s, c) => s + c }.max
   }
 
+  /** Frame timestamp of the record at `offset` — one bounded segment
+    * walk; None when the offset sits below the retention floor or at/after
+    * the end. Powers consumer TIME lag (`now − ts(first unconsumed)`,
+    * Kafka's consumer time-lag definition) in
+    * [[graft.api.Ripple.consumerStatus]].
+    */
+  def timestampAt(tb: TopicBucket, offset: Long): Option[Long] =
+    segments(tb).find { case (_, s, c) => offset >= s && offset < s + c }
+      .map { case (p, s, _) =>
+        val it = SegmentCodec.read(fs, p)
+        try {
+          var i = s
+          var ts = 0L
+          while (i <= offset && it.hasNext) { ts = it.next()._2; i += 1 }
+          ts
+        } finally it.close()
+      }
+
   override def append(tb: TopicBucket, rows: Seq[Payload]): Long = {
     val now = System.currentTimeMillis()
     val stamped = rows.map(p => (p, now))

@@ -1040,9 +1040,13 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.truncateBefore(root, "cp", 30L, protectConsumers = true) == 1)
     assert(Ripple.earliestOffsets(root, "cp") == Map("b0000" -> 10L))
 
-    // status surface: lag vs floor, nothing lost yet
+    // status surface: lag vs floor, nothing lost yet (unreadTs now carries
+    // the first unconsumed record's wall-clock stamp — only its presence
+    // is deterministic here)
     val st = Ripple.consumerStatus(root, "cp")
-    assert(st("slow")("b0000") == Ripple.ConsumerPosition(12L, 30L, 10L))
+    assert(st("slow")("b0000").copy(unreadTs = None)
+      == Ripple.ConsumerPosition(12L, 30L, 10L))
+    assert(st("slow")("b0000").unreadTs.isDefined)
     assert(st("slow")("b0000").lag == 18L && st("slow")("b0000").lostToRetention == 0L)
     assert(st("fast")("b0000").lag == 5L)
 
@@ -1508,6 +1512,24 @@ class ConnectorSpec extends AnyFunSuite {
       q3.processAllAvailable()
       assert(ids("mind_out").size == 2, "expired delay must release 2 < 10")
     } finally q3.stop()
+    // consumer TIME lag: unreadTs is the FIRST UNCONSUMED record's stamp
+    val ldf = (0 until 10).map(i =>
+        (i, s"L$i".getBytes("UTF-8"), new java.sql.Timestamp(1000L * i)))
+      .toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+    Ripple.createTopic(root, "tlag", numBuckets = 1)
+    Ripple.write(ldf, root, "tlag", numBuckets = 1)
+    graft.connector.ConsumerOffsets.commit(root, "tlag", "g",
+      Map("b0000" -> 4L))
+    val pos = Ripple.consumerStatus(root, "tlag")("g")("b0000")
+    assert(pos.lag == 6L && pos.unreadTs.contains(4000L), pos.toString)
+    assert(pos.timeLagMs(10000L).contains(6000L))
+    // caught up: no unread stamp, no time lag
+    graft.connector.ConsumerOffsets.commit(root, "tlag", "g",
+      Map("b0000" -> 10L))
+    val done = Ripple.consumerStatus(root, "tlag")("g")("b0000")
+    assert(done.lag == 0L && done.unreadTs.isEmpty &&
+      done.timeLagMs().isEmpty)
+
     // AvailableNow ignores the minimum: the drain completes
     Ripple.createTopic(root, "mina", numBuckets = 1)
     Ripple.write(samplePayloads(4).coalesce(1), root, "mina", numBuckets = 1)
