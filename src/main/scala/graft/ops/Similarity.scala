@@ -842,6 +842,31 @@ object Similarity {
     * after delete equals probing the original index with the deleted rows
     * filtered out. Unknown ids are no-ops (idempotent).
     */
+  /** Batch rows with NO near neighbor (cosine >= `tau`) in the persisted
+    * IVF index — the embedding-space analog of
+    * [[Dedup.novelAgainstMinhashIndex]], for semantic crawl admission.
+    * Probes are cell-bounded (each query checks its `nProbe` nearest
+    * cells, cid file skipping via the collected probed set) and the
+    * check is a THRESHOLD semi-join, cheaper than a top-k: no ranking
+    * aggregation, one exact cosine per candidate. Recall is the IVF
+    * probe's — a neighbor assigned outside the probed cells is missed;
+    * raise `nProbe` for stricter admission.
+    */
+  def novelAgainstIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String,
+      vecCol: String, tau: Double, nProbe: Int = 4): DataFrame = {
+    val probes = batch.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.functions.sketches.top_centroids(
+          col("qv"), index.cm, index.cids, nProbe)).as("cid"))
+    val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val dups = index.assigned.filter(col("cid").isin(probedCids: _*))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(cosine(col("cv"), col("qv")) >= tau)
+      .select(col("query_id").as("__graft_dup_id")).distinct()
+    batch.join(dups, col(idCol) === col("__graft_dup_id"), "left_anti")
+  }
+
   def deleteFromIvfIndex(ids: DataFrame, idCol: String, path: String,
       numFiles: Int = 32): Unit = {
     val del = ids.select(col(idCol).as("vec_id")).distinct()

@@ -189,6 +189,50 @@ object IndexMaintenance {
       scrub = Dedup.deleteFromMinhashIndex(batch.select(col(idCol)), idCol,
         path))
 
+  /** The SEMANTIC crawl-admission composition: per micro-batch, keep only
+    * the documents whose embedding has NO near neighbor (cosine >= `tau`)
+    * in the persisted IVF index ([[Similarity.novelAgainstIvfIndex]] —
+    * cell-bounded threshold semi-join), append exactly those to the index
+    * (saved-centroid assignment), and hand the kept batch to `sink` — the
+    * embedding twin of [[minhashAdmitSink]] for near-dups that share no
+    * surface n-grams (translations, paraphrases, templated rewrites).
+    * Same exactly-once epoch discipline; scrub is delete-by-id.
+    *
+    * `dropIntraBatchNearDups` closes the both-in-one-batch corner with a
+    * hyperplane-LSH + exact-cosine pass INSIDE the batch
+    * ([[Dedup.embeddingNearDups]] at the same `tau`, dims from the saved
+    * centroids); representative choice is [[Dedup.dupClustersAny]]'s
+    * canonical minimum, deterministic under replay. The LSH banding only
+    * affects candidate recall — membership is always the exact cosine at
+    * `tau`, ONE similarity definition with the index probe.
+    */
+  def ivfAdmitSink(path: String, idCol: String, vecCol: String,
+      tau: Double, sink: (DataFrame, Long) => Unit, nProbe: Int = 4,
+      numFiles: Int = 4, dropIntraBatchNearDups: Boolean = false)
+      : (DataFrame, Long) => Unit = (batch, epochId) =>
+    applyEpoch(batch, path, epochId)(
+      append = {
+        val idx = Similarity.loadIvfIndex(batch.sparkSession, path)
+        val base =
+          if (!dropIntraBatchNearDups) batch
+          else {
+            val pairs = graft.ops.Dedup.embeddingNearDups(batch, idCol,
+                vecCol, dim = idx.cm.head.length, threshold = tau)
+              .select(col("id_a"), col("id_b"))
+            val drop = graft.ops.Dedup.dupClustersAny(pairs)
+              .filter(col("id") =!= col("cluster"))
+              .select(col("id").as("__graft_dup_id"))
+            batch.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
+          }
+        val novel = Similarity.novelAgainstIvfIndex(idx, base, idCol,
+          vecCol, tau, nProbe)
+        Similarity.appendToIvfIndex(batch.sparkSession, path, novel, idCol,
+          vecCol, numFiles)
+        sink(novel, epochId)
+      },
+      scrub = Similarity.deleteFromIvfIndex(batch.select(col(idCol)), idCol,
+        path))
+
   /** Delete the epoch markers at `path` — the explicit reset for handing
     * an index to a NEW maintaining query (fresh checkpoint). Only correct
     * when the new query's source position is arranged to re-deliver none

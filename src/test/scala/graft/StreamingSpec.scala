@@ -533,6 +533,72 @@ class StreamingSpec extends AnyFunSuite {
         "distinct doc — a silent both-admitted means ids were long-cast")
   }
 
+  test("semantic admission sink: embedding novelty growth, intra-batch cluster drop, replay, crash heal") {
+    import spark.implicits._
+    import graft.streaming.IndexMaintenance
+    import graft.ops.Similarity
+    val dir = tmp()
+    // unit-axis embeddings; "near" = a 1e-4 perturbation (cosine ≈ 1)
+    def axis(i: Int, eps: Double = 0.0): Array[Double] = {
+      val v = Array.fill(8)(0.0); v(i) = 1.0
+      if (eps != 0.0) v((i + 1) % 8) = eps
+      v
+    }
+    val hist = Seq((1L, axis(0)), (2L, axis(1))).toDF("vec_id", "embedding")
+    Similarity.saveIvfIndex(hist, "vec_id", "embedding", dir,
+      numCentroids = 2, kmeansIters = 1, numFiles = 2)
+
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val admit = IndexMaintenance.ivfAdmitSink(dir, "vec_id", "embedding",
+      tau = 0.95,
+      sink = (df, ep) => kept ++= df.select("vec_id").collect()
+        .map(r => ep -> r.getLong(0)),
+      nProbe = 2, numFiles = 2, dropIntraBatchNearDups = true)
+
+    // epoch 0: a semantic near-dup of history (dropped), a novel axis
+    // (admitted), and an intra-batch near-pair of a FOURTH axis — only its
+    // canonical-min representative survives the batch, then it is novel
+    // against the index and admitted
+    admit(Seq(
+      (10L, axis(0, 1e-4)),             // ≈ history vec 1 → dropped
+      (11L, axis(2)),                   // novel → admitted
+      (12L, axis(3)), (13L, axis(3, 1e-4))) // intra-batch pair → 12 only
+      .toDF("vec_id", "embedding"), 0L)
+    assert(kept.sorted.toList == List(0L -> 11L, 0L -> 12L), s"admitted $kept")
+
+    // epoch 1: near-dup of an EPOCH-0 ADMITTED vector (the index grew) +
+    // an intra-batch pair whose representative is near-dup to the INDEX —
+    // the whole cluster drops
+    admit(Seq(
+      (20L, axis(2, 1e-4)),                  // ≈ admitted 11 → dropped
+      (21L, axis(0, 1e-4)), (22L, axis(0, 2e-4)), // cluster ≈ history 1 → zero
+      (23L, axis(4)))                        // novel → admitted
+      .toDF("vec_id", "embedding"), 1L)
+    assert(kept.sorted.toList == List(0L -> 11L, 0L -> 12L, 1L -> 23L),
+      s"admitted $kept")
+
+    // committed-epoch replay: no-op (no re-admission, no index growth)
+    val before = spark.read.parquet(s"$dir/assigned").count()
+    admit(Seq((10L, axis(0, 1e-4))).toDF("vec_id", "embedding"), 0L)
+    assert(kept.size == 3 &&
+      spark.read.parquet(s"$dir/assigned").count() == before)
+
+    // crashed epoch 2 (novel row fully appended, intent live, no commit):
+    // the heal scrubs by id and replays — admitted ONCE
+    val batchC = Seq((30L, axis(5))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, dir, batchC, "vec_id", "embedding",
+      numFiles = 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_epoch_intent"),
+      "2".getBytes("UTF-8"))
+    admit(batchC, 2L)
+    assert(kept.sorted.toList ==
+      List(0L -> 11L, 0L -> 12L, 1L -> 23L, 2L -> 30L), s"admitted $kept")
+    // maintained index holds exactly history + admitted, each assigned once
+    val ids = spark.read.parquet(s"$dir/assigned")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L, 12L, 23L, 30L), ids.toString)
+  }
+
   test("index maintenance: a foreign query's leftover intent refuses the scrub loudly") {
     import spark.implicits._
     import graft.streaming.IndexMaintenance
