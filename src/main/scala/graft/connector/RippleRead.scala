@@ -650,15 +650,28 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
     * range no live segment covers means retention truncated it mid-query —
     * that stays a loud failure, same as planning after the truncate.
     */
+  // Column-pruned payload skip: when neither the raw `data` column nor
+  // any lifted payload field survived pruning, the frame walk skips
+  // payload bytes entirely (stream seek, zero allocation) — a
+  // metadata-only projection over a 100 TB topic pays header bytes, not
+  // payload bytes.
+  private def needsPayload: Boolean =
+    if (lift) schema.fields.exists(f =>
+      !Set("_topic", "_bucket", "_offset", "_id", "_ts").contains(f.name))
+    else schema.fieldNames.contains("data")
+
   private val (it, itStart) = {
     val seg = new HPath(p.segPath)
-    try (SegmentCodec.read(LogFs.get(seg, hconf.value.value), seg), p.segStart)
+    def open(fs: org.apache.hadoop.fs.FileSystem, path: HPath) =
+      if (needsPayload) SegmentCodec.read(fs, path)
+      else SegmentCodec.readHeaders(fs, path)
+    try (open(LogFs.get(seg, hconf.value.value), seg), p.segStart)
     catch {
       case _: java.io.FileNotFoundException =>
         val log = FileTopicLog.cached(p.root, hconf.value.value)
         log.segments(TopicBucket(p.topic, p.bucket))
           .find { case (_, s, c) => s <= p.from && s + c >= p.until } match {
-          case Some((path2, s2, _)) => (SegmentCodec.read(log.fs, path2), s2)
+          case Some((path2, s2, _)) => (open(log.fs, path2), s2)
           case None => throw new java.io.FileNotFoundException(
             s"planned segment ${p.segPath} is gone and offsets " +
               s"[${p.from},${p.until}) of ${p.topic}/${p.bucket} are no longer " +

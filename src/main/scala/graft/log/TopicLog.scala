@@ -136,9 +136,12 @@ object SegmentCodec {
   /** Frame iterator with an explicit `close()`: an offset-pruned read that
     * stops mid-segment releases the stream WITHOUT decoding the remaining
     * frames (round 1 drained the iterator to close — O(segment) wasted I/O
-    * per pruned scan).
+    * per pruned scan). `skipData = true` walks headers only — payload
+    * bytes are SKIPPED (a stream seek, never allocated), the column-pruned
+    * read path for projections that drop `data`: a metadata-only scan of a
+    * 100 TB topic should pay header bytes, not payload bytes.
     */
-  final class FrameIterator(raw: InputStream)
+  final class FrameIterator(raw: InputStream, skipData: Boolean = false)
       extends Iterator[(Int, Long, Array[Byte])] with AutoCloseable {
     private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
     private var nextLen = readLen()
@@ -149,8 +152,20 @@ object SegmentCodec {
     override def next(): (Int, Long, Array[Byte]) = {
       val id = in.readInt()
       val ts = in.readLong()
-      val data = new Array[Byte](nextLen - 12)
-      in.readFully(data)
+      val data =
+        if (skipData) {
+          var toSkip = (nextLen - 12).toLong
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s > 0) toSkip -= s
+            else { in.readByte(); toSkip -= 1 }
+          }
+          Array.emptyByteArray
+        } else {
+          val d = new Array[Byte](nextLen - 12)
+          in.readFully(d)
+          d
+        }
       nextLen = readLen()
       (id, ts, data)
     }
@@ -163,6 +178,12 @@ object SegmentCodec {
 
   def read(fs: FileSystem, file: HPath): FrameIterator =
     new FrameIterator(fs.open(file))
+
+  /** Header-only iterate: (id, tsMillis, empty) with payload bytes
+    * skipped, for `data`-pruned scans.
+    */
+  def readHeaders(fs: FileSystem, file: HPath): FrameIterator =
+    new FrameIterator(fs.open(file), skipData = true)
 
   /** Frame-level identity IGNORING timestamps: same (id, data) sequence.
     * The replay-idempotency check must use this, not raw byte equality —
