@@ -456,7 +456,10 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
   override def readSchema(): StructType = schema
   override def description(): String =
     s"ripple topic=${conf.topic} offsets=[$lo,${if (hi == Long.MaxValue) "∞" else hi})" +
-      limit.map(l => s" limit=$l").getOrElse("")
+      limit.map(l => s" limit=$l").getOrElse("") +
+      (if (tsPredLo.isEmpty && tsPredHi.isEmpty) ""
+       else s" tsPrune=[${tsPredLo.getOrElse("-∞")}," +
+         s"${tsPredHi.getOrElse("∞")}]ms")
   override def toBatch: Batch = {
     if (conf.startingPosition.contains("latest"))
       throw new UnsupportedOperationException(
