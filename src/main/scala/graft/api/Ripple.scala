@@ -240,6 +240,47 @@ object Ripple {
       tb.bucket -> log.offsetForTimestamp(tb, tsMillis)).toMap
   }
 
+  /** Per-bucket operational state in one call. */
+  case class BucketState(floor: Long, end: Long, segments: Int,
+      bytes: Long, latestTs: Option[Long]) {
+    def rows: Long = end - floor
+  }
+
+  /** One-call ops summary of a topic: per-bucket floors/ends/segment
+    * counts/bytes/freshness, the commit protocol in force, the registered
+    * payload schema (if any), and the consumers with committed cursors —
+    * the `kafka-topics --describe` of this log, assembled from the same
+    * metadata reads the planners use (no frames opened; freshness comes
+    * from the `.tsidx` stats and may backfill once on legacy segments).
+    */
+  def describeTopic(root: String, topic: String): TopicDescription = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val buckets = log.buckets(topic).map { tb =>
+      val segs = log.segments(tb)
+      val stats = if (segs.isEmpty) Map.empty[String, (Long, Long)]
+                  else log.tsStats(tb, segs)
+      tb.bucket -> BucketState(
+        floor = segs.headOption.map(_._2).getOrElse(0L),
+        end = if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max,
+        segments = segs.size,
+        bytes = segs.map { case (p, _, _) => log.fileLen(p) }.sum,
+        latestTs =
+          if (stats.isEmpty) None else Some(stats.valuesIterator.map(_._2).max))
+    }.toMap
+    TopicDescription(topic,
+      commitProtocol = if (log.manifestCommitMode) "manifest" else "rename",
+      buckets = buckets,
+      schema = graft.connector.TopicSchemas.get(log, topic).map(_.simpleString),
+      consumers = consumerOffsets(root, topic).keySet.toSeq.sorted)
+  }
+
+  case class TopicDescription(topic: String, commitProtocol: String,
+      buckets: Map[String, BucketState], schema: Option[String],
+      consumers: Seq[String]) {
+    def rows: Long = buckets.valuesIterator.map(_.rows).sum
+    def bytes: Long = buckets.valuesIterator.map(_.bytes).sum
+  }
+
   /** Per-bucket newest record timestamp (max over segment ts stats, so
     * out-of-order stamps are handled; never-written buckets omitted) —
     * the freshness half of lag tooling: `now − latestTimestamps(...)` is

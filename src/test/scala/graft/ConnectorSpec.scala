@@ -1530,6 +1530,20 @@ class ConnectorSpec extends AnyFunSuite {
     assert(done.lag == 0L && done.unreadTs.isEmpty &&
       done.timeLagMs().isEmpty)
 
+    // describeTopic: the one-call ops summary agrees with its parts
+    val d = Ripple.describeTopic(root, "tlag")
+    assert(d.commitProtocol == "rename" && d.rows == 10L && d.bytes > 0L)
+    assert(d.buckets("b0000") ==
+      Ripple.BucketState(0L, 10L, d.buckets("b0000").segments,
+        d.buckets("b0000").bytes, Some(9000L)))
+    assert(d.consumers == Seq("g") && d.schema.isEmpty)
+    graft.connector.TopicSchemas.register(
+      graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf),
+      "tlag", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(Ripple.describeTopic(root, "tlag").schema.contains("struct<x:bigint>"))
+
     // AvailableNow ignores the minimum: the drain completes
     Ripple.createTopic(root, "mina", numBuckets = 1)
     Ripple.write(samplePayloads(4).coalesce(1), root, "mina", numBuckets = 1)
