@@ -978,7 +978,29 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
 
-  override def deserializeOffset(json: String): Offset = RippleOffset.fromJson(json)
+  /** Checkpoint offsets re-enter here on resume. A SINGLE-topic query
+    * handed a MULTI-topic checkpoint would find `topic/bucket`-qualified
+    * keys that never match its bare bucket keys — every lookup would fall
+    * back to `startingOffset` and the whole topic would silently
+    * re-deliver. [[RippleConf.keyBucket]] already fails loudly in the
+    * reverse direction (multi-topic query on a single-topic checkpoint);
+    * this is the symmetric guard: bucket names are path components, so a
+    * '/' in an offset key can ONLY be a multi-topic subscription's
+    * qualified form.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val off = RippleOffset.fromJson(json)
+    if (!conf.multiTopic) {
+      val qualified = off.ends.keysIterator.filter(_.contains('/')).toSeq.sorted
+      if (qualified.nonEmpty) throw new IllegalStateException(
+        s"ripple: offset key '${qualified.head}' carries the topic/bucket " +
+          "form a multi-topic subscription writes, but this query " +
+          s"subscribes to the single topic '${conf.topicList.head}' — " +
+          "resuming would silently re-read from startingOffset; keep the " +
+          "original subscription or start a fresh checkpoint")
+    }
+    off
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[RippleOffset].ends

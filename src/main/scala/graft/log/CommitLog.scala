@@ -176,23 +176,47 @@ final class CommitLog(fs: FileSystem, dir: HPath, checkpointInterval: Int = 64) 
     }
   }
 
+  /** Typed-first classification of a put-if-absent refusal at `p`. The
+    * typed exceptions cover every tested scheme — Hadoop's local/RawLocal
+    * family and the conditional-PUT rig raise
+    * `o.a.h.fs.FileAlreadyExistsException` (at create() on HDFS-like
+    * stores, at close() on conditional-PUT stores), `PathExistsException`
+    * is the Hadoop path-API spelling, and `java.nio` surfaces from direct
+    * `Files` shortcuts. An UNTYPED IOException counts as a refusal only as
+    * a logged last resort: its message must say the target exists AND the
+    * target must be observably present — a message like "Parent path does
+    * not exist" is a storage fault that must surface as itself, not burn
+    * the caller's bounded retries into a misleading contention error.
+    */
+  private def isRefusal(e: Throwable, p: HPath): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case _: org.apache.hadoop.fs.PathExistsException => true
+    case io: java.io.IOException =>
+      val m = io.getMessage
+      val sniff = m != null && (m.contains("already exists") ||
+        m.toLowerCase.contains("precondition") || m.contains("If-None-Match"))
+      sniff && (try fs.exists(p)
+        catch { case _: java.io.IOException => false }) && {
+        CommitLog.log.warn(s"CommitLog: classifying untyped refusal at $p " +
+          s"by message + target-exists probe ($io); the store should raise " +
+          "a typed FileAlreadyExistsException")
+        true
+      }
+    case _ => false
+  }
+
   /** Write `bytes` at `p` atomically and only if absent. True on the win;
-    * false when the target exists (put-if-absent refusal — surfaced at
-    * create() on HDFS-like stores, at close() on conditional-PUT stores).
+    * false when the target exists (put-if-absent refusal, [[isRefusal]]).
     */
   private def createExclusive(p: HPath, bytes: Array[Byte]): Boolean = {
     fs.mkdirs(dir)
     val out =
       try fs.create(p, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.contains("exist") => return false
-      }
+      catch { case e: java.io.IOException if isRefusal(e, p) => return false }
     try { out.write(bytes); out.close(); true }
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if isRefusal(e, p) => false
       case e: Throwable =>
         // a non-exclusivity failure may have left a torn visible file on a
         // NON-object store (object stores materialize at close, so there is
@@ -202,4 +226,8 @@ final class CommitLog(fs: FileSystem, dir: HPath, checkpointInterval: Int = 64) 
         throw e
     }
   }
+}
+
+object CommitLog {
+  private[log] lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[CommitLog])
 }

@@ -338,10 +338,16 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
   /** Unique data-file name for a manifest-mode segment: self-describing for
     * operators, but NOT `seg-`-parsable — uncommitted files must stay
     * invisible to any listing-based view (a misconfigured rename-mode
-    * reader on the same root would otherwise double-count).
+    * reader on the same root would otherwise double-count). The embedded
+    * start offset is ADVISORY only — [[SegMeta]] carries (start, count)
+    * authoritatively, which is what lets a lost commit race re-commit the
+    * already-written file under a fresh start instead of rewriting it
+    * ([[append]]). The FULL UUID is deliberate: two appenders racing the
+    * same start must never collide on the name, or the commit winner would
+    * publish a segment whose bytes are the loser's rows.
     */
   private def uniqueDataName(start: Long, count: Long): String =
-    f"data-$start%020d-$count%010d-${java.util.UUID.randomUUID().toString.take(8)}.log"
+    f"data-$start%020d-$count%010d-${java.util.UUID.randomUUID()}.log"
 
   def fileLen(p: HPath): Long =
     try fs.getFileStatus(p).getLen catch { case _: java.io.IOException => 0L }
@@ -801,24 +807,37 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     if (manifestCommitMode) {
       // tail append by optimistic commit: losing the put-if-absent race
       // just means re-reading the new end offset and retrying — no lock
-      // needed (and none trusted: object-store locks are advisory)
+      // needed (and none trusted: object-store locks are advisory). The
+      // data file is PUT exactly once: its name's embedded start offset is
+      // advisory ([[uniqueDataName]]) while SegMeta carries (start, count)
+      // authoritatively, so a lost race costs one small manifest PUT — a
+      // metadata-only re-commit under the fresh start — never a segment
+      // DELETE + rewrite (which under the multi-appender pattern would
+      // make contention cost O(segment bytes) per retry).
       if (rows.isEmpty) return commitLog(tb).read().endOffset
       val cl = commitLog(tb)
       var attempt = 0
+      var data: HPath = null
       while (true) {
         val st = cl.read()
         val start = st.endOffset
-        val data = new HPath(bucketDir(tb), uniqueDataName(start, rows.size.toLong))
-        SegmentCodec.write(fs, data, stamped)
+        if (data == null) {
+          data = new HPath(bucketDir(tb), uniqueDataName(start, rows.size.toLong))
+          SegmentCodec.write(fs, data, stamped)
+        }
         if (cl.tryCommit(st, Seq(SegMeta(data.getName, start, rows.size.toLong)), Set.empty).isDefined) {
           recordTsStats(tb, Map(data.getName -> (now, now)))
           return start
         }
-        try fs.delete(data, false) catch { case _: java.io.IOException => () }
         attempt += 1
-        if (attempt > 200) throw new java.io.IOException(
-          s"append to ${tb.path} lost the commit race $attempt times — " +
-            "pathological contention; shard the topic or batch the writes")
+        if (attempt > 200) {
+          // giving up: remove the never-committed data file (vacuum would
+          // sweep it eventually, but a loud failure should not leak)
+          try fs.delete(data, false) catch { case _: java.io.IOException => () }
+          throw new java.io.IOException(
+            s"append to ${tb.path} lost the commit race $attempt times — " +
+              "pathological contention; shard the topic or batch the writes")
+        }
         Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
       }
       throw new IllegalStateException("unreachable")

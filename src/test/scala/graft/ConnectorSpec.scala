@@ -1376,6 +1376,31 @@ class ConnectorSpec extends AnyFunSuite {
     assert(mismatch.getMessage.contains("ONE registered schema"))
   }
 
+  test("single-topic query on a multi-topic checkpoint fails loudly (symmetric guard)") {
+    import graft.connector.{RippleConf, RippleMicroBatchStream, RippleOffset}
+    spark.sparkContext // RippleConf's default hconf broadcast needs the session
+    val root = tmp()
+    Ripple.createTopic(root, "sgA", 1)
+    // Multi-topic checkpoints key offsets as 'topic/bucket'. A SINGLE-topic
+    // query resuming one would find no matching bare-bucket keys and fall
+    // back to startingOffset for every bucket — re-reading the whole topic
+    // as silent duplicates. keyBucket already fails loudly in the reverse
+    // direction; the resume path must be guarded symmetrically.
+    val conf = RippleConf(root, "sgA", None, 1, 0L, Long.MaxValue, Long.MaxValue)
+    val stream = new RippleMicroBatchStream(conf, graft.model.Schemas.envelope)
+    val multiJson = """{"sgA/b0000":3,"sgB/b0000":5}"""
+    val e = intercept[IllegalStateException] { stream.deserializeOffset(multiJson) }
+    assert(e.getMessage.contains("multi-topic") &&
+      e.getMessage.contains("single topic"), e.getMessage)
+    // a bare single-topic offset still round-trips
+    assert(stream.deserializeOffset("""{"b0000":3}""")
+      .asInstanceOf[RippleOffset].ends == Map("b0000" -> 3L))
+    // and the reverse direction keeps its existing loud error
+    val mconf = RippleConf(root, "sgA", None, 1, 0L, Long.MaxValue,
+      Long.MaxValue, topics = Seq("sgA", "sgB"))
+    intercept[IllegalStateException] { mconf.keyBucket("b0000") }
+  }
+
   test("ts-predicate segment pruning + metadata MIN/MAX aggregate pushdown") {
     import spark.implicits._
     val root = tmp()

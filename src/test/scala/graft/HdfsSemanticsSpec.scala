@@ -63,6 +63,19 @@ class HdfsSemanticsSpec extends AnyFunSuite {
     assert(log.size(tb) == 12)
   }
 
+  test("CommitLog put-if-absent refusal classifies through the typed branch (hdfstest)") {
+    val log = newLog()
+    val dir = new HPath(log.bucketDir(tb), ".commitlog")
+    val cl = new graft.log.CommitLog(log.fs, dir, 64)
+    val st = cl.read()
+    assert(cl.tryCommit(st, Seq(graft.log.SegMeta("data-a", 0L, 2L)), Set.empty).isDefined)
+    // a second writer at the same stale version: create(overwrite=false)
+    // refuses with the typed FileAlreadyExistsException, never the
+    // message-sniff last resort
+    assert(cl.tryCommit(st, Seq(graft.log.SegMeta("data-b", 0L, 2L)), Set.empty).isEmpty)
+    assert(cl.read().segs.map(_.name) == Vector("data-a"))
+  }
+
   test("publishNoReplace refuses an existing target via the rename-refusal arm") {
     val log = newLog()
     val now = System.currentTimeMillis()

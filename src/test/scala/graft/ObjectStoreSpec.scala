@@ -186,11 +186,12 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(log.segments(tb).size == 2)
   }
 
-  test("optimistic concurrency: two uncoordinated appenders lose no rows") {
+  test("optimistic concurrency: two uncoordinated appenders lose no rows; contention is metadata-only") {
     val root = tmp()
     val a = new FileTopicLog("ostest:" + root, conf())
     val b = new FileTopicLog("ostest:" + root, conf())
     val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+    ObjectStoreTestFs.dataPuts.set(0)
     val threads = Seq((a, 1), (b, 2)).map { case (l, t) =>
       new Thread(() => (0 until 10).foreach { _ =>
         try l.append(tb, payloads(3, t.toByte))
@@ -203,6 +204,12 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(all.size == 60, s"every row lands exactly once, got ${all.size}")
     assert(all.map(_.offset) == (0L until 60L), "offsets dense")
     assert(all.count(_.data(0) == 1) == 30 && all.count(_.data(0) == 2) == 30)
+    // a lost commit race re-commits the ALREADY-written data file under the
+    // fresh start (SegMeta carries offsets authoritatively; the file name's
+    // embedded start is advisory) — so 20 logical appends mean exactly 20
+    // segment PUTs no matter how many races were lost
+    assert(ObjectStoreTestFs.dataPuts.get == 20,
+      s"expected one data PUT per append, got ${ObjectStoreTestFs.dataPuts.get}")
   }
 
   test("CommitLog resurrection guard: a stale writer's GC'd version never silently vanishes") {
@@ -224,6 +231,54 @@ class ObjectStoreSpec extends AnyFunSuite {
       "resurrected version must be refused, not silently ignored by readers")
     val now = cl.read()
     assert(now.segs.size == 12 && !now.segs.exists(_.name == "data-stale"))
+  }
+
+  test("put-if-absent refusal classifies through the TYPED branch per scheme (ostest + local)") {
+    // ostest: refusal surfaces at close() as FileAlreadyExistsException
+    // (the conditional-PUT shape) — two writers racing one version
+    val log = newLog()
+    val dir = new HPath(new HPath(new HPath(log.root, "t"), "b0"), ".commitlog")
+    val cl = new CommitLog(log.fs, dir, 64)
+    val st = cl.read()
+    assert(cl.tryCommit(st, Seq(SegMeta("data-a", 0L, 2L)), Set.empty).isDefined)
+    assert(cl.tryCommit(st, Seq(SegMeta("data-b", 0L, 2L)), Set.empty).isEmpty,
+      "stale writer refused through the typed conditional-PUT branch")
+    assert(cl.read().segs.map(_.name) == Vector("data-a"))
+    // local: refusal surfaces at create() (exists-check) — same typed class
+    val lfs = org.apache.hadoop.fs.FileSystem.getLocal(conf())
+    val ldir = new HPath(tmp(), ".commitlog")
+    val lcl = new CommitLog(lfs, ldir, 64)
+    val lst = lcl.read()
+    assert(lcl.tryCommit(lst, Seq(SegMeta("data-a", 0L, 2L)), Set.empty).isDefined)
+    assert(lcl.tryCommit(lst, Seq(SegMeta("data-b", 0L, 2L)), Set.empty).isEmpty)
+    assert(lcl.read().segs.map(_.name) == Vector("data-a"))
+  }
+
+  test("untyped IOException classification: already-exists refuses, parent-missing rethrows") {
+    val fs = new UntypedFaultTestFs
+    fs.initialize(java.net.URI.create("untypedfault:///"), conf())
+    // a fault whose message merely CONTAINS "exist" ("Parent path does not
+    // exist") must surface as the storage fault it is — the old
+    // contains("exist") sniff classified it as a lost race and burned the
+    // caller's bounded retries into a misleading contention error
+    val noDir = new HPath(tmp() + "/gone/.nomkdir")
+    val cl = new CommitLog(fs, noDir, 4)
+    val e = intercept[java.io.IOException] {
+      cl.tryCommit(graft.log.CommitState(-1L, Vector.empty),
+        Seq(SegMeta("data-a", 0L, 1L)), Set.empty)
+    }
+    assert(e.getMessage.contains("Parent path does not exist"),
+      s"storage fault must rethrow as itself, got: ${e.getMessage}")
+    // an UNTYPED "already exists" with the target observably present is a
+    // genuine refusal (store-specific exception shape) — classified via
+    // the logged message-sniff + exists-probe last resort
+    val dir = new HPath(tmp(), ".commitlog")
+    val cl2 = new CommitLog(fs, dir, 4)
+    val st = cl2.read()
+    assert(cl2.tryCommit(st, Seq(SegMeta("data-a", 0L, 1L)), Set.empty).isDefined)
+    assert(cl2.tryCommit(st, Seq(SegMeta("data-b", 0L, 1L)), Set.empty).isEmpty,
+      "untyped already-exists with target present is a put-if-absent refusal")
+    assert(cl2.read().segs.map(_.name) == Vector("data-a"))
   }
 
   test("the bucket lock still functions as a throttle (conditional-PUT create-exclusive)") {

@@ -28,6 +28,14 @@ import java.nio.file.{Files, StandardCopyOption}
   *     scheme is non-`file`, so `FileTopicLog.publishNoReplace`'s local
   *     arm never runs).
   */
+object ObjectStoreTestFs {
+  /** Segment-PUT instrumentation for the suite: counts every `create` of a
+    * `data-` object, so tests can assert contention is metadata-only (one
+    * data PUT per logical append, however many commit races were lost).
+    */
+  val dataPuts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ObjectStoreTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "ostest"
   override def getUri: java.net.URI = java.net.URI.create("ostest:///")
@@ -44,6 +52,7 @@ class ObjectStoreTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
+    if (f.getName.startsWith("data-")) ObjectStoreTestFs.dataPuts.incrementAndGet()
     val target = pathToFile(f)
     val parent = target.getParentFile
     if (parent != null && !parent.isDirectory && !parent.mkdirs() && !parent.isDirectory)
@@ -93,5 +102,39 @@ class ObjectStoreTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     // leaves both objects, which manifest mode must tolerate)
     Files.copy(s.toPath, d.toPath)
     s.delete()
+  }
+}
+
+/** Local FS whose create-exclusive failures are UNTYPED `IOException`s —
+  * the store-specific exception shape [[graft.log.CommitLog]]'s
+  * last-resort classifier must handle correctly: a genuine already-exists
+  * message with the target present is a refusal, while a fault whose
+  * message merely CONTAINS "exist" ("Parent path does not exist") must
+  * rethrow as the storage fault it is. `mkdirs` on a directory named
+  * `.nomkdir` silently does nothing, so the parent-missing fault is
+  * reachable through CommitLog (which always mkdirs its own dir first).
+  */
+class UntypedFaultTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "untypedfault"
+  override def getUri: java.net.URI = java.net.URI.create("untypedfault:///")
+  override def mkdirs(p: HPath): Boolean =
+    if (p.getName == ".nomkdir") true else super.mkdirs(p)
+  override def mkdirs(p: HPath, permission: FsPermission): Boolean =
+    if (p.getName == ".nomkdir") true else super.mkdirs(p, permission)
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable): FSDataOutputStream =
+    create(f, null.asInstanceOf[FsPermission], overwrite, bufferSize,
+      replication, blockSize, progress)
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    if (!overwrite) {
+      val t = pathToFile(f)
+      if (t.exists())
+        throw new java.io.IOException(s"$f already exists")
+      if (t.getParentFile == null || !t.getParentFile.isDirectory)
+        throw new java.io.IOException(s"Parent path does not exist: ${f.getParent}")
+    }
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
   }
 }
