@@ -305,9 +305,13 @@ object Ripple {
     */
   def snapshot(root: String, topic: String): String = {
     val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    // the token records the schema VERSION it was cut under (if the topic
+    // is typed) so a lifted read of the pin parses payloads with that
+    // version even after later evolutions
     graft.connector.TopicSnapshot.encode(topic,
       log.buckets(topic).map(tb =>
-        tb.bucket -> (log.firstOffset(tb), log.size(tb))).toMap)
+        tb.bucket -> (log.firstOffset(tb), log.size(tb))).toMap,
+      graft.connector.TopicSchemas.currentVersion(log, topic))
   }
 
   /** Batch scan pinned to a [[snapshot]] token (connector option
@@ -317,6 +321,16 @@ object Ripple {
       token: String): DataFrame =
     spark.read.format("ripple").option("path", root).option("topic", topic)
       .option("snapshot", token).load()
+
+  /** [[readSnapshot]] with payloads lifted to typed columns — parsed with
+    * the schema VERSION the token was cut under, so a post-capture
+    * [[evolveTopicSchema]] (new columns, widened types) cannot change the
+    * pinned corpus's shape.
+    */
+  def readSnapshotLifted(spark: SparkSession, root: String, topic: String,
+      token: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("snapshot", token).option("lift", "true").load()
 
   /** Streaming scan; pair with `option("checkpointLocation", …)` on the
     * writer — the checkpoint directory is the consumer identity (SURVEY A7).

@@ -173,13 +173,15 @@ object RippleConf {
       allowDataLoss = options.getBoolean("allowDataLoss", false),
       lift = options.getBoolean("lift", false),
       snapshot = Option(options.get("snapshot")).map { tok =>
-        val (snapTopic, ranges) = TopicSnapshot.decode(tok)
+        val (snapTopic, ranges, _) = TopicSnapshot.decode(tok)
         if (snapTopic != topics.head) throw new IllegalArgumentException(
           s"ripple: snapshot token was captured from topic '$snapTopic', " +
             s"not '${topics.head}' — a pin must not silently read a " +
             "different topic")
         ranges
       },
+      snapshotSchemaV = Option(options.get("snapshot"))
+        .flatMap(tok => TopicSnapshot.decode(tok)._3),
       startingTimestamp =
         if (options.containsKey("startingTimestamp"))
           Some(options.getLong("startingTimestamp", 0L)) else None,
@@ -213,6 +215,7 @@ case class RippleConf(
     allowDataLoss: Boolean = false,
     lift: Boolean = false,
     snapshot: Option[Map[String, (Long, Long)]] = None,
+    snapshotSchemaV: Option[Int] = None,
     startingTimestamp: Option[Long] = None,
     endingTimestamp: Option[Long] = None,
     topics: Seq[String] = Seq.empty,
@@ -281,13 +284,19 @@ case class RippleConf(
     * SAME registered schema — silently unioning divergent shapes would
     * null-pad whichever side is missing columns.
     */
-  def payloadSchema: StructType = {
-    val ss = topicList.map(t => t -> TopicSchemas.require(log, t))
-    val distinct = ss.map(_._2).distinct
-    if (distinct.size > 1) throw new IllegalArgumentException(
-      s"ripple: lifted multi-topic read needs ONE registered schema; " +
-        ss.map { case (t, s) => s"$t: ${s.simpleString}" }.mkString("; "))
-    distinct.head
+  def payloadSchema: StructType = snapshotSchemaV match {
+    // a pinned read lifts with the schema version the token was CUT under
+    // (snapshot is single-topic by validation) — evolving the registry
+    // after the capture must not change what the pinned corpus looks like
+    case Some(v) if snapshot.isDefined =>
+      TopicSchemas.schemaAt(log, topicList.head, v)
+    case _ =>
+      val ss = topicList.map(t => t -> TopicSchemas.require(log, t))
+      val distinct = ss.map(_._2).distinct
+      if (distinct.size > 1) throw new IllegalArgumentException(
+        s"ripple: lifted multi-topic read needs ONE registered schema; " +
+          ss.map { case (t, s) => s"$t: ${s.simpleString}" }.mkString("; "))
+      distinct.head
   }
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = topicList.flatMap(t => log.buckets(t))

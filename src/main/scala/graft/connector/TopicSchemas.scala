@@ -3,7 +3,7 @@ package graft.connector
 import graft.log.FileTopicLog
 
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Per-topic payload schema registry (round-11 verdict #5): the lift schema
   * lives in topic metadata (`<root>/<topic>/.schema`, a StructType JSON
@@ -19,11 +19,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * loudly — a second producer shipping a new payload shape must migrate
   * explicitly (new topic, or [[dropSchema]] + re-register), never silently
   * fork the readers' view of the columns.
+  *
+  * Version history (round 13): every accepted registration/evolution is
+  * persisted as a numbered version under `<topic>/.schema-versions/v-N`
+  * (`.schema` stays the CURRENT pointer, wire-stable for existing
+  * readers). Snapshot tokens record the version they were cut under, so a
+  * pinned read lifts with the schema its corpus was WRITTEN under even
+  * after later evolutions ([[TopicSnapshot]]).
   */
 object TopicSchemas {
 
   private def path(log: FileTopicLog, topic: String): HPath =
     new HPath(new HPath(log.root, topic), ".schema")
+  private def versionsDir(log: FileTopicLog, topic: String): HPath =
+    new HPath(new HPath(log.root, topic), ".schema-versions")
+  private def versionPath(log: FileTopicLog, topic: String, v: Int): HPath =
+    new HPath(versionsDir(log, topic), f"v-$v%05d")
+
+  private def listVersions(log: FileTopicLog, topic: String): Seq[Int] =
+    (try log.fs.listStatus(versionsDir(log, topic))
+     catch { case _: java.io.FileNotFoundException =>
+       Array.empty[org.apache.hadoop.fs.FileStatus] })
+      .iterator.map(_.getPath.getName).collect {
+        case n if n.startsWith("v-") => n.substring(2).toInt
+      }.toSeq.sorted
+
+  private def writeVersion(log: FileTopicLog, topic: String, v: Int,
+      schema: StructType): Unit =
+    log.writeFileAtomic(versionPath(log, topic, v),
+      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The registered payload schema, if any. A torn/garbage document reads
     * as a loud parse failure, not as "no schema" — silently reverting a
@@ -41,67 +65,192 @@ object TopicSchemas {
         "Ripple.writePacked (which registers the frame's schema), or pass " +
         "an explicit schema to Ripple.lift."))
 
-  /** A frame schema SATISFIES the registered one when names, types, and
-    * order match and the frame is at most as nullable per field — data
-    * stricter than the contract is fine; data that may carry nulls where
-    * the contract promises none is not.
+  /** Current schema version number (1-based), None when no schema is
+    * registered. A topic registered before version history existed has a
+    * current schema but no version files — it reads as version 1
+    * ([[schemaAt]] resolves 1 to the current schema in that case).
+    */
+  def currentVersion(log: FileTopicLog, topic: String): Option[Int] =
+    get(log, topic).map { _ =>
+      val vs = listVersions(log, topic)
+      if (vs.isEmpty) 1 else vs.max
+    }
+
+  /** The schema at a specific version. Version 1 of a pre-history topic
+    * resolves to the current schema; anything else missing is loud — a
+    * pinned read must never silently lift with the wrong shape.
+    */
+  def schemaAt(log: FileTopicLog, topic: String, v: Int): StructType = {
+    try DataType.fromJson(log.readFileUtf8(versionPath(log, topic, v)))
+      .asInstanceOf[StructType]
+    catch {
+      case _: java.io.FileNotFoundException =>
+        if (v == 1 && listVersions(log, topic).isEmpty) require(log, topic)
+        else throw new IllegalStateException(
+          s"topic '$topic' has no recorded schema version $v (recorded: " +
+            s"${listVersions(log, topic).mkString(", ")}) — a snapshot " +
+            "pinned under that version cannot lift; was the schema history " +
+            "dropped?")
+    }
+  }
+
+  /** Lossless per-field type widening — the one RE-TYPING evolution class
+    * accepted ([[evolve]]): every int is exactly representable as a long
+    * and every float as a double, and the payload JSON text is unchanged
+    * (the parser just reads the same literal at the wider type), so every
+    * already-written blob lifts exactly under the widened schema.
+    */
+  private def widensLosslessly(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType)  => true
+      case (FloatType, DoubleType)  => true
+      case _                        => false
+    }
+
+  /** A frame schema SATISFIES the registered one when names and order
+    * match, each frame type is the registered type or narrower by a
+    * lossless widening (a producer still shipping ints after an int→long
+    * widen stays valid — its literals lift exactly), and the frame is at
+    * most as nullable per field — data stricter than the contract is fine;
+    * data that may carry nulls where the contract promises none is not.
     */
   private def satisfies(registered: StructType, incoming: StructType): Boolean =
     registered.length == incoming.length &&
       registered.fields.zip(incoming.fields).forall { case (r, i) =>
-        r.name == i.name && r.dataType == i.dataType && (r.nullable || !i.nullable)
+        r.name == i.name &&
+          (r.dataType == i.dataType || widensLosslessly(i.dataType, r.dataType)) &&
+          (r.nullable || !i.nullable)
       }
+
+  /** Test seam: runs between [[register]]'s absence check and its exclusive
+    * write, so a spec can interleave a racing first registration
+    * deterministically. No-op in production.
+    */
+  private[graft] var raceSeam: () => Unit = () => ()
+
+  private def driftError(topic: String, existing: StructType,
+      incoming: StructType): Nothing =
+    throw new IllegalStateException(
+      s"topic '$topic' already has a registered payload schema\n  " +
+        s"registered: ${existing.simpleString}\n  incoming:   " +
+        s"${incoming.simpleString}\nSchema drift on a shared topic breaks " +
+        "every lifted reader; migrate to a new topic or drop the old " +
+        "schema explicitly (TopicSchemas.dropSchema) after draining " +
+        "consumers.")
+
+  /** Put-if-absent write of the schema pointer — closes the first-registration
+    * check-then-act race: two first-time producers racing different shapes
+    * must resolve to ONE winner and a loud drift error, never a silent
+    * overwrite. Uses `create(path, overwrite = false)` (conditional PUT on
+    * object stores, exists-checked create elsewhere); an untyped refusal
+    * is classified like [[graft.log.CommitLog]] does — typed first, message
+    * sniff only with the target observably present.
+    */
+  private def createExclusive(log: FileTopicLog, p: HPath,
+      bytes: Array[Byte]): Boolean = {
+    log.fs.mkdirs(p.getParent)
+    val out =
+      try log.fs.create(p, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") &&
+          (try log.fs.exists(p) catch { case _: java.io.IOException => false }) =>
+          return false
+      }
+    try { out.write(bytes); out.close(); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: Throwable =>
+        try out.close() catch { case _: Throwable => () }
+        try log.fs.delete(p, false) catch { case _: Throwable => () }
+        throw e
+    }
+  }
 
   /** Register `schema` for `topic`; idempotent for a schema that satisfies
     * the registered one, LOUD on drift (see class doc). Field ORDER is
-    * part of the contract — lifted column order is user-visible.
+    * part of the contract — lifted column order is user-visible. First
+    * registration is create-exclusive: the loser of a two-producer race
+    * re-reads the winner and runs the same drift check it would have hit
+    * arriving second.
     */
   def register(log: FileTopicLog, topic: String, schema: StructType): Unit =
     get(log, topic) match {
       case Some(existing) if !satisfies(existing, schema) =>
-        throw new IllegalStateException(
-          s"topic '$topic' already has a registered payload schema\n  " +
-            s"registered: ${existing.simpleString}\n  incoming:   " +
-            s"${schema.simpleString}\nSchema drift on a shared topic breaks " +
-            "every lifted reader; migrate to a new topic or drop the old " +
-            "schema explicitly (TopicSchemas.dropSchema) after draining " +
-            "consumers.")
+        driftError(topic, existing, schema)
       case Some(_) => ()
       case None =>
-        log.writeFileAtomic(path(log, topic),
-          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        raceSeam()
+        val bytes = schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (createExclusive(log, path(log, topic), bytes))
+          writeVersion(log, topic, 1, schema)
+        else {
+          // lost the first-registration race — enforce the drift policy
+          // against whatever the winner registered
+          val winner = require(log, topic)
+          if (!satisfies(winner, schema)) driftError(topic, winner, schema)
+        }
     }
 
-  /** Explicit schema removal — the migration escape hatch. */
-  def dropSchema(log: FileTopicLog, topic: String): Unit =
+  /** Explicit schema removal — the migration escape hatch. Drops the
+    * version history with the pointer: a re-register starts a fresh v1,
+    * and any snapshot pinned under the dropped history fails loudly in
+    * [[schemaAt]] rather than lifting with a post-migration shape.
+    */
+  def dropSchema(log: FileTopicLog, topic: String): Unit = {
     try log.fs.delete(path(log, topic), false)
     catch { case _: java.io.IOException => () }
+    try log.fs.delete(versionsDir(log, topic), true)
+    catch { case _: java.io.IOException => () }
+  }
 
-  /** ADDITIVE evolution — the one compatible schema change: the registered
-    * fields must be an exact PREFIX of the new schema (names, types,
-    * nullability), and every appended field must be nullable, so every
-    * already-written payload lifts under the new schema with NULLs in the
-    * new columns (the JSON parser's missing-field behavior — no rewrite,
-    * no versioning). Anything else (rename, retype, reorder, drop,
-    * non-nullable add) stays a loud refusal: those changes make old blobs
-    * unreadable or silently wrong.
+  /** Compatible schema evolution — two accepted classes, everything else a
+    * loud refusal:
+    *
+    *   - ADDITIVE: the registered fields are a prefix of the new schema
+    *     (names in order, nullability never narrowed) and every appended
+    *     field is nullable — old blobs lift with NULLs in the new columns
+    *     (the JSON parser's missing-field behavior).
+    *   - LOSSLESS WIDENING (round 13): a prefix field may widen int→long
+    *     or float→double ([[widensLosslessly]]) — routine over a
+    *     long-lived topic (an id column outgrowing int); old literals
+    *     parse exactly at the wider type, so no blob changes meaning.
+    *
+    * Renames, narrowing/other retypes, reorders, drops and non-nullable
+    * adds stay refused: those make old blobs unreadable or silently wrong.
+    * Each accepted evolution lands as the next numbered version.
     */
   def evolve(log: FileTopicLog, topic: String, schema: StructType): Unit = {
     val existing = require(log, topic)
     if (existing == schema) return
-    // prefix: same names/types in order, nullability never NARROWED
+    // prefix: same names in order, same-or-widened types, nullability
+    // never NARROWED
     val prefixOk = schema.fields.length >= existing.fields.length &&
       existing.fields.zip(schema.fields).forall { case (e, p) =>
-        e.name == p.name && e.dataType == p.dataType && (p.nullable || !e.nullable)
+        e.name == p.name &&
+          (e.dataType == p.dataType || widensLosslessly(e.dataType, p.dataType)) &&
+          (p.nullable || !e.nullable)
       }
     val addedNullable = schema.fields.drop(existing.fields.length).forall(_.nullable)
     if (!prefixOk || !addedNullable)
       throw new IllegalStateException(
-        s"topic '$topic': schema evolution must be ADDITIVE — registered " +
-          s"fields an exact prefix, appended fields nullable.\n  registered: " +
-          s"${existing.simpleString}\n  proposed:   ${schema.simpleString}\n" +
-          "Old payloads could not lift under this change; migrate to a new " +
-          "topic instead.")
+        s"topic '$topic': schema evolution must be ADDITIVE (registered " +
+          "fields an exact prefix, appended fields nullable) or a LOSSLESS " +
+          "WIDENING (int→long, float→double) of a prefix field.\n  " +
+          s"registered: ${existing.simpleString}\n  proposed:   " +
+          s"${schema.simpleString}\nOld payloads could not lift under this " +
+          "change; migrate to a new topic instead.")
+    // seed v1 for a topic registered before version history existed, so
+    // snapshots cut before this evolution still resolve their version
+    if (listVersions(log, topic).isEmpty) writeVersion(log, topic, 1, existing)
+    val v = currentVersion(log, topic).getOrElse(1) + 1
+    // history before pointer: a crash between the two leaves an orphan
+    // version file (harmless — the next evolve just takes v+1), never a
+    // current schema whose version is unrecorded
+    writeVersion(log, topic, v, schema)
     log.writeFileAtomic(path(log, topic),
       schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -20,19 +20,26 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * on" is not a first-class object there; here it is one string.
   *
   * Token shape (versioned, forward-refusable):
-  * `{"v":1,"topic":"t","buckets":{"b0":[floor,end],...}}`. Offsets are
-  * per-bucket and capture is one metadata pass — exact within each bucket;
-  * across buckets the capture is a consistent-prefix cut, not a global
-  * barrier (the same contract as any partitioned log's end-offset poll).
+  * `{"v":1,"topic":"t","buckets":{"b0":[floor,end],...}}`, plus
+  * `"schemaV":n` when the topic carries a registered payload schema at
+  * capture time — a later LIFTED read of the pin parses payloads with
+  * THAT schema version ([[TopicSchemas.schemaAt]]), so evolving the
+  * schema after the capture cannot change what the pinned corpus looks
+  * like. Offsets are per-bucket and capture is one metadata pass — exact
+  * within each bucket; across buckets the capture is a consistent-prefix
+  * cut, not a global barrier (the same contract as any partitioned log's
+  * end-offset poll).
   */
 object TopicSnapshot {
 
   private val mapper = new ObjectMapper()
 
-  def encode(topic: String, ranges: Map[String, (Long, Long)]): String = {
+  def encode(topic: String, ranges: Map[String, (Long, Long)],
+      schemaV: Option[Int] = None): String = {
     val root = mapper.createObjectNode()
     root.put("v", 1)
     root.put("topic", topic)
+    schemaV.foreach(v => root.put("schemaV", v))
     val bs = root.putObject("buckets")
     ranges.toSeq.sortBy(_._1).foreach { case (b, (lo, hi)) =>
       val arr = bs.putArray(b)
@@ -41,10 +48,13 @@ object TopicSnapshot {
     mapper.writeValueAsString(root)
   }
 
-  /** Parse a token into (topic, bucket -> [floor, end)). Loud on anything
-    * malformed — a snapshot read must never degrade to a full read.
+  /** Parse a token into (topic, bucket -> [floor, end), schema version).
+    * Loud on anything malformed — a snapshot read must never degrade to a
+    * full read. Tokens cut before schema versioning existed carry no
+    * `schemaV` and decode to None (the read lifts with the current
+    * schema, the pre-versioning behavior).
     */
-  def decode(token: String): (String, Map[String, (Long, Long)]) = {
+  def decode(token: String): (String, Map[String, (Long, Long)], Option[Int]) = {
     def bad(why: String): Nothing =
       throw new IllegalArgumentException(s"ripple: malformed snapshot token ($why): $token")
     val root =
@@ -68,6 +78,13 @@ object TopicSnapshot {
       if (lo < 0 || hi < lo) bad(s"bucket '${e.getKey}' range [$lo, $hi) is not a valid offset range")
       out += e.getKey -> (lo, hi)
     }
-    (topic, out.result())
+    val schemaV =
+      if (!root.has("schemaV")) None
+      else {
+        val n = root.path("schemaV")
+        if (!n.canConvertToInt || n.asInt() < 1) bad("schemaV is not a positive int")
+        Some(n.asInt())
+      }
+    (topic, out.result(), schemaV)
   }
 }

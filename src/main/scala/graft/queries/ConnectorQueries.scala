@@ -158,6 +158,41 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Schema evolution round trip (round 13): the first producer registers
+    * a NARROW schema — `event_id` INT, `event_type` — for the early rows;
+    * the registry then evolves by a lossless WIDENING (event_id INT→LONG)
+    * plus an additive nullable `value` column (version 1 → version 2), and
+    * a second producer writes the remaining rows under the widened shape.
+    * One lifted read of the whole topic parses old and new blobs with the
+    * CURRENT schema: old int literals lift exactly as longs (sum over
+    * event_id is the drift detector), old rows carry NULL value (the
+    * late_value aggregate only sums post-evolution rows). The oracle
+    * replays both halves on the source parquet.
+    */
+  def schemaEvolveAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    Ripple.writePacked(
+      ev.filter(col("event_id") < 600)
+        .select(col("event_id").cast("int").as("event_id"), col("event_type")),
+      root, "sev", col("event_id"), numBuckets = 4)
+    val widened = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    Ripple.evolveTopicSchema(root, "sev", widened)
+    Ripple.writePacked(ev.filter(col("event_id") >= 600), root, "sev",
+      col("event_id"), numBuckets = 4)
+    Ripple.readLifted(s, root, "sev")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        sum(when(col("value").isNotNull,
+            col("value").cast(DecimalType(30, 6))))
+          .cast("double").as("late_value"))
+  }
+
   /** Timestamp seek (round 12 — Kafka `offsetsForTimes` parity): events
     * are written ts-ORDERED into one bucket, so per-bucket offsets are
     * ts-monotone and the seek read IS the `ts >= T` set — no belt filter
@@ -264,6 +299,7 @@ object ConnectorQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q156_ts_prune" -> (tsPruneAgg _),
     "q157_meta_agg" -> (metaAggQuery _),
     "q155_multi_topic" -> (multiTopicAgg _),
@@ -373,6 +409,13 @@ object ConnectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q158_schema_evolve" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CASE WHEN event_id >= 600
+        |            THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    AS late_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q156_ts_prune" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -810,6 +810,113 @@ class ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("lossless widening evolution: int→long/float→double accepted and versioned; narrowing refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val v1 = StructType(Seq(
+      StructField("event_id", IntegerType),
+      StructField("score", FloatType),
+      StructField("kind", StringType)))
+    graft.connector.TopicSchemas.register(log, "wid", v1)
+    assert(graft.connector.TopicSchemas.currentVersion(log, "wid").contains(1))
+    // write an old-shape blob BEFORE widening
+    Ripple.write(Seq((1, """{"event_id":7,"score":1.5,"kind":"a"}""".getBytes("UTF-8")))
+      .toDF("id", "data"), root, "wid", numBuckets = 1)
+    // widen both numeric fields; history records version 2
+    val v2 = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("score", DoubleType),
+      StructField("kind", StringType)))
+    Ripple.evolveTopicSchema(root, "wid", v2)
+    assert(graft.connector.TopicSchemas.currentVersion(log, "wid").contains(2))
+    assert(graft.connector.TopicSchemas.schemaAt(log, "wid", 1) == v1)
+    assert(graft.connector.TopicSchemas.schemaAt(log, "wid", 2) == v2)
+    // the old blob lifts exactly at the wider types
+    val row = Ripple.readLifted(spark, root, "wid")
+      .select("event_id", "score", "kind").collect().head
+    assert(row.getLong(0) == 7L && row.getDouble(1) == 1.5 && row.getString(2) == "a")
+    // an old-shape producer (still shipping ints) stays valid post-widen
+    graft.connector.TopicSchemas.register(log, "wid", v1)
+    // narrowing back is refused loudly
+    val e = intercept[IllegalStateException] {
+      Ripple.evolveTopicSchema(root, "wid", v1)
+    }
+    assert(e.getMessage.contains("WIDENING"), e.getMessage)
+    // unrelated retype (string→long) refused too
+    intercept[IllegalStateException] {
+      Ripple.evolveTopicSchema(root, "wid", StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("score", DoubleType),
+        StructField("kind", LongType))))
+    }
+  }
+
+  test("snapshot pins its schema version: a pinned lifted read survives later evolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val early = Seq((1L, "click"), (2L, "view")).toDF("event_id", "kind")
+    Ripple.writePacked(early, root, "pinv", col("event_id"), numBuckets = 1)
+    val token = Ripple.snapshot(root, "pinv")
+    // post-capture: additive evolution + more rows under the new shape
+    val v2 = StructType(early.schema.fields :+
+      StructField("score", DoubleType, nullable = true))
+    Ripple.evolveTopicSchema(root, "pinv", v2)
+    Ripple.writePacked(Seq((3L, "click", 0.9)).toDF("event_id", "kind", "score"),
+      root, "pinv", col("event_id"), numBuckets = 1)
+    // live lifted read: current schema — three rows, score column present
+    val live = Ripple.readLifted(spark, root, "pinv")
+    assert(live.schema.fieldNames.contains("score") && live.count() == 3)
+    // pinned lifted read: the VERSION the token was cut under — two rows,
+    // NO score column (the corpus looks exactly as it did at capture)
+    val pinned = Ripple.readSnapshotLifted(spark, root, "pinv", token)
+    assert(!pinned.schema.fieldNames.contains("score"),
+      s"pinned read must lift with the captured schema: ${pinned.schema.simpleString}")
+    assert(pinned.select("event_id", "kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "click"), (2L, "view")))
+    // a pre-versioning token (no schemaV) still reads — current schema
+    val (tpc, ranges, sv) = graft.connector.TopicSnapshot.decode(token)
+    assert(tpc == "pinv" && sv.contains(1))
+    val legacyToken = graft.connector.TopicSnapshot.encode("pinv", ranges, None)
+    assert(Ripple.readSnapshotLifted(spark, root, "pinv", legacyToken)
+      .schema.fieldNames.contains("score"))
+  }
+
+  test("first-registration race: one winner, loser gets the drift check against it") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val winner = StructType(Seq(StructField("a", LongType)))
+    val drifted = StructType(Seq(StructField("b", StringType)))
+    // the seam interleaves the WINNER's registration inside the loser's
+    // check-then-write window — the loser must hit the drift error, never
+    // silently overwrite (the old writeFileAtomic path let the later
+    // writer win)
+    graft.connector.TopicSchemas.raceSeam = () => {
+      graft.connector.TopicSchemas.raceSeam = () => ()
+      graft.connector.TopicSchemas.register(log, "race", winner)
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.connector.TopicSchemas.register(log, "race", drifted)
+      }
+      assert(e.getMessage.contains("drift") || e.getMessage.contains("registered"))
+    } finally graft.connector.TopicSchemas.raceSeam = () => ()
+    assert(graft.connector.TopicSchemas.get(log, "race").contains(winner),
+      "the create-exclusive winner's schema survives")
+    // losing the race with a SATISFYING schema is silent success
+    graft.connector.TopicSchemas.raceSeam = () => {
+      graft.connector.TopicSchemas.raceSeam = () => ()
+      graft.connector.TopicSchemas.register(log, "race2", winner)
+    }
+    try graft.connector.TopicSchemas.register(log, "race2", winner)
+    finally graft.connector.TopicSchemas.raceSeam = () => ()
+    assert(graft.connector.TopicSchemas.get(log, "race2").contains(winner))
+  }
+
   test("streaming sink over the object-store rig: exactly-once epochs end to end") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
