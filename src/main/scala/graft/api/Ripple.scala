@@ -171,6 +171,34 @@ object Ripple {
   def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long): Int =
     FileTopicLog.cached(root, LogFs.activeHadoopConf).truncateOlderThan(topic, maxAgeMillis)
 
+  /** Size-based retention (Kafka `retention.bytes`): per bucket, keep the
+    * largest trailing run of whole segments totalling at most `maxBytes`
+    * and drop everything older — bounds a runaway producer's footprint
+    * where [[truncateBefore]]/[[truncateOlderThan]] need an offset or a
+    * time horizon. Composes exactly like the other policies: offsets
+    * preserved, the newest segment always survives, reads below the new
+    * floor trip the data-loss guard (a pinned [[snapshot]] whose floor
+    * was truncated past fails loudly), and `protectConsumers = true`
+    * clamps each bucket's floor to the minimum committed consumer cursor
+    * — only committed cursors constrain, so an idle registered consumer
+    * never blocks retention. Returns deleted segment count.
+    */
+  def truncateToBytes(root: String, topic: String, maxBytes: Long,
+      protectConsumers: Boolean = false): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val floors = log.byteFloors(topic, maxBytes)
+    val clamped =
+      if (!protectConsumers) floors
+      else {
+        val cursors = graft.connector.ConsumerOffsets.all(root, topic)
+        floors.map { case (b, f) =>
+          val minCur = cursors.valuesIterator.flatMap(_.get(b)).minOption
+          b -> minCur.fold(f)(c => math.min(f, c))
+        }
+      }
+    log.truncateBefore(topic, clamped)
+  }
+
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
     * STRING` and `ts TIMESTAMP` columns.
     */

@@ -1189,6 +1189,48 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     truncateWhere(topic)((_, seg) => seg._1.getModificationTime < cutoff)
   }
 
+  /** Size-based retention (Kafka `retention.bytes`): per bucket, keep the
+    * largest TRAILING run of whole segments whose file bytes total at most
+    * `maxBytes` and drop everything older — the missing twin of the
+    * time/offset policies, without which a runaway producer fills the
+    * store until a time horizon passes. The newest segment always
+    * survives, even alone over budget (an emptied bucket would restart
+    * offsets at 0 and break monotonicity — same rule as every other
+    * truncate). Offsets preserved; returns deleted segment count.
+    */
+  def truncateToBytes(topic: String, maxBytes: Long): Int =
+    truncateBefore(topic, byteFloors(topic, maxBytes))
+
+  /** The per-bucket floors [[truncateToBytes]] would enforce (bucket →
+    * earliest retained offset; buckets already within budget are absent).
+    * Exposed separately so the consumer-protecting facade
+    * ([[graft.api.Ripple.truncateToBytes]]) can clamp them to committed
+    * cursors before executing. The walk is tail-first: once a segment
+    * overflows the budget, every OLDER segment expires with it (retention
+    * is a contiguous prefix drop — a kept hole would violate the floor
+    * contract).
+    */
+  def byteFloors(topic: String, maxBytes: Long): Map[String, Long] = {
+    require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
+    buckets(topic).flatMap { tb =>
+      val segs = segments(tb)
+      if (segs.size <= 1) None
+      else {
+        var acc = 0L
+        var floor = segs.last._2
+        var stopped = false
+        segs.reverseIterator.zipWithIndex.foreach { case ((p, start, _), i) =>
+          if (!stopped) {
+            val len = fileLen(p)
+            if (i == 0 || acc + len <= maxBytes) { acc += len; floor = start }
+            else stopped = true
+          }
+        }
+        if (floor == segs.head._2) None else Some(tb.bucket -> floor)
+      }
+    }.toMap
+  }
+
   /** Shared retention walk: drop segments matching `expired`, never the
     * newest segment of a bucket (size() derives from segment names, so an
     * empty bucket would restart offsets at 0 and break monotonicity). The

@@ -1131,6 +1131,47 @@ class ConnectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == ((0L until 10L) ++ (20L until 30L)))
   }
 
+  test("size-based retention: byte budget, guard interplay, consumer protection, pinned-snapshot loudness") {
+    val root = tmp()
+    Ripple.createTopic(root, "sz", numBuckets = 1)
+    (0 until 3).foreach { _ =>
+      Ripple.write(samplePayloads(10).coalesce(1), root, "sz") // 3 segments
+    }
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segBytes = log.segments(graft.model.TopicBucket("sz", "b0000"))
+      .map { case (p, _, _) => log.fileLen(p) }
+    assert(segBytes.size == 3)
+    // a snapshot pinned BEFORE retention — its floor is offset 0
+    val token = Ripple.snapshot(root, "sz")
+    // budget = last two segments → [0,10) expires; floor advances
+    assert(Ripple.truncateToBytes(root, "sz", segBytes.drop(1).sum) == 1)
+    assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 10L))
+    // read-side guard interplay: explicit positional read of the lost
+    // range fails naming the floor; absent start reads survivors
+    assert(Ripple.read(spark, root, "sz").count() == 20)
+    val e = intercept[Exception] {
+      Ripple.readRange(spark, root, "sz", from = 0, until = Long.MaxValue).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("retention") && msg.contains("10"), msg)
+    // the pre-retention snapshot pins floor 0 — now truncated past: LOUD
+    val e2 = intercept[Exception] {
+      Ripple.readSnapshot(spark, root, "sz", token).count()
+    }
+    val msg2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("retention") || msg2.contains("removed"), msg2)
+    // consumer protection: a slow committed cursor clamps the byte floor
+    graft.connector.ConsumerOffsets.commit(root, "sz", "slow", Map("b0000" -> 12L))
+    assert(Ripple.truncateToBytes(root, "sz", 1L, protectConsumers = true) == 0,
+      "floor 20 clamps to the slow cursor 12, inside segment [10,20) — nothing deletable")
+    assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 10L))
+    // unprotected: the budget wins (newest survives regardless)
+    assert(Ripple.truncateToBytes(root, "sz", 1L) == 1)
+    assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 20L))
+  }
+
   test("consumer-protecting retention: truncateBefore refuses to cross the minimum live cursor") {
     val root = tmp()
     Ripple.createTopic(root, "cp", numBuckets = 1)

@@ -209,6 +209,41 @@ class LogSpec extends AnyFunSuite {
     assert(log.range(tb, 0, 100).map(_.offset) == (15L until 20L))
   }
 
+  test("truncateToBytes keeps the trailing byte budget, preserves offsets, keeps newest") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      log.appendAt(tb, i * 5L, payloads(5).map(p => (p, now)))
+    }
+    val segs = log.segments(tb)
+    assert(segs.size == 4)
+    val segBytes = segs.map { case (p, _, _) => log.fileLen(p) }
+    assert(segBytes.forall(_ > 0))
+    // budget = the last two segments exactly → first two expire
+    val floors2 = log.byteFloors(tb.topic, segBytes.drop(2).sum)
+    assert(floors2 == Map(tb.bucket -> 10L), floors2.toString)
+    assert(log.truncateToBytes(tb.topic, segBytes.drop(2).sum) == 2)
+    assert(log.size(tb) == 20) // end offset unchanged
+    assert(log.range(tb, 0, 100).map(_.offset) == (10L until 20L))
+    // within budget now: a second run is a no-op
+    assert(log.truncateToBytes(tb.topic, segBytes.drop(2).sum) == 0)
+    // budget smaller than the newest segment alone: newest still survives
+    assert(log.truncateToBytes(tb.topic, 1L) == 1)
+    assert(log.size(tb) == 20)
+    assert(log.range(tb, 0, 100).map(_.offset) == (15L until 20L))
+    // the contiguous-prefix rule: once a segment overflows, OLDER tiny
+    // segments expire with it (no kept holes). Build small-BIG-small:
+    val tb2 = graft.model.TopicBucket(tb.topic, "b1")
+    log.appendAt(tb2, 0L, payloads(1).map(p => (p, now)))            // small
+    log.appendAt(tb2, 1L, (0 until 40).map(i =>
+      (graft.model.Payload(i, Array.fill(64)(7: Byte)), now)))       // big
+    log.appendAt(tb2, 41L, payloads(1).map(p => (p, now)))           // small
+    val s2 = log.segments(tb2).map { case (p, _, _) => log.fileLen(p) }
+    // budget covers newest + NOT the big middle → floor lands at the big
+    // segment's end; the tiny head expires despite fitting by itself
+    assert(log.byteFloors(tb.topic, s2.last + 1).get("b1").contains(41L))
+  }
+
   test("sameFrames: timestamp-insensitive, payload/id-sensitive") {
     val dir = Files.createTempDirectory("frames")
     val a = dir.resolve("a"); val b = dir.resolve("b"); val c = dir.resolve("c")
