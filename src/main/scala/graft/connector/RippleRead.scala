@@ -837,7 +837,66 @@ object RippleAdmission {
 class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     tsPredLo: Option[Long] = None, tsPredHi: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+
+  /** Per-progress-event source metrics (Kafka-source convention): an
+    * operator watching a 100 TB ingest reads backlog from every
+    * `StreamingQueryProgress.sources[i].metrics`, not from a separate
+    * driver call ([[graft.api.Ripple.consumerStatus]] stays the
+    * out-of-band twin). All values come from segment manifests and
+    * `.tsidx` stats — zero frames read:
+    *
+    *   - `minOffsetsBehindLatest` / `maxOffsetsBehindLatest` /
+    *     `avgOffsetsBehindLatest`: records between the last consumed
+    *     offset and the live log end, per bucket (Kafka's exact names).
+    *   - `maxTsBehindLatestMs`: behind-latest TIME — newest stamped ts
+    *     minus the earliest unread segment's min-ts stat, maxed over
+    *     buckets. Segment stats bound the first unread record's stamp
+    *     from below, so the reported lag is a conservative UPPER bound
+    *     (exact when the consumed offset sits on a segment boundary —
+    *     the steady state, since epochs consume whole tails).
+    *
+    * The reference's only lag signal is the consumer's ZK offset
+    * (`internal/broker/consumer/server/core.go:46-64`).
+    */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val out = new java.util.HashMap[String, String]()
+    if (!latestConsumedOffset.isPresent) return out
+    val consumed = latestConsumedOffset.get.asInstanceOf[RippleOffset].ends
+    val log = conf.log
+    val now = sizes()
+    if (now.isEmpty) return out
+    val behind = now.map { case (k, end) =>
+      k -> math.max(0L, end - consumed.getOrElse(k, conf.startingOffset))
+    }
+    out.put("minOffsetsBehindLatest", behind.valuesIterator.min.toString)
+    out.put("maxOffsetsBehindLatest", behind.valuesIterator.max.toString)
+    out.put("avgOffsetsBehindLatest",
+      (behind.valuesIterator.sum.toDouble / behind.size).toString)
+    // behind-latest time from per-segment (min, max) ts stats only
+    var maxLag = -1L
+    behind.foreach { case (k, b) =>
+      if (b > 0) {
+        val tb = conf.keyBucket(k)
+        val from = consumed.getOrElse(k, conf.startingOffset)
+        val segs = log.segments(tb)
+        val stats = log.tsStats(tb, segs)
+        val unread = segs.filter { case (_, s, c) => s + c > from }
+        if (unread.nonEmpty) {
+          val latestTs = stats.valuesIterator.map(_._2).foldLeft(Long.MinValue)(math.max)
+          val firstUnreadMin = stats.get(unread.head._1.getName).map(_._1)
+          firstUnreadMin.foreach { t =>
+            if (latestTs > Long.MinValue)
+              maxLag = math.max(maxLag, math.max(0L, latestTs - t))
+          }
+        }
+      }
+    }
+    if (maxLag >= 0) out.put("maxTsBehindLatestMs", maxLag.toString)
+    out
+  }
 
   /** Per-subscription end offsets keyed by [[RippleConf.streamKey]] —
     * bare bucket names single-topic (checkpoint-stable), `topic/bucket`

@@ -1033,6 +1033,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("source metrics: offsets/time behind latest appear in progress events and track a planted backlog") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "met", numBuckets = 1)
+    // 20 rows with explicit, spread timestamps (one per second) so the
+    // publish-time .tsidx stats make behind-latest TIME computable
+    val base = 1700000000000L
+    val df = (0 until 20).map(i =>
+        (i, s"m$i".getBytes("UTF-8"), new java.sql.Timestamp(base + 1000L * i)))
+      .toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+    Ripple.write(df, root, "met", numBuckets = 1)
+    // capped trigger: 4 rows per batch over a 20-row backlog → the
+    // intermediate progress events must SHOW the shrinking backlog
+    val q = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "met")
+      .option("maxOffsetsPerTrigger", 4L).load()
+      .writeStream.format("memory").queryName("met_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("met_out").count() == 20)
+      val progresses = q.recentProgress.toSeq
+        .filter(p => p.sources.nonEmpty && p.sources(0).metrics != null &&
+          !p.sources(0).metrics.isEmpty)
+      assert(progresses.nonEmpty, "progress events must carry source metrics")
+      def m(p: org.apache.spark.sql.streaming.StreamingQueryProgress,
+          k: String): Option[String] =
+        Option(p.sources(0).metrics.get(k))
+      val behinds = progresses.flatMap(m(_, "maxOffsetsBehindLatest")).map(_.toLong)
+      // Kafka-convention keys present; backlog visible mid-drain, zero at end
+      assert(behinds.nonEmpty && behinds.max > 0,
+        s"a capped drain must report a positive backlog mid-stream: $behinds")
+      assert(behinds.min == 0L, s"the final batch must report caught-up: $behinds")
+      assert(progresses.forall(p => m(p, "minOffsetsBehindLatest").isDefined &&
+        m(p, "avgOffsetsBehindLatest").isDefined))
+      // behind-latest TIME from .tsidx stats: rows are 1 s apart, so an
+      // n-row backlog reads as >= (n-1) seconds and <= 19 s (conservative
+      // upper bound off the segment min stat)
+      val lagging = progresses.filter(p =>
+        m(p, "maxOffsetsBehindLatest").exists(_.toLong > 0))
+      val tsLags = lagging.flatMap(m(_, "maxTsBehindLatestMs")).map(_.toLong)
+      assert(tsLags.nonEmpty, "backlogged events must carry time lag")
+      assert(tsLags.forall(l => l >= 0 && l <= 19000L), tsLags.toString)
+      assert(tsLags.max >= 4000L,
+        s"a >=5-row backlog over 1 s-spaced rows reads as >= 4 s: $tsLags")
+    } finally q.stop()
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
