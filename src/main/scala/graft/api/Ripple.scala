@@ -41,6 +41,35 @@ object Ripple {
     graft.connector.TopicSchemas.register(log, topic, payloadSchema)
   }
 
+  /** Grow a topic's bucket count (Kafka add-partitions parity; the
+    * reference fixes buckets at CreateBucket, `server/exposed/create.go:15-27`).
+    * New buckets are created empty at offset 0; existing buckets — their
+    * offsets, retention floors, consumer cursors and open snapshots — are
+    * untouched, so per-BUCKET ordering is fully preserved. What changes is
+    * key→bucket routing: default routing is `id % bucketCount`, so a key
+    * written before and after the grow may land in different buckets —
+    * per-KEY ordering across the scaling boundary is NOT guaranteed
+    * (exactly Kafka's documented caveat for adding partitions; writers
+    * routing via an explicit `bucket` column are unaffected). Composes by
+    * construction: a snapshot token cut before the grow never names the
+    * new buckets (they stay invisible to the pin), timestamp seek resolves
+    * per live bucket, and a RUNNING streaming query absorbs new buckets at
+    * its next trigger, reading them from offset 0. Shrinking is refused —
+    * it would orphan committed offsets; compact into a new topic instead.
+    * Returns the added bucket names.
+    */
+  def addBuckets(root: String, topic: String, newCount: Int): Seq[String] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val current = log.buckets(topic).size
+    if (current == 0) throw new IllegalArgumentException(
+      s"ripple: topic '$topic' does not exist — create it with createTopic")
+    if (newCount <= current) throw new IllegalArgumentException(
+      s"ripple: addBuckets can only GROW a topic ('$topic' has $current " +
+        s"buckets, requested $newCount) — shrinking would orphan committed " +
+        "offsets and consumer cursors; compact into a new topic instead")
+    log.createTopic(topic, newCount).map(_.bucket).drop(current)
+  }
+
   /** The registered payload schema of a typed topic, if any. */
   def topicSchema(root: String, topic: String): Option[StructType] =
     graft.connector.TopicSchemas.get(

@@ -1131,6 +1131,45 @@ class ConnectorSpec extends AnyFunSuite {
       .map(_.getLong(0)).sorted.toSeq == ((0L until 10L) ++ (20L until 30L)))
   }
 
+  test("addBuckets grows a live topic: old buckets untouched, streams absorb, pins unaffected, shrink refused") {
+    val root = tmp()
+    Ripple.createTopic(root, "gw", numBuckets = 2)
+    Ripple.write(samplePayloads(10), root, "gw", numBuckets = 2)
+    val beforeEnds = Ripple.endOffsets(root, "gw")
+    val token = Ripple.snapshot(root, "gw")
+    // a running stream, started BEFORE the grow
+    val q = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "gw").load()
+      .writeStream.format("memory").queryName("gw_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gw_out").count() == 10)
+      // grow 2 → 4; new buckets empty at offset 0, old ends untouched
+      assert(Ripple.addBuckets(root, "gw", 4) == Seq("b0002", "b0003"))
+      val ends = Ripple.endOffsets(root, "gw")
+      assert(ends("b0002") == 0L && ends("b0003") == 0L)
+      assert(beforeEnds.forall { case (b, e) => ends(b) == e })
+      // default routing now spreads over 4 buckets; the RUNNING stream
+      // absorbs the new buckets at its next trigger
+      Ripple.write(samplePayloads(20), root, "gw", numBuckets = 4)
+      assert(Ripple.endOffsets(root, "gw").count(_._2 > 0) >= 3,
+        "post-grow writes must reach the new buckets")
+      q.processAllAvailable()
+      assert(spark.table("gw_out").count() == 30,
+        "running stream delivers rows landing in grown buckets")
+      // batch read unions all live buckets
+      assert(Ripple.read(spark, root, "gw").count() == 30)
+      // a pin cut before the grow never sees the new buckets
+      assert(Ripple.readSnapshot(spark, root, "gw", token).count() == 10)
+    } finally q.stop()
+    // shrink (or no-op) is a loud refusal
+    val e = intercept[IllegalArgumentException] { Ripple.addBuckets(root, "gw", 4) }
+    assert(e.getMessage.contains("GROW"), e.getMessage)
+    intercept[IllegalArgumentException] { Ripple.addBuckets(root, "gw", 2) }
+    intercept[IllegalArgumentException] { Ripple.addBuckets(root, "nosuchtopic", 8) }
+  }
+
   test("size-based retention: byte budget, guard interplay, consumer protection, pinned-snapshot loudness") {
     val root = tmp()
     Ripple.createTopic(root, "sz", numBuckets = 1)
