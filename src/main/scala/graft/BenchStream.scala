@@ -176,11 +176,20 @@ object BenchStream {
     val seekWarm = seekSec()
     def scanSec(): Double = {
       val t = System.nanoTime()
-      // a real frame scan (max forces per-partition reads; bare count()
-      // would take the metadata-only path and measure nothing)
-      val m = Ripple.read(spark, root, "tiny")
-        .agg(org.apache.spark.sql.functions.max("offset")).head().getLong(0)
-      require(m == nSegs.toLong * rowsPer - 1, s"scan saw wrong range: $m")
+      // a real frame scan: max(id) is NOT metadata-answerable (only
+      // COUNT(*) / MIN/MAX(offset) / MIN/MAX(ts) complete-push), so every
+      // tiny segment costs a task + open + header walk — the per-file
+      // cost this cell exists to measure. max("offset") stopped measuring
+      // anything when the round-12 metadata-aggregate pushdown landed
+      // (the 0.048 s "2000-segment scans" in BENCH_HISTORY were driver
+      // plan time); the plan assert keeps a future pushdown widening from
+      // silently re-voiding the cell.
+      val df = Ripple.read(spark, root, "tiny")
+        .agg(org.apache.spark.sql.functions.max("id"))
+      require(!df.queryExecution.executedPlan.toString.contains("metadata-agg"),
+        "scan cell must read frames, not a metadata answer")
+      val m = df.head().getInt(0)
+      require(m == rowsPer - 1, s"scan saw wrong ids: $m")
       (System.nanoTime() - t) / 1e9
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000

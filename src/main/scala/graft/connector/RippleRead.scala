@@ -864,7 +864,13 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
       : java.util.Map[String, String] = {
     val out = new java.util.HashMap[String, String]()
     if (!latestConsumedOffset.isPresent) return out
-    val consumed = latestConsumedOffset.get.asInstanceOf[RippleOffset].ends
+    // on resume Spark hands the offset-log's raw SerializedOffset, not a
+    // deserialized RippleOffset — accept both (the Kafka source does the
+    // same re-parse in its metrics())
+    val consumed = latestConsumedOffset.get match {
+      case r: RippleOffset => r.ends
+      case o => RippleOffset.fromJson(o.json()).ends
+    }
     val log = conf.log
     val now = sizes()
     if (now.isEmpty) return out
@@ -875,26 +881,30 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     out.put("maxOffsetsBehindLatest", behind.valuesIterator.max.toString)
     out.put("avgOffsetsBehindLatest",
       (behind.valuesIterator.sum.toDouble / behind.size).toString)
-    // behind-latest time from per-segment (min, max) ts stats only
-    var maxLag = -1L
-    behind.foreach { case (k, b) =>
-      if (b > 0) {
-        val tb = conf.keyBucket(k)
-        val from = consumed.getOrElse(k, conf.startingOffset)
-        val segs = log.segments(tb)
-        val stats = log.tsStats(tb, segs)
-        val unread = segs.filter { case (_, s, c) => s + c > from }
-        if (unread.nonEmpty) {
-          val latestTs = stats.valuesIterator.map(_._2).foldLeft(Long.MinValue)(math.max)
-          val firstUnreadMin = stats.get(unread.head._1.getName).map(_._1)
-          firstUnreadMin.foreach { t =>
-            if (latestTs > Long.MinValue)
-              maxLag = math.max(maxLag, math.max(0L, latestTs - t))
+    // behind-latest time from per-segment (min, max) ts stats only; a
+    // transient IO race (concurrent retention/compaction) degrades to the
+    // offset metrics alone — a metrics read must never fail the query
+    try {
+      var maxLag = -1L
+      behind.foreach { case (k, b) =>
+        if (b > 0) {
+          val tb = conf.keyBucket(k)
+          val from = consumed.getOrElse(k, conf.startingOffset)
+          val segs = log.segments(tb)
+          val stats = log.tsStats(tb, segs)
+          val unread = segs.filter { case (_, s, c) => s + c > from }
+          if (unread.nonEmpty) {
+            val latestTs = stats.valuesIterator.map(_._2).foldLeft(Long.MinValue)(math.max)
+            val firstUnreadMin = stats.get(unread.head._1.getName).map(_._1)
+            firstUnreadMin.foreach { t =>
+              if (latestTs > Long.MinValue)
+                maxLag = math.max(maxLag, math.max(0L, latestTs - t))
+            }
           }
         }
       }
-    }
-    if (maxLag >= 0) out.put("maxTsBehindLatestMs", maxLag.toString)
+      if (maxLag >= 0) out.put("maxTsBehindLatestMs", maxLag.toString)
+    } catch { case _: java.io.IOException => () }
     out
   }
 
