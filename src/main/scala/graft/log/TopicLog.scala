@@ -1400,18 +1400,32 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     // inside a LARGER one is a pre-merge member (only compaction creates
     // covering segments — publishes refuse overlaps); byte identity over
     // the shared range holds by construction. Manifest first, then delete.
-    val covered = raw.filter { case (_, s, c, _) =>
-      raw.exists { case (_, s2, c2, _) => c2 > c && s2 <= s && s2 + c2 >= s + c }
+    // One sorted sweep, not all-pairs: in (start asc, count desc) order a
+    // segment is covered iff some EARLIER-sorted segment's end reaches its
+    // end (earlier starts are <= its start, and strictly-larger follows —
+    // identical ranges cannot coexist, same-name publish is refused). The
+    // all-pairs form was the probe-measured super-linear term of the
+    // 2×10^4-segment compaction cell (round 13): 4×10^8 predicate
+    // evaluations before a single byte moved.
+    val coveredSet = {
+      val b = Set.newBuilder[HPath]
+      var maxEnd = Long.MinValue
+      raw.sortBy { case (_, s, c, _) => (s, -c) }.foreach { case (p, s, c, _) =>
+        val end = s + c
+        if (maxEnd >= end) b += p
+        else maxEnd = end
+      }
+      b.result()
     }
     var healed = 0
-    if (covered.nonEmpty) {
-      val keep = raw.filterNot(covered.contains)
+    if (coveredSet.nonEmpty) {
+      val keep = raw.filterNot { case (p, _, _, _) => coveredSet.contains(p) }
       writeFileAtomic(manifestPath(tb), keep.map(_._1.getName)
         .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      covered.foreach { case (p, _, _, _) =>
+      coveredSet.foreach { p =>
         try fs.delete(p, false) catch { case _: java.io.IOException => () } }
       raw = keep
-      healed = covered.size
+      healed = coveredSet.size
     }
     checkNoOverlap(tb, raw.map { case (p, s, c, _) => (p, s, c) })
     val groups = compactionGroups(raw, targetBytes, minSegments)

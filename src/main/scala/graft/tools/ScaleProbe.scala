@@ -452,12 +452,16 @@ object ScaleProbe {
   }
 
   /** Keys of the synthetic metadata-plane cells: q152c = compactSegments
-    * over N tiny segments (claim: linear in segment count), q154c = cold
-    * timestamp seek (one-time `.tsidx` backfill — linear), q154w = warm
-    * seek (claim: O(one boundary segment) — the ratio must stay ≈ 1 while
-    * the segment count grows 10×). Their ratios are the CLAIMS under
-    * test, so Bench excludes them from the "did anything scale
-    * super-linearly" stdout headline.
+    * over N tiny segments (claim: linear in segment count — the first
+    * run of this cell caught the rename-mode heal sweep running
+    * all-pairs, 22× at 10× segments, fixed to one sorted pass), q154c =
+    * cold timestamp seek (one-time `.tsidx` backfill — linear), q154w =
+    * warm seek (claim: O(one boundary segment) FRAME reads on top of the
+    * per-call O(segments) metadata parse — manifest + `.tsidx` lines —
+    * so the RATIO tracks segment count at small absolute cost, ~0.1 s at
+    * 2×10^4 segments, while a frame-linear implementation would sit at
+    * seconds). Their ratios are the CLAIMS under test, so Bench excludes
+    * them from the "did anything scale super-linearly" stdout headline.
     */
   val SyntheticCellKeys: Set[String] = Set("q152c", "q154c", "q154w")
 
@@ -477,6 +481,14 @@ object ScaleProbe {
     log.refreshManifest(tb)
     (log, tb, base)
   }
+
+  /** Dev loop: run ONLY the synthetic metadata cells and print their
+    * entries (no Spark session, no corpus) — `sbt "runMain
+    * graft.tools.ScaleProbe"`.
+    */
+  def main(args: Array[String]): Unit =
+    syntheticCells(graft.BenchHistory.load("BENCH_HISTORY.jsonl"))
+      .foreach(println)
 
   private def syntheticCells(history: graft.BenchHistory): Seq[String] = try {
     val small = 2000
