@@ -79,6 +79,11 @@ import scala.jdk.CollectionConverters._
   *     per-bucket locality pinning
   *   - `retentionMs` (write): expire whole segments older than this at each
   *     publish (offsets preserved; newest segment kept)
+  *   - `retentionBytes` (write): per bucket, keep at most this many
+  *     trailing segment bytes at each publish (Kafka `retention.bytes`;
+  *     whole segments, newest kept, offsets preserved) — bounds a
+  *     runaway stream's footprint; composes with `retentionMs` (each is
+  *     a floor advance, the deeper cut wins)
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -163,6 +168,7 @@ object RippleConf {
       preferredHosts = Option(options.get("preferredHosts"))
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       retentionMs = options.getLong("retentionMs", Long.MaxValue),
+      retentionBytes = options.getLong("retentionBytes", Long.MaxValue),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
       // An EXPLICIT startingOffset is a positional read request — reading
       // past a retention floor it names is data loss and fails loudly; the
@@ -210,6 +216,7 @@ case class RippleConf(
     startingPosition: Option[String] = None,
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
+    retentionBytes: Long = Long.MaxValue,
     consumerId: Option[String] = None,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,

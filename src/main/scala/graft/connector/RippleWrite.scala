@@ -367,9 +367,13 @@ object RipplePublish {
     intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
     // Topic retention policy applied at publish time (the natural hook —
     // retention is a metadata-only op here, see TopicLog.truncateOlderThan;
-    // the reference's TTL was never implemented, core.go:45 TODO).
+    // the reference's TTL was never implemented, core.go:45 TODO). The
+    // byte policy (Kafka retention.bytes, round 13) composes: each is a
+    // floor advance, so applying both keeps whichever cut is deeper.
     if (conf.retentionMs != Long.MaxValue)
       log.truncateOlderThan(conf.topic, conf.retentionMs)
+    if (conf.retentionBytes != Long.MaxValue)
+      log.truncateToBytes(conf.topic, conf.retentionBytes)
   }
 
   def abort(conf: RippleConf, messages: Array[WriterCommitMessage]): Unit = {

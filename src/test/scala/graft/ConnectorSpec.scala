@@ -1211,6 +1211,29 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 20L))
   }
 
+  test("retentionBytes sink option bounds the topic footprint at publish time") {
+    val root = tmp()
+    Ripple.createTopic(root, "rb", numBuckets = 1)
+    def writeOne(budget: Option[Long]): Unit = {
+      var w = samplePayloads(10).coalesce(1).write.format("ripple")
+        .option("path", root).option("topic", "rb").option("buckets", 1)
+      budget.foreach(b => w = w.option("retentionBytes", b))
+      w.mode("append").save()
+    }
+    writeOne(None) // seg [0,10)
+    writeOne(None) // seg [10,20)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segBytes = log.segments(graft.model.TopicBucket("rb", "b0000"))
+      .map { case (p, _, _) => log.fileLen(p) }
+    // third publish carries a budget of ~two segments: the oldest expires
+    // at publish time, exactly like retentionMs
+    writeOne(Some(segBytes.sum))
+    assert(Ripple.earliestOffsets(root, "rb") == Map("b0000" -> 10L),
+      "publish-time byte retention advances the floor")
+    assert(Ripple.endOffsets(root, "rb") == Map("b0000" -> 30L))
+    assert(Ripple.read(spark, root, "rb").count() == 20)
+  }
+
   test("consumer-protecting retention: truncateBefore refuses to cross the minimum live cursor") {
     val root = tmp()
     Ripple.createTopic(root, "cp", numBuckets = 1)
