@@ -328,14 +328,30 @@ object Ripple {
       commitProtocol = if (log.manifestCommitMode) "manifest" else "rename",
       buckets = buckets,
       schema = graft.connector.TopicSchemas.get(log, topic).map(_.simpleString),
-      consumers = consumerOffsets(root, topic).keySet.toSeq.sorted)
+      consumers = consumerOffsets(root, topic).keySet.toSeq.sorted,
+      schemaVersion = graft.connector.TopicSchemas.currentVersion(log, topic))
   }
 
   case class TopicDescription(topic: String, commitProtocol: String,
       buckets: Map[String, BucketState], schema: Option[String],
-      consumers: Seq[String]) {
+      consumers: Seq[String], schemaVersion: Option[Int] = None) {
     def rows: Long = buckets.valuesIterator.map(_.rows).sum
     def bytes: Long = buckets.valuesIterator.map(_.bytes).sum
+  }
+
+  /** The numbered payload-schema history of a typed topic (version →
+    * schema; empty when untyped). Version N is what a snapshot cut at
+    * version N lifts with ([[graft.connector.TopicSchemas]]) — the audit
+    * surface for "what did this topic look like when that corpus was
+    * pinned".
+    */
+  def topicSchemaVersions(root: String, topic: String): Map[Int, StructType] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    graft.connector.TopicSchemas.currentVersion(log, topic) match {
+      case None => Map.empty
+      case Some(cur) => (1 to cur).map(v =>
+        v -> graft.connector.TopicSchemas.schemaAt(log, topic, v)).toMap
+    }
   }
 
   /** Per-bucket newest record timestamp (max over segment ts stats, so

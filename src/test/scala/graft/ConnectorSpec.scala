@@ -833,6 +833,7 @@ class ConnectorSpec extends AnyFunSuite {
     assert(graft.connector.TopicSchemas.currentVersion(log, "wid").contains(2))
     assert(graft.connector.TopicSchemas.schemaAt(log, "wid", 1) == v1)
     assert(graft.connector.TopicSchemas.schemaAt(log, "wid", 2) == v2)
+    assert(Ripple.topicSchemaVersions(root, "wid") == Map(1 -> v1, 2 -> v2))
     // the old blob lifts exactly at the wider types
     val row = Ripple.readLifted(spark, root, "wid")
       .select("event_id", "score", "kind").collect().head
@@ -1778,6 +1779,8 @@ class ConnectorSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("x",
           org.apache.spark.sql.types.LongType))))
     assert(Ripple.describeTopic(root, "tlag").schema.contains("struct<x:bigint>"))
+    assert(Ripple.describeTopic(root, "tlag").schemaVersion.contains(1))
+    assert(Ripple.topicSchemaVersions(root, "tlag").keySet == Set(1))
 
     // AvailableNow ignores the minimum: the drain completes
     Ripple.createTopic(root, "mina", numBuckets = 1)
