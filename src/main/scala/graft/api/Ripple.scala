@@ -339,6 +339,70 @@ object Ripple {
     def bytes: Long = buckets.valuesIterator.map(_.bytes).sum
   }
 
+  /** Target position for [[resetConsumer]]. */
+  sealed trait ConsumerReset
+  object ConsumerReset {
+    /** Each bucket's earliest retained offset (replay everything). */
+    case object Earliest extends ConsumerReset
+    /** Each bucket's current end (skip the backlog). */
+    case object Latest extends ConsumerReset
+    /** Earliest offset with `ts >= ms` per bucket ([[readTimestamp]]'s
+      * seek — "rewind to yesterday 06:00").
+      */
+    case class ToTimestamp(ms: Long) extends ConsumerReset
+    /** Explicit per-bucket offsets (every named bucket must exist; each
+      * offset must lie within the bucket's retained `[floor, end]`).
+      */
+    case class ToOffsets(ends: Map[String, Long]) extends ConsumerReset
+  }
+
+  /** Rewind or fast-forward a named consumer — the Kafka
+    * `kafka-consumer-groups --reset-offsets` tool for this log. Computes
+    * the target per-bucket position, validates it against each bucket's
+    * retained `[floor, end]` (out-of-range is LOUD: below the floor would
+    * only trip the data-loss guard at resume, above the end would
+    * silently skip unwritten records), drops the consumer's managed
+    * checkpoint (a resumed checkpoint outranks the cursor, so a reset
+    * that left it in place would be ignored), and commits the cursor.
+    * Like Kafka, the consumer must be INACTIVE — reset under a running
+    * query is undefined. The next FRESH-checkpoint query with this
+    * `consumerId` resumes from the returned position.
+    */
+  def resetConsumer(root: String, topic: String, consumerId: String,
+      to: ConsumerReset): Map[String, Long] = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val tbs = log.buckets(topic)
+    require(tbs.nonEmpty, s"ripple: topic '$topic' does not exist")
+    val target: Map[String, Long] = to match {
+      case ConsumerReset.Earliest =>
+        tbs.map(tb => tb.bucket -> log.firstOffset(tb)).toMap
+      case ConsumerReset.Latest =>
+        tbs.map(tb => tb.bucket -> log.size(tb)).toMap
+      case ConsumerReset.ToTimestamp(ms) =>
+        tbs.map(tb => tb.bucket -> log.offsetForTimestamp(tb, ms)).toMap
+      case ConsumerReset.ToOffsets(ends) =>
+        val known = tbs.map(_.bucket).toSet
+        val unknown = ends.keySet.diff(known)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"ripple: resetConsumer names unknown bucket(s) " +
+            s"${unknown.toSeq.sorted.mkString(", ")} of topic '$topic'")
+        ends.foreach { case (b, o) =>
+          val tb = graft.model.TopicBucket(topic, b)
+          val floor = log.firstOffset(tb)
+          val end = log.size(tb)
+          if (o < floor || o > end) throw new IllegalArgumentException(
+            s"ripple: resetConsumer offset $o for bucket '$b' is outside " +
+              s"the retained range [$floor, $end] — below the floor means " +
+              "rows retention already removed, above the end means " +
+              "skipping records not yet written")
+        }
+        ends
+    }
+    graft.connector.ConsumerOffsets.dropCheckpoint(root, topic, consumerId)
+    graft.connector.ConsumerOffsets.commit(root, topic, consumerId, target)
+    target
+  }
+
   /** The numbered payload-schema history of a typed topic (version →
     * schema; empty when untyped). Version N is what a snapshot cut at
     * version N lifts with ([[graft.connector.TopicSchemas]]) — the audit

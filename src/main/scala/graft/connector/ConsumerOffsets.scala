@@ -133,6 +133,19 @@ object ConsumerOffsets {
     }
   }
 
+  /** Remove `id`'s managed checkpoint (reset support): a resumed
+    * checkpoint always outranks the cursor, so any position rewrite that
+    * left the checkpoint in place would be silently ignored by the next
+    * resume. The caller must ensure no query is running under this
+    * consumer (the Kafka "group must be inactive to reset" contract —
+    * not enforceable from here).
+    */
+  def dropCheckpoint(root: String, topic: String, id: String): Unit = {
+    val fs = fsFor(root)
+    val d = new HPath(consumerDir(root, topic, id), "ckpt")
+    try fs.delete(d, true) catch { case _: java.io.IOException => () }
+  }
+
   /** Every consumer's committed position for `topic` — the introspection
     * surface the reference exposes through its consumer server state.
     */

@@ -1212,6 +1212,69 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 20L))
   }
 
+  test("resetConsumer: earliest/offsets/timestamp rewinds, checkpoint outranking handled, out-of-range loud") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "rc", numBuckets = 1)
+    val base = 1600000000000L
+    def half(lo: Int, hi: Int) = (lo until hi).map(i =>
+        (i, s"r$i".getBytes("UTF-8"), new java.sql.Timestamp(base + 1000L * i)))
+      .toDF("id", "data", "ts").repartition(1).sortWithinPartitions("id")
+    // two segments, so the floor can actually advance for the refusal case
+    Ripple.write(half(0, 10), root, "rc", numBuckets = 1)
+    Ripple.write(half(10, 20), root, "rc", numBuckets = 1)
+
+    def drain(name: String): Seq[Long] = {
+      val q = spark.readStream.format("ripple")
+        .option("path", root).option("topic", "rc")
+        .option("consumerId", "grp").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmp()) // FRESH checkpoint each time
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("offset").collect().map(_.getLong(0)).sorted.toSeq
+    }
+
+    // a managed-checkpoint query commits through the end...
+    val q0 = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "rc")
+      .option("consumerId", "grp").load()
+      .writeStream.format("memory").queryName("rc0")
+      .option("checkpointLocation", Ripple.consumerCheckpoint(root, "rc", "grp"))
+      .start()
+    try { q0.processAllAvailable() } finally q0.stop()
+    assert(spark.table("rc0").count() == 20)
+    // ...so a cursor-only rewind would be OUTRANKED by it; resetConsumer
+    // must drop the managed checkpoint for the rewind to take effect
+    assert(Ripple.resetConsumer(root, "rc", "grp",
+      Ripple.ConsumerReset.ToOffsets(Map("b0000" -> 10L))) == Map("b0000" -> 10L))
+    assert(drain("rc1") == (10L until 20L), "reset position wins over the dropped checkpoint")
+    // earliest: full replay
+    Ripple.resetConsumer(root, "rc", "grp", Ripple.ConsumerReset.Earliest)
+    assert(drain("rc2") == (0L until 20L))
+    // timestamp: seek semantics ("rewind to t=15s")
+    assert(Ripple.resetConsumer(root, "rc", "grp",
+      Ripple.ConsumerReset.ToTimestamp(base + 15000L)) == Map("b0000" -> 15L))
+    assert(drain("rc3") == (15L until 20L))
+    // latest: skip the backlog
+    Ripple.resetConsumer(root, "rc", "grp", Ripple.ConsumerReset.Latest)
+    assert(drain("rc4").isEmpty)
+    // loud refusals: unknown bucket; outside the retained range
+    intercept[IllegalArgumentException] {
+      Ripple.resetConsumer(root, "rc", "grp",
+        Ripple.ConsumerReset.ToOffsets(Map("nope" -> 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      Ripple.resetConsumer(root, "rc", "grp",
+        Ripple.ConsumerReset.ToOffsets(Map("b0000" -> 21L)))
+    }
+    Ripple.truncateBefore(root, "rc", 10L)
+    intercept[IllegalArgumentException] {
+      Ripple.resetConsumer(root, "rc", "grp",
+        Ripple.ConsumerReset.ToOffsets(Map("b0000" -> 5L)))
+    }
+  }
+
   test("retentionBytes sink option bounds the topic footprint at publish time") {
     val root = tmp()
     Ripple.createTopic(root, "rb", numBuckets = 1)
