@@ -70,6 +70,33 @@ object Ripple {
     log.createTopic(topic, newCount).map(_.bucket).drop(current)
   }
 
+  /** Delete a topic — data, metadata (schema + versions, `.tsidx`,
+    * manifests/commit logs, snapshots' substrate) and consumer state —
+    * irreversibly (Kafka `--delete`; the reference can only leak its
+    * in-memory queues). REGISTERED CONSUMERS make the delete refuse
+    * loudly unless `force = true`: their checkpoints and cursors die
+    * with the topic, and any still-running query would start failing —
+    * deleting under active readers must be a stated decision, not a
+    * side effect. Unknown topics are loud (a typo must not read as
+    * success). Open snapshot tokens naming the topic fail loudly at
+    * their next read (vanished buckets), which is the pin contract
+    * working. Returns the number of buckets removed.
+    */
+  def deleteTopic(root: String, topic: String, force: Boolean = false): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val tbs = log.buckets(topic)
+    if (tbs.isEmpty) throw new IllegalArgumentException(
+      s"ripple: topic '$topic' does not exist under $root")
+    val consumers = consumerOffsets(root, topic).keySet
+    if (consumers.nonEmpty && !force) throw new IllegalStateException(
+      s"ripple: topic '$topic' has registered consumer(s) " +
+        s"${consumers.toSeq.sorted.mkString(", ")} — deleting destroys " +
+        "their committed positions and fails any running query. Drain and " +
+        "deregister them, or pass force = true to delete anyway.")
+    log.fs.delete(new org.apache.hadoop.fs.Path(log.root, topic), true)
+    tbs.size
+  }
+
   /** The registered payload schema of a typed topic, if any. */
   def topicSchema(root: String, topic: String): Option[StructType] =
     graft.connector.TopicSchemas.get(

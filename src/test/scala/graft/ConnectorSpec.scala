@@ -1212,6 +1212,31 @@ class ConnectorSpec extends AnyFunSuite {
     assert(Ripple.earliestOffsets(root, "sz") == Map("b0000" -> 20L))
   }
 
+  test("deleteTopic: consumer-guarded, loud on unknown, clean recreate") {
+    val root = tmp()
+    Ripple.createTopic(root, "del", numBuckets = 2)
+    Ripple.write(samplePayloads(10), root, "del", numBuckets = 2)
+    graft.connector.ConsumerOffsets.commit(root, "del", "live", Map("b0000" -> 3L))
+    // registered consumer: refuse without force
+    val e = intercept[IllegalStateException] { Ripple.deleteTopic(root, "del") }
+    assert(e.getMessage.contains("live"), e.getMessage)
+    assert(Ripple.read(spark, root, "del").count() == 10, "refused before deleting")
+    // force: gone — data, metadata, consumer state
+    assert(Ripple.deleteTopic(root, "del", force = true) == 2)
+    assert(!Ripple.topics(root).contains("del"))
+    assert(Ripple.consumerOffsets(root, "del").isEmpty)
+    // unknown topic (incl. the just-deleted one) is loud, not a no-op
+    intercept[IllegalArgumentException] { Ripple.deleteTopic(root, "del") }
+    intercept[IllegalArgumentException] { Ripple.deleteTopic(root, "typo") }
+    // recreate starts fresh at offset 0
+    Ripple.createTopic(root, "del", numBuckets = 1)
+    Ripple.write(samplePayloads(3).coalesce(1), root, "del", numBuckets = 1)
+    assert(Ripple.read(spark, root, "del").select("offset").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    // a consumer-less topic deletes without force
+    assert(Ripple.deleteTopic(root, "del") == 1)
+  }
+
   test("resetConsumer: earliest/offsets/timestamp rewinds, checkpoint outranking handled, out-of-range loud") {
     import spark.implicits._
     val root = tmp()
