@@ -87,7 +87,11 @@ import scala.jdk.CollectionConverters._
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
-  *     when the topic has no registered schema
+  *     when the topic has no registered schema. The schema is CAPTURED at
+  *     query/plan time: a RUNNING lifted stream keeps the shape it
+  *     started with across a concurrent [[TopicSchemas.evolve]] (a frame
+  *     cannot change columns mid-query) and picks the evolution up on
+  *     restart — old rows then lift with NULLs in the added columns
   *   - `snapshot` (batch read): a [[TopicSnapshot]] token pinning each
   *     bucket to the offset range committed at capture time
   *     ([[graft.api.Ripple.snapshot]]). Appends after the capture are

@@ -272,6 +272,30 @@ object FileTopicLog {
     */
   def cached(rootUri: String, hadoopConf: Configuration): FileTopicLog =
     cache.getOrElseUpdate(rootUri, new FileTopicLog(rootUri, hadoopConf))
+
+  /** Pure half of [[FileTopicLog.byteFloors]] (size-based retention):
+    * given one bucket's start-sorted `(startOffset, fileBytes)` segments,
+    * the earliest retained offset such that the retained TRAILING whole
+    * segments total at most `maxBytes` — None when nothing would expire.
+    * Tail-first walk with the contiguous-prefix rule: the newest segment
+    * always survives, and once a segment overflows the budget every OLDER
+    * segment expires with it (a kept hole would violate the floor
+    * contract). Property-tested against the brute-force suffix choice.
+    */
+  private[graft] def byteFloorWalk(segs: Seq[(Long, Long)],
+      maxBytes: Long): Option[Long] = {
+    if (segs.size <= 1) return None
+    var acc = 0L
+    var floor = segs.last._1
+    var stopped = false
+    segs.reverseIterator.zipWithIndex.foreach { case ((start, len), i) =>
+      if (!stopped) {
+        if (i == 0 || acc + len <= maxBytes) { acc += len; floor = start }
+        else stopped = true
+      }
+    }
+    if (floor == segs.head._1) None else Some(floor)
+  }
 }
 
 // not final: tests subclass the nioCreateLink seam to drive the
@@ -1214,20 +1238,9 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     require(maxBytes >= 0, s"maxBytes must be >= 0, got $maxBytes")
     buckets(topic).flatMap { tb =>
       val segs = segments(tb)
-      if (segs.size <= 1) None
-      else {
-        var acc = 0L
-        var floor = segs.last._2
-        var stopped = false
-        segs.reverseIterator.zipWithIndex.foreach { case ((p, start, _), i) =>
-          if (!stopped) {
-            val len = fileLen(p)
-            if (i == 0 || acc + len <= maxBytes) { acc += len; floor = start }
-            else stopped = true
-          }
-        }
-        if (floor == segs.head._2) None else Some(tb.bucket -> floor)
-      }
+      FileTopicLog.byteFloorWalk(
+        segs.map { case (p, start, _) => (start, fileLen(p)) }, maxBytes)
+        .map(tb.bucket -> _)
     }.toMap
   }
 

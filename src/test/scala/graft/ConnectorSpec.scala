@@ -886,6 +886,45 @@ class ConnectorSpec extends AnyFunSuite {
       .schema.fieldNames.contains("score"))
   }
 
+  test("a running lifted stream keeps its start schema; restart picks up the evolution") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    Ripple.writePacked(Seq((1L, "a"), (2L, "b")).toDF("event_id", "kind"),
+      root, "evs", col("event_id"), numBuckets = 1)
+    val q1 = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "evs").option("lift", "true")
+      .load().writeStream.format("memory").queryName("evs1")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q1.processAllAvailable()
+      assert(!spark.table("evs1").schema.fieldNames.contains("score"))
+      // evolve WHILE the query runs; write a wide row
+      Ripple.evolveTopicSchema(root, "evs", StructType(Seq(
+        StructField("event_id", LongType), StructField("kind", StringType),
+        StructField("score", DoubleType))))
+      Ripple.writePacked(Seq((3L, "c", 0.5)).toDF("event_id", "kind", "score"),
+        root, "evs", col("event_id"), numBuckets = 1)
+      q1.processAllAvailable()
+      // the RUNNING query keeps its start shape — the new row arrives,
+      // its extra column does not (a frame cannot change columns mid-query)
+      assert(spark.table("evs1").count() == 3)
+      assert(!spark.table("evs1").schema.fieldNames.contains("score"))
+    } finally q1.stop()
+    // a restarted (fresh) query lifts with the evolved schema; pre-evolve
+    // rows carry NULL score
+    val q2 = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "evs").option("lift", "true")
+      .load().writeStream.format("memory").queryName("evs2")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("evs2").select("event_id", "score").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+      assert(rows == Set((1L, None), (2L, None), (3L, Some(0.5))))
+    } finally q2.stop()
+  }
+
   test("first-registration race: one winner, loser gets the drift check against it") {
     import org.apache.spark.sql.types._
     val root = tmp()

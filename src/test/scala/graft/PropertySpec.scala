@@ -149,6 +149,38 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("byteFloorWalk == brute-force trailing-suffix choice; monotone in budget") {
+    val genSegs: Gen[List[(Long, Long)]] =
+      Gen.choose(0, 12).flatMap { n =>
+        Gen.listOfN(n, Gen.choose(1L, 50L)).map { counts =>
+          // dense start offsets from accumulated counts, random byte sizes
+          val starts = counts.scanLeft(0L)(_ + _).init
+          starts.zip(counts.map(_ * 7 % 40 + 1))
+        }
+      }
+    // reference: smallest trailing suffix (always incl. the newest) whose
+    // bytes fit maxBytes — or just the newest when even it alone overflows
+    def brute(segs: List[(Long, Long)], maxBytes: Long): Option[Long] = {
+      if (segs.size <= 1) return None
+      val keep = (1 to segs.size).reverse // suffix lengths, longest first
+        .map(k => segs.takeRight(k))
+        .find(sfx => sfx.map(_._2).sum <= maxBytes)
+        .getOrElse(segs.takeRight(1))
+      if (keep.head._1 == segs.head._1) None else Some(keep.head._1)
+    }
+    check(Prop.forAll(genSegs, Gen.choose(0L, 300L)) { (segs, budget) =>
+      graft.log.FileTopicLog.byteFloorWalk(segs, budget) == brute(segs, budget)
+    })
+    // a larger budget never advances the floor further
+    check(Prop.forAll(genSegs, Gen.choose(0L, 300L), Gen.choose(0L, 300L)) {
+      (segs, a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        val fLo = graft.log.FileTopicLog.byteFloorWalk(segs, lo).getOrElse(0L)
+        val fHi = graft.log.FileTopicLog.byteFloorWalk(segs, hi).getOrElse(0L)
+        fHi <= fLo
+    })
+  }
+
   test("rate-cap allocation: sums to min(cap,total), bounded, starvation-free") {
     check(Prop.forAll(genBacklog,
         Gen.oneOf(Gen.choose(0L, 5000L), Gen.choose(0L, 2_000_000_000L))) { (backlog, cap) =>
