@@ -84,6 +84,12 @@ import scala.jdk.CollectionConverters._
   *     whole segments, newest kept, offsets preserved) — bounds a
   *     runaway stream's footprint; composes with `retentionMs` (each is
   *     a floor advance, the deeper cut wins)
+  *   - `autoCompactSegments` (write, default 0 = off): when any bucket
+  *     reaches this many segments after a publish, merge adjacent runs
+  *     in place ([[graft.api.Ripple.compactSegments]] — offsets, floors
+  *     and cursors untouched; readers holding stale plans re-resolve) —
+  *     the inline answer to streaming one-segment-per-epoch
+  *     proliferation, amortized to one merge pass every N epochs
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -173,6 +179,7 @@ object RippleConf {
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty),
       retentionMs = options.getLong("retentionMs", Long.MaxValue),
       retentionBytes = options.getLong("retentionBytes", Long.MaxValue),
+      autoCompactSegments = options.getInt("autoCompactSegments", 0),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
       // An EXPLICIT startingOffset is a positional read request — reading
       // past a retention floor it names is data loss and fails loudly; the
@@ -221,6 +228,7 @@ case class RippleConf(
     preferredHosts: Seq[String] = Seq.empty,
     retentionMs: Long = Long.MaxValue,
     retentionBytes: Long = Long.MaxValue,
+    autoCompactSegments: Int = 0,
     consumerId: Option[String] = None,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,

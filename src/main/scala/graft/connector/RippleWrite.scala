@@ -374,6 +374,17 @@ object RipplePublish {
       log.truncateOlderThan(conf.topic, conf.retentionMs)
     if (conf.retentionBytes != Long.MaxValue)
       log.truncateToBytes(conf.topic, conf.retentionBytes)
+    // Inline auto-compaction (round 13): a streaming sink publishes one
+    // segment per bucket per epoch — 10^4 tiny files/bucket/hour at high
+    // trigger rates. When any bucket's segment count reaches the
+    // threshold, merge adjacent runs in place right here in the driver's
+    // commit path (offset-preserving, so concurrent readers re-resolve;
+    // amortized cost one merge pass every N epochs — the alternative is
+    // an external compaction job every operator forgets to run).
+    if (conf.autoCompactSegments > 0 &&
+        log.buckets(conf.topic).exists(tb =>
+          log.segments(tb).size >= conf.autoCompactSegments))
+      log.compactSegments(conf.topic)
   }
 
   def abort(conf: RippleConf, messages: Array[WriterCommitMessage]): Unit = {

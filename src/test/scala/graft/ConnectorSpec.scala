@@ -1339,6 +1339,35 @@ class ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("autoCompactSegments: streaming epochs stay merged in place, rows intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = tmp()
+    Ripple.createTopic(root, "ac", numBuckets = 1)
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().selectExpr("value as id", "cast(cast(value as string) as binary) as data")
+      .writeStream.format("ripple")
+      .option("path", root).option("topic", "ac").option("buckets", 1)
+      .option("autoCompactSegments", 5)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      // 12 epochs → 12 tiny segments without compaction; the threshold
+      // keeps the live count bounded as the stream runs
+      (0 until 12).foreach { e =>
+        mem.addData(e * 3, e * 3 + 1, e * 3 + 2)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segs = log.segments(graft.model.TopicBucket("ac", "b0000")).size
+    assert(segs < 12 && segs <= 5, s"auto-compaction must bound segments, got $segs")
+    val rows = Ripple.read(spark, root, "ac").select("offset", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 36L), "offsets dense after merges")
+    assert(rows.map(_._2).toSeq == (0 until 36), "row content/order intact")
+  }
+
   test("retentionBytes sink option bounds the topic footprint at publish time") {
     val root = tmp()
     Ripple.createTopic(root, "rb", numBuckets = 1)
