@@ -134,6 +134,37 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Inline auto-compaction (round 13): events land as eight chunked
+    * publishes with sink option `autoCompactSegments = 3`, so merges fire
+    * REPEATEDLY mid-ingest (every time the bucket reaches 3 segments) —
+    * the read-back aggregate must still equal the oracle over the
+    * original parquet: offsets preserved, no row lost or duplicated by
+    * any merge, and the final topic stays at a bounded segment count
+    * (asserted in-place; a silent compaction bug hash-fails the gate).
+    */
+  def autoCompactAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "acg", numBuckets = 1)
+    (0 until 8).foreach { i =>
+      val chunk = ev.filter(pmod(col("event_id"), lit(8)) === i)
+      Ripple.pack(chunk, col("event_id")).coalesce(1)
+        .write.format("ripple")
+        .option("path", root).option("topic", "acg").option("buckets", 1)
+        .option("autoCompactSegments", 3)
+        .mode("append").save()
+    }
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segs = log.segments(graft.model.TopicBucket("acg", "b0000")).size
+    require(segs <= 3, s"auto-compaction must bound segments, got $segs")
+    Ripple.lift(Ripple.read(s, root, "acg"), eventSchema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Snapshot pinning (round 12): write the first 600 events, capture a
     * snapshot token, then append the rest AND compact the log in place —
     * the pinned read must still see exactly the pre-capture corpus (appends
@@ -300,6 +331,7 @@ object ConnectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_schema_evolve" -> (schemaEvolveAgg _),
+    "q159_auto_compact" -> (autoCompactAgg _),
     "q156_ts_prune" -> (tsPruneAgg _),
     "q157_meta_agg" -> (metaAggQuery _),
     "q155_multi_topic" -> (multiTopicAgg _),
@@ -415,6 +447,11 @@ object ConnectorQueries {
         |  CAST(SUM(CASE WHEN event_id >= 600
         |            THEN CAST(value AS DECIMAL(30,6)) END) AS DOUBLE)
         |    AS late_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q159_auto_compact" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
     "q156_ts_prune" ->
       """SELECT event_type, count(1) AS n,
