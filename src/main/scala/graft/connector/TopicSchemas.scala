@@ -185,9 +185,15 @@ object TopicSchemas {
       case None =>
         raceSeam()
         val bytes = schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        if (createExclusive(log, path(log, topic), bytes))
+        if (createExclusive(log, path(log, topic), bytes)) {
+          // we own this registration: clear any version files a crashed
+          // dropSchema left behind (it deletes the pointer first, then
+          // the history — a crash between the two must not let the OLD
+          // generation's v2..N outrank this generation's v1)
+          try log.fs.delete(versionsDir(log, topic), true)
+          catch { case _: java.io.IOException => () }
           writeVersion(log, topic, 1, schema)
-        else {
+        } else {
           // lost the first-registration race — enforce the drift policy
           // against whatever the winner registered
           val winner = require(log, topic)
@@ -221,37 +227,53 @@ object TopicSchemas {
     *
     * Renames, narrowing/other retypes, reorders, drops and non-nullable
     * adds stay refused: those make old blobs unreadable or silently wrong.
-    * Each accepted evolution lands as the next numbered version.
+    * Each accepted evolution lands as the next numbered version, claimed
+    * CREATE-EXCLUSIVE: two admins evolving concurrently serialize on the
+    * version number — the loser re-reads the winner's schema as the new
+    * base and re-validates (its change may now be redundant, still
+    * compatible, or newly refused), never silently overwrites history.
     */
   def evolve(log: FileTopicLog, topic: String, schema: StructType): Unit = {
-    val existing = require(log, topic)
-    if (existing == schema) return
-    // prefix: same names in order, same-or-widened types, nullability
-    // never NARROWED
-    val prefixOk = schema.fields.length >= existing.fields.length &&
-      existing.fields.zip(schema.fields).forall { case (e, p) =>
-        e.name == p.name &&
-          (e.dataType == p.dataType || widensLosslessly(e.dataType, p.dataType)) &&
-          (p.nullable || !e.nullable)
+    var attempt = 0
+    while (true) {
+      val existing = require(log, topic)
+      if (existing == schema) return
+      // prefix: same names in order, same-or-widened types, nullability
+      // never NARROWED
+      val prefixOk = schema.fields.length >= existing.fields.length &&
+        existing.fields.zip(schema.fields).forall { case (e, p) =>
+          e.name == p.name &&
+            (e.dataType == p.dataType || widensLosslessly(e.dataType, p.dataType)) &&
+            (p.nullable || !e.nullable)
+        }
+      val addedNullable = schema.fields.drop(existing.fields.length).forall(_.nullable)
+      if (!prefixOk || !addedNullable)
+        throw new IllegalStateException(
+          s"topic '$topic': schema evolution must be ADDITIVE (registered " +
+            "fields an exact prefix, appended fields nullable) or a LOSSLESS " +
+            "WIDENING (int→long, float→double) of a prefix field.\n  " +
+            s"registered: ${existing.simpleString}\n  proposed:   " +
+            s"${schema.simpleString}\nOld payloads could not lift under this " +
+            "change; migrate to a new topic instead.")
+      // seed v1 for a topic registered before version history existed, so
+      // snapshots cut before this evolution still resolve their version
+      if (listVersions(log, topic).isEmpty) writeVersion(log, topic, 1, existing)
+      val v = currentVersion(log, topic).getOrElse(1) + 1
+      // history before pointer, version claimed put-if-absent: a crash
+      // between the claim and the pointer write leaves an orphan version
+      // file (harmless — the next evolve takes v+1), never a current
+      // schema whose version is unrecorded; a LOST claim means a
+      // concurrent evolve advanced the base — loop and re-validate
+      if (createExclusive(log, versionPath(log, topic, v),
+          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))) {
+        log.writeFileAtomic(path(log, topic),
+          schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        return
       }
-    val addedNullable = schema.fields.drop(existing.fields.length).forall(_.nullable)
-    if (!prefixOk || !addedNullable)
-      throw new IllegalStateException(
-        s"topic '$topic': schema evolution must be ADDITIVE (registered " +
-          "fields an exact prefix, appended fields nullable) or a LOSSLESS " +
-          "WIDENING (int→long, float→double) of a prefix field.\n  " +
-          s"registered: ${existing.simpleString}\n  proposed:   " +
-          s"${schema.simpleString}\nOld payloads could not lift under this " +
-          "change; migrate to a new topic instead.")
-    // seed v1 for a topic registered before version history existed, so
-    // snapshots cut before this evolution still resolve their version
-    if (listVersions(log, topic).isEmpty) writeVersion(log, topic, 1, existing)
-    val v = currentVersion(log, topic).getOrElse(1) + 1
-    // history before pointer: a crash between the two leaves an orphan
-    // version file (harmless — the next evolve just takes v+1), never a
-    // current schema whose version is unrecorded
-    writeVersion(log, topic, v, schema)
-    log.writeFileAtomic(path(log, topic),
-      schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      attempt += 1
+      if (attempt > 50) throw new IllegalStateException(
+        s"topic '$topic': schema evolution lost the version race $attempt " +
+          "times — serialize admin evolutions")
+    }
   }
 }

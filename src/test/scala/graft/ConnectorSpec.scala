@@ -852,6 +852,15 @@ class ConnectorSpec extends AnyFunSuite {
         StructField("score", DoubleType),
         StructField("kind", LongType))))
     }
+    // crashed-dropSchema corner: the pointer vanished but the old
+    // generation's version files survive — a re-registration must START
+    // OVER at v1, not let stale v2 outrank the new generation
+    log.fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "wid"), ".schema"), false)
+    val fresh = StructType(Seq(StructField("z", StringType)))
+    graft.connector.TopicSchemas.register(log, "wid", fresh)
+    assert(graft.connector.TopicSchemas.currentVersion(log, "wid").contains(1))
+    assert(graft.connector.TopicSchemas.schemaAt(log, "wid", 1) == fresh)
   }
 
   test("snapshot pins its schema version: a pinned lifted read survives later evolution") {
