@@ -199,6 +199,8 @@ object BenchStream {
     val compactSec = (System.nanoTime() - t) / 1e9
     val segsAfter = log.segments(tb).size
     val after = scanSec()
+    try log.fs.delete(log.root, true) // scratch cleanup, outside timed windows
+    catch { case _: java.io.IOException => () }
     s""","compact_segs_before":$nSegs,"compact_segs_after":$segsAfter,""" +
       s""""compact_merged":$merged,"compact_sec":${r3(compactSec)},""" +
       s""""compact_scan_before_sec":${r3(before)},"compact_scan_after_sec":${r3(after)},""" +

@@ -509,7 +509,12 @@ object ScaleProbe {
       val t = System.nanoTime()
       val merged = log.compactSegments("tiny")
       require(merged == n, s"compaction merged $merged of $n")
-      (((System.nanoTime() - t) / 1e9), cold, warm)
+      val sec = (System.nanoTime() - t) / 1e9
+      // scratch cleanup outside the timed windows (2×10^4 files per run
+      // must not accumulate in /tmp across bench runs)
+      try log.fs.delete(log.root, true)
+      catch { case _: java.io.IOException => () }
+      (sec, cold, warm)
     }
     val (c1, sc1, sw1) = measure(small)
     val (c2, sc2, sw2) = measure(big)
