@@ -376,14 +376,16 @@ object RipplePublish {
       log.truncateToBytes(conf.topic, conf.retentionBytes)
     // Inline auto-compaction (round 13): a streaming sink publishes one
     // segment per bucket per epoch — 10^4 tiny files/bucket/hour at high
-    // trigger rates. When any bucket's segment count reaches the
-    // threshold, merge adjacent runs in place right here in the driver's
-    // commit path (offset-preserving, so concurrent readers re-resolve;
-    // amortized cost one merge pass every N epochs — the alternative is
-    // an external compaction job every operator forgets to run).
+    // trigger rates. When any JUST-PUBLISHED bucket's segment count
+    // reaches the threshold, merge adjacent runs in place right here in
+    // the driver's commit path (offset-preserving, so concurrent readers
+    // re-resolve; amortized cost one merge pass every N epochs — the
+    // alternative is an external compaction job every operator forgets
+    // to run). The probe is restricted to the epoch's TOUCHED buckets:
+    // an untouched bucket's count didn't change, and a full-topic probe
+    // would be 10^4 manifest reads per epoch on a wide topic.
     if (conf.autoCompactSegments > 0 &&
-        log.buckets(conf.topic).exists(tb =>
-          log.segments(tb).size >= conf.autoCompactSegments))
+        tbs.exists(tb => log.segments(tb).size >= conf.autoCompactSegments))
       log.compactSegments(conf.topic)
   }
 
