@@ -384,9 +384,13 @@ object RipplePublish {
     // to run). The probe is restricted to the epoch's TOUCHED buckets:
     // an untouched bucket's count didn't change, and a full-topic probe
     // would be 10^4 manifest reads per epoch on a wide topic.
-    if (conf.autoCompactSegments > 0 &&
-        tbs.exists(tb => log.segments(tb).size >= conf.autoCompactSegments))
-      log.compactSegments(conf.topic)
+    if (conf.autoCompactSegments > 0) {
+      val crossed = tbs.filter(tb =>
+        log.segments(tb).size >= conf.autoCompactSegments)
+      if (crossed.nonEmpty)
+        log.compactSegments(conf.topic,
+          onlyBuckets = Some(crossed.map(_.bucket).toSet))
+    }
   }
 
   def abort(conf: RippleConf, messages: Array[WriterCommitMessage]): Unit = {

@@ -1359,13 +1359,16 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * identity; file names are not.
     */
   def compactSegments(topic: String, targetBytes: Long = 128L << 20,
-      minSegments: Int = 2): Int = {
+      minSegments: Int = 2,
+      onlyBuckets: Option[Set[String]] = None): Int = {
     require(minSegments >= 2, "minSegments < 2 would rewrite single segments")
     var merged = 0
-    buckets(topic).foreach { tb =>
-      merged += (if (manifestCommitMode) compactBucketManifest(tb, targetBytes, minSegments)
-                 else compactBucketRename(tb, targetBytes, minSegments))
-    }
+    buckets(topic)
+      .filter(tb => onlyBuckets.forall(_.contains(tb.bucket)))
+      .foreach { tb =>
+        merged += (if (manifestCommitMode) compactBucketManifest(tb, targetBytes, minSegments)
+                   else compactBucketRename(tb, targetBytes, minSegments))
+      }
     merged
   }
 
