@@ -516,17 +516,34 @@ object ScaleProbe {
       catch { case _: java.io.IOException => () }
       (sec, cold, warm)
     }
-    val (c1, sc1, sw1) = measure(small)
-    val (c2, sc2, sw2) = measure(big)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    var smalls = List(measure(small))
+    var bigs = List(measure(big))
+    // same escalation discipline as the query cells: any big-scale sample
+    // >2× its committed history re-measures BOTH scales to median-of-3
+    // (these cells run in a loaded bench JVM and swing with it — n=1
+    // would keep committing context noise into their history)
+    def pick(xs: List[(Double, Double, Double)], i: Int): Seq[Double] =
+      xs.map(t => i match { case 0 => t._1; case 1 => t._2; case _ => t._3 })
+    val suspect = Seq("q152c", "q154c", "q154w").zipWithIndex.exists {
+      case (k, i) => history.sf1Median(k).exists(h => h > 0 && pick(bigs, i).head > 2.0 * h)
+    }
+    if (suspect) (1 to 2).foreach { _ =>
+      smalls ::= measure(small); bigs ::= measure(big)
+    }
     def r2(v: Double) = math.rint(v * 100) / 100
-    def entry(key: String, a: Double, b: Double): String = {
+    def entry(key: String, i: Int): String = {
+      val a = med(pick(smalls, i)); val b = med(pick(bigs, i))
       val hist = history.sf1Median(key)
       val off = hist.exists(h => h > 0 && b > 2.0 * h)
-      s""""$key":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(if (a > 0) b / a else -1.0)},"n":1""" +
+      s""""$key":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(if (a > 0) b / a else -1.0)},"n":${bigs.size}""" +
         hist.map(h => s""","hist":${r2(h)}""").getOrElse("") +
         (if (off) ""","offband_cell":true""" else "") + "}"
     }
-    Seq(entry("q152c", c1, c2), entry("q154c", sc1, sc2), entry("q154w", sw1, sw2))
+    Seq(entry("q152c", 0), entry("q154c", 1), entry("q154w", 2))
   } catch { case e: Throwable =>
     System.err.println(s"[bench] synthetic metadata cells failed: ${e.getMessage}")
     Seq.empty
