@@ -149,6 +149,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("RippleOffset json round-trips arbitrary legal keys (incl. topic/bucket-qualified)") {
+    val genName = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10))
+    val genKey = for {
+      t <- genName; b <- genName; qualified <- Gen.oneOf(true, false)
+    } yield if (qualified) s"$t/$b" else b
+    check(Prop.forAll(Gen.mapOf(Gen.zip(genKey, Gen.choose(0L, Long.MaxValue)))) { m =>
+      graft.connector.RippleOffset.fromJson(
+        graft.connector.RippleOffset(m).json()).ends == m
+    })
+  }
+
+  test("TopicSnapshot token round-trips ranges and the schema version") {
+    val genName = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10))
+    val genRange = for {
+      lo <- Gen.choose(0L, 1L << 40); n <- Gen.choose(0L, 1L << 20)
+    } yield (lo, lo + n)
+    check(Prop.forAll(genName, Gen.mapOf(Gen.zip(genName, genRange)),
+        Gen.option(Gen.choose(1, 10000))) { (topic, ranges, sv) =>
+      val (t2, r2, sv2) = graft.connector.TopicSnapshot.decode(
+        graft.connector.TopicSnapshot.encode(topic, ranges, sv))
+      t2 == topic && r2 == ranges && sv2 == sv
+    })
+  }
+
   test("byteFloorWalk == brute-force trailing-suffix choice; monotone in budget") {
     val genSegs: Gen[List[(Long, Long)]] =
       Gen.choose(0, 12).flatMap { n =>
