@@ -254,6 +254,38 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Consumer reset (round 13, Kafka `--reset-offsets` parity): events
+    * ts-ordered into one bucket (the q154 construction), a named consumer
+    * reset `ToTimestamp(T)`, and the read FROM the reset cursor must be
+    * exactly the `ts >= T` set — the reset position IS the ts-seek
+    * offset, so an off-by-anything reset hash-fails against the q154
+    * oracle shape (the drain/checkpoint-drop mechanics are spec-gated;
+    * this gates the POSITION the whole tool turns on).
+    */
+  def consumerResetAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    Ripple.createTopic(root, "crs", numBuckets = 1)
+    Ripple.write(
+      Ripple.pack(ev.repartition(1).sortWithinPartitions("ts", "event_id"),
+        col("event_id"), col("ts")),
+      root, "crs", numBuckets = 1)
+    val t = ev.filter(col("event_id") === 600)
+      .select(col("ts")).collect().head.getTimestamp(0).getTime
+    val target = Ripple.resetConsumer(root, "crs", "gate",
+      Ripple.ConsumerReset.ToTimestamp(t))
+    val schema = StructType(eventSchema.fields.toSeq :+
+      StructField("ts", TimestampType))
+    Ripple.lift(Ripple.readRange(s, root, "crs",
+        from = target("b0000"), until = Long.MaxValue), schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Multi-topic subscribe (round 12, Kafka `subscribe` parity): events
     * split by event_id parity across TWO topics (schemas registered by
     * `writePacked`, equal by construction), read back as ONE lifted frame
@@ -332,6 +364,7 @@ object ConnectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q159_auto_compact" -> (autoCompactAgg _),
+    "q160_consumer_reset" -> (consumerResetAgg _),
     "q156_ts_prune" -> (tsPruneAgg _),
     "q157_meta_agg" -> (metaAggQuery _),
     "q155_multi_topic" -> (multiTopicAgg _),
@@ -453,6 +486,14 @@ object ConnectorQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "q160_consumer_reset" ->
+      """SELECT event_type, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts >= (SELECT date_trunc('milliseconds', ts) FROM events
+        |             WHERE event_id = 600)
+        |GROUP BY 1""".stripMargin,
     "q156_ts_prune" ->
       """SELECT event_type, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
