@@ -60,14 +60,26 @@ object Ripple {
     */
   def addBuckets(root: String, topic: String, newCount: Int): Seq[String] = {
     val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
-    val current = log.buckets(topic).size
-    if (current == 0) throw new IllegalArgumentException(
+    val existing = log.buckets(topic).map(_.bucket).toSet
+    if (existing.isEmpty) throw new IllegalArgumentException(
       s"ripple: topic '$topic' does not exist — create it with createTopic")
-    if (newCount <= current) throw new IllegalArgumentException(
-      s"ripple: addBuckets can only GROW a topic ('$topic' has $current " +
-        s"buckets, requested $newCount) — shrinking would orphan committed " +
-        "offsets and consumer cursors; compact into a new topic instead")
-    log.createTopic(topic, newCount).map(_.bucket).drop(current)
+    if (newCount <= existing.size) throw new IllegalArgumentException(
+      s"ripple: addBuckets can only GROW a topic ('$topic' has " +
+        s"${existing.size} buckets, requested $newCount) — shrinking would " +
+        "orphan committed offsets and consumer cursors; compact into a new " +
+        "topic instead")
+    // Additions are computed against the ACTUAL bucket set, not the
+    // canonical b0000..b(n-1) numbering: writers may have created
+    // arbitrary bucket names via an explicit `bucket` column, so new
+    // buckets take the next FREE canonical indices and exactly
+    // (newCount - current) of them are created and reported — the topic
+    // ends with precisely newCount buckets either way.
+    val added = Iterator.from(0).map(i => f"b$i%04d")
+      .filterNot(existing).take(newCount - existing.size).toSeq
+    added.foreach { b =>
+      log.fs.mkdirs(log.bucketDir(graft.model.TopicBucket(topic, b)))
+    }
+    added
   }
 
   /** Delete a topic — data, metadata (schema + versions, `.tsidx`,
@@ -93,7 +105,15 @@ object Ripple {
         s"${consumers.toSeq.sorted.mkString(", ")} — deleting destroys " +
         "their committed positions and fails any running query. Drain and " +
         "deregister them, or pass force = true to delete anyway.")
-    log.fs.delete(new org.apache.hadoop.fs.Path(log.root, topic), true)
+    val dir = new org.apache.hadoop.fs.Path(log.root, topic)
+    // loud-failure contract: a refused or partial delete (possible on
+    // object stores) must not read as success — the caller would believe
+    // the topic gone while data and consumer state survive
+    val ok = log.fs.delete(dir, true)
+    if (!ok || log.fs.exists(dir)) throw new java.io.IOException(
+      s"ripple: deleteTopic('$topic') failed — the filesystem refused or " +
+        s"only partially completed the recursive delete of $dir; data " +
+        "and/or consumer state remain. Retry, or inspect the path.")
     tbs.size
   }
 

@@ -139,11 +139,31 @@ object ConsumerOffsets {
     * resume. The caller must ensure no query is running under this
     * consumer (the Kafka "group must be inactive to reset" contract —
     * not enforceable from here).
+    *
+    * LOUD on failure: a swallowed delete error here is exactly the
+    * silent-no-op reset the reset contract forbids — resetConsumer would
+    * commit the cursor and report success while the surviving checkpoint
+    * outranks it on the next resume. A delete that fails (or leaves the
+    * directory behind) therefore throws; only a genuinely-absent
+    * checkpoint is a no-op.
     */
   def dropCheckpoint(root: String, topic: String, id: String): Unit = {
     val fs = fsFor(root)
     val d = new HPath(consumerDir(root, topic, id), "ckpt")
-    try fs.delete(d, true) catch { case _: java.io.IOException => () }
+    val failed =
+      try { fs.delete(d, true); fs.exists(d) }
+      catch { case e: java.io.IOException =>
+        if (try fs.exists(d) catch { case _: java.io.IOException => true })
+          throw new java.io.IOException(
+            s"ripple: could not remove managed checkpoint $d for consumer " +
+              s"'$id' — aborting the reset: a surviving checkpoint would " +
+              "outrank the rewritten cursor and silently undo it", e)
+        false // delete raced with something that removed it — goal state
+      }
+    if (failed) throw new java.io.IOException(
+      s"ripple: managed checkpoint $d for consumer '$id' still exists " +
+        "after delete — aborting the reset: a surviving checkpoint would " +
+        "outrank the rewritten cursor and silently undo it")
   }
 
   /** Every consumer's committed position for `topic` — the introspection

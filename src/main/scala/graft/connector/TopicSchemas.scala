@@ -69,11 +69,25 @@ object TopicSchemas {
     * registered. A topic registered before version history existed has a
     * current schema but no version files — it reads as version 1
     * ([[schemaAt]] resolves 1 to the current schema in that case).
+    *
+    * RECONCILED against the pointer: a crash in [[evolve]] between the
+    * create-exclusive version claim and the pointer write leaves an
+    * orphan v-N whose schema never became current. Reporting the orphan
+    * as current would let subsequent snapshots pin a schemaV that was
+    * never the registered shape — so the current version is the HIGHEST
+    * version whose recorded file equals the pointer schema, scanned from
+    * the top (the crash-free case hits on the first read). The orphan
+    * number stays claimed; the next [[evolve]] allocates past it.
     */
   def currentVersion(log: FileTopicLog, topic: String): Option[Int] =
-    get(log, topic).map { _ =>
+    get(log, topic).map { pointer =>
       val vs = listVersions(log, topic)
-      if (vs.isEmpty) 1 else vs.max
+      if (vs.isEmpty) 1
+      else vs.sorted(Ordering[Int].reverse).find { v =>
+        try DataType.fromJson(
+          log.readFileUtf8(versionPath(log, topic, v))) == pointer
+        catch { case _: java.io.FileNotFoundException => false }
+      }.getOrElse(vs.max)
     }
 
   /** The schema at a specific version. Version 1 of a pre-history topic
@@ -258,7 +272,10 @@ object TopicSchemas {
       // seed v1 for a topic registered before version history existed, so
       // snapshots cut before this evolution still resolve their version
       if (listVersions(log, topic).isEmpty) writeVersion(log, topic, 1, existing)
-      val v = currentVersion(log, topic).getOrElse(1) + 1
+      // allocate past EVERY claimed number, including a crashed evolve's
+      // orphan (whose number currentVersion deliberately skips) — claiming
+      // currentVersion+1 would collide with the orphan forever
+      val v = listVersions(log, topic).max + 1
       // history before pointer, version claimed put-if-absent: a crash
       // between the claim and the pointer write leaves an orphan version
       // file (harmless — the next evolve takes v+1), never a current

@@ -1348,6 +1348,80 @@ class ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("addBuckets with custom-named buckets: additions computed from the actual bucket set") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "cb", numBuckets = 2)
+    // a writer routes via an explicit bucket column — a non-canonical name
+    Ripple.write(Seq((1, "x".getBytes("UTF-8"), "hotlane"))
+      .toDF("id", "data", "bucket"), root, "cb", numBuckets = 2)
+    assert(Ripple.buckets(root, "cb").toSet == Set("b0000", "b0001", "hotlane"))
+    // grow to 5: exactly TWO new canonical buckets at the next free
+    // indices — the naive createTopic(5).drop(3) would have created
+    // b0000..b0004 (an unreported b0002..b0004 = 3 new, 6 total) and
+    // reported the wrong list
+    assert(Ripple.addBuckets(root, "cb", 5) == Seq("b0002", "b0003"))
+    assert(Ripple.buckets(root, "cb").toSet ==
+      Set("b0000", "b0001", "hotlane", "b0002", "b0003"))
+    assert(Ripple.endOffsets(root, "cb")("hotlane") == 1L)
+    // grow again — allocation continues from the next free index
+    assert(Ripple.addBuckets(root, "cb", 6) == Seq("b0004"))
+    // no-op/shrink refused against the ACTUAL count (6, custom included)
+    intercept[IllegalArgumentException] { Ripple.addBuckets(root, "cb", 6) }
+  }
+
+  test("refused filesystem deletes are loud: deleteTopic and resetConsumer cannot silently no-op") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.rdtest.impl", classOf[RefusedDeleteTestFs].getName)
+    val root = "rdtest:" + tmp()
+    // deleteTopic: fs.delete returns false → must throw, not report success
+    Ripple.createTopic(root, "dead-nodelete", numBuckets = 1)
+    val e = intercept[java.io.IOException] { Ripple.deleteTopic(root, "dead-nodelete") }
+    assert(e.getMessage.contains("refused") || e.getMessage.contains("partially"), e.getMessage)
+    assert(Ripple.topics(root).contains("dead-nodelete"), "topic must survive a refused delete")
+    // resetConsumer: a checkpoint that cannot be dropped would outrank the
+    // rewritten cursor on the next resume — the reset must abort LOUDLY
+    // with the cursor unchanged, never commit-and-report-success
+    Ripple.createTopic(root, "rt", numBuckets = 1)
+    graft.connector.ConsumerOffsets.checkpoint(root, "rt", "c-nodelete") // dir exists
+    graft.connector.ConsumerOffsets.commit(root, "rt", "c-nodelete", Map("b0000" -> 0L))
+    val e2 = intercept[java.io.IOException] {
+      Ripple.resetConsumer(root, "rt", "c-nodelete", Ripple.ConsumerReset.Latest)
+    }
+    assert(e2.getMessage.contains("checkpoint"), e2.getMessage)
+    assert(Ripple.consumerOffsets(root, "rt")("c-nodelete") == Map("b0000" -> 0L),
+      "cursor must be unchanged after an aborted reset")
+    // an id with no checkpoint is unaffected by the rig (nothing to drop)
+    Ripple.resetConsumer(root, "rt", "fresh-id", Ripple.ConsumerReset.Latest)
+  }
+
+  test("crashed evolve's orphan version: currentVersion reconciles to the pointer, next evolve allocates past it") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val v1 = StructType(Seq(StructField("a", LongType)))
+    Ripple.createTopic(root, "orph", 1, v1)
+    val v2 = StructType(v1.fields :+ StructField("b", StringType, nullable = true))
+    Ripple.evolveTopicSchema(root, "orph", v2)
+    assert(graft.connector.TopicSchemas.currentVersion(log, "orph").contains(2))
+    // simulate a crash between evolve's create-exclusive version claim and
+    // its pointer write: an orphan v-00003 whose schema never became current
+    val orphan = StructType(v2.fields :+ StructField("c", DoubleType, nullable = true))
+    log.writeFileAtomic(new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "orph"), ".schema-versions"), "v-00003"),
+      orphan.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the orphan must NOT read as current — snapshots would pin a schemaV
+    // that was never the registered shape
+    assert(graft.connector.TopicSchemas.currentVersion(log, "orph").contains(2))
+    val (_, _, sv) = graft.connector.TopicSnapshot.decode(Ripple.snapshot(root, "orph"))
+    assert(sv.contains(2), s"snapshot pinned $sv, expected the pointer's version 2")
+    // the next evolution allocates PAST the orphan's claimed number
+    val v4 = StructType(v2.fields :+ StructField("d", StringType, nullable = true))
+    Ripple.evolveTopicSchema(root, "orph", v4)
+    assert(graft.connector.TopicSchemas.currentVersion(log, "orph").contains(4))
+    assert(graft.connector.TopicSchemas.schemaAt(log, "orph", 4) == v4)
+  }
+
   test("autoCompactSegments: streaming epochs stay merged in place, rows intact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -105,6 +105,21 @@ class ObjectStoreTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   }
 }
 
+/** Local FS that REFUSES to delete any path whose string contains
+  * "nodelete" (returns false, the object-store shape for a refused
+  * recursive delete) — the rig for the loud-failure contracts on
+  * [[graft.api.Ripple.deleteTopic]] (a refused delete must not report
+  * success) and [[graft.connector.ConsumerOffsets.dropCheckpoint]] (a
+  * surviving checkpoint would silently outrank a reset cursor).
+  */
+class RefusedDeleteTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "rdtest"
+  override def getUri: java.net.URI = java.net.URI.create("rdtest:///")
+  override def delete(p: HPath, recursive: Boolean): Boolean =
+    if (p.toString.contains("nodelete")) false
+    else super.delete(p, recursive)
+}
+
 /** Local FS whose create-exclusive failures are UNTYPED `IOException`s —
   * the store-specific exception shape [[graft.log.CommitLog]]'s
   * last-resort classifier must handle correctly: a genuine already-exists
