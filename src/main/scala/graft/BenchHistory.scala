@@ -10,7 +10,9 @@ final case class BenchHistory(
     perQuery: Map[String, Seq[Double]],
     sf1PerQuery: Map[String, Seq[Double]],
     calibs: Seq[Double],
-    calibIos: Seq[Double]) {
+    calibIos: Seq[Double],
+    calibMts: Seq[Double] = Nil,
+    dispersions: Seq[Double] = Nil) {
 
   private def med(xs: Seq[Double]): Option[Double] = {
     if (xs.isEmpty) None
@@ -28,6 +30,8 @@ final case class BenchHistory(
     sf1PerQuery.get(shortName).flatMap(v => med(v.filter(_ >= 0)))
   def calibMedian: Option[Double] = med(calibs)
   def calibIoMedian: Option[Double] = med(calibIos)
+  def calibMtMedian: Option[Double] = med(calibMts)
+  def dispersionMedian: Option[Double] = med(dispersions)
 }
 
 object BenchHistory {
@@ -51,6 +55,8 @@ object BenchHistory {
   private val EntryRe = ("\"([^\"]+)\":(" + Num + ")").r
   private val CalibRe = ("\"calib\":(" + Num + ")").r
   private val CalibIoRe = ("\"calib_io\":(" + Num + ")").r
+  private val CalibMtRe = ("\"calib_mt\":(" + Num + ")").r
+  private val DispersionRe = ("\"dispersion\":(" + Num + ")").r
 
   def load(path: String): BenchHistory = {
     val p = java.nio.file.Paths.get(path)
@@ -61,6 +67,8 @@ object BenchHistory {
     val sf1PerQuery = scala.collection.mutable.Map.empty[String, List[Double]]
     val calibs = List.newBuilder[Double]
     val calibIos = List.newBuilder[Double]
+    val calibMts = List.newBuilder[Double]
+    val dispersions = List.newBuilder[Double]
     lines.forEach { line =>
       QueriesRe.findFirstMatchIn(line).foreach { qm =>
         EntryRe.findAllMatchIn(qm.group(1)).foreach { e =>
@@ -74,8 +82,11 @@ object BenchHistory {
       }
       CalibRe.findFirstMatchIn(line).foreach(m => calibs += m.group(1).toDouble)
       CalibIoRe.findFirstMatchIn(line).foreach(m => calibIos += m.group(1).toDouble)
+      CalibMtRe.findFirstMatchIn(line).foreach(m => calibMts += m.group(1).toDouble)
+      DispersionRe.findFirstMatchIn(line).foreach(m => dispersions += m.group(1).toDouble)
     }
     BenchHistory(perQuery.view.mapValues(_.toSeq).toMap,
-      sf1PerQuery.view.mapValues(_.toSeq).toMap, calibs.result(), calibIos.result())
+      sf1PerQuery.view.mapValues(_.toSeq).toMap, calibs.result(), calibIos.result(),
+      calibMts.result(), dispersions.result())
   }
 }

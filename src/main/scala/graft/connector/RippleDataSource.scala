@@ -90,6 +90,12 @@ import scala.jdk.CollectionConverters._
   *     and cursors untouched; readers holding stale plans re-resolve) —
   *     the inline answer to streaming one-segment-per-epoch
   *     proliferation, amortized to one merge pass every N epochs
+  *   - `compactDistributeMinBytes` (write, default 16 MB): merges at or
+  *     above this size run as a Spark job (executors move the bytes, the
+  *     driver swaps manifests only — [[DistributedConcat]]); smaller
+  *     merges stay driver-local where job latency would exceed the copy.
+  *     0 distributes everything (test/ops hook); `Long.MaxValue`
+  *     restores the round-13 driver-side copy
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -180,6 +186,8 @@ object RippleConf {
       retentionMs = options.getLong("retentionMs", Long.MaxValue),
       retentionBytes = options.getLong("retentionBytes", Long.MaxValue),
       autoCompactSegments = options.getInt("autoCompactSegments", 0),
+      compactDistributeMinBytes = options.getLong("compactDistributeMinBytes",
+        DistributedConcat.DefaultMinBytes),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
       // An EXPLICIT startingOffset is a positional read request — reading
       // past a retention floor it names is data loss and fails loudly; the
@@ -229,6 +237,7 @@ case class RippleConf(
     retentionMs: Long = Long.MaxValue,
     retentionBytes: Long = Long.MaxValue,
     autoCompactSegments: Int = 0,
+    compactDistributeMinBytes: Long = DistributedConcat.DefaultMinBytes,
     consumerId: Option[String] = None,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,
@@ -295,6 +304,10 @@ case class RippleConf(
     if (minOffsetsPerTrigger < 0 || maxTriggerDelayMs <= 0)
       throw new IllegalArgumentException(
         "ripple: minOffsetsPerTrigger must be >= 0 and maxTriggerDelayMs > 0")
+    if (compactDistributeMinBytes < 0)
+      throw new IllegalArgumentException(
+        "ripple: compactDistributeMinBytes must be >= 0 (0 distributes " +
+          "every merge; Long.MaxValue keeps every merge driver-local)")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

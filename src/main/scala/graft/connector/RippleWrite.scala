@@ -383,13 +383,23 @@ object RipplePublish {
     // alternative is an external compaction job every operator forgets
     // to run). The probe is restricted to the epoch's TOUCHED buckets:
     // an untouched bucket's count didn't change, and a full-topic probe
-    // would be 10^4 manifest reads per epoch on a wide topic.
+    // would be 10^4 manifest reads per epoch on a wide topic. The BYTES
+    // do not run here (round 14): merges >= compactDistributeMinBytes go
+    // through a Spark job — executors copy, this commit path swaps
+    // manifests only — so the driver never becomes the stream's byte
+    // relay and the trigger-loop stall is one job's wall time across all
+    // crossing buckets, not a sequential per-bucket driver copy.
     if (conf.autoCompactSegments > 0) {
       val crossed = tbs.filter(tb =>
         log.segments(tb).size >= conf.autoCompactSegments)
-      if (crossed.nonEmpty)
+      if (crossed.nonEmpty) {
+        val mover = DistributedConcat.activeSession match {
+          case Some(s) => DistributedConcat.runner(s, log, conf.compactDistributeMinBytes)
+          case None => log.localConcat _
+        }
         log.compactSegments(conf.topic,
-          onlyBuckets = Some(crossed.map(_.bucket).toSet))
+          onlyBuckets = Some(crossed.map(_.bucket).toSet), concat = mover)
+      }
     }
   }
 

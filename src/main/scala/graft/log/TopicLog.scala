@@ -258,8 +258,27 @@ object SegmentCodec {
   *     listing / an earlier lower bound); manifest mode writes them as
   *     direct overwriting PUTs, which are already atomic-visible.
   */
+/** One planned compaction merge, in plain strings so a distributed
+  * strategy can ship it to an executor task: stream-concatenate `members`
+  * (absolute segment paths, offset order) into `out`. `bytes` is the
+  * total member payload — the routing input for a local-vs-distributed
+  * threshold. Frames are length-prefixed with no file header/footer, so
+  * the merge is a plain byte concatenation wherever it runs.
+  */
+case class ConcatTask(members: Seq[String], out: String, bytes: Long)
+
 object FileTopicLog {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, FileTopicLog]
+
+  /** Instrumentation: data bytes stream-copied by THIS JVM's local concat
+    * path during segment compaction ([[FileTopicLog.localConcat]]). A
+    * distributed compaction's executor-side copies never pass through
+    * here, so a spec — and an operator reading driver metrics — can
+    * assert a large merge moved ZERO data bytes through the driver (the
+    * 100 TB contract for the `autoCompactSegments` sink option: the
+    * driver owns manifests, never the byte relay).
+    */
+  val localConcatBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Shared instance per root URI. The log object is STATELESS — every
     * append/read/lock consults the filesystem — so sharing is safe, and
@@ -431,6 +450,41 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     new String(readFileBytes(path), java.nio.charset.StandardCharsets.UTF_8)
       .split('\n').toSeq
 
+  /** Parsed-metadata cache (round-14): the warm timestamp seek — and every
+    * other metadata read on a hot planning path — was O(segments) PARSE
+    * per call, because each call re-read and re-split the manifest and
+    * `.tsidx` lines (the q154w probe honestly measured ~10× at 10×
+    * segments). Both files are replaced ATOMICALLY by every mutation
+    * (tmp+rename, or whole-object PUT in manifest mode), so
+    * (modificationTime, length) identifies a snapshot: a matching stat
+    * serves the parsed form, any mismatch re-reads and re-parses — one
+    * getFileStatus per call instead of a full read+parse. The cache is
+    * correctness-neutral: it only skips re-parsing byte-identical
+    * content; missing/torn-file read-repair takes the uncached path
+    * exactly as before, and a parse failure is never cached.
+    */
+  private val parsedMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, AnyRef)]
+
+  /** None when `path` does not exist (callers keep their fallback);
+    * parse failures propagate uncached.
+    */
+  private def cachedParse[A <: AnyRef](path: HPath)(parse: Array[Byte] => A): Option[A] = {
+    val key = path.toString
+    val st =
+      try fs.getFileStatus(path)
+      catch { case _: java.io.FileNotFoundException =>
+        parsedMetaCache.remove(key); return None }
+    parsedMetaCache.get(key) match {
+      case Some((mt, len, v)) if mt == st.getModificationTime && len == st.getLen =>
+        Some(v.asInstanceOf[A])
+      case _ =>
+        val parsed = parse(readFileBytes(path))
+        parsedMetaCache.put(key, (st.getModificationTime, st.getLen, parsed))
+        Some(parsed)
+    }
+  }
+
   private def listStatus(dir: HPath): Array[FileStatus] =
     try fs.listStatus(dir)
     catch { case _: java.io.FileNotFoundException => Array.empty }
@@ -490,16 +544,22 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     val m = manifestPath(tb)
     val dir = bucketDir(tb)
     try {
-      val names = readLines(m)
-      val segs = new mutable.ArrayBuffer[(HPath, Long, Long)](names.size)
-      names.foreach { name =>
-        if (name.nonEmpty) SegmentCodec.parse(name) match {
-          case Some((s, c)) => segs += ((new HPath(dir, name), s, c))
-          case None         => // torn/garbage line → distrust the whole file
-            throw new java.io.IOException(s"bad manifest line: $name")
+      // parsed + overlap-checked form cached by (mtime, length) — a hot
+      // planner (seek per trigger, describe, pruning) stops re-splitting
+      // O(segments) lines per call; any manifest rewrite re-parses
+      cachedParse[Seq[(HPath, Long, Long)]](m) { bytes =>
+        val names = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split('\n').toSeq
+        val segs = new mutable.ArrayBuffer[(HPath, Long, Long)](names.size)
+        names.foreach { name =>
+          if (name.nonEmpty) SegmentCodec.parse(name) match {
+            case Some((s, c)) => segs += ((new HPath(dir, name), s, c))
+            case None         => // torn/garbage line → distrust the whole file
+              throw new java.io.IOException(s"bad manifest line: $name")
+          }
         }
-      }
-      checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
+        checkNoOverlap(tb, segs.sortBy(_._2).toSeq)
+      }.getOrElse(segmentsListed(tb))
     } catch {
       // any read/parse failure (missing manifest, torn write, bit rot,
       // NumberFormatException from a seg-prefixed-but-garbled name) →
@@ -673,14 +733,17 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * rewrite.
     */
   private def readTsIndex(tb: TopicBucket): Map[String, (Long, Long)] =
-    try readLines(tsIndexPath(tb)).iterator.flatMap { ln =>
-      ln.split(' ') match {
-        case Array(name, mn, mx) =>
-          try Some(name -> (mn.toLong, mx.toLong))
-          catch { case _: NumberFormatException => None }
-        case _ => None
-      }
-    }.toMap
+    try cachedParse[Map[String, (Long, Long)]](tsIndexPath(tb)) { bytes =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .split('\n').iterator.flatMap { ln =>
+          ln.split(' ') match {
+            case Array(name, mn, mx) =>
+              try Some(name -> (mn.toLong, mx.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+    }.getOrElse(Map.empty)
     catch { case _: java.io.IOException => Map.empty }
 
   /** (min, max) frame timestamp of one segment, skipping payload bytes
@@ -779,31 +842,93 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * of the ONE boundary segment (plus a one-time backfill scan of
     * segments the cache has not seen — amortized O(new segments)).
     */
+  /** Derived seek structure: the bucket's sorted segments plus the running
+    * max of per-segment max timestamps, cached against the (mtime, length)
+    * stamps of the manifest and `.tsidx` — any mutation replaces one of
+    * the two files atomically, so a matching pair of stamps means the
+    * index is current. Makes the WARM seek O(log segments) + one boundary
+    * segment walk (two getFileStatus calls, a binary search, no O(N)
+    * re-parse or map build per call) — the round-13 q154w probe measured
+    * the previous per-call O(segments) parse at ~10× cost per 10×
+    * segments, real planner overhead under a seek-per-trigger pattern at
+    * 10^5 segments.
+    */
+  private case class SeekIndex(manifestStamp: (Long, Long),
+      tsidxStamp: (Long, Long), segs: Seq[(HPath, Long, Long)],
+      runMax: Array[Long])
+
+  private val seekIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, SeekIndex]
+
+  private def metaStamp(p: HPath): (Long, Long) =
+    try { val st = fs.getFileStatus(p); (st.getModificationTime, st.getLen) }
+    catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
+
   def offsetForTimestamp(tb: TopicBucket, tsMillis: Long): Long = {
-    val segs = segments(tb)
-    if (segs.isEmpty) return 0L
-    val stats = tsStats(tb, segs)
-    var answer = -1L
-    val it = segs.iterator
-    while (answer < 0 && it.hasNext) {
-      val (p, start, _) = it.next()
-      // Running max so far is < tsMillis (or we'd have answered), so the
-      // first qualifying segment is simply the first with maxTs >= target,
-      // and the first qualifying FRAME in it is the global first.
-      if (stats(p.getName)._2 >= tsMillis) {
-        val fit = SegmentCodec.read(fs, p)
-        try {
-          var i = 0L
-          while (answer < 0 && fit.hasNext) {
-            val (_, ts, _) = fit.next()
-            if (ts >= tsMillis) answer = start + i
-            i += 1
-          }
-        } finally fit.close()
-      }
+    val mStamp = metaStamp(manifestPath(tb))
+    val tStamp = metaStamp(tsIndexPath(tb))
+    val idx = seekIndexCache.get(tb.path) match {
+      // cache only when BOTH stamps are live (a rename-mode bucket with a
+      // manifest and a populated .tsidx — the steady state; manifest mode
+      // and legacy listing-backed buckets rebuild per call as before)
+      case Some(i) if mStamp._1 >= 0 && tStamp._1 >= 0 &&
+          i.manifestStamp == mStamp && i.tsidxStamp == tStamp => i
+      case _ =>
+        val segs = segments(tb)
+        if (segs.isEmpty) return 0L
+        val stats = tsStats(tb, segs) // may backfill + rewrite .tsidx
+        val runMax = new Array[Long](segs.size)
+        var mx = Long.MinValue
+        var i = 0
+        segs.foreach { case (p, _, _) =>
+          val m = stats(p.getName)._2
+          if (m > mx) mx = m
+          runMax(i) = mx
+          i += 1
+        }
+        // re-stamp AFTER tsStats (its repair path rewrites the .tsidx)
+        val built = SeekIndex(metaStamp(manifestPath(tb)),
+          metaStamp(tsIndexPath(tb)), segs, runMax)
+        if (built.manifestStamp._1 >= 0 && built.tsidxStamp._1 >= 0)
+          seekIndexCache.put(tb.path, built)
+        built
     }
+    // Binary search the running max (monotone by construction): the first
+    // segment where it reaches tsMillis holds the globally-first frame
+    // with ts >= tsMillis, whatever the record-timestamp ordering
+    // (Kafka's time-index argument; see the running-max note above).
+    var lo = 0
+    var hi = idx.runMax.length - 1
+    if (idx.runMax(hi) < tsMillis) // nothing qualifies → bucket end
+      return idx.segs.map { case (_, s, c) => s + c }.max
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (idx.runMax(mid) >= tsMillis) hi = mid else lo = mid + 1
+    }
+    val (p, start, _) = idx.segs(lo)
+    var answer = -1L
+    val fit = SegmentCodec.read(fs, p)
+    try {
+      var i = 0L
+      while (answer < 0 && fit.hasNext) {
+        val (_, ts, _) = fit.next()
+        if (ts >= tsMillis) answer = start + i
+        i += 1
+      }
+    } finally fit.close()
+    // the boundary segment's cached maxTs promised a qualifying frame; a
+    // vanished promise means the stats lied (torn cache) — re-repair
     if (answer >= 0) answer
-    else segs.map { case (_, s, c) => s + c }.max
+    else {
+      seekIndexCache.remove(tb.path)
+      val segs = segments(tb)
+      val stats = tsStats(tb, segs.filter(_._1.getName == p.getName))
+      if (stats.get(p.getName).exists(_._2 >= tsMillis))
+        throw new IllegalStateException(
+          s"seek invariant violated in ${tb.path}: segment ${p.getName} " +
+            s"stats promise ts >= $tsMillis but no frame qualifies")
+      offsetForTimestamp(tb, tsMillis)
+    }
   }
 
   /** Frame timestamp of the record at `offset` — one bounded segment
@@ -1357,19 +1482,39 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * re-resolves by OFFSET RANGE when the planned file is gone
     * ([[graft.connector.RipplePartitionReader]]) — offsets are the stable
     * identity; file names are not.
+    *
+    * '''Where the bytes move''' (round 14): both modes are split into
+    * plan (metadata, locked) → concat (data, UNLOCKED) → commit
+    * (metadata, locked/put-if-absent), and the concat step is a strategy:
+    * the default [[localConcat]] streams in the calling JVM (counted in
+    * [[FileTopicLog.localConcatBytes]]); the connector passes a runner
+    * that executes every merge above a byte threshold as ONE Spark job —
+    * tasks read members and write the merged file, the driver touches
+    * only manifests ([[graft.connector.DistributedConcat]]). At the
+    * 100 TB design point this is the difference between a driver that
+    * re-copies the stream's whole byte throughput once per merge
+    * generation and one that does O(segments) metadata work.
     */
   def compactSegments(topic: String, targetBytes: Long = 128L << 20,
       minSegments: Int = 2,
-      onlyBuckets: Option[Set[String]] = None): Int = {
+      onlyBuckets: Option[Set[String]] = None,
+      concat: Seq[ConcatTask] => Unit = null): Int = {
     require(minSegments >= 2, "minSegments < 2 would rewrite single segments")
-    var merged = 0
-    buckets(topic)
-      .filter(tb => onlyBuckets.forall(_.contains(tb.bucket)))
-      .foreach { tb =>
-        merged += (if (manifestCommitMode) compactBucketManifest(tb, targetBytes, minSegments)
-                   else compactBucketRename(tb, targetBytes, minSegments))
-      }
-    merged
+    val mover = if (concat == null) localConcat _ else concat
+    val tbs = buckets(topic).filter(tb => onlyBuckets.forall(_.contains(tb.bucket)))
+    if (manifestCommitMode) compactManifestAll(tbs, targetBytes, minSegments, mover)
+    else compactRenameAll(tbs, targetBytes, minSegments, mover)
+  }
+
+  /** Default byte-mover for [[compactSegments]]: stream-concatenate in the
+    * CALLING JVM. Every byte routed here is counted in
+    * [[FileTopicLog.localConcatBytes]], so a spec (and an operator) can
+    * prove a distributed compaction moved zero data bytes through the
+    * driver.
+    */
+  def localConcat(tasks: Seq[ConcatTask]): Unit = tasks.foreach { t =>
+    FileTopicLog.localConcatBytes.addAndGet(t.bytes)
+    concatSegments(t.members.map(new HPath(_)), new HPath(t.out))
   }
 
   /** Contiguous runs of at least `minSegments` segments whose combined
@@ -1408,8 +1553,34 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     } finally o.close()
   }
 
-  private def compactBucketRename(tb: TopicBucket, targetBytes: Long,
-      minSegments: Int): Int = withBucketLock(tb) {
+  /** A planned rename-mode bucket compaction: the metadata halves run
+    * under the bucket lock; the byte movement runs BETWEEN them with no
+    * lock held.
+    */
+  private case class RenamePlan(tb: TopicBucket, healed: Int,
+      groups: Seq[Seq[(HPath, Long, Long, Long)]], staged: Seq[HPath])
+
+  private def compactRenameAll(tbs: Seq[TopicBucket], targetBytes: Long,
+      minSegments: Int, concat: Seq[ConcatTask] => Unit): Int = {
+    // Phase 1 (per bucket, under its lock): heal + plan — metadata only.
+    val plans = tbs.map(planRename(_, targetBytes, minSegments))
+    // Phase 2 (NO lock held): move the data bytes — ALL buckets' merges in
+    // one call, so a distributed strategy runs them as one Spark job
+    // instead of a driver-sequential per-bucket loop. No lock is held, so
+    // a slow merge can never let the bucket lock's TTL lapse mid-
+    // critical-section (the old inline concat needed touchBucketLock for
+    // exactly that).
+    concat(plans.flatMap { p =>
+      p.groups.zip(p.staged).map { case (g, out) =>
+        ConcatTask(g.map(_._1.toString), out.toString, g.map(_._4).sum) }
+    })
+    // Phase 3 (per bucket, under its lock): validate against CURRENT
+    // state, publish, swap the manifest — metadata only.
+    plans.map(commitRename).sum
+  }
+
+  private def planRename(tb: TopicBucket, targetBytes: Long,
+      minSegments: Int): RenamePlan = withBucketLock(tb) {
     val dir = bucketDir(tb)
     var raw = segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c, st.getLen) }
     // Heal a crashed prior compaction: a segment whose range sits fully
@@ -1445,35 +1616,55 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     }
     checkNoOverlap(tb, raw.map { case (p, s, c, _) => (p, s, c) })
     val groups = compactionGroups(raw, targetBytes, minSegments)
-    if (groups.isEmpty) return healed
-    val replaced = groups.flatMap { g =>
-      val start = g.head._2
-      val count = g.map(_._3).sum
-      val target = new HPath(dir, SegmentCodec.segmentName(start, count))
-      val staged = new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")
-      concatSegments(g.map(_._1), staged)
-      touchBucketLock(tb) // concat may be slow at targetBytes scale
-      if (!publishNoReplace(staged, target)) {
-        // a crashed attempt already published this exact merge: verify
-        if (!SegmentCodec.sameFrames(fs, target, staged))
-          throw new IllegalStateException(
-            s"compaction target $target exists with foreign content")
-        fs.delete(staged, false)
+    RenamePlan(tb, healed, groups,
+      groups.map(_ => new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")))
+  }
+
+  private def commitRename(plan: RenamePlan): Int = {
+    if (plan.groups.isEmpty) plan.healed
+    else withBucketLock(plan.tb) {
+      val dir = bucketDir(plan.tb)
+      // The concat ran without the lock, so the bucket may have moved:
+      // appends added segments (harmless), retention or a foreign
+      // compactor may have removed a member. A group is publishable only
+      // when EVERY member is still committed — segment names encode
+      // (start, count) and segments are immutable once published, so
+      // name-presence is range- and byte-identity.
+      val currentNames = segmentStatusRaw(plan.tb).map(_._1.getPath.getName).toSet
+      val valid = Seq.newBuilder[(Seq[(HPath, Long, Long, Long)], HPath)]
+      plan.groups.zip(plan.staged).foreach { case (g, staged) =>
+        if (!g.forall(m => currentNames.contains(m._1.getName))) {
+          try fs.delete(staged, false) catch { case _: java.io.IOException => () }
+        } else {
+          val target = new HPath(dir,
+            SegmentCodec.segmentName(g.head._2, g.map(_._3).sum))
+          if (!publishNoReplace(staged, target)) {
+            // a crashed attempt already published this exact merge: verify
+            if (!SegmentCodec.sameFrames(fs, target, staged))
+              throw new IllegalStateException(
+                s"compaction target $target exists with foreign content")
+            fs.delete(staged, false)
+          }
+          valid += ((g, target))
+        }
       }
-      g.map(seg => (seg._1, target))
+      val validated = valid.result()
+      if (validated.isEmpty) plan.healed
+      else {
+        // atomic manifest swap: members out, merged in — the commit point
+        val memberNames = validated.flatMap(_._1.map(_._1.getName)).toSet
+        val names =
+          (currentNames -- memberNames ++ validated.map(_._2.getName)).toSeq.sorted
+        writeFileAtomic(manifestPath(plan.tb),
+          names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        carryTsStats(plan.tb, validated.map { case (g, target) =>
+          g.map(_._1.getName) -> target.getName })
+        memberNames.foreach { n =>
+          try fs.delete(new HPath(dir, n), false)
+          catch { case _: java.io.IOException => () } }
+        plan.healed + memberNames.size
+      }
     }
-    // atomic manifest swap: members out, merged in — the commit point
-    val memberPaths = replaced.map(_._1).toSet
-    val names = (raw.map(_._1).filterNot(memberPaths.contains) ++
-      replaced.map(_._2).distinct).map(_.getName).sorted
-    writeFileAtomic(manifestPath(tb),
-      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    carryTsStats(tb, groups.map(g =>
-      g.map(_._1.getName) ->
-        SegmentCodec.segmentName(g.head._2, g.map(_._3).sum)))
-    memberPaths.foreach { p =>
-      try fs.delete(p, false) catch { case _: java.io.IOException => () } }
-    memberPaths.size + healed
   }
 
   /** Carry `.tsidx` stats across a compaction: a merged segment's (min,
@@ -1493,45 +1684,78 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     recordTsStats(tb, entries)
   }
 
-  private def compactBucketManifest(tb: TopicBucket, targetBytes: Long,
-      minSegments: Int): Int = {
-    val dir = bucketDir(tb)
-    val cl = commitLog(tb)
+  /** A planned manifest-mode bucket compaction: merged files land under
+    * unique names (invisible until their commit), so the byte movement
+    * needs no lock at all — only the put-if-absent commit serializes.
+    */
+  private case class ManifestPlan(tb: TopicBucket, st: CommitState,
+      groups: Seq[Seq[(HPath, Long, Long, Long)]], adds: Seq[SegMeta])
+
+  private def compactManifestAll(tbs: Seq[TopicBucket], targetBytes: Long,
+      minSegments: Int, concat: Seq[ConcatTask] => Unit): Int = {
+    var total = 0
+    var pending = tbs.flatMap(planManifest(_, targetBytes, minSegments))
     var attempt = 0
-    while (true) {
-      val st = cl.read()
-      val segs = st.segs.map { s =>
-        val p = new HPath(dir, s.name)
-        (p, s.start, s.count, try fs.getFileStatus(p).getLen
-          catch { case _: java.io.FileNotFoundException => return 0 }) // racing retention: skip this pass
+    while (pending.nonEmpty) {
+      // data plane: ALL buckets' merges in one call (one Spark job under a
+      // distributed strategy); files are invisible until committed
+      concat(pending.flatMap { p =>
+        p.groups.zip(p.adds).map { case (g, a) =>
+          ConcatTask(g.map(_._1.toString),
+            new HPath(bucketDir(p.tb), a.name).toString, g.map(_._4).sum) }
+      })
+      val results = pending.map(p => p -> commitManifest(p))
+      total += results.flatMap(_._2).sum
+      val lost = results.collect { case (p, None) => p.tb }
+      if (lost.isEmpty) pending = Seq.empty
+      else {
+        attempt += 1
+        if (attempt > 20) throw new java.io.IOException(
+          s"compaction on ${lost.map(_.path).mkString(", ")} lost the " +
+            s"commit race $attempt times")
+        Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+        pending = lost.flatMap(planManifest(_, targetBytes, minSegments))
       }
-      val groups = compactionGroups(segs, targetBytes, minSegments)
-      if (groups.isEmpty) return 0
-      val adds = groups.map { g =>
-        val start = g.head._2
-        val count = g.map(_._3).sum
-        val data = new HPath(dir, uniqueDataName(start, count))
-        concatSegments(g.map(_._1), data)
-        SegMeta(data.getName, start, count)
-      }
-      val removes = groups.flatten.map(_._1.getName).toSet
-      if (cl.tryCommit(st, adds, removes).isDefined) {
-        carryTsStats(tb, groups.zip(adds).map { case (g, a) =>
-          g.map(_._1.getName) -> a.name })
-        removes.foreach { n =>
-          try fs.delete(new HPath(dir, n), false)
-          catch { case _: java.io.IOException => () } }
-        return removes.size
-      }
-      adds.foreach { a =>
+    }
+    total
+  }
+
+  private def planManifest(tb: TopicBucket, targetBytes: Long,
+      minSegments: Int): Option[ManifestPlan] = {
+    val dir = bucketDir(tb)
+    val st = commitLog(tb).read()
+    val segs = st.segs.map { s =>
+      val p = new HPath(dir, s.name)
+      (p, s.start, s.count, try fs.getFileStatus(p).getLen
+        catch { case _: java.io.FileNotFoundException => return None }) // racing retention: skip this pass
+    }
+    val groups = compactionGroups(segs, targetBytes, minSegments)
+    if (groups.isEmpty) None
+    else Some(ManifestPlan(tb, st, groups, groups.map { g =>
+      SegMeta(uniqueDataName(g.head._2, g.map(_._3).sum), g.head._2,
+        g.map(_._3).sum) }))
+  }
+
+  /** Commit one planned merge: Some(segments merged away) on a won commit;
+    * None on a lost race — the staged merged files are deleted and the
+    * caller replans from fresh state.
+    */
+  private def commitManifest(plan: ManifestPlan): Option[Int] = {
+    val dir = bucketDir(plan.tb)
+    val removes = plan.groups.flatten.map(_._1.getName).toSet
+    if (commitLog(plan.tb).tryCommit(plan.st, plan.adds, removes).isDefined) {
+      carryTsStats(plan.tb, plan.groups.zip(plan.adds).map { case (g, a) =>
+        g.map(_._1.getName) -> a.name })
+      removes.foreach { n =>
+        try fs.delete(new HPath(dir, n), false)
+        catch { case _: java.io.IOException => () } }
+      Some(removes.size)
+    } else {
+      plan.adds.foreach { a =>
         try fs.delete(new HPath(dir, a.name), false)
         catch { case _: java.io.IOException => () } }
-      attempt += 1
-      if (attempt > 20) throw new java.io.IOException(
-        s"compaction on ${tb.path} lost the commit race $attempt times")
-      Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+      None
     }
-    0
   }
 
   /** Storage-hygiene sweep (the VACUUM analog of the public Delta/Iceberg

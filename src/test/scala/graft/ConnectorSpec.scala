@@ -1422,6 +1422,88 @@ class ConnectorSpec extends AnyFunSuite {
     assert(graft.connector.TopicSchemas.schemaAt(log, "orph", 4) == v4)
   }
 
+  test("distributed compaction (rename mode): executors move the bytes, the driver swaps manifests only") {
+    val root = tmp()
+    Ripple.createTopic(root, "dc", numBuckets = 2)
+    (0 until 6).foreach(_ => Ripple.write(samplePayloads(200), root, "dc", numBuckets = 2))
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segsBefore = Seq("b0000", "b0001")
+      .map(b => log.segments(graft.model.TopicBucket("dc", b)).size).sum
+    assert(segsBefore > 2, s"need a multi-segment topic, got $segsBefore")
+    def snap(): Set[(String, Long, Int)] = Ripple.read(spark, root, "dc")
+      .select("bucket", "offset", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val before = snap()
+    val d0 = graft.log.FileTopicLog.localConcatBytes.get
+    // distributeMinBytes = 0: EVERY merge runs as a Spark task
+    assert(Ripple.compactSegments(spark, root, "dc", 128L << 20, 0L) == segsBefore)
+    assert(graft.log.FileTopicLog.localConcatBytes.get == d0,
+      "zero data bytes may move through the driver when merges distribute")
+    assert(log.segments(graft.model.TopicBucket("dc", "b0000")).size == 1)
+    assert(snap() == before, "compaction must be invisible to reads")
+    // threshold routing: below-threshold merges stay driver-local
+    (0 until 2).foreach(_ => Ripple.write(samplePayloads(50), root, "dc", numBuckets = 2))
+    assert(Ripple.compactSegments(spark, root, "dc", 128L << 20, Long.MaxValue) > 0)
+    assert(graft.log.FileTopicLog.localConcatBytes.get > d0,
+      "small merges take the driver-local path (job latency > copy)")
+    assert(snap().size == before.size + 100)
+  }
+
+  test("distributed compaction (manifest mode, object-store rig): one data PUT per merge, zero driver bytes") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .set("graft.log.nonAtomicRenameSchemes", "s3,s3a,gs,abfs,ostest")
+    val root = "ostest:" + tmp()
+    Ripple.createTopic(root, "dco", numBuckets = 2)
+    (0 until 5).foreach(_ => Ripple.write(samplePayloads(100), root, "dco", numBuckets = 2))
+    val before = Ripple.read(spark, root, "dco").select("bucket", "offset", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val logO = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segsBeforeO = Seq("b0000", "b0001")
+      .map(b => logO.segments(graft.model.TopicBucket("dco", b)).size).sum
+    val d0 = graft.log.FileTopicLog.localConcatBytes.get
+    ObjectStoreTestFs.dataPuts.set(0)
+    assert(Ripple.compactSegments(spark, root, "dco", 128L << 20, 0L) == segsBeforeO)
+    assert(ObjectStoreTestFs.dataPuts.get == 2,
+      s"one data PUT per merged file (2 buckets), got ${ObjectStoreTestFs.dataPuts.get}")
+    assert(graft.log.FileTopicLog.localConcatBytes.get == d0,
+      "zero data bytes may move through the driver when merges distribute")
+    assert(Ripple.read(spark, root, "dco").select("bucket", "offset", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == before)
+  }
+
+  test("autoCompactSegments with distributed merges: the sink's commit path does metadata only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = tmp()
+    Ripple.createTopic(root, "acd", numBuckets = 1)
+    val d0 = graft.log.FileTopicLog.localConcatBytes.get
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().selectExpr("value as id", "cast(cast(value as string) as binary) as data")
+      .writeStream.format("ripple")
+      .option("path", root).option("topic", "acd").option("buckets", 1)
+      .option("autoCompactSegments", 5)
+      .option("compactDistributeMinBytes", 0) // every merge: a Spark job
+      .option("checkpointLocation", tmp()).start()
+    try {
+      (0 until 12).foreach { e =>
+        mem.addData(e * 3, e * 3 + 1, e * 3 + 2)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val segs = log.segments(graft.model.TopicBucket("acd", "b0000")).size
+    assert(segs < 12 && segs <= 5, s"auto-compaction must bound segments, got $segs")
+    assert(graft.log.FileTopicLog.localConcatBytes.get == d0,
+      "the streaming commit path must not relay merge bytes through the driver")
+    val rows = Ripple.read(spark, root, "acd").select("offset", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 36L), "offsets dense after merges")
+    assert(rows.map(_._2).toSeq == (0 until 36), "row content/order intact")
+  }
+
   test("autoCompactSegments: streaming epochs stay merged in place, rows intact") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
