@@ -114,6 +114,9 @@ object Ripple {
       s"ripple: deleteTopic('$topic') failed — the filesystem refused or " +
         s"only partially completed the recursive delete of $dir; data " +
         "and/or consumer state remain. Retry, or inspect the path.")
+    // eagerly drop the topic's parsed-metadata/seek cache entries — a
+    // long-lived driver must not pin dead metadata until LRU pressure
+    log.invalidateTopicCaches(topic)
     tbs.size
   }
 

@@ -27,6 +27,28 @@ import org.apache.spark.sql.SparkSession
   * manifest mode into unique `data-*` names invisible until their
   * put-if-absent commit. A task failure fails the job and the compaction
   * call; nothing partial ever becomes visible.
+  *
+  * Two task-level disciplines (round 15):
+  *
+  *   - '''Attempt-unique staging (rename mode).''' A retried task whose
+  *     original attempt is still running (zombie), or a speculative
+  *     duplicate, must not interleave stream writes into ONE staging
+  *     file — on a posix/HDFS substrate that can tear it, and the commit
+  *     phase trusts staging content (the standard output-committer
+  *     hazard). Each attempt writes `<out>.attempt-<taskAttemptId>` and
+  *     renames into `<out>` at task end; the merge is deterministic, so
+  *     whichever attempt's rename lands, the bytes are identical. In
+  *     manifest mode `out` is already a unique invisible `data-*` name
+  *     whose whole-object PUT is atomic-visible at close — duplicate
+  *     attempts just overwrite with identical bytes, and an extra
+  *     stage+rename there would double the object-store request count
+  *     (and break the one-PUT-per-merge contract the spec pins).
+  *   - '''Member-vanished tolerance.''' The concat phase holds no bucket
+  *     lock, so retention can delete a member mid-copy; that merge is
+  *     DROPPED (its staging output removed) and the commit phase's
+  *     membership/length validation discards the group — one racing
+  *     truncate must not fail every other bucket's merge, or via the
+  *     `autoCompactSegments` sink path the whole streaming query.
   */
 object DistributedConcat {
 
@@ -47,6 +69,7 @@ object DistributedConcat {
     if (small.nonEmpty) log.localConcat(small)
     if (big.nonEmpty) {
       val ser = new graft.log.SerializableHadoopConf(log.fs.getConf)
+      val stageAttempts = !log.manifestCommitMode // see object doc
       spark.sparkContext
         .makeRDD(big, big.size)
         .setName(s"ripple segment compaction: ${big.size} merges, " +
@@ -54,12 +77,43 @@ object DistributedConcat {
         .foreach { t =>
           val out = new HPath(t.out)
           val fs = LogFs.get(out, ser.value)
-          val o = fs.create(out, true)
-          try t.members.foreach { m =>
-            val in = fs.open(new HPath(m))
-            try org.apache.hadoop.io.IOUtils.copyBytes(in, o, 1 << 16, false)
-            finally in.close()
-          } finally o.close()
+          val dest =
+            if (!stageAttempts) out
+            else {
+              val id = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              new HPath(s"${t.out}.attempt-$id")
+            }
+          val copied =
+            try {
+              val o = fs.create(dest, true)
+              try {
+                t.members.foreach { m =>
+                  val in = fs.open(new HPath(m))
+                  try org.apache.hadoop.io.IOUtils.copyBytes(in, o, 1 << 16, false)
+                  finally in.close()
+                }
+                true
+              } finally o.close()
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                // member vanished (racing retention, no lock held): drop
+                // this merge — the driver's commit-phase validation
+                // discards the group; other merges proceed
+                try fs.delete(dest, false)
+                catch { case _: java.io.IOException => () }
+                false
+            }
+          if (copied && stageAttempts && !fs.rename(dest, out)) {
+            // rename refused: a sibling attempt already published `out`
+            // with identical (deterministic) bytes — drop ours; anything
+            // else is a real failure the commit validation must not trust
+            try fs.delete(dest, false)
+            catch { case _: java.io.IOException => () }
+            if (!fs.exists(out)) throw new java.io.IOException(
+              s"compaction staging rename $dest -> $out failed with no " +
+                "sibling attempt's output present")
+          }
         }
     }
   }

@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
   */
 object TopicSchemas {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def path(log: FileTopicLog, topic: String): HPath =
     new HPath(new HPath(log.root, topic), ".schema")
   private def versionsDir(log: FileTopicLog, topic: String): HPath =
@@ -81,13 +83,35 @@ object TopicSchemas {
     */
   def currentVersion(log: FileTopicLog, topic: String): Option[Int] =
     get(log, topic).map { pointer =>
-      val vs = listVersions(log, topic)
-      if (vs.isEmpty) 1
-      else vs.sorted(Ordering[Int].reverse).find { v =>
-        try DataType.fromJson(
-          log.readFileUtf8(versionPath(log, topic, v))) == pointer
-        catch { case _: java.io.FileNotFoundException => false }
-      }.getOrElse(vs.max)
+      def scan(): Option[Int] = {
+        val vs = listVersions(log, topic)
+        if (vs.isEmpty) Some(1)
+        else vs.sorted(Ordering[Int].reverse).find { v =>
+          try DataType.fromJson(
+            log.readFileUtf8(versionPath(log, topic, v))) == pointer
+          catch { case _: java.io.FileNotFoundException => false }
+        }
+      }
+      scan().getOrElse {
+        // NO recorded version matches the pointer: the pointer was
+        // rewritten out-of-band (or a version file corrupted). Returning
+        // the highest recorded number here would pin exactly the orphan
+        // shape the reconcile exists to skip — instead SEED the pointer
+        // schema as the next version (create-exclusive, so concurrent
+        // repairers serialize) and report that. Loud: this state is
+        // always a protocol breach worth an operator's attention.
+        logger.warn(s"topic '$topic': registered schema pointer matches NO " +
+          "recorded version — seeding it as a new version (was the pointer " +
+          "rewritten outside evolve()?)")
+        val v = listVersions(log, topic).max + 1
+        if (createExclusive(log, versionPath(log, topic, v),
+            pointer.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))) v
+        else scan().getOrElse(throw new IllegalStateException(
+          s"topic '$topic': schema pointer matches no recorded version and " +
+            "seeding it lost a race to a writer that ALSO left no matching " +
+            "version — the version history is being mutated out-of-band; " +
+            "repair <topic>/.schema-versions manually."))
+      }
     }
 
   /** The schema at a specific version. Version 1 of a pre-history topic

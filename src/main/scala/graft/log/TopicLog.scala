@@ -267,6 +267,48 @@ object SegmentCodec {
   */
 case class ConcatTask(members: Seq[String], out: String, bytes: Long)
 
+/** Weight-bounded string-keyed LRU for driver-side parsed metadata: total
+  * weight (caller-defined, e.g. parsed entries held) is capped and the
+  * least-recently-ACCESSED entries evict first. All operations are
+  * synchronized on the map — these caches sit behind one small-file read
+  * per miss, so lock cost is noise next to what a hit saves. A single
+  * entry heavier than the whole cap is still served (and retained until
+  * the next insert) — refusing it would just re-parse every call.
+  */
+private[log] final class BoundedLru[V <: AnyRef](maxWeight: Long, weigh: V => Long) {
+  private var total = 0L
+  private val m = new java.util.LinkedHashMap[String, (V, Long)](64, 0.75f, true)
+
+  def get(k: String): Option[V] = m.synchronized(Option(m.get(k)).map(_._1))
+
+  def put(k: String, v: V): Unit = m.synchronized {
+    val w = math.max(1L, weigh(v))
+    val old = m.put(k, (v, w))
+    total += w - (if (old == null) 0L else old._2)
+    val it = m.entrySet().iterator() // access order: eldest first
+    while (total > maxWeight && it.hasNext) {
+      val e = it.next()
+      if (e.getKey != k) { total -= e.getValue._2; it.remove() }
+    }
+  }
+
+  def remove(k: String): Unit = m.synchronized {
+    val old = m.remove(k)
+    if (old != null) total -= old._2
+  }
+
+  def removeIf(p: String => Boolean): Unit = m.synchronized {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (p(e.getKey)) { total -= e.getValue._2; it.remove() }
+    }
+  }
+
+  def size: Int = m.synchronized(m.size)
+  def weight: Long = m.synchronized(total)
+}
+
 object FileTopicLog {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, FileTopicLog]
 
@@ -462,9 +504,48 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * correctness-neutral: it only skips re-parsing byte-identical
     * content; missing/torn-file read-repair takes the uncached path
     * exactly as before, and a parse failure is never cached.
+    *
+    * BOUNDED (round-15): weight = parsed entries held (one per segment
+    * line), capped at [[metaCacheMaxWeight]] with LRU eviction — a
+    * long-lived driver planning over 10^4 buckets × 10^3+ segments must
+    * not accumulate the parsed metadata plane of the whole deployment on
+    * its heap. Eviction is correctness-free by construction: a miss
+    * re-reads and re-parses exactly like a cold call. Entries for a
+    * deleted topic are dropped eagerly via [[invalidateTopicCaches]].
+    *
+    * Stamp identity assumption: (mtime, length) distinguishes rewrites
+    * only down to the filesystem's mtime granularity (1 s on ext3/some
+    * object stores, 1 ms through Hadoop's RawLocalFileSystem, ns on
+    * ext4/XFS native). Two atomic same-length rewrites inside one tick
+    * could alias; the post-read re-stat below narrows the torn window to
+    * exactly that granularity, and every cached file here is a derived
+    * cache (.tsidx) or carries a same-content invariant (manifest rewrites
+    * under the bucket lock), so an alias serves bytes one tick stale at
+    * worst — never an uncommitted view.
     */
+  private[graft] def metaCacheMaxWeight: Long = 1L << 20 // def: test seam
   private val parsedMetaCache =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, AnyRef)]
+    new BoundedLru[(Long, Long, AnyRef)](metaCacheMaxWeight, _._3 match {
+      case s: Seq[_]                    => s.size.toLong
+      case m: scala.collection.Map[_, _] => m.size.toLong
+      case _                            => 1L
+    })
+
+  /** Drop every cached parse and seek index belonging to `topic` — called
+    * by topic deletion so a long-lived driver does not pin dead metadata
+    * until LRU pressure happens to reach it.
+    */
+  def invalidateTopicCaches(topic: String): Unit = {
+    val prefix = new HPath(root, topic).toString + "/"
+    parsedMetaCache.removeIf(_.startsWith(prefix))
+    seekIndexCache.removeIf(_.startsWith(topic + "/"))
+  }
+
+  /** Cache introspection for specs: (entries, weight) over both caches. */
+  private[graft] def metaCacheEntries: Int =
+    parsedMetaCache.size + seekIndexCache.size
+  private[graft] def metaCacheWeight: Long =
+    parsedMetaCache.weight + seekIndexCache.weight
 
   /** None when `path` does not exist (callers keep their fallback);
     * parse failures propagate uncached.
@@ -479,8 +560,22 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       case Some((mt, len, v)) if mt == st.getModificationTime && len == st.getLen =>
         Some(v.asInstanceOf[A])
       case _ =>
-        val parsed = parse(readFileBytes(path))
-        parsedMetaCache.put(key, (st.getModificationTime, st.getLen, parsed))
+        val bytes =
+          try readFileBytes(path)
+          catch { case _: java.io.FileNotFoundException =>
+            parsedMetaCache.remove(key); return None }
+        val parsed = parse(bytes)
+        // cache only when the stamp is UNCHANGED after the read: a rewrite
+        // landing in the stat→read window would otherwise pair the old
+        // stamp with new content and serve it until the next mutation
+        val unchanged =
+          try {
+            val st2 = fs.getFileStatus(path)
+            st2.getModificationTime == st.getModificationTime && st2.getLen == st.getLen
+          } catch { case _: java.io.FileNotFoundException => false }
+        if (unchanged)
+          parsedMetaCache.put(key, (st.getModificationTime, st.getLen, parsed))
+        else parsedMetaCache.remove(key)
         Some(parsed)
     }
   }
@@ -858,13 +953,21 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       runMax: Array[Long])
 
   private val seekIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, SeekIndex]
+    new BoundedLru[SeekIndex](metaCacheMaxWeight, _.segs.size.toLong)
 
   private def metaStamp(p: HPath): (Long, Long) =
     try { val st = fs.getFileStatus(p); (st.getModificationTime, st.getLen) }
     catch { case _: java.io.FileNotFoundException => (-1L, -1L) }
 
-  def offsetForTimestamp(tb: TopicBucket, tsMillis: Long): Long = {
+  def offsetForTimestamp(tb: TopicBucket, tsMillis: Long): Long =
+    offsetForTimestamp(tb, tsMillis, retriesLeft = 3)
+
+  private def offsetForTimestamp(tb: TopicBucket, tsMillis: Long,
+      retriesLeft: Int): Long = {
+    // stamps taken BEFORE any data is read: a mutation landing between
+    // these stats and the reads below makes the built entry look stale on
+    // its next lookup (the stamp predates the mutation) instead of
+    // freshly-stamping a stale segment list over it
     val mStamp = metaStamp(manifestPath(tb))
     val tStamp = metaStamp(tsIndexPath(tb))
     val idx = seekIndexCache.get(tb.path) match {
@@ -886,10 +989,15 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
           runMax(i) = mx
           i += 1
         }
-        // re-stamp AFTER tsStats (its repair path rewrites the .tsidx)
-        val built = SeekIndex(metaStamp(manifestPath(tb)),
-          metaStamp(tsIndexPath(tb)), segs, runMax)
-        if (built.manifestStamp._1 >= 0 && built.tsidxStamp._1 >= 0)
+        // the .tsidx alone is re-statted (tsStats' repair path legitimately
+        // rewrote it just now); the MANIFEST stamp must still equal the
+        // pre-read one — if it moved, a concurrent append/compaction/
+        // retention mutated the segment list mid-build, so serve the built
+        // index once but do NOT cache it
+        val tStamp2 = metaStamp(tsIndexPath(tb))
+        val built = SeekIndex(mStamp, tStamp2, segs, runMax)
+        if (mStamp._1 >= 0 && tStamp2._1 >= 0 &&
+            metaStamp(manifestPath(tb)) == mStamp)
           seekIndexCache.put(tb.path, built)
         built
     }
@@ -907,7 +1015,19 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     }
     val (p, start, _) = idx.segs(lo)
     var answer = -1L
-    val fit = SegmentCodec.read(fs, p)
+    val fit =
+      try SegmentCodec.read(fs, p)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          // the boundary segment vanished under a stale cached index
+          // (compaction/retention replaced it after the entry was built):
+          // invalidate and re-resolve from fresh metadata
+          seekIndexCache.remove(tb.path)
+          if (retriesLeft <= 0) throw new java.io.IOException(
+            s"seek in ${tb.path} kept resolving to vanished segments — " +
+              "metadata churn outran 3 retries", e)
+          return offsetForTimestamp(tb, tsMillis, retriesLeft - 1)
+      }
     try {
       var i = 0L
       while (answer < 0 && fit.hasNext) {
@@ -927,7 +1047,10 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         throw new IllegalStateException(
           s"seek invariant violated in ${tb.path}: segment ${p.getName} " +
             s"stats promise ts >= $tsMillis but no frame qualifies")
-      offsetForTimestamp(tb, tsMillis)
+      if (retriesLeft <= 0) throw new java.io.IOException(
+        s"seek in ${tb.path} kept hitting lying segment stats — " +
+          "metadata churn outran 3 retries")
+      offsetForTimestamp(tb, tsMillis, retriesLeft - 1)
     }
   }
 
@@ -1514,7 +1637,17 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     */
   def localConcat(tasks: Seq[ConcatTask]): Unit = tasks.foreach { t =>
     FileTopicLog.localConcatBytes.addAndGet(t.bytes)
-    concatSegments(t.members.map(new HPath(_)), new HPath(t.out))
+    try concatSegments(t.members.map(new HPath(_)), new HPath(t.out))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // a member vanished mid-copy — the concat phase holds NO bucket
+        // lock, so retention or a foreign compactor can legitimately
+        // delete one under us. Drop THIS merge (the commit phase's
+        // membership/length validation discards it) instead of failing
+        // every other bucket's merge with it.
+        try fs.delete(new HPath(t.out), false)
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Contiguous runs of at least `minSegments` segments whose combined
@@ -1633,7 +1766,13 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       val currentNames = segmentStatusRaw(plan.tb).map(_._1.getPath.getName).toSet
       val valid = Seq.newBuilder[(Seq[(HPath, Long, Long, Long)], HPath)]
       plan.groups.zip(plan.staged).foreach { case (g, staged) =>
-        if (!g.forall(m => currentNames.contains(m._1.getName))) {
+        // staged must exist with EXACTLY the members' combined bytes — the
+        // unlocked concat phase drops a merge whose member vanished under
+        // it (racing retention), leaving the staging name absent or short
+        val stagedOk =
+          try fs.getFileStatus(staged).getLen == g.map(_._4).sum
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!stagedOk || !g.forall(m => currentNames.contains(m._1.getName))) {
           try fs.delete(staged, false) catch { case _: java.io.IOException => () }
         } else {
           val target = new HPath(dir,
@@ -1695,7 +1834,10 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       minSegments: Int, concat: Seq[ConcatTask] => Unit): Int = {
     var total = 0
     var pending = tbs.flatMap(planManifest(_, targetBytes, minSegments))
-    var attempt = 0
+    // retry budget is PER BUCKET: one hot contended bucket must exhaust
+    // only its own 20 attempts, not starve every other bucket's (a global
+    // counter made a wide contended topic spuriously throw)
+    val attempts = mutable.Map.empty[String, Int].withDefaultValue(0)
     while (pending.nonEmpty) {
       // data plane: ALL buckets' merges in one call (one Spark job under a
       // distributed strategy); files are invisible until committed
@@ -1709,11 +1851,13 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       val lost = results.collect { case (p, None) => p.tb }
       if (lost.isEmpty) pending = Seq.empty
       else {
-        attempt += 1
-        if (attempt > 20) throw new java.io.IOException(
-          s"compaction on ${lost.map(_.path).mkString(", ")} lost the " +
-            s"commit race $attempt times")
-        Thread.sleep(scala.util.Random.nextInt(1 << math.min(attempt, 6)).toLong)
+        lost.foreach(tb => attempts(tb.path) += 1)
+        val over = lost.filter(tb => attempts(tb.path) > 20)
+        if (over.nonEmpty) throw new java.io.IOException(
+          s"compaction on ${over.map(_.path).mkString(", ")} lost the " +
+            s"commit race ${over.map(tb => attempts(tb.path)).max} times")
+        val worst = lost.map(tb => attempts(tb.path)).max
+        Thread.sleep(scala.util.Random.nextInt(1 << math.min(worst, 6)).toLong)
         pending = lost.flatMap(planManifest(_, targetBytes, minSegments))
       }
     }
@@ -1743,7 +1887,18 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
   private def commitManifest(plan: ManifestPlan): Option[Int] = {
     val dir = bucketDir(plan.tb)
     val removes = plan.groups.flatten.map(_._1.getName).toSet
-    if (commitLog(plan.tb).tryCommit(plan.st, plan.adds, removes).isDefined) {
+    // every staged merge must exist with EXACTLY its members' combined
+    // bytes before the swap is committed: the unlocked concat phase drops
+    // a merge whose member vanished under it (racing retention), and an
+    // out-of-band member delete with no commit must never publish a short
+    // file. Treat like a lost race — clean the adds and replan from fresh
+    // state (a genuinely-vanished member makes the replanner skip it).
+    val allStaged = plan.groups.zip(plan.adds).forall { case (g, a) =>
+      try fs.getFileStatus(new HPath(dir, a.name)).getLen == g.map(_._4).sum
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    if (allStaged &&
+        commitLog(plan.tb).tryCommit(plan.st, plan.adds, removes).isDefined) {
       carryTsStats(plan.tb, plan.groups.zip(plan.adds).map { case (g, a) =>
         g.map(_._1.getName) -> a.name })
       removes.foreach { n =>

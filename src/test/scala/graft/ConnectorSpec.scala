@@ -1449,6 +1449,71 @@ class ConnectorSpec extends AnyFunSuite {
     assert(snap().size == before.size + 100)
   }
 
+  test("distributed compaction: duplicate attempts of one merge stay isolated (attempt-unique staging)") {
+    // the zombie-attempt hazard: a retried task whose original attempt is
+    // still writing must not interleave bytes into the same staging file.
+    // Emulated by running the SAME ConcatTask through the distributed
+    // runner from two threads at once (two Spark jobs = two task
+    // attempts); with attempt-unique staging the published bytes are
+    // intact whichever attempt's rename lands.
+    val root = tmp()
+    Ripple.createTopic(root, "dup", numBuckets = 1)
+    (0 until 6).foreach(_ => Ripple.write(samplePayloads(100), root, "dup", numBuckets = 1))
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("dup", "b0000")
+    val segs = log.segments(tb)
+    val bytes = segs.map(s => log.fileLen(s._1)).sum
+    val out = new org.apache.hadoop.fs.Path(log.bucketDir(tb), ".tmp-dup-attempt-test")
+    val task = graft.log.ConcatTask(segs.map(_._1.toString), out.toString, bytes)
+    val runner = graft.connector.DistributedConcat.runner(spark, log, minBytes = 0L)
+    val t1 = new Thread(() => runner(Seq(task)))
+    val t2 = new Thread(() => runner(Seq(task)))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(log.fs.getFileStatus(out).getLen == bytes,
+      "published staging file is COMPLETE despite duplicate attempts")
+    // byte identity: the merged file is the member concatenation
+    val expected = segs.flatMap(s =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s._1.toUri)).toSeq)
+    val got = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out.toUri)).toSeq
+    assert(got == expected, "duplicate attempts never interleave writes")
+    // no attempt-staging leftovers survive
+    val leftovers = log.fs.listStatus(log.bucketDir(tb))
+      .map(_.getPath.getName).filter(_.contains(".attempt-"))
+    assert(leftovers.isEmpty, s"attempt files cleaned: ${leftovers.mkString(",")}")
+  }
+
+  test("distributed compaction tolerates a member vanishing mid-concat (racing retention)") {
+    val root = tmp()
+    Ripple.createTopic(root, "dvan", numBuckets = 2)
+    (0 until 4).foreach(_ => Ripple.write(samplePayloads(100), root, "dvan", numBuckets = 2))
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    def snap(): Set[(String, Long, Int)] = Ripple.read(spark, root, "dvan")
+      .select("bucket", "offset", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val before = snap()
+    val b0 = graft.model.TopicBucket("dvan", "b0000")
+    val victim = log.segments(b0).head
+    // sandwich strategy: a REAL retention call lands between plan and the
+    // distributed byte move (the unlocked phase-2 window) and truncates a
+    // b0000 member away, then the real distributed runner executes
+    val inner = graft.connector.DistributedConcat.runner(spark, log, minBytes = 0L)
+    val sandwiched: Seq[graft.log.ConcatTask] => Unit = { tasks =>
+      assert(log.truncateBefore("dvan",
+        Map("b0000" -> (victim._2 + victim._3))) == 1)
+      inner(tasks)
+    }
+    // succeeds: b0000's group is dropped, b0001's merge lands
+    val merged = log.compactSegments("dvan", targetBytes = 128L << 20,
+      minSegments = 2, concat = sandwiched)
+    assert(merged > 0, "the unaffected bucket still compacts")
+    assert(log.segments(graft.model.TopicBucket("dvan", "b0001")).size == 1,
+      "b0001 merged despite b0000's vanished member")
+    val after = snap()
+    assert(after == before.filterNot { case (b, o, _) =>
+      b == "b0000" && o >= victim._2 && o < victim._2 + victim._3 },
+      "exactly the deleted member's rows are missing")
+  }
+
   test("distributed compaction (manifest mode, object-store rig): one data PUT per merge, zero driver bytes") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.ostest.impl", classOf[ObjectStoreTestFs].getName)

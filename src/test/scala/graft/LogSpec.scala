@@ -446,4 +446,94 @@ class LogSpec extends AnyFunSuite {
     for (bad <- Seq("a,b", "a/b", ".hidden", "", "sp ace", "unicodé"))
       intercept[IllegalArgumentException] { log.createTopic(bad, 1) }
   }
+
+  test("metadata caches: append, compaction and retention each bust the cached view") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    def stamped(tag: Byte, base: Int, tss: Seq[Long]) =
+      tss.zipWithIndex.map { case (t, i) => (Payload(base + i, Array(tag)), t) }
+    log.appendAt(tb, 0L, stamped(1, 0, Seq(10L, 20L)))
+    log.appendAt(tb, 2L, stamped(2, 2, Seq(30L, 40L)))
+    // warm every cache: manifest parse, .tsidx parse, seek index
+    assert(log.offsetForTimestamp(tb, 25L) == 2L)
+    assert(log.offsetForTimestamp(tb, 25L) == 2L) // warm hit
+    assert(log.metaCacheEntries > 0, "caches populated")
+    // APPEND moves the manifest → the cached seek view must see new rows
+    log.appendAt(tb, 4L, stamped(3, 4, Seq(50L, 60L)))
+    assert(log.offsetForTimestamp(tb, 55L) == 5L, "append busts the cache")
+    assert(log.segments(tb).size == 3)
+    // COMPACTION replaces segments → cached boundary resolution must follow
+    assert(log.compactSegments("t") == 3)
+    assert(log.segments(tb).map(s => (s._2, s._3)) == Seq((0L, 6L)))
+    assert(log.offsetForTimestamp(tb, 25L) == 2L, "compaction busts the cache")
+    assert(log.offsetForTimestamp(tb, 55L) == 5L)
+    // RETENTION drops head segments → seek floor must move
+    log.appendAt(tb, 6L, stamped(4, 6, Seq(70L)))
+    log.truncateBefore("t", 6L)
+    assert(log.offsetForTimestamp(tb, Long.MinValue) == 6L,
+      "retention busts the cache: floor is the earliest retained offset")
+    // explicit topic invalidation drops every entry
+    log.invalidateTopicCaches("t")
+    assert(log.metaCacheEntries == 0, "invalidateTopicCaches clears the topic")
+    assert(log.offsetForTimestamp(tb, 70L) == 6L, "cold reread still correct")
+  }
+
+  test("metadata caches are BOUNDED: a tiny cap evicts, eviction never changes results") {
+    // the seam: cap the cache at ~nothing, so every put evicts the rest
+    def tiny() = new FileTopicLog(Files.createTempDirectory("graftlru")) {
+      override private[graft] def metaCacheMaxWeight: Long = 1L
+    }
+    val capped = tiny()
+    val reference = fileLog()
+    val now = System.currentTimeMillis()
+    for (log <- Seq(capped, reference); b <- 0 until 4) {
+      val tbx = TopicBucket("t", s"b$b")
+      log.appendAt(tbx, 0L, (0 until 3).map(i => (Payload(i, Array(b.toByte)), 10L * (i + 1))))
+      log.appendAt(tbx, 3L, (0 until 2).map(i => (Payload(3 + i, Array(b.toByte)), 40L + 10L * i)))
+    }
+    // interleave seeks across buckets so the capped instance thrashes
+    val probes = for (b <- 0 until 4; ts <- Seq(Long.MinValue, 15L, 45L, 99L)) yield (b, ts)
+    val fromCapped = probes.map { case (b, ts) =>
+      capped.offsetForTimestamp(TopicBucket("t", s"b$b"), ts) }
+    val fromRef = probes.map { case (b, ts) =>
+      reference.offsetForTimestamp(TopicBucket("t", s"b$b"), ts) }
+    assert(fromCapped == fromRef, "eviction is invisible to results")
+    assert(capped.metaCacheWeight <= 2L + 2L, // one over-cap survivor per cache
+      s"cap enforced, weight=${capped.metaCacheWeight}")
+    assert(reference.metaCacheEntries >= 4, "uncapped instance retains entries")
+  }
+
+  test("compaction tolerates a member vanishing mid-concat (racing retention)") {
+    val log = fileLog()
+    val now = System.currentTimeMillis()
+    (0 until 6).foreach { e =>
+      log.appendAt(tb, e * 2L, payloads(2, e.toByte).map(p => (p, now)))
+    }
+    val before = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    val segBytes = log.fileLen(log.segments(tb).head._1)
+    // two groups of 3; a "retention job" deletes a member of group 1
+    // between plan and concat — exactly the unlocked phase-2 window
+    var sabotaged = false
+    val racingConcat: Seq[graft.log.ConcatTask] => Unit = { tasks =>
+      assert(tasks.size == 2, s"two planned merges, got ${tasks.size}")
+      if (!sabotaged) {
+        sabotaged = true
+        val victim = new org.apache.hadoop.fs.Path(tasks.head.members.head)
+        assert(log.fs.delete(victim, false))
+      }
+      log.localConcat(tasks)
+    }
+    // the call SUCCEEDS: group 1 is dropped (its member vanished), group 2
+    // merges — one racing truncate must not fail the whole compaction
+    val merged = log.compactSegments("t", targetBytes = segBytes * 3,
+      concat = racingConcat)
+    assert(merged == 3, s"the surviving group still merges, got $merged")
+    val segs = log.segments(tb).map(s => (s._2, s._3))
+    assert(segs.contains((6L, 6L)), s"group 2 merged: $segs")
+    // the vanished member's rows are gone (retention deleted them); the
+    // rest of group 1 is intact and unmerged
+    val after = log.range(tb, 0, Long.MaxValue).map(r => (r.offset, r.id, r.data.toSeq))
+    assert(after == before.filterNot { case (o, _, _) => o < 2L },
+      "only the deleted member's rows are missing")
+  }
 }
