@@ -105,6 +105,17 @@ object Ripple {
         s"${consumers.toSeq.sorted.mkString(", ")} — deleting destroys " +
         "their committed positions and fails any running query. Drain and " +
         "deregister them, or pass force = true to delete anyway.")
+    // force bypasses the pin LISTING too: a corrupt pin document (loud in
+    // liveNames) must not make a forced delete impossible
+    val pins =
+      if (force) Seq.empty
+      else graft.connector.SnapshotPins.liveNames(log, topic)
+    if (pins.nonEmpty && !force) throw new IllegalStateException(
+      s"ripple: topic '$topic' has live snapshot pin(s) " +
+        s"${pins.sorted.mkString(", ")} — deleting destroys the pinned " +
+        "corpora (a reproducible training run would fail its next read). " +
+        "dropSnapshot/vacuumSnapshots them, or pass force = true to " +
+        "delete anyway.")
     val dir = new org.apache.hadoop.fs.Path(log.root, topic)
     // loud-failure contract: a refused or partial delete (possible on
     // object stores) must not read as success — the caller would believe
@@ -196,16 +207,34 @@ object Ripple {
     * retention forever).
     */
   def truncateBefore(root: String, topic: String, floorOffset: Long,
-      protectConsumers: Boolean = false): Int = {
+      protectConsumers: Boolean = false,
+      protectSnapshots: Boolean = true): Int = {
     val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
-    if (!protectConsumers) return log.truncateBefore(topic, floorOffset)
-    val cursors = graft.connector.ConsumerOffsets.all(root, topic)
+    val pinFloors = snapshotFloors(log, topic, protectSnapshots)
+    if (!protectConsumers && pinFloors.isEmpty)
+      return log.truncateBefore(topic, floorOffset)
+    val cursors =
+      if (protectConsumers) graft.connector.ConsumerOffsets.all(root, topic)
+      else Map.empty[String, Map[String, Long]]
     val floors = log.buckets(topic).map { tb =>
       val minCur = cursors.valuesIterator.flatMap(_.get(tb.bucket)).minOption
-      tb.bucket -> minCur.fold(floorOffset)(c => math.min(floorOffset, c))
+      val f0 = minCur.fold(floorOffset)(c => math.min(floorOffset, c))
+      tb.bucket -> pinFloors.get(tb.bucket).fold(f0)(math.min(f0, _))
     }.toMap
     log.truncateBefore(topic, floors)
   }
+
+  /** The per-bucket clamp live registered snapshot pins impose on
+    * retention (empty when protection is off or nothing is pinned) — see
+    * [[pinSnapshot]]. Registering a pin is the explicit request for
+    * protection, so it defaults ON; `protectSnapshots = false` is the
+    * stated override (the pinned read then fails loudly AFTER the cut —
+    * the read-side contract unchanged).
+    */
+  private def snapshotFloors(log: FileTopicLog, topic: String,
+      protect: Boolean): Map[String, Long] =
+    if (!protect) Map.empty
+    else graft.connector.SnapshotPins.liveFloors(log, topic)
 
   /** One row per (consumer, bucket): committed cursor, log end, retention
     * floor — with `lag` (rows committed-but-unread ahead) and
@@ -246,9 +275,15 @@ object Ripple {
 
   /** Time-based retention: drop whole segments older than `maxAgeMillis`
     * per bucket (by publish mtime; offsets preserved, newest segment kept).
+    * Live registered snapshot pins clamp the cut by default — see
+    * [[pinSnapshot]].
     */
-  def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long): Int =
-    FileTopicLog.cached(root, LogFs.activeHadoopConf).truncateOlderThan(topic, maxAgeMillis)
+  def truncateOlderThan(root: String, topic: String, maxAgeMillis: Long,
+      protectSnapshots: Boolean = true): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    log.truncateOlderThan(topic, maxAgeMillis,
+      protectedFloors = snapshotFloors(log, topic, protectSnapshots))
+  }
 
   /** Size-based retention (Kafka `retention.bytes`): per bucket, keep the
     * largest trailing run of whole segments totalling at most `maxBytes`
@@ -263,18 +298,19 @@ object Ripple {
     * never blocks retention. Returns deleted segment count.
     */
   def truncateToBytes(root: String, topic: String, maxBytes: Long,
-      protectConsumers: Boolean = false): Int = {
+      protectConsumers: Boolean = false,
+      protectSnapshots: Boolean = true): Int = {
     val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
     val floors = log.byteFloors(topic, maxBytes)
-    val clamped =
-      if (!protectConsumers) floors
-      else {
-        val cursors = graft.connector.ConsumerOffsets.all(root, topic)
-        floors.map { case (b, f) =>
-          val minCur = cursors.valuesIterator.flatMap(_.get(b)).minOption
-          b -> minCur.fold(f)(c => math.min(f, c))
-        }
-      }
+    val pinFloors = snapshotFloors(log, topic, protectSnapshots)
+    val cursors =
+      if (protectConsumers) graft.connector.ConsumerOffsets.all(root, topic)
+      else Map.empty[String, Map[String, Long]]
+    val clamped = floors.map { case (b, f) =>
+      val minCur = cursors.valuesIterator.flatMap(_.get(b)).minOption
+      val f1 = minCur.fold(f)(c => math.min(f, c))
+      b -> pinFloors.get(b).fold(f1)(math.min(f1, _))
+    }
     log.truncateBefore(topic, clamped)
   }
 
@@ -500,6 +536,44 @@ object Ripple {
         tb.bucket -> (log.firstOffset(tb), log.size(tb))).toMap,
       graft.connector.TopicSchemas.currentVersion(log, topic))
   }
+
+  /** Capture AND REGISTER a snapshot pin: the token is persisted under
+    * `<topic>/.snapshots/<name>` and, while the pin is live, the
+    * retention/delete surface ([[truncateBefore]]/[[truncateOlderThan]]/
+    * [[truncateToBytes]]/[[deleteTopic]]) refuses or clamps any cut that
+    * would invalidate it — the prevention twin of the read-side loudness
+    * (an EPHEMERAL [[snapshot]] token still fails loudly at read time,
+    * but only after the bytes are gone). `ttlMs <= 0` pins until
+    * [[dropSnapshot]]; an expired pin protects nothing and is collected
+    * by [[vacuumSnapshots]]. Returns the token (also stored in the pin).
+    */
+  def pinSnapshot(root: String, topic: String, name: String,
+      ttlMs: Long = 0L): String = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    val token = snapshot(root, topic)
+    graft.connector.SnapshotPins.save(log, topic, name, token, ttlMs)
+    token
+  }
+
+  /** All registered snapshot pins of `topic`, live and expired. */
+  def snapshots(root: String, topic: String): Seq[graft.connector.SnapshotPins.Pin] =
+    graft.connector.SnapshotPins.list(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic)
+
+  /** Remove pin `name` (loud when absent) — retention stops clamping to
+    * it immediately; the token string keeps working as an ephemeral
+    * snapshot until the data is truncated away.
+    */
+  def dropSnapshot(root: String, topic: String, name: String): Unit =
+    graft.connector.SnapshotPins.drop(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, name)
+
+  /** Garbage-collect pins that expired more than `graceMs` ago; returns
+    * pins removed. Never touches unexpired or no-expiry pins.
+    */
+  def vacuumSnapshots(root: String, topic: String, graceMs: Long = 0L): Int =
+    graft.connector.SnapshotPins.vacuum(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, graceMs)
 
   /** Batch scan pinned to a [[snapshot]] token (connector option
     * `snapshot`).

@@ -370,10 +370,23 @@ object RipplePublish {
     // the reference's TTL was never implemented, core.go:45 TODO). The
     // byte policy (Kafka retention.bytes, round 13) composes: each is a
     // floor advance, so applying both keeps whichever cut is deeper.
-    if (conf.retentionMs != Long.MaxValue)
-      log.truncateOlderThan(conf.topic, conf.retentionMs)
-    if (conf.retentionBytes != Long.MaxValue)
-      log.truncateToBytes(conf.topic, conf.retentionBytes)
+    // Live registered snapshot pins clamp the sink's retention exactly as
+    // the admin facade's (graft.api.Ripple.pinSnapshot): THIS is the
+    // "routine retention job" that must never silently destroy a pinned
+    // training corpus. One .snapshots listing per policy per commit; a
+    // pinless topic pays a single FileNotFound-answered listStatus.
+    if (conf.retentionMs != Long.MaxValue || conf.retentionBytes != Long.MaxValue) {
+      val pinFloors = SnapshotPins.liveFloors(log, conf.topic)
+      if (conf.retentionMs != Long.MaxValue)
+        log.truncateOlderThan(conf.topic, conf.retentionMs,
+          protectedFloors = pinFloors)
+      if (conf.retentionBytes != Long.MaxValue) {
+        val floors = log.byteFloors(conf.topic, conf.retentionBytes)
+        val clamped = floors.map { case (b, f) =>
+          b -> pinFloors.get(b).fold(f)(math.min(f, _)) }
+        log.truncateBefore(conf.topic, clamped)
+      }
+    }
     // Inline auto-compaction (round 13): a streaming sink publishes one
     // segment per bucket per epoch — 10^4 tiny files/bucket/hour at high
     // trigger rates. When any JUST-PUBLISHED bucket's segment count

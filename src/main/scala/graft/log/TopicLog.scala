@@ -1456,9 +1456,16 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * deleted segment count.
     */
   def truncateOlderThan(topic: String, maxAgeMillis: Long,
-      nowMillis: Long = System.currentTimeMillis()): Int = {
+      nowMillis: Long = System.currentTimeMillis(),
+      protectedFloors: Map[String, Long] = Map.empty): Int = {
     val cutoff = nowMillis - maxAgeMillis
-    truncateWhere(topic)((_, seg) => seg._1.getModificationTime < cutoff)
+    // protectedFloors (bucket → floor): segments whose range reaches the
+    // floor survive regardless of age — the clamp the snapshot-pin /
+    // consumer-protection facades pass down (graft.api.Ripple); absent
+    // buckets are unconstrained
+    truncateWhere(topic)((tb, seg) => seg._1.getModificationTime < cutoff &&
+      (seg match { case (_, start, count) =>
+        protectedFloors.get(tb.bucket).forall(f => start + count <= f) }))
   }
 
   /** Size-based retention (Kafka `retention.bytes`): per bucket, keep the

@@ -1760,6 +1760,94 @@ class ConnectorSpec extends AnyFunSuite {
       == (10L until 20L))
   }
 
+  test("registered snapshot pins: a live pin blocks every retention cut; unpinned proceeds") {
+    val root = tmp()
+    Ripple.createTopic(root, "pin", numBuckets = 1)
+    (0 until 4).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "pin", numBuckets = 1))
+    val token = Ripple.pinSnapshot(root, "pin", "run-2026-08-15") // pins [0, 40)
+    (0 until 2).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "pin", numBuckets = 1))
+    // every retention policy is clamped to the pinned floor (0): no cut
+    assert(Ripple.truncateBefore(root, "pin", 40L) == 0, "offset cut blocked")
+    assert(Ripple.truncateOlderThan(root, "pin", 0L) == 0, "time cut blocked")
+    assert(Ripple.truncateToBytes(root, "pin", 1L) == 0, "byte cut blocked")
+    // the pinned corpus reads exactly
+    assert(Ripple.readSnapshot(spark, root, "pin", token).count() == 40)
+    // pins are immutable: re-pinning a name is loud
+    intercept[IllegalStateException] { Ripple.pinSnapshot(root, "pin", "run-2026-08-15") }
+    // drop → the same cuts proceed
+    Ripple.dropSnapshot(root, "pin", "run-2026-08-15")
+    intercept[IllegalArgumentException] { Ripple.dropSnapshot(root, "pin", "run-2026-08-15") }
+    assert(Ripple.truncateBefore(root, "pin", 40L) == 4, "unpinned cut proceeds")
+    // ... and the (now-unregistered) token fails LOUDLY at read, as ever
+    val e = intercept[Exception] { Ripple.readSnapshot(spark, root, "pin", token).count() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("retention"), s"pinned read loud after the cut: $msg")
+  }
+
+  test("registered snapshot pins: explicit override cuts anyway, pinned read stays loud") {
+    val root = tmp()
+    Ripple.createTopic(root, "pino", numBuckets = 1)
+    (0 until 3).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "pino", numBuckets = 1))
+    val token = Ripple.pinSnapshot(root, "pino", "keep") // pins [0, 30)
+    // protection explicitly overridden: the cut happens (a stated decision)
+    assert(Ripple.truncateBefore(root, "pino", 10L, protectSnapshots = false) == 1)
+    // the q153 contract is unchanged: the pin's next read is LOUD
+    val e = intercept[Exception] { Ripple.readSnapshot(spark, root, "pino", token).count() }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("retention"), s"overridden pin read loud: $msg")
+  }
+
+  test("registered snapshot pins: expiry — an expired pin protects nothing and vacuums") {
+    val root = tmp()
+    Ripple.createTopic(root, "pine", numBuckets = 1)
+    (0 until 3).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "pine", numBuckets = 1))
+    Ripple.pinSnapshot(root, "pine", "ttl", ttlMs = 1L)
+    Ripple.pinSnapshot(root, "pine", "forever") // no expiry: never collected
+    Thread.sleep(10)
+    assert(Ripple.truncateBefore(root, "pine", 10L) == 0,
+      "the live no-expiry pin still blocks")
+    assert(Ripple.vacuumSnapshots(root, "pine") == 1, "expired pin collected")
+    assert(Ripple.snapshots(root, "pine").map(_.name) == Seq("forever"))
+    Ripple.dropSnapshot(root, "pine", "forever")
+    assert(Ripple.truncateBefore(root, "pine", 10L) == 1)
+  }
+
+  test("registered snapshot pins: deleteTopic refuses on a live pin; force overrides") {
+    val root = tmp()
+    Ripple.createTopic(root, "pind", numBuckets = 1)
+    Ripple.write(samplePayloads(10), root, "pind", numBuckets = 1)
+    Ripple.pinSnapshot(root, "pind", "corpus-v1")
+    val e = intercept[IllegalStateException] { Ripple.deleteTopic(root, "pind") }
+    assert(e.getMessage.contains("corpus-v1"), e.getMessage)
+    assert(Ripple.deleteTopic(root, "pind", force = true) == 1)
+    assert(!Ripple.topics(root).contains("pind"))
+  }
+
+  test("registered snapshot pins clamp the SINK's retention (the routine-retention-job path)") {
+    val root = tmp()
+    Ripple.createTopic(root, "pins", numBuckets = 1)
+    (0 until 3).foreach(_ => Ripple.write(samplePayloads(10).coalesce(1), root, "pins", numBuckets = 1))
+    val token = Ripple.pinSnapshot(root, "pins", "train") // pins [0, 30)
+    // a sink write with an aggressive byte budget: without the pin this
+    // would truncate everything but the newest segment
+    def sinkWrite(): Unit = samplePayloads(10).coalesce(1)
+      .write.format("ripple")
+      .option("path", root).option("topic", "pins").option("buckets", 1)
+      .option("retentionBytes", 1L)
+      .mode("append").save()
+    sinkWrite()
+    assert(Ripple.readSnapshot(spark, root, "pins", token).count() == 30,
+      "the sink's retention was clamped to the pinned floor")
+    // unpin → the next sink commit's retention cuts to the byte budget
+    Ripple.dropSnapshot(root, "pins", "train")
+    sinkWrite()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    assert(log.firstOffset(graft.model.TopicBucket("pins", "b0000")) > 0L,
+      "unpinned: the sink's retention advanced the floor")
+  }
+
   test("snapshot token is refused on the wrong topic, malformed input, streaming, and a vanished bucket") {
     val root = tmp()
     Ripple.createTopic(root, "sna", numBuckets = 1)
