@@ -19,10 +19,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[graft.functions.sketches]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // SQL admin statements (SHOW TOPICS / DESCRIBE TOPIC / SHOW CONSUMERS
+    // / SHOW SNAPSHOTS) — see GraftSqlParser
+    ext.injectParser((_, parser) => new GraftSqlParser(parser))
+  }
 }
 
 object GraftFunctions {

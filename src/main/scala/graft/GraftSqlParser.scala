@@ -1,0 +1,172 @@
+package graft
+
+import graft.api.Ripple
+import graft.log.{FileTopicLog, LogFs}
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** SQL admin surface for the topic log — a 100 TB operator lives in SQL
+  * consoles, not Scala REPLs, so the Scala discovery surface
+  * ([[graft.api.Ripple.topics]]/[[graft.api.Ripple.describeTopic]]/
+  * [[graft.api.Ripple.consumerStatus]]/[[graft.api.Ripple.snapshots]])
+  * is also reachable as statements (the `kafka-topics --describe` /
+  * `SHOW TABLES` analog; the reference exposes discovery only as gRPC
+  * lookups, `internal/lighthouse/io/io.go:55-156`):
+  *
+  * {{{
+  *   SHOW TOPICS [IN '<root>']
+  *   DESCRIBE TOPIC <name> [IN '<root>']
+  *   SHOW CONSUMERS FOR <name> [IN '<root>']
+  *   SHOW SNAPSHOTS FOR <name> [IN '<root>']
+  * }}}
+  *
+  * `IN '<root>'` names the log root URI; omitted, it falls back to the
+  * session conf `spark.graft.root` (loud when neither is set). Injected by
+  * [[GraftExtensions]] via `injectParser` — the standard wrapper-parser
+  * packaging (Delta's DeltaSqlParser pattern): these four shapes are
+  * intercepted, everything else delegates verbatim to the session's
+  * parser.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ShowTopicsStmt(root)          => ShowTopicsCommand(Option(root))
+    case DescribeTopicStmt(name, root) => DescribeTopicCommand(name, Option(root))
+    case ShowConsumersStmt(name, root) => ShowConsumersCommand(name, Option(root))
+    case ShowSnapshotsStmt(name, root) => ShowSnapshotsCommand(name, Option(root))
+    case _                             => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // `(?is)`: case-insensitive, dot-all. Topic names use the createTopic
+  // alphabet ([A-Za-z0-9._-]+, optional backticks); the root is a quoted
+  // URI. A non-matching statement falls through to the delegate, so e.g.
+  // `DESCRIBE topic` (a TABLE named "topic") still reaches Spark.
+  private val ShowTopicsStmt =
+    """(?is)\s*SHOW\s+TOPICS(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val DescribeTopicStmt =
+    """(?is)\s*DESC(?:RIBE)?\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ShowConsumersStmt =
+    """(?is)\s*SHOW\s+CONSUMERS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ShowSnapshotsStmt =
+    """(?is)\s*SHOW\s+SNAPSHOTS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+
+  /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
+    * guessing a filesystem root is how admin commands hit the wrong
+    * deployment.
+    */
+  private[graft] def resolveRoot(explicit: Option[String],
+      spark: SparkSession): String =
+    explicit.orElse(spark.conf.getOption("spark.graft.root")).getOrElse(
+      throw new IllegalArgumentException(
+        "ripple: no log root — append IN '<root>' to the statement or set " +
+          "spark.graft.root on the session"))
+
+  private[graft] def attr(name: String, dt: DataType, nullable: Boolean = false) =
+    AttributeReference(name, dt, nullable)()
+}
+
+/** `SHOW TOPICS [IN '<root>']` — one row per topic under the root. */
+case class ShowTopicsCommand(root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(attr("topic", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Ripple.topics(resolveRoot(root, spark)).map(Row(_))
+}
+
+/** `DESCRIBE TOPIC t [IN '<root>']` — one row per bucket, topic-level
+  * fields (protocol, schema, consumers) repeated; the SQL rendering of
+  * [[graft.api.Ripple.describeTopic]].
+  */
+case class DescribeTopicCommand(topic: String, root: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("bucket", StringType),
+    attr("floor", LongType), attr("end_offset", LongType),
+    attr("rows", LongType), attr("segments", IntegerType),
+    attr("bytes", LongType), attr("latest_ts", LongType, nullable = true),
+    attr("commit_protocol", StringType),
+    attr("schema", StringType, nullable = true),
+    attr("schema_version", IntegerType, nullable = true),
+    attr("consumers", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = Ripple.describeTopic(resolveRoot(root, spark), topic)
+    val consumers = d.consumers.mkString(",")
+    d.buckets.toSeq.sortBy(_._1).map { case (b, st) =>
+      Row(d.topic, b, st.floor, st.end, st.rows, st.segments, st.bytes,
+        st.latestTs.map(Long.box).orNull, d.commitProtocol,
+        d.schema.orNull, d.schemaVersion.map(Int.box).orNull, consumers)
+    }
+  }
+}
+
+/** `SHOW CONSUMERS FOR t [IN '<root>']` — one row per (consumer, bucket):
+  * committed cursor, end, floor, lag, rows lost to retention, time lag.
+  */
+case class ShowConsumersCommand(topic: String, root: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("consumer", StringType), attr("bucket", StringType),
+    attr("committed", LongType), attr("end_offset", LongType),
+    attr("floor", LongType), attr("lag", LongType),
+    attr("lost_to_retention", LongType),
+    attr("time_lag_ms", LongType, nullable = true))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val now = System.currentTimeMillis()
+    Ripple.consumerStatus(resolveRoot(root, spark), topic).toSeq
+      .sortBy(_._1).flatMap { case (id, byBucket) =>
+        byBucket.toSeq.sortBy(_._1).map { case (b, p) =>
+          Row(id, b, p.committed, p.end, p.floor, p.lag, p.lostToRetention,
+            p.timeLagMs(now).map(Long.box).orNull)
+        }
+      }
+  }
+}
+
+/** `SHOW SNAPSHOTS FOR t [IN '<root>']` — registered snapshot pins
+  * ([[graft.api.Ripple.pinSnapshot]]), live and expired.
+  */
+case class ShowSnapshotsCommand(topic: String, root: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("name", StringType), attr("created_at", LongType),
+    attr("expires_at", LongType, nullable = true), attr("live", BooleanType),
+    attr("token", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val log = FileTopicLog.cached(r, LogFs.activeHadoopConf)
+    val now = System.currentTimeMillis()
+    graft.connector.SnapshotPins.list(log, topic).map { p =>
+      Row(p.name, p.createdAt, p.expiresAt.map(Long.box).orNull,
+        p.live(now), p.token)
+    }
+  }
+}

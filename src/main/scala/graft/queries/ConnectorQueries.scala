@@ -361,7 +361,35 @@ object ConnectorQueries {
       unix_millis(max(col("ts"))).as("max_ts_ms"))
   }
 
+  /** events → topic (8 buckets) → `DESCRIBE TOPIC` through the SQL admin
+    * parser ([[graft.GraftSqlParser]]) → aggregate the per-bucket rows.
+    * Parsed EXPLICITLY (not via spark.sql) so the gate holds on sessions
+    * built without `spark.sql.extensions`; the statement text and command
+    * are exactly what the injected parser serves. Oracle: row count of
+    * the source parquet (dense per-bucket offsets ⇒ Σ rows == COUNT(*)),
+    * 8 created buckets, floors all zero.
+    */
+  def sqlDescribeAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "evdesc", numBuckets = 8)
+    Ripple.write(Ripple.pack(ev, col("event_id")), root, "evdesc", numBuckets = 8)
+    val plan = new graft.GraftSqlParser(s.sessionState.sqlParser)
+      .parsePlan(s"DESCRIBE TOPIC evdesc IN '$root'")
+    val cmd = plan.asInstanceOf[graft.DescribeTopicCommand]
+    val described = s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(cmd.run(s)).asJava,
+      StructType(cmd.output.map(a =>
+        StructField(a.name, a.dataType, a.nullable))))
+    described.agg(
+      sum(col("rows")).as("n_rows"),
+      count(lit(1)).as("n_buckets"),
+      sum(col("floor")).as("total_floor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_sql_describe" -> (sqlDescribeAgg _),
     "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q159_auto_compact" -> (autoCompactAgg _),
     "q160_consumer_reset" -> (consumerResetAgg _),
@@ -502,6 +530,10 @@ object ConnectorQueries {
         |WHERE ts >= (SELECT date_trunc('milliseconds', ts) FROM events
         |             WHERE event_id = 700)
         |GROUP BY 1""".stripMargin,
+    "q161_sql_describe" ->
+      """SELECT count(1) AS n_rows, CAST(8 AS BIGINT) AS n_buckets,
+        |  CAST(0 AS BIGINT) AS total_floor
+        |FROM events""".stripMargin,
     "q157_meta_agg" ->
       """SELECT count(1) AS n,
         |  min(event_id) AS min_off, max(event_id) AS max_off,

@@ -695,6 +695,62 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.drop(5).forall(_.data.sameElements(Array[Byte](1, 1))))
   }
 
+  test("SQL admin surface: SHOW TOPICS / DESCRIBE TOPIC / SHOW CONSUMERS / SHOW SNAPSHOTS") {
+    val root = tmp()
+    Ripple.createTopic(root, "adm", numBuckets = 2)
+    Ripple.write(samplePayloads(20), root, "adm", numBuckets = 2)
+    Ripple.pinSnapshot(root, "adm", "pin1")
+    graft.connector.ConsumerOffsets.commit(root, "adm", "c1", Map("b0000" -> 3L))
+    // the statements need a session BUILT with the extension (parsers are
+    // baked into sessionState) — a second session on the shared context
+    // `.withExtensions` is the programmatic twin of
+    // `--conf spark.sql.extensions=graft.GraftExtensions` (that one is a
+    // STATIC conf read from the SparkContext at launch — unreachable from
+    // a test reusing the suite's context)
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.graft.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // SHOW TOPICS: conf-root fallback
+      assert(s.sql("SHOW TOPICS").collect().map(_.getString(0)).contains("adm"))
+      // DESCRIBE TOPIC: explicit IN '<root>' wins; per-bucket rows
+      val d = s.sql(s"DESCRIBE TOPIC adm IN '$root'").collect()
+      assert(d.map(_.getAs[String]("bucket")).sorted.toSeq == Seq("b0000", "b0001"))
+      assert(d.map(_.getAs[Long]("rows")).sum == 20L)
+      assert(d.forall(_.getAs[String]("consumers") == "c1"))
+      // SHOW CONSUMERS: cursor + lag arithmetic
+      val c = s.sql("SHOW CONSUMERS FOR adm").collect()
+      val c1b0 = c.find(r => r.getAs[String]("consumer") == "c1" &&
+        r.getAs[String]("bucket") == "b0000").get
+      assert(c1b0.getAs[Long]("committed") == 3L)
+      assert(c1b0.getAs[Long]("lag") ==
+        d.find(_.getAs[String]("bucket") == "b0000").get.getAs[Long]("end_offset") - 3L)
+      // SHOW SNAPSHOTS: the registered pin, live
+      val sn = s.sql("SHOW SNAPSHOTS FOR adm").collect()
+      assert(sn.map(_.getAs[String]("name")).toSeq == Seq("pin1"))
+      assert(sn.head.getAs[Boolean]("live"))
+      // no root anywhere: loud
+      val bare = intercept[Exception] {
+        s.sql("SHOW TOPICS") // would pass (conf set) — unset it first
+        val s2 = s.newSession()
+        s2.conf.unset("spark.graft.root")
+        s2.sql("SHOW TOPICS").collect()
+      }
+      assert((Option(bare.getMessage).getOrElse("") +
+        Option(bare.getCause).map(_.getMessage).getOrElse("")).contains("spark.graft.root"))
+      // everything else still parses through the delegate
+      assert(s.sql("SELECT 1 AS x").collect().head.getInt(0) == 1)
+      assert(s.sql(s"DESCRIBE TOPIC adm").count() == 2) // conf root again
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
+    }
+  }
+
   test("SQL catalog surface: CREATE TABLE USING ripple, SELECT + INSERT work") {
     val root = tmp()
     Ripple.createTopic(root, "cat", 2)
