@@ -286,6 +286,50 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** The remaining [[Ripple.resetConsumer]] arms, oracle-gated in one
+    * parameterized pass (q160 covers ToTimestamp): events land sorted in
+    * ONE bucket so offset == event_id exactly (the q41 discipline), the
+    * first 200-row segment is truncated away so EARLIEST resolves to the
+    * RETENTION FLOOR (200) and not 0, LATEST to the end (reads nothing),
+    * and ToOffsets to an explicit mid-log cursor. Each arm's returned
+    * target drives a suffix read whose aggregate the DuckDB oracle
+    * reproduces from the parquet — a wrong target (e.g. earliest=0, the
+    * reference's no-floor behavior at `core.go:46-64`) hash-fails.
+    */
+  def consumerResetArmsAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cra", numBuckets = 1)
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+    val n = ev.count()
+    // two segments: [0,200) then [200,n) — retention can then cut exactly
+    // at offset 200
+    Ripple.write(Ripple.pack(slice(0, 200), col("event_id")),
+      root, "cra", numBuckets = 1)
+    Ripple.write(Ripple.pack(slice(200, Int.MaxValue), col("event_id")),
+      root, "cra", numBuckets = 1)
+    Ripple.truncateBefore(root, "cra", 200L)
+    val schema = eventSchema
+    def armAgg(arm: String, target: Map[String, Long]): DataFrame =
+      Ripple.lift(Ripple.readRange(s, root, "cra",
+          from = target("b0000"), until = Long.MaxValue), schema)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(lit(arm).as("arm"), col("n"), col("total_value"), col("n_users"))
+    val earliest = Ripple.resetConsumer(root, "cra", "g_e", Ripple.ConsumerReset.Earliest)
+    val latest = Ripple.resetConsumer(root, "cra", "g_l", Ripple.ConsumerReset.Latest)
+    val explicit = Ripple.resetConsumer(root, "cra", "g_o",
+      Ripple.ConsumerReset.ToOffsets(Map("b0000" -> 600L)))
+    require(latest("b0000") == n, s"latest must be the end offset $n, got $latest")
+    armAgg("earliest", earliest)
+      .unionAll(armAgg("latest", latest))
+      .unionAll(armAgg("explicit", explicit))
+  }
+
   /** Multi-topic subscribe (round 12, Kafka `subscribe` parity): events
     * split by event_id parity across TWO topics (schemas registered by
     * `writePacked`, equal by construction), read back as ONE lifted frame
@@ -390,6 +434,7 @@ object ConnectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_sql_describe" -> (sqlDescribeAgg _),
+    "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
     "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q159_auto_compact" -> (autoCompactAgg _),
     "q160_consumer_reset" -> (consumerResetAgg _),
@@ -534,6 +579,19 @@ object ConnectorQueries {
       """SELECT count(1) AS n_rows, CAST(8 AS BIGINT) AS n_buckets,
         |  CAST(0 AS BIGINT) AS total_floor
         |FROM events""".stripMargin,
+    "q162_consumer_reset_arms" ->
+      """SELECT 'earliest' AS arm, count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200
+        |UNION ALL
+        |SELECT 'latest', CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+        |  CAST(0 AS BIGINT)
+        |UNION ALL
+        |SELECT 'explicit', count(1),
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE),
+        |  count(DISTINCT user_id)
+        |FROM events WHERE event_id >= 600""".stripMargin,
     "q157_meta_agg" ->
       """SELECT count(1) AS n,
         |  min(event_id) AS min_off, max(event_id) AS max_off,
