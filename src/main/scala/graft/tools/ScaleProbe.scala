@@ -463,7 +463,7 @@ object ScaleProbe {
     * seconds). Their ratios are the CLAIMS under test, so Bench excludes
     * them from the "did anything scale super-linearly" stdout headline.
     */
-  val SyntheticCellKeys: Set[String] = Set("q152c", "q154c", "q154w")
+  val SyntheticCellKeys: Set[String] = Set("q152c", "q154c", "q154w", "q163s")
 
   private def tinySegBucket(nSegs: Int): (graft.log.FileTopicLog, graft.model.TopicBucket, Long) = {
     val root = java.nio.file.Files.createTempDirectory(s"graft-probe-tiny$nSegs").toString
@@ -484,11 +484,22 @@ object ScaleProbe {
 
   /** Dev loop: run ONLY the synthetic metadata cells and print their
     * entries (no Spark session, no corpus) — `sbt "runMain
-    * graft.tools.ScaleProbe"`.
+    * graft.tools.ScaleProbe"`. With arg `stream`, builds a minimal local
+    * session and runs ONLY the q163s streaming-metrics cell (it needs an
+    * active session for the broadcast conf).
     */
   def main(args: Array[String]): Unit =
-    syntheticCells(graft.BenchHistory.load("BENCH_HISTORY.jsonl"))
-      .foreach(println)
+    if (args.headOption.contains("stream")) {
+      val spark = SparkSession.builder().master("local[4]")
+        .appName("graft-scaleprobe-stream")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      streamingMetricsCell(graft.BenchHistory.load("BENCH_HISTORY.jsonl"))
+        .foreach(println)
+      spark.stop()
+    } else
+      syntheticCells(graft.BenchHistory.load("BENCH_HISTORY.jsonl"))
+        .foreach(println)
 
   private def syntheticCells(history: graft.BenchHistory): Seq[String] = try {
     val small = 2000
@@ -543,9 +554,77 @@ object ScaleProbe {
         hist.map(h => s""","hist":${r2(h)}""").getOrElse("") +
         (if (off) ""","offband_cell":true""" else "") + "}"
     }
-    Seq(entry("q152c", 0), entry("q154c", 1), entry("q154w", 2))
+    Seq(entry("q152c", 0), entry("q154c", 1), entry("q154w", 2)) ++
+      streamingMetricsCell(history)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] synthetic metadata cells failed: ${e.getMessage}")
     Seq.empty
+  }
+
+  /** q163s — the streaming trigger plane at 10× segments (round-14
+    * verdict task #6): per-trigger `latestOffset` under a composite
+    * min/max admission limit + `planInputPartitions` over the admitted
+    * range + the full `ReportsSourceMetrics` read (offset AND time lag),
+    * against an n-segment single-bucket topic in its steady state
+    * (`.tsidx` stamped at publish, as the connector's publish path does —
+    * the cold backfill is q154c's claim). The cell's claim: the whole
+    * plane reads METADATA only — the parsed-manifest/.tsidx cache serves
+    * warm triggers at O(stat-check) + an O(segments) in-memory stats map
+    * per metrics read, no frame IO; the ZERO-FRAMES half is asserted
+    * mechanically in StreamingSpec's counting-FS test. Needs an active
+    * Spark session (RippleConf broadcasts the Hadoop conf), so the
+    * no-Spark dev loop skips it.
+    */
+  private def streamingMetricsCell(history: graft.BenchHistory): Option[String] = try {
+    if (SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isEmpty)
+      return None
+    val rowsPer = 5
+    val triggers = 20
+    def measure(n: Int): Double = {
+      val (log, tb, base) = tinySegBucket(n)
+      log.recordTsStats(tb, (0 until n).map(i =>
+        graft.log.SegmentCodec.segmentName(i.toLong * rowsPer, rowsPer.toLong) ->
+          (base + i, base + i)).toMap)
+      val conf = graft.connector.RippleConf(root = log.root.toString,
+        topic = "tiny", bucket = None, numBuckets = 1, startingOffset = 0L,
+        endingOffset = Long.MaxValue, maxOffsetsPerTrigger = 50L,
+        minOffsetsPerTrigger = 10L)
+      val stream = new graft.connector.RippleMicroBatchStream(conf,
+        graft.model.Schemas.envelope)
+      val limit = stream.getDefaultReadLimit
+      val t0 = System.nanoTime()
+      var off = stream.initialOffset()
+      (0 until triggers).foreach { _ =>
+        val latest = stream.latestOffset(off, limit)
+        require(stream.planInputPartitions(off, latest).nonEmpty,
+          s"admission must open a batch at n=$n")
+        val m = stream.metrics(java.util.Optional.of(latest))
+        require(m.get("maxOffsetsBehindLatest") != null &&
+          m.get("maxTsBehindLatestMs") != null, s"metrics missing at n=$n: $m")
+        off = latest
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      try log.fs.delete(log.root, true)
+      catch { case _: java.io.IOException => () }
+      sec
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    var smalls = List(measure(2000))
+    var bigs = List(measure(20000))
+    val hist = history.sf1Median("q163s")
+    if (hist.exists(h => h > 0 && bigs.head > 2.0 * h))
+      (1 to 2).foreach { _ => smalls ::= measure(2000); bigs ::= measure(20000) }
+    val a = med(smalls); val b = med(bigs)
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val off = hist.exists(h => h > 0 && b > 2.0 * h)
+    Some(s""""q163s":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(if (a > 0) b / a else -1.0)},"n":${bigs.size}""" +
+      hist.map(h => s""","hist":${r2(h)}""").getOrElse("") +
+      (if (off) ""","offband_cell":true""" else "") + "}")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] q163s streaming-metrics cell failed: ${e.getMessage}")
+    None
   }
 }

@@ -1081,6 +1081,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trigger plane reads ZERO frames over a 500-segment backlog (metrics + admission are metadata-only)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingReadFs].getName)
+    val root = "cntfs:" + tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("zf", "b0000")
+    log.fs.mkdirs(log.bucketDir(tb))
+    // 500 published segments in their steady state: ts stats stamped at
+    // publish (the connector's publish path does this), manifest current
+    val rowsPer = 5
+    val base = 1700000000000L
+    (0 until 500).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(log.bucketDir(tb),
+        graft.log.SegmentCodec.segmentName(i.toLong * rowsPer, rowsPer.toLong))
+      graft.log.SegmentCodec.write(log.fs, p,
+        (0 until rowsPer).map(j => (graft.model.Payload(j, Array[Byte](1)), base + i)))
+    }
+    log.refreshManifest(tb)
+    log.recordTsStats(tb, (0 until 500).map(i =>
+      graft.log.SegmentCodec.segmentName(i.toLong * rowsPer, rowsPer.toLong) ->
+        (base + i, base + i)).toMap)
+    // one fresh segment past the backlog — the only rows the query consumes
+    log.append(tb, (0 until 6).map(i => graft.model.Payload(100 + i, Array[Byte](2))))
+    CountingReadFs.dataOpens.set(0L)
+    val q = spark.readStream.format("ripple")
+      .option("path", root).option("topic", "zf")
+      .option("startingOffset", 2500L) // end of the 500-segment backlog
+      .option("minOffsetsPerTrigger", 5L)
+      .option("maxOffsetsPerTrigger", 100L)
+      .load().select(col("offset"), col("id"))
+      .writeStream.format("memory").queryName("zf_out")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("zf_out").count() == 6, "exactly the fresh rows consumed")
+      // progress events carried the full metrics surface (offset + time lag
+      // keys appear whenever a backlog was observed; offset keys always)
+      val progresses = q.recentProgress.toSeq.filter(p =>
+        p.sources.nonEmpty && p.sources(0).metrics != null &&
+          !p.sources(0).metrics.isEmpty)
+      assert(progresses.nonEmpty, "progress events must carry source metrics")
+      assert(progresses.forall(p =>
+        p.sources(0).metrics.get("maxOffsetsBehindLatest") != null))
+    } finally q.stop()
+    // THE claim: planning + admission + metrics over the 500-segment
+    // backlog opened only the ONE consumed segment's frames (reader +
+    // the .tsidx read-repair of the freshly-appended segment) — a
+    // frame-reading metrics/planning path would show ~500 opens
+    val opens = CountingReadFs.dataOpens.get
+    assert(opens > 0 && opens <= 4,
+      s"expected <=4 data-file opens (the consumed segment only), got $opens")
+  }
+
   test("consumer-group emulation: fresh checkpoint replays, resumed continues") {
     import spark.implicits._
     val root = tmp()
