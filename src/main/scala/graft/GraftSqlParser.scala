@@ -24,12 +24,13 @@ import org.apache.spark.sql.types._
   *   DESCRIBE TOPIC <name> [IN '<root>']
   *   SHOW CONSUMERS FOR <name> [IN '<root>']
   *   SHOW SNAPSHOTS FOR <name> [IN '<root>']
+  *   SHOW SCHEMA VERSIONS FOR <name> [IN '<root>']
   * }}}
   *
   * `IN '<root>'` names the log root URI; omitted, it falls back to the
   * session conf `spark.graft.root` (loud when neither is set). Injected by
   * [[GraftExtensions]] via `injectParser` — the standard wrapper-parser
-  * packaging (Delta's DeltaSqlParser pattern): these four shapes are
+  * packaging (Delta's DeltaSqlParser pattern): these five shapes are
   * intercepted, everything else delegates verbatim to the session's
   * parser.
   */
@@ -41,6 +42,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescribeTopicStmt(name, root) => DescribeTopicCommand(name, Option(root))
     case ShowConsumersStmt(name, root) => ShowConsumersCommand(name, Option(root))
     case ShowSnapshotsStmt(name, root) => ShowSnapshotsCommand(name, Option(root))
+    case ShowSchemaVersionsStmt(name, root) =>
+      ShowSchemaVersionsCommand(name, Option(root))
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -75,6 +78,8 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+CONSUMERS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val ShowSnapshotsStmt =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ShowSchemaVersionsStmt =
+    """(?is)\s*SHOW\s+SCHEMA\s+VERSIONS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -147,6 +152,26 @@ case class ShowConsumersCommand(topic: String, root: Option[String])
             p.timeLagMs(now).map(Long.box).orNull)
         }
       }
+  }
+}
+
+/** `SHOW SCHEMA VERSIONS FOR t [IN '<root>']` — the registered payload
+  * schema history ([[graft.api.Ripple.topicSchemaVersions]]): one row per
+  * accepted registration/evolution, current version flagged. Empty when
+  * the topic has no registered schema (raw byte payloads).
+  */
+case class ShowSchemaVersionsCommand(topic: String, root: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("version", IntegerType), attr("current", BooleanType),
+    attr("schema", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val versions = Ripple.topicSchemaVersions(resolveRoot(root, spark), topic)
+    val cur = if (versions.isEmpty) -1 else versions.keys.max
+    versions.toSeq.sortBy(_._1).map { case (v, schema) =>
+      Row(v, v == cur, schema.json)
+    }
   }
 }
 

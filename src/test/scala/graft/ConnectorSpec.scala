@@ -695,7 +695,7 @@ class ConnectorSpec extends AnyFunSuite {
     assert(rows.drop(5).forall(_.data.sameElements(Array[Byte](1, 1))))
   }
 
-  test("SQL admin surface: SHOW TOPICS / DESCRIBE TOPIC / SHOW CONSUMERS / SHOW SNAPSHOTS") {
+  test("SQL admin surface: SHOW TOPICS / DESCRIBE TOPIC / SHOW CONSUMERS / SHOW SNAPSHOTS / SHOW SCHEMA VERSIONS") {
     val root = tmp()
     Ripple.createTopic(root, "adm", numBuckets = 2)
     Ripple.write(samplePayloads(20), root, "adm", numBuckets = 2)
@@ -733,6 +733,18 @@ class ConnectorSpec extends AnyFunSuite {
       val sn = s.sql("SHOW SNAPSHOTS FOR adm").collect()
       assert(sn.map(_.getAs[String]("name")).toSeq == Seq("pin1"))
       assert(sn.head.getAs[Boolean]("live"))
+      // SHOW SCHEMA VERSIONS: empty on a raw topic; v1 then the additive
+      // v2 after an evolve, only v2 current
+      assert(s.sql("SHOW SCHEMA VERSIONS FOR adm").count() == 0)
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val v1 = StructType(Seq(StructField("a", LongType)))
+      Ripple.createTopic(root, "admTyped", 1, v1)
+      Ripple.evolveTopicSchema(root, "admTyped",
+        StructType(v1.fields :+ StructField("b", StringType, nullable = true)))
+      val sv = s.sql("SHOW SCHEMA VERSIONS FOR admTyped").collect()
+      assert(sv.map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+      assert(sv.map(_.getAs[Boolean]("current")).toSeq == Seq(false, true))
+      assert(sv.last.getAs[String]("schema").contains("\"b\""))
       // no root anywhere: loud
       val bare = intercept[Exception] {
         s.sql("SHOW TOPICS") // would pass (conf set) — unset it first
