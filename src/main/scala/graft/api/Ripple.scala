@@ -489,6 +489,46 @@ object Ripple {
     target
   }
 
+  /** Delete a consumer's entire registered state — cursor AND managed
+    * checkpoint (`kafka-consumer-groups --delete` parity): its cursor
+    * stops clamping `protectConsumers` retention and the ID starts fresh
+    * on next use. The other half of the consumer lifecycle that
+    * [[consumerCheckpoint]] opens: without it, a decommissioned pipeline's
+    * cursor blocks retention FOREVER under `protectConsumers` — the disk
+    * fills while every truncate "succeeds" clamped. Loud on unknown IDs
+    * and refused deletes; the consumer must be inactive (the Kafka
+    * contract — a running query's next commit would just re-register it).
+    */
+  def deleteConsumer(root: String, topic: String, consumerId: String): Unit =
+    graft.connector.ConsumerOffsets.delete(root, topic, consumerId)
+
+  /** Expire consumers idle longer than `olderThanMs` — the
+    * `offsets.retention.minutes` analog (Kafka expires committed offsets
+    * of groups inactive past the retention window; default there 7 days).
+    * Activity = last committed epoch (cursor mtime, newest checkpoint
+    * commit) or registration, so a LIVE streaming consumer refreshes its
+    * stamp every epoch and can never expire under any sane threshold.
+    * Returns the expired IDs (their state deleted as [[deleteConsumer]]).
+    * Typical pairing, mirroring [[vacuumSnapshots]] for pins:
+    *
+    * {{{
+    *   Ripple.expireConsumers(root, topic, olderThanMs = 7L*24*3600*1000)
+    *   Ripple.truncateOlderThan(root, topic, retentionMs,
+    *     protectConsumers = true)   // now clamps only to LIVE cursors
+    * }}}
+    */
+  def expireConsumers(root: String, topic: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(olderThanMs > 0, "ripple: expireConsumers needs a positive " +
+      "idle threshold — expiring everything is deleteConsumer in a loop")
+    graft.connector.ConsumerOffsets.registered(root, topic).filter { id =>
+      graft.connector.ConsumerOffsets.lastActivityMs(root, topic, id)
+        .exists(at => nowMs - at > olderThanMs) && {
+        graft.connector.ConsumerOffsets.delete(root, topic, id); true
+      }
+    }
+  }
+
   /** The numbered payload-schema history of a typed topic (version →
     * schema; empty when untyped). Version N is what a snapshot cut at
     * version N lifts with ([[graft.connector.TopicSchemas]]) — the audit

@@ -166,6 +166,81 @@ object ConsumerOffsets {
         "outrank the rewritten cursor and silently undo it")
   }
 
+  /** IDs of every REGISTERED consumer (a namespace dir exists), including
+    * ones that never committed — the deletion/expiry surface must see
+    * those too ([[load]]-less registrations still hold a checkpoint dir).
+    */
+  def registered(root: String, topic: String): Seq[String] = {
+    val fs = fsFor(root)
+    val listed =
+      try fs.listStatus(consumersDir(root, topic))
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    listed.iterator
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Milliseconds of `id`'s last OBSERVABLE commit activity: the max over
+    * the secondary cursor's mtime and the newest entry under the managed
+    * checkpoint's `commits/` (the file a successful epoch writes last) —
+    * both move on every committed batch, so an ACTIVE consumer's activity
+    * stamp is always recent. Falls back to the consumer dir's own mtime
+    * for a registered-but-never-committed consumer (registration counts
+    * as activity — a just-created consumer must not expire before its
+    * first epoch). None when the consumer is not registered.
+    *
+    * Granularity caveat: mtimes carry the filesystem's stamp resolution
+    * (1 s on some substrates); expiry thresholds are hours-to-days, so
+    * the resolution is noise.
+    */
+  def lastActivityMs(root: String, topic: String, id: String): Option[Long] = {
+    val fs = fsFor(root)
+    val d = consumerDir(root, topic, id)
+    val base =
+      try fs.getFileStatus(d).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return None }
+    def mtime(p: HPath): Long =
+      try fs.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val commits =
+      try fs.listStatus(new HPath(new HPath(d, "ckpt"), "commits"))
+        .iterator.map(_.getModificationTime).foldLeft(-1L)(math.max)
+      catch { case _: java.io.FileNotFoundException => -1L }
+    Some(math.max(base, math.max(mtime(new HPath(d, "cursor.json")), commits)))
+  }
+
+  /** Remove `id`'s ENTIRE registered state — cursor, managed checkpoint,
+    * namespace dir (`kafka-consumer-groups --delete` analog): the cursor
+    * stops clamping `protectConsumers` retention and the next use of this
+    * ID starts fresh from the retained log. Loud on an unknown consumer (a
+    * typo must not read as "deleted") and on a refused/partial delete (a
+    * surviving cursor would keep blocking retention while this call
+    * reported success). Same inactive-consumer contract as
+    * [[dropCheckpoint]]: the caller ensures no query is running under this
+    * ID — not enforceable from here.
+    */
+  def delete(root: String, topic: String, id: String): Unit = {
+    val fs = fsFor(root)
+    val d = consumerDir(root, topic, id)
+    val existed =
+      try fs.exists(d)
+      catch { case _: java.io.IOException => true }
+    if (!existed) throw new IllegalArgumentException(
+      s"ripple: topic '$topic' has no registered consumer '$id'")
+    val gone =
+      try { fs.delete(d, true); !fs.exists(d) }
+      catch { case e: java.io.IOException =>
+        throw new java.io.IOException(
+          s"ripple: deleteConsumer('$id') on topic '$topic' failed — the " +
+            s"filesystem refused the recursive delete of $d; the cursor " +
+            "still clamps protectConsumers retention", e)
+      }
+    if (!gone) throw new java.io.IOException(
+      s"ripple: consumer state $d still exists after delete — " +
+        s"deleteConsumer('$id') aborted; the cursor still clamps " +
+        "protectConsumers retention")
+  }
+
   /** Every consumer's committed position for `topic` — the introspection
     * surface the reference exposes through its consumer server state.
     */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.api.Ripple
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -286,6 +287,61 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Consumer expiry unblocks protected retention (q164): a DEAD
+    * consumer's cursor (committed once, idle 10 planted days) clamps
+    * `protectConsumers` retention to offset 100 — the cut is refused
+    * while a LIVE consumer at 300 never constrained it.
+    * [[Ripple.expireConsumers]] (the Kafka `offsets.retention.minutes`
+    * analog) collects exactly the dead ID; the SAME truncate then lands
+    * at 200, and the suffix read from the new floor must equal the
+    * oracle's `event_id >= 200` aggregate — an expiry that dropped the
+    * wrong consumer, missed the dead one (floor stays 0), or
+    * over-truncated past 200 all hash-fail. Control-flow invariants
+    * (refused-then-allowed floors, expired ID list, live survivor) are
+    * `require`d in-body.
+    */
+  def consumerExpiryAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cex", numBuckets = 1)
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+    Ripple.write(Ripple.pack(slice(0, 200), col("event_id")),
+      root, "cex", numBuckets = 1)
+    Ripple.write(Ripple.pack(slice(200, Int.MaxValue), col("event_id")),
+      root, "cex", numBuckets = 1)
+    graft.connector.ConsumerOffsets.commit(root, "cex", "dead", Map("b0000" -> 100L))
+    graft.connector.ConsumerOffsets.commit(root, "cex", "live", Map("b0000" -> 300L))
+    // age the dead consumer's observable activity by 10 days (dir mtime +
+    // cursor mtime are what lastActivityMs reads; planted, not slept)
+    val fs = graft.log.LogFs.get(new HPath(root), graft.log.LogFs.activeHadoopConf)
+    val dDir = new HPath(new HPath(new HPath(root, "cex"), ".consumers"), "dead")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(new HPath(dDir, "cursor.json"), old, old)
+    fs.setTimes(dDir, old, old)
+    // the dead cursor clamps the protected cut: nothing below 100 is a
+    // whole segment, so the floor must not move
+    Ripple.truncateBefore(root, "cex", 200L, protectConsumers = true)
+    val clamped = Ripple.earliestOffsets(root, "cex")("b0000")
+    require(clamped == 0L,
+      s"dead cursor must clamp the protected cut (floor stays 0), got $clamped")
+    val expired = Ripple.expireConsumers(root, "cex",
+      olderThanMs = 24L * 3600 * 1000)
+    require(expired == Seq("dead"), s"expected exactly 'dead' expired, got $expired")
+    require(Ripple.consumerOffsets(root, "cex").keySet == Set("live"),
+      "the live consumer must survive expiry")
+    Ripple.truncateBefore(root, "cex", 200L, protectConsumers = true)
+    val floor = Ripple.earliestOffsets(root, "cex")("b0000")
+    require(floor == 200L, s"expiry must unblock the cut to 200, got $floor")
+    Ripple.lift(Ripple.readRange(s, root, "cex",
+        from = floor, until = Long.MaxValue), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** The remaining [[Ripple.resetConsumer]] arms, oracle-gated in one
     * parameterized pass (q160 covers ToTimestamp): events land sorted in
     * ONE bucket so offset == event_id exactly (the q41 discipline), the
@@ -435,6 +491,7 @@ object ConnectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
+    "q164_consumer_expiry" -> (consumerExpiryAgg _),
     "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q159_auto_compact" -> (autoCompactAgg _),
     "q160_consumer_reset" -> (consumerResetAgg _),
@@ -579,6 +636,11 @@ object ConnectorQueries {
       """SELECT count(1) AS n_rows, CAST(8 AS BIGINT) AS n_buckets,
         |  CAST(0 AS BIGINT) AS total_floor
         |FROM events""".stripMargin,
+    "q164_consumer_expiry" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200""".stripMargin,
     "q162_consumer_reset_arms" ->
       """SELECT 'earliest' AS arm, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -1463,6 +1463,53 @@ class ConnectorSpec extends AnyFunSuite {
     Ripple.resetConsumer(root, "rt", "fresh-id", Ripple.ConsumerReset.Latest)
   }
 
+  test("consumer lifecycle: deleteConsumer and idle expiry (offsets.retention analog)") {
+    val root = tmp()
+    Ripple.createTopic(root, "cl", numBuckets = 1)
+    Ripple.write(samplePayloads(10), root, "cl", numBuckets = 1)
+    // deleteConsumer: cursor AND managed checkpoint go; the id starts fresh
+    graft.connector.ConsumerOffsets.checkpoint(root, "cl", "gone")
+    graft.connector.ConsumerOffsets.commit(root, "cl", "gone", Map("b0000" -> 5L))
+    graft.connector.ConsumerOffsets.commit(root, "cl", "kept", Map("b0000" -> 7L))
+    Ripple.deleteConsumer(root, "cl", "gone")
+    assert(Ripple.consumerOffsets(root, "cl").keySet == Set("kept"))
+    assert(graft.connector.ConsumerOffsets.load(root, "cl", "gone").isEmpty,
+      "a deleted consumer's next use must start fresh")
+    // unknown id is loud — a typo must not read as "deleted"
+    intercept[IllegalArgumentException] { Ripple.deleteConsumer(root, "cl", "gone") }
+    // expiry: activity stamps are mtimes — plant 10 idle days on "stale",
+    // register (but never commit) "fresh"; only the stale one expires
+    graft.connector.ConsumerOffsets.commit(root, "cl", "stale", Map("b0000" -> 3L))
+    graft.connector.ConsumerOffsets.checkpoint(root, "cl", "fresh") // registration = activity
+    val fs = graft.log.LogFs.get(new org.apache.hadoop.fs.Path(root),
+      graft.log.LogFs.activeHadoopConf)
+    val staleDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "cl"),
+        ".consumers"), "stale")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(staleDir, "cursor.json"), old, old)
+    fs.setTimes(staleDir, old, old)
+    assert(Ripple.expireConsumers(root, "cl", olderThanMs = 24L * 3600 * 1000)
+      == Seq("stale"))
+    assert(graft.connector.ConsumerOffsets.registered(root, "cl").toSet
+      == Set("kept", "fresh"), "fresh registration and live cursor survive expiry")
+    // expiring everything is not a threshold — loud
+    intercept[IllegalArgumentException] { Ripple.expireConsumers(root, "cl", 0L) }
+    // refused filesystem delete is loud: the cursor would keep clamping
+    // protectConsumers retention while the call reported success
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.rdtest.impl", classOf[RefusedDeleteTestFs].getName)
+    val rroot = "rdtest:" + tmp()
+    Ripple.createTopic(rroot, "clr", numBuckets = 1)
+    graft.connector.ConsumerOffsets.commit(rroot, "clr", "c-nodelete", Map("b0000" -> 1L))
+    val e = intercept[java.io.IOException] {
+      Ripple.deleteConsumer(rroot, "clr", "c-nodelete")
+    }
+    assert(e.getMessage.contains("clamps"), e.getMessage)
+    assert(Ripple.consumerOffsets(rroot, "clr").keySet == Set("c-nodelete"),
+      "consumer must survive a refused delete")
+  }
+
   test("crashed evolve's orphan version: currentVersion reconciles to the pointer, next evolve allocates past it") {
     import org.apache.spark.sql.types._
     val root = tmp()
