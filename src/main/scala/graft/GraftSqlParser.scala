@@ -119,14 +119,17 @@ case class DescribeTopicCommand(topic: String, root: Option[String])
     attr("commit_protocol", StringType),
     attr("schema", StringType, nullable = true),
     attr("schema_version", IntegerType, nullable = true),
-    attr("consumers", StringType))
+    attr("consumers", StringType),
+    attr("config", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val d = Ripple.describeTopic(resolveRoot(root, spark), topic)
     val consumers = d.consumers.mkString(",")
+    val config = d.config.render
     d.buckets.toSeq.sortBy(_._1).map { case (b, st) =>
       Row(d.topic, b, st.floor, st.end, st.rows, st.segments, st.bytes,
         st.latestTs.map(Long.box).orNull, d.commitProtocol,
-        d.schema.orNull, d.schemaVersion.map(Int.box).orNull, consumers)
+        d.schema.orNull, d.schemaVersion.map(Int.box).orNull, consumers,
+        config)
     }
   }
 }

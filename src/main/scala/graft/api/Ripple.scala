@@ -415,14 +415,55 @@ object Ripple {
       buckets = buckets,
       schema = graft.connector.TopicSchemas.get(log, topic).map(_.simpleString),
       consumers = consumerOffsets(root, topic).keySet.toSeq.sorted,
-      schemaVersion = graft.connector.TopicSchemas.currentVersion(log, topic))
+      schemaVersion = graft.connector.TopicSchemas.currentVersion(log, topic),
+      config = graft.connector.TopicConfig.read(log, topic))
   }
 
   case class TopicDescription(topic: String, commitProtocol: String,
       buckets: Map[String, BucketState], schema: Option[String],
-      consumers: Seq[String], schemaVersion: Option[Int] = None) {
+      consumers: Seq[String], schemaVersion: Option[Int] = None,
+      config: graft.connector.TopicConfig = graft.connector.TopicConfig()) {
     def rows: Long = buckets.valuesIterator.map(_.rows).sum
     def bytes: Long = buckets.valuesIterator.map(_.bytes).sum
+  }
+
+  /** Persist retention/compaction policy ON the topic (Kafka topic-level
+    * config: `retention.ms`/`retention.bytes` live on the topic, not the
+    * producer) — every writer then applies it by default at publish;
+    * an explicitly-set writer option still wins per key, and a running
+    * streaming writer picks the change up at restart (write-start
+    * resolution, documented on [[graft.connector.TopicConfig]]). The
+    * document is REPLACED whole (read-modify-write via [[topicConfig]];
+    * an empty config clears the file). Loud on unknown topics and
+    * invalid values.
+    */
+  def setTopicConfig(root: String, topic: String,
+      config: graft.connector.TopicConfig): Unit =
+    graft.connector.TopicConfig.write(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, config)
+
+  /** The topic's persisted config (empty when none set; torn docs loud). */
+  def topicConfig(root: String, topic: String): graft.connector.TopicConfig =
+    graft.connector.TopicConfig.read(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic)
+
+  /** Apply the topic's PERSISTED retention policy now — the one-call
+    * nightly retention job (`retentionMs` then `retentionBytes`, each a
+    * floor advance so the deeper cut wins; no-op without a policy). Live
+    * snapshot pins protect both cuts by default and committed consumer
+    * cursors clamp the byte cut, exactly as the explicit truncate calls
+    * (time retention takes no consumer guard there either — Kafka
+    * parity). Returns segments dropped.
+    */
+  def applyRetention(root: String, topic: String,
+      protectConsumers: Boolean = true,
+      protectSnapshots: Boolean = true): Int = {
+    val cfg = topicConfig(root, topic)
+    val byAge = cfg.retentionMs.fold(0)(ms =>
+      truncateOlderThan(root, topic, ms, protectSnapshots))
+    val byBytes = cfg.retentionBytes.fold(0)(b =>
+      truncateToBytes(root, topic, b, protectConsumers, protectSnapshots))
+    byAge + byBytes
   }
 
   /** Target position for [[resetConsumer]]. */

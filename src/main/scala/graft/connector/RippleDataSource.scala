@@ -188,6 +188,14 @@ object RippleConf {
       autoCompactSegments = options.getInt("autoCompactSegments", 0),
       compactDistributeMinBytes = options.getLong("compactDistributeMinBytes",
         DistributedConcat.DefaultMinBytes),
+      // presence flags: an EXPLICIT writer option must win over the
+      // topic's persisted config even when it spells the default/"off"
+      // value — sentinel-guessing would make "this one writer opts out"
+      // inexpressible (see TopicConfig.applyDefaults)
+      retentionMsSet = options.containsKey("retentionMs"),
+      retentionBytesSet = options.containsKey("retentionBytes"),
+      autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
+      compactDistributeMinBytesSet = options.containsKey("compactDistributeMinBytes"),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
       // An EXPLICIT startingOffset is a positional read request — reading
       // past a retention floor it names is data loss and fails loudly; the
@@ -238,6 +246,10 @@ case class RippleConf(
     retentionBytes: Long = Long.MaxValue,
     autoCompactSegments: Int = 0,
     compactDistributeMinBytes: Long = DistributedConcat.DefaultMinBytes,
+    retentionMsSet: Boolean = false,
+    retentionBytesSet: Boolean = false,
+    autoCompactSegmentsSet: Boolean = false,
+    compactDistributeMinBytesSet: Boolean = false,
     consumerId: Option[String] = None,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,

@@ -90,11 +90,16 @@ object EffectiveBuckets {
         "are a READ surface")
   def resolve(conf: RippleConf): RippleConf = {
     requireSingleTopic(conf)
-    val registered = conf.log.buckets(conf.topic).size
-    if (registered > 0) conf.copy(numBuckets = registered)
+    // fold the topic's persisted config in FIRST (Kafka topic-level
+    // retention/compaction policy applies to every writer by default;
+    // explicitly-set writer options win per key) — once, driver-side,
+    // at write start
+    val withConfig = TopicConfig.applyDefaults(conf)
+    val registered = withConfig.log.buckets(withConfig.topic).size
+    if (registered > 0) withConfig.copy(numBuckets = registered)
     else {
-      conf.log.createTopic(conf.topic, conf.numBuckets)
-      conf
+      withConfig.log.createTopic(withConfig.topic, withConfig.numBuckets)
+      withConfig
     }
   }
 }

@@ -1,0 +1,152 @@
+package graft.connector
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.log.FileTopicLog
+import org.apache.hadoop.fs.{Path => HPath}
+
+/** Per-topic persisted configuration — Kafka's topic-level config parity
+  * (`retention.ms` / `retention.bytes` live ON the topic there; producers
+  * don't carry retention). Until round 15 this engine's hygiene knobs were
+  * writer options only (`retentionMs`/`retentionBytes`/
+  * `autoCompactSegments`/`compactDistributeMinBytes` on the sink), which
+  * has the classic operational failure: FIVE pipelines write one topic,
+  * four carry the options, the fifth (added later, by someone else)
+  * doesn't — and that writer's publishes never apply retention or
+  * compaction, so the footprint and segment count drift until an operator
+  * notices. Persisting the policy on the topic makes it apply to EVERY
+  * writer by default.
+  *
+  * Document: one JSON object at `<topic>/.config`, only present keys set:
+  * `{"v":1[,"retentionMs":…][,"retentionBytes":…]
+  * [,"autoCompactSegments":…][,"compactDistributeMinBytes":…]}`.
+  * Replaced atomically as a whole ([[graft.api.Ripple.setTopicConfig]] is
+  * read-modify-write at the caller; concurrent admin writers last-wins,
+  * the same single-admin contract as schema evolution). The reference has
+  * no per-topic config at all — retention was never implemented
+  * (`internal/broker/consumer/server/core.go:45` TODO) and its TOML is
+  * process-global (`config/config.go:15-47`).
+  *
+  * Resolution order at the sink (see [[EffectiveBuckets.resolve]]): an
+  * EXPLICITLY-set writer option wins (even an explicit "off" — the
+  * `…Set` flags on [[RippleConf]] record presence, so option-level
+  * overrides are exact, not sentinel-guessed); otherwise the topic
+  * config; otherwise the engine default. Streaming writers resolve ONCE
+  * at query start — a config change applies to new queries/batch writes
+  * immediately and to running streams at restart (documented; Kafka's
+  * broker-side dynamic config is live, ours is write-start).
+  *
+  * A malformed/torn config document is LOUD everywhere (read, write
+  * resolve): guessing "no config" would silently stop applying retention
+  * the operator believes is on — the same refusal principle as
+  * [[SnapshotPins]].
+  */
+final case class TopicConfig(
+    retentionMs: Option[Long] = None,
+    retentionBytes: Option[Long] = None,
+    autoCompactSegments: Option[Int] = None,
+    compactDistributeMinBytes: Option[Long] = None) {
+  def isEmpty: Boolean =
+    retentionMs.isEmpty && retentionBytes.isEmpty &&
+      autoCompactSegments.isEmpty && compactDistributeMinBytes.isEmpty
+  /** Validation mirrors the writer-option rules (loud, same messages'
+    * spirit): non-positive retention windows/budgets are configuration
+    * errors, not "off" (absence is off).
+    */
+  def validated: TopicConfig = {
+    retentionMs.foreach(v => require(v > 0,
+      s"ripple: topic config retentionMs must be positive, got $v"))
+    retentionBytes.foreach(v => require(v > 0,
+      s"ripple: topic config retentionBytes must be positive, got $v"))
+    autoCompactSegments.foreach(v => require(v >= 2,
+      s"ripple: topic config autoCompactSegments must be >= 2, got $v"))
+    compactDistributeMinBytes.foreach(v => require(v > 0,
+      s"ripple: topic config compactDistributeMinBytes must be positive, got $v"))
+    this
+  }
+  /** Render as Kafka-style `k=v` pairs (sorted) — the DESCRIBE surface. */
+  def render: String = Seq(
+    retentionMs.map("retentionMs=" + _),
+    retentionBytes.map("retentionBytes=" + _),
+    autoCompactSegments.map("autoCompactSegments=" + _),
+    compactDistributeMinBytes.map("compactDistributeMinBytes=" + _))
+    .flatten.mkString(",")
+}
+
+object TopicConfig {
+  private val mapper = new ObjectMapper()
+
+  private def path(log: FileTopicLog, topic: String): HPath =
+    new HPath(new HPath(log.root, topic), ".config")
+
+  /** The topic's persisted config; empty when none was ever set. Torn or
+    * malformed documents are LOUD (see class doc).
+    */
+  def read(log: FileTopicLog, topic: String): TopicConfig = {
+    val p = path(log, topic)
+    val text =
+      try log.readFileUtf8(p)
+      catch { case _: java.io.FileNotFoundException => return TopicConfig() }
+    def bad(why: String): Nothing = throw new IllegalStateException(
+      s"ripple: topic config $p is unreadable ($why) — refusing to guess " +
+        "whether retention/compaction policy is set; repair or delete the " +
+        "config file.")
+    val node =
+      try mapper.readTree(text)
+      catch { case e: java.io.IOException => bad(e.getMessage) }
+    if (node == null || !node.isObject) bad("not a JSON object")
+    if (node.path("v").asInt(-1) != 1) bad("unsupported version")
+    def long(k: String): Option[Long] =
+      if (node.has(k)) Some(node.path(k).asLong()) else None
+    TopicConfig(
+      retentionMs = long("retentionMs"),
+      retentionBytes = long("retentionBytes"),
+      autoCompactSegments = long("autoCompactSegments").map(_.toInt),
+      compactDistributeMinBytes = long("compactDistributeMinBytes"))
+      .validated
+  }
+
+  /** Replace the topic's config document (validated; an EMPTY config
+    * deletes the file — absence is the canonical "no policy").
+    */
+  def write(log: FileTopicLog, topic: String, cfg: TopicConfig): Unit = {
+    require(log.buckets(topic).nonEmpty,
+      s"ripple: topic '$topic' does not exist")
+    val p = path(log, topic)
+    if (cfg.isEmpty) {
+      try log.fs.delete(p, false)
+      catch { case _: java.io.FileNotFoundException => () }
+      return
+    }
+    cfg.validated
+    val root = mapper.createObjectNode()
+    root.put("v", 1)
+    cfg.retentionMs.foreach(root.put("retentionMs", _))
+    cfg.retentionBytes.foreach(root.put("retentionBytes", _))
+    cfg.autoCompactSegments.foreach(v => root.put("autoCompactSegments", v))
+    cfg.compactDistributeMinBytes.foreach(root.put("compactDistributeMinBytes", _))
+    log.writeFileAtomic(p, mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Fold the topic's persisted config into a writer's conf: an
+    * explicitly-set option wins per key; config fills the rest. Called
+    * once per write, driver-side.
+    */
+  def applyDefaults(conf: RippleConf): RippleConf = {
+    val cfg = read(conf.log, conf.topic)
+    if (cfg.isEmpty) conf
+    else conf.copy(
+      retentionMs =
+        if (conf.retentionMsSet) conf.retentionMs
+        else cfg.retentionMs.getOrElse(conf.retentionMs),
+      retentionBytes =
+        if (conf.retentionBytesSet) conf.retentionBytes
+        else cfg.retentionBytes.getOrElse(conf.retentionBytes),
+      autoCompactSegments =
+        if (conf.autoCompactSegmentsSet) conf.autoCompactSegments
+        else cfg.autoCompactSegments.getOrElse(conf.autoCompactSegments),
+      compactDistributeMinBytes =
+        if (conf.compactDistributeMinBytesSet) conf.compactDistributeMinBytes
+        else cfg.compactDistributeMinBytes.getOrElse(conf.compactDistributeMinBytes))
+  }
+}

@@ -287,6 +287,45 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Topic-level config drives the sink's retention (q165, Kafka
+    * `retention.ms`-on-the-topic parity): segment 1 lands via a sink
+    * write carrying NO retention options, its publish mtime is planted
+    * 10 days old, `retentionMs = 1 day` is persisted ON the topic, and
+    * segment 2 lands — again with zero writer options. The second
+    * publish must apply the topic's policy (drop segment 1, floor to
+    * 200); the full lifted read then equals the oracle's
+    * `event_id >= 200` aggregate. A sink that ignores the persisted
+    * config (floor stays 0 → 0-prefixed aggregate) or over-applies it
+    * hash-fails.
+    */
+  def topicConfigRetentionAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cfg", numBuckets = 1)
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+    Ripple.write(Ripple.pack(slice(0, 200), col("event_id")),
+      root, "cfg", numBuckets = 1)
+    // age segment 1 by 10 days (time retention cuts by publish mtime)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("cfg", "b0000")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    log.segments(tb).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    Ripple.setTopicConfig(root, "cfg", graft.connector.TopicConfig(
+      retentionMs = Some(24L * 3600 * 1000)))
+    Ripple.write(Ripple.pack(slice(200, Int.MaxValue), col("event_id")),
+      root, "cfg", numBuckets = 1)
+    val floor = Ripple.earliestOffsets(root, "cfg")("b0000")
+    require(floor == 200L,
+      s"the second publish must apply the topic's retentionMs, floor=$floor")
+    Ripple.lift(Ripple.read(s, root, "cfg"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Consumer expiry unblocks protected retention (q164): a DEAD
     * consumer's cursor (committed once, idle 10 planted days) clamps
     * `protectConsumers` retention to offset 100 — the cut is refused
@@ -492,6 +531,7 @@ object ConnectorQueries {
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
     "q164_consumer_expiry" -> (consumerExpiryAgg _),
+    "q165_topic_config_retention" -> (topicConfigRetentionAgg _),
     "q158_schema_evolve" -> (schemaEvolveAgg _),
     "q159_auto_compact" -> (autoCompactAgg _),
     "q160_consumer_reset" -> (consumerResetAgg _),
@@ -636,6 +676,11 @@ object ConnectorQueries {
       """SELECT count(1) AS n_rows, CAST(8 AS BIGINT) AS n_buckets,
         |  CAST(0 AS BIGINT) AS total_floor
         |FROM events""".stripMargin,
+    "q165_topic_config_retention" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200""".stripMargin,
     "q164_consumer_expiry" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -25,9 +25,9 @@ class ConnectorSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("ripple").toString
 
-  private def samplePayloads(n: Int): DataFrame = {
+  private def samplePayloads(n: Int, idOffset: Int = 0): DataFrame = {
     import spark.implicits._
-    (0 until n).map(i => (i, s"msg-$i".getBytes("UTF-8")))
+    (idOffset until idOffset + n).map(i => (i, s"msg-$i".getBytes("UTF-8")))
       .toDF("id", "data")
   }
 
@@ -1461,6 +1461,88 @@ class ConnectorSpec extends AnyFunSuite {
       "cursor must be unchanged after an aborted reset")
     // an id with no checkpoint is unaffected by the rig (nothing to drop)
     Ripple.resetConsumer(root, "rt", "fresh-id", Ripple.ConsumerReset.Latest)
+  }
+
+  test("topic config: persisted policy applies to every writer; explicit options win per key") {
+    val root = tmp()
+    // --- autoCompactSegments from topic config, no writer options ---
+    Ripple.createTopic(root, "tca", numBuckets = 1)
+    Ripple.setTopicConfig(root, "tca",
+      graft.connector.TopicConfig(autoCompactSegments = Some(3)))
+    (0 until 6).foreach { i =>
+      Ripple.write(samplePayloads(5, idOffset = i * 5), root, "tca", numBuckets = 1)
+    }
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("tca", "b0000")
+    assert(log.segments(tb).size < 3,
+      s"config-driven auto-compaction must have merged, got ${log.segments(tb).size}")
+    assert(Ripple.read(spark, root, "tca").count() == 30, "compaction preserves rows")
+    // explicit writer option (the OFF value!) wins over the config:
+    // three single-partition writes with autoCompactSegments=0 push the
+    // count past the config threshold WITHOUT a merge
+    val n0 = log.segments(tb).size
+    (0 until 3).foreach { i =>
+      samplePayloads(5, idOffset = 30 + i * 5).repartition(1)
+        .write.format("ripple")
+        .option("path", root).option("topic", "tca")
+        .option("autoCompactSegments", 0).mode("append").save()
+    }
+    assert(log.segments(tb).size == n0 + 3 && log.segments(tb).size >= 3,
+      s"explicit autoCompactSegments=0 writers must not compact, " +
+        s"got ${log.segments(tb).size} from $n0")
+    // the next option-less write falls back to the config and merges
+    Ripple.write(samplePayloads(5, idOffset = 45).repartition(1),
+      root, "tca", numBuckets = 1)
+    assert(log.segments(tb).size < n0 + 4,
+      "an option-less write applies the config again")
+    assert(Ripple.read(spark, root, "tca").count() == 50, "all rows intact")
+    // --- retentionBytes from topic config ---
+    Ripple.createTopic(root, "tcb", numBuckets = 1)
+    Ripple.write(samplePayloads(10).repartition(1), root, "tcb", numBuckets = 1)
+    Ripple.setTopicConfig(root, "tcb",
+      graft.connector.TopicConfig(retentionBytes = Some(1L)))
+    Ripple.write(samplePayloads(10, idOffset = 10).repartition(1),
+      root, "tcb", numBuckets = 1)
+    assert(Ripple.earliestOffsets(root, "tcb")("b0000") == 10L,
+      "config retentionBytes=1 keeps only the newest segment at publish")
+    // --- surface: read-back, describe, applyRetention, clear, refusals ---
+    assert(Ripple.topicConfig(root, "tcb").retentionBytes.contains(1L))
+    assert(Ripple.describeTopic(root, "tcb").config.render == "retentionBytes=1")
+    Ripple.write(samplePayloads(10, idOffset = 20).repartition(1),
+      root, "tcb", numBuckets = 1)
+    assert(Ripple.earliestOffsets(root, "tcb")("b0000") == 20L,
+      "every option-less publish applies the topic policy")
+    // a writer that explicitly opts out leaves a backlog...
+    samplePayloads(10, idOffset = 30).repartition(1).write.format("ripple")
+      .option("path", root).option("topic", "tcb")
+      .option("retentionBytes", Long.MaxValue).mode("append").save()
+    assert(Ripple.earliestOffsets(root, "tcb")("b0000") == 20L)
+    // ...which the one-call nightly job cleans up from the SAME config
+    assert(Ripple.applyRetention(root, "tcb") >= 1, "the nightly job applies the policy")
+    assert(Ripple.earliestOffsets(root, "tcb")("b0000") == 30L)
+    assert(Ripple.applyRetention(root, "tca") == 0, "no retention policy = no-op")
+    Ripple.setTopicConfig(root, "tcb", graft.connector.TopicConfig())
+    assert(Ripple.topicConfig(root, "tcb").isEmpty, "empty config clears the file")
+    intercept[IllegalArgumentException] {
+      Ripple.setTopicConfig(root, "tcb",
+        graft.connector.TopicConfig(retentionMs = Some(-5L)))
+    }
+    intercept[IllegalArgumentException] {
+      Ripple.setTopicConfig(root, "nope", graft.connector.TopicConfig(
+        retentionMs = Some(1000L)))
+    }
+    // torn/malformed config is LOUD everywhere it is read
+    log.writeFileAtomic(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "tcb"), ".config"),
+      "{broken".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    intercept[IllegalStateException] { Ripple.topicConfig(root, "tcb") }
+    val torn = intercept[Exception] { // Spark may wrap the write-side throw
+      Ripple.write(samplePayloads(5, idOffset = 30), root, "tcb", numBuckets = 1)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(torn).exists(_.contains("unreadable")), chain(torn).mkString(" | "))
   }
 
   test("consumer lifecycle: deleteConsumer and idle expiry (offsets.retention analog)") {
