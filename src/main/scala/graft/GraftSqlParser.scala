@@ -135,7 +135,10 @@ case class DescribeTopicCommand(topic: String, root: Option[String])
 }
 
 /** `SHOW CONSUMERS FOR t [IN '<root>']` — one row per (consumer, bucket):
-  * committed cursor, end, floor, lag, rows lost to retention, time lag.
+  * committed cursor, end, floor, lag, rows lost to retention, time lag,
+  * and `idle_ms` (now − last observable commit activity) — the number an
+  * operator reads before [[graft.api.Ripple.expireConsumers]]: see the
+  * idle cursor, then expire it.
   */
 case class ShowConsumersCommand(topic: String, root: Option[String])
     extends LeafRunnableCommand {
@@ -145,14 +148,19 @@ case class ShowConsumersCommand(topic: String, root: Option[String])
     attr("committed", LongType), attr("end_offset", LongType),
     attr("floor", LongType), attr("lag", LongType),
     attr("lost_to_retention", LongType),
-    attr("time_lag_ms", LongType, nullable = true))
+    attr("time_lag_ms", LongType, nullable = true),
+    attr("idle_ms", LongType, nullable = true))
   override def run(spark: SparkSession): Seq[Row] = {
     val now = System.currentTimeMillis()
-    Ripple.consumerStatus(resolveRoot(root, spark), topic).toSeq
+    val r = resolveRoot(root, spark)
+    Ripple.consumerStatus(r, topic).toSeq
       .sortBy(_._1).flatMap { case (id, byBucket) =>
+        val idle = graft.connector.ConsumerOffsets.lastActivityMs(r, topic, id)
+          .map(at => math.max(0L, now - at))
         byBucket.toSeq.sortBy(_._1).map { case (b, p) =>
           Row(id, b, p.committed, p.end, p.floor, p.lag, p.lostToRetention,
-            p.timeLagMs(now).map(Long.box).orNull)
+            p.timeLagMs(now).map(Long.box).orNull,
+            idle.map(Long.box).orNull)
         }
       }
   }

@@ -722,13 +722,16 @@ class ConnectorSpec extends AnyFunSuite {
       assert(d.map(_.getAs[String]("bucket")).sorted.toSeq == Seq("b0000", "b0001"))
       assert(d.map(_.getAs[Long]("rows")).sum == 20L)
       assert(d.forall(_.getAs[String]("consumers") == "c1"))
-      // SHOW CONSUMERS: cursor + lag arithmetic
+      // SHOW CONSUMERS: cursor + lag arithmetic + idle accounting
       val c = s.sql("SHOW CONSUMERS FOR adm").collect()
       val c1b0 = c.find(r => r.getAs[String]("consumer") == "c1" &&
         r.getAs[String]("bucket") == "b0000").get
       assert(c1b0.getAs[Long]("committed") == 3L)
       assert(c1b0.getAs[Long]("lag") ==
         d.find(_.getAs[String]("bucket") == "b0000").get.getAs[Long]("end_offset") - 3L)
+      val idle = c1b0.getAs[java.lang.Long]("idle_ms")
+      assert(idle != null && idle >= 0L && idle < 3600L * 1000,
+        s"a just-committed consumer reads as recently active, got $idle")
       // SHOW SNAPSHOTS: the registered pin, live
       val sn = s.sql("SHOW SNAPSHOTS FOR adm").collect()
       assert(sn.map(_.getAs[String]("name")).toSeq == Seq("pin1"))
