@@ -126,6 +126,23 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(files.length == 1, s"expected 1 surviving data file, got ${files.toSeq}")
   }
 
+  test("topic config round-trips over the store (whole-object PUT, no rename)") {
+    val log = newLog()
+    val now = System.currentTimeMillis()
+    log.createTopic("t", 1)
+    log.appendAt(tb, 0L, payloads(3, 1).map(p => (p, now)))
+    val cfg = graft.connector.TopicConfig(retentionBytes = Some(1L << 30),
+      autoCompactSegments = Some(8))
+    graft.connector.TopicConfig.write(log, "t", cfg)
+    assert(graft.connector.TopicConfig.read(log, "t") == cfg)
+    // replace whole-document (second PUT), then clear
+    graft.connector.TopicConfig.write(log, "t",
+      graft.connector.TopicConfig(retentionMs = Some(1000L)))
+    assert(graft.connector.TopicConfig.read(log, "t").render == "retentionMs=1000")
+    graft.connector.TopicConfig.write(log, "t", graft.connector.TopicConfig())
+    assert(graft.connector.TopicConfig.read(log, "t").isEmpty)
+  }
+
   test("commit-log checkpoints bound the version directory; state survives GC") {
     val log = newLog("graft.log.commitCheckpointInterval" -> "4")
     val now = System.currentTimeMillis()
