@@ -547,8 +547,12 @@ object Ripple {
     * `offsets.retention.minutes` analog (Kafka expires committed offsets
     * of groups inactive past the retention window; default there 7 days).
     * Activity = last committed epoch (cursor mtime, newest checkpoint
-    * commit) or registration, so a LIVE streaming consumer refreshes its
-    * stamp every epoch and can never expire under any sane threshold.
+    * commit), so a LIVE streaming consumer refreshes its stamp every
+    * epoch and can never expire under any sane threshold. A consumer
+    * that never committed ANYTHING is skipped, not expired: it holds no
+    * cursor so it clamps nothing, and its only stamp would be a
+    * directory mtime object stores synthesize rather than track
+    * ([[graft.connector.ConsumerOffsets.fileActivityMs]]).
     * Returns the expired IDs (their state deleted as [[deleteConsumer]]).
     * Typical pairing, mirroring [[vacuumSnapshots]] for pins:
     *
@@ -563,7 +567,7 @@ object Ripple {
     require(olderThanMs > 0, "ripple: expireConsumers needs a positive " +
       "idle threshold — expiring everything is deleteConsumer in a loop")
     graft.connector.ConsumerOffsets.registered(root, topic).filter { id =>
-      graft.connector.ConsumerOffsets.lastActivityMs(root, topic, id)
+      graft.connector.ConsumerOffsets.fileActivityMs(root, topic, id)
         .exists(at => nowMs - at > olderThanMs) && {
         graft.connector.ConsumerOffsets.delete(root, topic, id); true
       }

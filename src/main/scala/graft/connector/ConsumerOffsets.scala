@@ -199,6 +199,21 @@ object ConsumerOffsets {
     val base =
       try fs.getFileStatus(d).getModificationTime
       catch { case _: java.io.FileNotFoundException => return None }
+    Some(math.max(base, fileActivityMs(root, topic, id).getOrElse(-1L)))
+  }
+
+  /** FILE-backed activity only — the cursor's mtime and the newest
+    * checkpoint commit; None without either. This is what expiry keys on:
+    * object stores stamp every object PUT (Last-Modified) but synthesize
+    * directory mtimes, so the dir-mtime fallback above is display-grade,
+    * not expiry-grade. A consumer with NO file stamp has never committed
+    * anything — it holds no cursor, clamps nothing, and expiring it buys
+    * nothing, so [[graft.api.Ripple.expireConsumers]] skips it instead of
+    * trusting a substrate-dependent dir stamp.
+    */
+  def fileActivityMs(root: String, topic: String, id: String): Option[Long] = {
+    val fs = fsFor(root)
+    val d = consumerDir(root, topic, id)
     def mtime(p: HPath): Long =
       try fs.getFileStatus(p).getModificationTime
       catch { case _: java.io.FileNotFoundException => -1L }
@@ -206,7 +221,8 @@ object ConsumerOffsets {
       try fs.listStatus(new HPath(new HPath(d, "ckpt"), "commits"))
         .iterator.map(_.getModificationTime).foldLeft(-1L)(math.max)
       catch { case _: java.io.FileNotFoundException => -1L }
-    Some(math.max(base, math.max(mtime(new HPath(d, "cursor.json")), commits)))
+    val best = math.max(mtime(new HPath(d, "cursor.json")), commits)
+    if (best < 0) None else Some(best)
   }
 
   /** Remove `id`'s ENTIRE registered state — cursor, managed checkpoint,

@@ -1574,10 +1574,19 @@ class ConnectorSpec extends AnyFunSuite {
     val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
     fs.setTimes(new org.apache.hadoop.fs.Path(staleDir, "cursor.json"), old, old)
     fs.setTimes(staleDir, old, old)
+    // even an ANCIENT-looking namespace dir must not expire a consumer
+    // that never committed: dir mtimes are substrate-synthesized on
+    // object stores, so expiry keys on FILE stamps only (and a
+    // no-cursor consumer clamps nothing anyway)
+    val freshDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "cl"),
+        ".consumers"), "fresh")
+    fs.setTimes(freshDir, old, old)
     assert(Ripple.expireConsumers(root, "cl", olderThanMs = 24L * 3600 * 1000)
       == Seq("stale"))
     assert(graft.connector.ConsumerOffsets.registered(root, "cl").toSet
-      == Set("kept", "fresh"), "fresh registration and live cursor survive expiry")
+      == Set("kept", "fresh"),
+      "live cursor and never-committed registration survive expiry")
     // expiring everything is not a threshold — loud
     intercept[IllegalArgumentException] { Ripple.expireConsumers(root, "cl", 0L) }
     // refused filesystem delete is loud: the cursor would keep clamping
