@@ -39,7 +39,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case ShowTopicsStmt(root)          => ShowTopicsCommand(Option(root))
-    case DescribeTopicStmt(name, root) => DescribeTopicCommand(name, Option(root))
+    case DescribeTopicStmt(name, root)
+        if !shadowsCatalogDescribe(name, Option(root)) =>
+      DescribeTopicCommand(name, Option(root))
     case ShowConsumersStmt(name, root) => ShowConsumersCommand(name, Option(root))
     case ShowSnapshotsStmt(name, root) => ShowSnapshotsCommand(name, Option(root))
     case ShowSchemaVersionsStmt(name, root) =>
@@ -94,6 +96,31 @@ object GraftSqlParser {
 
   private[graft] def attr(name: String, dt: DataType, nullable: Boolean = false) =
     AttributeReference(name, dt, nullable)()
+
+  /** Reserved-word collision guard (round-15 verdict #1): `DESCRIBE topic
+    * <col>` — a user describing column `<col>` of a real table literally
+    * named `topic` — full-matches [[DescribeTopicStmt]] with `<col>`
+    * captured as the "topic name". Intercepting it breaks valid Spark SQL,
+    * so the statement DELEGATES when the session catalog has a table or
+    * view named `topic` and no ripple topic `<name>` exists under the
+    * resolvable root. When both exist, the topic command wins (disambiguate
+    * the column form with a qualified table name, e.g. `DESCRIBE
+    * db.topic <col>`). Bare `DESCRIBE topic` never matched (no name
+    * follows) and keeps reaching Spark untouched.
+    */
+  private[graft] def shadowsCatalogDescribe(name: String,
+      explicitRoot: Option[String]): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      val tableNamedTopic =
+        try s.catalog.tableExists("topic")
+        catch { case scala.util.control.NonFatal(_) => false }
+      tableNamedTopic && {
+        val topicExists =
+          try Ripple.topics(resolveRoot(explicitRoot, s)).contains(name)
+          catch { case scala.util.control.NonFatal(_) => false }
+        !topicExists
+      }
+    }
 }
 
 /** `SHOW TOPICS [IN '<root>']` — one row per topic under the root. */

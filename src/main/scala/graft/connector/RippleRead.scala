@@ -682,7 +682,8 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
         }
     }
   }
-  private var off = itStart
+  private var off = itStart        // next POSITIONAL offset (cursor)
+  private var curOff: Long = -1L   // the just-decoded record's offset
   private var cur: InternalRow = _
 
   private val topicU = UTF8String.fromString(p.topic)
@@ -740,7 +741,7 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
         case ("bucket", false) | ("_bucket", true) =>
           (_: Int, _: Long, _: Array[Byte], _: InternalRow) => bucketU
         case ("offset", false) | ("_offset", true) =>
-          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Long.valueOf(off)
+          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Long.valueOf(curOff)
         case ("id", false) | ("_id", true) =>
           (id: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Integer.valueOf(id)
         case ("data", false) =>
@@ -762,16 +763,20 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
   override def next(): Boolean = {
     while (it.hasNext && off < p.until) {
       val (id, ts, data) = it.next()
-      if (off >= p.from) {
+      // sparse-aware cursor rule: a key-compacted segment's frames carry
+      // EXPLICIT offsets (retained records keep their original positions);
+      // an explicit frame sets the cursor, a positional one is cursor++.
+      // Offsets stay monotone either way, so range pruning is unchanged.
+      curOff = if (it.explicitOffset >= 0) it.explicitOffset else off
+      off = curOff + 1
+      if (curOff >= p.from && curOff < p.until) {
         val pr = if (payloadParse.isDefined) parsePayload(data) else null
         val values = new Array[Any](getters.length)
         var i = 0
         while (i < getters.length) { values(i) = getters(i)(id, ts, data, pr); i += 1 }
         cur = new GenericInternalRow(values)
-        off += 1
         return true
       }
-      off += 1
     }
     false
   }

@@ -152,6 +152,10 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value.value)
   fs.mkdirs(stagingDir)
 
+  // resolved ONCE driver-side (EffectiveBuckets folds the topic config in),
+  // shipped in the conf: every frame this task stages uses the same codec
+  private val codec: Int = graft.log.Codecs.id(conf.compression)
+
   private case class Open(path: HPath, out: DataOutputStream, var count: Long,
     var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
   private val open = mutable.Map.empty[String, Open]
@@ -180,10 +184,9 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
       else System.currentTimeMillis()
     if (tsMillis < o.minTs) o.minTs = tsMillis
     if (tsMillis > o.maxTs) o.maxTs = tsMillis
-    o.out.writeInt(4 + 8 + data.length)
-    o.out.writeInt(id)
-    o.out.writeLong(tsMillis)
-    o.out.write(data)
+    // shared frame codec: raw positional frames when codec == none (the
+    // wire-stable v1 layout); self-describing compressed frames otherwise
+    SegmentCodec.writeFrame(o.out, id, tsMillis, data, codec)
     o.count += 1
   }
 

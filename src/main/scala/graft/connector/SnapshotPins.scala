@@ -69,25 +69,54 @@ object SnapshotPins {
     root.put("token", token)
     val p = pinPath(log, topic, name)
     log.fs.mkdirs(p.getParent)
-    val out =
-      try log.fs.create(p, false) // put-if-absent: one winner per name
+    val bytes = mapper.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def alreadyExists(): Nothing = throw new IllegalStateException(
+      s"ripple: snapshot pin '$name' already exists on topic " +
+        s"'$topic' — pins are immutable; dropSnapshot first or pick " +
+        "a new name.")
+    if (log.manifestCommitMode) {
+      // object stores: a conditional PUT is BOTH create-exclusive and
+      // atomic-visible at close (an object never appears torn), so the
+      // direct exclusive create is the whole protocol
+      val out =
+        try log.fs.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException => alreadyExists()
+        }
+      try { out.write(bytes); out.close() }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
              _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"ripple: snapshot pin '$name' already exists on topic " +
-              s"'$topic' — pins are immutable; dropSnapshot first or pick " +
-              "a new name.")
+          try out.close() catch { case _: Throwable => () }
+          alreadyExists()
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try log.fs.delete(p, false) catch { case _: Throwable => () }
+          throw e
       }
-    try {
-      out.write(mapper.writeValueAsString(root)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
-    } catch {
-      case e: Throwable =>
-        try out.close() catch { case _: Throwable => () }
-        try log.fs.delete(p, false) catch { case _: Throwable => () }
-        throw e
+    } else {
+      // local/HDFS: create(p, false) makes an EMPTY file visible before
+      // the JSON lands, and list() is loud on torn documents — a pin save
+      // racing an unrelated retention pass would fail it spuriously. So
+      // stage to a dot-temp (invisible to list(), which skips dot-prefixed
+      // names — pin names cannot start with '.') and publish with the
+      // atomic no-replace primitive: create-exclusivity AND atomic
+      // visibility in one step.
+      val tmp = new HPath(p.getParent, s".tmp-pin-${java.util.UUID.randomUUID()}")
+      val out = log.fs.create(tmp, true)
+      try { out.write(bytes); out.close() }
+      catch {
+        case e: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          try log.fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
+      }
+      if (!log.publishNoReplace(tmp, p)) {
+        try log.fs.delete(tmp, false) catch { case _: Throwable => () }
+        alreadyExists()
+      }
     }
     pin
   }
@@ -101,23 +130,39 @@ object SnapshotPins {
       try log.fs.listStatus(dir(log, topic))
       catch { case _: java.io.FileNotFoundException =>
         return Seq.empty }
-    sts.iterator.filter(_.isFile).map { st =>
+    // dot-prefixed names are save()'s staging artifacts (a crashed save
+    // may orphan one), never pins — the name alphabet forbids a leading
+    // dot, so skipping them can never hide a real pin
+    sts.iterator.filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+        .flatMap { st =>
       val name = st.getPath.getName
       def bad(why: String): Nothing = throw new IllegalStateException(
         s"ripple: snapshot pin '$name' on topic '$topic' is unreadable " +
           s"($why) — refusing to guess whether a corpus is pinned; " +
           "repair or delete the pin file.")
-      val node =
-        try mapper.readTree(log.readFileUtf8(st.getPath))
-        catch { case e: java.io.IOException => bad(e.getMessage) }
-      if (node == null || !node.isObject) bad("not a JSON object")
-      if (node.path("v").asInt(-1) != 1) bad(s"unsupported version")
-      val token = node.path("token").asText(null)
-      if (token == null || token.isEmpty) bad("missing token")
-      TopicSnapshot.decode(token) // malformed embedded token is loud too
-      Pin(name, token, node.path("createdAt").asLong(0L),
-        if (node.has("expiresAt")) Some(node.path("expiresAt").asLong())
-        else None)
+      val text =
+        try Some(log.readFileUtf8(st.getPath))
+        catch {
+          // dropped concurrently between listStatus and the read
+          // (dropSnapshot/vacuum in another process): the pin no longer
+          // exists — a benign race, not corruption. FileNotFound is an
+          // IOException, so it must be classified FIRST.
+          case _: java.io.FileNotFoundException => None
+          case e: java.io.IOException => bad(e.getMessage)
+        }
+      text.map { t =>
+        val node =
+          try mapper.readTree(t)
+          catch { case e: java.io.IOException => bad(e.getMessage) }
+        if (node == null || !node.isObject) bad("not a JSON object")
+        if (node.path("v").asInt(-1) != 1) bad(s"unsupported version")
+        val token = node.path("token").asText(null)
+        if (token == null || token.isEmpty) bad("missing token")
+        TopicSnapshot.decode(token) // malformed embedded token is loud too
+        Pin(name, token, node.path("createdAt").asLong(0L),
+          if (node.has("expiresAt")) Some(node.path("expiresAt").asLong())
+          else None)
+      }
     }.toSeq.sortBy(_.name)
   }
 

@@ -44,10 +44,12 @@ final case class TopicConfig(
     retentionMs: Option[Long] = None,
     retentionBytes: Option[Long] = None,
     autoCompactSegments: Option[Int] = None,
-    compactDistributeMinBytes: Option[Long] = None) {
+    compactDistributeMinBytes: Option[Long] = None,
+    compression: Option[String] = None) {
   def isEmpty: Boolean =
     retentionMs.isEmpty && retentionBytes.isEmpty &&
-      autoCompactSegments.isEmpty && compactDistributeMinBytes.isEmpty
+      autoCompactSegments.isEmpty && compactDistributeMinBytes.isEmpty &&
+      compression.isEmpty
   /** Validation mirrors the writer-option rules (loud, same messages'
     * spirit): non-positive retention windows/budgets are configuration
     * errors, not "off" (absence is off).
@@ -61,14 +63,16 @@ final case class TopicConfig(
       s"ripple: topic config autoCompactSegments must be >= 2, got $v"))
     compactDistributeMinBytes.foreach(v => require(v > 0,
       s"ripple: topic config compactDistributeMinBytes must be positive, got $v"))
+    compression.foreach(graft.log.Codecs.id) // loud on an unknown codec name
     this
   }
   /** Render as Kafka-style `k=v` pairs (sorted) — the DESCRIBE surface. */
   def render: String = Seq(
-    retentionMs.map("retentionMs=" + _),
-    retentionBytes.map("retentionBytes=" + _),
     autoCompactSegments.map("autoCompactSegments=" + _),
-    compactDistributeMinBytes.map("compactDistributeMinBytes=" + _))
+    compactDistributeMinBytes.map("compactDistributeMinBytes=" + _),
+    compression.map("compression=" + _),
+    retentionBytes.map("retentionBytes=" + _),
+    retentionMs.map("retentionMs=" + _))
     .flatten.mkString(",")
 }
 
@@ -96,13 +100,40 @@ object TopicConfig {
     if (node == null || !node.isObject) bad("not a JSON object")
     if (node.path("v").asInt(-1) != 1) bad("unsupported version")
     def long(k: String): Option[Long] =
-      if (node.has(k)) Some(node.path(k).asLong()) else None
-    TopicConfig(
+      if (!node.has(k)) None
+      else {
+        // a non-numeric value is a malformed DOCUMENT (asLong would
+        // silently coerce it to 0 and fail as a bogus "must be positive")
+        if (!node.path(k).canConvertToLong) bad(s"'$k' is not an integer")
+        Some(node.path(k).asLong())
+      }
+    def int(k: String): Option[Int] = long(k).map { v =>
+      // range-check before narrowing: a hand-edited 2^32+2 must take the
+      // loud malformed-document path, not silently truncate to 2 (a
+      // valid-looking policy)
+      if (v < Int.MinValue || v > Int.MaxValue)
+        bad(s"'$k' out of int range: $v")
+      v.toInt
+    }
+    def str(k: String): Option[String] =
+      if (!node.has(k)) None
+      else {
+        if (!node.path(k).isTextual) bad(s"'$k' is not a string")
+        Some(node.path(k).asText())
+      }
+    try TopicConfig(
       retentionMs = long("retentionMs"),
       retentionBytes = long("retentionBytes"),
-      autoCompactSegments = long("autoCompactSegments").map(_.toInt),
-      compactDistributeMinBytes = long("compactDistributeMinBytes"))
+      autoCompactSegments = int("autoCompactSegments"),
+      compactDistributeMinBytes = long("compactDistributeMinBytes"),
+      compression = str("compression"))
       .validated
+    catch {
+      // an unknown codec NAME in a persisted document is a malformed
+      // document (same loudness class as a torn write), not a caller
+      // usage error
+      case e: IllegalArgumentException => bad(e.getMessage)
+    }
   }
 
   /** Replace the topic's config document (validated; an EMPTY config
@@ -124,6 +155,7 @@ object TopicConfig {
     cfg.retentionBytes.foreach(root.put("retentionBytes", _))
     cfg.autoCompactSegments.foreach(v => root.put("autoCompactSegments", v))
     cfg.compactDistributeMinBytes.foreach(root.put("compactDistributeMinBytes", _))
+    cfg.compression.foreach(root.put("compression", _))
     log.writeFileAtomic(p, mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -147,6 +179,9 @@ object TopicConfig {
         else cfg.autoCompactSegments.getOrElse(conf.autoCompactSegments),
       compactDistributeMinBytes =
         if (conf.compactDistributeMinBytesSet) conf.compactDistributeMinBytes
-        else cfg.compactDistributeMinBytes.getOrElse(conf.compactDistributeMinBytes))
+        else cfg.compactDistributeMinBytes.getOrElse(conf.compactDistributeMinBytes),
+      compression =
+        if (conf.compressionSet) conf.compression
+        else cfg.compression.getOrElse(conf.compression))
   }
 }

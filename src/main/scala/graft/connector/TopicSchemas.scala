@@ -95,22 +95,21 @@ object TopicSchemas {
       scan().getOrElse {
         // NO recorded version matches the pointer: the pointer was
         // rewritten out-of-band (or a version file corrupted). Returning
-        // the highest recorded number here would pin exactly the orphan
-        // shape the reconcile exists to skip — instead SEED the pointer
-        // schema as the next version (create-exclusive, so concurrent
-        // repairers serialize) and report that. Loud: this state is
-        // always a protocol breach worth an operator's attention.
+        // the highest recorded number would pin exactly the orphan shape
+        // the reconcile exists to skip — instead report the pointer as the
+        // NEXT (unrecorded) version, with a loud warning. This path is
+        // READ-ONLY by contract (round-15 ADVICE): it runs from
+        // describeTopic and the SHOW SCHEMA VERSIONS / DESCRIBE TOPIC SQL
+        // commands, which must work on read-only credentials — the repair
+        // WRITE happens on the next [[evolve]] (its allocator claims past
+        // every recorded number, and [[schemaAt]] resolves this virtual
+        // number to the pointer so snapshots cut in the breach window
+        // still lift).
         logger.warn(s"topic '$topic': registered schema pointer matches NO " +
-          "recorded version — seeding it as a new version (was the pointer " +
-          "rewritten outside evolve()?)")
-        val v = listVersions(log, topic).max + 1
-        if (createExclusive(log, versionPath(log, topic, v),
-            pointer.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))) v
-        else scan().getOrElse(throw new IllegalStateException(
-          s"topic '$topic': schema pointer matches no recorded version and " +
-            "seeding it lost a race to a writer that ALSO left no matching " +
-            "version — the version history is being mutated out-of-band; " +
-            "repair <topic>/.schema-versions manually."))
+          "recorded version (was the pointer rewritten outside evolve()?) — " +
+          "reporting it as the next unrecorded version; the next evolve() " +
+          "records it")
+        listVersions(log, topic).maxOption.getOrElse(0) + 1
       }
     }
 
@@ -123,10 +122,21 @@ object TopicSchemas {
       .asInstanceOf[StructType]
     catch {
       case _: java.io.FileNotFoundException =>
-        if (v == 1 && listVersions(log, topic).isEmpty) require(log, topic)
-        else throw new IllegalStateException(
+        val vs = listVersions(log, topic)
+        if (v == 1 && vs.isEmpty) require(log, topic)
+        else if (v == vs.maxOption.getOrElse(0) + 1 && get(log, topic).isDefined) {
+          // the breach window's VIRTUAL version: [[currentVersion]] reports
+          // the pointer as maxRecorded+1 when it matches no recorded file
+          // (out-of-band pointer rewrite) and records nothing — reads are
+          // read-only. A snapshot cut in that window pinned this number;
+          // the pointer is the only shape it can mean.
+          logger.warn(s"topic '$topic': schema version $v is unrecorded — " +
+            "resolving to the current pointer (breach-window snapshot; see " +
+            "currentVersion)")
+          require(log, topic)
+        } else throw new IllegalStateException(
           s"topic '$topic' has no recorded schema version $v (recorded: " +
-            s"${listVersions(log, topic).mkString(", ")}) — a snapshot " +
+            s"${vs.mkString(", ")}) — a snapshot " +
             "pinned under that version cannot lift; was the schema history " +
             "dropped?")
     }
@@ -296,6 +306,18 @@ object TopicSchemas {
       // seed v1 for a topic registered before version history existed, so
       // snapshots cut before this evolution still resolve their version
       if (listVersions(log, topic).isEmpty) writeVersion(log, topic, 1, existing)
+      // breach repair, confined to the WRITE path (round-15 ADVICE —
+      // currentVersion is read-only): a pointer matching NO recorded
+      // version (out-of-band rewrite) is seeded here at the same virtual
+      // number reads have been reporting, so snapshots cut in the breach
+      // window keep lifting the OLD pointer shape and this evolution
+      // allocates past it
+      else if (!listVersions(log, topic).exists { w =>
+        try DataType.fromJson(log.readFileUtf8(versionPath(log, topic, w))) == existing
+        catch { case _: java.io.FileNotFoundException => false }
+      }) createExclusive(log,
+        versionPath(log, topic, listVersions(log, topic).max + 1),
+        existing.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // allocate past EVERY claimed number, including a crashed evolve's
       // orphan (whose number currentVersion deliberately skips) — claiming
       // currentVersion+1 would collide with the orphan forever

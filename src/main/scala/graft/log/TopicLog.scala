@@ -90,6 +90,14 @@ final class InMemoryLog extends TopicLog {
   *
   * {{{ [len:int32][id:int32][tsMillis:int64][data:len-12 bytes] }}}
   *
+  * A NEGATIVE length prefix marks the extended (v2) frame layout carrying a
+  * compressed payload and/or an explicit record offset — see [[writeFrame]]
+  * for the exact shape and [[Codecs]] for the compression design. Frames
+  * are self-describing PER FRAME, so one file (and one bucket) can mix
+  * raw/compressed/sparse frames freely: compaction stays a plain byte
+  * concatenation, and a topic whose `compression` config changes mid-life
+  * keeps reading correctly.
+  *
   * Segments are immutable once published (write-temp + atomic rename), so a
   * retried epoch that re-appends the same segment name is a no-op — this is
   * what makes the streaming sink idempotent/exactly-once, replacing the
@@ -115,23 +123,82 @@ object SegmentCodec {
       case _           => None
     }
 
-  /** Frame-encode `rows` onto `out` (closed by the caller's wrapper). */
-  def writeFrames(raw: OutputStream, rows: Seq[(Payload, Long)]): Unit = {
-    val out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
-    try rows.foreach { case (p, tsMillis) =>
-      val d = if (p.data == null) Array.emptyByteArray else p.data
+  /** Extended-frame flag bits (see the class doc's v2 layout). */
+  private val CodecMask = 0x07
+  private val HasOffsetFlag = 0x08
+  private val KnownFlags = CodecMask | HasOffsetFlag
+
+  /** Write ONE frame. The classic positional layout is kept verbatim for
+    * raw frames (wire-stable — every pre-compression segment remains a
+    * byte-identical valid stream); a frame that carries a compressed
+    * payload and/or an explicit offset uses the self-describing EXTENDED
+    * layout, marked by a NEGATIVE length prefix:
+    *
+    * {{{
+    *   v1: [len:int32>=12][id:int32][ts:int64][data: len-12 bytes]
+    *   v2: [-len:int32][flags:uint8][offset:int64 if flags&8]
+    *       [id:int32][ts:int64][rawLen:int32 if codec!=0][payload]
+    * }}}
+    *
+    * `flags` bits 0–2 carry the codec id ([[Codecs]]), bit 3 marks an
+    * explicit record offset (sparse segments — key compaction); unknown
+    * bits are refused at read (a frame written by a newer engine must not
+    * decode as garbage). Self-description is PER FRAME, which is what lets
+    * compaction keep concatenating segments bytewise across codec/config
+    * changes, and mixed frames coexist in one file.
+    *
+    * Compression policy: payloads under [[Codecs.MinCompressBytes]] and
+    * payloads the codec fails to shrink stay raw — so a compressed frame
+    * is always strictly smaller than its raw form, and pathological inputs
+    * never regress.
+    *
+    * `offset < 0` means positional (the reader's cursor assigns it).
+    */
+  def writeFrame(out: DataOutputStream, id: Int, tsMillis: Long,
+      data: Array[Byte], codec: Int = Codecs.None, offset: Long = -1L): Unit = {
+    val d = if (data == null) Array.emptyByteArray else data
+    val comp =
+      if (codec == Codecs.None || d.length < Codecs.MinCompressBytes) null
+      else {
+        val c = Codecs.compress(codec, d)
+        if (c.length + 5 < d.length) c else null // 5 = flags + rawLen overhead
+      }
+    if (comp == null && offset < 0) {
       out.writeInt(4 + 8 + d.length)
-      out.writeInt(p.id)
+      out.writeInt(id)
       out.writeLong(tsMillis)
       out.write(d)
+    } else {
+      val effCodec = if (comp == null) Codecs.None else codec
+      val flags = effCodec | (if (offset >= 0) HasOffsetFlag else 0)
+      val body = if (comp == null) d else comp
+      val len = 1 + (if (offset >= 0) 8 else 0) + 12 +
+        (if (effCodec != Codecs.None) 4 else 0) + body.length
+      out.writeInt(-len)
+      out.writeByte(flags)
+      if (offset >= 0) out.writeLong(offset)
+      out.writeInt(id)
+      out.writeLong(tsMillis)
+      if (effCodec != Codecs.None) out.writeInt(d.length)
+      out.write(body)
+    }
+  }
+
+  /** Frame-encode `rows` onto `out` (closed by the caller's wrapper). */
+  def writeFrames(raw: OutputStream, rows: Seq[(Payload, Long)],
+      codec: Int = Codecs.None): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
+    try rows.foreach { case (p, tsMillis) =>
+      writeFrame(out, p.id, tsMillis, p.data, codec)
     } finally out.close()
   }
 
   def write(file: java.nio.file.Path, rows: Seq[(Payload, Long)]): Unit =
     writeFrames(java.nio.file.Files.newOutputStream(file), rows)
 
-  def write(fs: FileSystem, file: HPath, rows: Seq[(Payload, Long)]): Unit =
-    writeFrames(fs.create(file, true), rows)
+  def write(fs: FileSystem, file: HPath, rows: Seq[(Payload, Long)],
+      codec: Int = Codecs.None): Unit =
+    writeFrames(fs.create(file, true), rows, codec)
 
   /** Frame iterator with an explicit `close()`: an offset-pruned read that
     * stops mid-segment releases the stream WITHOUT decoding the remaining
@@ -144,32 +211,87 @@ object SegmentCodec {
   final class FrameIterator(raw: InputStream, skipData: Boolean = false)
       extends Iterator[(Int, Long, Array[Byte])] with AutoCloseable {
     private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
+    private var eof = false
     private var nextLen = readLen()
-    private def readLen(): Int =
-      try in.readInt()
-      catch { case _: java.io.EOFException => in.close(); -1 }
-    override def hasNext: Boolean = nextLen >= 0
+    private def readLen(): Int = {
+      val len = try in.readInt()
+                catch { case _: java.io.EOFException => in.close(); eof = true; 0 }
+      if (!eof && len >= 0 && len < 12) throw new java.io.IOException(
+        s"corrupt frame: length prefix $len < 12-byte header")
+      len
+    }
+
+    /** The just-returned frame's EXPLICIT offset, or -1 for a positional
+      * frame (the caller's cursor assigns it). Explicit offsets appear in
+      * sparse segments — key compaction retains the latest record per key
+      * AT ITS ORIGINAL OFFSET, so positional assignment no longer holds
+      * there; a reader's cursor rule is: explicit sets the cursor,
+      * positional is cursor++ (sparse writers stamp EVERY frame explicit,
+      * so a dense tail concatenated after a sparse run can never inherit
+      * a mid-gap cursor).
+      */
+    var explicitOffset: Long = -1L
+
+    override def hasNext: Boolean = !eof
     override def next(): (Int, Long, Array[Byte]) = {
-      val id = in.readInt()
-      val ts = in.readLong()
-      val data =
-        if (skipData) {
-          var toSkip = (nextLen - 12).toLong
-          while (toSkip > 0) {
-            val s = in.skip(toSkip)
-            if (s > 0) toSkip -= s
-            else { in.readByte(); toSkip -= 1 }
-          }
-          Array.emptyByteArray
-        } else {
-          val d = new Array[Byte](nextLen - 12)
-          in.readFully(d)
-          d
+      val out =
+        if (nextLen >= 0) { // v1 positional frame
+          explicitOffset = -1L
+          val id = in.readInt()
+          val ts = in.readLong()
+          val data =
+            if (skipData) { skipFully(nextLen - 12L); Array.emptyByteArray }
+            else { val d = new Array[Byte](nextLen - 12); in.readFully(d); d }
+          (id, ts, data)
+        } else { // v2 extended frame (compressed payload / explicit offset)
+          val absLen = -nextLen
+          val flags = in.readUnsignedByte()
+          if ((flags & ~KnownFlags) != 0) throw new java.io.IOException(
+            f"corrupt or future frame: unknown flag bits 0x$flags%02x — " +
+              "written by a newer engine?")
+          val codec = flags & CodecMask
+          val hasOff = (flags & HasOffsetFlag) != 0
+          explicitOffset = if (hasOff) in.readLong() else -1L
+          val id = in.readInt()
+          val ts = in.readLong()
+          val headerLen = 1 + (if (hasOff) 8 else 0) + 12 +
+            (if (codec != Codecs.None) 4 else 0)
+          if (absLen < headerLen) throw new java.io.IOException(
+            s"corrupt frame: extended length $absLen < header $headerLen")
+          val data =
+            if (skipData) {
+              // everything after ts (the rawLen field, if any, plus the
+              // payload) is skipped in one seek — flags/offset/id/ts are
+              // already consumed, so absLen minus those is what remains
+              skipFully(absLen - (headerLen - (if (codec != Codecs.None) 4 else 0)).toLong)
+              Array.emptyByteArray
+            } else if (codec == Codecs.None) {
+              val d = new Array[Byte](absLen - headerLen)
+              in.readFully(d); d
+            } else {
+              val rawLen = in.readInt()
+              if (rawLen < 0) throw new java.io.IOException(
+                s"corrupt frame: negative raw length $rawLen")
+              val comp = new Array[Byte](absLen - headerLen)
+              in.readFully(comp)
+              Codecs.decompress(codec, comp, rawLen)
+            }
+          (id, ts, data)
         }
       nextLen = readLen()
-      (id, ts, data)
+      out
     }
-    override def close(): Unit = { nextLen = -1; try in.close() catch { case _: Throwable => () } }
+
+    private def skipFully(n: Long): Unit = {
+      var toSkip = n
+      while (toSkip > 0) {
+        val s = in.skip(toSkip)
+        if (s > 0) toSkip -= s
+        else { in.readByte(); toSkip -= 1 }
+      }
+    }
+
+    override def close(): Unit = { eof = true; try in.close() catch { case _: Throwable => () } }
   }
 
   /** Iterate all frames of a segment: (id, tsMillis, data). */
@@ -846,27 +968,19 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * bytes are never materialized).
     */
   private def segTsRange(path: HPath): (Long, Long) = {
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(path), 1 << 16))
+    // the shared header-only walk (payload bytes seeked past, extended/
+    // compressed frames handled) — not a hand-rolled v1 parser
+    val it = SegmentCodec.readHeaders(fs, path)
     try {
       var mn = Long.MaxValue
       var mx = Long.MinValue
-      var len = try in.readInt() catch { case _: java.io.EOFException => -1 }
-      while (len >= 0) {
-        in.readInt() // id
-        val ts = in.readLong()
+      while (it.hasNext) {
+        val ts = it.next()._2
         if (ts < mn) mn = ts
         if (ts > mx) mx = ts
-        var toSkip = (len - 12).toLong
-        while (toSkip > 0) {
-          val s = in.skip(toSkip)
-          if (s > 0) toSkip -= s
-          else { in.readByte(); toSkip -= 1 }
-        }
-        len = try in.readInt() catch { case _: java.io.EOFException => -1 }
       }
       (mn, mx)
-    } finally in.close()
+    } finally it.close()
   }
 
   /** Record publish-time (min, max) frame-ts stats for freshly published
@@ -1015,8 +1129,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     }
     val (p, start, _) = idx.segs(lo)
     var answer = -1L
-    val fit =
-      try SegmentCodec.read(fs, p)
+    val fit = // headers only: the walk needs ts, never payload bytes
+      try SegmentCodec.readHeaders(fs, p)
       catch {
         case e: java.io.FileNotFoundException =>
           // the boundary segment vanished under a stale cached index
@@ -1029,11 +1143,13 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
           return offsetForTimestamp(tb, tsMillis, retriesLeft - 1)
       }
     try {
-      var i = 0L
+      var cur = start - 1
       while (answer < 0 && fit.hasNext) {
         val (_, ts, _) = fit.next()
-        if (ts >= tsMillis) answer = start + i
-        i += 1
+        // sparse-aware cursor rule: an explicit frame offset (key-compacted
+        // segment) sets the cursor, a positional frame increments it
+        cur = if (fit.explicitOffset >= 0) fit.explicitOffset else cur + 1
+        if (ts >= tsMillis) answer = cur
       }
     } finally fit.close()
     // the boundary segment's cached maxTs promised a qualifying frame; a
@@ -1062,13 +1178,23 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     */
   def timestampAt(tb: TopicBucket, offset: Long): Option[Long] =
     segments(tb).find { case (_, s, c) => offset >= s && offset < s + c }
-      .map { case (p, s, _) =>
-        val it = SegmentCodec.read(fs, p)
+      .flatMap { case (p, s, _) =>
+        // headers only (no payload/decompress cost); sparse-aware: the
+        // answer is the first record AT-OR-AFTER `offset` — identical for
+        // dense segments, and for a key-compacted one it is the first
+        // record the consumer would actually read next. A sparse tail gap
+        // (all retained offsets < `offset`) reads as None, same as "no
+        // stamp available".
+        val it = SegmentCodec.readHeaders(fs, p)
         try {
-          var i = s
-          var ts = 0L
-          while (i <= offset && it.hasNext) { ts = it.next()._2; i += 1 }
-          ts
+          var cur = s - 1
+          var found: Option[Long] = None
+          while (found.isEmpty && it.hasNext) {
+            val (_, t, _) = it.next()
+            cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
+            if (cur >= offset) found = Some(t)
+          }
+          found
         } finally it.close()
       }
 
@@ -1402,13 +1528,14 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     val out = Seq.newBuilder[LogRecord]
     segments(tb).foreach { case (path, start, count) =>
       if (start < hi && start + count > lo) {
-        var off = start
+        var off = start - 1
         val it = SegmentCodec.read(fs, path)
         try {
-          while (it.hasNext && off < hi) {
+          while (it.hasNext && off < hi - 1) {
             val (id, ts, data) = it.next()
-            if (off >= lo) out += LogRecord(tb.topic, tb.bucket, off, id, data, new java.sql.Timestamp(ts))
-            off += 1
+            off = if (it.explicitOffset >= 0) it.explicitOffset else off + 1
+            if (off >= lo && off < hi)
+              out += LogRecord(tb.topic, tb.bucket, off, id, data, new java.sql.Timestamp(ts))
           }
         } finally it.close()
       }

@@ -527,7 +527,72 @@ object ConnectorQueries {
       sum(col("floor")).as("total_floor"))
   }
 
+  /** Segment compression end-to-end (q166, Kafka `compression.type`
+    * parity): `compression=zstd` is persisted ON the topic, three packed
+    * slices land with ZERO writer options (so the config must apply), then
+    * the full Kafka-shaped lifecycle runs over the compressed segments —
+    * time retention cuts the aged first slice (floor 200), compaction
+    * byte-concatenates the compressed survivors into one segment, a
+    * timestamp seek resolves inside it, and the lifted suffix read must
+    * equal the oracle's `event_id >= 200` aggregate. In-body requires pin
+    * the non-negotiables the hash can't see: the on-disk footprint of the
+    * compressed topic is under 60% of a raw twin's AT EQUAL ROWS (the
+    * whole point of the feature), the floor landed at 200, compaction
+    * reached one segment, and the seek resolved to a real offset.
+    */
+  def compressedTopicAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    // `pad` pushes each packed JSON payload past the per-frame compression
+    // floor (Codecs.MinCompressBytes — compact event JSON alone is ~60 B,
+    // which the writer correctly leaves raw) and gives the codec realistic
+    // repetitive text to bite on; the lift parses only eventSchema's
+    // fields, so the oracle never sees it
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        repeat(col("event_type"), 40).as("pad"))
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"), col("event_id"))
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    def bytes(topic: String): Long = {
+      val tb = graft.model.TopicBucket(topic, "b0000")
+      log.segments(tb).map { case (p, _, _) => log.fileLen(p) }.sum
+    }
+    // raw twin (equal rows, no codec) — the footprint yardstick
+    Ripple.createTopic(root, "craw", numBuckets = 1)
+    Ripple.write(slice(0, Int.MaxValue), root, "craw", numBuckets = 1)
+    Ripple.createTopic(root, "czip", numBuckets = 1)
+    Ripple.setTopicConfig(root, "czip", graft.connector.TopicConfig(
+      compression = Some("zstd")))
+    Ripple.write(slice(0, 200), root, "czip", numBuckets = 1)
+    Ripple.write(slice(200, 400), root, "czip", numBuckets = 1)
+    Ripple.write(slice(400, Int.MaxValue), root, "czip", numBuckets = 1)
+    require(bytes("czip") * 10 < bytes("craw") * 6,
+      s"zstd on packed JSON must cut the footprint >40%: " +
+        s"${bytes("czip")} vs raw ${bytes("craw")}")
+    // retention over compressed segments: age slice 1, cut by time
+    val tb = graft.model.TopicBucket("czip", "b0000")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    log.segments(tb).take(1).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    Ripple.truncateOlderThan(root, "czip", 24L * 3600 * 1000)
+    val floor = Ripple.earliestOffsets(root, "czip")("b0000")
+    require(floor == 200L, s"retention must cut the aged slice, floor=$floor")
+    // compaction: byte-concat of the compressed survivors
+    require(Ripple.compactSegments(root, "czip") > 0, "two segments must merge")
+    require(log.segments(tb).size == 1,
+      s"compaction must leave one segment, got ${log.segments(tb).size}")
+    // timestamp seek INSIDE the compressed merged segment (header walk —
+    // ts stats carried across the merge, payloads never decompressed)
+    val seekTo = log.offsetForTimestamp(tb, 0L) // everything qualifies
+    require(seekTo == 200L, s"seek must land on the retained floor, got $seekTo")
+    Ripple.lift(Ripple.read(s, root, "czip"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
     "q164_consumer_expiry" -> (consumerExpiryAgg _),
@@ -677,6 +742,11 @@ object ConnectorQueries {
         |  CAST(0 AS BIGINT) AS total_floor
         |FROM events""".stripMargin,
     "q165_topic_config_retention" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200""".stripMargin,
+    "q166_compressed_topic" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users

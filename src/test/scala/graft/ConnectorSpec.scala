@@ -2479,4 +2479,229 @@ class ConnectorSpec extends AnyFunSuite {
       assert(ids("mina_out").size == 4, "drain must ignore the minimum")
     } finally q4.stop()
   }
+
+  test("DESCRIBE topic <col> on a real table named 'topic' reaches Spark, not the topic command") {
+    val root = tmp()
+    Ripple.createTopic(root, "dsh", numBuckets = 1)
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.graft.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      s.sql("DROP TABLE IF EXISTS topic")
+      s.sql("CREATE TABLE topic (value INT, other STRING) USING parquet")
+      try {
+        // the reserved-word collision: describing column `value` of the
+        // table literally named `topic` must DELEGATE (no ripple topic
+        // named 'value' exists), not fail "unknown topic"
+        val cols = s.sql("DESCRIBE topic value").collect()
+        assert(cols.exists(_.toString.contains("value")),
+          s"expected Spark's column describe, got ${cols.mkString(";")}")
+        // and the topic command still wins when the NAMED TOPIC exists,
+        // table named 'topic' or not
+        val d = s.sql("DESCRIBE TOPIC dsh").collect()
+        assert(d.map(_.getAs[String]("bucket")).toSeq == Seq("b0000"))
+      } finally s.sql("DROP TABLE IF EXISTS topic")
+      // with no table named 'topic', the statement still intercepts
+      // (an unknown topic reads as zero bucket rows, not a parse fallthrough)
+      assert(s.sql("DESCRIBE TOPIC nosuch").collect().isEmpty)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("expireConsumers skips a consumer that commits between the staleness check and the delete") {
+    val root = tmp()
+    Ripple.createTopic(root, "exr", numBuckets = 1)
+    Ripple.write(samplePayloads(4).coalesce(1), root, "exr", numBuckets = 1)
+    graft.connector.ConsumerOffsets.commit(root, "exr", "waker", Map("b0000" -> 1L))
+    graft.connector.ConsumerOffsets.commit(root, "exr", "gone", Map("b0000" -> 1L))
+    // both idle past the threshold relative to a far-future "now"
+    val now = System.currentTimeMillis() + 10L * 24 * 3600 * 1000
+    val woke = scala.collection.mutable.Set.empty[String]
+    Ripple.expireRecheckSeam = (_, id) =>
+      if (id == "waker" && !woke.contains(id)) {
+        woke += id
+        // the consumer wakes up and commits INSIDE the check-then-act
+        // window — with a fresh mtime (real wall clock is fine: the stamp
+        // only needs to be young relative to `now - olderThan`)
+        graft.connector.ConsumerOffsets.commit(root, "exr", "waker",
+          Map("b0000" -> 2L))
+        // make the new stamp observably fresh vs the fake `now`
+        val d = new org.apache.hadoop.fs.Path(
+          s"$root/exr/.consumers/waker/cursor.json")
+        val fs = graft.log.LogFs.get(d, graft.log.LogFs.activeHadoopConf)
+        fs.setTimes(d, now - 1000L, -1)
+      }
+    try {
+      val expired = Ripple.expireConsumers(root, "exr",
+        olderThanMs = 24L * 3600 * 1000, nowMs = now)
+      assert(expired == Seq("gone"),
+        s"only the truly-idle consumer expires, got $expired")
+      assert(Ripple.consumerOffsets(root, "exr").keySet == Set("waker"),
+        "the just-committed consumer must survive")
+      assert(Ripple.consumerOffsets(root, "exr")("waker")("b0000") == 2L)
+    } finally Ripple.expireRecheckSeam = (_, _) => ()
+  }
+
+  test("snapshot pin save is atomic: a crashed save's temp file never breaks list(), torn real pins stay loud") {
+    val root = tmp()
+    Ripple.createTopic(root, "pat", numBuckets = 1)
+    Ripple.write(samplePayloads(5).coalesce(1), root, "pat", numBuckets = 1)
+    Ripple.pinSnapshot(root, "pat", "good")
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val snapDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "pat"), ".snapshots")
+    // a crashed save orphans a dot-temp: list() must skip it (it is a
+    // staging artifact, never a pin — pin names cannot start with '.')
+    val orphan = new org.apache.hadoop.fs.Path(snapDir, ".tmp-pin-crashed")
+    val out = log.fs.create(orphan, true); out.close() // zero-length temp
+    assert(Ripple.snapshots(root, "pat").map(_.name) == Seq("good"))
+    // but a torn REAL pin document (non-dot name) is still loud
+    val torn = new org.apache.hadoop.fs.Path(snapDir, "torn-pin")
+    val out2 = log.fs.create(torn, true); out2.close()
+    val e = intercept[IllegalStateException] { Ripple.snapshots(root, "pat") }
+    assert(e.getMessage.contains("torn-pin"), e.getMessage)
+    log.fs.delete(torn, false)
+    // duplicate pin name still refused (create-exclusivity preserved
+    // through the atomic-publish path)
+    val dup = intercept[IllegalStateException] {
+      Ripple.pinSnapshot(root, "pat", "good")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("topic config: out-of-int-range and non-numeric values take the loud malformed-document path") {
+    val root = tmp()
+    Ripple.createTopic(root, "tcr", numBuckets = 1)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "tcr"), ".config")
+    def put(json: String): Unit = {
+      val o = log.fs.create(p, true)
+      o.write(json.getBytes("UTF-8")); o.close()
+    }
+    // 2^32 + 2 narrows to 2 via toInt — a valid-looking policy; must be loud
+    put(s"""{"v":1,"autoCompactSegments":${(1L << 32) + 2}}""")
+    val e1 = intercept[IllegalStateException] {
+      graft.connector.TopicConfig.read(log, "tcr")
+    }
+    assert(e1.getMessage.contains("out of int range"), e1.getMessage)
+    // non-numeric: asLong would coerce to 0 and misreport as "must be positive"
+    put("""{"v":1,"retentionMs":"forever"}""")
+    val e2 = intercept[IllegalStateException] {
+      graft.connector.TopicConfig.read(log, "tcr")
+    }
+    assert(e2.getMessage.contains("not an integer"), e2.getMessage)
+    // a valid document still round-trips
+    put("""{"v":1,"retentionMs":60000}""")
+    assert(graft.connector.TopicConfig.read(log, "tcr").retentionMs.contains(60000L))
+  }
+
+  test("segment compression: config-driven, mixed segments read seamlessly, compaction stays byte-concat") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    def textPayloads(n: Int, idOffset: Int = 0): DataFrame = {
+      import spark.implicits._
+      (idOffset until idOffset + n).map(i =>
+        (i, (s"document-$i: " + ("lorem ipsum dolor sit amet " * 20)).getBytes("UTF-8")))
+        .toDF("id", "data")
+    }
+    def bucketBytes(topic: String): Long = {
+      val tb = graft.model.TopicBucket(topic, "b0000")
+      log.segments(tb).map { case (p, _, _) => log.fileLen(p) }.sum
+    }
+    // twin topics, same rows: compressed on-disk footprint must drop hard
+    Ripple.createTopic(root, "craw", numBuckets = 1)
+    Ripple.write(textPayloads(200), root, "craw", numBuckets = 1)
+    Ripple.createTopic(root, "czst", numBuckets = 1)
+    Ripple.setTopicConfig(root, "czst",
+      graft.connector.TopicConfig(compression = Some("zstd")))
+    Ripple.write(textPayloads(200), root, "czst", numBuckets = 1)
+    val (raw, zst) = (bucketBytes("craw"), bucketBytes("czst"))
+    assert(zst * 3 < raw, s"zstd must shrink repetitive text >=3x: $zst vs $raw")
+    // content identical through the connector
+    def content(topic: String) = Ripple.read(spark, root, topic)
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(content("czst") == content("craw"))
+    // mixed segments: a raw-config writer appends to the same topic
+    // (explicit option override: compression 'none' beats the topic config)
+    textPayloads(50, idOffset = 200).repartition(1)
+      .write.format("ripple").option("path", root).option("topic", "czst")
+      .option("compression", "none").mode("append").save()
+    assert(Ripple.read(spark, root, "czst").count() == 250)
+    // compaction byte-concats the MIXED segments; reads stay identical
+    Ripple.write(textPayloads(30, idOffset = 250), root, "czst", numBuckets = 1)
+    val before = content("czst")
+    val tb = graft.model.TopicBucket("czst", "b0000")
+    assert(log.segments(tb).size > 1)
+    assert(Ripple.compactSegments(spark, root, "czst", 128L << 20,
+      Long.MaxValue) > 0)
+    assert(log.segments(tb).size == 1, "one merged segment")
+    assert(content("czst") == before, "compaction over mixed frames is invisible")
+    // timestamp seek + payload-skip projection over compressed segments
+    val metaOnly = Ripple.read(spark, root, "czst").select("offset", "ts")
+    assert(metaOnly.count() == 280)
+    // deflate and lz4 also round-trip through the sink option
+    for (c <- Seq("deflate", "lz4")) {
+      Ripple.createTopic(root, s"c$c", numBuckets = 1)
+      textPayloads(40).repartition(1)
+        .write.format("ripple").option("path", root).option("topic", s"c$c")
+        .option("compression", c).mode("append").save()
+      assert(content(s"c$c").map(r => (r._2, r._3)) ==
+        content("craw").filter(_._2 < 40).map(r => (r._2, r._3)), c)
+      // raw twin of the SAME 40 rows would be raw*(40/200); demand >=2x
+      assert(bucketBytes(s"c$c") * 2 < raw * 40 / 200, c)
+    }
+    // unknown codec is loud at option parse
+    val e = intercept[Exception] {
+      textPayloads(1).write.format("ripple").option("path", root)
+        .option("topic", "czst").option("compression", "brotli")
+        .mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e2 => Option(e2.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("unknown compression codec")),
+      chain(e).mkString(" | "))
+  }
+
+  test("currentVersion is read-only on a breach (out-of-band pointer rewrite); evolve repairs the history") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val v1 = StructType(Seq(StructField("a", LongType)))
+    Ripple.createTopic(root, "bre", 1, v1)
+    // out-of-band pointer rewrite: the pointer now matches NO recorded version
+    val foreign = StructType(Seq(StructField("z", StringType)))
+    log.writeFileAtomic(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(log.root, "bre"), ".schema"),
+      foreign.json.getBytes("UTF-8"))
+    def versionFiles(): Seq[String] =
+      log.fs.listStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(log.root, "bre"), ".schema-versions"))
+        .map(_.getPath.getName).toSeq.sorted
+    val before = versionFiles()
+    // the READ path reports the pointer as the next (unrecorded) version
+    // and writes NOTHING — it must work on read-only credentials
+    assert(graft.connector.TopicSchemas.currentVersion(log, "bre").contains(2))
+    assert(versionFiles() == before, "introspection must not write")
+    // the virtual version lifts with the pointer (a snapshot cut in the
+    // breach window pins this number)
+    assert(graft.connector.TopicSchemas.schemaAt(log, "bre", 2) == foreign)
+    // the WRITE path repairs: evolve seeds the unmatched pointer at the
+    // virtual number, then allocates its own evolution past it
+    val v3 = StructType(foreign.fields :+ StructField("w", StringType, nullable = true))
+    graft.connector.TopicSchemas.evolve(log, "bre", v3)
+    assert(graft.connector.TopicSchemas.schemaAt(log, "bre", 2) == foreign,
+      "the breach-window shape must stay recorded at its virtual number")
+    assert(graft.connector.TopicSchemas.currentVersion(log, "bre").contains(3))
+    assert(graft.connector.TopicSchemas.schemaAt(log, "bre", 3) == v3)
+  }
 }

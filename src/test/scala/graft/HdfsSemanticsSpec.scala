@@ -170,4 +170,34 @@ class HdfsSemanticsSpec extends AnyFunSuite {
     assert(Ripple.read(spark, root, "hs").count() == 80)
     assert(Ripple.endOffsets(root, "hs").values.sum == 80L)
   }
+
+  test("compressed connector round-trip over strict-rename semantics") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-hdfs-sem")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.hdfstest.impl", classOf[StrictHdfsTestFs].getName)
+    import spark.implicits._
+    val root = "hdfstest:" + tmp()
+    Ripple.createTopic(root, "hz", numBuckets = 2)
+    Ripple.setTopicConfig(root, "hz",
+      graft.connector.TopicConfig(compression = Some("lz4")))
+    val text = (i: Int) => (s"m$i: " + ("abcdefgh " * 20)).getBytes("UTF-8")
+    val df = (0 until 40).map(i => (i, text(i))).toDF("id", "data")
+    Ripple.write(df, root, "hz", numBuckets = 2) // zero writer options
+    val back = Ripple.read(spark, root, "hz")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("data").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(back == (0 until 40).map(i => (i, new String(text(i)))).toSet)
+    // the on-disk frames actually compressed under the strict-rename
+    // publish protocol (staging file → no-replace publish)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val onDisk = log.buckets("hz").flatMap(log.segments)
+      .map { case (p, _, _) => log.fileLen(p) }.sum
+    assert(onDisk * 2 < (0 until 40).map(text(_).length + 16L).sum,
+      s"lz4 must shrink repetitive text >=2x, got $onDisk")
+  }
 }

@@ -330,4 +330,31 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(log.compactSegments("t") == 2)
     assert(seeks() == expect, "seek invariant under manifest-mode compaction")
   }
+
+  test("compressed segments over the store: publish, mixed read, manifest-mode compaction, seek") {
+    import graft.log.Codecs
+    val log = newLog()
+    val text = (i: Int) => (s"doc-$i: " + ("lorem ipsum dolor " * 20)).getBytes("UTF-8")
+    val stamped = (0 until 40).map(i => (Payload(i, text(i)), 100L + i))
+    // stage a zstd-compressed frame file and publish it through the
+    // sequenced commit (the connector's manifest-mode publish path)
+    val staged = new HPath(log.root, s".staged-${java.util.UUID.randomUUID()}")
+    SegmentCodec.write(log.fs, staged, stamped, Codecs.Zstd)
+    val compressedLen = log.fileLen(staged)
+    assert(compressedLen * 3 < stamped.map(_._1.data.length + 16L).sum,
+      "zstd must shrink repetitive text >=3x on this rig too")
+    assert(log.publishStaged(tb, 0L, 40L, staged).isDefined)
+    // mixed bucket: a raw append lands after the compressed segment
+    log.append(tb, (40 until 50).map(i => Payload(i, text(i))))
+    def content() = log.range(tb, 0, 100).map(r => (r.offset, r.id, new String(r.data)))
+    val before = content()
+    assert(before.map(_._2) == (0 until 50))
+    assert(before.forall { case (o, id, s) => o == id && s.startsWith(s"doc-$id:") })
+    // manifest-mode compaction byte-concats mixed raw+compressed members
+    assert(log.compactSegments("t") > 0)
+    assert(log.segments(tb).size == 1)
+    assert(content() == before, "compaction over mixed frames is invisible")
+    // header-walk seek never decompresses; ts stats carried/backfilled
+    assert(log.offsetForTimestamp(tb, 100L + 25) == 25L)
+  }
 }
