@@ -27,10 +27,29 @@ import org.apache.spark.sql.types._
   *   SHOW SCHEMA VERSIONS FOR <name> [IN '<root>']
   * }}}
   *
+  * and (round 16) the ADMIN WRITE statements — the operator who lives in
+  * a SQL console can now act, not just look (`kafka-topics --create` /
+  * `--alter` parity, backed by [[graft.api.Ripple.createTopic]] /
+  * [[graft.api.Ripple.setTopicConfig]]):
+  *
+  * {{{
+  *   CREATE TOPIC <name> [(numBuckets = 8)] [IN '<root>']
+  *   ALTER TOPIC <name> SET (retentionMs = 86400000, compression = 'zstd', …)
+  *   ALTER TOPIC <name> UNSET (retentionMs, …)
+  * }}}
+  *
+  * `ALTER … SET` is a read-modify-write MERGE over the persisted
+  * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
+  * `UNSET` removes keys (an empty result deletes the document). Valid
+  * keys: `retentionMs`, `retentionBytes`, `autoCompactSegments`,
+  * `compactDistributeMinBytes`, `compression` — unknown keys and invalid
+  * values are loud, never ignored (a typo'd retention knob silently
+  * dropped is how data outlives its policy).
+  *
   * `IN '<root>'` names the log root URI; omitted, it falls back to the
   * session conf `spark.graft.root` (loud when neither is set). Injected by
   * [[GraftExtensions]] via `injectParser` — the standard wrapper-parser
-  * packaging (Delta's DeltaSqlParser pattern): these five shapes are
+  * packaging (Delta's DeltaSqlParser pattern): these shapes are
   * intercepted, everything else delegates verbatim to the session's
   * parser.
   */
@@ -46,6 +65,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case ShowSnapshotsStmt(name, root) => ShowSnapshotsCommand(name, Option(root))
     case ShowSchemaVersionsStmt(name, root) =>
       ShowSchemaVersionsCommand(name, Option(root))
+    case CreateTopicStmt(name, opts, root) =>
+      CreateTopicCommand(name, Option(opts), Option(root))
+    case AlterTopicSetStmt(name, kvs, root) =>
+      AlterTopicCommand(name, kvs, unset = false, Option(root))
+    case AlterTopicUnsetStmt(name, keys, root) =>
+      AlterTopicCommand(name, keys, unset = true, Option(root))
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -82,6 +107,16 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+SNAPSHOTS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val ShowSchemaVersionsStmt =
     """(?is)\s*SHOW\s+SCHEMA\s+VERSIONS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  // Admin WRITE statements. No reserved-word hazard like DESCRIBE's:
+  // Spark SQL has no `CREATE TOPIC` / `ALTER TOPIC` production (ALTER on
+  // a table named "topic" is spelled `ALTER TABLE topic …`), so a full
+  // match is unambiguous.
+  private val CreateTopicStmt =
+    """(?is)\s*CREATE\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val AlterTopicSetStmt =
+    """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+SET\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val AlterTopicUnsetStmt =
+    """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+UNSET\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -231,5 +266,126 @@ case class ShowSnapshotsCommand(topic: String, root: Option[String])
       Row(p.name, p.createdAt, p.expiresAt.map(Long.box).orNull,
         p.live(now), p.token)
     }
+  }
+}
+
+/** `CREATE TOPIC t [(numBuckets = 8)] [IN '<root>']` — registers the topic
+  * and its buckets ([[graft.api.Ripple.createTopic]]; idempotent exactly
+  * as the Scala call is). Returns (topic, buckets).
+  */
+case class CreateTopicCommand(topic: String, opts: Option[String],
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("buckets", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(opts.getOrElse(""))
+    val unknown = kvs.keySet -- Set("numbuckets", "buckets")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: CREATE TOPIC supports (numBuckets = N), got " +
+        s"'${unknown.mkString(", ")}' — topic policy keys go through " +
+        "ALTER TOPIC ... SET")
+    val n = kvs.get("numbuckets").orElse(kvs.get("buckets"))
+      .map(AdminKvs.intOf("numBuckets", _)).getOrElse(4)
+    val r = resolveRoot(root, spark)
+    Ripple.createTopic(r, topic, n)
+    Seq(Row(topic, Ripple.buckets(r, topic).size))
+  }
+}
+
+/** `ALTER TOPIC t SET (k = v, …)` / `ALTER TOPIC t UNSET (k, …)` — merge
+  * or remove keys of the persisted per-topic config
+  * ([[graft.connector.TopicConfig]]); the SQL rendering of
+  * [[graft.api.Ripple.setTopicConfig]]. SET keeps unnamed keys (the
+  * operator alters one knob without re-stating the rest); UNSET of every
+  * key deletes the document. Returns the resulting config, rendered.
+  */
+case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("config", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val cur = Ripple.topicConfig(r, topic)
+    val next =
+      if (unset) {
+        val keys = kvText.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty).toSet
+        val unknown = keys -- AdminKvs.ConfigKeys
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"ripple: unknown topic config key(s) '${unknown.mkString(", ")}'" +
+            s" — valid: ${AdminKvs.ConfigKeys.toSeq.sorted.mkString(", ")}")
+        graft.connector.TopicConfig(
+          retentionMs = if (keys("retentionms")) None else cur.retentionMs,
+          retentionBytes = if (keys("retentionbytes")) None else cur.retentionBytes,
+          autoCompactSegments =
+            if (keys("autocompactsegments")) None else cur.autoCompactSegments,
+          compactDistributeMinBytes =
+            if (keys("compactdistributeminbytes")) None
+            else cur.compactDistributeMinBytes,
+          compression = if (keys("compression")) None else cur.compression)
+      } else {
+        val kvs = AdminKvs.parse(kvText)
+        if (kvs.isEmpty) throw new IllegalArgumentException(
+          "ripple: ALTER TOPIC ... SET needs at least one key = value pair")
+        val unknown = kvs.keySet -- AdminKvs.ConfigKeys
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"ripple: unknown topic config key(s) '${unknown.mkString(", ")}'" +
+            s" — valid: ${AdminKvs.ConfigKeys.toSeq.sorted.mkString(", ")}")
+        graft.connector.TopicConfig(
+          retentionMs = kvs.get("retentionms")
+            .map(AdminKvs.longOf("retentionMs", _)).orElse(cur.retentionMs),
+          retentionBytes = kvs.get("retentionbytes")
+            .map(AdminKvs.longOf("retentionBytes", _)).orElse(cur.retentionBytes),
+          autoCompactSegments = kvs.get("autocompactsegments")
+            .map(AdminKvs.intOf("autoCompactSegments", _))
+            .orElse(cur.autoCompactSegments),
+          compactDistributeMinBytes = kvs.get("compactdistributeminbytes")
+            .map(AdminKvs.longOf("compactDistributeMinBytes", _))
+            .orElse(cur.compactDistributeMinBytes),
+          compression = kvs.get("compression").orElse(cur.compression))
+      }
+    Ripple.setTopicConfig(r, topic, next)
+    Seq(Row(topic, next.render))
+  }
+}
+
+/** `key = value` list parsing shared by the admin write statements.
+  * Values: integers, or strings quoted with '…' (quotes optional for bare
+  * words like codec names). Keys are case-insensitive.
+  */
+private[graft] object AdminKvs {
+  val ConfigKeys: Set[String] = Set("retentionms", "retentionbytes",
+    "autocompactsegments", "compactdistributeminbytes", "compression")
+
+  def parse(text: String): Map[String, String] =
+    text.split(',').map(_.trim).filter(_.nonEmpty).map { pair =>
+      pair.split('=') match {
+        case Array(k, v) =>
+          val key = k.trim.toLowerCase(java.util.Locale.ROOT)
+          val raw = v.trim
+          val value =
+            if (raw.length >= 2 && raw.startsWith("'") && raw.endsWith("'"))
+              raw.substring(1, raw.length - 1)
+            else raw
+          if (key.isEmpty || value.isEmpty) throw new IllegalArgumentException(
+            s"ripple: malformed key = value pair '$pair'")
+          key -> value
+        case _ => throw new IllegalArgumentException(
+          s"ripple: malformed key = value pair '$pair'")
+      }
+    }.toMap
+
+  def longOf(key: String, v: String): Long =
+    try v.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"ripple: $key needs an integer value, got '$v'") }
+
+  def intOf(key: String, v: String): Int = {
+    val l = longOf(key, v)
+    if (l < Int.MinValue || l > Int.MaxValue) throw new IllegalArgumentException(
+      s"ripple: $key out of int range: $l")
+    l.toInt
   }
 }

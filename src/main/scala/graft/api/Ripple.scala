@@ -812,6 +812,54 @@ object Ripple {
     compactSegments(spark, root, topic, 128L << 20,
       graft.connector.DistributedConcat.DefaultMinBytes)
 
+  /** KEY-based log compaction — Kafka `cleanup.policy=compact` parity:
+    * retain each bucket's LATEST record per `id`, at its original offset
+    * (the changelog-topic contract: consumers see at least the final
+    * value of every key; offsets, floors and end offsets are unchanged;
+    * reclaimed space is every superseded write). The product is one
+    * SPARSE segment per bucket (explicit-offset frames); re-encoding uses
+    * the topic's persisted `compression` config, so keyed compaction also
+    * retro-compresses a topic that turned compression on late.
+    *
+    * Snapshot-pin composition (same contract as retention): a LIVE
+    * registered pin needs its captured range byte-stable, so compaction
+    * CLAMPS to each bucket's highest live pinned ceiling — only the
+    * unpinned suffix rewrites. An unregistered (caller-held) snapshot
+    * token gets no such protection, exactly as with retention: register
+    * the pin.
+    *
+    * Returns segments compacted away. Driver-local rewrite — the admin
+    * form; pass a SparkSession for the distributed one.
+    */
+  def compactKeyed(root: String, topic: String): Int =
+    compactKeyedWith(root, topic, rewrite = null)
+
+  /** [[compactKeyed]] with the decode/rewrite DISTRIBUTED: buckets whose
+    * member bytes reach `distributeMinBytes` rewrite as one Spark job
+    * (one task per bucket — the id→offset map lives in the executor), the
+    * driver performs only the lock/commit protocol. The form to run
+    * against a large topic.
+    */
+  def compactKeyed(spark: SparkSession, root: String, topic: String,
+      distributeMinBytes: Long =
+        graft.connector.DistributedConcat.DefaultMinBytes): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    compactKeyedWith(root, topic,
+      graft.connector.DistributedConcat.keyedRunner(spark, log, distributeMinBytes))
+  }
+
+  private def compactKeyedWith(root: String, topic: String,
+      rewrite: Seq[graft.log.KeyedTask] => Unit): Int = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    require(log.buckets(topic).nonEmpty,
+      s"ripple: topic '$topic' does not exist")
+    val codec = graft.log.Codecs.id(
+      graft.connector.TopicConfig.read(log, topic).compression.getOrElse("none"))
+    val ceilings = graft.connector.SnapshotPins.liveCeilings(log, topic)
+    log.compactKeyed(topic, rewrite = rewrite, codec = codec,
+      minStartByBucket = ceilings)
+  }
+
   /** Compact a topic into a columnar parquet mirror for analytics-heavy
     * access — row-framed segments are the transport/ingest format (like a
     * Kafka log), parquet the scan format; at 100 TB the analytical path

@@ -1,6 +1,6 @@
 package graft.connector
 
-import graft.log.{ConcatTask, FileTopicLog, LogFs}
+import graft.log.{ConcatTask, FileTopicLog, KeyedTask, LogFs, SegmentCodec}
 
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.SparkSession
@@ -113,6 +113,62 @@ object DistributedConcat {
             if (!fs.exists(out)) throw new java.io.IOException(
               s"compaction staging rename $dest -> $out failed with no " +
                 "sibling attempt's output present")
+          }
+        }
+    }
+  }
+
+  /** The distributed REWRITE strategy for key-based compaction
+    * ([[graft.log.FileTopicLog.compactKeyed]]): one Spark task per bucket
+    * rewrite at or above `minBytes`, the rest driver-local. Same
+    * disciplines as [[runner]] — attempt-unique staging in rename mode
+    * (the rewrite is deterministic, so whichever attempt's rename lands
+    * the bytes are identical; manifest mode writes a unique invisible
+    * `data-*` name whose PUT is atomic at close), member-vanished merges
+    * dropped for the commit phase's validation to discard. The id→offset
+    * map lives in the TASK (executor heap), never the driver — the 100 TB
+    * contract: the driver plans and swaps manifests, executors own every
+    * data byte and every per-key state.
+    */
+  def keyedRunner(spark: SparkSession, log: FileTopicLog,
+      minBytes: Long = DefaultMinBytes): Seq[KeyedTask] => Unit = { tasks =>
+    val (big, small) = tasks.partition(_.bytes >= minBytes)
+    if (small.nonEmpty) log.localKeyed(small)
+    if (big.nonEmpty) {
+      val ser = new graft.log.SerializableHadoopConf(log.fs.getConf)
+      val stageAttempts = !log.manifestCommitMode
+      spark.sparkContext
+        .makeRDD(big, big.size)
+        .setName(s"ripple keyed compaction: ${big.size} buckets, " +
+          s"${big.map(_.bytes).sum >> 20} MB in")
+        .foreach { t =>
+          val out = new HPath(t.out)
+          val fs = LogFs.get(out, ser.value)
+          val dest =
+            if (!stageAttempts) out
+            else {
+              val id = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              new HPath(s"${t.out}.attempt-$id")
+            }
+          val written =
+            try {
+              SegmentCodec.rewriteLatestPerKey(fs,
+                t.members.map { case (p, s) => (new HPath(p), s) }, dest,
+                t.codec)
+              true
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                try fs.delete(dest, false)
+                catch { case _: java.io.IOException => () }
+                false
+            }
+          if (written && stageAttempts && !fs.rename(dest, out)) {
+            try fs.delete(dest, false)
+            catch { case _: java.io.IOException => () }
+            if (!fs.exists(out)) throw new java.io.IOException(
+              s"keyed-compaction staging rename $dest -> $out failed with " +
+                "no sibling attempt's output present")
           }
         }
     }

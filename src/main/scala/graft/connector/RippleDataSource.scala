@@ -139,13 +139,47 @@ object RippleConf {
       throw new IllegalArgumentException("ripple: option 'path' (or 'root') is required"))
     val topicOpt = Option(options.get("topic"))
     val patternOpt = Option(options.get("topicPattern"))
+    val topicColOpt = Option(options.get("topicColumn"))
     if (topicOpt.isDefined && patternOpt.isDefined)
       throw new IllegalArgumentException(
         "ripple: options 'topic' and 'topicPattern' are exclusive — name " +
           "the subscription one way")
-    if (topicOpt.isEmpty && patternOpt.isEmpty)
+    if (topicColOpt.isDefined && (topicOpt.isDefined || patternOpt.isDefined))
+      throw new IllegalArgumentException(
+        "ripple: 'topicColumn' routes each row by the named column — it " +
+          "is exclusive with 'topic'/'topicPattern' (a routed write names " +
+          "its topics in the data)")
+    if (topicOpt.isEmpty && patternOpt.isEmpty && topicColOpt.isEmpty)
       throw new IllegalArgumentException(
         "ripple: option 'topic' (or 'topicPattern') is required")
+    // ROUTED writes (`topicColumn`): target topics are data-dependent —
+    // the conf carries no subscription and the scan side refuses it
+    if (topicColOpt.isDefined)
+      return RippleConf(
+        root = path,
+        topic = "",
+        topics = Seq.empty,
+        bucket = None,
+        numBuckets = options.getInt("buckets", 4),
+        startingOffset = 0L,
+        endingOffset = Long.MaxValue,
+        maxOffsetsPerTrigger = Long.MaxValue,
+        retentionMs = options.getLong("retentionMs", Long.MaxValue),
+        retentionBytes = options.getLong("retentionBytes", Long.MaxValue),
+        autoCompactSegments = options.getInt("autoCompactSegments", 0),
+        compactDistributeMinBytes = options.getLong("compactDistributeMinBytes",
+          DistributedConcat.DefaultMinBytes),
+        compression = Option(options.get("compression")).getOrElse("none"),
+        compressionSet = options.containsKey("compression"),
+        retentionMsSet = options.containsKey("retentionMs"),
+        retentionBytesSet = options.containsKey("retentionBytes"),
+        autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
+        compactDistributeMinBytesSet =
+          options.containsKey("compactDistributeMinBytes"),
+        topicColumn = topicColOpt.filter(_.trim.nonEmpty).map(_.trim)
+          .orElse(throw new IllegalArgumentException(
+            "ripple: 'topicColumn' must name a column")))
+        .validated
     // `topic` accepts a comma-separated list (Kafka `subscribe`);
     // `topicPattern` a Java regex resolved against the log's topics ONCE,
     // here at conf build (Kafka `subscribePattern`: the subscription is
@@ -250,6 +284,7 @@ case class RippleConf(
     compactDistributeMinBytes: Long = DistributedConcat.DefaultMinBytes,
     compression: String = "none",
     compressionSet: Boolean = false,
+    topicColumn: Option[String] = None,
     retentionMsSet: Boolean = false,
     retentionBytesSet: Boolean = false,
     autoCompactSegmentsSet: Boolean = false,
@@ -390,8 +425,13 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new RippleScanBuilder(RippleConf(merged(opts)))
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    val conf = RippleConf(merged(opts))
+    if (conf.topicColumn.isDefined) throw new IllegalArgumentException(
+      "ripple: 'topicColumn' routes WRITES by a data column — a read names " +
+        "its subscription with 'topic' (comma-list) or 'topicPattern'")
+    new RippleScanBuilder(conf)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new RippleWriteBuilder(RippleConf(merged(info.options())), info.schema(), info.queryId())

@@ -100,11 +100,27 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     if (parsed.forall(_.isDefined)) Some(parsed.map(_.get)) else None
   }
 
+  /** The metadata-only aggregate scan derives COUNT(*) and MIN/MAX(offset)
+    * from dense-offset arithmetic over segment (start, count) — a SPARSE
+    * (key-compacted) segment breaks that premise (retained rows < span,
+    * first retained offset > start), so the pushdown is REFUSED whenever
+    * any subscribed bucket holds a sparse segment overlapping the pushed
+    * window and Spark runs the real aggregate instead. That fallback is
+    * still cheap: COUNT(*) prunes every column, so readers take the
+    * payload-skip header walk.
+    */
+  private def anySparseOverlap(): Boolean =
+    conf.buckets.exists { tb =>
+      conf.log.segments(tb).exists { case (p, s, c) =>
+        s < hi && s + c > lo && graft.log.SegmentCodec.isSparse(p.getName)
+      }
+    }
+
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     parseMetaAggs(agg) match {
-      case Some(as) => metaAggs = Some(as); true
-      case None => false
+      case Some(as) if !anySparseOverlap() => metaAggs = Some(as); true
+      case _ => false
     }
 
   /** LIMIT n over a topic caps the segments PLANNED, not just the rows
@@ -419,7 +435,12 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       log.segments(tb).foreach { case (path, start, count) =>
         val overlap = math.max(0L, math.min(end, start + count) - math.max(blo, start))
         if (overlap > 0 && count > 0) {
-          rows += overlap
+          // sparse (key-compacted) segments hold fewer rows than their
+          // span: prorate by the name-carried retained count (estimates —
+          // a flag-only name keeps the span, overestimating, which only
+          // errs against broadcasting)
+          rows += graft.log.SegmentCodec.sparseRows(path.getName)
+            .map(r => r * overlap / count).getOrElse(overlap)
           val fileBytes = log.fileLen(path)
           bytes += fileBytes * overlap / count
         }
@@ -610,9 +631,26 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
         var i = 0
         while (need > 0 && i < all.length) {
           val p = all(i)
-          val rows = p.until - p.from
-          out += (if (rows <= need) p else p.copy(until = p.from + need))
-          need -= math.min(rows, need)
+          val name = new HPath(p.segPath).getName
+          if (!graft.log.SegmentCodec.isSparse(name)) {
+            val rows = p.until - p.from
+            out += (if (rows <= need) p else p.copy(until = p.from + need))
+            need -= math.min(rows, need)
+          } else {
+            // SPARSE slice: offset arithmetic OVERSTATES rows (stopping
+            // early would silently under-deliver the limit), and an
+            // offset trim could cut retained records — plan the whole
+            // slice untrimmed and credit only the provable LOWER bound
+            // (name-carried rows minus the offsets outside the slice;
+            // flag-only names credit 0). Spark's own limit operator
+            // enforces exactness either way.
+            val span = graft.log.SegmentCodec.parse(name).map(_._2).getOrElse(0L)
+            val lb = graft.log.SegmentCodec.sparseRows(name)
+              .map(r => math.max(0L, r - (span - (p.until - p.from))))
+              .getOrElse(0L)
+            out += p
+            need -= math.min(lb, need)
+          }
           i += 1
         }
         out.result()

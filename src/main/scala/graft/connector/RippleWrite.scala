@@ -44,10 +44,12 @@ class RippleWrite(conf: RippleConf, schema: StructType, queryId: String) extends
 }
 
 /** Which input columns feed the frame fields; resolved once on the driver. */
-case class WriteShape(idIdx: Int, dataIdx: Int, bucketIdx: Int, tsIdx: Int)
+case class WriteShape(idIdx: Int, dataIdx: Int, bucketIdx: Int, tsIdx: Int,
+    topicIdx: Int = -1)
 
 object WriteShape {
-  def resolve(schema: StructType): WriteShape = {
+  def resolve(schema: StructType,
+      topicColumn: Option[String] = None): WriteShape = {
     def idx(name: String, tpe: org.apache.spark.sql.types.DataType): Int = {
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       if (i >= 0 && schema(i).dataType != tpe)
@@ -60,7 +62,15 @@ object WriteShape {
     if (id < 0 || data < 0)
       throw new IllegalArgumentException(
         s"ripple write needs 'id INT' and 'data BINARY' columns; got ${schema.simpleString}")
-    WriteShape(id, data, idx("bucket", StringType), idx("ts", TimestampType))
+    val topicIdx = topicColumn.map { c =>
+      val i = idx(c, StringType)
+      if (i < 0) throw new IllegalArgumentException(
+        s"ripple write: topicColumn '$c' is not a column of the input " +
+          s"(got ${schema.simpleString})")
+      i
+    }.getOrElse(-1)
+    WriteShape(id, data, idx("bucket", StringType), idx("ts", TimestampType),
+      topicIdx)
   }
 }
 
@@ -72,7 +82,8 @@ object WriteShape {
   */
 case class StagedFile(bucket: String, path: String, count: Long,
   partitionId: Int = -1,
-  minTs: Long = Long.MaxValue, maxTs: Long = Long.MinValue)
+  minTs: Long = Long.MaxValue, maxTs: Long = Long.MinValue,
+  topic: String = "")
 case class RippleCommitMessage(staged: Seq[StagedFile]) extends WriterCommitMessage
 
 /** The topic's bucket count is registry metadata (the reference keeps it in
@@ -89,6 +100,10 @@ object EffectiveBuckets {
         s"'${conf.topicList.mkString(",")}' — multi-topic subscriptions " +
         "are a READ surface")
   def resolve(conf: RippleConf): RippleConf = {
+    // ROUTED write (`topicColumn`): target topics are data-dependent, so
+    // nothing resolves here — bucket counts and the per-topic config fold
+    // happen per discovered topic (executor routing / per-topic publish).
+    if (conf.topicColumn.isDefined) return conf
     requireSingleTopic(conf)
     // fold the topic's persisted config in FIRST (Kafka topic-level
     // retention/compaction policy applies to every writer by default;
@@ -106,7 +121,7 @@ object EffectiveBuckets {
 
 class RippleBatchWrite(conf0: RippleConf, schema: StructType) extends BatchWrite {
   private val conf = EffectiveBuckets.resolve(conf0)
-  private val shape = WriteShape.resolve(schema)
+  private val shape = WriteShape.resolve(schema, conf.topicColumn)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new RippleWriterFactory(conf, shape)
@@ -121,7 +136,7 @@ class RippleBatchWrite(conf0: RippleConf, schema: StructType) extends BatchWrite
 class RippleStreamingWrite(conf0: RippleConf, schema: StructType, queryId: String)
     extends StreamingWrite {
   private val conf = EffectiveBuckets.resolve(conf0)
-  private val shape = WriteShape.resolve(schema)
+  private val shape = WriteShape.resolve(schema, conf.topicColumn)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new RippleWriterFactory(conf, shape)
@@ -143,35 +158,77 @@ class RippleWriterFactory(conf: RippleConf, shape: WriteShape)
     new RippleDataWriter(conf, shape, partitionId, taskId)
 }
 
-/** Executor-side writer: one staged frame file per routed bucket. */
+/** Executor-side writer: one staged frame file per routed (topic, bucket).
+  * Single-topic writes route by `conf.topic`; a ROUTED write
+  * (`topicColumn`) takes each row's topic from the named column — target
+  * topics must already exist (a typo'd topic name must never mint a
+  * topic from an executor; there is no safe distributed auto-create), and
+  * per-topic bucket counts / codecs resolve lazily from the registry.
+  */
 class RippleDataWriter(conf: RippleConf, shape: WriteShape,
     partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
 
-  private val stagingDir: HPath =
-    new HPath(new HPath(new HPath(conf.root), conf.topic), ".staging")
-  private val fs: FileSystem = LogFs.get(stagingDir, conf.hconf.value.value)
-  fs.mkdirs(stagingDir)
+  private val fs: FileSystem =
+    LogFs.get(new HPath(conf.root), conf.hconf.value.value)
 
-  // resolved ONCE driver-side (EffectiveBuckets folds the topic config in),
-  // shipped in the conf: every frame this task stages uses the same codec
-  private val codec: Int = graft.log.Codecs.id(conf.compression)
+  private def stagingDir(topic: String): HPath =
+    new HPath(new HPath(new HPath(conf.root), topic), ".staging")
+
+  /** Per-topic route/frame parameters, resolved once per topic per task.
+    * Single-topic: the driver already folded the topic config into the
+    * conf (EffectiveBuckets) — use it verbatim. Routed: read the registry
+    * (bucket count MUST exist) and fold the topic's compression unless
+    * the writer set it explicitly.
+    */
+  private case class TopicShape(numBuckets: Int, codec: Int)
+  private val topicShapes = mutable.Map.empty[String, TopicShape]
+  private def shapeFor(topic: String): TopicShape =
+    topicShapes.getOrElseUpdate(topic, {
+      if (shape.topicIdx < 0)
+        TopicShape(conf.numBuckets, graft.log.Codecs.id(conf.compression))
+      else {
+        val log = graft.log.FileTopicLog.cached(conf.root, conf.hconf.value.value)
+        val n = log.buckets(topic).size
+        if (n == 0) throw new IllegalArgumentException(
+          s"ripple: routed write names topic '$topic' which does not exist " +
+            "under the root — create it first (routed writes never " +
+            "auto-create)")
+        val codecName =
+          if (conf.compressionSet) conf.compression
+          else TopicConfig.read(log, topic).compression.getOrElse("none")
+        TopicShape(n, graft.log.Codecs.id(codecName))
+      }
+    })
 
   private case class Open(path: HPath, out: DataOutputStream, var count: Long,
     var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
-  private val open = mutable.Map.empty[String, Open]
+  private val open = mutable.Map.empty[(String, String), Open]
+  private val mkdirsDone = mutable.Set.empty[String]
 
-  private def routeBucket(row: InternalRow): String =
+  private def routeTopic(row: InternalRow): String =
+    if (shape.topicIdx < 0) conf.topic
+    else if (row.isNullAt(shape.topicIdx))
+      throw new IllegalArgumentException(
+        s"ripple: routed write got a NULL '${conf.topicColumn.get}' — every " +
+          "row must name its target topic")
+    else row.getUTF8String(shape.topicIdx).toString
+
+  private def routeBucket(row: InternalRow, numBuckets: Int): String =
     if (shape.bucketIdx >= 0 && !row.isNullAt(shape.bucketIdx))
       row.getUTF8String(shape.bucketIdx).toString
     else {
       val id = row.getInt(shape.idIdx)
-      f"b${math.floorMod(id, conf.numBuckets)}%04d"
+      f"b${math.floorMod(id, numBuckets)}%04d"
     }
 
   override def write(row: InternalRow): Unit = {
-    val bucket = routeBucket(row)
-    val o = open.getOrElseUpdate(bucket, {
-      val p = new HPath(stagingDir,
+    val topic = routeTopic(row)
+    val ts = shapeFor(topic)
+    val bucket = routeBucket(row, ts.numBuckets)
+    val o = open.getOrElseUpdate((topic, bucket), {
+      val dir = stagingDir(topic)
+      if (mkdirsDone.add(topic)) fs.mkdirs(dir)
+      val p = new HPath(dir,
         s"stage-$taskId-$partitionId-$bucket-${java.util.UUID.randomUUID()}")
       Open(p, new DataOutputStream(new java.io.BufferedOutputStream(
         fs.create(p, true), 1 << 16)), 0L)
@@ -186,15 +243,15 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
     if (tsMillis > o.maxTs) o.maxTs = tsMillis
     // shared frame codec: raw positional frames when codec == none (the
     // wire-stable v1 layout); self-describing compressed frames otherwise
-    SegmentCodec.writeFrame(o.out, id, tsMillis, data, codec)
+    SegmentCodec.writeFrame(o.out, id, tsMillis, data, ts.codec)
     o.count += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    val staged = open.toSeq.sortBy(_._1).map { case (bucket, o) =>
+    val staged = open.toSeq.sortBy(_._1).map { case ((topic, bucket), o) =>
       o.out.close()
       StagedFile(bucket, o.path.toString, o.count, partitionId,
-        o.minTs, o.maxTs)
+        o.minTs, o.maxTs, topic = topic)
     }
     RippleCommitMessage(staged)
   }
@@ -250,6 +307,40 @@ object RipplePublish {
     */
   def publish(conf: RippleConf, messages: Array[WriterCommitMessage],
       epochId: Option[Long], queryId: String = ""): Unit = synchronized {
+    val staged = messages.collect { case RippleCommitMessage(s) => s }.flatten
+      .filter(_.count > 0)
+      // deterministic, replay-stable publish order
+      .sortBy(s => (s.topic, s.bucket, s.partitionId, s.path))
+    if (conf.topicColumn.isEmpty)
+      publishTopic(conf, staged, epochId, queryId)
+    else {
+      // ROUTED write: one full per-topic publish (locks, intent, marker,
+      // retention, auto-compaction) per discovered topic, in sorted order.
+      // Exactly-once across a crash BETWEEN topics comes from the
+      // per-(topic, query, epoch) markers: a replayed epoch re-runs every
+      // topic, and each completed topic's marker turns its re-publish
+      // into a drop-staged no-op while the crashed topic completes from
+      // its intent.
+      staged.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (t, files) =>
+        require(t.nonEmpty, "ripple: routed write staged a file with no topic")
+        // fold THIS topic's persisted config (explicit writer options win
+        // per key — same resolution as a single-topic write start)
+        val tconf = TopicConfig.applyDefaults(
+          conf.copy(topic = t, topics = Seq(t), topicColumn = None))
+        publishTopic(tconf, files, epochId, queryId)
+        interTopicSeam(t)
+      }
+    }
+  }
+
+  /** Test seam: runs after each topic of a ROUTED publish completes, so a
+    * spec can crash the query between two topics deterministically. No-op
+    * in production.
+    */
+  private[graft] var interTopicSeam: String => Unit = _ => ()
+
+  private def publishTopic(conf: RippleConf, staged: Seq[StagedFile],
+      epochId: Option[Long], queryId: String): Unit = {
     val log = conf.log
     val fs = log.fs
     // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
@@ -262,15 +353,12 @@ object RipplePublish {
     val marker = epochId.map(e => new HPath(commits, s"epoch-$e"))
     val intent = epochId.map(e => new HPath(commits, s"epoch-$e.intent"))
     if (marker.exists(fs.exists(_))) {
-      abort(conf, messages)
+      staged.foreach(f =>
+        try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
       intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
       return
     }
 
-    val staged = messages.collect { case RippleCommitMessage(s) => s }.flatten
-      .filter(_.count > 0)
-      // deterministic, replay-stable publish order
-      .sortBy(s => (s.bucket, s.partitionId, s.path))
     staged.map(_.bucket).distinct.foreach { b =>
       require(!b.startsWith(".") && b.matches("[A-Za-z0-9._-]+"),
         s"invalid bucket name '$b'")

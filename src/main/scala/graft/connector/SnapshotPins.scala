@@ -39,6 +39,11 @@ object SnapshotPins {
     /** bucket → pinned floor (the lowest offset the pin still needs). */
     def floors: Map[String, Long] =
       TopicSnapshot.decode(token)._2.map { case (b, (lo, _)) => b -> lo }
+    /** bucket → pinned ceiling (the end offset the pin captured) — the
+      * upper edge of the range whose CONTENT must stay byte-stable.
+      */
+    def ceilings: Map[String, Long] =
+      TopicSnapshot.decode(token)._2.map { case (b, (_, hi)) => b -> hi }
   }
 
   private val mapper = new ObjectMapper()
@@ -205,6 +210,16 @@ object SnapshotPins {
       nowMs: Long = System.currentTimeMillis()): Map[String, Long] =
     list(log, topic).filter(_.live(nowMs)).flatMap(_.floors.toSeq)
       .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** bucket → HIGHEST pinned ceiling across LIVE pins — the clamp key
+    * compaction applies (only offsets at or above every live pin's
+    * captured end may be rewritten; below it the pinned content must stay
+    * byte-stable). Empty when nothing is pinned.
+    */
+  def liveCeilings(log: FileTopicLog, topic: String,
+      nowMs: Long = System.currentTimeMillis()): Map[String, Long] =
+    list(log, topic).filter(_.live(nowMs)).flatMap(_.ceilings.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
 
   /** Names of live pins — for delete-topic refusal messages. */
   def liveNames(log: FileTopicLog, topic: String,

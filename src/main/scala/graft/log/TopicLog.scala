@@ -115,13 +115,51 @@ object SegmentCodec {
   def segmentName(start: Long, count: Long): String =
     f"$SegmentPrefix$start%020d-$count%010d$SegmentSuffix"
 
-  /** (startOffset, count) parsed from a segment file name. */
+  /** Name of a SPARSE segment — the product of key-based compaction
+    * ([[FileTopicLog.compactKeyed]]): it covers the offset SPAN
+    * `[start, start+span)` but holds only `rows` retained records, each
+    * frame carrying its original offset explicitly. The span keeps every
+    * offset-arithmetic invariant (end offset, range pruning, overlap
+    * checks) working unchanged; the `k<rows>` field carries the EXACT
+    * retained count for planners that otherwise assume count == rows
+    * (LIMIT planning, statistics, the metadata COUNT(*) pushdown guard).
+    */
+  def segmentNameSparse(start: Long, span: Long, rows: Long): String =
+    f"$SegmentPrefix$start%020d-$span%010d-k$rows%010d$SegmentSuffix"
+
+  /** (startOffset, span) parsed from a segment file name. For a dense
+    * segment span == record count; a sparse one holds [[sparseRows]]
+    * records inside the span.
+    */
   def parse(name: String): Option[(Long, Long)] =
     if (!name.startsWith(SegmentPrefix) || !name.endsWith(SegmentSuffix)) None
     else name.stripPrefix(SegmentPrefix).stripSuffix(SegmentSuffix).split('-') match {
-      case Array(s, c) => Some((s.toLong, c.toLong))
-      case _           => None
+      case Array(s, c)                  => Some((s.toLong, c.toLong))
+      case Array(s, c, k) if isKField(k) => Some((s.toLong, c.toLong))
+      case _                            => None
     }
+
+  private def isKField(f: String): Boolean =
+    f.length > 1 && f.charAt(0) == 'k' && f.drop(1).forall(_.isDigit)
+
+  /** Retained-record count of a SPARSE segment, None when unrecorded (a
+    * manifest-mode sparse data file carries the flag only — its name is
+    * fixed before the rewrite knows the count) or dense. Works on both
+    * name families: rename-mode `seg-…-k<rows>.log` and manifest-mode
+    * `data-…-k[<rows>]-<uuid>.log` (the `k` marker cannot collide with a
+    * UUID field — hex has no 'k').
+    */
+  def sparseRows(name: String): Option[Long] =
+    name.stripSuffix(SegmentSuffix).split('-').collectFirst {
+      case f if isKField(f) => f.drop(1).toLong
+    }
+
+  /** Is this segment/data file SPARSE (key-compacted: frames carry
+    * explicit offsets; retained records <= the name's span)?
+    */
+  def isSparse(name: String): Boolean =
+    name.stripSuffix(SegmentSuffix).split('-')
+      .exists(f => f == "k" || isKField(f))
 
   /** Extended-frame flag bits (see the class doc's v2 layout). */
   private val CodecMask = 0x07
@@ -307,6 +345,82 @@ object SegmentCodec {
   def readHeaders(fs: FileSystem, file: HPath): FrameIterator =
     new FrameIterator(fs.open(file), skipData = true)
 
+  /** Two-pass latest-per-key rewrite — the frame-level worker of key-based
+    * log compaction (`cleanup.policy=compact` parity; the envelope's
+    * `id INT` is the key). Pass 1 walks HEADERS only (payloads seeked
+    * past, never decompressed) building id → last offset; pass 2 decodes
+    * and re-frames exactly the records whose offset is their key's last,
+    * each with an EXPLICIT offset (the segment becomes sparse: retained
+    * records keep their original positions) and re-encoded under `codec`.
+    * `members` are (path, startOffset) in offset order — last write wins
+    * across files exactly as within one. Returns the retained row count.
+    *
+    * Memory bound: the map holds one (int key → long offset) entry per
+    * DISTINCT key in the bucket — the same offset-map bound Kafka's log
+    * cleaner runs under; at 10^8 distinct keys per bucket that is ~1.6 GB
+    * in a task, the signal to shard the topic wider, not a driver
+    * concern (tasks run executor-side via the distributed runner).
+    */
+  def rewriteLatestPerKey(fs: FileSystem, members: Seq[(HPath, Long)],
+      out: HPath, codec: Int = Codecs.None): Long = {
+    val last = new scala.collection.mutable.LongMap[Long](1 << 10)
+    members.foreach { case (p, start) =>
+      val it = readHeaders(fs, p)
+      try {
+        var cur = start - 1
+        while (it.hasNext) {
+          val (id, _, _) = it.next()
+          cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
+          last(id.toLong) = cur
+        }
+      } finally it.close()
+    }
+    val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
+    var rows = 0L
+    try {
+      members.foreach { case (p, start) =>
+        val it = read(fs, p)
+        try {
+          var cur = start - 1
+          while (it.hasNext) {
+            val (id, ts, data) = it.next()
+            cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
+            if (last.getOrElse(id.toLong, -1L) == cur) {
+              writeFrame(o, id, ts, data, codec, offset = cur)
+              rows += 1
+            }
+          }
+        } finally it.close()
+      }
+      o.close()
+    } catch {
+      case e: Throwable =>
+        try o.close() catch { case _: Throwable => () }
+        throw e
+    }
+    rows
+  }
+
+  /** One header-only pass over a frame file: (rows, minTs, maxTs) —
+    * what the keyed-compaction commit needs to name and stat the sparse
+    * product. (MaxValue, MinValue) ts sentinels when empty.
+    */
+  def statFrames(fs: FileSystem, p: HPath): (Long, Long, Long) = {
+    val it = readHeaders(fs, p)
+    try {
+      var rows = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      while (it.hasNext) {
+        val ts = it.next()._2
+        rows += 1
+        if (ts < mn) mn = ts
+        if (ts > mx) mx = ts
+      }
+      (rows, mn, mx)
+    } finally it.close()
+  }
+
   /** Frame-level identity IGNORING timestamps: same (id, data) sequence.
     * The replay-idempotency check must use this, not raw byte equality —
     * a writer stamps wall-clock `ts` into frames when the input has no ts
@@ -388,6 +502,15 @@ object SegmentCodec {
   * the merge is a plain byte concatenation wherever it runs.
   */
 case class ConcatTask(members: Seq[String], out: String, bytes: Long)
+
+/** One planned KEY compaction rewrite, shippable to an executor task:
+  * decode `members` ((absolute path, start offset), offset order), keep
+  * the latest record per key, write the sparse product to `out` under
+  * `codec` ([[SegmentCodec.rewriteLatestPerKey]]). `bytes` is total member
+  * bytes — the local-vs-distributed routing input, same as [[ConcatTask]].
+  */
+case class KeyedTask(members: Seq[(String, Long)], out: String, bytes: Long,
+  codec: Int)
 
 /** Weight-bounded string-keyed LRU for driver-side parsed metadata: total
   * weight (caller-defined, e.g. parsed entries held) is capped and the
@@ -1784,6 +1907,204 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     }
   }
 
+  /** Key-based log compaction — Kafka `cleanup.policy=compact` parity:
+    * retain the LATEST record per `id` per bucket, at its ORIGINAL offset
+    * (the changelog-topic use case: the log becomes a keyed table whose
+    * history below each key's last write is reclaimable). Produces one
+    * SPARSE segment per bucket covering the compacted span — frames carry
+    * explicit offsets ([[SegmentCodec]] v2), so every reader resolves
+    * retained records at their true positions and every offset invariant
+    * (end offset, floors, pruning, gaps) holds unchanged. The reference
+    * cannot express compaction at all (retention itself is an unimplemented
+    * TODO, `internal/broker/consumer/server/core.go:45`).
+    *
+    * Same 3-phase shape as [[compactSegments]] — plan under the bucket
+    * lock (metadata only), REWRITE the bytes with no lock held (`rewrite`
+    * strategy: driver-local default, or a Spark job via the connector's
+    * distributed runner), validate + publish + manifest-swap under the
+    * lock. A member vanishing mid-rewrite (racing retention) drops that
+    * bucket's plan; a crash after publish heals forward deterministically
+    * ([[healCovered]] keeps the sparse product).
+    *
+    * `minStartByBucket` clamps the compaction to offsets AT OR ABOVE the
+    * given floor per bucket — the snapshot-pin composition: a live pin
+    * needs its captured range byte-stable, so the facade passes each
+    * bucket's max live pinned ceiling and only the unpinned SUFFIX
+    * compacts (exactly how retention clamps to pinned floors).
+    *
+    * No tombstones: the engine's payloads have no null marker (an empty
+    * `data` is a legal value), so "latest value" always survives — key
+    * DELETION is out of scope, as in the reference. Returns segments
+    * compacted away (members replaced by sparse products + healed).
+    */
+  def compactKeyed(topic: String, onlyBuckets: Option[Set[String]] = None,
+      rewrite: Seq[KeyedTask] => Unit = null, codec: Int = Codecs.None,
+      minStartByBucket: Map[String, Long] = Map.empty): Int = {
+    val mover = if (rewrite == null) localKeyed _ else rewrite
+    val tbs = buckets(topic).filter(tb => onlyBuckets.forall(_.contains(tb.bucket)))
+    if (manifestCommitMode) compactKeyedManifest(tbs, mover, codec, minStartByBucket)
+    else compactKeyedRename(tbs, mover, codec, minStartByBucket)
+  }
+
+  /** Default rewrite strategy for [[compactKeyed]]: decode in the calling
+    * JVM. Member-vanished tolerance mirrors [[localConcat]].
+    */
+  def localKeyed(tasks: Seq[KeyedTask]): Unit = tasks.foreach { t =>
+    try SegmentCodec.rewriteLatestPerKey(fs,
+      t.members.map { case (p, s) => (new HPath(p), s) }, new HPath(t.out),
+      t.codec)
+    catch {
+      case _: java.io.FileNotFoundException =>
+        try fs.delete(new HPath(t.out), false)
+        catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private case class KeyedPlan(tb: TopicBucket, healed: Int,
+      members: Seq[(HPath, Long, Long, Long)], staged: HPath,
+      start: Long, span: Long)
+
+  /** Eligible members of one bucket's keyed compaction: the healed,
+    * clamp-filtered suffix. None when there is nothing to do (empty, or a
+    * single already-sparse segment — its keys are unique by construction).
+    */
+  private def keyedMembers(segs: Seq[(HPath, Long, Long, Long)],
+      clamp: Long): Option[Seq[(HPath, Long, Long, Long)]] = {
+    val elig = segs.filter(_._2 >= clamp)
+    if (elig.isEmpty ||
+        (elig.size == 1 && SegmentCodec.isSparse(elig.head._1.getName))) None
+    else Some(elig)
+  }
+
+  private def compactKeyedRename(tbs: Seq[TopicBucket],
+      rewrite: Seq[KeyedTask] => Unit, codec: Int,
+      clamps: Map[String, Long]): Int = {
+    val plans = tbs.map { tb =>
+      withBucketLock(tb) {
+        val (raw, healed) = healCovered(tb)
+        val members = keyedMembers(raw, clamps.getOrElse(tb.bucket, Long.MinValue))
+        KeyedPlan(tb, healed, members.getOrElse(Seq.empty),
+          new HPath(bucketDir(tb), s".tmp-${java.util.UUID.randomUUID()}"),
+          members.map(_.head._2).getOrElse(0L),
+          members.map(m => m.last._2 + m.last._3 - m.head._2).getOrElse(0L))
+      }
+    }
+    val work = plans.filter(_.members.nonEmpty)
+    rewrite(work.map(p => KeyedTask(
+      p.members.map(m => (m._1.toString, m._2)), p.staged.toString,
+      p.members.map(_._4).sum, codec)))
+    plans.map { p =>
+      if (p.members.isEmpty) p.healed else p.healed + commitKeyedRename(p)
+    }.sum
+  }
+
+  private def commitKeyedRename(plan: KeyedPlan): Int = withBucketLock(plan.tb) {
+    val dir = bucketDir(plan.tb)
+    def dropStaged(): Unit =
+      try fs.delete(plan.staged, false) catch { case _: java.io.IOException => () }
+    val currentNames = segmentStatusRaw(plan.tb).map(_._1.getPath.getName).toSet
+    // the unlocked rewrite drops its output when a member vanishes under
+    // it; a vanished member with output present means retention ran AFTER
+    // the rewrite finished — committing would resurrect truncated rows
+    if (!plan.members.forall(m => currentNames.contains(m._1.getName))) {
+      dropStaged(); return 0
+    }
+    val (rows, minTs, maxTs) =
+      try SegmentCodec.statFrames(fs, plan.staged)
+      catch { case _: java.io.IOException => dropStaged(); return 0 }
+    val target = new HPath(dir,
+      SegmentCodec.segmentNameSparse(plan.start, plan.span, rows))
+    if (!publishNoReplace(plan.staged, target)) {
+      // a crashed attempt already published this exact product: verify
+      if (!SegmentCodec.sameFrames(fs, target, plan.staged))
+        throw new IllegalStateException(
+          s"keyed-compaction target $target exists with foreign content")
+      dropStaged()
+    }
+    val memberNames = plan.members.map(_._1.getName).toSet
+    val names = (currentNames -- memberNames + target.getName).toSeq.sorted
+    writeFileAtomic(manifestPath(plan.tb),
+      names.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (minTs <= maxTs)
+      recordTsStats(plan.tb, Map(target.getName -> (minTs, maxTs)))
+    memberNames.foreach { n =>
+      try fs.delete(new HPath(dir, n), false)
+      catch { case _: java.io.IOException => () } }
+    memberNames.size
+  }
+
+  private def compactKeyedManifest(tbs: Seq[TopicBucket],
+      rewrite: Seq[KeyedTask] => Unit, codec: Int,
+      clamps: Map[String, Long]): Int = {
+    var total = 0
+    case class MPlan(tb: TopicBucket, st: CommitState,
+        members: Seq[(HPath, Long, Long, Long)], add: SegMeta)
+    def plan(tb: TopicBucket): Option[MPlan] = {
+      val dir = bucketDir(tb)
+      val st = commitLog(tb).read()
+      val segs = st.segs.map { s =>
+        val p = new HPath(dir, s.name)
+        (p, s.start, s.count,
+          try fs.getFileStatus(p).getLen
+          catch { case _: java.io.FileNotFoundException => return None })
+      }
+      keyedMembers(segs, clamps.getOrElse(tb.bucket, Long.MinValue)).map { ms =>
+        val start = ms.head._2
+        val span = ms.last._2 + ms.last._3 - start
+        // flag-only sparse marker: the data name is fixed before the
+        // rewrite knows the retained count (a rename would be an
+        // object-store copy); read planners treat unknown-rows sparse
+        // segments conservatively
+        MPlan(tb, st, ms, SegMeta(
+          f"data-$start%020d-$span%010d-k-${java.util.UUID.randomUUID()}.log",
+          start, span))
+      }
+    }
+    var pending = tbs.flatMap(plan)
+    val attempts = mutable.Map.empty[String, Int].withDefaultValue(0)
+    while (pending.nonEmpty) {
+      rewrite(pending.map(p => KeyedTask(
+        p.members.map(m => (m._1.toString, m._2)),
+        new HPath(bucketDir(p.tb), p.add.name).toString,
+        p.members.map(_._4).sum, codec)))
+      val results = pending.map { p =>
+        val dir = bucketDir(p.tb)
+        val out = new HPath(dir, p.add.name)
+        val staged =
+          try { fs.getFileStatus(out); true }
+          catch { case _: java.io.FileNotFoundException => false }
+        val removes = p.members.map(_._1.getName).toSet
+        if (staged &&
+            commitLog(p.tb).tryCommit(p.st, Seq(p.add), removes).isDefined) {
+          val (_, minTs, maxTs) = SegmentCodec.statFrames(fs, out)
+          if (minTs <= maxTs)
+            recordTsStats(p.tb, Map(p.add.name -> (minTs, maxTs)))
+          removes.foreach { n =>
+            try fs.delete(new HPath(dir, n), false)
+            catch { case _: java.io.IOException => () } }
+          p -> Some(removes.size)
+        } else {
+          try fs.delete(out, false) catch { case _: java.io.IOException => () }
+          p -> None
+        }
+      }
+      total += results.flatMap(_._2).sum
+      val lost = results.collect { case (p, None) => p.tb }
+      if (lost.isEmpty) pending = Seq.empty
+      else {
+        lost.foreach(tb => attempts(tb.path) += 1)
+        val over = lost.filter(tb => attempts(tb.path) > 20)
+        if (over.nonEmpty) throw new java.io.IOException(
+          s"keyed compaction on ${over.map(_.path).mkString(", ")} lost the " +
+            s"commit race ${over.map(tb => attempts(tb.path)).max} times")
+        val worst = lost.map(tb => attempts(tb.path)).max
+        Thread.sleep(scala.util.Random.nextInt(1 << math.min(worst, 6)).toLong)
+        pending = lost.flatMap(plan)
+      }
+    }
+    total
+  }
+
   /** Contiguous runs of at least `minSegments` segments whose combined
     * bytes fit `targetBytes`. Input must be start-sorted and overlap-free.
     */
@@ -1796,8 +2117,13 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       if (cur.size >= minSegments) groups += cur.reverse
       cur = Nil; curBytes = 0L
     }
-    segs.foreach { case seg @ (_, start, _, len) =>
-      cur match {
+    segs.foreach { case seg @ (path, start, _, len) =>
+      // a SPARSE member (key compaction product) never joins a byte-concat
+      // group: a dense member concatenated AFTER it would inherit a
+      // mid-gap positional cursor. compactKeyed itself re-merges
+      // sparse+dense runs (it decodes anyway).
+      if (SegmentCodec.isSparse(path.getName)) flush()
+      else cur match {
         case (_, pStart, pCount, _) :: _
             if pStart + pCount == start && curBytes + len <= targetBytes =>
           cur ::= seg; curBytes += len
@@ -1846,25 +2172,36 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     plans.map(commitRename).sum
   }
 
-  private def planRename(tb: TopicBucket, targetBytes: Long,
-      minSegments: Int): RenamePlan = withBucketLock(tb) {
-    val dir = bucketDir(tb)
+  /** Heal a crashed prior compaction (caller holds the bucket lock): a
+    * segment whose range sits fully inside a LARGER one is a pre-merge
+    * member (only compaction creates covering segments — publishes refuse
+    * overlaps); byte identity over the shared range holds by construction
+    * for byte-concat merges, and a key-compacted covering segment is the
+    * compaction's intended result. Manifest first, then delete. Returns
+    * (surviving segments, healed count).
+    *
+    * One sorted sweep, not all-pairs: in (start asc, count desc) order a
+    * segment is covered iff some EARLIER-sorted segment's end reaches its
+    * end (earlier starts are <= its start, and strictly-larger follows).
+    * Identical ranges CAN coexist in exactly one shape since key
+    * compaction landed: a crashed single-member compactKeyed leaves the
+    * sparse product next to its dense member under a DIFFERENT name
+    * (same-name publish is still refused) — the tie-break keeps the
+    * SPARSE one, deterministically completing the crashed compaction
+    * (keeping the dense one would roll it back; both are consistent log
+    * states, but determinism beats listing-order luck). The all-pairs
+    * form was the probe-measured super-linear term of the
+    * 2×10^4-segment compaction cell (round 13): 4×10^8 predicate
+    * evaluations before a single byte moved.
+    */
+  private def healCovered(tb: TopicBucket): (Seq[(HPath, Long, Long, Long)], Int) = {
     var raw = segmentStatusRaw(tb).map { case (st, s, c) => (st.getPath, s, c, st.getLen) }
-    // Heal a crashed prior compaction: a segment whose range sits fully
-    // inside a LARGER one is a pre-merge member (only compaction creates
-    // covering segments — publishes refuse overlaps); byte identity over
-    // the shared range holds by construction. Manifest first, then delete.
-    // One sorted sweep, not all-pairs: in (start asc, count desc) order a
-    // segment is covered iff some EARLIER-sorted segment's end reaches its
-    // end (earlier starts are <= its start, and strictly-larger follows —
-    // identical ranges cannot coexist, same-name publish is refused). The
-    // all-pairs form was the probe-measured super-linear term of the
-    // 2×10^4-segment compaction cell (round 13): 4×10^8 predicate
-    // evaluations before a single byte moved.
     val coveredSet = {
       val b = Set.newBuilder[HPath]
       var maxEnd = Long.MinValue
-      raw.sortBy { case (_, s, c, _) => (s, -c) }.foreach { case (p, s, c, _) =>
+      raw.sortBy { case (p, s, c, _) =>
+        (s, -c, if (SegmentCodec.isSparse(p.getName)) 0 else 1)
+      }.foreach { case (p, s, c, _) =>
         val end = s + c
         if (maxEnd >= end) b += p
         else maxEnd = end
@@ -1882,6 +2219,13 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       healed = coveredSet.size
     }
     checkNoOverlap(tb, raw.map { case (p, s, c, _) => (p, s, c) })
+    (raw, healed)
+  }
+
+  private def planRename(tb: TopicBucket, targetBytes: Long,
+      minSegments: Int): RenamePlan = withBucketLock(tb) {
+    val dir = bucketDir(tb)
+    val (raw, healed) = healCovered(tb)
     val groups = compactionGroups(raw, targetBytes, minSegments)
     RenamePlan(tb, healed, groups,
       groups.map(_ => new HPath(dir, s".tmp-${java.util.UUID.randomUUID()}")))

@@ -591,7 +591,125 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Key-based log compaction (q167, Kafka `cleanup.policy=compact`
+    * parity): events become a KEY-UPDATE stream — key = event_id % 500,
+    * written in event_id order across three packed slices — so each key's
+    * LATEST value is its row with the maximum event_id. After
+    * [[Ripple.compactKeyed]] the lifted read must equal the oracle's
+    * latest-per-key selection exactly: a compaction that keeps the wrong
+    * generation (first-write wins), loses a key, or resurrects a
+    * superseded row hash-fails. In-body requires pin the structural
+    * claims: every bucket collapses to ONE sparse segment and the end
+    * offsets are unchanged (offsets are preserved, Kafka's compacted-topic
+    * contract).
+    */
+  def keyedCompactionAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"),
+      pmod(col("event_id"), lit(500)).cast("int"))
+    Ripple.createTopic(root, "kcq", numBuckets = 2)
+    Ripple.write(slice(0, 300), root, "kcq", numBuckets = 2)
+    Ripple.write(slice(300, 700), root, "kcq", numBuckets = 2)
+    Ripple.write(slice(700, Int.MaxValue), root, "kcq", numBuckets = 2)
+    val endsBefore = Ripple.endOffsets(root, "kcq")
+    require(Ripple.compactKeyed(root, "kcq") > 0, "segments must compact")
+    require(Ripple.endOffsets(root, "kcq") == endsBefore,
+      "keyed compaction preserves end offsets")
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    log.buckets("kcq").foreach { tb =>
+      val segs = log.segments(tb)
+      require(segs.size == 1 &&
+        graft.log.SegmentCodec.isSparse(segs.head._1.getName),
+        s"bucket ${tb.bucket} must hold one sparse segment, got " +
+          segs.map(_._1.getName).mkString(", "))
+    }
+    Ripple.lift(Ripple.read(s, root, "kcq"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** SQL admin WRITE statements end-to-end (q168): the q165 scenario with
+    * every admin action driven through [[graft.GraftSqlParser]] statements
+    * instead of Scala calls — `CREATE TOPIC` registers the topic,
+    * `ALTER TOPIC … SET (retentionMs = …)` persists the policy, and a
+    * zero-option sink write must then apply it (drop the aged first
+    * slice, floor 200). Statements are parsed EXPLICITLY so the gate holds
+    * on sessions built without `spark.sql.extensions`. The lifted read
+    * equals the oracle's `event_id >= 200` aggregate — a DDL layer that
+    * parses but doesn't persist, or persists the wrong key, hash-fails.
+    */
+  def sqlAdminDdlAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+    val parser = new graft.GraftSqlParser(s.sessionState.sqlParser)
+    def runCmd(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(s)
+    val created = runCmd(s"CREATE TOPIC cfgsql (numBuckets = 1) IN '$root'")
+    require(created.head.getInt(1) == 1, s"CREATE TOPIC returned $created")
+    Ripple.write(Ripple.pack(slice(0, 200), col("event_id")),
+      root, "cfgsql", numBuckets = 1)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("cfgsql", "b0000")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    log.segments(tb).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    val altered = runCmd(
+      s"ALTER TOPIC cfgsql SET (retentionMs = ${24L * 3600 * 1000}) IN '$root'")
+    require(altered.head.getString(1) == "retentionMs=86400000",
+      s"ALTER TOPIC returned $altered")
+    Ripple.write(Ripple.pack(slice(200, Int.MaxValue), col("event_id")),
+      root, "cfgsql", numBuckets = 1)
+    val floor = Ripple.earliestOffsets(root, "cfgsql")("b0000")
+    require(floor == 200L,
+      s"the SQL-set retentionMs must drive the sink's retention, floor=$floor")
+    Ripple.lift(Ripple.read(s, root, "cfgsql"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Routed (fan-out) writes (q169): ONE write whose rows route to two
+    * topics by a data column (`topicColumn` — the Kafka-sink topic-column
+    * parity), then a multi-topic subscription reads both back and the
+    * union aggregate must equal the oracle over ALL events grouped by the
+    * routing class. A router that drops rows, routes to the wrong topic,
+    * or double-publishes hash-fails (the per-topic grouping keys the agg).
+    */
+  def routedWriteAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "rw0", numBuckets = 2)
+    Ripple.createTopic(root, "rw1", numBuckets = 2)
+    // framed by hand (not Ripple.pack — its id is a HASH of the key; the
+    // routing class must be event_id's own parity to match the oracle)
+    ev.select(
+        col("event_id").cast("int").as("id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).cast("binary").as("data"),
+        concat(lit("rw"), pmod(col("event_id"), lit(2))).as("target"))
+      .write.format("ripple").option("path", root)
+      .option("topicColumn", "target").mode("append").save()
+    Ripple.lift(Ripple.readTopics(s, root, Seq("rw0", "rw1")), eventSchema)
+      .groupBy(col("_topic").as("topic"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_routed_write" -> (routedWriteAgg _),
+    "q168_sql_admin_ddl" -> (sqlAdminDdlAgg _),
+    "q167_keyed_compaction" -> (keyedCompactionAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -751,6 +869,24 @@ object ConnectorQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id >= 200""".stripMargin,
+    "q169_routed_write" ->
+      """SELECT 'rw' || CAST(event_id % 2 AS VARCHAR) AS topic,
+        |  count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q168_sql_admin_ddl" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200""".stripMargin,
+    "q167_keyed_compaction" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 500 = e.event_id % 500)""".stripMargin,
     "q164_consumer_expiry" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -2514,6 +2514,70 @@ class ConnectorSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL admin writes: CREATE TOPIC / ALTER TOPIC SET merges / UNSET removes; unknown keys loud") {
+    val root = tmp()
+    val base = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.graft.root", root)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // CREATE TOPIC with and without options
+      val c = s.sql("CREATE TOPIC sq1 (numBuckets = 3)").collect()
+      assert(c.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("sq1", 3)))
+      assert(Ripple.buckets(root, "sq1") == Seq("b0000", "b0001", "b0002"))
+      assert(s.sql(s"CREATE TOPIC sq2 IN '$root'").collect()
+        .head.getInt(1) == 4) // default buckets
+      // ALTER ... SET merges over the persisted config
+      s.sql("ALTER TOPIC sq1 SET (retentionMs = 86400000, compression = 'zstd')")
+        .collect()
+      assert(Ripple.topicConfig(root, "sq1").retentionMs.contains(86400000L))
+      assert(Ripple.topicConfig(root, "sq1").compression.contains("zstd"))
+      val merged = s.sql("ALTER TOPIC sq1 SET (autoCompactSegments = 5)")
+        .collect().head.getString(1)
+      assert(merged == "autoCompactSegments=5,compression=zstd,retentionMs=86400000",
+        s"SET must merge, not replace: $merged")
+      // UNSET removes a key, keeps the rest
+      val un = s.sql("ALTER TOPIC sq1 UNSET (retentionMs)").collect().head.getString(1)
+      assert(un == "autoCompactSegments=5,compression=zstd", un)
+      // the persisted config now drives a zero-option writer (end-to-end)
+      import s.implicits._
+      val text = (i: Int) => (s"v$i " + ("abc " * 40)).getBytes("UTF-8")
+      (0 until 60).map(i => (i, text(i))).toDF("id", "data")
+        .write.format("ripple").option("path", root).option("topic", "sq1")
+        .mode("append").save()
+      val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+      val onDisk = log.buckets("sq1").flatMap(log.segments)
+        .map { case (p, _, _) => log.fileLen(p) }.sum
+      assert(onDisk * 2 < (0 until 60).map(text(_).length + 16L).sum,
+        "SQL-set compression must apply to the sink")
+      // loud refusals: unknown key, bad value, unknown codec
+      val e1 = intercept[Exception] {
+        s.sql("ALTER TOPIC sq1 SET (retentoinMs = 5)").collect() }
+      assert(e1.getMessage.contains("unknown topic config key"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TOPIC sq1 SET (retentionMs = 'soon')").collect() }
+      assert(e2.getMessage.contains("integer"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        s.sql("ALTER TOPIC sq1 SET (compression = 'brotli')").collect() }
+      assert(e3.getMessage.contains("unknown compression codec"), e3.getMessage)
+      // UNSET of the last keys deletes the document
+      s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression)").collect()
+      assert(Ripple.topicConfig(root, "sq1").isEmpty)
+      // plain Spark DDL still delegates (no shadowing of ALTER TABLE)
+      s.sql("DROP TABLE IF EXISTS t_alter")
+      s.sql("CREATE TABLE t_alter (a INT) USING parquet")
+      s.sql("ALTER TABLE t_alter ADD COLUMNS (b STRING)")
+      assert(s.table("t_alter").schema.fieldNames.toSeq == Seq("a", "b"))
+      s.sql("DROP TABLE t_alter")
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base); SparkSession.setActiveSession(base)
+    }
+  }
+
   test("expireConsumers skips a consumer that commits between the staleness check and the delete") {
     val root = tmp()
     Ripple.createTopic(root, "exr", numBuckets = 1)
@@ -2670,6 +2734,81 @@ class ConnectorSpec extends AnyFunSuite {
         .map(e2 => Option(e2.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("unknown compression codec")),
       chain(e).mkString(" | "))
+  }
+
+  test("keyed compaction through the connector: exact reads, COUNT(*)/LIMIT stay correct, pins clamp, codec re-encodes") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    Ripple.createTopic(root, "kc", numBuckets = 1)
+    // compression on the topic: keyed compaction re-encodes with it
+    Ripple.setTopicConfig(root, "kc",
+      graft.connector.TopicConfig(compression = Some("zstd")))
+    import spark.implicits._
+    def putBatch(pairs: Seq[(Int, String)]): Unit =
+      Ripple.write(pairs.map { case (k, v) =>
+        (k, (v + ": " + ("padding " * 30)).getBytes("UTF-8")) }
+        .toDF("id", "data").repartition(1), root, "kc", numBuckets = 1)
+    putBatch(Seq(1 -> "a1", 2 -> "b1", 3 -> "c1")) // offsets 0-2
+    putBatch(Seq(1 -> "a2", 2 -> "b2"))            // offsets 3-4
+    putBatch(Seq(1 -> "a3"))                       // offset 5
+    // pin a snapshot NOW (captures [0, 6)) — a later keyed compaction
+    // must clamp: nothing below the pin's ceiling may rewrite
+    Ripple.pinSnapshot(root, "kc", "corpus")
+    putBatch(Seq(2 -> "b3", 4 -> "d1"))            // offsets 6-7
+    putBatch(Seq(2 -> "b4"))                       // offset 8
+    val tb = graft.model.TopicBucket("kc", "b0000")
+    val preNames = log.segments(tb).take(3).map(_._1.getName)
+    assert(Ripple.compactKeyed(root, "kc") == 2,
+      "only the two post-pin segments compact")
+    assert(log.segments(tb).take(3).map(_._1.getName) == preNames,
+      "pinned range byte-stable")
+    // pinned snapshot read still exact
+    val pinned = Ripple.readSnapshot(spark, root, "kc",
+      Ripple.snapshots(root, "kc").head.token)
+    assert(pinned.count() == 6)
+    // drop the pin: full compaction collapses everything to latest-per-key
+    Ripple.dropSnapshot(root, "kc", "corpus")
+    assert(Ripple.compactKeyed(root, "kc") > 0)
+    val rows = Ripple.read(spark, root, "kc")
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2).split(":").head)).sortBy(_._1).toSeq
+    assert(rows == Seq((2L, 3, "c1"), (5L, 1, "a3"), (7L, 4, "d1"), (8L, 2, "b4")),
+      s"latest per key at original offsets, got $rows")
+    // COUNT(*) is exact over the sparse topic (the metadata pushdown
+    // refuses and the real scan runs — header walk, payloads pruned)
+    val cnt = Ripple.read(spark, root, "kc").agg(count(lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "metadata agg pushdown must refuse on a sparse topic")
+    assert(cnt.collect().head.getLong(0) == 4L)
+    // LIMIT never under-delivers over sparse spans
+    assert(Ripple.read(spark, root, "kc").limit(3).collect().length == 3)
+    assert(Ripple.read(spark, root, "kc").limit(10).collect().length == 4)
+    // offset-range replay over the sparse map stays exact
+    assert(Ripple.readRange(spark, root, "kc", from = 6L, until = Long.MaxValue)
+      .select("id").as[Int].collect().sorted.toSeq == Seq(2, 4))
+    // the sparse product is zstd-framed (topic codec applied on rewrite):
+    // its bytes are far below the raw payload sum of retained rows
+    val seg = log.segments(tb).last
+    assert(graft.log.SegmentCodec.isSparse(seg._1.getName))
+    val rawRetained = 4L * ("xx: " + ("padding " * 30)).getBytes.length
+    assert(log.fileLen(seg._1) * 3 < rawRetained,
+      s"re-encode must compress: ${log.fileLen(seg._1)} vs $rawRetained")
+    // distributed rewrite path: same result via the Spark-job runner
+    Ripple.createTopic(root, "kd", numBuckets = 2)
+    Ripple.write((0 until 40).map(i => (i % 8, s"v$i".getBytes("UTF-8")))
+      .toDF("id", "data"), root, "kd", numBuckets = 2)
+    val beforeKd = Ripple.read(spark, root, "kd")
+      .select("bucket", "offset", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // per (bucket, id): the max offset survives
+    val expectKd = beforeKd.groupBy(t => (t._1, t._3)).values
+      .map(_.maxBy(_._2)).toSet
+    assert(Ripple.compactKeyed(spark, root, "kd", distributeMinBytes = 0L) > 0)
+    assert(Ripple.read(spark, root, "kd")
+      .select("bucket", "offset", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == expectKd)
   }
 
   test("currentVersion is read-only on a breach (out-of-band pointer rewrite); evolve repairs the history") {

@@ -600,6 +600,86 @@ class LogSpec extends AnyFunSuite {
     it.close()
   }
 
+  test("compactKeyed: latest record per key at original offsets; floor/end unchanged; heal completes a crash") {
+    val log = fileLog()
+    log.createTopic("kc", 1)
+    val tbk = TopicBucket("kc", "b0000")
+    def put(id: Int, v: String, ts: Long): Unit =
+      log.appendAt(tbk, log.size(tbk), Seq((Payload(id, v.getBytes), ts)))
+    // key-update stream: keys 1..3 written multiple times across segments
+    put(1, "a1", 10); put(2, "b1", 20); put(1, "a2", 30) // offsets 0,1,2
+    put(3, "c1", 40); put(2, "b2", 50)                   // offsets 3,4
+    put(1, "a3", 60)                                     // offset 5
+    val endBefore = log.size(tbk)
+    assert(log.compactKeyed("kc") == 6, "all six single-record segments replaced")
+    // the log is now one sparse segment holding the latest per key at
+    // ORIGINAL offsets: 1->5(a3), 2->4(b2), 3->3(c1)
+    val segs = log.segments(tbk)
+    assert(segs.size == 1 && SegmentCodec.isSparse(segs.head._1.getName))
+    assert(SegmentCodec.sparseRows(segs.head._1.getName).contains(3L))
+    assert(segs.head._2 == 0L && segs.head._3 == 6L, "span covers [0,6)")
+    assert(log.size(tbk) == endBefore, "end offset unchanged")
+    val got = log.range(tbk, 0, 10).map(r => (r.offset, r.id, new String(r.data)))
+    assert(got == Seq((3L, 3, "c1"), (4L, 2, "b2"), (5L, 1, "a3")))
+    // re-compaction of a lone sparse segment is a no-op
+    assert(log.compactKeyed("kc") == 0)
+    // new updates append after; keyed compaction merges sparse + dense
+    put(3, "c2", 70); put(4, "d1", 80) // offsets 6,7
+    assert(log.compactKeyed("kc") == 3)
+    val got2 = log.range(tbk, 0, 10).map(r => (r.offset, r.id, new String(r.data)))
+    assert(got2 == Seq((4L, 2, "b2"), (5L, 1, "a3"), (6L, 3, "c2"), (7L, 4, "d1")))
+    assert(log.size(tbk) == 8L)
+    // crash heal: plant the sparse product of a crashed keyed compaction
+    // (published, manifest NOT swapped) — the next compaction pass keeps
+    // the SPARSE one deterministically and completes the swap
+    log.createTopic("kh", 1)
+    val tbh = TopicBucket("kh", "b0000")
+    log.appendAt(tbh, 0L, Seq((Payload(1, "x1".getBytes), 10L),
+      (Payload(1, "x2".getBytes), 20L)))
+    val dir = log.bucketDir(tbh)
+    val sparse = new org.apache.hadoop.fs.Path(dir,
+      SegmentCodec.segmentNameSparse(0L, 2L, 1L))
+    val out = new java.io.DataOutputStream(log.fs.create(sparse, true))
+    SegmentCodec.writeFrame(out, 1, 20L, "x2".getBytes, offset = 1L)
+    out.close()
+    assert(log.compactKeyed("kh") == 1, "heal removes the covered dense member")
+    assert(log.segments(tbh).map(_._1.getName) == Seq(sparse.getName))
+    assert(log.range(tbh, 0, 2).map(r => (r.offset, new String(r.data))) ==
+      Seq((1L, "x2")))
+    // clamp (the pin composition): only the suffix at/above the clamp
+    // rewrites; pinned prefix segments stay byte-identical
+    log.createTopic("kp", 1)
+    val tbp = TopicBucket("kp", "b0000")
+    (0 until 4).foreach(i => log.appendAt(tbp, i.toLong,
+      Seq((Payload(7, s"v$i".getBytes), 10L * (i + 1)))))
+    val prefixNames = log.segments(tbp).take(2).map(_._1.getName)
+    assert(log.compactKeyed("kp", minStartByBucket = Map("b0000" -> 2L)) == 2)
+    val after = log.segments(tbp)
+    assert(after.take(2).map(_._1.getName) == prefixNames, "pinned prefix untouched")
+    assert(log.range(tbp, 0, 4).map(r => (r.offset, new String(r.data))) ==
+      Seq((0L, "v0"), (1L, "v1"), (3L, "v3")), "suffix compacted, prefix intact")
+  }
+
+  test("byte-concat compaction never groups across a sparse member") {
+    val log = fileLog()
+    log.createTopic("kb", 1)
+    val tbk = TopicBucket("kb", "b0000")
+    (0 until 3).foreach(i => log.appendAt(tbk, i.toLong,
+      Seq((Payload(i, Array(i.toByte)), 10L))))
+    assert(log.compactKeyed("kb") == 3)
+    // dense segments appended after the sparse product
+    (3 until 6).foreach(i => log.appendAt(tbk, i.toLong,
+      Seq((Payload(i, Array(i.toByte)), 20L))))
+    val before = log.range(tbk, 0, 10).map(r => (r.offset, r.id))
+    // size-based compaction may merge the dense RUN but must not absorb
+    // the sparse segment into a byte-concat group
+    log.compactSegments("kb")
+    val segs = log.segments(tbk)
+    assert(segs.exists(s => SegmentCodec.isSparse(s._1.getName)),
+      "sparse product survives byte-concat compaction")
+    assert(log.range(tbk, 0, 10).map(r => (r.offset, r.id)) == before)
+  }
+
   test("explicit-offset frames: cursor rule in range/timestampAt, sparse tail gap") {
     import graft.log.Codecs
     val log = fileLog()

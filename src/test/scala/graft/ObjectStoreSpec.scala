@@ -357,4 +357,24 @@ class ObjectStoreSpec extends AnyFunSuite {
     // header-walk seek never decompresses; ts stats carried/backfilled
     assert(log.offsetForTimestamp(tb, 100L + 25) == 25L)
   }
+
+  test("keyed compaction in manifest mode: latest per key via one put-if-absent commit") {
+    val log = newLog()
+    // key-update stream across three committed data files
+    log.append(tb, Seq(Payload(1, "a1".getBytes), Payload(2, "b1".getBytes)))
+    log.append(tb, Seq(Payload(1, "a2".getBytes), Payload(3, "c1".getBytes)))
+    log.append(tb, Seq(Payload(2, "b2".getBytes)))
+    assert(log.compactKeyed("t") == 3, "three data files replaced")
+    val segs = log.segments(tb)
+    assert(segs.size == 1 && SegmentCodec.isSparse(segs.head._1.getName))
+    assert(segs.head._2 == 0L && segs.head._3 == 5L, "span covers [0,5)")
+    val got = log.range(tb, 0, 10).map(r => (r.offset, r.id, new String(r.data)))
+    assert(got == Seq((2L, 1, "a2"), (3L, 3, "c1"), (4L, 2, "b2")))
+    // end offset unchanged: the next append lands at 5
+    assert(log.append(tb, Seq(Payload(9, "z".getBytes))) == 5L)
+    // re-compaction merges the sparse product with the new tail
+    assert(log.compactKeyed("t") == 2)
+    assert(log.range(tb, 0, 10).map(r => (r.offset, r.id)) ==
+      Seq((2L, 1), (3L, 3), (4L, 2), (5L, 9)))
+  }
 }

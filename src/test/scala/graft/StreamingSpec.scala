@@ -1164,4 +1164,89 @@ class StreamingSpec extends AnyFunSuite {
     try { q2.processAllAvailable(); assert(spark.table("cg_other").count() == 20) }
     finally q2.stop()
   }
+
+  test("routed writes: topicColumn fans one stream out; exactly-once across a crash between topics") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val root = tmp()
+    Ripple.createTopic(root, "rta", numBuckets = 1)
+    Ripple.createTopic(root, "rtb", numBuckets = 1)
+    val mem = MemoryStream[(Int, String, String)]
+    def df = mem.toDF().toDF("id", "payload", "target")
+      .select(col("id"), col("payload").cast("binary").as("data"), col("target"))
+    val cp = tmp()
+    def start() = df.writeStream.format("ripple")
+      .option("path", root).option("topicColumn", "target")
+      .option("checkpointLocation", cp).start()
+    mem.addData((1, "a1", "rta"), (2, "b1", "rtb"), (3, "a2", "rta"))
+    // crash INJECTED between the two topics' publishes: topic rta commits
+    // its marker, rtb never runs — the classic fan-out torn-epoch window
+    @volatile var crashed = false
+    graft.connector.RipplePublish.interTopicSeam = t =>
+      if (t == "rta" && !crashed) { crashed = true; sys.error("injected crash between topics") }
+    val q1 = start()
+    try intercept[Exception] { q1.processAllAvailable() }
+    finally { q1.stop(); graft.connector.RipplePublish.interTopicSeam = _ => () }
+    assert(crashed, "the seam must have fired")
+    // rta published before the crash; rtb did not
+    assert(Ripple.read(spark, root, "rta").count() == 2)
+    assert(Ripple.read(spark, root, "rtb").count() == 0)
+    // restart from the same checkpoint: the epoch replays — rta's marker
+    // makes its re-publish a drop-staged no-op (no duplicates), rtb
+    // completes
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    def content(t: String) = Ripple.read(spark, root, t)
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(content("rta") == Set((0L, 1, "a1"), (1L, 3, "a2")),
+      s"rta exactly once, got ${content("rta")}")
+    assert(content("rtb") == Set((0L, 2, "b1")))
+    // steady state: further epochs fan out normally
+    mem.addData((4, "b2", "rtb"), (5, "a3", "rta"))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(content("rta").map(_._2) == Set(1, 3, 5))
+    assert(content("rtb").map(_._2) == Set(2, 4))
+    // per-topic persisted config applies to the routed writer: rtb gets
+    // compression, rta stays raw — resolved per topic at the executor
+    Ripple.setTopicConfig(root, "rtb",
+      graft.connector.TopicConfig(compression = Some("zstd")))
+    val pad = "x" * 400
+    mem.addData((6, "A" + pad, "rta"), (7, "B" + pad, "rtb"))
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(content("rta").map(_._2) == Set(1, 3, 5, 6))
+    assert(content("rtb").exists(r => r._2 == 7 && r._3 == "B" + pad))
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    def lastSegLen(t: String): Long = {
+      val segs = log.segments(graft.model.TopicBucket(t, "b0000"))
+      log.fileLen(segs.last._1)
+    }
+    assert(lastSegLen("rtb") * 3 < lastSegLen("rta"),
+      s"rtb's epoch must be zstd-framed: ${lastSegLen("rtb")} vs ${lastSegLen("rta")}")
+    // loud refusals: unknown topic (never auto-created), null topic
+    val e1 = intercept[Exception] {
+      Seq((9, "x".getBytes, "nosuch")).toDF("id", "data", "target")
+        .write.format("ripple").option("path", root)
+        .option("topicColumn", "target").mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(e1).exists(_.contains("does not exist")), chain(e1).mkString("|"))
+    val e2 = intercept[Exception] {
+      Seq((9, "x".getBytes, null: String)).toDF("id", "data", "target")
+        .write.format("ripple").option("path", root)
+        .option("topicColumn", "target").mode("append").save()
+    }
+    assert(chain(e2).exists(_.contains("NULL")), chain(e2).mkString("|"))
+    // a routed conf cannot READ
+    val e3 = intercept[Exception] {
+      spark.read.format("ripple").option("path", root)
+        .option("topicColumn", "target").load().count()
+    }
+    assert(chain(e3).exists(m => m.contains("routes WRITES")),
+      chain(e3).mkString("|"))
+  }
 }
