@@ -42,9 +42,9 @@ import org.apache.spark.sql.types._
   * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
   * `UNSET` removes keys (an empty result deletes the document). Valid
   * keys: `retentionMs`, `retentionBytes`, `autoCompactSegments`,
-  * `compactDistributeMinBytes`, `compression` — unknown keys and invalid
-  * values are loud, never ignored (a typo'd retention knob silently
-  * dropped is how data outlives its policy).
+  * `compactDistributeMinBytes`, `compression`, `cleanupPolicy` — unknown
+  * keys and invalid values are loud, never ignored (a typo'd retention
+  * knob silently dropped is how data outlives its policy).
   *
   * `IN '<root>'` names the log root URI; omitted, it falls back to the
   * session conf `spark.graft.root` (loud when neither is set). Injected by
@@ -324,7 +324,9 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
           compactDistributeMinBytes =
             if (keys("compactdistributeminbytes")) None
             else cur.compactDistributeMinBytes,
-          compression = if (keys("compression")) None else cur.compression)
+          compression = if (keys("compression")) None else cur.compression,
+          cleanupPolicy =
+            if (keys("cleanuppolicy")) None else cur.cleanupPolicy)
       } else {
         val kvs = AdminKvs.parse(kvText)
         if (kvs.isEmpty) throw new IllegalArgumentException(
@@ -344,7 +346,8 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
           compactDistributeMinBytes = kvs.get("compactdistributeminbytes")
             .map(AdminKvs.longOf("compactDistributeMinBytes", _))
             .orElse(cur.compactDistributeMinBytes),
-          compression = kvs.get("compression").orElse(cur.compression))
+          compression = kvs.get("compression").orElse(cur.compression),
+          cleanupPolicy = kvs.get("cleanuppolicy").orElse(cur.cleanupPolicy))
       }
     Ripple.setTopicConfig(r, topic, next)
     Seq(Row(topic, next.render))
@@ -357,7 +360,8 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
   */
 private[graft] object AdminKvs {
   val ConfigKeys: Set[String] = Set("retentionms", "retentionbytes",
-    "autocompactsegments", "compactdistributeminbytes", "compression")
+    "autocompactsegments", "compactdistributeminbytes", "compression",
+    "cleanuppolicy")
 
   def parse(text: String): Map[String, String] =
     text.split(',').map(_.trim).filter(_.nonEmpty).map { pair =>

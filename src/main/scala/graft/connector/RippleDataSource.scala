@@ -171,6 +171,8 @@ object RippleConf {
           DistributedConcat.DefaultMinBytes),
         compression = Option(options.get("compression")).getOrElse("none"),
         compressionSet = options.containsKey("compression"),
+        cleanupPolicy = Option(options.get("cleanupPolicy")).getOrElse("delete"),
+        cleanupPolicySet = options.containsKey("cleanupPolicy"),
         retentionMsSet = options.containsKey("retentionMs"),
         retentionBytesSet = options.containsKey("retentionBytes"),
         autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
@@ -224,6 +226,8 @@ object RippleConf {
         DistributedConcat.DefaultMinBytes),
       compression = Option(options.get("compression")).getOrElse("none"),
       compressionSet = options.containsKey("compression"),
+      cleanupPolicy = Option(options.get("cleanupPolicy")).getOrElse("delete"),
+      cleanupPolicySet = options.containsKey("cleanupPolicy"),
       // presence flags: an EXPLICIT writer option must win over the
       // topic's persisted config even when it spells the default/"off"
       // value — sentinel-guessing would make "this one writer opts out"
@@ -284,6 +288,8 @@ case class RippleConf(
     compactDistributeMinBytes: Long = DistributedConcat.DefaultMinBytes,
     compression: String = "none",
     compressionSet: Boolean = false,
+    cleanupPolicy: String = "delete",
+    cleanupPolicySet: Boolean = false,
     topicColumn: Option[String] = None,
     retentionMsSet: Boolean = false,
     retentionBytesSet: Boolean = false,
@@ -360,6 +366,10 @@ case class RippleConf(
         "ripple: compactDistributeMinBytes must be >= 0 (0 distributes " +
           "every merge; Long.MaxValue keeps every merge driver-local)")
     graft.log.Codecs.id(compression) // loud on an unknown codec name
+    if (cleanupPolicy != "delete" && cleanupPolicy != "compact")
+      throw new IllegalArgumentException(
+        s"ripple: cleanupPolicy must be 'delete' or 'compact', got " +
+          s"'$cleanupPolicy'")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

@@ -502,12 +502,59 @@ object RipplePublish {
       val crossed = tbs.filter(tb =>
         log.segments(tb).size >= conf.autoCompactSegments)
       if (crossed.nonEmpty) {
-        val mover = DistributedConcat.activeSession match {
-          case Some(s) => DistributedConcat.runner(s, log, conf.compactDistributeMinBytes)
-          case None => log.localConcat _
+        if (conf.cleanupPolicy == "compact") {
+          // Kafka `cleanup.policy=compact`: the threshold triggers KEY
+          // compaction — a crossed bucket collapses to the latest record
+          // per id (one sparse segment). Same clamp discipline as
+          // retention: live snapshot pins' captured ranges stay
+          // byte-stable; re-encoding uses the resolved codec.
+          //
+          // Amortization (the 100 TB shape): a keyed pass rewrites the
+          // WHOLE bucket including its already-compacted sparse prefix,
+          // so running it on every count-crossing would make lifetime
+          // rewrite bytes quadratic in topic size. Kafka's cleaner gates
+          // on `min.cleanable.dirty.ratio` (default 0.5) for exactly this
+          // reason — so does this path: a bucket keyed-compacts only when
+          // its DENSE (dirty) bytes reach its sparse (cleaned) bytes;
+          // below the ratio the dense suffix byte-concats instead (cheap,
+          // keeps the segment count bounded) and the keys reclaim on a
+          // later pass. Total rewrite cost stays O(2x data), Kafka's
+          // bound.
+          val (ready, defer) = crossed.partition { tb =>
+            val segs = log.segments(tb)
+            val (sparse, dense) = segs.partition(s =>
+              SegmentCodec.isSparse(s._1.getName))
+            dense.map(s => log.fileLen(s._1)).sum >=
+              sparse.map(s => log.fileLen(s._1)).sum
+          }
+          if (ready.nonEmpty) {
+            val mover = DistributedConcat.activeSession match {
+              case Some(s) =>
+                DistributedConcat.keyedRunner(s, log, conf.compactDistributeMinBytes)
+              case None => log.localKeyed _
+            }
+            log.compactKeyed(conf.topic,
+              onlyBuckets = Some(ready.map(_.bucket).toSet),
+              rewrite = mover, codec = graft.log.Codecs.id(conf.compression),
+              minStartByBucket = SnapshotPins.liveCeilings(log, conf.topic))
+          }
+          if (defer.nonEmpty) {
+            val mover = DistributedConcat.activeSession match {
+              case Some(s) =>
+                DistributedConcat.runner(s, log, conf.compactDistributeMinBytes)
+              case None => log.localConcat _
+            }
+            log.compactSegments(conf.topic,
+              onlyBuckets = Some(defer.map(_.bucket).toSet), concat = mover)
+          }
+        } else {
+          val mover = DistributedConcat.activeSession match {
+            case Some(s) => DistributedConcat.runner(s, log, conf.compactDistributeMinBytes)
+            case None => log.localConcat _
+          }
+          log.compactSegments(conf.topic,
+            onlyBuckets = Some(crossed.map(_.bucket).toSet), concat = mover)
         }
-        log.compactSegments(conf.topic,
-          onlyBuckets = Some(crossed.map(_.bucket).toSet), concat = mover)
       }
     }
   }

@@ -45,11 +45,12 @@ final case class TopicConfig(
     retentionBytes: Option[Long] = None,
     autoCompactSegments: Option[Int] = None,
     compactDistributeMinBytes: Option[Long] = None,
-    compression: Option[String] = None) {
+    compression: Option[String] = None,
+    cleanupPolicy: Option[String] = None) {
   def isEmpty: Boolean =
     retentionMs.isEmpty && retentionBytes.isEmpty &&
       autoCompactSegments.isEmpty && compactDistributeMinBytes.isEmpty &&
-      compression.isEmpty
+      compression.isEmpty && cleanupPolicy.isEmpty
   /** Validation mirrors the writer-option rules (loud, same messages'
     * spirit): non-positive retention windows/budgets are configuration
     * errors, not "off" (absence is off).
@@ -64,11 +65,15 @@ final case class TopicConfig(
     compactDistributeMinBytes.foreach(v => require(v > 0,
       s"ripple: topic config compactDistributeMinBytes must be positive, got $v"))
     compression.foreach(graft.log.Codecs.id) // loud on an unknown codec name
+    cleanupPolicy.foreach(p => require(p == "delete" || p == "compact",
+      s"ripple: topic config cleanupPolicy must be 'delete' or 'compact', " +
+        s"got '$p'"))
     this
   }
   /** Render as Kafka-style `k=v` pairs (sorted) — the DESCRIBE surface. */
   def render: String = Seq(
     autoCompactSegments.map("autoCompactSegments=" + _),
+    cleanupPolicy.map("cleanupPolicy=" + _),
     compactDistributeMinBytes.map("compactDistributeMinBytes=" + _),
     compression.map("compression=" + _),
     retentionBytes.map("retentionBytes=" + _),
@@ -126,7 +131,8 @@ object TopicConfig {
       retentionBytes = long("retentionBytes"),
       autoCompactSegments = int("autoCompactSegments"),
       compactDistributeMinBytes = long("compactDistributeMinBytes"),
-      compression = str("compression"))
+      compression = str("compression"),
+      cleanupPolicy = str("cleanupPolicy"))
       .validated
     catch {
       // an unknown codec NAME in a persisted document is a malformed
@@ -156,6 +162,7 @@ object TopicConfig {
     cfg.autoCompactSegments.foreach(v => root.put("autoCompactSegments", v))
     cfg.compactDistributeMinBytes.foreach(root.put("compactDistributeMinBytes", _))
     cfg.compression.foreach(root.put("compression", _))
+    cfg.cleanupPolicy.foreach(root.put("cleanupPolicy", _))
     log.writeFileAtomic(p, mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -182,6 +189,9 @@ object TopicConfig {
         else cfg.compactDistributeMinBytes.getOrElse(conf.compactDistributeMinBytes),
       compression =
         if (conf.compressionSet) conf.compression
-        else cfg.compression.getOrElse(conf.compression))
+        else cfg.compression.getOrElse(conf.compression),
+      cleanupPolicy =
+        if (conf.cleanupPolicySet) conf.cleanupPolicy
+        else cfg.cleanupPolicy.getOrElse(conf.cleanupPolicy))
   }
 }

@@ -706,7 +706,52 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** `cleanupPolicy=compact` at the sink (q170): the topic persists
+    * `cleanupPolicy=compact` + `autoCompactSegments=3`, then FOUR
+    * zero-option key-update writes land — crossing the threshold must
+    * trigger KEY compaction inside the sink's commit path (latest per
+    * key, sparse segment), not a byte-concat merge. The final lifted
+    * read equals the oracle's latest-per-key selection — a sink that
+    * byte-concats (keeps every update) or drops the wrong generation
+    * hash-fails. In-body requires pin the mechanism: after the writes
+    * the bucket holds a sparse segment and FEWER rows than written.
+    */
+  def cleanupPolicyCompactAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cpq", numBuckets = 1)
+    Ripple.setTopicConfig(root, "cpq", graft.connector.TopicConfig(
+      cleanupPolicy = Some("compact"), autoCompactSegments = Some(3)))
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+      .select(
+        pmod(col("event_id"), lit(300)).cast("int").as("id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))).cast("binary").as("data"))
+    val total = Relational.events(s, d).count()
+    Ripple.write(slice(0, 250), root, "cpq", numBuckets = 1)
+    Ripple.write(slice(250, 500), root, "cpq", numBuckets = 1)
+    Ripple.write(slice(500, 800), root, "cpq", numBuckets = 1)
+    Ripple.write(slice(800, Int.MaxValue), root, "cpq", numBuckets = 1)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("cpq", "b0000")
+    require(log.segments(tb).exists(seg =>
+      graft.log.SegmentCodec.isSparse(seg._1.getName)),
+      "the sink must have keyed-compacted (sparse segment expected), got " +
+        log.segments(tb).map(_._1.getName).mkString(", "))
+    val kept = Ripple.read(s, root, "cpq").count()
+    require(kept < total, s"compaction must reclaim superseded keys " +
+      s"($kept vs $total written)")
+    Ripple.lift(Ripple.read(s, root, "cpq"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_cleanup_policy_compact" -> (cleanupPolicyCompactAgg _),
     "q169_routed_write" -> (routedWriteAgg _),
     "q168_sql_admin_ddl" -> (sqlAdminDdlAgg _),
     "q167_keyed_compaction" -> (keyedCompactionAgg _),
@@ -869,6 +914,20 @@ object ConnectorQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id >= 200""".stripMargin,
+    // boundary 800: the sink's keyed compaction fires inside write 3's
+    // commit (segment count crosses 3), covering exactly event_id < 800;
+    // write 4's rows land after it — Kafka's compacted-topic contract is
+    // "AT LEAST the latest per key", and the oracle pins precisely that
+    // boundary semantics
+    "q170_cleanup_policy_compact" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id >= 800
+        |   OR e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 300 = e.event_id % 300
+        |                      AND e2.event_id < 800)""".stripMargin,
     "q169_routed_write" ->
       """SELECT 'rw' || CAST(event_id % 2 AS VARCHAR) AS topic,
         |  count(1) AS n,

@@ -2563,8 +2563,15 @@ class ConnectorSpec extends AnyFunSuite {
       val e3 = intercept[Exception] {
         s.sql("ALTER TOPIC sq1 SET (compression = 'brotli')").collect() }
       assert(e3.getMessage.contains("unknown compression codec"), e3.getMessage)
+      // cleanupPolicy through SQL; bad values loud
+      s.sql("ALTER TOPIC sq1 SET (cleanupPolicy = 'compact')").collect()
+      assert(Ripple.topicConfig(root, "sq1").cleanupPolicy.contains("compact"))
+      val e4 = intercept[Exception] {
+        s.sql("ALTER TOPIC sq1 SET (cleanupPolicy = 'vacuum')").collect() }
+      assert(e4.getMessage.contains("'delete' or 'compact'"), e4.getMessage)
       // UNSET of the last keys deletes the document
-      s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression)").collect()
+      s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression, cleanupPolicy)")
+        .collect()
       assert(Ripple.topicConfig(root, "sq1").isEmpty)
       // plain Spark DDL still delegates (no shadowing of ALTER TABLE)
       s.sql("DROP TABLE IF EXISTS t_alter")
@@ -2734,6 +2741,58 @@ class ConnectorSpec extends AnyFunSuite {
         .map(e2 => Option(e2.getMessage).getOrElse("")).toSeq
     assert(chain(e).exists(_.contains("unknown compression codec")),
       chain(e).mkString(" | "))
+  }
+
+  test("cleanupPolicy=compact: the sink keyed-compacts at the threshold; dirty-ratio defers to byte-concat") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    Ripple.createTopic(root, "cp", numBuckets = 1)
+    Ripple.setTopicConfig(root, "cp", graft.connector.TopicConfig(
+      cleanupPolicy = Some("compact"), autoCompactSegments = Some(3)))
+    import spark.implicits._
+    // pad makes the sparse prefix HEAVY so the dirty-ratio arm is reachable
+    def putBatch(pairs: Seq[(Int, String)], pad: Int = 600): Unit =
+      Ripple.write(pairs.map { case (k, v) => (k, (v + "#" * pad).getBytes("UTF-8")) }
+        .toDF("id", "data").repartition(1), root, "cp", numBuckets = 1)
+    val tb = graft.model.TopicBucket("cp", "b0000")
+    putBatch(Seq(1 -> "a1", 2 -> "b1"))
+    putBatch(Seq(1 -> "a2", 3 -> "c1"))
+    assert(log.segments(tb).size == 2, "below threshold: no compaction yet")
+    putBatch(Seq(2 -> "b2")) // third segment crosses the threshold
+    val segs = log.segments(tb)
+    assert(segs.size == 1 && graft.log.SegmentCodec.isSparse(segs.head._1.getName),
+      s"sink must keyed-compact at the threshold, got ${segs.map(_._1.getName)}")
+    def latest() = Ripple.read(spark, root, "cp")
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2).takeWhile(_ != '#'))).sortBy(_._1).toSeq
+    assert(latest() == Seq((2L, 1, "a2"), (3L, 3, "c1"), (4L, 2, "b2")),
+      s"latest per key at original offsets, got ${latest()}")
+    // dirty-ratio amortization: three TINY dense epochs against the heavy
+    // sparse prefix cross the count threshold but not the 0.5 ratio — the
+    // sink must BYTE-CONCAT the dense suffix (segment count bounded),
+    // never rewrite the whole bucket per epoch
+    putBatch(Seq(4 -> "d1"), pad = 1)
+    putBatch(Seq(5 -> "e1"), pad = 1)
+    putBatch(Seq(6 -> "f1"), pad = 1)
+    val after = log.segments(tb)
+    assert(after.exists(s => graft.log.SegmentCodec.isSparse(s._1.getName)),
+      "the sparse prefix survives a deferred pass")
+    assert(after.size == 2,
+      s"dense suffix byte-concats under the ratio guard, got " +
+        after.map(_._1.getName).mkString(", "))
+    assert(Ripple.read(spark, root, "cp").count() == 6,
+      "deferred pass reclaims nothing (all six keys distinct)")
+    // enough new dirt: the ratio crosses and the whole bucket keyed-compacts
+    putBatch(Seq(1 -> "a3", 2 -> "b3"))
+    putBatch(Seq(3 -> "c2", 4 -> "d2"))
+    val end = log.segments(tb)
+    assert(end.size == 1 && graft.log.SegmentCodec.isSparse(end.head._1.getName),
+      s"ratio crossed: full keyed compaction, got ${end.map(_._1.getName)}")
+    assert(latest().map(t => (t._2, t._3)).toSet ==
+      Set(1 -> "a3", 2 -> "b3", 3 -> "c2", 4 -> "d2", 5 -> "e1", 6 -> "f1"),
+      s"latest per key after the second pass, got ${latest()}")
   }
 
   test("keyed compaction through the connector: exact reads, COUNT(*)/LIMIT stay correct, pins clamp, codec re-encodes") {
