@@ -153,9 +153,13 @@ object DistributedConcat {
             }
           val written =
             try {
-              SegmentCodec.rewriteLatestPerKey(fs,
+              val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
                 t.members.map { case (p, s) => (new HPath(p), s) }, dest,
                 t.codec)
+              // stats sidecar keyed to the FINAL name: the driver's commit
+              // reads it instead of header-walking the product (duplicate
+              // attempts overwrite with identical, deterministic content)
+              SegmentCodec.writeStatSidecar(fs, out, rows, minTs, maxTs)
               true
             } catch {
               case _: java.io.FileNotFoundException =>

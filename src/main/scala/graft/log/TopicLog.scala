@@ -362,7 +362,7 @@ object SegmentCodec {
     * concern (tasks run executor-side via the distributed runner).
     */
   def rewriteLatestPerKey(fs: FileSystem, members: Seq[(HPath, Long)],
-      out: HPath, codec: Int = Codecs.None): Long = {
+      out: HPath, codec: Int = Codecs.None): (Long, Long, Long) = {
     val last = new scala.collection.mutable.LongMap[Long](1 << 10)
     members.foreach { case (p, start) =>
       val it = readHeaders(fs, p)
@@ -377,6 +377,8 @@ object SegmentCodec {
     }
     val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
     var rows = 0L
+    var minTs = Long.MaxValue
+    var maxTs = Long.MinValue
     try {
       members.foreach { case (p, start) =>
         val it = read(fs, p)
@@ -388,6 +390,8 @@ object SegmentCodec {
             if (last.getOrElse(id.toLong, -1L) == cur) {
               writeFrame(o, id, ts, data, codec, offset = cur)
               rows += 1
+              if (ts < minTs) minTs = ts
+              if (ts > maxTs) maxTs = ts
             }
           }
         } finally it.close()
@@ -398,8 +402,49 @@ object SegmentCodec {
         try o.close() catch { case _: Throwable => () }
         throw e
     }
-    rows
+    (rows, minTs, maxTs)
   }
+
+  /** The keyed rewrite's stats sidecar: the TASK that produced a compacted
+    * segment already knows (rows, minTs, maxTs); shipping them in a tiny
+    * dot-temp next to the output spares the commit phase a DRIVER-side
+    * header walk over the whole product — O(live keys) driver I/O per
+    * bucket at changelog scale, exactly the byte-relay class the driver
+    * must not own. Deterministic rewrites make duplicate attempts'
+    * sidecars identical (overwrite-safe); the `.tmp-` prefix keeps
+    * orphans invisible to readers and inside vacuum's sweep; a missing
+    * or torn sidecar falls back to [[statFrames]] — the sidecar is an
+    * optimization, never a correctness dependency.
+    */
+  def statSidecar(out: HPath): HPath =
+    new HPath(out.getParent, ".tmp-stat-" + out.getName)
+
+  def writeStatSidecar(fs: FileSystem, out: HPath, rows: Long,
+      minTs: Long, maxTs: Long): Unit = {
+    val o = fs.create(statSidecar(out), true)
+    try { o.write(s"$rows $minTs $maxTs".getBytes("UTF-8")); o.close() }
+    catch { case e: Throwable =>
+      try o.close() catch { case _: Throwable => () }
+      throw e }
+  }
+
+  def readStatSidecar(fs: FileSystem, out: HPath): Option[(Long, Long, Long)] =
+    try {
+      val in = fs.open(statSidecar(out))
+      val text = try {
+        val buf = new Array[Byte](128)
+        val n = in.read(buf)
+        if (n <= 0) return None
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+      text.trim.split(' ') match {
+        case Array(r, mn, mx) => Some((r.toLong, mn.toLong, mx.toLong))
+        case _ => None
+      }
+    } catch {
+      case _: java.io.IOException => None
+      case _: NumberFormatException => None
+    }
 
   /** One header-only pass over a frame file: (rows, minTs, maxTs) —
     * what the keyed-compaction commit needs to name and stat the sparse
@@ -1950,10 +1995,12 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * JVM. Member-vanished tolerance mirrors [[localConcat]].
     */
   def localKeyed(tasks: Seq[KeyedTask]): Unit = tasks.foreach { t =>
-    try SegmentCodec.rewriteLatestPerKey(fs,
-      t.members.map { case (p, s) => (new HPath(p), s) }, new HPath(t.out),
-      t.codec)
-    catch {
+    try {
+      val out = new HPath(t.out)
+      val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
+        t.members.map { case (p, s) => (new HPath(p), s) }, out, t.codec)
+      SegmentCodec.writeStatSidecar(fs, out, rows, minTs, maxTs)
+    } catch {
       case _: java.io.FileNotFoundException =>
         try fs.delete(new HPath(t.out), false)
         catch { case _: java.io.IOException => () }
@@ -2009,9 +2056,16 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     if (!plan.members.forall(m => currentNames.contains(m._1.getName))) {
       dropStaged(); return 0
     }
+    // the rewrite task shipped (rows, minTs, maxTs) in a sidecar so the
+    // driver never header-walks the compacted product; fall back to the
+    // walk when it is missing/torn (the sidecar is never load-bearing)
     val (rows, minTs, maxTs) =
-      try SegmentCodec.statFrames(fs, plan.staged)
-      catch { case _: java.io.IOException => dropStaged(); return 0 }
+      SegmentCodec.readStatSidecar(fs, plan.staged).getOrElse {
+        try SegmentCodec.statFrames(fs, plan.staged)
+        catch { case _: java.io.IOException => dropStaged(); return 0 }
+      }
+    try fs.delete(SegmentCodec.statSidecar(plan.staged), false)
+    catch { case _: java.io.IOException => () }
     val target = new HPath(dir,
       SegmentCodec.segmentNameSparse(plan.start, plan.span, rows))
     if (!publishNoReplace(plan.staged, target)) {
@@ -2076,7 +2130,11 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         val removes = p.members.map(_._1.getName).toSet
         if (staged &&
             commitLog(p.tb).tryCommit(p.st, Seq(p.add), removes).isDefined) {
-          val (_, minTs, maxTs) = SegmentCodec.statFrames(fs, out)
+          val (_, minTs, maxTs) =
+            SegmentCodec.readStatSidecar(fs, out).getOrElse(
+              SegmentCodec.statFrames(fs, out))
+          try fs.delete(SegmentCodec.statSidecar(out), false)
+          catch { case _: java.io.IOException => () }
           if (minTs <= maxTs)
             recordTsStats(p.tb, Map(p.add.name -> (minTs, maxTs)))
           removes.foreach { n =>
@@ -2085,6 +2143,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
           p -> Some(removes.size)
         } else {
           try fs.delete(out, false) catch { case _: java.io.IOException => () }
+          try fs.delete(SegmentCodec.statSidecar(out), false)
+          catch { case _: java.io.IOException => () }
           p -> None
         }
       }

@@ -1489,9 +1489,22 @@ object Dedup {
 
   /** Random-hyperplane LSH near-dup over embeddings: numBands bands of
     * planesPerBand sign bits each; a pair is a candidate if ANY band's bit
-    * pattern collides (OR over bands lifts recall: for cosine ~0.999 pairs,
-    * P(band collides) ≈ 0.92 per 6-bit band → ≈ 0.994 over 2 bands), then
-    * exact cosine verifies. The band join shuffles only (id, band, key).
+    * pattern collides (OR over bands lifts recall), then exact cosine
+    * verifies. The band join shuffles only (id, band, key).
+    *
+    * Default geometry 8 bands × 12 bits (round 16 — the original 2 × 6
+    * was a measured quadratic at scale: 6-bit bands have 64 keys, so
+    * UNRELATED vectors collide at ~2^-6 and the band self-join grows as
+    * N²/64 — a 10× corpus cost 28×, not 10×). At 12 bits the junk-pair
+    * term is N²·8/4096 (16× fewer candidates than 2×6) while recall for
+    * real near-dups holds: per-plane agreement p = 1 − θ/π, so a
+    * cosine-0.999 pair collides per 12-bit band at 0.986^12 ≈ 0.84 →
+    * ≈ 1 − 4·10⁻⁷ over 8 bands, and even at the 0.95 threshold boundary
+    * (p ≈ 0.899) recall is 1 − (1 − 0.899^12)^8 ≈ 0.93 — candidates
+    * only PROPOSE; exact cosine decides, so extra bands never change
+    * precision. LSH banding keeps an intrinsic N²/2^bits junk term;
+    * widening bits is the lever that keeps it sub-dominant at corpus
+    * scale (same reasoning as the 4×16-bit SimHash banding above).
     */
   /** `planeOverride`: None (production) draws Gaussian hyperplanes from
     * `seed` (Java PRNG — not replayable outside the JVM); Some(planes)
@@ -1503,7 +1516,7 @@ object Dedup {
     * precision not at all.
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, numBands: Int = 2, planesPerBand: Int = 6,
+      dim: Int, numBands: Int = 8, planesPerBand: Int = 12,
       threshold: Double = 0.95, seed: Long = 7L,
       planeOverride: Option[Array[Array[Double]]] = None): DataFrame = {
     val rnd = new scala.util.Random(seed)
@@ -1551,7 +1564,7 @@ object Dedup {
     */
   def embeddingNearDupsAcross(left: DataFrame, right: DataFrame,
       idCol: String, vecCol: String,
-      dim: Int, numBands: Int = 2, planesPerBand: Int = 6,
+      dim: Int, numBands: Int = 8, planesPerBand: Int = 12,
       threshold: Double = 0.95, seed: Long = 7L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val numPlanes = numBands * planesPerBand

@@ -189,11 +189,13 @@ object OpsQueries {
 
   /** Portable hyperplane family for q57 (the [[portablePqCodebooks]] move
     * applied to LSH): plane (p, i) = md5("hp<p>_<i>") mapped to [-1, 1).
-    * 2 bands × 6 planes × 64 dims matches [[graft.ops.Dedup.embeddingNearDups]]'s
-    * default geometry.
+    * 8 bands × 12 planes × 64 dims matches
+    * [[graft.ops.Dedup.embeddingNearDups]]'s default geometry (round 16 —
+    * the old 2 × 6 family made the band join a measured quadratic at sf1;
+    * the oracle SQL rebuilds the same 96 planes).
     */
   lazy val portableHyperplanes: Array[Array[Double]] =
-    Array.tabulate(12, 64) { (p, i) => md5Unit(s"hp${p}_$i") }
+    Array.tabulate(96, 64) { (p, i) => md5Unit(s"hp${p}_$i") }
 
   /** Portable planted-perturbation vector for q57: component i shifts by
     * md5("pt<i>")-derived uniform × 0.02 — the sin(i)·0.02 planting of
@@ -473,7 +475,7 @@ object OpsQueries {
     // (vs the default 2) drive the deterministic miss set to empty.
     "q57_planted" -> ((s, d) =>
       Dedup.embeddingNearDups(plantedEmbeddings(s, d), "vec_id", "embedding",
-          dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
+          dim = 64, threshold = 0.95)
         .filter(col("id_b") === col("id_a") + 1000000L)
         .select(col("id_a"), col("id_b"))),
     // Cross-corpus SEMANTIC decontamination recall gate: right side = the
@@ -488,7 +490,7 @@ object OpsQueries {
       val bench = plantedEmbeddings(s, d).filter(col("vec_id") >= 1000000L)
         .select((col("vec_id") - 1000000L).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupsAcross(base, bench, "vec_id", "embedding",
-          dim = 64, numBands = 8, planesPerBand = 6, threshold = 0.95)
+          dim = 64, threshold = 0.95)
         .filter(col("left_id") === col("right_id"))
         .select(col("left_id"), col("right_id"))
     }),
@@ -2299,7 +2301,7 @@ object OpsQueries {
         |    SELECT p.range AS p, i.range AS i,
         |      ('0x' || substr(md5('hp' || p.range || '_' || i.range), 1, 15))::BIGINT
         |        / 576460752303423488.0 - 1.0 AS w
-        |    FROM range(0, 12) p, range(0, 64) i)
+        |    FROM range(0, 96) p, range(0, 64) i)
         |  GROUP BY p),
         |dots AS (
         |  SELECT vec_id, p,
@@ -2307,9 +2309,9 @@ object OpsQueries {
         |      (a, b) -> a + b) AS dot
         |  FROM pl, pvec),
         |keys AS MATERIALIZED (
-        |  SELECT vec_id, p // 6 AS band,
-        |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 6) ELSE 0 END) AS key
-        |  FROM dots GROUP BY vec_id, p // 6),
+        |  SELECT vec_id, p // 12 AS band,
+        |    sum(CASE WHEN dot >= 0 THEN 1 << (p % 12) ELSE 0 END) AS key
+        |  FROM dots GROUP BY vec_id, p // 12),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM keys a JOIN keys b

@@ -621,6 +621,19 @@ class LogSpec extends AnyFunSuite {
     assert(log.size(tbk) == endBefore, "end offset unchanged")
     val got = log.range(tbk, 0, 10).map(r => (r.offset, r.id, new String(r.data)))
     assert(got == Seq((3L, 3, "c1"), (4L, 2, "b2"), (5L, 1, "a3")))
+    // the rewrite's stats sidecar was consumed by the commit — no
+    // .tmp-stat leftovers (and the driver never header-walked the product)
+    assert(!log.fs.listStatus(log.bucketDir(tbk))
+      .exists(_.getPath.getName.startsWith(".tmp-stat-")),
+      "stat sidecar must be consumed at commit")
+    // sidecar round-trip + torn-document fallback (None, never a throw)
+    val sc = new org.apache.hadoop.fs.Path(log.bucketDir(tbk), "probe")
+    SegmentCodec.writeStatSidecar(log.fs, sc, 7L, 100L, 900L)
+    assert(SegmentCodec.readStatSidecar(log.fs, sc).contains((7L, 100L, 900L)))
+    val torn = log.fs.create(SegmentCodec.statSidecar(sc), true)
+    torn.write("gar bage".getBytes); torn.close()
+    assert(SegmentCodec.readStatSidecar(log.fs, sc).isEmpty)
+    log.fs.delete(SegmentCodec.statSidecar(sc), false)
     // re-compaction of a lone sparse segment is a no-op
     assert(log.compactKeyed("kc") == 0)
     // new updates append after; keyed compaction merges sparse + dense
