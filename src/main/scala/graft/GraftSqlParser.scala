@@ -36,6 +36,7 @@ import org.apache.spark.sql.types._
   *   CREATE TOPIC <name> [(numBuckets = 8)] [IN '<root>']
   *   ALTER TOPIC <name> SET (retentionMs = 86400000, compression = 'zstd', …)
   *   ALTER TOPIC <name> UNSET (retentionMs, …)
+  *   DROP TOPIC <name> [FORCE] [IN '<root>']
   * }}}
   *
   * `ALTER … SET` is a read-modify-write MERGE over the persisted
@@ -71,6 +72,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTopicCommand(name, kvs, unset = false, Option(root))
     case AlterTopicUnsetStmt(name, keys, root) =>
       AlterTopicCommand(name, keys, unset = true, Option(root))
+    case DropTopicStmt(name, force, root) =>
+      DropTopicCommand(name, force != null, Option(root))
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -117,6 +120,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+SET\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val AlterTopicUnsetStmt =
     """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+UNSET\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val DropTopicStmt =
+    """(?is)\s*DROP\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+FORCE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -391,5 +396,22 @@ private[graft] object AdminKvs {
     if (l < Int.MinValue || l > Int.MaxValue) throw new IllegalArgumentException(
       s"ripple: $key out of int range: $l")
     l.toInt
+  }
+}
+
+/** `DROP TOPIC t [FORCE] [IN '<root>']` — deletes the topic
+  * ([[graft.api.Ripple.deleteTopic]]): REFUSED by default while
+  * registered consumers or live snapshot pins exist (their loud
+  * refusals surface verbatim); `FORCE` is the stated override, exactly
+  * the Scala call's `force = true`. Returns (topic, dropped).
+  */
+case class DropTopicCommand(topic: String, force: Boolean,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    Ripple.deleteTopic(resolveRoot(root, spark), topic, force = force)
+    Seq(Row(topic, true))
   }
 }

@@ -2047,13 +2047,19 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
 
   private def commitKeyedRename(plan: KeyedPlan): Int = withBucketLock(plan.tb) {
     val dir = bucketDir(plan.tb)
-    def dropStaged(): Unit =
+    def dropStaged(): Unit = {
       try fs.delete(plan.staged, false) catch { case _: java.io.IOException => () }
+      try fs.delete(SegmentCodec.statSidecar(plan.staged), false)
+      catch { case _: java.io.IOException => () }
+    }
     val currentNames = segmentStatusRaw(plan.tb).map(_._1.getPath.getName).toSet
     // the unlocked rewrite drops its output when a member vanishes under
     // it; a vanished member with output present means retention ran AFTER
-    // the rewrite finished — committing would resurrect truncated rows
-    if (!plan.members.forall(m => currentNames.contains(m._1.getName))) {
+    // the rewrite finished — committing would resurrect truncated rows.
+    // The staged file itself must also exist: a sidecar without its
+    // product (partial crash cleanup) must discard, not publish a ghost.
+    if (!plan.members.forall(m => currentNames.contains(m._1.getName)) ||
+        !(try fs.exists(plan.staged) catch { case _: java.io.IOException => false })) {
       dropStaged(); return 0
     }
     // the rewrite task shipped (rows, minTs, maxTs) in a sidecar so the

@@ -91,7 +91,14 @@ object ScaleProbe {
     // steady-state): the decode expression is pure per-row CPU, so time
     // rides rows; the cell exists to watch the banded hamming JOIN,
     // whose superlinearity would push the ratio ABOVE the row ratio.
-    "q09_join_5way", "q111_cross_semantic", "q97_image_phash"
+    "q09_join_5way", "q111_cross_semantic", "q97_image_phash",
+    // round-16 additions (>= 1 s at sf0.1): the compressed-topic lifecycle
+    // (sink writes + retention + byte-concat compaction + lifted read —
+    // every stage linear; the cell watches per-frame codec cost riding the
+    // scan) and the cleanup-policy sink (keyed compaction's two-pass
+    // rewrite is linear in bucket bytes; the cell watches the id->offset
+    // map and the sparse re-frame holding that shape at 10x keys)
+    "q166_compressed_topic", "q170_cleanup_policy_compact"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64

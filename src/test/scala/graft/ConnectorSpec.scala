@@ -2573,6 +2573,14 @@ class ConnectorSpec extends AnyFunSuite {
       s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression, cleanupPolicy)")
         .collect()
       assert(Ripple.topicConfig(root, "sq1").isEmpty)
+      // DROP TOPIC: guarded by default, FORCE overrides, loud on unknown
+      graft.connector.ConsumerOffsets.commit(root, "sq2", "c1", Map("b0000" -> 0L))
+      val e5 = intercept[Exception] { s.sql("DROP TOPIC sq2").collect() }
+      assert(e5.getMessage.contains("consumer"), e5.getMessage)
+      assert(s.sql("DROP TOPIC sq2 FORCE").collect().head.getBoolean(1))
+      assert(!Ripple.topics(root).contains("sq2"))
+      val e6 = intercept[Exception] { s.sql("DROP TOPIC sq2").collect() }
+      assert(e6.getMessage.contains("does not exist"), e6.getMessage)
       // plain Spark DDL still delegates (no shadowing of ALTER TABLE)
       s.sql("DROP TABLE IF EXISTS t_alter")
       s.sql("CREATE TABLE t_alter (a INT) USING parquet")
