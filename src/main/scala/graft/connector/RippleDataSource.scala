@@ -37,11 +37,22 @@ import scala.jdk.CollectionConverters._
   *     comma-separated list (Kafka `subscribe`) — reads union the topics,
   *     the envelope's `topic` column disambiguates, and streaming offset
   *     keys become `topic/bucket` (single-topic checkpoints keep bare
-  *     bucket keys). Writes and snapshots stay single-topic; a lifted
+  *     bucket keys). A multi-topic SUBSCRIPTION write is refused (route
+  *     by a data column via `topicColumn` instead); snapshots stay
+  *     single-topic; a lifted
   *     multi-topic read requires all registered schemas equal
   *   - `topicPattern` (exclusive with `topic`): Java regex resolved
   *     against the log's topics once at plan/start time (Kafka
   *     `subscribePattern`); matching nothing fails loudly
+  *   - `topicColumn` (write only; exclusive with `topic`/`topicPattern`):
+  *     ROUTED fan-out — each row's target topic comes from the named
+  *     STRING column (the Kafka sink's topic-column parity). Target
+  *     topics must already exist (no auto-create from executors — a typo
+  *     must not mint a topic); per-topic bucket counts and the persisted
+  *     `compression` resolve per discovered topic; publish runs the full
+  *     per-topic protocol, so per-(topic, query, epoch) markers keep
+  *     exactly-once even across a crash between two topics' publishes.
+  *     NULL topics are loud; reads refuse the option
   *   - `bucket`: restrict to a single bucket
   *   - `buckets`: bucket count used when the write auto-creates the topic
   *     (default 4)
@@ -96,6 +107,14 @@ import scala.jdk.CollectionConverters._
   *     merges stay driver-local where job latency would exceed the copy.
   *     0 distributes everything (test/ops hook); `Long.MaxValue`
   *     restores the round-13 driver-side copy
+  *   - `compression` (write, default none): per-frame payload codec
+  *     (`zstd`|`lz4`|`deflate` — Kafka `compression.type` parity; see
+  *     [[graft.log.Codecs]]). Usually persisted as a TOPIC config so
+  *     every writer applies it; the explicit option wins per key
+  *   - `cleanupPolicy` (write, default delete): `compact` makes the
+  *     `autoCompactSegments` threshold trigger KEY compaction (latest
+  *     record per id at its original offset) instead of byte-concat,
+  *     dirty-ratio amortized — Kafka `cleanup.policy=compact`
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud

@@ -550,9 +550,14 @@ object ConnectorQueries {
     val ev = Relational.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         repeat(col("event_type"), 40).as("pad"))
+    // parallel writes (no repartition(1)): this gate's invariants are
+    // SEGMENT-level — retention cuts whole aged segments and the oracle
+    // aggregates a value range — so row order within a slice is free and
+    // the per-frame zstd work spreads across cores instead of
+    // serializing (the cell was the round's heaviest at 5.5 s single-
+    // partition; q167-style gates that pin "latest per key" still order)
     def slice(lo: Int, hi: Int) = Ripple.pack(
-      ev.filter(col("event_id") >= lo && col("event_id") < hi)
-        .repartition(1).sortWithinPartitions("event_id"), col("event_id"))
+      ev.filter(col("event_id") >= lo && col("event_id") < hi), col("event_id"))
     val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
     def bytes(topic: String): Long = {
       val tb = graft.model.TopicBucket(topic, "b0000")
@@ -564,16 +569,19 @@ object ConnectorQueries {
     Ripple.createTopic(root, "czip", numBuckets = 1)
     Ripple.setTopicConfig(root, "czip", graft.connector.TopicConfig(
       compression = Some("zstd")))
+    val tb = graft.model.TopicBucket("czip", "b0000")
     Ripple.write(slice(0, 200), root, "czip", numBuckets = 1)
+    // slice 1 may span several segments (parallel staging); ALL of them
+    // are the aged prefix the time cut must drop
+    val aged = log.segments(tb).map(_._1)
     Ripple.write(slice(200, 400), root, "czip", numBuckets = 1)
     Ripple.write(slice(400, Int.MaxValue), root, "czip", numBuckets = 1)
     require(bytes("czip") * 10 < bytes("craw") * 6,
       s"zstd on packed JSON must cut the footprint >40%: " +
         s"${bytes("czip")} vs raw ${bytes("craw")}")
     // retention over compressed segments: age slice 1, cut by time
-    val tb = graft.model.TopicBucket("czip", "b0000")
     val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
-    log.segments(tb).take(1).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    aged.foreach(p => log.fs.setTimes(p, old, old))
     Ripple.truncateOlderThan(root, "czip", 24L * 3600 * 1000)
     val floor = Ripple.earliestOffsets(root, "czip")("b0000")
     require(floor == 200L, s"retention must cut the aged slice, floor=$floor")
