@@ -2878,6 +2878,34 @@ class ConnectorSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet == expectKd)
   }
 
+  test("streaming over a key-compacted topic: offset-capped triggers drain exactly the retained records") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "ksr", numBuckets = 1)
+    import spark.implicits._
+    // key-update stream: 30 writes over 10 keys -> latest 10 survive
+    (0 until 30).grouped(10).foreach { g =>
+      Ripple.write(g.map(i => (i % 10, s"v$i".getBytes("UTF-8")))
+        .toDF("id", "data").repartition(1), root, "ksr", numBuckets = 1)
+    }
+    assert(Ripple.compactKeyed(root, "ksr") == 3)
+    // the stream plans offset ranges over the SPARSE map (admission caps
+    // OFFSETS, Kafka-style; gaps deliver no rows but still advance) and
+    // must drain exactly the retained records, never stall on a gap
+    val q = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "ksr").option("maxOffsetsPerTrigger", 7)
+      .load().writeStream.format("memory").queryName("ksr_out")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(60000), "AvailableNow drain must finish")
+    finally q.stop()
+    val got = spark.table("ksr_out")
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val want = (20 until 30).map(i => (i.toLong, i % 10, s"v$i")).toSet
+    assert(got == want, s"retained records at original offsets, got $got")
+  }
+
   test("currentVersion is read-only on a breach (out-of-band pointer rewrite); evolve repairs the history") {
     import org.apache.spark.sql.types._
     val root = tmp()
