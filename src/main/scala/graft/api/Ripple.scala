@@ -385,8 +385,17 @@ object Ripple {
 
   /** Per-bucket operational state in one call. */
   case class BucketState(floor: Long, end: Long, segments: Int,
-      bytes: Long, latestTs: Option[Long]) {
-    def rows: Long = end - floor
+      bytes: Long, latestTs: Option[Long],
+      sparseRows: Option[Long] = None) {
+    /** Retained record count. Dense buckets: offset arithmetic
+      * (end − floor). After KEY compaction the bucket holds sparse
+      * segments whose spans exceed their records, so `sparseRows`
+      * carries the per-segment retained sum from the segment names —
+      * DESCRIBE must not over-report a compacted changelog's size. A
+      * flag-only sparse name (manifest mode records no count) falls back
+      * to its span: conservative over-report, never under.
+      */
+    def rows: Long = sparseRows.getOrElse(end - floor)
   }
 
   /** One-call ops summary of a topic: per-bucket floors/ends/segment
@@ -408,7 +417,13 @@ object Ripple {
         segments = segs.size,
         bytes = segs.map { case (p, _, _) => log.fileLen(p) }.sum,
         latestTs =
-          if (stats.isEmpty) None else Some(stats.valuesIterator.map(_._2).max))
+          if (stats.isEmpty) None else Some(stats.valuesIterator.map(_._2).max),
+        sparseRows =
+          if (!segs.exists(s => graft.log.SegmentCodec.isSparse(s._1.getName)))
+            None
+          else Some(segs.map { case (p, _, c) =>
+            graft.log.SegmentCodec.sparseRows(p.getName).getOrElse(c)
+          }.sum))
     }.toMap
     TopicDescription(topic,
       commitProtocol = if (log.manifestCommitMode) "manifest" else "rename",

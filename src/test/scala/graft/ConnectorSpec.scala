@@ -2843,6 +2843,9 @@ class ConnectorSpec extends AnyFunSuite {
         r.getString(2).split(":").head)).sortBy(_._1).toSeq
     assert(rows == Seq((2L, 3, "c1"), (5L, 1, "a3"), (7L, 4, "d1"), (8L, 2, "b4")),
       s"latest per key at original offsets, got $rows")
+    // DESCRIBE reports RETAINED rows for the compacted bucket, not the
+    // offset span (a compacted changelog must not over-report its size)
+    assert(Ripple.describeTopic(root, "kc").buckets("b0000").rows == 4L)
     // COUNT(*) is exact over the sparse topic (the metadata pushdown
     // refuses and the real scan runs — header walk, payloads pruned)
     val cnt = Ripple.read(spark, root, "kc").agg(count(lit(1)))
