@@ -368,9 +368,29 @@ private[graft] object AdminKvs {
     "autocompactsegments", "compactdistributeminbytes", "compression",
     "cleanuppolicy")
 
+  /** Split the option list on commas OUTSIDE single quotes — a quoted
+    * string value may legally contain ',' or '=' (today's keys are all
+    * integer/enum valued, but the DDL surface must not break the day a
+    * string-valued config key lands).
+    */
+  private def splitTop(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    text.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (inQuote) throw new IllegalArgumentException(
+      s"ripple: unterminated quote in option list '$text'")
+    out += cur.result()
+    out.result()
+  }
+
   def parse(text: String): Map[String, String] =
-    text.split(',').map(_.trim).filter(_.nonEmpty).map { pair =>
-      pair.split('=') match {
+    splitTop(text).map(_.trim).filter(_.nonEmpty).map { pair =>
+      pair.split("=", 2) match { // first '=' only: quoted values may hold '='
         case Array(k, v) =>
           val key = k.trim.toLowerCase(java.util.Locale.ROOT)
           val raw = v.trim

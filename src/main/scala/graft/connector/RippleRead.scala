@@ -306,16 +306,43 @@ class RippleMetaAggScan(conf: RippleConf, lo: Long, hi: Long,
           if (conf.startingOffsetSet)
             RippleDataLoss.check(conf, tb.topic, tb.bucket, lo, floor)
           else lo
-        val rows = segs.map { case (_, start, count) =>
-          math.max(0L, math.min(end, start + count) - math.max(from, start))
-        }.sum
-        total += rows
-        if (rows > 0) {
-          // offsets are dense per bucket from the floor, so the extrema
-          // of the clamped window are exact arithmetic
-          minOff = math.min(minOff, math.max(from, floor))
-          maxOff = math.max(maxOff, end - 1)
+        // The pushdown was accepted only when NO sparse segment overlapped
+        // the window — but a keyed compaction can land BETWEEN pushdown
+        // and execution (a concurrent compact-policy writer, or an
+        // explicit compactKeyed between two actions on one DataFrame).
+        // Dense span arithmetic over a sparse segment would silently
+        // over-count and report reclaimed offsets, so sparse segments are
+        // RE-DETECTED here and answered honestly: a payload-skip header
+        // walk counts retained frames in the window and yields the true
+        // offset extrema (O(retained keys) header bytes — still far
+        // cheaper than the row scan this replaced).
+        var rows = 0L
+        segs.foreach { case (p, start, count) =>
+          val ovlFrom = math.max(from, start)
+          val ovlEnd = math.min(end, start + count)
+          if (ovlEnd > ovlFrom) {
+            if (!graft.log.SegmentCodec.isSparse(p.getName)) {
+              rows += ovlEnd - ovlFrom
+              minOff = math.min(minOff, ovlFrom)
+              maxOff = math.max(maxOff, ovlEnd - 1)
+            } else {
+              val it = graft.log.SegmentCodec.readHeaders(log.fs, p)
+              try {
+                var cur = start - 1
+                while (it.hasNext) {
+                  it.next()
+                  cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
+                  if (cur >= ovlFrom && cur < ovlEnd) {
+                    rows += 1
+                    minOff = math.min(minOff, cur)
+                    maxOff = math.max(maxOff, cur)
+                  }
+                }
+              } finally it.close()
+            }
+          }
         }
+        total += rows
         if (needTs && segs.nonEmpty) {
           // the builder only offers ts extrema on an UNCUT range, so
           // every live segment contributes whole — per-segment stats

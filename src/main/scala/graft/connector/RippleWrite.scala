@@ -515,17 +515,25 @@ object RipplePublish {
           // rewrite bytes quadratic in topic size. Kafka's cleaner gates
           // on `min.cleanable.dirty.ratio` (default 0.5) for exactly this
           // reason — so does this path: a bucket keyed-compacts only when
-          // its DENSE (dirty) bytes reach its sparse (cleaned) bytes;
+          // its DENSE (dirty) rows reach its sparse (cleaned) rows;
           // below the ratio the dense suffix byte-concats instead (cheap,
           // keeps the segment count bounded) and the keys reclaim on a
           // later pass. Total rewrite cost stays O(2x data), Kafka's
-          // bound.
+          // bound. ROW counts, not file bytes: with a compression codec
+          // the sparse product is compressed while fresh dense segments
+          // from codec-less writers may be raw, so a byte gate would fire
+          // full-bucket rewrites 3-5x early and break the amortization.
+          // Dense rows come free from segment names; sparse retained rows
+          // from the k-field (a manifest-mode flag-only name falls back
+          // to its SPAN, which overstates cleaned rows — the conservative
+          // direction: compaction fires later, never earlier).
           val (ready, defer) = crossed.partition { tb =>
             val segs = log.segments(tb)
             val (sparse, dense) = segs.partition(s =>
               SegmentCodec.isSparse(s._1.getName))
-            dense.map(s => log.fileLen(s._1)).sum >=
-              sparse.map(s => log.fileLen(s._1)).sum
+            dense.map(_._3).sum >=
+              sparse.map(s => SegmentCodec.sparseRows(s._1.getName)
+                .getOrElse(s._3)).sum
           }
           if (ready.nonEmpty) {
             val mover = DistributedConcat.activeSession match {

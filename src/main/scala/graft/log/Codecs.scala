@@ -103,6 +103,19 @@ object Codecs {
           }
           if (got != rawLen) throw new java.io.IOException(
             s"deflate produced $got bytes, frame recorded $rawLen")
+          // a stream that inflated to rawLen but did not END there (or
+          // left unconsumed compressed bytes) is a torn/overwritten frame
+          // body that happens to decode to the right length — loud
+          // corruption, never a silent accept
+          if (!inf.finished()) {
+            val extra = inf.inflate(new Array[Byte](1))
+            if (extra > 0 || !inf.finished()) throw new java.io.IOException(
+              "deflate stream continues past the recorded raw length " +
+                s"($rawLen bytes) — torn or overwritten frame body")
+          }
+          if (inf.getRemaining != 0) throw new java.io.IOException(
+            s"deflate stream ended with ${inf.getRemaining} unconsumed " +
+              "compressed bytes — torn or overwritten frame body")
           raw
         } finally inf.end()
       case Lz4 =>

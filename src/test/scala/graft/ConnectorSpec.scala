@@ -2941,4 +2941,49 @@ class ConnectorSpec extends AnyFunSuite {
     assert(graft.connector.TopicSchemas.currentVersion(log, "bre").contains(3))
     assert(graft.connector.TopicSchemas.schemaAt(log, "bre", 3) == v3)
   }
+
+  test("metadata agg stays honest when keyed compaction lands between planning and execution") {
+    val root = tmp()
+    Ripple.createTopic(root, "mrace", numBuckets = 1)
+    import spark.implicits._
+    // nine records, three keys — latest per key at offsets 6, 7, 8
+    Ripple.write((0 until 9).map(i => (i % 3, s"v$i".getBytes("UTF-8")))
+      .toDF("id", "data").repartition(1), root, "mrace", numBuckets = 1)
+    val agg = Ripple.read(spark, root, "mrace")
+      .agg(count(lit(1)).as("c"), min("offset").as("lo"), max("offset").as("hi"))
+    // force pushdown NOW (V2ScanRelationPushDown runs in optimization) —
+    // the topic is dense, so the metadata pushdown is accepted; input
+    // partitions are not yet planned (BatchScanExec plans them lazily at
+    // execution, and stringifying the plan would force them early)
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.connector.RippleMetaAggScan]),
+      s"pushdown must be accepted on the dense topic, scans were: $scans")
+    // the race: a keyed compaction lands before the action executes
+    assert(Ripple.compactKeyed(root, "mrace") > 0)
+    val tb = graft.model.TopicBucket("mrace", "b0000")
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    assert(log.segments(tb).forall(s =>
+      graft.log.SegmentCodec.isSparse(s._1.getName)))
+    // execution must RE-DETECT sparseness: COUNT(*) is the retained rows
+    // (3, not the 9-row dense span) and MIN(offset) is the first RETAINED
+    // offset (6 — offsets 0-5 were reclaimed and must not be reported)
+    val row = agg.collect().head
+    assert(row.getLong(0) == 3L,
+      s"COUNT(*) must not over-count a compacted span, got ${row.getLong(0)}")
+    assert(row.getLong(1) == 6L,
+      s"MIN(offset) must be the first retained offset, got ${row.getLong(1)}")
+    assert(row.getLong(2) == 8L)
+  }
+
+  test("AdminKvs: quoted values may contain '=' and ','; first '=' splits the pair") {
+    val kvs = graft.AdminKvs.parse("a = 'x=1,y=2', b = 3, c='q''z'")
+    assert(kvs == Map("a" -> "x=1,y=2", "b" -> "3", "c" -> "q''z"))
+    intercept[IllegalArgumentException] {
+      graft.AdminKvs.parse("a = 'unterminated")
+    }
+    intercept[IllegalArgumentException] { graft.AdminKvs.parse("nokey") }
+  }
 }

@@ -723,4 +723,19 @@ class LogSpec extends AnyFunSuite {
     assert(log.offsetForTimestamp(tbs, 5000L) == 5L)
     assert(log.offsetForTimestamp(tbs, 5001L) == 9L)
   }
+
+  test("deflate decompress is loud on trailing bytes past the stream end") {
+    import graft.log.Codecs
+    val raw = ("the quick brown fox " * 20).getBytes("UTF-8")
+    val comp = Codecs.compress(Codecs.Deflate, raw)
+    // the honest stream round-trips
+    assert(Codecs.decompress(Codecs.Deflate, comp, raw.length).sameElements(raw))
+    // a torn/overwritten frame body whose prefix still inflates to rawLen
+    // must take the loud-corruption path, not a silent accept
+    val torn = comp ++ Array[Byte](1, 2, 3, 4)
+    val e = intercept[java.io.IOException] {
+      Codecs.decompress(Codecs.Deflate, torn, raw.length)
+    }
+    assert(e.getMessage.contains("torn or overwritten"))
+  }
 }
