@@ -39,11 +39,26 @@ import org.apache.spark.sql.types._
   *   DROP TOPIC <name> [FORCE] [IN '<root>']
   * }}}
   *
+  * plus (round 17) the LIFECYCLE verbs — the nightly jobs, runnable from
+  * the console ([[graft.api.Ripple.truncateOlderThan]] et al.,
+  * [[graft.api.Ripple.compactSegments]]/[[graft.api.Ripple.compactKeyed]],
+  * [[graft.api.Ripple.resetConsumer]], [[graft.api.Ripple.pinSnapshot]]):
+  *
+  * {{{
+  *   ALTER TOPIC <name> TRUNCATE (olderThanMs = N | toBytes = N | beforeOffset = N)
+  *   COMPACT TOPIC <name> [KEYED] [IN '<root>']
+  *   RESET CONSUMER <id> ON <name> TO (EARLIEST | LATEST | TIMESTAMP <ms>)
+  *   DROP CONSUMER <id> ON <name> [IN '<root>']
+  *   PIN SNAPSHOT <pin> ON <name> [(ttlMs = N)] [IN '<root>']
+  *   DROP SNAPSHOT <pin> ON <name> [IN '<root>']
+  * }}}
+  *
   * `ALTER … SET` is a read-modify-write MERGE over the persisted
   * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
   * `UNSET` removes keys (an empty result deletes the document). Valid
   * keys: `retentionMs`, `retentionBytes`, `autoCompactSegments`,
-  * `compactDistributeMinBytes`, `compression`, `cleanupPolicy` — unknown
+  * `compactDistributeMinBytes`, `compression`, `cleanupPolicy`,
+  * `compactionKeyHeap`, `tombstoneRetentionMs` — unknown
   * keys and invalid values are loud, never ignored (a typo'd retention
   * knob silently dropped is how data outlives its policy).
   *
@@ -72,6 +87,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       AlterTopicCommand(name, kvs, unset = false, Option(root))
     case AlterTopicUnsetStmt(name, keys, root) =>
       AlterTopicCommand(name, keys, unset = true, Option(root))
+    case AlterTopicTruncateStmt(name, kvs, root) =>
+      TruncateTopicCommand(name, kvs, Option(root))
+    case CompactTopicStmt(name, keyed, root) =>
+      CompactTopicCommand(name, keyed != null, Option(root))
+    case ResetConsumerStmt(consumer, name, target, root) =>
+      ResetConsumerCommand(consumer, name, target.trim, Option(root))
+    case DropConsumerStmt(consumer, name, root) =>
+      DropConsumerCommand(consumer, name, Option(root))
+    case PinSnapshotStmt(name, topic, opts, root) =>
+      PinSnapshotCommand(name, topic, Option(opts), Option(root))
+    case DropSnapshotStmt(name, topic, root) =>
+      DropSnapshotCommand(name, topic, Option(root))
     case DropTopicStmt(name, force, root) =>
       DropTopicCommand(name, force != null, Option(root))
     case _                             => delegate.parsePlan(sqlText)
@@ -122,6 +149,22 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+UNSET\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val DropTopicStmt =
     """(?is)\s*DROP\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+FORCE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  // Lifecycle verbs (round 17): the nightly jobs, runnable from a SQL
+  // console. No reserved-word hazards — Spark's TRUNCATE production is
+  // `TRUNCATE TABLE`, RESET takes a bare conf key (never `ON`), and
+  // COMPACT/PIN have no Spark production; non-matching shapes delegate.
+  private val AlterTopicTruncateStmt =
+    """(?is)\s*ALTER\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?\s+TRUNCATE\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val CompactTopicStmt =
+    """(?is)\s*COMPACT\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+KEYED)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ResetConsumerStmt =
+    """(?is)\s*RESET\s+CONSUMER\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?\s+TO\s+(EARLIEST|LATEST|TIMESTAMP\s+\d+)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val DropConsumerStmt =
+    """(?is)\s*DROP\s+CONSUMER\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val PinSnapshotStmt =
+    """(?is)\s*PIN\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val DropSnapshotStmt =
+    """(?is)\s*DROP\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -331,7 +374,11 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
             else cur.compactDistributeMinBytes,
           compression = if (keys("compression")) None else cur.compression,
           cleanupPolicy =
-            if (keys("cleanuppolicy")) None else cur.cleanupPolicy)
+            if (keys("cleanuppolicy")) None else cur.cleanupPolicy,
+          compactionKeyHeap =
+            if (keys("compactionkeyheap")) None else cur.compactionKeyHeap,
+          tombstoneRetentionMs =
+            if (keys("tombstoneretentionms")) None else cur.tombstoneRetentionMs)
       } else {
         val kvs = AdminKvs.parse(kvText)
         if (kvs.isEmpty) throw new IllegalArgumentException(
@@ -352,7 +399,13 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
             .map(AdminKvs.longOf("compactDistributeMinBytes", _))
             .orElse(cur.compactDistributeMinBytes),
           compression = kvs.get("compression").orElse(cur.compression),
-          cleanupPolicy = kvs.get("cleanuppolicy").orElse(cur.cleanupPolicy))
+          cleanupPolicy = kvs.get("cleanuppolicy").orElse(cur.cleanupPolicy),
+          compactionKeyHeap = kvs.get("compactionkeyheap")
+            .map(AdminKvs.intOf("compactionKeyHeap", _))
+            .orElse(cur.compactionKeyHeap),
+          tombstoneRetentionMs = kvs.get("tombstoneretentionms")
+            .map(AdminKvs.longOf("tombstoneRetentionMs", _))
+            .orElse(cur.tombstoneRetentionMs))
       }
     Ripple.setTopicConfig(r, topic, next)
     Seq(Row(topic, next.render))
@@ -366,7 +419,7 @@ case class AlterTopicCommand(topic: String, kvText: String, unset: Boolean,
 private[graft] object AdminKvs {
   val ConfigKeys: Set[String] = Set("retentionms", "retentionbytes",
     "autocompactsegments", "compactdistributeminbytes", "compression",
-    "cleanuppolicy")
+    "cleanuppolicy", "compactionkeyheap", "tombstoneretentionms")
 
   /** Split the option list on commas OUTSIDE single quotes — a quoted
     * string value may legally contain ',' or '=' (today's keys are all
@@ -433,5 +486,149 @@ case class DropTopicCommand(topic: String, force: Boolean,
   override def run(spark: SparkSession): Seq[Row] = {
     Ripple.deleteTopic(resolveRoot(root, spark), topic, force = force)
     Seq(Row(topic, true))
+  }
+}
+
+/** `ALTER TOPIC t TRUNCATE (olderThanMs = N | toBytes = N |
+  * beforeOffset = N) [IN '<root>']` — run retention NOW, through the same
+  * Scala calls the nightly job uses ([[graft.api.Ripple.truncateOlderThan]]
+  * / [[graft.api.Ripple.truncateToBytes]] /
+  * [[graft.api.Ripple.truncateBefore]]): whole segments only, offsets
+  * preserved, live snapshot pins clamp the cut (their loud refusals
+  * surface verbatim). Exactly ONE policy key per statement — two horizons
+  * in one command have no defensible order. Returns (topic, policy,
+  * segmentsDeleted).
+  */
+case class TruncateTopicCommand(topic: String, kvText: String,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("policy", StringType),
+    attr("segments_deleted", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val kvs = AdminKvs.parse(kvText)
+    val known = Set("olderthanms", "tobytes", "beforeoffset")
+    val unknown = kvs.keySet -- known
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown TRUNCATE key(s) '${unknown.mkString(", ")}' — " +
+        "valid: beforeOffset, olderThanMs, toBytes")
+    if (kvs.size != 1) throw new IllegalArgumentException(
+      "ripple: ALTER TOPIC ... TRUNCATE takes exactly one of " +
+        "(olderThanMs | toBytes | beforeOffset)")
+    val (key, value) = kvs.head
+    val n = key match {
+      case "olderthanms" =>
+        Ripple.truncateOlderThan(r, topic, AdminKvs.longOf("olderThanMs", value))
+      case "tobytes" =>
+        Ripple.truncateToBytes(r, topic, AdminKvs.longOf("toBytes", value))
+      case "beforeoffset" =>
+        Ripple.truncateBefore(r, topic, AdminKvs.longOf("beforeOffset", value))
+    }
+    Seq(Row(topic, s"$key=$value", n))
+  }
+}
+
+/** `COMPACT TOPIC t [KEYED] [IN '<root>']` — run compaction NOW. Plain:
+  * offset-preserving byte-concat of adjacent small segments
+  * ([[graft.api.Ripple.compactSegments]]). `KEYED`: latest-record-per-id
+  * key compaction ([[graft.api.Ripple.compactKeyed]] — topic-config
+  * codec/key-budget/tombstone-horizon all apply; live pins clamp). Both
+  * run the DISTRIBUTED byte path (executors move bytes, the driver swaps
+  * manifests) — this is the statement an operator points at a 100 TB
+  * topic. Returns (topic, keyed, segmentsCompacted).
+  */
+case class CompactTopicCommand(topic: String, keyed: Boolean,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("keyed", BooleanType),
+    attr("segments_compacted", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val n =
+      if (keyed) Ripple.compactKeyed(spark, r, topic)
+      else Ripple.compactSegments(spark, r, topic)
+    Seq(Row(topic, keyed, n))
+  }
+}
+
+/** `RESET CONSUMER c ON t TO (EARLIEST | LATEST | TIMESTAMP <ms>)
+  * [IN '<root>']` — move a managed consumer's committed cursors
+  * ([[graft.api.Ripple.resetConsumer]]; the `kafka-consumer-groups
+  * --reset-offsets` analog). The consumer must not be running (the Scala
+  * call's own guard). Returns one row per bucket with the new offset.
+  */
+case class ResetConsumerCommand(consumer: String, topic: String,
+    target: String, root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("consumer", StringType), attr("topic", StringType),
+    attr("bucket", StringType), attr("offset", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val to = target.toLowerCase(java.util.Locale.ROOT) match {
+      case "earliest" => Ripple.ConsumerReset.Earliest
+      case "latest"   => Ripple.ConsumerReset.Latest
+      case ts if ts.startsWith("timestamp") =>
+        Ripple.ConsumerReset.ToTimestamp(ts.stripPrefix("timestamp").trim.toLong)
+    }
+    Ripple.resetConsumer(r, topic, consumer, to).toSeq.sortBy(_._1).map {
+      case (bucket, off) => Row(consumer, topic, bucket, off)
+    }
+  }
+}
+
+/** `DROP CONSUMER c ON t [IN '<root>']` — unregister a consumer and
+  * delete its committed cursors ([[graft.api.Ripple.deleteConsumer]]);
+  * retention stops honoring its floors immediately. Returns (consumer,
+  * topic, dropped).
+  */
+case class DropConsumerCommand(consumer: String, topic: String,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("consumer", StringType), attr("topic", StringType),
+    attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    Ripple.deleteConsumer(resolveRoot(root, spark), topic, consumer)
+    Seq(Row(consumer, topic, true))
+  }
+}
+
+/** `PIN SNAPSHOT name ON t [(ttlMs = N)] [IN '<root>']` — capture the
+  * topic's committed offsets NOW and REGISTER the pin
+  * ([[graft.api.Ripple.pinSnapshot]]): retention and keyed compaction
+  * clamp to it until dropped (or past its optional TTL). Returns (name,
+  * topic, token) — the token string drives `option("snapshot", token)`
+  * reads. `DROP SNAPSHOT name ON t` removes the pin (loud when absent).
+  */
+case class PinSnapshotCommand(name: String, topic: String,
+    opts: Option[String], root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("name", StringType), attr("topic", StringType),
+    attr("token", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(opts.getOrElse(""))
+    val unknown = kvs.keySet -- Set("ttlms")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown PIN SNAPSHOT key(s) '${unknown.mkString(", ")}' — " +
+        "valid: ttlMs")
+    val ttl = kvs.get("ttlms").map(AdminKvs.longOf("ttlMs", _)).getOrElse(0L)
+    val token = Ripple.pinSnapshot(resolveRoot(root, spark), topic, name, ttl)
+    Seq(Row(name, topic, token))
+  }
+}
+
+case class DropSnapshotCommand(name: String, topic: String,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("name", StringType), attr("topic", StringType),
+    attr("dropped", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    Ripple.dropSnapshot(resolveRoot(root, spark), topic, name)
+    Seq(Row(name, topic, true))
   }
 }

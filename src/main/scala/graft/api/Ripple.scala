@@ -868,11 +868,15 @@ object Ripple {
     val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
     require(log.buckets(topic).nonEmpty,
       s"ripple: topic '$topic' does not exist")
-    val codec = graft.log.Codecs.id(
-      graft.connector.TopicConfig.read(log, topic).compression.getOrElse("none"))
+    val cfg = graft.connector.TopicConfig.read(log, topic)
+    val codec = graft.log.Codecs.id(cfg.compression.getOrElse("none"))
     val ceilings = graft.connector.SnapshotPins.liveCeilings(log, topic)
     log.compactKeyed(topic, rewrite = rewrite, codec = codec,
-      minStartByBucket = ceilings)
+      minStartByBucket = ceilings,
+      keyHeap = cfg.compactionKeyHeap
+        .getOrElse(graft.log.SegmentCodec.DefaultKeyHeapEntries),
+      tombstoneRetentionMs = cfg.tombstoneRetentionMs
+        .getOrElse(graft.log.SegmentCodec.DefaultTombstoneRetentionMs))
   }
 
   /** Compact a topic into a columnar parquet mirror for analytics-heavy

@@ -155,7 +155,7 @@ object DistributedConcat {
             try {
               val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
                 t.members.map { case (p, s) => (new HPath(p), s) }, dest,
-                t.codec)
+                t.codec, t.maxKeys, t.tombstoneFloorMs)
               // stats sidecar keyed to the FINAL name: the driver's commit
               // reads it instead of header-walking the product (duplicate
               // attempts overwrite with identical, deterministic content)

@@ -52,7 +52,16 @@ import scala.jdk.CollectionConverters._
   *     `compression` resolve per discovered topic; publish runs the full
   *     per-topic protocol, so per-(topic, query, epoch) markers keep
   *     exactly-once even across a crash between two topics' publishes.
-  *     NULL topics are loud; reads refuse the option
+  *     VISIBILITY CONTRACT: atomicity is PER TOPIC, not across topics —
+  *     topics publish in sorted order within an epoch, so in the window
+  *     between a crash and the replayed epoch completing, a reader can
+  *     observe earlier-sorted topics' rows for that epoch while
+  *     later-sorted topics still lack theirs (there is no cross-topic
+  *     transaction / read-committed analog; the replay closes the gap
+  *     without duplicates). Correct for fan-out telemetry; a consumer
+  *     needing cross-topic agreement must reconcile on an epoch key
+  *     carried in the payload. NULL topics are loud; reads refuse the
+  *     option
   *   - `bucket`: restrict to a single bucket
   *   - `buckets`: bucket count used when the write auto-creates the topic
   *     (default 4)
@@ -114,7 +123,19 @@ import scala.jdk.CollectionConverters._
   *   - `cleanupPolicy` (write, default delete): `compact` makes the
   *     `autoCompactSegments` threshold trigger KEY compaction (latest
   *     record per id at its original offset) instead of byte-concat,
-  *     dirty-ratio amortized — Kafka `cleanup.policy=compact`
+  *     dirty-ratio amortized — Kafka `cleanup.policy=compact`. A NULL
+  *     `data` cell writes a TOMBSTONE ("delete this key"): readers see
+  *     `data IS NULL`, and compaction drops the key once the tombstone
+  *     ages past `tombstoneRetentionMs`
+  *   - `compactionKeyHeap` (write, default 4M entries): per-task cap on
+  *     keyed compaction's id→offset state (Kafka
+  *     `log.cleaner.dedupe.buffer.size` analog); key counts beyond it
+  *     spill to sorted runs on task-local disk — memory stays bounded at
+  *     any cardinality
+  *   - `tombstoneRetentionMs` (write, default 24 h): how long a
+  *     latest-per-key tombstone survives compaction so lagging readers
+  *     observe the delete before the key vanishes (Kafka
+  *     `delete.retention.ms`)
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -192,6 +213,12 @@ object RippleConf {
         compressionSet = options.containsKey("compression"),
         cleanupPolicy = Option(options.get("cleanupPolicy")).getOrElse("delete"),
         cleanupPolicySet = options.containsKey("cleanupPolicy"),
+        compactionKeyHeap = options.getInt("compactionKeyHeap",
+          graft.log.SegmentCodec.DefaultKeyHeapEntries),
+        compactionKeyHeapSet = options.containsKey("compactionKeyHeap"),
+        tombstoneRetentionMs = options.getLong("tombstoneRetentionMs",
+          graft.log.SegmentCodec.DefaultTombstoneRetentionMs),
+        tombstoneRetentionMsSet = options.containsKey("tombstoneRetentionMs"),
         retentionMsSet = options.containsKey("retentionMs"),
         retentionBytesSet = options.containsKey("retentionBytes"),
         autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
@@ -247,6 +274,12 @@ object RippleConf {
       compressionSet = options.containsKey("compression"),
       cleanupPolicy = Option(options.get("cleanupPolicy")).getOrElse("delete"),
       cleanupPolicySet = options.containsKey("cleanupPolicy"),
+      compactionKeyHeap = options.getInt("compactionKeyHeap",
+        graft.log.SegmentCodec.DefaultKeyHeapEntries),
+      compactionKeyHeapSet = options.containsKey("compactionKeyHeap"),
+      tombstoneRetentionMs = options.getLong("tombstoneRetentionMs",
+        graft.log.SegmentCodec.DefaultTombstoneRetentionMs),
+      tombstoneRetentionMsSet = options.containsKey("tombstoneRetentionMs"),
       // presence flags: an EXPLICIT writer option must win over the
       // topic's persisted config even when it spells the default/"off"
       // value — sentinel-guessing would make "this one writer opts out"
@@ -309,6 +342,10 @@ case class RippleConf(
     compressionSet: Boolean = false,
     cleanupPolicy: String = "delete",
     cleanupPolicySet: Boolean = false,
+    compactionKeyHeap: Int = graft.log.SegmentCodec.DefaultKeyHeapEntries,
+    compactionKeyHeapSet: Boolean = false,
+    tombstoneRetentionMs: Long = graft.log.SegmentCodec.DefaultTombstoneRetentionMs,
+    tombstoneRetentionMsSet: Boolean = false,
     topicColumn: Option[String] = None,
     retentionMsSet: Boolean = false,
     retentionBytesSet: Boolean = false,
@@ -389,6 +426,17 @@ case class RippleConf(
       throw new IllegalArgumentException(
         s"ripple: cleanupPolicy must be 'delete' or 'compact', got " +
           s"'$cleanupPolicy'")
+    if (compactionKeyHeap < 1024)
+      throw new IllegalArgumentException(
+        s"ripple: compactionKeyHeap must be >= 1024 entries, got " +
+          s"$compactionKeyHeap — it caps keyed compaction's per-task " +
+          "id->offset state (the Kafka log.cleaner.dedupe.buffer.size " +
+          "analog); past it the rewrite spills to sorted runs")
+    if (tombstoneRetentionMs < 0)
+      throw new IllegalArgumentException(
+        s"ripple: tombstoneRetentionMs must be >= 0, got " +
+          s"$tombstoneRetentionMs (0 drops latest-per-key tombstones at " +
+          "the first compaction; the Kafka delete.retention.ms analog)")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

@@ -234,7 +234,10 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
         fs.create(p, true), 1 << 16)), 0L)
     })
     val id = row.getInt(shape.idIdx)
-    val data = if (row.isNullAt(shape.dataIdx)) Array.emptyByteArray
+    // Kafka null-value parity: a NULL data cell produces a TOMBSTONE
+    // frame ("delete this key" under cleanupPolicy=compact; readers see
+    // data IS NULL). An empty byte array stays an ordinary empty value.
+    val data = if (row.isNullAt(shape.dataIdx)) null
                else row.getBinary(shape.dataIdx)
     val tsMillis =
       if (shape.tsIdx >= 0 && !row.isNullAt(shape.tsIdx)) row.getLong(shape.tsIdx) / 1000L
@@ -544,7 +547,9 @@ object RipplePublish {
             log.compactKeyed(conf.topic,
               onlyBuckets = Some(ready.map(_.bucket).toSet),
               rewrite = mover, codec = graft.log.Codecs.id(conf.compression),
-              minStartByBucket = SnapshotPins.liveCeilings(log, conf.topic))
+              minStartByBucket = SnapshotPins.liveCeilings(log, conf.topic),
+              keyHeap = conf.compactionKeyHeap,
+              tombstoneRetentionMs = conf.tombstoneRetentionMs)
           }
           if (defer.nonEmpty) {
             val mover = DistributedConcat.activeSession match {

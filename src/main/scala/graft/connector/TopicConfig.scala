@@ -46,11 +46,14 @@ final case class TopicConfig(
     autoCompactSegments: Option[Int] = None,
     compactDistributeMinBytes: Option[Long] = None,
     compression: Option[String] = None,
-    cleanupPolicy: Option[String] = None) {
+    cleanupPolicy: Option[String] = None,
+    compactionKeyHeap: Option[Int] = None,
+    tombstoneRetentionMs: Option[Long] = None) {
   def isEmpty: Boolean =
     retentionMs.isEmpty && retentionBytes.isEmpty &&
       autoCompactSegments.isEmpty && compactDistributeMinBytes.isEmpty &&
-      compression.isEmpty && cleanupPolicy.isEmpty
+      compression.isEmpty && cleanupPolicy.isEmpty &&
+      compactionKeyHeap.isEmpty && tombstoneRetentionMs.isEmpty
   /** Validation mirrors the writer-option rules (loud, same messages'
     * spirit): non-positive retention windows/budgets are configuration
     * errors, not "off" (absence is off).
@@ -68,6 +71,15 @@ final case class TopicConfig(
     cleanupPolicy.foreach(p => require(p == "delete" || p == "compact",
       s"ripple: topic config cleanupPolicy must be 'delete' or 'compact', " +
         s"got '$p'"))
+    compactionKeyHeap.foreach(v => require(v >= 1024,
+      s"ripple: topic config compactionKeyHeap must be >= 1024 entries, " +
+        s"got $v — it caps the keyed-compaction id->offset state per task " +
+        "(the Kafka log.cleaner.dedupe.buffer.size analog); beyond it the " +
+        "rewrite spills to sorted runs on task-local disk"))
+    tombstoneRetentionMs.foreach(v => require(v >= 0,
+      s"ripple: topic config tombstoneRetentionMs must be >= 0, got $v " +
+        "(0 drops latest-per-key tombstones at the first compaction; " +
+        "the Kafka delete.retention.ms analog)"))
     this
   }
   /** Render as Kafka-style `k=v` pairs (sorted) — the DESCRIBE surface. */
@@ -75,9 +87,11 @@ final case class TopicConfig(
     autoCompactSegments.map("autoCompactSegments=" + _),
     cleanupPolicy.map("cleanupPolicy=" + _),
     compactDistributeMinBytes.map("compactDistributeMinBytes=" + _),
+    compactionKeyHeap.map("compactionKeyHeap=" + _),
     compression.map("compression=" + _),
     retentionBytes.map("retentionBytes=" + _),
-    retentionMs.map("retentionMs=" + _))
+    retentionMs.map("retentionMs=" + _),
+    tombstoneRetentionMs.map("tombstoneRetentionMs=" + _))
     .flatten.mkString(",")
 }
 
@@ -132,7 +146,9 @@ object TopicConfig {
       autoCompactSegments = int("autoCompactSegments"),
       compactDistributeMinBytes = long("compactDistributeMinBytes"),
       compression = str("compression"),
-      cleanupPolicy = str("cleanupPolicy"))
+      cleanupPolicy = str("cleanupPolicy"),
+      compactionKeyHeap = int("compactionKeyHeap"),
+      tombstoneRetentionMs = long("tombstoneRetentionMs"))
       .validated
     catch {
       // an unknown codec NAME in a persisted document is a malformed
@@ -163,6 +179,8 @@ object TopicConfig {
     cfg.compactDistributeMinBytes.foreach(root.put("compactDistributeMinBytes", _))
     cfg.compression.foreach(root.put("compression", _))
     cfg.cleanupPolicy.foreach(root.put("cleanupPolicy", _))
+    cfg.compactionKeyHeap.foreach(v => root.put("compactionKeyHeap", v))
+    cfg.tombstoneRetentionMs.foreach(root.put("tombstoneRetentionMs", _))
     log.writeFileAtomic(p, mapper.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
@@ -192,6 +210,12 @@ object TopicConfig {
         else cfg.compression.getOrElse(conf.compression),
       cleanupPolicy =
         if (conf.cleanupPolicySet) conf.cleanupPolicy
-        else cfg.cleanupPolicy.getOrElse(conf.cleanupPolicy))
+        else cfg.cleanupPolicy.getOrElse(conf.cleanupPolicy),
+      compactionKeyHeap =
+        if (conf.compactionKeyHeapSet) conf.compactionKeyHeap
+        else cfg.compactionKeyHeap.getOrElse(conf.compactionKeyHeap),
+      tombstoneRetentionMs =
+        if (conf.tombstoneRetentionMsSet) conf.tombstoneRetentionMs
+        else cfg.tombstoneRetentionMs.getOrElse(conf.tombstoneRetentionMs))
   }
 }

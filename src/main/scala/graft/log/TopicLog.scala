@@ -164,7 +164,8 @@ object SegmentCodec {
   /** Extended-frame flag bits (see the class doc's v2 layout). */
   private val CodecMask = 0x07
   private val HasOffsetFlag = 0x08
-  private val KnownFlags = CodecMask | HasOffsetFlag
+  private val TombstoneFlag = 0x10
+  private val KnownFlags = CodecMask | HasOffsetFlag | TombstoneFlag
 
   /** Write ONE frame. The classic positional layout is kept verbatim for
     * raw frames (wire-stable — every pre-compression segment remains a
@@ -191,10 +192,27 @@ object SegmentCodec {
     * never regress.
     *
     * `offset < 0` means positional (the reader's cursor assigns it).
+    *
+    * TOMBSTONE convention (Kafka null-value parity, flag bit 4): a NULL
+    * `data` writes a payload-less tombstone frame — "this key is
+    * deleted". An EMPTY array stays a legal value (the two are distinct
+    * on the wire and on read: tombstones read back as null). Key
+    * compaction retains a latest-per-key tombstone until it ages past
+    * the topic's `tombstoneRetentionMs`, then drops the key entirely.
     */
   def writeFrame(out: DataOutputStream, id: Int, tsMillis: Long,
       data: Array[Byte], codec: Int = Codecs.None, offset: Long = -1L): Unit = {
-    val d = if (data == null) Array.emptyByteArray else data
+    if (data == null) { // tombstone: v2 frame, no payload, codec irrelevant
+      val flags = TombstoneFlag | (if (offset >= 0) HasOffsetFlag else 0)
+      val len = 1 + (if (offset >= 0) 8 else 0) + 12
+      out.writeInt(-len)
+      out.writeByte(flags)
+      if (offset >= 0) out.writeLong(offset)
+      out.writeInt(id)
+      out.writeLong(tsMillis)
+      return
+    }
+    val d = data
     val comp =
       if (codec == Codecs.None || d.length < Codecs.MinCompressBytes) null
       else {
@@ -270,11 +288,18 @@ object SegmentCodec {
       */
     var explicitOffset: Long = -1L
 
+    /** True iff the just-returned frame is a TOMBSTONE ("key deleted" —
+      * Kafka null-value parity). Tombstones return `data = null` (an
+      * empty array stays a distinct legal value).
+      */
+    var tombstone: Boolean = false
+
     override def hasNext: Boolean = !eof
     override def next(): (Int, Long, Array[Byte]) = {
       val out =
         if (nextLen >= 0) { // v1 positional frame
           explicitOffset = -1L
+          tombstone = false
           val id = in.readInt()
           val ts = in.readLong()
           val data =
@@ -289,6 +314,7 @@ object SegmentCodec {
               "written by a newer engine?")
           val codec = flags & CodecMask
           val hasOff = (flags & HasOffsetFlag) != 0
+          tombstone = (flags & TombstoneFlag) != 0
           explicitOffset = if (hasOff) in.readLong() else -1L
           val id = in.readInt()
           val ts = in.readLong()
@@ -296,8 +322,12 @@ object SegmentCodec {
             (if (codec != Codecs.None) 4 else 0)
           if (absLen < headerLen) throw new java.io.IOException(
             s"corrupt frame: extended length $absLen < header $headerLen")
+          if (tombstone && (absLen != headerLen || codec != Codecs.None))
+            throw new java.io.IOException(
+              s"corrupt frame: tombstone carries a payload (len $absLen)")
           val data =
-            if (skipData) {
+            if (tombstone) null
+            else if (skipData) {
               // everything after ts (the rawLen field, if any, plus the
               // payload) is skipped in one seek — flags/offset/id/ts are
               // already consumed, so absLen minus those is what remains
@@ -345,6 +375,27 @@ object SegmentCodec {
   def readHeaders(fs: FileSystem, file: HPath): FrameIterator =
     new FrameIterator(fs.open(file), skipData = true)
 
+  /** Hard per-task budget for keyed compaction's id → last-offset state,
+    * in ENTRIES — the Kafka `log.cleaner.dedupe.buffer.size` analog, but
+    * a cap on the FAST path rather than on coverage: where Kafka's
+    * cleaner does a partial pass when the dedupe buffer fills, this
+    * rewrite falls over to a sort-based external path and still compacts
+    * the WHOLE bucket in one pass with O(budget) heap (sorted spill runs
+    * on task-local disk, k-way merged). The default is the 128 MB-class
+    * budget Kafka ships (peak task heap ≈ 48 bytes/entry across the map
+    * and the spill buffers it hands off to). Loudly configurable per
+    * topic (`compactionKeyHeap`) — a 10^9-key bucket compacts in bounded
+    * memory either way; raising the budget just avoids the spill I/O.
+    */
+  val DefaultKeyHeapEntries: Int = 4 << 20
+
+  /** Spill runs created by [[rewriteLatestPerKey]] budget fallovers in
+    * this JVM — observability for specs and the bench's high-cardinality
+    * probe cell (proof the bounded path actually engaged, not just that a
+    * result appeared).
+    */
+  val keyedSpillRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Two-pass latest-per-key rewrite — the frame-level worker of key-based
     * log compaction (`cleanup.policy=compact` parity; the envelope's
     * `id INT` is the key). Pass 1 walks HEADERS only (payloads seeked
@@ -355,54 +406,249 @@ object SegmentCodec {
     * `members` are (path, startOffset) in offset order — last write wins
     * across files exactly as within one. Returns the retained row count.
     *
-    * Memory bound: the map holds one (int key → long offset) entry per
-    * DISTINCT key in the bucket — the same offset-map bound Kafka's log
-    * cleaner runs under; at 10^8 distinct keys per bucket that is ~1.6 GB
-    * in a task, the signal to shard the topic wider, not a driver
-    * concern (tasks run executor-side via the distributed runner).
+    * Memory bound: the id → offset state is capped at `maxKeys` entries
+    * ([[DefaultKeyHeapEntries]]). Under the cap it is one in-heap LongMap
+    * (the common case: a bucket's distinct keys fit Kafka's dedupe-buffer
+    * class). The moment the cap trips, the state spills to SORTED RUNS on
+    * task-local disk — (id, offset) pairs sorted by id, latest offset per
+    * id per run — which a k-way merge reduces to the retained-offset set,
+    * itself spilled as offset-sorted runs and stream-merged against the
+    * offset-ascending frame walk of pass 2. Task heap stays O(maxKeys)
+    * REGARDLESS of key cardinality; the output is byte-identical to the
+    * in-heap path (same retained set, same offset-order emission), so
+    * crashed-attempt republish verification ([[sameFrames]]) and the
+    * deterministic-sidecar discipline hold across the fallover.
     */
+  /** Default tombstone horizon for key compaction — Kafka's
+    * `delete.retention.ms` default (24 h): a latest-per-key tombstone
+    * YOUNGER than this is retained (lagging readers must observe the
+    * delete); an older one drops with its key.
+    */
+  val DefaultTombstoneRetentionMs: Long = 86400000L
+
   def rewriteLatestPerKey(fs: FileSystem, members: Seq[(HPath, Long)],
-      out: HPath, codec: Int = Codecs.None): (Long, Long, Long) = {
-    val last = new scala.collection.mutable.LongMap[Long](1 << 10)
-    members.foreach { case (p, start) =>
-      val it = readHeaders(fs, p)
-      try {
-        var cur = start - 1
-        while (it.hasNext) {
-          val (id, _, _) = it.next()
-          cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
-          last(id.toLong) = cur
-        }
-      } finally it.close()
-    }
-    val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
-    var rows = 0L
-    var minTs = Long.MaxValue
-    var maxTs = Long.MinValue
+      out: HPath, codec: Int = Codecs.None,
+      maxKeys: Int = DefaultKeyHeapEntries,
+      tombstoneFloorMs: Long = Long.MinValue): (Long, Long, Long) = {
+    require(maxKeys >= 8, s"keyed-compaction key budget too small: $maxKeys")
+    val runs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
     try {
+      // ---- pass 1: id -> last offset, in heap until the budget trips ----
+      var map: scala.collection.mutable.LongMap[Long] =
+        new scala.collection.mutable.LongMap[Long](1 << 10)
+      var ids: Array[Int] = null // spill buffers, allocated on first trip
+      var offs: Array[Long] = null
+      var n = 0
+      // One sorted spill run from the buffered (id, offset) pairs. Buffer
+      // arrival order is offset-ascending (the walk is), so per id the
+      // max arrival seq carries the latest offset: pack (unsigned id <<
+      // 32 | seq), sort, keep each id group's last entry. Map-dump chunks
+      // have distinct ids, so the group-collapse is a no-op there.
+      def flushRun(): Unit = if (n > 0) {
+        // sign-flip for an UNSIGNED primitive sort: uids >= 2^31 (negative
+        // ids) would otherwise set the packed sign bit and sort FIRST in
+        // the run while the k-way merge compares uids unsigned — the
+        // misordered runs would stop the cross-run collapse for those ids
+        val packed = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          packed(i) = ((ids(i) & 0xffffffffL) << 32 | i.toLong) ^ Long.MinValue
+          i += 1
+        }
+        java.util.Arrays.sort(packed)
+        keyedSpillRuns.incrementAndGet()
+        val f = java.io.File.createTempFile("graft-keyed-", ".run")
+        runs += f
+        val o = new DataOutputStream(new BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        try {
+          i = 0
+          while (i < n) {
+            val uid = (packed(i) ^ Long.MinValue) >>> 32
+            while (i + 1 < n && ((packed(i + 1) ^ Long.MinValue) >>> 32) == uid)
+              i += 1
+            o.writeInt(uid.toInt)
+            o.writeLong(offs(((packed(i) ^ Long.MinValue) & 0xffffffffL).toInt))
+            i += 1
+          }
+        } finally o.close()
+        n = 0
+      }
+      def tripToSpill(): Unit = {
+        ids = new Array[Int](maxKeys)
+        offs = new Array[Long](maxKeys)
+        val m = map; map = null
+        m.foreach { case (k, v) =>
+          ids(n) = k.toInt; offs(n) = v; n += 1
+          if (n == maxKeys) flushRun()
+        }
+        flushRun()
+      }
       members.foreach { case (p, start) =>
-        val it = read(fs, p)
+        val it = readHeaders(fs, p)
         try {
           var cur = start - 1
           while (it.hasNext) {
-            val (id, ts, data) = it.next()
+            val (id, _, _) = it.next()
             cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
-            if (last.getOrElse(id.toLong, -1L) == cur) {
-              writeFrame(o, id, ts, data, codec, offset = cur)
-              rows += 1
-              if (ts < minTs) minTs = ts
-              if (ts > maxTs) maxTs = ts
+            if (map != null) {
+              map(id.toLong) = cur
+              if (map.size > maxKeys) tripToSpill()
+            } else {
+              ids(n) = id; offs(n) = cur; n += 1
+              if (n == maxKeys) flushRun()
             }
           }
         } finally it.close()
       }
-      o.close()
-    } catch {
-      case e: Throwable =>
-        try o.close() catch { case _: Throwable => () }
-        throw e
+      val retained: RetainedOffsets =
+        if (map != null) new MapRetained(map)
+        else {
+          flushRun()
+          // merge the id-sorted runs: latest offset per id -> the
+          // retained-offset set, spilled as offset-sorted runs (reusing
+          // the pair buffers — the map is long freed)
+          val offRuns = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+          var bn = 0
+          def flushOffRun(): Unit = if (bn > 0) {
+            java.util.Arrays.sort(offs, 0, bn)
+            val f = java.io.File.createTempFile("graft-keyed-", ".off")
+            offRuns += f
+            val o = new DataOutputStream(new BufferedOutputStream(
+              new java.io.FileOutputStream(f), 1 << 16))
+            try { var i = 0; while (i < bn) { o.writeLong(offs(i)); i += 1 } }
+            finally o.close()
+            bn = 0
+          }
+          val merge = new RunMerge(runs.toSeq, pair = true)
+          try {
+            while (merge.hasNext) {
+              offs(bn) = merge.nextLatestOffset(); bn += 1
+              if (bn == offs.length) flushOffRun()
+            }
+          } finally merge.close()
+          flushOffRun()
+          runs.foreach(f => { f.delete(); () })
+          runs.clear()
+          runs ++= offRuns // cleanup path owns them now
+          new StreamRetained(new RunMerge(offRuns.toSeq, pair = false))
+        }
+      // ---- pass 2: decode + re-frame exactly the retained offsets ----
+      val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
+      var rows = 0L
+      var minTs = Long.MaxValue
+      var maxTs = Long.MinValue
+      try {
+        members.foreach { case (p, start) =>
+          val it = read(fs, p)
+          try {
+            var cur = start - 1
+            while (it.hasNext) {
+              val (id, ts, data) = it.next()
+              cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
+              // a latest-per-key TOMBSTONE is kept while young (lagging
+              // readers must see the delete) and dropped with its key
+              // once older than the floor — Kafka delete.retention.ms.
+              // isRetained runs FIRST either way: the streamed retained-
+              // offset cursor must advance past dropped tombstones too.
+              if (retained.isRetained(id, cur) &&
+                  !(it.tombstone && ts < tombstoneFloorMs)) {
+                writeFrame(o, id, ts, data, codec, offset = cur)
+                rows += 1
+                if (ts < minTs) minTs = ts
+                if (ts > maxTs) maxTs = ts
+              }
+            }
+          } finally it.close()
+        }
+        o.close()
+      } catch {
+        case e: Throwable =>
+          try o.close() catch { case _: Throwable => () }
+          throw e
+      } finally retained.close()
+      (rows, minTs, maxTs)
+    } finally runs.foreach(f => { f.delete(); () })
+  }
+
+  /** Pass-2 membership test for [[rewriteLatestPerKey]], consumed in
+    * strictly ascending offset order.
+    */
+  private sealed trait RetainedOffsets extends AutoCloseable {
+    def isRetained(id: Int, offset: Long): Boolean
+  }
+
+  private final class MapRetained(last: scala.collection.mutable.LongMap[Long])
+      extends RetainedOffsets {
+    def isRetained(id: Int, offset: Long): Boolean =
+      last.getOrElse(id.toLong, -1L) == offset
+    def close(): Unit = ()
+  }
+
+  /** Stream-merge of the offset-sorted retained runs against the
+    * offset-ascending frame walk: offsets are unique, both sides ascend,
+    * so membership is a two-pointer advance.
+    */
+  private final class StreamRetained(merge: RunMerge) extends RetainedOffsets {
+    private var want: Long = advance()
+    private def advance(): Long =
+      if (merge.hasNext) merge.nextOffset() else Long.MinValue
+    def isRetained(id: Int, offset: Long): Boolean =
+      if (want != Long.MinValue && offset == want) { want = advance(); true }
+      else false
+    def close(): Unit = merge.close()
+  }
+
+  /** K-way merge over spill-run files. `pair = true` reads (id: int,
+    * offset: long) entries ordered by unsigned id and
+    * [[nextLatestOffset]] collapses each id's entries across runs to its
+    * MAX offset (offsets are globally unique, so max = latest); `pair =
+    * false` reads plain ascending offsets and [[nextOffset]] yields the
+    * global ascending merge. Heap: one buffered stream + one head entry
+    * per run.
+    */
+  private final class RunMerge(files: Seq[java.io.File], pair: Boolean)
+      extends AutoCloseable {
+    private final class Head(val in: DataInputStream) {
+      var key = 0L // unsigned id (pair) or the offset itself (plain)
+      var off = 0L
+      var alive = advance()
+      def advance(): Boolean =
+        try {
+          if (pair) { key = in.readInt() & 0xffffffffL; off = in.readLong() }
+          else { off = in.readLong(); key = off }
+          true
+        } catch { case _: java.io.EOFException => in.close(); false }
     }
-    (rows, minTs, maxTs)
+    private val pq = new java.util.PriorityQueue[Head](
+      math.max(1, files.size),
+      (a: Head, b: Head) => java.lang.Long.compare(a.key, b.key))
+    files.foreach { f =>
+      val h = new Head(new DataInputStream(new BufferedInputStream(
+        new java.io.FileInputStream(f), 1 << 16)))
+      if (h.alive) pq.add(h)
+    }
+    def hasNext: Boolean = !pq.isEmpty
+    def nextLatestOffset(): Long = {
+      val uid = pq.peek().key
+      var best = Long.MinValue
+      while (!pq.isEmpty && pq.peek().key == uid) {
+        val h = pq.poll()
+        if (h.off > best) best = h.off
+        if (h.advance()) pq.add(h)
+      }
+      best
+    }
+    def nextOffset(): Long = {
+      val h = pq.poll()
+      val v = h.off
+      if (h.advance()) pq.add(h)
+      v
+    }
+    def close(): Unit = {
+      pq.forEach(h => try h.in.close() catch { case _: Throwable => () })
+      pq.clear()
+    }
   }
 
   /** The keyed rewrite's stats sidecar: the TASK that produced a compacted
@@ -555,7 +801,8 @@ case class ConcatTask(members: Seq[String], out: String, bytes: Long)
   * bytes — the local-vs-distributed routing input, same as [[ConcatTask]].
   */
 case class KeyedTask(members: Seq[(String, Long)], out: String, bytes: Long,
-  codec: Int)
+  codec: Int, maxKeys: Int = SegmentCodec.DefaultKeyHeapEntries,
+  tombstoneFloorMs: Long = Long.MinValue)
 
 /** Weight-bounded string-keyed LRU for driver-side parsed metadata: total
   * weight (caller-defined, e.g. parsed entries held) is capped and the
@@ -1476,8 +1723,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         while (it.hasNext && i < rows.size) {
           val (id, _, data) = it.next()
           val p = rows(i)._1
-          val d = if (p.data == null) Array.emptyByteArray else p.data
-          if (id != p.id || !java.util.Arrays.equals(data, d)) return false
+          // null == tombstone on both sides; Arrays.equals(null, null) holds
+          if (id != p.id || !java.util.Arrays.equals(data, p.data)) return false
           i += 1
         }
         !it.hasNext && i == rows.size
@@ -1977,18 +2224,33 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * bucket's max live pinned ceiling and only the unpinned SUFFIX
     * compacts (exactly how retention clamps to pinned floors).
     *
-    * No tombstones: the engine's payloads have no null marker (an empty
-    * `data` is a legal value), so "latest value" always survives — key
-    * DELETION is out of scope, as in the reference. Returns segments
-    * compacted away (members replaced by sparse products + healed).
+    * TOMBSTONES (key deletion, round 17): a NULL `data` write is the
+    * delete marker (Kafka null-value parity; an empty array stays a
+    * value). Latest-per-key keeps a tombstone while it is younger than
+    * `tombstoneRetentionMs` — one compaction pass must leave the delete
+    * visible for lagging readers — and drops the key entirely once it
+    * ages past the horizon (Kafka `delete.retention.ms`). The horizon is
+    * resolved to an absolute floor ONCE at plan time and shipped in each
+    * [[KeyedTask]], keeping duplicate attempts byte-identical. Returns
+    * segments compacted away (members replaced by sparse products +
+    * healed).
     */
   def compactKeyed(topic: String, onlyBuckets: Option[Set[String]] = None,
       rewrite: Seq[KeyedTask] => Unit = null, codec: Int = Codecs.None,
-      minStartByBucket: Map[String, Long] = Map.empty): Int = {
+      minStartByBucket: Map[String, Long] = Map.empty,
+      keyHeap: Int = SegmentCodec.DefaultKeyHeapEntries,
+      tombstoneRetentionMs: Long = SegmentCodec.DefaultTombstoneRetentionMs): Int = {
     val mover = if (rewrite == null) localKeyed _ else rewrite
     val tbs = buckets(topic).filter(tb => onlyBuckets.forall(_.contains(tb.bucket)))
-    if (manifestCommitMode) compactKeyedManifest(tbs, mover, codec, minStartByBucket)
-    else compactKeyedRename(tbs, mover, codec, minStartByBucket)
+    // the floor is resolved ONCE here (plan time) and shipped inside every
+    // KeyedTask: duplicate/speculative attempts of one task must emit
+    // byte-identical products for the deterministic-republish discipline
+    require(tombstoneRetentionMs >= 0,
+      s"ripple: tombstoneRetentionMs must be >= 0, got $tombstoneRetentionMs")
+    val floor = System.currentTimeMillis() - tombstoneRetentionMs
+    if (manifestCommitMode)
+      compactKeyedManifest(tbs, mover, codec, minStartByBucket, keyHeap, floor)
+    else compactKeyedRename(tbs, mover, codec, minStartByBucket, keyHeap, floor)
   }
 
   /** Default rewrite strategy for [[compactKeyed]]: decode in the calling
@@ -1998,7 +2260,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     try {
       val out = new HPath(t.out)
       val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
-        t.members.map { case (p, s) => (new HPath(p), s) }, out, t.codec)
+        t.members.map { case (p, s) => (new HPath(p), s) }, out, t.codec,
+        t.maxKeys, t.tombstoneFloorMs)
       SegmentCodec.writeStatSidecar(fs, out, rows, minTs, maxTs)
     } catch {
       case _: java.io.FileNotFoundException =>
@@ -2025,7 +2288,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
 
   private def compactKeyedRename(tbs: Seq[TopicBucket],
       rewrite: Seq[KeyedTask] => Unit, codec: Int,
-      clamps: Map[String, Long]): Int = {
+      clamps: Map[String, Long], keyHeap: Int, tombFloor: Long): Int = {
     val plans = tbs.map { tb =>
       withBucketLock(tb) {
         val (raw, healed) = healCovered(tb)
@@ -2039,7 +2302,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     val work = plans.filter(_.members.nonEmpty)
     rewrite(work.map(p => KeyedTask(
       p.members.map(m => (m._1.toString, m._2)), p.staged.toString,
-      p.members.map(_._4).sum, codec)))
+      p.members.map(_._4).sum, codec, keyHeap, tombFloor)))
     plans.map { p =>
       if (p.members.isEmpty) p.healed else p.healed + commitKeyedRename(p)
     }.sum
@@ -2095,7 +2358,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
 
   private def compactKeyedManifest(tbs: Seq[TopicBucket],
       rewrite: Seq[KeyedTask] => Unit, codec: Int,
-      clamps: Map[String, Long]): Int = {
+      clamps: Map[String, Long], keyHeap: Int, tombFloor: Long): Int = {
     var total = 0
     case class MPlan(tb: TopicBucket, st: CommitState,
         members: Seq[(HPath, Long, Long, Long)], add: SegMeta)
@@ -2126,7 +2389,7 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       rewrite(pending.map(p => KeyedTask(
         p.members.map(m => (m._1.toString, m._2)),
         new HPath(bucketDir(p.tb), p.add.name).toString,
-        p.members.map(_._4).sum, codec)))
+        p.members.map(_._4).sum, codec, keyHeap, tombFloor)))
       val results = pending.map { p =>
         val dir = bucketDir(p.tb)
         val out = new HPath(dir, p.add.name)

@@ -641,6 +641,65 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Tombstone key-deletion under key compaction (q171, Kafka null-value +
+    * `delete.retention.ms` parity). The q167 key-update stream (key =
+    * event_id % 500) gets a DELETE wave: one tombstone (NULL `data`) per
+    * key ≡ 0 (mod 7), stamped 10 days old. Compaction pass 1 under a 30-day
+    * horizon must RETAIN every latest-per-key tombstone — a lagging reader
+    * still observes the deletes (in-body require: exactly the planted
+    * tombstones survive, as null-data rows at their original offsets).
+    * Fresh updates (event_id >= 700) then re-create some deleted keys, and
+    * pass 2 under a 24 h horizon drops the aged tombstones with their
+    * keys. The lifted read must equal the oracle's "latest per key, minus
+    * keys whose final state is the delete" — an engine that loses the
+    * delete (key resurrects), drops it early (lagging readers miss it),
+    * ages by the wrong clock, or breaks delete-then-recreate hash-fails.
+    */
+  def tombstoneCompactionAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keyExpr = pmod(col("event_id"), lit(500)).cast("int")
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"), keyExpr)
+    Ripple.createTopic(root, "tqc", numBuckets = 2)
+    Ripple.write(slice(0, 300), root, "tqc", numBuckets = 2)
+    Ripple.write(slice(300, 700), root, "tqc", numBuckets = 2)
+    // the delete wave: a tombstone per key ≡ 0 (mod 7), 10 days old; ids
+    // must hash EXACTLY as Ripple.pack hashes the key column
+    import s.implicits._
+    val delKeys = (0 until 500).filter(_ % 7 == 0)
+    Ripple.write(delKeys.toDF("k")
+      .select(
+        pmod(hash(col("k").cast("int")), lit(Int.MaxValue)).cast("int").as("id"),
+        lit(null).cast("binary").as("data"),
+        lit(new java.sql.Timestamp(
+          System.currentTimeMillis() - 10L * 24 * 3600 * 1000)).as("ts"))
+      .repartition(1), root, "tqc", numBuckets = 2)
+    val endsBefore = Ripple.endOffsets(root, "tqc")
+    // pass 1 (30-day horizon): deletes must survive compaction
+    Ripple.setTopicConfig(root, "tqc", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(30L * 24 * 3600 * 1000)))
+    require(Ripple.compactKeyed(root, "tqc") > 0, "pass 1 must compact")
+    require(Ripple.endOffsets(root, "tqc") == endsBefore,
+      "keyed compaction preserves end offsets")
+    val midTombs = Ripple.read(s, root, "tqc").filter(col("data").isNull).count()
+    require(midTombs == delKeys.size,
+      s"pass 1 must retain all ${delKeys.size} young tombstones, got $midTombs")
+    // re-create some deleted keys, then age the tombstones out (24 h)
+    Ripple.write(slice(700, Int.MaxValue), root, "tqc", numBuckets = 2)
+    Ripple.setTopicConfig(root, "tqc", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    require(Ripple.compactKeyed(root, "tqc") > 0, "pass 2 must compact")
+    require(Ripple.read(s, root, "tqc").filter(col("data").isNull).count() == 0,
+      "pass 2 must age every tombstone out")
+    Ripple.lift(Ripple.read(s, root, "tqc"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** SQL admin WRITE statements end-to-end (q168): the q165 scenario with
     * every admin action driven through [[graft.GraftSqlParser]] statements
     * instead of Scala calls — `CREATE TOPIC` registers the topic,
@@ -680,6 +739,55 @@ object ConnectorQueries {
     require(floor == 200L,
       s"the SQL-set retentionMs must drive the sink's retention, floor=$floor")
     Ripple.lift(Ripple.read(s, root, "cfgsql"), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** SQL lifecycle verbs end-to-end (q172): the nightly retention +
+    * compaction jobs driven ENTIRELY through [[graft.GraftSqlParser]]
+    * statements — `ALTER TOPIC … TRUNCATE (olderThanMs = …)` cuts the
+    * aged head slice (floor 200, exactly like q168's config-driven cut,
+    * but as an imperative statement), then `COMPACT TOPIC … KEYED`
+    * collapses the key-update stream (key = event_id % 500) to
+    * latest-per-key. The lifted read must equal the oracle's
+    * "latest per key among event_id >= 200" — a TRUNCATE that cuts the
+    * wrong boundary or a KEYED compaction that keeps the wrong
+    * generation hash-fails.
+    */
+  def sqlLifecycleAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keyExpr = pmod(col("event_id"), lit(500)).cast("int")
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"), keyExpr)
+    val parser = new graft.GraftSqlParser(s.sessionState.sqlParser)
+    def runCmd(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(s)
+    runCmd(s"CREATE TOPIC lcq (numBuckets = 1) IN '$root'")
+    Ripple.write(slice(0, 200), root, "lcq", numBuckets = 1)
+    Ripple.write(slice(200, 700), root, "lcq", numBuckets = 1)
+    // age the head segment 10 days, then run the retention cut in SQL
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("lcq", "b0000")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    log.segments(tb).take(1).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    val cut = runCmd(
+      s"ALTER TOPIC lcq TRUNCATE (olderThanMs = ${24L * 3600 * 1000}) IN '$root'")
+    require(cut.head.getInt(2) == 1 &&
+      Ripple.earliestOffsets(root, "lcq")("b0000") == 200L,
+      s"SQL TRUNCATE must cut exactly the aged head slice, got $cut")
+    Ripple.write(slice(700, Int.MaxValue), root, "lcq", numBuckets = 1)
+    val comp = runCmd(s"COMPACT TOPIC lcq KEYED IN '$root'")
+    require(comp.head.getBoolean(1) && comp.head.getInt(2) > 0,
+      s"SQL COMPACT KEYED must compact, got $comp")
+    require(log.segments(tb).forall(seg =>
+      graft.log.SegmentCodec.isSparse(seg._1.getName)),
+      "the bucket must hold only sparse segments after KEYED compaction")
+    Ripple.lift(Ripple.read(s, root, "lcq"), eventSchema)
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
@@ -763,6 +871,8 @@ object ConnectorQueries {
     "q169_routed_write" -> (routedWriteAgg _),
     "q168_sql_admin_ddl" -> (sqlAdminDdlAgg _),
     "q167_keyed_compaction" -> (keyedCompactionAgg _),
+    "q171_tombstone_compaction" -> (tombstoneCompactionAgg _),
+    "q172_sql_lifecycle" -> (sqlLifecycleAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -954,6 +1064,23 @@ object ConnectorQueries {
         |FROM events e
         |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
         |                    WHERE e2.event_id % 500 = e.event_id % 500)""".stripMargin,
+    "q171_tombstone_compaction" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 500 = e.event_id % 500)
+        |  AND NOT (e.event_id % 500 % 7 = 0 AND e.event_id < 700)""".stripMargin,
+    "q172_sql_lifecycle" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id >= 200
+        |  AND e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 500 = e.event_id % 500
+        |                      AND e2.event_id >= 200)""".stripMargin,
     "q164_consumer_expiry" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -470,7 +470,8 @@ object ScaleProbe {
     * seconds). Their ratios are the CLAIMS under test, so Bench excludes
     * them from the "did anything scale super-linearly" stdout headline.
     */
-  val SyntheticCellKeys: Set[String] = Set("q152c", "q154c", "q154w", "q163s")
+  val SyntheticCellKeys: Set[String] = Set("q152c", "q154c", "q154w", "q163s",
+    "q167c")
 
   private def tinySegBucket(nSegs: Int): (graft.log.FileTopicLog, graft.model.TopicBucket, Long) = {
     val root = java.nio.file.Files.createTempDirectory(s"graft-probe-tiny$nSegs").toString
@@ -562,9 +563,77 @@ object ScaleProbe {
         (if (off) ""","offband_cell":true""" else "") + "}"
     }
     Seq(entry("q152c", 0), entry("q154c", 1), entry("q154w", 2)) ++
-      streamingMetricsCell(history)
+      keyedCapCell(history) ++ streamingMetricsCell(history)
   } catch { case e: Throwable =>
     System.err.println(s"[bench] synthetic metadata cells failed: ${e.getMessage}")
+    Seq.empty
+  }
+
+  /** q167c — keyed compaction at changelog key cardinality (round-16
+    * verdict #1): one bucket, two equal segments over the SAME key set,
+    * compacted under a key budget ~80× below the distinct-key count so
+    * the sort-based spill path carries the whole rewrite — sf01 = 10^6
+    * distinct keys, sf1 = 10^7 (the verdict's design-point number). The
+    * CLAIM under test is bounded task memory at unbounded cardinality:
+    * the cell REQUIRES the spill path to have engaged (the run counter)
+    * and the retained count to be exact, and its sf1/sf01 ratio is the
+    * linearity evidence (an in-heap-only implementation would hold a
+    * 10^7-entry map here — the very structure the budget forbids).
+    */
+  private def keyedCapCell(history: graft.BenchHistory): Seq[String] = try {
+    import graft.log.SegmentCodec
+    def measure(k: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory(s"graft-probe-keyed").toString
+      val log = new graft.log.FileTopicLog(java.nio.file.Paths.get(root))
+      val tb = graft.model.TopicBucket("kcap", "b0000")
+      log.fs.mkdirs(log.bucketDir(tb))
+      val base = System.currentTimeMillis()
+      val one = Array[Byte](1)
+      (0 until 2).foreach { m =>
+        val p = new org.apache.hadoop.fs.Path(log.bucketDir(tb),
+          SegmentCodec.segmentName(m.toLong * k, k.toLong))
+        val o = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+          log.fs.create(p, true), 1 << 16))
+        var i = 0
+        while (i < k) { SegmentCodec.writeFrame(o, i, base + i, one); i += 1 }
+        o.close()
+      }
+      log.refreshManifest(tb)
+      val spills = SegmentCodec.keyedSpillRuns.get()
+      val t = System.nanoTime()
+      require(log.compactKeyed("kcap", keyHeap = 1 << 17) == 2,
+        "both segments must compact")
+      val sec = (System.nanoTime() - t) / 1e9
+      require(SegmentCodec.keyedSpillRuns.get() > spills,
+        s"the $k-key rewrite must take the spill path under a 2^17 budget")
+      val seg = log.segments(tb)
+      require(seg.size == 1 &&
+        SegmentCodec.sparseRows(seg.head._1.getName).contains(k.toLong),
+        s"exactly $k retained keys, got ${seg.map(_._1.getName)}")
+      try log.fs.delete(log.root, true)
+      catch { case _: java.io.IOException => () }
+      sec
+    }
+    var smalls = List(measure(1 << 20))
+    var bigs = List(measure(10 << 20))
+    val suspect = history.sf1Median("q167c")
+      .exists(h => h > 0 && bigs.head > 2.0 * h)
+    if (suspect) (1 to 2).foreach { _ =>
+      smalls ::= measure(1 << 20); bigs ::= measure(10 << 20)
+    }
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val a = med(smalls); val b = med(bigs)
+    val hist = history.sf1Median("q167c")
+    val off = hist.exists(h => h > 0 && b > 2.0 * h)
+    Seq(s""""q167c":{"sf01":${r2(a)},"sf1":${r2(b)},"ratio":${r2(if (a > 0) b / a else -1.0)},"n":${bigs.size}""" +
+      hist.map(h => s""","hist":${r2(h)}""").getOrElse("") +
+      (if (off) ""","offband_cell":true""" else "") + "}")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] q167c keyed-cap cell failed: ${e.getMessage}")
     Seq.empty
   }
 

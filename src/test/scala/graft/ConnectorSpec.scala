@@ -2569,9 +2569,16 @@ class ConnectorSpec extends AnyFunSuite {
       val e4 = intercept[Exception] {
         s.sql("ALTER TOPIC sq1 SET (cleanupPolicy = 'vacuum')").collect() }
       assert(e4.getMessage.contains("'delete' or 'compact'"), e4.getMessage)
+      // compactionKeyHeap (the keyed-compaction task memory budget):
+      // persists, renders, and is loud below the floor
+      s.sql("ALTER TOPIC sq1 SET (compactionKeyHeap = 65536)").collect()
+      assert(Ripple.topicConfig(root, "sq1").compactionKeyHeap.contains(65536))
+      val e4b = intercept[Exception] {
+        s.sql("ALTER TOPIC sq1 SET (compactionKeyHeap = 10)").collect() }
+      assert(e4b.getMessage.contains(">= 1024"), e4b.getMessage)
       // UNSET of the last keys deletes the document
-      s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression, cleanupPolicy)")
-        .collect()
+      s.sql("ALTER TOPIC sq1 UNSET (autoCompactSegments, compression, " +
+        "cleanupPolicy, compactionKeyHeap)").collect()
       assert(Ripple.topicConfig(root, "sq1").isEmpty)
       // DROP TOPIC: guarded by default, FORCE overrides, loud on unknown
       graft.connector.ConsumerOffsets.commit(root, "sq2", "c1", Map("b0000" -> 0L))
@@ -2764,8 +2771,8 @@ class ConnectorSpec extends AnyFunSuite {
       Ripple.write(pairs.map { case (k, v) => (k, (v + "#" * pad).getBytes("UTF-8")) }
         .toDF("id", "data").repartition(1), root, "cp", numBuckets = 1)
     val tb = graft.model.TopicBucket("cp", "b0000")
-    putBatch(Seq(1 -> "a1", 2 -> "b1"))
-    putBatch(Seq(1 -> "a2", 3 -> "c1"))
+    putBatch(Seq(1 -> "a1", 2 -> "b1", 7 -> "g1", 8 -> "h1"))
+    putBatch(Seq(1 -> "a2", 3 -> "c1", 9 -> "i1"))
     assert(log.segments(tb).size == 2, "below threshold: no compaction yet")
     putBatch(Seq(2 -> "b2")) // third segment crosses the threshold
     val segs = log.segments(tb)
@@ -2775,12 +2782,15 @@ class ConnectorSpec extends AnyFunSuite {
       .select(col("offset"), col("id"), col("data").cast("string"))
       .collect().map(r => (r.getLong(0), r.getInt(1),
         r.getString(2).takeWhile(_ != '#'))).sortBy(_._1).toSeq
-    assert(latest() == Seq((2L, 1, "a2"), (3L, 3, "c1"), (4L, 2, "b2")),
+    assert(latest() == Seq((2L, 7, "g1"), (3L, 8, "h1"), (4L, 1, "a2"),
+      (5L, 3, "c1"), (6L, 9, "i1"), (7L, 2, "b2")),
       s"latest per key at original offsets, got ${latest()}")
-    // dirty-ratio amortization: three TINY dense epochs against the heavy
-    // sparse prefix cross the count threshold but not the 0.5 ratio — the
-    // sink must BYTE-CONCAT the dense suffix (segment count bounded),
-    // never rewrite the whole bucket per epoch
+    // dirty-ratio amortization: three single-ROW dense epochs against the
+    // six-key cleaned prefix cross the count threshold but not the 0.5
+    // dirty ratio (dense retained rows < sparse retained rows — row
+    // counts, codec-independent) — the sink must BYTE-CONCAT the dense
+    // suffix (segment count bounded), never rewrite the whole bucket per
+    // epoch
     putBatch(Seq(4 -> "d1"), pad = 1)
     putBatch(Seq(5 -> "e1"), pad = 1)
     putBatch(Seq(6 -> "f1"), pad = 1)
@@ -2790,8 +2800,8 @@ class ConnectorSpec extends AnyFunSuite {
     assert(after.size == 2,
       s"dense suffix byte-concats under the ratio guard, got " +
         after.map(_._1.getName).mkString(", "))
-    assert(Ripple.read(spark, root, "cp").count() == 6,
-      "deferred pass reclaims nothing (all six keys distinct)")
+    assert(Ripple.read(spark, root, "cp").count() == 9,
+      "deferred pass reclaims nothing (all nine keys distinct)")
     // enough new dirt: the ratio crosses and the whole bucket keyed-compacts
     putBatch(Seq(1 -> "a3", 2 -> "b3"))
     putBatch(Seq(3 -> "c2", 4 -> "d2"))
@@ -2799,7 +2809,8 @@ class ConnectorSpec extends AnyFunSuite {
     assert(end.size == 1 && graft.log.SegmentCodec.isSparse(end.head._1.getName),
       s"ratio crossed: full keyed compaction, got ${end.map(_._1.getName)}")
     assert(latest().map(t => (t._2, t._3)).toSet ==
-      Set(1 -> "a3", 2 -> "b3", 3 -> "c2", 4 -> "d2", 5 -> "e1", 6 -> "f1"),
+      Set(1 -> "a3", 2 -> "b3", 3 -> "c2", 4 -> "d2", 5 -> "e1", 6 -> "f1",
+        7 -> "g1", 8 -> "h1", 9 -> "i1"),
       s"latest per key after the second pass, got ${latest()}")
   }
 
@@ -2976,6 +2987,127 @@ class ConnectorSpec extends AnyFunSuite {
     assert(row.getLong(1) == 6L,
       s"MIN(offset) must be the first retained offset, got ${row.getLong(1)}")
     assert(row.getLong(2) == 8L)
+  }
+
+  test("tombstones through the sink: null data deletes a key; one pass keeps the delete visible, retention drops it") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "tmb", numBuckets = 1)
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    def put(rows: Seq[(Int, Option[String], Long)]): Unit =
+      Ripple.write(rows.map { case (k, v, ts) =>
+        (k, v.map(_.getBytes("UTF-8")).orNull, new java.sql.Timestamp(ts)) }
+        .toDF("id", "data", "ts").repartition(1), root, "tmb", numBuckets = 1)
+    put(Seq((1, Some("a1"), now), (2, Some("b1"), now)))        // 0-1
+    // delete key 2 with a ts 10 days old (so a 24 h horizon can age it)
+    put(Seq((2, None, now - 10L * 24 * 3600 * 1000)))           // 2
+    put(Seq((3, Some("c1"), now)))                              // 3
+    // pre-compaction read: the delete is a row with data IS NULL
+    val pre = Ripple.read(spark, root, "tmb")
+      .select(col("offset"), col("id"), col("data"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.isNullAt(2))).sortBy(_._1)
+    assert(pre.toSeq == Seq((0L, 1, false), (1L, 2, false), (2L, 2, true),
+      (3L, 3, false)))
+    // pass 1 under a LARGE horizon: the tombstone is latest-per-key and
+    // must SURVIVE (a lagging reader still observes the delete)
+    Ripple.setTopicConfig(root, "tmb", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(30L * 24 * 3600 * 1000)))
+    assert(Ripple.compactKeyed(root, "tmb") > 0)
+    val mid = Ripple.read(spark, root, "tmb")
+      .select(col("offset"), col("id"), col("data"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.isNullAt(2))).sortBy(_._1)
+    assert(mid.toSeq == Seq((0L, 1, false), (2L, 2, true), (3L, 3, false)),
+      s"young tombstone must survive pass 1 at its original offset, got ${mid.toSeq}")
+    // new dirt + a 24 h horizon: the aged tombstone drops with its key
+    put(Seq((4, Some("d1"), now)))                              // 4
+    Ripple.setTopicConfig(root, "tmb", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    assert(Ripple.compactKeyed(root, "tmb") > 0)
+    val end = Ripple.read(spark, root, "tmb")
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(end.toSeq == Seq((0L, 1, "a1"), (3L, 3, "c1"), (4L, 4, "d1")),
+      s"aged tombstone drops key 2 entirely, got ${end.toSeq}")
+    // re-created key: a delete followed by a new value keeps the value
+    put(Seq((1, None, now), (1, Some("a2"), now)))              // 5-6
+    put(Seq((5, Some("e1"), now)))                              // 7
+    assert(Ripple.compactKeyed(root, "tmb") > 0)
+    val re = Ripple.read(spark, root, "tmb")
+      .filter(col("id") === 1)
+      .select(col("offset"), col("data").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(re == Seq((6L, "a2")), s"delete-then-recreate keeps the value, got $re")
+  }
+
+  test("SQL lifecycle verbs: TRUNCATE / COMPACT [KEYED] / RESET+DROP CONSUMER / PIN+DROP SNAPSHOT") {
+    val root = tmp()
+    val s = spark
+    val parser = new graft.GraftSqlParser(s.sessionState.sqlParser)
+    def run(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(s)
+    Ripple.createTopic(root, "lc", numBuckets = 1)
+    import spark.implicits._
+    def put(ids: Range): Unit = Ripple.write(
+      ids.map(i => (i, s"v$i".getBytes("UTF-8"))).toDF("id", "data")
+        .repartition(1), root, "lc", numBuckets = 1)
+    put(0 until 10); put(10 until 20); put(20 until 30)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("lc", "b0000")
+    // PIN SNAPSHOT captures now; retention must clamp to it
+    val pin = run(s"PIN SNAPSHOT nightly ON lc IN '$root'")
+    assert(pin.head.getString(0) == "nightly" && pin.head.getString(2).nonEmpty)
+    assert(Ripple.snapshots(root, "lc").exists(_.name == "nightly"))
+    put(30 until 40)
+    // age the first three segments far past any horizon
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    log.segments(tb).take(3).foreach { case (p, _, _) => log.fs.setTimes(p, old, old) }
+    val cut0 = run(s"ALTER TOPIC lc TRUNCATE (olderThanMs = 86400000) IN '$root'")
+    assert(cut0.head.getInt(2) == 0,
+      s"the live pin must clamp the cut to zero segments, got $cut0")
+    // DROP SNAPSHOT releases the clamp; the cut proceeds
+    assert(run(s"DROP SNAPSHOT nightly ON lc IN '$root'").head.getBoolean(2))
+    val cut1 = run(s"ALTER TOPIC lc TRUNCATE (olderThanMs = 86400000) IN '$root'")
+    assert(cut1.head.getInt(2) == 3, s"aged segments must drop, got $cut1")
+    assert(Ripple.earliestOffsets(root, "lc")("b0000") == 30L)
+    // exactly one policy key; unknown keys loud
+    intercept[IllegalArgumentException] {
+      run(s"ALTER TOPIC lc TRUNCATE (olderThanMs = 1, toBytes = 1) IN '$root'") }
+    intercept[IllegalArgumentException] {
+      run(s"ALTER TOPIC lc TRUNCATE (olderThanMillis = 1) IN '$root'") }
+    // COMPACT TOPIC: byte-concat the remaining tiny segments
+    put(40 until 50)
+    assert(log.segments(tb).size == 2)
+    val comp = run(s"COMPACT TOPIC lc IN '$root'")
+    assert(!comp.head.getBoolean(1) && comp.head.getInt(2) == 2, s"got $comp")
+    assert(log.segments(tb).size == 1)
+    // COMPACT TOPIC KEYED: duplicate keys collapse to latest-per-key
+    put(30 until 50) // same ids again at offsets 50-69
+    val keyed = run(s"COMPACT TOPIC lc KEYED IN '$root'")
+    assert(keyed.head.getBoolean(1) && keyed.head.getInt(2) > 0, s"got $keyed")
+    assert(Ripple.read(spark, "" + root, "lc").count() == 20)
+    assert(Ripple.read(spark, root, "lc").agg(min(col("offset"))).head.getLong(0) == 50L)
+    // RESET CONSUMER: move a registered consumer's cursor through SQL
+    graft.connector.ConsumerOffsets.commit(root, "lc", "nightly-job",
+      Map("b0000" -> 55L))
+    // earliest = the head segment's BASE offset (30 — the sparse span
+    // start; reading from it skips the compacted gap), Kafka semantics
+    val re = run(s"RESET CONSUMER nightly-job ON lc TO EARLIEST IN '$root'")
+    assert(re == Seq(org.apache.spark.sql.Row("nightly-job", "lc", "b0000", 30L)),
+      s"got $re")
+    val re2 = run(s"RESET CONSUMER nightly-job ON lc TO TIMESTAMP 1 IN '$root'")
+    assert(re2.head.getLong(3) == 50L,
+      "a timestamp predating data seeks the first RETAINED record")
+    assert(run(s"RESET CONSUMER nightly-job ON lc TO LATEST IN '$root'")
+      .head.getLong(3) == 70L)
+    // DROP CONSUMER unregisters it
+    assert(run(s"DROP CONSUMER nightly-job ON lc IN '$root'").head.getBoolean(2))
+    assert(!graft.connector.ConsumerOffsets.all(root, "lc").contains("nightly-job"))
+    // session-conf root fallback works for the new verbs too
+    s.conf.set("spark.graft.root", root)
+    try assert(run("COMPACT TOPIC lc").head.getInt(2) == 0)
+    finally s.conf.unset("spark.graft.root")
   }
 
   test("AdminKvs: quoted values may contain '=' and ','; first '=' splits the pair") {

@@ -724,6 +724,145 @@ class LogSpec extends AnyFunSuite {
     assert(log.offsetForTimestamp(tbs, 5001L) == 9L)
   }
 
+  test("keyed rewrite under a tiny key budget spills to sorted runs and stays byte-identical") {
+    import graft.log.Codecs
+    val log = fileLog()
+    log.createTopic("cap", 1)
+    val tbc = TopicBucket("cap", "b0000")
+    val dir = log.bucketDir(tbc)
+    // three members, 4000 frames, 997 distinct keys (coprime stride so
+    // every key repeats across members), negative ids included to pin the
+    // unsigned run ordering; payloads vary per offset so a wrong retained
+    // offset would change bytes, not just counts
+    val nKeys = 997
+    def keyAt(off: Long): Int = {
+      val k = ((off * 31) % nKeys).toInt
+      if (k % 5 == 0) -k - 1 else k // mix negative ids in
+    }
+    var off = 0L
+    val memberPaths = (0 until 3).map { m =>
+      val count = if (m == 2) 2000L else 1000L
+      val p = new org.apache.hadoop.fs.Path(dir, SegmentCodec.segmentName(off, count))
+      val o = new java.io.DataOutputStream(log.fs.create(p, true))
+      (0L until count).foreach { i =>
+        SegmentCodec.writeFrame(o, keyAt(off + i), 1000L + off + i,
+          s"payload-${off + i}".getBytes("UTF-8"))
+      }
+      o.close()
+      val start = off
+      off += count
+      (p, start)
+    }
+    val fast = new org.apache.hadoop.fs.Path(dir, ".out-fast")
+    val slow = new org.apache.hadoop.fs.Path(dir, ".out-spill")
+    val spillsBefore = SegmentCodec.keyedSpillRuns.get()
+    val rFast = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, fast,
+      Codecs.Zstd) // in-heap path (default budget)
+    assert(SegmentCodec.keyedSpillRuns.get() == spillsBefore,
+      "the default budget must stay on the in-heap path here")
+    // budget of 64 entries over 997 distinct keys: the spill path runs,
+    // with many runs and many offset-runs
+    val rSlow = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, slow,
+      Codecs.Zstd, maxKeys = 64)
+    assert(SegmentCodec.keyedSpillRuns.get() > spillsBefore + 10,
+      "the tiny budget must actually take the sorted-spill path")
+    assert(rFast == rSlow, s"stats must match: $rFast vs $rSlow")
+    assert(rFast._1 == nKeys.toLong, "one retained record per distinct key")
+    val bFast = java.nio.file.Files.readAllBytes(nio(fast))
+    val bSlow = java.nio.file.Files.readAllBytes(nio(slow))
+    assert(java.util.Arrays.equals(bFast, bSlow),
+      "spill path must emit byte-identical output (deterministic republish)")
+    // and the retained set really is latest-per-key at original offsets
+    val it = SegmentCodec.read(log.fs, slow)
+    val got = try {
+      val b = Seq.newBuilder[(Long, Int)]
+      while (it.hasNext) { val (id, _, _) = it.next(); b += ((it.explicitOffset, id)) }
+      b.result()
+    } finally it.close()
+    val want = (0L until off).map(o => (o, keyAt(o)))
+      .groupBy(_._2).map(_._2.last).toSeq.sortBy(_._1)
+    assert(got == want)
+    // no spill litter left behind in the task's temp dir
+    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val litter = tmpDir.listFiles((_, n) => n.startsWith("graft-keyed-"))
+    assert(litter == null || litter.isEmpty,
+      s"spill runs must be deleted, found ${Option(litter).map(_.toSeq)}")
+  }
+
+  test("tombstones: null data frames round-trip, compact away after retention, spill-path parity") {
+    import graft.log.Codecs
+    val log = fileLog()
+    log.createTopic("ts", 1)
+    val tbt = TopicBucket("ts", "b0000")
+    val dir = log.bucketDir(tbt)
+    log.fs.mkdirs(dir)
+    // seg1 [0,3): values for keys 1,2,3; seg2 [3,5): tombstone key 2
+    // (OLD ts), update key 3; an EMPTY payload for key 1 would be a
+    // VALUE, not a delete — pin the distinction
+    val s1 = new org.apache.hadoop.fs.Path(dir, SegmentCodec.segmentName(0L, 3L))
+    val o1 = new java.io.DataOutputStream(log.fs.create(s1, true))
+    SegmentCodec.writeFrame(o1, 1, 1000L, Array.emptyByteArray) // empty VALUE
+    SegmentCodec.writeFrame(o1, 2, 1001L, "v2".getBytes)
+    SegmentCodec.writeFrame(o1, 3, 1002L, "v3".getBytes)
+    o1.close()
+    val s2 = new org.apache.hadoop.fs.Path(dir, SegmentCodec.segmentName(3L, 2L))
+    val o2 = new java.io.DataOutputStream(log.fs.create(s2, true))
+    SegmentCodec.writeFrame(o2, 2, 2000L, null) // tombstone, ts 2000
+    SegmentCodec.writeFrame(o2, 3, 2001L, "v3b".getBytes)
+    o2.close()
+    // raw read: the tombstone surfaces as a null-data frame
+    val it0 = SegmentCodec.read(log.fs, s2)
+    val (id0, _, d0) = it0.next()
+    assert(id0 == 2 && d0 == null && it0.tombstone)
+    val (_, _, d1) = it0.next()
+    assert(d1 != null && !it0.tombstone)
+    it0.close()
+    val members = Seq((s1, 0L), (s2, 3L))
+    // floor below the tombstone's ts: the delete is RETAINED (a lagging
+    // reader must observe it) — latest-per-key = {1@0 empty, 2@3 tomb,
+    // 3@4}
+    val keep = new org.apache.hadoop.fs.Path(dir, ".out-keep")
+    val rKeep = SegmentCodec.rewriteLatestPerKey(log.fs, members, keep,
+      tombstoneFloorMs = 1500L)
+    assert(rKeep._1 == 3L, s"young tombstone retained, got $rKeep")
+    val kit = SegmentCodec.read(log.fs, keep)
+    val kept = Iterator.continually {
+      val (id, _, d) = kit.next()
+      (kit.explicitOffset, id, d == null, kit.tombstone)
+    }.take(3).toSeq
+    kit.close()
+    assert(kept == Seq((0L, 1, false, false), (3L, 2, true, true),
+      (4L, 3, false, false)), s"got $kept")
+    assert(new String(SegmentCodec.read(log.fs, keep).next()._3) == "",
+      "the empty-array VALUE survives as a value, not a delete")
+    // floor past the tombstone's ts: the key drops entirely
+    val drop = new org.apache.hadoop.fs.Path(dir, ".out-drop")
+    val rDrop = SegmentCodec.rewriteLatestPerKey(log.fs, members, drop,
+      tombstoneFloorMs = 2500L)
+    assert(rDrop._1 == 2L, s"aged tombstone drops its key, got $rDrop")
+    val dit = SegmentCodec.read(log.fs, drop)
+    val ids = Iterator.continually(dit.next()._1).take(2).toSeq
+    dit.close()
+    assert(ids == Seq(1, 3))
+    // spill path parity under tombstones (budget floor is 8)
+    val spill = new org.apache.hadoop.fs.Path(dir, ".out-spill")
+    SegmentCodec.rewriteLatestPerKey(log.fs, members, spill,
+      maxKeys = 8, tombstoneFloorMs = 1500L)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(nio(keep)),
+      java.nio.file.Files.readAllBytes(nio(spill))))
+    // a tombstone product re-compacts cleanly (null data re-frames as a
+    // tombstone, not as an empty value): one more pass over the sparse
+    // product alone keeps it byte-stable
+    val again = new org.apache.hadoop.fs.Path(dir, ".out-again")
+    val rAgain = SegmentCodec.rewriteLatestPerKey(log.fs, Seq((keep, 0L)),
+      again, tombstoneFloorMs = 1500L)
+    assert(rAgain._1 == 3L)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(nio(keep)),
+      java.nio.file.Files.readAllBytes(nio(again))))
+  }
+
   test("deflate decompress is loud on trailing bytes past the stream end") {
     import graft.log.Codecs
     val raw = ("the quick brown fox " * 20).getBytes("UTF-8")
