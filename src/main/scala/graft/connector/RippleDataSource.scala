@@ -117,8 +117,12 @@ import scala.jdk.CollectionConverters._
   *     0 distributes everything (test/ops hook); `Long.MaxValue`
   *     restores the round-13 driver-side copy
   *   - `compression` (write, default none): per-frame payload codec
-  *     (`zstd`|`lz4`|`deflate` — Kafka `compression.type` parity; see
-  *     [[graft.log.Codecs]]). Usually persisted as a TOPIC config so
+  *     (`zstd`|`lz4`|`deflate`|`zstd-dict` — Kafka `compression.type`
+  *     parity; see [[graft.log.Codecs]]). `zstd-dict` trains a
+  *     per-segment dictionary on the first payloads and ships it as an
+  *     in-stream dict frame — the small-JSON/telemetry recovery path
+  *     where per-frame compression can't see cross-record redundancy.
+  *     Usually persisted as a TOPIC config so
   *     every writer applies it; the explicit option wins per key
   *   - `cleanupPolicy` (write, default delete): `compact` makes the
   *     `autoCompactSegments` threshold trigger KEY compaction (latest

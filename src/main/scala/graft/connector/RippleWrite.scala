@@ -200,7 +200,8 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
       }
     })
 
-  private case class Open(path: HPath, out: DataOutputStream, var count: Long,
+  private case class Open(path: HPath, out: DataOutputStream,
+    fw: SegmentCodec.FrameWriter, var count: Long,
     var minTs: Long = Long.MaxValue, var maxTs: Long = Long.MinValue)
   private val open = mutable.Map.empty[(String, String), Open]
   private val mkdirsDone = mutable.Set.empty[String]
@@ -230,8 +231,9 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
       if (mkdirsDone.add(topic)) fs.mkdirs(dir)
       val p = new HPath(dir,
         s"stage-$taskId-$partitionId-$bucket-${java.util.UUID.randomUUID()}")
-      Open(p, new DataOutputStream(new java.io.BufferedOutputStream(
-        fs.create(p, true), 1 << 16)), 0L)
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(p, true), 1 << 16))
+      Open(p, out, new SegmentCodec.FrameWriter(out, ts.codec), 0L)
     })
     val id = row.getInt(shape.idIdx)
     // Kafka null-value parity: a NULL data cell produces a TOMBSTONE
@@ -245,13 +247,15 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
     if (tsMillis < o.minTs) o.minTs = tsMillis
     if (tsMillis > o.maxTs) o.maxTs = tsMillis
     // shared frame codec: raw positional frames when codec == none (the
-    // wire-stable v1 layout); self-describing compressed frames otherwise
-    SegmentCodec.writeFrame(o.out, id, tsMillis, data, ts.codec)
+    // wire-stable v1 layout); self-describing compressed frames otherwise;
+    // the FrameWriter owns the zstd-dict train-then-reference protocol
+    o.fw.write(id, tsMillis, data)
     o.count += 1
   }
 
   override def commit(): WriterCommitMessage = {
     val staged = open.toSeq.sortBy(_._1).map { case ((topic, bucket), o) =>
+      o.fw.finish()
       o.out.close()
       StagedFile(bucket, o.path.toString, o.count, partitionId,
         o.minTs, o.maxTs, topic = topic)

@@ -161,11 +161,22 @@ object SegmentCodec {
     name.stripSuffix(SegmentSuffix).split('-')
       .exists(f => f == "k" || isKField(f))
 
-  /** Extended-frame flag bits (see the class doc's v2 layout). */
+  /** Extended-frame flag bits (see the class doc's v2 layout). Bit 5
+    * marks a DICT frame: a payload-less-RECORD frame whose body is a
+    * zstd dictionary for the [[Codecs.ZstdDict]] record frames that
+    * FOLLOW it in the same byte stream. Dict frames are not records —
+    * they consume no offset, carry no id/ts, and every iterator skips
+    * them transparently — which is what keeps the whole protocol
+    * (byte-concat compaction, heal, stats, republish verification)
+    * unaware of dictionaries: a concatenated file is a sequence of
+    * (dict, records...) runs, each self-describing in order.
+    */
   private val CodecMask = 0x07
   private val HasOffsetFlag = 0x08
   private val TombstoneFlag = 0x10
-  private val KnownFlags = CodecMask | HasOffsetFlag | TombstoneFlag
+  private val DictFrameFlag = 0x20
+  private val KnownFlags =
+    CodecMask | HasOffsetFlag | TombstoneFlag | DictFrameFlag
 
   /** Write ONE frame. The classic positional layout is kept verbatim for
     * raw frames (wire-stable — every pre-compression segment remains a
@@ -201,7 +212,12 @@ object SegmentCodec {
     * the topic's `tombstoneRetentionMs`, then drops the key entirely.
     */
   def writeFrame(out: DataOutputStream, id: Int, tsMillis: Long,
-      data: Array[Byte], codec: Int = Codecs.None, offset: Long = -1L): Unit = {
+      data: Array[Byte], codec0: Int = Codecs.None, offset: Long = -1L): Unit = {
+    // the DICT protocol needs writer state (train, emit the dict frame,
+    // then reference it) — that lives in [[FrameWriter]]; a direct
+    // writeFrame under a zstd-dict topic (keyed-compaction rewrite,
+    // facade appends) degrades to plain zstd frames, a legal mix
+    val codec = if (codec0 == Codecs.ZstdDict) Codecs.Zstd else codec0
     if (data == null) { // tombstone: v2 frame, no payload, codec irrelevant
       val flags = TombstoneFlag | (if (offset >= 0) HasOffsetFlag else 0)
       val len = 1 + (if (offset >= 0) 8 else 0) + 12
@@ -240,12 +256,113 @@ object SegmentCodec {
     }
   }
 
+  /** Emit a DICT frame: `[-len][flags=DictFrameFlag][dict bytes]` — the
+    * zstd dictionary for the [[Codecs.ZstdDict]] record frames that
+    * follow in this stream. Not a record: no id/ts/offset, consumes no
+    * cursor position.
+    */
+  def writeDictFrame(out: DataOutputStream, dict: Array[Byte]): Unit = {
+    out.writeInt(-(1 + dict.length))
+    out.writeByte(DictFrameFlag)
+    out.write(dict)
+  }
+
+  /** One [[Codecs.ZstdDict]] record frame against an emitted dict; falls
+    * back to a raw frame when the dictionary does not pay on this payload.
+    */
+  private[log] def writeFrameWithDict(out: DataOutputStream, id: Int,
+      tsMillis: Long, data: Array[Byte],
+      dict: com.github.luben.zstd.ZstdCompressCtx, offset: Long): Unit = {
+    if (data == null || data.length < Codecs.DictMinCompressBytes) {
+      writeFrame(out, id, tsMillis, data, Codecs.None, offset)
+      return
+    }
+    val comp = Codecs.compressWithDict(dict, data)
+    if (comp.length + 5 >= data.length) {
+      writeFrame(out, id, tsMillis, data, Codecs.None, offset)
+      return
+    }
+    val flags = Codecs.ZstdDict | (if (offset >= 0) HasOffsetFlag else 0)
+    val len = 1 + (if (offset >= 0) 8 else 0) + 12 + 4 + comp.length
+    out.writeInt(-len)
+    out.writeByte(flags)
+    if (offset >= 0) out.writeLong(offset)
+    out.writeInt(id)
+    out.writeLong(tsMillis)
+    out.writeInt(data.length)
+    out.write(comp)
+  }
+
+  /** Stateful frame emitter — the one place the [[Codecs.ZstdDict]]
+    * protocol lives. Non-dict codecs pass straight through to
+    * [[writeFrame]]. Under zstd-dict, the first `trainRecords` payloads
+    * buffer in memory (bounded: records per staged file batch), a
+    * dictionary trains on them, a DICT frame is emitted, and every
+    * record (buffered + subsequent) compresses against it; when the file
+    * closes under the threshold, or training fails (too small/uniform a
+    * sample), records flush as plain zstd frames — a legal mix the
+    * reader handles per frame. Call [[finish]] before closing the
+    * stream: it flushes a sub-threshold buffer and releases the
+    * dictionary's native memory.
+    */
+  final class FrameWriter(out: DataOutputStream, codec: Int,
+      trainRecords: Int = 256) {
+    private val buf =
+      if (codec == Codecs.ZstdDict)
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Long)]
+      else null
+    private var dict: com.github.luben.zstd.ZstdCompressCtx = null
+    private var trained = false
+
+    def write(id: Int, tsMillis: Long, data: Array[Byte],
+        offset: Long = -1L): Unit =
+      if (codec != Codecs.ZstdDict)
+        writeFrame(out, id, tsMillis, data, codec, offset)
+      else if (trained) emit(id, tsMillis, data, offset)
+      else {
+        buf += ((id, tsMillis, data, offset))
+        if (buf.size >= trainRecords) train()
+      }
+
+    private def emit(id: Int, tsMillis: Long, data: Array[Byte],
+        offset: Long): Unit =
+      if (dict == null) writeFrame(out, id, tsMillis, data, Codecs.Zstd, offset)
+      else writeFrameWithDict(out, id, tsMillis, data, dict, offset)
+
+    private def train(): Unit = {
+      trained = true
+      val samples = buf.iterator.map(_._3)
+        .filter(d => d != null && d.length > 0).toSeq
+      Codecs.trainDict(samples).foreach { d =>
+        writeDictFrame(out, d)
+        dict = Codecs.dictCompressCtx(d)
+      }
+      buf.foreach { case (id, ts, data, off) => emit(id, ts, data, off) }
+      buf.clear()
+    }
+
+    /** Flush a sub-threshold buffer (plain zstd — no dict is worth a
+      * handful of records) and free the trained dictionary.
+      */
+    def finish(): Unit = {
+      if (codec == Codecs.ZstdDict && !trained) {
+        trained = true
+        buf.foreach { case (id, ts, data, off) =>
+          writeFrame(out, id, ts, data, Codecs.Zstd, off) }
+        buf.clear()
+      }
+      if (dict != null) { dict.close(); dict = null }
+    }
+  }
+
   /** Frame-encode `rows` onto `out` (closed by the caller's wrapper). */
   def writeFrames(raw: OutputStream, rows: Seq[(Payload, Long)],
       codec: Int = Codecs.None): Unit = {
     val out = new DataOutputStream(new BufferedOutputStream(raw, 1 << 16))
-    try rows.foreach { case (p, tsMillis) =>
-      writeFrame(out, p.id, tsMillis, p.data, codec)
+    val fw = new FrameWriter(out, codec)
+    try {
+      rows.foreach { case (p, tsMillis) => fw.write(p.id, tsMillis, p.data) }
+      fw.finish()
     } finally out.close()
   }
 
@@ -294,9 +411,18 @@ object SegmentCodec {
       */
     var tombstone: Boolean = false
 
+    /** The stream's CURRENT zstd dictionary — set by the most recent
+      * DICT frame, referenced by [[Codecs.ZstdDict]] record frames.
+      */
+    private var curDict: com.github.luben.zstd.ZstdDecompressCtx = null
+    private def setDict(bytes: Array[Byte]): Unit = {
+      if (curDict != null) curDict.close()
+      curDict = Codecs.dictDecompressCtx(bytes)
+    }
+
     override def hasNext: Boolean = !eof
     override def next(): (Int, Long, Array[Byte]) = {
-      val out =
+      while (true) {
         if (nextLen >= 0) { // v1 positional frame
           explicitOffset = -1L
           tombstone = false
@@ -305,13 +431,29 @@ object SegmentCodec {
           val data =
             if (skipData) { skipFully(nextLen - 12L); Array.emptyByteArray }
             else { val d = new Array[Byte](nextLen - 12); in.readFully(d); d }
-          (id, ts, data)
-        } else { // v2 extended frame (compressed payload / explicit offset)
-          val absLen = -nextLen
-          val flags = in.readUnsignedByte()
-          if ((flags & ~KnownFlags) != 0) throw new java.io.IOException(
-            f"corrupt or future frame: unknown flag bits 0x$flags%02x — " +
-              "written by a newer engine?")
+          nextLen = readLen()
+          return (id, ts, data)
+        }
+        // v2 extended frame (compressed payload / explicit offset / dict)
+        val absLen = -nextLen
+        val flags = in.readUnsignedByte()
+        if ((flags & ~KnownFlags) != 0) throw new java.io.IOException(
+          f"corrupt or future frame: unknown flag bits 0x$flags%02x — " +
+            "written by a newer engine?")
+        if ((flags & DictFrameFlag) != 0) {
+          // a DICT frame is not a record: install (or skip) the
+          // dictionary and continue to the next frame
+          if (flags != DictFrameFlag) throw new java.io.IOException(
+            f"corrupt frame: dict frame with extra flag bits 0x$flags%02x")
+          val dictLen = absLen - 1
+          if (dictLen < 0) throw new java.io.IOException(
+            s"corrupt frame: dict length $dictLen")
+          if (skipData) skipFully(dictLen.toLong)
+          else { val d = new Array[Byte](dictLen); in.readFully(d); setDict(d) }
+          nextLen = readLen()
+          if (eof) throw new java.io.IOException(
+            "segment ends with a dangling dict frame — torn write")
+        } else {
           val codec = flags & CodecMask
           val hasOff = (flags & HasOffsetFlag) != 0
           tombstone = (flags & TombstoneFlag) != 0
@@ -342,12 +484,17 @@ object SegmentCodec {
                 s"corrupt frame: negative raw length $rawLen")
               val comp = new Array[Byte](absLen - headerLen)
               in.readFully(comp)
-              Codecs.decompress(codec, comp, rawLen)
+              if (codec == Codecs.ZstdDict) {
+                if (curDict == null) throw new java.io.IOException(
+                  "corrupt stream: zstd-dict frame before any dict frame")
+                Codecs.decompressWithDict(curDict, comp, rawLen)
+              } else Codecs.decompress(codec, comp, rawLen)
             }
-          (id, ts, data)
+          nextLen = readLen()
+          return (id, ts, data)
         }
-      nextLen = readLen()
-      out
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     private def skipFully(n: Long): Unit = {
@@ -359,7 +506,11 @@ object SegmentCodec {
       }
     }
 
-    override def close(): Unit = { eof = true; try in.close() catch { case _: Throwable => () } }
+    override def close(): Unit = {
+      eof = true
+      if (curDict != null) { try curDict.close() catch { case _: Throwable => () }; curDict = null }
+      try in.close() catch { case _: Throwable => () }
+    }
   }
 
   /** Iterate all frames of a segment: (id, tsMillis, data). */

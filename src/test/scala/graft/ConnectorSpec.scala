@@ -3110,6 +3110,40 @@ class ConnectorSpec extends AnyFunSuite {
     finally s.conf.unset("spark.graft.root")
   }
 
+  test("zstd-dict topic: sink round-trip, keyed compaction over dict segments stays exact") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "zd", numBuckets = 1)
+    Ripple.setTopicConfig(root, "zd", graft.connector.TopicConfig(
+      compression = Some("zstd-dict")))
+    import spark.implicits._
+    def putBatch(gen: Int): Unit = Ripple.write(
+      (0 until 600).map(i =>
+        (i % 50, s"""{"k":${i % 50},"gen":$gen,"v":"value-$gen-$i"}"""
+          .getBytes("UTF-8"))).toDF("id", "data").repartition(1),
+      root, "zd", numBuckets = 1)
+    putBatch(1); putBatch(2)
+    // round-trip through the dict frames
+    val all = Ripple.read(spark, root, "zd")
+    assert(all.count() == 1200)
+    val r0 = all.filter(col("offset") === 599)
+      .select(col("data").cast("string")).head.getString(0)
+    assert(r0 == s"""{"k":${599 % 50},"gen":1,"v":"value-1-599"}""")
+    // keyed compaction decodes dict frames and re-encodes (plain zstd —
+    // the rewrite has no dict protocol, a documented legal degradation);
+    // latest-per-key must be exact
+    assert(Ripple.compactKeyed(root, "zd") > 0)
+    val kept = Ripple.read(spark, root, "zd")
+      .select(col("offset"), col("id"), col("data").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    assert(kept.length == 50)
+    // latest per key = gen 2's last write of that key (i = key + 550)
+    kept.foreach { case (off, id, v) =>
+      assert(off == 600L + 550 + id, s"wrong retained offset for key $id: $off")
+      assert(v == s"""{"k":$id,"gen":2,"v":"value-2-${550 + id}"}""", v)
+    }
+  }
+
   test("AdminKvs: quoted values may contain '=' and ','; first '=' splits the pair") {
     val kvs = graft.AdminKvs.parse("a = 'x=1,y=2', b = 3, c='q''z'")
     assert(kvs == Map("a" -> "x=1,y=2", "b" -> "3", "c" -> "q''z"))

@@ -863,6 +863,81 @@ class LogSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(nio(again))))
   }
 
+  test("zstd-dict: small-record ratio win, round-trip, skip walk, mixed concat, loud corruption") {
+    import graft.log.Codecs
+    val dir = Files.createTempDirectory("graftdict")
+    // 2000 small JSON-ish records sharing structure — the shape per-frame
+    // zstd can't touch (most are under MinCompressBytes=64 and each
+    // compresses in isolation)
+    val rows = (0 until 2000).map { i =>
+      (Payload(i, s"""{"user":"u$i","event":"click","page":"/home","n":$i}"""
+        .getBytes("UTF-8")), 1000L + i)
+    }
+    def writeAs(codec: Int, name: String): java.nio.file.Path = {
+      val p = dir.resolve(name)
+      SegmentCodec.writeFrames(Files.newOutputStream(p), rows, codec)
+      p
+    }
+    val plain = writeAs(Codecs.Zstd, "plain")
+    val dicted = writeAs(Codecs.ZstdDict, "dict")
+    val rawLen = rows.map(_._1.data.length + 16).sum
+    assert(Files.size(dicted) * 10 < rawLen.toLong * 8,
+      s"dict must cut >=20% vs raw: ${Files.size(dicted)} vs $rawLen")
+    assert(Files.size(dicted) < Files.size(plain),
+      s"dict must beat plain zstd on small records: " +
+        s"${Files.size(dicted)} vs ${Files.size(plain)}")
+    // exact round-trip, dict frames invisible to record iteration
+    val it = SegmentCodec.read(dicted)
+    val got = Iterator.continually(it.next()).takeWhile(_ => true)
+      .take(2000).map { case (id, ts, d) => (id, ts, new String(d, "UTF-8")) }.toSeq
+    assert(!it.hasNext); it.close()
+    assert(got == rows.map { case (p, ts) => (p.id, ts, new String(p.data, "UTF-8")) })
+    // header-only walk skips dict and payload bytes alike
+    val hit = new SegmentCodec.FrameIterator(Files.newInputStream(dicted), skipData = true)
+    var n = 0
+    while (hit.hasNext) { hit.next(); n += 1 }
+    hit.close()
+    assert(n == 2000, s"skip walk must count records only, got $n")
+    // sub-threshold file: too few records to train — plain zstd fallback
+    val tiny = dir.resolve("tiny")
+    SegmentCodec.writeFrames(Files.newOutputStream(tiny), rows.take(5), Codecs.ZstdDict)
+    val tit = SegmentCodec.read(tiny)
+    assert(Iterator.continually(tit.next()).take(5).map(_._1).toSeq == (0 until 5))
+    tit.close()
+    // byte-concat of dict + v1-raw + dict files reads seamlessly in order
+    val other = dir.resolve("other")
+    SegmentCodec.writeFrames(Files.newOutputStream(other),
+      rows.take(10).map { case (p, ts) => (Payload(p.id + 1000, p.data), ts) },
+      Codecs.None)
+    val cat = dir.resolve("cat")
+    Files.write(cat, Files.readAllBytes(dicted) ++ Files.readAllBytes(other)
+      ++ Files.readAllBytes(dicted))
+    val cit = SegmentCodec.read(cat)
+    val ids = Iterator.continually(cit.next()).take(4010).map(_._1).toSeq
+    assert(!cit.hasNext); cit.close()
+    assert(ids == (0 until 2000) ++ (1000 until 1010) ++ (0 until 2000))
+    // corruption loudness: a dict-compressed frame with NO preceding dict
+    val bytes = Files.readAllBytes(dicted)
+    // find the dict frame length to cut it out: first frame is the dict
+    val dl = -java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt()
+    val headless = bytes.drop(4 + dl)
+    val bad = dir.resolve("bad")
+    Files.write(bad, headless)
+    val bit = SegmentCodec.read(bad)
+    val e = intercept[java.io.IOException] {
+      while (bit.hasNext) bit.next()
+    }
+    bit.close()
+    assert(e.getMessage.contains("before any dict frame"), e.getMessage)
+    // a dangling trailing dict frame (torn write) is loud, not silent
+    val dang = dir.resolve("dang")
+    Files.write(dang, bytes ++ bytes.take(4 + dl))
+    val dit = SegmentCodec.read(dang)
+    val e2 = intercept[java.io.IOException] { while (dit.hasNext) dit.next() }
+    dit.close()
+    assert(e2.getMessage.contains("dangling dict frame"), e2.getMessage)
+  }
+
   test("deflate decompress is loud on trailing bytes past the stream end") {
     import graft.log.Codecs
     val raw = ("the quick brown fox " * 20).getBytes("UTF-8")
