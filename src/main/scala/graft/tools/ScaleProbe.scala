@@ -98,7 +98,16 @@ object ScaleProbe {
     // scan) and the cleanup-policy sink (keyed compaction's two-pass
     // rewrite is linear in bucket bytes; the cell watches the id->offset
     // map and the sparse re-frame holding that shape at 10x keys)
-    "q166_compressed_topic", "q170_cleanup_policy_compact"
+    "q166_compressed_topic", "q170_cleanup_policy_compact",
+    // round-17 additions (>= 1 s at sf0.1): tombstone compaction (two
+    // keyed passes + a planted delete wave — both passes linear in bucket
+    // bytes, the cell watches the tombstone-age filter riding pass 2),
+    // the SQL lifecycle chain (truncate + keyed compact through the
+    // parser — statement overhead is constant, the work is the q167
+    // shape), and the dict codec (train is O(256 payloads) constant; the
+    // cell watches per-frame ctx compression riding the scan and the
+    // equal-rows raw-control twin doubling the write volume)
+    "q171_tombstone_compaction", "q172_sql_lifecycle", "q173_dict_compression"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64
