@@ -2920,6 +2920,41 @@ class ConnectorSpec extends AnyFunSuite {
     assert(got == want, s"retained records at original offsets, got $got")
   }
 
+  test("streaming over a compacted topic with tombstones: deletes arrive as null-data rows") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "tsr", numBuckets = 1)
+    Ripple.setTopicConfig(root, "tsr", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(30L * 24 * 3600 * 1000)))
+    import spark.implicits._
+    def put(rows: Seq[(Int, Option[String])]): Unit =
+      Ripple.write(rows.map { case (k, v) =>
+        (k, v.map(_.getBytes("UTF-8")).orNull) }
+        .toDF("id", "data").repartition(1), root, "tsr", numBuckets = 1)
+    put((0 until 10).map(i => (i, Some(s"v$i"))))          // 0-9
+    put(Seq((3, None), (7, None)))                          // 10-11: deletes
+    put(Seq((3, Some("v3b"))))                              // 12: recreate 3
+    assert(Ripple.compactKeyed(root, "tsr") > 0)
+    // a downstream changelog consumer must OBSERVE key 7's delete (the
+    // young tombstone survived compaction) and key 3's recreate
+    val q = spark.readStream.format("ripple").option("path", root)
+      .option("topic", "tsr").option("maxOffsetsPerTrigger", 5)
+      .load().writeStream.format("memory").queryName("tsr_out")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(60000), "AvailableNow drain must finish")
+    finally q.stop()
+    val got = spark.table("tsr_out")
+      .select(col("offset"), col("id"), col("data").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val want: Set[(Long, Int, String)] =
+      (0 until 10).filter(i => i != 3 && i != 7)
+        .map(i => (i.toLong, i, s"v$i")).toSet +
+        ((11L, 7, null: String)) + ((12L, 3, "v3b"))
+    assert(got == want, s"tombstone must stream as a null-data row, got $got")
+  }
+
   test("currentVersion is read-only on a breach (out-of-band pointer rewrite); evolve repairs the history") {
     import org.apache.spark.sql.types._
     val root = tmp()
