@@ -671,7 +671,8 @@ object SegmentCodec {
             finally o.close()
             bn = 0
           }
-          val merge = new RunMerge(runs.toSeq, pair = true)
+          val merge = new RunMerge(
+            consolidateRuns(runs.toSeq, pair = true, runs), pair = true)
           try {
             while (merge.hasNext) {
               offs(bn) = merge.nextLatestOffset(); bn += 1
@@ -682,7 +683,8 @@ object SegmentCodec {
           runs.foreach(f => { f.delete(); () })
           runs.clear()
           runs ++= offRuns // cleanup path owns them now
-          new StreamRetained(new RunMerge(offRuns.toSeq, pair = false))
+          new StreamRetained(new RunMerge(
+            consolidateRuns(offRuns.toSeq, pair = false, runs), pair = false))
         }
       // ---- pass 2: decode + re-frame exactly the retained offsets ----
       val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
@@ -750,6 +752,42 @@ object SegmentCodec {
     def close(): Unit = merge.close()
   }
 
+  /** Merge fan-in cap: each open run costs a buffered stream (~16 KB) +
+    * a heap head, so a pathological budget-to-frames ratio (10^10 frames
+    * against a tiny cap) must not hold thousands of streams — groups of
+    * this many runs consolidate into one before the final merge.
+    */
+  private val MaxMergeFanIn = 256
+
+  /** Consolidate `files` down to at most [[MaxMergeFanIn]] runs by
+    * merging groups into single runs (latest-per-id collapse for pair
+    * runs — associative, so group-wise is exact; plain ascending merge
+    * for offset runs). New files register in `cleanup`; consumed group
+    * members are deleted eagerly.
+    */
+  private def consolidateRuns(files: Seq[java.io.File], pair: Boolean,
+      cleanup: scala.collection.mutable.ArrayBuffer[java.io.File]): Seq[java.io.File] =
+    if (files.size <= MaxMergeFanIn) files
+    else {
+      val merged = files.grouped(MaxMergeFanIn).map { group =>
+        val f = java.io.File.createTempFile("graft-keyed-", ".m")
+        cleanup += f
+        val o = new DataOutputStream(new BufferedOutputStream(
+          new java.io.FileOutputStream(f), 1 << 16))
+        val m = new RunMerge(group, pair)
+        try {
+          if (pair) while (m.hasNext) {
+            val (uid, off) = m.nextLatestPair()
+            o.writeInt(uid.toInt); o.writeLong(off)
+          }
+          else while (m.hasNext) o.writeLong(m.nextOffset())
+        } finally { m.close(); o.close() }
+        group.foreach(g => { g.delete(); () })
+        f
+      }.toSeq
+      consolidateRuns(merged, pair, cleanup)
+    }
+
   /** K-way merge over spill-run files. `pair = true` reads (id: int,
     * offset: long) entries ordered by unsigned id and
     * [[nextLatestOffset]] collapses each id's entries across runs to its
@@ -776,11 +814,12 @@ object SegmentCodec {
       (a: Head, b: Head) => java.lang.Long.compare(a.key, b.key))
     files.foreach { f =>
       val h = new Head(new DataInputStream(new BufferedInputStream(
-        new java.io.FileInputStream(f), 1 << 16)))
+        new java.io.FileInputStream(f), 1 << 14)))
       if (h.alive) pq.add(h)
     }
     def hasNext: Boolean = !pq.isEmpty
-    def nextLatestOffset(): Long = {
+    def nextLatestOffset(): Long = nextLatestPair()._2
+    def nextLatestPair(): (Long, Long) = {
       val uid = pq.peek().key
       var best = Long.MinValue
       while (!pq.isEmpty && pq.peek().key == uid) {
@@ -788,7 +827,7 @@ object SegmentCodec {
         if (h.off > best) best = h.off
         if (h.advance()) pq.add(h)
       }
-      best
+      (uid, best)
     }
     def nextOffset(): Long = {
       val h = pq.poll()

@@ -766,6 +766,17 @@ class LogSpec extends AnyFunSuite {
       Codecs.Zstd, maxKeys = 64)
     assert(SegmentCodec.keyedSpillRuns.get() > spillsBefore + 10,
       "the tiny budget must actually take the sorted-spill path")
+    // budget 8 over 4000 frames => ~500 runs: past the 256 merge fan-in
+    // cap, so the group-wise consolidation pass engages — output must
+    // STILL be byte-identical (latest-per-id collapse is associative)
+    val slower = new org.apache.hadoop.fs.Path(dir, ".out-spill8")
+    val rSlower = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, slower,
+      Codecs.Zstd, maxKeys = 8)
+    assert(rSlower == rFast)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(nio(fast)),
+      java.nio.file.Files.readAllBytes(nio(slower))),
+      "consolidated-merge output must stay byte-identical")
     assert(rFast == rSlow, s"stats must match: $rFast vs $rSlow")
     assert(rFast._1 == nKeys.toLong, "one retained record per distinct key")
     val bFast = java.nio.file.Files.readAllBytes(nio(fast))
@@ -787,6 +798,17 @@ class LogSpec extends AnyFunSuite {
     val litter = tmpDir.listFiles((_, n) => n.startsWith("graft-keyed-"))
     assert(litter == null || litter.isEmpty,
       s"spill runs must be deleted, found ${Option(litter).map(_.toSeq)}")
+  }
+
+  test("tombstone payloads (null data) round-trip both log planes; empty stays distinct") {
+    for ((name, log) <- logs()) {
+      log.append(tb, Seq(Payload(1, "v1".getBytes),
+        Payload(2, null), Payload(3, Array.emptyByteArray)))
+      val got = log.range(tb, 0, 3).map(r => (r.id, r.data == null,
+        r.data != null && r.data.isEmpty))
+      assert(got == Seq((1, false, false), (2, true, false), (3, false, true)),
+        s"$name: $got")
+    }
   }
 
   test("tombstones: null data frames round-trip, compact away after retention, spill-path parity") {
