@@ -3054,6 +3054,18 @@ class ConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.isNullAt(2))).sortBy(_._1)
     assert(mid.toSeq == Seq((0L, 1, false), (2L, 2, true), (3L, 3, false)),
       s"young tombstone must survive pass 1 at its original offset, got ${mid.toSeq}")
+    // a LIFTED read mid-state: the tombstone row lifts with NULL payload
+    // columns (PERMISSIVE shape — downstream SQL sees the delete as a
+    // null record, never a parse error)
+    val liftSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("f",
+        org.apache.spark.sql.types.StringType)))
+    val lifted = Ripple.lift(Ripple.read(spark, root, "tmb"), liftSchema)
+      .select(col("_offset"), col("f")).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))).sortBy(_._1)
+    assert(lifted.map(_._1).toSeq == Seq(0L, 2L, 3L),
+      s"lifted read over the compacted+tombstone state, got ${lifted.toSeq}")
+    assert(lifted(1)._2, "the tombstone row must lift with null payload columns")
     // new dirt + a 24 h horizon: the aged tombstone drops with its key
     put(Seq((4, Some("d1"), now)))                              // 4
     Ripple.setTopicConfig(root, "tmb", graft.connector.TopicConfig(
