@@ -377,4 +377,28 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(log.range(tb, 0, 10).map(r => (r.offset, r.id)) ==
       Seq((2L, 1), (3L, 3), (4L, 2), (5L, 9)))
   }
+
+  test("zstd-dict frames over manifest mode: in-stream dict survives the put-if-absent publish and byte-concat") {
+    val log = newLog()
+    // small structured payloads — the dict codec's target shape
+    val pay = (i: Int) =>
+      s"""{"sensor":"s${i % 7}","reading":$i,"unit":"c"}""".getBytes("UTF-8")
+    val stamped = (0 until 600).map(i => (Payload(i, pay(i)), 100L + i))
+    val staged = new HPath(log.root, s".staged-${java.util.UUID.randomUUID()}")
+    SegmentCodec.write(log.fs, staged, stamped, graft.log.Codecs.ZstdDict)
+    assert(log.publishStaged(tb, 0L, 600L, staged).isDefined)
+    // raw tail after the dict segment (mixed bucket), then byte-concat:
+    // the concatenated object is (dict, records...) ++ (raw records...)
+    log.append(tb, (600 until 620).map(i => Payload(i, pay(i))))
+    def content() = log.range(tb, 0, 1000).map(r => (r.offset, r.id, new String(r.data)))
+    val before = content()
+    assert(before.size == 620 &&
+      before.forall { case (o, id, s) => o == id && s.contains(s"\"reading\":$id,") })
+    assert(log.compactSegments("t") > 0)
+    assert(log.segments(tb).size == 1)
+    assert(content() == before,
+      "byte-concat across the dict boundary is invisible on this rig too")
+    // header-walk seek over dict frames never decodes payloads
+    assert(log.offsetForTimestamp(tb, 100L + 300) == 300L)
+  }
 }
