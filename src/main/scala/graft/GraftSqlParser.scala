@@ -517,13 +517,23 @@ case class TruncateTopicCommand(topic: String, kvText: String,
       "ripple: ALTER TOPIC ... TRUNCATE takes exactly one of " +
         "(olderThanMs | toBytes | beforeOffset)")
     val (key, value) = kvs.head
+    // a non-positive horizon/budget on an IMPERATIVE deletion verb is a
+    // typo'd mass-delete, not a policy — same loudness the config path
+    // applies to retentionMs/retentionBytes
+    def positive(name: String): Long = {
+      val v = AdminKvs.longOf(name, value)
+      if (v <= 0) throw new IllegalArgumentException(
+        s"ripple: TRUNCATE $name must be positive, got $v — a zero or " +
+          "negative horizon would delete every segment but the newest")
+      v
+    }
     val n = key match {
       case "olderthanms" =>
-        Ripple.truncateOlderThan(r, topic, AdminKvs.longOf("olderThanMs", value))
+        Ripple.truncateOlderThan(r, topic, positive("olderThanMs"))
       case "tobytes" =>
-        Ripple.truncateToBytes(r, topic, AdminKvs.longOf("toBytes", value))
+        Ripple.truncateToBytes(r, topic, positive("toBytes"))
       case "beforeoffset" =>
-        Ripple.truncateBefore(r, topic, AdminKvs.longOf("beforeOffset", value))
+        Ripple.truncateBefore(r, topic, positive("beforeOffset"))
     }
     Seq(Row(topic, s"$key=$value", n))
   }

@@ -264,6 +264,10 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   }
 
   override def abort(): Unit = open.values.foreach { o =>
+    // free the FrameWriter's trained compression ctx (native zstd memory
+    // — invisible to GC, would leak across task retries) WITHOUT
+    // flushing: the staged file is being discarded
+    try o.fw.dispose() catch { case _: Throwable => () }
     try o.out.close() catch { case _: Throwable => () }
     try fs.delete(o.path, false) catch { case _: Throwable => () }
   }
@@ -279,6 +283,28 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
   * [[graft.log.FileTopicLog.publishStaged]].
   */
 object RipplePublish {
+
+  /** The `min.cleanable.dirty.ratio` decision for one bucket: keyed-
+    * compact now (true) or byte-concat and wait (false). ROW counts when
+    * every sparse name carries its retained count (rename-mode
+    * `k<rows>` names) — codec-independent, so a compressed sparse
+    * product never makes the gate fire 3-5x early the way raw-vs-
+    * compressed BYTES would. Manifest-mode sparse names are flag-only
+    * (`-k-<uuid>`, the count unknowable before the rewrite), and falling
+    * back to their SPAN would defer against the bucket's ALL-TIME offset
+    * count — unbounded deferral on a hot changelog — so unknown-rows
+    * buckets gate on file BYTES instead (Kafka's own ratio; the codec
+    * skew is bounded and errs EARLY, reclaiming sooner, never never).
+    */
+  private[connector] def keyedDirtyReady(
+      segs: Seq[(HPath, Long, Long)], fileLen: HPath => Long): Boolean = {
+    val (sparse, dense) = segs.partition(s => SegmentCodec.isSparse(s._1.getName))
+    val sparseRows = sparse.map(s => SegmentCodec.sparseRows(s._1.getName))
+    if (sparseRows.forall(_.isDefined))
+      dense.map(_._3).sum >= sparseRows.map(_.get).sum
+    else
+      dense.map(s => fileLen(s._1)).sum >= sparse.map(s => fileLen(s._1)).sum
+  }
 
   /** Hold the locks of every bucket in `tbs` (pre-sorted — all publishers
     * acquire in bucket order, so no deadlock) around `body`.
@@ -526,22 +552,11 @@ object RipplePublish {
           // below the ratio the dense suffix byte-concats instead (cheap,
           // keeps the segment count bounded) and the keys reclaim on a
           // later pass. Total rewrite cost stays O(2x data), Kafka's
-          // bound. ROW counts, not file bytes: with a compression codec
-          // the sparse product is compressed while fresh dense segments
-          // from codec-less writers may be raw, so a byte gate would fire
-          // full-bucket rewrites 3-5x early and break the amortization.
-          // Dense rows come free from segment names; sparse retained rows
-          // from the k-field (a manifest-mode flag-only name falls back
-          // to its SPAN, which overstates cleaned rows — the conservative
-          // direction: compaction fires later, never earlier).
-          val (ready, defer) = crossed.partition { tb =>
-            val segs = log.segments(tb)
-            val (sparse, dense) = segs.partition(s =>
-              SegmentCodec.isSparse(s._1.getName))
-            dense.map(_._3).sum >=
-              sparse.map(s => SegmentCodec.sparseRows(s._1.getName)
-                .getOrElse(s._3)).sum
-          }
+          // bound. ROW counts where the names carry them (rename mode:
+          // `k<rows>`), file BYTES where they don't (manifest mode's
+          // flag-only `-k-` names) — see [[keyedDirtyReady]].
+          val (ready, defer) = crossed.partition(tb =>
+            keyedDirtyReady(log.segments(tb), p => log.fileLen(p)))
           if (ready.nonEmpty) {
             val mover = DistributedConcat.activeSession match {
               case Some(s) =>

@@ -214,9 +214,9 @@ object SegmentCodec {
   def writeFrame(out: DataOutputStream, id: Int, tsMillis: Long,
       data: Array[Byte], codec0: Int = Codecs.None, offset: Long = -1L): Unit = {
     // the DICT protocol needs writer state (train, emit the dict frame,
-    // then reference it) — that lives in [[FrameWriter]]; a direct
-    // writeFrame under a zstd-dict topic (keyed-compaction rewrite,
-    // facade appends) degrades to plain zstd frames, a legal mix
+    // then reference it) — that lives in [[FrameWriter]], which the
+    // sink, writeFrames and the keyed rewrite all use; a DIRECT
+    // writeFrame under zstd-dict degrades to plain zstd, a legal mix
     val codec = if (codec0 == Codecs.ZstdDict) Codecs.Zstd else codec0
     if (data == null) { // tombstone: v2 frame, no payload, codec irrelevant
       val flags = TombstoneFlag | (if (offset >= 0) HasOffsetFlag else 0)
@@ -351,8 +351,16 @@ object SegmentCodec {
           writeFrame(out, id, ts, data, Codecs.Zstd, off) }
         buf.clear()
       }
-      if (dict != null) { dict.close(); dict = null }
+      dispose()
     }
+
+    /** Free the compression context WITHOUT flushing — the abort path
+      * (the output file is being discarded, but the trained ctx's native
+      * zstd memory is invisible to GC and would leak across task
+      * retries). Idempotent; [[finish]] calls it too.
+      */
+    def dispose(): Unit =
+      if (dict != null) { dict.close(); dict = null }
   }
 
   /** Frame-encode `rows` onto `out` (closed by the caller's wrapper). */
@@ -363,7 +371,7 @@ object SegmentCodec {
     try {
       rows.foreach { case (p, tsMillis) => fw.write(p.id, tsMillis, p.data) }
       fw.finish()
-    } finally out.close()
+    } finally { fw.dispose(); out.close() }
   }
 
   def write(file: java.nio.file.Path, rows: Seq[(Payload, Long)]): Unit =
@@ -687,7 +695,12 @@ object SegmentCodec {
             consolidateRuns(offRuns.toSeq, pair = false, runs), pair = false))
         }
       // ---- pass 2: decode + re-frame exactly the retained offsets ----
+      // Through a FrameWriter, so a zstd-dict topic's compacted product
+      // RETAINS dictionary compression (trained on the retained rows —
+      // deterministic given the retained sequence, so duplicate attempts
+      // stay byte-identical); other codecs pass straight through.
       val o = new DataOutputStream(new BufferedOutputStream(fs.create(out, true), 1 << 16))
+      val fw = new FrameWriter(o, codec)
       var rows = 0L
       var minTs = Long.MaxValue
       var maxTs = Long.MinValue
@@ -706,7 +719,7 @@ object SegmentCodec {
               // offset cursor must advance past dropped tombstones too.
               if (retained.isRetained(id, cur) &&
                   !(it.tombstone && ts < tombstoneFloorMs)) {
-                writeFrame(o, id, ts, data, codec, offset = cur)
+                fw.write(id, ts, data, offset = cur)
                 rows += 1
                 if (ts < minTs) minTs = ts
                 if (ts > maxTs) maxTs = ts
@@ -714,12 +727,13 @@ object SegmentCodec {
             }
           } finally it.close()
         }
+        fw.finish()
         o.close()
       } catch {
         case e: Throwable =>
           try o.close() catch { case _: Throwable => () }
           throw e
-      } finally retained.close()
+      } finally { fw.dispose(); retained.close() }
       (rows, minTs, maxTs)
     } finally runs.foreach(f => { f.delete(); () })
   }

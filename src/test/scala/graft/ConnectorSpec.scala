@@ -3123,6 +3123,12 @@ class ConnectorSpec extends AnyFunSuite {
       run(s"ALTER TOPIC lc TRUNCATE (olderThanMs = 1, toBytes = 1) IN '$root'") }
     intercept[IllegalArgumentException] {
       run(s"ALTER TOPIC lc TRUNCATE (olderThanMillis = 1) IN '$root'") }
+    // a zero/negative horizon is a typo'd mass-delete, not a policy
+    val ez = intercept[IllegalArgumentException] {
+      run(s"ALTER TOPIC lc TRUNCATE (olderThanMs = 0) IN '$root'") }
+    assert(ez.getMessage.contains("must be positive"), ez.getMessage)
+    intercept[IllegalArgumentException] {
+      run(s"ALTER TOPIC lc TRUNCATE (toBytes = -1) IN '$root'") }
     // COMPACT TOPIC: byte-concat the remaining tiny segments
     put(40 until 50)
     assert(log.segments(tb).size == 2)
@@ -3157,7 +3163,7 @@ class ConnectorSpec extends AnyFunSuite {
     finally s.conf.unset("spark.graft.root")
   }
 
-  test("zstd-dict topic: sink round-trip, keyed compaction over dict segments stays exact") {
+  test("zstd-dict topic: sink round-trip, keyed compaction RETRAINS the dict on its product") {
     import org.apache.spark.sql.functions._
     val root = tmp()
     Ripple.createTopic(root, "zd", numBuckets = 1)
@@ -3165,30 +3171,53 @@ class ConnectorSpec extends AnyFunSuite {
       compression = Some("zstd-dict")))
     import spark.implicits._
     def putBatch(gen: Int): Unit = Ripple.write(
-      (0 until 600).map(i =>
-        (i % 50, s"""{"k":${i % 50},"gen":$gen,"v":"value-$gen-$i"}"""
+      (0 until 1200).map(i =>
+        (i % 400, s"""{"k":${i % 400},"gen":$gen,"v":"value-$gen-$i"}"""
           .getBytes("UTF-8"))).toDF("id", "data").repartition(1),
       root, "zd", numBuckets = 1)
     putBatch(1); putBatch(2)
     // round-trip through the dict frames
     val all = Ripple.read(spark, root, "zd")
-    assert(all.count() == 1200)
+    assert(all.count() == 2400)
     val r0 = all.filter(col("offset") === 599)
       .select(col("data").cast("string")).head.getString(0)
-    assert(r0 == s"""{"k":${599 % 50},"gen":1,"v":"value-1-599"}""")
-    // keyed compaction decodes dict frames and re-encodes (plain zstd —
-    // the rewrite has no dict protocol, a documented legal degradation);
-    // latest-per-key must be exact
+    assert(r0 == s"""{"k":${599 % 400},"gen":1,"v":"value-1-599"}""")
+    // keyed compaction: latest-per-key exact, and — because the rewrite
+    // emits through a FrameWriter — the compacted product RETAINS
+    // dictionary compression (a plain re-encode would leave these
+    // sub-64B payloads raw, silently reverting the codec's whole win on
+    // the compacted majority of a changelog)
     assert(Ripple.compactKeyed(root, "zd") > 0)
     val kept = Ripple.read(spark, root, "zd")
       .select(col("offset"), col("id"), col("data").cast("string")).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
-    assert(kept.length == 50)
-    // latest per key = gen 2's last write of that key (i = key + 550)
+    assert(kept.length == 400)
+    // latest per key = gen 2's last write of that key (i = key + 800)
     kept.foreach { case (off, id, v) =>
-      assert(off == 600L + 550 + id, s"wrong retained offset for key $id: $off")
-      assert(v == s"""{"k":$id,"gen":2,"v":"value-2-${550 + id}"}""", v)
+      assert(off == 1200L + 800 + id, s"wrong retained offset for key $id: $off")
+      assert(v == s"""{"k":$id,"gen":2,"v":"value-2-${800 + id}"}""", v)
     }
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    val tb = graft.model.TopicBucket("zd", "b0000")
+    val segs = log.segments(tb)
+    assert(segs.size == 1 && graft.log.SegmentCodec.isSparse(segs.head._1.getName))
+    // the product's FIRST frame is the retrained dictionary (negative
+    // length prefix, flags byte = the dict bit alone) — a plain
+    // re-encode would have no dict frame and leave every sub-64B
+    // payload raw
+    val head = new Array[Byte](5)
+    val in = log.fs.open(segs.head._1)
+    try in.readFully(head) finally in.close()
+    val headLen = java.nio.ByteBuffer.wrap(head, 0, 4).getInt()
+    assert(headLen < 0 && head(4) == 0x20.toByte,
+      s"compacted product must open with a retrained dict frame, " +
+        s"got len=$headLen flags=0x${"%02x".format(head(4))}")
+    // and the total stays below the all-raw floor (raw explicit-offset
+    // envelope = 25 B/record)
+    val rawFloor = kept.map(_._3.getBytes("UTF-8").length + 25L).sum
+    assert(log.fileLen(segs.head._1) < rawFloor,
+      s"compacted product must beat the raw floor: " +
+        s"${log.fileLen(segs.head._1)} vs $rawFloor")
   }
 
   test("AdminKvs: quoted values may contain '=' and ','; first '=' splits the pair") {
