@@ -153,13 +153,13 @@ object DistributedConcat {
             }
           val written =
             try {
-              val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
+              val r = SegmentCodec.rewriteLatestPerKey(fs,
                 t.members.map { case (p, s) => (new HPath(p), s) }, dest,
                 t.codec, t.maxKeys, t.tombstoneFloorMs)
               // stats sidecar keyed to the FINAL name: the driver's commit
               // reads it instead of header-walking the product (duplicate
               // attempts overwrite with identical, deterministic content)
-              SegmentCodec.writeStatSidecar(fs, out, rows, minTs, maxTs)
+              SegmentCodec.writeStatSidecar(fs, out, r.rows, r.minTs, r.maxTs)
               true
             } catch {
               case _: java.io.FileNotFoundException =>

@@ -130,16 +130,18 @@ import scala.jdk.CollectionConverters._
   *     dirty-ratio amortized — Kafka `cleanup.policy=compact`. A NULL
   *     `data` cell writes a TOMBSTONE ("delete this key"): readers see
   *     `data IS NULL`, and compaction drops the key once the tombstone
-  *     ages past `tombstoneRetentionMs`
+  *     has sat in a compacted product for `tombstoneRetentionMs` of
+  *     clean time (the first pass always leaves the delete visible)
   *   - `compactionKeyHeap` (write, default 4M entries): per-task cap on
   *     keyed compaction's id→offset state (Kafka
   *     `log.cleaner.dedupe.buffer.size` analog); key counts beyond it
   *     spill to sorted runs on task-local disk — memory stays bounded at
   *     any cardinality
   *   - `tombstoneRetentionMs` (write, default 24 h): how long a
-  *     latest-per-key tombstone survives compaction so lagging readers
-  *     observe the delete before the key vanishes (Kafka
-  *     `delete.retention.ms`)
+  *     latest-per-key tombstone stays observable AFTER it first survives
+  *     a compaction (clean-time aging — producer event-time stamps never
+  *     age a delete) so lagging readers observe it before the key
+  *     vanishes (Kafka `delete.retention.ms`)
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -439,8 +441,9 @@ case class RippleConf(
     if (tombstoneRetentionMs < 0)
       throw new IllegalArgumentException(
         s"ripple: tombstoneRetentionMs must be >= 0, got " +
-          s"$tombstoneRetentionMs (0 drops latest-per-key tombstones at " +
-          "the first compaction; the Kafka delete.retention.ms analog)")
+          s"$tombstoneRetentionMs (0 drops a latest-per-key tombstone at " +
+          "its SECOND compaction — the first pass always leaves the " +
+          "delete visible; the Kafka delete.retention.ms analog)")
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)

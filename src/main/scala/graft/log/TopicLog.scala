@@ -548,12 +548,25 @@ object SegmentCodec {
     */
   val DefaultKeyHeapEntries: Int = 4 << 20
 
-  /** Spill runs created by [[rewriteLatestPerKey]] budget fallovers in
-    * this JVM — observability for specs and the bench's high-cardinality
-    * probe cell (proof the bounded path actually engaged, not just that a
-    * result appeared).
+  /** Result of one [[rewriteLatestPerKey]] call. `spillRuns` counts the
+    * sorted runs THIS call wrote on its budget fallover (0 = the in-heap
+    * path carried it) — per-call observability for specs and the bench's
+    * high-cardinality probe cell (proof the bounded path actually
+    * engaged for the rewrite under test, not merely that some concurrent
+    * compaction in the JVM spilled).
     */
-  val keyedSpillRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+  final case class KeyedRewrite(rows: Long, minTs: Long, maxTs: Long,
+      spillRuns: Long)
+
+  /** Scratch file for a keyed-compaction spill run: Spark's provisioned
+    * local dirs when running inside a Spark JVM (driver or executor),
+    * `java.io.tmpdir` only for bare-JVM callers — a 10^9-key bucket
+    * spills ~12 GB of runs, which must land on the cluster's scratch
+    * disks, not a root-volume `/tmp`.
+    */
+  private[graft] def spillFile(suffix: String): java.io.File =
+    java.io.File.createTempFile("graft-keyed-", suffix,
+      org.apache.spark.sql.graft.bridge.sparkLocalDir().orNull)
 
   /** Two-pass latest-per-key rewrite — the frame-level worker of key-based
     * log compaction (`cleanup.policy=compact` parity; the envelope's
@@ -580,16 +593,30 @@ object SegmentCodec {
     */
   /** Default tombstone horizon for key compaction — Kafka's
     * `delete.retention.ms` default (24 h): a latest-per-key tombstone
-    * YOUNGER than this is retained (lagging readers must observe the
-    * delete); an older one drops with its key.
+    * that has been OBSERVABLE in a compacted product for less than this
+    * is retained (lagging readers must observe the delete); an older one
+    * drops with its key.
     */
   val DefaultTombstoneRetentionMs: Long = 86400000L
 
+  /** Tombstone aging is by CLEAN time, not record time (Kafka
+    * `delete.retention.ms` ages from the cleaner pass, KIP-534): a
+    * tombstone is droppable only when (a) it already SURVIVED a prior
+    * compaction — it sits in a SPARSE member — so one pass always leaves
+    * the delete visible, and (b) that product landed (file modification
+    * time) before `tombstoneFloorMs`. The record's own `ts` is
+    * producer/event time and is never consulted: a delete written NOW
+    * with an old event-time stamp must still be observable for the full
+    * horizon. Member mtimes are immutable once published, so duplicate
+    * and speculative attempts of one task still emit byte-identical
+    * products.
+    */
   def rewriteLatestPerKey(fs: FileSystem, members: Seq[(HPath, Long)],
       out: HPath, codec: Int = Codecs.None,
       maxKeys: Int = DefaultKeyHeapEntries,
-      tombstoneFloorMs: Long = Long.MinValue): (Long, Long, Long) = {
+      tombstoneFloorMs: Long = Long.MinValue): KeyedRewrite = {
     require(maxKeys >= 8, s"keyed-compaction key budget too small: $maxKeys")
+    var spillRuns = 0L
     val runs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
     try {
       // ---- pass 1: id -> last offset, in heap until the budget trips ----
@@ -615,8 +642,8 @@ object SegmentCodec {
           i += 1
         }
         java.util.Arrays.sort(packed)
-        keyedSpillRuns.incrementAndGet()
-        val f = java.io.File.createTempFile("graft-keyed-", ".run")
+        spillRuns += 1
+        val f = spillFile(".run")
         runs += f
         val o = new DataOutputStream(new BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
@@ -671,7 +698,7 @@ object SegmentCodec {
           var bn = 0
           def flushOffRun(): Unit = if (bn > 0) {
             java.util.Arrays.sort(offs, 0, bn)
-            val f = java.io.File.createTempFile("graft-keyed-", ".off")
+            val f = spillFile(".off")
             offRuns += f
             val o = new DataOutputStream(new BufferedOutputStream(
               new java.io.FileOutputStream(f), 1 << 16))
@@ -706,6 +733,14 @@ object SegmentCodec {
       var maxTs = Long.MinValue
       try {
         members.foreach { case (p, start) =>
+          // CLEAN-TIME tombstone aging (class doc above): this member's
+          // tombstones are droppable only if the member is itself a
+          // compaction product (sparse — the delete already survived one
+          // pass) that landed before the floor. Raw members NEVER drop
+          // their tombstones here, whatever the record ts says.
+          val tombDroppable = tombstoneFloorMs != Long.MinValue &&
+            SegmentCodec.isSparse(p.getName) &&
+            fs.getFileStatus(p).getModificationTime < tombstoneFloorMs
           val it = read(fs, p)
           try {
             var cur = start - 1
@@ -714,11 +749,11 @@ object SegmentCodec {
               cur = if (it.explicitOffset >= 0) it.explicitOffset else cur + 1
               // a latest-per-key TOMBSTONE is kept while young (lagging
               // readers must see the delete) and dropped with its key
-              // once older than the floor — Kafka delete.retention.ms.
+              // once aged past the floor — Kafka delete.retention.ms.
               // isRetained runs FIRST either way: the streamed retained-
               // offset cursor must advance past dropped tombstones too.
               if (retained.isRetained(id, cur) &&
-                  !(it.tombstone && ts < tombstoneFloorMs)) {
+                  !(it.tombstone && tombDroppable)) {
                 fw.write(id, ts, data, offset = cur)
                 rows += 1
                 if (ts < minTs) minTs = ts
@@ -734,7 +769,7 @@ object SegmentCodec {
           try o.close() catch { case _: Throwable => () }
           throw e
       } finally { fw.dispose(); retained.close() }
-      (rows, minTs, maxTs)
+      KeyedRewrite(rows, minTs, maxTs, spillRuns)
     } finally runs.foreach(f => { f.delete(); () })
   }
 
@@ -784,7 +819,7 @@ object SegmentCodec {
     if (files.size <= MaxMergeFanIn) files
     else {
       val merged = files.grouped(MaxMergeFanIn).map { group =>
-        val f = java.io.File.createTempFile("graft-keyed-", ".m")
+        val f = spillFile(".m")
         cleanup += f
         val o = new DataOutputStream(new BufferedOutputStream(
           new java.io.FileOutputStream(f), 1 << 16))
@@ -2428,16 +2463,21 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     * bucket's max live pinned ceiling and only the unpinned SUFFIX
     * compacts (exactly how retention clamps to pinned floors).
     *
-    * TOMBSTONES (key deletion, round 17): a NULL `data` write is the
-    * delete marker (Kafka null-value parity; an empty array stays a
-    * value). Latest-per-key keeps a tombstone while it is younger than
-    * `tombstoneRetentionMs` — one compaction pass must leave the delete
-    * visible for lagging readers — and drops the key entirely once it
-    * ages past the horizon (Kafka `delete.retention.ms`). The horizon is
-    * resolved to an absolute floor ONCE at plan time and shipped in each
-    * [[KeyedTask]], keeping duplicate attempts byte-identical. Returns
-    * segments compacted away (members replaced by sparse products +
-    * healed).
+    * TOMBSTONES (key deletion, round 17; clean-time aging round 18): a
+    * NULL `data` write is the delete marker (Kafka null-value parity; an
+    * empty array stays a value). Aging is by CLEAN time — a tombstone
+    * drops only once it has SURVIVED a prior compaction (it sits in a
+    * sparse product) whose product is older than `tombstoneRetentionMs`
+    * (Kafka `delete.retention.ms` / KIP-534 delete horizon). The first
+    * pass always leaves the delete visible, and a producer-stamped
+    * event-time `ts` can never age a fresh delete out early. The horizon
+    * is resolved to an absolute floor ONCE at plan time and shipped in
+    * each [[KeyedTask]]; a plan whose members do NOT start at the
+    * bucket's retained floor (a snapshot pin clamped the prefix away)
+    * ships a DISABLED floor — aging a delete out while an older value
+    * generation survives below the clamp would resurrect the key when
+    * the pin releases. Returns segments compacted away (members replaced
+    * by sparse products + healed).
     */
   def compactKeyed(topic: String, onlyBuckets: Option[Set[String]] = None,
       rewrite: Seq[KeyedTask] => Unit = null, codec: Int = Codecs.None,
@@ -2460,23 +2500,32 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
   /** Default rewrite strategy for [[compactKeyed]]: decode in the calling
     * JVM. Member-vanished tolerance mirrors [[localConcat]].
     */
-  def localKeyed(tasks: Seq[KeyedTask]): Unit = tasks.foreach { t =>
+  def localKeyed(tasks: Seq[KeyedTask]): Unit = { localKeyedCounted(tasks); () }
+
+  /** [[localKeyed]], returning the number of spill runs the tasks wrote —
+    * per-call proof for callers asserting the bounded path engaged for
+    * THEIR rewrite (the probe cell, specs), exact even when concurrent
+    * compactions share the JVM.
+    */
+  def localKeyedCounted(tasks: Seq[KeyedTask]): Long = tasks.map { t =>
     try {
       val out = new HPath(t.out)
-      val (rows, minTs, maxTs) = SegmentCodec.rewriteLatestPerKey(fs,
+      val r = SegmentCodec.rewriteLatestPerKey(fs,
         t.members.map { case (p, s) => (new HPath(p), s) }, out, t.codec,
         t.maxKeys, t.tombstoneFloorMs)
-      SegmentCodec.writeStatSidecar(fs, out, rows, minTs, maxTs)
+      SegmentCodec.writeStatSidecar(fs, out, r.rows, r.minTs, r.maxTs)
+      r.spillRuns
     } catch {
       case _: java.io.FileNotFoundException =>
         try fs.delete(new HPath(t.out), false)
         catch { case _: java.io.IOException => () }
+        0L
     }
-  }
+  }.sum
 
   private case class KeyedPlan(tb: TopicBucket, healed: Int,
       members: Seq[(HPath, Long, Long, Long)], staged: HPath,
-      start: Long, span: Long)
+      start: Long, span: Long, agingOk: Boolean)
 
   /** Eligible members of one bucket's keyed compaction: the healed,
     * clamp-filtered suffix. None when there is nothing to do (empty, or a
@@ -2496,17 +2545,25 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
     val plans = tbs.map { tb =>
       withBucketLock(tb) {
         val (raw, healed) = healCovered(tb)
-        val members = keyedMembers(raw, clamps.getOrElse(tb.bucket, Long.MinValue))
+        val clamp = clamps.getOrElse(tb.bucket, Long.MinValue)
+        val members = keyedMembers(raw, clamp)
         KeyedPlan(tb, healed, members.getOrElse(Seq.empty),
           new HPath(bucketDir(tb), s".tmp-${java.util.UUID.randomUUID()}"),
           members.map(_.head._2).getOrElse(0L),
-          members.map(m => m.last._2 + m.last._3 - m.head._2).getOrElse(0L))
+          members.map(m => m.last._2 + m.last._3 - m.head._2).getOrElse(0L),
+          agingOk = raw.forall(_._2 >= clamp))
       }
     }
     val work = plans.filter(_.members.nonEmpty)
+    // tombstone aging only when the plan covers the bucket's WHOLE
+    // retained range: a pin-clamped (suffix-only) compaction that aged a
+    // delete out could expose a stale pre-pin value as latest-per-key
+    // once the pin releases — the delete would be silently lost. Clamped
+    // plans ship a disabled floor; the tombstone waits for a full pass.
     rewrite(work.map(p => KeyedTask(
       p.members.map(m => (m._1.toString, m._2)), p.staged.toString,
-      p.members.map(_._4).sum, codec, keyHeap, tombFloor)))
+      p.members.map(_._4).sum, codec, keyHeap,
+      if (p.agingOk) tombFloor else Long.MinValue)))
     plans.map { p =>
       if (p.members.isEmpty) p.healed else p.healed + commitKeyedRename(p)
     }.sum
@@ -2565,7 +2622,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
       clamps: Map[String, Long], keyHeap: Int, tombFloor: Long): Int = {
     var total = 0
     case class MPlan(tb: TopicBucket, st: CommitState,
-        members: Seq[(HPath, Long, Long, Long)], add: SegMeta)
+        members: Seq[(HPath, Long, Long, Long)], add: SegMeta,
+        agingOk: Boolean)
     def plan(tb: TopicBucket): Option[MPlan] = {
       val dir = bucketDir(tb)
       val st = commitLog(tb).read()
@@ -2575,7 +2633,8 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
           try fs.getFileStatus(p).getLen
           catch { case _: java.io.FileNotFoundException => return None })
       }
-      keyedMembers(segs, clamps.getOrElse(tb.bucket, Long.MinValue)).map { ms =>
+      val clamp = clamps.getOrElse(tb.bucket, Long.MinValue)
+      keyedMembers(segs, clamp).map { ms =>
         val start = ms.head._2
         val span = ms.last._2 + ms.last._3 - start
         // flag-only sparse marker: the data name is fixed before the
@@ -2584,16 +2643,19 @@ class FileTopicLog(rootUri: String, hadoopConf: Configuration) extends TopicLog 
         // segments conservatively
         MPlan(tb, st, ms, SegMeta(
           f"data-$start%020d-$span%010d-k-${java.util.UUID.randomUUID()}.log",
-          start, span))
+          start, span), agingOk = segs.forall(_._2 >= clamp))
       }
     }
     var pending = tbs.flatMap(plan)
     val attempts = mutable.Map.empty[String, Int].withDefaultValue(0)
     while (pending.nonEmpty) {
+      // same aging guard as the rename mode: clamped (suffix-only) plans
+      // must not age deletes out while older generations survive below
       rewrite(pending.map(p => KeyedTask(
         p.members.map(m => (m._1.toString, m._2)),
         new HPath(bucketDir(p.tb), p.add.name).toString,
-        p.members.map(_._4).sum, codec, keyHeap, tombFloor)))
+        p.members.map(_._4).sum, codec, keyHeap,
+        if (p.agingOk) tombFloor else Long.MinValue)))
       val results = pending.map { p =>
         val dir = bucketDir(p.tb)
         val out = new HPath(dir, p.add.name)

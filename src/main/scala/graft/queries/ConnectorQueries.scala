@@ -642,18 +642,24 @@ object ConnectorQueries {
   }
 
   /** Tombstone key-deletion under key compaction (q171, Kafka null-value +
-    * `delete.retention.ms` parity). The q167 key-update stream (key =
-    * event_id % 500) gets a DELETE wave: one tombstone (NULL `data`) per
-    * key ≡ 0 (mod 7), stamped 10 days old. Compaction pass 1 under a 30-day
-    * horizon must RETAIN every latest-per-key tombstone — a lagging reader
-    * still observes the deletes (in-body require: exactly the planted
-    * tombstones survive, as null-data rows at their original offsets).
-    * Fresh updates (event_id >= 700) then re-create some deleted keys, and
-    * pass 2 under a 24 h horizon drops the aged tombstones with their
-    * keys. The lifted read must equal the oracle's "latest per key, minus
-    * keys whose final state is the delete" — an engine that loses the
-    * delete (key resurrects), drops it early (lagging readers miss it),
-    * ages by the wrong clock, or breaks delete-then-recreate hash-fails.
+    * `delete.retention.ms` parity, CLEAN-TIME aging per KIP-534). The q167
+    * key-update stream (key = event_id % 500) gets a DELETE wave: one
+    * tombstone (NULL `data`) per key ≡ 0 (mod 7), stamped 10 days old —
+    * deliberately OLDER than the horizon, because aging must count from
+    * when the tombstone first survives a compaction, never from the
+    * producer's event-time stamp. Compaction pass 1 under a 24 h horizon
+    * must RETAIN every latest-per-key tombstone — an engine trusting the
+    * record ts drops them right here and no lagging reader ever observes
+    * the deletes (in-body require: exactly the planted tombstones
+    * survive, as null-data rows at their original offsets). Fresh updates
+    * (event_id >= 700) then re-create some deleted keys, the pass-1
+    * products' mtimes are backdated two days (simulated elapsed clean
+    * time), and pass 2 under the same 24 h horizon drops the aged
+    * tombstones with their keys. The lifted read must equal the oracle's
+    * "latest per key, minus keys whose final state is the delete" — an
+    * engine that loses the delete (key resurrects), drops it early
+    * (lagging readers miss it), ages by the wrong clock, or breaks
+    * delete-then-recreate hash-fails.
     */
   def tombstoneCompactionAgg(s: SparkSession, d: String): DataFrame = {
     val root = scratch()
@@ -678,19 +684,27 @@ object ConnectorQueries {
           System.currentTimeMillis() - 10L * 24 * 3600 * 1000)).as("ts"))
       .repartition(1), root, "tqc", numBuckets = 2)
     val endsBefore = Ripple.endOffsets(root, "tqc")
-    // pass 1 (30-day horizon): deletes must survive compaction
+    // pass 1 (24 h horizon vs 10-day-old producer stamps): deletes must
+    // survive their FIRST compaction — aging is by clean time, not ts
     Ripple.setTopicConfig(root, "tqc", graft.connector.TopicConfig(
-      tombstoneRetentionMs = Some(30L * 24 * 3600 * 1000)))
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
     require(Ripple.compactKeyed(root, "tqc") > 0, "pass 1 must compact")
     require(Ripple.endOffsets(root, "tqc") == endsBefore,
       "keyed compaction preserves end offsets")
     val midTombs = Ripple.read(s, root, "tqc").filter(col("data").isNull).count()
     require(midTombs == delKeys.size,
-      s"pass 1 must retain all ${delKeys.size} young tombstones, got $midTombs")
-    // re-create some deleted keys, then age the tombstones out (24 h)
+      s"pass 1 must retain all ${delKeys.size} first-pass tombstones, got $midTombs")
+    // re-create some deleted keys, simulate two days of clean time
+    // (backdate the pass-1 products), then pass 2 ages the deletes out
     Ripple.write(slice(700, Int.MaxValue), root, "tqc", numBuckets = 2)
-    Ripple.setTopicConfig(root, "tqc", graft.connector.TopicConfig(
-      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    val tlog = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    tlog.buckets("tqc").foreach { tb =>
+      tlog.segments(tb).collect {
+        case (p, _, _) if graft.log.SegmentCodec.isSparse(p.getName) =>
+          tlog.fs.setTimes(p,
+            System.currentTimeMillis() - 2L * 24 * 3600 * 1000, -1)
+      }
+    }
     require(Ripple.compactKeyed(root, "tqc") > 0, "pass 2 must compact")
     require(Ripple.read(s, root, "tqc").filter(col("data").isNull).count() == 0,
       "pass 2 must age every tombstone out")

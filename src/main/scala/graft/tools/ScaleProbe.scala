@@ -608,12 +608,14 @@ object ScaleProbe {
         o.close()
       }
       log.refreshManifest(tb)
-      val spills = SegmentCodec.keyedSpillRuns.get()
+      var spills = 0L
       val t = System.nanoTime()
-      require(log.compactKeyed("kcap", keyHeap = 1 << 17) == 2,
+      require(log.compactKeyed("kcap",
+          rewrite = ts => { spills += log.localKeyedCounted(ts); () },
+          keyHeap = 1 << 17) == 2,
         "both segments must compact")
       val sec = (System.nanoTime() - t) / 1e9
-      require(SegmentCodec.keyedSpillRuns.get() > spills,
+      require(spills > 0,
         s"the $k-key rewrite must take the spill path under a 2^17 budget")
       val seg = log.segments(tb)
       require(seg.size == 1 &&

@@ -13,6 +13,21 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** One of Spark's provisioned scratch directories for the current JVM
+    * (`spark.local.dir` / YARN `LOCAL_DIRS` — the NVMe scratch a real
+    * cluster provisions), `None` in a bare JVM. Spill files belong here,
+    * not in `java.io.tmpdir`: on a cluster node `/tmp` is often a small
+    * root volume or tmpfs, exactly the wrong place for a compaction's
+    * sort runs. Resolution goes through Spark's own `Utils.getLocalDir`
+    * (the resolver the shuffle machinery uses), reachable only from an
+    * `org.apache.spark` subpackage — hence this bridge.
+    */
+  def sparkLocalDir(): Option[java.io.File] =
+    try Option(org.apache.spark.SparkEnv.get).map { env =>
+      new java.io.File(org.apache.spark.util.Utils.getLocalDir(env.conf))
+    }.filter(_.isDirectory)
+    catch { case _: Throwable => None }
+
   /** Serializable Hadoop Configuration for executor-side filesystem access
     * (Spark's own `SerializableConfiguration` is `private[spark]`; this is
     * the same wrapper, reachable from graft code through the bridge).

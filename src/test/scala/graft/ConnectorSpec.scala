@@ -3035,7 +3035,9 @@ class ConnectorSpec extends AnyFunSuite {
         (k, v.map(_.getBytes("UTF-8")).orNull, new java.sql.Timestamp(ts)) }
         .toDF("id", "data", "ts").repartition(1), root, "tmb", numBuckets = 1)
     put(Seq((1, Some("a1"), now), (2, Some("b1"), now)))        // 0-1
-    // delete key 2 with a ts 10 days old (so a 24 h horizon can age it)
+    // delete key 2 with a ts 10 days old: producer event time must NOT
+    // age the delete — clean-time aging only counts from when the
+    // tombstone first survives a compaction
     put(Seq((2, None, now - 10L * 24 * 3600 * 1000)))           // 2
     put(Seq((3, Some("c1"), now)))                              // 3
     // pre-compaction read: the delete is a row with data IS NULL
@@ -3044,10 +3046,12 @@ class ConnectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.isNullAt(2))).sortBy(_._1)
     assert(pre.toSeq == Seq((0L, 1, false), (1L, 2, false), (2L, 2, true),
       (3L, 3, false)))
-    // pass 1 under a LARGE horizon: the tombstone is latest-per-key and
-    // must SURVIVE (a lagging reader still observes the delete)
+    // pass 1 under a SHORT horizon against the 10-day-old record ts: the
+    // tombstone is latest-per-key in a raw segment and must SURVIVE its
+    // first pass (a lagging reader still observes the delete) — an engine
+    // trusting the producer stamp would drop it right here
     Ripple.setTopicConfig(root, "tmb", graft.connector.TopicConfig(
-      tombstoneRetentionMs = Some(30L * 24 * 3600 * 1000)))
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
     assert(Ripple.compactKeyed(root, "tmb") > 0)
     val mid = Ripple.read(spark, root, "tmb")
       .select(col("offset"), col("id"), col("data"))
@@ -3066,10 +3070,17 @@ class ConnectorSpec extends AnyFunSuite {
     assert(lifted.map(_._1).toSeq == Seq(0L, 2L, 3L),
       s"lifted read over the compacted+tombstone state, got ${lifted.toSeq}")
     assert(lifted(1)._2, "the tombstone row must lift with null payload columns")
-    // new dirt + a 24 h horizon: the aged tombstone drops with its key
+    // new dirt + two days of simulated clean time (the pass-1 product's
+    // mtime is backdated past the 24 h horizon): the aged tombstone
+    // drops with its key
     put(Seq((4, Some("d1"), now)))                              // 4
-    Ripple.setTopicConfig(root, "tmb", graft.connector.TopicConfig(
-      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    val tlog = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    tlog.buckets("tmb").foreach { tb =>
+      tlog.segments(tb).collect {
+        case (p, _, _) if graft.log.SegmentCodec.isSparse(p.getName) =>
+          tlog.fs.setTimes(p, now - 2L * 24 * 3600 * 1000, -1)
+      }
+    }
     assert(Ripple.compactKeyed(root, "tmb") > 0)
     val end = Ripple.read(spark, root, "tmb")
       .select(col("offset"), col("id"), col("data").cast("string"))
@@ -3085,6 +3096,72 @@ class ConnectorSpec extends AnyFunSuite {
       .select(col("offset"), col("data").cast("string")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(re == Seq((6L, "a2")), s"delete-then-recreate keeps the value, got $re")
+  }
+
+  test("keyed-compaction spill scratch resolves to Spark's provisioned local dir inside a Spark JVM") {
+    // on a real cluster spark.local.dir is the provisioned NVMe scratch
+    // while /tmp is often a small root volume — the ~12 GB of sorted
+    // runs a 10^9-key bucket spills must land on the former
+    val resolved = org.apache.spark.sql.graft.bridge.sparkLocalDir()
+    assert(resolved.isDefined,
+      "a live SparkEnv must resolve a spark local dir for spill runs")
+    val f = graft.log.SegmentCodec.spillFile(".seam")
+    try assert(f.getParentFile.getCanonicalFile == resolved.get.getCanonicalFile,
+      s"spill file in ${f.getParent}, expected ${resolved.get}")
+    finally { f.delete(); () }
+  }
+
+  test("pin-clamped keyed compaction never ages a delete out over an uncompacted prefix (no key resurrection)") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "pcl", numBuckets = 1)
+    import spark.implicits._
+    def put(rows: Seq[(Int, Option[String])]): Unit =
+      Ripple.write(rows.map { case (k, v) =>
+        (k, v.map(_.getBytes("UTF-8")).orNull) }
+        .toDF("id", "data").repartition(1), root, "pcl", numBuckets = 1)
+    val now = System.currentTimeMillis()
+    val tlog = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    def backdateSparse(): Unit = tlog.buckets("pcl").foreach { tb =>
+      tlog.segments(tb).collect {
+        case (p, _, _) if graft.log.SegmentCodec.isSparse(p.getName) =>
+          tlog.fs.setTimes(p, now - 2L * 24 * 3600 * 1000, -1)
+      }
+    }
+    def latestFor(id: Int): Option[(Long, Boolean)] =
+      Ripple.read(spark, root, "pcl").filter(col("id") === id)
+        .select(col("offset"), col("data")).collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).sortBy(_._1).lastOption
+    Ripple.setTopicConfig(root, "pcl", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    put(Seq((1, Some("old")), (9, Some("x"))))  // 0-1: pre-pin generation
+    Ripple.pinSnapshot(root, "pcl", "p1")       // ceiling = 2
+    put(Seq((1, None)))                         // 2: delete key 1
+    put(Seq((5, Some("y"))))                    // 3
+    // pass 1 (pin live): only the suffix [2,..) compacts; the delete is
+    // in a raw member and survives
+    assert(Ripple.compactKeyed(root, "pcl") > 0)
+    assert(latestFor(1).exists(_._2), "delete visible after clamped pass 1")
+    // two days of simulated clean time + new dirt, pin STILL live: a
+    // clamped pass must NOT age the delete out — key 1's pre-pin value
+    // at offset 0 survives below the clamp, so dropping the tombstone
+    // here would resurrect it once the pin releases
+    put(Seq((6, Some("z"))))                    // 4
+    backdateSparse()
+    assert(Ripple.compactKeyed(root, "pcl") > 0)
+    assert(latestFor(1).exists(_._2),
+      s"clamped pass must retain the delete, got ${latestFor(1)}")
+    // release the pin, age again, compact the WHOLE bucket: the delete
+    // finally drops TOGETHER with the superseded pre-pin value
+    Ripple.dropSnapshot(root, "pcl", "p1")
+    put(Seq((7, Some("w"))))                    // 5
+    backdateSparse()
+    assert(Ripple.compactKeyed(root, "pcl") > 0)
+    assert(latestFor(1).isEmpty,
+      s"key 1 must be fully deleted, not resurrected: ${latestFor(1)}")
+    val survivors = Ripple.read(spark, root, "pcl")
+      .select(col("id")).collect().map(_.getInt(0)).toSet
+    assert(survivors == Set(9, 5, 6, 7), s"got $survivors")
   }
 
   test("SQL lifecycle verbs: TRUNCATE / COMPACT [KEYED] / RESET+DROP CONSUMER / PIN+DROP SNAPSHOT") {

@@ -755,16 +755,16 @@ class LogSpec extends AnyFunSuite {
     }
     val fast = new org.apache.hadoop.fs.Path(dir, ".out-fast")
     val slow = new org.apache.hadoop.fs.Path(dir, ".out-spill")
-    val spillsBefore = SegmentCodec.keyedSpillRuns.get()
     val rFast = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, fast,
       Codecs.Zstd) // in-heap path (default budget)
-    assert(SegmentCodec.keyedSpillRuns.get() == spillsBefore,
+    assert(rFast.spillRuns == 0,
       "the default budget must stay on the in-heap path here")
     // budget of 64 entries over 997 distinct keys: the spill path runs,
-    // with many runs and many offset-runs
+    // with many runs and many offset-runs — the per-call count is THIS
+    // call's, exact under concurrent compactions in the JVM
     val rSlow = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, slow,
       Codecs.Zstd, maxKeys = 64)
-    assert(SegmentCodec.keyedSpillRuns.get() > spillsBefore + 10,
+    assert(rSlow.spillRuns > 10,
       "the tiny budget must actually take the sorted-spill path")
     // budget 8 over 4000 frames => ~500 runs: past the 256 merge fan-in
     // cap, so the group-wise consolidation pass engages — output must
@@ -772,13 +772,14 @@ class LogSpec extends AnyFunSuite {
     val slower = new org.apache.hadoop.fs.Path(dir, ".out-spill8")
     val rSlower = SegmentCodec.rewriteLatestPerKey(log.fs, memberPaths, slower,
       Codecs.Zstd, maxKeys = 8)
-    assert(rSlower == rFast)
+    def stats(r: SegmentCodec.KeyedRewrite) = (r.rows, r.minTs, r.maxTs)
+    assert(stats(rSlower) == stats(rFast))
     assert(java.util.Arrays.equals(
       java.nio.file.Files.readAllBytes(nio(fast)),
       java.nio.file.Files.readAllBytes(nio(slower))),
       "consolidated-merge output must stay byte-identical")
-    assert(rFast == rSlow, s"stats must match: $rFast vs $rSlow")
-    assert(rFast._1 == nKeys.toLong, "one retained record per distinct key")
+    assert(stats(rFast) == stats(rSlow), s"stats must match: $rFast vs $rSlow")
+    assert(rFast.rows == nKeys.toLong, "one retained record per distinct key")
     val bFast = java.nio.file.Files.readAllBytes(nio(fast))
     val bSlow = java.nio.file.Files.readAllBytes(nio(slow))
     assert(java.util.Arrays.equals(bFast, bSlow),
@@ -840,13 +841,17 @@ class LogSpec extends AnyFunSuite {
     assert(d1 != null && !it0.tombstone)
     it0.close()
     val members = Seq((s1, 0L), (s2, 3L))
-    // floor below the tombstone's ts: the delete is RETAINED (a lagging
-    // reader must observe it) — latest-per-key = {1@0 empty, 2@3 tomb,
-    // 3@4}
-    val keep = new org.apache.hadoop.fs.Path(dir, ".out-keep")
+    // PASS 1 over RAW members: the delete is retained even under a
+    // MAXIMAL floor — aging is by CLEAN time, a raw member never drops
+    // its tombstones (one pass must leave the delete visible), and the
+    // record's own event-time ts (2000, 'old') is never consulted —
+    // latest-per-key = {1@0 empty, 2@3 tomb, 3@4}. The product name is
+    // sparse-marked like a real publish, so the aging arms below see it
+    // as a compaction product.
+    val keep = new org.apache.hadoop.fs.Path(dir, ".out-keep-k3.log")
     val rKeep = SegmentCodec.rewriteLatestPerKey(log.fs, members, keep,
-      tombstoneFloorMs = 1500L)
-    assert(rKeep._1 == 3L, s"young tombstone retained, got $rKeep")
+      tombstoneFloorMs = Long.MaxValue)
+    assert(rKeep.rows == 3L, s"first-pass tombstone retained, got $rKeep")
     val kit = SegmentCodec.read(log.fs, keep)
     val kept = Iterator.continually {
       val (id, _, d) = kit.next()
@@ -857,32 +862,37 @@ class LogSpec extends AnyFunSuite {
       (4L, 3, false, false)), s"got $kept")
     assert(new String(SegmentCodec.read(log.fs, keep).next()._3) == "",
       "the empty-array VALUE survives as a value, not a delete")
-    // floor past the tombstone's ts: the key drops entirely
+    // the product is sparse but FRESH: a second pass whose floor sits
+    // 24 h in the past still retains the delete (the clean-time window
+    // has not elapsed) and stays byte-stable — a tombstone re-frames as
+    // a tombstone, not as an empty value
+    val dayAgo = System.currentTimeMillis() - 86400000L
+    val young = new org.apache.hadoop.fs.Path(dir, ".out-young")
+    val rYoung = SegmentCodec.rewriteLatestPerKey(log.fs, Seq((keep, 0L)),
+      young, tombstoneFloorMs = dayAgo)
+    assert(rYoung.rows == 3L, s"young product keeps the delete, got $rYoung")
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(nio(keep)),
+      java.nio.file.Files.readAllBytes(nio(young))))
+    // backdate the product past the horizon (2 days): the delete has now
+    // been observable in a compacted product for a full window — the key
+    // drops entirely
+    log.fs.setTimes(keep, System.currentTimeMillis() - 2 * 86400000L, -1)
     val drop = new org.apache.hadoop.fs.Path(dir, ".out-drop")
-    val rDrop = SegmentCodec.rewriteLatestPerKey(log.fs, members, drop,
-      tombstoneFloorMs = 2500L)
-    assert(rDrop._1 == 2L, s"aged tombstone drops its key, got $rDrop")
+    val rDrop = SegmentCodec.rewriteLatestPerKey(log.fs, Seq((keep, 0L)),
+      drop, tombstoneFloorMs = dayAgo)
+    assert(rDrop.rows == 2L, s"aged tombstone drops its key, got $rDrop")
     val dit = SegmentCodec.read(log.fs, drop)
     val ids = Iterator.continually(dit.next()._1).take(2).toSeq
     dit.close()
     assert(ids == Seq(1, 3))
-    // spill path parity under tombstones (budget floor is 8)
+    // spill path parity under tombstone aging (budget floor is 8)
     val spill = new org.apache.hadoop.fs.Path(dir, ".out-spill")
-    SegmentCodec.rewriteLatestPerKey(log.fs, members, spill,
-      maxKeys = 8, tombstoneFloorMs = 1500L)
+    SegmentCodec.rewriteLatestPerKey(log.fs, Seq((keep, 0L)), spill,
+      maxKeys = 8, tombstoneFloorMs = dayAgo)
     assert(java.util.Arrays.equals(
-      java.nio.file.Files.readAllBytes(nio(keep)),
+      java.nio.file.Files.readAllBytes(nio(drop)),
       java.nio.file.Files.readAllBytes(nio(spill))))
-    // a tombstone product re-compacts cleanly (null data re-frames as a
-    // tombstone, not as an empty value): one more pass over the sparse
-    // product alone keeps it byte-stable
-    val again = new org.apache.hadoop.fs.Path(dir, ".out-again")
-    val rAgain = SegmentCodec.rewriteLatestPerKey(log.fs, Seq((keep, 0L)),
-      again, tombstoneFloorMs = 1500L)
-    assert(rAgain._1 == 3L)
-    assert(java.util.Arrays.equals(
-      java.nio.file.Files.readAllBytes(nio(keep)),
-      java.nio.file.Files.readAllBytes(nio(again))))
   }
 
   test("zstd-dict: small-record ratio win, round-trip, skip walk, mixed concat, loud corruption") {
