@@ -312,19 +312,34 @@ class RippleMetaAggScan(conf: RippleConf, lo: Long, hi: Long,
         // explicit compactKeyed between two actions on one DataFrame).
         // Dense span arithmetic over a sparse segment would silently
         // over-count and report reclaimed offsets, so sparse segments are
-        // RE-DETECTED here and answered honestly: a payload-skip header
-        // walk counts retained frames in the window and yields the true
-        // offset extrema (O(retained keys) header bytes — still far
-        // cheaper than the row scan this replaced).
+        // RE-DETECTED here and answered honestly — from METADATA when it
+        // suffices: a window that covers the WHOLE segment (the common
+        // case — compaction produces one bucket-spanning product) takes
+        // the retained count from the publish-time name, zero I/O. The
+        // payload-skip header walk (O(retained keys) header bytes — still
+        // far cheaper than the row scan this replaced) runs only for a
+        // partially-overlapped product, a flag-only manifest-mode name
+        // (retained count unknown), or when offset EXTREMA are requested
+        // (retained records sit at arbitrary positions inside the span —
+        // only the frames know).
+        val needOff =
+          aggs.contains(MetaAgg.MinOff) || aggs.contains(MetaAgg.MaxOff)
         var rows = 0L
         segs.foreach { case (p, start, count) =>
           val ovlFrom = math.max(from, start)
           val ovlEnd = math.min(end, start + count)
           if (ovlEnd > ovlFrom) {
+            val nameRows =
+              if (graft.log.SegmentCodec.isSparse(p.getName))
+                graft.log.SegmentCodec.sparseRows(p.getName)
+              else None
             if (!graft.log.SegmentCodec.isSparse(p.getName)) {
               rows += ovlEnd - ovlFrom
               minOff = math.min(minOff, ovlFrom)
               maxOff = math.max(maxOff, ovlEnd - 1)
+            } else if (!needOff && nameRows.isDefined &&
+                ovlFrom <= start && ovlEnd >= start + count) {
+              rows += nameRows.get
             } else {
               val it = graft.log.SegmentCodec.readHeaders(log.fs, p)
               try {

@@ -3024,6 +3024,32 @@ class ConnectorSpec extends AnyFunSuite {
     assert(row.getLong(2) == 8L)
   }
 
+  test("raced metadata COUNT over a fully-covered sparse segment answers from the name — zero data-file opens") {
+    // the race fix must not cost O(retained rows) of driver I/O on a
+    // large compacted topic: a window covering the WHOLE product takes
+    // the retained count from the publish-time name, no header walk
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingReadFs].getName)
+    val root = "cntfs:" + tmp()
+    Ripple.createTopic(root, "mname", numBuckets = 1)
+    import spark.implicits._
+    Ripple.write((0 until 9).map(i => (i % 3, s"v$i".getBytes("UTF-8")))
+      .toDF("id", "data").repartition(1), root, "mname", numBuckets = 1)
+    val agg = Ripple.read(spark, root, "mname").agg(count(lit(1)).as("c"))
+    val scans = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.exists(_.isInstanceOf[graft.connector.RippleMetaAggScan]),
+      s"pushdown must be accepted on the dense topic, scans were: $scans")
+    assert(Ripple.compactKeyed(root, "mname") > 0)
+    CountingReadFs.dataOpens.set(0L)
+    assert(agg.collect().head.getLong(0) == 3L)
+    assert(CountingReadFs.dataOpens.get == 0L,
+      "fully-covered sparse COUNT must be answered from metadata, " +
+        s"got ${CountingReadFs.dataOpens.get} data-file opens")
+  }
+
   test("tombstones through the sink: null data deletes a key; one pass keeps the delete visible, retention drops it") {
     import org.apache.spark.sql.functions._
     val root = tmp()
