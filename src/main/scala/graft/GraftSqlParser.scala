@@ -53,6 +53,19 @@ import org.apache.spark.sql.types._
   *   DROP SNAPSHOT <pin> ON <name> [IN '<root>']
   * }}}
   *
+  * and (round 18) the READ statements — the console reads data, not just
+  * metadata. `READ TOPIC t` is the envelope scan
+  * ([[graft.api.Ripple.read]]); `READ TOPIC t AS TABLE` is the
+  * latest-per-key table view ([[graft.api.Ripple.readTable]] — KTable
+  * parity: one row per key, deleted keys absent). Both return the
+  * DISTRIBUTED scan/aggregation plan itself, never a driver-side
+  * collect — `spark.sql("READ TOPIC t AS TABLE")` composes like any
+  * DataFrame:
+  *
+  * {{{
+  *   READ TOPIC <name> [AS TABLE] [IN '<root>']
+  * }}}
+  *
   * `ALTER … SET` is a read-modify-write MERGE over the persisted
   * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
   * `UNSET` removes keys (an empty result deletes the document). Valid
@@ -101,6 +114,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DropSnapshotCommand(name, topic, Option(root))
     case DropTopicStmt(name, force, root) =>
       DropTopicCommand(name, force != null, Option(root))
+    case ReadTopicStmt(name, asTable, root) =>
+      // returns the composed DISTRIBUTED plan (scan, or scan + the
+      // latest-per-key aggregation), not a RunnableCommand — a command
+      // would collect a 100 TB topic to the driver
+      val spark = SparkSession.active
+      val r = resolveRoot(Option(root), spark)
+      (if (asTable == null) Ripple.read(spark, r, name)
+       else Ripple.readTable(spark, r, name)).queryExecution.logical
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -165,6 +186,10 @@ object GraftSqlParser {
     """(?is)\s*PIN\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val DropSnapshotStmt =
     """(?is)\s*DROP\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  // Data READ statements. No reserved-word hazard: Spark SQL has no
+  // statement-initial READ production.
+  private val ReadTopicStmt =
+    """(?is)\s*READ\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+AS\s+TABLE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -230,16 +255,20 @@ case class DescribeTopicCommand(topic: String, root: Option[String])
     attr("schema", StringType, nullable = true),
     attr("schema_version", IntegerType, nullable = true),
     attr("consumers", StringType),
-    attr("config", StringType))
+    attr("config", StringType),
+    attr("views", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val d = Ripple.describeTopic(resolveRoot(root, spark), topic)
     val consumers = d.consumers.mkString(",")
     val config = d.config.render
+    // the read spellings this topic answers to: the raw envelope scan
+    // and the latest-per-key table view (READ TOPIC t [AS TABLE])
+    val views = "envelope,table"
     d.buckets.toSeq.sortBy(_._1).map { case (b, st) =>
       Row(d.topic, b, st.floor, st.end, st.rows, st.segments, st.bytes,
         st.latestTs.map(Long.box).orNull, d.commitProtocol,
         d.schema.orNull, d.schemaVersion.map(Int.box).orNull, consumers,
-        config)
+        config, views)
     }
   }
 }

@@ -755,6 +755,43 @@ object Ripple {
     spark.read.format("ripple").option("path", root).option("topic", topic)
       .option("lift", "true").load()
 
+  /** Latest-per-key TABLE view of an envelope frame — the Kafka Streams
+    * KTable materialization of a changelog topic, computed AT READ time
+    * over whatever mix of raw and key-compacted segments exists: one row
+    * per key carrying its highest-offset record, minus keys whose latest
+    * record is a TOMBSTONE (`data IS NULL` — the delete wins). Compaction
+    * guarantees "AT LEAST the latest per key" between cleaner passes;
+    * this is the read-side completion of that contract — the reduction
+    * every changelog consumer otherwise hand-writes (the reference makes
+    * each consumer replay the full log and reduce client-side,
+    * `internal/broker/consumer/server/core.go:46-64`).
+    *
+    * Scale shape: a partial-aggregating `max_by` under one (topic,
+    * bucket, id) hash shuffle — map-side combine collapses every input
+    * partition to its distinct keys BEFORE the exchange, so shuffled
+    * bytes are bounded by distinct keys, not log length, and the final
+    * hash aggregate is Spark's spill-safe operator (no per-task map that
+    * scales with cardinality). Offsets are unique per bucket, so the
+    * view is deterministic. Output columns equal the envelope's, so
+    * [[lift]] composes for a typed table and every downstream query
+    * written against `read` runs unchanged against the view.
+    */
+  def tableView(envelope: DataFrame): DataFrame =
+    envelope
+      .groupBy(col("topic"), col("bucket"), col("id"))
+      .agg(max_by(struct(col("offset"), col("data"), col("ts")),
+        col("offset")).as("r"))
+      .filter(col("r.data").isNotNull)
+      .select(col("topic"), col("bucket"), col("r.offset").as("offset"),
+        col("id"), col("r.data").as("data"), col("r.ts").as("ts"))
+
+  /** [[tableView]] over a batch scan of `topic` — `readTable(root, t)` ≡
+    * "the keyed table this changelog encodes, as of now". SQL spelling:
+    * `READ TOPIC <name> AS TABLE [IN '<root>']` ([[graft.GraftSqlParser]]).
+    */
+  def readTable(spark: SparkSession, root: String, topic: String): DataFrame =
+    tableView(read(spark, root, topic))
+
   /** Pack + write `df` AND register/validate its schema as the topic's
     * payload schema: the write-time half of the registry. A frame whose
     * schema DIFFERS from the registered one is refused loudly BEFORE any

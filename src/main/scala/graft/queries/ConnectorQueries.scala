@@ -714,6 +714,60 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Read-time latest-per-key TABLE view (q174, Kafka Streams KTable
+    * parity): the q171 fixture — key updates, a tombstone wave (keys ≡ 0
+    * mod 7), recreates (event_id >= 700) — read through
+    * [[Ripple.readTable]] with NO compaction pass ever run. The view must
+    * equal the oracle's "latest per key, minus keys whose final state is
+    * the delete" over the raw log: the READ side of the compaction
+    * contract q170/q171 pin on the write side (the reference makes every
+    * consumer replay the whole log and reduce client-side,
+    * `internal/broker/consumer/server/core.go:46-64`). In-body requires
+    * pin what the hash can't see: the PLAIN read still surfaces every
+    * row including the deletes (the view composes, it doesn't mutate),
+    * the view carries no tombstone rows, and the SQL spelling
+    * `READ TOPIC … AS TABLE` returns the identical frame.
+    */
+  def readTableAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keyExpr = pmod(col("event_id"), lit(500)).cast("int")
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"), keyExpr)
+    Ripple.createTopic(root, "rtv", numBuckets = 2)
+    Ripple.write(slice(0, 300), root, "rtv", numBuckets = 2)
+    Ripple.write(slice(300, 700), root, "rtv", numBuckets = 2)
+    import s.implicits._
+    val delKeys = (0 until 500).filter(_ % 7 == 0)
+    Ripple.write(delKeys.toDF("k")
+      .select(
+        pmod(hash(col("k").cast("int")), lit(Int.MaxValue)).cast("int").as("id"),
+        lit(null).cast("binary").as("data"))
+      .repartition(1), root, "rtv", numBuckets = 2)
+    Ripple.write(slice(700, Int.MaxValue), root, "rtv", numBuckets = 2)
+    // the view composes over the log — the plain envelope read still
+    // surfaces every delete as a null-data row
+    require(Ripple.read(s, root, "rtv").filter(col("data").isNull).count()
+      == delKeys.size, "plain read must surface every tombstone")
+    val view = Ripple.readTable(s, root, "rtv")
+    require(view.filter(col("data").isNull).count() == 0,
+      "the table view must carry no tombstone rows")
+    // SQL spelling parity: READ TOPIC … AS TABLE is the same frame
+    val sqlView = org.apache.spark.sql.graft.bridge.ofRows(s,
+      new graft.GraftSqlParser(s.sessionState.sqlParser)
+        .parsePlan(s"READ TOPIC rtv AS TABLE IN '$root'"))
+    require(sqlView.select(col("id"), col("offset"))
+        .exceptAll(view.select(col("id"), col("offset"))).count() == 0 &&
+        sqlView.count() == view.count(),
+      "READ TOPIC … AS TABLE must equal Ripple.readTable")
+    Ripple.lift(view, eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** SQL admin WRITE statements end-to-end (q168): the q165 scenario with
     * every admin action driven through [[graft.GraftSqlParser]] statements
     * instead of Scala calls — `CREATE TOPIC` registers the topic,
@@ -956,6 +1010,7 @@ object ConnectorQueries {
     "q171_tombstone_compaction" -> (tombstoneCompactionAgg _),
     "q172_sql_lifecycle" -> (sqlLifecycleAgg _),
     "q173_dict_compression" -> (dictCompressionAgg _),
+    "q174_read_table" -> (readTableAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -1148,6 +1203,17 @@ object ConnectorQueries {
         |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
         |                    WHERE e2.event_id % 500 = e.event_id % 500)""".stripMargin,
     "q171_tombstone_compaction" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 500 = e.event_id % 500)
+        |  AND NOT (e.event_id % 500 % 7 = 0 AND e.event_id < 700)""".stripMargin,
+    // q174 reads the SAME final state as q171 — but computed at READ
+    // time over the raw, never-compacted log (the view is the oracle's
+    // latest-per-key-minus-deletes reduction itself)
+    "q174_read_table" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users

@@ -107,7 +107,13 @@ object ScaleProbe {
     // shape), and the dict codec (train is O(256 payloads) constant; the
     // cell watches per-frame ctx compression riding the scan and the
     // equal-rows raw-control twin doubling the write volume)
-    "q171_tombstone_compaction", "q172_sql_lifecycle", "q173_dict_compression"
+    "q171_tombstone_compaction", "q172_sql_lifecycle", "q173_dict_compression",
+    // round-18 addition: the read-time latest-per-key table view — the
+    // q171 write fixture WITHOUT compaction, reduced by one partial
+    // max_by aggregation whose shuffle is bounded by distinct keys (500
+    // here); the cell watches that bound holding while the log under it
+    // grows 10x
+    "q174_read_table"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64

@@ -22,6 +22,17 @@ object bridge {
     * (the resolver the shuffle machinery uses), reachable only from an
     * `org.apache.spark` subpackage — hence this bridge.
     */
+  /** Execute a parsed LogicalPlan as a DataFrame — the `private[sql]`
+    * `Dataset.ofRows`, for driving [[graft.GraftSqlParser]] statements on
+    * sessions built WITHOUT `spark.sql.extensions` (gates must not depend
+    * on session wiring).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def sparkLocalDir(): Option[java.io.File] =
     try Option(org.apache.spark.SparkEnv.get).map { env =>
       new java.io.File(org.apache.spark.util.Utils.getLocalDir(env.conf))

@@ -757,6 +757,15 @@ class ConnectorSpec extends AnyFunSuite {
       }
       assert((Option(bare.getMessage).getOrElse("") +
         Option(bare.getCause).map(_.getMessage).getOrElse("")).contains("spark.graft.root"))
+      // READ statements intercept through spark.sql: the envelope scan
+      // and the latest-per-key table view (a distributed plan, not a
+      // driver-side command)
+      assert(s.sql(s"READ TOPIC adm IN '$root'").count() == 20)
+      assert(s.sql(s"READ TOPIC adm AS TABLE IN '$root'").count() ==
+        s.sql(s"READ TOPIC adm IN '$root'")
+          .select("bucket", "id").distinct().count())
+      // DESCRIBE advertises the read views
+      assert(d.forall(_.getAs[String]("views") == "envelope,table"))
       // everything else still parses through the delegate
       assert(s.sql("SELECT 1 AS x").collect().head.getInt(0) == 1)
       assert(s.sql(s"DESCRIBE TOPIC adm").count() == 2) // conf root again
@@ -3122,6 +3131,67 @@ class ConnectorSpec extends AnyFunSuite {
       .select(col("offset"), col("data").cast("string")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(re == Seq((6L, "a2")), s"delete-then-recreate keeps the value, got $re")
+  }
+
+  test("readTable: latest-per-key view == read after full compaction+aging; deleted keys absent while plain read shows the delete") {
+    import org.apache.spark.sql.functions._
+    val root = tmp()
+    Ripple.createTopic(root, "ktv", numBuckets = 2)
+    import spark.implicits._
+    def put(rows: Seq[(Int, Option[String])]): Unit =
+      Ripple.write(rows.map { case (k, v) =>
+        (k, v.map(_.getBytes("UTF-8")).orNull) }
+        .toDF("id", "data").repartition(1), root, "ktv", numBuckets = 2)
+    put((0 until 10).map(i => (i, Some(s"v$i"))))  // first generation
+    put(Seq((3, None), (7, None)))                 // delete 3 and 7
+    put(Seq((3, Some("v3b"))))                     // recreate 3
+    put(Seq((1, Some("v1b"))))                     // update 1
+    def tableMap(df: org.apache.spark.sql.DataFrame): Map[Int, String] =
+      df.select(col("id"), col("data").cast("string"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val want = (0 until 10).filter(_ != 7).map {
+      case 1 => 1 -> "v1b"
+      case 3 => 3 -> "v3b"
+      case i => i -> s"v$i"
+    }.toMap
+    assert(tableMap(Ripple.readTable(spark, root, "ktv")) == want)
+    // tombstone-visibility arm: the view hides key 7 entirely while the
+    // plain envelope read still surfaces both deletes
+    assert(Ripple.read(spark, root, "ktv").filter(col("data").isNull)
+      .select("id").as[Int].collect().toSet == Set(3, 7))
+    // SQL spellings (explicit parser — no extensions needed): envelope
+    // and table view
+    val parser = new graft.GraftSqlParser(spark.sessionState.sqlParser)
+    def sql(stmt: String) = org.apache.spark.sql.graft.bridge.ofRows(
+      spark, parser.parsePlan(stmt))
+    assert(sql(s"READ TOPIC ktv IN '$root'").count() ==
+      Ripple.read(spark, root, "ktv").count())
+    assert(tableMap(sql(s"READ TOPIC ktv AS TABLE IN '$root'")) == want)
+    // equivalence: a FULL compaction with aged-out tombstones
+    // materializes exactly the view — readTable(pre) == read(post) ==
+    // readTable(post)
+    Ripple.setTopicConfig(root, "ktv", graft.connector.TopicConfig(
+      tombstoneRetentionMs = Some(24L * 3600 * 1000)))
+    assert(Ripple.compactKeyed(root, "ktv") > 0)
+    // fresh dirt in both buckets (same values — the keyed table is
+    // unchanged) + two days of simulated clean time
+    put(want.toSeq.sortBy(_._1).map { case (k, v) => (k, Some(v)) })
+    val tlog = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    tlog.buckets("ktv").foreach { tb =>
+      tlog.segments(tb).collect {
+        case (p, _, _) if graft.log.SegmentCodec.isSparse(p.getName) =>
+          tlog.fs.setTimes(p,
+            System.currentTimeMillis() - 2L * 24 * 3600 * 1000, -1)
+      }
+    }
+    assert(Ripple.compactKeyed(root, "ktv") > 0)
+    val plainAfter = Ripple.read(spark, root, "ktv")
+    assert(plainAfter.filter(col("data").isNull).count() == 0,
+      "aged tombstones must be gone from the compacted log")
+    assert(tableMap(plainAfter) == want,
+      "the fully-compacted log IS the table the view computed")
+    assert(tableMap(Ripple.readTable(spark, root, "ktv")) == want,
+      "the view is idempotent over the compacted log")
   }
 
   test("keyed-compaction spill scratch resolves to Spark's provisioned local dir inside a Spark JVM") {
