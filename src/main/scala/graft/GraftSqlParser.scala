@@ -51,6 +51,8 @@ import org.apache.spark.sql.types._
   *   DROP CONSUMER <id> ON <name> [IN '<root>']
   *   PIN SNAPSHOT <pin> ON <name> [(ttlMs = N)] [IN '<root>']
   *   DROP SNAPSHOT <pin> ON <name> [IN '<root>']
+  *   VACUUM SNAPSHOTS ON <name> [(graceMs = N)] [IN '<root>']       -- round 18
+  *   EXPIRE CONSUMERS ON <name> (olderThanMs = N) [IN '<root>']     -- round 18
   * }}}
   *
   * and (round 18) the READ statements — the console reads data, not just
@@ -112,6 +114,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       PinSnapshotCommand(name, topic, Option(opts), Option(root))
     case DropSnapshotStmt(name, topic, root) =>
       DropSnapshotCommand(name, topic, Option(root))
+    case VacuumSnapshotsStmt(name, opts, root) =>
+      VacuumSnapshotsCommand(name, Option(opts), Option(root))
+    case ExpireConsumersStmt(name, kvs, root) =>
+      ExpireConsumersCommand(name, kvs, Option(root))
     case DropTopicStmt(name, force, root) =>
       DropTopicCommand(name, force != null, Option(root))
     case ReadTopicStmt(name, asTable, root) =>
@@ -186,6 +192,13 @@ object GraftSqlParser {
     """(?is)\s*PIN\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val DropSnapshotStmt =
     """(?is)\s*DROP\s+SNAPSHOT\s+`?([A-Za-z0-9._-]+)`?\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  // Weekly-cron hygiene verbs. No reserved-word hazard: core Spark has
+  // no VACUUM production (Delta's is `VACUUM <table>`, never `VACUUM
+  // SNAPSHOTS ON`) and no EXPIRE at all.
+  private val VacuumSnapshotsStmt =
+    """(?is)\s*VACUUM\s+SNAPSHOTS\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ExpireConsumersStmt =
+    """(?is)\s*EXPIRE\s+CONSUMERS\s+ON\s+`?([A-Za-z0-9._-]+)`?\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   // Data READ statements. No reserved-word hazard: Spark SQL has no
   // statement-initial READ production.
   private val ReadTopicStmt =
@@ -669,5 +682,60 @@ case class DropSnapshotCommand(name: String, topic: String,
   override def run(spark: SparkSession): Seq[Row] = {
     Ripple.dropSnapshot(resolveRoot(root, spark), topic, name)
     Seq(Row(name, topic, true))
+  }
+}
+
+/** `VACUUM SNAPSHOTS ON t [(graceMs = N)] [IN '<root>']` —
+  * garbage-collect pins that EXPIRED more than `graceMs` ago
+  * ([[graft.api.Ripple.vacuumSnapshots]]; one of the two weekly-cron
+  * hygiene calls). Unexpired and no-expiry pins are never touched.
+  * Returns (topic, grace_ms, pins_removed).
+  */
+case class VacuumSnapshotsCommand(topic: String, opts: Option[String],
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("grace_ms", LongType),
+    attr("pins_removed", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(opts.getOrElse(""))
+    val unknown = kvs.keySet -- Set("gracems")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown VACUUM SNAPSHOTS key(s) '${unknown.mkString(", ")}' " +
+        "— valid: graceMs")
+    val grace = kvs.get("gracems").map(AdminKvs.longOf("graceMs", _)).getOrElse(0L)
+    if (grace < 0) throw new IllegalArgumentException(
+      s"ripple: VACUUM SNAPSHOTS graceMs must be >= 0, got $grace")
+    val n = Ripple.vacuumSnapshots(resolveRoot(root, spark), topic, grace)
+    Seq(Row(topic, grace, n))
+  }
+}
+
+/** `EXPIRE CONSUMERS ON t (olderThanMs = N) [IN '<root>']` — delete the
+  * committed state of consumers idle past the threshold
+  * ([[graft.api.Ripple.expireConsumers]], Kafka
+  * `offsets.retention.minutes` parity; the other weekly-cron call).
+  * A live streaming consumer refreshes its stamp every epoch and can
+  * never expire under a sane threshold; the Scala call's own positivity
+  * guard and pre-delete activity re-check apply verbatim. Returns one
+  * row per expired consumer — zero rows = nothing was idle enough.
+  */
+case class ExpireConsumersCommand(topic: String, kvText: String,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("consumer", StringType), attr("topic", StringType),
+    attr("expired", BooleanType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(kvText)
+    val unknown = kvs.keySet -- Set("olderthanms")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown EXPIRE CONSUMERS key(s) '${unknown.mkString(", ")}' " +
+        "— valid: olderThanMs")
+    val older = kvs.get("olderthanms").map(AdminKvs.longOf("olderThanMs", _))
+      .getOrElse(throw new IllegalArgumentException(
+        "ripple: EXPIRE CONSUMERS requires (olderThanMs = N)"))
+    Ripple.expireConsumers(resolveRoot(root, spark), topic, older)
+      .sorted.map(id => Row(id, topic, true))
   }
 }

@@ -768,6 +768,72 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** SQL hygiene verbs end-to-end (q175): the two weekly-cron calls —
+    * [[Ripple.vacuumSnapshots]] and [[Ripple.expireConsumers]] — driven
+    * through [[graft.GraftSqlParser]] statements. A TTL'd pin expires and
+    * `VACUUM SNAPSHOTS` collects exactly it; a DEAD consumer's cursor
+    * (idle 10 planted days) clamps `protectConsumers` retention to
+    * offset 100 until `EXPIRE CONSUMERS (olderThanMs = 24 h)` deletes
+    * exactly the dead ID — the SAME truncate then lands at 200, and the
+    * suffix read equals the oracle's `event_id >= 200` aggregate.
+    * Registry states (pin present → vacuumed, refused-then-allowed
+    * floors, expired ID list, live survivor) are `require`d in-body;
+    * statements are parsed explicitly so the gate holds on sessions
+    * without `spark.sql.extensions`.
+    */
+  def sqlHygieneAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "hyg", numBuckets = 1)
+    def slice(lo: Int, hi: Int) = ev
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .repartition(1).sortWithinPartitions("event_id")
+    Ripple.write(Ripple.pack(slice(0, 200), col("event_id")),
+      root, "hyg", numBuckets = 1)
+    Ripple.write(Ripple.pack(slice(200, Int.MaxValue), col("event_id")),
+      root, "hyg", numBuckets = 1)
+    val parser = new graft.GraftSqlParser(s.sessionState.sqlParser)
+    def runCmd(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(s)
+    // --- VACUUM SNAPSHOTS: an expired TTL'd pin is collected, exactly it
+    runCmd(s"PIN SNAPSHOT fleeting ON hyg (ttlMs = 1) IN '$root'")
+    Thread.sleep(30)
+    require(Ripple.snapshots(root, "hyg").map(_.name) == Seq("fleeting"),
+      "the expired pin is still registered until vacuumed")
+    require(runCmd(s"VACUUM SNAPSHOTS ON hyg (graceMs = 3600000) IN '$root'")
+      .head.getInt(2) == 0, "a pin expired less than graceMs ago survives")
+    require(runCmd(s"VACUUM SNAPSHOTS ON hyg IN '$root'").head.getInt(2) == 1,
+      "default grace must collect the expired pin")
+    require(Ripple.snapshots(root, "hyg").isEmpty, "registry empty after vacuum")
+    // --- EXPIRE CONSUMERS: the dead cursor stops clamping retention
+    graft.connector.ConsumerOffsets.commit(root, "hyg", "dead", Map("b0000" -> 100L))
+    graft.connector.ConsumerOffsets.commit(root, "hyg", "live", Map("b0000" -> 300L))
+    val fs = graft.log.LogFs.get(new HPath(root), graft.log.LogFs.activeHadoopConf)
+    val dDir = new HPath(new HPath(new HPath(root, "hyg"), ".consumers"), "dead")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(new HPath(dDir, "cursor.json"), old, old)
+    fs.setTimes(dDir, old, old)
+    Ripple.truncateBefore(root, "hyg", 200L, protectConsumers = true)
+    require(Ripple.earliestOffsets(root, "hyg")("b0000") == 0L,
+      "dead cursor must clamp the protected cut before expiry")
+    val ex = runCmd(
+      s"EXPIRE CONSUMERS ON hyg (olderThanMs = ${24L * 3600 * 1000}) IN '$root'")
+    require(ex.map(_.getString(0)) == Seq("dead"),
+      s"exactly the dead consumer expires, got $ex")
+    require(Ripple.consumerOffsets(root, "hyg").keySet == Set("live"),
+      "the live consumer survives SQL expiry")
+    Ripple.truncateBefore(root, "hyg", 200L, protectConsumers = true)
+    val floor = Ripple.earliestOffsets(root, "hyg")("b0000")
+    require(floor == 200L, s"expiry must unblock the cut to 200, got $floor")
+    Ripple.lift(Ripple.readRange(s, root, "hyg",
+        from = floor, until = Long.MaxValue), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** SQL admin WRITE statements end-to-end (q168): the q165 scenario with
     * every admin action driven through [[graft.GraftSqlParser]] statements
     * instead of Scala calls — `CREATE TOPIC` registers the topic,
@@ -1011,6 +1077,7 @@ object ConnectorQueries {
     "q172_sql_lifecycle" -> (sqlLifecycleAgg _),
     "q173_dict_compression" -> (dictCompressionAgg _),
     "q174_read_table" -> (readTableAgg _),
+    "q175_sql_hygiene" -> (sqlHygieneAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -1235,6 +1302,11 @@ object ConnectorQueries {
         |                    WHERE e2.event_id % 500 = e.event_id % 500
         |                      AND e2.event_id >= 200)""".stripMargin,
     "q164_consumer_expiry" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id >= 200""".stripMargin,
+    "q175_sql_hygiene" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users

@@ -3336,6 +3336,54 @@ class ConnectorSpec extends AnyFunSuite {
     finally s.conf.unset("spark.graft.root")
   }
 
+  test("SQL hygiene verbs: VACUUM SNAPSHOTS collects expired pins; EXPIRE CONSUMERS deletes idle cursors — loud on bad keys") {
+    val root = tmp()
+    val s = spark
+    val parser = new graft.GraftSqlParser(s.sessionState.sqlParser)
+    def run(sql: String): Seq[org.apache.spark.sql.Row] =
+      parser.parsePlan(sql)
+        .asInstanceOf[org.apache.spark.sql.execution.command.RunnableCommand].run(s)
+    Ripple.createTopic(root, "hv", numBuckets = 1)
+    import spark.implicits._
+    Ripple.write((0 until 10).map(i => (i, s"v$i".getBytes("UTF-8")))
+      .toDF("id", "data").repartition(1), root, "hv", numBuckets = 1)
+    // one pin that expires immediately, one permanent
+    run(s"PIN SNAPSHOT fleeting ON hv (ttlMs = 1) IN '$root'")
+    run(s"PIN SNAPSHOT keeper ON hv IN '$root'")
+    Thread.sleep(30)
+    // grace larger than the elapsed expiry: nothing collected yet
+    assert(run(s"VACUUM SNAPSHOTS ON hv (graceMs = 3600000) IN '$root'")
+      .head.getInt(2) == 0)
+    val vac = run(s"VACUUM SNAPSHOTS ON hv IN '$root'") // default grace 0
+    assert(vac.head.getLong(1) == 0L && vac.head.getInt(2) == 1, s"got $vac")
+    assert(Ripple.snapshots(root, "hv").map(_.name) == Seq("keeper"),
+      "the no-expiry pin must never vacuum")
+    intercept[IllegalArgumentException] {
+      run(s"VACUUM SNAPSHOTS ON hv (grace = 1) IN '$root'") }
+    intercept[IllegalArgumentException] {
+      run(s"VACUUM SNAPSHOTS ON hv (graceMs = -1) IN '$root'") }
+    // EXPIRE CONSUMERS: idle-10-days dies, live survives, idempotent
+    graft.connector.ConsumerOffsets.commit(root, "hv", "dead", Map("b0000" -> 3L))
+    graft.connector.ConsumerOffsets.commit(root, "hv", "live", Map("b0000" -> 5L))
+    val fs = graft.log.LogFs.get(new org.apache.hadoop.fs.Path(root),
+      graft.log.LogFs.activeHadoopConf)
+    val dDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root, "hv"),
+        ".consumers"), "dead")
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(dDir, "cursor.json"), old, old)
+    fs.setTimes(dDir, old, old)
+    val ex = run(s"EXPIRE CONSUMERS ON hv (olderThanMs = 86400000) IN '$root'")
+    assert(ex == Seq(org.apache.spark.sql.Row("dead", "hv", true)), s"got $ex")
+    assert(Ripple.consumerOffsets(root, "hv").keySet == Set("live"))
+    assert(run(s"EXPIRE CONSUMERS ON hv (olderThanMs = 86400000) IN '$root'")
+      .isEmpty, "second run expires nothing")
+    intercept[IllegalArgumentException] {
+      run(s"EXPIRE CONSUMERS ON hv (olderThan = 1) IN '$root'") }
+    intercept[IllegalArgumentException] {
+      run(s"EXPIRE CONSUMERS ON hv (olderThanMs = 0) IN '$root'") }
+  }
+
   test("zstd-dict topic: sink round-trip, keyed compaction RETRAINS the dict on its product") {
     import org.apache.spark.sql.functions._
     val root = tmp()
