@@ -65,8 +65,13 @@ import org.apache.spark.sql.types._
   * DataFrame:
   *
   * {{{
-  *   READ TOPIC <name> [AS TABLE] [IN '<root>']
+  *   READ TOPIC <name> [WITH HEADERS | AS TABLE] [IN '<root>']
   * }}}
+  *
+  * `WITH HEADERS` (round 18) appends the record-headers column
+  * (`headers ARRAY<STRUCT<key STRING, value BINARY>>`, KIP-82 parity —
+  * [[graft.api.Ripple.readWithHeaders]]); it composes with the envelope
+  * scan only — the table view reduces to latest-per-key and refuses it.
   *
   * `ALTER … SET` is a read-modify-write MERGE over the persisted
   * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
@@ -120,14 +125,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ExpireConsumersCommand(name, kvs, Option(root))
     case DropTopicStmt(name, force, root) =>
       DropTopicCommand(name, force != null, Option(root))
-    case ReadTopicStmt(name, asTable, root) =>
+    case ReadTopicStmt(name, withHeaders, asTable, root) =>
       // returns the composed DISTRIBUTED plan (scan, or scan + the
       // latest-per-key aggregation), not a RunnableCommand — a command
       // would collect a 100 TB topic to the driver
       val spark = SparkSession.active
       val r = resolveRoot(Option(root), spark)
-      (if (asTable == null) Ripple.read(spark, r, name)
-       else Ripple.readTable(spark, r, name)).queryExecution.logical
+      if (withHeaders != null && asTable != null)
+        throw new IllegalArgumentException(
+          "READ TOPIC ... WITH HEADERS AS TABLE: the table view reduces to " +
+            "latest-per-key and has no headers column — read one or the other")
+      (if (asTable != null) Ripple.readTable(spark, r, name)
+       else if (withHeaders != null) Ripple.readWithHeaders(spark, r, name)
+       else Ripple.read(spark, r, name)).queryExecution.logical
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -202,7 +212,7 @@ object GraftSqlParser {
   // Data READ statements. No reserved-word hazard: Spark SQL has no
   // statement-initial READ production.
   private val ReadTopicStmt =
-    """(?is)\s*READ\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+AS\s+TABLE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*READ\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+WITH\s+HEADERS)?(\s+AS\s+TABLE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong

@@ -315,7 +315,9 @@ object Ripple {
   }
 
   /** Batch append. Input needs `id INT`, `data BINARY`; optional `bucket
-    * STRING` and `ts TIMESTAMP` columns.
+    * STRING`, `ts TIMESTAMP` and `headers ARRAY<STRUCT<key STRING, value
+    * BINARY>>` (KIP-82 record headers — read back via
+    * [[readWithHeaders]]) columns.
     */
   def write(df: DataFrame, root: String, topic: String, numBuckets: Int = 4): Unit =
     df.write.format("ripple")
@@ -325,6 +327,18 @@ object Ripple {
   /** Batch scan of the topic envelope (topic, bucket, offset, id, data, ts). */
   def read(spark: SparkSession, root: String, topic: String): DataFrame =
     spark.read.format("ripple").option("path", root).option("topic", topic).load()
+
+  /** Batch envelope scan INCLUDING record headers (the Kafka connector's
+    * `includeHeaders=true`): envelope + trailing `headers
+    * ARRAY<STRUCT<key STRING, value BINARY>>` — null for a record that
+    * carries none, order and duplicate keys preserved (KIP-82). Write
+    * headers by giving [[write]]'s input an optional `headers` column of
+    * the same type. SQL spelling: `READ TOPIC t WITH HEADERS`.
+    */
+  def readWithHeaders(spark: SparkSession, root: String,
+      topic: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("includeHeaders", "true").load()
 
   /** Batch scan of SEVERAL topics as one frame (Kafka `subscribe` parity;
     * the envelope's `topic` column disambiguates). Works for streaming

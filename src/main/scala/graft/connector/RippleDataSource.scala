@@ -142,6 +142,14 @@ import scala.jdk.CollectionConverters._
   *     a compaction (clean-time aging — producer event-time stamps never
   *     age a delete) so lagging readers observe it before the key
   *     vanishes (Kafka `delete.retention.ms`)
+  *   - `includeHeaders` (read, default false): append the record-headers
+  *     column — `headers ARRAY<STRUCT<key STRING, value BINARY>>`
+  *     (`_headers` under `lift`), null for a record that carries none;
+  *     order and duplicate keys preserved (KIP-82, the Kafka connector's
+  *     option of the same name). Write headers by giving the sink an
+  *     optional `headers` column of the same shape. Pruning-aware: a
+  *     projection keeping `headers` but not `data` still seeks past
+  *     payload bytes and parses only the raw header blocks
   *   - `lift` (read, default false): expose the topic's REGISTERED payload
   *     schema ([[TopicSchemas]]) as typed columns (underscore-prefixed
   *     envelope metadata + payload fields), parsed executor-side; loud
@@ -165,7 +173,8 @@ class RippleDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ripple"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Schemas.envelope
+    if (options.getBoolean("includeHeaders", false)) Schemas.envelopeWithHeaders
+    else Schemas.envelope
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -303,6 +312,7 @@ object RippleConf {
       startingOffsetSet = options.containsKey("startingOffset"),
       allowDataLoss = options.getBoolean("allowDataLoss", false),
       lift = options.getBoolean("lift", false),
+      includeHeaders = options.getBoolean("includeHeaders", false),
       snapshot = Option(options.get("snapshot")).map { tok =>
         val (snapTopic, ranges, _) = TopicSnapshot.decode(tok)
         if (snapTopic != topics.head) throw new IllegalArgumentException(
@@ -361,6 +371,7 @@ case class RippleConf(
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,
     lift: Boolean = false,
+    includeHeaders: Boolean = false,
     snapshot: Option[Map[String, (Long, Long)]] = None,
     snapshotSchemaV: Option[Int] = None,
     startingTimestamp: Option[Long] = None,
@@ -499,7 +510,9 @@ class RippleTable(options: CaseInsensitiveStringMap) extends Table
     * caller-supplied schema.
     */
   override def schema(): StructType =
-    if (conf.lift) Schemas.lifted(conf.payloadSchema) else Schemas.envelope
+    if (conf.lift) Schemas.lifted(conf.payloadSchema, conf.includeHeaders)
+    else if (conf.includeHeaders) Schemas.envelopeWithHeaders
+    else Schemas.envelope
 
   override def capabilities(): java.util.Set[TableCapability] =
     Set(

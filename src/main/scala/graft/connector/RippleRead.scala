@@ -26,7 +26,9 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var prunedSchema: StructType =
-    if (conf.lift) graft.model.Schemas.lifted(conf.payloadSchema)
+    if (conf.lift)
+      graft.model.Schemas.lifted(conf.payloadSchema, conf.includeHeaders)
+    else if (conf.includeHeaders) graft.model.Schemas.envelopeWithHeaders
     else graft.model.Schemas.envelope
   private var pushed: Array[Filter] = Array.empty
 
@@ -740,14 +742,21 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
   // payload bytes.
   private def needsPayload: Boolean =
     if (lift) schema.fields.exists(f =>
-      !Set("_topic", "_bucket", "_offset", "_id", "_ts").contains(f.name))
+      !Set("_topic", "_bucket", "_offset", "_id", "_ts", "_headers")
+        .contains(f.name))
     else schema.fieldNames.contains("data")
+
+  // Record headers are their own pruning axis: a projection that keeps
+  // `headers` but drops `data` still seeks past payload bytes and parses
+  // only the (small, raw) header blocks.
+  private def needsHeaders: Boolean =
+    schema.fieldNames.contains(if (lift) "_headers" else "headers")
 
   private val (it, itStart) = {
     val seg = new HPath(p.segPath)
     def open(fs: org.apache.hadoop.fs.FileSystem, path: HPath) =
       if (needsPayload) SegmentCodec.read(fs, path)
-      else SegmentCodec.readHeaders(fs, path)
+      else SegmentCodec.readHeaders(fs, path, withRecordHeaders = needsHeaders)
     try (open(LogFs.get(seg, hconf.value.value), seg), p.segStart)
     catch {
       case _: java.io.FileNotFoundException =>
@@ -779,7 +788,8 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
     * poisoned partition — blobs written by pre-registry producers stay
     * readable as nulls next to their envelope metadata.
     */
-  private val liftedFieldNames = Set("_topic", "_bucket", "_offset", "_id", "_ts")
+  private val liftedFieldNames =
+    Set("_topic", "_bucket", "_offset", "_id", "_ts", "_headers")
   private val payloadParse: Option[(org.apache.spark.sql.catalyst.json.JacksonParser, Map[String, Int], Int)] =
     if (!lift) None else {
       val payloadFields = schema.fields.filter(f => !liftedFieldNames.contains(f.name))
@@ -826,6 +836,23 @@ class RipplePartitionReader(p: RippleInputPartition, schema: StructType,
           (id: Int, _: Long, _: Array[Byte], _: InternalRow) => java.lang.Integer.valueOf(id)
         case ("data", false) =>
           (_: Int, _: Long, d: Array[Byte], _: InternalRow) => d
+        case ("headers", false) | ("_headers", true) =>
+          // record headers (KIP-82): read off the iterator's per-frame
+          // state, Kafka-connector shape ARRAY<STRUCT<key, value>>;
+          // null for a record that carries none
+          (_: Int, _: Long, _: Array[Byte], _: InternalRow) => {
+            val hs = it.headers
+            if (hs == null) null
+            else {
+              val arr = new Array[Any](hs.length)
+              var j = 0
+              while (j < hs.length) {
+                arr(j) = InternalRow(UTF8String.fromString(hs(j)._1), hs(j)._2)
+                j += 1
+              }
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+            }
+          }
         case ("ts", false) | ("_ts", true) =>
           (_: Int, ts: Long, _: Array[Byte], _: InternalRow) =>
             java.lang.Long.valueOf(ts * 1000L) // millis → micros

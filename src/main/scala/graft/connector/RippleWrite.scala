@@ -24,7 +24,10 @@ import scala.collection.mutable
   * against the same `hdfs://`/`file:/` root on every executor.
   *
   * Input schema: `id INT` (required), `data BINARY` (required), optional
-  * `bucket STRING` (route explicitly), optional `ts TIMESTAMP`. Without a
+  * `bucket STRING` (route explicitly), optional `ts TIMESTAMP`, optional
+  * `headers ARRAY<STRUCT<key STRING, value BINARY>>` (KIP-82 record
+  * headers — per-record trace ids / content types that must not live
+  * inside the payload; read back with `includeHeaders=true`). Without a
   * bucket column, rows route by `id % numBuckets` — deterministic
   * placement, unlike the reference's random-with-replacement broker choice
   * (`internal/broker/broker.go:93-99`).
@@ -45,9 +48,26 @@ class RippleWrite(conf: RippleConf, schema: StructType, queryId: String) extends
 
 /** Which input columns feed the frame fields; resolved once on the driver. */
 case class WriteShape(idIdx: Int, dataIdx: Int, bucketIdx: Int, tsIdx: Int,
-    topicIdx: Int = -1)
+    topicIdx: Int = -1, headersIdx: Int = -1)
 
 object WriteShape {
+  /** True iff `dt` is the record-headers shape
+    * ([[graft.model.Schemas.headersType]]): ARRAY of STRUCT(key STRING,
+    * value BINARY) — nullability flags don't matter, field names and
+    * types do (a typo'd headers column must be loud, not silently
+    * dropped).
+    */
+  private def isHeadersType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(st: StructType, _) =>
+        st.fields.length == 2 &&
+          st.fields(0).name.equalsIgnoreCase("key") &&
+          st.fields(0).dataType == StringType &&
+          st.fields(1).name.equalsIgnoreCase("value") &&
+          st.fields(1).dataType == BinaryType
+      case _ => false
+    }
+
   def resolve(schema: StructType,
       topicColumn: Option[String] = None): WriteShape = {
     def idx(name: String, tpe: org.apache.spark.sql.types.DataType): Int = {
@@ -69,8 +89,18 @@ object WriteShape {
           s"(got ${schema.simpleString})")
       i
     }.getOrElse(-1)
+    // optional record headers (KIP-82): ARRAY<STRUCT<key STRING, value
+    // BINARY>>, the same shape `includeHeaders=true` reads back
+    val headersIdx = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase("headers"))
+      if (i >= 0 && !isHeadersType(schema(i).dataType))
+        throw new IllegalArgumentException(
+          "ripple write: column 'headers' must be ARRAY<STRUCT<key STRING, " +
+            s"value BINARY>>, got ${schema(i).dataType.simpleString}")
+      i
+    }
     WriteShape(id, data, idx("bucket", StringType), idx("ts", TimestampType),
-      topicIdx)
+      topicIdx, headersIdx)
   }
 }
 
@@ -246,10 +276,34 @@ class RippleDataWriter(conf: RippleConf, shape: WriteShape,
       else System.currentTimeMillis()
     if (tsMillis < o.minTs) o.minTs = tsMillis
     if (tsMillis > o.maxTs) o.maxTs = tsMillis
+    // optional record headers (KIP-82): a NULL/empty cell writes none
+    // (flag bit unset — zero wire cost); a NULL key inside is loud
+    val headers: graft.log.SegmentCodec.Headers =
+      if (shape.headersIdx < 0 || row.isNullAt(shape.headersIdx)) null
+      else {
+        val a = row.getArray(shape.headersIdx)
+        val n = a.numElements()
+        if (n == 0) null
+        else {
+          val hs = new Array[(String, Array[Byte])](n)
+          var i = 0
+          while (i < n) {
+            val s = a.getStruct(i, 2)
+            if (s == null || s.isNullAt(0))
+              throw new IllegalArgumentException(
+                "ripple write: record header with a NULL key — every " +
+                  "header needs a key")
+            hs(i) = (s.getUTF8String(0).toString,
+              if (s.isNullAt(1)) null else s.getBinary(1))
+            i += 1
+          }
+          hs
+        }
+      }
     // shared frame codec: raw positional frames when codec == none (the
     // wire-stable v1 layout); self-describing compressed frames otherwise;
     // the FrameWriter owns the zstd-dict train-then-reference protocol
-    o.fw.write(id, tsMillis, data)
+    o.fw.write(id, tsMillis, data, headers = headers)
     o.count += 1
   }
 

@@ -175,8 +175,58 @@ object SegmentCodec {
   private val HasOffsetFlag = 0x08
   private val TombstoneFlag = 0x10
   private val DictFrameFlag = 0x20
+  private val HeadersFlag = 0x40
   private val KnownFlags =
-    CodecMask | HasOffsetFlag | TombstoneFlag | DictFrameFlag
+    CodecMask | HasOffsetFlag | TombstoneFlag | DictFrameFlag | HeadersFlag
+
+  /** One record's headers: ordered (key, value) pairs, duplicate keys
+    * legal, value nullable — Kafka record-header parity (KIP-82: trace
+    * ids, content types, schema hints that must not live inside the
+    * payload). `null` headers = the record carries none (flag bit 6
+    * unset — zero wire cost for the overwhelmingly common no-header
+    * record); an EMPTY array is normalized to none on write.
+    */
+  type Headers = Array[(String, Array[Byte])]
+
+  /** Size in bytes of the encoded header block (excluding the 4-byte
+    * block-length prefix): `[count:int32]` then per header
+    * `[keyLen:int32][key utf8][valLen:int32, -1 = null][val]`. Headers
+    * stay RAW in a compressed frame — pruned scans and the keyed-
+    * compaction header walk must read them without a codec context.
+    */
+  private def headerBlockSize(hs: Headers): Int = {
+    var n = 4
+    var i = 0
+    while (i < hs.length) {
+      val (k, v) = hs(i)
+      n += 4 + k.getBytes(java.nio.charset.StandardCharsets.UTF_8).length +
+        4 + (if (v == null) 0 else v.length)
+      i += 1
+    }
+    n
+  }
+
+  private def writeHeaderBlock(out: DataOutputStream, hs: Headers): Unit = {
+    out.writeInt(headerBlockSize(hs))
+    out.writeInt(hs.length)
+    var i = 0
+    while (i < hs.length) {
+      val (k, v) = hs(i)
+      if (k == null) throw new IllegalArgumentException(
+        "record header with a NULL key — every header needs a key")
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
+      if (v == null) out.writeInt(-1)
+      else { out.writeInt(v.length); out.write(v) }
+      i += 1
+    }
+  }
+
+  /** True when `hs` names at least one header (the write-side gate for
+    * flag bit 6).
+    */
+  private def hasHeaders(hs: Headers): Boolean = hs != null && hs.length > 0
 
   /** Write ONE frame. The classic positional layout is kept verbatim for
     * raw frames (wire-stable — every pre-compression segment remains a
@@ -187,11 +237,16 @@ object SegmentCodec {
     * {{{
     *   v1: [len:int32>=12][id:int32][ts:int64][data: len-12 bytes]
     *   v2: [-len:int32][flags:uint8][offset:int64 if flags&8]
-    *       [id:int32][ts:int64][rawLen:int32 if codec!=0][payload]
+    *       [id:int32][ts:int64]
+    *       [hdrBlockLen:int32][headers block if flags&64]
+    *       [rawLen:int32 if codec!=0][payload]
     * }}}
     *
     * `flags` bits 0–2 carry the codec id ([[Codecs]]), bit 3 marks an
-    * explicit record offset (sparse segments — key compaction); unknown
+    * explicit record offset (sparse segments — key compaction), bit 6 a
+    * record-HEADERS block (KIP-82 parity, see [[Headers]] — kept RAW even
+    * when the payload compresses, and length-prefixed so a pruned scan
+    * skips it in one seek); unknown
     * bits are refused at read (a frame written by a newer engine must not
     * decode as garbage). Self-description is PER FRAME, which is what lets
     * compaction keep concatenating segments bytewise across codec/config
@@ -212,20 +267,26 @@ object SegmentCodec {
     * the topic's `tombstoneRetentionMs`, then drops the key entirely.
     */
   def writeFrame(out: DataOutputStream, id: Int, tsMillis: Long,
-      data: Array[Byte], codec0: Int = Codecs.None, offset: Long = -1L): Unit = {
+      data: Array[Byte], codec0: Int = Codecs.None, offset: Long = -1L,
+      headers: Headers = null): Unit = {
     // the DICT protocol needs writer state (train, emit the dict frame,
     // then reference it) — that lives in [[FrameWriter]], which the
     // sink, writeFrames and the keyed rewrite all use; a DIRECT
     // writeFrame under zstd-dict degrades to plain zstd, a legal mix
     val codec = if (codec0 == Codecs.ZstdDict) Codecs.Zstd else codec0
+    val hdrs = hasHeaders(headers)
+    val hdrLen = if (hdrs) 4 + headerBlockSize(headers) else 0
     if (data == null) { // tombstone: v2 frame, no payload, codec irrelevant
-      val flags = TombstoneFlag | (if (offset >= 0) HasOffsetFlag else 0)
-      val len = 1 + (if (offset >= 0) 8 else 0) + 12
+      // tombstones MAY carry headers (Kafka parity — a delete's trace id)
+      val flags = TombstoneFlag | (if (offset >= 0) HasOffsetFlag else 0) |
+        (if (hdrs) HeadersFlag else 0)
+      val len = 1 + (if (offset >= 0) 8 else 0) + 12 + hdrLen
       out.writeInt(-len)
       out.writeByte(flags)
       if (offset >= 0) out.writeLong(offset)
       out.writeInt(id)
       out.writeLong(tsMillis)
+      if (hdrs) writeHeaderBlock(out, headers)
       return
     }
     val d = data
@@ -235,22 +296,24 @@ object SegmentCodec {
         val c = Codecs.compress(codec, d)
         if (c.length + 5 < d.length) c else null // 5 = flags + rawLen overhead
       }
-    if (comp == null && offset < 0) {
+    if (comp == null && offset < 0 && !hdrs) {
       out.writeInt(4 + 8 + d.length)
       out.writeInt(id)
       out.writeLong(tsMillis)
       out.write(d)
     } else {
       val effCodec = if (comp == null) Codecs.None else codec
-      val flags = effCodec | (if (offset >= 0) HasOffsetFlag else 0)
+      val flags = effCodec | (if (offset >= 0) HasOffsetFlag else 0) |
+        (if (hdrs) HeadersFlag else 0)
       val body = if (comp == null) d else comp
-      val len = 1 + (if (offset >= 0) 8 else 0) + 12 +
+      val len = 1 + (if (offset >= 0) 8 else 0) + 12 + hdrLen +
         (if (effCodec != Codecs.None) 4 else 0) + body.length
       out.writeInt(-len)
       out.writeByte(flags)
       if (offset >= 0) out.writeLong(offset)
       out.writeInt(id)
       out.writeLong(tsMillis)
+      if (hdrs) writeHeaderBlock(out, headers)
       if (effCodec != Codecs.None) out.writeInt(d.length)
       out.write(body)
     }
@@ -272,23 +335,28 @@ object SegmentCodec {
     */
   private[log] def writeFrameWithDict(out: DataOutputStream, id: Int,
       tsMillis: Long, data: Array[Byte],
-      dict: com.github.luben.zstd.ZstdCompressCtx, offset: Long): Unit = {
+      dict: com.github.luben.zstd.ZstdCompressCtx, offset: Long,
+      headers: Headers = null): Unit = {
     if (data == null || data.length < Codecs.DictMinCompressBytes) {
-      writeFrame(out, id, tsMillis, data, Codecs.None, offset)
+      writeFrame(out, id, tsMillis, data, Codecs.None, offset, headers)
       return
     }
     val comp = Codecs.compressWithDict(dict, data)
     if (comp.length + 5 >= data.length) {
-      writeFrame(out, id, tsMillis, data, Codecs.None, offset)
+      writeFrame(out, id, tsMillis, data, Codecs.None, offset, headers)
       return
     }
-    val flags = Codecs.ZstdDict | (if (offset >= 0) HasOffsetFlag else 0)
-    val len = 1 + (if (offset >= 0) 8 else 0) + 12 + 4 + comp.length
+    val hdrs = hasHeaders(headers)
+    val hdrLen = if (hdrs) 4 + headerBlockSize(headers) else 0
+    val flags = Codecs.ZstdDict | (if (offset >= 0) HasOffsetFlag else 0) |
+      (if (hdrs) HeadersFlag else 0)
+    val len = 1 + (if (offset >= 0) 8 else 0) + 12 + hdrLen + 4 + comp.length
     out.writeInt(-len)
     out.writeByte(flags)
     if (offset >= 0) out.writeLong(offset)
     out.writeInt(id)
     out.writeLong(tsMillis)
+    if (hdrs) writeHeaderBlock(out, headers)
     out.writeInt(data.length)
     out.write(comp)
   }
@@ -309,25 +377,26 @@ object SegmentCodec {
       trainRecords: Int = 256) {
     private val buf =
       if (codec == Codecs.ZstdDict)
-        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Long)]
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Long, Headers)]
       else null
     private var dict: com.github.luben.zstd.ZstdCompressCtx = null
     private var trained = false
 
     def write(id: Int, tsMillis: Long, data: Array[Byte],
-        offset: Long = -1L): Unit =
+        offset: Long = -1L, headers: Headers = null): Unit =
       if (codec != Codecs.ZstdDict)
-        writeFrame(out, id, tsMillis, data, codec, offset)
-      else if (trained) emit(id, tsMillis, data, offset)
+        writeFrame(out, id, tsMillis, data, codec, offset, headers)
+      else if (trained) emit(id, tsMillis, data, offset, headers)
       else {
-        buf += ((id, tsMillis, data, offset))
+        buf += ((id, tsMillis, data, offset, headers))
         if (buf.size >= trainRecords) train()
       }
 
     private def emit(id: Int, tsMillis: Long, data: Array[Byte],
-        offset: Long): Unit =
-      if (dict == null) writeFrame(out, id, tsMillis, data, Codecs.Zstd, offset)
-      else writeFrameWithDict(out, id, tsMillis, data, dict, offset)
+        offset: Long, headers: Headers): Unit =
+      if (dict == null)
+        writeFrame(out, id, tsMillis, data, Codecs.Zstd, offset, headers)
+      else writeFrameWithDict(out, id, tsMillis, data, dict, offset, headers)
 
     private def train(): Unit = {
       trained = true
@@ -337,7 +406,7 @@ object SegmentCodec {
         writeDictFrame(out, d)
         dict = Codecs.dictCompressCtx(d)
       }
-      buf.foreach { case (id, ts, data, off) => emit(id, ts, data, off) }
+      buf.foreach { case (id, ts, data, off, hs) => emit(id, ts, data, off, hs) }
       buf.clear()
     }
 
@@ -347,8 +416,8 @@ object SegmentCodec {
     def finish(): Unit = {
       if (codec == Codecs.ZstdDict && !trained) {
         trained = true
-        buf.foreach { case (id, ts, data, off) =>
-          writeFrame(out, id, ts, data, Codecs.Zstd, off) }
+        buf.foreach { case (id, ts, data, off, hs) =>
+          writeFrame(out, id, ts, data, Codecs.Zstd, off, hs) }
         buf.clear()
       }
       dispose()
@@ -389,7 +458,8 @@ object SegmentCodec {
     * read path for projections that drop `data`: a metadata-only scan of a
     * 100 TB topic should pay header bytes, not payload bytes.
     */
-  final class FrameIterator(raw: InputStream, skipData: Boolean = false)
+  final class FrameIterator(raw: InputStream, skipData: Boolean = false,
+      parseHeaders: Boolean = true)
       extends Iterator[(Int, Long, Array[Byte])] with AutoCloseable {
     private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
     private var eof = false
@@ -419,6 +489,13 @@ object SegmentCodec {
       */
     var tombstone: Boolean = false
 
+    /** The just-returned frame's record HEADERS ([[Headers]] — ordered
+      * (key, value) pairs, KIP-82 parity), or null when the frame carries
+      * none, or when this iterator was opened with `parseHeaders = false`
+      * (metadata walks skip the block in one seek, zero allocation).
+      */
+    var headers: Headers = null
+
     /** The stream's CURRENT zstd dictionary — set by the most recent
       * DICT frame, referenced by [[Codecs.ZstdDict]] record frames.
       */
@@ -434,6 +511,7 @@ object SegmentCodec {
         if (nextLen >= 0) { // v1 positional frame
           explicitOffset = -1L
           tombstone = false
+          headers = null
           val id = in.readInt()
           val ts = in.readLong()
           val data =
@@ -465,10 +543,60 @@ object SegmentCodec {
           val codec = flags & CodecMask
           val hasOff = (flags & HasOffsetFlag) != 0
           tombstone = (flags & TombstoneFlag) != 0
+          val hasHdrs = (flags & HeadersFlag) != 0
           explicitOffset = if (hasOff) in.readLong() else -1L
           val id = in.readInt()
           val ts = in.readLong()
-          val headerLen = 1 + (if (hasOff) 8 else 0) + 12 +
+          // fixed prefix consumed so far: flags + offset? + id + ts
+          val fixedLen = 1 + (if (hasOff) 8 else 0) + 12
+          headers = null
+          var hdrTotal = 0
+          if (hasHdrs) {
+            val blockLen = in.readInt()
+            hdrTotal = 4 + blockLen
+            if (blockLen < 4 || fixedLen + hdrTotal > absLen)
+              throw new java.io.IOException(
+                s"corrupt frame: header block length $blockLen out of " +
+                  s"bounds (frame $absLen)")
+            if (parseHeaders) {
+              val count = in.readInt()
+              // each header costs >= 8 bytes (two length prefixes), so a
+              // corrupt count can't drive an over-allocation past the
+              // already-validated block length
+              if (count < 0 || 4 + count.toLong * 8 > blockLen)
+                throw new java.io.IOException(
+                  s"corrupt frame: header count $count exceeds block $blockLen")
+              val hs = new Array[(String, Array[Byte])](count)
+              var consumed = 4
+              var i = 0
+              while (i < count) {
+                val kl = in.readInt()
+                if (kl < 0 || consumed + 8 + kl > blockLen)
+                  throw new java.io.IOException(
+                    s"corrupt frame: header key length $kl overruns block")
+                val kb = new Array[Byte](kl)
+                in.readFully(kb)
+                val vl = in.readInt()
+                consumed += 8 + kl
+                val v = if (vl < 0) null else {
+                  if (consumed + vl > blockLen)
+                    throw new java.io.IOException(
+                      s"corrupt frame: header value length $vl overruns block")
+                  val vb = new Array[Byte](vl)
+                  in.readFully(vb)
+                  consumed += vl
+                  vb
+                }
+                hs(i) = (new String(kb, java.nio.charset.StandardCharsets.UTF_8), v)
+                i += 1
+              }
+              if (consumed != blockLen) throw new java.io.IOException(
+                s"corrupt frame: header block declares $blockLen bytes, " +
+                  s"entries consume $consumed")
+              headers = hs
+            } else skipFully(blockLen.toLong)
+          }
+          val headerLen = fixedLen + hdrTotal +
             (if (codec != Codecs.None) 4 else 0)
           if (absLen < headerLen) throw new java.io.IOException(
             s"corrupt frame: extended length $absLen < header $headerLen")
@@ -478,10 +606,11 @@ object SegmentCodec {
           val data =
             if (tombstone) null
             else if (skipData) {
-              // everything after ts (the rawLen field, if any, plus the
-              // payload) is skipped in one seek — flags/offset/id/ts are
-              // already consumed, so absLen minus those is what remains
-              skipFully(absLen - (headerLen - (if (codec != Codecs.None) 4 else 0)).toLong)
+              // everything after ts/headers (the rawLen field, if any,
+              // plus the payload) is skipped in one seek — flags/offset/
+              // id/ts/headers are already consumed, so absLen minus those
+              // is what remains
+              skipFully((absLen - fixedLen - hdrTotal).toLong)
               Array.emptyByteArray
             } else if (codec == Codecs.None) {
               val d = new Array[Byte](absLen - headerLen)
@@ -529,10 +658,15 @@ object SegmentCodec {
     new FrameIterator(fs.open(file))
 
   /** Header-only iterate: (id, tsMillis, empty) with payload bytes
-    * skipped, for `data`-pruned scans.
+    * skipped, for `data`-pruned scans. Record-header blocks are skipped
+    * too (metadata walks don't pay their allocation); pass
+    * `withRecordHeaders = true` for a scan that projects `headers` but
+    * not `data` — payload bytes stay skipped, header blocks parse.
     */
-  def readHeaders(fs: FileSystem, file: HPath): FrameIterator =
-    new FrameIterator(fs.open(file), skipData = true)
+  def readHeaders(fs: FileSystem, file: HPath,
+      withRecordHeaders: Boolean = false): FrameIterator =
+    new FrameIterator(fs.open(file), skipData = true,
+      parseHeaders = withRecordHeaders)
 
   /** Hard per-task budget for keyed compaction's id → last-offset state,
     * in ENTRIES — the Kafka `log.cleaner.dedupe.buffer.size` analog, but
@@ -754,7 +888,9 @@ object SegmentCodec {
               // offset cursor must advance past dropped tombstones too.
               if (retained.isRetained(id, cur) &&
                   !(it.tombstone && tombDroppable)) {
-                fw.write(id, ts, data, offset = cur)
+                // record headers ride along byte-preserved — compaction
+                // keeps the retained record WHOLE (KIP-82 parity)
+                fw.write(id, ts, data, offset = cur, headers = it.headers)
                 rows += 1
                 if (ts < minTs) minTs = ts
                 if (ts > maxTs) maxTs = ts
@@ -973,12 +1109,26 @@ object SegmentCodec {
     sameFrameStreams(read(fs, a), read(fs, b))
   }
 
+  private def sameHeaders(a: Headers, b: Headers): Boolean = {
+    val la = if (a == null) 0 else a.length
+    val lb = if (b == null) 0 else b.length
+    if (la != lb) return false
+    var i = 0
+    while (i < la) {
+      if (a(i)._1 != b(i)._1 ||
+          !java.util.Arrays.equals(a(i)._2, b(i)._2)) return false
+      i += 1
+    }
+    true
+  }
+
   private def sameFrameStreams(ia: FrameIterator, ib: FrameIterator): Boolean =
     try {
       while (ia.hasNext && ib.hasNext) {
         val (idA, _, dataA) = ia.next()
         val (idB, _, dataB) = ib.next()
-        if (idA != idB || !java.util.Arrays.equals(dataA, dataB)) return false
+        if (idA != idB || !java.util.Arrays.equals(dataA, dataB) ||
+            !sameHeaders(ia.headers, ib.headers)) return false
       }
       !ia.hasNext && !ib.hasNext
     } finally { ia.close(); ib.close() }

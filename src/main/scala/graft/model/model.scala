@@ -40,6 +40,16 @@ final case class LogRecord(
     ts: java.sql.Timestamp)
 
 object Schemas {
+  /** Record-headers column type — the Kafka connector's `headers` shape
+    * (KIP-82 / `includeHeaders=true` parity): ordered (key, value) pairs,
+    * duplicate keys legal, value nullable. An array of structs, NOT a
+    * map — header order and duplicates are part of the record.
+    */
+  val headersType: ArrayType = ArrayType(StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true)
+  )), containsNull = false)
+
   /** Envelope schema of a topic scan — the idiomatic Spark rendering of an
     * opaque-payload message queue (key/value BINARY + metadata columns).
     */
@@ -52,6 +62,13 @@ object Schemas {
     StructField("ts", TimestampType, nullable = true)
   ))
 
+  /** Envelope + trailing `headers` column — the `includeHeaders=true`
+    * read schema (null when the record carries no headers).
+    */
+  val envelopeWithHeaders: StructType =
+    StructType(envelope.fields :+
+      StructField("headers", headersType, nullable = true))
+
   /** Payload-only schema (what producers write). */
   val payload: StructType = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
@@ -63,11 +80,15 @@ object Schemas {
     * named ts/id/offset, so the metadata prefix prevents collisions (the
     * same convention [[graft.api.Ripple.lift]] has always produced).
     */
-  def lifted(payload: StructType): StructType = StructType(Seq(
+  def lifted(payload: StructType,
+      includeHeaders: Boolean = false): StructType = StructType(Seq(
     StructField("_topic", StringType, nullable = false),
     StructField("_bucket", StringType, nullable = false),
     StructField("_offset", LongType, nullable = false),
     StructField("_id", IntegerType, nullable = false),
     StructField("_ts", TimestampType, nullable = true)
-  ) ++ payload.fields)
+  ) ++ (if (includeHeaders)
+          Seq(StructField("_headers", headersType, nullable = true))
+        else Seq.empty)
+    ++ payload.fields)
 }

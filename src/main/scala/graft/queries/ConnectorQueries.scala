@@ -834,6 +834,68 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Record headers end-to-end (q176, KIP-82 / the Kafka connector's
+    * `includeHeaders` parity): every event is produced with per-record
+    * headers carrying its event_type, user_id and decimal value NEXT TO
+    * an opaque payload; an update wave rewrites `event_id < 100` with an
+    * extra ("gen","2") header; keyed compaction reduces to
+    * latest-per-key — headers must survive the rewrite. The final frame
+    * derives EVERY output column from HEADER bytes over a
+    * payload-PRUNED projection (`data` never read), so the oracle match
+    * proves the headers plane end-to-end: write encode, frame codec,
+    * compaction carry-through, pruned decode. In-body requires pin the
+    * opt-in contract (the default envelope read has no headers column)
+    * and `READ TOPIC … WITH HEADERS` SQL parity.
+    */
+  def recordHeadersAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id").cast("int").as("id"), col("user_id"),
+        col("event_type"), col("value"))
+    def packH(df: DataFrame, gen2: Boolean): DataFrame = {
+      val base = Seq(
+        struct(lit("etype").as("key"),
+          col("event_type").cast("binary").as("value")),
+        struct(lit("uid").as("key"),
+          col("user_id").cast("string").cast("binary").as("value")),
+        struct(lit("val").as("key"),
+          col("value").cast(DecimalType(30, 6)).cast("string")
+            .cast("binary").as("value")))
+      val hs = if (gen2) base :+ struct(lit("gen").as("key"),
+        lit("2".getBytes("UTF-8")).as("value")) else base
+      df.select(col("id"),
+          col("event_type").cast("binary").as("data"), // payload is NOT what the gate reads
+          array(hs: _*).as("headers"))
+        .repartition(1).sortWithinPartitions("id")
+    }
+    Ripple.createTopic(root, "rh", numBuckets = 2)
+    Ripple.write(packH(ev, gen2 = false), root, "rh", numBuckets = 2)
+    Ripple.write(packH(ev.filter(col("id") < 100), gen2 = true),
+      root, "rh", numBuckets = 2)
+    val total = ev.count()
+    // headers are OPT-IN: the classic envelope is wire-stable
+    require(!Ripple.read(s, root, "rh").columns.contains("headers"),
+      "default read must not grow a headers column")
+    // SQL spelling parity before compaction
+    val sqlN = org.apache.spark.sql.graft.bridge.ofRows(s,
+      new graft.GraftSqlParser(s.sessionState.sqlParser)
+        .parsePlan(s"READ TOPIC rh WITH HEADERS IN '$root'"))
+      .filter(col("headers").isNotNull).count()
+    require(sqlN == total + 100,
+      s"READ TOPIC … WITH HEADERS must see every record's headers, got $sqlN")
+    require(Ripple.compactKeyed(root, "rh") > 0, "keyed compaction must run")
+    // payload-pruned projection: every output derives from header bytes
+    val t = Ripple.readWithHeaders(s, root, "rh").select("id", "headers")
+    def h(key: String) =
+      expr(s"cast(filter(headers, x -> x.key = '$key')[0].value as string)")
+    t.groupBy(h("etype").as("etype"))
+      .agg(count(lit(1)).as("n"),
+        count(when(expr("exists(headers, x -> x.key = 'gen')"), lit(1)))
+          .as("n_gen2"),
+        sum(h("uid").cast("long")).as("total_uid"),
+        sum(h("val").cast(DecimalType(30, 6))).cast("double").as("total_value"))
+  }
+
   /** SQL admin WRITE statements end-to-end (q168): the q165 scenario with
     * every admin action driven through [[graft.GraftSqlParser]] statements
     * instead of Scala calls — `CREATE TOPIC` registers the topic,
@@ -1078,6 +1140,7 @@ object ConnectorQueries {
     "q173_dict_compression" -> (dictCompressionAgg _),
     "q174_read_table" -> (readTableAgg _),
     "q175_sql_hygiene" -> (sqlHygieneAgg _),
+    "q176_record_headers" -> (recordHeadersAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -1311,6 +1374,15 @@ object ConnectorQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_id >= 200""".stripMargin,
+    // q176: the Spark side derives every column from RECORD HEADER bytes
+    // over a payload-pruned scan of the compacted topic; the oracle is
+    // the same reduction straight off the source table
+    "q176_record_headers" ->
+      """SELECT event_type AS etype, count(1) AS n,
+        |  count(CASE WHEN event_id < 100 THEN 1 END) AS n_gen2,
+        |  CAST(SUM(user_id) AS BIGINT) AS total_uid,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q162_consumer_reset_arms" ->
       """SELECT 'earliest' AS arm, count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

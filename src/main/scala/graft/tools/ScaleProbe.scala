@@ -113,7 +113,12 @@ object ScaleProbe {
     // max_by aggregation whose shuffle is bounded by distinct keys (500
     // here); the cell watches that bound holding while the log under it
     // grows 10x
-    "q174_read_table"
+    "q174_read_table",
+    // round-18: record headers — per-record header blocks ride every
+    // frame write, the keyed rewrite, and a payload-PRUNED read; the
+    // cell watches the header plane staying O(header bytes) while
+    // payload bytes grow 10x under it
+    "q176_record_headers"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64

@@ -3449,4 +3449,91 @@ class ConnectorSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { graft.AdminKvs.parse("nokey") }
   }
+
+  test("record headers through the connector: round-trip, pruned projection, SQL WITH HEADERS, keyed compaction keeps the latest") {
+    val root = tmp()
+    Ripple.createTopic(root, "hdr", numBuckets = 2)
+    import spark.implicits._
+    // even ids carry 3 ordered headers (one with a NULL value); odd none
+    val df = samplePayloads(20).withColumn("headers",
+      when(col("id") % 2 === 0, array(
+        struct(lit("parity").as("key"),
+          lit("even".getBytes("UTF-8")).as("value")),
+        struct(lit("trace").as("key"),
+          concat(lit("t-"), col("id").cast("string")).cast("binary").as("value")),
+        struct(lit("nil").as("key"), lit(null).cast("binary").as("value")))))
+    Ripple.write(df, root, "hdr", numBuckets = 2)
+
+    // default read keeps the classic envelope — headers are OPT-IN
+    assert(!Ripple.read(spark, root, "hdr").columns.contains("headers"))
+    val wh = Ripple.readWithHeaders(spark, root, "hdr")
+    assert(wh.schema("headers").dataType == graft.model.Schemas.headersType)
+    assert(wh.filter(col("headers").isNull).count() == 10) // odd ids: none
+    def flat(d: org.apache.spark.sql.DataFrame) = d
+      .filter(col("headers").isNotNull)
+      .select(col("id"), posexplode(col("headers")))
+      .select(col("id"), col("pos"), col("col.key"),
+        col("col.value").cast("string"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    val want = (0 until 20 by 2).flatMap(i => Seq(
+      (i, 0, "parity", Some("even")),
+      (i, 1, "trace", Some(s"t-$i")),
+      (i, 2, "nil", None))).toSet
+    assert(flat(wh) == want)
+    // payload-pruned projection (no `data`): header blocks still parse —
+    // the skip walk seeks past payload bytes only
+    assert(flat(wh.select("id", "headers")) == want)
+
+    // SQL spelling, and the table-view refusal
+    val parser = new graft.GraftSqlParser(spark.sessionState.sqlParser)
+    def sql(stmt: String) = org.apache.spark.sql.graft.bridge.ofRows(
+      spark, parser.parsePlan(stmt))
+    assert(flat(sql(s"READ TOPIC hdr WITH HEADERS IN '$root'")) == want)
+    val e = intercept[IllegalArgumentException] {
+      parser.parsePlan(s"READ TOPIC hdr WITH HEADERS AS TABLE IN '$root'")
+    }
+    assert(e.getMessage.contains("no headers column"), e.getMessage)
+
+    // keyed compaction keeps exactly the LATEST record's headers per key
+    val gen2 = samplePayloads(5).withColumn("headers",
+      array(struct(lit("gen").as("key"),
+        lit("2".getBytes("UTF-8")).as("value"))))
+    Ripple.write(gen2, root, "hdr", numBuckets = 2)
+    assert(Ripple.compactKeyed(root, "hdr") > 0)
+    val after = flat(Ripple.readWithHeaders(spark, root, "hdr"))
+    val wantAfter = (6 until 20 by 2).flatMap(i => Seq(
+      (i, 0, "parity", Some("even")),
+      (i, 1, "trace", Some(s"t-$i")),
+      (i, 2, "nil", None))).toSet ++
+      (0 until 5).map(i => (i, 0, "gen", Some("2"))).toSet
+    assert(after == wantAfter)
+
+    // lifted read surfaces `_headers` next to parsed payload columns
+    Ripple.createTopic(root, "hdrl", numBuckets = 1)
+    val log = graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf)
+    graft.connector.TopicSchemas.register(log, "hdrl",
+      StructType(Seq(StructField("k", IntegerType))))
+    Ripple.write(
+      spark.range(3).select(col("id").cast("int").as("id"),
+        to_json(struct(col("id").cast("int").as("k"))).cast("binary").as("data"),
+        array(struct(lit("src").as("key"),
+          lit("lift".getBytes("UTF-8")).as("value"))).as("headers")),
+      root, "hdrl", numBuckets = 1)
+    val lifted = spark.read.format("ripple").option("path", root)
+      .option("topic", "hdrl").option("lift", "true")
+      .option("includeHeaders", "true").load()
+    val lr = lifted.select(col("k"), col("_headers")(0).getField("key"),
+        col("_headers")(0).getField("value").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(lr == (0 until 3).map(i => (i, "src", "lift")).toSet)
+
+    // a mis-typed headers column on write is loud, not silently dropped
+    val bad = intercept[Exception] {
+      Ripple.write(samplePayloads(2).withColumn("headers",
+        array(lit("not-a-struct"))), root, "hdr", numBuckets = 2)
+    }
+    assert(bad.getMessage.contains("headers"), bad.getMessage)
+  }
 }

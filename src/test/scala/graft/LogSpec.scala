@@ -590,9 +590,10 @@ class LogSpec extends AnyFunSuite {
     assert(mixedBack.zip(rows).forall { case ((_, _, d), (p, _)) =>
       java.util.Arrays.equals(d, p.data) })
     // unknown flag bits (a future engine's frame) are loud, not garbage
+    // (0x80 is the last unassigned bit — 0x40 became record headers in r18)
     val future = dir.resolve("future")
     val dos = new java.io.DataOutputStream(Files.newOutputStream(future))
-    dos.writeInt(-(1 + 12)); dos.writeByte(0x40); dos.writeInt(1); dos.writeLong(0L)
+    dos.writeInt(-(1 + 12)); dos.writeByte(0x80); dos.writeInt(1); dos.writeLong(0L)
     dos.close()
     val it = SegmentCodec.read(future)
     val e = intercept[java.io.IOException] { it.next() }
@@ -983,5 +984,138 @@ class LogSpec extends AnyFunSuite {
       Codecs.decompress(Codecs.Deflate, torn, raw.length)
     }
     assert(e.getMessage.contains("torn or overwritten"))
+  }
+
+  test("record headers (KIP-82): round-trip per codec, tombstone headers, skip walk, keyed rewrite, loud corruption") {
+    import graft.log.Codecs
+    val dir = Files.createTempDirectory("hdrs")
+    def hs(kvs: (String, Array[Byte])*): Array[(String, Array[Byte])] =
+      kvs.toArray
+    def hview(h: Array[(String, Array[Byte])]): Seq[(String, Option[String])] =
+      if (h == null) null
+      else h.toSeq.map { case (k, v) =>
+        (k, Option(v).map(new String(_, "UTF-8"))) }
+    val big = ("lorem ipsum dolor sit amet " * 40).getBytes("UTF-8")
+    for (codec <- Seq(Codecs.None, Codecs.Zstd, Codecs.ZstdDict)) {
+      val f = dir.resolve(s"h$codec")
+      val out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(Files.newOutputStream(f)))
+      val fw = new SegmentCodec.FrameWriter(out, codec, trainRecords = 3)
+      // duplicate keys + a null value + non-ASCII: all legal, order kept
+      fw.write(1, 1000L, big, headers =
+        hs("trace" -> "t-1".getBytes("UTF-8"), "trace" -> "t-2".getBytes("UTF-8"),
+          "schéma" -> null))
+      fw.write(2, 2000L, big) // no headers: flag unset, zero wire cost
+      fw.write(3, 3000L, null, headers = hs("why" -> "gdpr".getBytes("UTF-8"))) // tombstone + headers
+      fw.write(4, 4000L, big, headers = Array.empty) // empty normalizes to none
+      fw.write(5, 5000L, "tiny".getBytes("UTF-8"), offset = 41L,
+        headers = hs("k" -> "v".getBytes("UTF-8"))) // explicit offset + headers
+      fw.finish(); out.close()
+
+      val it = SegmentCodec.read(f)
+      try {
+        val r1 = it.next()
+        assert(r1._1 == 1 && java.util.Arrays.equals(r1._3, big))
+        assert(hview(it.headers) == Seq(("trace", Some("t-1")),
+          ("trace", Some("t-2")), ("schéma", None)), s"codec $codec r1")
+        val r2 = it.next()
+        assert(r2._1 == 2 && it.headers == null, s"codec $codec r2")
+        val r3 = it.next()
+        assert(r3._1 == 3 && r3._3 == null && it.tombstone)
+        assert(hview(it.headers) == Seq(("why", Some("gdpr"))),
+          s"codec $codec tombstone headers")
+        val r4 = it.next()
+        assert(r4._1 == 4 && it.headers == null, s"codec $codec empty→none")
+        val r5 = it.next()
+        assert(r5._1 == 5 && it.explicitOffset == 41L &&
+          hview(it.headers) == Seq(("k", Some("v"))), s"codec $codec r5")
+        assert(!it.hasNext)
+      } finally it.close()
+
+      // metadata walk (readHeaders default): header blocks SKIPPED, not
+      // parsed — ids/ts exact, zero header allocation
+      val mit = new SegmentCodec.FrameIterator(Files.newInputStream(f),
+        skipData = true, parseHeaders = false)
+      try {
+        val meta = mit.toList
+        assert(meta.map(_._1) == Seq(1, 2, 3, 4, 5), s"codec $codec meta ids")
+        assert(mit.headers == null)
+      } finally mit.close()
+
+      // headers-projected, payload-pruned walk: headers parse, payloads seek
+      val hit = new SegmentCodec.FrameIterator(Files.newInputStream(f),
+        skipData = true, parseHeaders = true)
+      try {
+        val h1 = hit.next()
+        assert(h1._3.isEmpty && hview(hit.headers).size == 3,
+          s"codec $codec pruned+headers")
+      } finally hit.close()
+    }
+
+    // sameFrames is headers-sensitive: same (id, data), different headers
+    // must compare UNEQUAL (a replayed epoch must not lose its headers)
+    val a = dir.resolve("same-a"); val b = dir.resolve("same-b"); val c = dir.resolve("same-c")
+    for ((f, tag) <- Seq((a, "x"), (b, "x"), (c, "y"))) {
+      val o = new java.io.DataOutputStream(Files.newOutputStream(f))
+      SegmentCodec.writeFrame(o, 1, 1L, "d".getBytes("UTF-8"),
+        headers = hs("h" -> tag.getBytes("UTF-8")))
+      o.close()
+    }
+    assert(SegmentCodec.sameFrames(a, b))
+    assert(!SegmentCodec.sameFrames(a, c))
+
+    // keyed rewrite keeps the retained record's headers (and only the
+    // retained one's) — across the dict re-train path too
+    val log = fileLog()
+    log.createTopic("h", 1)
+    val tbh = TopicBucket("h", "b0000")
+    val bdir = log.bucketDir(tbh)
+    val member = new org.apache.hadoop.fs.Path(bdir, SegmentCodec.segmentName(0L, 4L))
+    val mo = new java.io.DataOutputStream(log.fs.create(member, true))
+    SegmentCodec.writeFrame(mo, 7, 1L, "old".getBytes("UTF-8"),
+      headers = hs("v" -> "old".getBytes("UTF-8")))
+    SegmentCodec.writeFrame(mo, 8, 2L, "only".getBytes("UTF-8"))
+    SegmentCodec.writeFrame(mo, 7, 3L, "new".getBytes("UTF-8"),
+      headers = hs("v" -> "new".getBytes("UTF-8"), "n" -> null))
+    SegmentCodec.writeFrame(mo, 9, 4L, "last".getBytes("UTF-8"),
+      headers = hs("z" -> "9".getBytes("UTF-8")))
+    mo.close()
+    val outp = new org.apache.hadoop.fs.Path(bdir, ".out-h")
+    val r = SegmentCodec.rewriteLatestPerKey(log.fs, Seq((member, 0L)), outp,
+      Codecs.Zstd)
+    assert(r.rows == 3)
+    val rit = SegmentCodec.read(log.fs, outp)
+    try {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Seq[(String, Option[String])])]
+      while (rit.hasNext) {
+        val (id, _, d) = rit.next()
+        got += ((id, new String(d, "UTF-8"), Option(hview(rit.headers)).getOrElse(Seq.empty)))
+      }
+      assert(got.toSeq == Seq(
+        (8, "only", Seq.empty),
+        (7, "new", Seq(("v", Some("new")), ("n", None))),
+        (9, "last", Seq(("z", Some("9"))))))
+    } finally rit.close()
+
+    // corruption is loud: a header block length past the frame bound, and
+    // a header count that can't fit the block
+    val badLen = dir.resolve("bad-len")
+    val d1 = new java.io.DataOutputStream(Files.newOutputStream(badLen))
+    d1.writeInt(-(1 + 12 + 4)); d1.writeByte(0x40); d1.writeInt(1)
+    d1.writeLong(0L); d1.writeInt(999) // blockLen 999 > frame
+    d1.close()
+    val bit = SegmentCodec.read(badLen)
+    val e1 = intercept[java.io.IOException] { bit.next() }
+    assert(e1.getMessage.contains("header block length"), e1.getMessage)
+    bit.close()
+    val badCount = dir.resolve("bad-count")
+    val d2 = new java.io.DataOutputStream(Files.newOutputStream(badCount))
+    d2.writeInt(-(1 + 12 + 4 + 8)); d2.writeByte(0x40); d2.writeInt(1)
+    d2.writeLong(0L); d2.writeInt(8); d2.writeInt(7) // count 7 in an 8-byte block
+    d2.close()
+    val cit = SegmentCodec.read(badCount)
+    val e2 = intercept[java.io.IOException] { cit.next() }
+    assert(e2.getMessage.contains("header count"), e2.getMessage)
+    cit.close()
   }
 }
