@@ -125,7 +125,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ExpireConsumersCommand(name, kvs, Option(root))
     case DropTopicStmt(name, force, root) =>
       DropTopicCommand(name, force != null, Option(root))
-    case ReadTopicStmt(name, withHeaders, asTable, root) =>
+    case AbortTransactionsStmt(name, kvs, root) =>
+      AbortTransactionsCommand(name, kvs, Option(root))
+    case VacuumTransactionsStmt(name, opts, root) =>
+      VacuumTransactionsCommand(name, Option(opts), Option(root))
+    case ReadTopicStmt(name, committed, withHeaders, asTable, root) =>
       // returns the composed DISTRIBUTED plan (scan, or scan + the
       // latest-per-key aggregation), not a RunnableCommand — a command
       // would collect a 100 TB topic to the driver
@@ -135,9 +139,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         throw new IllegalArgumentException(
           "READ TOPIC ... WITH HEADERS AS TABLE: the table view reduces to " +
             "latest-per-key and has no headers column — read one or the other")
-      (if (asTable != null) Ripple.readTable(spark, r, name)
-       else if (withHeaders != null) Ripple.readWithHeaders(spark, r, name)
-       else Ripple.read(spark, r, name)).queryExecution.logical
+      // COMMITTED (read-committed isolation) composes with either shape:
+      // it narrows WHICH records the scan underneath delivers
+      var reader = spark.read.format("ripple")
+        .option("path", r).option("topic", name)
+      if (committed != null) reader = reader.option("readCommitted", "true")
+      if (withHeaders != null) reader = reader.option("includeHeaders", "true")
+      val scan = reader.load()
+      (if (asTable != null) Ripple.tableView(scan) else scan)
+        .queryExecution.logical
     case _                             => delegate.parsePlan(sqlText)
   }
 
@@ -209,10 +219,19 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+SNAPSHOTS\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val ExpireConsumersStmt =
     """(?is)\s*EXPIRE\s+CONSUMERS\s+ON\s+`?([A-Za-z0-9._-]+)`?\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  // Transaction admin verbs (round 18): resolve or collect the
+  // cross-topic transaction markers TxnMarkers maintains. No
+  // reserved-word hazard: Spark SQL has no statement-initial ABORT
+  // production, and VACUUM TRANSACTIONS ON collides with nothing
+  // (Delta's VACUUM takes a bare table name).
+  private val AbortTransactionsStmt =
+    """(?is)\s*ABORT\s+TRANSACTIONS\s+ON\s+`?([A-Za-z0-9._-]+)`?\s*\(([^)]*)\)(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val VacuumTransactionsStmt =
+    """(?is)\s*VACUUM\s+TRANSACTIONS\s+ON\s+`?([A-Za-z0-9._-]+)`?(?:\s*\(([^)]*)\))?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   // Data READ statements. No reserved-word hazard: Spark SQL has no
   // statement-initial READ production.
   private val ReadTopicStmt =
-    """(?is)\s*READ\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+WITH\s+HEADERS)?(\s+AS\s+TABLE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+    """(?is)\s*READ\s+TOPIC\s+`?([A-Za-z0-9._-]+)`?(\s+COMMITTED)?(\s+WITH\s+HEADERS)?(\s+AS\s+TABLE)?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
 
   /** Explicit `IN '<root>'` wins; else the session conf. Loud otherwise —
     * guessing a filesystem root is how admin commands hit the wrong
@@ -747,5 +766,62 @@ case class ExpireConsumersCommand(topic: String, kvText: String,
         "ripple: EXPIRE CONSUMERS requires (olderThanMs = N)"))
     Ripple.expireConsumers(resolveRoot(root, spark), topic, older)
       .sorted.map(id => Row(id, topic, true))
+  }
+}
+
+/** `ABORT TRANSACTIONS ON t (olderThanMs = N) [IN '<root>']` — resolve
+  * in-flight transactional epochs whose pending marker is older than the
+  * threshold ([[graft.api.Ripple.abortStaleTxns]]; Kafka's coordinator
+  * timeout-abort). One row per aborted (query, epoch) with the clamped
+  * published ranges (`bucket:[start,end)`, comma-joined; empty = the
+  * dead epoch never published to this topic). Zero rows = nothing was
+  * stale enough.
+  */
+case class AbortTransactionsCommand(topic: String, kvText: String,
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("query", StringType), attr("epoch", LongType),
+    attr("topic", StringType), attr("published_ranges", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(kvText)
+    val unknown = kvs.keySet -- Set("olderthanms")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown ABORT TRANSACTIONS key(s) '${unknown.mkString(", ")}' " +
+        "— valid: olderThanMs")
+    val older = kvs.get("olderthanms").map(AdminKvs.longOf("olderThanMs", _))
+      .getOrElse(throw new IllegalArgumentException(
+        "ripple: ABORT TRANSACTIONS requires (olderThanMs = N) — an " +
+          "unqualified abort would kill every LIVE in-flight epoch too"))
+    Ripple.abortStaleTxns(resolveRoot(root, spark), topic, older)
+      .sortBy(m => (m.qdir, m.epoch)).map { m =>
+        Row(m.qdir, m.epoch, m.topic,
+          m.ranges.toSeq.sortBy(_._1).map { case (b, (s, c)) =>
+            s"$b:[$s,${s + c})" }.mkString(","))
+      }
+  }
+}
+
+/** `VACUUM TRANSACTIONS ON t [(graceMs = N)] [IN '<root>']` —
+  * garbage-collect aborted-transaction markers whose every range fell
+  * below the retention floor ([[graft.api.Ripple.vacuumTxnMarkers]]; the
+  * third hygiene-cron call). Markers still hiding retained rows are
+  * never touched. Returns (topic, grace_ms, markers_removed).
+  */
+case class VacuumTransactionsCommand(topic: String, opts: Option[String],
+    root: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("topic", StringType), attr("grace_ms", LongType),
+    attr("markers_removed", IntegerType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val kvs = AdminKvs.parse(opts.getOrElse(""))
+    val unknown = kvs.keySet -- Set("gracems")
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"ripple: unknown VACUUM TRANSACTIONS key(s) '${unknown.mkString(", ")}' " +
+        "— valid: graceMs")
+    val grace = kvs.get("gracems").map(AdminKvs.longOf("graceMs", _)).getOrElse(0L)
+    val n = Ripple.vacuumTxnMarkers(resolveRoot(root, spark), topic, grace).size
+    Seq(Row(topic, grace, n))
   }
 }

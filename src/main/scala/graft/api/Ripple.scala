@@ -707,6 +707,50 @@ object Ripple {
     graft.connector.SnapshotPins.vacuum(
       FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, graceMs)
 
+  /** Batch envelope scan under READ-COMMITTED isolation (connector option
+    * `readCommitted` — Kafka `isolation.level=read_committed`): each
+    * bucket caps at its STABLE end (offsets below every in-flight
+    * transactional epoch's pending marker, Kafka's LSO) and
+    * aborted-transaction ranges are subtracted. Plain [[read]] is the
+    * `read_uncommitted` default and sees everything, including a crashed
+    * transactional epoch's partial rows. Pair with a
+    * `option("transactional", true)` routed streaming sink
+    * ([[graft.connector.TxnMarkers]]); topics with no transactional
+    * writer read identically either way. SQL: `READ TOPIC t COMMITTED`.
+    */
+  def readCommitted(spark: SparkSession, root: String, topic: String): DataFrame =
+    spark.read.format("ripple").option("path", root).option("topic", topic)
+      .option("readCommitted", "true").load()
+
+  /** Abort in-flight transactional epochs of `topic` whose pending marker
+    * is older than `olderThanMs` — the admin resolution for a
+    * transactional writer that crashed and will never replay (Kafka's
+    * coordinator timeout-abort, `transaction.timeout.ms`). The dead
+    * epoch's replay is fenced; its published rows stay in the log
+    * (visible to plain reads — Kafka `read_uncommitted` parity) but are
+    * recorded as aborted ranges that `readCommitted` reads subtract.
+    * Returns one marker per aborted transaction with the clamped
+    * published ranges. A transaction whose writer is merely SLOW is
+    * dropped too — choose the threshold accordingly.
+    */
+  def abortStaleTxns(root: String, topic: String,
+      olderThanMs: Long): Seq[graft.connector.TxnMarkers.Marker] =
+    graft.connector.TxnMarkers.abortStale(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, olderThanMs)
+
+  /** Garbage-collect aborted-transaction markers whose every recorded
+    * range sits below the bucket's retention floor (the aborted rows are
+    * physically gone — nothing left to subtract or fence), and that are
+    * older than `graceMs`. Markers with any still-retained range are
+    * kept: dropping one would expose aborted rows to `readCommitted`
+    * readers. The third hygiene-cron call, next to [[vacuumSnapshots]]
+    * and [[expireConsumers]]. Returns markers removed.
+    */
+  def vacuumTxnMarkers(root: String, topic: String,
+      graceMs: Long = 0L): Seq[graft.connector.TxnMarkers.Marker] =
+    graft.connector.TxnMarkers.vacuum(
+      FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, graceMs)
+
   /** Batch scan pinned to a [[snapshot]] token (connector option
     * `snapshot`).
     */

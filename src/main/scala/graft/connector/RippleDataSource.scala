@@ -52,16 +52,36 @@ import scala.jdk.CollectionConverters._
   *     `compression` resolve per discovered topic; publish runs the full
   *     per-topic protocol, so per-(topic, query, epoch) markers keep
   *     exactly-once even across a crash between two topics' publishes.
-  *     VISIBILITY CONTRACT: atomicity is PER TOPIC, not across topics —
-  *     topics publish in sorted order within an epoch, so in the window
-  *     between a crash and the replayed epoch completing, a reader can
-  *     observe earlier-sorted topics' rows for that epoch while
-  *     later-sorted topics still lack theirs (there is no cross-topic
-  *     transaction / read-committed analog; the replay closes the gap
-  *     without duplicates). Correct for fan-out telemetry; a consumer
-  *     needing cross-topic agreement must reconcile on an epoch key
-  *     carried in the payload. NULL topics are loud; reads refuse the
-  *     option
+  *     VISIBILITY CONTRACT: write-path atomicity is PER TOPIC, not
+  *     across topics — topics publish in sorted order within an epoch,
+  *     so in the window between a crash and the replayed epoch
+  *     completing, a PLAIN reader can observe earlier-sorted topics'
+  *     rows for that epoch while later-sorted topics still lack theirs
+  *     (the replay closes the gap without duplicates). A consumer
+  *     needing cross-topic agreement sets `readCommitted` and the
+  *     writer `transactional` — the Kafka-transactions analog below.
+  *     NULL topics are loud; reads refuse the option
+  *   - `transactional` (write, default false; requires a streaming
+  *     epoch — batch appends refuse loudly): marks each epoch's rows
+  *     IN FLIGHT until every participating topic commits, via a pending
+  *     marker per topic ([[TxnMarkers]] — Kafka transactions as
+  *     visibility metadata, not write-path atomicity). Costs three
+  *     small metadata writes per topic per epoch; plain readers are
+  *     unaffected. A writer that dies mid-transaction leaves the epoch
+  *     pending until its replay commits it or an admin abort
+  *     ([[graft.api.Ripple.abortStaleTxns]] / SQL `ABORT TRANSACTIONS`)
+  *     fences it
+  *   - `readCommitted` (read, default false; batch + streaming;
+  *     exclusive with `snapshot`): Kafka
+  *     `isolation.level=read_committed` — each bucket caps at its
+  *     STABLE end (below every in-flight transaction's pending floor;
+  *     the LSO, including the honest stall behind a hung transaction)
+  *     and aborted-transaction ranges are subtracted from the scan.
+  *     Plain reads are `read_uncommitted`: everything published is
+  *     visible, including torn or aborted epochs' rows. Topics with no
+  *     transactional writer read identically either way; the option
+  *     costs one `.commits` listing per topic at plan time. SQL:
+  *     `READ TOPIC t COMMITTED`
   *   - `bucket`: restrict to a single bucket
   *   - `buckets`: bucket count used when the write auto-creates the topic
   *     (default 4)
@@ -239,6 +259,7 @@ object RippleConf {
         autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
         compactDistributeMinBytesSet =
           options.containsKey("compactDistributeMinBytes"),
+        transactional = options.getBoolean("transactional", false),
         topicColumn = topicColOpt.filter(_.trim.nonEmpty).map(_.trim)
           .orElse(throw new IllegalArgumentException(
             "ripple: 'topicColumn' must name a column")))
@@ -304,6 +325,8 @@ object RippleConf {
       autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
       compactDistributeMinBytesSet = options.containsKey("compactDistributeMinBytes"),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
+      transactional = options.getBoolean("transactional", false),
+      readCommitted = options.getBoolean("readCommitted", false),
       // An EXPLICIT startingOffset is a positional read request — reading
       // past a retention floor it names is data loss and fails loudly; the
       // absent default means "earliest retained" (Kafka's `earliest`), which
@@ -368,6 +391,8 @@ case class RippleConf(
     autoCompactSegmentsSet: Boolean = false,
     compactDistributeMinBytesSet: Boolean = false,
     consumerId: Option[String] = None,
+    transactional: Boolean = false,
+    readCommitted: Boolean = false,
     startingOffsetSet: Boolean = false,
     allowDataLoss: Boolean = false,
     lift: Boolean = false,
@@ -449,6 +474,11 @@ case class RippleConf(
           s"$compactionKeyHeap — it caps keyed compaction's per-task " +
           "id->offset state (the Kafka log.cleaner.dedupe.buffer.size " +
           "analog); past it the rewrite spills to sorted runs")
+    if (readCommitted && snapshot.isDefined)
+      throw new IllegalArgumentException(
+        "ripple: a 'snapshot' pin fixes each bucket's offset range at " +
+          "capture time — it cannot compose with 'readCommitted' (whose " +
+          "caps move as transactions resolve); read one way")
     if (tombstoneRetentionMs < 0)
       throw new IllegalArgumentException(
         s"ripple: tombstoneRetentionMs must be >= 0, got " +

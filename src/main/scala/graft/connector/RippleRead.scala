@@ -73,6 +73,10 @@ class RippleScanBuilder(conf: RippleConf) extends ScanBuilder
     // for the same per-bucket-range reason.
     if (conf.snapshot.isDefined || conf.startingTimestamp.isDefined ||
         conf.endingTimestamp.isDefined) return None
+    // read-committed reads cap each bucket at its stable end and subtract
+    // aborted ranges — per-bucket state the uniform [lo, hi) arithmetic
+    // here cannot express; the row scan applies it instead
+    if (conf.readCommitted) return None
     // 'latest' must reach RippleScan.toBatch's loud batch refusal, not a
     // metadata answer that ignores the position
     if (conf.startingPosition.contains("latest")) return None
@@ -444,6 +448,12 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       (0L, Long.MaxValue)
     else tsSeekBounds.getOrElse(tb, resolveTs(conf.log, tb))
 
+  // Stats-time snapshot of the read-committed caps (estimates only — the
+  // row scan re-resolves at plan time; aborted-range subtraction is
+  // skipped here, erring high, which only errs against broadcasting).
+  private lazy val committedStats: Map[graft.model.TopicBucket, Long] =
+    TxnStableEnds(conf)
+
   /** Exact statistics from segment manifests — zero frames read. Without
     * this, a DSv2 relation defaults to `spark.sql.defaultSizeInBytes`
     * (Long.MaxValue), so a 1 KB topic joined against a 100 TB fact table
@@ -475,7 +485,8 @@ class RippleScan(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
           case None         => (0L, 0L)
         }
       }
-      val end = math.min(bhi, log.size(tb))
+      val end = math.min(math.min(bhi, log.size(tb)),
+        committedStats.getOrElse(tb, Long.MaxValue))
       log.segments(tb).foreach { case (path, start, count) =>
         val overlap = math.max(0L, math.min(end, start + count) - math.max(blo, start))
         if (overlap > 0 && count > 0) {
@@ -591,6 +602,33 @@ case class RippleInputPartition(
     else Array(hosts(math.floorMod(bucket.hashCode, hosts.length)))
 }
 
+/** Per-bucket stable-end caps for a `readCommitted` read — empty when the
+  * option is off, so plain reads never list the transaction-marker plane
+  * (see [[TxnMarkers]]). Resolved fresh at plan/batch time, mirroring the
+  * sparse re-detection posture: a transaction resolving between two
+  * actions on one DataFrame is honored at execution.
+  */
+private[connector] object TxnStableEnds {
+  def apply(conf: RippleConf): Map[graft.model.TopicBucket, Long] =
+    if (!conf.readCommitted) Map.empty
+    else conf.topicList.flatMap { t =>
+      TxnMarkers.stableEnds(conf.log, t).map { case (b, v) =>
+        graft.model.TopicBucket(t, b) -> v }
+    }.toMap
+}
+
+/** Aborted offset ranges per bucket for a `readCommitted` read — the
+  * Kafka aborted-transaction-index analog; empty when the option is off.
+  */
+private[connector] object TxnAbortedRanges {
+  def apply(conf: RippleConf): Map[graft.model.TopicBucket, Seq[(Long, Long)]] =
+    if (!conf.readCommitted) Map.empty
+    else conf.topicList.flatMap { t =>
+      TxnMarkers.abortedRanges(conf.log, t).map { case (b, v) =>
+        graft.model.TopicBucket(t, b) -> v }
+    }.toMap
+}
+
 class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     limit: Option[Int] = None,
     runtimeBuckets: () => Option[Set[String]] = () => None,
@@ -607,6 +645,11 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
       case Some(keep) => conf.buckets.filter(tb => keep.contains(tb.bucket))
       case None => conf.buckets
     }
+    // read-committed isolation, resolved at PLAN time (each action sees
+    // the transactions resolved by then): stable-end caps from pending
+    // markers, aborted-range subtraction from abort records
+    val txnCaps = TxnStableEnds(conf)
+    val txnAborted = TxnAbortedRanges(conf)
     // Snapshot pin: a bucket the token names but the log no longer has
     // means the pinned corpus is partly GONE — fail loudly (checked against
     // the un-narrowed disk listing so bucket pruning/DPP can't mask it).
@@ -643,7 +686,8 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
               s"$logEnd — segments were deleted outside the append-only " +
               "contract; the pinned corpus cannot be reproduced")
         }
-        val end = math.min(bhi, logEnd)
+        val end = math.min(math.min(bhi, logEnd),
+          txnCaps.getOrElse(tb, Long.MaxValue))
         // Data-loss guard: an EXPLICIT startingOffset below the retention
         // floor is a positional read of truncated rows — fail (or skip+log
         // under allowDataLoss). The absent default means "earliest
@@ -657,11 +701,18 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
         // ts-stat segment pruning runs LAST, on the raw listing: floor,
         // logEnd and the snapshot validation above must see every
         // surviving segment, pruned or not.
-        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).collect {
+        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).flatMap {
           case (path, start, count) if start < end && start + count > from =>
-            RippleInputPartition(conf.root, tb.topic, tb.bucket,
-              path.toString, start, math.max(from, start), math.min(end, start + count),
-              conf.preferredHosts.toArray)
+            // a readCommitted read subtracts aborted-transaction ranges —
+            // one partition per surviving sub-range (plain reads pass
+            // through: no ranges, one slice)
+            TxnMarkers.subtract(math.max(from, start),
+              math.min(end, start + count),
+              txnAborted.getOrElse(tb, Seq.empty)).map { case (a, b) =>
+              RippleInputPartition(conf.root, tb.topic, tb.bucket,
+                path.toString, start, a, b, conf.preferredHosts.toArray)
+            }
+          case _ => Seq.empty
         }
       }
     }.toArray
@@ -1026,7 +1077,17 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     */
   private def sizes(): Map[String, Long] = {
     val log = conf.log
-    conf.buckets.map(tb => conf.streamKey(tb) -> log.size(tb)).toMap
+    // read-committed streaming: each bucket's deliverable end is its
+    // stable offset — Kafka's LSO. A micro-batch simply stops short of an
+    // in-flight transaction's rows and picks them up on the trigger after
+    // it commits; a hung transaction holds the stream here until an admin
+    // abort resolves it (Kafka read_committed semantics, including the
+    // stall). Re-resolved per trigger — O(marker files) driver metadata.
+    val caps = TxnStableEnds(conf)
+    conf.buckets.map { tb =>
+      conf.streamKey(tb) ->
+        math.min(log.size(tb), caps.getOrElse(tb, Long.MaxValue))
+    }.toMap
   }
 
   /** Trigger.AvailableNow support: the log end is pinned ONCE at query
@@ -1069,7 +1130,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
       }.toMap
     }.getOrElse(Map.empty)
     val log = conf.log
-    RippleOffset(sizes().map { case (b, _) =>
+    RippleOffset(sizes().map { case (b, bucketEnd) =>
       val start = cursor.get(b) match {
         case Some(c) => c
         case None if conf.startingOffsetSet => conf.startingOffset
@@ -1081,9 +1142,12 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
             conf.startingTimestamp.get)
         // 'latest': tail from the CURRENT end — the backlog is invisible
         // (Kafka's streaming startingOffsets=latest); resume still goes
-        // through the checkpoint, never back through here.
+        // through the checkpoint, never back through here. Under
+        // readCommitted, "the end" is the STABLE end (sizes() is already
+        // capped): starting above an in-flight transaction would skip its
+        // rows if it later commits.
         case None if conf.startingPosition.contains("latest") =>
-          log.size(conf.keyBucket(b))
+          bucketEnd
         case None => math.max(conf.startingOffset,
           log.firstOffset(conf.keyBucket(b)))
       }
@@ -1187,6 +1251,7 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     val s = start.asInstanceOf[RippleOffset].ends
     val e = end.asInstanceOf[RippleOffset].ends
     val log = conf.log
+    val txnAborted = TxnAbortedRanges(conf)
     e.toSeq.sortBy(_._1).flatMap { case (bucket, until) =>
       val from0 = s.getOrElse(bucket, conf.startingOffset)
       if (until <= from0) Seq.empty
@@ -1199,11 +1264,18 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
         // Fail loudly by default; allowDataLoss=true skips to the floor.
         val floor = segs.headOption.map(_._2).getOrElse(0L)
         val from = RippleDataLoss.check(conf, tb.topic, tb.bucket, from0, floor)
-        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).collect {
+        // readCommitted: aborted-transaction ranges below the stable end
+        // (recorded by an admin abort since the last trigger) are
+        // subtracted — the same index the batch scan applies
+        val aborted = txnAborted.getOrElse(tb, Seq.empty)
+        RippleTsPrune(log, tb, segs, tsPredLo, tsPredHi).flatMap {
           case (path, segStart, count) if segStart < until && segStart + count > from =>
-            RippleInputPartition(conf.root, tb.topic, tb.bucket,
-              path.toString, segStart, math.max(from, segStart),
-              math.min(until, segStart + count), conf.preferredHosts.toArray)
+            TxnMarkers.subtract(math.max(from, segStart),
+              math.min(until, segStart + count), aborted).map { case (a, b) =>
+              RippleInputPartition(conf.root, tb.topic, tb.bucket,
+                path.toString, segStart, a, b, conf.preferredHosts.toArray)
+            }
+          case _ => Seq.empty
         }
       }
     }.toArray

@@ -398,9 +398,27 @@ object RipplePublish {
       .filter(_.count > 0)
       // deterministic, replay-stable publish order
       .sortBy(s => (s.topic, s.bucket, s.partitionId, s.path))
-    if (conf.topicColumn.isEmpty)
-      publishTopic(conf, staged, epochId, queryId)
-    else {
+    // TRANSACTIONAL epoch visibility (the Kafka-transactions analog, see
+    // TxnMarkers): pending markers land for EVERY participating topic
+    // before the first publish and clear only after the last — a
+    // `readCommitted` reader withholds the epoch's rows across the whole
+    // crash window, per topic AND per bucket. Batch appends have no epoch
+    // identity to resolve a pending against, so the option refuses them.
+    if (conf.transactional && epochId.isEmpty)
+      throw new UnsupportedOperationException(
+        "ripple: 'transactional' holds an epoch's rows from readCommitted " +
+          "readers until every participating topic commits — a BATCH " +
+          "append has no epoch identity (and is at-least-once by " +
+          "contract); use writeStream, or drop the option")
+    val txn = conf.transactional && epochId.isDefined
+    val qd = if (queryId.isEmpty) "unknown-query" else queryId
+    if (conf.topicColumn.isEmpty) {
+      for (e <- epochId if txn)
+        writePendingTxn(conf.log, conf.topic, qd, e, staged)
+      publishTopic(conf, staged, epochId, queryId, txn)
+      for (e <- epochId if txn)
+        clearPendingTxn(conf.log, Seq(conf.topic), qd, e)
+    } else {
       // ROUTED write: one full per-topic publish (locks, intent, marker,
       // retention, auto-compaction) per discovered topic, in sorted order.
       // Exactly-once across a crash BETWEEN topics comes from the
@@ -408,17 +426,57 @@ object RipplePublish {
       // topic, and each completed topic's marker turns its re-publish
       // into a drop-staged no-op while the crashed topic completes from
       // its intent.
-      staged.groupBy(_.topic).toSeq.sortBy(_._1).foreach { case (t, files) =>
-        require(t.nonEmpty, "ripple: routed write staged a file with no topic")
+      val byTopic = staged.groupBy(_.topic).toSeq.sortBy(_._1)
+      byTopic.foreach { case (t, _) =>
+        require(t.nonEmpty, "ripple: routed write staged a file with no topic") }
+      for (e <- epochId if txn)
+        byTopic.foreach { case (t, files) =>
+          writePendingTxn(conf.log, t, qd, e, files) }
+      byTopic.foreach { case (t, files) =>
         // fold THIS topic's persisted config (explicit writer options win
         // per key — same resolution as a single-topic write start)
         val tconf = TopicConfig.applyDefaults(
           conf.copy(topic = t, topics = Seq(t), topicColumn = None))
-        publishTopic(tconf, files, epochId, queryId)
+        publishTopic(tconf, files, epochId, queryId, txn)
         interTopicSeam(t)
       }
+      for (e <- epochId if txn)
+        clearPendingTxn(conf.log, byTopic.map(_._1), qd, e)
     }
   }
+
+  /** Drop the PENDING transaction marker for (topic, query, epoch) with
+    * the per-bucket stable floors — current end offsets, at or above
+    * which the epoch's rows (if any land) will sit. Skipped when the
+    * topic already committed this epoch (replay), is fenced by an admin
+    * abort (publishTopic will drop the staged files), or a crashed
+    * attempt's marker already stands (ITS floors predate any publish and
+    * must win — re-deriving floors after a partial publish would uncap
+    * the crashed attempt's rows).
+    */
+  private def writePendingTxn(log: FileTopicLog, topic: String, qdir: String,
+      epoch: Long, files: Seq[StagedFile]): Unit = {
+    val fs = log.fs
+    val commits = new HPath(new HPath(new HPath(log.root, topic), ".commits"), qdir)
+    if (fs.exists(new HPath(commits, s"epoch-$epoch"))) return
+    if (fs.exists(TxnMarkers.abortedPath(log, topic, qdir, epoch))) return
+    val pend = TxnMarkers.pendingPath(log, topic, qdir, epoch)
+    if (fs.exists(pend)) return
+    val floors = files.map(_.bucket).distinct.map { b =>
+      b -> log.endOffsetListed(TopicBucket(topic, b))
+    }.toMap
+    log.writeFileAtomic(pend, TxnMarkers.renderFloors(floors))
+  }
+
+  /** The transaction's commit point for readers: pendings clear in sorted
+    * topic order only after EVERY participating topic published.
+    */
+  private def clearPendingTxn(log: FileTopicLog, topics: Seq[String],
+      qdir: String, epoch: Long): Unit =
+    topics.sorted.foreach { t =>
+      try log.fs.delete(TxnMarkers.pendingPath(log, t, qdir, epoch), false)
+      catch { case _: java.io.IOException => () }
+    }
 
   /** Test seam: runs after each topic of a ROUTED publish completes, so a
     * spec can crash the query between two topics deterministically. No-op
@@ -427,7 +485,7 @@ object RipplePublish {
   private[graft] var interTopicSeam: String => Unit = _ => ()
 
   private def publishTopic(conf: RippleConf, staged: Seq[StagedFile],
-      epochId: Option[Long], queryId: String): Unit = {
+      epochId: Option[Long], queryId: String, txn: Boolean = false): Unit = {
     val log = conf.log
     val fs = log.fs
     // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
@@ -445,6 +503,26 @@ object RipplePublish {
       intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
       return
     }
+    // Abort fence (transactional epochs): an admin abortStaleTxns decided
+    // this (query, epoch) is dead — a replay must not publish. Checked
+    // twice: here (fast path) and again INSIDE the bucket locks below,
+    // because the fence write is lock-free — whichever of fence-writer
+    // and replay acquires the locks second sees the other's state
+    // (TxnMarkers.abortStale clamps to published segments under the same
+    // locks).
+    val fence = if (txn) epochId.map(e =>
+      TxnMarkers.abortedPath(log, conf.topic, qdir, e)) else None
+    def abandonFenced(): Boolean = fence.exists(fs.exists(_)) && {
+      staged.foreach(f =>
+        try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
+      intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
+      epochId.foreach { e =>
+        try fs.delete(TxnMarkers.pendingPath(log, conf.topic, qdir, e), false)
+        catch { case _: java.io.IOException => () }
+      }
+      true
+    }
+    if (abandonFenced()) return
 
     staged.map(_.bucket).distinct.foreach { b =>
       require(!b.startsWith(".") && b.matches("[A-Za-z0-9._-]+"),
@@ -460,6 +538,7 @@ object RipplePublish {
         "one staged file per bucket per partition is the writer contract")
 
     withLocks(log, tbs) {
+      if (abandonFenced()) return
       // (bucket, partitionId) -> (start, count)
       val plan: Map[(String, Int), (Long, Long)] =
         intent.filter(fs.exists(_)) match {
@@ -493,6 +572,20 @@ object RipplePublish {
             }
             assigned
         }
+
+      // Transactional epochs: upgrade the pending marker from floor form
+      // to the EXACT per-bucket ranges before any segment lands — an
+      // admin abort can then clamp to precisely the dead epoch's offsets
+      // (a floor-form pending provably published nothing: segments only
+      // land after this write). Idempotent on replay — the intent makes
+      // the plan, and so the rendered ranges, identical.
+      if (txn) epochId.foreach { e =>
+        val perBucket = plan.toSeq.groupBy(_._1._1).map { case (b, es) =>
+          b -> (es.map(_._2._1).min, es.map(_._2._2).sum)
+        }
+        log.writeFileAtomic(TxnMarkers.pendingPath(log, conf.topic, qdir, e),
+          TxnMarkers.renderRanges(perBucket))
+      }
 
       byBucket.foreach { case (bucket, files) =>
         val tb = TopicBucket(conf.topic, bucket)

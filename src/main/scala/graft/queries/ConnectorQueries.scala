@@ -1130,8 +1130,129 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Cross-topic transactions end-to-end (q177, the Kafka-transactions /
+    * `isolation.level=read_committed` analog — [[graft.connector
+    * .TxnMarkers]]). A staging topic feeds a routed TRANSACTIONAL stream
+    * fanning events to two topics by key parity. Act 1: a crash injected
+    * between the two topics' publishes tears the epoch — in-body requires
+    * pin that the PLAIN read sees the torn half (read_uncommitted parity)
+    * while `readCommitted` sees NOTHING of the epoch on either topic
+    * (both participants hold pending markers), and that an innocent
+    * later append stalls behind the LSO too. The replay then commits the
+    * transaction: pendings clear, committed == plain. Act 2: a second
+    * slice tears the same way and is resolved the OTHER way — SQL
+    * `ABORT TRANSACTIONS` fences the dead epoch and records the
+    * published ranges; the aborted rows stay visible to plain reads but
+    * are SUBTRACTED from `readCommitted`, and `VACUUM TRANSACTIONS`
+    * refuses to collect a marker still hiding retained rows. The final
+    * committed state across both topics must hash-equal the oracle over
+    * exactly the committed slice — an engine that leaks a torn epoch,
+    * loses the abort, or subtracts the wrong offsets fails. The
+    * reference has no cross-topic visibility story at all: each produce
+    * is an independent append (`internal/broker/producer/server/
+    * core.go:21-34`) and consumers see whatever landed (`consumer/
+    * server/core.go:46-64`).
+    */
+  def txnReadCommittedAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "txs", numBuckets = 1)
+    Ripple.createTopic(root, "txa", numBuckets = 1)
+    Ripple.createTopic(root, "txb", numBuckets = 1)
+    def stage(lo: Int, hi: Int): Unit = Ripple.write(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id")
+        .select(col("event_id").cast("int").as("id"),
+          to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))).cast("binary").as("data")),
+      root, "txs", numBuckets = 1)
+    val cp = scratch()
+    def run(expectCrash: Boolean): Unit = {
+      val q = s.readStream.format("ripple")
+        .option("path", root).option("topic", "txs").load()
+        .select(col("id"), col("data"),
+          when(pmod(col("id"), lit(2)) === 0, "txa").otherwise("txb")
+            .as("target"))
+        .writeStream.format("ripple")
+        .option("path", root).option("topicColumn", "target")
+        .option("transactional", "true")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try {
+        q.awaitTermination(120000)
+        require(!expectCrash, "the injected crash must fail the query")
+      } catch {
+        case e: Exception =>
+          require(expectCrash, s"unexpected streaming failure: ${e.getMessage}")
+      } finally q.stop()
+    }
+    def crashBetweenTopics(): Unit = {
+      var crashed = false
+      graft.connector.RipplePublish.interTopicSeam = t =>
+        if (t == "txa" && !crashed) {
+          crashed = true; sys.error("q177 injected crash between topics")
+        }
+      try run(expectCrash = true)
+      finally graft.connector.RipplePublish.interTopicSeam = _ => ()
+      require(crashed, "the inter-topic seam must have fired")
+    }
+    def sql(stmt: String): DataFrame = org.apache.spark.sql.graft.bridge.ofRows(
+      s, new graft.GraftSqlParser(s.sessionState.sqlParser).parsePlan(stmt))
+    val aAll = ev.filter(col("event_id") < 400).count()
+    val aEven = ev.filter(col("event_id") < 400 &&
+      pmod(col("event_id"), lit(2)) === 0).count()
+    val bEven = ev.filter(col("event_id") >= 400 && col("event_id") < 600 &&
+      pmod(col("event_id"), lit(2)) === 0).count()
+    require(aEven > 0 && aEven < aAll && bEven > 0, "fixture needs both parities")
+
+    // ── Act 1: torn epoch → replay COMMITS the transaction
+    stage(0, 400)
+    crashBetweenTopics()
+    require(Ripple.read(s, root, "txa").count() == aEven,
+      "plain read must see the torn half (read_uncommitted parity)")
+    require(Ripple.read(s, root, "txb").count() == 0, "txb never published")
+    require(Ripple.readCommitted(s, root, "txa").count() == 0 &&
+      Ripple.readCommitted(s, root, "txb").count() == 0,
+      "readCommitted must withhold the whole in-flight epoch")
+    require(
+      graft.connector.TxnMarkers.listPending(
+        graft.log.FileTopicLog.cached(root, graft.log.LogFs.activeHadoopConf),
+        "txa").size == 1,
+      "the torn epoch must hold a pending marker")
+    run(expectCrash = false) // replay completes the transaction
+    require(Ripple.readCommitted(s, root, "txa").count() == aEven &&
+      Ripple.readCommitted(s, root, "txb").count() == aAll - aEven,
+      "after commit the whole epoch is stable")
+
+    // ── Act 2: torn epoch → admin ABORT resolves it the other way
+    stage(400, 600)
+    crashBetweenTopics()
+    require(Ripple.read(s, root, "txa").count() == aEven + bEven,
+      "the second torn half lands in txa")
+    val abortedA = sql(s"ABORT TRANSACTIONS ON txa (olderThanMs = 0) IN '$root'").collect()
+    sql(s"ABORT TRANSACTIONS ON txb (olderThanMs = 0) IN '$root'").collect()
+    require(abortedA.length == 1 && abortedA(0).getString(3).nonEmpty,
+      s"txa's abort must record published ranges, got ${abortedA.toSeq}")
+    require(Ripple.read(s, root, "txa").count() == aEven + bEven,
+      "aborted rows stay in the log for plain reads")
+    require(Ripple.readCommitted(s, root, "txa").count() == aEven,
+      "readCommitted must subtract exactly the aborted ranges")
+    val vac = sql(s"VACUUM TRANSACTIONS ON txa IN '$root'").collect()(0)
+    require(vac.getInt(2) == 0,
+      "vacuum must keep a marker whose aborted rows are still retained")
+
+    // committed state across the fan-out = exactly the committed slice
+    Ripple.lift(Ripple.readCommitted(s, root, "txa")
+        .unionByName(Ripple.readCommitted(s, root, "txb")), eventSchema)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_cleanup_policy_compact" -> (cleanupPolicyCompactAgg _),
+    "q177_txn_read_committed" -> (txnReadCommittedAgg _),
     "q169_routed_write" -> (routedWriteAgg _),
     "q168_sql_admin_ddl" -> (sqlAdminDdlAgg _),
     "q167_keyed_compaction" -> (keyedCompactionAgg _),
@@ -1332,6 +1453,13 @@ object ConnectorQueries {
         |FROM events e
         |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
         |                    WHERE e2.event_id % 500 = e.event_id % 500)""".stripMargin,
+    // q177: the committed cross-topic state is exactly the first slice —
+    // the second slice's torn epoch was aborted and must not count
+    "q177_txn_read_committed" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_id < 400""".stripMargin,
     "q171_tombstone_compaction" ->
       """SELECT count(1) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,

@@ -118,7 +118,13 @@ object ScaleProbe {
     // frame write, the keyed rewrite, and a payload-PRUNED read; the
     // cell watches the header plane staying O(header bytes) while
     // payload bytes grow 10x under it
-    "q176_record_headers"
+    "q176_record_headers",
+    // round-18: cross-topic transactions — two seam-torn transactional
+    // epochs (one replay-committed, one admin-aborted) plus the
+    // readCommitted reduction; the marker plane is O(files) metadata by
+    // design, so the cell watches the fixed per-epoch cost staying flat
+    // while the streamed/committed volume grows 10x
+    "q177_txn_read_committed"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE
     // global group (exact LPT's scale-killer), production xxhash64
