@@ -647,7 +647,16 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     }
     // read-committed isolation, resolved at PLAN time (each action sees
     // the transactions resolved by then): stable-end caps from pending
-    // markers, aborted-range subtraction from abort records
+    // markers, aborted-range subtraction from abort records. ORDER
+    // MATTERS: segments are listed BEFORE the markers — the write side
+    // drops a transaction's pending before any of its segments land, so
+    // any unstable segment this listing can see has its pending visible
+    // to the (later) marker listing. Listing markers first would open a
+    // window where an epoch pends AND publishes in between and its rows
+    // sail past a cap that missed them.
+    val segsByTb: Map[graft.model.TopicBucket,
+        Seq[(org.apache.hadoop.fs.Path, Long, Long)]] =
+      live.map(tb => tb -> log.segments(tb)).toMap
     val txnCaps = TxnStableEnds(conf)
     val txnAborted = TxnAbortedRanges(conf)
     // Snapshot pin: a bucket the token names but the log no longer has
@@ -675,7 +684,7 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
           (math.max(lo, s), math.min(hi, e)) }
       }
       range.toSeq.flatMap { case (blo, bhi) =>
-        val segs = log.segments(tb)
+        val segs = segsByTb(tb)
         val logEnd = if (segs.isEmpty) 0L else segs.map { case (_, s, c) => s + c }.max
         // The log is append-only, so a pinned end above the CURRENT end
         // means segments were deleted outside retention — never skip it.
@@ -1083,10 +1092,13 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     // it commits; a hung transaction holds the stream here until an admin
     // abort resolves it (Kafka read_committed semantics, including the
     // stall). Re-resolved per trigger — O(marker files) driver metadata.
+    // Sizes are listed BEFORE the markers (same ordering argument as the
+    // batch planner: a pending precedes its segments, so an end this
+    // listing can see implies its pending is visible below).
+    val raw = conf.buckets.map(tb => tb -> log.size(tb))
     val caps = TxnStableEnds(conf)
-    conf.buckets.map { tb =>
-      conf.streamKey(tb) ->
-        math.min(log.size(tb), caps.getOrElse(tb, Long.MaxValue))
+    raw.map { case (tb, sz) =>
+      conf.streamKey(tb) -> math.min(sz, caps.getOrElse(tb, Long.MaxValue))
     }.toMap
   }
 
