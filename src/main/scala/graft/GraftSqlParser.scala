@@ -25,6 +25,7 @@ import org.apache.spark.sql.types._
   *   SHOW CONSUMERS FOR <name> [IN '<root>']
   *   SHOW SNAPSHOTS FOR <name> [IN '<root>']
   *   SHOW SCHEMA VERSIONS FOR <name> [IN '<root>']
+  *   SHOW TRANSACTIONS FOR <name> [IN '<root>']                    -- round 18
   * }}}
   *
   * and (round 16) the ADMIN WRITE statements — the operator who lives in
@@ -53,6 +54,8 @@ import org.apache.spark.sql.types._
   *   DROP SNAPSHOT <pin> ON <name> [IN '<root>']
   *   VACUUM SNAPSHOTS ON <name> [(graceMs = N)] [IN '<root>']       -- round 18
   *   EXPIRE CONSUMERS ON <name> (olderThanMs = N) [IN '<root>']     -- round 18
+  *   ABORT TRANSACTIONS ON <name> (olderThanMs = N) [IN '<root>']   -- round 18
+  *   VACUUM TRANSACTIONS ON <name> [(graceMs = N)] [IN '<root>']    -- round 18
   * }}}
   *
   * and (round 18) the READ statements — the console reads data, not just
@@ -65,8 +68,13 @@ import org.apache.spark.sql.types._
   * DataFrame:
   *
   * {{{
-  *   READ TOPIC <name> [WITH HEADERS | AS TABLE] [IN '<root>']
+  *   READ TOPIC <name> [COMMITTED] [WITH HEADERS | AS TABLE] [IN '<root>']
   * }}}
+  *
+  * `COMMITTED` (round 18) reads under read-committed isolation (connector
+  * option `readCommitted` — in-flight transactional epochs capped, aborted
+  * ranges subtracted; [[graft.connector.TxnMarkers]]) and composes with
+  * either shape: it narrows WHICH records the scan underneath delivers.
   *
   * `WITH HEADERS` (round 18) appends the record-headers column
   * (`headers ARRAY<STRUCT<key STRING, value BINARY>>`, KIP-82 parity —
@@ -99,6 +107,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeTopicCommand(name, Option(root))
     case ShowConsumersStmt(name, root) => ShowConsumersCommand(name, Option(root))
     case ShowSnapshotsStmt(name, root) => ShowSnapshotsCommand(name, Option(root))
+    case ShowTransactionsStmt(name, root) =>
+      ShowTransactionsCommand(name, Option(root))
     case ShowSchemaVersionsStmt(name, root) =>
       ShowSchemaVersionsCommand(name, Option(root))
     case CreateTopicStmt(name, opts, root) =>
@@ -182,6 +192,8 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+CONSUMERS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val ShowSnapshotsStmt =
     """(?is)\s*SHOW\s+SNAPSHOTS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
+  private val ShowTransactionsStmt =
+    """(?is)\s*SHOW\s+TRANSACTIONS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   private val ShowSchemaVersionsStmt =
     """(?is)\s*SHOW\s+SCHEMA\s+VERSIONS\s+FOR\s+`?([A-Za-z0-9._-]+)`?(?:\s+IN\s+'([^']+)')?\s*;?\s*""".r
   // Admin WRITE statements. No reserved-word hazard like DESCRIBE's:
@@ -385,6 +397,43 @@ case class ShowSnapshotsCommand(topic: String, root: Option[String])
       Row(p.name, p.createdAt, p.expiresAt.map(Long.box).orNull,
         p.live(now), p.token)
     }
+  }
+}
+
+/** `SHOW TRANSACTIONS FOR t [IN '<root>']` — the transaction-marker plane
+  * an operator reads before [[graft.api.Ripple.abortStaleTxns]] /
+  * `ABORT TRANSACTIONS` (is anything in flight? how old?) and before
+  * `VACUUM TRANSACTIONS` (what is still being hidden?). One row per
+  * marker: `state` is `pending` (in-flight — its floors cap
+  * `readCommitted` reads) or `aborted` (fence — its ranges are
+  * subtracted); `ranges` renders `bucket:[start,end)` comma-joined, with
+  * a pre-assignment pending's floor form as `bucket:[floor,?)`; `age_ms`
+  * is wall-clock minus the marker's mtime, the number `ABORT
+  * TRANSACTIONS (olderThanMs = N)` thresholds against. Empty = no
+  * transactional writer in flight and nothing aborted-and-retained.
+  */
+case class ShowTransactionsCommand(topic: String, root: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser._
+  override val output: Seq[Attribute] = Seq(
+    attr("query", StringType), attr("epoch", LongType),
+    attr("state", StringType), attr("ranges", StringType),
+    attr("age_ms", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val r = resolveRoot(root, spark)
+    val log = FileTopicLog.cached(r, LogFs.activeHadoopConf)
+    val now = System.currentTimeMillis()
+    def render(m: graft.connector.TxnMarkers.Marker): String =
+      m.ranges.toSeq.sortBy(_._1).map {
+        case (b, (s, c)) if c > 0 => s"$b:[$s,${s + c})"
+        case (b, (f, _))          => s"$b:[$f,?)"
+      }.mkString(",")
+    val pend = graft.connector.TxnMarkers.listPending(log, topic)
+      .map(m => (m.qdir, m.epoch, "pending", render(m), now - m.mtimeMs))
+    val abrt = graft.connector.TxnMarkers.listAborted(log, topic)
+      .map(m => (m.qdir, m.epoch, "aborted", render(m), now - m.mtimeMs))
+    (pend ++ abrt).sortBy(t => (t._3, t._1, t._2))
+      .map { case (q, e, st, rg, age) => Row(q, e, st, rg, age) }
   }
 }
 

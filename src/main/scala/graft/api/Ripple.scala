@@ -738,6 +738,19 @@ object Ripple {
     graft.connector.TxnMarkers.abortStale(
       FileTopicLog.cached(root, LogFs.activeHadoopConf), topic, olderThanMs)
 
+  /** The transaction-marker plane of `topic`: (pending, aborted) markers
+    * — what an operator reads before [[abortStaleTxns]] (anything in
+    * flight? how old?) and [[vacuumTxnMarkers]] (what is still hidden?).
+    * SQL: `SHOW TRANSACTIONS FOR t`.
+    */
+  def transactions(root: String, topic: String): (
+      Seq[graft.connector.TxnMarkers.Marker],
+      Seq[graft.connector.TxnMarkers.Marker]) = {
+    val log = FileTopicLog.cached(root, LogFs.activeHadoopConf)
+    (graft.connector.TxnMarkers.listPending(log, topic),
+      graft.connector.TxnMarkers.listAborted(log, topic))
+  }
+
   /** Garbage-collect aborted-transaction markers whose every recorded
     * range sits below the bucket's retention floor (the aborted rows are
     * physically gone — nothing left to subtract or fence), and that are

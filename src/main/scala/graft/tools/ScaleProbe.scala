@@ -121,9 +121,11 @@ object ScaleProbe {
     "q176_record_headers",
     // round-18: cross-topic transactions — two seam-torn transactional
     // epochs (one replay-committed, one admin-aborted) plus the
-    // readCommitted reduction; the marker plane is O(files) metadata by
-    // design, so the cell watches the fixed per-epoch cost staying flat
-    // while the streamed/committed volume grows 10x
+    // readCommitted reduction. The fixture's row count is FIXED by
+    // construction (event_id < 600), so this is a fixed-shape
+    // topic-lifecycle cell like q172: the cell watches the marker plane
+    // and the two streaming lifecycles staying flat while the SOURCE
+    // table under them grows 10x
     "q177_txn_read_committed"
   ).map(n => n -> graft.SparkEntry.queries(n)) :+
     // round-10: hierarchical LPT probed in its DEPLOYMENT shape — ONE

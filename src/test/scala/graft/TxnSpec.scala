@@ -228,12 +228,22 @@ class TxnSpec extends AnyFunSuite {
       // READ TOPIC ... COMMITTED: capped while the transaction is pending
       assert(sql("READ TOPIC ta COMMITTED").count() == 0)
       assert(sql("READ TOPIC ta").count() == 2)
+      // SHOW TRANSACTIONS: the in-flight epoch is visible with its
+      // published range BEFORE the abort, the fence with the same range
+      // AFTER it
+      val pend = sql("SHOW TRANSACTIONS FOR ta").collect()
+      assert(pend.length == 1 && pend(0).getString(2) == "pending" &&
+        pend(0).getString(3) == "b0000:[0,2)" && pend(0).getLong(4) >= 0,
+        pend.toSeq.toString)
       val aborted = sql("ABORT TRANSACTIONS ON ta (olderThanMs = 0)").collect()
       assert(aborted.length == 1 && aborted(0).getString(3) == "b0000:[0,2)",
         aborted.toSeq.toString)
       sql("ABORT TRANSACTIONS ON tb (olderThanMs = 0)").collect()
       assert(sql("READ TOPIC ta COMMITTED").count() == 0)
       assert(sql("READ TOPIC ta").count() == 2)
+      val shown = sql("SHOW TRANSACTIONS FOR ta").collect()
+      assert(shown.length == 1 && shown(0).getString(2) == "aborted" &&
+        shown(0).getString(3) == "b0000:[0,2)", shown.toSeq.toString)
       // COMMITTED composes with AS TABLE: the view reduces over the
       // committed scan only
       import spark.implicits._
@@ -248,6 +258,8 @@ class TxnSpec extends AnyFunSuite {
       Ripple.truncateToBytes(root, "ta", 1L)
       val gone = sql("VACUUM TRANSACTIONS ON ta (graceMs = 0)").collect()(0)
       assert(gone.getInt(2) == 1, gone.toString)
+      assert(sql("SHOW TRANSACTIONS FOR ta").collect().isEmpty,
+        "a vacuumed marker plane shows empty")
     } finally spark.conf.unset("spark.graft.root")
   }
 
