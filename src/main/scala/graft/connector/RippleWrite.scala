@@ -415,8 +415,8 @@ object RipplePublish {
     if (conf.topicColumn.isEmpty) {
       for (e <- epochId if txn)
         writePendingTxn(conf.log, conf.topic, qd, e, staged)
-      publishTopic(conf, staged, epochId, queryId, txn)
-      for (e <- epochId if txn)
+      val committed = publishTopic(conf, staged, epochId, queryId, txn)
+      for (e <- epochId if txn && committed)
         clearPendingTxn(conf.log, Seq(conf.topic), qd, e)
     } else {
       // ROUTED write: one full per-topic publish (locks, intent, marker,
@@ -432,15 +432,23 @@ object RipplePublish {
       for (e <- epochId if txn)
         byTopic.foreach { case (t, files) =>
           writePendingTxn(conf.log, t, qd, e, files) }
-      byTopic.foreach { case (t, files) =>
+      val outcomes = byTopic.map { case (t, files) =>
         // fold THIS topic's persisted config (explicit writer options win
         // per key — same resolution as a single-topic write start)
         val tconf = TopicConfig.applyDefaults(
           conf.copy(topic = t, topics = Seq(t), topicColumn = None))
-        publishTopic(tconf, files, epochId, queryId, txn)
+        val committed = publishTopic(tconf, files, epochId, queryId, txn)
         interTopicSeam(t)
+        committed
       }
-      for (e <- epochId if txn)
+      // The transaction's commit point: pendings clear ONLY when every
+      // participant committed. A topic whose publish was abandoned by an
+      // abort fence leaves the OTHER participants' pendings standing —
+      // their rows stay capped from readCommitted readers until the
+      // admin finishes aborting the transaction (SHOW TRANSACTIONS shows
+      // them aging); clearing here would split the transaction into a
+      // committed half and an aborted half.
+      for (e <- epochId if txn && outcomes.forall(identity))
         clearPendingTxn(conf.log, byTopic.map(_._1), qd, e)
     }
   }
@@ -484,8 +492,13 @@ object RipplePublish {
     */
   private[graft] var interTopicSeam: String => Unit = _ => ()
 
+  /** Returns true when the epoch is COMMITTED for this topic (published
+    * now, or a replay finding its marker); false when an abort fence made
+    * this attempt drop its staged files — the caller's transaction clear
+    * must not run on a fenced outcome.
+    */
   private def publishTopic(conf: RippleConf, staged: Seq[StagedFile],
-      epochId: Option[Long], queryId: String, txn: Boolean = false): Unit = {
+      epochId: Option[Long], queryId: String, txn: Boolean = false): Boolean = {
     val log = conf.log
     val fs = log.fs
     // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
@@ -501,7 +514,7 @@ object RipplePublish {
       staged.foreach(f =>
         try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
       intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
-      return
+      return true
     }
     // Abort fence (transactional epochs): an admin abortStaleTxns decided
     // this (query, epoch) is dead — a replay must not publish. Checked
@@ -522,7 +535,7 @@ object RipplePublish {
       }
       true
     }
-    if (abandonFenced()) return
+    if (abandonFenced()) return false
 
     staged.map(_.bucket).distinct.foreach { b =>
       require(!b.startsWith(".") && b.matches("[A-Za-z0-9._-]+"),
@@ -538,7 +551,7 @@ object RipplePublish {
         "one staged file per bucket per partition is the writer contract")
 
     withLocks(log, tbs) {
-      if (abandonFenced()) return
+      if (abandonFenced()) return false
       // (bucket, partitionId) -> (start, count)
       val plan: Map[(String, Int), (Long, Long)] =
         intent.filter(fs.exists(_)) match {
@@ -736,6 +749,7 @@ object RipplePublish {
         }
       }
     }
+    true
   }
 
   def abort(conf: RippleConf, messages: Array[WriterCommitMessage]): Unit = {

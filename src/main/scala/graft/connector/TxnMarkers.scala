@@ -208,41 +208,67 @@ object TxnMarkers {
     require(olderThanMs >= 0, s"ripple: olderThanMs must be >= 0, got $olderThanMs")
     val fs = log.fs
     val now = System.currentTimeMillis()
-    listPending(log, topic).filter(now - _.mtimeMs >= olderThanMs).map { p =>
+    listPending(log, topic).filter(now - _.mtimeMs >= olderThanMs).flatMap { p =>
       val fence = abortedPath(log, topic, p.qdir, p.epoch)
       log.writeFileAtomic(fence, Array.emptyByteArray)
+      abortLockSeam(p.qdir, p.epoch)
       val tbs = p.ranges.keys.toSeq.sorted.map(TopicBucket(topic, _))
-      val clamped = withLocks(log, tbs) {
-        p.ranges.flatMap { case (bucket, (start, count)) =>
-          val tb = TopicBucket(topic, bucket)
-          val segs = log.segments(tb)
-          // floor form (count -1): the epoch may have published anything
-          // from the floor up to the bucket's CURRENT end before its
-          // per-topic intent recorded exact offsets — but any such
-          // publish wrote the intent first, which upgrades the marker to
-          // range form. Floor form therefore means "nothing published";
-          // only range form can name published rows.
-          if (count <= 0) None
-          else {
-            val covered = segs.collect { case (_, s, c)
-                if s < start + count && s + c > start =>
-              (math.max(s, start), math.min(s + c, start + count))
-            }
-            if (covered.isEmpty) None
-            else Some(bucket -> (covered.map(_._1).min,
-              covered.map(_._2).max - covered.map(_._1).min))
-          }
+      // Everything below re-reads state UNDER the bucket locks — the
+      // listing's view of the pending is stale the moment a concurrent
+      // writer holds the locks: it may have upgraded floor→ranges and
+      // published (clamping from the stale floor form would record
+      // nothing and expose the published rows), the whole transaction
+      // may have committed (clearPendingTxn deleted the pending — abort
+      // loses, and hiding committed rows would be wrong), or a replay
+      // may have seen the fence and ABANDONED (pending gone, no marker —
+      // the fence must stay or a second replay would publish after all).
+      val marker = new HPath(p.path.getParent, s"epoch-${p.epoch}")
+      val verdict: Option[Map[String, (Long, Long)]] = withLocks(log, tbs) {
+        val fresh =
+          try Some(parseBody(log.readFileUtf8(p.path)))
+          catch { case _: java.io.FileNotFoundException => None }
+        fresh match {
+          case None if fs.exists(marker) => None // committed under us
+          case None => Some(Map.empty) // abandoned by our fence — keep it
+          case Some(ranges) => Some(ranges.flatMap {
+            case (bucket, (start, count)) =>
+              val tb = TopicBucket(topic, bucket)
+              val segs = log.segments(tb)
+              // floor form (count -1) UNDER THE LOCK means nothing
+              // published: the upgrade to range form precedes any
+              // segment, inside this same lock
+              if (count <= 0) None
+              else {
+                val covered = segs.collect { case (_, s, c)
+                    if s < start + count && s + c > start =>
+                  (math.max(s, start), math.min(s + c, start + count))
+                }
+                if (covered.isEmpty) None
+                else Some(bucket -> (covered.map(_._1).min,
+                  covered.map(_._2).max - covered.map(_._1).min))
+              }
+          })
         }
       }
-      // an empty fence STAYS: it hides nothing, but it is what stops a
-      // later replay from publishing the dead epoch after all (deleting
-      // it here would un-abort the topics the crash never reached,
-      // splitting the transaction)
-      if (clamped.nonEmpty) log.writeFileAtomic(fence, renderRanges(clamped))
-      try fs.delete(p.path, false) catch { case _: java.io.IOException => () }
-      val intent = new HPath(p.path.getParent, s"epoch-${p.epoch}.intent")
-      try fs.delete(intent, false) catch { case _: java.io.IOException => () }
-      Marker(topic, p.qdir, p.epoch, fence, now, clamped)
+      verdict match {
+        case None =>
+          // the transaction committed between the listing and the locks:
+          // abort loses — the rows are legitimately committed and must
+          // not be hidden; replay is already a marker no-op, so the
+          // fence has no job left
+          try fs.delete(fence, false) catch { case _: java.io.IOException => () }
+          None
+        case Some(clamped) =>
+          // an empty fence STAYS: it hides nothing, but it is what stops
+          // a later replay from publishing the dead epoch after all
+          // (deleting it would un-abort the topics the crash never
+          // reached, splitting the transaction)
+          if (clamped.nonEmpty) log.writeFileAtomic(fence, renderRanges(clamped))
+          try fs.delete(p.path, false) catch { case _: java.io.IOException => () }
+          val intent = new HPath(p.path.getParent, s"epoch-${p.epoch}.intent")
+          try fs.delete(intent, false) catch { case _: java.io.IOException => () }
+          Some(Marker(topic, p.qdir, p.epoch, fence, now, clamped))
+      }
     }
   }
 
@@ -273,6 +299,13 @@ object TxnMarkers {
       m
     }
   }
+
+  /** Test seam: runs after the abort fence is written and before the
+    * bucket locks are taken, so a spec can interleave a racing replay
+    * deterministically (commit-under-us and abandoned-by-fence verdicts).
+    * No-op in production.
+    */
+  private[graft] var abortLockSeam: (String, Long) => Unit = (_, _) => ()
 
   private def withLocks[A](log: FileTopicLog, tbs: Seq[TopicBucket])(body: => A): A =
     tbs match {

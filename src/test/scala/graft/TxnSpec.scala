@@ -263,6 +263,69 @@ class TxnSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.root")
   }
 
+  test("abort races a replay that COMMITS: abort loses, nothing is hidden") {
+    val (root, _, _, start) = tornEpoch()
+    // interleave a full replay between the abort's fence write and its
+    // lock acquisition: the transaction commits under the abort
+    @volatile var fired = false
+    TxnMarkers.abortLockSeam = (_, _) =>
+      if (!fired) {
+        fired = true
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    val aborted =
+      try Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
+      finally TxnMarkers.abortLockSeam = (_, _) => ()
+    assert(fired, "the seam must have run the replay")
+    assert(aborted.isEmpty, "a committed-under-us transaction must not abort")
+    assert(TxnMarkers.listAborted(log(root), "ta").isEmpty,
+      "the losing abort's fence must be withdrawn")
+    // the committed rows are NOT hidden
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 2)
+    assert(Ripple.readCommitted(spark, root, "tb").count() == 1)
+    assert(TxnMarkers.listPending(log(root), "ta").isEmpty &&
+      TxnMarkers.listPending(log(root), "tb").isEmpty)
+  }
+
+  test("abort races a replay its own fence ABANDONS: fence stays, siblings stay capped") {
+    val (root, _, _, start) = tornEpoch()
+    // abort tb (the topic the crash never reached); the seam replays the
+    // whole query: ta no-ops on its marker, tb abandons on the fresh
+    // fence — and the transaction clear must NOT run on that outcome
+    @volatile var fired = false
+    TxnMarkers.abortLockSeam = (_, _) =>
+      if (!fired) {
+        fired = true
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    val aborted =
+      try Ripple.abortStaleTxns(root, "tb", olderThanMs = 0L)
+      finally TxnMarkers.abortLockSeam = (_, _) => ()
+    assert(fired, "the seam must have run the replay")
+    assert(aborted.size == 1 && aborted.head.ranges.isEmpty,
+      s"the abandoned participant aborts with no published ranges, got $aborted")
+    assert(TxnMarkers.listAborted(log(root), "tb").size == 1,
+      "the fence must survive — a later replay would otherwise publish tb")
+    // ta's half is STILL pending (the abandoned outcome must not clear
+    // the transaction): its rows stay capped until ta is aborted too
+    assert(TxnMarkers.listPending(log(root), "ta").size == 1,
+      "a fence-abandoned transaction must keep its siblings pending")
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+    assert(Ripple.read(spark, root, "ta").count() == 2)
+    assert(Ripple.read(spark, root, "tb").count() == 0)
+    // the admin finishes the job: aborting ta records its torn half
+    val a2 = Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
+    assert(a2.size == 1 && a2.head.ranges == Map("b0000" -> (0L, 2L)))
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+    // a second replay is fenced on both topics and commits nothing
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Ripple.read(spark, root, "tb").count() == 0)
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+  }
+
   test("subtract: aborted-range arithmetic") {
     import TxnMarkers.subtract
     assert(subtract(0, 10, Seq.empty) == Seq((0L, 10L)))
