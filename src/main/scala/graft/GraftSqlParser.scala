@@ -315,9 +315,11 @@ case class DescribeTopicCommand(topic: String, root: Option[String])
     val d = Ripple.describeTopic(resolveRoot(root, spark), topic)
     val consumers = d.consumers.mkString(",")
     val config = d.config.render
-    // the read spellings this topic answers to: the raw envelope scan
-    // and the latest-per-key table view (READ TOPIC t [AS TABLE])
-    val views = "envelope,table"
+    // the read spellings this topic answers to: the raw envelope scan,
+    // the latest-per-key table view, the record-headers projection, and
+    // read-committed isolation
+    // (READ TOPIC t [COMMITTED] [AS TABLE | WITH HEADERS])
+    val views = "envelope,table,headers,committed"
     d.buckets.toSeq.sortBy(_._1).map { case (b, st) =>
       Row(d.topic, b, st.floor, st.end, st.rows, st.segments, st.bytes,
         st.latestTs.map(Long.box).orNull, d.commitProtocol,

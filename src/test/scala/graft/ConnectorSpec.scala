@@ -765,7 +765,7 @@ class ConnectorSpec extends AnyFunSuite {
         s.sql(s"READ TOPIC adm IN '$root'")
           .select("bucket", "id").distinct().count())
       // DESCRIBE advertises the read views
-      assert(d.forall(_.getAs[String]("views") == "envelope,table"))
+      assert(d.forall(_.getAs[String]("views") == "envelope,table,headers,committed"))
       // everything else still parses through the delegate
       assert(s.sql("SELECT 1 AS x").collect().head.getInt(0) == 1)
       assert(s.sql(s"DESCRIBE TOPIC adm").count() == 2) // conf root again
