@@ -617,6 +617,28 @@ private[connector] object TxnStableEnds {
     }.toMap
 }
 
+/** Both read-committed maps — stable-end caps AND aborted ranges — from
+  * ONE marker-plane listing per topic, for the sites that need both
+  * (the batch planner). Empty pair when the option is off.
+  */
+private[connector] object TxnReadState {
+  def apply(conf: RippleConf): (Map[graft.model.TopicBucket, Long],
+      Map[graft.model.TopicBucket, Seq[(Long, Long)]]) =
+    if (!conf.readCommitted) (Map.empty, Map.empty)
+    else {
+      val perTopic = conf.topicList.map(t =>
+        t -> TxnMarkers.listAll(conf.log, t))
+      (perTopic.flatMap { case (t, (pend, _)) =>
+        TxnMarkers.stableEndsOf(pend).map { case (b, v) =>
+          graft.model.TopicBucket(t, b) -> v }
+      }.toMap,
+        perTopic.flatMap { case (t, (_, abrt)) =>
+          TxnMarkers.abortedRangesOf(abrt).map { case (b, v) =>
+            graft.model.TopicBucket(t, b) -> v }
+        }.toMap)
+    }
+}
+
 /** Aborted offset ranges per bucket for a `readCommitted` read — the
   * Kafka aborted-transaction-index analog; empty when the option is off.
   */
@@ -657,8 +679,7 @@ class RippleBatch(conf: RippleConf, schema: StructType, lo: Long, hi: Long,
     val segsByTb: Map[graft.model.TopicBucket,
         Seq[(org.apache.hadoop.fs.Path, Long, Long)]] =
       live.map(tb => tb -> log.segments(tb)).toMap
-    val txnCaps = TxnStableEnds(conf)
-    val txnAborted = TxnAbortedRanges(conf)
+    val (txnCaps, txnAborted) = TxnReadState(conf)
     // Snapshot pin: a bucket the token names but the log no longer has
     // means the pinned corpus is partly GONE — fail loudly (checked against
     // the un-narrowed disk listing so bucket pruning/DPP can't mask it).

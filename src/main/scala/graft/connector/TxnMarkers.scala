@@ -105,9 +105,19 @@ object TxnMarkers {
 
   private val EpochRe = raw"epoch-(\d+)(\.txn|\.txnaborted)".r
 
-  /** All markers with `suffix` under `topic`'s commit dirs. Missing
-    * `.commits` (a topic with no epoch writer yet) is the common case and
-    * answers empty without an error.
+  /** Both marker families in ONE two-level listing — what a
+    * `readCommitted` plan resolves per topic (caps need the pendings,
+    * subtraction the aborteds; listing twice would double the metadata
+    * round-trips for no information).
+    */
+  def listAll(log: FileTopicLog, topic: String): (Seq[Marker], Seq[Marker]) = {
+    val all = list(log, topic, null)
+    all.partition(_.path.getName.endsWith(PendingSuffix))
+  }
+
+  /** All markers with `suffix` under `topic`'s commit dirs (every marker
+    * when `suffix` is null). Missing `.commits` (a topic with no epoch
+    * writer yet) is the common case and answers empty without an error.
     */
   private def list(log: FileTopicLog, topic: String, suffix: String): Seq[Marker] = {
     val fs = log.fs
@@ -121,7 +131,7 @@ object TxnMarkers {
         catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
       files.toSeq.flatMap { f =>
         f.getPath.getName match {
-          case EpochRe(e, s) if s == suffix =>
+          case EpochRe(e, s) if suffix == null || s == suffix =>
             // a marker deleted between listing and read resolved — skip it
             (try Some(log.readFileUtf8(f.getPath))
              catch { case _: java.io.FileNotFoundException => None })
@@ -149,8 +159,11 @@ object TxnMarkers {
     * resolves it.
     */
   def stableEnds(log: FileTopicLog, topic: String): Map[String, Long] =
-    listPending(log, topic).flatMap(_.ranges.toSeq)
-      .groupMapReduce(_._1)(_._2._1)(math.min)
+    stableEndsOf(listPending(log, topic))
+
+  /** [[stableEnds]] from an already-listed pending set. */
+  def stableEndsOf(pending: Seq[Marker]): Map[String, Long] =
+    pending.flatMap(_.ranges.toSeq).groupMapReduce(_._1)(_._2._1)(math.min)
 
   /** Per-bucket aborted offset ranges `[start, end)`, merged across
     * markers, sorted. `readCommitted` partition planning subtracts them;
@@ -159,7 +172,11 @@ object TxnMarkers {
     * still caps the bucket below them until the abort completes.
     */
   def abortedRanges(log: FileTopicLog, topic: String): Map[String, Seq[(Long, Long)]] =
-    listAborted(log, topic).flatMap(_.ranges.toSeq)
+    abortedRangesOf(listAborted(log, topic))
+
+  /** [[abortedRanges]] from an already-listed aborted set. */
+  def abortedRangesOf(aborted: Seq[Marker]): Map[String, Seq[(Long, Long)]] =
+    aborted.flatMap(_.ranges.toSeq)
       .collect { case (b, (s, c)) if c > 0 => b -> (s, s + c) }
       .groupMap(_._1)(_._2)
       .view.mapValues(_.sortBy(_._1)).toMap
