@@ -68,7 +68,7 @@ import org.apache.spark.sql.types._
   * DataFrame:
   *
   * {{{
-  *   READ TOPIC <name> [COMMITTED] [WITH HEADERS | AS TABLE] [IN '<root>']
+  *   READ TOPIC <name> [COMMITTED] [WITH HEADERS] [AS TABLE] [IN '<root>']
   * }}}
   *
   * `COMMITTED` (round 18) reads under read-committed isolation (connector
@@ -78,8 +78,10 @@ import org.apache.spark.sql.types._
   *
   * `WITH HEADERS` (round 18) appends the record-headers column
   * (`headers ARRAY<STRUCT<key STRING, value BINARY>>`, KIP-82 parity —
-  * [[graft.api.Ripple.readWithHeaders]]); it composes with the envelope
-  * scan only — the table view reduces to latest-per-key and refuses it.
+  * [[graft.api.Ripple.readWithHeaders]]). Since round 19 it composes
+  * with `AS TABLE` too: the view's `max_by` keeps the WINNING record's
+  * headers, so each surviving key carries the headers its latest record
+  * was produced with.
   *
   * `ALTER … SET` is a read-modify-write MERGE over the persisted
   * [[graft.connector.TopicConfig]] (unnamed keys keep their values);
@@ -145,10 +147,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       // would collect a 100 TB topic to the driver
       val spark = SparkSession.active
       val r = resolveRoot(Option(root), spark)
-      if (withHeaders != null && asTable != null)
-        throw new IllegalArgumentException(
-          "READ TOPIC ... WITH HEADERS AS TABLE: the table view reduces to " +
-            "latest-per-key and has no headers column — read one or the other")
+      // WITH HEADERS composes with AS TABLE (round 19): the view keeps
+      // the winning record's headers in its max_by struct — each key's
+      // row carries the headers its latest record was produced with.
       // COMMITTED (read-committed isolation) composes with either shape:
       // it narrows WHICH records the scan underneath delivers
       var reader = spark.read.format("ripple")
@@ -420,7 +421,7 @@ case class ShowTransactionsCommand(topic: String, root: Option[String])
   override val output: Seq[Attribute] = Seq(
     attr("query", StringType), attr("epoch", LongType),
     attr("state", StringType), attr("ranges", StringType),
-    attr("age_ms", LongType))
+    attr("age_ms", LongType), attr("participants", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     val r = resolveRoot(root, spark)
     val log = FileTopicLog.cached(r, LogFs.activeHadoopConf)
@@ -430,12 +431,15 @@ case class ShowTransactionsCommand(topic: String, root: Option[String])
         case (b, (s, c)) if c > 0 => s"$b:[$s,${s + c})"
         case (b, (f, _))          => s"$b:[$f,?)"
       }.mkString(",")
+    def parts(m: graft.connector.TxnMarkers.Marker): String =
+      (if (m.participants.nonEmpty) m.participants else Seq(topic))
+        .sorted.mkString(",")
     val pend = graft.connector.TxnMarkers.listPending(log, topic)
-      .map(m => (m.qdir, m.epoch, "pending", render(m), now - m.mtimeMs))
+      .map(m => (m.qdir, m.epoch, "pending", render(m), now - m.mtimeMs, parts(m)))
     val abrt = graft.connector.TxnMarkers.listAborted(log, topic)
-      .map(m => (m.qdir, m.epoch, "aborted", render(m), now - m.mtimeMs))
+      .map(m => (m.qdir, m.epoch, "aborted", render(m), now - m.mtimeMs, parts(m)))
     (pend ++ abrt).sortBy(t => (t._3, t._1, t._2))
-      .map { case (q, e, st, rg, age) => Row(q, e, st, rg, age) }
+      .map { case (q, e, st, rg, age, ps) => Row(q, e, st, rg, age, ps) }
   }
 }
 

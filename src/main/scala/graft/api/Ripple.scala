@@ -798,6 +798,50 @@ object Ripple {
     r.load()
   }
 
+  /** Consumer-group member stream (round 19): one of `members` streaming
+    * queries sharing `consumerId`, this one owning the bucket subset
+    * `hash(bucket) % members == member` — STATIC assignment claimed at
+    * query start and refused loudly when a different member count already
+    * holds claims (the Kafka consumer-group analog; the reference has no
+    * work-sharing — every consumer ID replays the full log,
+    * `internal/broker/consumer/server/core.go:46-64`). Each member runs
+    * its OWN checkpoint; its committed cursor lands in a per-member file
+    * the group position merges ([[consumerOffsets]]). Rebalancing is
+    * restart-by-contract: stop the group, [[dropGroupClaims]], start the
+    * new layout.
+    */
+  def readStreamMember(spark: SparkSession, root: String, topic: String,
+      consumerId: String, member: Int, members: Int,
+      maxOffsetsPerTrigger: Long = Long.MaxValue): DataFrame = {
+    var r: DataStreamReader = spark.readStream.format("ripple")
+      .option("path", root).option("topic", topic)
+      .option("consumerId", consumerId)
+      .option("groupMember", member).option("groupMembers", members)
+    if (maxOffsetsPerTrigger != Long.MaxValue)
+      r = r.option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+    r.load()
+  }
+
+  /** A group member's MANAGED checkpoint under the shared consumer
+    * namespace (the member twin of [[consumerCheckpoint]] — members can
+    * never share one checkpoint, Spark pins a query's identity to it).
+    * Its committed ends merge into the group position
+    * ([[consumerOffsets]]) like the member cursor files do.
+    */
+  def memberCheckpoint(root: String, topic: String, consumerId: String,
+      member: Int, members: Int): String =
+    graft.connector.ConsumerOffsets.memberCheckpoint(root, topic, consumerId,
+      member, members)
+
+  /** Release every member claim under `consumerId` — the rebalance gate
+    * between stopping one group layout and starting another. Run with the
+    * group stopped; cursors survive, so the new layout resumes each
+    * bucket from the group's merged committed position (at-least-once
+    * across the ownership change).
+    */
+  def dropGroupClaims(root: String, topic: String, consumerId: String): Unit =
+    graft.connector.ConsumerOffsets.dropClaims(root, topic, consumerId)
+
   /** Interpret opaque payloads as JSON columns — the engine's value-add
     * over the reference's byte blobs (SURVEY §1.3): topics become fully
     * queryable tables. Envelope metadata is underscore-prefixed so payload
@@ -846,15 +890,27 @@ object Ripple {
     * view is deterministic. Output columns equal the envelope's, so
     * [[lift]] composes for a typed table and every downstream query
     * written against `read` runs unchanged against the view.
+    *
+    * An envelope carrying the `headers` column (an `includeHeaders` read /
+    * `READ TOPIC t WITH HEADERS AS TABLE`) keeps it: the WINNING record's
+    * headers ride the same `max_by` struct, so each surviving key carries
+    * exactly the headers its latest record was produced with — never a
+    * silent drop (round 19; r18 refused the combination).
     */
-  def tableView(envelope: DataFrame): DataFrame =
-    envelope
+  def tableView(envelope: DataFrame): DataFrame = {
+    val withHeaders = envelope.columns.contains("headers")
+    val payload =
+      if (withHeaders) struct(col("offset"), col("data"), col("ts"), col("headers"))
+      else struct(col("offset"), col("data"), col("ts"))
+    val base = envelope
       .groupBy(col("topic"), col("bucket"), col("id"))
-      .agg(max_by(struct(col("offset"), col("data"), col("ts")),
-        col("offset")).as("r"))
+      .agg(max_by(payload, col("offset")).as("r"))
       .filter(col("r.data").isNotNull)
-      .select(col("topic"), col("bucket"), col("r.offset").as("offset"),
-        col("id"), col("r.data").as("data"), col("r.ts").as("ts"))
+    val cols = Seq(col("topic"), col("bucket"), col("r.offset").as("offset"),
+      col("id"), col("r.data").as("data"), col("r.ts").as("ts")) ++
+      (if (withHeaders) Seq(col("r.headers").as("headers")) else Nil)
+    base.select(cols: _*)
+  }
 
   /** [[tableView]] over a batch scan of `topic` — `readTable(root, t)` ≡
     * "the keyed table this changelog encodes, as of now". SQL spelling:

@@ -88,16 +88,40 @@ object ConsumerOffsets {
     fs.makeQualified(d).toString
   }
 
+  /** A group MEMBER's managed checkpoint — one per (member, count) under
+    * the shared consumer namespace (members can never share one
+    * checkpoint: Spark pins a query's identity to it). [[load]] merges
+    * every member checkpoint's committed ends into the group position,
+    * exactly as it merges the member cursor files.
+    */
+  def memberCheckpoint(root: String, topic: String, id: String,
+      member: Int, members: Int): String = {
+    val d = new HPath(consumerDir(root, topic, id), s"ckpt-$member-of-$members")
+    val fs = fsFor(root)
+    fs.mkdirs(d)
+    fs.makeQualified(d).toString
+  }
+
   /** Atomically record `ends` as `id`'s secondary cursor. Single-writer per
     * (topic, consumerId) is assumed — the same contract the streaming
     * checkpoint already imposes on the query.
     */
-  def commit(root: String, topic: String, id: String, ends: Map[String, Long]): Unit = {
+  def commit(root: String, topic: String, id: String, ends: Map[String, Long],
+      member: Option[(Int, Int)] = None): Unit = {
     val fs = fsFor(root)
     val dir = consumerDir(root, topic, id)
     fs.mkdirs(dir)
-    val target = new HPath(dir, "cursor.json")
-    val tmp = new HPath(dir, ".cursor.json.tmp")
+    // A group MEMBER owns a disjoint bucket subset of the shared
+    // consumerId: it commits to its OWN cursor file ([[claimMember]]) so
+    // sibling members never clobber each other's buckets (cursor.json is
+    // a whole-map swap); [[load]] merges every member file back into the
+    // group's position.
+    val name = member match {
+      case Some((i, n)) => s"cursor-$i-of-$n.json"
+      case None         => "cursor.json"
+    }
+    val target = new HPath(dir, name)
+    val tmp = new HPath(dir, s".$name.tmp")
     val out = fs.create(tmp, true)
     try { out.write(RippleOffset(ends).json().getBytes("UTF-8")); out.close() }
     catch { case e: Throwable => try fs.delete(tmp, false) catch { case _: Throwable => () }; throw e }
@@ -122,15 +146,74 @@ object ConsumerOffsets {
       try Some(RippleOffset.fromJson(readUtf8(fs, f)).ends)
       catch { case _: java.io.FileNotFoundException => None }
     }
-    val ckpt = checkpointEnds(fs, new HPath(d, "ckpt"))
-    (cursor, ckpt) match {
-      case (None, None) => None
-      case (a, b) =>
-        val l = a.getOrElse(Map.empty); val r = b.getOrElse(Map.empty)
-        Some((l.keySet ++ r.keySet).map { k =>
-          k -> math.max(l.getOrElse(k, 0L), r.getOrElse(k, 0L))
-        }.toMap)
+    // group members' cursor-<i>-of-<n>.json files and ckpt-<i>-of-<n>/
+    // managed checkpoints: disjoint bucket maps by construction (static
+    // hash assignment), merged by max like everything else — the union
+    // IS the group's position
+    val listed =
+      try fs.listStatus(d)
+      catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val memberCursors: Seq[Map[String, Long]] = listed.toSeq.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("cursor-") && n.endsWith(".json")
+    }.flatMap { st =>
+      try Some(RippleOffset.fromJson(readUtf8(fs, st.getPath)).ends)
+      catch { case _: java.io.FileNotFoundException => None }
     }
+    val memberCkpts: Seq[Map[String, Long]] = listed.toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("ckpt-")
+    }.flatMap(st => checkpointEnds(fs, st.getPath))
+    val ckpt = checkpointEnds(fs, new HPath(d, "ckpt"))
+    val all = cursor.toSeq ++ memberCursors ++ memberCkpts ++ ckpt.toSeq
+    if (all.isEmpty) None
+    else Some(all.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(math.max))
+  }
+
+  // ---- consumer-group load-splitting (round 19) -----------------------
+
+  private val ClaimRe = raw"(\d+)-of-(\d+)".r
+
+  /** Record member `i`-of-`n`'s STATIC bucket claim under the shared
+    * `consumerId` and refuse overlapping layouts loudly: every claim file
+    * under `members/` must agree on the member COUNT — a member of a
+    * 2-way split and a member of a 3-way split would both own some
+    * buckets (the hash partitions differ), double-reading them. A claim
+    * with the SAME (i, n) is a RESTART and overwrites silently (static
+    * assignment is stable, so the restarted member owns exactly the same
+    * buckets). Changing the layout is rebalance-on-restart by contract:
+    * stop every member, [[dropClaims]] (or delete the consumer), start
+    * the new layout.
+    */
+  def claimMember(root: String, topic: String, id: String,
+      member: Int, members: Int): Unit = {
+    val fs = fsFor(root)
+    val dir = new HPath(consumerDir(root, topic, id), "members")
+    fs.mkdirs(dir)
+    val conflicting =
+      try fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+        case ClaimRe(_, n) if n.toInt != members => n.toInt
+      }.toSeq.distinct.sorted
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    if (conflicting.nonEmpty) throw new IllegalStateException(
+      s"ripple: consumer '$id' on topic '$topic' already has member " +
+        s"claims for a ${conflicting.mkString("/")}-way split — a " +
+        s"$members-way member would overlap their buckets; stop the " +
+        "group and drop its claims (Ripple.dropGroupClaims) before " +
+        "changing the layout")
+    val f = new HPath(dir, s"$member-of-$members")
+    val out = fs.create(f, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+  }
+
+  /** Release every member claim of `id` — the rebalance gate: run with
+    * the group STOPPED, then start the new layout (members resume from
+    * the merged [[load]] position, at-least-once across the boundary for
+    * buckets that changed owners).
+    */
+  def dropClaims(root: String, topic: String, id: String): Unit = {
+    val fs = fsFor(root)
+    try fs.delete(new HPath(consumerDir(root, topic, id), "members"), true)
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Remove `id`'s managed checkpoint (reset support): a resumed
@@ -221,7 +304,23 @@ object ConsumerOffsets {
       try fs.listStatus(new HPath(new HPath(d, "ckpt"), "commits"))
         .iterator.map(_.getModificationTime).foldLeft(-1L)(math.max)
       catch { case _: java.io.FileNotFoundException => -1L }
-    val best = math.max(mtime(new HPath(d, "cursor.json")), commits)
+    // group members' cursor files and managed checkpoints count too: an
+    // active 4-way group whose shared cursor.json never moves must not
+    // read as expired
+    val memberActivity =
+      try fs.listStatus(d).iterator.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("cursor-") && n.endsWith(".json"))
+          Iterator.single(st.getModificationTime)
+        else if (st.isDirectory && n.startsWith("ckpt-"))
+          try fs.listStatus(new HPath(st.getPath, "commits"))
+            .iterator.map(_.getModificationTime)
+          catch { case _: java.io.FileNotFoundException => Iterator.empty }
+        else Iterator.empty
+      }.foldLeft(-1L)(math.max)
+      catch { case _: java.io.FileNotFoundException => -1L }
+    val best = math.max(math.max(mtime(new HPath(d, "cursor.json")), commits),
+      memberActivity)
     if (best < 0) None else Some(best)
   }
 

@@ -325,6 +325,8 @@ object RippleConf {
       autoCompactSegmentsSet = options.containsKey("autoCompactSegments"),
       compactDistributeMinBytesSet = options.containsKey("compactDistributeMinBytes"),
       consumerId = Option(options.get("consumerId")).map(ConsumerOffsets.requireValidId),
+      groupMember = options.getInt("groupMember", -1),
+      groupMembers = options.getInt("groupMembers", 1),
       transactional = options.getBoolean("transactional", false),
       readCommitted = options.getBoolean("readCommitted", false),
       // An EXPLICIT startingOffset is a positional read request — reading
@@ -391,6 +393,8 @@ case class RippleConf(
     autoCompactSegmentsSet: Boolean = false,
     compactDistributeMinBytesSet: Boolean = false,
     consumerId: Option[String] = None,
+    groupMember: Int = -1,
+    groupMembers: Int = 1,
     transactional: Boolean = false,
     readCommitted: Boolean = false,
     startingOffsetSet: Boolean = false,
@@ -485,6 +489,27 @@ case class RippleConf(
           s"$tombstoneRetentionMs (0 drops a latest-per-key tombstone at " +
           "its SECOND compaction — the first pass always leaves the " +
           "delete visible; the Kafka delete.retention.ms analog)")
+    // consumer-group load-splitting: both knobs or neither, a valid
+    // member index, a shared consumerId to claim and commit under, and
+    // no competing bucket pin
+    if (groupMembers < 1) throw new IllegalArgumentException(
+      s"ripple: groupMembers must be >= 1, got $groupMembers")
+    if (groupMembers > 1 || groupMember >= 0) {
+      if (groupMember < 0 || groupMember >= groupMembers)
+        throw new IllegalArgumentException(
+          s"ripple: groupMember must be in [0, groupMembers), got " +
+            s"member $groupMember of $groupMembers — set BOTH options")
+      if (consumerId.isEmpty) throw new IllegalArgumentException(
+        "ripple: consumer-group splitting (groupMember/groupMembers) " +
+          "needs the shared 'consumerId' the members claim buckets and " +
+          "commit cursors under")
+      if (bucket.isDefined) throw new IllegalArgumentException(
+        "ripple: an explicit 'bucket' pin and groupMember/groupMembers " +
+          "both fix the bucket set — read one way")
+      if (snapshot.isDefined) throw new IllegalArgumentException(
+        "ripple: a snapshot pin reads the WHOLE captured topic — it " +
+          "cannot compose with a group member's bucket subset")
+    }
     this
   }
   def log: FileTopicLog = FileTopicLog.cached(root, hconf.value.value)
@@ -507,11 +532,23 @@ case class RippleConf(
           ss.map { case (t, s) => s"$t: ${s.simpleString}" }.mkString("; "))
       distinct.head
   }
+  /** Consumer-group assignment: bucket NAME hashed over the member count
+    * (String.hashCode is spec-fixed, so every member computes the same
+    * map with no coordination). Hashing the name — not a sorted index —
+    * keeps existing assignments STABLE when `addBuckets` grows the topic:
+    * a new bucket lands on exactly one member, nothing else moves.
+    */
+  def memberOf(bucketName: String): Int =
+    ((bucketName.hashCode % groupMembers) + groupMembers) % groupMembers
+
   def buckets: Seq[graft.model.TopicBucket] = {
     val all = topicList.flatMap(t => log.buckets(t))
+    val mine =
+      if (groupMembers > 1) all.filter(tb => memberOf(tb.bucket) == groupMember)
+      else all
     bucket match {
-      case Some(b) => all.filter(_.bucket == b)
-      case None    => all
+      case Some(b) => mine.filter(_.bucket == b)
+      case None    => mine
     }
   }
 }

@@ -1033,6 +1033,22 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     with SupportsTriggerAvailableNow
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
+  // Consumer-group load-splitting (round 19): a member claims its static
+  // layout at QUERY START — one claim file per (member, count) under the
+  // shared consumerId, refused loudly when a different member COUNT
+  // already holds claims (mixed layouts would double-read buckets). The
+  // reference has no work-sharing at all (every consumer ID replays the
+  // full log, `internal/broker/consumer/server/core.go:46-64`); this is
+  // the Kafka consumer-group analog with static assignment —
+  // rebalance-on-restart, never mid-flight.
+  if (conf.groupMembers > 1) {
+    val id = conf.consumerId.get // validated non-empty with the options
+    conf.topicList.foreach { t =>
+      ConsumerOffsets.claimMember(conf.root, t, id,
+        conf.groupMember, conf.groupMembers)
+    }
+  }
+
   /** Per-progress-event source metrics (Kafka-source convention): an
     * operator watching a 100 TB ingest reads backlog from every
     * `StreamingQueryProgress.sources[i].metrics`, not from a separate
@@ -1324,12 +1340,18 @@ class RippleMicroBatchStream(conf: RippleConf, schema: StructType,
     */
   override def commit(end: Offset): Unit = conf.consumerId.foreach { id =>
     val ends = end.asInstanceOf[RippleOffset].ends
+    // a group member commits to its OWN cursor file — cursor.json is a
+    // whole-map swap and sibling members would clobber each other's
+    // buckets through it; ConsumerOffsets.load merges the member files
+    val member =
+      if (conf.groupMembers > 1) Some((conf.groupMember, conf.groupMembers))
+      else None
     if (!conf.multiTopic)
-      ConsumerOffsets.commit(conf.root, conf.topicList.head, id, ends)
+      ConsumerOffsets.commit(conf.root, conf.topicList.head, id, ends, member)
     else ends.toSeq.map { case (k, o) => (conf.keyBucket(k), o) }
       .groupBy(_._1.topic).foreach { case (t, xs) =>
         ConsumerOffsets.commit(conf.root, t, id,
-          xs.map { case (tb, o) => tb.bucket -> o }.toMap)
+          xs.map { case (tb, o) => tb.bucket -> o }.toMap, member)
       }
   }
   override def stop(): Unit = ()

@@ -414,8 +414,9 @@ object RipplePublish {
     val qd = if (queryId.isEmpty) "unknown-query" else queryId
     if (conf.topicColumn.isEmpty) {
       for (e <- epochId if txn)
-        writePendingTxn(conf.log, conf.topic, qd, e, staged)
-      val committed = publishTopic(conf, staged, epochId, queryId, txn)
+        writePendingTxn(conf.log, conf.topic, qd, e, staged, Seq(conf.topic))
+      val committed = publishTopic(conf, staged, epochId, queryId, txn,
+        Seq(conf.topic))
       for (e <- epochId if txn && committed)
         clearPendingTxn(conf.log, Seq(conf.topic), qd, e)
     } else {
@@ -429,15 +430,21 @@ object RipplePublish {
       val byTopic = staged.groupBy(_.topic).toSeq.sortBy(_._1)
       byTopic.foreach { case (t, _) =>
         require(t.nonEmpty, "ripple: routed write staged a file with no topic") }
+      // every participant's pending records the FULL topic set (r18
+      // ADVICE #1): an admin abort resolves the whole transaction from
+      // any one marker, and a partially-aborted epoch can never be
+      // half-cleared by a replay — no marker is blind to its siblings
+      val participants = byTopic.map(_._1)
       for (e <- epochId if txn)
         byTopic.foreach { case (t, files) =>
-          writePendingTxn(conf.log, t, qd, e, files) }
+          writePendingTxn(conf.log, t, qd, e, files, participants) }
       val outcomes = byTopic.map { case (t, files) =>
         // fold THIS topic's persisted config (explicit writer options win
         // per key — same resolution as a single-topic write start)
         val tconf = TopicConfig.applyDefaults(
           conf.copy(topic = t, topics = Seq(t), topicColumn = None))
-        val committed = publishTopic(tconf, files, epochId, queryId, txn)
+        val committed = publishTopic(tconf, files, epochId, queryId, txn,
+          participants)
         interTopicSeam(t)
         committed
       }
@@ -463,7 +470,8 @@ object RipplePublish {
     * the crashed attempt's rows).
     */
   private def writePendingTxn(log: FileTopicLog, topic: String, qdir: String,
-      epoch: Long, files: Seq[StagedFile]): Unit = {
+      epoch: Long, files: Seq[StagedFile],
+      participants: Seq[String]): Unit = {
     val fs = log.fs
     val commits = new HPath(new HPath(new HPath(log.root, topic), ".commits"), qdir)
     if (fs.exists(new HPath(commits, s"epoch-$epoch"))) return
@@ -473,17 +481,27 @@ object RipplePublish {
     val floors = files.map(_.bucket).distinct.map { b =>
       b -> log.endOffsetListed(TopicBucket(topic, b))
     }.toMap
-    log.writeFileAtomic(pend, TxnMarkers.renderFloors(floors))
+    log.writeFileAtomic(pend, TxnMarkers.renderFloors(floors, participants))
   }
 
   /** The transaction's commit point for readers: pendings clear in sorted
-    * topic order only after EVERY participating topic published.
+    * topic order only after EVERY participating topic published. A failed
+    * delete is SURFACED (r18 ADVICE #3): the pending it leaves behind
+    * keeps capping `readCommitted` reads until an `ABORT TRANSACTIONS`
+    * pass notices every participant committed and finishes this clear —
+    * an operator hunting a stuck LSO needs the trail.
     */
   private def clearPendingTxn(log: FileTopicLog, topics: Seq[String],
       qdir: String, epoch: Long): Unit =
     topics.sorted.foreach { t =>
-      try log.fs.delete(TxnMarkers.pendingPath(log, t, qdir, epoch), false)
-      catch { case _: java.io.IOException => () }
+      val p = TxnMarkers.pendingPath(log, t, qdir, epoch)
+      try log.fs.delete(p, false)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"ripple: clearing committed transaction " +
+          s"(query=$qdir, epoch=$epoch) failed to delete pending marker " +
+          s"$p: ${e.getMessage} — readCommitted reads of '$t' stay capped " +
+          "until ABORT TRANSACTIONS resolves the fully-committed epoch")
+      }
     }
 
   /** Test seam: runs after each topic of a ROUTED publish completes, so a
@@ -498,7 +516,8 @@ object RipplePublish {
     * must not run on a fenced outcome.
     */
   private def publishTopic(conf: RippleConf, staged: Seq[StagedFile],
-      epochId: Option[Long], queryId: String, txn: Boolean = false): Boolean = {
+      epochId: Option[Long], queryId: String, txn: Boolean = false,
+      txnParticipants: Seq[String] = Nil): Boolean = {
     val log = conf.log
     val fs = log.fs
     // Epoch idempotency marker keyed by QUERY IDENTITY + epoch: epochs
@@ -510,7 +529,16 @@ object RipplePublish {
     val commits = new HPath(new HPath(new HPath(log.root, conf.topic), ".commits"), qdir)
     val marker = epochId.map(e => new HPath(commits, s"epoch-$e"))
     val intent = epochId.map(e => new HPath(commits, s"epoch-$e.intent"))
-    if (marker.exists(fs.exists(_))) {
+    // The abort fence OUTRANKS the commit marker (r18 ADVICE #1): a
+    // participant whose publish completed before the whole transaction
+    // was admin-aborted carries BOTH — its rows are recorded as aborted
+    // ranges, so a replay finding the pair must report the fenced
+    // outcome (false), never "committed"; reporting true would let
+    // outcomes.forall clear the SIBLINGS' pendings and split the epoch
+    // into a committed-visible half and an aborted-subtracted half.
+    val earlyFence = txn && epochId.exists(e =>
+      fs.exists(TxnMarkers.abortedPath(log, conf.topic, qdir, e)))
+    if (!earlyFence && marker.exists(fs.exists(_))) {
       staged.foreach(f =>
         try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
       intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
@@ -529,10 +557,14 @@ object RipplePublish {
       staged.foreach(f =>
         try fs.delete(new HPath(f.path), false) catch { case _: Throwable => () })
       intent.foreach(p => try fs.delete(p, false) catch { case _: Throwable => () })
-      epochId.foreach { e =>
-        try fs.delete(TxnMarkers.pendingPath(log, conf.topic, qdir, e), false)
-        catch { case _: java.io.IOException => () }
-      }
+      // The PENDING marker stays (round 19): the abort that wrote this
+      // fence harvests the pending's recorded ranges under the bucket
+      // locks before deleting it — an abandon racing in between must not
+      // destroy the only record of which offsets the dead epoch
+      // published (the fence would then subtract nothing and the aborted
+      // rows would leak into readCommitted). Until the abort's harvest
+      // lands, the standing pending keeps the bucket capped — the
+      // conservative direction.
       true
     }
     if (abandonFenced()) return false
@@ -597,7 +629,7 @@ object RipplePublish {
           b -> (es.map(_._2._1).min, es.map(_._2._2).sum)
         }
         log.writeFileAtomic(TxnMarkers.pendingPath(log, conf.topic, qdir, e),
-          TxnMarkers.renderRanges(perBucket))
+          TxnMarkers.renderRanges(perBucket, txnParticipants))
       }
 
       byBucket.foreach { case (bucket, files) =>

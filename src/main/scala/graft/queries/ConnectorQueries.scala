@@ -768,6 +768,162 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** STREAMING latest-per-key table view (q178): the q174 fixture —
+    * key updates, a tombstone wave (keys ≡ 0 mod 7), recreates
+    * (event_id >= 700) — consumed as a rate-capped STREAM through
+    * [[graft.streaming.TopicStreams.tableViewStream]], with a RESTART in
+    * the middle (the last slice lands after the first drain stops; the
+    * second drain resumes the same checkpoint). Each epoch emits
+    * upserts/retractions for its touched keys; the drained changelog,
+    * reduced to last-emission-per-key with deletes applied, must be
+    * row-identical to the batch [[Ripple.readTable]] of the same log —
+    * and the final aggregate equals the q174 oracle. This is the
+    * MAINTAINED version of the reference's replay-and-reduce consumer
+    * loop (`internal/broker/consumer/server/core.go:46-64`): keyed state
+    * rides the checkpoint instead of re-reading the log every poll.
+    */
+  def streamTableViewAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val keyExpr = pmod(col("event_id"), lit(500)).cast("int")
+    def slice(lo: Int, hi: Int) = Ripple.pack(
+      ev.filter(col("event_id") >= lo && col("event_id") < hi)
+        .repartition(1).sortWithinPartitions("event_id"), keyExpr)
+    Ripple.createTopic(root, "rtvs", numBuckets = 2)
+    Ripple.write(slice(0, 300), root, "rtvs", numBuckets = 2)
+    Ripple.write(slice(300, 700), root, "rtvs", numBuckets = 2)
+    import s.implicits._
+    val delKeys = (0 until 500).filter(_ % 7 == 0)
+    Ripple.write(delKeys.toDF("k")
+      .select(
+        pmod(hash(col("k").cast("int")), lit(Int.MaxValue)).cast("int").as("id"),
+        lit(null).cast("binary").as("data"))
+      .repartition(1), root, "rtvs", numBuckets = 2)
+    val cp = scratch()
+    val collected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Array[Byte], Boolean)]
+    var epochs = 0
+    def drain(): Unit = {
+      val q = graft.streaming.TopicStreams
+        .readTableStream(s, root, "rtvs", maxPerTrigger = 256)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            graft.streaming.TopicStreams.TableUpsert], _: Long) =>
+          val rows = df.collect().map(u => (u.id, u.offset, u.data, u.deleted))
+          collected.synchronized { collected ++= rows; epochs += 1 }
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      require(q.awaitTermination(300000), "table-view drain must finish")
+      q.stop()
+    }
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+    try {
+      drain()
+      require(epochs > 2, s"the rate cap must force many epochs, got $epochs")
+      require(collected.exists(_._4),
+        "the tombstone wave must emit deleted=true retractions")
+      // restart arm: the recreate slice lands AFTER the first drain; the
+      // same checkpoint resumes and applies only the new rows
+      Ripple.write(slice(700, Int.MaxValue), root, "rtvs", numBuckets = 2)
+      drain()
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    // drained changelog -> final state: last emission per key, deletes out
+    val finalState = collected.groupBy(_._1).map { case (id, es) =>
+      id -> es.maxBy(_._2) }.collect {
+      case (id, (_, off, data, false)) => (id, off, data) }.toSeq
+    // row-identical to the batch table view of the same log
+    val batch = Ripple.readTable(s, root, "rtvs")
+      .select(col("id"), col("offset")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    require(finalState.map(t => (t._1, t._2)).toSet == batch,
+      s"drained stream state (${finalState.size} keys) must equal batch " +
+        s"readTable (${batch.size} keys)")
+    finalState.map { case (id, off, data) => (id, off, new String(data, "UTF-8")) }
+      .toDF("id", "offset", "json")
+      .withColumn("v", from_json(col("json"), eventSchema))
+      .select(col("v.*"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Consumer-group load-splitting (q179): 40k-row topic over 4 buckets,
+    * TWO streaming member queries under ONE consumerId draining
+    * concurrently — each owns the bucket subset `hash(bucket) % 2 == i`
+    * (static assignment claimed at query start). In-body requires pin
+    * disjoint ownership, full coverage, per-member cursor accounting
+    * (the merged group position spans every bucket at the log end), and
+    * the loud refusal of a 3-way member against standing 2-way claims.
+    * The members' UNION must aggregate to the oracle over the source
+    * table — a split that drops or double-reads a bucket hash-fails.
+    * The reference fans out (every consumer ID replays the FULL log,
+    * `internal/broker/consumer/server/core.go:46-64`); this is the
+    * work-SHARING face the reference lacks.
+    */
+  def consumerGroupAgg(s: SparkSession, d: String): DataFrame = {
+    val root = scratch()
+    val ev = Relational.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Ripple.createTopic(root, "cgrp", numBuckets = 4)
+    Ripple.write(Ripple.pack(ev, col("event_id")), root, "cgrp", numBuckets = 4)
+    val collected = Map(
+      0 -> scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])],
+      1 -> scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])])
+    def member(i: Int) = Ripple
+      .readStreamMember(s, root, "cgrp", "gate", member = i, members = 2)
+      .writeStream.foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.select("bucket", "data").collect()
+          .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+        collected(i).synchronized { collected(i) ++= rows }
+        ()
+      }
+      .option("checkpointLocation",
+        Ripple.memberCheckpoint(root, "cgrp", "gate", i, 2))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q0 = member(0); val q1 = member(1)
+    require(q0.awaitTermination(300000), "member 0 must finish")
+    require(q1.awaitTermination(300000), "member 1 must finish")
+    q0.stop(); q1.stop()
+    val b0 = collected(0).map(_._1).toSet
+    val b1 = collected(1).map(_._1).toSet
+    require(b0.nonEmpty && b1.nonEmpty && b0.intersect(b1).isEmpty,
+      s"members must own disjoint non-empty bucket sets: $b0 / $b1")
+    // per-member cursor accounting: the merged group position covers
+    // every bucket at its end
+    val cursor = Ripple.consumerOffsets(root, "cgrp")("gate")
+    require(cursor.keySet == b0 ++ b1 &&
+      cursor.values.sum == collected(0).size + collected(1).size,
+      s"group cursor must span every bucket at the log end, got $cursor")
+    // a member of a DIFFERENT layout is refused at query start
+    val q3 = Ripple.readStreamMember(s, root, "cgrp", "gate", 0, 3)
+      .writeStream.foreachBatch { (_: DataFrame, _: Long) => () }
+      .option("checkpointLocation", scratch()).start()
+    val refused =
+      try { q3.processAllAvailable(); false }
+      catch { case e: Exception =>
+        Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+          .exists(x => Option(x.getMessage).exists(_.contains("member claims")))
+      } finally q3.stop()
+    require(refused, "a 3-way member against 2-way claims must refuse loudly")
+    import s.implicits._
+    (collected(0) ++ collected(1)).toSeq.map(t => new String(t._2, "UTF-8"))
+      .toDF("json")
+      .withColumn("v", from_json(col("json"), eventSchema))
+      .select(col("v.*"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** SQL hygiene verbs end-to-end (q175): the two weekly-cron calls —
     * [[Ripple.vacuumSnapshots]] and [[Ripple.expireConsumers]] — driven
     * through [[graft.GraftSqlParser]] statements. A TTL'd pin expires and
@@ -884,8 +1040,25 @@ object ConnectorQueries {
     require(sqlN == total + 100,
       s"READ TOPIC … WITH HEADERS must see every record's headers, got $sqlN")
     require(Ripple.compactKeyed(root, "rh") > 0, "keyed compaction must run")
+    // round 19: headers COMPOSE with the table view — the latest-per-key
+    // reduction keeps the WINNING record's headers in its max_by struct,
+    // and `READ TOPIC … WITH HEADERS AS TABLE` is the same frame (r18
+    // refused the combination; a silent drop would lose the gen2 marker
+    // the n_gen2 column derives from)
+    val view = Ripple.tableView(Ripple.readWithHeaders(s, root, "rh"))
+    require(view.columns.contains("headers"),
+      "the table view of a headers read must keep the headers column")
+    val sqlView = org.apache.spark.sql.graft.bridge.ofRows(s,
+      new graft.GraftSqlParser(s.sessionState.sqlParser)
+        .parsePlan(s"READ TOPIC rh WITH HEADERS AS TABLE IN '$root'"))
+    require(sqlView.select(col("id"), col("offset"))
+        .exceptAll(view.select(col("id"), col("offset"))).count() == 0 &&
+        sqlView.count() == view.count() &&
+        sqlView.columns.contains("headers"),
+      "READ TOPIC … WITH HEADERS AS TABLE must equal the Scala view")
     // payload-pruned projection: every output derives from header bytes
-    val t = Ripple.readWithHeaders(s, root, "rh").select("id", "headers")
+    // of each key's WINNING record through the view
+    val t = view.select("id", "headers")
     def h(key: String) =
       expr(s"cast(filter(headers, x -> x.key = '$key')[0].value as string)")
     t.groupBy(h("etype").as("etype"))
@@ -1230,14 +1403,31 @@ object ConnectorQueries {
     crashBetweenTopics()
     require(Ripple.read(s, root, "txa").count() == aEven + bEven,
       "the second torn half lands in txa")
+    // round 19: the abort names ONLY txa — the participant set recorded
+    // in every pending resolves the WHOLE transaction (one row per
+    // participant), and the sibling has nothing left to abort
     val abortedA = sql(s"ABORT TRANSACTIONS ON txa (olderThanMs = 0) IN '$root'").collect()
-    sql(s"ABORT TRANSACTIONS ON txb (olderThanMs = 0) IN '$root'").collect()
-    require(abortedA.length == 1 && abortedA(0).getString(3).nonEmpty,
-      s"txa's abort must record published ranges, got ${abortedA.toSeq}")
+    require(abortedA.length == 2 &&
+      abortedA.exists(r => r.getString(2) == "txa" && r.getString(3).nonEmpty) &&
+      abortedA.exists(r => r.getString(2) == "txb" && r.getString(3).isEmpty),
+      s"aborting one participant must resolve both, got ${abortedA.toSeq}")
+    require(sql(s"ABORT TRANSACTIONS ON txb (olderThanMs = 0) IN '$root'")
+      .collect().isEmpty, "the sibling was already resolved")
     require(Ripple.read(s, root, "txa").count() == aEven + bEven,
       "aborted rows stay in the log for plain reads")
     require(Ripple.readCommitted(s, root, "txa").count() == aEven,
       "readCommitted must subtract exactly the aborted ranges")
+    // r18 ADVICE #1 regression arm: a checkpoint replay of the
+    // admin-aborted epoch must not publish the sibling — before round 19
+    // txa's pre-crash commit marker made the replay publish txb and
+    // clear every pending, splitting the epoch into an aborted-
+    // subtracted half and a committed-visible half
+    run(expectCrash = false)
+    require(Ripple.read(s, root, "txb").count() == aAll - aEven,
+      "the fenced replay must not publish the aborted epoch's txb half")
+    require(Ripple.readCommitted(s, root, "txa").count() == aEven &&
+      Ripple.readCommitted(s, root, "txb").count() == aAll - aEven,
+      "readCommitted must show no half of the aborted transaction")
     val vac = sql(s"VACUUM TRANSACTIONS ON txa IN '$root'").collect()(0)
     require(vac.getInt(2) == 0,
       "vacuum must keep a marker whose aborted rows are still retained")
@@ -1262,6 +1452,8 @@ object ConnectorQueries {
     "q174_read_table" -> (readTableAgg _),
     "q175_sql_hygiene" -> (sqlHygieneAgg _),
     "q176_record_headers" -> (recordHeadersAgg _),
+    "q178_stream_table_view" -> (streamTableViewAgg _),
+    "q179_consumer_group" -> (consumerGroupAgg _),
     "q166_compressed_topic" -> (compressedTopicAgg _),
     "q161_sql_describe" -> (sqlDescribeAgg _),
     "q162_consumer_reset_arms" -> (consumerResetArmsAgg _),
@@ -1479,6 +1671,23 @@ object ConnectorQueries {
         |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
         |                    WHERE e2.event_id % 500 = e.event_id % 500)
         |  AND NOT (e.event_id % 500 % 7 = 0 AND e.event_id < 700)""".stripMargin,
+    // q178 maintains the SAME final state as q174 — but as a streaming
+    // changelog (keyed state across rate-capped epochs + a restart),
+    // reduced to last-emission-per-key with deletes applied
+    "q178_stream_table_view" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE e.event_id = (SELECT max(e2.event_id) FROM events e2
+        |                    WHERE e2.event_id % 500 = e.event_id % 500)
+        |  AND NOT (e.event_id % 500 % 7 = 0 AND e.event_id < 700)""".stripMargin,
+    // q179: two group members' drains UNION to exactly the source table
+    "q179_consumer_group" ->
+      """SELECT count(1) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events""".stripMargin,
     "q173_dict_compression" ->
       """SELECT event_type, count(1) AS n, min(event_id) AS lo,
         |  max(event_id) AS hi

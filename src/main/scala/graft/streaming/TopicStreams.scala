@@ -416,6 +416,100 @@ object TopicStreams {
       .transformWithState(new RunningTotalProcessor(ttl), timeMode, OutputMode.Update())
   }
 
+  // ---- streaming latest-per-key TABLE view (maintained KTable) --------
+
+  /** Envelope subset the table-view state machine consumes. */
+  case class TableRecord(topic: String, bucket: String, offset: Long, id: Int,
+      data: Array[Byte], ts: java.sql.Timestamp)
+
+  /** One change emitted by [[tableViewStream]]: the key's new latest
+    * record, or its deletion (`deleted = true` — the record was a
+    * tombstone). A downstream keyed store applying upserts/deletes in
+    * emission order materializes exactly [[graft.api.Ripple.tableView]]
+    * of the log read so far.
+    */
+  case class TableUpsert(topic: String, bucket: String, offset: Long, id: Int,
+      data: Array[Byte], ts: java.sql.Timestamp, deleted: Boolean)
+
+  /** Keyed state per (topic, bucket, id): the latest offset applied and
+    * whether the key is live. Buckets deliver offsets in order across
+    * micro-batches (the source plans contiguous ranges), so "latest" is
+    * max-offset within the batch, and a tombstone CLEARS the state —
+    * matching Kafka Streams' KTable semantics, where a delete removes the
+    * store entry; any later record for the key carries a higher offset by
+    * construction and re-creates it. State is therefore bounded by LIVE
+    * keys, not log length (plus an optional TTL for keyed churn with an
+    * event horizon).
+    */
+  class TableViewProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[(String, String, Int), TableRecord, TableUpsert] {
+    @transient private var latest: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Long]("latest", Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: (String, String, Int),
+        rows: Iterator[TableRecord],
+        timerValues: TimerValues): Iterator[TableUpsert] = {
+      var winner: TableRecord = null
+      rows.foreach { r =>
+        if (winner == null || r.offset > winner.offset) winner = r }
+      if (winner == null) Iterator.empty
+      else {
+        // a replayed batch at-or-behind the applied offset is a no-op
+        // re-emission guard (exactly-once state, at-least-once emission);
+        // exists() distinguishes "no state" from a real applied offset 0
+        val applied = if (latest.exists()) latest.get() else -1L
+        if (winner.offset <= applied) Iterator.empty
+        else {
+          if (winner.data == null) latest.clear()
+          else latest.update(winner.offset)
+          Iterator.single(TableUpsert(key._1, key._2, winner.offset, key._3,
+            winner.data, winner.ts, deleted = winner.data == null))
+        }
+      }
+    }
+  }
+
+  /** CONTINUOUSLY maintained latest-per-key table view of a topic stream —
+    * the streaming completion of [[graft.api.Ripple.tableView]] (round-18
+    * q174 answers the same question point-in-time; this keeps answering
+    * it): each micro-batch emits one upsert per touched key (its new
+    * latest record) and one `deleted = true` retraction per tombstoned
+    * key. The reference makes every consumer replay the full log and
+    * reduce client-side on EVERY poll
+    * (`internal/broker/consumer/server/core.go:46-64`); here the
+    * reduction is incremental keyed state riding the checkpoint —
+    * restart-safe, never re-reading the log.
+    *
+    * Scale shape: ONE hash exchange on (topic, bucket, id) — identical
+    * keying to the batch view's `max_by` — into `transformWithState`
+    * keyed state bounded by LIVE keys (tombstones delete their entry);
+    * per-epoch output is bounded by keys touched in the epoch, not state
+    * size. Needs the RocksDB state store provider, like every
+    * `transformWithState` operator here.
+    */
+  def tableViewStream(envelope: DataFrame,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[TableUpsert] = {
+    import envelope.sparkSession.implicits._
+    val typed = envelope.select(col("topic"), col("bucket"), col("offset"),
+      col("id"), col("data"), col("ts")).as[TableRecord]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    typed.groupByKey(r => (r.topic, r.bucket, r.id))
+      .transformWithState(new TableViewProcessor(ttl), timeMode,
+        OutputMode.Update())
+  }
+
+  /** [[tableViewStream]] over a `ripple` source subscription — the
+    * maintained `READ TOPIC t AS TABLE`.
+    */
+  def readTableStream(spark: org.apache.spark.sql.SparkSession, root: String,
+      topic: String,
+      maxPerTrigger: Long = Long.MaxValue): Dataset[TableUpsert] =
+    tableViewStream(
+      graft.api.Ripple.readStream(spark, root, topic, maxPerTrigger))
+
   /** Consumer-group emulation (SURVEY "what's hard"): the reference gives
     * every consumer ID an independent cursor over the full log
     * (`core.go:46-64` — fan-out, not work-sharing). In Spark, a consumer

@@ -1249,4 +1249,144 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain(e3).exists(m => m.contains("routes WRITES")),
       chain(e3).mkString("|"))
   }
+
+  test("streaming table view maintains latest-per-key across epochs, deletes, and a restart") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = tmp()
+      Ripple.createTopic(root, "ktab", numBuckets = 2)
+      def w(rows: Seq[(Int, String)]): Unit =
+        Ripple.write(rows.toDF("id", "payload")
+          .select(col("id"), col("payload").cast("binary").as("data")),
+          root, "ktab", 2)
+      def del(ids: Int*): Unit =
+        Ripple.write(ids.toDF("id")
+          .select(col("id"), lit(null).cast("binary").as("data")),
+          root, "ktab", 2)
+      w(Seq(1 -> "a1", 2 -> "b1", 3 -> "c1"))
+      w(Seq(1 -> "a2", 4 -> "d1"))
+      del(2)
+      val cp = tmp()
+      // the memory sink cannot recover a checkpoint, and the restart arm
+      // is the point — collect emissions through foreachBatch instead
+      val collected =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String, Boolean)]
+      def drain(): Unit = {
+        // tiny trigger cap => the view is maintained across MANY epochs,
+        // not reduced in one batch
+        val q = TopicStreams.readTableStream(spark, root, "ktab", maxPerTrigger = 2)
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[TopicStreams.TableUpsert], _: Long) =>
+              val rows = df.collect().map(u => (u.id, u.offset,
+                Option(u.data).map(new String(_)).orNull, u.deleted))
+              collected.synchronized { collected ++= rows }
+              ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        try q.awaitTermination(60000) finally q.stop()
+      }
+      drain()
+      def emissions = collected.synchronized { collected.toVector }
+      // key 1 was upserted twice (a1 then a2) in different epochs, then
+      // key 2 retracted — the per-epoch changelog, not a final snapshot
+      assert(emissions.count(_._1 == 1) == 2, emissions.mkString(","))
+      assert(emissions.filter(_._1 == 2).map(_._4).toSeq.contains(true),
+        "the tombstone must emit a deleted=true retraction")
+      // restart arm: more updates + a delete land, the SAME checkpoint
+      // resumes and applies only the new rows
+      w(Seq(3 -> "c2", 5 -> "e1"))
+      del(1)
+      drain()
+      // final state = last emission per key, deletes applied
+      val finalState = emissions.groupBy(_._1).map { case (id, es) =>
+        id -> es.maxBy(_._2) }.collect {
+        case (id, (_, _, payload, false)) => id -> payload }
+      assert(finalState == Map(3 -> "c2", 4 -> "d1", 5 -> "e1"),
+        finalState.toString)
+      // row-identical to the batch table view of the same log
+      val batch = Ripple.readTable(spark, root, "ktab")
+        .select(col("id"), col("data").cast("string"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      assert(batch == finalState,
+        s"drained stream state $finalState must equal batch readTable $batch")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("consumer-group members split buckets disjointly; union = topic; overlap refused") {
+    import spark.implicits._
+    val root = tmp()
+    Ripple.createTopic(root, "grp", numBuckets = 4)
+    Ripple.write((1 to 40).map(i => (i, s"p$i".getBytes)).toDF("id", "data"),
+      root, "grp", 4)
+    // two member queries under ONE consumerId, running concurrently;
+    // each member owns its OWN managed checkpoint (members can never
+    // share one), collected through foreachBatch
+    val got = Map(0 -> scala.collection.mutable.ArrayBuffer.empty[(String, Int)],
+      1 -> scala.collection.mutable.ArrayBuffer.empty[(String, Int)])
+    def member(i: Int) = Ripple
+      .readStreamMember(spark, root, "grp", "cg", member = i, members = 2)
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("bucket", "id").collect()
+            .map(r => (r.getString(0), r.getInt(1)))
+          got(i).synchronized { got(i) ++= rows }
+          ()
+      }
+      .option("checkpointLocation",
+        Ripple.memberCheckpoint(root, "grp", "cg", i, 2)).start()
+    val q0 = member(0); val q1 = member(1)
+    try { q0.processAllAvailable(); q1.processAllAvailable() }
+    finally { q0.stop(); q1.stop() }
+    val b0 = got(0).synchronized(got(0).map(_._1).toSet)
+    val b1 = got(1).synchronized(got(1).map(_._1).toSet)
+    assert(b0.nonEmpty && b1.nonEmpty, s"both members must own buckets: $b0 / $b1")
+    assert(b0.intersect(b1).isEmpty, s"bucket ownership must be disjoint: $b0 / $b1")
+    val ids = got(0).map(_._2).toSet ++ got(1).map(_._2).toSet
+    assert(ids == (1 to 40).toSet, "the union of members must cover the topic")
+    // cursor accounting: each member committed its own file; the merged
+    // group position covers every bucket of the topic
+    val cursor = Ripple.consumerOffsets(root, "grp")("cg")
+    assert(cursor.keySet == (b0 ++ b1), cursor.toString)
+    assert(cursor.values.sum == 40, cursor.toString)
+    // a member of a DIFFERENT layout overlaps — refused at query start
+    val q3 = Ripple.readStreamMember(spark, root, "grp", "cg", 0, 3)
+      .writeStream.format("memory").queryName("g3")
+      .option("checkpointLocation", tmp()).start()
+    val e = intercept[Exception] {
+      try q3.processAllAvailable() finally q3.stop() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("member claims")), chain(e).mkString("|"))
+    // rebalance-on-restart: drop the claims with the group stopped, then
+    // the new layout starts cleanly and resumes from the merged cursor
+    Ripple.dropGroupClaims(root, "grp", "cg")
+    Ripple.write(Seq((41, "p41".getBytes)).toDF("id", "data"), root, "grp", 4)
+    val qs = (0 until 3).map { i =>
+      Ripple.readStreamMember(spark, root, "grp", "cg", i, 3)
+        .writeStream.format("memory").queryName(s"h$i")
+        .option("checkpointLocation", tmp()).start()
+    }
+    try qs.foreach(_.processAllAvailable()) finally qs.foreach(_.stop())
+    val resumed = (0 until 3).flatMap(i =>
+      spark.table(s"h$i").select("id").as[Int].collect()).toSet
+    assert(resumed == Set(41),
+      s"the new layout must resume from the group cursor, got $resumed")
+    // loud option hygiene: a member needs the shared consumerId, both
+    // knobs, and a valid index
+    val e2 = intercept[Exception] {
+      spark.read.format("ripple").option("path", root).option("topic", "grp")
+        .option("groupMember", 0).option("groupMembers", 2).load().count()
+    }
+    assert(chain(e2).exists(_.contains("consumerId")), chain(e2).mkString("|"))
+    val e3 = intercept[Exception] {
+      spark.read.format("ripple").option("path", root).option("topic", "grp")
+        .option("consumerId", "cg").option("groupMembers", 2).load().count()
+    }
+    assert(chain(e3).exists(_.contains("set BOTH")), chain(e3).mkString("|"))
+  }
 }

@@ -102,11 +102,17 @@ class TxnSpec extends AnyFunSuite {
 
   test("abort fences the dead epoch, records published ranges, and readCommitted subtracts them") {
     val (root, _, mem, start) = tornEpoch()
-    // abort both participants (threshold 0: everything pending is stale)
+    // aborting by ANY ONE participant resolves the whole transaction
+    // (round 19: every pending records its sibling set) — one marker per
+    // participant comes back, and the sibling has nothing left to abort
     val aa = Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
+    assert(aa.size == 2, s"whole-transaction abort resolves every participant, got $aa")
+    assert(aa.map(_.participants).distinct == Seq(Seq("ta", "tb")),
+      "markers carry the participant set")
+    assert(aa.find(_.topic == "ta").get.ranges == Map("b0000" -> (0L, 2L)))
+    assert(aa.find(_.topic == "tb").get.ranges.isEmpty, "tb published nothing")
     val ab = Ripple.abortStaleTxns(root, "tb", olderThanMs = 0L)
-    assert(aa.size == 1 && aa.head.ranges == Map("b0000" -> (0L, 2L)))
-    assert(ab.size == 1 && ab.head.ranges.isEmpty, "tb published nothing")
+    assert(ab.isEmpty, "the sibling was already resolved by ta's abort")
     assert(TxnMarkers.listPending(log(root), "ta").isEmpty)
     assert(TxnMarkers.listPending(log(root), "tb").isEmpty)
     // the rows stay in the log (read_uncommitted parity) but are
@@ -161,17 +167,33 @@ class TxnSpec extends AnyFunSuite {
   }
 
   test("vacuum removes aborted markers only once retention has destroyed their ranges") {
-    val (root, _, _, _) = tornEpoch()
+    val (root, _, mem, start) = tornEpoch()
     Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
-    Ripple.abortStaleTxns(root, "tb", olderThanMs = 0L)
     import spark.implicits._
     Ripple.write(Seq((9, "new".getBytes)).toDF("id", "data"), root, "ta", 1)
     // ta's marker still hides retained rows [0,2): vacuum must keep it
     assert(Ripple.vacuumTxnMarkers(root, "ta", graceMs = 0L).isEmpty)
     assert(TxnMarkers.listAborted(log(root), "ta").size == 1)
-    // tb's marker is a pure fence (no ranges): grace alone ages it out
-    assert(Ripple.vacuumTxnMarkers(root, "tb", graceMs = 0L).size == 1)
-    assert(Ripple.vacuumTxnMarkers(root, "tb", graceMs = Long.MaxValue).isEmpty)
+    // tb's marker is a pure fence (no ranges): grace alone must NOT
+    // collect it (r18 ADVICE #2) — if the crashed query has not yet
+    // replayed, deleting the fence would let a later restart publish the
+    // dead epoch's rows, un-aborting half the transaction
+    assert(Ripple.vacuumTxnMarkers(root, "tb", graceMs = 0L).isEmpty,
+      "a pure fence with no replay evidence must survive vacuum")
+    // a NEWER epoch committing through the same checkpoint is the
+    // evidence the fenced epoch can never replay: the fenced epoch 0
+    // replays as an abandon, then epoch 1 commits normally
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    mem.addData((4, "b2", "tb"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(Ripple.read(spark, root, "tb").select("id").as[Int].collect()
+      .toSeq == Seq(4), "epoch 1 must commit normally after the fence")
+    assert(Ripple.vacuumTxnMarkers(root, "tb", graceMs = Long.MaxValue).isEmpty,
+      "grace is still respected with evidence present")
+    assert(Ripple.vacuumTxnMarkers(root, "tb", graceMs = 0L).size == 1,
+      "a newer committed epoch in the same query dir collects the fence")
     // truncate ta to its newest segment: the aborted range falls below
     // the floor — now the marker is collectible
     Ripple.truncateToBytes(root, "ta", 1L)
@@ -233,12 +255,16 @@ class TxnSpec extends AnyFunSuite {
       // AFTER it
       val pend = sql("SHOW TRANSACTIONS FOR ta").collect()
       assert(pend.length == 1 && pend(0).getString(2) == "pending" &&
-        pend(0).getString(3) == "b0000:[0,2)" && pend(0).getLong(4) >= 0,
-        pend.toSeq.toString)
+        pend(0).getString(3) == "b0000:[0,2)" && pend(0).getLong(4) >= 0 &&
+        pend(0).getString(5) == "ta,tb", pend.toSeq.toString)
       val aborted = sql("ABORT TRANSACTIONS ON ta (olderThanMs = 0)").collect()
-      assert(aborted.length == 1 && aborted(0).getString(3) == "b0000:[0,2)",
+      assert(aborted.length == 2, aborted.toSeq.toString)
+      assert(aborted.find(_.getString(2) == "ta").get.getString(3) == "b0000:[0,2)",
         aborted.toSeq.toString)
-      sql("ABORT TRANSACTIONS ON tb (olderThanMs = 0)").collect()
+      assert(aborted.find(_.getString(2) == "tb").get.getString(3) == "",
+        aborted.toSeq.toString)
+      assert(sql("ABORT TRANSACTIONS ON tb (olderThanMs = 0)").collect().isEmpty,
+        "the whole-transaction abort already resolved tb")
       assert(sql("READ TOPIC ta COMMITTED").count() == 0)
       assert(sql("READ TOPIC ta").count() == 2)
       val shown = sql("SHOW TRANSACTIONS FOR ta").collect()
@@ -265,10 +291,11 @@ class TxnSpec extends AnyFunSuite {
 
   test("abort races a replay that COMMITS: abort loses, nothing is hidden") {
     val (root, _, _, start) = tornEpoch()
-    // interleave a full replay between the abort's fence write and its
-    // lock acquisition: the transaction commits under the abort
+    // interleave a full replay between the abort's stale-pending listing
+    // and its fence writes: the transaction commits under the abort and
+    // the committed pre-check must withdraw the whole abort
     @volatile var fired = false
-    TxnMarkers.abortLockSeam = (_, _) =>
+    TxnMarkers.abortPreFenceSeam = (_, _) =>
       if (!fired) {
         fired = true
         val q = start()
@@ -276,11 +303,12 @@ class TxnSpec extends AnyFunSuite {
       }
     val aborted =
       try Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
-      finally TxnMarkers.abortLockSeam = (_, _) => ()
+      finally TxnMarkers.abortPreFenceSeam = (_, _) => ()
     assert(fired, "the seam must have run the replay")
     assert(aborted.isEmpty, "a committed-under-us transaction must not abort")
-    assert(TxnMarkers.listAborted(log(root), "ta").isEmpty,
-      "the losing abort's fence must be withdrawn")
+    assert(TxnMarkers.listAborted(log(root), "ta").isEmpty &&
+      TxnMarkers.listAborted(log(root), "tb").isEmpty,
+      "the losing abort must leave no fence on any participant")
     // the committed rows are NOT hidden
     assert(Ripple.readCommitted(spark, root, "ta").count() == 2)
     assert(Ripple.readCommitted(spark, root, "tb").count() == 1)
@@ -288,11 +316,46 @@ class TxnSpec extends AnyFunSuite {
       TxnMarkers.listPending(log(root), "tb").isEmpty)
   }
 
-  test("abort races a replay its own fence ABANDONS: fence stays, siblings stay capped") {
+  test("abort finishes the clear of a fully-committed transaction instead of hiding it") {
+    // r18 ADVICE #3: the window between the last participant's publish
+    // and clearPendingTxn (or a clear whose deletes failed) leaves every
+    // commit marker in place WITH the pendings still standing — an abort
+    // must recognize the committed transaction, withdraw, and finish the
+    // clear, never clamp committed rows into aborted ranges
     val (root, _, _, start) = tornEpoch()
-    // abort tb (the topic the crash never reached); the seam replays the
-    // whole query: ta no-ops on its marker, tb abandons on the fresh
-    // fence — and the transaction clear must NOT run on that outcome
+    val q = start() // replay commits the transaction; pendings clear
+    try q.processAllAvailable() finally q.stop()
+    val l = log(root)
+    // simulate the failed clear: re-create both pendings exactly as the
+    // epoch left them before clearPendingTxn ran
+    val qdir = l.fs.listStatus(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(l.root, "ta"), ".commits"))
+      .filter(_.isDirectory).head.getPath.getName
+    l.writeFileAtomic(TxnMarkers.pendingPath(l, "ta", qdir, 0L),
+      "!participants ta,tb\nb0000 0 2".getBytes("UTF-8"))
+    l.writeFileAtomic(TxnMarkers.pendingPath(l, "tb", qdir, 0L),
+      "!participants ta,tb\nb0000 0 1".getBytes("UTF-8"))
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 0,
+      "standing pendings cap readCommitted — the stuck state under test")
+    val aborted = Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
+    assert(aborted.isEmpty, "a fully-committed transaction must not abort")
+    assert(TxnMarkers.listPending(log(root), "ta").isEmpty &&
+      TxnMarkers.listPending(log(root), "tb").isEmpty,
+      "the abort must finish the interrupted clear")
+    assert(TxnMarkers.listAborted(log(root), "ta").isEmpty &&
+      TxnMarkers.listAborted(log(root), "tb").isEmpty, "no fence survives")
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 2)
+    assert(Ripple.readCommitted(spark, root, "tb").count() == 1)
+  }
+
+  test("abort races a replay its own fences ABANDON: whole transaction dies, no split") {
+    val (root, _, _, start) = tornEpoch()
+    // abort by tb (the topic the crash never reached); the fences land on
+    // BOTH participants first, then the seam replays the whole query:
+    // ta's replay abandons on its fence EVEN THOUGH its commit marker
+    // exists (the fence outranks it — r18 ADVICE #1), tb abandons too,
+    // and the clear never runs — the abort then records ta's published
+    // half from the pending the abandon left standing
     @volatile var fired = false
     TxnMarkers.abortLockSeam = (_, _) =>
       if (!fired) {
@@ -304,26 +367,49 @@ class TxnSpec extends AnyFunSuite {
       try Ripple.abortStaleTxns(root, "tb", olderThanMs = 0L)
       finally TxnMarkers.abortLockSeam = (_, _) => ()
     assert(fired, "the seam must have run the replay")
-    assert(aborted.size == 1 && aborted.head.ranges.isEmpty,
-      s"the abandoned participant aborts with no published ranges, got $aborted")
-    assert(TxnMarkers.listAborted(log(root), "tb").size == 1,
-      "the fence must survive — a later replay would otherwise publish tb")
-    // ta's half is STILL pending (the abandoned outcome must not clear
-    // the transaction): its rows stay capped until ta is aborted too
-    assert(TxnMarkers.listPending(log(root), "ta").size == 1,
-      "a fence-abandoned transaction must keep its siblings pending")
-    assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+    assert(aborted.size == 2, s"both participants resolve, got $aborted")
+    assert(aborted.find(_.topic == "ta").get.ranges == Map("b0000" -> (0L, 2L)),
+      "ta's published half must be recorded even after the racing abandon")
+    assert(aborted.find(_.topic == "tb").get.ranges.isEmpty)
+    assert(TxnMarkers.listAborted(log(root), "ta").size == 1 &&
+      TxnMarkers.listAborted(log(root), "tb").size == 1,
+      "the fences must survive — a later replay would otherwise publish")
+    assert(TxnMarkers.listPending(log(root), "ta").isEmpty &&
+      TxnMarkers.listPending(log(root), "tb").isEmpty)
+    // no half-committed split anywhere: plain reads keep the torn half,
+    // readCommitted sees none of the epoch
     assert(Ripple.read(spark, root, "ta").count() == 2)
     assert(Ripple.read(spark, root, "tb").count() == 0)
-    // the admin finishes the job: aborting ta records its torn half
-    val a2 = Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
-    assert(a2.size == 1 && a2.head.ranges == Map("b0000" -> (0L, 2L)))
     assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+    assert(Ripple.readCommitted(spark, root, "tb").count() == 0)
     // a second replay is fenced on both topics and commits nothing
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     assert(Ripple.read(spark, root, "tb").count() == 0)
     assert(Ripple.readCommitted(spark, root, "ta").count() == 0)
+  }
+
+  test("partial-abort-then-replay cannot split the transaction (r18 ADVICE #1 scenario)") {
+    // The exact reported failure: crash between topics, admin abort
+    // naming ONLY ta, then a checkpoint replay. Before round 19 the
+    // replay found ta's pre-crash commit marker (true), published tb,
+    // and cleared every pending — ending half aborted-subtracted (ta)
+    // and half committed-visible (tb). With participant sets the abort
+    // fences tb too, the replay abandons everywhere, and readCommitted
+    // sees NONE of the dead epoch.
+    val (root, _, _, start) = tornEpoch()
+    val aborted = Ripple.abortStaleTxns(root, "ta", olderThanMs = 0L)
+    assert(aborted.map(_.topic).sorted == Seq("ta", "tb"),
+      "aborting one participant must fence every sibling")
+    val q = start() // the replay the advice crashes on
+    try q.processAllAvailable() finally q.stop()
+    assert(Ripple.read(spark, root, "tb").count() == 0,
+      "the fenced replay must not publish the sibling")
+    assert(Ripple.readCommitted(spark, root, "ta").count() == 0 &&
+      Ripple.readCommitted(spark, root, "tb").count() == 0,
+      "no committed-visible half of an aborted transaction")
+    assert(Ripple.read(spark, root, "ta").count() == 2,
+      "aborted rows stay for plain reads (read_uncommitted parity)")
   }
 
   test("subtract: aborted-range arithmetic") {
