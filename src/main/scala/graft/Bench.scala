@@ -83,6 +83,27 @@ object Bench {
     } finally java.nio.file.Files.deleteIfExists(tmp)
     (System.nanoTime() - t0) / 1e9
   }
+  /** Shuffle-class yardstick (round-19, r18 verdict #1): a fixed-size
+    * in-memory aggregation + exchange microbench. The r18 record showed
+    * heavy shuffle-bound cells (q54/q55/q174) co-elevated across runs whose
+    * single-thread CPU and sequential-IO calibs were FLAT — the host can
+    * degrade in a dimension (page cache / shuffle-file path / scheduler)
+    * neither yardstick measures, and the offband verdict could not name
+    * it. This measures exactly that class of work: 8M synthetic rows
+    * hash-exchanged into a 100k-group aggregation and drained through the
+    * noop sink — no parquet, no disk data dependence, fixed size.
+    */
+  private[graft] def calibrateShuffle(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(0L, 8000000L, 1L, 32)
+      .select(pmod(org.apache.spark.sql.functions.xxhash64(col("id")),
+        lit(100000L)).as("k"), col("id").as("v"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,6 +126,7 @@ object Bench {
     val calib = calibrate()
     val calibMt = calibrateParallel(cpus.toInt)
     val calibIo = calibrateIo()
+    val calibShuffle = calibrateShuffle(spark)
 
     // Per-query committed history (median of past full runs) + historical
     // calib_io median: the yardsticks for the >3×-outlier re-run below.
@@ -247,7 +269,11 @@ object Bench {
       (dispersion > 0.75) -> "dispersion",
       (cellsVsHistoryFrac > 0.25) -> "cells_vs_history",
       history.calibMtMedian.exists(h => calibMt > 1.5 * h) -> "calib_mt",
-      history.calibIoMedian.exists(h => calibIo > 2.0 * h) -> "calib_io"
+      history.calibIoMedian.exists(h => calibIo > 2.0 * h) -> "calib_io",
+      // the shuffle-class yardstick (r18 verdict #1): trips once committed
+      // history exists for it; 1.5× like calib_mt (it is CPU+memory-bound,
+      // not storage-bound, so the tighter band applies)
+      history.calibShuffleMedian.exists(h => calibShuffle > 1.5 * h) -> "calib_shuffle"
     ).collect { case (true, name) => name }
     val offbandRun = offbandTripped.nonEmpty
     val offbandRunField =
@@ -360,7 +386,7 @@ object Bench {
       .mkString("{", ",", "}")
     val offbandField =
       s""","offband_cells":[${offbandCells.map("\"" + _ + "\"").mkString(",")}]"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"median_of_3_escalate_5","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"dispersion":${r3(dispersion)}$offbandRunField$offbandField$streamFields$sf1Full$curateFields,"queries":$qsFull,"samples":$ns,"spread":$spreads,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","method":"median_of_3_escalate_5","calib":$calib,"calib_mt":$calibMt,"calib_io":$calibIo,"calib_shuffle":$calibShuffle,"dispersion":${r3(dispersion)}$offbandRunField$offbandField$streamFields$sf1Full$curateFields,"queries":$qsFull,"samples":$ns,"spread":$spreads,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // BENCH_FULL.json is gitignored and clobbered by every run — round 6
@@ -393,7 +419,7 @@ object Bench {
       val off = // usually empty; short keys keep the line inside budget
         if (offbandCells.isEmpty) ""
         else s""","offband_cells":[${offbandCells.map(k => "\"" + shortKey(k) + "\"").mkString(",")}]"""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median_of_3_escalate_5","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)},"dispersion":${r3(dispersion)}$offbandRunField$off$streamFields$sf1Short$curateFields,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"median_of_3_escalate_5","calib":${r3(calib)},"calib_mt":${r3(calibMt)},"calib_io":${r3(calibIo)},"calib_shuffle":${r3(calibShuffle)},"dispersion":${r3(dispersion)}$offbandRunField$off$streamFields$sf1Short$curateFields,"queries":$qs,"sf":"$sfDir","detail":"BENCH_FULL.json"}"""
     }
     val candidates = Iterator(
       shortLine(r3),

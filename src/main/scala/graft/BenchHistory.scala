@@ -12,7 +12,8 @@ final case class BenchHistory(
     calibs: Seq[Double],
     calibIos: Seq[Double],
     calibMts: Seq[Double] = Nil,
-    dispersions: Seq[Double] = Nil) {
+    dispersions: Seq[Double] = Nil,
+    calibShuffles: Seq[Double] = Nil) {
 
   private def med(xs: Seq[Double]): Option[Double] = {
     if (xs.isEmpty) None
@@ -31,6 +32,7 @@ final case class BenchHistory(
   def calibMedian: Option[Double] = med(calibs)
   def calibIoMedian: Option[Double] = med(calibIos)
   def calibMtMedian: Option[Double] = med(calibMts)
+  def calibShuffleMedian: Option[Double] = med(calibShuffles)
   def dispersionMedian: Option[Double] = med(dispersions)
 }
 
@@ -56,6 +58,7 @@ object BenchHistory {
   private val CalibRe = ("\"calib\":(" + Num + ")").r
   private val CalibIoRe = ("\"calib_io\":(" + Num + ")").r
   private val CalibMtRe = ("\"calib_mt\":(" + Num + ")").r
+  private val CalibShuffleRe = ("\"calib_shuffle\":(" + Num + ")").r
   private val DispersionRe = ("\"dispersion\":(" + Num + ")").r
 
   def load(path: String): BenchHistory = {
@@ -69,6 +72,7 @@ object BenchHistory {
     val calibIos = List.newBuilder[Double]
     val calibMts = List.newBuilder[Double]
     val dispersions = List.newBuilder[Double]
+    val calibShuffles = List.newBuilder[Double]
     lines.forEach { line =>
       QueriesRe.findFirstMatchIn(line).foreach { qm =>
         EntryRe.findAllMatchIn(qm.group(1)).foreach { e =>
@@ -84,9 +88,10 @@ object BenchHistory {
       CalibIoRe.findFirstMatchIn(line).foreach(m => calibIos += m.group(1).toDouble)
       CalibMtRe.findFirstMatchIn(line).foreach(m => calibMts += m.group(1).toDouble)
       DispersionRe.findFirstMatchIn(line).foreach(m => dispersions += m.group(1).toDouble)
+      CalibShuffleRe.findFirstMatchIn(line).foreach(m => calibShuffles += m.group(1).toDouble)
     }
     BenchHistory(perQuery.view.mapValues(_.toSeq).toMap,
       sf1PerQuery.view.mapValues(_.toSeq).toMap, calibs.result(), calibIos.result(),
-      calibMts.result(), dispersions.result())
+      calibMts.result(), dispersions.result(), calibShuffles.result())
   }
 }

@@ -405,6 +405,10 @@ object ScaleProbe {
     }
     val history = graft.BenchHistory.load("BENCH_HISTORY.jsonl")
     val calibIo = graft.Bench.calibrateIo()
+    // shuffle-class yardstick rides along in the probe block too (r18
+    // verdict #1): the probe's heavy cells are exactly the shuffle-bound
+    // cohort the CPU/IO calibs were blind to
+    val calibShuffle = graft.Bench.calibrateShuffle(spark)
     // 1.5×, not 2×: round 9's degraded-disk probe measured calib_io 1.273
     // vs history 0.77-0.99 (≈1.4×) and stayed "in band" while three cells
     // ran 3-6× hot — the flag exists to mark exactly that run.
@@ -483,6 +487,7 @@ object ScaleProbe {
     }
     s"""{"gen_sec":${math.rint(genSec)},"scale":$K,"skipped_on_budget":$skipped,""" +
       s""""calib_io":${math.rint(calibIo * 1000) / 1000},"calib_io_offband":$ioOffband,""" +
+      s""""calib_shuffle":${math.rint(calibShuffle * 1000) / 1000},""" +
       s""""queries":{${entries.mkString(",")}}}"""
   }
 

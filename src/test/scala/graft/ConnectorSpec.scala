@@ -3486,15 +3486,19 @@ class ConnectorSpec extends AnyFunSuite {
     // the skip walk seeks past payload bytes only
     assert(flat(wh.select("id", "headers")) == want)
 
-    // SQL spelling, and the table-view refusal
+    // SQL spelling, and headers composing with the table view (round 19:
+    // the r18 refusal is lifted — the view carries the WINNING record's
+    // headers, and the SQL spelling equals the Scala tableView)
     val parser = new graft.GraftSqlParser(spark.sessionState.sqlParser)
     def sql(stmt: String) = org.apache.spark.sql.graft.bridge.ofRows(
       spark, parser.parsePlan(stmt))
     assert(flat(sql(s"READ TOPIC hdr WITH HEADERS IN '$root'")) == want)
-    val e = intercept[IllegalArgumentException] {
-      parser.parsePlan(s"READ TOPIC hdr WITH HEADERS AS TABLE IN '$root'")
-    }
-    assert(e.getMessage.contains("no headers column"), e.getMessage)
+    val tv = sql(s"READ TOPIC hdr WITH HEADERS AS TABLE IN '$root'")
+    assert(tv.columns.contains("headers"))
+    // unique ids, written once: the table view IS the log, headers intact
+    assert(flat(tv) == want)
+    assert(flat(Ripple.tableView(Ripple.readWithHeaders(spark, root, "hdr")))
+      == want)
 
     // keyed compaction keeps exactly the LATEST record's headers per key
     val gen2 = samplePayloads(5).withColumn("headers",
