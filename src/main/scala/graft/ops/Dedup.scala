@@ -76,8 +76,9 @@ object Dedup {
     */
   def minhashSignature(text: Column, shingleSize: Int = 3,
       numHashes: Int = 64, seed: Long = 42L): Column = {
-    val sh = TextAnalysis.shingles(text, shingleSize)
-    val hashed = transform(sh, s => pmod(xxhash64(s), lit(P)))
+    val hashed = transform(
+      TextAnalysis.hashedShingles(text, shingleSize, xxhash64(_)),
+      h => pmod(h, lit(P)))
     val (as, bs) = hashParams(numHashes, seed).unzip
     graft.functions.sketches.minhash_sig(hashed, as.toArray, bs.toArray)
   }
@@ -144,8 +145,8 @@ object Dedup {
     // domains derive from xxh = hash64(shingle): the 31-bit minhash input
     // is pmod(xxh, P) and the verification sets are array_sort(xxh).
     val base = in.select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol), shingleSize),
-          s => hash64(s)).as("xxh"))
+        TextAnalysis.hashedShingles(col(textCol), shingleSize, hash64)
+          .as("xxh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hashed = transform(col("xxh"), h => pmod(h, lit(P)))
     val sig = graft.functions.sketches.minhash_sig(hashed, as.toArray, bs.toArray)
@@ -355,8 +356,8 @@ object Dedup {
   private def shinglePrep(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, hash64: Column => Column): DataFrame =
     Spread.toCores(df).select(col(idCol).as("id"),
-        transform(TextAnalysis.shingles(col(textCol), shingleSize),
-          s => hash64(s)).as("xxh"))
+        TextAnalysis.hashedShingles(col(textCol), shingleSize, hash64)
+          .as("xxh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Shared band-key rows: (id, band, bandHash) from a prepped frame. */
@@ -695,8 +696,8 @@ object Dedup {
     import df.sparkSession.implicits._
     val t = Spread.toCores(df).select(col(idCol).cast("long").as("id"),
         blockCol.cast("string").as("blk"),
-        array_sort(transform(
-          TextAnalysis.shingles(col(textCol), shingleSize), s => xxhash64(s))).as("sh"))
+        array_sort(TextAnalysis.hashedShingles(col(textCol), shingleSize,
+          xxhash64(_))).as("sh"))
     val counts = t.groupBy(col("blk")).agg(count(lit(1)).as("n"))
     val chunked = t.join(broadcast(counts), "blk")
       .select(col("blk"),
@@ -725,12 +726,51 @@ object Dedup {
             if (jac >= threshold) out += ((lo._1, hi._1, jac))
           }
         }
+        // Prefix-filter candidate generation (AllPairs/PPJoin, Bayardo et
+        // al. WWW'07 / Chaudhuri et al. ICDE'06) instead of the previous
+        // all-pairs loop: J(x,y) >= t implies |x ∩ y| >= ceil(t·max(|x|,
+        // |y|)) >= ceil(t·|x|), and two sets with overlap >= α must share
+        // an element among the first (len − α + 1) elements of EACH under
+        // a global element order — the arrays are already sorted, so the
+        // order is the hash value itself. Indexing only each doc's prefix
+        // tokens and probing with each doc's prefix therefore surfaces
+        // every qualifying pair; `emit` (the unchanged length filter +
+        // exact sorted-merge Jaccard) decides, so the output is identical
+        // to the all-pairs loop while the comparisons drop from O(block²)
+        // to near the true-pair count (shingle hashes rarely repeat across
+        // non-duplicate docs, so postings stay short).
+        def prefixLen(len: Int): Int =
+          if (len == 0) 0 else len - math.ceil(threshold * len).toInt + 1
+        val postings = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Int]]()
         if (ci == cj) {
           val docs = ds.map(d => (d._3, d._4)).sortBy(_._1)
+          val lastSeen = Array.fill(docs.length)(-1)
           var i = 0
           while (i < docs.length) {
-            var j = i + 1
-            while (j < docs.length) { emit(docs(i), docs(j)); j += 1 }
+            val sh = docs(i)._2
+            val pl = prefixLen(sh.length)
+            var p = 0
+            while (p < pl) {
+              val lst = postings.get(sh(p))
+              if (lst != null) {
+                var q = 0
+                while (q < lst.length) {
+                  val j = lst(q)
+                  if (lastSeen(j) != i) {
+                    lastSeen(j) = i
+                    emit(docs(j), docs(i))
+                  }
+                  q += 1
+                }
+                lst += i
+              } else {
+                val nl = new scala.collection.mutable.ArrayBuffer[Int](4)
+                nl += i
+                postings.put(sh(p), nl)
+              }
+              p += 1
+            }
             i += 1
           }
         } else {
@@ -738,9 +778,42 @@ object Dedup {
           val bs = ds.filter(_._2 == cj).map(d => (d._3, d._4))
           var i = 0
           while (i < as.length) {
-            var j = 0
-            while (j < bs.length) { emit(as(i), bs(j)); j += 1 }
+            val sh = as(i)._2
+            val pl = prefixLen(sh.length)
+            var p = 0
+            while (p < pl) {
+              var lst = postings.get(sh(p))
+              if (lst == null) {
+                lst = new scala.collection.mutable.ArrayBuffer[Int](4)
+                postings.put(sh(p), lst)
+              }
+              lst += i
+              p += 1
+            }
             i += 1
+          }
+          val lastSeen = Array.fill(as.length)(-1)
+          var bi = 0
+          while (bi < bs.length) {
+            val sh = bs(bi)._2
+            val pl = prefixLen(sh.length)
+            var p = 0
+            while (p < pl) {
+              val lst = postings.get(sh(p))
+              if (lst != null) {
+                var q = 0
+                while (q < lst.length) {
+                  val j = lst(q)
+                  if (lastSeen(j) != bi) {
+                    lastSeen(j) = bi
+                    emit(as(j), bs(bi))
+                  }
+                  q += 1
+                }
+              }
+              p += 1
+            }
+            bi += 1
           }
         }
         out.result().iterator

@@ -57,12 +57,17 @@ object Graph {
       .materialized(true)
     val n = ids.count().toDouble
     require(n > 0, "pageRank needs a non-empty node set (1/N seed)")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // out-degree attached to the edge table ONCE: the lazy groupBy it
+    // replaces re-aggregated and re-joined the full edge set inside every
+    // iteration's checkpoint action — one edge-sized aggregation + join
+    // per round, pure re-computation at 100 TB edge scale
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), Seq("src"))
+      .materialized(true)
     var pr = ids.select(col("id"), lit(1.0 / n).as("pr"))
     for (i <- 1 to iterations) {
-      val contribs = e
+      val contribs = eDeg
         .join(pr.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst"), (col("pr") / col("d")).cast("decimal(30,12)").as("c"))
       val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val next = ids.join(sums.withColumnRenamed("dst", "id"), Seq("id"), "left")

@@ -50,15 +50,22 @@ object Learn {
 
   private def tokenStream(docs: DataFrame, idCol: String, textCol: String,
       isPositive: Column, buckets: Int,
-      wordHash: Column => Column): DataFrame =
+      wordHash: Column => Column): DataFrame = {
+    // words hashed INSIDE the array (fused n=1 gram hashes for the known
+    // families — no per-word string/md5-hex churn), only longs explode;
+    // identical (id, __y, __b) rows as the explode-then-hash chain
+    val ws = filter(TextAnalysis.words(col(textCol)), w => length(w) > 0)
+    val hashed = TextAnalysis.fusedGramHashes(ws, 1, wordHash,
+        shortDocWhole = false)
+      .getOrElse(transform(ws, w => wordHash(w)))
     Spread.toCores(docs)
       .select(col(idCol), when(isPositive, 1L).otherwise(-1L).as("__y"),
-        explode(filter(TextAnalysis.words(col(textCol)),
-          w => length(w) > 0)).as("__w"))
+        explode(hashed).as("__h"))
       .select(col(idCol), col("__y"),
-        pmod(wordHash(col("__w")), lit(buckets.toLong)).as("__b"))
+        pmod(col("__h"), lit(buckets.toLong)).as("__b"))
       .groupBy(col(idCol), col("__y"), col("__b"))
       .agg(count(lit(1)).as("__c"))
+  }
 
   /** Per-doc margins under a broadcast weight table (empty map ⇒ all 0). */
   private def margins(toks: DataFrame, idCol: String,

@@ -100,29 +100,82 @@ object TextAnalysis {
     concat(ws, bigrams)
   }
 
+  /** `transform(classifierFeats(text), portableHash60)` with the per-
+    * feature string churn fused away: unigram hashes are the n=1 portable
+    * gram hashes of the filtered words, bigram hashes the n=2 ones —
+    * element-for-element the same longs (md5 of the identical gram bytes,
+    * positional, duplicates kept), computed straight from the words array
+    * through ONE reused buffer instead of a sliced array + concat_ws
+    * string + md5-hex string + conv parse per feature.
+    */
+  private def classifierFeatHashes(text: Column): Column = {
+    val ws = filter(words(text), w => length(w) > 0)
+    concat(
+      graft.functions.textgrams.gram_hashes(ws, 1, portable = true,
+        shortDocWhole = false),
+      graft.functions.textgrams.gram_hashes(ws, 2, portable = true,
+        shortDocWhole = false))
+  }
+
+  /** JVM-side replica of [[portableHash60]] — same md5-hex-prefix integer
+    * (lowercase hex, first 15 digits, base-16 parse: 60 bits, never
+    * negative), for precomputing plan-constant weight tables that must
+    * stay bit-identical to the Column formulation.
+    */
+  private[graft] def portableHash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 15) { // 15 hex nibbles, big-endian — nibble i of the digest
+      val b = d(i / 2) & 0xff
+      val nib = if (i % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** The per-row classifier logit as a plain Column — usable directly as
     * a filter predicate (`classifierLogit(text) > 0`) with no join, e.g.
     * as [[Curate]]'s model-based quality stage or in a streaming select
     * (per-row expressions work unchanged under Structured Streaming).
     */
-  def classifierLogit(text: Column, buckets: Int = 4096): Column = {
-    val feats = classifierFeats(text)
-    def weight(f: Column): Column =
-      portableHash60(concat(lit("qw:"),
-        (portableHash60(f) % buckets).cast("string"))) % 2000001L - 1000000L
-    val score = aggregate(transform(feats, weight _), lit(0L), (acc, w) => acc + w)
+  def classifierLogit(text: Column, buckets: Int = 4096): Column =
+    logitFromFeatHashes(classifierFeatHashes(text), buckets)
+
+  /** The logit over a precomputed feature-hash array. Two fusions vs the
+    * round-18 inline formulation, both value-identical:
+    *   - the weight lookup md5("qw:" + bucket) has only `buckets` possible
+    *     inputs — precomputed once as a plan-constant array (32 KB at the
+    *     default 4096) instead of a second md5 + string-build PER FEATURE;
+    *   - feature hashing itself is the fused [[classifierFeatHashes]].
+    * element_at(table, bucket + 1) returns the identical long the inline
+    * formulation computed, so scores (and every oracle replay of the
+    * original formula) stay bit-identical.
+    */
+  private def logitFromFeatHashes(featHashes: Column, buckets: Int): Column = {
+    val table = Array.tabulate(buckets)(b =>
+      portableHash60Jvm("qw:" + b) % 2000001L - 1000000L)
+    def weight(h: Column): Column =
+      element_at(typedLit(table.toSeq), (h % buckets).cast("int") + 1)
+    val score = aggregate(transform(featHashes, weight _), lit(0L), (acc, w) => acc + w)
     // greatest(n,1): a featureless doc scores logit 0 instead of a
     // divide-by-zero null (mirrored in the oracle SQL)
     score.cast("double") /
-      (greatest(size(feats).cast("long"), lit(1L)) * 1000000L).cast("double")
+      (greatest(size(featHashes).cast("long"), lit(1L)) * 1000000L).cast("double")
   }
 
   def qualityClassify(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): org.apache.spark.sql.DataFrame = {
-    Spread.toCores(df).select(
-      col(idCol),
-      size(classifierFeats(col(textCol))).cast("long").as("n_feats"),
-      classifierLogit(col(textCol), buckets).as("logit"))
+    // feature hashes computed ONCE behind a projection boundary — n_feats
+    // and the logit both read the same array (the inline form evaluated
+    // the feature chain twice, once per output column)
+    Spread.toCores(df)
+      .select(col(idCol), classifierFeatHashes(col(textCol)).as("__fh"))
+      .select(col(idCol),
+        size(col("__fh")).cast("long").as("n_feats"),
+        logitFromFeatHashes(col("__fh"), buckets).as("logit"))
       .withColumn("keep", col("logit") > 0d)
   }
 
@@ -229,6 +282,25 @@ object TextAnalysis {
         sequence(lit(0), size(ws) - n),
         i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
   }
+
+  /** Distinct shingle HASHES — `transform(shingles(text, n), hash64)`
+    * with the per-gram string churn fused away when the hash family is a
+    * known one: [[graft.functions.GramHashes]] emits the positional gram
+    * hashes straight from the words array (one reused byte buffer, no
+    * sliced arrays / concat_ws strings / md5-hex parses per gram), and
+    * `array_distinct` over longs keeps first occurrences exactly like the
+    * string-side distinct did — element-wise identical output (the two
+    * paths differ only if two distinct grams of one document collide in
+    * the 60/64-bit hash, which both engines of every gate would share
+    * anyway). `shortDocWhole = true` is the [[shingles]] short-doc branch
+    * (< n words → one gram over the whole text). Unknown hash families
+    * keep the declarative chain.
+    */
+  def hashedShingles(text: Column, n: Int,
+      hash64: Column => Column): Column =
+    fusedGramHashes(words(text), n, hash64, shortDocWhole = true)
+      .map(array_distinct)
+      .getOrElse(transform(shingles(text, n), s => hash64(s)))
 
   /** Character n-gram profile language ID — tiny per-language marker-word
     * profiles scored by hit count; deterministic and cheap. A real system
