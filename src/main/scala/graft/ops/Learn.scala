@@ -86,10 +86,21 @@ object Learn {
   def perceptronWeights(docs: DataFrame, idCol: String, textCol: String,
       isPositive: Column, epochs: Int = 3, buckets: Int = 65536,
       wordHash: Column => Column = w => xxhash64(w)): Map[Long, Long] = {
-    require(epochs >= 1, s"epochs=$epochs must be >= 1")
-    require(buckets >= 2, s"buckets=$buckets must be >= 2")
     val toks = tokenStream(docs, idCol, textCol, isPositive, buckets, wordHash)
       .materialized()
+    val w = weightsFromToks(toks, idCol, epochs, buckets)
+    toks.unpersist(blocking = false)
+    w
+  }
+
+  /** The epoch loop over an already-pinned feature stream — shared by
+    * [[perceptronWeights]] and [[perceptronClassify]] so the two cannot
+    * drift.
+    */
+  private def weightsFromToks(toks: DataFrame, idCol: String, epochs: Int,
+      buckets: Int): Map[Long, Long] = {
+    require(epochs >= 1, s"epochs=$epochs must be >= 1")
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
     var w = Map.empty[Long, Long]
     (1 to epochs).foreach { _ =>
       val mis = margins(toks, idCol, w)
@@ -104,7 +115,6 @@ object Learn {
         w = if (nw == 0L) w - b else w.updated(b, nw)
       }
     }
-    toks.unpersist(blocking = false)
     w
   }
 
@@ -131,13 +141,23 @@ object Learn {
   def perceptronClassify(docs: DataFrame, idCol: String, textCol: String,
       isPositive: Column, epochs: Int = 3, buckets: Int = 65536,
       wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
-    val w = perceptronWeights(docs, idCol, textCol, isPositive, epochs,
-      buckets, wordHash)
-    margins(tokenStream(docs, idCol, textCol, isPositive, buckets, wordHash),
-        idCol, w)
+    // ONE pinned feature stream shared by the epoch loop AND the final
+    // scoring pass (guide §2.4): the old shape trained on a checkpointed
+    // stream, threw it away, and re-tokenized the whole corpus for the
+    // score — a full extra corpus pass per consume. Persist (lineage
+    // kept) + eager output materialization + unpersist is the
+    // minhashNearDups cache discipline; rows are identical (tokenStream
+    // is deterministic in its inputs).
+    val toks = tokenStream(docs, idCol, textCol, isPositive, buckets, wordHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = weightsFromToks(toks, idCol, epochs, buckets)
+    val out = margins(toks, idCol, w)
       .select(col(idCol), col("__y").as("y"),
         col("__m").cast("long").as("margin"),
         when(col("__m") > 0, 1L).otherwise(-1L).as("predicted"))
       .withColumn("correct", col("predicted") === col("y"))
+      .materialized(eager = true)
+    toks.unpersist(blocking = false)
+    out
   }
 }

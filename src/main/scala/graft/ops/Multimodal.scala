@@ -83,18 +83,23 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** Whole raster as packed sRGB ints in ONE bulk call — value-identical
+      * to per-pixel `getRGB(x, y)` (both resolve through the default RGB
+      * color model), but the per-call color-model conversion overhead is
+      * paid once per image instead of once per pixel (the q97 hot loop).
+      */
+    private def rgbRaster(img: BufferedImage): Array[Int] =
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
     def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
       decodeImage(bytes).map { img =>
         val w = img.getWidth; val h = img.getHeight
+        val px = rgbRaster(img)
         val hist = new Array[Float](FeatureDim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            hist(luma(img.getRGB(x, y)) * FeatureDim / 256) += 1f
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          hist(luma(px(i)) * FeatureDim / 256) += 1f
+          i += 1
         }
         val n = (w.toLong * h).toFloat
         var j = 0
@@ -115,15 +120,17 @@ object Multimodal {
         .map { img =>
           val gw = 9; val gh = 8
           val w = img.getWidth; val h = img.getHeight
+          val px = rgbRaster(img)
           val sums = new Array[Long](gw * gh)
           val counts = new Array[Long](gw * gh)
           var y = 0
           while (y < h) {
             val gy = (y.toLong * gh / h).toInt
+            val row = y * w
             var x = 0
             while (x < w) {
               val i = gy * gw + (x.toLong * gw / w).toInt
-              sums(i) += luma(img.getRGB(x, y)); counts(i) += 1
+              sums(i) += luma(px(row + x)); counts(i) += 1
               x += 1
             }
             y += 1
@@ -249,19 +256,21 @@ object Multimodal {
     def encodePng(seed: Array[Byte], w: Int, h: Int, bias: Int = 0): Array[Byte] = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val n = math.max(seed.length, 1)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = (y * w + x) * 3
-          def b(i: Int): Int =
-            if (seed.isEmpty) math.min(bias, 255)
-            else math.min((seed(i % n) & 0xFF) + bias, 255)
-          img.setRGB(x, y, (b(p) << 16) | (b(p + 1) << 8) | b(p + 2))
-          x += 1
-        }
-        y += 1
+      // packed-RGB staging array + one bulk setRGB: pixel values identical
+      // to the per-pixel setRGB loop, color-model dispatch paid once per
+      // image instead of per pixel (this encode runs per corpus row in the
+      // q97 fixture path)
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) {
+        val p = i * 3
+        def b(j: Int): Int =
+          if (seed.isEmpty) math.min(bias, 255)
+          else math.min((seed(j % n) & 0xFF) + bias, 255)
+        px(i) = (b(p) << 16) | (b(p + 1) << 8) | b(p + 2)
+        i += 1
       }
+      img.setRGB(0, 0, w, h, px, 0, w)
       val bos = new ByteArrayOutputStream()
       ImageIO.write(img, "png", bos)
       bos.toByteArray

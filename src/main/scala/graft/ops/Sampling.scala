@@ -362,9 +362,16 @@ object Sampling {
       .select(col(idCol), isTarget.as("__tgt"), explode(hashed).as("__h"))
       .select(col(idCol), col("__tgt"),
         pmod(col("__h"), lit(buckets.toLong)).as("__b"))
-    val counts = toks.groupBy(col("__b")).agg(
+    // The count table is consumed TWICE: the N_t/N_s totals collect below
+    // and the broadcast join in the per-doc scoring pass. Left lazy, the
+    // broadcast build re-ran pass 1 (the full token explode + aggregation)
+    // a second time whenever the caller materialized the output — measured
+    // as the dominant slice of Curate's final_materialize window at sf1.
+    // The table is bounded at `buckets` rows (tiny), so pinning it costs
+    // nothing and halves the corpus passes per action (guide §2.4).
+    val counts = Materialize(toks.groupBy(col("__b")).agg(
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
-      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cs"))
+      sum(when(col("__tgt"), 0L).otherwise(1L)).as("__cs")), eager = true)
     val Seq(nt, ns) = counts.agg(sum(col("__ct")), sum(col("__cs")))
       .collect()(0).toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long]))
     // degenerate splits score every doc exactly 0 → keep=false for ALL

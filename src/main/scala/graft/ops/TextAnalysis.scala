@@ -38,18 +38,27 @@ object TextAnalysis {
     * measured 13× under heap ballast).
     */
   private[graft] def fusedGramHashes(ws: Column, n: Int,
-      gramHash: Column => Column, shortDocWhole: Boolean): Option[Column] = {
-    // Column.toString renders the applied tree ("xxhash64('probe')") —
-    // stable and argument-discriminating (a custom seed renders its extra
-    // literal). Catalyst semanticEquals can't be used here: the classic
-    // Column API wraps lazy UNRESOLVED nodes whose per-construction Origin
-    // defeats structural equality.
+      gramHash: Column => Column, shortDocWhole: Boolean): Option[Column] =
+    knownHashFamily(gramHash).map(portable =>
+      graft.functions.textgrams.gram_hashes(ws, n, portable, shortDocWhole))
+
+  /** Which fused hash family (Some(portable?)) a caller-supplied
+    * `Column => Column` is, or None for an unknown family (callers keep
+    * their declarative chains — a custom family can never be silently
+    * mis-fused). Detected STRUCTURALLY: apply it to a literal probe and
+    * compare the rendered trees. Column.toString renders the applied tree
+    * ("xxhash64('probe')") — stable and argument-discriminating (a custom
+    * seed renders its extra literal). Catalyst semanticEquals can't be
+    * used here: the classic Column API wraps lazy UNRESOLVED nodes whose
+    * per-construction Origin defeats structural equality. Shared by every
+    * fused text kernel (gram hashes, CDC chunking).
+    */
+  private[graft] def knownHashFamily(
+      gramHash: Column => Column): Option[Boolean] = {
     val probe = lit("graft-gram-probe")
     val applied = gramHash(probe).toString
-    if (applied == xxhash64(probe).toString)
-      Some(graft.functions.textgrams.gram_hashes(ws, n, portable = false, shortDocWhole))
-    else if (applied == portableHash60(probe).toString)
-      Some(graft.functions.textgrams.gram_hashes(ws, n, portable = true, shortDocWhole))
+    if (applied == xxhash64(probe).toString) Some(false)
+    else if (applied == portableHash60(probe).toString) Some(true)
     else None
   }
 

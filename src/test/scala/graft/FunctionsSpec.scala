@@ -170,4 +170,72 @@ class FunctionsSpec extends AnyFunSuite {
       c => xxhash64(c, lit(7)), false).isEmpty,
       "a custom-seed family must NOT silently fuse")
   }
+
+  test("CdcChunkStats ≡ the declarative aggregate fold, both families, randomized") {
+    import spark.implicits._
+    import graft.functions.textgrams.cdc_chunk_stats
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("alpha", "beta", "γράμμα", "préfix", "x", "tok", "7",
+      "句子", "q!", "__", "word", "ümlaut", "zz", "m")
+    val texts = (0 until 300).map { _ =>
+      val t = rnd.nextInt(60)
+      (0 until t).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ "" :+ "one" :+ "one two three"
+    val df = texts.toDF("text").withColumn("ws", split(trim(col("text")), "\\s+"))
+    for (modulus <- Seq(1, 4, 16); portable <- Seq(false, true)) {
+      val family: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (portable) TextAnalysis.portableHash60 else xxhash64(_)
+      // the exact declarative fold cdcChunks used before round 20
+      def emptyChunks = array().cast("array<array<string>>")
+      def emptyCur = array().cast("array<string>")
+      val folded = aggregate(
+        col("ws"),
+        struct(emptyChunks.as("done"), emptyCur.as("cur")),
+        (acc, w) => when(pmod(family(w), lit(modulus.toLong)) === 0,
+            struct(
+              concat(acc.getField("done"),
+                array(concat(acc.getField("cur"), array(w)))).as("done"),
+              emptyCur.as("cur")))
+          .otherwise(struct(
+            acc.getField("done").as("done"),
+            concat(acc.getField("cur"), array(w)).as("cur"))),
+        acc => when(size(acc.getField("cur")) > 0,
+            concat(acc.getField("done"), array(acc.getField("cur"))))
+          .otherwise(acc.getField("done")))
+      val decl = transform(folded, c => struct(
+        size(c).cast("long").as("n_words"),
+        family(concat_ws(" ", c)).as("chunk_hash")))
+      val diff = df.select(
+          cdc_chunk_stats(col("ws"), modulus, portable).as("fused"),
+          decl.as("decl"))
+        .filter(col("fused") =!= col("decl"))
+      assert(diff.count() == 0,
+        s"modulus=$modulus portable=$portable: fused CDC chunks diverge:\n" +
+          diff.limit(3).collect().mkString("\n"))
+    }
+  }
+
+  test("WinnowMins ≡ the declarative window-min chain, randomized") {
+    import spark.implicits._
+    import graft.functions.textgrams.winnow_mins
+    val rnd = new scala.util.Random(31337)
+    // long arrays with REPEATS (the dedupe path) and ties inside windows
+    val arrays = (0 until 300).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => (rnd.nextInt(8) - 3).toLong)
+    } :+ Seq.empty[Long] :+ Seq(5L) :+ Seq(5L, 5L, 5L)
+    val df = arrays.toDF("gh")
+    for (w <- Seq(1, 2, 4, 7)) {
+      val decl = when(size(col("gh")) >= w,
+          array_distinct(transform(sequence(lit(1), size(col("gh")) - (w - 1)),
+            j => array_min(slice(col("gh"), j, lit(w))))))
+        .when(size(col("gh")) >= 1, array(array_min(col("gh"))))
+        .otherwise(array().cast("array<long>"))
+      val diff = df.select(winnow_mins(col("gh"), w).as("fused"), decl.as("decl"))
+        .filter(col("fused") =!= col("decl"))
+      assert(diff.count() == 0,
+        s"w=$w: winnow minima diverge:\n" + diff.limit(3).collect().mkString("\n"))
+    }
+  }
 }

@@ -162,6 +162,30 @@ class OpsSpec extends AnyFunSuite {
     assert(unchunked.nonEmpty)
   }
 
+  test("ngramJaccard prefix filter: threshold boundaries (0 refuses, 1 exact)") {
+    val oneBlock = planted.withColumn("b", lit("all"))
+    // t = 0 is unanswerable by a prefix index (every pair qualifies,
+    // including zero-overlap ones) and used to read past the sorted-hash
+    // array — it must refuse loudly, not crash or under-report.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardNearDups(oneBlock, "doc_id", "text", col("b"),
+        threshold = 0.0)
+    }
+    assert(e.getMessage.contains("threshold"))
+    // t = 1 (prefixLen = 1 for every doc) finds exactly the identical
+    // shingle sets: every returned pair has jaccard == 1.0, and the planted
+    // fixture's exact-duplicate pairs (same text twice) are all present.
+    val atOne = Dedup.ngramJaccardNearDups(oneBlock, "doc_id", "text",
+        col("b"), threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(atOne.forall(_._3 == 1.0))
+    val all = Dedup.ngramJaccardNearDups(oneBlock, "doc_id", "text",
+        col("b"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(atOne.toSet == all.filter(_._3 == 1.0).toSet,
+      "threshold=1 must equal the jaccard==1 slice of a lower-threshold run")
+  }
+
   test("dupClusters: chains, stars and disjoint pairs resolve to min-id labels") {
     import spark.implicits._
     // components: chain 1-2-3-4, star 10-{11,12,13}, pair 20-21
