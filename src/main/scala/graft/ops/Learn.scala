@@ -144,12 +144,13 @@ object Learn {
     // ONE pinned feature stream shared by the epoch loop AND the final
     // scoring pass (guide §2.4): the old shape trained on a checkpointed
     // stream, threw it away, and re-tokenized the whole corpus for the
-    // score — a full extra corpus pass per consume. Persist (lineage
-    // kept) + eager output materialization + unpersist is the
-    // minhashNearDups cache discipline; rows are identical (tokenStream
-    // is deterministic in its inputs).
+    // score — a full extra corpus pass per consume. localCheckpoint (not
+    // persist): the epoch loop runs 2·epochs actions over this frame, and
+    // a lineage-keeping persist re-plans the full upstream tree per
+    // action — measured as a q144 regression before this was switched to
+    // the same truncated pin perceptronWeights always used.
     val toks = tokenStream(docs, idCol, textCol, isPositive, buckets, wordHash)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .materialized()
     val w = weightsFromToks(toks, idCol, epochs, buckets)
     val out = margins(toks, idCol, w)
       .select(col(idCol), col("__y").as("y"),
@@ -157,6 +158,8 @@ object Learn {
         when(col("__m") > 0, 1L).otherwise(-1L).as("predicted"))
       .withColumn("correct", col("predicted") === col("y"))
       .materialized(eager = true)
+    // out is materialized independently; the truncated toks pin can go
+    // (same release discipline as perceptronWeights)
     toks.unpersist(blocking = false)
     out
   }

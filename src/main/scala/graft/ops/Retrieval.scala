@@ -69,12 +69,21 @@ object Retrieval {
     // — not the corpus's total token multiset. dl is grouped alongside
     // (doc_id, token) — functionally dependent on doc_id, so it rides that
     // shuffle for free instead of costing a corpus-sized doc-length join
-    val matched = d.select(col("doc_id"), col("dl"),
+    // The query-term postings slice is consumed TWICE downstream (the df
+    // derivation — a broadcast side — and the per-doc scoring join). Left
+    // lazy, each consumer re-ran this corpus explode + aggregation (the
+    // two ~0.7-0.9 s jobs in q96's measured per-job profile). The slice is
+    // bounded by query-term postings, not corpus-sized, so pin it once
+    // (guide §2.4). The INDEX probe path deliberately does NOT pin: its
+    // re-scan is a token-clustered, file-skipped parquet read, and pinning
+    // would hide the pushed `token IN`/semi-join from the probe plan — the
+    // scan-pushdown contract its tests gate.
+    val matched = Materialize(d.select(col("doc_id"), col("dl"),
         explode(split(trim(col("text")), "\\s+")).as("token"))
       .filter(col("token") =!= "")
       .join(broadcast(termSet), Seq("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")), eager = true)
     scoreMatched(matched, qterms, nDocs, avgdl, k, k1, b)
   }
 

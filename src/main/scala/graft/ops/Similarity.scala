@@ -493,9 +493,20 @@ object Similarity {
     */
   private def ivfProbeTopK(assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
+      cm: Array[Array[Double]], cids: Array[Long]): DataFrame =
+    ivfProbeTopKUnit(assigned,
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")),
+      k, nProbe, cm, cids)
+
+  /** [[ivfProbeTopK]] over an already-prepared (query_id, qv) frame — lets
+    * the persisted-index path pin the query batch once for both the
+    * probed-cid collect and this tail.
+    */
+  private def ivfProbeTopKUnit(assigned: DataFrame, q: DataFrame,
+      k: Int, nProbe: Int,
       cm: Array[Array[Double]], cids: Array[Long]): DataFrame = {
-    val probes = queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv"))
+    val probes = q
       .select(col("query_id"), col("qv"),
         explode(graft.functions.sketches.top_centroids(col("qv"), cm, cids, nProbe)).as("cid"))
     val scored = assigned.join(broadcast(probes), Seq("cid"))
@@ -561,13 +572,18 @@ object Similarity {
   def ivfTopKWithIndexWhere(index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, pred: Column,
       nProbe: Int = 4): DataFrame = {
-    val probedCids = queries
+    // Pin the (bounded) query batch once for the probed-cid collect AND
+    // the probe tail — same §2.4 reuse as ivfPqTopKWithIndex.
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .materialized(true)
+    val probedCids = q
       .select(explode(graft.functions.sketches.top_centroids(
-        col(vecCol).cast("array<double>"), index.cm, index.cids, nProbe)).as("cid"))
+        col("qv"), index.cm, index.cids, nProbe)).as("cid"))
       .distinct().collect().map(_.getLong(0))
     val assigned = index.assigned.filter(pred)
       .filter(col("cid").isin(probedCids: _*))
-    ivfProbeTopK(assigned, queries, idCol, vecCol, k, nProbe, index.cm, index.cids)
+    ivfProbeTopKUnit(assigned, q, k, nProbe, index.cm, index.cids)
   }
 
   /** A persisted PQ index: driver-side codebooks + the encoded corpus. */
@@ -741,10 +757,21 @@ object Similarity {
     */
   private def ivfPqProbe(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, cm: Array[Array[Double]], cids: Array[Long],
+      cb: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame =
+    ivfPqProbeUnit(codes,
+      withUnitVec(queries, vecCol, "__v")
+        .select(col(idCol).as("query_id"), col("__v")),
+      cm, cids, cb, k, nProbe)
+
+  /** [[ivfPqProbe]] over an already-prepared (query_id, __v unit-vector)
+    * frame — lets the persisted-index path pin the normalized query batch
+    * ONCE for both the probed-cid collect and this tail.
+    */
+  private def ivfPqProbeUnit(codes: DataFrame, uq: DataFrame,
+      cm: Array[Array[Double]], cids: Array[Long],
       cb: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
     val kEff = cb(0).length
-    val probes = withUnitVec(queries, vecCol, "__v")
-      .select(col(idCol).as("query_id"), col("__v"))
+    val probes = uq
       .select(col("query_id"), col("__v"),
         explode(graft.functions.sketches.top_centroids(col("__v"), cm, cids,
           nProbe)).as("cid"))
@@ -921,13 +948,20 @@ object Similarity {
     */
   def ivfPqTopKWithIndex(index: IvfPqIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
-    val probedCids = withUnitVec(queries, vecCol, "__v")
+    // Normalize the (bounded) query batch ONCE and pin it: the probed-cid
+    // collect and the probe tail both consumed a separate derivation of
+    // the same unit-vector frame, each re-scanning the query source
+    // (guide §2.4 — measured as repeated query-side scan jobs in the
+    // q123i per-job profile).
+    val uq = withUnitVec(queries, vecCol, "__v")
+      .select(col(idCol).as("query_id"), col("__v"))
+      .materialized(true)
+    val probedCids = uq
       .select(explode(graft.functions.sketches.top_centroids(col("__v"),
         index.cm, index.cids, nProbe)).as("cid"))
       .distinct().collect().map(_.getLong(0))
     val codes = index.codes.filter(col("cid").isin(probedCids: _*))
-    ivfPqProbe(codes, queries, idCol, vecCol, index.cm, index.cids,
-      index.codebooks, k, nProbe)
+    ivfPqProbeUnit(codes, uq, index.cm, index.cids, index.codebooks, k, nProbe)
   }
 
   /** Saved-IVF-PQ probe + exact re-rank — [[ivfPqTopK]]'s `refine` tail
